@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loads the driver-provided parquet tables (TESTDATA.md) and registers
+  * them as temp views.
+  *
+  * Mirrors the reference's dataset→version table resolution (SURVEY
+  * §1.1; reference `app/routes/datasets/queries.py:375-377` resolves a
+  * user's FROM target to a schema-qualified `dataset.version` table):
+  * here each parquet file is one "version table" of the lake.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def path(sfDir: String, name: String): String = s"$sfDir/$name.parquet"
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS) which Spark 4 refuses by
+      // default; read the raw int64 nanos and floor-divide to micros —
+      // the same truncation DuckDB applies, so oracle values agree.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(path(sfDir, name))
+        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+    } else spark.read.parquet(path(sfDir, name))
+
+  /** Register every lake table as a temp view for the SQL surface. */
+  def register(spark: SparkSession, sfDir: String): Unit =
+    all.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+}

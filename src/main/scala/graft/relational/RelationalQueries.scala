@@ -1,0 +1,141 @@
+package graft.relational
+
+import graft.{QueryModule, SqlQ, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The relational query surface of SURVEY §2.2–§2.5: projection /
+  * predicate passthrough (P1, P3, P5), catalog-style joins (J1, J2),
+  * constraint-dedup append (S2), aggregation passthrough (A1, A5, A6,
+  * A9), windows / sorts / limits / set ops (§2.5).
+  *
+  * User-dialect queries (single table, no joins) run through the SQL
+  * gate in `graft.sqlgate`; internal queries (joins, windows) use
+  * Catalyst directly — matching the reference, whose *user* dialect
+  * forbids joins (`query_helpers.py:100-118`) while internal code joins
+  * freely (`raster_assets.py:1-22`).
+  */
+object RelationalQueries extends QueryModule {
+
+  /** Shared-SQL entries: same text runs on Spark and DuckDB. */
+  private val sqls: Seq[SqlQ] = Seq(
+    // A1: aggregate passthrough (reference routes user GROUP BY SQL whole
+    // to PG, queries.py:506-525). Decimal-cast sums are order-independent.
+    SqlQ.shared("a1_agg_groupby",
+      """SELECT l_returnflag, l_linestatus,
+        |  cast(sum(cast(l_quantity as decimal(30,2))) as double) AS sum_qty,
+        |  cast(sum(cast(l_extendedprice as decimal(30,2))) as double) AS sum_base_price,
+        |  cast(sum(cast(l_discount as decimal(30,2))) as double) AS sum_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+
+    // P1: arbitrary select-list expressions + aliases (query_helpers.py:274-381).
+    // Per-row double arithmetic is IEEE-identical across engines.
+    SqlQ.shared("p1_projection",
+      """SELECT l_orderkey, l_linenumber,
+        |  l_extendedprice * (1 - l_discount) AS discounted,
+        |  upper(l_returnflag) || '-' || l_linestatus AS flag_status,
+        |  1 AS bar
+        |FROM lineitem WHERE l_orderkey <= 100""".stripMargin),
+
+    // P3: WHERE passthrough with LIKE / BETWEEN / comparisons.
+    SqlQ.shared("p3_where_like",
+      """SELECT p_partkey, p_name, p_brand, p_size
+        |FROM part
+        |WHERE p_name LIKE '%a%' AND p_size BETWEEN 5 AND 15 AND p_retailprice > 900""".stripMargin),
+
+    // P5: date-range filter (features.py:131-137 TO_TIMESTAMP between).
+    SqlQ.shared("p5_date_range",
+      """SELECT event_id, event_type, cast(ts as date) AS event_date
+        |FROM events
+        |WHERE ts BETWEEN timestamp '2024-01-02 00:00:00' AND timestamp '2024-01-05 00:00:00'""".stripMargin),
+
+    // P7: admin-style equality + escaped-LIKE filter (crud/geostore.py:330-367).
+    SqlQ.shared("p7_admin_filter",
+      """SELECT o_orderkey, o_orderpriority, o_orderstatus
+        |FROM orders
+        |WHERE o_orderstatus = 'O' AND o_orderpriority LIKE '1%'""".stripMargin),
+
+    // J1: catalog join (assets⋈versions-style, raster_assets.py:1-22).
+    SqlQ.shared("j1_catalog_join",
+      """SELECT n_name,
+        |  count(*) AS num_customers,
+        |  cast(sum(cast(c_acctbal as decimal(30,2))) as double) AS total_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin),
+
+    // J2: geostore point lookup by hashed id (crud/geostore.py:42-58).
+    SqlQ.shared("j2_key_lookup",
+      """SELECT o_orderkey, o_custkey, o_totalprice, cast(o_orderdate as date) AS order_date
+        |FROM orders WHERE o_orderkey = 0""".stripMargin),
+
+    // A5: deprecated sum(alert__count) -> count(*) rewrite (analysis.py:147).
+    SqlQ.shared("a5_count_rewrite",
+      """SELECT event_type, count(*) AS alert_count
+        |FROM events WHERE event_type = 'error' GROUP BY event_type""".stripMargin),
+
+    // A6: second-level grouping (datamart.py:155-210 per-driver totals).
+    SqlQ.shared("a6_two_level_agg",
+      """SELECT event_type,
+        |  cast(sum(cast(value as decimal(30,2))) as double) AS total_value,
+        |  count(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+
+    // A9: DISTINCT-ish admin listing ordered by id (crud/geostore.py:137-178).
+    SqlQ.shared("a9_distinct_order",
+      "SELECT DISTINCT o_orderpriority FROM orders ORDER BY o_orderpriority"),
+
+    // §2.5: window functions pass through the dialect (PG would execute
+    // them; Catalyst gives them natively).
+    SqlQ.shared("w_window_rank",
+      """SELECT o_custkey, o_orderkey, rn FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 2""".stripMargin),
+
+    // §2.5 pagination: offset/limit catalog listing (app/utils/paginate.py).
+    SqlQ.shared("sort_limit_offset",
+      "SELECT c_custkey, c_name FROM customer ORDER BY c_custkey LIMIT 10 OFFSET 20"),
+
+    // §2.5 set ops: UNION ALL file-part concatenation (export_1x1_grid.sh:28-30).
+    SqlQ.shared("set_union_all",
+      """SELECT c_custkey AS id, 'customer' AS src FROM customer WHERE c_custkey < 50
+        |UNION ALL
+        |SELECT s_suppkey AS id, 'supplier' AS src FROM supplier
+        |ORDER BY src, id""".stripMargin)
+  )
+
+  /** S2: constraint-dedup append (`load_tabular_data.sh:59-73`
+    * `INSERT … ON CONFLICT DO NOTHING` ≡ left-anti on the unique key
+    * then append). Incoming batch = a slice of orders (all conflicting)
+    * plus nothing new → result must equal the existing table.
+    * At 100 TB the anti-join shuffles on the unique key; with the lake
+    * bucketed by that key it is shuffle-free on the existing side. */
+  private def dedupAppend(spark: SparkSession, sfDir: String): DataFrame = {
+    val existing = Tables.load(spark, sfDir, "orders")
+    val incoming = existing.filter(col("o_orderkey") % 10 === 0)
+    val fresh = incoming.join(existing, Seq("o_orderkey"), "left_anti")
+    existing.unionByName(fresh)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderdate").cast("date").as("order_date"))
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val fromSql = sqls.map { q =>
+      q.name -> ((spark: SparkSession, sfDir: String) => {
+        Tables.register(spark, sfDir)
+        spark.sql(q.sparkSql)
+      })
+    }.toMap
+    fromSql + ("s2_dedup_append" -> ((s: SparkSession, d: String) => dedupAppend(s, d)))
+  }
+
+  override def oracles: Map[String, String] =
+    sqls.flatMap(q => q.oracleSql.map(q.name -> _)).toMap +
+      ("s2_dedup_append" ->
+        """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+          |  cast(o_orderdate as date) AS order_date FROM orders""".stripMargin)
+}
