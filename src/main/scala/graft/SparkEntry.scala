@@ -7,7 +7,8 @@ object SparkEntry {
 
   /** All engine modules contributing to the query surface. */
   private def modules: Seq[QueryModule] = Seq(
-    relational.RelationalQueries
+    relational.RelationalQueries,
+    textops.TextQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

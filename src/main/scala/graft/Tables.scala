@@ -28,7 +28,10 @@ object Tables {
           org.apache.spark.sql.functions.expr("ts div 1000")))
     } else spark.read.parquet(path(sfDir, name))
 
-  /** Register every lake table as a temp view for the SQL surface. */
-  def register(spark: SparkSession, sfDir: String): Unit =
+  /** Register every lake table as a temp view for the SQL surface,
+    * plus the engine's native function surface. */
+  def register(spark: SparkSession, sfDir: String): Unit = {
+    graft.functions.GraftFunctions.install(spark)
     all.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+  }
 }

@@ -1,0 +1,18 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+
+/** Registers the engine's native Catalyst expressions in the session
+  * `FunctionRegistry`, making them callable from the SQL dialect (the
+  * reference registers its function surface inside PostgreSQL; ours
+  * lives in Catalyst — SURVEY §2.8).
+  */
+object GraftFunctions {
+  def install(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "polyhash", exprs => PolyHash(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "vec_dot", exprs => VecDot(exprs(0), exprs(1)), "built-in")
+  }
+}

@@ -1,0 +1,306 @@
+package graft.textops
+
+import graft.{QueryModule, SqlQ, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Training-data pipeline operators over the `documents` table:
+  * deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard) and
+  * text analysis (quality scoring, token counting, language-ID,
+  * document fingerprinting).
+  *
+  * These extend the reference's surface (which has no text pipeline)
+  * with the operations a 100 TB LLM-data pipeline needs. Design rules:
+  *
+  *   - All hashing is `polyhash` (graft.functions.PolyHash): integer
+  *     arithmetic mod 2^31-1, bit-reproducible in the DuckDB oracle via
+  *     a code-point fold (ASCII text ⇒ code point == UTF-8 byte).
+  *   - Every double in an output is produced by a single division of
+  *     exact integers, or an index-ordered fold — deterministic across
+  *     engines, so the driver's exact-value compare holds.
+  *   - Scale path: no O(n²) cross joins. Near-dup candidates come from
+  *     LSH band buckets (MinHash, SimHash) or a document-frequency-
+  *     pruned inverted shingle index; only candidates are verified
+  *     exactly. At 1000 executors each stage is one shuffle on a
+  *     well-distributed key (band hash / shingle hash / doc_id).
+  */
+object TextQueries extends QueryModule {
+
+  private val P = "2147483647" // 2^31 - 1
+
+  // ------------------------------------------------------------ fragments
+
+  /** Spark: distinct word-3-shingle polyhashes per doc. */
+  private val sparkShingles =
+    s"""WITH w AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
+       |sh AS (
+       |  SELECT doc_id, array_distinct(transform(sequence(1, size(w)-2),
+       |    i -> polyhash(concat_ws(' ', element_at(w,i), element_at(w,i+1), element_at(w,i+2))))) AS hs
+       |  FROM w WHERE size(w) >= 3)""".stripMargin
+
+  /** DuckDB mirror: same shingle hashes via a code-point fold. */
+  private val duckShingles =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |sh AS (
+       |  SELECT doc_id, list_distinct([list_reduce(
+       |      [ascii(c)::BIGINT for c in string_split(w[i] || ' ' || w[i+1] || ' ' || w[i+2], '')],
+       |      (h,c) -> (h*131+c) % $P) for i in generate_series(1, len(w)-2)]) AS hs
+       |  FROM w WHERE len(w) >= 3)""".stripMargin
+
+  /** MinHash permutation: h_i(x) = (a_i*x + b_i) mod P, i = 0..35.
+    * All intermediates < 2^52 — safe 64-bit integer math both engines. */
+  private val minhashSig =
+    s"min(((1 + 40503*perm) * h + (12345 + 104729*perm)) % $P) AS sig"
+
+  /** SimHash bit sums s0..s30 + fingerprint assembly, identical text in
+    * both dialects (built by one loop so the formulas cannot diverge). */
+  private val simhashBitSums: String = (0 to 30)
+    .map(j => s"sum(CASE WHEN ((h >> $j) & 1) = 1 THEN 1 ELSE -1 END) AS s$j")
+    .mkString(",\n    ")
+  private val simhashAssemble: String = (0 to 30)
+    .map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)")
+    .mkString(" + ")
+
+  /** Language marker lists for the stopword-count language-ID heuristic;
+    * tie-break priority is list order. */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "es" -> Seq("el", "la", "los", "de", "que", "y"),
+    "fr" -> Seq("le", "les", "des", "et", "une", "dans"))
+
+  /** Count of words from `set` — per-engine array containment. */
+  private def hitCount(spark: Boolean, set: Seq[String]): String = {
+    val lit = set.map(s => s"'$s'").mkString(", ")
+    if (spark) s"size(filter(w, x -> array_contains(array($lit), x)))"
+    else s"len(list_filter(w, x -> list_contains([$lit], x)))"
+  }
+
+  private val langPredCase: String = {
+    val langs = langMarkers.map(_._1)
+    val cases = langs.init.zipWithIndex.map { case (l, i) =>
+      val rest = langs.drop(i + 1)
+      val conds = rest.map(r => s"s_$l >= s_$r").mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }
+    s"CASE ${cases.mkString(" ")} ELSE '${langs.last}' END"
+  }
+
+  // -------------------------------------------------------------- queries
+
+  private val sqls: Seq[SqlQ] = Seq(
+
+    // D1: exact deduplication — hash-groupBy on content. At scale this
+    // is one shuffle on md5(text); keeps the lowest doc_id per group
+    // (the reference's ON-CONFLICT-DO-NOTHING keep-first semantics, S2).
+    SqlQ.shared("d1_dedup_exact",
+      """SELECT md5(text) AS text_md5, min(doc_id) AS keep_doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY text""".stripMargin),
+
+    // D2: MinHash signatures (36 perms = 12 bands x 3 rows). Shape
+    // (doc_id, perm, sig) — the oracle recomputes every signature value.
+    SqlQ.split("d2_minhash_sig",
+      s"""$sparkShingles,
+         |e AS (SELECT doc_id, explode(hs) AS h FROM sh),
+         |p AS (SELECT explode(sequence(0, 35)) AS perm)
+         |SELECT doc_id, perm, $minhashSig
+         |FROM e CROSS JOIN p GROUP BY doc_id, perm""".stripMargin,
+      s"""$duckShingles,
+         |e AS (SELECT doc_id, unnest(hs) AS h FROM sh),
+         |p AS (SELECT unnest(generate_series(0, 35)) AS perm)
+         |SELECT doc_id, perm, $minhashSig
+         |FROM e CROSS JOIN p GROUP BY doc_id, perm""".stripMargin),
+
+    // D3: MinHash+LSH near-dup pairs. Spark side: band-bucket join
+    // proposes candidates (no O(n^2)), exact Jaccard verifies >= 0.5.
+    // Oracle: exact Jaccard via inverted shingle index — equal because
+    // 12x3 banding has ~1-1.6e-7 recall at j >= 0.9 (this dataset's
+    // near-dup pairs all sit above 0.9).
+    SqlQ.split("d3_minhash_lsh_pairs",
+      s"""$sparkShingles,
+         |e AS (SELECT doc_id, explode(hs) AS h FROM sh),
+         |p AS (SELECT explode(sequence(0, 35)) AS perm),
+         |sig AS (SELECT doc_id, perm, $minhashSig
+         |        FROM e CROSS JOIN p GROUP BY doc_id, perm),
+         |band AS (SELECT doc_id, perm DIV 3 AS band,
+         |  ((((min(CASE WHEN perm % 3 = 0 THEN sig END) * 131
+         |      + min(CASE WHEN perm % 3 = 1 THEN sig END)) % $P) * 131)
+         |      + min(CASE WHEN perm % 3 = 2 THEN sig END)) % $P AS bh
+         |  FROM sig GROUP BY doc_id, perm DIV 3),
+         |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+         |  FROM band a JOIN band b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |ver AS (SELECT i, j, size(array_intersect(x.hs, y.hs)) AS shared,
+         |               size(x.hs) AS na, size(y.hs) AS nb
+         |  FROM cand JOIN sh x ON x.doc_id = cand.i JOIN sh y ON y.doc_id = cand.j)
+         |SELECT i AS doc_id_a, j AS doc_id_b,
+         |  CAST(shared AS DOUBLE) / (na + nb - shared) AS jaccard
+         |FROM ver WHERE CAST(shared AS DOUBLE) / (na + nb - shared) >= 0.5""".stripMargin,
+      s"""$duckShingles,
+         |e AS (SELECT doc_id, unnest(hs) AS h FROM sh),
+         |cnt AS (SELECT doc_id, len(hs) AS n FROM sh),
+         |pr AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS shared
+         |  FROM e a JOIN e b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id)
+         |SELECT pr.i AS doc_id_a, pr.j AS doc_id_b,
+         |  CAST(pr.shared AS DOUBLE) / (ca.n + cb.n - pr.shared) AS jaccard
+         |FROM pr JOIN cnt ca ON ca.doc_id = pr.i JOIN cnt cb ON cb.doc_id = pr.j
+         |WHERE CAST(pr.shared AS DOUBLE) / (ca.n + cb.n - pr.shared) >= 0.5""".stripMargin),
+
+    // D4: character-5-gram Jaccard near-dup via a document-frequency-
+    // pruned inverted index (df <= 25 drops stop-shingles, bounding
+    // join bucket size — the skew guard that makes exact n-gram
+    // similarity feasible at scale). Same SQL shape both engines.
+    SqlQ.split("d4_ngram_jaccard_pairs",
+      s"""WITH g AS (SELECT doc_id, array_distinct(transform(sequence(1, length(text)-4),
+         |    i -> polyhash(substring(text, i, 5)))) AS hs
+         |  FROM documents WHERE length(text) >= 5),
+         |e AS (SELECT doc_id, explode(hs) AS h FROM g),
+         |df AS (SELECT h FROM e GROUP BY h HAVING count(*) <= 25),
+         |ef AS (SELECT e.doc_id, e.h FROM e JOIN df ON e.h = df.h),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM ef GROUP BY doc_id),
+         |pr AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS shared
+         |  FROM ef a JOIN ef b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id)
+         |SELECT pr.i AS doc_id_a, pr.j AS doc_id_b,
+         |  CAST(pr.shared AS DOUBLE) / (ca.n + cb.n - pr.shared) AS jaccard
+         |FROM pr JOIN cnt ca ON ca.doc_id = pr.i JOIN cnt cb ON cb.doc_id = pr.j
+         |WHERE CAST(pr.shared AS DOUBLE) / (ca.n + cb.n - pr.shared) >= 0.4""".stripMargin,
+      s"""WITH g AS (SELECT doc_id, list_distinct([list_reduce(
+         |    [ascii(c)::BIGINT for c in string_split(substr(text, i, 5), '')],
+         |    (h,c) -> (h*131+c) % $P) for i in generate_series(1, len(text)-4)]) AS hs
+         |  FROM documents WHERE len(text) >= 5),
+         |e AS (SELECT doc_id, unnest(hs) AS h FROM g),
+         |df AS (SELECT h FROM e GROUP BY h HAVING count(*) <= 25),
+         |ef AS (SELECT e.doc_id, e.h FROM e JOIN df ON e.h = df.h),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM ef GROUP BY doc_id),
+         |pr AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS shared
+         |  FROM ef a JOIN ef b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id)
+         |SELECT pr.i AS doc_id_a, pr.j AS doc_id_b,
+         |  CAST(pr.shared AS DOUBLE) / (ca.n + cb.n - pr.shared) AS jaccard
+         |FROM pr JOIN cnt ca ON ca.doc_id = pr.i JOIN cnt cb ON cb.doc_id = pr.j
+         |WHERE CAST(pr.shared AS DOUBLE) / (ca.n + cb.n - pr.shared) >= 0.4""".stripMargin),
+
+    // D5: 31-bit SimHash fingerprints over shingle hashes (one shuffle:
+    // explode -> groupBy(doc_id) with 31 codegen'd conditional sums).
+    SqlQ.split("d5_simhash",
+      s"""$sparkShingles,
+         |e AS (SELECT doc_id, explode(hs) AS h FROM sh),
+         |b AS (SELECT doc_id,
+         |    $simhashBitSums
+         |  FROM e GROUP BY doc_id)
+         |SELECT doc_id, $simhashAssemble AS simhash FROM b""".stripMargin,
+      s"""$duckShingles,
+         |e AS (SELECT doc_id, unnest(hs) AS h FROM sh),
+         |b AS (SELECT doc_id,
+         |    $simhashBitSums
+         |  FROM e GROUP BY doc_id)
+         |SELECT doc_id, $simhashAssemble AS simhash FROM b""".stripMargin),
+
+    // D6: SimHash near-dup pairs, Hamming distance <= 3. Spark side
+    // uses 4-band candidate generation: distance <= 3 touches at most 3
+    // of the 4 bands, so at least one band matches exactly (pigeonhole
+    // — recall 1.0 by construction), then verifies the distance.
+    // Oracle brute-forces all pairs from the same fingerprints.
+    SqlQ.split("d6_simhash_pairs",
+      s"""$sparkShingles,
+         |e AS (SELECT doc_id, explode(hs) AS h FROM sh),
+         |b AS (SELECT doc_id,
+         |    $simhashBitSums
+         |  FROM e GROUP BY doc_id),
+         |f AS (SELECT doc_id, $simhashAssemble AS simhash FROM b),
+         |bands AS (SELECT doc_id, simhash, k, (simhash >> (8 * k)) & 255 AS bv
+         |  FROM f LATERAL VIEW explode(sequence(0, 3)) t AS k),
+         |cand AS (SELECT DISTINCT a.doc_id AS i, a.simhash AS ha, b.doc_id AS j, b.simhash AS hb
+         |  FROM bands a JOIN bands b ON a.k = b.k AND a.bv = b.bv AND a.doc_id < b.doc_id)
+         |SELECT i AS doc_id_a, j AS doc_id_b, bit_count(ha ^ hb) AS hamming
+         |FROM cand WHERE bit_count(ha ^ hb) <= 3""".stripMargin,
+      s"""$duckShingles,
+         |e AS (SELECT doc_id, unnest(hs) AS h FROM sh),
+         |b AS (SELECT doc_id,
+         |    $simhashBitSums
+         |  FROM e GROUP BY doc_id),
+         |f AS (SELECT doc_id, $simhashAssemble AS simhash FROM b)
+         |SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+         |  bit_count(xor(a.simhash::BIGINT, b.simhash::BIGINT)) AS hamming
+         |FROM f a, f b WHERE a.doc_id < b.doc_id
+         |  AND bit_count(xor(a.simhash::BIGINT, b.simhash::BIGINT)) <= 3""".stripMargin),
+
+    // T1: quality scoring — length / uniqueness / stopword-ratio
+    // heuristics. Ratios are single divisions of exact ints.
+    SqlQ.split("t1_quality_score",
+      s"""WITH w AS (SELECT doc_id, n_chars, split(text, ' ') AS w FROM documents)
+         |SELECT doc_id, n_chars,
+         |  size(w) AS n_words,
+         |  size(array_distinct(w)) AS n_uniq_words,
+         |  CAST(aggregate(transform(w, x -> length(x)), 0, (a,b) -> a+b) AS DOUBLE) / size(w) AS avg_word_len,
+         |  CAST(size(array_distinct(w)) AS DOUBLE) / size(w) AS uniq_ratio,
+         |  CAST(${hitCount(spark = true, langMarkers.head._2)} AS DOUBLE) / size(w) AS stopword_ratio
+         |FROM w""".stripMargin,
+      s"""WITH w AS (SELECT doc_id, n_chars, string_split(text, ' ') AS w FROM documents)
+         |SELECT doc_id, n_chars,
+         |  len(w) AS n_words,
+         |  len(list_distinct(w)) AS n_uniq_words,
+         |  list_reduce([len(x) for x in w], (a,b) -> a+b)::DOUBLE / len(w) AS avg_word_len,
+         |  len(list_distinct(w))::DOUBLE / len(w) AS uniq_ratio,
+         |  ${hitCount(spark = false, langMarkers.head._2)}::DOUBLE / len(w) AS stopword_ratio
+         |FROM w""".stripMargin),
+
+    // T2: token counting — whitespace tokens and a BPE-ish regex pass.
+    SqlQ.split("t2_token_count",
+      """SELECT doc_id,
+        |  size(filter(split(text, ' '), x -> x != '')) AS ws_tokens,
+        |  size(regexp_extract_all(text, '[a-z]+', 0)) AS alpha_tokens,
+        |  size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS bpe_tokens,
+        |  length(text) AS n_chars_measured
+        |FROM documents""".stripMargin,
+      """SELECT doc_id,
+        |  len(list_filter(string_split(text, ' '), x -> x != '')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[a-z]+')) AS alpha_tokens,
+        |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_tokens,
+        |  len(text) AS n_chars_measured
+        |FROM documents""".stripMargin),
+
+    // T3: language-ID via stopword-marker counts, deterministic
+    // tie-break by marker-list priority.
+    SqlQ.split("t3_langid",
+      s"""WITH w AS (SELECT doc_id, lang, split(text, ' ') AS w FROM documents),
+         |s AS (SELECT doc_id, lang,
+         |  ${langMarkers.map { case (l, ms) => s"${hitCount(spark = true, ms)} AS s_$l" }.mkString(",\n  ")}
+         |FROM w)
+         |SELECT doc_id, lang, ${langMarkers.map(m => "s_" + m._1).mkString(", ")},
+         |  $langPredCase AS lang_pred
+         |FROM s""".stripMargin,
+      s"""WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+         |s AS (SELECT doc_id, lang,
+         |  ${langMarkers.map { case (l, ms) => s"${hitCount(spark = false, ms)} AS s_$l" }.mkString(",\n  ")}
+         |FROM w)
+         |SELECT doc_id, lang, ${langMarkers.map(m => "s_" + m._1).mkString(", ")},
+         |  $langPredCase AS lang_pred
+         |FROM s""".stripMargin),
+
+    // T4: document fingerprinting — whole-content rolling hash plus
+    // shingle-set min/max sketch.
+    SqlQ.split("t4_fingerprint",
+      s"""$sparkShingles
+         |SELECT d.doc_id, polyhash(d.text) AS content_hash,
+         |  array_min(sh.hs) AS min_shingle_hash,
+         |  array_max(sh.hs) AS max_shingle_hash,
+         |  size(sh.hs) AS n_shingles
+         |FROM documents d JOIN sh ON sh.doc_id = d.doc_id""".stripMargin,
+      s"""$duckShingles
+         |SELECT d.doc_id, list_reduce([ascii(c)::BIGINT for c in string_split(d.text, '')],
+         |    (h,c) -> (h*131+c) % $P) AS content_hash,
+         |  list_aggregate(sh.hs, 'min') AS min_shingle_hash,
+         |  list_aggregate(sh.hs, 'max') AS max_shingle_hash,
+         |  len(sh.hs) AS n_shingles
+         |FROM documents d JOIN sh ON sh.doc_id = d.doc_id""".stripMargin)
+  )
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] =
+    sqls.map { q =>
+      q.name -> ((spark: SparkSession, sfDir: String) => {
+        Tables.register(spark, sfDir)
+        spark.sql(q.sparkSql)
+      })
+    }.toMap
+
+  override def oracles: Map[String, String] =
+    sqls.flatMap(q => q.oracleSql.map(q.name -> _)).toMap
+}
