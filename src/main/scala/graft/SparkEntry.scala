@@ -8,7 +8,9 @@ object SparkEntry {
   /** All engine modules contributing to the query surface. */
   private def modules: Seq[QueryModule] = Seq(
     relational.RelationalQueries,
-    textops.TextQueries
+    textops.TextQueries,
+    simsearch.SimQueries,
+    multimodal.MultimodalQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

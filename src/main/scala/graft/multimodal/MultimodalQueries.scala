@@ -1,0 +1,116 @@
+package graft.multimodal
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
+
+/** Multimodal-column plumbing: media as opaque `binary` columns with
+  * typed metadata, processed by partition-batched decode kernels.
+  *
+  * The real engine treats images/audio/video as `BinaryType` payload +
+  * metadata, and runs decode / feature-extraction as batched
+  * per-partition kernels (in PySpark these would be `mapInPandas`
+  * Pandas UDFs; the Scala-native equivalent is `mapPartitions` over an
+  * explicit row encoder with an internal batch size, which is what the
+  * kernels here do). The media decode itself is a DETERMINISTIC STUB —
+  * no image/audio codecs exist in this environment — but everything
+  * Spark-side is real and tested: binary column handling, batch
+  * iteration shape, output schema/encoder, and partition parallelism.
+  * The stub arithmetic is integer-only so the DuckDB oracle reproduces
+  * it exactly from the source text (ASCII ⇒ bytes == code points).
+  */
+object MultimodalQueries extends QueryModule {
+
+  private val BatchSize = 64
+  private val P = 2147483647L
+
+  /** The deterministic stand-in for a media decoder: rolling-hash
+    * checksum, fake dimensions derived from it, byte statistics. */
+  private def decodeStub(bytes: Array[Byte]): (Long, Int, Int, Double) = {
+    var h = 0L
+    var sum = 0L
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      h = (h * 131L + b) % P
+      sum += b
+      i += 1
+    }
+    val width = (16 + h % 64).toInt
+    val height = (16 + (h / 64) % 64).toInt
+    val mean = if (bytes.length == 0) 0.0 else sum.toDouble / bytes.length
+    (h, width, height, mean)
+  }
+
+  private val featSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("fmt", StringType),
+    StructField("n_bytes", LongType),
+    StructField("checksum", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("mean_byte", DoubleType)))
+
+  /** M1: binary ingest + batched feature extraction. */
+  private def mediaFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val media = docs.select(
+      col("doc_id"), col("source").as("fmt"),
+      col("text").cast(BinaryType).as("media"))
+    media.mapPartitions { it =>
+      // Batched kernel shape: accumulate BatchSize rows, decode the
+      // batch, emit. (A real decoder would hand the whole batch to a
+      // native library in one call.)
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.iterator.map { row =>
+          val bytes = row.getAs[Array[Byte]]("media")
+          val (h, w, ht, mean) = decodeStub(bytes)
+          Row(row.getLong(0), row.getString(1), bytes.length.toLong, h, w, ht, mean)
+        }
+      }
+    }(Encoders.row(featSchema))
+  }
+
+  private val frameSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("frame_idx", IntegerType),
+    StructField("frame_off", LongType),
+    StructField("ts_ms", DoubleType)))
+
+  /** M2: frame sampling from a fake video container — every 4th frame
+    * of `1 + n_bytes % 24` frames. The generator runs per partition;
+    * output fan-out stays bounded (≤ 6 rows per doc). */
+  private def frameSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val media = docs.select(col("doc_id"), col("text").cast(BinaryType).as("media"))
+    media.flatMap { row =>
+      val nBytes = row.getAs[Array[Byte]]("media").length
+      val nFrames = 1 + nBytes % 24
+      (0 until nFrames by 4).map { idx =>
+        Row(row.getLong(0), idx, idx.toLong * 4096L, idx * 40.0)
+      }
+    }(Encoders.row(frameSchema))
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m1_media_features" -> ((s, d) => mediaFeatures(s, d)),
+    "m2_frame_sample" -> ((s, d) => frameSample(s, d)))
+
+  override def oracles: Map[String, String] = Map(
+    "m1_media_features" ->
+      s"""WITH c AS (SELECT doc_id, source AS fmt, len(text)::BIGINT AS n_bytes,
+         |  list_reduce([ascii(ch)::BIGINT for ch in string_split(text, '')], (h,ch) -> (h*131+ch) % $P) AS checksum,
+         |  list_reduce([ascii(ch)::BIGINT for ch in string_split(text, '')], (a,b) -> a+b) AS bytesum
+         |  FROM documents)
+         |SELECT doc_id, fmt, n_bytes, checksum,
+         |  (16 + checksum % 64)::INT AS width,
+         |  (16 + (checksum // 64) % 64)::INT AS height,
+         |  bytesum::DOUBLE / n_bytes AS mean_byte
+         |FROM c""".stripMargin,
+    "m2_frame_sample" ->
+      """WITH f AS (SELECT doc_id, unnest(generate_series(0, len(text) % 24)) AS frame_idx FROM documents)
+        |SELECT doc_id, frame_idx::INT AS frame_idx, (frame_idx * 4096)::BIGINT AS frame_off,
+        |  frame_idx * 40.0 AS ts_ms
+        |FROM f WHERE frame_idx % 4 = 0""".stripMargin)
+}
