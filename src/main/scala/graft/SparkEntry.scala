@@ -10,7 +10,8 @@ object SparkEntry {
     relational.RelationalQueries,
     textops.TextQueries,
     simsearch.SimQueries,
-    multimodal.MultimodalQueries
+    multimodal.MultimodalQueries,
+    geo.GeoQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

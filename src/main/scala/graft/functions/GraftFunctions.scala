@@ -14,5 +14,6 @@ object GraftFunctions {
       "polyhash", exprs => PolyHash(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "vec_dot", exprs => VecDot(exprs(0), exprs(1)), "built-in")
+    graft.geo.GeoFunctions.install(spark)
   }
 }

@@ -1,0 +1,250 @@
+package graft.geo
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The PostGIS-equivalent function family (SURVEY §2.6) as Catalyst
+  * expressions over WKB `BinaryType` columns. Registered by
+  * [[GeoFunctions.install]] so they resolve inside the SQL dialect —
+  * which is what makes the scrutinizer's injected
+  * `st_intersects(geom, st_setsrid(st_geomfromgeojson('…'),4326))`
+  * filter (P4) executable.
+  *
+  * Geometry-valued expressions use `CodegenFallback`: their cost is
+  * dominated by WKB decode + the geometric algorithm, not expression
+  * dispatch, and they sit behind bbox prefilters in real plans. SRID
+  * handling: geometries are EPSG:4326 by convention; `st_setsrid` is
+  * the identity (a documented divergence — we do not carry SRID tags
+  * in WKB).
+  */
+object GeoExpressions {
+
+  private[geo] def geom(bytes: Array[Byte]): Geom = Geom.fromWkb(bytes)
+
+  /** Numeric tolerance: the SQL dialect hands us whatever literal type
+    * the parser chose (`2.0` is a DECIMAL in Spark, like PG numeric). */
+  private[geo] def asD(v: Any): Double = v match {
+    case d: Double => d
+    case d: org.apache.spark.sql.types.Decimal => d.toDouble
+    case f: Float => f.toDouble
+    case l: Long => l.toDouble
+    case i: Int => i.toDouble
+    case s: Short => s.toDouble
+    case b: Byte => b.toDouble
+    case other => throw new IllegalArgumentException(
+      s"expected a numeric argument, got ${other.getClass.getName}")
+  }
+
+  abstract class GeomUnary extends UnaryExpression with CodegenFallback {
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case BinaryType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects a WKB binary argument, got ${t.catalogString}")
+    }
+  }
+
+  case class StGeomFromGeoJson(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "st_geomfromgeojson"
+    override protected def nullSafeEval(v: Any): Any =
+      Geom.toWkb(Geom.fromGeoJson(v.asInstanceOf[UTF8String].toString))
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  case class StAsGeoJson(child: Expression) extends GeomUnary {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "st_asgeojson"
+    override protected def nullSafeEval(v: Any): Any =
+      UTF8String.fromString(Geom.toGeoJson(geom(v.asInstanceOf[Array[Byte]])))
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  case class StPoint(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "st_point"
+    override protected def nullSafeEval(x: Any, y: Any): Any =
+      Geom.toWkb(Point(asD(x), asD(y)))
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  case class StX(child: Expression) extends GeomUnary {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "st_x"
+    override protected def nullSafeEval(v: Any): Any =
+      geom(v.asInstanceOf[Array[Byte]]) match {
+        case Point(x, _) => x
+        case _ => null
+      }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  case class StY(child: Expression) extends GeomUnary {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "st_y"
+    override protected def nullSafeEval(v: Any): Any =
+      geom(v.asInstanceOf[Array[Byte]]) match {
+        case Point(_, y) => y
+        case _ => null
+      }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  case class StIntersects(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = BooleanType
+    override def prettyName: String = "st_intersects"
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      Geom.intersects(geom(a.asInstanceOf[Array[Byte]]), geom(b.asInstanceOf[Array[Byte]]))
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  case class StWithin(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = BooleanType
+    override def prettyName: String = "st_within"
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      Geom.within(geom(a.asInstanceOf[Array[Byte]]), geom(b.asInstanceOf[Array[Byte]]))
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** Geodesic area in hectares (the reference's
+    * `ST_Area(geom::geography)/10000` — `_fill_gfw_fields_sql.sh:13`). */
+  case class StAreaHa(child: Expression) extends GeomUnary {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "st_area_ha"
+    override protected def nullSafeEval(v: Any): Any =
+      Geom.areaHa(geom(v.asInstanceOf[Array[Byte]]))
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** bbox as struct(xmin, ymin, xmax, ymax) — the engine's gist-index
+    * replacement: persisted min/max columns give Parquet row-group
+    * pruning on spatial predicates. */
+  case class StEnvelope(child: Expression) extends GeomUnary {
+    override def dataType: DataType = StructType(Seq(
+      StructField("xmin", DoubleType), StructField("ymin", DoubleType),
+      StructField("xmax", DoubleType), StructField("ymax", DoubleType)))
+    override def prettyName: String = "st_envelope"
+    override protected def nullSafeEval(v: Any): Any = {
+      val (minx, miny, maxx, maxy) = geom(v.asInstanceOf[Array[Byte]]).bbox
+      InternalRow(minx, miny, maxx, maxy)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  case class StTransformWebMercator(child: Expression) extends GeomUnary {
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "st_transform_webmercator"
+    override protected def nullSafeEval(v: Any): Any =
+      Geom.toWkb(Geom.toWebMercator(geom(v.asInstanceOf[Array[Byte]])))
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  case class StSimplify(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "st_simplify"
+    override protected def nullSafeEval(g: Any, eps: Any): Any =
+      Geom.toWkb(Geom.simplify(geom(g.asInstanceOf[Array[Byte]]), asD(eps)))
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** st_setsrid(geom, srid) — identity; SRID is a catalog-level
+    * convention in this engine. Exists so reference-shaped SQL (and
+    * the P4 filter template) resolves. */
+  case class StSetSrid(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "st_setsrid"
+    override protected def nullSafeEval(g: Any, srid: Any): Any = g
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** Content-addressed geostore id: md5 of the canonical GeoJSON,
+    * formatted as a UUID (`crud/geostore.py:120` — PG byte parity is
+    * not reproducible; our canonical form is [[Geom.toGeoJson]]). */
+  case class StGeostoreId(child: Expression) extends GeomUnary {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "st_geostore_id"
+    override protected def nullSafeEval(v: Any): Any = {
+      val json = Geom.toGeoJson(geom(v.asInstanceOf[Array[Byte]]))
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(json.getBytes("UTF-8"))
+      val hex = md.map(b => f"$b%02x").mkString
+      UTF8String.fromString(
+        s"${hex.substring(0, 8)}-${hex.substring(8, 12)}-${hex.substring(12, 16)}-" +
+          s"${hex.substring(16, 20)}-${hex.substring(20)}")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  case class StClipEnvelope(children: Seq[Expression])
+      extends Expression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "st_clip_envelope"
+    override def nullable: Boolean = children.exists(_.nullable)
+    override def eval(input: InternalRow): Any = {
+      val vs = children.map(_.eval(input))
+      if (vs.exists(_ == null)) return null
+      val g = geom(vs.head.asInstanceOf[Array[Byte]])
+      val Seq(minx, miny, maxx, maxy) = vs.tail.map(asD)
+      Geom.toWkb(Geom.clipToEnvelope(g, minx, miny, maxx, maxy))
+    }
+    override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+      copy(children = cs)
+  }
+
+  case class StMakeEnvelope(children: Seq[Expression])
+      extends Expression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "st_makeenvelope"
+    override def nullable: Boolean = children.exists(_.nullable)
+    override def eval(input: InternalRow): Any = {
+      val vs = children.map(_.eval(input))
+      if (vs.exists(_ == null)) return null
+      val Seq(minx, miny, maxx, maxy) = vs.take(4).map(asD)
+      Geom.toWkb(Polygon(Array(Array(
+        (minx, miny), (maxx, miny), (maxx, maxy), (minx, maxy), (minx, miny)))))
+    }
+    override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+      copy(children = cs)
+  }
+}
+
+/** Session registration for the geometry function family. */
+object GeoFunctions {
+  import GeoExpressions._
+
+  def install(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    def add(name: String, b: Seq[Expression] => Expression): Unit =
+      reg.createOrReplaceTempFunction(name, b, "built-in")
+    add("st_geomfromgeojson", es => StGeomFromGeoJson(es.head))
+    add("st_asgeojson", es => StAsGeoJson(es.head))
+    add("st_point", es => StPoint(es(0), es(1)))
+    add("st_makepoint", es => StPoint(es(0), es(1)))
+    add("st_x", es => StX(es.head))
+    add("st_y", es => StY(es.head))
+    add("st_intersects", es => StIntersects(es(0), es(1)))
+    add("st_within", es => StWithin(es(0), es(1)))
+    add("st_area_ha", es => StAreaHa(es.head))
+    add("st_envelope", es => StEnvelope(es.head))
+    add("st_transform_webmercator", es => StTransformWebMercator(es.head))
+    add("st_simplify", es => StSimplify(es(0), es(1)))
+    add("st_setsrid", es => StSetSrid(es(0), es(1)))
+    add("st_geostore_id", es => StGeostoreId(es.head))
+    add("st_clip_envelope", es => StClipEnvelope(es))
+    add("st_makeenvelope", es => StMakeEnvelope(es))
+  }
+}

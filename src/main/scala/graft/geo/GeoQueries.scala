@@ -1,0 +1,160 @@
+package graft.geo
+
+import graft.{QueryModule, SqlQ, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The geometry operator surface (SURVEY §2.1 S4–S6, §2.2 P4) driven
+  * end-to-end through the engine's Catalyst expressions, with DuckDB
+  * oracles that reproduce every output arithmetically (no spatial
+  * extension needed): point fields are pure column math, the mercator
+  * and spherical-area formulas are mirrored term-by-term in the same
+  * fold order (JVM `Math` and DuckDB libm agree bit-for-bit on this
+  * platform — validated empirically), point-in-polygon against a
+  * convex AOI is mirrored as half-plane sign tests, and envelope
+  * clipping of axis-aligned boxes is greatest/least clamping.
+  *
+  * Synthetic geometry: the lake has no geometry columns, so points
+  * derive deterministically from `customer` keys on a 0.25°-offset
+  * lattice (never integral ⇒ identical double→string formatting both
+  * engines; never on an AOI edge ⇒ no boundary-rule sensitivity).
+  */
+object GeoQueries extends QueryModule {
+
+  private val sparkPts =
+    """WITH pts AS (
+      |  SELECT c_custkey, c_nationkey,
+      |    CAST(c_custkey % 720 AS DOUBLE) / 2.0 - 179.75 AS lon,
+      |    CAST(c_custkey % 340 AS DOUBLE) / 2.0 - 84.75 AS lat
+      |  FROM customer WHERE c_custkey < 400)""".stripMargin
+
+  private val duckPts = sparkPts // same arithmetic text parses in DuckDB
+
+  /** Convex AOI quadrilateral (CCW), vertices off the point lattice. */
+  private val aoi = Seq(
+    (-60.1, -30.1), (60.2, -40.2), (70.1, 40.1), (-50.2, 35.2))
+  private val aoiGeoJson = {
+    val ring = (aoi :+ aoi.head).map { case (x, y) => s"[$x,$y]" }.mkString(",")
+    s"""{"type":"Polygon","coordinates":[[$ring]]}"""
+  }
+  /** Half-plane tests: inside a CCW convex polygon ⇔ every edge cross
+    * product is ≥ 0. Pure arithmetic — runs identically in DuckDB. */
+  private val halfPlanes: String = {
+    val edges = aoi.zip(aoi.tail :+ aoi.head)
+    edges.map { case ((x1, y1), (x2, y2)) =>
+      s"(($x2 - $x1) * (lat - $y1) - ($y2 - $y1) * (lon - $x1)) >= 0"
+    }.mkString("\n    AND ")
+  }
+
+  private val sqls: Seq[SqlQ] = Seq(
+
+    // S5 + S4: point assembly, accessor roundtrip, canonical GeoJSON,
+    // content-addressed geostore id (md5-as-uuid). The oracle rebuilds
+    // the canonical JSON textually and hashes it with DuckDB's md5.
+    SqlQ.split("g1_point_fields",
+      s"""$sparkPts
+         |SELECT c_custkey,
+         |  st_x(st_point(lon, lat)) AS lon_rt,
+         |  st_y(st_point(lon, lat)) AS lat_rt,
+         |  st_asgeojson(st_point(lon, lat)) AS geojson,
+         |  st_geostore_id(st_setsrid(st_point(lon, lat), 4326)) AS gfw_geostore_id
+         |FROM pts""".stripMargin,
+      s"""$duckPts,
+         |j AS (SELECT c_custkey, lon AS lon_rt, lat AS lat_rt,
+         |  '{"type":"Point","coordinates":[' || lon::VARCHAR || ',' || lat::VARCHAR || ']}' AS geojson
+         |  FROM pts)
+         |SELECT c_custkey, lon_rt, lat_rt, geojson,
+         |  substr(md5(geojson), 1, 8) || '-' || substr(md5(geojson), 9, 4) || '-' ||
+         |  substr(md5(geojson), 13, 4) || '-' || substr(md5(geojson), 17, 4) || '-' ||
+         |  substr(md5(geojson), 21, 12) AS gfw_geostore_id
+         |FROM j""".stripMargin),
+
+    // S6: EPSG:4326 → EPSG:3857. The engine transforms WKB through
+    // st_transform_webmercator; the oracle mirrors the spherical-
+    // mercator formulas directly.
+    SqlQ.split("g2_webmercator",
+      s"""$sparkPts
+         |SELECT c_custkey,
+         |  st_x(st_transform_webmercator(st_point(lon, lat))) AS x_wm,
+         |  st_y(st_transform_webmercator(st_point(lon, lat))) AS y_wm
+         |FROM pts""".stripMargin,
+      s"""$duckPts
+         |SELECT c_custkey,
+         |  6378137.0 * radians(lon) AS x_wm,
+         |  6378137.0 * ln(tan(pi() / 4.0 + radians(lat) / 2.0)) AS y_wm
+         |FROM pts""".stripMargin),
+
+    // P4: the injected-AOI spatial filter — point-in-polygon via the
+    // engine's even-odd ray casting, half-plane arithmetic in the
+    // oracle. Aggregated per nation to exercise filter + groupBy.
+    SqlQ.split("g3_aoi_filter",
+      s"""$sparkPts
+         |SELECT c_nationkey, count(*) AS n_inside, min(c_custkey) AS first_key
+         |FROM pts
+         |WHERE st_intersects(st_point(lon, lat), st_geomfromgeojson('$aoiGeoJson'))
+         |GROUP BY c_nationkey""".stripMargin,
+      s"""$duckPts
+         |SELECT c_nationkey, count(*) AS n_inside, min(c_custkey) AS first_key
+         |FROM pts
+         |WHERE $halfPlanes
+         |GROUP BY c_nationkey""".stripMargin),
+
+    // S4: geodesic area (ha) of a 1°×1° box around each point — the
+    // gfw_area__ha derivation. The oracle repeats the spherical line
+    // integral with the identical term order.
+    SqlQ.split("g4_geodesic_area",
+      s"""$sparkPts
+         |SELECT c_custkey,
+         |  st_area_ha(st_makeenvelope(lon - 0.5, lat - 0.5, lon + 0.5, lat + 0.5)) AS area_ha
+         |FROM pts WHERE lat < 84.0""".stripMargin,
+      s"""$duckPts
+         |SELECT c_custkey,
+         |  abs(
+         |    radians((lon + 0.5) - (lon - 0.5)) * (2.0 + sin(radians(lat - 0.5)) + sin(radians(lat - 0.5)))
+         |    + radians((lon + 0.5) - (lon + 0.5)) * (2.0 + sin(radians(lat - 0.5)) + sin(radians(lat + 0.5)))
+         |    + radians((lon - 0.5) - (lon + 0.5)) * (2.0 + sin(radians(lat + 0.5)) + sin(radians(lat + 0.5)))
+         |    + radians((lon - 0.5) - (lon - 0.5)) * (2.0 + sin(radians(lat + 0.5)) + sin(radians(lat - 0.5)))
+         |  ) * 6371008.8 * 6371008.8 / 2.0 / 10000.0 AS area_ha
+         |FROM pts WHERE lat < 84.0""".stripMargin),
+
+    // S6 clip step: Sutherland–Hodgman against an envelope; for the
+    // axis-aligned boxes here the result bbox is exact clamping.
+    SqlQ.split("g5_envelope_clip",
+      s"""$sparkPts
+         |SELECT c_custkey,
+         |  st_envelope(st_clip_envelope(
+         |    st_makeenvelope(lon - 0.5, lat - 0.5, lon + 0.5, lat + 0.5),
+         |    -90.0, -45.0, 90.0, 45.0)).xmin AS cx_min,
+         |  st_envelope(st_clip_envelope(
+         |    st_makeenvelope(lon - 0.5, lat - 0.5, lon + 0.5, lat + 0.5),
+         |    -90.0, -45.0, 90.0, 45.0)).xmax AS cx_max,
+         |  st_envelope(st_clip_envelope(
+         |    st_makeenvelope(lon - 0.5, lat - 0.5, lon + 0.5, lat + 0.5),
+         |    -90.0, -45.0, 90.0, 45.0)).ymin AS cy_min,
+         |  st_envelope(st_clip_envelope(
+         |    st_makeenvelope(lon - 0.5, lat - 0.5, lon + 0.5, lat + 0.5),
+         |    -90.0, -45.0, 90.0, 45.0)).ymax AS cy_max
+         |FROM pts
+         |WHERE lon - 0.5 < 90.0 AND lon + 0.5 > -90.0
+         |  AND lat - 0.5 < 45.0 AND lat + 0.5 > -45.0""".stripMargin,
+      s"""$duckPts
+         |SELECT c_custkey,
+         |  greatest(lon - 0.5, -90.0) AS cx_min,
+         |  least(lon + 0.5, 90.0) AS cx_max,
+         |  greatest(lat - 0.5, -45.0) AS cy_min,
+         |  least(lat + 0.5, 45.0) AS cy_max
+         |FROM pts
+         |WHERE lon - 0.5 < 90.0 AND lon + 0.5 > -90.0
+         |  AND lat - 0.5 < 45.0 AND lat + 0.5 > -45.0""".stripMargin)
+  )
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] =
+    sqls.map { q =>
+      q.name -> ((spark: SparkSession, sfDir: String) => {
+        Tables.register(spark, sfDir)
+        spark.sql(q.sparkSql)
+      })
+    }.toMap
+
+  override def oracles: Map[String, String] =
+    sqls.flatMap(q => q.oracleSql.map(q.name -> _)).toMap
+}

@@ -1,0 +1,565 @@
+package graft.geo
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Minimal 2-D geometry model backing the engine's PostGIS-equivalent
+  * function surface (SURVEY §2.6). Geometries travel through Spark
+  * plans as WKB `BinaryType` columns; this object is the codec +
+  * computational core used by the Catalyst expressions in
+  * [[GeoExpressions]].
+  *
+  * Algorithms are the standard public ones: even-odd ray casting for
+  * point-in-polygon, segment intersection tests for boundary crossing,
+  * Sutherland–Hodgman for envelope clipping, Douglas–Peucker for
+  * simplification, the spherical-excess line integral for geodesic
+  * area (sphere radius 6371008.8 m — the reference's PostGIS spheroid
+  * area differs by <0.3%; our formula is the documented engine
+  * contract), and the spherical-mercator formulas for EPSG:3857.
+  */
+sealed trait Geom {
+  def bbox: (Double, Double, Double, Double) = {
+    var minx = Double.MaxValue; var miny = Double.MaxValue
+    var maxx = Double.MinValue; var maxy = Double.MinValue
+    foreachCoord { (x, y) =>
+      if (x < minx) minx = x; if (y < miny) miny = y
+      if (x > maxx) maxx = x; if (y > maxy) maxy = y
+    }
+    (minx, miny, maxx, maxy)
+  }
+  def foreachCoord(f: (Double, Double) => Unit): Unit
+  def mapCoords(f: (Double, Double) => (Double, Double)): Geom
+}
+
+final case class Point(x: Double, y: Double) extends Geom {
+  def foreachCoord(f: (Double, Double) => Unit): Unit = f(x, y)
+  def mapCoords(f: (Double, Double) => (Double, Double)): Geom = {
+    val (nx, ny) = f(x, y); Point(nx, ny)
+  }
+}
+final case class MultiPoint(pts: Array[(Double, Double)]) extends Geom {
+  def foreachCoord(f: (Double, Double) => Unit): Unit = pts.foreach(p => f(p._1, p._2))
+  def mapCoords(f: (Double, Double) => (Double, Double)): Geom = MultiPoint(pts.map(p => f(p._1, p._2)))
+}
+final case class LineString(coords: Array[(Double, Double)]) extends Geom {
+  def foreachCoord(f: (Double, Double) => Unit): Unit = coords.foreach(p => f(p._1, p._2))
+  def mapCoords(f: (Double, Double) => (Double, Double)): Geom = LineString(coords.map(p => f(p._1, p._2)))
+}
+final case class MultiLineString(lines: Array[Array[(Double, Double)]]) extends Geom {
+  def foreachCoord(f: (Double, Double) => Unit): Unit = lines.foreach(_.foreach(p => f(p._1, p._2)))
+  def mapCoords(f: (Double, Double) => (Double, Double)): Geom = MultiLineString(lines.map(_.map(p => f(p._1, p._2))))
+}
+/** rings(0) = exterior, rest = holes; rings are closed (first == last). */
+final case class Polygon(rings: Array[Array[(Double, Double)]]) extends Geom {
+  def foreachCoord(f: (Double, Double) => Unit): Unit = rings.foreach(_.foreach(p => f(p._1, p._2)))
+  def mapCoords(f: (Double, Double) => (Double, Double)): Geom = Polygon(rings.map(_.map(p => f(p._1, p._2))))
+}
+final case class MultiPolygon(polys: Array[Array[Array[(Double, Double)]]]) extends Geom {
+  def foreachCoord(f: (Double, Double) => Unit): Unit = polys.foreach(_.foreach(_.foreach(p => f(p._1, p._2))))
+  def mapCoords(f: (Double, Double) => (Double, Double)): Geom = MultiPolygon(polys.map(_.map(_.map(p => f(p._1, p._2)))))
+}
+
+object Geom {
+
+  // ------------------------------------------------------------------ WKB
+
+  private val PointT = 1
+  private val LineT = 2
+  private val PolyT = 3
+  private val MPointT = 4
+  private val MLineT = 5
+  private val MPolyT = 6
+
+  def toWkb(g: Geom): Array[Byte] = {
+    val buf = ByteBuffer.allocate(wkbSize(g)).order(ByteOrder.LITTLE_ENDIAN)
+    writeWkb(buf, g)
+    buf.array()
+  }
+
+  private def wkbSize(g: Geom): Int = g match {
+    case _: Point => 21
+    case MultiPoint(p) => 9 + 21 * p.length
+    case LineString(c) => 9 + 16 * c.length
+    case MultiLineString(ls) => 9 + ls.map(l => 9 + 16 * l.length).sum
+    case Polygon(r) => 9 + r.map(ring => 4 + 16 * ring.length).sum
+    case MultiPolygon(ps) => 9 + ps.map(r => 9 + r.map(ring => 4 + 16 * ring.length).sum).sum
+  }
+
+  private def writeWkb(buf: ByteBuffer, g: Geom): Unit = {
+    buf.put(1.toByte) // little-endian
+    g match {
+      case Point(x, y) =>
+        buf.putInt(PointT).putDouble(x).putDouble(y)
+      case MultiPoint(pts) =>
+        buf.putInt(MPointT).putInt(pts.length)
+        pts.foreach { case (x, y) => buf.put(1.toByte).putInt(PointT).putDouble(x).putDouble(y) }
+      case LineString(c) =>
+        buf.putInt(LineT).putInt(c.length)
+        c.foreach { case (x, y) => buf.putDouble(x).putDouble(y) }
+      case MultiLineString(ls) =>
+        buf.putInt(MLineT).putInt(ls.length)
+        ls.foreach { l =>
+          buf.put(1.toByte).putInt(LineT).putInt(l.length)
+          l.foreach { case (x, y) => buf.putDouble(x).putDouble(y) }
+        }
+      case Polygon(rings) =>
+        buf.putInt(PolyT).putInt(rings.length)
+        rings.foreach { ring =>
+          buf.putInt(ring.length)
+          ring.foreach { case (x, y) => buf.putDouble(x).putDouble(y) }
+        }
+      case MultiPolygon(ps) =>
+        buf.putInt(MPolyT).putInt(ps.length)
+        ps.foreach { rings =>
+          buf.put(1.toByte).putInt(PolyT).putInt(rings.length)
+          rings.foreach { ring =>
+            buf.putInt(ring.length)
+            ring.foreach { case (x, y) => buf.putDouble(x).putDouble(y) }
+          }
+        }
+    }
+  }
+
+  def fromWkb(bytes: Array[Byte]): Geom = {
+    val buf = ByteBuffer.wrap(bytes)
+    readWkb(buf)
+  }
+
+  private def readWkb(buf: ByteBuffer): Geom = {
+    val bo = buf.get()
+    buf.order(if (bo == 1) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
+    var tpe = buf.getInt()
+    // tolerate EWKB SRID flag (0x20000000)
+    if ((tpe & 0x20000000) != 0) { buf.getInt(); tpe = tpe & 0xff }
+    tpe match {
+      case PointT => Point(buf.getDouble(), buf.getDouble())
+      case LineT => LineString(readRing(buf))
+      case PolyT => Polygon(Array.fill(buf.getInt())(readRing(buf)))
+      case MPointT =>
+        MultiPoint(Array.fill(buf.getInt()) {
+          readWkb(buf).asInstanceOf[Point] match { case Point(x, y) => (x, y) }
+        })
+      case MLineT =>
+        MultiLineString(Array.fill(buf.getInt()) {
+          readWkb(buf).asInstanceOf[LineString].coords
+        })
+      case MPolyT =>
+        MultiPolygon(Array.fill(buf.getInt()) {
+          readWkb(buf).asInstanceOf[Polygon].rings
+        })
+      case t => throw new IllegalArgumentException(s"unsupported WKB type $t")
+    }
+  }
+
+  private def readRing(buf: ByteBuffer): Array[(Double, Double)] =
+    Array.fill(buf.getInt())((buf.getDouble(), buf.getDouble()))
+
+  // -------------------------------------------------------------- GeoJSON
+
+  /** Parse the GeoJSON geometry subset (no Feature/FeatureCollection;
+    * the API layer unwraps those). Hand-rolled recursive descent — the
+    * build has no JSON dependency by design. */
+  def fromGeoJson(s: String): Geom = new GeoJsonParser(s).parseGeometry()
+
+  /** Canonical serialization: shortest-round-trip double formatting
+    * (Java `Double.toString`, with integral values printed without
+    * ".0"). This is the engine's content-address contract for geostore
+    * ids — a DOCUMENTED DIVERGENCE from the reference, whose ids hash
+    * PostgreSQL's ST_AsGeoJSON output (byte parity with PG is not
+    * reproducible outside PG). */
+  def toGeoJson(g: Geom): String = {
+    def num(d: Double): String =
+      if (d == Math.floor(d) && !d.isInfinite && Math.abs(d) < 1e15) d.toLong.toString
+      else d.toString
+    def pt(p: (Double, Double)): String = s"[${num(p._1)},${num(p._2)}]"
+    def ring(r: Array[(Double, Double)]): String = r.map(pt).mkString("[", ",", "]")
+    def rings(rs: Array[Array[(Double, Double)]]): String = rs.map(ring).mkString("[", ",", "]")
+    g match {
+      case Point(x, y) => s"""{"type":"Point","coordinates":${pt((x, y))}}"""
+      case MultiPoint(p) => s"""{"type":"MultiPoint","coordinates":${ring(p)}}"""
+      case LineString(c) => s"""{"type":"LineString","coordinates":${ring(c)}}"""
+      case MultiLineString(ls) => s"""{"type":"MultiLineString","coordinates":${rings(ls)}}"""
+      case Polygon(r) => s"""{"type":"Polygon","coordinates":${rings(r)}}"""
+      case MultiPolygon(ps) =>
+        s"""{"type":"MultiPolygon","coordinates":${ps.map(rings).mkString("[", ",", "]")}}"""
+    }
+  }
+
+  // ------------------------------------------------------------ predicates
+
+  /** Even-odd ray casting; boundary points count as inside (matches
+    * ST_Intersects, which is true for boundary contact). */
+  def pointInPolygon(x: Double, y: Double, rings: Array[Array[(Double, Double)]]): Boolean = {
+    var inside = false
+    var r = 0
+    while (r < rings.length) {
+      val ring = rings(r)
+      var i = 0
+      val n = ring.length
+      while (i < n - 1) {
+        val (x1, y1) = ring(i)
+        val (x2, y2) = ring(i + 1)
+        if (onSegment(x, y, x1, y1, x2, y2)) return true
+        if ((y1 > y) != (y2 > y)) {
+          val xin = (x2 - x1) * (y - y1) / (y2 - y1) + x1
+          if (x < xin) inside = !inside
+        }
+        i += 1
+      }
+      r += 1
+    }
+    inside
+  }
+
+  private def onSegment(px: Double, py: Double, x1: Double, y1: Double,
+                        x2: Double, y2: Double): Boolean = {
+    val cross = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
+    if (cross != 0.0) return false
+    px >= math.min(x1, x2) && px <= math.max(x1, x2) &&
+      py >= math.min(y1, y2) && py <= math.max(y1, y2)
+  }
+
+  private def segsIntersect(ax: Double, ay: Double, bx: Double, by: Double,
+                            cx: Double, cy: Double, dx: Double, dy: Double): Boolean = {
+    def orient(px: Double, py: Double, qx: Double, qy: Double, rx: Double, ry: Double): Int = {
+      val v = (qx - px) * (ry - py) - (qy - py) * (rx - px)
+      if (v > 0) 1 else if (v < 0) -1 else 0
+    }
+    val o1 = orient(ax, ay, bx, by, cx, cy)
+    val o2 = orient(ax, ay, bx, by, dx, dy)
+    val o3 = orient(cx, cy, dx, dy, ax, ay)
+    val o4 = orient(cx, cy, dx, dy, bx, by)
+    if (o1 != o2 && o3 != o4) return true
+    (o1 == 0 && onSegment(cx, cy, ax, ay, bx, by)) ||
+      (o2 == 0 && onSegment(dx, dy, ax, ay, bx, by)) ||
+      (o3 == 0 && onSegment(ax, ay, cx, cy, dx, dy)) ||
+      (o4 == 0 && onSegment(bx, by, cx, cy, dx, dy))
+  }
+
+  private def boundaries(g: Geom): Array[Array[(Double, Double)]] = g match {
+    case Point(x, y) => Array(Array((x, y)))
+    case MultiPoint(p) => p.map(pp => Array(pp))
+    case LineString(c) => Array(c)
+    case MultiLineString(ls) => ls
+    case Polygon(r) => r
+    case MultiPolygon(ps) => ps.flatten
+  }
+
+  private def polygons(g: Geom): Array[Array[Array[(Double, Double)]]] = g match {
+    case Polygon(r) => Array(r)
+    case MultiPolygon(ps) => ps
+    case _ => Array.empty
+  }
+
+  /** ST_Intersects semantics: any shared point (interior or boundary). */
+  def intersects(a: Geom, b: Geom): Boolean = {
+    val (aminx, aminy, amaxx, amaxy) = a.bbox
+    val (bminx, bminy, bmaxx, bmaxy) = b.bbox
+    if (aminx > bmaxx || bminx > amaxx || aminy > bmaxy || bminy > amaxy) return false
+
+    // any vertex of one inside a polygon of the other
+    val pa = polygons(a)
+    val pb = polygons(b)
+    if (pb.nonEmpty) {
+      var hit = false
+      a.foreachCoord { (x, y) => if (!hit && pb.exists(r => pointInPolygon(x, y, r))) hit = true }
+      if (hit) return true
+    }
+    if (pa.nonEmpty) {
+      var hit = false
+      b.foreachCoord { (x, y) => if (!hit && pa.exists(r => pointInPolygon(x, y, r))) hit = true }
+      if (hit) return true
+    }
+    // boundary segment crossing
+    val ba = boundaries(a)
+    val bb = boundaries(b)
+    var i = 0
+    while (i < ba.length) {
+      val la = ba(i)
+      var j = 0
+      while (j < bb.length) {
+        val lb = bb(j)
+        var s = 0
+        while (s < la.length - 1) {
+          var t = 0
+          while (t < lb.length - 1) {
+            if (segsIntersect(la(s)._1, la(s)._2, la(s + 1)._1, la(s + 1)._2,
+              lb(t)._1, lb(t)._2, lb(t + 1)._1, lb(t + 1)._2)) return true
+            t += 1
+          }
+          s += 1
+        }
+        j += 1
+      }
+      i += 1
+    }
+    // degenerate point-vs-point / point-vs-line
+    (a, b) match {
+      case (Point(x, y), _) => pointOnBoundary(x, y, bb)
+      case (_, Point(x, y)) => pointOnBoundary(x, y, ba)
+      case _ => false
+    }
+  }
+
+  private def pointOnBoundary(x: Double, y: Double,
+                              lines: Array[Array[(Double, Double)]]): Boolean = {
+    var i = 0
+    while (i < lines.length) {
+      val l = lines(i)
+      if (l.length == 1) { if (l(0)._1 == x && l(0)._2 == y) return true }
+      else {
+        var s = 0
+        while (s < l.length - 1) {
+          if (onSegment(x, y, l(s)._1, l(s)._2, l(s + 1)._1, l(s + 1)._2)) return true
+          s += 1
+        }
+      }
+      i += 1
+    }
+    false
+  }
+
+  /** ST_Within for the point-in-polygon case (the surface the
+    * reference exercises: feature lookups inside an AOI). */
+  def within(a: Geom, b: Geom): Boolean = a match {
+    case Point(x, y) => polygons(b).exists(r => pointInPolygon(x, y, r))
+    case _ =>
+      val pb = polygons(b)
+      if (pb.isEmpty) return false
+      var all = true
+      a.foreachCoord { (x, y) => if (all && !pb.exists(r => pointInPolygon(x, y, r))) all = false }
+      all
+  }
+
+  // ------------------------------------------------------------- measures
+
+  val EarthRadius = 6371008.8 // mean radius (m)
+
+  /** Geodesic area in hectares on a sphere via the spherical line
+    * integral (L'Huilier-style excess): for each ring,
+    * `A = R²/2 · |Σ (λ₂-λ₁)(2 + sin φ₁ + sin φ₂)|` with angles in
+    * radians. Holes subtract; multipolygon parts add. */
+  def areaHa(g: Geom): Double = {
+    def ringArea(ring: Array[(Double, Double)]): Double = {
+      var sum = 0.0
+      var i = 0
+      while (i < ring.length - 1) {
+        val (lon1, lat1) = ring(i)
+        val (lon2, lat2) = ring(i + 1)
+        sum += Math.toRadians(lon2 - lon1) *
+          (2.0 + Math.sin(Math.toRadians(lat1)) + Math.sin(Math.toRadians(lat2)))
+        i += 1
+      }
+      Math.abs(sum) * EarthRadius * EarthRadius / 2.0
+    }
+    val m2 = polygons(g).map { rings =>
+      if (rings.isEmpty) 0.0
+      else ringArea(rings.head) - rings.tail.map(ringArea).sum
+    }.sum
+    m2 / 10000.0
+  }
+
+  /** EPSG:4326 → EPSG:3857 (spherical mercator, the reference's
+    * `geom_wm` twin — `clip_and_reproject_geom.sh`). */
+  val WebMercatorR = 6378137.0
+  def toWebMercatorX(lon: Double): Double = WebMercatorR * Math.toRadians(lon)
+  def toWebMercatorY(lat: Double): Double =
+    WebMercatorR * Math.log(Math.tan(Math.PI / 4.0 + Math.toRadians(lat) / 2.0))
+  def toWebMercator(g: Geom): Geom =
+    g.mapCoords((x, y) => (toWebMercatorX(x), toWebMercatorY(clampLat(y))))
+  private def clampLat(lat: Double): Double = math.max(-85.05112878, math.min(85.05112878, lat))
+
+  // ----------------------------------------------------------- operations
+
+  /** Sutherland–Hodgman clip of a polygon by an axis-aligned envelope
+    * (the reference clips to the ±85° mercator box before projecting). */
+  def clipToEnvelope(g: Geom, minx: Double, miny: Double, maxx: Double, maxy: Double): Geom = {
+    def clipRing(ring: Array[(Double, Double)]): Array[(Double, Double)] = {
+      var pts = ring.toIndexedSeq
+      // each clip edge: keep inside, emit intersections
+      def clip(inside: ((Double, Double)) => Boolean,
+               cross: ((Double, Double), (Double, Double)) => (Double, Double)): Unit = {
+        if (pts.isEmpty) return
+        val out = IndexedSeq.newBuilder[(Double, Double)]
+        var i = 0
+        val n = pts.length
+        while (i < n) {
+          val cur = pts(i)
+          val prev = pts((i + n - 1) % n)
+          val curIn = inside(cur)
+          val prevIn = inside(prev)
+          if (curIn) {
+            if (!prevIn) out += cross(prev, cur)
+            out += cur
+          } else if (prevIn) out += cross(prev, cur)
+          i += 1
+        }
+        pts = out.result()
+      }
+      def xAt(p: (Double, Double), q: (Double, Double), x: Double): (Double, Double) =
+        (x, p._2 + (q._2 - p._2) * (x - p._1) / (q._1 - p._1))
+      def yAt(p: (Double, Double), q: (Double, Double), y: Double): (Double, Double) =
+        (p._1 + (q._1 - p._1) * (y - p._2) / (q._2 - p._2), y)
+      // drop the closing vertex, clip, re-close
+      if (pts.nonEmpty && pts.head == pts.last) pts = pts.dropRight(1)
+      clip(p => p._1 >= minx, (p, q) => xAt(p, q, minx))
+      clip(p => p._1 <= maxx, (p, q) => xAt(p, q, maxx))
+      clip(p => p._2 >= miny, (p, q) => yAt(p, q, miny))
+      clip(p => p._2 <= maxy, (p, q) => yAt(p, q, maxy))
+      if (pts.length < 3) Array.empty
+      else (pts :+ pts.head).toArray
+    }
+    g match {
+      case Polygon(rings) =>
+        val cl = rings.map(clipRing).filter(_.nonEmpty)
+        Polygon(if (cl.isEmpty) Array(Array.empty[(Double, Double)]) else cl)
+      case MultiPolygon(ps) =>
+        MultiPolygon(ps.map(_.map(clipRing).filter(_.nonEmpty)).filter(_.nonEmpty))
+      case other => other // points/lines: caller filters by bbox
+    }
+  }
+
+  /** Douglas–Peucker with tolerance `eps` (ST_Simplify semantics —
+    * endpoint-preserving, not topology-preserving). */
+  def simplify(g: Geom, eps: Double): Geom = {
+    def dp(coords: Array[(Double, Double)]): Array[(Double, Double)] = {
+      if (coords.length <= 2) return coords
+      def perpDist(p: (Double, Double), a: (Double, Double), b: (Double, Double)): Double = {
+        val dx = b._1 - a._1
+        val dy = b._2 - a._2
+        val len = math.sqrt(dx * dx + dy * dy)
+        if (len == 0) math.sqrt((p._1 - a._1) * (p._1 - a._1) + (p._2 - a._2) * (p._2 - a._2))
+        else math.abs(dy * p._1 - dx * p._2 + b._1 * a._2 - b._2 * a._1) / len
+      }
+      var maxD = -1.0
+      var maxI = 0
+      var i = 1
+      while (i < coords.length - 1) {
+        val d = perpDist(coords(i), coords.head, coords.last)
+        if (d > maxD) { maxD = d; maxI = i }
+        i += 1
+      }
+      if (maxD <= eps) Array(coords.head, coords.last)
+      else dp(coords.take(maxI + 1)) ++ dp(coords.drop(maxI)).tail
+    }
+    g match {
+      case LineString(c) => LineString(dp(c))
+      case MultiLineString(ls) => MultiLineString(ls.map(dp))
+      case Polygon(r) => Polygon(r.map(dp).filter(_.length >= 4))
+      case MultiPolygon(ps) => MultiPolygon(ps.map(_.map(dp).filter(_.length >= 4)))
+      case other => other
+    }
+  }
+}
+
+/** Tiny recursive-descent parser for the GeoJSON geometry subset. */
+private final class GeoJsonParser(s: String) {
+  private var i = 0
+
+  def parseGeometry(): Geom = {
+    val obj = parseObject()
+    geomFrom(obj)
+  }
+
+  private def geomFrom(obj: Map[String, Any]): Geom = {
+    val tpe = obj.getOrElse("type", "").asInstanceOf[String]
+    def coords: Any = obj("coordinates")
+    def pair(a: Any): (Double, Double) = {
+      val l = a.asInstanceOf[List[Any]]
+      (num(l(0)), num(l(1)))
+    }
+    def num(a: Any): Double = a.asInstanceOf[Double]
+    def ring(a: Any): Array[(Double, Double)] =
+      a.asInstanceOf[List[Any]].map(pair).toArray
+    def rings(a: Any): Array[Array[(Double, Double)]] =
+      a.asInstanceOf[List[Any]].map(ring).toArray
+    tpe match {
+      case "Point" => val (x, y) = pair(coords); Point(x, y)
+      case "MultiPoint" => MultiPoint(ring(coords))
+      case "LineString" => LineString(ring(coords))
+      case "MultiLineString" => MultiLineString(rings(coords))
+      case "Polygon" => Polygon(rings(coords))
+      case "MultiPolygon" =>
+        MultiPolygon(coords.asInstanceOf[List[Any]].map(rings).toArray)
+      case t => throw new IllegalArgumentException(s"unsupported GeoJSON type '$t'")
+    }
+  }
+
+  private def ws(): Unit = while (i < s.length && s.charAt(i).isWhitespace) i += 1
+  private def expect(c: Char): Unit = {
+    ws()
+    if (i >= s.length || s.charAt(i) != c)
+      throw new IllegalArgumentException(s"GeoJSON parse error at $i: expected '$c'")
+    i += 1
+  }
+
+  private def parseValue(): Any = {
+    ws()
+    s.charAt(i) match {
+      case '{' => parseObject()
+      case '[' => parseArray()
+      case '"' => parseString()
+      case 't' => i += 4; true
+      case 'f' => i += 5; false
+      case 'n' => i += 4; null
+      case _ => parseNumber()
+    }
+  }
+
+  private def parseObject(): Map[String, Any] = {
+    expect('{')
+    val b = Map.newBuilder[String, Any]
+    ws()
+    if (s.charAt(i) == '}') { i += 1; return b.result() }
+    var done = false
+    while (!done) {
+      ws()
+      val k = parseString()
+      expect(':')
+      b += (k -> parseValue())
+      ws()
+      if (s.charAt(i) == ',') i += 1 else { expect('}'); done = true }
+    }
+    b.result()
+  }
+
+  private def parseArray(): List[Any] = {
+    expect('[')
+    val b = List.newBuilder[Any]
+    ws()
+    if (s.charAt(i) == ']') { i += 1; return b.result() }
+    var done = false
+    while (!done) {
+      b += parseValue()
+      ws()
+      if (s.charAt(i) == ',') i += 1 else { expect(']'); done = true }
+    }
+    b.result()
+  }
+
+  private def parseString(): String = {
+    expect('"')
+    val sb = new StringBuilder
+    while (s.charAt(i) != '"') {
+      if (s.charAt(i) == '\\') {
+        i += 1
+        s.charAt(i) match {
+          case 'n' => sb.append('\n'); case 't' => sb.append('\t')
+          case 'r' => sb.append('\r'); case 'b' => sb.append('\b')
+          case 'f' => sb.append('\f')
+          case 'u' =>
+            sb.append(Integer.parseInt(s.substring(i + 1, i + 5), 16).toChar); i += 4
+          case c => sb.append(c)
+        }
+      } else sb.append(s.charAt(i))
+      i += 1
+    }
+    i += 1
+    sb.toString
+  }
+
+  private def parseNumber(): Double = {
+    val start = i
+    while (i < s.length && "+-0123456789.eE".indexOf(s.charAt(i)) >= 0) i += 1
+    s.substring(start, i).toDouble
+  }
+}
