@@ -11,7 +11,8 @@ object SparkEntry {
     textops.TextQueries,
     simsearch.SimQueries,
     multimodal.MultimodalQueries,
-    geo.GeoQueries
+    geo.GeoQueries,
+    raster.RasterQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -14,6 +14,9 @@ object GraftFunctions {
       "polyhash", exprs => PolyHash(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "vec_dot", exprs => VecDot(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "tile_zonal",
+      exprs => graft.raster.TileZonal(exprs(0), exprs(1), exprs(2)), "built-in")
     graft.geo.GeoFunctions.install(spark)
   }
 }

@@ -1,0 +1,205 @@
+package graft.raster
+
+import graft.{QueryModule, SqlQ, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The OTF zonal-statistics engine (SURVEY §2.4 A2–A5, §3.2): tile
+  * scan → derived-layer calc → AOI mask → per-tile partial aggregation
+  * ([[TileZonal]]) → merge → dictionary decode.
+  *
+  * Spark plan shape (the 100 TB design):
+  *   1. tiles enumerate from the grid — on a real lake this is a
+  *      Parquet scan partition-pruned by `tile_id ∈ tiles(aoi.bbox)`;
+  *   2. per-pixel arrays stay inside the tile row (no pixel explode);
+  *      derived layers compile through [[CalcDsl]] into `transform` /
+  *      `zip_with` over the arrays;
+  *   3. the AOI mask runs the engine's real geometry path —
+  *      `st_intersects(st_point(lon,lat), aoi)` per pixel center;
+  *   4. `tile_zonal` reduces each tile to (key, fixed-point-sum, count)
+  *      partials — the shuffle carries per-tile partials, never pixels;
+  *   5. final `groupBy(k)` merges partials with exact integer sums,
+  *      then decodes keys (dates, dictionary names) and re-scales
+  *      fixed-point to doubles.
+  *
+  * The DuckDB oracle regenerates the same pixels from
+  * `generate_series`, masks with half-plane arithmetic, and aggregates
+  * the same integers — bit-identical by construction.
+  */
+object RasterQueries extends QueryModule {
+
+  import SyntheticEnv._
+
+  private val g = grid
+  private val px = g.pxPerTile * g.pxPerTile // pixels per tile
+
+  // ---- pixel-coordinate expressions per dialect ----
+  // Spark enumerates per tile (tx, ty, lambda var i);
+  // DuckDB enumerates globally (p over all pixels).
+  private val sGx = s"(tx * ${g.pxPerTile} + i % ${g.pxPerTile})"
+  private val sGy = s"(ty * ${g.pxPerTile} + i DIV ${g.pxPerTile})"
+  private val dGx = s"(p % ${g.pxX})"
+  private val dGy = s"(p // ${g.pxX})"
+
+  // ---- AOI: convex quad, vertices off the pixel-center lattice ----
+  private val aoi = Seq(
+    (0.3513, 40.6821), (3.1242, 40.9753), (3.7081, 43.2517), (0.8472, 42.8391))
+  private val aoiGeoJson = {
+    val ring = (aoi :+ aoi.head).map { case (x, y) => s"[$x,$y]" }.mkString(",")
+    s"""{"type":"Polygon","coordinates":[[$ring]]}"""
+  }
+  private def halfPlanes(lonE: String, latE: String): String =
+    aoi.zip(aoi.tail :+ aoi.head).map { case ((x1, y1), (x2, y2)) =>
+      s"(($x2 - $x1) * ($latE - $y1) - ($y2 - $y1) * ($lonE - $x1)) >= 0"
+    }.mkString(" AND ")
+
+  private val sparkAoiMask =
+    s"st_intersects(st_point(${g.lonCenterSql(sGx)}, ${g.latCenterSql(sGy)}), " +
+      s"st_geomfromgeojson('$aoiGeoJson'))"
+  private val duckAoiMask =
+    halfPlanes(g.lonCenterSql(dGx), g.latCenterSql(dGy))
+
+  /** Spark CTE prefix: enumerate tiles of the grid. */
+  private val sparkTiles =
+    s"""WITH t AS (SELECT id AS tile_idx FROM range(${g.nTiles})),
+       |tg AS (SELECT CAST(tile_idx % ${g.tilesX} AS INT) AS tx,
+       |              CAST(tile_idx DIV ${g.tilesX} AS INT) AS ty FROM t)""".stripMargin
+
+  /** DuckDB CTE prefix: enumerate all pixels of the grid. */
+  private val duckPixels =
+    s"WITH px AS (SELECT unnest(generate_series(0, ${g.pxX * g.pxY - 1})) AS p)"
+
+  private def sparkArr(valueExpr: String): String =
+    s"transform(sequence(0, ${px - 1}), i -> CAST($valueExpr AS BIGINT))"
+  private def sparkBoolArr(boolExpr: String): String =
+    s"transform(sequence(0, ${px - 1}), i -> $boolExpr)"
+
+  /** Dictionary decode CASE (identical text both dialects). */
+  private val landcoverDecode: String =
+    "CASE " + landcoverTable.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"WHEN KEYE = $k THEN '$v'" }.mkString(" ") +
+      " ELSE 'unknown' END"
+  private def decode(keyExpr: String): String =
+    landcoverDecode.replace("KEYE", keyExpr)
+
+  private val sqls: Seq[SqlQ] = Seq(
+
+    // A2+A3: zonal statistics over the AOI — SUM(area__ha) and
+    // count(*) grouped by a categorical layer, keys decoded through
+    // the raster table (dictionary decode on output).
+    SqlQ.split("r1_zonal_landcover",
+      s"""$sparkTiles,
+         |arrs AS (SELECT
+         |  ${sparkArr(landcover.formula(sGx, sGy))} AS keys,
+         |  ${sparkArr(g.microHaSql(sGy))} AS vals,
+         |  ${sparkBoolArr(sparkAoiMask)} AS mask
+         | FROM tg),
+         |parts AS (SELECT explode(tile_zonal(keys, vals, mask)) AS p FROM arrs)
+         |SELECT p.k AS landcover, ${decode("p.k")} AS landcover_name,
+         |  CAST(sum(p.s) AS DOUBLE) / 1000000.0 AS area_ha,
+         |  sum(p.c) AS pixel_count
+         |FROM parts GROUP BY p.k""".stripMargin,
+      s"""$duckPixels,
+         |f AS (SELECT ${landcover.formula(dGx, dGy)} AS k,
+         |  ${g.microHaSql(dGy)} AS microha FROM px
+         |  WHERE $duckAoiMask)
+         |SELECT k AS landcover, ${decode("k")} AS landcover_name,
+         |  CAST(sum(microha) AS DOUBLE) / 1000000.0 AS area_ha,
+         |  count(*) AS pixel_count
+         |FROM f GROUP BY k""".stripMargin),
+
+    // A4 + P10: density→absolute rescale (`biomass * area`) under a
+    // threshold predicate (`tcd >= 30`), grouped by land cover.
+    SqlQ.split("r2_density_rescale",
+      s"""$sparkTiles,
+         |arrs AS (SELECT
+         |  ${sparkArr(landcover.formula(sGx, sGy))} AS keys,
+         |  ${sparkArr(s"${biomass10.formula(sGx, sGy)} * ${g.microHaSql(sGy)}")} AS vals,
+         |  ${sparkBoolArr(s"($sparkAoiMask) AND (${tcd.formula(sGx, sGy)} >= 30)")} AS mask
+         | FROM tg),
+         |parts AS (SELECT explode(tile_zonal(keys, vals, mask)) AS p FROM arrs)
+         |SELECT p.k AS landcover,
+         |  CAST(sum(p.s) AS DOUBLE) / 10000000.0 AS biomass_tonnes,
+         |  sum(p.c) AS pixel_count
+         |FROM parts GROUP BY p.k""".stripMargin,
+      s"""$duckPixels,
+         |f AS (SELECT ${landcover.formula(dGx, dGy)} AS k,
+         |  ${biomass10.formula(dGx, dGy)} * ${g.microHaSql(dGy)} AS v FROM px
+         |  WHERE ($duckAoiMask) AND (${tcd.formula(dGx, dGy)} >= 30))
+         |SELECT k AS landcover,
+         |  CAST(sum(v) AS DOUBLE) / 10000000.0 AS biomass_tonnes,
+         |  count(*) AS pixel_count
+         |FROM f GROUP BY k""".stripMargin),
+
+    // date_conf decode (SURVEY §7.3 #4): derived date/conf layers via
+    // the CalcDsl compiler, date filter, per-(date,conf) alert counts.
+    SqlQ.split("r3_date_conf_alerts", {
+      val dcArr = sparkArr(dateConf.formula(sGx, sGy))
+      val days = CalcDsl.compileSql("A % 10000", Map("A" -> "px_dc"))
+      val conf = CalcDsl.compileSql("floor(A / 10000).astype('uint32')", Map("A" -> "px_dc"))
+      val key = CalcDsl.compileSql("A * 100000 + B", Map("A" -> "px_conf", "B" -> "px_days"))
+      s"""$sparkTiles,
+         |raw AS (SELECT $dcArr AS px_dc,
+         |  ${sparkArr(g.microHaSql(sGy))} AS vals,
+         |  ${sparkBoolArr(s"($sparkAoiMask) AND ((${dateConf.formula(sGx, sGy)}) % 10000 >= 1827)")} AS mask
+         | FROM tg),
+         |der AS (SELECT $days AS px_days, $conf AS px_conf, vals, mask FROM raw),
+         |arrs AS (SELECT $key AS keys, vals, mask FROM der),
+         |parts AS (SELECT explode(tile_zonal(keys, vals, mask)) AS p FROM arrs)
+         |SELECT date_add(DATE '2015-01-01', CAST(p.k % 100000 AS INT)) AS alert_date,
+         |  CAST(p.k DIV 100000 AS INT) AS confidence,
+         |  sum(p.c) AS alert_count,
+         |  CAST(sum(p.s) AS DOUBLE) / 1000000.0 AS area_ha
+         |FROM parts GROUP BY p.k""".stripMargin
+    },
+      s"""$duckPixels,
+         |f AS (SELECT ${dateConf.formula(dGx, dGy)} AS dc,
+         |  ${g.microHaSql(dGy)} AS microha FROM px
+         |  WHERE ($duckAoiMask) AND ((${dateConf.formula(dGx, dGy)}) % 10000 >= 1827)),
+         |k AS (SELECT CAST(floor(dc / 10000) AS BIGINT) * 100000 + (dc % 10000) AS key,
+         |  microha FROM f)
+         |SELECT DATE '2015-01-01' + CAST(key % 100000 AS INT) AS alert_date,
+         |  CAST(key // 100000 AS INT) AS confidence,
+         |  count(*) AS alert_count,
+         |  CAST(sum(microha) AS DOUBLE) / 1000000.0 AS area_ha
+         |FROM k GROUP BY key""".stripMargin),
+
+    // J4: multi-band calc — two co-registered bands zipped through the
+    // CalcDsl two-variable path, bucketed and aggregated.
+    SqlQ.split("r4_band_math", {
+      val sum2 = CalcDsl.compileSql("A + B", Map("A" -> "px_u", "B" -> "px_w"))
+      s"""$sparkTiles,
+         |raw AS (SELECT
+         |  ${sparkArr(bandU.formula(sGx, sGy))} AS px_u,
+         |  ${sparkArr(bandW.formula(sGx, sGy))} AS px_w,
+         |  ${sparkArr(g.microHaSql(sGy))} AS vals,
+         |  ${sparkBoolArr(sparkAoiMask)} AS mask
+         | FROM tg),
+         |der AS (SELECT $sum2 AS px_s, vals, mask FROM raw),
+         |arrs AS (SELECT transform(px_s, x -> x DIV 10) AS keys, vals, mask FROM der),
+         |parts AS (SELECT explode(tile_zonal(keys, vals, mask)) AS p FROM arrs)
+         |SELECT p.k AS bucket,
+         |  CAST(sum(p.s) AS DOUBLE) / 1000000.0 AS area_ha,
+         |  sum(p.c) AS pixel_count
+         |FROM parts GROUP BY p.k""".stripMargin
+    },
+      s"""$duckPixels,
+         |f AS (SELECT ((${bandU.formula(dGx, dGy)}) + (${bandW.formula(dGx, dGy)})) // 10 AS k,
+         |  ${g.microHaSql(dGy)} AS microha FROM px
+         |  WHERE $duckAoiMask)
+         |SELECT k AS bucket,
+         |  CAST(sum(microha) AS DOUBLE) / 1000000.0 AS area_ha,
+         |  count(*) AS pixel_count
+         |FROM f GROUP BY k""".stripMargin)
+  )
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] =
+    sqls.map { q =>
+      q.name -> ((spark: SparkSession, sfDir: String) => {
+        Tables.register(spark, sfDir)
+        spark.sql(q.sparkSql)
+      })
+    }.toMap
+
+  override def oracles: Map[String, String] =
+    sqls.flatMap(q => q.oracleSql.map(q.name -> _)).toMap
+}
