@@ -12,7 +12,8 @@ object SparkEntry {
     simsearch.SimQueries,
     multimodal.MultimodalQueries,
     geo.GeoQueries,
-    raster.RasterQueries
+    raster.RasterQueries,
+    etl.EtlQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,104 @@
+package graft.etl
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** ETL ingest operators (SURVEY §2.1 S1–S4): delimited-text ingest
+  * with sample-based schema inference and user schema patching, and
+  * vector ingest from GeoJSON lines with GFW-field derivation. Each
+  * query performs the full round trip — write the source file, ingest
+  * it through the engine's path, emit the loaded rows — and the oracle
+  * checks the result against the original lake table, proving the
+  * pipeline is lossless.
+  */
+object EtlQueries extends QueryModule {
+
+  private def tmpDir(tag: String, sfDir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_etl_${tag}_${math.abs(sfDir.hashCode)}"
+
+  /** S1: TSV ingest. Schema is inferred from the first 100 lines only
+    * (the reference's csvsql sample, `create_tabular_schema.sh:36-50`),
+    * then patched by the user-supplied `table_schema` override
+    * (`:71-90`) — here `n_chars` → BIGINT, which the 100-row sample
+    * would under-infer as INT.
+    */
+  private def csvIngest(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = tmpDir("s1", sfDir)
+    Tables.load(spark, sfDir, "documents")
+      .write.mode("overwrite")
+      .option("header", "true").option("sep", "\t")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .csv(dir)
+
+    // sample-based inference: first 100 lines (+ header)
+    import spark.implicits._
+    val sampleLines = spark.read.textFile(dir).limit(101)
+    val inferred = spark.read
+      .option("header", "true").option("sep", "\t").option("inferSchema", "true")
+      .csv(sampleLines).schema
+    // user schema patch (table_schema override semantics)
+    val patch: Map[String, DataType] = Map("n_chars" -> LongType, "doc_id" -> LongType)
+    val schema = StructType(inferred.map(f =>
+      patch.get(f.name).map(t => f.copy(dataType = t)).getOrElse(f)))
+
+    spark.read.schema(schema)
+      .option("header", "true").option("sep", "\t")
+      .csv(dir)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+  }
+
+  /** S3+S4: vector ingest — GeoJSON feature lines → geometry assembly
+    * → GFW fields (content-addressed geostore id, canonical GeoJSON;
+    * `_fill_gfw_fields_sql.sh:9-21`). */
+  private def vectorIngest(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.register(spark, sfDir)
+    val dir = tmpDir("s3", sfDir)
+    val pts = spark.sql(
+      """SELECT c_custkey,
+        |  CAST(c_custkey % 720 AS DOUBLE) / 2.0 - 179.75 AS lon,
+        |  CAST(c_custkey % 340 AS DOUBLE) / 2.0 - 84.75 AS lat
+        |FROM customer WHERE c_custkey < 300""".stripMargin)
+    pts.select(to_json(struct(
+      struct(lit("Point").as("type"),
+        array(col("lon"), col("lat")).as("coordinates")).as("geometry"),
+      struct(col("c_custkey").as("custkey")).as("properties"))).as("value"))
+      .write.mode("overwrite").text(dir)
+
+    val raw = spark.read.json(dir)
+    raw.select(
+      col("properties.custkey").as("custkey"),
+      expr("st_geomfromgeojson(to_json(geometry))").as("geom"))
+      .selectExpr(
+        "custkey",
+        "st_x(geom) AS lon",
+        "st_y(geom) AS lat",
+        "st_asgeojson(geom) AS gfw_geojson",
+        "st_geostore_id(geom) AS gfw_geostore_id")
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s1_csv_ingest" -> ((s, d) => csvIngest(s, d)),
+    "s3_vector_ingest" -> ((s, d) => vectorIngest(s, d)))
+
+  override def oracles: Map[String, String] = Map(
+    // lossless round trip ⇒ the ingest result equals the source table
+    "s1_csv_ingest" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    "s3_vector_ingest" ->
+      """WITH pts AS (
+        |  SELECT c_custkey AS custkey,
+        |    CAST(c_custkey % 720 AS DOUBLE) / 2.0 - 179.75 AS lon,
+        |    CAST(c_custkey % 340 AS DOUBLE) / 2.0 - 84.75 AS lat
+        |  FROM customer WHERE c_custkey < 300),
+        |j AS (SELECT custkey, lon, lat,
+        |  '{"type":"Point","coordinates":[' || lon::VARCHAR || ',' || lat::VARCHAR || ']}' AS gfw_geojson
+        |  FROM pts)
+        |SELECT custkey, lon, lat, gfw_geojson,
+        |  substr(md5(gfw_geojson), 1, 8) || '-' || substr(md5(gfw_geojson), 9, 4) || '-' ||
+        |  substr(md5(gfw_geojson), 13, 4) || '-' || substr(md5(gfw_geojson), 17, 4) || '-' ||
+        |  substr(md5(gfw_geojson), 21, 12) AS gfw_geostore_id
+        |FROM j""".stripMargin)
+}

@@ -17,6 +17,10 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "tile_zonal",
       exprs => graft.raster.TileZonal(exprs(0), exprs(1), exprs(2)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "hist_merge",
+      exprs => graft.raster.HistMergeAgg(exprs(0), exprs(1), exprs(2), exprs(3)),
+      "built-in")
     graft.geo.GeoFunctions.install(spark)
   }
 }

@@ -171,6 +171,38 @@ object GeoExpressions {
       copy(left = l, right = r)
   }
 
+  /** Haversine distance in meters between two point geometries — the
+    * predicate behind the point-radius feature lookup (P6,
+    * `features.py:150-218`; the reference's zoom→radius table lives in
+    * the API layer). */
+  case class StDistanceSphere(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "st_distance_sphere"
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      (geom(a.asInstanceOf[Array[Byte]]), geom(b.asInstanceOf[Array[Byte]])) match {
+        case (Point(x1, y1), Point(x2, y2)) => Geom.distanceSphere(x1, y1, x2, y2)
+        case _ => null
+      }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** Accent-stripping lowercase normalization (the reference's
+    * `unidecode(name).lower()` id-lookup normalization, P8 —
+    * `id_lookup.py:74-78`): NFD-decompose and drop combining marks. */
+  case class NormName(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "norm_name"
+    override protected def nullSafeEval(v: Any): Any = {
+      val s = v.asInstanceOf[UTF8String].toString
+      val folded = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
+        .replaceAll("\\p{M}", "")
+      UTF8String.fromString(folded.toLowerCase(java.util.Locale.ROOT))
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** Content-addressed geostore id: md5 of the canonical GeoJSON,
     * formatted as a UUID (`crud/geostore.py:120` — PG byte parity is
     * not reproducible; our canonical form is [[Geom.toGeoJson]]). */
@@ -244,6 +276,8 @@ object GeoFunctions {
     add("st_simplify", es => StSimplify(es(0), es(1)))
     add("st_setsrid", es => StSetSrid(es(0), es(1)))
     add("st_geostore_id", es => StGeostoreId(es.head))
+    add("st_distance_sphere", es => StDistanceSphere(es(0), es(1)))
+    add("norm_name", es => NormName(es.head))
     add("st_clip_envelope", es => StClipEnvelope(es))
     add("st_makeenvelope", es => StMakeEnvelope(es))
   }

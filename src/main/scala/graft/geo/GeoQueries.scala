@@ -144,7 +144,36 @@ object GeoQueries extends QueryModule {
          |  least(lat + 0.5, 45.0) AS cy_max
          |FROM pts
          |WHERE lon - 0.5 < 90.0 AND lon + 0.5 > -90.0
-         |  AND lat - 0.5 < 45.0 AND lat + 0.5 > -45.0""".stripMargin)
+         |  AND lat - 0.5 < 45.0 AND lat + 0.5 > -45.0""".stripMargin),
+
+    // P6: point-radius feature lookup — haversine distance against a
+    // query point, radius from the zoom→buffer table (the API layer
+    // maps zoom level → meters; 300 km here). The oracle mirrors the
+    // haversine term order exactly.
+    SqlQ.split("g6_radius_lookup",
+      s"""$sparkPts
+         |SELECT c_custkey,
+         |  st_distance_sphere(st_point(lon, lat), st_point(10.123, 20.456)) AS dist_m
+         |FROM pts
+         |WHERE st_distance_sphere(st_point(lon, lat), st_point(10.123, 20.456)) <= 300000.0""".stripMargin,
+      s"""$duckPts,
+         |d AS (SELECT c_custkey,
+         |  2 * 6371008.8 * asin(sqrt(
+         |    sin(radians(20.456 - lat) / 2) * sin(radians(20.456 - lat) / 2) +
+         |    cos(radians(lat)) * cos(radians(20.456)) *
+         |    sin(radians(10.123 - lon) / 2) * sin(radians(10.123 - lon) / 2))) AS dist_m
+         |  FROM pts)
+         |SELECT c_custkey, dist_m FROM d WHERE dist_m <= 300000.0""".stripMargin),
+
+    // P8: name-normalized admin lookup (`unidecode(name).lower()`):
+    // the engine's norm_name expression against a literal id list.
+    SqlQ.split("g7_name_lookup",
+      """SELECT n_nationkey, n_name, norm_name(n_name) AS name_norm
+        |FROM nation
+        |WHERE norm_name(n_name) IN ('germany', 'france', 'japan', 'brazil')""".stripMargin,
+      """SELECT n_nationkey, n_name, lower(n_name) AS name_norm
+        |FROM nation
+        |WHERE lower(n_name) IN ('germany', 'france', 'japan', 'brazil')""".stripMargin)
   )
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -358,6 +358,17 @@ object Geom {
     m2 / 10000.0
   }
 
+  /** Great-circle (haversine) distance in meters between two points.
+    * The operation order is part of the engine contract (mirrored in
+    * SQL oracles term by term). */
+  def distanceSphere(lon1: Double, lat1: Double, lon2: Double, lat2: Double): Double = {
+    val sdlat = Math.sin(Math.toRadians(lat2 - lat1) / 2)
+    val sdlon = Math.sin(Math.toRadians(lon2 - lon1) / 2)
+    val a = sdlat * sdlat +
+      Math.cos(Math.toRadians(lat1)) * Math.cos(Math.toRadians(lat2)) * sdlon * sdlon
+    2 * EarthRadius * Math.asin(Math.sqrt(a))
+  }
+
   /** EPSG:4326 → EPSG:3857 (spherical mercator, the reference's
     * `geom_wm` twin — `clip_and_reproject_geom.sh`). */
   val WebMercatorR = 6378137.0

@@ -189,7 +189,68 @@ object RasterQueries extends QueryModule {
          |SELECT k AS bucket,
          |  CAST(sum(microha) AS DOUBLE) / 1000000.0 AS area_ha,
          |  count(*) AS pixel_count
-         |FROM f GROUP BY k""".stripMargin)
+         |FROM f GROUP BY k""".stripMargin),
+
+    // A7: per-tile band statistics (min/max/mean) and the global
+    // roll-up (global min/max + unweighted mean of tile means, the
+    // reference's tile-stats contract in raster_tile_set_assets).
+    SqlQ.split("r5_band_stats",
+      s"""$sparkTiles,
+         |raw AS (SELECT tx, ty, ${sparkArr(biomass10.formula(sGx, sGy))} AS pb FROM tg),
+         |th AS (SELECT tx, ty,
+         |  CAST(array_min(pb) AS BIGINT) AS tmin, CAST(array_max(pb) AS BIGINT) AS tmax,
+         |  aggregate(pb, CAST(0 AS BIGINT), (a, v) -> a + v) AS tsum FROM raw)
+         |SELECT min(tmin) AS global_min, max(tmax) AS global_max,
+         |  CAST(sum(tsum) AS DOUBLE) / ${g.nTiles * px} AS global_mean,
+         |  count(*) AS n_tiles
+         |FROM th""".stripMargin,
+      s"""$duckPixels,
+         |f AS (SELECT $dGx // ${g.pxPerTile} AS tx, $dGy // ${g.pxPerTile} AS ty,
+         |  ${biomass10.formula(dGx, dGy)} AS v FROM px),
+         |th AS (SELECT tx, ty, min(v) AS tmin, max(v) AS tmax, sum(v) AS tsum
+         |  FROM f GROUP BY tx, ty)
+         |SELECT min(tmin) AS global_min, max(tmax) AS global_max,
+         |  CAST(sum(tsum) AS DOUBLE) / ${g.nTiles * px} AS global_mean,
+         |  count(*) AS n_tiles
+         |FROM th""".stripMargin),
+
+    // A8: histogram merge — per-tile 6-bin equal-width histograms
+    // merged by the hist_merge TypedImperativeAggregate implementing
+    // the reference's linspace-reconstruction algorithm. The oracle
+    // replays the same algorithm in SQL (zero-count source bins
+    // contribute nothing, so only populated merged bins emit).
+    SqlQ.split("r6_histogram_merge",
+      s"""$sparkTiles,
+         |raw AS (SELECT ${sparkArr(biomass10.formula(sGx, sGy))} AS pb FROM tg),
+         |th AS (SELECT pb, CAST(array_min(pb) AS BIGINT) AS tmin,
+         |               CAST(array_max(pb) AS BIGINT) AS tmax FROM raw),
+         |hist AS (SELECT CAST(tmin AS DOUBLE) AS hmin, CAST(tmax AS DOUBLE) AS hmax,
+         |  6 AS bin_count,
+         |  transform(sequence(0, 5), b -> CAST(size(filter(pb,
+         |    v -> LEAST(CAST(floor((v - tmin) * 6.0 / (tmax - tmin)) AS BIGINT), 5) = b)) AS BIGINT)) AS value_count
+         |  FROM th),
+         |m AS (SELECT hist_merge(hmin, hmax, bin_count, value_count) AS h FROM hist)
+         |SELECT bin, cnt FROM (
+         |  SELECT posexplode(h.value_count) AS (bin, cnt) FROM m) t
+         |WHERE cnt > 0""".stripMargin,
+      s"""$duckPixels,
+         |f AS (SELECT $dGx // ${g.pxPerTile} AS tx, $dGy // ${g.pxPerTile} AS ty,
+         |  ${biomass10.formula(dGx, dGy)} AS v FROM px),
+         |th AS (SELECT tx, ty, min(v) AS tmin, max(v) AS tmax FROM f GROUP BY tx, ty),
+         |idx AS (SELECT f.tx, f.ty,
+         |  LEAST(CAST(floor((v - tmin) * 6.0 / (tmax - tmin)) AS BIGINT), 5) AS i
+         |  FROM f JOIN th ON f.tx = th.tx AND f.ty = th.ty),
+         |tc AS (SELECT tx, ty, i, count(*) AS c FROM idx GROUP BY tx, ty, i),
+         |gl AS (SELECT min(tmin)::DOUBLE AS gmin, max(tmax)::DOUBLE AS gmax,
+         |  min((tmax - tmin)::DOUBLE / 5.0) AS minres FROM th),
+         |nb AS (SELECT CAST(ceil((gmax - gmin) / minres) AS INT) AS n, gmin, gmax FROM gl),
+         |vals AS (SELECT CASE WHEN tc.i = 5 THEN th.tmax::DOUBLE
+         |                ELSE th.tmin + ((th.tmax - th.tmin)::DOUBLE / 5.0) * tc.i END AS d,
+         |                tc.c
+         |  FROM tc JOIN th ON tc.tx = th.tx AND tc.ty = th.ty),
+         |fin AS (SELECT LEAST(CAST(floor((d - gmin) * n / (gmax - gmin)) AS BIGINT), n - 1) AS bin, c
+         |  FROM vals, nb)
+         |SELECT bin::INT AS bin, sum(c) AS cnt FROM fin GROUP BY bin""".stripMargin)
   )
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
