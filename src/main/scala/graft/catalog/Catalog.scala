@@ -1,0 +1,95 @@
+package graft.catalog
+
+/** The dataset → version → asset metadata model (SURVEY §1.1;
+  * `app/models/orm/{datasets,versions,assets}.py`,
+  * `app/models/enum/assets.py`). The catalog is the engine's routing
+  * layer: the default asset of a version decides which query engine
+  * serves it (`queries.py:487-503`), `is_latest` plus per-request
+  * overrides resolve version references (`queries.py:790-813`).
+  */
+object AssetType {
+  val DatabaseTable = "Database table"
+  val GeoDatabaseTable = "Geo database table"
+  val RasterTileSet = "Raster tile set"
+  val ShapefileExport = "ESRI Shapefile"
+  val GeopackageExport = "Geopackage"
+  val NdjsonExport = "ndjson"
+  val CsvExport = "csv"
+  val TsvExport = "tsv"
+  val Grid1x1 = "1x1 grid"
+  val StaticVectorTileCache = "Static vector tile cache"
+  val RasterTileCache = "Raster tile cache"
+  val Cog = "COG"
+
+  /** Default asset type from the version's source type
+    * (`assets.py:36-52`). */
+  def defaultFor(sourceType: String, hasGeometry: Boolean = false): String =
+    sourceType match {
+      case "table" => if (hasGeometry) GeoDatabaseTable else DatabaseTable
+      case "vector" => GeoDatabaseTable
+      case "raster" => RasterTileSet
+      case t => throw new IllegalArgumentException(s"unknown source type '$t'")
+    }
+}
+
+sealed trait QueryEngine
+case object TableEngine extends QueryEngine
+case object RasterEngine extends QueryEngine
+
+final case class Asset(
+    assetId: String,
+    assetType: String,
+    assetUri: String,
+    isDefault: Boolean,
+    creationOptions: Map[String, String] = Map.empty,
+    status: String = "saved")
+
+final case class Version(
+    dataset: String,
+    version: String,
+    isLatest: Boolean,
+    isDownloadable: Boolean = true,
+    sourceType: String = "table",
+    assets: Seq[Asset] = Nil) {
+  def defaultAsset: Option[Asset] = assets.find(_.isDefault)
+}
+
+final case class Dataset(name: String, versions: Seq[Version])
+
+final class Catalog(datasets: Seq[Dataset]) {
+
+  private val byName: Map[String, Dataset] = datasets.map(d => d.name -> d).toMap
+
+  def dataset(name: String): Option[Dataset] = byName.get(name)
+
+  def version(dataset: String, version: String): Option[Version] =
+    if (version == "latest") latest(dataset)
+    else byName.get(dataset).flatMap(_.versions.find(_.version == version))
+
+  def latest(dataset: String): Option[Version] =
+    byName.get(dataset).flatMap(_.versions.find(_.isLatest))
+
+  /** Query routing from the default asset type (`queries.py:487-503`):
+    * database tables → the tabular engine, raster tile sets → the OTF
+    * raster engine (which additionally requires a geometry); anything
+    * else is not queryable. */
+  def queryEngine(dataset: String, version: String): Either[String, QueryEngine] =
+    this.version(dataset, version) match {
+      case None => Left(s"Dataset version $dataset.$version not found")
+      case Some(v) => v.defaultAsset.map(_.assetType) match {
+        case Some(AssetType.DatabaseTable) | Some(AssetType.GeoDatabaseTable) =>
+          Right(TableEngine)
+        case Some(AssetType.RasterTileSet) => Right(RasterEngine)
+        case _ => Left("This endpoint is not implemented for the given dataset")
+      }
+    }
+
+  /** Latest-unless-overridden resolution for a set of datasets
+    * (`queries.py:790-813`): per dataset take the override version if
+    * supplied, else the latest. */
+  def resolveVersions(names: Seq[String],
+                      overrides: Map[String, String]): Map[String, Option[Version]] =
+    names.map { d =>
+      d -> overrides.get(d).flatMap(v => version(d, v)).orElse(latest(d))
+    }.toMap
+}

@@ -173,7 +173,39 @@ object GeoQueries extends QueryModule {
         |WHERE norm_name(n_name) IN ('germany', 'france', 'japan', 'brazil')""".stripMargin,
       """SELECT n_nationkey, n_name, lower(n_name) AS name_norm
         |FROM nation
-        |WHERE lower(n_name) IN ('germany', 'france', 'japan', 'brazil')""".stripMargin)
+        |WHERE lower(n_name) IN ('germany', 'france', 'japan', 'brazil')""".stripMargin),
+
+    // J3: the 1×1-grid export spatial join — feature polygons joined
+    // against a static degree grid with bbox pruning in the join
+    // condition, clipped to each cell (`export_1x1_grid.py:309-381`).
+    // The grid is tiny and static ⇒ broadcast join (no shuffle of the
+    // feature side); at 100 TB the features stream map-side only.
+    SqlQ.split("g8_grid_export_join",
+      s"""$sparkPts,
+         |cells AS (SELECT ix, iy
+         |  FROM (SELECT explode(sequence(-10, 9)) AS ix)
+         |  CROSS JOIN (SELECT explode(sequence(-10, 9)) AS iy)),
+         |j AS (SELECT /*+ BROADCAST(cells) */ p.c_custkey, c.ix, c.iy,
+         |    st_clip_envelope(
+         |      st_makeenvelope(lon - 0.5, lat - 0.5, lon + 0.5, lat + 0.5),
+         |      CAST(c.ix AS DOUBLE), CAST(c.iy AS DOUBLE),
+         |      CAST(c.ix + 1 AS DOUBLE), CAST(c.iy + 1 AS DOUBLE)) AS cg
+         |  FROM pts p JOIN cells c
+         |    ON lon - 0.5 < c.ix + 1 AND lon + 0.5 > c.ix
+         |   AND lat - 0.5 < c.iy + 1 AND lat + 0.5 > c.iy)
+         |SELECT c_custkey, ix AS cell_lon, iy AS cell_lat,
+         |  st_envelope(cg).xmin AS cxmin, st_envelope(cg).ymin AS cymin,
+         |  st_envelope(cg).xmax AS cxmax, st_envelope(cg).ymax AS cymax
+         |FROM j""".stripMargin,
+      s"""$duckPts,
+         |cells AS (SELECT ix.g::INT AS ix, iy.g::INT AS iy
+         |  FROM generate_series(-10, 9) ix(g) CROSS JOIN generate_series(-10, 9) iy(g))
+         |SELECT p.c_custkey, c.ix AS cell_lon, c.iy AS cell_lat,
+         |  greatest(lon - 0.5, c.ix) AS cxmin, greatest(lat - 0.5, c.iy) AS cymin,
+         |  least(lon + 0.5, c.ix + 1) AS cxmax, least(lat + 0.5, c.iy + 1) AS cymax
+         |FROM pts p JOIN cells c
+         |  ON lon - 0.5 < c.ix + 1 AND lon + 0.5 > c.ix
+         | AND lat - 0.5 < c.iy + 1 AND lat + 0.5 > c.iy""".stripMargin)
   )
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -105,7 +105,35 @@ object RelationalQueries extends QueryModule {
       """SELECT c_custkey AS id, 'customer' AS src FROM customer WHERE c_custkey < 50
         |UNION ALL
         |SELECT s_suppkey AS id, 'supplier' AS src FROM supplier
-        |ORDER BY src, id""".stripMargin)
+        |ORDER BY src, id""".stripMargin),
+
+    // J5: latest-unless-overridden version resolution over an inline
+    // catalog (queries.py:790-813 semantics as one join).
+    SqlQ.split("j5_version_override",
+      """WITH versions AS (SELECT * FROM VALUES
+        |    ('trees','v1',false),('trees','v2',true),
+        |    ('cover','v2019',false),('cover','v2020',true),
+        |    ('alerts','v3',true) AS t(dataset, version, is_latest)),
+        |overrides AS (SELECT * FROM VALUES ('trees','v1') AS t(dataset, version)),
+        |want AS (SELECT * FROM VALUES ('trees'),('cover'),('alerts') AS t(dataset))
+        |SELECT w.dataset, coalesce(o.version, l.version) AS resolved
+        |FROM want w
+        |LEFT JOIN overrides o ON o.dataset = w.dataset
+        |LEFT JOIN (SELECT dataset, version FROM versions WHERE is_latest) l
+        |  ON l.dataset = w.dataset
+        |ORDER BY w.dataset""".stripMargin,
+      """WITH versions AS (SELECT * FROM (VALUES
+        |    ('trees','v1',false),('trees','v2',true),
+        |    ('cover','v2019',false),('cover','v2020',true),
+        |    ('alerts','v3',true)) t(dataset, version, is_latest)),
+        |overrides AS (SELECT * FROM (VALUES ('trees','v1')) t(dataset, version)),
+        |want AS (SELECT * FROM (VALUES ('trees'),('cover'),('alerts')) t(dataset)),
+        |l AS (SELECT dataset, version FROM versions WHERE is_latest)
+        |SELECT w.dataset, coalesce(o.version, l.version) AS resolved
+        |FROM want w
+        |LEFT JOIN overrides o ON o.dataset = w.dataset
+        |LEFT JOIN l ON l.dataset = w.dataset
+        |ORDER BY w.dataset""".stripMargin)
   )
 
   /** S2: constraint-dedup append (`load_tabular_data.sh:59-73`
