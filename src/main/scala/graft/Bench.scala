@@ -10,6 +10,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm up the session (codegen/JIT, table registration) so the
+    // first measured query isn't charged for JVM startup
+    Tables.register(spark, sfDir)
+    spark.sql("SELECT count(*) FROM lineitem").count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -28,10 +28,17 @@ object Tables {
           org.apache.spark.sql.functions.expr("ts div 1000")))
     } else spark.read.parquet(path(sfDir, name))
 
+  private var registeredFor: Option[(SparkSession, String)] = None
+
   /** Register every lake table as a temp view for the SQL surface,
-    * plus the engine's native function surface. */
-  def register(spark: SparkSession, sfDir: String): Unit = {
-    graft.functions.GraftFunctions.install(spark)
-    all.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+    * plus the engine's native function surface. Idempotent per
+    * (session, lake dir): repeated queries skip the catalog round
+    * trips (parquet footer reads) entirely. */
+  def register(spark: SparkSession, sfDir: String): Unit = synchronized {
+    if (!registeredFor.contains((spark, sfDir))) {
+      graft.functions.GraftFunctions.install(spark)
+      all.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+      registeredFor = Some((spark, sfDir))
+    }
   }
 }

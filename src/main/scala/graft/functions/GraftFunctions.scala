@@ -18,6 +18,14 @@ object GraftFunctions {
       "tile_zonal",
       exprs => graft.raster.TileZonal(exprs(0), exprs(1), exprs(2)), "built-in")
     reg.createOrReplaceTempFunction(
+      "ngram_hashes", exprs => NGramHashes(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "shingle_hashes", exprs => ShingleHashes(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "minhash36", exprs => MinHash36(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "simhash31", exprs => SimHash31(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
       "hist_merge",
       exprs => graft.raster.HistMergeAgg(exprs(0), exprs(1), exprs(2), exprs(3)),
       "built-in")

@@ -1,0 +1,149 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Sketch expressions over shingle-hash arrays. Lesson learned the
+  * hard way: Spark's higher-order functions (`transform`/`aggregate`)
+  * evaluate their lambdas interpreted, outside whole-stage codegen — a
+  * `transform(perms, p -> array_min(transform(hs, …)))` formulation of
+  * MinHash is ~20× slower than one fused primitive loop. These
+  * expressions do the single-pass loop natively (and in generated
+  * code), keeping the sketch computation at memory bandwidth.
+  *
+  * Parameters are part of the engine contract, mirrored in SQL
+  * oracles: P = 2^31−1, permutation p has a = 1+40503·p,
+  * b = 12345+104729·p; all intermediates < 2^52.
+  */
+object Sketches {
+  val P = 2147483647L
+  val NumPerms = 36
+  val SimHashBits = 31
+}
+
+/** `minhash36(hs)` → array<bigint> of 36 signature minima. */
+case class MinHash36(child: Expression) extends UnaryExpression {
+  import Sketches._
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"minhash36 expects array<bigint>, got ${t.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType)
+  override def prettyName: String = "minhash36"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    val sig = Array.fill(NumPerms)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      if (!hs.isNullAt(i)) {
+        val h = hs.getLong(i)
+        var p = 0
+        while (p < NumPerms) {
+          val v = ((1L + 40503L * p) * h + (12345L + 104729L * p)) % P
+          if (v < sig(p)) sig(p) = v
+          p += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val sig = ctx.freshName("sig")
+      val i = ctx.freshName("i")
+      val p = ctx.freshName("p")
+      val h = ctx.freshName("h")
+      val v = ctx.freshName("v")
+      s"""
+         |long[] $sig = new long[$NumPerms];
+         |java.util.Arrays.fill($sig, Long.MAX_VALUE);
+         |for (int $i = 0; $i < $c.numElements(); $i++) {
+         |  if (!$c.isNullAt($i)) {
+         |    long $h = $c.getLong($i);
+         |    for (int $p = 0; $p < $NumPerms; $p++) {
+         |      long $v = ((1L + 40503L * $p) * $h + (12345L + 104729L * $p)) % ${P}L;
+         |      if ($v < $sig[$p]) $sig[$p] = $v;
+         |    }
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): MinHash36 = copy(child = c)
+}
+
+/** `simhash31(hs)` → bigint fingerprint: bit j is set when the ±1
+  * majority of shingle-hash bits j is positive. */
+case class SimHash31(child: Expression) extends UnaryExpression {
+  import Sketches._
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"simhash31 expects array<bigint>, got ${t.catalogString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash31"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    val sums = new Array[Long](SimHashBits)
+    var i = 0
+    while (i < n) {
+      if (!hs.isNullAt(i)) {
+        val h = hs.getLong(i)
+        var j = 0
+        while (j < SimHashBits) {
+          sums(j) += (((h >> j) & 1L) * 2L - 1L)
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < SimHashBits) {
+      if (sums(j) > 0) fp |= (1L << j)
+      j += 1
+    }
+    fp
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val sums = ctx.freshName("sums")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      val fp = ctx.freshName("fp")
+      s"""
+         |long[] $sums = new long[$SimHashBits];
+         |for (int $i = 0; $i < $c.numElements(); $i++) {
+         |  if (!$c.isNullAt($i)) {
+         |    long $h = $c.getLong($i);
+         |    for (int $j = 0; $j < $SimHashBits; $j++) {
+         |      $sums[$j] += ((($h >> $j) & 1L) * 2L - 1L);
+         |    }
+         |  }
+         |}
+         |long $fp = 0L;
+         |for (int $j = 0; $j < $SimHashBits; $j++) {
+         |  if ($sums[$j] > 0) $fp |= (1L << $j);
+         |}
+         |${ev.value} = $fp;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): SimHash31 = copy(child = c)
+}

@@ -29,13 +29,12 @@ object TextQueries extends QueryModule {
 
   // ------------------------------------------------------------ fragments
 
-  /** Spark: distinct word-3-shingle polyhashes per doc. */
+  /** Spark: distinct word-3-shingle polyhashes per doc, via the
+    * single-pass native `shingle_hashes` (one loop per document). */
   private val sparkShingles =
-    s"""WITH w AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
-       |sh AS (
-       |  SELECT doc_id, array_distinct(transform(sequence(1, size(w)-2),
-       |    i -> polyhash(concat_ws(' ', element_at(w,i), element_at(w,i+1), element_at(w,i+2))))) AS hs
-       |  FROM w WHERE size(w) >= 3)""".stripMargin
+    s"""WITH sh AS (
+       |  SELECT doc_id, array_distinct(shingle_hashes(text, 3)) AS hs
+       |  FROM documents WHERE size(split(text, ' ')) >= 3)""".stripMargin
 
   /** DuckDB mirror: same shingle hashes via a code-point fold. */
   private val duckShingles =
@@ -50,6 +49,16 @@ object TextQueries extends QueryModule {
     * All intermediates < 2^52 — safe 64-bit integer math both engines. */
   private val minhashSig =
     s"min(((1 + 40503*perm) * h + (12345 + 104729*perm)) % $P) AS sig"
+
+  /** Spark-side signature CTE: the 36-permutation signature is
+    * computed inside the document row by the codegen'd `minhash36`
+    * expression — zero shuffle, one fused loop. (The naive
+    * explode(shingles)×perms groupBy shuffles |docs|·|shingles|·36
+    * rows; a higher-order-function formulation runs interpreted and is
+    * ~20× slower than the native loop.) The oracle keeps the explicit
+    * relational formulation; both are the same function. */
+  private val sparkSigs =
+    "sigs AS (SELECT doc_id, hs, minhash36(hs) AS sg FROM sh)"
 
   /** SimHash bit sums s0..s30 + fingerprint assembly, identical text in
     * both dialects (built by one loop so the formulas cannot diverge). */
@@ -100,10 +109,9 @@ object TextQueries extends QueryModule {
     // (doc_id, perm, sig) — the oracle recomputes every signature value.
     SqlQ.split("d2_minhash_sig",
       s"""$sparkShingles,
-         |e AS (SELECT doc_id, explode(hs) AS h FROM sh),
-         |p AS (SELECT explode(sequence(0, 35)) AS perm)
-         |SELECT doc_id, perm, $minhashSig
-         |FROM e CROSS JOIN p GROUP BY doc_id, perm""".stripMargin,
+         |$sparkSigs
+         |SELECT doc_id, perm, sig
+         |FROM sigs LATERAL VIEW posexplode(sg) t AS perm, sig""".stripMargin,
       s"""$duckShingles,
          |e AS (SELECT doc_id, unnest(hs) AS h FROM sh),
          |p AS (SELECT unnest(generate_series(0, 35)) AS perm)
@@ -117,15 +125,10 @@ object TextQueries extends QueryModule {
     // near-dup pairs all sit above 0.9).
     SqlQ.split("d3_minhash_lsh_pairs",
       s"""$sparkShingles,
-         |e AS (SELECT doc_id, explode(hs) AS h FROM sh),
-         |p AS (SELECT explode(sequence(0, 35)) AS perm),
-         |sig AS (SELECT doc_id, perm, $minhashSig
-         |        FROM e CROSS JOIN p GROUP BY doc_id, perm),
-         |band AS (SELECT doc_id, perm DIV 3 AS band,
-         |  ((((min(CASE WHEN perm % 3 = 0 THEN sig END) * 131
-         |      + min(CASE WHEN perm % 3 = 1 THEN sig END)) % $P) * 131)
-         |      + min(CASE WHEN perm % 3 = 2 THEN sig END)) % $P AS bh
-         |  FROM sig GROUP BY doc_id, perm DIV 3),
+         |$sparkSigs,
+         |band AS (SELECT doc_id, band,
+         |  ((((sg[band*3] * 131 + sg[band*3+1]) % $P) * 131) + sg[band*3+2]) % $P AS bh
+         |  FROM sigs LATERAL VIEW explode(sequence(0, 11)) t AS band),
          |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
          |  FROM band a JOIN band b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
          |ver AS (SELECT i, j, size(array_intersect(x.hs, y.hs)) AS shared,
@@ -149,8 +152,7 @@ object TextQueries extends QueryModule {
     // join bucket size — the skew guard that makes exact n-gram
     // similarity feasible at scale). Same SQL shape both engines.
     SqlQ.split("d4_ngram_jaccard_pairs",
-      s"""WITH g AS (SELECT doc_id, array_distinct(transform(sequence(1, length(text)-4),
-         |    i -> polyhash(substring(text, i, 5)))) AS hs
+      s"""WITH g AS (SELECT doc_id, array_distinct(ngram_hashes(text, 5)) AS hs
          |  FROM documents WHERE length(text) >= 5),
          |e AS (SELECT doc_id, explode(hs) AS h FROM g),
          |df AS (SELECT h FROM e GROUP BY h HAVING count(*) <= 25),
@@ -180,12 +182,8 @@ object TextQueries extends QueryModule {
     // D5: 31-bit SimHash fingerprints over shingle hashes (one shuffle:
     // explode -> groupBy(doc_id) with 31 codegen'd conditional sums).
     SqlQ.split("d5_simhash",
-      s"""$sparkShingles,
-         |e AS (SELECT doc_id, explode(hs) AS h FROM sh),
-         |b AS (SELECT doc_id,
-         |    $simhashBitSums
-         |  FROM e GROUP BY doc_id)
-         |SELECT doc_id, $simhashAssemble AS simhash FROM b""".stripMargin,
+      s"""$sparkShingles
+         |SELECT doc_id, simhash31(hs) AS simhash FROM sh""".stripMargin,
       s"""$duckShingles,
          |e AS (SELECT doc_id, unnest(hs) AS h FROM sh),
          |b AS (SELECT doc_id,
@@ -200,11 +198,7 @@ object TextQueries extends QueryModule {
     // Oracle brute-forces all pairs from the same fingerprints.
     SqlQ.split("d6_simhash_pairs",
       s"""$sparkShingles,
-         |e AS (SELECT doc_id, explode(hs) AS h FROM sh),
-         |b AS (SELECT doc_id,
-         |    $simhashBitSums
-         |  FROM e GROUP BY doc_id),
-         |f AS (SELECT doc_id, $simhashAssemble AS simhash FROM b),
+         |f AS (SELECT doc_id, simhash31(hs) AS simhash FROM sh),
          |bands AS (SELECT doc_id, simhash, k, (simhash >> (8 * k)) & 255 AS bv
          |  FROM f LATERAL VIEW explode(sequence(0, 3)) t AS k),
          |cand AS (SELECT DISTINCT a.doc_id AS i, a.simhash AS ha, b.doc_id AS j, b.simhash AS hb

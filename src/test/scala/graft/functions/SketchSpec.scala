@@ -1,0 +1,81 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The native single-pass sketch expressions must equal their
+  * compositional (HOF) formulations value-for-value — that equivalence
+  * is what lets the DuckDB oracle keep the explicit relational
+  * formulation while Spark runs the fused loop. */
+class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "2")
+    .getOrCreate()
+
+  override def beforeAll(): Unit = GraftFunctions.install(spark)
+  override def afterAll(): Unit = spark.stop()
+
+  private val docs = Seq(
+    "the quick brown fox jumps over the lazy dog",
+    "a b c",
+    "word soup with  double space", // empty word from the double space
+    "trailing space ends this one ",
+    "short")
+
+  test("shingle_hashes == polyhash of concat_ws shingles") {
+    import spark.implicits._
+    docs.toDF("text").createOrReplaceTempView("t")
+    val rows = spark.sql(
+      """SELECT shingle_hashes(text, 3) AS fast,
+        |  CASE WHEN size(split(text, ' ')) >= 3 THEN
+        |    transform(sequence(1, size(split(text, ' ')) - 2), i ->
+        |      polyhash(concat_ws(' ', element_at(split(text, ' '), i),
+        |        element_at(split(text, ' '), i + 1), element_at(split(text, ' '), i + 2))))
+        |  ELSE array() END AS slow
+        |FROM t""".stripMargin).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), r.toString)
+    }
+  }
+
+  test("ngram_hashes == polyhash of substrings") {
+    import spark.implicits._
+    docs.toDF("text").createOrReplaceTempView("t")
+    val rows = spark.sql(
+      """SELECT ngram_hashes(text, 5) AS fast,
+        |  CASE WHEN length(text) >= 5 THEN
+        |    transform(sequence(1, length(text) - 4), i -> polyhash(substring(text, i, 5)))
+        |  ELSE array() END AS slow
+        |FROM t""".stripMargin).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), r.toString)
+    }
+  }
+
+  test("minhash36 == per-perm array_min of affine hashes") {
+    import spark.implicits._
+    docs.toDF("text").createOrReplaceTempView("t")
+    val rows = spark.sql(
+      """SELECT minhash36(hs) AS fast,
+        |  transform(sequence(0, 35), p ->
+        |    array_min(transform(hs, h -> ((1 + 40503*p) * h + (12345 + 104729*p)) % 2147483647))) AS slow
+        |FROM (SELECT array_distinct(shingle_hashes(text, 1)) AS hs FROM t)""".stripMargin)
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), r.toString)
+    }
+  }
+
+  test("simhash31 == bitwise majority of shingle hashes") {
+    import spark.implicits._
+    // bit0: +1+1+1 = +3 → set; bit1: -1+1-1 = -1 → unset; bit2: +1-1-1 = -1 → unset
+    val hs = Seq(Seq(0b101L, 0b011L, 0b001L))
+    hs.toDF("hs").createOrReplaceTempView("h")
+    val fp = spark.sql("SELECT simhash31(hs) FROM h").collect().head.getLong(0)
+    assert(fp == 0b001L)
+  }
+}
