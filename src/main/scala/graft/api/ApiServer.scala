@@ -1,0 +1,156 @@
+package graft.api
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import scala.jdk.CollectionConverters._
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import graft.sinks.Sinks
+import graft.sqlgate.{Scrutinizer, SqlGateException}
+import graft.{Tables, catalog => cat}
+import org.apache.spark.sql.SparkSession
+
+/** The HTTP face of the engine (SURVEY §3.1, §7.1 #5): dataset-version
+  * query endpoints with JSEND envelopes, the deprecated-path 308
+  * redirect, field introspection, and the content-addressed geostore.
+  * Zero dependencies — JDK HttpServer; the engine behind it is the
+  * same `Scrutinizer` → Catalyst path the tests drive.
+  *
+  * Routes (reference: `app/routes/datasets/queries.py`,
+  * `app/routes/datasets/versions.py:377-403`, `app/crud/geostore.py`):
+  *   - GET /dataset/{d}/{v}/query            → 308 to /query/json
+  *   - GET /dataset/{d}/{v}/query/json?sql=… → JSEND rows
+  *   - GET /dataset/{d}/{v}/query/csv?sql=…  → CSV (QUOTE_NONNUMERIC)
+  *   - GET /dataset/{d}/{v}/fields           → field metadata
+  *   - POST /geostore  (GeoJSON body)        → {gfw_geostore_id, …}
+  *   - GET /geostore/{id}                    → stored GeoJSON
+  * Errors: SQL-gate rejections → 400 JSEND failed (reference error
+  * strings); unknown dataset/version → 404; 2-hour Cache-Control on
+  * query responses (`queries.py:155-158`).
+  */
+final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0) {
+
+  Tables.register(spark, sfDir)
+
+  private val catalog = new cat.Catalog(Tables.all.map { t =>
+    cat.Dataset(t, Seq(cat.Version(t, "v1", isLatest = true,
+      assets = Seq(cat.Asset(s"$t-a1", cat.AssetType.DatabaseTable, s"$sfDir/$t.parquet",
+        isDefault = true)))))
+  })
+
+  private val geostore = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  server.createContext("/", (ex: HttpExchange) => handle(ex))
+
+  def start(): Int = { server.start(); server.getAddress.getPort }
+  def stop(): Unit = server.stop(0)
+
+  // ------------------------------------------------------------- routing
+
+  private val QueryRoot = "^/dataset/([^/]+)/([^/]+)/query$".r
+  private val QueryJson = "^/dataset/([^/]+)/([^/]+)/query/json$".r
+  private val QueryCsv = "^/dataset/([^/]+)/([^/]+)/query/csv$".r
+  private val Fields = "^/dataset/([^/]+)/([^/]+)/fields$".r
+  private val GeostoreGet = "^/geostore/([^/]+)$".r
+
+  private def handle(ex: HttpExchange): Unit =
+    try {
+      val path = ex.getRequestURI.getPath
+      (ex.getRequestMethod, path) match {
+        case ("GET", QueryRoot(d, v)) =>
+          val q = Option(ex.getRequestURI.getRawQuery).map("?" + _).getOrElse("")
+          ex.getResponseHeaders.add("Location", s"/dataset/$d/$v/query/json$q")
+          respond(ex, 308, "application/json", "")
+        case ("GET", QueryJson(d, v)) => query(ex, d, v, json = true)
+        case ("GET", QueryCsv(d, v)) => query(ex, d, v, json = false)
+        case ("GET", Fields(d, v)) => fields(ex, d, v)
+        case ("POST", "/geostore") => geostoreCreate(ex)
+        case ("GET", GeostoreGet(id)) =>
+          geostore.get(id) match {
+            case Some(gj) => respond(ex, 200, "application/json",
+              s"""{"data":{"gfw_geostore_id":"$id","geojson":$gj},"status":"success"}""")
+            case None => respond(ex, 404, "application/json",
+              Sinks.jsendError(s"Geostore $id not found"))
+          }
+        case _ =>
+          respond(ex, 404, "application/json", Sinks.jsendError("Not found"))
+      }
+    } catch {
+      case e: SqlGateException =>
+        respond(ex, e.statusCode, "application/json", Sinks.jsendError(e.detail))
+      case e: Throwable =>
+        respond(ex, 500, "application/json",
+          Sinks.jsendError(Option(e.getMessage).getOrElse("Internal server error")))
+    } finally ex.close()
+
+  // ------------------------------------------------------------ handlers
+
+  private def query(ex: HttpExchange, dataset: String, version: String,
+                    json: Boolean): Unit = {
+    val params = queryParams(ex)
+    val sql = params.getOrElse("sql",
+      return respond(ex, 422, "application/json", Sinks.jsendError("Missing sql parameter")))
+    catalog.queryEngine(dataset, version) match {
+      case Left(msg) if msg.contains("not found") =>
+        respond(ex, 404, "application/json", Sinks.jsendError(msg))
+      case Left(msg) =>
+        respond(ex, 501, "application/json", Sinks.jsendError(msg))
+      case Right(_) =>
+        val geom = params.get("geostore_id").flatMap(geostore.get)
+        // lake table view name == dataset name (single-version lake)
+        val rewritten = Scrutinizer.scrutinizeTo(dataset, geom, sql)
+        val df = spark.sql(rewritten)
+        ex.getResponseHeaders.add("Cache-Control", "max-age=7200")
+        if (json) respond(ex, 200, "application/json", Sinks.toJsend(df))
+        else respond(ex, 200, "text/csv", Sinks.toCsv(df))
+    }
+  }
+
+  private def fields(ex: HttpExchange, dataset: String, version: String): Unit =
+    catalog.version(dataset, version) match {
+      case None => respond(ex, 404, "application/json",
+        Sinks.jsendError(s"Dataset version $dataset.$version not found"))
+      case Some(_) =>
+        val schema = spark.table(dataset).schema
+        val items = schema.fields.map { f =>
+          s"""{"name":"${f.name}","data_type":"${f.dataType.catalogString}","is_feature_info":true}"""
+        }.mkString(",")
+        respond(ex, 200, "application/json", s"""{"data":[$items],"status":"success"}""")
+    }
+
+  private def geostoreCreate(ex: HttpExchange): Unit = {
+    val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+    val geom = graft.geo.Geom.fromGeoJson(body)
+    val canonical = graft.geo.Geom.toGeoJson(geom)
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(canonical.getBytes("UTF-8"))
+    val hex = md.map(b => f"$b%02x").mkString
+    val id = s"${hex.substring(0, 8)}-${hex.substring(8, 12)}-${hex.substring(12, 16)}-" +
+      s"${hex.substring(16, 20)}-${hex.substring(20)}"
+    geostore.put(id, canonical)
+    respond(ex, 201, "application/json",
+      s"""{"data":{"gfw_geostore_id":"$id"},"status":"success"}""")
+  }
+
+  // --------------------------------------------------------------- utils
+
+  private def queryParams(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getRawQuery).map { q =>
+      q.split("&").toSeq.flatMap { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => Some(k -> java.net.URLDecoder.decode(v, "UTF-8"))
+          case Array(k) => Some(k -> "")
+          case _ => None
+        }
+      }.toMap
+    }.getOrElse(Map.empty)
+
+  private def respond(ex: HttpExchange, code: Int, ct: String, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.add("Content-Type", ct)
+    ex.sendResponseHeaders(code, if (bytes.isEmpty) -1 else bytes.length)
+    if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
+  }
+}

@@ -40,17 +40,24 @@ object RasterQueries extends QueryModule {
   private val dGx = s"(p % ${g.pxX})"
   private val dGy = s"(p // ${g.pxX})"
 
-  // ---- AOI: convex quad, vertices off the pixel-center lattice ----
+  // ---- AOIs: convex quads, vertices off the pixel-center lattice ----
   private val aoi = Seq(
     (0.3513, 40.6821), (3.1242, 40.9753), (3.7081, 43.2517), (0.8472, 42.8391))
-  private val aoiGeoJson = {
-    val ring = (aoi :+ aoi.head).map { case (x, y) => s"[$x,$y]" }.mkString(",")
+  private val aoi2 = Seq(
+    (1.1513, 41.2821), (2.9242, 41.3753), (2.8081, 42.9517), (1.2472, 42.7391))
+  private def geoJson(poly: Seq[(Double, Double)]): String = {
+    val ring = (poly :+ poly.head).map { case (x, y) => s"[$x,$y]" }.mkString(",")
     s"""{"type":"Polygon","coordinates":[[$ring]]}"""
   }
-  private def halfPlanes(lonE: String, latE: String): String =
-    aoi.zip(aoi.tail :+ aoi.head).map { case ((x1, y1), (x2, y2)) =>
+  private val aoiGeoJson = geoJson(aoi)
+  private def halfPlanesOf(poly: Seq[(Double, Double)])(lonE: String, latE: String): String =
+    poly.zip(poly.tail :+ poly.head).map { case ((x1, y1), (x2, y2)) =>
       s"(($x2 - $x1) * ($latE - $y1) - ($y2 - $y1) * ($lonE - $x1)) >= 0"
     }.mkString(" AND ")
+  private def halfPlanes(lonE: String, latE: String): String =
+    halfPlanesOf(aoi)(lonE, latE)
+  private def bbox(poly: Seq[(Double, Double)]): (Double, Double, Double, Double) =
+    (poly.map(_._1).min, poly.map(_._2).min, poly.map(_._1).max, poly.map(_._2).max)
 
   private val sparkAoiMask =
     s"st_intersects(st_point(${g.lonCenterSql(sGx)}, ${g.latCenterSql(sGy)}), " +
@@ -250,7 +257,55 @@ object RasterQueries extends QueryModule {
          |  FROM tc JOIN th ON tc.tx = th.tx AND tc.ty = th.ty),
          |fin AS (SELECT LEAST(CAST(floor((d - gmin) * n / (gmax - gmin)) AS BIGINT), n - 1) AS bin, c
          |  FROM vals, nb)
-         |SELECT bin::INT AS bin, sum(c) AS cnt FROM fin GROUP BY bin""".stripMargin)
+         |SELECT bin::INT AS bin, sum(c) AS cnt FROM fin GROUP BY bin""".stripMargin),
+
+    // §3.3 batch query: many-AOI fan-out as ONE Spark job — the AOI
+    // table joins tile-bbox × aoi-bbox (pruning), each surviving
+    // (aoi, tile) pair masks and partial-aggregates independently, and
+    // a single shuffle groups by (fid, key). The reference dispatches
+    // ≤100 parallel lambdas through Step Functions for this; here it
+    // is one plan with the AOI side broadcast.
+    SqlQ.split("r7_batch_zonal", {
+      val aois = Seq((0, aoi), (1, aoi2)).map { case (fid, p) =>
+        val (bxmin, bymin, bxmax, bymax) = bbox(p)
+        s"($fid, '${geoJson(p)}', CAST($bxmin AS DOUBLE), CAST($bymin AS DOUBLE), " +
+          s"CAST($bxmax AS DOUBLE), CAST($bymax AS DOUBLE))"
+      }.mkString(",\n    ")
+      val maskE =
+        s"st_intersects(st_point(${g.lonCenterSql(sGx)}, ${g.latCenterSql(sGy)}), st_geomfromgeojson(gj))"
+      s"""$sparkTiles,
+         |aois AS (SELECT * FROM VALUES
+         |    $aois AS a(fid, gj, bxmin, bymin, bxmax, bymax)),
+         |pairs AS (SELECT /*+ BROADCAST(aois) */ fid, gj, tx, ty
+         |  FROM tg JOIN aois
+         |    ON tx * ${g.tileDeg} + ${g.originLon} < bxmax
+         |   AND tx * ${g.tileDeg} + ${g.originLon} + ${g.tileDeg} > bxmin
+         |   AND ${g.originLat} - ty * ${g.tileDeg} - ${g.tileDeg} < bymax
+         |   AND ${g.originLat} - ty * ${g.tileDeg} > bymin),
+         |arrs AS (SELECT fid,
+         |  ${sparkArr(landcover.formula(sGx, sGy))} AS keys,
+         |  ${sparkArr(g.microHaSql(sGy))} AS vals,
+         |  ${sparkBoolArr(maskE)} AS mask
+         | FROM pairs),
+         |parts AS (SELECT fid, explode(tile_zonal(keys, vals, mask)) AS p FROM arrs)
+         |SELECT fid, p.k AS landcover,
+         |  CAST(sum(p.s) AS DOUBLE) / 1000000.0 AS area_ha,
+         |  sum(p.c) AS pixel_count
+         |FROM parts GROUP BY fid, p.k""".stripMargin
+    }, {
+      def one(fid: Int, p: Seq[(Double, Double)]): String =
+        s"""SELECT $fid AS fid, ${landcover.formula(dGx, dGy)} AS k,
+           |  ${g.microHaSql(dGy)} AS microha FROM px
+           |  WHERE ${halfPlanesOf(p)(g.lonCenterSql(dGx), g.latCenterSql(dGy))}""".stripMargin
+      s"""$duckPixels,
+         |f AS (${one(0, aoi)}
+         |UNION ALL
+         |${one(1, aoi2)})
+         |SELECT fid, k AS landcover,
+         |  CAST(sum(microha) AS DOUBLE) / 1000000.0 AS area_ha,
+         |  count(*) AS pixel_count
+         |FROM f GROUP BY fid, k""".stripMargin
+    })
   )
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,93 @@
+package graft.api
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private var server: ApiServer = _
+  private var port: Int = _
+  private val client = HttpClient.newBuilder()
+    .followRedirects(HttpClient.Redirect.NEVER).build()
+
+  override def beforeAll(): Unit = {
+    server = new ApiServer(spark, "/root/testdata/sf0.001")
+    port = server.start()
+  }
+  override def afterAll(): Unit = { server.stop(); spark.stop() }
+
+  private def get(path: String): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+  private def post(path: String, body: String): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+      .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  test("count query returns JSEND data (reference test_query.py:65-75 shape)") {
+    val r = get("/dataset/nation/v1/query/json?sql=SELECT%20count(*)%20AS%20cnt%20FROM%20data")
+    assert(r.statusCode() == 200)
+    assert(r.body() == """{"data":[{"cnt":25}],"status":"success"}""")
+    assert(r.headers().firstValue("Cache-Control").get == "max-age=7200")
+  }
+
+  test("deprecated /query path 308-redirects preserving the query string") {
+    val r = get("/dataset/nation/v1/query?sql=SELECT%201%20FROM%20data")
+    assert(r.statusCode() == 308)
+    assert(r.headers().firstValue("Location").get ==
+      "/dataset/nation/v1/query/json?sql=SELECT%201%20FROM%20data")
+  }
+
+  test("csv endpoint applies QUOTE_NONNUMERIC") {
+    val r = get("/dataset/region/v1/query/csv?sql=" +
+      java.net.URLEncoder.encode(
+        "SELECT r_regionkey, r_name FROM data ORDER BY r_regionkey LIMIT 2", "UTF-8"))
+    assert(r.statusCode() == 200)
+    val lines = r.body().split("\r\n")
+    assert(lines(0) == "\"r_regionkey\",\"r_name\"")
+    assert(lines(1).matches("0,\".+\""))
+  }
+
+  test("forbidden function rejected with the reference's message") {
+    val r = get("/dataset/nation/v1/query/json?sql=" +
+      java.net.URLEncoder.encode("SELECT pg_ls_dir('/') FROM data", "UTF-8"))
+    assert(r.statusCode() == 400)
+    assert(r.body().contains("Use of admin, system or private functions is not allowed."))
+  }
+
+  test("unknown dataset → 404; 'latest' version alias resolves") {
+    assert(get("/dataset/nope/v1/query/json?sql=SELECT%201%20FROM%20data").statusCode() == 404)
+    assert(get("/dataset/nation/latest/query/json?sql=SELECT%20count(*)%20AS%20c%20FROM%20data")
+      .statusCode() == 200)
+  }
+
+  test("fields endpoint returns schema metadata") {
+    val r = get("/dataset/region/v1/fields")
+    assert(r.statusCode() == 200)
+    assert(r.body().contains(""""name":"r_name","data_type":"string""""))
+  }
+
+  test("geostore create + fetch round-trip with content-addressed id") {
+    val gj = """{"type":"Polygon","coordinates":[[[0,0],[10,0],[10,10],[0,10],[0,0]]]}"""
+    val created = post("/geostore", gj)
+    assert(created.statusCode() == 201)
+    val id = "\"gfw_geostore_id\":\"([0-9a-f-]+)\"".r
+      .findFirstMatchIn(created.body()).get.group(1)
+    assert(id.length == 36)
+    val fetched = get(s"/geostore/$id")
+    assert(fetched.statusCode() == 200)
+    assert(fetched.body().contains(gj))
+    assert(get("/geostore/00000000-0000-0000-0000-000000000000").statusCode() == 404)
+  }
+}
