@@ -259,6 +259,30 @@ object RasterQueries extends QueryModule {
          |  FROM vals, nb)
          |SELECT bin::INT AS bin, sum(c) AS cnt FROM fin GROUP BY bin""".stripMargin),
 
+    // A3: the latitude/longitude reserved pseudo-columns — generated
+    // from grid georeferencing, never stored (`versions.py:519-522`).
+    // Group pixel area into 1° latitude bands via floor(latitude).
+    SqlQ.split("r8_latitude_bands",
+      s"""$sparkTiles,
+         |arrs AS (SELECT
+         |  ${sparkArr(s"floor(${g.latCenterSql(sGy)})")} AS keys,
+         |  ${sparkArr(g.microHaSql(sGy))} AS vals,
+         |  ${sparkBoolArr(sparkAoiMask)} AS mask
+         | FROM tg),
+         |parts AS (SELECT explode(tile_zonal(keys, vals, mask)) AS p FROM arrs)
+         |SELECT CAST(p.k AS INT) AS lat_band,
+         |  CAST(sum(p.s) AS DOUBLE) / 1000000.0 AS area_ha,
+         |  sum(p.c) AS pixel_count
+         |FROM parts GROUP BY p.k""".stripMargin,
+      s"""$duckPixels,
+         |f AS (SELECT CAST(floor(${g.latCenterSql(dGy)}) AS BIGINT) AS k,
+         |  ${g.microHaSql(dGy)} AS microha FROM px
+         |  WHERE $duckAoiMask)
+         |SELECT CAST(k AS INT) AS lat_band,
+         |  CAST(sum(microha) AS DOUBLE) / 1000000.0 AS area_ha,
+         |  count(*) AS pixel_count
+         |FROM f GROUP BY k""".stripMargin),
+
     // §3.3 batch query: many-AOI fan-out as ONE Spark job — the AOI
     // table joins tile-bbox × aoi-bbox (pruning), each surviving
     // (aoi, tile) pair masks and partial-aggregates independently, and

@@ -107,6 +107,20 @@ object RelationalQueries extends QueryModule {
         |SELECT s_suppkey AS id, 'supplier' AS src FROM supplier
         |ORDER BY src, id""".stripMargin),
 
+    // P3+: WHERE-clause subqueries pass the gate (the reference only
+    // forbids subqueries in FROM, query_helpers.py:112-118; pglast
+    // passes WHERE subselects through to PG).
+    SqlQ.shared("p9_where_subquery",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+        |  AND o_totalprice > 300000""".stripMargin),
+
+    // A1+: HAVING passes through the dialect like GROUP BY tails.
+    SqlQ.shared("a10_having",
+      """SELECT o_custkey, count(*) AS n_orders
+        |FROM orders GROUP BY o_custkey HAVING count(*) >= 30
+        |ORDER BY o_custkey""".stripMargin),
+
     // J5: latest-unless-overridden version resolution over an inline
     // catalog (queries.py:790-813 semantics as one join).
     SqlQ.split("j5_version_override",
