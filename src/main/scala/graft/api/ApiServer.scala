@@ -66,6 +66,7 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0) {
         case ("GET", QueryJson(d, v)) => query(ex, d, v, json = true)
         case ("GET", QueryCsv(d, v)) => query(ex, d, v, json = false)
         case ("GET", Fields(d, v)) => fields(ex, d, v)
+        case ("GET", "/analysis/zonal") => zonal(ex)
         case ("POST", "/geostore") => geostoreCreate(ex)
         case ("GET", GeostoreGet(id)) =>
           geostore.get(id) match {
@@ -80,6 +81,8 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0) {
     } catch {
       case e: SqlGateException =>
         respond(ex, e.statusCode, "application/json", Sinks.jsendError(e.detail))
+      case e: graft.raster.ZonalEngine.ZonalException =>
+        respond(ex, 400, "application/json", Sinks.jsendError(e.detail))
       case e: Throwable =>
         respond(ex, 500, "application/json",
           Sinks.jsendError(Option(e.getMessage).getOrElse("Internal server error")))
@@ -119,6 +122,29 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0) {
         }.mkString(",")
         respond(ex, 200, "application/json", s"""{"data":[$items],"status":"success"}""")
     }
+
+  /** OTF zonal statistics over a stored geostore AOI
+    * (`/analysis/zonal`, `analysis.py:36-93`): geostore is mandatory
+    * for the raster engine (422 without one, `queries.py:487-503`). */
+  private def zonal(ex: HttpExchange): Unit = {
+    val params = queryParams(ex)
+    val gid = params.getOrElse("geostore_id",
+      return respond(ex, 422, "application/json",
+        Sinks.jsendError("Raster analysis requires a geostore_id")))
+    geostore.get(gid) match {
+      case None => respond(ex, 404, "application/json",
+        Sinks.jsendError(s"Geostore $gid not found"))
+      case Some(gj) =>
+        val req = graft.raster.ZonalEngine.Request(
+          aoiGeoJson = gj,
+          groupBy = params.get("group_by").map(_.split(",").toSeq)
+            .getOrElse(Seq("landcover")),
+          tcdThreshold = params.get("tcd_threshold").map(_.toInt))
+        val df = graft.raster.ZonalEngine.run(spark, req)
+        ex.getResponseHeaders.add("Cache-Control", "max-age=7200")
+        respond(ex, 200, "application/json", Sinks.toJsend(df))
+    }
+  }
 
   private def geostoreCreate(ex: HttpExchange): Unit = {
     val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)

@@ -332,14 +332,39 @@ object RasterQueries extends QueryModule {
     })
   )
 
+  /** S8 at rest: the same zonal statistic as r1, but reading the
+    * PERSISTED tile lake with AOI-bbox partition pruning — only
+    * intersecting `tile_id=` partitions are listed and read. */
+  private def tileLakeZonal(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.register(spark, sfDir)
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_tile_lake"
+    TileLake.ensureWritten(spark, dir)
+    val (bxmin, bymin, bxmax, bymax) = bbox(aoi)
+    val ids = TileLake.tileIdsForBbox(g, bxmin, bymin, bxmax, bymax)
+    TileLake.scanPruned(spark, dir, ids).createOrReplaceTempView("tile_lake_scan")
+    spark.sql(
+      s"""WITH arrs AS (SELECT px_landcover AS keys,
+         |  ${sparkArr(g.microHaSql(sGy))} AS vals,
+         |  ${sparkBoolArr(sparkAoiMask)} AS mask
+         | FROM tile_lake_scan),
+         |parts AS (SELECT explode(tile_zonal(keys, vals, mask)) AS p FROM arrs)
+         |SELECT p.k AS landcover, ${decode("p.k")} AS landcover_name,
+         |  CAST(sum(p.s) AS DOUBLE) / 1000000.0 AS area_ha,
+         |  sum(p.c) AS pixel_count
+         |FROM parts GROUP BY p.k""".stripMargin)
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     sqls.map { q =>
       q.name -> ((spark: SparkSession, sfDir: String) => {
         Tables.register(spark, sfDir)
         spark.sql(q.sparkSql)
       })
-    }.toMap
+    }.toMap + ("r9_tile_lake_zonal" -> ((s: SparkSession, d: String) => tileLakeZonal(s, d)))
 
   override def oracles: Map[String, String] =
-    sqls.flatMap(q => q.oracleSql.map(q.name -> _)).toMap
+    sqls.flatMap(q => q.oracleSql.map(q.name -> _)).toMap +
+      // identical semantics to r1: pruning only drops tiles whose mask
+      // would be all-false
+      ("r9_tile_lake_zonal" -> sqls.find(_.name == "r1_zonal_landcover").get.oracleSql.get)
 }

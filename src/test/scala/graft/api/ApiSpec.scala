@@ -78,6 +78,28 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.body().contains(""""name":"r_name","data_type":"string""""))
   }
 
+  test("zonal analysis over a stored geostore AOI") {
+    // AOI inside the synthetic grid (lon [0,4), lat [40,44))
+    val gj = """{"type":"Polygon","coordinates":[[[0.3513,40.6821],[3.1242,40.9753],[3.7081,43.2517],[0.8472,42.8391],[0.3513,40.6821]]]}"""
+    val created = post("/geostore", gj)
+    val id = "\"gfw_geostore_id\":\"([0-9a-f-]+)\"".r
+      .findFirstMatchIn(created.body()).get.group(1)
+    val r = get(s"/analysis/zonal?geostore_id=$id&group_by=landcover&tcd_threshold=30")
+    assert(r.statusCode() == 200, r.body().take(300))
+    assert(r.body().contains("\"landcover_name\":\"forest\""))
+    assert(r.body().contains("\"area_ha\":"))
+    // missing geostore → 422 / unknown id → 404 / non-polygon → 400
+    assert(get("/analysis/zonal").statusCode() == 422)
+    assert(get("/analysis/zonal?geostore_id=00000000-0000-0000-0000-000000000000")
+      .statusCode() == 404)
+    val pt = post("/geostore", """{"type":"Point","coordinates":[1.5,41.5]}""")
+    val pid = "\"gfw_geostore_id\":\"([0-9a-f-]+)\"".r
+      .findFirstMatchIn(pt.body()).get.group(1)
+    val bad = get(s"/analysis/zonal?geostore_id=$pid")
+    assert(bad.statusCode() == 400)
+    assert(bad.body().contains("Geometry must be a Polygon or MultiPolygon"))
+  }
+
   test("geostore create + fetch round-trip with content-addressed id") {
     val gj = """{"type":"Polygon","coordinates":[[[0,0],[10,0],[10,10],[0,10],[0,0]]]}"""
     val created = post("/geostore", gj)
