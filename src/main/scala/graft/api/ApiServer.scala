@@ -29,12 +29,14 @@ import org.apache.spark.sql.SparkSession
   * strings); unknown dataset/version → 404; 2-hour Cache-Control on
   * query responses (`queries.py:155-158`).
   */
-final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0) {
+final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
+                      nonDownloadable: Set[String] = Set.empty) {
 
   Tables.register(spark, sfDir)
 
   private val catalog = new cat.Catalog(Tables.all.map { t =>
     cat.Dataset(t, Seq(cat.Version(t, "v1", isLatest = true,
+      isDownloadable = !nonDownloadable.contains(t),
       assets = Seq(cat.Asset(s"$t-a1", cat.AssetType.DatabaseTable, s"$sfDir/$t.parquet",
         isDefault = true)))))
   })
@@ -52,6 +54,7 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0) {
   private val QueryRoot = "^/dataset/([^/]+)/([^/]+)/query$".r
   private val QueryJson = "^/dataset/([^/]+)/([^/]+)/query/json$".r
   private val QueryCsv = "^/dataset/([^/]+)/([^/]+)/query/csv$".r
+  private val Download = "^/dataset/([^/]+)/([^/]+)/download/(csv|json)$".r
   private val Fields = "^/dataset/([^/]+)/([^/]+)/fields$".r
   private val GeostoreGet = "^/geostore/([^/]+)$".r
 
@@ -65,6 +68,8 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0) {
           respond(ex, 308, "application/json", "")
         case ("GET", QueryJson(d, v)) => query(ex, d, v, json = true)
         case ("GET", QueryCsv(d, v)) => query(ex, d, v, json = false)
+        case ("POST", QueryJson(d, v)) => queryPost(ex, d, v)
+        case ("GET", Download(d, v, fmt)) => download(ex, d, v, fmt)
         case ("GET", Fields(d, v)) => fields(ex, d, v)
         case ("GET", "/analysis/zonal") => zonal(ex)
         case ("POST", "/geostore") => geostoreCreate(ex)
@@ -104,6 +109,7 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0) {
         val geom = params.get("geostore_id").flatMap(geostore.get)
         // lake table view name == dataset name (single-version lake)
         val rewritten = Scrutinizer.scrutinizeTo(dataset, geom, sql)
+        graft.sqlgate.TabularEngine.checkFunctionsExist(spark, rewritten)
         val df = spark.sql(rewritten)
         ex.getResponseHeaders.add("Cache-Control", "max-age=7200")
         if (json) respond(ex, 200, "application/json", Sinks.toJsend(df))
@@ -121,6 +127,45 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0) {
           s"""{"name":"${f.name}","data_type":"${f.dataType.catalogString}","is_feature_info":true}"""
         }.mkString(",")
         respond(ex, 200, "application/json", s"""{"data":[$items],"status":"success"}""")
+    }
+
+  /** POST body form: `{"sql": "...", "geometry": {...GeoJSON...}}`
+    * with an inline AOI (`queries.py` POST routes). */
+  private def queryPost(ex: HttpExchange, dataset: String, version: String): Unit = {
+    val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+    val obj = graft.geo.Json.parseObject(body)
+    val sql = obj.get("sql") match {
+      case Some(s: String) => s
+      case _ => return respond(ex, 422, "application/json",
+        Sinks.jsendError("Missing sql in request body"))
+    }
+    val geom = obj.get("geometry").map(graft.geo.Json.write)
+    catalog.queryEngine(dataset, version) match {
+      case Left(msg) if msg.contains("not found") =>
+        respond(ex, 404, "application/json", Sinks.jsendError(msg))
+      case Left(msg) => respond(ex, 501, "application/json", Sinks.jsendError(msg))
+      case Right(_) =>
+        val rewritten = Scrutinizer.scrutinizeTo(dataset, geom, sql)
+        graft.sqlgate.TabularEngine.checkFunctionsExist(spark, rewritten)
+        respond(ex, 200, "application/json", Sinks.toJsend(spark.sql(rewritten)))
+    }
+  }
+
+  /** Download variant of the query endpoints: attachment disposition,
+    * gated by the version's downloadability flag
+    * (`downloads.py:391-396`). */
+  private def download(ex: HttpExchange, dataset: String, version: String,
+                       fmt: String): Unit =
+    catalog.version(dataset, version) match {
+      case None => respond(ex, 404, "application/json",
+        Sinks.jsendError(s"Dataset version $dataset.$version not found"))
+      case Some(v) if !v.isDownloadable =>
+        respond(ex, 403, "application/json",
+          Sinks.jsendError("This dataset is not available for download"))
+      case Some(_) =>
+        ex.getResponseHeaders.add("Content-Disposition",
+          s"""attachment; filename="$dataset.$fmt"""")
+        query(ex, dataset, version, json = fmt == "json")
     }
 
   /** OTF zonal statistics over a stored geostore AOI

@@ -462,8 +462,40 @@ object Geom {
   }
 }
 
+/** Minimal JSON façade for API request bodies (the build has no JSON
+  * dependency): parse to Map/List/String/Double/Boolean/null, and
+  * serialize the same shapes back. */
+object Json {
+  def parseObject(s: String): Map[String, Any] =
+    new GeoJsonParser(s).parseRootObject()
+
+  def write(v: Any): String = v match {
+    case null => "null"
+    case m: Map[_, _] =>
+      m.map { case (k, x) => s"${write(k.toString)}:${write(x)}" }
+        .mkString("{", ",", "}")
+    case l: List[_] => l.map(write).mkString("[", ",", "]")
+    case s: String =>
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case '\n' => "\\n"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    case d: Double =>
+      if (d == Math.floor(d) && !d.isInfinite && Math.abs(d) < 1e15)
+        d.toLong.toString
+      else d.toString
+    case b: Boolean => b.toString
+    case other => other.toString
+  }
+}
+
 /** Tiny recursive-descent parser for the GeoJSON geometry subset. */
-private final class GeoJsonParser(s: String) {
+private[geo] final class GeoJsonParser(s: String) {
+
+  private[geo] def parseRootObject(): Map[String, Any] = parseObject()
   private var i = 0
 
   def parseGeometry(): Geom = {

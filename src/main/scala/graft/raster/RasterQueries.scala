@@ -259,6 +259,31 @@ object RasterQueries extends QueryModule {
          |  FROM vals, nb)
          |SELECT bin::INT AS bin, sum(c) AS cnt FROM fin GROUP BY bin""".stripMargin),
 
+    // P10 boolean-layer form: `is__<dataset> != 'false'` masks on a
+    // presence layer (derived here as landcover==0, "is forest"),
+    // composed with the AOI — the second filter shape the analysis
+    // builder emits (analysis.py:117-120).
+    SqlQ.split("r10_boolean_layer",
+      s"""$sparkTiles,
+         |arrs AS (SELECT
+         |  ${sparkArr(tcd.formula(sGx, sGy) + " DIV 10")} AS keys,
+         |  ${sparkArr(g.microHaSql(sGy))} AS vals,
+         |  ${sparkBoolArr(s"($sparkAoiMask) AND ((${landcover.formula(sGx, sGy)}) = 0)")} AS mask
+         | FROM tg),
+         |parts AS (SELECT explode(tile_zonal(keys, vals, mask)) AS p FROM arrs)
+         |SELECT p.k AS tcd_decile,
+         |  CAST(sum(p.s) AS DOUBLE) / 1000000.0 AS forest_area_ha,
+         |  sum(p.c) AS pixel_count
+         |FROM parts GROUP BY p.k""".stripMargin,
+      s"""$duckPixels,
+         |f AS (SELECT (${tcd.formula(dGx, dGy)}) // 10 AS k,
+         |  ${g.microHaSql(dGy)} AS microha FROM px
+         |  WHERE ($duckAoiMask) AND ((${landcover.formula(dGx, dGy)}) = 0))
+         |SELECT k AS tcd_decile,
+         |  CAST(sum(microha) AS DOUBLE) / 1000000.0 AS forest_area_ha,
+         |  count(*) AS pixel_count
+         |FROM f GROUP BY k""".stripMargin),
+
     // A3: the latitude/longitude reserved pseudo-columns — generated
     // from grid georeferencing, never stored (`versions.py:519-522`).
     // Group pixel area into 1° latitude bands via floor(latitude).

@@ -22,7 +22,8 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     .followRedirects(HttpClient.Redirect.NEVER).build()
 
   override def beforeAll(): Unit = {
-    server = new ApiServer(spark, "/root/testdata/sf0.001")
+    server = new ApiServer(spark, "/root/testdata/sf0.001",
+      nonDownloadable = Set("embeddings"))
     port = server.start()
   }
   override def afterAll(): Unit = { server.stop(); spark.stop() }
@@ -59,6 +60,14 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lines(1).matches("0,\".+\""))
   }
 
+  test("unknown function fails with PG's error text (test_query.py:305-321)") {
+    val r = get("/dataset/nation/v1/query/json?sql=" +
+      java.net.URLEncoder.encode("select doesnotexist() from mytable;", "UTF-8"))
+    assert(r.statusCode() == 400)
+    assert(r.body().contains("Bad request. function doesnotexist() does not exist"))
+    assert(r.body().contains("HINT:  No function matches the given name and argument types."))
+  }
+
   test("forbidden function rejected with the reference's message") {
     val r = get("/dataset/nation/v1/query/json?sql=" +
       java.net.URLEncoder.encode("SELECT pg_ls_dir('/') FROM data", "UTF-8"))
@@ -70,6 +79,26 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(get("/dataset/nope/v1/query/json?sql=SELECT%201%20FROM%20data").statusCode() == 404)
     assert(get("/dataset/nation/latest/query/json?sql=SELECT%20count(*)%20AS%20c%20FROM%20data")
       .statusCode() == 200)
+  }
+
+  test("POST query with JSON body") {
+    val r = post("/dataset/nation/v1/query/json",
+      """{"sql": "SELECT count(*) AS cnt FROM data"}""")
+    assert(r.statusCode() == 200)
+    assert(r.body() == """{"data":[{"cnt":25}],"status":"success"}""")
+    assert(post("/dataset/nation/v1/query/json", """{"nope": 1}""").statusCode() == 422)
+  }
+
+  test("download endpoint: attachment header + downloadability gate") {
+    val ok = get("/dataset/region/v1/download/csv?sql=" +
+      java.net.URLEncoder.encode("SELECT r_regionkey FROM data LIMIT 1", "UTF-8"))
+    assert(ok.statusCode() == 200)
+    assert(ok.headers().firstValue("Content-Disposition").get
+      .startsWith("attachment"))
+    val blocked = get("/dataset/embeddings/v1/download/csv?sql=" +
+      java.net.URLEncoder.encode("SELECT vec_id FROM data LIMIT 1", "UTF-8"))
+    assert(blocked.statusCode() == 403)
+    assert(blocked.body().contains("This dataset is not available for download"))
   }
 
   test("fields endpoint returns schema metadata") {
