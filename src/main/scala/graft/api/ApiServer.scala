@@ -42,12 +42,13 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
   })
 
   private val geostore = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val jobRegistry = new JobRegistry
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   server.createContext("/", (ex: HttpExchange) => handle(ex))
 
   def start(): Int = { server.start(); server.getAddress.getPort }
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = { jobRegistry.shutdown(); server.stop(0) }
 
   // ------------------------------------------------------------- routing
 
@@ -72,6 +73,17 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
         case ("GET", Download(d, v, fmt)) => download(ex, d, v, fmt)
         case ("GET", Fields(d, v)) => fields(ex, d, v)
         case ("GET", "/analysis/zonal") => zonal(ex)
+        case ("POST", "/analysis/zonal/batch") => zonalBatch(ex)
+        case ("GET", JobGet(id)) =>
+          jobRegistry.get(id) match {
+            case None => respond(ex, 404, "application/json",
+              Sinks.jsendError(s"Job $id not found"))
+            case Some(j) =>
+              val payload = j.payload.getOrElse("null")
+              val msg = j.message.map(m => s""","message":${graft.geo.Json.write(m)}""").getOrElse("")
+              respond(ex, 200, "application/json",
+                s"""{"data":{"job_id":"${j.id}","status":"${j.status.name}","results":$payload$msg},"status":"success"}""")
+          }
         case ("POST", "/geostore") => geostoreCreate(ex)
         case ("GET", GeostoreGet(id)) =>
           geostore.get(id) match {
@@ -189,6 +201,44 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
         ex.getResponseHeaders.add("Cache-Control", "max-age=7200")
         respond(ex, 200, "application/json", Sinks.toJsend(df))
     }
+  }
+
+  private val JobGet = "^/job/([^/]+)$".r
+
+  /** Batch zonal analysis over an inline FeatureCollection: 202 + a
+    * pollable job (the reference fans out ≤100 Step-Function lambdas;
+    * here the features run through the zonal engine in one process —
+    * the single-shuffle whole-batch plan is the r7_batch_zonal query).
+    * Body: `{"feature_collection": {...}, "tcd_threshold": n?}`. */
+  private def zonalBatch(ex: HttpExchange): Unit = {
+    val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+    val obj = graft.geo.Json.parseObject(body)
+    val fc = obj.get("feature_collection") match {
+      case Some(m: Map[_, _]) => m.asInstanceOf[Map[String, Any]]
+      case _ => return respond(ex, 422, "application/json",
+        Sinks.jsendError("Missing feature_collection in request body"))
+    }
+    val features = fc.getOrElse("features", List.empty).asInstanceOf[List[Any]]
+    if (features.isEmpty || features.size > 100)
+      return respond(ex, 400, "application/json",
+        Sinks.jsendError("feature_collection must contain 1-100 features"))
+    val threshold = obj.get("tcd_threshold").map(_.asInstanceOf[Double].toInt)
+    val geoms = features.map { f =>
+      graft.geo.Json.write(f.asInstanceOf[Map[String, Any]]("geometry"))
+    }
+    val id = jobRegistry.submit { () =>
+      val parts = geoms.zipWithIndex.map { case (gj, fid) =>
+        val df = graft.raster.ZonalEngine.run(spark,
+          graft.raster.ZonalEngine.Request(aoiGeoJson = gj, tcdThreshold = threshold))
+        val rows = Sinks.toJsend(df)
+        // unwrap the data array and tag the feature id
+        val data = rows.stripPrefix("{\"data\":[").stripSuffix("],\"status\":\"success\"}")
+        s"""{"fid":$fid,"rows":[$data]}"""
+      }
+      parts.mkString("[", ",", "]")
+    }
+    respond(ex, 202, "application/json",
+      s"""{"data":{"job_id":"$id","status":"pending"},"status":"success"}""")
   }
 
   private def geostoreCreate(ex: HttpExchange): Unit = {

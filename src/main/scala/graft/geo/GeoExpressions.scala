@@ -237,6 +237,25 @@ object GeoExpressions {
       copy(children = cs)
   }
 
+  /** Polygon ∩ convex-polygon via Sutherland–Hodgman; the clip
+    * geometry's exterior ring must be convex CCW (grid cells, AOI
+    * quads — the reference's ST_Intersection call sites, J3). */
+  case class StIntersectionConvex(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "st_intersection_convex"
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val clip = geom(b.asInstanceOf[Array[Byte]]) match {
+        case Polygon(rings) => rings(0)
+        case MultiPolygon(ps) if ps.nonEmpty => ps(0)(0)
+        case _ => return null
+      }
+      Geom.toWkb(Geom.clipToConvex(geom(a.asInstanceOf[Array[Byte]]), clip))
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   case class StMakeEnvelope(children: Seq[Expression])
       extends Expression with CodegenFallback {
     override def dataType: DataType = BinaryType
@@ -279,6 +298,7 @@ object GeoFunctions {
     add("st_distance_sphere", es => StDistanceSphere(es(0), es(1)))
     add("norm_name", es => NormName(es.head))
     add("st_clip_envelope", es => StClipEnvelope(es))
+    add("st_intersection_convex", es => StIntersectionConvex(es(0), es(1)))
     add("st_makeenvelope", es => StMakeEnvelope(es))
   }
 }

@@ -429,6 +429,60 @@ object Geom {
     }
   }
 
+  /** Sutherland–Hodgman clip of a polygon by a CONVEX clip polygon
+    * (CCW exterior ring, closed). Generalizes [[clipToEnvelope]]: the
+    * 1×1-export's grid cells and zonal AOI quads are convex, so this
+    * covers the reference's `ST_Intersection` uses (J3; general
+    * concave×concave intersection is out of scope, documented). */
+  def clipToConvex(g: Geom, clip: Array[(Double, Double)]): Geom = {
+    val edges = clip.dropRight(1).zip(clip.dropRight(1).drop(1) :+ clip(0))
+    def inside(e: ((Double, Double), (Double, Double)), p: (Double, Double)): Boolean = {
+      val ((x1, y1), (x2, y2)) = e
+      (x2 - x1) * (p._2 - y1) - (y2 - y1) * (p._1 - x1) >= 0
+    }
+    def cross(e: ((Double, Double), (Double, Double)),
+              p: (Double, Double), q: (Double, Double)): (Double, Double) = {
+      val ((x1, y1), (x2, y2)) = e
+      val dcx = x2 - x1; val dcy = y2 - y1
+      val dpx = q._1 - p._1; val dpy = q._2 - p._2
+      val denom = dcx * dpy - dcy * dpx
+      val t = (dcx * (y1 - p._2) - dcy * (x1 - p._1)) / denom
+      (p._1 + t * dpx, p._2 + t * dpy)
+    }
+    def clipRing(ring: Array[(Double, Double)]): Array[(Double, Double)] = {
+      var pts = ring.toIndexedSeq
+      if (pts.nonEmpty && pts.head == pts.last) pts = pts.dropRight(1)
+      edges.foreach { e =>
+        if (pts.nonEmpty) {
+          val out = IndexedSeq.newBuilder[(Double, Double)]
+          var i = 0
+          val n = pts.length
+          while (i < n) {
+            val cur = pts(i)
+            val prev = pts((i + n - 1) % n)
+            val curIn = inside(e, cur)
+            val prevIn = inside(e, prev)
+            if (curIn) {
+              if (!prevIn) out += cross(e, prev, cur)
+              out += cur
+            } else if (prevIn) out += cross(e, prev, cur)
+            i += 1
+          }
+          pts = out.result()
+        }
+      }
+      if (pts.length < 3) Array.empty else (pts :+ pts.head).toArray
+    }
+    g match {
+      case Polygon(rings) =>
+        val cl = rings.map(clipRing).filter(_.nonEmpty)
+        Polygon(if (cl.isEmpty) Array(Array.empty[(Double, Double)]) else cl)
+      case MultiPolygon(ps) =>
+        MultiPolygon(ps.map(_.map(clipRing).filter(_.nonEmpty)).filter(_.nonEmpty))
+      case other => other
+    }
+  }
+
   /** Douglas–Peucker with tolerance `eps` (ST_Simplify semantics —
     * endpoint-preserving, not topology-preserving). */
   def simplify(g: Geom, eps: Double): Geom = {

@@ -129,6 +129,37 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bad.body().contains("Geometry must be a Polygon or MultiPolygon"))
   }
 
+  test("batch zonal analysis: 202 + pollable job with per-feature results") {
+    val body =
+      """{"feature_collection": {"type": "FeatureCollection", "features": [
+        |  {"type": "Feature", "geometry": {"type":"Polygon","coordinates":[[[0.3513,40.6821],[3.1242,40.9753],[3.7081,43.2517],[0.8472,42.8391],[0.3513,40.6821]]]}},
+        |  {"type": "Feature", "geometry": {"type":"Polygon","coordinates":[[[1.1513,41.2821],[2.9242,41.3753],[2.8081,42.9517],[1.2472,42.7391],[1.1513,41.2821]]]}}
+        |]}, "tcd_threshold": 30}""".stripMargin
+    val submitted = post("/analysis/zonal/batch", body)
+    assert(submitted.statusCode() == 202, submitted.body().take(300))
+    val jobId = "\"job_id\":\"([0-9a-f-]+)\"".r
+      .findFirstMatchIn(submitted.body()).get.group(1)
+    // poll until terminal (bounded)
+    var status = "pending"
+    var bodyTxt = ""
+    var tries = 0
+    while (status == "pending" && tries < 120) {
+      Thread.sleep(500)
+      val r = get(s"/job/$jobId")
+      bodyTxt = r.body()
+      status = "\"status\":\"(\\w+)\"".r.findFirstMatchIn(bodyTxt).get.group(1)
+      tries += 1
+    }
+    assert(status == "success", bodyTxt.take(500))
+    assert(bodyTxt.contains("\"fid\":0") && bodyTxt.contains("\"fid\":1"))
+    assert(bodyTxt.contains("\"landcover_name\":\"forest\""))
+    // unknown job → 404; empty feature list → 400
+    assert(get("/job/00000000-0000-0000-0000-000000000000").statusCode() == 404)
+    assert(post("/analysis/zonal/batch",
+      """{"feature_collection": {"type": "FeatureCollection", "features": []}}""")
+      .statusCode() == 400)
+  }
+
   test("geostore create + fetch round-trip with content-addressed id") {
     val gj = """{"type":"Polygon","coordinates":[[[0,0],[10,0],[10,10],[0,10],[0,0]]]}"""
     val created = post("/geostore", gj)

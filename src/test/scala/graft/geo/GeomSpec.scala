@@ -108,6 +108,30 @@ class GeomSpec extends AnyFunSuite {
     assert(gone.rings.forall(_.isEmpty))
   }
 
+  test("convex clip: triangle ∩ square") {
+    // CCW triangle covering the lower-left of the square
+    val tri = Array((-5.0, -5.0), (8.0, -5.0), (-5.0, 8.0), (-5.0, -5.0))
+    val clipped = Geom.clipToConvex(square, tri).asInstanceOf[Polygon]
+    val (minx, miny, maxx, maxy) = clipped.bbox
+    assert(minx == 0 && miny == 0)
+    // hypotenuse x+y=3 cuts the square at (3,0) and (0,3)
+    assert(math.abs(maxx - 3.0) < 1e-9 && math.abs(maxy - 3.0) < 1e-9)
+    // clip area (triangle corner inside square) = 3*3/2
+    val area = {
+      val r = clipped.rings(0)
+      math.abs(r.zip(r.tail).map { case ((x1, y1), (x2, y2)) => x1 * y2 - x2 * y1 }.sum / 2)
+    }
+    assert(math.abs(area - 4.5) < 1e-9)
+    // disjoint convex clip → empty
+    val far = Array((50.0, 50.0), (60.0, 50.0), (50.0, 60.0), (50.0, 50.0))
+    assert(Geom.clipToConvex(square, far).asInstanceOf[Polygon].rings.forall(_.isEmpty))
+    // clip == envelope-clip when the clip is a box
+    val box = Array((5.0, 5.0), (20.0, 5.0), (20.0, 20.0), (5.0, 20.0), (5.0, 5.0))
+    val viaConvex = Geom.clipToConvex(square, box)
+    val viaEnv = Geom.clipToEnvelope(square, 5, 5, 20, 20)
+    assert(viaConvex.bbox == viaEnv.bbox)
+  }
+
   test("douglas-peucker simplify drops collinear-ish vertices, keeps corners") {
     val line = LineString(Array((0.0, 0.0), (1.0, 0.01), (2.0, -0.01), (3.0, 0.0), (3.0, 5.0)))
     val simp = Geom.simplify(line, 0.1).asInstanceOf[LineString]
