@@ -26,6 +26,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "simhash31", exprs => SimHash31(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
+      "rph_sig", exprs => RphSig(exprs(0), exprs(1), exprs(2)), "built-in")
+    reg.createOrReplaceTempFunction(
       "hist_merge",
       exprs => graft.raster.HistMergeAgg(exprs(0), exprs(1), exprs(2), exprs(3)),
       "built-in")

