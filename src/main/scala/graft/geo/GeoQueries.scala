@@ -175,6 +175,42 @@ object GeoQueries extends QueryModule {
         |FROM nation
         |WHERE lower(n_name) IN ('germany', 'france', 'japan', 'brazil')""".stripMargin),
 
+    // Geostore inheritance (SURVEY §1.1): every vector version is a
+    // shard of the global geostore (PG table inheritance,
+    // `inherit_geostore.sh`); ours is a union view over version tables
+    // keyed by the content-addressed id.
+    SqlQ.split("g9_geostore_union",
+      s"""$sparkPts,
+         |spts AS (
+         |  SELECT s_suppkey AS key,
+         |    CAST(s_suppkey % 720 AS DOUBLE) / 2.0 - 179.25 AS lon,
+         |    CAST(s_suppkey % 340 AS DOUBLE) / 2.0 - 84.25 AS lat
+         |  FROM supplier WHERE s_suppkey < 50),
+         |uni AS (
+         |  SELECT 'customer_v1' AS src, c_custkey AS key, lon, lat FROM pts WHERE c_custkey < 50
+         |  UNION ALL
+         |  SELECT 'supplier_v1' AS src, key, lon, lat FROM spts)
+         |SELECT src, key, st_geostore_id(st_point(lon, lat)) AS gfw_geostore_id
+         |FROM uni""".stripMargin,
+      s"""$duckPts,
+         |spts AS (
+         |  SELECT s_suppkey AS key,
+         |    CAST(s_suppkey % 720 AS DOUBLE) / 2.0 - 179.25 AS lon,
+         |    CAST(s_suppkey % 340 AS DOUBLE) / 2.0 - 84.25 AS lat
+         |  FROM supplier WHERE s_suppkey < 50),
+         |uni AS (
+         |  SELECT 'customer_v1' AS src, c_custkey AS key, lon, lat FROM pts WHERE c_custkey < 50
+         |  UNION ALL
+         |  SELECT 'supplier_v1' AS src, key, lon, lat FROM spts),
+         |j AS (SELECT src, key,
+         |  '{"type":"Point","coordinates":[' || lon::VARCHAR || ',' || lat::VARCHAR || ']}' AS gj
+         |  FROM uni)
+         |SELECT src, key,
+         |  substr(md5(gj), 1, 8) || '-' || substr(md5(gj), 9, 4) || '-' ||
+         |  substr(md5(gj), 13, 4) || '-' || substr(md5(gj), 17, 4) || '-' ||
+         |  substr(md5(gj), 21, 12) AS gfw_geostore_id
+         |FROM j""".stripMargin),
+
     // J3: the 1×1-grid export spatial join — feature polygons joined
     // against a static degree grid with bbox pruning in the join
     // condition, clipped to each cell (`export_1x1_grid.py:309-381`).

@@ -145,6 +145,13 @@ object RelationalQueries extends QueryModule {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as double) AS running_value
         |FROM events WHERE user_id < 5""".stripMargin),
 
+    // OTF dialect's isoweek(date) (analysis.py:143-145) →
+    // weekofyear, ISO semantics in both engines.
+    SqlQ.shared("a11_isoweek",
+      """SELECT weekofyear(cast(ts as date)) AS iso_week, count(*) AS n_events
+        |FROM events GROUP BY weekofyear(cast(ts as date))
+        |ORDER BY iso_week""".stripMargin),
+
     // J5: latest-unless-overridden version resolution over an inline
     // catalog (queries.py:790-813 semantics as one join).
     SqlQ.split("j5_version_override",
