@@ -145,6 +145,29 @@ object RelationalQueries extends QueryModule {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as double) AS running_value
         |FROM events WHERE user_id < 5""".stripMargin),
 
+    // Sessionization: split each user's event stream on >10-minute
+    // gaps via lag + a cumulative boundary count — the windowed
+    // incremental pattern alert feeds need (§2.7 adjacent).
+    SqlQ.split("w3_sessionize",
+      """WITH g AS (SELECT user_id, event_id, ts,
+        |  unix_timestamp(ts) - lag(unix_timestamp(ts))
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        |  FROM events WHERE user_id < 10)
+        |SELECT user_id, event_id,
+        |  sum(CASE WHEN gap IS NULL OR gap > 600 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |FROM g""".stripMargin,
+      """WITH g AS (SELECT user_id, event_id, ts,
+        |  epoch(ts)::BIGINT - lag(epoch(ts)::BIGINT)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        |  FROM events WHERE user_id < 10)
+        |SELECT user_id, event_id,
+        |  sum(CASE WHEN gap IS NULL OR gap > 600 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |FROM g""".stripMargin),
+
     // OTF dialect's isoweek(date) (analysis.py:143-145) →
     // weekofyear, ISO semantics in both engines.
     SqlQ.shared("a11_isoweek",

@@ -216,6 +216,44 @@ object TextQueries extends QueryModule {
          |FROM f a, f b WHERE a.doc_id < b.doc_id
          |  AND bit_count(xor(a.simhash::BIGINT, b.simhash::BIGINT)) <= 3""".stripMargin),
 
+    // T5: the end-to-end training-corpus selection this pipeline
+    // exists for — keep documents that pass quality heuristics AND are
+    // not the duplicate side of a near-dup pair (keep-lowest-doc_id).
+    // Spark side: LSH candidates + verify → anti-join; oracle:
+    // inverted-index exact pairs → anti-join.
+    SqlQ.split("t5_corpus_select",
+      s"""$sparkShingles,
+         |$sparkSigs,
+         |band AS (SELECT doc_id, band,
+         |  ((((sg[band*3] * 131 + sg[band*3+1]) % $P) * 131) + sg[band*3+2]) % $P AS bh
+         |  FROM sigs LATERAL VIEW explode(sequence(0, 11)) t AS band),
+         |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+         |  FROM band a JOIN band b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |dup AS (SELECT DISTINCT j AS doc_id FROM cand
+         |  JOIN sh x ON x.doc_id = cand.i JOIN sh y ON y.doc_id = cand.j
+         |  WHERE CAST(size(array_intersect(x.hs, y.hs)) AS DOUBLE)
+         |        / (size(x.hs) + size(y.hs) - size(array_intersect(x.hs, y.hs))) >= 0.5),
+         |q AS (SELECT doc_id, size(split(text, ' ')) AS n_words,
+         |        CAST(size(array_distinct(split(text, ' '))) AS DOUBLE) / size(split(text, ' ')) AS uniq_ratio
+         |      FROM documents)
+         |SELECT q.doc_id, q.n_words, q.uniq_ratio
+         |FROM q LEFT ANTI JOIN dup ON q.doc_id = dup.doc_id
+         |WHERE q.n_words >= 20 AND q.n_words <= 100 AND q.uniq_ratio >= 0.2""".stripMargin,
+      s"""$duckShingles,
+         |e AS (SELECT doc_id, unnest(hs) AS h FROM sh),
+         |cnt AS (SELECT doc_id, len(hs) AS n FROM sh),
+         |pr AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS shared
+         |  FROM e a JOIN e b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id),
+         |dup AS (SELECT DISTINCT pr.j AS doc_id
+         |  FROM pr JOIN cnt ca ON ca.doc_id = pr.i JOIN cnt cb ON cb.doc_id = pr.j
+         |  WHERE CAST(pr.shared AS DOUBLE) / (ca.n + cb.n - pr.shared) >= 0.5),
+         |q AS (SELECT doc_id, len(string_split(text, ' ')) AS n_words,
+         |        len(list_distinct(string_split(text, ' ')))::DOUBLE / len(string_split(text, ' ')) AS uniq_ratio
+         |      FROM documents)
+         |SELECT q.doc_id, q.n_words, q.uniq_ratio
+         |FROM q ANTI JOIN dup ON q.doc_id = dup.doc_id
+         |WHERE q.n_words >= 20 AND q.n_words <= 100 AND q.uniq_ratio >= 0.2""".stripMargin),
+
     // T1: quality scoring — length / uniqueness / stopword-ratio
     // heuristics. Ratios are single divisions of exact ints.
     SqlQ.split("t1_quality_score",
