@@ -145,6 +145,15 @@ object RelationalQueries extends QueryModule {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as double) AS running_value
         |FROM events WHERE user_id < 5""".stripMargin),
 
+    // jsonb-style opaque JSON columns (§1.2: jsonb → StringType):
+    // field extraction in the dialect. The oracle mirrors with a
+    // regex since its engine may lack a JSON extension.
+    SqlQ.split("p11_json_extract",
+      """SELECT event_id, CAST(get_json_object(props, '$.k') AS BIGINT) AS k_value
+        |FROM events WHERE event_id < 100""".stripMargin,
+      """SELECT event_id, CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k_value
+        |FROM events WHERE event_id < 100""".stripMargin),
+
     // Sessionization: split each user's event stream on >10-minute
     // gaps via lag + a cumulative boundary count — the windowed
     // incremental pattern alert feeds need (§2.7 adjacent).

@@ -77,14 +77,14 @@ object SimQueries extends QueryModule {
          |WHERE ${dDot("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.35""".stripMargin),
 
     // E4: random-hyperplane LSH near-dup — bucket-join candidates from
-    // 48 tables × 5 sign bits (rph_sig), exact-cosine verification.
+    // 48 tables × 6 sign bits (rph_sig), exact-cosine verification.
     // The oracle is the global brute-force pair scan: equality holds
     // because the table count is tuned for full recall at this τ on
     // this dataset (verified empirically; recall is tunable, the
     // candidate join is the scale path).
     SqlQ.split("e4_ann_lsh_pairs",
       s"""$sparkVecs,
-         |sig AS (SELECT vec_id, rph_sig(v, 48, 5) AS sg FROM n),
+         |sig AS (SELECT vec_id, rph_sig(v, 48, 6) AS sg FROM n),
          |b AS (SELECT vec_id, t, bv FROM sig LATERAL VIEW posexplode(sg) x AS t, bv),
          |cand AS (SELECT DISTINCT a.vec_id AS i, b2.vec_id AS j
          |  FROM b a JOIN b b2 ON a.t = b2.t AND a.bv = b2.bv AND a.vec_id < b2.vec_id),
