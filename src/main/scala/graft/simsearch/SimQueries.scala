@@ -97,6 +97,48 @@ object SimQueries extends QueryModule {
          |FROM n a, n b WHERE a.vec_id < b.vec_id
          |  AND ${dDot("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.4""".stripMargin),
 
+    // E5: k-means clustering (the IVF coarse-quantizer build): seeds =
+    // vectors 0..9, one Lloyd iteration — assignment by max cosine with
+    // deterministic tie-break, centroid update as a vec_id-ordered
+    // elementwise fold (bit-reproducible), re-assignment. The oracle
+    // replays the identical iteration.
+    SqlQ.split("e5_kmeans_assign",
+      s"""$sparkVecs,
+         |seed AS (SELECT vec_id AS sid, v AS sv, nrm AS snrm FROM n WHERE vec_id < 10),
+         |a1 AS (SELECT n.vec_id, n.v, seed.sid,
+         |        row_number() OVER (PARTITION BY n.vec_id
+         |          ORDER BY vec_dot(n.v, seed.sv) / (n.nrm * seed.snrm) DESC, seed.sid) AS r
+         |       FROM n CROSS JOIN seed),
+         |asg1 AS (SELECT vec_id, v, sid AS c FROM a1 WHERE r = 1),
+         |g AS (SELECT c, sort_array(collect_list(struct(vec_id, v))) AS arr, count(*) AS cnt
+         |      FROM asg1 GROUP BY c),
+         |cen AS (SELECT c, transform(
+         |    aggregate(arr, array_repeat(CAST(0 AS DOUBLE), 64), (acc, e) -> zip_with(acc, e.v, (p,q) -> p+q)),
+         |    x -> x / cnt) AS cv FROM g),
+         |cn AS (SELECT c, cv, sqrt(vec_dot(cv, cv)) AS cnrm FROM cen),
+         |a2 AS (SELECT n.vec_id, cn.c,
+         |        row_number() OVER (PARTITION BY n.vec_id
+         |          ORDER BY vec_dot(n.v, cn.cv) / (n.nrm * cn.cnrm) DESC, cn.c) AS r
+         |       FROM n CROSS JOIN cn)
+         |SELECT vec_id, c AS cluster_id FROM a2 WHERE r = 1""".stripMargin,
+      s"""$duckVecs,
+         |seed AS (SELECT vec_id AS sid, v AS sv, nrm AS snrm FROM n WHERE vec_id < 10),
+         |a1 AS (SELECT n.vec_id, n.v, seed.sid,
+         |        row_number() OVER (PARTITION BY n.vec_id
+         |          ORDER BY ${dDot("n.v", "seed.sv")} / (n.nrm * seed.snrm) DESC, seed.sid) AS r
+         |       FROM n CROSS JOIN seed),
+         |asg1 AS (SELECT vec_id, v, sid AS c FROM a1 WHERE r = 1),
+         |g AS (SELECT c, list(v ORDER BY vec_id) AS arr, count(*) AS cnt
+         |      FROM asg1 GROUP BY c),
+         |cen AS (SELECT c, [x / cnt for x in
+         |    list_reduce(arr, (a,b) -> [a[k] + b[k] for k in generate_series(1, len(a))])] AS cv FROM g),
+         |cn AS (SELECT c, cv, sqrt(list_reduce([y*y for y in cv], (a,b) -> a+b)) AS cnrm FROM cen),
+         |a2 AS (SELECT n.vec_id, cn.c,
+         |        row_number() OVER (PARTITION BY n.vec_id
+         |          ORDER BY ${dDot("n.v", "cn.cv")} / (n.nrm * cn.cnrm) DESC, cn.c) AS r
+         |       FROM n CROSS JOIN cn)
+         |SELECT vec_id, c AS cluster_id FROM a2 WHERE r = 1""".stripMargin),
+
     // E3: IVF top-5 — centroid per cell (vec_id-ordered fold => exact
     // cross-engine reproducibility), probe the 2 nearest cells, exact
     // search inside probed cells only. The candidate set is a cell
