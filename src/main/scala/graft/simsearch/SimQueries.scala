@@ -139,6 +139,34 @@ object SimQueries extends QueryModule {
          |       FROM n CROSS JOIN cn)
          |SELECT vec_id, c AS cluster_id FROM a2 WHERE r = 1""".stripMargin),
 
+    // E6: int8 scalar quantization — the embedding-compression storage
+    // path (4× smaller vectors at rest). Per-vector max-abs scale,
+    // floor quantization (floor, not round: round ties differ between
+    // engines), index-ordered reconstruction-error fold.
+    SqlQ.split("e6_scalar_quantize",
+      s"""$sparkVecs,
+         |s AS (SELECT vec_id, v,
+         |        aggregate(v, CAST(0 AS DOUBLE), (a, x) -> greatest(a, abs(x))) AS scale FROM v),
+         |q AS (SELECT vec_id, v, scale,
+         |        transform(v, x -> CAST(floor(x / scale * 127.0) AS INT)) AS qv FROM s)
+         |SELECT vec_id, scale,
+         |  aggregate(qv, 0, (a, b) -> a + b) AS q_sum,
+         |  aggregate(zip_with(v, qv, (x, qq) ->
+         |      (x - CAST(qq AS DOUBLE) * scale / 127.0) * (x - CAST(qq AS DOUBLE) * scale / 127.0)),
+         |    CAST(0 AS DOUBLE), (a, b) -> a + b) AS recon_err
+         |FROM q""".stripMargin,
+      s"""$duckVecs,
+         |s AS (SELECT vec_id, v,
+         |        list_reduce([abs(x) for x in v], (a, b) -> greatest(a, b)) AS scale FROM v),
+         |q AS (SELECT vec_id, v, scale,
+         |        [CAST(floor(x / scale * 127.0) AS INT) for x in v] AS qv FROM s)
+         |SELECT vec_id, scale,
+         |  list_reduce(qv, (a, b) -> a + b) AS q_sum,
+         |  list_reduce([(v[k] - CAST(qv[k] AS DOUBLE) * scale / 127.0)
+         |               * (v[k] - CAST(qv[k] AS DOUBLE) * scale / 127.0)
+         |               for k in generate_series(1, len(v))], (a, b) -> a + b) AS recon_err
+         |FROM q""".stripMargin),
+
     // E3: IVF top-5 — centroid per cell (vec_id-ordered fold => exact
     // cross-engine reproducibility), probe the 2 nearest cells, exact
     // search inside probed cells only. The candidate set is a cell
