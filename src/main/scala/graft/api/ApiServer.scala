@@ -39,7 +39,10 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
       isDownloadable = !nonDownloadable.contains(t),
       assets = Seq(cat.Asset(s"$t-a1", cat.AssetType.DatabaseTable, s"$sfDir/$t.parquet",
         isDefault = true)))))
-  })
+  } :+ cat.Dataset("landcover_raster", Seq(cat.Version(
+    "landcover_raster", "v1", isLatest = true, sourceType = "raster",
+    assets = Seq(cat.Asset("landcover-a1", cat.AssetType.RasterTileSet,
+      s"${sys.props("java.io.tmpdir")}/graft_tile_lake", isDefault = true))))))
 
   private val geostore = scala.collection.concurrent.TrieMap.empty[String, String]
   private val jobRegistry = new JobRegistry
@@ -117,6 +120,18 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
         respond(ex, 404, "application/json", Sinks.jsendError(msg))
       case Left(msg) =>
         respond(ex, 501, "application/json", Sinks.jsendError(msg))
+      case Right(cat.RasterEngine) =>
+        // raster path: geostore mandatory (queries.py:487-503 → 422)
+        params.get("geostore_id").flatMap(geostore.get) match {
+          case None => respond(ex, 422, "application/json",
+            Sinks.jsendError("Raster tile set queries require a geostore"))
+          case Some(gj) =>
+            val df = graft.raster.ZonalEngine.run(spark,
+              graft.raster.ZonalEngine.Request(aoiGeoJson = gj))
+            ex.getResponseHeaders.add("Cache-Control", "max-age=7200")
+            if (json) respond(ex, 200, "application/json", Sinks.toJsend(df))
+            else respond(ex, 200, "text/csv", Sinks.toCsv(df))
+        }
       case Right(_) =>
         val geom = params.get("geostore_id").flatMap(geostore.get)
         // lake table view name == dataset name (single-version lake)
@@ -133,6 +148,15 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
     catalog.version(dataset, version) match {
       case None => respond(ex, 404, "application/json",
         Sinks.jsendError(s"Dataset version $dataset.$version not found"))
+      case Some(v) if v.defaultAsset.exists(_.assetType == cat.AssetType.RasterTileSet) =>
+        // raster fields = reserved pseudo-columns + layer fields
+        // (versions.py:516-522)
+        val reserved = Seq("area__ha", "latitude", "longitude").map(n =>
+          s"""{"name":"$n","data_type":"number","is_reserved":true}""")
+        val layers = Seq("landcover", "tcd").map(n =>
+          s"""{"name":"$n","data_type":"integer","is_reserved":false}""")
+        respond(ex, 200, "application/json",
+          s"""{"data":[${(reserved ++ layers).mkString(",")}],"status":"success"}""")
       case Some(_) =>
         val schema = spark.table(dataset).schema
         val items = schema.fields.map { f =>

@@ -101,6 +101,27 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(blocked.body().contains("This dataset is not available for download"))
   }
 
+  test("raster dataset: geostore-mandatory 422, zonal results, reserved fields") {
+    // no geostore → 422
+    val bare = get("/dataset/landcover_raster/v1/query/json?sql=" +
+      java.net.URLEncoder.encode("SELECT sum(area__ha) FROM data", "UTF-8"))
+    assert(bare.statusCode() == 422)
+    assert(bare.body().contains("require a geostore"))
+    // with geostore → zonal rows
+    val gj = """{"type":"Polygon","coordinates":[[[0.3513,40.6821],[3.1242,40.9753],[3.7081,43.2517],[0.8472,42.8391],[0.3513,40.6821]]]}"""
+    val id = "\"gfw_geostore_id\":\"([0-9a-f-]+)\"".r
+      .findFirstMatchIn(post("/geostore", gj).body()).get.group(1)
+    val r = get("/dataset/landcover_raster/v1/query/json?geostore_id=" + id + "&sql=" +
+      java.net.URLEncoder.encode("SELECT sum(area__ha) FROM data", "UTF-8"))
+    assert(r.statusCode() == 200, r.body().take(300))
+    assert(r.body().contains("\"area_ha\":"))
+    // raster fields expose reserved pseudo-columns (versions.py:516-522)
+    val f = get("/dataset/landcover_raster/v1/fields")
+    assert(f.statusCode() == 200)
+    assert(f.body().contains(""""name":"area__ha","data_type":"number","is_reserved":true"""))
+    assert(f.body().contains(""""name":"latitude""""))
+  }
+
   test("fields endpoint returns schema metadata") {
     val r = get("/dataset/region/v1/fields")
     assert(r.statusCode() == 200)
