@@ -42,7 +42,9 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
   } :+ cat.Dataset("landcover_raster", Seq(cat.Version(
     "landcover_raster", "v1", isLatest = true, sourceType = "raster",
     assets = Seq(cat.Asset("landcover-a1", cat.AssetType.RasterTileSet,
-      s"${sys.props("java.io.tmpdir")}/graft_tile_lake", isDefault = true))))))
+      graft.raster.TileLake.defaultDir, isDefault = true,
+      creationOptions = Map("pixel_meaning" -> "class", "band" -> "px_landcover",
+        "key_bound" -> "7")))))))
 
   private val geostore = scala.collection.concurrent.TrieMap.empty[String, String]
   private val jobRegistry = new JobRegistry

@@ -84,6 +84,15 @@ final class Catalog(datasets: Seq[Dataset]) {
       }
     }
 
+  /** Names of datasets whose latest version serves the raster engine —
+    * the dataset set `_get_data_environment` synthesizes layers for
+    * (`queries.py:654-774` iterates raster tile set assets). */
+  def rasterDatasets: Seq[String] =
+    datasets.collect {
+      case d if d.versions.exists(v => v.isLatest &&
+        v.defaultAsset.exists(_.assetType == AssetType.RasterTileSet)) => d.name
+    }
+
   /** Latest-unless-overridden resolution for a set of datasets
     * (`queries.py:790-813`): per dataset take the override version if
     * supplied, else the latest. */

@@ -1,0 +1,192 @@
+package graft.raster
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.catalyst.util.ArrayData
+
+import graft.catalog.{AssetType, Catalog}
+
+/** Per-pixel value function over a tile: global pixel coords + the
+  * tile's lake band arrays (indexed by the environment's band order).
+  * All layer values are integer/fixed-point longs, the currency of the
+  * partial-aggregation contract ([[TileZonal]]/[[ZonalPartial]]). */
+trait PixelFn extends Serializable {
+  def eval(gx: Int, gy: Int, bands: Array[ArrayData], i: Int): Long
+}
+
+/** Per-pixel mask predicate (a compiled WHERE conjunct). */
+trait PixelPred extends Serializable {
+  def test(gx: Int, gy: Int, bands: Array[ArrayData], i: Int): Boolean
+}
+
+/** One queryable raster pseudo-column (SURVEY §1.1 "derived layer";
+  * reference `SourceLayer`/`DerivedLayer`,
+  * `app/models/pydantic/raster_analysis.py:20-46`).
+  *
+  * @param keyBound  exclusive upper bound of the (non-negative) pixel
+  *                  value when used as a GROUP BY key — the packing
+  *                  stride for multi-key zonal aggregation
+  * @param decodeSql SQL over the unpacked key column producing the
+  *                  output value (e.g. days → DATE)
+  * @param sumScale  fixed-point divisor applied after SUM (1 = plain
+  *                  integer layer, output stays BIGINT)
+  * @param isBool    boolean presence layer (`is__*`): accepts
+  *                  `!= 'false'` / `= 'true'` comparison forms
+  * @param dateEpoch epoch for date-valued layers: pixel value is
+  *                  days since this date, string literals in WHERE
+  *                  convert through it
+  */
+final case class RasterLayer(
+    name: String,
+    eval: PixelFn,
+    keyBound: Long = 1L << 20,
+    decodeSql: String => String = identity,
+    sumScale: Double = 1.0,
+    isBool: Boolean = false,
+    dateEpoch: Option[LocalDate] = None,
+    dict: Map[Long, String] = Map.empty)
+
+/** The resolved set of layers a raster query can reference — the
+  * reference's `_get_data_environment` output
+  * (`app/routes/datasets/queries.py:654-774`): per raster dataset, the
+  * default layer plus synthesized derived layers (date/conf decode of
+  * `date_conf` bands, `A * area` for `_ha-1` density suffixes),
+  * versions resolved latest-unless-overridden through the catalog.
+  *
+  * @param bands lake array columns, in [[PixelFn]] band-index order
+  * @param defaultLayers raster dataset name → its default layer name
+  *                      (`_get_default_layer`, `queries.py:628-651`)
+  */
+final case class DataEnvironment(
+    grid: Grid,
+    lakeDir: String,
+    bands: Seq[String],
+    layers: Map[String, RasterLayer],
+    defaultLayers: Map[String, String])
+
+object DataEnvironment {
+
+  /** Exact per-pixel-row geodesic area in integer micro-hectares,
+    * replicating `Grid.microHaSql`'s decimal-literal arithmetic (the
+    * SQL text both engines evaluated in round 1) — see
+    * `Rasterizer.centers` for the decimal-exactness contract. */
+  final class MicroHa(g: Grid) extends Serializable {
+    @transient private lazy val table: Array[Long] = {
+      val pd = BigDecimal(g.pixelDeg.toString)
+      val lat0 = BigDecimal(g.originLat.toString)
+      val rpd = Math.toRadians(g.pixelDeg)
+      Array.tabulate(g.pxY) { gy =>
+        val top = (lat0 - BigDecimal(gy) * pd).toDouble
+        val bot = (lat0 - BigDecimal(gy + 1) * pd).toDouble
+        Math.floor((Math.sin(Math.toRadians(top)) - Math.sin(Math.toRadians(bot))) *
+          rpd * 6371008.8 * 6371008.8 / 10000.0 * 1000000.0).toLong
+      }
+    }
+    def apply(gy: Int): Long = table(gy)
+  }
+
+  /** Band-reading PixelFn. */
+  private final case class BandFn(idx: Int) extends PixelFn {
+    def eval(gx: Int, gy: Int, bands: Array[ArrayData], i: Int): Long =
+      bands(idx).getLong(i)
+  }
+
+  private final case class AreaFn(mh: MicroHa, px: Int) extends PixelFn {
+    def eval(gx: Int, gy: Int, bands: Array[ArrayData], i: Int): Long = mh(gy)
+  }
+
+  /** The synthetic test environment synthesized FROM THE CATALOG: reads
+    * each raster dataset's default asset creation options
+    * (pixel_meaning / band / calc / …), names layers through
+    * `Builders.defaultLayer`, and derives date/conf/density layers the
+    * way `_get_data_environment` does. Versions resolve
+    * latest-unless-overridden via [[Catalog.resolveVersions]]. */
+  def fromCatalog(catalog: Catalog, lakeDir: String,
+                  overrides: Map[String, String] = Map.empty): DataEnvironment = {
+    val g = SyntheticEnv.grid
+    val bands = Seq("px_landcover", "px_tcd", "px_dateconf", "px_biomass10", "px_u", "px_w")
+    val bandIdx = bands.zipWithIndex.toMap
+    val mh = new MicroHa(g)
+    val px = g.pxPerTile
+
+    val rasterDatasets = catalog.rasterDatasets
+    val resolved = catalog.resolveVersions(rasterDatasets, overrides)
+
+    val layerSeq: Seq[(String, Seq[RasterLayer])] = resolved.toSeq.flatMap {
+      case (ds, Some(v)) =>
+        v.defaultAsset.filter(_.assetType == AssetType.RasterTileSet).map { asset =>
+          val opts = asset.creationOptions
+          val meaning = opts.getOrElse("pixel_meaning", "value")
+          val band = opts.getOrElse("band",
+            throw new IllegalArgumentException(s"raster asset of $ds has no band"))
+          val src = BandFn(bandIdx.getOrElse(band,
+            throw new IllegalArgumentException(s"unknown lake band $band")))
+          val bound = opts.get("key_bound").map(_.toLong).getOrElse(1L << 20)
+          val default = graft.analysis.Builders.defaultLayer(ds, meaning)
+          val layers: Seq[RasterLayer] =
+            if (meaning == "is") {
+              // presence layer: nonzero source pixel = true
+              Seq(RasterLayer(default, PixelCalc.compile("A != 0", Seq(src)),
+                keyBound = 2, isBool = true))
+            } else if (meaning.contains("date_conf")) {
+              // date_conf decode (`queries.py:713-744`): days since the
+              // band epoch in the low digits, confidence in the high
+              val epoch = LocalDate.parse(opts.getOrElse("epoch", "2015-01-01"))
+              Seq(
+                RasterLayer(s"${ds}__date",
+                  PixelCalc.compile("A % 10000", Seq(src)), keyBound = 16384,
+                  decodeSql = k => s"date_add(DATE '$epoch', CAST($k AS INT))",
+                  dateEpoch = Some(epoch)),
+                RasterLayer(s"${ds}__confidence",
+                  PixelCalc.compile("floor(A / 10000)", Seq(src)), keyBound = 8,
+                  decodeSql = k => s"CAST($k AS INT)"))
+            } else if (graft.analysis.Builders.areaDensityName(meaning).nonEmpty) {
+              // density → absolute: value × pixel area, fixed-point
+              // micro-units (`_get_area_density_name`, A4 rescale).
+              // source stores tenths → scale = 10 × 1e6
+              val unitScale = opts.getOrElse("unit_scale", "10").toDouble
+              Seq(RasterLayer(default,
+                PixelCalc.compileArea("A * AREA", Seq(src), mh),
+                sumScale = unitScale * 1e6))
+            } else {
+              opts.get("calc") match {
+                case Some(calc) =>
+                  val b2 = opts.get("band2").map(b => BandFn(bandIdx(b)))
+                  Seq(RasterLayer(default,
+                    PixelCalc.compile(calc, Seq(src) ++ b2.toSeq), keyBound = bound))
+                case None =>
+                  Seq(RasterLayer(default, src, keyBound = bound,
+                    dict = SyntheticEnv.dictFor(ds)))
+              }
+            }
+          ds -> layers
+        }
+      case _ => None
+    }
+
+    val pseudo = RasterLayer("area__ha", AreaFn(mh, px), sumScale = 1e6)
+    DataEnvironment(g, lakeDir, bands,
+      layers = (layerSeq.flatMap(_._2) :+ pseudo).map(l => l.name -> l).toMap,
+      defaultLayers = layerSeq.map { case (ds, ls) => ds -> ls.head.name }.toMap)
+  }
+
+  // ------------------------------------------------- TTL memo (reference
+  // caches the data environment for 5 minutes, `queries.py:654-660`)
+
+  private val memo = new java.util.concurrent.ConcurrentHashMap[
+    (String, Map[String, String]), (Long, DataEnvironment)]()
+  private val TtlMs = 5 * 60 * 1000L
+
+  def cached(catalog: Catalog, lakeDir: String,
+             overrides: Map[String, String] = Map.empty): DataEnvironment = {
+    val key = (lakeDir, overrides)
+    val now = System.currentTimeMillis()
+    val hit = memo.get(key)
+    if (hit != null && now - hit._1 < TtlMs) hit._2
+    else {
+      val env = fromCatalog(catalog, lakeDir, overrides)
+      memo.put(key, (now, env))
+      env
+    }
+  }
+}

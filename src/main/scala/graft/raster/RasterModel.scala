@@ -81,4 +81,11 @@ object SyntheticEnv {
   val landcoverTable: Map[Int, String] = Map(
     0 -> "forest", 1 -> "grassland", 2 -> "cropland", 3 -> "wetland",
     4 -> "settlement", 5 -> "bare", 6 -> "water")
+
+  /** Value dictionary (raster table) for a dataset's default layer —
+    * only the landcover class layer has one in the test environment. */
+  def dictFor(dataset: String): Map[Long, String] =
+    if (dataset.contains("landcover"))
+      landcoverTable.map { case (k, v) => k.toLong -> v }
+    else Map.empty
 }

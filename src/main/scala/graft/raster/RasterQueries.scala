@@ -257,7 +257,7 @@ object RasterQueries extends QueryModule {
          |  FROM tc JOIN th ON tc.tx = th.tx AND tc.ty = th.ty),
          |fin AS (SELECT LEAST(CAST(floor((d - gmin) * n / (gmax - gmin)) AS BIGINT), n - 1) AS bin, c
          |  FROM vals, nb)
-         |SELECT bin::INT AS bin, sum(c) AS cnt FROM fin GROUP BY bin""".stripMargin),
+         |SELECT bin::INT AS bin, sum(c)::BIGINT AS cnt FROM fin GROUP BY bin""".stripMargin),
 
     // P10 boolean-layer form: `is__<dataset> != 'false'` masks on a
     // presence layer (derived here as landcover==0, "is forest"),
@@ -362,7 +362,7 @@ object RasterQueries extends QueryModule {
     * intersecting `tile_id=` partitions are listed and read. */
   private def tileLakeZonal(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.register(spark, sfDir)
-    val dir = s"${sys.props("java.io.tmpdir")}/graft_tile_lake"
+    val dir = TileLake.defaultDir
     TileLake.ensureWritten(spark, dir)
     val (bxmin, bymin, bxmax, bymax) = bbox(aoi)
     val ids = TileLake.tileIdsForBbox(g, bxmin, bymin, bxmax, bymax)

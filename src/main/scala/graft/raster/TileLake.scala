@@ -14,6 +14,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object TileLake {
 
+  /** Canonical on-disk location of the synthetic test lake (one
+    * writer, many readers; versioned name so schema changes never
+    * collide with a stale `_SUCCESS` from an earlier run). */
+  def defaultDir: String = s"${sys.props("java.io.tmpdir")}/graft_tile_lake_v2"
+
+  /** Lake band columns, in [[DataEnvironment]] band-index order. */
+  val bandColumns: Seq[String] = Seq(
+    "px_landcover", "px_tcd", "px_dateconf", "px_biomass10", "px_u", "px_w")
+
   /** Write the synthetic environment's tiles (idempotent per target
     * dir): one row per tile carrying the raw band arrays. */
   def ensureWritten(spark: SparkSession, dir: String): Unit = synchronized {
@@ -25,19 +34,28 @@ object TileLake {
     val sGx = s"(tx * ${g.pxPerTile} + i % ${g.pxPerTile})"
     val sGy = s"(ty * ${g.pxPerTile} + i DIV ${g.pxPerTile})"
     graft.functions.GraftFunctions.install(spark)
-    val tiles = spark.range(g.nTiles).toDF("tile_idx")
-      .selectExpr(
-        s"CAST(tile_idx % ${g.tilesX} AS INT) AS tx",
-        s"CAST(tile_idx DIV ${g.tilesX} AS INT) AS ty")
-      .selectExpr(
-        "tx", "ty",
-        s"transform(sequence(0, ${px - 1}), i -> CAST(${landcover.formula(sGx, sGy)} AS BIGINT)) AS px_landcover",
-        s"transform(sequence(0, ${px - 1}), i -> CAST(${tcd.formula(sGx, sGy)} AS BIGINT)) AS px_tcd")
-      .withColumn("tile_id", expr("concat(CAST(44 - ty AS STRING), 'N_00', CAST(tx AS STRING), 'E')"))
+    // Tile METADATA (id, tx, ty) is driver-side — it is the partition
+    // directory listing, tiny even on planet-scale grids (~10⁴ tiles);
+    // pixel arrays are computed distributed, per tile row. Ids come
+    // from the one canonical formatter, Grid.tileId.
+    import spark.implicits._
+    val tileMeta = (0 until g.nTiles).map { i =>
+      val tx = i % g.tilesX; val ty = i / g.tilesX
+      (g.tileId(tx, ty), tx, ty)
+    }
+    val tiles = tileMeta.toDF("tile_id", "tx", "ty")
+      .repartition(math.min(g.nTiles, 32))
+      .selectExpr(Seq("tile_id", "tx", "ty") ++
+        Seq(landcover, tcd, dateConf, biomass10, bandU, bandW)
+          .zip(bandColumns).map { case (layer, colName) =>
+            s"transform(sequence(0, ${px - 1}), i -> CAST(${layer.formula(sGx, sGy)} AS BIGINT)) AS $colName"
+          }: _*)
     tiles.write.mode("overwrite").partitionBy("tile_id").parquet(dir)
   }
 
-  /** Tile ids whose bbox intersects the AOI bbox — the pruning set. */
+  /** Tile ids whose bbox intersects the AOI bbox — the pruning set.
+    * Uses the canonical [[Grid.tileId]] formatter (`%02d`/`%03d` +
+    * N/S/E/W), matching what [[ensureWritten]] partitions by. */
   def tileIdsForBbox(g: Grid, bxmin: Double, bymin: Double,
                      bxmax: Double, bymax: Double): Seq[String] =
     (for {
@@ -47,7 +65,7 @@ object TileLake {
       lat1 = g.originLat - ty * g.tileDeg // top edge
       if lon0 < bxmax && lon0 + g.tileDeg > bxmin &&
         lat1 - g.tileDeg < bymax && lat1 > bymin
-    } yield s"${(g.originLat - ty * g.tileDeg).toInt}N_00${tx}E").toSeq
+    } yield g.tileId(tx, ty)).toSeq
 
   /** AOI-pruned scan: `tile_id IN (...)` on the partition column. */
   def scanPruned(spark: SparkSession, dir: String, ids: Seq[String]): DataFrame =

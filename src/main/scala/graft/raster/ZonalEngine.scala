@@ -36,7 +36,7 @@ object ZonalEngine {
     import SyntheticEnv._
     val g = grid
     graft.functions.GraftFunctions.install(spark)
-    val dir = s"${sys.props("java.io.tmpdir")}/graft_tile_lake"
+    val dir = TileLake.defaultDir
     TileLake.ensureWritten(spark, dir)
 
     val bb = Geom.fromGeoJson(req.aoiGeoJson).bbox

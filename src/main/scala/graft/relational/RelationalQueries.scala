@@ -157,24 +157,30 @@ object RelationalQueries extends QueryModule {
     // Sessionization: split each user's event stream on >10-minute
     // gaps via lag + a cumulative boundary count — the windowed
     // incremental pattern alert feeds need (§2.7 adjacent).
+    // Gaps are computed in MICROSECONDS on both engines: Spark
+    // unix_timestamp truncates sub-second parts where DuckDB
+    // epoch()::BIGINT rounds, so second-resolution gap math can flip a
+    // boundary; unix_micros/epoch_us are exact. The oracle's window sum
+    // is cast to BIGINT (DuckDB bare integer sum() is HUGEINT and the
+    // driver's hash is type-sensitive).
     SqlQ.split("w3_sessionize",
       """WITH g AS (SELECT user_id, event_id, ts,
-        |  unix_timestamp(ts) - lag(unix_timestamp(ts))
+        |  unix_micros(ts) - lag(unix_micros(ts))
         |    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
         |  FROM events WHERE user_id < 10)
         |SELECT user_id, event_id,
-        |  sum(CASE WHEN gap IS NULL OR gap > 600 THEN 1 ELSE 0 END)
+        |  sum(CASE WHEN gap IS NULL OR gap > 600000000 THEN 1 ELSE 0 END)
         |    OVER (PARTITION BY user_id ORDER BY ts, event_id
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
         |FROM g""".stripMargin,
       """WITH g AS (SELECT user_id, event_id, ts,
-        |  epoch(ts)::BIGINT - lag(epoch(ts)::BIGINT)
+        |  epoch_us(ts) - lag(epoch_us(ts))
         |    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
         |  FROM events WHERE user_id < 10)
         |SELECT user_id, event_id,
-        |  sum(CASE WHEN gap IS NULL OR gap > 600 THEN 1 ELSE 0 END)
+        |  (sum(CASE WHEN gap IS NULL OR gap > 600000000 THEN 1 ELSE 0 END)
         |    OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS session_idx
         |FROM g""".stripMargin),
 
     // OTF dialect's isoweek(date) (analysis.py:143-145) →

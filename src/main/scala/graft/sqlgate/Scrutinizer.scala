@@ -196,10 +196,23 @@ object Scrutinizer {
   /** AND the AOI intersects-filter into the WHERE clause
     * (`query_helpers.py:238-266`); filter text matches the reference's
     * serialized form. Semantics: intersecting features are returned
-    * whole, not clipped (`queries.py:88-94`). */
+    * whole, not clipped (`queries.py:88-94`).
+    *
+    * The user's GeoJSON is canonicalized through the geometry parser
+    * first — only type + numeric coordinates survive into the SQL
+    * literal, mirroring the reference's validated Pydantic `Geometry`
+    * model; without this a crafted string property could break out of
+    * the quoted literal and smuggle SQL past the gate. The residual
+    * quote-escape is belt and braces (canonical output has no `'`). */
   private def spliceGeometryFilter(text: String, geojson: String): String = {
+    val canonical =
+      try graft.geo.Geom.toGeoJson(graft.geo.Geom.fromGeoJson(geojson))
+      catch {
+        case e: Exception => throw SqlGateException(
+          s"Invalid geometry: ${Option(e.getMessage).getOrElse("unparseable GeoJSON")}")
+      }
     val filter =
-      s"st_intersects(geom, st_setsrid(st_geomfromgeojson('$geojson'), 4326))"
+      s"st_intersects(geom, st_setsrid(st_geomfromgeojson('${canonical.replace("'", "''")}'), 4326))"
     val masked = maskQuoted(text)
     val tailPos = firstTailKeyword(masked).getOrElse(text.length)
     wherePosition(masked) match {

@@ -4,6 +4,11 @@ import org.apache.spark.sql.SparkSession
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
+/** TileLake id/pruning consistency — including the grids where the
+  * round-1 ad-hoc formatter broke: double-digit tile indices and
+  * W/S-hemisphere origins (`raster/RasterModel.scala` Grid.tileId is
+  * the one canonical formatter).
+  */
 class TileLakeSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private lazy val spark = SparkSession.builder()
@@ -14,26 +19,36 @@ class TileLakeSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
-  private val dir = s"${sys.props("java.io.tmpdir")}/graft_tile_lake_spec"
+  test("tileIdsForBbox matches Grid.tileId on a wide W/S-hemisphere grid") {
+    // 12×12 one-degree tiles from (75W, 5S): tx reaches 11 (double
+    // digit), all lons are W, all lats S of the equator.
+    val g = Grid(originLon = -75.0, originLat = -5.0,
+      tilesX = 12, tilesY = 12, tileDeg = 1.0, pxPerTile = 10)
+    assert(g.tileId(0, 0) == "05S_075W")
+    assert(g.tileId(11, 0) == "05S_064W")
+    assert(g.tileId(10, 11) == "16S_065W")
 
-  test("tile ids prune to the AOI bbox") {
-    val g = SyntheticEnv.grid
-    // bbox covering roughly the center 2x2 degrees
-    val ids = TileLake.tileIdsForBbox(g, 1.2, 41.3, 2.8, 42.7)
-    assert(ids.size < g.nTiles)
-    assert(ids.contains("43N_001E") && ids.contains("42N_002E"))
-    assert(!ids.contains("44N_000E")) // top-left tile: lat (43,44] outside
+    // bbox covering tiles tx in [9,11], ty in [2,3]
+    val ids = TileLake.tileIdsForBbox(g, -65.5, -8.5, -63.5, -7.5).toSet
+    val expected = (for { tx <- 9 to 11; ty <- 2 to 3 } yield g.tileId(tx, ty)).toSet
+    assert(ids == expected)
+    assert(ids.nonEmpty)
   }
 
-  test("pruned scan reads only intersecting partitions") {
-    TileLake.ensureWritten(spark, dir)
+  test("written partitions are discoverable by tileIdsForBbox pruning") {
     val g = SyntheticEnv.grid
-    val ids = TileLake.tileIdsForBbox(g, 1.2, 41.3, 2.8, 42.7)
-    val pruned = TileLake.scanPruned(spark, dir, ids)
-    assert(pruned.select("tile_id").distinct().count() == ids.size)
-    // the filter lands in the scan's PartitionFilters (directory-level
-    // pruning), not a post-scan Filter
-    val plan = pruned.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters: [tile_id"), plan.take(800))
+    val dir = java.nio.file.Files.createTempDirectory("lake_spec").toString
+    TileLake.ensureWritten(spark, dir)
+    val all = spark.read.parquet(dir)
+    // every partition value on disk equals the canonical formatter
+    val onDisk = all.select("tile_id").distinct().collect().map(_.getString(0)).toSet
+    val expected = (for { tx <- 0 until g.tilesX; ty <- 0 until g.tilesY }
+      yield g.tileId(tx, ty)).toSet
+    assert(onDisk == expected)
+    // a 2×2-tile bbox prunes to exactly 4 tiles and scans rows for each
+    val ids = TileLake.tileIdsForBbox(g, 0.5, 41.5, 1.5, 42.5)
+    assert(ids.size == 4)
+    val scanned = TileLake.scanPruned(spark, dir, ids)
+    assert(scanned.select("tile_id").distinct().count() == 4)
   }
 }

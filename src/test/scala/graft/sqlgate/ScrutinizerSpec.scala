@@ -88,13 +88,13 @@ class ScrutinizerSpec extends AnyFunSuite {
   test("geometry filter with existing WHERE") {
     val geom = """{"type": "Point", "coordinates": [0, 0]}"""
     assert(ok("SELECT * FROM mytable WHERE id = 1", geom = Some(geom)) ==
-      """SELECT * FROM test_dataset.v2025 WHERE id = 1 AND st_intersects(geom, st_setsrid(st_geomfromgeojson('{"type": "Point", "coordinates": [0, 0]}'), 4326))""")
+      """SELECT * FROM test_dataset.v2025 WHERE id = 1 AND st_intersects(geom, st_setsrid(st_geomfromgeojson('{"type":"Point","coordinates":[0,0]}'), 4326))""")
   }
 
   test("geometry filter without WHERE") {
     val geom = """{"type": "Point", "coordinates": [0, 0]}"""
     assert(ok("SELECT * FROM mytable;", geom = Some(geom)) ==
-      """SELECT * FROM test_dataset.v2025 WHERE st_intersects(geom, st_setsrid(st_geomfromgeojson('{"type": "Point", "coordinates": [0, 0]}'), 4326))""")
+      """SELECT * FROM test_dataset.v2025 WHERE st_intersects(geom, st_setsrid(st_geomfromgeojson('{"type":"Point","coordinates":[0,0]}'), 4326))""")
   }
 
   test("gibberish is a syntax error") {
@@ -119,7 +119,7 @@ class ScrutinizerSpec extends AnyFunSuite {
     val out = ok("SELECT x, count(*) FROM t WHERE y > 0 GROUP BY x",
       geom = Some(geom))
     assert(out ==
-      """SELECT x, count(*) FROM test_dataset.v2025 WHERE y > 0 AND st_intersects(geom, st_setsrid(st_geomfromgeojson('{"type": "Point", "coordinates": [0, 0]}'), 4326)) GROUP BY x""")
+      """SELECT x, count(*) FROM test_dataset.v2025 WHERE y > 0 AND st_intersects(geom, st_setsrid(st_geomfromgeojson('{"type":"Point","coordinates":[0,0]}'), 4326)) GROUP BY x""")
   }
 
   test("ORDER/LIMIT/OFFSET tails survive the FROM rewrite") {
