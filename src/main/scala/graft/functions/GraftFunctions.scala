@@ -28,6 +28,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "rph_sig", exprs => RphSig(exprs(0), exprs(1), exprs(2)), "built-in")
     reg.createOrReplaceTempFunction(
+      "tile_mask", exprs => graft.raster.TileMask(exprs), "built-in")
+    reg.createOrReplaceTempFunction(
       "hist_merge",
       exprs => graft.raster.HistMergeAgg(exprs(0), exprs(1), exprs(2), exprs(3)),
       "built-in")

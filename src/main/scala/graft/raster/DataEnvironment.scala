@@ -19,6 +19,54 @@ trait PixelPred extends Serializable {
   def test(gx: Int, gy: Int, bands: Array[ArrayData], i: Int): Boolean
 }
 
+/** Monomorphic predicate nodes for the fused zonal loop — one small
+  * class per comparison operator so each `test` call-site stays
+  * JIT-friendly (megamorphic dispatch on a single `op` field would
+  * defeat inlining in the per-pixel loop). Comparisons evaluate in
+  * Double: exact for the engine's integer layer domain (< 2^53). */
+object PixelPreds {
+  final case class Eq(fn: PixelFn, rhs: Double) extends PixelPred {
+    def test(gx: Int, gy: Int, b: Array[ArrayData], i: Int): Boolean =
+      fn.eval(gx, gy, b, i).toDouble == rhs
+  }
+  final case class Ne(fn: PixelFn, rhs: Double) extends PixelPred {
+    def test(gx: Int, gy: Int, b: Array[ArrayData], i: Int): Boolean =
+      fn.eval(gx, gy, b, i).toDouble != rhs
+  }
+  final case class Gt(fn: PixelFn, rhs: Double) extends PixelPred {
+    def test(gx: Int, gy: Int, b: Array[ArrayData], i: Int): Boolean =
+      fn.eval(gx, gy, b, i).toDouble > rhs
+  }
+  final case class Ge(fn: PixelFn, rhs: Double) extends PixelPred {
+    def test(gx: Int, gy: Int, b: Array[ArrayData], i: Int): Boolean =
+      fn.eval(gx, gy, b, i).toDouble >= rhs
+  }
+  final case class Lt(fn: PixelFn, rhs: Double) extends PixelPred {
+    def test(gx: Int, gy: Int, b: Array[ArrayData], i: Int): Boolean =
+      fn.eval(gx, gy, b, i).toDouble < rhs
+  }
+  final case class Le(fn: PixelFn, rhs: Double) extends PixelPred {
+    def test(gx: Int, gy: Int, b: Array[ArrayData], i: Int): Boolean =
+      fn.eval(gx, gy, b, i).toDouble <= rhs
+  }
+  final case class AndP(l: PixelPred, r: PixelPred) extends PixelPred {
+    def test(gx: Int, gy: Int, b: Array[ArrayData], i: Int): Boolean =
+      l.test(gx, gy, b, i) && r.test(gx, gy, b, i)
+  }
+  final case class OrP(l: PixelPred, r: PixelPred) extends PixelPred {
+    def test(gx: Int, gy: Int, b: Array[ArrayData], i: Int): Boolean =
+      l.test(gx, gy, b, i) || r.test(gx, gy, b, i)
+  }
+  final case class NotP(c: PixelPred) extends PixelPred {
+    def test(gx: Int, gy: Int, b: Array[ArrayData], i: Int): Boolean =
+      !c.test(gx, gy, b, i)
+  }
+  final case class InP(fn: PixelFn, set: Set[Long]) extends PixelPred {
+    def test(gx: Int, gy: Int, b: Array[ArrayData], i: Int): Boolean =
+      set.contains(fn.eval(gx, gy, b, i))
+  }
+}
+
 /** One queryable raster pseudo-column (SURVEY §1.1 "derived layer";
   * reference `SourceLayer`/`DerivedLayer`,
   * `app/models/pydantic/raster_analysis.py:20-46`).
@@ -35,6 +83,11 @@ trait PixelPred extends Serializable {
   * @param dateEpoch epoch for date-valued layers: pixel value is
   *                  days since this date, string literals in WHERE
   *                  convert through it
+  * @param noDataPred source-band NoData guard: when this layer is the
+  *                  FROM (base) layer of a raster query, pixels where
+  *                  the stored band equals the asset's `no_data` value
+  *                  are excluded — `FROM <alerts>` returns alert
+  *                  pixels only, the reference base-layer contract
   */
 final case class RasterLayer(
     name: String,
@@ -44,7 +97,8 @@ final case class RasterLayer(
     sumScale: Double = 1.0,
     isBool: Boolean = false,
     dateEpoch: Option[LocalDate] = None,
-    dict: Map[Long, String] = Map.empty)
+    dict: Map[Long, String] = Map.empty,
+    noDataPred: Option[PixelPred] = None)
 
 /** The resolved set of layers a raster query can reference — the
   * reference's `_get_data_environment` output
@@ -104,7 +158,7 @@ object DataEnvironment {
   def fromCatalog(catalog: Catalog, lakeDir: String,
                   overrides: Map[String, String] = Map.empty): DataEnvironment = {
     val g = SyntheticEnv.grid
-    val bands = Seq("px_landcover", "px_tcd", "px_dateconf", "px_biomass10", "px_u", "px_w")
+    val bands = TileLake.bandColumns
     val bandIdx = bands.zipWithIndex.toMap
     val mh = new MicroHa(g)
     val px = g.pxPerTile
@@ -122,6 +176,7 @@ object DataEnvironment {
           val src = BandFn(bandIdx.getOrElse(band,
             throw new IllegalArgumentException(s"unknown lake band $band")))
           val bound = opts.get("key_bound").map(_.toLong).getOrElse(1L << 20)
+          val noData = opts.get("no_data").map(v => PixelPreds.Ne(src, v.toDouble))
           val default = graft.analysis.Builders.defaultLayer(ds, meaning)
           val layers: Seq[RasterLayer] =
             if (meaning == "is") {
@@ -159,7 +214,7 @@ object DataEnvironment {
                     dict = SyntheticEnv.dictFor(ds)))
               }
             }
-          ds -> layers
+          ds -> layers.map(_.copy(noDataPred = noData))
         }
       case _ => None
     }

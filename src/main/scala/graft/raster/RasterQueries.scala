@@ -13,8 +13,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   2. per-pixel arrays stay inside the tile row (no pixel explode);
   *      derived layers compile through [[CalcDsl]] into `transform` /
   *      `zip_with` over the arrays;
-  *   3. the AOI mask runs the engine's real geometry path —
-  *      `st_intersects(st_point(lon,lat), aoi)` per pixel center;
+  *   3. the AOI mask scanline-rasterizes once per tile (`tile_mask`,
+  *      bit-identical to per-pixel `st_intersects` at pixel centers —
+  *      see [[Rasterizer]]);
   *   4. `tile_zonal` reduces each tile to (key, fixed-point-sum, count)
   *      partials — the shuffle carries per-tile partials, never pixels;
   *   5. final `groupBy(k)` merges partials with exact integer sums,
@@ -59,11 +60,24 @@ object RasterQueries extends QueryModule {
   private def bbox(poly: Seq[(Double, Double)]): (Double, Double, Double, Double) =
     (poly.map(_._1).min, poly.map(_._2).min, poly.map(_._1).max, poly.map(_._2).max)
 
-  private val sparkAoiMask =
-    s"st_intersects(st_point(${g.lonCenterSql(sGx)}, ${g.latCenterSql(sGy)}), " +
-      s"st_geomfromgeojson('$aoiGeoJson'))"
   private val duckAoiMask =
     halfPlanes(g.lonCenterSql(dGx), g.latCenterSql(dGy))
+
+  /** Scanline tile mask (grid as trailing literals; see [[TileMask]]).
+    * Replaces the round-1 per-pixel interpreted `st_intersects` HOF —
+    * same bits (the Rasterizer contract, unit-checked in
+    * RasterizerSpec), ~20× less per-pixel CPU. */
+  private def tileMaskCall(aoiExpr: String): String =
+    s"tile_mask($aoiExpr, tx, ty, ${g.originLon}, ${g.originLat}, " +
+      s"${g.tilesX}, ${g.tilesY}, ${g.tileDeg}, ${g.pxPerTile})"
+  /** AOI mask, optionally ANDed with a cheap per-pixel condition (the
+    * residual `zip_with` lambda is trivial arithmetic; the geometry
+    * cost lives in the fused scanline pass). */
+  private def maskArr(cond: Option[String] = None): String = cond match {
+    case None => tileMaskCall(s"'$aoiGeoJson'")
+    case Some(c) =>
+      s"zip_with(${tileMaskCall(s"'$aoiGeoJson'")}, ${sparkBoolArr(c)}, (m, c) -> m AND c)"
+  }
 
   /** Spark CTE prefix: enumerate tiles of the grid. */
   private val sparkTiles =
@@ -98,7 +112,7 @@ object RasterQueries extends QueryModule {
          |arrs AS (SELECT
          |  ${sparkArr(landcover.formula(sGx, sGy))} AS keys,
          |  ${sparkArr(g.microHaSql(sGy))} AS vals,
-         |  ${sparkBoolArr(sparkAoiMask)} AS mask
+         |  ${maskArr()} AS mask
          | FROM tg),
          |parts AS (SELECT explode(tile_zonal(keys, vals, mask)) AS p FROM arrs)
          |SELECT p.k AS landcover, ${decode("p.k")} AS landcover_name,
@@ -121,7 +135,7 @@ object RasterQueries extends QueryModule {
          |arrs AS (SELECT
          |  ${sparkArr(landcover.formula(sGx, sGy))} AS keys,
          |  ${sparkArr(s"${biomass10.formula(sGx, sGy)} * ${g.microHaSql(sGy)}")} AS vals,
-         |  ${sparkBoolArr(s"($sparkAoiMask) AND (${tcd.formula(sGx, sGy)} >= 30)")} AS mask
+         |  ${maskArr(Some(s"${tcd.formula(sGx, sGy)} >= 30"))} AS mask
          | FROM tg),
          |parts AS (SELECT explode(tile_zonal(keys, vals, mask)) AS p FROM arrs)
          |SELECT p.k AS landcover,
@@ -147,7 +161,7 @@ object RasterQueries extends QueryModule {
       s"""$sparkTiles,
          |raw AS (SELECT $dcArr AS px_dc,
          |  ${sparkArr(g.microHaSql(sGy))} AS vals,
-         |  ${sparkBoolArr(s"($sparkAoiMask) AND ((${dateConf.formula(sGx, sGy)}) % 10000 >= 1827)")} AS mask
+         |  ${maskArr(Some(s"(${dateConf.formula(sGx, sGy)}) % 10000 >= 1827"))} AS mask
          | FROM tg),
          |der AS (SELECT $days AS px_days, $conf AS px_conf, vals, mask FROM raw),
          |arrs AS (SELECT $key AS keys, vals, mask FROM der),
@@ -179,7 +193,7 @@ object RasterQueries extends QueryModule {
          |  ${sparkArr(bandU.formula(sGx, sGy))} AS px_u,
          |  ${sparkArr(bandW.formula(sGx, sGy))} AS px_w,
          |  ${sparkArr(g.microHaSql(sGy))} AS vals,
-         |  ${sparkBoolArr(sparkAoiMask)} AS mask
+         |  ${maskArr()} AS mask
          | FROM tg),
          |der AS (SELECT $sum2 AS px_s, vals, mask FROM raw),
          |arrs AS (SELECT transform(px_s, x -> x DIV 10) AS keys, vals, mask FROM der),
@@ -268,7 +282,7 @@ object RasterQueries extends QueryModule {
          |arrs AS (SELECT
          |  ${sparkArr(tcd.formula(sGx, sGy) + " DIV 10")} AS keys,
          |  ${sparkArr(g.microHaSql(sGy))} AS vals,
-         |  ${sparkBoolArr(s"($sparkAoiMask) AND ((${landcover.formula(sGx, sGy)}) = 0)")} AS mask
+         |  ${maskArr(Some(s"(${landcover.formula(sGx, sGy)}) = 0"))} AS mask
          | FROM tg),
          |parts AS (SELECT explode(tile_zonal(keys, vals, mask)) AS p FROM arrs)
          |SELECT p.k AS tcd_decile,
@@ -292,7 +306,7 @@ object RasterQueries extends QueryModule {
          |arrs AS (SELECT
          |  ${sparkArr(s"floor(${g.latCenterSql(sGy)})")} AS keys,
          |  ${sparkArr(g.microHaSql(sGy))} AS vals,
-         |  ${sparkBoolArr(sparkAoiMask)} AS mask
+         |  ${maskArr()} AS mask
          | FROM tg),
          |parts AS (SELECT explode(tile_zonal(keys, vals, mask)) AS p FROM arrs)
          |SELECT CAST(p.k AS INT) AS lat_band,
@@ -320,8 +334,9 @@ object RasterQueries extends QueryModule {
         s"($fid, '${geoJson(p)}', CAST($bxmin AS DOUBLE), CAST($bymin AS DOUBLE), " +
           s"CAST($bxmax AS DOUBLE), CAST($bymax AS DOUBLE))"
       }.mkString(",\n    ")
-      val maskE =
-        s"st_intersects(st_point(${g.lonCenterSql(sGx)}, ${g.latCenterSql(sGy)}), st_geomfromgeojson(gj))"
+      // AOI arrives as the per-row `gj` COLUMN — tile_mask memoizes
+      // the parse per distinct AOI, so each feature rasterizes once
+      // per tile rather than st_intersects per pixel.
       s"""$sparkTiles,
          |aois AS (SELECT * FROM VALUES
          |    $aois AS a(fid, gj, bxmin, bymin, bxmax, bymax)),
@@ -334,7 +349,7 @@ object RasterQueries extends QueryModule {
          |arrs AS (SELECT fid,
          |  ${sparkArr(landcover.formula(sGx, sGy))} AS keys,
          |  ${sparkArr(g.microHaSql(sGy))} AS vals,
-         |  ${sparkBoolArr(maskE)} AS mask
+         |  ${tileMaskCall("gj")} AS mask
          | FROM pairs),
          |parts AS (SELECT fid, explode(tile_zonal(keys, vals, mask)) AS p FROM arrs)
          |SELECT fid, p.k AS landcover,
@@ -357,6 +372,103 @@ object RasterQueries extends QueryModule {
     })
   )
 
+  // ------------------------------------------------- OTF user raster SQL
+  // The reference's core raster product surface (`_query_raster`,
+  // queries.py:548-575): the user's SQL — select list, WHERE over
+  // layer pseudo-columns, GROUP BY — runs against the data
+  // environment synthesized from the catalog, FROM-rewritten to the
+  // queried dataset's default layer. Spark side: ZonalEngine.runSql →
+  // RasterSql.compile → one fused ZonalPartial pass per AOI-pruned
+  // tile. Oracle: the same pixels re-derived from the band formulas.
+  //   otf_payload.py:44 shape: sum(area__ha) under is__*/threshold/
+  //   year filters grouped by loss year.
+
+  // DuckDB band formulas at global pixel coords (must mirror
+  // SyntheticEnv + the derived-layer synthesis in DataEnvironment).
+  private val dU = s"((${dGx} * 11 + ${dGy}) % 50)"
+  private val dW = s"((${dGx} + ${dGy} * 19) % 50)"
+  private val dTcd = tcd.formula(dGx, dGy)
+  private val dLc = landcover.formula(dGx, dGy)
+  private val dB10 = biomass10.formula(dGx, dGy)
+  private val dDc = dateConf.formula(dGx, dGy)
+  private val dYear = s"CAST(2001 + ($dW) % 24 AS BIGINT)"
+
+  /** (name, dataset, user OTF SQL, DuckDB oracle). */
+  private val otfSqls: Seq[(String, String, String, String)] = Seq(
+    ("rs1_otf_payload", "umd_tree_cover_loss",
+      """SELECT umd_tree_cover_loss__year, SUM(area__ha) AS area__ha
+        |FROM data
+        |WHERE is__umd_regional_primary_forest_2001 != 'false'
+        |  AND umd_tree_cover_density_2000__threshold >= 30
+        |  AND umd_tree_cover_loss__year >= 2010
+        |GROUP BY umd_tree_cover_loss__year""".stripMargin,
+      s"""$duckPixels,
+         |f AS (SELECT $dYear AS y, ${g.microHaSql(dGy)} AS microha FROM px
+         |  WHERE ($duckAoiMask) AND ($dU) != 0 AND ($dTcd) >= 30
+         |    AND $dYear >= 2010 AND ($dW) != 0)
+         |SELECT y AS umd_tree_cover_loss__year,
+         |  CAST(sum(microha) AS DOUBLE) / 1000000.0 AS area__ha
+         |FROM f GROUP BY y""".stripMargin),
+
+    ("rs2_glad_alerts", "umd_glad_landsat_alerts",
+      """SELECT umd_glad_landsat_alerts__date AS alert__date,
+        |  umd_glad_landsat_alerts__confidence AS confidence__cat,
+        |  COUNT(*) AS alert__count, SUM(area__ha) AS area__ha
+        |FROM data
+        |WHERE umd_glad_landsat_alerts__date >= '2020-01-01'
+        |GROUP BY umd_glad_landsat_alerts__date,
+        |  umd_glad_landsat_alerts__confidence""".stripMargin,
+      s"""$duckPixels,
+         |f AS (SELECT ($dDc) % 10000 AS days, ($dDc) // 10000 AS conf,
+         |  ${g.microHaSql(dGy)} AS microha FROM px
+         |  WHERE ($duckAoiMask) AND ($dDc) % 10000 >= 1826)
+         |SELECT DATE '2015-01-01' + CAST(days AS INT) AS alert__date,
+         |  CAST(conf AS INT) AS confidence__cat,
+         |  count(*) AS alert__count,
+         |  CAST(sum(microha) AS DOUBLE) / 1000000.0 AS area__ha
+         |FROM f GROUP BY days, conf""".stripMargin),
+
+    ("rs3_density_by_class", "whrc_aboveground_biomass_stock_2000",
+      """SELECT landcover_raster__class,
+        |  SUM(whrc_aboveground_biomass_stock_2000__Mg) AS biomass__Mg
+        |FROM data GROUP BY landcover_raster__class""".stripMargin,
+      s"""$duckPixels,
+         |f AS (SELECT CAST($dLc AS BIGINT) AS k,
+         |  ($dB10) * ${g.microHaSql(dGy)} AS v FROM px
+         |  WHERE $duckAoiMask)
+         |SELECT k AS landcover_raster__class,
+         |  CAST(sum(v) AS DOUBLE) / 1.0E7 AS biomass__Mg
+         |FROM f GROUP BY k""".stripMargin),
+
+    ("rs4_global_stats", "landcover_raster",
+      """SELECT SUM(area__ha) AS area__ha, COUNT(*) AS pixel__count,
+        |  AVG(umd_tree_cover_density_2000__threshold) AS avg__threshold
+        |FROM data WHERE landcover_raster__class = 0""".stripMargin,
+      s"""$duckPixels,
+         |f AS (SELECT ${g.microHaSql(dGy)} AS microha, $dTcd AS t FROM px
+         |  WHERE ($duckAoiMask) AND ($dLc) = 0)
+         |SELECT CAST(sum(microha) AS DOUBLE) / 1000000.0 AS area__ha,
+         |  count(*) AS pixel__count,
+         |  CAST(sum(t) AS DOUBLE) / count(*) AS avg__threshold
+         |FROM f""".stripMargin),
+
+    // FROM-rewrite base guard: the default layer's no_data (px_w = 0)
+    // excludes pixels even with no user WHERE; IN-list filter.
+    ("rs5_base_nodata", "umd_tree_cover_loss",
+      """SELECT umd_tree_cover_loss__year, COUNT(*) AS loss__count
+        |FROM data WHERE landcover_raster__class IN (0, 2, 4)
+        |GROUP BY umd_tree_cover_loss__year
+        |ORDER BY umd_tree_cover_loss__year""".stripMargin,
+      s"""$duckPixels,
+         |f AS (SELECT $dYear AS y FROM px
+         |  WHERE ($duckAoiMask) AND ($dLc) IN (0, 2, 4) AND ($dW) != 0)
+         |SELECT y AS umd_tree_cover_loss__year, count(*) AS loss__count
+         |FROM f GROUP BY y ORDER BY y""".stripMargin))
+
+  private def otfQuery(dataset: String, sql: String)(
+      spark: SparkSession, sfDir: String): DataFrame =
+    ZonalEngine.runSql(spark, SyntheticRasters.catalog, dataset, sql, aoiGeoJson)
+
   /** S8 at rest: the same zonal statistic as r1, but reading the
     * PERSISTED tile lake with AOI-bbox partition pruning — only
     * intersecting `tile_id=` partitions are listed and read. */
@@ -370,7 +482,7 @@ object RasterQueries extends QueryModule {
     spark.sql(
       s"""WITH arrs AS (SELECT px_landcover AS keys,
          |  ${sparkArr(g.microHaSql(sGy))} AS vals,
-         |  ${sparkBoolArr(sparkAoiMask)} AS mask
+         |  ${maskArr()} AS mask
          | FROM tile_lake_scan),
          |parts AS (SELECT explode(tile_zonal(keys, vals, mask)) AS p FROM arrs)
          |SELECT p.k AS landcover, ${decode("p.k")} AS landcover_name,
@@ -385,11 +497,16 @@ object RasterQueries extends QueryModule {
         Tables.register(spark, sfDir)
         spark.sql(q.sparkSql)
       })
-    }.toMap + ("r9_tile_lake_zonal" -> ((s: SparkSession, d: String) => tileLakeZonal(s, d)))
+    }.toMap +
+      ("r9_tile_lake_zonal" -> ((s: SparkSession, d: String) => tileLakeZonal(s, d))) ++
+      otfSqls.map { case (name, ds, sql, _) =>
+        name -> (otfQuery(ds, sql) _)
+      }
 
   override def oracles: Map[String, String] =
     sqls.flatMap(q => q.oracleSql.map(q.name -> _)).toMap +
       // identical semantics to r1: pruning only drops tiles whose mask
       // would be all-false
-      ("r9_tile_lake_zonal" -> sqls.find(_.name == "r1_zonal_landcover").get.oracleSql.get)
+      ("r9_tile_lake_zonal" -> sqls.find(_.name == "r1_zonal_landcover").get.oracleSql.get) ++
+      otfSqls.map { case (name, _, _, oracle) => name -> oracle }
 }

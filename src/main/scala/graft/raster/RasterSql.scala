@@ -1,0 +1,266 @@
+package graft.raster
+
+import java.time.LocalDate
+import java.time.temporal.ChronoUnit
+
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias, UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation, UnresolvedStar}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.Decimal
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** User-SQL validation failure on the raster path — surfaced as 422,
+  * the reference's raster-analysis "failed" status
+  * (`queries.py:617-625`). */
+final case class RasterSqlException(detail: String) extends RuntimeException(detail)
+
+/** A compiled OTF raster query: the fused per-tile spec plus the
+  * final-projection SQL over the merged partials (`k, c, s0..sN`). */
+final case class CompiledRasterQuery(
+    spec: ZonalSpec,
+    outputs: Seq[(String, String)],
+    orderBy: Seq[(String, Boolean)],
+    limit: Option[Int]) {
+  def isGlobal: Boolean = spec.keys.isEmpty
+}
+
+/** The OTF raster SQL dialect over data-environment layers (SURVEY
+  * §2.4/§3.2; reference `_query_raster` → raster analysis engine,
+  * `queries.py:548-575`, payload shape
+  * `tests_v2/fixtures/otf_payload/otf_payload.py:44`):
+  *
+  * {{{
+  * SELECT <layer | sum(layer) | count(*) | avg(layer)> ...
+  * FROM data                      -- rewritten to the default layer
+  * WHERE <layer cmp literal> [AND|OR|NOT|IN ...]
+  * GROUP BY <layer>, ...  [ORDER BY <out-col>] [LIMIT n]
+  * }}}
+  *
+  * Compilation is Spark-first: the text parses through Catalyst's own
+  * `CatalystSqlParser`, and the unresolved plan is walked — Aggregate /
+  * Project / Filter / UnresolvedRelation — so quoting, precedence, and
+  * literal typing are exactly Spark's. Group keys pack into one BIGINT
+  * by layer `keyBound` strides; measures sum as exact fixed-point
+  * longs; WHERE compiles to [[PixelPred]] trees over the same
+  * [[PixelFn]]s. One [[ZonalPartial]] pass per tile then a single
+  * partial-merge shuffle executes the whole query (the 100 TB shape:
+  * the shuffle carries per-tile `(key, count, sums)` rows only).
+  *
+  * Special literal typing against the layer being compared
+  * (`queries.py:628-651` + alert-system conventions):
+  *   - boolean layers (`is__*`): `'true'`/`'false'`
+  *   - date layers (`*__date`): `'YYYY-MM-DD'` → days since epoch
+  *   - dictionary layers: a raster-table meaning string → its value
+  */
+object RasterSql {
+
+  // ------------------------------------------------------------- compile
+
+  def compile(sql: String, env: DataEnvironment): CompiledRasterQuery = {
+    val plan =
+      try CatalystSqlParser.parsePlan(sql)
+      catch { case e: Exception => throw RasterSqlException(
+        s"Could not parse SQL query: ${Option(e.getMessage).getOrElse("syntax error")}") }
+
+    var limit: Option[Int] = None
+    var orderBy: Seq[(String, Boolean)] = Nil
+    var p: LogicalPlan = plan match {
+      case GlobalLimit(Literal(n: Int, _), LocalLimit(_, child)) =>
+        limit = Some(n); child
+      case other => other
+    }
+    p = p match {
+      case s: Sort =>
+        orderBy = s.order.map {
+          case SortOrder(a: UnresolvedAttribute, dir, _, _) =>
+            (a.name, dir == Ascending)
+          case o => throw RasterSqlException(
+            s"ORDER BY supports output columns only, got: ${o.sql}")
+        }
+        s.child
+      case other => other
+    }
+
+    val (groupExprs, selectList, child) = p match {
+      case a: Aggregate => (a.groupingExpressions, a.aggregateExpressions, a.child)
+      case pr: Project => (Nil: Seq[Expression], pr.projectList, pr.child)
+      case other => throw RasterSqlException(
+        s"Unsupported query shape for raster analysis: ${other.nodeName}")
+    }
+    val (whereOpt, rel) = child match {
+      case Filter(cond, r: UnresolvedRelation) => (Some(cond), r)
+      case r: UnresolvedRelation => (None, r)
+      case other => throw RasterSqlException(
+        "Raster queries support a single table with an optional WHERE, got: " +
+          other.nodeName)
+    }
+
+    def layer(name: String): RasterLayer = env.layers.getOrElse(name,
+      throw RasterSqlException(s"Layer '$name' is invalid"))
+
+    val baseLayer = layer(rel.multipartIdentifier.last)
+
+    // ---- group keys: layers packed by keyBound strides ----
+    val keyLayers: Seq[RasterLayer] = groupExprs.map {
+      case a: UnresolvedAttribute => layer(a.name)
+      case other => throw RasterSqlException(
+        s"GROUP BY supports layer names only, got: ${other.sql}")
+    }
+    val strides: Seq[Long] =
+      keyLayers.scanLeft(1L)((acc, l) => acc * l.keyBound).init
+
+    // ---- WHERE → PixelPred tree ----
+    import PixelPreds._
+    def constFor(ly: RasterLayer, l: Literal): Double = l.value match {
+      case null => throw RasterSqlException("NULL literals are not supported")
+      case v: java.lang.Number => v.doubleValue()
+      case d: Decimal => d.toDouble
+      case _ =>
+        val s = l.value.toString
+        if (ly.isBool) s.toLowerCase match {
+          case "true" => 1.0
+          case "false" => 0.0
+          case _ => throw RasterSqlException(
+            s"Boolean layer ${ly.name} compares against 'true'/'false', got '$s'")
+        }
+        else ly.dateEpoch match {
+          case Some(epoch) =>
+            val d = try LocalDate.parse(s) catch { case _: Exception =>
+              throw RasterSqlException(s"Invalid date literal '$s' for layer ${ly.name}") }
+            ChronoUnit.DAYS.between(epoch, d).toDouble
+          case None =>
+            ly.dict.collectFirst { case (k, m) if m == s => k.toDouble }.getOrElse(
+              throw RasterSqlException(
+                s"String literal '$s' does not match layer ${ly.name}"))
+        }
+    }
+    def cmpPred(c: BinaryComparison): PixelPred = {
+      val (a, litv, flipped) = (c.left, c.right) match {
+        case (at: UnresolvedAttribute, l: Literal) => (at, l, false)
+        case (l: Literal, at: UnresolvedAttribute) => (at, l, true)
+        case _ => throw RasterSqlException(
+          s"Raster filters compare a layer with a literal, got: ${c.sql}")
+      }
+      val ly = layer(a.name)
+      val rhs = constFor(ly, litv)
+      c match {
+        case _: EqualTo => Eq(ly.eval, rhs)
+        case _: GreaterThan => if (flipped) Lt(ly.eval, rhs) else Gt(ly.eval, rhs)
+        case _: GreaterThanOrEqual => if (flipped) Le(ly.eval, rhs) else Ge(ly.eval, rhs)
+        case _: LessThan => if (flipped) Gt(ly.eval, rhs) else Lt(ly.eval, rhs)
+        case _: LessThanOrEqual => if (flipped) Ge(ly.eval, rhs) else Le(ly.eval, rhs)
+        case other => throw RasterSqlException(s"Unsupported comparison: ${other.sql}")
+      }
+    }
+    def pred(e: Expression): PixelPred = e match {
+      case And(l, r) => AndP(pred(l), pred(r))
+      case Or(l, r) => OrP(pred(l), pred(r))
+      case Not(c) => NotP(pred(c))
+      case In(at: UnresolvedAttribute, list) =>
+        val ly = layer(at.name)
+        InP(ly.eval, list.map {
+          case l: Literal => constFor(ly, l).toLong
+          case o => throw RasterSqlException(s"IN list must be literals, got: ${o.sql}")
+        }.toSet)
+      case c: BinaryComparison => cmpPred(c)
+      case other => throw RasterSqlException(s"Unsupported filter: ${other.sql}")
+    }
+    val preds: Seq[PixelPred] =
+      whereOpt.map(pred).toSeq ++ baseLayer.noDataPred.toSeq
+
+    // ---- SELECT list → measures + output projection ----
+    val valFns = scala.collection.mutable.ArrayBuffer.empty[PixelFn]
+    def addVal(fn: PixelFn): Int = { valFns += fn; valFns.length - 1 }
+    val global = keyLayers.isEmpty
+    val countExpr = if (global) "coalesce(c, CAST(0 AS BIGINT))" else "c"
+
+    def argLayer(f: UnresolvedFunction): RasterLayer = f.arguments match {
+      case Seq(a: UnresolvedAttribute) => layer(a.name)
+      case args => throw RasterSqlException(
+        s"${f.nameParts.last} expects a single layer argument, got: " +
+          args.map(_.sql).mkString(", "))
+    }
+
+    def output(e: Expression, nameOpt: Option[String]): (String, String) = e match {
+      case a: UnresolvedAttribute =>
+        val idx = keyLayers.indexWhere(_.name == a.name)
+        if (idx < 0) throw RasterSqlException(
+          s"Column ${a.name} must appear in GROUP BY")
+        val ly = keyLayers(idx)
+        val raw = s"((k DIV ${strides(idx)}) % ${ly.keyBound})"
+        (nameOpt.getOrElse(a.name), ly.decodeSql(raw))
+      case f: UnresolvedFunction =>
+        if (f.isDistinct) throw RasterSqlException("DISTINCT aggregates are not supported")
+        f.nameParts.last.toLowerCase match {
+          case "count" =>
+            f.arguments match {
+              case Seq(_: UnresolvedStar) | Seq(Literal(_, _)) | Nil =>
+                (nameOpt.getOrElse("count"), countExpr)
+              case _ => throw RasterSqlException("count supports count(*) only")
+            }
+          case "sum" =>
+            val ly = argLayer(f)
+            val i = addVal(ly.eval)
+            val expr =
+              if (ly.sumScale == 1.0) s"s$i"
+              else s"CAST(s$i AS DOUBLE) / ${ly.sumScale}"
+            (nameOpt.getOrElse(s"sum(${ly.name})"), expr)
+          case "avg" =>
+            val ly = argLayer(f)
+            val i = addVal(ly.eval)
+            val expr =
+              if (ly.sumScale == 1.0) s"CAST(s$i AS DOUBLE) / $countExpr"
+              else s"CAST(s$i AS DOUBLE) / ${ly.sumScale} / $countExpr"
+            (nameOpt.getOrElse(s"avg(${ly.name})"), expr)
+          case other => throw RasterSqlException(
+            s"Function $other is not supported on raster datasets")
+        }
+      case other => throw RasterSqlException(
+        s"Unsupported SELECT item for raster analysis: ${other.sql}")
+    }
+
+    val outputs = selectList.map {
+      case Alias(c, n) => output(c, Some(n))
+      case UnresolvedAlias(c, _) => output(c, None)
+      case other => output(other, None)
+    }
+    if (outputs.isEmpty) throw RasterSqlException("Empty SELECT list")
+
+    CompiledRasterQuery(
+      ZonalSpec(env.grid, keyLayers.map(_.eval), strides, valFns.toSeq, preds),
+      outputs, orderBy, limit)
+  }
+
+  // ------------------------------------------------------------- execute
+
+  /** Run a compiled query over the (already AOI-pruned) lake scan:
+    * one fused [[ZonalPartial]] pass per tile, one shuffle of the
+    * per-tile partials, then the decode projection. */
+  def execute(lake: DataFrame, cq: CompiledRasterQuery, aoiGeoJson: String,
+              env: DataEnvironment): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val children =
+      (lit(aoiGeoJson) +: col("tx") +: col("ty") +: env.bands.map(col))
+        .map(ColumnBridge.expression)
+    val zp = ColumnBridge.column(ZonalPartial(cq.spec, children))
+    val nv = cq.spec.vals.length
+    val parts = lake
+      .select(explode(zp).as("p"))
+      .select((col("p.k").as("k") +: col("p.c").as("pc") +:
+        (0 until nv).map(i => element_at(col("p.ss"), i + 1).as(s"ps$i"))): _*)
+    val aggs = sum(col("pc")).as("c") +:
+      (0 until nv).map(i => sum(col(s"ps$i")).as(s"s$i"))
+    val merged =
+      if (cq.isGlobal) parts.agg(aggs.head, aggs.tail: _*)
+      else parts.groupBy("k").agg(aggs.head, aggs.tail: _*)
+    val out = merged.selectExpr(
+      cq.outputs.map { case (n, e) => s"$e AS `$n`" }: _*)
+    val sorted =
+      if (cq.orderBy.isEmpty) out
+      else out.orderBy(cq.orderBy.map { case (n, asc) =>
+        if (asc) col(n).asc else col(n).desc }: _*)
+    cq.limit.fold(sorted)(sorted.limit)
+  }
+}

@@ -22,6 +22,35 @@ object ZonalEngine {
   /** 400-equivalent validation errors (reference error strings). */
   final case class ZonalException(detail: String) extends RuntimeException(detail)
 
+  /** The user-SQL raster path (`_query_raster`, `queries.py:548-575`):
+    * validate the AOI, resolve the data environment from the catalog
+    * (latest-unless-overridden), FROM-rewrite the user's SQL to the
+    * dataset's default layer (the reference's exact
+    * `re.sub("from \w+", ...)` splice), compile through [[RasterSql]],
+    * and run one fused pass over the AOI-pruned lake. */
+  def runSql(spark: SparkSession, catalog: graft.catalog.Catalog,
+             dataset: String, userSql: String, aoiGeoJson: String,
+             overrides: Map[String, String] = Map.empty): DataFrame = {
+    val geom = Geom.fromGeoJson(aoiGeoJson)
+    geom match {
+      case _: Polygon | _: MultiPolygon => ()
+      case _ => throw ZonalException(
+        "Geostore must be a Polygon or MultiPolygon for raster analysis")
+    }
+    val env = DataEnvironment.cached(catalog, TileLake.defaultDir, overrides)
+    val default = env.defaultLayers.getOrElse(dataset,
+      throw RasterSqlException(s"Dataset $dataset has no raster layers"))
+    val sql = userSql.replaceAll("(?i)from \\w+",
+      java.util.regex.Matcher.quoteReplacement(s"from $default"))
+    val cq = RasterSql.compile(sql, env)
+    graft.functions.GraftFunctions.install(spark)
+    TileLake.ensureWritten(spark, env.lakeDir)
+    val bb = geom.bbox
+    val ids = TileLake.tileIdsForBbox(env.grid, bb._1, bb._2, bb._3, bb._4)
+    val lake = TileLake.scanPruned(spark, env.lakeDir, ids)
+    RasterSql.execute(lake, cq, aoiGeoJson, env)
+  }
+
   def run(spark: SparkSession, req: Request): DataFrame = {
     // Polygon/MultiPolygon only (analysis.py:104-107)
     Geom.fromGeoJson(req.aoiGeoJson) match {
@@ -44,13 +73,14 @@ object ZonalEngine {
     TileLake.scanPruned(spark, dir, ids).createOrReplaceTempView("zonal_scan")
 
     val px = g.pxPerTile * g.pxPerTile
-    val sGx = s"(tx * ${g.pxPerTile} + i % ${g.pxPerTile})"
     val sGy = s"(ty * ${g.pxPerTile} + i DIV ${g.pxPerTile})"
     val aoiMask =
-      s"st_intersects(st_point(${g.lonCenterSql(sGx)}, ${g.latCenterSql(sGy)}), " +
-        s"st_geomfromgeojson('${req.aoiGeoJson.replace("'", "''")}'))"
+      s"tile_mask('${req.aoiGeoJson.replace("'", "''")}', tx, ty, " +
+        s"${g.originLon}, ${g.originLat}, ${g.tilesX}, ${g.tilesY}, " +
+        s"${g.tileDeg}, ${g.pxPerTile})"
     val maskE = req.tcdThreshold match {
-      case Some(t) => s"($aoiMask) AND (element_at(px_tcd, i + 1) >= $t)"
+      case Some(t) =>
+        s"zip_with($aoiMask, transform(px_tcd, v -> v >= $t), (m, c) -> m AND c)"
       case None => aoiMask
     }
     val decode = "CASE " + landcoverTable.toSeq.sortBy(_._1)
@@ -60,7 +90,7 @@ object ZonalEngine {
     spark.sql(
       s"""WITH arrs AS (SELECT px_landcover AS keys,
          |  transform(sequence(0, ${px - 1}), i -> ${g.microHaSql(sGy)}) AS vals,
-         |  transform(sequence(0, ${px - 1}), i -> $maskE) AS mask
+         |  $maskE AS mask
          | FROM zonal_scan),
          |parts AS (SELECT explode(tile_zonal(keys, vals, mask)) AS p FROM arrs)
          |SELECT p.k AS landcover, $decode AS landcover_name,
