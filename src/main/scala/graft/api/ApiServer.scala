@@ -39,12 +39,7 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
       isDownloadable = !nonDownloadable.contains(t),
       assets = Seq(cat.Asset(s"$t-a1", cat.AssetType.DatabaseTable, s"$sfDir/$t.parquet",
         isDefault = true)))))
-  } :+ cat.Dataset("landcover_raster", Seq(cat.Version(
-    "landcover_raster", "v1", isLatest = true, sourceType = "raster",
-    assets = Seq(cat.Asset("landcover-a1", cat.AssetType.RasterTileSet,
-      graft.raster.TileLake.defaultDir, isDefault = true,
-      creationOptions = Map("pixel_meaning" -> "class", "band" -> "px_landcover",
-        "key_bound" -> "7")))))))
+  } ++ graft.raster.SyntheticRasters.datasets)
 
   private val geostore = scala.collection.concurrent.TrieMap.empty[String, String]
   private val jobRegistry = new JobRegistry
@@ -105,6 +100,9 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
         respond(ex, e.statusCode, "application/json", Sinks.jsendError(e.detail))
       case e: graft.raster.ZonalEngine.ZonalException =>
         respond(ex, 400, "application/json", Sinks.jsendError(e.detail))
+      case e: graft.raster.RasterSqlException =>
+        // raster-analysis validation failure → 422 (queries.py:617-621)
+        respond(ex, 422, "application/json", Sinks.jsendError(e.detail))
       case e: Throwable =>
         respond(ex, 500, "application/json",
           Sinks.jsendError(Option(e.getMessage).getOrElse("Internal server error")))
@@ -123,13 +121,16 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
       case Left(msg) =>
         respond(ex, 501, "application/json", Sinks.jsendError(msg))
       case Right(cat.RasterEngine) =>
-        // raster path: geostore mandatory (queries.py:487-503 → 422)
+        // raster path: geostore mandatory (queries.py:487-503 → 422);
+        // the user's SQL runs for real — select list, WHERE over layer
+        // pseudo-columns, GROUP BY — via the fused zonal engine
+        // (`_query_raster`, queries.py:548-575)
         params.get("geostore_id").flatMap(geostore.get) match {
           case None => respond(ex, 422, "application/json",
             Sinks.jsendError("Raster tile set queries require a geostore"))
           case Some(gj) =>
-            val df = graft.raster.ZonalEngine.run(spark,
-              graft.raster.ZonalEngine.Request(aoiGeoJson = gj))
+            val df = graft.raster.ZonalEngine.runSql(
+              spark, catalog, dataset, sql, gj)
             ex.getResponseHeaders.add("Cache-Control", "max-age=7200")
             if (json) respond(ex, 200, "application/json", Sinks.toJsend(df))
             else respond(ex, 200, "text/csv", Sinks.toCsv(df))
@@ -151,11 +152,13 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
       case None => respond(ex, 404, "application/json",
         Sinks.jsendError(s"Dataset version $dataset.$version not found"))
       case Some(v) if v.defaultAsset.exists(_.assetType == cat.AssetType.RasterTileSet) =>
-        // raster fields = reserved pseudo-columns + layer fields
-        // (versions.py:516-522)
+        // raster fields = reserved pseudo-columns + the queryable
+        // layers of the data environment (versions.py:516-522)
         val reserved = Seq("area__ha", "latitude", "longitude").map(n =>
           s"""{"name":"$n","data_type":"number","is_reserved":true}""")
-        val layers = Seq("landcover", "tcd").map(n =>
+        val env = graft.raster.DataEnvironment.cached(
+          catalog, graft.raster.TileLake.defaultDir)
+        val layers = env.layers.keys.filterNot(_ == "area__ha").toSeq.sorted.map(n =>
           s"""{"name":"$n","data_type":"integer","is_reserved":false}""")
         respond(ex, 200, "application/json",
           s"""{"data":[${(reserved ++ layers).mkString(",")}],"status":"success"}""")
@@ -182,6 +185,15 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
       case Left(msg) if msg.contains("not found") =>
         respond(ex, 404, "application/json", Sinks.jsendError(msg))
       case Left(msg) => respond(ex, 501, "application/json", Sinks.jsendError(msg))
+      case Right(cat.RasterEngine) =>
+        // raster POST needs the inline geometry (queries.py:487-503)
+        geom match {
+          case None => respond(ex, 422, "application/json",
+            Sinks.jsendError("Raster tile set queries require a geometry"))
+          case Some(gj) =>
+            val df = graft.raster.ZonalEngine.runSql(spark, catalog, dataset, sql, gj)
+            respond(ex, 200, "application/json", Sinks.toJsend(df))
+        }
       case Right(_) =>
         val rewritten = Scrutinizer.scrutinizeTo(dataset, geom, sql)
         graft.sqlgate.TabularEngine.checkFunctionsExist(spark, rewritten)
@@ -253,15 +265,22 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
       graft.geo.Json.write(f.asInstanceOf[Map[String, Any]]("geometry"))
     }
     val id = jobRegistry.submit { () =>
-      val parts = geoms.zipWithIndex.map { case (gj, fid) =>
-        val df = graft.raster.ZonalEngine.run(spark,
-          graft.raster.ZonalEngine.Request(aoiGeoJson = gj, tcdThreshold = threshold))
-        val rows = Sinks.toJsend(df)
-        // unwrap the data array and tag the feature id
-        val data = rows.stripPrefix("{\"data\":[").stripSuffix("],\"status\":\"success\"}")
-        s"""{"fid":$fid,"rows":[$data]}"""
-      }
-      parts.mkString("[", ",", "]")
+      // ONE Spark job for the whole batch: broadcast AOI table × pruned
+      // tile scan, fused per-(aoi, tile) pass, single (fid, key)
+      // shuffle — not a sequential per-feature loop (the at-scale
+      // answer to the reference's 100-lambda fan-out).
+      val df = graft.raster.ZonalEngine.runBatch(spark, catalog, geoms, threshold)
+      val rows = df.collect() // ≤ 100 features × |dict| rows (API sink)
+      val byFid = rows.groupBy(_.getAs[Int]("fid")).toSeq.sortBy(_._1)
+      byFid.map { case (fid, rs) =>
+        val items = rs.map { r =>
+          s"""{"landcover":${r.getAs[Long]("landcover")},""" +
+            s""""landcover_name":${graft.geo.Json.write(r.getAs[String]("landcover_name"))},""" +
+            s""""area_ha":${r.getAs[Double]("area_ha")},""" +
+            s""""pixel_count":${r.getAs[Long]("pixel_count")}}"""
+        }.mkString(",")
+        s"""{"fid":$fid,"rows":[$items]}"""
+      }.mkString("[", ",", "]")
     }
     respond(ex, 202, "application/json",
       s"""{"data":{"job_id":"$id","status":"pending"},"status":"success"}""")

@@ -51,6 +51,70 @@ object ZonalEngine {
     RasterSql.execute(lake, cq, aoiGeoJson, env)
   }
 
+  /** Whole-batch zonal statistics as ONE Spark job (the
+    * `r7_batch_zonal` plan shape behind `/analysis/zonal/batch`):
+    * the ≤100-feature AOI table broadcasts into a bbox join against
+    * the union-pruned tile scan, each surviving (aoi, tile) pair runs
+    * the fused [[ZonalPartial]] pass (AOI parse memoized per distinct
+    * feature), and a single shuffle groups the per-tile partials by
+    * `(fid, key)`. The reference fans out ≤100 Step-Function lambdas
+    * here; a sequential per-feature driver loop (round 1's endpoint)
+    * would serialize 100 Spark jobs — this is the plan that survives
+    * 100× more features. */
+  def runBatch(spark: SparkSession, catalog: graft.catalog.Catalog,
+               geoms: Seq[String], tcdThreshold: Option[Int]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    geoms.foreach { gj =>
+      Geom.fromGeoJson(gj) match {
+        case _: Polygon | _: MultiPolygon => ()
+        case _ => throw ZonalException(
+          "Geometry must be a Polygon or MultiPolygon for raster analysis")
+      }
+    }
+    graft.functions.GraftFunctions.install(spark)
+    val env = DataEnvironment.cached(catalog, TileLake.defaultDir)
+    val g = env.grid
+    TileLake.ensureWritten(spark, env.lakeDir)
+
+    val bbs = geoms.zipWithIndex.map { case (gj, fid) =>
+      (fid, gj, Geom.fromGeoJson(gj).bbox)
+    }
+    // union of per-AOI pruning sets → one partition-pruned scan
+    val ids = bbs.flatMap { case (_, _, bb) =>
+      TileLake.tileIdsForBbox(g, bb._1, bb._2, bb._3, bb._4)
+    }.distinct
+    val lake = TileLake.scanPruned(spark, env.lakeDir, ids)
+    import spark.implicits._
+    val aois = bbs.map { case (fid, gj, bb) => (fid, gj, bb._1, bb._2, bb._3, bb._4) }
+      .toDF("fid", "gj", "bxmin", "bymin", "bxmax", "bymax")
+    val pairs = lake.join(broadcast(aois),
+      col("tx") * g.tileDeg + g.originLon < col("bxmax") &&
+        col("tx") * g.tileDeg + g.originLon + g.tileDeg > col("bxmin") &&
+        lit(g.originLat) - col("ty") * g.tileDeg - g.tileDeg < col("bymax") &&
+        lit(g.originLat) - col("ty") * g.tileDeg > col("bymin"))
+
+    val spec = ZonalSpec(g,
+      keys = Seq(env.layers("landcover_raster__class").eval), keyStrides = Seq(1L),
+      vals = Seq(env.layers("area__ha").eval),
+      preds = tcdThreshold.map(t => PixelPreds.Ge(
+        env.layers("umd_tree_cover_density_2000__threshold").eval, t.toDouble)).toSeq)
+    import org.apache.spark.sql.graft.ColumnBridge
+    val zp = ColumnBridge.column(ZonalPartial(spec,
+      (col("gj") +: col("tx") +: col("ty") +: env.bands.map(col))
+        .map(ColumnBridge.expression)))
+    val decode = "CASE " + SyntheticEnv.landcoverTable.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"WHEN k = $k THEN '$v'" }.mkString(" ") +
+      " ELSE 'unknown' END"
+    pairs.select(col("fid"), explode(zp).as("p"))
+      .select(col("fid"), col("p.k").as("k"), col("p.c").as("pc"),
+        element_at(col("p.ss"), 1).as("s0"))
+      .groupBy("fid", "k")
+      .agg(sum("pc").as("pixel_count"), sum("s0").as("s0"))
+      .selectExpr("fid", "k AS landcover", s"$decode AS landcover_name",
+        "CAST(s0 AS DOUBLE) / 1000000.0 AS area_ha", "pixel_count")
+      .orderBy("fid", "landcover")
+  }
+
   def run(spark: SparkSession, req: Request): DataFrame = {
     // Polygon/MultiPolygon only (analysis.py:104-107)
     Geom.fromGeoJson(req.aoiGeoJson) match {

@@ -112,9 +112,24 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     val id = "\"gfw_geostore_id\":\"([0-9a-f-]+)\"".r
       .findFirstMatchIn(post("/geostore", gj).body()).get.group(1)
     val r = get("/dataset/landcover_raster/v1/query/json?geostore_id=" + id + "&sql=" +
-      java.net.URLEncoder.encode("SELECT sum(area__ha) FROM data", "UTF-8"))
+      java.net.URLEncoder.encode("SELECT sum(area__ha) AS area__ha FROM data", "UTF-8"))
     assert(r.statusCode() == 200, r.body().take(300))
-    assert(r.body().contains("\"area_ha\":"))
+    assert(r.body().contains("\"area__ha\":"))
+    // the SQL actually runs: grouped query over layer pseudo-columns
+    // (otf_payload.py:44 shape) returns per-class rows
+    val grouped = get("/dataset/landcover_raster/v1/query/json?geostore_id=" + id +
+      "&sql=" + java.net.URLEncoder.encode(
+        "SELECT landcover_raster__class AS cls, sum(area__ha) AS area__ha FROM data " +
+          "WHERE umd_tree_cover_density_2000__threshold >= 30 GROUP BY " +
+          "landcover_raster__class ORDER BY cls", "UTF-8"))
+    assert(grouped.statusCode() == 200, grouped.body().take(300))
+    assert(grouped.body().contains("\"cls\":0") && grouped.body().contains("\"cls\":6"))
+    // unknown layer → 422 with the layer name
+    val bad = get("/dataset/landcover_raster/v1/query/json?geostore_id=" + id +
+      "&sql=" + java.net.URLEncoder.encode(
+        "SELECT sum(nope__layer) FROM data", "UTF-8"))
+    assert(bad.statusCode() == 422, bad.body().take(300))
+    assert(bad.body().contains("Layer 'nope__layer' is invalid"))
     // raster fields expose reserved pseudo-columns (versions.py:516-522)
     val f = get("/dataset/landcover_raster/v1/fields")
     assert(f.statusCode() == 200)
