@@ -256,6 +256,57 @@ object GeoExpressions {
       copy(left = l, right = r)
   }
 
+  /** Planar `ST_Area` (squared coordinate units — degrees² on 4326,
+    * PostGIS's planar semantics; geodesic area is `st_area_ha`). */
+  case class StAreaPlanar(child: Expression) extends GeomUnary {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "st_area"
+    override protected def nullSafeEval(a: Any): Any =
+      geom(a.asInstanceOf[Array[Byte]]) match {
+        case Polygon(rs) => Geom.planarArea(rs)
+        case MultiPolygon(ps) => ps.map(Geom.planarArea).sum
+        case _ => 0.0
+      }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  /** General polygon × polygon `ST_Intersection` — convex clips take
+    * the one-pass Sutherland–Hodgman path, concave clips decompose
+    * into ear-clipped triangles (see [[Geom.intersection]]). */
+  case class StIntersection(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "st_intersection"
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      Geom.toWkb(Geom.intersection(
+        geom(a.asInstanceOf[Array[Byte]]), geom(b.asInstanceOf[Array[Byte]])))
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** `ST_SnapToGrid(geom, size)` (`export_1x1_grid.py:332`). */
+  case class StSnapToGrid(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "st_snap_to_grid"
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      Geom.toWkb(Geom.snapToGrid(geom(a.asInstanceOf[Array[Byte]]), asD(b)))
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** `ST_MakeValid`-lite: ring closure, degenerate-ring drop, OGC
+    * winding normalization (see [[Geom.makeValid]]). */
+  case class StMakeValid(child: Expression) extends GeomUnary {
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "st_makevalid"
+    override protected def nullSafeEval(a: Any): Any =
+      Geom.toWkb(Geom.makeValid(geom(a.asInstanceOf[Array[Byte]])))
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   case class StMakeEnvelope(children: Seq[Expression])
       extends Expression with CodegenFallback {
     override def dataType: DataType = BinaryType
@@ -299,6 +350,10 @@ object GeoFunctions {
     add("norm_name", es => NormName(es.head))
     add("st_clip_envelope", es => StClipEnvelope(es))
     add("st_intersection_convex", es => StIntersectionConvex(es(0), es(1)))
+    add("st_intersection", es => StIntersection(es(0), es(1)))
+    add("st_area", es => StAreaPlanar(es.head))
+    add("st_snap_to_grid", es => StSnapToGrid(es(0), es(1)))
+    add("st_makevalid", es => StMakeValid(es.head))
     add("st_makeenvelope", es => StMakeEnvelope(es))
   }
 }

@@ -241,7 +241,45 @@ object GeoQueries extends QueryModule {
          |  least(lon + 0.5, c.ix + 1) AS cxmax, least(lat + 0.5, c.iy + 1) AS cymax
          |FROM pts p JOIN cells c
          |  ON lon - 0.5 < c.ix + 1 AND lon + 0.5 > c.ix
-         | AND lat - 0.5 < c.iy + 1 AND lat + 0.5 > c.iy""".stripMargin)
+         | AND lat - 0.5 < c.iy + 1 AND lat + 0.5 > c.iy""".stripMargin),
+
+    // J3 exact form (`export_1x1_grid.py:309-345`): a CONCAVE
+    // L-shaped polygon per point is makevalid'd, clipped to every
+    // intersecting 1° cell with the general ST_Intersection, and
+    // verified by the partition property — grid cells tile the plane,
+    // so the clipped pieces' planar areas must sum back to the
+    // polygon's exact area (0.65 + 0.35 = 1.0 deg², rounded past the
+    // ~1e-12 float accumulation), and the count of non-empty pieces
+    // is exact integer arithmetic the oracle reproduces (bbox cells
+    // minus the one corner cell that can fall entirely in the notch).
+    SqlQ.split("g10_grid_clip_exact",
+      s"""$sparkPts,
+         |polys AS (SELECT c_custkey, lon + 0.13 AS x0, lat + 0.21 AS y0
+         |  FROM pts WHERE c_custkey < 60),
+         |cells AS (SELECT c_custkey, x0, y0, ix, iy FROM polys
+         |  LATERAL VIEW explode(sequence(CAST(floor(x0) AS INT), CAST(floor(x0 + 1.3) AS INT))) t1 AS ix
+         |  LATERAL VIEW explode(sequence(CAST(floor(y0) AS INT), CAST(floor(y0 + 1.2) AS INT))) t2 AS iy),
+         |pieces AS (SELECT c_custkey,
+         |  st_intersection(
+         |    st_makevalid(st_geomfromgeojson(concat(
+         |      '{"type":"Polygon","coordinates":[[[', x0, ',', y0,
+         |      '],[', x0 + 1.3, ',', y0, '],[', x0 + 1.3, ',', y0 + 0.5,
+         |      '],[', x0 + 0.5, ',', y0 + 0.5, '],[', x0 + 0.5, ',', y0 + 1.2,
+         |      '],[', x0, ',', y0 + 1.2, '],[', x0, ',', y0, ']]]}'))),
+         |    st_makeenvelope(CAST(ix AS DOUBLE), CAST(iy AS DOUBLE),
+         |      CAST(ix + 1 AS DOUBLE), CAST(iy + 1 AS DOUBLE))) AS piece
+         |  FROM cells)
+         |SELECT c_custkey, ROUND(SUM(st_area(piece)), 6) AS clip_area,
+         |  count_if(st_area(piece) > 0) AS cell_count
+         |FROM pieces GROUP BY c_custkey""".stripMargin,
+      s"""$duckPts,
+         |polys AS (SELECT c_custkey, lon + 0.13 AS x0, lat + 0.21 AS y0
+         |  FROM pts WHERE c_custkey < 60)
+         |SELECT c_custkey, ROUND(1.3 * 0.5 + 0.5 * 0.7, 6) AS clip_area,
+         |  CAST((floor(x0 + 1.3) - floor(x0) + 1) * (floor(y0 + 1.2) - floor(y0) + 1)
+         |    - CASE WHEN floor(x0 + 1.3) >= x0 + 0.5 AND floor(y0 + 1.2) >= y0 + 0.5
+         |      THEN 1 ELSE 0 END AS BIGINT) AS cell_count
+         |FROM polys""".stripMargin)
   )
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] =

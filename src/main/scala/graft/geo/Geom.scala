@@ -483,6 +483,194 @@ object Geom {
     }
   }
 
+  // ------------------------------------------------- general intersection
+
+  /** Twice the signed planar area of a ring (shoelace; CCW > 0). */
+  def signedArea2(ring: Array[(Double, Double)]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < ring.length - 1) {
+      s += ring(i)._1 * ring(i + 1)._2 - ring(i + 1)._1 * ring(i)._2
+      i += 1
+    }
+    s
+  }
+
+  /** Planar area of a polygon's ring set (outer minus holes), in
+    * squared coordinate units. */
+  def planarArea(rings: Array[Array[(Double, Double)]]): Double =
+    rings.headOption.map(r => math.abs(signedArea2(r)) / 2).getOrElse(0.0) -
+      rings.drop(1).map(r => math.abs(signedArea2(r)) / 2).sum
+
+  private def isConvexRing(ring0: Array[(Double, Double)]): Boolean = {
+    val ring = if (ring0.length > 1 && ring0.head == ring0.last) ring0.dropRight(1) else ring0
+    val n = ring.length
+    if (n < 3) return false
+    var sign = 0
+    var i = 0
+    while (i < n) {
+      val (ax, ay) = ring(i)
+      val (bx, by) = ring((i + 1) % n)
+      val (cx, cy) = ring((i + 2) % n)
+      val cr = (bx - ax) * (cy - by) - (by - ay) * (cx - bx)
+      if (cr != 0) {
+        val s = if (cr > 0) 1 else -1
+        if (sign == 0) sign = s else if (s != sign) return false
+      }
+      i += 1
+    }
+    true
+  }
+
+  /** Ear-clipping triangulation of a simple (possibly concave) ring —
+    * O(n²), the standard fan-free decomposition. Returns closed CCW
+    * triangles. */
+  def triangulate(ring0: Array[(Double, Double)]): Array[Array[(Double, Double)]] = {
+    var pts = (if (ring0.length > 1 && ring0.head == ring0.last) ring0.dropRight(1)
+               else ring0).toVector
+    if (signedArea2((pts :+ pts.head).toArray) < 0) pts = pts.reverse // ensure CCW
+    val out = Array.newBuilder[Array[(Double, Double)]]
+    def triContains(a: (Double, Double), b: (Double, Double), c: (Double, Double),
+                    p: (Double, Double)): Boolean = {
+      def cr(p1: (Double, Double), p2: (Double, Double), q: (Double, Double)) =
+        (p2._1 - p1._1) * (q._2 - p1._2) - (p2._2 - p1._2) * (q._1 - p1._1)
+      cr(a, b, p) > 0 && cr(b, c, p) > 0 && cr(c, a, p) > 0
+    }
+    var guard = 0
+    while (pts.length > 3 && guard < 10000) {
+      guard += 1
+      val n = pts.length
+      var i = 0
+      var clipped = false
+      while (i < n && !clipped) {
+        val a = pts((i + n - 1) % n); val b = pts(i); val c = pts((i + 1) % n)
+        val convex = (b._1 - a._1) * (c._2 - b._2) - (b._2 - a._2) * (c._1 - b._1) > 0
+        if (convex && !pts.indices.exists(j =>
+          j != (i + n - 1) % n && j != i && j != (i + 1) % n &&
+            triContains(a, b, c, pts(j)))) {
+          out += Array(a, b, c, a)
+          pts = pts.patch(i, Nil, 1)
+          clipped = true
+        }
+        i += 1
+      }
+      if (!clipped) { // degenerate (collinear run): drop the flattest vertex
+        val flat = pts.indices.minBy { i =>
+          val a = pts((i + pts.length - 1) % pts.length); val b = pts(i)
+          val c = pts((i + 1) % pts.length)
+          math.abs((b._1 - a._1) * (c._2 - b._2) - (b._2 - a._2) * (c._1 - b._1))
+        }
+        pts = pts.patch(flat, Nil, 1)
+      }
+    }
+    if (pts.length == 3) out += Array(pts(0), pts(1), pts(2), pts(0))
+    out.result().filter(t => math.abs(signedArea2(t)) > 0)
+  }
+
+  /** General polygon × polygon intersection (`ST_Intersection` for
+    * areal inputs): when the clip polygon is convex the one-pass
+    * Sutherland–Hodgman clip applies directly (SH requires only the
+    * CLIP region convex — concave subjects are fine); otherwise the
+    * clip's outer ring is ear-clipped into triangles and the subject
+    * is clipped by each, yielding a piece MultiPolygon (the
+    * clip-by-convex-decomposition strategy; pieces share internal
+    * edges but cover exactly A∩B, so area/containment semantics are
+    * exact). Holes are honored on the SUBJECT side (each hole ring
+    * clips alongside its outer); holes on the CLIP side are not
+    * supported and raise — the reference's own clip shapes (1×1 grid
+    * cells, `export_1x1_grid.py:309-345`) are rectangles. */
+  def intersection(subject: Geom, clip: Geom): Geom = {
+    val subjPolys = polygons(subject)
+    val clipPolys = polygons(clip)
+    if (clipPolys.exists(_.length > 1))
+      throw new IllegalArgumentException(
+        "ST_Intersection: holes in the clip geometry are not supported")
+    val pieces = Array.newBuilder[Array[Array[(Double, Double)]]]
+    for (sp <- subjPolys; cp <- clipPolys) {
+      val outer0 = cp(0)
+      // clip ring must wind CCW for the SH inside-test
+      val outer = if (signedArea2(outer0) < 0) outer0.reverse else outer0
+      val subjPoly = Polygon(sp)
+      if (isConvexRing(outer)) {
+        clipToConvex(subjPoly, outer) match {
+          case Polygon(rs) if rs.nonEmpty && rs(0).nonEmpty => pieces += rs
+          case _ => ()
+        }
+      } else {
+        triangulate(outer).foreach { tri =>
+          clipToConvex(subjPoly, tri) match {
+            case Polygon(rs) if rs.nonEmpty && rs(0).nonEmpty &&
+              planarArea(rs) > 0 => pieces += rs
+            case _ => ()
+          }
+        }
+      }
+    }
+    val ps = pieces.result()
+    if (ps.isEmpty) Polygon(Array(Array.empty[(Double, Double)]))
+    else if (ps.length == 1) Polygon(ps(0))
+    else MultiPolygon(ps)
+  }
+
+  /** `ST_SnapToGrid(geom, size)`: round every coordinate to the
+    * nearest multiple of `size`, collapse consecutive duplicates, drop
+    * degenerate rings (the reference uses it before the 1×1 export,
+    * `export_1x1_grid.py:332`). */
+  def snapToGrid(g: Geom, size: Double): Geom = {
+    def snap(v: Double): Double = math.rint(v / size) * size
+    def snapRing(r: Array[(Double, Double)]): Array[(Double, Double)] = {
+      val snapped = r.map { case (x, y) => (snap(x), snap(y)) }
+      val dedup = Array.newBuilder[(Double, Double)]
+      var last: (Double, Double) = null
+      snapped.foreach { p => if (p != last) { dedup += p; last = p } }
+      var out = dedup.result()
+      if (out.length > 1 && out.head != out.last) out = out :+ out.head
+      if (out.length < 4 || math.abs(signedArea2(out)) == 0)
+        Array.empty[(Double, Double)]
+      else out
+    }
+    g match {
+      case Point(x, y) => Point(snap(x), snap(y))
+      case MultiPoint(ps) => MultiPoint(ps.map { case (x, y) => (snap(x), snap(y)) })
+      case LineString(c) => LineString(c.map { case (x, y) => (snap(x), snap(y)) })
+      case MultiLineString(ls) =>
+        MultiLineString(ls.map(_.map { case (x, y) => (snap(x), snap(y)) }))
+      case Polygon(rs) =>
+        val keep = rs.map(snapRing).filter(_.nonEmpty)
+        Polygon(if (keep.isEmpty) Array(Array.empty[(Double, Double)]) else keep)
+      case MultiPolygon(ps) =>
+        MultiPolygon(ps.map(_.map(snapRing).filter(_.nonEmpty)).filter(_.nonEmpty))
+    }
+  }
+
+  /** `ST_MakeValid`-lite for areal inputs: close open rings, drop
+    * degenerate (< 4 point / zero-area) rings, and normalize winding
+    * (outer CCW, holes CW — the OGC orientation the exporters
+    * assume). Self-intersection repair by node-splitting is out of
+    * scope (documented divergence; the reference delegates to GEOS). */
+  def makeValid(g: Geom): Geom = {
+    def fixRing(r0: Array[(Double, Double)], hole: Boolean): Array[(Double, Double)] = {
+      var r = r0
+      if (r.length > 1 && r.head != r.last) r = r :+ r.head
+      if (r.length < 4 || signedArea2(r) == 0) return Array.empty
+      val ccw = signedArea2(r) > 0
+      if (hole == ccw) r.reverse else r
+    }
+    def fixPoly(rs: Array[Array[(Double, Double)]]): Array[Array[(Double, Double)]] = {
+      val fixed = rs.zipWithIndex.map { case (r, i) => fixRing(r, hole = i > 0) }
+      if (fixed.isEmpty || fixed(0).isEmpty) Array.empty
+      else fixed.filter(_.nonEmpty)
+    }
+    g match {
+      case Polygon(rs) =>
+        val f = fixPoly(rs)
+        Polygon(if (f.isEmpty) Array(Array.empty[(Double, Double)]) else f)
+      case MultiPolygon(ps) =>
+        MultiPolygon(ps.map(fixPoly).filter(_.nonEmpty))
+      case other => other
+    }
+  }
+
   /** Douglas–Peucker with tolerance `eps` (ST_Simplify semantics —
     * endpoint-preserving, not topology-preserving). */
   def simplify(g: Geom, eps: Double): Geom = {

@@ -1,0 +1,98 @@
+package graft.geo
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The general-intersection family: ear-clipping triangulation,
+  * concave ST_Intersection (both the convex-clip fast path and the
+  * decomposition path), snap-to-grid, make-valid. Areas compare
+  * through [[Geom.planarArea]]; tolerances cover only float
+  * accumulation across pieces (~1e-9 relative). */
+class GeomClipSpec extends AnyFunSuite {
+
+  private def poly(pts: (Double, Double)*): Polygon =
+    Polygon(Array((pts :+ pts.head).toArray))
+  private def area(g: Geom): Double = g match {
+    case Polygon(rs) => Geom.planarArea(rs)
+    case MultiPolygon(ps) => ps.map(Geom.planarArea).sum
+    case _ => 0.0
+  }
+
+  private val lShape = poly( // area 1.3*0.5 + 0.5*0.7 = 1.0
+    (0, 0), (1.3, 0), (1.3, 0.5), (0.5, 0.5), (0.5, 1.2), (0, 1.2))
+
+  test("triangulation partitions the ring's area (convex and concave)") {
+    val star = poly((0, 0), (2, -1), (4, 0), (3, 2), (4, 4), (2, 3), (0, 4), (1, 2))
+    for (p <- Seq(lShape, star, poly((0, 0), (3, 0), (3, 3), (0, 3)))) {
+      val tris = Geom.triangulate(p.rings(0))
+      val sum = tris.map(t => math.abs(Geom.signedArea2(t)) / 2).sum
+      assert(math.abs(sum - area(p)) < 1e-9, s"tri sum $sum vs ${area(p)}")
+    }
+  }
+
+  test("concave subject x rectangle: exact hand-computed areas") {
+    // cell fully inside the horizontal arm
+    val c1 = Geom.intersection(lShape, poly((0.6, 0.1), (1.0, 0.1), (1.0, 0.4), (0.6, 0.4)))
+    assert(math.abs(area(c1) - 0.4 * 0.3) < 1e-12)
+    // cell straddling the notch corner: area = cell minus notch overlap
+    val c2 = Geom.intersection(lShape, poly((0.3, 0.3), (0.8, 0.3), (0.8, 0.8), (0.3, 0.8)))
+    // overlap with notch (x>0.5, y>0.5): 0.3*0.3
+    assert(math.abs(area(c2) - (0.25 - 0.09)) < 1e-12)
+    // disjoint cell
+    val c3 = Geom.intersection(lShape, poly((2.0, 2.0), (3.0, 2.0), (3.0, 3.0), (2.0, 3.0)))
+    assert(area(c3) == 0.0)
+  }
+
+  test("concave CLIP decomposes: both argument orders agree on area") {
+    val convex = poly((0.2, -0.3), (1.6, 0.1), (1.4, 1.5), (0.1, 1.1))
+    val viaDecomposition = Geom.intersection(convex, lShape) // L is the clip → triangulated
+    val viaConvexPath = Geom.intersection(lShape, convex)    // convex clip → one-pass SH
+    assert(math.abs(area(viaDecomposition) - area(viaConvexPath)) < 1e-9,
+      s"${area(viaDecomposition)} vs ${area(viaConvexPath)}")
+    assert(area(viaConvexPath) > 0)
+  }
+
+  test("subject holes subtract from the clipped area") {
+    val withHole = Polygon(Array(
+      Array((0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 2.0), (0.0, 0.0)),
+      Array((0.5, 0.5), (1.5, 0.5), (1.5, 1.5), (0.5, 1.5), (0.5, 0.5))))
+    val clip = poly((0.0, 0.0), (1.0, 0.0), (1.0, 2.0), (0.0, 2.0))
+    val out = Geom.intersection(withHole, clip)
+    // left half of the square (2.0) minus left half of the hole (0.5)
+    assert(math.abs(area(out) - 1.5) < 1e-12)
+  }
+
+  test("grid cells partition a concave polygon (conservation over many cells)") {
+    // L placed to straddle 9 cells with awkward offsets
+    val shifted = Polygon(Array(lShape.rings(0).map { case (x, y) => (x - 0.87, y - 0.43) }))
+    var total = 0.0
+    for (ix <- -2 to 1; iy <- -2 to 1) {
+      val cell = poly((ix, iy), (ix + 1, iy), (ix + 1, iy + 1), (ix, iy + 1))
+      total += area(Geom.intersection(shifted, cell))
+    }
+    assert(math.abs(total - 1.0) < 1e-9, s"partition total $total")
+  }
+
+  test("snapToGrid rounds, dedupes, and drops degenerate rings") {
+    val p = poly((0.123, 0.249), (1.01, 0.251), (1.02, 1.248), (0.11, 1.252))
+    val snapped = Geom.snapToGrid(p, 0.25) match { case Polygon(rs) => rs; case _ => fail() }
+    assert(snapped(0).toSeq == Seq((0.0, 0.25), (1.0, 0.25), (1.0, 1.25), (0.0, 1.25), (0.0, 0.25)))
+    // a sliver thinner than the grid collapses to empty
+    val sliver = poly((0.0, 0.0), (2.0, 0.001), (2.0, 0.002))
+    Geom.snapToGrid(sliver, 0.25) match {
+      case Polygon(rs) => assert(rs(0).isEmpty)
+      case other => fail(other.toString)
+    }
+  }
+
+  test("makeValid closes rings and normalizes winding") {
+    // CW outer, CCW hole, outer unclosed — both get flipped + closed
+    val messy = Polygon(Array(
+      Array((0.0, 0.0), (0.0, 2.0), (2.0, 2.0), (2.0, 0.0)),           // CW, open
+      Array((0.5, 0.5), (1.5, 0.5), (1.5, 1.5), (0.5, 1.5), (0.5, 0.5)))) // CCW
+    val fixed = Geom.makeValid(messy) match { case Polygon(rs) => rs; case _ => fail() }
+    assert(fixed(0).head == fixed(0).last)
+    assert(Geom.signedArea2(fixed(0)) > 0)  // outer CCW
+    assert(Geom.signedArea2(fixed(1)) < 0)  // hole CW
+    assert(math.abs(Geom.planarArea(fixed) - 3.0) < 1e-12)
+  }
+}
