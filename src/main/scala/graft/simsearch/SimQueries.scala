@@ -38,6 +38,194 @@ object SimQueries extends QueryModule {
   private def dDot(a: String, b: String): String =
     duckDot.replace("QA", a).replace("QB", b)
 
+  /** Unrolled Lloyd iterations (shared by e5b/e3): `cn0` = seed
+    * centroids (vectors 0..9), then per iteration an assignment by max
+    * cosine (deterministic tie-break on cluster id), a vec_id-ordered
+    * centroid fold (bit-reproducible across engines), and re-norm.
+    * Lloyd is idempotent at its fixed point, so running a fixed
+    * iteration count on both engines sidesteps "did it converge at the
+    * same step" while `KmeansConvergenceSpec` separately asserts the
+    * fixed point IS reached within the unroll (assignments at N and
+    * N−1 identical). Emits `cn0..cn$n` and assignments `asg1..asg$n`.
+    */
+  private def kmeansCtes(n: Int, spark: Boolean): String = {
+    val sb = new StringBuilder(
+      "cn0 AS (SELECT vec_id AS c, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 10)")
+    for (i <- 1 to n) {
+      val p = i - 1
+      val dot =
+        if (spark) s"vec_dot(n.v, cn$p.cv)" else dDot("n.v", s"cn$p.cv")
+      // oracle CTEs are MATERIALIZED: DuckDB inlines referenced-once
+      // CTEs, and optimizer passes over a 40-level inlined nest go
+      // exponential past ~depth 15 (measured: 22 iters = 24s inlined,
+      // 41 iters = 5s materialized)
+      val m = if (spark) "" else "MATERIALIZED "
+      sb ++= s""",
+         |a$i AS $m(SELECT n.vec_id, n.v, cn$p.c,
+         |        row_number() OVER (PARTITION BY n.vec_id
+         |          ORDER BY $dot / (n.nrm * cn$p.cnrm) DESC, cn$p.c) AS r
+         |       FROM n CROSS JOIN cn$p),
+         |asg$i AS $m(SELECT vec_id, v, c FROM a$i WHERE r = 1)"""
+      if (spark) sb ++= s""",
+         |g$i AS (SELECT c, sort_array(collect_list(struct(vec_id, v))) AS arr, count(*) AS cnt
+         |      FROM asg$i GROUP BY c),
+         |cen$i AS (SELECT c, transform(
+         |    aggregate(arr, array_repeat(CAST(0 AS DOUBLE), 64), (acc, e) -> zip_with(acc, e.v, (p,q) -> p+q)),
+         |    x -> x / cnt) AS cv FROM g$i),
+         |cn$i AS (SELECT c, cv, sqrt(vec_dot(cv, cv)) AS cnrm FROM cen$i)"""
+      else sb ++= s""",
+         |g$i AS MATERIALIZED (SELECT c, list(v ORDER BY vec_id) AS arr, count(*) AS cnt
+         |      FROM asg$i GROUP BY c),
+         |cen$i AS MATERIALIZED (SELECT c, [x / cnt for x in
+         |    list_reduce(arr, (a,b) -> [a[k] + b[k] for k in generate_series(1, len(a))])] AS cv FROM g$i),
+         |cn$i AS MATERIALIZED (SELECT c, cv, sqrt(list_reduce([y*y for y in cv], (a,b) -> a+b)) AS cnrm FROM cen$i)"""
+    }
+    sb.result().stripMargin
+  }
+
+  /** Centroid-update budget shared by the Spark driver loop and the
+    * unrolled DuckDB oracle. Lloyd is idempotent at its fixed point,
+    * so Spark's early-stopped result equals the oracle's
+    * exactly-`KmMaxIter`-updates result whenever the fixed point lands
+    * inside the budget (KmeansConvergenceSpec asserts it does; if it
+    * ever didn't, the loop runs the full budget and parity still
+    * holds). */
+  private val KmMaxIter = 40
+
+  final case class KmResult(centroids: Seq[(Long, Array[Double])],
+                            iters: Int, fixedPoint: Boolean)
+
+  private val kmMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, KmResult]()
+
+  private def fmtD(d: Double): String = {
+    val s = java.lang.Double.toString(d) // shortest repr — exact round trip
+    s + "D"
+  }
+
+  /** Driver-loop Lloyd (the idiomatic Spark shape, cf. MLlib's
+    * KMeans): centroids live on the driver as a 10×64 literal VALUES
+    * table re-broadcast each iteration — the per-iteration plan is
+    * constant-size (a deep CTE unroll makes Catalyst re-analyze a
+    * superlinearly growing tree), the data-side work is one
+    * cross-join + one vec_id-ordered centroid fold per iteration, and
+    * the loop stops at the BITWISE centroid fixed point (double
+    * literals round-trip exactly through shortest-repr formatting).
+    * Memoized per scale-factor dir: e5b and e3 share one build. */
+  private[simsearch] def convergedKmeans(spark: SparkSession, sfDir: String): KmResult =
+    kmMemo.computeIfAbsent(sfDir, { _ =>
+      Tables.register(spark, sfDir)
+      graft.functions.GraftFunctions.install(spark)
+      // vectors cached once; per iteration ONE narrow distributed job
+      // (scan + per-row argmax) collecting only (vec_id, cluster) —
+      // the k×64 centroid merge happens on the driver in vec_id order,
+      // mirroring the oracle's `list(v ORDER BY vec_id)` fold exactly.
+      // (MLlib's loop has the same shape; at real scale the collect
+      // becomes per-partition partial sums — here the merge must be a
+      // globally ordered fold for bit parity with the oracle.)
+      val vecsDf = spark.sql(s"$sparkVecs SELECT vec_id, v, nrm FROM n").persist()
+      vecsDf.createOrReplaceTempView("km_vecs")
+      try {
+        val byId: Array[(Long, Array[Double])] = vecsDf
+          .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+          .sortBy(_._1)
+        var cents: Seq[(Long, Array[Double])] =
+          byId.filter(_._1 < 10).toSeq
+        val vecMap = byId.toMap
+        var iter = 0
+        var fixed = false
+        while (iter < KmMaxIter && !fixed) {
+          iter += 1
+          val assigned: Array[(Long, Long)] = spark.sql(
+            s"SELECT vec_id, ${argmaxAssign(cents)} AS c FROM km_vecs")
+            .collect().map(r => (r.getLong(0), r.getLong(1)))
+          val next = assigned.groupBy(_._2).toSeq.map { case (c, members) =>
+            val ordered = members.map(_._1).sorted
+            val sum = new Array[Double](64)
+            ordered.foreach { id =>
+              val v = vecMap(id)
+              var i = 0
+              while (i < 64) { sum(i) += v(i); i += 1 }
+            }
+            val cnt = ordered.length
+            c -> sum.map(_ / cnt)
+          }.sortBy(_._1)
+          fixed = next.length == cents.length &&
+            next.zip(cents).forall { case ((c1, a1), (c2, a2)) =>
+              c1 == c2 && java.util.Arrays.equals(a1, a2) }
+          cents = next
+        }
+        KmResult(cents, iter, fixed)
+      } finally vecsDf.unpersist()
+    })
+
+  /** Literal centroid table CTE `cn(c, cv, cnrm)`. */
+  private def centroidCte(cents: Seq[(Long, Array[Double])]): String = {
+    val rows = cents.map { case (c, arr) =>
+      s"(${c}L, array(${arr.map(fmtD).mkString(",")}))"
+    }.mkString(",\n    ")
+    s"""cn AS (SELECT col1 AS c, col2 AS cv, sqrt(vec_dot(col2, col2)) AS cnrm
+       |  FROM VALUES
+       |    $rows)""".stripMargin
+  }
+
+  /** Index-ordered dot (the vec_dot fold order — bit-identical). */
+  private def dotScala(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** Per-row argmax assignment over a LITERAL centroid array — no
+    * cross join, no window shuffle: the 50k-row sort per Lloyd
+    * iteration was the loop's dominant cost. Ascending-c array order +
+    * strict `>` reproduce the window's `DESC, c` tie-break; sims come
+    * from the same codegen'd vec_dot, so assignments are bit-identical
+    * to the windowed (and oracle) formulation. */
+  private def argmaxAssign(cents: Seq[(Long, Array[Double])]): String = {
+    val elems = cents.sortBy(_._1).map { case (c, arr) =>
+      val cnrm = fmtD(math.sqrt(dotScala(arr, arr)))
+      s"named_struct('c', ${c}L, 'cv', array(${arr.map(fmtD).mkString(",")}), 'cnrm', $cnrm)"
+    }.mkString(",\n      ")
+    s"""aggregate(
+       |  transform(array(
+       |      $elems),
+       |    ct -> named_struct('c', ct.c, 's', vec_dot(v, ct.cv) / (nrm * ct.cnrm))),
+       |  named_struct('c', CAST(-1 AS BIGINT), 's', CAST(-1.0E308 AS DOUBLE)),
+       |  (acc, e) -> IF(e.s > acc.s, e, acc)).c""".stripMargin
+  }
+
+  /** e5b Spark side: final assignment from the converged centroids. */
+  private def kmeansAssignments(spark: SparkSession, sfDir: String): DataFrame = {
+    val km = convergedKmeans(spark, sfDir)
+    spark.sql(
+      s"""$sparkVecs
+         |SELECT vec_id, ${argmaxAssign(km.centroids)} AS cluster_id FROM n""".stripMargin)
+  }
+
+  /** e3 Spark side: IVF probe over the converged cells. */
+  private def ivfTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val km = convergedKmeans(spark, sfDir)
+    spark.sql(
+      s"""$sparkVecs,
+         |${centroidCte(km.centroids)},
+         |asg AS (SELECT vec_id, ${argmaxAssign(km.centroids)} AS c FROM n),
+         |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < 5),
+         |pc AS (SELECT qid, cn.c AS cell,
+         |        row_number() OVER (PARTITION BY qid
+         |          ORDER BY vec_dot(qv, cn.cv) / (qn * cn.cnrm) DESC, cn.c) AS cr
+         |       FROM q CROSS JOIN cn),
+         |probe AS (SELECT qid, cell FROM pc WHERE cr <= 2),
+         |s AS (SELECT q.qid, n.vec_id AS nid, vec_dot(q.qv, n.v) / (q.qn * n.nrm) AS sim
+         |      FROM q JOIN probe ON probe.qid = q.qid
+         |             JOIN asg m ON m.c = probe.cell
+         |             JOIN n ON n.vec_id = m.vec_id AND n.vec_id != q.qid)
+         |SELECT qid AS query_id, nid AS neighbor_id, sim AS cosine, rnk
+         |FROM (SELECT qid, nid, sim,
+         |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk FROM s) t
+         |WHERE rnk <= 5""".stripMargin)
+  }
+
   private val sqls: Seq[SqlQ] = Seq(
 
     // E1: brute-force cosine top-10 for 5 query vectors — the exact
@@ -167,49 +355,33 @@ object SimQueries extends QueryModule {
          |               for k in generate_series(1, len(v))], (a, b) -> a + b) AS recon_err
          |FROM q""".stripMargin),
 
-    // E3: IVF top-5 — centroid per cell (vec_id-ordered fold => exact
-    // cross-engine reproducibility), probe the 2 nearest cells, exact
-    // search inside probed cells only. The candidate set is a cell
-    // join, not a full scan: the 100 TB path.
-    SqlQ.split("e3_ann_ivf",
-      s"""$sparkVecs,
-         |g AS (SELECT label, sort_array(collect_list(struct(vec_id, v))) AS arr, count(*) AS c
-         |      FROM v GROUP BY label),
-         |cen AS (SELECT label, transform(
-         |    aggregate(arr, array_repeat(CAST(0 AS DOUBLE), 64), (acc, e) -> zip_with(acc, e.v, (p,q) -> p+q)),
-         |    x -> x / c) AS cv FROM g),
-         |cn AS (SELECT label, cv, sqrt(vec_dot(cv, cv)) AS cnrm FROM cen),
-         |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < 5),
-         |pc AS (SELECT qid, cn.label,
-         |        row_number() OVER (PARTITION BY qid ORDER BY vec_dot(qv, cv) / (qn * cnrm) DESC, cn.label) AS cr
-         |       FROM q CROSS JOIN cn),
-         |probe AS (SELECT qid, label FROM pc WHERE cr <= 2),
-         |s AS (SELECT q.qid, n.vec_id AS nid, vec_dot(q.qv, n.v) / (q.qn * n.nrm) AS sim
-         |      FROM q JOIN probe ON probe.qid = q.qid
-         |             JOIN n ON n.label = probe.label AND n.vec_id != q.qid)
-         |SELECT qid AS query_id, nid AS neighbor_id, sim AS cosine, rnk
-         |FROM (SELECT qid, nid, sim,
-         |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk FROM s) t
-         |WHERE rnk <= 5""".stripMargin,
-      s"""$duckVecs,
-         |g AS (SELECT label, list(v ORDER BY vec_id) AS arr, count(*) AS c
-         |      FROM v GROUP BY label),
-         |cen AS (SELECT label, [x / c for x in
-         |    list_reduce(arr, (a,b) -> [a[k] + b[k] for k in generate_series(1, len(a))])] AS cv FROM g),
-         |cn AS (SELECT label, cv, sqrt(list_reduce([y*y for y in cv], (a,b) -> a+b)) AS cnrm FROM cen),
-         |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < 5),
-         |pc AS (SELECT qid, cn.label,
-         |        row_number() OVER (PARTITION BY qid ORDER BY ${dDot("qv", "cv")} / (qn * cnrm) DESC, cn.label) AS cr
-         |       FROM q CROSS JOIN cn),
-         |probe AS (SELECT qid, label FROM pc WHERE cr <= 2),
-         |s AS (SELECT q.qid, n.vec_id AS nid, ${dDot("q.qv", "n.v")} / (q.qn * n.nrm) AS sim
-         |      FROM q JOIN probe ON probe.qid = q.qid
-         |             JOIN n ON n.label = probe.label AND n.vec_id != q.qid)
-         |SELECT qid AS query_id, nid AS neighbor_id, sim AS cosine, rnk
-         |FROM (SELECT qid, nid, sim,
-         |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk FROM s) t
-         |WHERE rnk <= 5""".stripMargin)
+    // E5b / E3 are programmatic (driver-loop Lloyd + IVF probe over
+    // the converged cells) — see `queries` below; their oracles unroll
+    // the same updates in DuckDB (materialized CTEs keep that linear).
   )
+
+  private def e5bOracle: String =
+    s"""$duckVecs,
+       |${kmeansCtes(KmMaxIter + 1, spark = false)}
+       |SELECT vec_id, c AS cluster_id FROM asg${KmMaxIter + 1}""".stripMargin
+
+  private def e3Oracle: String =
+    s"""$duckVecs,
+       |${kmeansCtes(KmMaxIter + 1, spark = false)},
+       |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < 5),
+       |pc AS (SELECT qid, cn$KmMaxIter.c AS cell,
+       |        row_number() OVER (PARTITION BY qid
+       |          ORDER BY ${dDot("qv", s"cn$KmMaxIter.cv")} / (qn * cn$KmMaxIter.cnrm) DESC, cn$KmMaxIter.c) AS cr
+       |       FROM q CROSS JOIN cn$KmMaxIter),
+       |probe AS (SELECT qid, cell FROM pc WHERE cr <= 2),
+       |s AS (SELECT q.qid, n.vec_id AS nid, ${dDot("q.qv", "n.v")} / (q.qn * n.nrm) AS sim
+       |      FROM q JOIN probe ON probe.qid = q.qid
+       |             JOIN asg${KmMaxIter + 1} m ON m.c = probe.cell
+       |             JOIN n ON n.vec_id = m.vec_id AND n.vec_id != q.qid)
+       |SELECT qid AS query_id, nid AS neighbor_id, sim AS cosine, rnk
+       |FROM (SELECT qid, nid, sim,
+       |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk FROM s) t
+       |WHERE rnk <= 5""".stripMargin
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     sqls.map { q =>
@@ -217,8 +389,12 @@ object SimQueries extends QueryModule {
         Tables.register(spark, sfDir)
         spark.sql(q.sparkSql)
       })
-    }.toMap
+    }.toMap +
+      ("e5b_kmeans_converged" -> ((s: SparkSession, d: String) => kmeansAssignments(s, d))) +
+      ("e3_ann_ivf" -> ((s: SparkSession, d: String) => ivfTopK(s, d)))
 
   override def oracles: Map[String, String] =
-    sqls.flatMap(q => q.oracleSql.map(q.name -> _)).toMap
+    sqls.flatMap(q => q.oracleSql.map(q.name -> _)).toMap +
+      ("e5b_kmeans_converged" -> e5bOracle) +
+      ("e3_ann_ivf" -> e3Oracle)
 }

@@ -1,0 +1,28 @@
+package graft.simsearch
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The e5b/e3 convergence claim: the driver-loop Lloyd reaches its
+  * bitwise centroid fixed point within the shared iteration budget, so
+  * the early-stopped Spark result equals the oracle's fixed-count
+  * unroll (Lloyd is idempotent at the fixed point). */
+class KmeansConvergenceSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "4")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("Lloyd reaches a bitwise fixed point within the budget") {
+    val km = SimQueries.convergedKmeans(spark, "/root/testdata/sf0.001")
+    assert(km.fixedPoint, s"not converged after ${km.iters} updates")
+    assert(km.iters < 40)
+    assert(km.centroids.length > 1) // non-degenerate clustering
+    km.centroids.foreach { case (_, arr) => assert(arr.length == 64) }
+  }
+}
