@@ -29,8 +29,60 @@ import org.apache.spark.sql.SparkSession
   * strings); unknown dataset/version → 404; 2-hour Cache-Control on
   * query responses (`queries.py:155-158`).
   */
+/** In-memory API-key registry (reference `app/crud/api_keys` +
+  * `authentication/api_keys.py`): a key is valid when it exists, is
+  * unexpired, and — if it carries domain restrictions — the request's
+  * Origin/Referer domain matches one (wildcards per `_to_regex`). */
+final class ApiKeys {
+  private val keys =
+    scala.collection.concurrent.TrieMap.empty[String, (Seq[String], Option[Long])]
+
+  def create(domains: Seq[String] = Nil, expiresOnMs: Option[Long] = None): String = {
+    val id = java.util.UUID.randomUUID().toString
+    keys.put(id, (domains, expiresOnMs))
+    id
+  }
+
+  private def toRegex(domain: String) =
+    ("^" + domain.replace(".", "\\.").replace("*", ".*") + "$").r
+
+  private def extractDomain(url: String): String = {
+    val noScheme = url.replaceFirst("^[a-z]+://", "")
+    noScheme.split("[/:]")(0)
+  }
+
+  /** `api_key_is_valid` (`authentication/api_keys.py:62-95`). */
+  def isValid(key: String, origin: Option[String], referrer: Option[String]): Boolean =
+    keys.get(key).exists { case (domains, expires) =>
+      val domainOk =
+        if (domains.isEmpty) true
+        else origin.map(o => domains.exists(d =>
+          toRegex(d).findFirstIn(extractDomain(o)).isDefined))
+          .orElse(referrer.map(r => domains.exists(d =>
+            toRegex(d).findFirstIn(extractDomain(r)).isDefined)))
+          .getOrElse(false)
+      domainOk && expires.forall(_ > System.currentTimeMillis())
+    }
+}
+
+/** Zoom → search-radius table for the point feature lookup
+  * (`features.py:177-218`: tippecanoe vector-tile precision per zoom
+  * level × scale factor 50, in metres). */
+object FeatureLookup {
+  private val precision: Map[Int, Double] = Map(
+    0 -> 10000, 1 -> 5000, 2 -> 2500, 3 -> 1250, 4 -> 600, 5 -> 300,
+    6 -> 150, 7 -> 80, 8 -> 40, 9 -> 20, 10 -> 10, 11 -> 5, 12 -> 2,
+    13 -> 1, 14 -> 0.5, 15 -> 0.25, 16 -> 0.15, 17 -> 0.08, 18 -> 0.04,
+    19 -> 0.02, 20 -> 0.01, 21 -> 0.005, 22 -> 0.0025)
+
+  def bufferMeters(zoom: Int): Option[Double] = precision.get(zoom).map(_ * 50)
+}
+
 final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
-                      nonDownloadable: Set[String] = Set.empty) {
+                      nonDownloadable: Set[String] = Set.empty,
+                      apiKeys: Option[ApiKeys] = None,
+                      protectedDatasets: Set[String] = Set.empty,
+                      adminTokens: Set[String] = Set.empty) {
 
   Tables.register(spark, sfDir)
 
@@ -57,7 +109,40 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
   private val QueryCsv = "^/dataset/([^/]+)/([^/]+)/query/csv$".r
   private val Download = "^/dataset/([^/]+)/([^/]+)/download/(csv|json)$".r
   private val Fields = "^/dataset/([^/]+)/([^/]+)/fields$".r
+  private val Features = "^/dataset/([^/]+)/([^/]+)/features$".r
+  private val StatsR = "^/dataset/([^/]+)/([^/]+)/stats$".r
+  private val ExtentR = "^/dataset/([^/]+)/([^/]+)/extent$".r
   private val GeostoreGet = "^/geostore/([^/]+)$".r
+
+  // ----------------------------------------------------------- auth gate
+
+  /** The reference's two-layer gate on query/download routes: a valid
+    * API key (`get_api_key` → 403 "No valid API Key found.") and, for
+    * protected datasets, an admin bearer token
+    * (`is_authorized_for_query` → 401). Returns the rejection, if
+    * any; key auth only applies when the server was built with a key
+    * registry. */
+  private def authGate(ex: HttpExchange, dataset: String): Option[(Int, String)] = {
+    val keyFail = apiKeys.flatMap { reg =>
+      val hdr = Option(ex.getRequestHeaders.getFirst("x-api-key"))
+      val key = hdr.orElse(queryParams(ex).get("x-api-key"))
+      val origin = Option(ex.getRequestHeaders.getFirst("Origin"))
+      val referrer = Option(ex.getRequestHeaders.getFirst("Referer"))
+      if (key.exists(k => reg.isValid(k, origin, referrer))) None
+      else Some((403, Sinks.jsendError("No valid API Key found.")))
+    }
+    keyFail.orElse {
+      if (protectedDatasets.contains(dataset)) {
+        val token = Option(ex.getRequestHeaders.getFirst("Authorization"))
+          .filter(_.startsWith("Bearer ")).map(_.stripPrefix("Bearer "))
+        token match {
+          case Some(t) if adminTokens.contains(t) => None
+          case _ => Some((401, Sinks.jsendError(
+            "Unauthorized query on a restricted dataset or version")))
+        }
+      } else None
+    }
+  }
 
   private def handle(ex: HttpExchange): Unit =
     try {
@@ -69,9 +154,15 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
           respond(ex, 308, "application/json", "")
         case ("GET", QueryJson(d, v)) => query(ex, d, v, json = true)
         case ("GET", QueryCsv(d, v)) => query(ex, d, v, json = false)
-        case ("POST", QueryJson(d, v)) => queryPost(ex, d, v)
+        case ("POST", QueryJson(d, v)) => queryPost(ex, d, v, json = true)
+        case ("POST", QueryCsv(d, v)) => queryPost(ex, d, v, json = false)
         case ("GET", Download(d, v, fmt)) => download(ex, d, v, fmt)
         case ("GET", Fields(d, v)) => fields(ex, d, v)
+        case ("GET", Features(d, v)) => features(ex, d, v)
+        case ("GET", StatsR(d, v)) => stats(ex, d, v)
+        case ("GET", ExtentR(d, v)) => extent(ex, d, v)
+        case ("GET", "/political/id-lookup") => idLookup(ex)
+        case ("POST", "/auth/apikey") => apiKeyCreate(ex)
         case ("GET", "/analysis/zonal") => zonal(ex)
         case ("POST", "/analysis/zonal/batch") => zonalBatch(ex)
         case ("GET", JobGet(id)) =>
@@ -110,8 +201,15 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
 
   // ------------------------------------------------------------ handlers
 
+  /** 2h Cache-Control, except TCL tables which are immutable per
+    * version → 1y (`queries.py:155-158`). */
+  private def cacheControl(dataset: String): String =
+    if (dataset.contains("gadm__tcl__")) "max-age=31536000" else "max-age=7200"
+
   private def query(ex: HttpExchange, dataset: String, version: String,
                     json: Boolean): Unit = {
+    authGate(ex, dataset).foreach { case (code, body) =>
+      return respond(ex, code, "application/json", body) }
     val params = queryParams(ex)
     val sql = params.getOrElse("sql",
       return respond(ex, 422, "application/json", Sinks.jsendError("Missing sql parameter")))
@@ -131,7 +229,7 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
           case Some(gj) =>
             val df = graft.raster.ZonalEngine.runSql(
               spark, catalog, dataset, sql, gj)
-            ex.getResponseHeaders.add("Cache-Control", "max-age=7200")
+            ex.getResponseHeaders.add("Cache-Control", cacheControl(dataset))
             if (json) respond(ex, 200, "application/json", Sinks.toJsend(df))
             else respond(ex, 200, "text/csv", Sinks.toCsv(df))
         }
@@ -141,7 +239,7 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
         val rewritten = Scrutinizer.scrutinizeTo(dataset, geom, sql)
         graft.sqlgate.TabularEngine.checkFunctionsExist(spark, rewritten)
         val df = spark.sql(rewritten)
-        ex.getResponseHeaders.add("Cache-Control", "max-age=7200")
+        ex.getResponseHeaders.add("Cache-Control", cacheControl(dataset))
         if (json) respond(ex, 200, "application/json", Sinks.toJsend(df))
         else respond(ex, 200, "text/csv", Sinks.toCsv(df))
     }
@@ -171,8 +269,12 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
     }
 
   /** POST body form: `{"sql": "...", "geometry": {...GeoJSON...}}`
-    * with an inline AOI (`queries.py` POST routes). */
-  private def queryPost(ex: HttpExchange, dataset: String, version: String): Unit = {
+    * with an inline AOI (`queries.py` POST routes; `json = false` is
+    * the POST `/query/csv` variant). */
+  private def queryPost(ex: HttpExchange, dataset: String, version: String,
+                        json: Boolean): Unit = {
+    authGate(ex, dataset).foreach { case (code, body) =>
+      return respond(ex, code, "application/json", body) }
     val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
     val obj = graft.geo.Json.parseObject(body)
     val sql = obj.get("sql") match {
@@ -181,6 +283,9 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
         Sinks.jsendError("Missing sql in request body"))
     }
     val geom = obj.get("geometry").map(graft.geo.Json.write)
+    def send(df: org.apache.spark.sql.DataFrame): Unit =
+      if (json) respond(ex, 200, "application/json", Sinks.toJsend(df))
+      else respond(ex, 200, "text/csv", Sinks.toCsv(df))
     catalog.queryEngine(dataset, version) match {
       case Left(msg) if msg.contains("not found") =>
         respond(ex, 404, "application/json", Sinks.jsendError(msg))
@@ -191,19 +296,21 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
           case None => respond(ex, 422, "application/json",
             Sinks.jsendError("Raster tile set queries require a geometry"))
           case Some(gj) =>
-            val df = graft.raster.ZonalEngine.runSql(spark, catalog, dataset, sql, gj)
-            respond(ex, 200, "application/json", Sinks.toJsend(df))
+            send(graft.raster.ZonalEngine.runSql(spark, catalog, dataset, sql, gj))
         }
       case Right(_) =>
         val rewritten = Scrutinizer.scrutinizeTo(dataset, geom, sql)
         graft.sqlgate.TabularEngine.checkFunctionsExist(spark, rewritten)
-        respond(ex, 200, "application/json", Sinks.toJsend(spark.sql(rewritten)))
+        send(spark.sql(rewritten))
     }
   }
 
   /** Download variant of the query endpoints: attachment disposition,
     * gated by the version's downloadability flag
-    * (`downloads.py:391-396`). */
+    * (`downloads.py:391-396`). Unlike `/query`, downloads STREAM —
+    * rows flow through `toLocalIterator` into a chunked response, so
+    * `SELECT *` of a large version never buffers on the driver
+    * (`downloads.py:35-231`). */
   private def download(ex: HttpExchange, dataset: String, version: String,
                        fmt: String): Unit =
     catalog.version(dataset, version) match {
@@ -213,10 +320,138 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
         respond(ex, 403, "application/json",
           Sinks.jsendError("This dataset is not available for download"))
       case Some(_) =>
-        ex.getResponseHeaders.add("Content-Disposition",
-          s"""attachment; filename="$dataset.$fmt"""")
-        query(ex, dataset, version, json = fmt == "json")
+        authGate(ex, dataset).foreach { case (code, body) =>
+          return respond(ex, code, "application/json", body) }
+        val params = queryParams(ex)
+        val sql = params.getOrElse("sql", return respond(ex, 422,
+          "application/json", Sinks.jsendError("Missing sql parameter")))
+        catalog.queryEngine(dataset, version) match {
+          case Right(cat.TableEngine) =>
+            val geom = params.get("geostore_id").flatMap(geostore.get)
+            val rewritten = Scrutinizer.scrutinizeTo(dataset, geom, sql)
+            graft.sqlgate.TabularEngine.checkFunctionsExist(spark, rewritten)
+            val df = spark.sql(rewritten)
+            ex.getResponseHeaders.add("Content-Disposition",
+              s"""attachment; filename="$dataset.$fmt"""")
+            val ct = if (fmt == "json") "application/json" else "text/csv"
+            ex.getResponseHeaders.add("Content-Type", ct)
+            ex.sendResponseHeaders(200, 0) // chunked
+            val out = ex.getResponseBody
+            try {
+              if (fmt == "json") Sinks.streamJsend(df, out)
+              else Sinks.streamCsv(df, out)
+            } finally out.close()
+          case _ =>
+            // raster downloads redirect to asset files in the
+            // reference; out of scope for the synthetic lake
+            respond(ex, 501, "application/json", Sinks.jsendError(
+              "This endpoint is not implemented for the given dataset"))
+        }
     }
+
+  /** Vector feature lookup near a point
+    * (`features.py:69-218`): zoom selects the search radius from the
+    * tippecanoe precision table × 50; features within the geodesic
+    * radius return. Geometry follows the repo's synthetic-point
+    * convention (customer-key lattice — the lake stores no real
+    * geometry columns). */
+  private def features(ex: HttpExchange, dataset: String, version: String): Unit = {
+    val params = queryParams(ex)
+    if (catalog.version(dataset, version).isEmpty)
+      return respond(ex, 404, "application/json",
+        Sinks.jsendError(s"Dataset version $dataset.$version not found"))
+    if (dataset != "customer")
+      return respond(ex, 501, "application/json", Sinks.jsendError(
+        "This endpoint is not implemented for the given dataset"))
+    val (lat, lng, zoom) =
+      try (params("lat").toDouble, params("lng").toDouble, params("z").toInt)
+      catch { case _: Exception => return respond(ex, 422, "application/json",
+        Sinks.jsendError("lat, lng and z query parameters are required")) }
+    FeatureLookup.bufferMeters(zoom) match {
+      case None => respond(ex, 400, "application/json",
+        Sinks.jsendError("Zoom level out of range"))
+      case Some(radius) =>
+        val df = spark.sql(
+          s"""WITH pts AS (
+             |  SELECT c_custkey, c_nationkey,
+             |    CAST(c_custkey % 720 AS DOUBLE) / 2.0 - 179.75 AS lon,
+             |    CAST(c_custkey % 340 AS DOUBLE) / 2.0 - 84.75 AS lat
+             |  FROM customer)
+             |SELECT c_custkey, lon, lat,
+             |  st_distance_sphere(st_point(lon, lat), st_point($lng, $lat)) AS dist_m
+             |FROM pts
+             |WHERE st_distance_sphere(st_point(lon, lat), st_point($lng, $lat)) <= $radius
+             |ORDER BY dist_m, c_custkey LIMIT 100""".stripMargin)
+        respond(ex, 200, "application/json", Sinks.toJsend(df))
+    }
+  }
+
+  /** Version asset statistics (`versions.py:363-374`): row/tile counts
+    * and size facts of the default asset. */
+  private def stats(ex: HttpExchange, dataset: String, version: String): Unit =
+    catalog.version(dataset, version) match {
+      case None => respond(ex, 404, "application/json",
+        Sinks.jsendError(s"Dataset version $dataset.$version not found"))
+      case Some(v) if v.defaultAsset.exists(_.assetType == cat.AssetType.RasterTileSet) =>
+        val g = graft.raster.SyntheticEnv.grid
+        respond(ex, 200, "application/json",
+          s"""{"data":{"tile_count":${g.nTiles},"pixel_count":${g.nTiles.toLong * g.pxPerTile * g.pxPerTile},"bands":${graft.raster.TileLake.bandColumns.length}},"status":"success"}""")
+      case Some(_) =>
+        val cnt = spark.table(dataset).count()
+        respond(ex, 200, "application/json",
+          s"""{"data":{"row_count":$cnt},"status":"success"}""")
+    }
+
+  /** Version extent (`versions.py:351-360`): raster versions report
+    * the grid bbox; tabular versions have no spatial extent. */
+  private def extent(ex: HttpExchange, dataset: String, version: String): Unit =
+    catalog.version(dataset, version) match {
+      case None => respond(ex, 404, "application/json",
+        Sinks.jsendError(s"Dataset version $dataset.$version not found"))
+      case Some(v) if v.defaultAsset.exists(_.assetType == cat.AssetType.RasterTileSet) =>
+        val g = graft.raster.SyntheticEnv.grid
+        val (xmin, ymax) = (g.originLon, g.originLat)
+        val (xmax, ymin) = (g.originLon + g.tilesX * g.tileDeg,
+          g.originLat - g.tilesY * g.tileDeg)
+        respond(ex, 200, "application/json",
+          s"""{"data":{"extent":[$xmin,$ymin,$xmax,$ymax]},"status":"success"}""")
+      case Some(_) =>
+        respond(ex, 200, "application/json",
+          """{"data":{"extent":null},"status":"success"}""")
+    }
+
+  /** Admin-name id lookup (`political/id_lookup.py:58-126`): match the
+    * normalized name (unidecode + lowercase — our `norm_name`
+    * expression) against the nation table. */
+  private def idLookup(ex: HttpExchange): Unit = {
+    val params = queryParams(ex)
+    val country = params.getOrElse("country", return respond(ex, 400,
+      "application/json", Sinks.jsendError("Country MUST be specified.")))
+    val df = spark.sql(
+      s"""SELECT n_nationkey AS id, n_name AS name
+         |FROM nation
+         |WHERE norm_name(n_name) = norm_name('${country.replace("'", "''")}')
+         |ORDER BY n_nationkey""".stripMargin)
+    respond(ex, 200, "application/json", Sinks.toJsend(df))
+  }
+
+  /** API-key creation (`POST /auth/apikey`): 201 with the new key.
+    * Body: `{"domains": ["*.example.com", ...]}` (optional). */
+  private def apiKeyCreate(ex: HttpExchange): Unit = apiKeys match {
+    case None => respond(ex, 501, "application/json",
+      Sinks.jsendError("API keys are not enabled on this deployment"))
+    case Some(reg) =>
+      val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      val domains =
+        if (body.isBlank) Nil
+        else graft.geo.Json.parseObject(body).get("domains") match {
+          case Some(l: List[_]) => l.map(_.toString)
+          case _ => Nil
+        }
+      val id = reg.create(domains)
+      respond(ex, 201, "application/json",
+        s"""{"data":{"api_key":"$id"},"status":"success"}""")
+  }
 
   /** OTF zonal statistics over a stored geostore AOI
     * (`/analysis/zonal`, `analysis.py:36-93`): geostore is mandatory

@@ -90,4 +90,55 @@ object Sinks {
   /** S13: NDJSON export — Spark-native JSON lines write. */
   def writeNdjson(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
+
+  // ---------------------------------------------------- streaming sinks
+  // Downloads must not buffer the whole result on the driver
+  // (`downloads.py:35-231` streams): rows arrive through
+  // `toLocalIterator` — one partition in memory at a time — and write
+  // straight to the response stream.
+
+  /** Streaming CSV download (same QUOTE_NONNUMERIC encoding as
+    * [[toCsv]], bounded driver memory). */
+  def streamCsv(df: DataFrame, out: java.io.OutputStream,
+                delimiter: Char = ','): Unit = {
+    val schema = df.schema
+    val w = new java.io.BufferedWriter(
+      new java.io.OutputStreamWriter(out, java.nio.charset.StandardCharsets.UTF_8))
+    def quote(s: String): String = "\"" + s.replace("\"", "\"\"") + "\""
+    w.write(schema.fields.map(f => quote(f.name)).mkString(delimiter.toString))
+    w.write("\r\n")
+    val it = df.toLocalIterator()
+    while (it.hasNext) {
+      val row = it.next()
+      val cells = schema.fields.zipWithIndex.map { case (f, i) =>
+        if (row.isNullAt(i)) quote("")
+        else f.dataType match {
+          case _: NumericType => row.get(i).toString
+          case BooleanType => quote(row.getBoolean(i).toString.capitalize)
+          case _ => quote(row.get(i).toString)
+        }
+      }
+      w.write(cells.mkString(delimiter.toString))
+      w.write("\r\n")
+    }
+    w.flush()
+  }
+
+  /** Streaming JSEND download — same envelope as [[toJsend]], rows
+    * written as they arrive. */
+  def streamJsend(df: DataFrame, out: java.io.OutputStream): Unit = {
+    val schema = df.schema
+    val w = new java.io.BufferedWriter(
+      new java.io.OutputStreamWriter(out, java.nio.charset.StandardCharsets.UTF_8))
+    w.write("{\"data\":[")
+    val it = df.toLocalIterator()
+    var first = true
+    while (it.hasNext) {
+      if (!first) w.write(",")
+      first = false
+      w.write(rowJson(schema, it.next()))
+    }
+    w.write("],\"status\":\"success\"}")
+    w.flush()
+  }
 }

@@ -27,12 +27,16 @@ object AlertAppend {
 
   /** Streaming dedup-append: drop replays of the unique key within the
     * watermark horizon. `input` must be a streaming DataFrame with an
-    * event-time column `ts`. */
+    * event-time column `ts`. KEY-ONLY dedup
+    * (`dropDuplicatesWithinWatermark`): a replayed event with the same
+    * unique key but a drifted event time is still dropped — the full
+    * `ON CONFLICT DO NOTHING` contract the batch path implements —
+    * while state stays bounded by the watermark horizon. */
   def streamingDedup(input: DataFrame, uniqueKey: Seq[String],
                      watermarkDelay: String = "10 minutes"): DataFrame =
     input
       .withWatermark("ts", watermarkDelay)
-      .dropDuplicates(uniqueKey :+ "ts")
+      .dropDuplicatesWithinWatermark(uniqueKey)
 
   /** Wire a streaming dedup-append into an in-memory sink (tests) or a
     * Parquet sink (production path). */

@@ -196,6 +196,109 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       .statusCode() == 400)
   }
 
+  test("auth: API keys and protected datasets gate query routes") {
+    val keys = new ApiKeys
+    val secured = new ApiServer(spark, "/root/testdata/sf0.001",
+      apiKeys = Some(keys), protectedDatasets = Set("lineitem"),
+      adminTokens = Set("admintok"))
+    val sp = secured.start()
+    def sget(path: String, hdrs: (String, String)*): HttpResponse[String] = {
+      val b = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$sp$path")).GET()
+      hdrs.foreach { case (k, v) => b.header(k, v) }
+      client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+    }
+    try {
+      val q = "/dataset/nation/v1/query/json?sql=SELECT%20count(*)%20AS%20c%20FROM%20data"
+      // no key → 403 with the reference's message
+      val noKey = sget(q)
+      assert(noKey.statusCode() == 403)
+      assert(noKey.body().contains("No valid API Key found."))
+      // invalid key → 403; valid key header → 200
+      assert(sget(q, "x-api-key" -> "not-a-key").statusCode() == 403)
+      val key = keys.create()
+      assert(sget(q, "x-api-key" -> key).statusCode() == 200)
+      // key as query param also accepted
+      assert(sget(q + s"&x-api-key=$key").statusCode() == 200)
+      // domain-restricted key: wrong/missing origin → 403, match → 200
+      val dkey = keys.create(Seq("*.example.com"))
+      assert(sget(q, "x-api-key" -> dkey).statusCode() == 403)
+      assert(sget(q, "x-api-key" -> dkey,
+        "Origin" -> "https://evil.org").statusCode() == 403)
+      assert(sget(q, "x-api-key" -> dkey,
+        "Origin" -> "https://maps.example.com/page").statusCode() == 200)
+      // protected dataset: valid key but no admin token → 401
+      val pq = "/dataset/lineitem/v1/query/json?sql=SELECT%20count(*)%20AS%20c%20FROM%20data"
+      val noTok = sget(pq, "x-api-key" -> key)
+      assert(noTok.statusCode() == 401)
+      assert(noTok.body().contains("Unauthorized query on a restricted dataset"))
+      assert(sget(pq, "x-api-key" -> key,
+        "Authorization" -> "Bearer admintok").statusCode() == 200)
+      // POST /auth/apikey mints a usable key
+      val created = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$sp/auth/apikey"))
+          .POST(HttpRequest.BodyPublishers.ofString("{}")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(created.statusCode() == 201)
+      val minted = "\"api_key\":\"([0-9a-f-]+)\"".r
+        .findFirstMatchIn(created.body()).get.group(1)
+      assert(sget(q, "x-api-key" -> minted).statusCode() == 200)
+    } finally secured.stop()
+  }
+
+  test("streaming download matches the collect encoding") {
+    val streamed = get("/dataset/region/v1/download/csv?sql=" +
+      java.net.URLEncoder.encode(
+        "SELECT r_regionkey, r_name FROM data ORDER BY r_regionkey", "UTF-8"))
+    assert(streamed.statusCode() == 200)
+    val collected = get("/dataset/region/v1/query/csv?sql=" +
+      java.net.URLEncoder.encode(
+        "SELECT r_regionkey, r_name FROM data ORDER BY r_regionkey", "UTF-8"))
+    assert(streamed.body() == collected.body())
+  }
+
+  test("POST /query/csv returns CSV") {
+    val r = post("/dataset/nation/v1/query/csv",
+      """{"sql": "SELECT count(*) AS cnt FROM data"}""")
+    assert(r.statusCode() == 200)
+    assert(r.body().startsWith("\"cnt\"\r\n25"))
+  }
+
+  test("features point lookup: zoom radius table + out-of-range 400") {
+    // customer lattice point for c_custkey=1: lon -179.25, lat -84.25
+    val hit = get("/dataset/customer/v1/features?lat=-84.25&lng=-179.25&z=0")
+    assert(hit.statusCode() == 200, hit.body().take(200))
+    assert(hit.body().contains("\"c_custkey\":1"))
+    // zoom 14 → 25 m radius: nothing within it but the exact point
+    val none = get("/dataset/customer/v1/features?lat=-60.0&lng=100.0&z=14")
+    assert(none.statusCode() == 200)
+    assert(none.body() == """{"data":[],"status":"success"}""")
+    assert(get("/dataset/customer/v1/features?lat=0&lng=0&z=40").statusCode() == 400)
+    assert(get("/dataset/customer/v1/features?lat=0&lng=0").statusCode() == 422)
+    assert(get("/dataset/nation/v1/features?lat=0&lng=0&z=5").statusCode() == 501)
+  }
+
+  test("stats and extent endpoints") {
+    val ts = get("/dataset/nation/v1/stats")
+    assert(ts.statusCode() == 200 && ts.body().contains("\"row_count\":25"))
+    val rs = get("/dataset/landcover_raster/v1/stats")
+    assert(rs.statusCode() == 200 && rs.body().contains("\"tile_count\":16"))
+    val re = get("/dataset/landcover_raster/v1/extent")
+    assert(re.statusCode() == 200 &&
+      re.body().contains("\"extent\":[0.0,40.0,4.0,44.0]"))
+    val te = get("/dataset/nation/v1/extent")
+    assert(te.statusCode() == 200 && te.body().contains("\"extent\":null"))
+    assert(get("/dataset/nope/v1/stats").statusCode() == 404)
+  }
+
+  test("political id-lookup matches accent-folded names") {
+    // norm_name folds accents + case: "nátion_7" matches "NATION_7"
+    val r = get("/political/id-lookup?country=" +
+      java.net.URLEncoder.encode("nátion_7", "UTF-8"))
+    assert(r.statusCode() == 200, r.body().take(200))
+    assert(r.body().contains("\"name\":\"NATION_7\""))
+    assert(get("/political/id-lookup").statusCode() == 400)
+  }
+
   test("geostore create + fetch round-trip with content-addressed id") {
     val gj = """{"type":"Polygon","coordinates":[[[0,0],[10,0],[10,10],[0,10],[0,0]]]}"""
     val created = post("/geostore", gj)
