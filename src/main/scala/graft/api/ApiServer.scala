@@ -82,11 +82,12 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
                       nonDownloadable: Set[String] = Set.empty,
                       apiKeys: Option[ApiKeys] = None,
                       protectedDatasets: Set[String] = Set.empty,
-                      adminTokens: Set[String] = Set.empty) {
+                      adminTokens: Set[String] = Set.empty,
+                      rwGeostore: Option[String => Option[String]] = None) {
 
   Tables.register(spark, sfDir)
 
-  private val catalog = new cat.Catalog(Tables.all.map { t =>
+  @volatile private var catalog = new cat.Catalog(Tables.all.map { t =>
     cat.Dataset(t, Seq(cat.Version(t, "v1", isLatest = true,
       isDownloadable = !nonDownloadable.contains(t),
       assets = Seq(cat.Asset(s"$t-a1", cat.AssetType.DatabaseTable, s"$sfDir/$t.parquet",
@@ -94,7 +95,40 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
   } ++ graft.raster.SyntheticRasters.datasets)
 
   private val geostore = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** RW-origin results memoized LRU-style, maxsize 128
+    * (`app/utils/geostore.py:42-85` `@lru_cache(maxsize=128)`). */
+  private val rwMemo =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, Option[String]](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, Option[String]]): Boolean = size() > 128
+      })
+
+  /** Geostore resolution with origin fallback (`get_geostore`,
+    * `geostore.py:42-85`): try the requested origin first, fall back
+    * to the other — GFW is the in-process store, RW the injected
+    * external fetcher (an HTTP client in the reference; pluggable
+    * here, absent by default). */
+  private def resolveGeostore(id: String, origin: String): Option[String] = {
+    def gfw: Option[String] = geostore.get(id)
+    def rw: Option[String] = rwGeostore.flatMap { fetch =>
+      Option(rwMemo.get(id)).getOrElse {
+        val fetched = fetch(id).map(gj =>
+          graft.geo.Geom.toGeoJson(graft.geo.Geom.fromGeoJson(gj)))
+        rwMemo.put(id, fetched)
+        fetched
+      }
+    }
+    if (origin == "rw") rw.orElse(gfw) else gfw.orElse(rw)
+  }
   private val jobRegistry = new JobRegistry
+
+  /** Version lifecycle records: status (pending → saved/failed) +
+    * change log, pollable at GET /dataset/{d}/{v}
+    * (`app/models/orm/versions.py` status + `change_log`). */
+  private val versionRecords = scala.collection.concurrent.TrieMap
+    .empty[(String, String), (String, Seq[graft.etl.VersionCreation.ChangeLog])]
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   server.createContext("/", (ex: HttpExchange) => handle(ex))
@@ -113,6 +147,8 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
   private val StatsR = "^/dataset/([^/]+)/([^/]+)/stats$".r
   private val ExtentR = "^/dataset/([^/]+)/([^/]+)/extent$".r
   private val GeostoreGet = "^/geostore/([^/]+)$".r
+  private val VersionRoot = "^/dataset/([^/]+)/([^/]+)$".r
+  private val QueryBatch = "^/dataset/([^/]+)/([^/]+)/query/batch$".r
 
   // ----------------------------------------------------------- auth gate
 
@@ -163,8 +199,11 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
         case ("GET", ExtentR(d, v)) => extent(ex, d, v)
         case ("GET", "/political/id-lookup") => idLookup(ex)
         case ("POST", "/auth/apikey") => apiKeyCreate(ex)
+        case ("PUT", VersionRoot(d, v)) => versionPut(ex, d, v)
+        case ("GET", VersionRoot(d, v)) => versionGet(ex, d, v)
         case ("GET", "/analysis/zonal") => zonal(ex)
         case ("POST", "/analysis/zonal/batch") => zonalBatch(ex)
+        case ("POST", QueryBatch(d, v)) => queryBatch(ex, d, v)
         case ("GET", JobGet(id)) =>
           jobRegistry.get(id) match {
             case None => respond(ex, 404, "application/json",
@@ -223,7 +262,8 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
         // the user's SQL runs for real — select list, WHERE over layer
         // pseudo-columns, GROUP BY — via the fused zonal engine
         // (`_query_raster`, queries.py:548-575)
-        params.get("geostore_id").flatMap(geostore.get) match {
+        params.get("geostore_id").flatMap(resolveGeostore(_,
+          params.getOrElse("geostore_origin", "gfw"))) match {
           case None => respond(ex, 422, "application/json",
             Sinks.jsendError("Raster tile set queries require a geostore"))
           case Some(gj) =>
@@ -234,7 +274,8 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
             else respond(ex, 200, "text/csv", Sinks.toCsv(df))
         }
       case Right(_) =>
-        val geom = params.get("geostore_id").flatMap(geostore.get)
+        val geom = params.get("geostore_id").flatMap(resolveGeostore(_,
+          params.getOrElse("geostore_origin", "gfw")))
         // lake table view name == dataset name (single-version lake)
         val rewritten = Scrutinizer.scrutinizeTo(dataset, geom, sql)
         graft.sqlgate.TabularEngine.checkFunctionsExist(spark, rewritten)
@@ -327,7 +368,8 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
           "application/json", Sinks.jsendError("Missing sql parameter")))
         catalog.queryEngine(dataset, version) match {
           case Right(cat.TableEngine) =>
-            val geom = params.get("geostore_id").flatMap(geostore.get)
+            val geom = params.get("geostore_id").flatMap(resolveGeostore(_,
+          params.getOrElse("geostore_origin", "gfw")))
             val rewritten = Scrutinizer.scrutinizeTo(dataset, geom, sql)
             graft.sqlgate.TabularEngine.checkFunctionsExist(spark, rewritten)
             val df = spark.sql(rewritten)
@@ -435,6 +477,61 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
     respond(ex, 200, "application/json", Sinks.toJsend(df))
   }
 
+  /** Version creation (`PUT /dataset/{d}/{v}`, SURVEY §3.4 /
+    * `app/routes/datasets/versions.py` + `tasks/default_assets.py`):
+    * 202 immediately, the job DAG runs in the background appending
+    * change-log records, and the catalog swaps in the new version
+    * atomically when the DAG saves. Body:
+    * `{"creation_options": {"source_uri": [...], "delimiter": ",",
+    * "table_schema": [...], "partitions": {...}, "cluster": [...],
+    * "indices": [...], "constraints": [...]}}`. */
+  private def versionPut(ex: HttpExchange, dataset: String, version: String): Unit = {
+    import graft.etl.VersionCreation
+    val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+    val opts =
+      try VersionCreation.CreationOptions.fromJson(
+        graft.geo.Json.parseObject(body).get("creation_options") match {
+          case Some(m: Map[_, _]) => m.asInstanceOf[Map[String, Any]]
+          case _ => throw new IllegalArgumentException("Missing creation_options")
+        })
+      catch { case e: IllegalArgumentException =>
+        return respond(ex, 422, "application/json",
+          Sinks.jsendError(Option(e.getMessage).getOrElse("Invalid creation options")))
+      }
+    versionRecords.put((dataset, version), ("pending", Nil))
+    val targetDir =
+      s"${sys.props("java.io.tmpdir")}/graft_versions/${dataset}_$version"
+    val jobId = jobRegistry.submit { () =>
+      val (log, ok) = VersionCreation.createTable(spark, dataset, version, opts, targetDir)
+      versionRecords.put((dataset, version), (if (ok) "saved" else "failed", log))
+      if (ok) {
+        catalog = catalog.withVersion(dataset, cat.Version(
+          dataset, version, isLatest = opts.latest,
+          assets = Seq(cat.Asset(s"$dataset-$version-default",
+            cat.AssetType.DatabaseTable, targetDir, isDefault = true))))
+      }
+      s"""{"dataset":"$dataset","version":"$version","status":"${if (ok) "saved" else "failed"}"}"""
+    }
+    respond(ex, 202, "application/json",
+      s"""{"data":{"dataset":"$dataset","version":"$version","status":"pending","job_id":"$jobId"},"status":"success"}""")
+  }
+
+  /** Version metadata + change log (`GET /dataset/{d}/{v}`). */
+  private def versionGet(ex: HttpExchange, dataset: String, version: String): Unit = {
+    val record = versionRecords.get((dataset, version))
+    val inCatalog = catalog.version(dataset, version)
+    if (record.isEmpty && inCatalog.isEmpty)
+      return respond(ex, 404, "application/json",
+        Sinks.jsendError(s"Dataset version $dataset.$version not found"))
+    val status = record.map(_._1).getOrElse("saved")
+    val log = record.map(_._2).getOrElse(Nil).map { c =>
+      s"""{"task":"${c.task}","status":"${c.status}","detail":${graft.geo.Json.write(c.detail)}}"""
+    }.mkString(",")
+    val latest = inCatalog.exists(_.isLatest)
+    respond(ex, 200, "application/json",
+      s"""{"data":{"dataset":"$dataset","version":"$version","status":"$status","is_latest":$latest,"change_log":[$log]},"status":"success"}""")
+  }
+
   /** API-key creation (`POST /auth/apikey`): 201 with the new key.
     * Body: `{"domains": ["*.example.com", ...]}` (optional). */
   private def apiKeyCreate(ex: HttpExchange): Unit = apiKeys match {
@@ -515,6 +612,108 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
             s""""pixel_count":${r.getAs[Long]("pixel_count")}}"""
         }.mkString(",")
         s"""{"fid":$fid,"rows":[$items]}"""
+      }.mkString("[", ",", "]")
+    }
+    respond(ex, 202, "application/json",
+      s"""{"data":{"job_id":"$id","status":"pending"},"status":"success"}""")
+  }
+
+  /** User-SQL batch query over a feature list (`POST
+    * /dataset/{d}/{v}/query/batch`, `queries.py:280-430`): exactly one
+    * of `feature_collection` (inline, ≤256 KB payload), `uri` (GeoJSON
+    * FeatureCollection file — the escape hatch for large geometry),
+    * or `geostore_ids`. 202 + a pollable job; the whole list runs as
+    * ONE Spark job (`ZonalEngine.runSqlBatch`). */
+  private def queryBatch(ex: HttpExchange, dataset: String, version: String): Unit = {
+    authGate(ex, dataset).foreach { case (code, body) =>
+      return respond(ex, code, "application/json", body) }
+    val bytes = ex.getRequestBody.readAllBytes()
+    if (bytes.length > 256 * 1024)
+      return respond(ex, 413, "application/json",
+        Sinks.jsendError("The request payload must be under 256 KB. Reference " +
+          "larger feature files with the uri field instead."))
+    val body = new String(bytes, StandardCharsets.UTF_8)
+    if (!catalog.version(dataset, version).exists(
+      _.defaultAsset.exists(_.assetType == cat.AssetType.RasterTileSet)))
+      return respond(ex, 400, "application/json", Sinks.jsendError(
+        "Querying on lists is only available for raster tile sets."))
+    val obj = graft.geo.Json.parseObject(body)
+    val sql = obj.get("sql") match {
+      case Some(s: String) => s
+      case _ => return respond(ex, 422, "application/json",
+        Sinks.jsendError("Missing sql in request body"))
+    }
+    val idField = obj.get("id_field").map(_.toString)
+    val sources = Seq("feature_collection", "uri", "geostore_ids")
+      .flatMap(k => obj.get(k).map(k -> _))
+    if (sources.length > 1)
+      return respond(ex, 400, "application/json", Sinks.jsendError(
+        "Must provide only one of valid feature collection, URI, or geostore_ids list."))
+    if (sources.isEmpty)
+      return respond(ex, 400, "application/json", Sinks.jsendError(
+        "Must provide valid feature collection, URI, or geostore_ids list."))
+
+    def featuresOf(fc: Map[String, Any]): Seq[(String, String)] = {
+      val features = fc.getOrElse("features", List.empty).asInstanceOf[List[Any]]
+        .map(_.asInstanceOf[Map[String, Any]])
+      features.zipWithIndex.map { case (f, i) =>
+        val fid = idField.flatMap(k =>
+          f.get("properties").collect { case p: Map[_, _] =>
+            p.asInstanceOf[Map[String, Any]].get(k) }.flatten.map(graft.geo.Json.write))
+          .getOrElse(i.toString)
+        fid -> graft.geo.Json.write(f("geometry"))
+      }
+    }
+
+    val geoms: Seq[(String, String)] =
+      try sources.head match {
+        case ("feature_collection", fc: Map[_, _]) =>
+          featuresOf(fc.asInstanceOf[Map[String, Any]])
+        case ("uri", uri) =>
+          val p = java.nio.file.Paths.get(
+            uri.toString.stripPrefix("file://"))
+          if (!java.nio.file.Files.isReadable(p))
+            return respond(ex, 400, "application/json",
+              Sinks.jsendError("Cannot access all of the source files"))
+          featuresOf(graft.geo.Json.parseObject(
+            java.nio.file.Files.readString(p)))
+        case ("geostore_ids", ids: List[_]) =>
+          ids.map { id =>
+            val gid = id.toString
+            gid -> resolveGeostore(gid, "gfw").getOrElse(
+              return respond(ex, 404, "application/json",
+                Sinks.jsendError(s"Geostore $gid not found")))
+          }
+        case _ => return respond(ex, 400, "application/json", Sinks.jsendError(
+          "Must provide valid feature collection, URI, or geostore_ids list."))
+      } catch {
+        case _: Exception => return respond(ex, 400, "application/json",
+          Sinks.jsendError("Could not parse feature input"))
+      }
+    if (geoms.isEmpty || geoms.size > 100)
+      return respond(ex, 400, "application/json",
+        Sinks.jsendError("feature list must contain 1-100 features"))
+
+    val id = jobRegistry.submit { () =>
+      val df = graft.raster.ZonalEngine.runSqlBatch(
+        spark, catalog, dataset, sql, geoms)
+      val rows = df.collect()
+      val outCols = df.schema.fields.map(_.name).filterNot(_ == "fid")
+      val byFid = rows.groupBy(_.getAs[String]("fid")).toSeq.sortBy(_._1)
+      byFid.map { case (fid, rs) =>
+        val items = rs.map { r =>
+          outCols.map { c =>
+            val i = r.fieldIndex(c)
+            val v =
+              if (r.isNullAt(i)) "null"
+              else r.get(i) match {
+                case n: java.lang.Number => n.toString
+                case other => graft.geo.Json.write(other.toString)
+              }
+            s"${graft.geo.Json.write(c)}:$v"
+          }.mkString("{", ",", "}")
+        }.mkString(",")
+        s"""{"fid":${graft.geo.Json.write(fid)},"rows":[$items]}"""
       }.mkString("[", ",", "]")
     }
     respond(ex, 202, "application/json",

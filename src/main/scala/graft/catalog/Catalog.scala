@@ -60,6 +60,20 @@ final class Catalog(datasets: Seq[Dataset]) {
 
   private val byName: Map[String, Dataset] = datasets.map(d => d.name -> d).toMap
 
+  /** A new catalog with `version` upserted into `dataset` (creating
+    * the dataset record if needed); when the new version is latest,
+    * previous versions lose the flag (`app/crud/versions.py` latest
+    * handling). Catalogs are immutable — the API layer swaps the
+    * reference atomically at the end of a creation job. */
+  def withVersion(dataset: String, version: Version): Catalog = {
+    val existing = byName.get(dataset)
+    val newVersions = existing.map(_.versions).getOrElse(Nil)
+      .filterNot(_.version == version.version)
+      .map(v => if (version.isLatest) v.copy(isLatest = false) else v) :+ version
+    val d = Dataset(dataset, newVersions)
+    new Catalog(datasets.filterNot(_.name == dataset) :+ d)
+  }
+
   def dataset(name: String): Option[Dataset] = byName.get(name)
 
   def version(dataset: String, version: String): Option[Version] =

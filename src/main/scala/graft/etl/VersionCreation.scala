@@ -1,0 +1,178 @@
+package graft.etl
+
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The version-creation job DAG (SURVEY §3.4; reference
+  * `app/tasks/table_source_assets.py:21-218` +
+  * `batch/scripts/create_tabular_schema.sh` / `load_tabular_data.sh`):
+  * `PUT /dataset/{d}/{v}` materializes a default table asset through
+  * ordered tasks, each appending a change-log record the client polls —
+  *
+  *   1. `create_table` — schema inference from a ≤100-line sample of
+  *      the first source URIs, patched by the user's `table_schema`;
+  *   2. `load_data` — full typed read of every source URI, unique-
+  *      constraint dedup (`ON CONFLICT DO NOTHING` ≡ dropDuplicates);
+  *   3. `apply_layout` — partitions / cluster / index translation to
+  *      the Parquet layout ([[Layout.write]]);
+  *   4. `register` — the version becomes queryable (temp view).
+  *
+  * Spark-first divergence (documented): the reference fans these out
+  * as AWS Batch jobs writing to PostgreSQL; here each task is a Spark
+  * action on the driver and the "table" is a partitioned Parquet
+  * directory + session view, which is what the query surface reads.
+  */
+object VersionCreation {
+
+  final case class ChangeLog(task: String, status: String, detail: String)
+
+  final case class CreationOptions(
+      sourceUris: Seq[String],
+      delimiter: String = ",",
+      header: Boolean = true,
+      tableSchema: Map[String, String] = Map.empty,
+      partitionColumn: Option[String] = None,
+      clusterColumns: Seq[String] = Nil,
+      indexes: Seq[Layout.IndexSpec] = Nil,
+      uniqueConstraintColumns: Seq[String] = Nil,
+      latest: Boolean = true)
+
+  object CreationOptions {
+    /** Parse the PUT body's `creation_options` object. */
+    def fromJson(obj: Map[String, Any]): CreationOptions = {
+      def strs(v: Any): Seq[String] = v match {
+        case l: List[_] => l.map(_.toString)
+        case s: String => Seq(s)
+        case _ => Nil
+      }
+      val uris = obj.get("source_uri").map(strs).getOrElse(Nil)
+      if (uris.isEmpty) throw new IllegalArgumentException("No source URI provided.")
+      CreationOptions(
+        sourceUris = uris,
+        delimiter = obj.get("delimiter").map(_.toString).getOrElse(","),
+        header = obj.get("has_header").forall(_ == true),
+        tableSchema = obj.get("table_schema") match {
+          case Some(l: List[_]) => l.collect {
+            case m: Map[_, _] =>
+              val mm = m.asInstanceOf[Map[String, Any]]
+              mm("name").toString -> mm("data_type").toString
+          }.toMap
+          case _ => Map.empty
+        },
+        partitionColumn = obj.get("partitions") match {
+          case Some(m: Map[_, _]) =>
+            m.asInstanceOf[Map[String, Any]].get("partition_column").map(_.toString)
+          case _ => None
+        },
+        clusterColumns = obj.get("cluster").map(strs).getOrElse(Nil),
+        indexes = obj.get("indices") match {
+          case Some(l: List[_]) => l.collect {
+            case m: Map[_, _] =>
+              val mm = m.asInstanceOf[Map[String, Any]]
+              Layout.IndexSpec(mm("index_type").toString,
+                strs(mm.getOrElse("column_names", Nil)))
+          }
+          case _ => Nil
+        },
+        uniqueConstraintColumns = obj.get("constraints") match {
+          case Some(l: List[_]) => l.collect {
+            case m: Map[_, _] if m.asInstanceOf[Map[String, Any]]
+              .get("constraint_type").contains("unique") =>
+              strs(m.asInstanceOf[Map[String, Any]].getOrElse("column_names", Nil))
+          }.flatten
+          case _ => Nil
+        },
+        latest = obj.get("latest").forall(_ == true))
+    }
+  }
+
+  private def sqlType(t: String): DataType = t.toLowerCase match {
+    case "bigint" | "int8" => LongType
+    case "integer" | "int" | "int4" => IntegerType
+    case "double precision" | "double" | "numeric" => DoubleType
+    case "boolean" | "bool" => BooleanType
+    case "date" => DateType
+    case "timestamp" => TimestampType
+    case _ => StringType
+  }
+
+  /** Run the DAG; returns (change log, final table path). Throws only
+    * on programming errors — task failures land in the log with
+    * status "failed" and stop the chain (reference semantics: a failed
+    * task fails the version). */
+  def createTable(spark: SparkSession, dataset: String, version: String,
+                  opts: CreationOptions, targetDir: String): (Seq[ChangeLog], Boolean) = {
+    val log = Seq.newBuilder[ChangeLog]
+    var ok = true
+
+    // 1. create_table: sample-based inference + user schema patch
+    var schema: StructType = null
+    try {
+      import spark.implicits._
+      val sample = spark.read.textFile(opts.sourceUris.take(5): _*).limit(101)
+      val inferred = spark.read
+        .option("header", opts.header.toString).option("sep", opts.delimiter)
+        .option("inferSchema", "true")
+        .csv(sample).schema
+      schema = StructType(inferred.map(f =>
+        opts.tableSchema.get(f.name)
+          .map(t => f.copy(dataType = sqlType(t))).getOrElse(f)))
+      log += ChangeLog("create_table",
+        "success", s"inferred ${schema.fields.length} columns from 100-line sample")
+    } catch {
+      case e: Exception =>
+        ok = false
+        log += ChangeLog("create_table", "failed",
+          Option(e.getMessage).getOrElse("schema inference failed"))
+    }
+
+    // 2. load_data: full typed read + unique-constraint dedup
+    var df: DataFrame = null
+    if (ok) try {
+      df = spark.read.schema(schema)
+        .option("header", opts.header.toString).option("sep", opts.delimiter)
+        .csv(opts.sourceUris: _*)
+      if (opts.uniqueConstraintColumns.nonEmpty)
+        df = df.dropDuplicates(opts.uniqueConstraintColumns)
+      log += ChangeLog("load_data", "success",
+        s"loaded ${opts.sourceUris.length} source uri(s)")
+    } catch {
+      case e: Exception =>
+        ok = false
+        log += ChangeLog("load_data", "failed",
+          Option(e.getMessage).getOrElse("load failed"))
+    }
+
+    // 3. apply_layout: partitions / cluster / indexes → parquet layout
+    if (ok) try {
+      Layout.write(df, targetDir,
+        partitionColumns = opts.partitionColumn.toSeq,
+        clusterColumns = opts.clusterColumns,
+        indexes = opts.indexes)
+      log += ChangeLog("apply_layout", "success",
+        (opts.partitionColumn.map(c => s"partitioned by $c").toSeq ++
+          (if (opts.clusterColumns.nonEmpty)
+            Seq(s"clustered by ${opts.clusterColumns.mkString(",")}") else Nil) ++
+          opts.indexes.map(i => s"${i.indexType}(${i.columns.mkString(",")})"))
+          .mkString("; ") match { case "" => "flat parquet"; case s => s })
+    } catch {
+      case e: Exception =>
+        ok = false
+        log += ChangeLog("apply_layout", "failed",
+          Option(e.getMessage).getOrElse("write failed"))
+    }
+
+    // 4. register: the version becomes queryable
+    if (ok) try {
+      spark.read.parquet(targetDir).createOrReplaceTempView(dataset)
+      log += ChangeLog("register", "success", s"view $dataset -> $targetDir")
+    } catch {
+      case e: Exception =>
+        ok = false
+        log += ChangeLog("register", "failed",
+          Option(e.getMessage).getOrElse("register failed"))
+    }
+
+    (log.result(), ok)
+  }
+}

@@ -469,6 +469,30 @@ object RasterQueries extends QueryModule {
       spark: SparkSession, sfDir: String): DataFrame =
     ZonalEngine.runSql(spark, SyntheticRasters.catalog, dataset, sql, aoiGeoJson)
 
+  // §3.3 batch user SQL: the same compiled OTF query over a feature
+  // LIST as one Spark job (broadcast AOI table × pruned tiles, one
+  // (fid, key) shuffle) — the engine behind POST /query/batch.
+  private val batchOtfSql =
+    """SELECT umd_tree_cover_loss__year, SUM(area__ha) AS area__ha
+      |FROM data WHERE umd_tree_cover_density_2000__threshold >= 30
+      |GROUP BY umd_tree_cover_loss__year""".stripMargin
+  private def batchSqlQuery(spark: SparkSession, sfDir: String): DataFrame =
+    ZonalEngine.runSqlBatch(spark, SyntheticRasters.catalog, "umd_tree_cover_loss",
+      batchOtfSql, Seq("a" -> aoiGeoJson, "b" -> geoJson(aoi2)))
+  private val batchSqlOracle: String = {
+    def one(fid: String, p: Seq[(Double, Double)]): String =
+      s"""SELECT '$fid' AS fid, $dYear AS y, ${g.microHaSql(dGy)} AS microha FROM px
+         |  WHERE (${halfPlanesOf(p)(g.lonCenterSql(dGx), g.latCenterSql(dGy))})
+         |    AND ($dTcd) >= 30 AND ($dW) != 0""".stripMargin
+    s"""$duckPixels,
+       |f AS (${one("a", aoi)}
+       |UNION ALL
+       |${one("b", aoi2)})
+       |SELECT fid, y AS umd_tree_cover_loss__year,
+       |  CAST(sum(microha) AS DOUBLE) / 1000000.0 AS area__ha
+       |FROM f GROUP BY fid, y""".stripMargin
+  }
+
   /** S8 at rest: the same zonal statistic as r1, but reading the
     * PERSISTED tile lake with AOI-bbox partition pruning — only
     * intersecting `tile_id=` partitions are listed and read. */
@@ -501,12 +525,13 @@ object RasterQueries extends QueryModule {
       ("r9_tile_lake_zonal" -> ((s: SparkSession, d: String) => tileLakeZonal(s, d))) ++
       otfSqls.map { case (name, ds, sql, _) =>
         name -> (otfQuery(ds, sql) _)
-      }
+      } + ("rs6_batch_sql" -> (batchSqlQuery _))
 
   override def oracles: Map[String, String] =
     sqls.flatMap(q => q.oracleSql.map(q.name -> _)).toMap +
       // identical semantics to r1: pruning only drops tiles whose mask
       // would be all-false
       ("r9_tile_lake_zonal" -> sqls.find(_.name == "r1_zonal_landcover").get.oracleSql.get) ++
-      otfSqls.map { case (name, _, _, oracle) => name -> oracle }
+      otfSqls.map { case (name, _, _, oracle) => name -> oracle } +
+      ("rs6_batch_sql" -> batchSqlOracle)
 }

@@ -263,4 +263,31 @@ object RasterSql {
         if (asc) col(n).asc else col(n).desc }: _*)
     cq.limit.fold(sorted)(sorted.limit)
   }
+
+  /** Many-AOI variant: `pairs` carries `(fid, gj, tx, ty, bands…)` —
+    * one (feature, tile) row per bbox-intersecting pair. The SAME
+    * compiled query runs fused per pair (the AOI is a column;
+    * [[ZonalPartial]] memoizes the parse per distinct feature) and a
+    * single shuffle groups partials by `(fid, key)` — the whole batch
+    * is ONE Spark job regardless of feature count. */
+  def executeBatch(pairs: DataFrame, cq: CompiledRasterQuery,
+                   env: DataEnvironment): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val children =
+      (col("gj") +: col("tx") +: col("ty") +: env.bands.map(col))
+        .map(ColumnBridge.expression)
+    val zp = ColumnBridge.column(ZonalPartial(cq.spec, children))
+    val nv = cq.spec.vals.length
+    val parts = pairs
+      .select(col("fid"), explode(zp).as("p"))
+      .select((col("fid") +: col("p.k").as("k") +: col("p.c").as("pc") +:
+        (0 until nv).map(i => element_at(col("p.ss"), i + 1).as(s"ps$i"))): _*)
+    val aggs = sum(col("pc")).as("c") +:
+      (0 until nv).map(i => sum(col(s"ps$i")).as(s"s$i"))
+    val merged =
+      if (cq.isGlobal) parts.groupBy("fid").agg(aggs.head, aggs.tail: _*)
+      else parts.groupBy("fid", "k").agg(aggs.head, aggs.tail: _*)
+    merged.selectExpr("fid" +:
+      cq.outputs.map { case (n, e) => s"$e AS `$n`" }: _*)
+  }
 }

@@ -28,27 +28,70 @@ object ZonalEngine {
     * dataset's default layer (the reference's exact
     * `re.sub("from \w+", ...)` splice), compile through [[RasterSql]],
     * and run one fused pass over the AOI-pruned lake. */
-  def runSql(spark: SparkSession, catalog: graft.catalog.Catalog,
-             dataset: String, userSql: String, aoiGeoJson: String,
-             overrides: Map[String, String] = Map.empty): DataFrame = {
-    val geom = Geom.fromGeoJson(aoiGeoJson)
-    geom match {
-      case _: Polygon | _: MultiPolygon => ()
-      case _ => throw ZonalException(
-        "Geostore must be a Polygon or MultiPolygon for raster analysis")
-    }
+  /** FROM-rewrite + compile against the catalog data environment
+    * (shared by the single-AOI and batch paths). */
+  private def compileFor(catalog: graft.catalog.Catalog, dataset: String,
+                         userSql: String, overrides: Map[String, String])
+      : (DataEnvironment, CompiledRasterQuery) = {
     val env = DataEnvironment.cached(catalog, TileLake.defaultDir, overrides)
     val default = env.defaultLayers.getOrElse(dataset,
       throw RasterSqlException(s"Dataset $dataset has no raster layers"))
     val sql = userSql.replaceAll("(?i)from \\w+",
       java.util.regex.Matcher.quoteReplacement(s"from $default"))
-    val cq = RasterSql.compile(sql, env)
+    (env, RasterSql.compile(sql, env))
+  }
+
+  private def requireAreal(gj: String): Geom = Geom.fromGeoJson(gj) match {
+    case g @ (_: Polygon | _: MultiPolygon) => g
+    case _ => throw ZonalException(
+      "Geostore must be a Polygon or MultiPolygon for raster analysis")
+  }
+
+  def runSql(spark: SparkSession, catalog: graft.catalog.Catalog,
+             dataset: String, userSql: String, aoiGeoJson: String,
+             overrides: Map[String, String] = Map.empty): DataFrame = {
+    val geom = requireAreal(aoiGeoJson)
+    val (env, cq) = compileFor(catalog, dataset, userSql, overrides)
     graft.functions.GraftFunctions.install(spark)
     TileLake.ensureWritten(spark, env.lakeDir)
     val bb = geom.bbox
     val ids = TileLake.tileIdsForBbox(env.grid, bb._1, bb._2, bb._3, bb._4)
     val lake = TileLake.scanPruned(spark, env.lakeDir, ids)
     RasterSql.execute(lake, cq, aoiGeoJson, env)
+  }
+
+  /** The batch form of the user-SQL raster path (`POST
+    * /dataset/{d}/{v}/query/batch`, `queries.py:280-430`): the SAME
+    * compiled query runs over every feature as ONE Spark job — a
+    * broadcast AOI table bbox-joins the union-pruned tile scan, the
+    * fused pass runs per (feature, tile) pair, and one shuffle groups
+    * partials by (feature, key). The reference fans out ≤100
+    * Step-Function lambdas for this. Output = `fid` + the query's
+    * select list. */
+  def runSqlBatch(spark: SparkSession, catalog: graft.catalog.Catalog,
+                  dataset: String, userSql: String,
+                  geoms: Seq[(String, String)],
+                  overrides: Map[String, String] = Map.empty): DataFrame = {
+    import org.apache.spark.sql.functions._
+    geoms.foreach { case (_, gj) => requireAreal(gj) }
+    val (env, cq) = compileFor(catalog, dataset, userSql, overrides)
+    val g = env.grid
+    graft.functions.GraftFunctions.install(spark)
+    TileLake.ensureWritten(spark, env.lakeDir)
+    val bbs = geoms.map { case (fid, gj) => (fid, gj, Geom.fromGeoJson(gj).bbox) }
+    val ids = bbs.flatMap { case (_, _, bb) =>
+      TileLake.tileIdsForBbox(g, bb._1, bb._2, bb._3, bb._4)
+    }.distinct
+    val lake = TileLake.scanPruned(spark, env.lakeDir, ids)
+    import spark.implicits._
+    val aois = bbs.map { case (fid, gj, bb) => (fid, gj, bb._1, bb._2, bb._3, bb._4) }
+      .toDF("fid", "gj", "bxmin", "bymin", "bxmax", "bymax")
+    val pairs = lake.join(broadcast(aois),
+      col("tx") * g.tileDeg + g.originLon < col("bxmax") &&
+        col("tx") * g.tileDeg + g.originLon + g.tileDeg > col("bxmin") &&
+        lit(g.originLat) - col("ty") * g.tileDeg - g.tileDeg < col("bymax") &&
+        lit(g.originLat) - col("ty") * g.tileDeg > col("bymin"))
+    RasterSql.executeBatch(pairs, cq, env)
   }
 
   /** Whole-batch zonal statistics as ONE Spark job (the

@@ -249,20 +249,8 @@ object SimQueries extends QueryModule {
          |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk FROM s) t
          |WHERE rnk <= 10""".stripMargin),
 
-    // E2: embedding-cosine near-dup pairs, blocked by label (the
-    // cluster id doubles as the blocking key — the all-pairs scan runs
-    // per block, never globally n²).
-    SqlQ.split("e2_cosine_neardup",
-      s"""$sparkVecs
-         |SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b, a.label AS label,
-         |  vec_dot(a.v, b.v) / (a.nrm * b.nrm) AS cosine
-         |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
-         |WHERE vec_dot(a.v, b.v) / (a.nrm * b.nrm) >= 0.35""".stripMargin,
-      s"""$duckVecs
-         |SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b, a.label AS label,
-         |  ${dDot("a.v", "b.v")} / (a.nrm * b.nrm) AS cosine
-         |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
-         |WHERE ${dDot("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.35""".stripMargin),
+    // E2 is programmatic (near-dup pairs blocked on the COMPUTED
+    // k-means cell, not a given key) — see `queries` below.
 
     // E4: random-hyperplane LSH near-dup — bucket-join candidates from
     // 48 tables × 6 sign bits (rph_sig), exact-cosine verification.
@@ -360,6 +348,31 @@ object SimQueries extends QueryModule {
     // the same updates in DuckDB (materialized CTEs keep that linear).
   )
 
+  /** e2 Spark side: near-dup pairs blocked by the CONVERGED k-means
+    * cell — a fully self-contained near-dup path (candidate generation
+    * needs no pre-existing key; the per-cell self-join is the blocked
+    * shape that never goes globally n²). */
+  private def cellNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    val km = convergedKmeans(spark, sfDir)
+    spark.sql(
+      s"""$sparkVecs,
+         |asg AS (SELECT vec_id, v, nrm, ${argmaxAssign(km.centroids)} AS c FROM n)
+         |SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b, a.c AS cell,
+         |  vec_dot(a.v, b.v) / (a.nrm * b.nrm) AS cosine
+         |FROM asg a JOIN asg b ON a.c = b.c AND a.vec_id < b.vec_id
+         |WHERE vec_dot(a.v, b.v) / (a.nrm * b.nrm) >= 0.35""".stripMargin)
+  }
+
+  private def e2Oracle: String =
+    s"""$duckVecs,
+       |${kmeansCtes(KmMaxIter + 1, spark = false)},
+       |fin AS (SELECT asg.vec_id, asg.v, n.nrm, asg.c
+       |  FROM asg${KmMaxIter + 1} asg JOIN n ON n.vec_id = asg.vec_id)
+       |SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b, a.c AS cell,
+       |  ${dDot("a.v", "b.v")} / (a.nrm * b.nrm) AS cosine
+       |FROM fin a JOIN fin b ON a.c = b.c AND a.vec_id < b.vec_id
+       |WHERE ${dDot("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.35""".stripMargin
+
   private def e5bOracle: String =
     s"""$duckVecs,
        |${kmeansCtes(KmMaxIter + 1, spark = false)}
@@ -391,10 +404,12 @@ object SimQueries extends QueryModule {
       })
     }.toMap +
       ("e5b_kmeans_converged" -> ((s: SparkSession, d: String) => kmeansAssignments(s, d))) +
-      ("e3_ann_ivf" -> ((s: SparkSession, d: String) => ivfTopK(s, d)))
+      ("e3_ann_ivf" -> ((s: SparkSession, d: String) => ivfTopK(s, d))) +
+      ("e2_cosine_neardup" -> ((s: SparkSession, d: String) => cellNearDup(s, d)))
 
   override def oracles: Map[String, String] =
     sqls.flatMap(q => q.oracleSql.map(q.name -> _)).toMap +
       ("e5b_kmeans_converged" -> e5bOracle) +
-      ("e3_ann_ivf" -> e3Oracle)
+      ("e3_ann_ivf" -> e3Oracle) +
+      ("e2_cosine_neardup" -> e2Oracle)
 }

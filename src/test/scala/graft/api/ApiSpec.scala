@@ -299,6 +299,138 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(get("/political/id-lookup").statusCode() == 400)
   }
 
+  test("version creation lifecycle: PUT -> task change log -> queryable") {
+    // write a small CSV source with a duplicate key for the unique
+    // constraint to drop
+    val src = java.nio.file.Files.createTempDirectory("vcsrc")
+    java.nio.file.Files.writeString(src.resolve("part1.csv"),
+      "id,name,score\n1,alpha,10\n2,beta,20\n2,beta,20\n3,gamma,30\n")
+    val body =
+      s"""{"creation_options": {
+         |  "source_uri": ["file://${src.resolve("part1.csv")}"],
+         |  "delimiter": ",",
+         |  "table_schema": [{"name": "id", "data_type": "bigint"}],
+         |  "constraints": [{"constraint_type": "unique", "column_names": ["id"]}],
+         |  "indices": [{"index_type": "btree", "column_names": ["score"]}]
+         |}}""".stripMargin
+    val put = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/dataset/myds/v202608"))
+        .PUT(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(put.statusCode() == 202, put.body().take(300))
+    // poll until terminal
+    var status = "pending"
+    var vbody = ""
+    var tries = 0
+    while (status == "pending" && tries < 120) {
+      Thread.sleep(250)
+      vbody = get("/dataset/myds/v202608").body()
+      status = "\"status\":\"(\\w+)\"".r.findFirstMatchIn(vbody).get.group(1)
+      tries += 1
+    }
+    assert(status == "saved", vbody.take(500))
+    // every DAG task logged success, in order
+    for (task <- Seq("create_table", "load_data", "apply_layout", "register"))
+      assert(vbody.contains(s""""task":"$task","status":"success""""), vbody)
+    assert(vbody.contains("\"is_latest\":true"))
+    // the new version is queryable through the standard surface, with
+    // the unique constraint applied and the schema patch in force
+    val q = get("/dataset/myds/v202608/query/json?sql=" +
+      java.net.URLEncoder.encode(
+        "SELECT count(*) AS cnt, sum(id) AS id_sum FROM data", "UTF-8"))
+    assert(q.statusCode() == 200, q.body().take(300))
+    assert(q.body().contains("\"cnt\":3") && q.body().contains("\"id_sum\":6"))
+    // bad creation options → 422
+    assert(client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/dataset/bad/v1"))
+        .PUT(HttpRequest.BodyPublishers.ofString("""{"creation_options": {}}""")).build(),
+      HttpResponse.BodyHandlers.ofString()).statusCode() == 422)
+  }
+
+  test("batch user SQL over feature lists: inline, geostore_ids, uri, caps") {
+    val poly1 = """{"type":"Polygon","coordinates":[[[0.3513,40.6821],[3.1242,40.9753],[3.7081,43.2517],[0.8472,42.8391],[0.3513,40.6821]]]}"""
+    val poly2 = """{"type":"Polygon","coordinates":[[[1.1513,41.2821],[2.9242,41.3753],[2.8081,42.9517],[1.2472,42.7391],[1.1513,41.2821]]]}"""
+    val sql = "SELECT landcover_raster__class AS cls, sum(area__ha) AS area__ha FROM data GROUP BY landcover_raster__class"
+    def poll(submitted: HttpResponse[String]): String = {
+      assert(submitted.statusCode() == 202, submitted.body().take(300))
+      val jobId = "\"job_id\":\"([0-9a-f-]+)\"".r
+        .findFirstMatchIn(submitted.body()).get.group(1)
+      var status = "pending"; var bodyTxt = ""; var tries = 0
+      while (status == "pending" && tries < 120) {
+        Thread.sleep(250)
+        bodyTxt = get(s"/job/$jobId").body()
+        status = "\"status\":\"(\\w+)\"".r.findFirstMatchIn(bodyTxt).get.group(1)
+        tries += 1
+      }
+      assert(status == "success", bodyTxt.take(500))
+      bodyTxt
+    }
+    // inline feature collection with id_field from properties
+    val inline = poll(post("/dataset/landcover_raster/v1/query/batch",
+      s"""{"sql": "$sql", "id_field": "name", "feature_collection": {
+         |  "type": "FeatureCollection", "features": [
+         |  {"type": "Feature", "properties": {"name": "alpha"}, "geometry": $poly1},
+         |  {"type": "Feature", "properties": {"name": "beta"}, "geometry": $poly2}
+         |]}}""".stripMargin))
+    assert(inline.contains("\"fid\":\"\\\"alpha\\\"\"") ||
+      inline.contains("\"fid\":\"alpha\""), inline.take(400))
+    assert(inline.contains("\"cls\":0") && inline.contains("\"area__ha\":"))
+    // geostore_ids variant
+    val gid = "\"gfw_geostore_id\":\"([0-9a-f-]+)\"".r
+      .findFirstMatchIn(post("/geostore", poly1).body()).get.group(1)
+    val viaIds = poll(post("/dataset/landcover_raster/v1/query/batch",
+      s"""{"sql": "$sql", "geostore_ids": ["$gid"]}"""))
+    assert(viaIds.contains(s""""fid":"$gid""""))
+    // uri variant (file-referenced FeatureCollection)
+    val f = java.nio.file.Files.createTempFile("fc", ".geojson")
+    java.nio.file.Files.writeString(f,
+      s"""{"type": "FeatureCollection", "features": [
+         |{"type": "Feature", "properties": {}, "geometry": $poly2}]}""".stripMargin)
+    val viaUri = poll(post("/dataset/landcover_raster/v1/query/batch",
+      s"""{"sql": "$sql", "uri": "file://$f"}"""))
+    assert(viaUri.contains("\"rows\":["))
+    // error shapes: both sources, neither source, tabular dataset, oversize
+    val both = post("/dataset/landcover_raster/v1/query/batch",
+      s"""{"sql": "$sql", "geostore_ids": ["$gid"], "uri": "file://$f"}""")
+    assert(both.statusCode() == 400 && both.body().contains("only one of"))
+    val neither = post("/dataset/landcover_raster/v1/query/batch", s"""{"sql": "$sql"}""")
+    assert(neither.statusCode() == 400)
+    val tabular = post("/dataset/nation/v1/query/batch",
+      s"""{"sql": "$sql", "geostore_ids": ["$gid"]}""")
+    assert(tabular.statusCode() == 400 &&
+      tabular.body().contains("only available for raster tile sets"))
+    val oversize = post("/dataset/landcover_raster/v1/query/batch",
+      s"""{"sql": "$sql", "feature_collection": {"pad": "${"x" * (257 * 1024)}"}}""")
+    assert(oversize.statusCode() == 413)
+    val badUri = post("/dataset/landcover_raster/v1/query/batch",
+      s"""{"sql": "$sql", "uri": "file:///nope/missing.geojson"}""")
+    assert(badUri.statusCode() == 400 &&
+      badUri.body().contains("Cannot access all of the source files"))
+  }
+
+  test("rw geostore origin fallback with memoization") {
+    var calls = 0
+    val rwPoly = """{"type":"Polygon","coordinates":[[[0.3513,40.6821],[3.1242,40.9753],[3.7081,43.2517],[0.8472,42.8391],[0.3513,40.6821]]]}"""
+    val rw = new ApiServer(spark, "/root/testdata/sf0.001",
+      rwGeostore = Some(id => { calls += 1
+        if (id == "rw-id-1") Some(rwPoly) else None }))
+    val rp = rw.start()
+    def rget(path: String): HttpResponse[String] =
+      client.send(HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:$rp$path")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+    try {
+      val q = "/dataset/landcover_raster/v1/query/json?geostore_id=rw-id-1&sql=" +
+        java.net.URLEncoder.encode("SELECT sum(area__ha) AS a FROM data", "UTF-8")
+      assert(rget(q).statusCode() == 200)
+      assert(rget(q).statusCode() == 200)
+      assert(calls == 1, s"rw fetcher called $calls times — memo broken")
+      // unknown id still 422 (no geostore resolved)
+      assert(rget("/dataset/landcover_raster/v1/query/json?geostore_id=nope&sql=" +
+        java.net.URLEncoder.encode("SELECT 1 FROM data", "UTF-8")).statusCode() == 422)
+    } finally rw.stop()
+  }
+
   test("geostore create + fetch round-trip with content-addressed id") {
     val gj = """{"type":"Polygon","coordinates":[[[0,0],[10,0],[10,10],[0,10],[0,0]]]}"""
     val created = post("/geostore", gj)
