@@ -88,6 +88,9 @@ object PixelPreds {
   *                  the stored band equals the asset's `no_data` value
   *                  are excluded — `FROM <alerts>` returns alert
   *                  pixels only, the reference base-layer contract
+  * @param srcBands  lake band indices this layer reads — the unit of
+  *                  scan column pruning: a compiled query's scan reads
+  *                  only the union of its referenced layers' bands
   */
 final case class RasterLayer(
     name: String,
@@ -98,7 +101,8 @@ final case class RasterLayer(
     isBool: Boolean = false,
     dateEpoch: Option[LocalDate] = None,
     dict: Map[Long, String] = Map.empty,
-    noDataPred: Option[PixelPred] = None)
+    noDataPred: Option[PixelPred] = None,
+    srcBands: Set[Int] = Set.empty)
 
 /** The resolved set of layers a raster query can reference — the
   * reference's `_get_data_environment` output
@@ -208,13 +212,15 @@ object DataEnvironment {
                 case Some(calc) =>
                   val b2 = opts.get("band2").map(b => BandFn(bandIdx(b)))
                   Seq(RasterLayer(default,
-                    PixelCalc.compile(calc, Seq(src) ++ b2.toSeq), keyBound = bound))
+                    PixelCalc.compile(calc, Seq(src) ++ b2.toSeq), keyBound = bound,
+                    srcBands = b2.map(_.idx).toSet))
                 case None =>
                   Seq(RasterLayer(default, src, keyBound = bound,
                     dict = SyntheticEnv.dictFor(ds)))
               }
             }
-          ds -> layers.map(_.copy(noDataPred = noData))
+          ds -> layers.map(l =>
+            l.copy(noDataPred = noData, srcBands = l.srcBands + src.idx))
         }
       case _ => None
     }

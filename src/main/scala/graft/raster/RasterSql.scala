@@ -97,8 +97,16 @@ object RasterSql {
           other.nodeName)
     }
 
-    def layer(name: String): RasterLayer = env.layers.getOrElse(name,
-      throw RasterSqlException(s"Layer '$name' is invalid"))
+    // every referenced layer contributes its source bands — the union
+    // is the scan's projected band set (column pruning through the
+    // fused expression)
+    val usedBands = scala.collection.mutable.SortedSet.empty[Int]
+    def layer(name: String): RasterLayer = {
+      val ly = env.layers.getOrElse(name,
+        throw RasterSqlException(s"Layer '$name' is invalid"))
+      usedBands ++= ly.srcBands
+      ly
+    }
 
     val baseLayer = layer(rel.multipartIdentifier.last)
 
@@ -229,7 +237,8 @@ object RasterSql {
     if (outputs.isEmpty) throw RasterSqlException("Empty SELECT list")
 
     CompiledRasterQuery(
-      ZonalSpec(env.grid, keyLayers.map(_.eval), strides, valFns.toSeq, preds),
+      ZonalSpec(env.grid, keyLayers.map(_.eval), strides, valFns.toSeq, preds,
+        usedBands.toSeq, env.bands.length),
       outputs, orderBy, limit)
   }
 
@@ -241,8 +250,9 @@ object RasterSql {
   def execute(lake: DataFrame, cq: CompiledRasterQuery, aoiGeoJson: String,
               env: DataEnvironment): DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge
+    val bandCols = cq.spec.usedBands.map(i => col(env.bands(i)))
     val children =
-      (lit(aoiGeoJson) +: col("tx") +: col("ty") +: env.bands.map(col))
+      (lit(aoiGeoJson) +: col("tx") +: col("ty") +: bandCols)
         .map(ColumnBridge.expression)
     val zp = ColumnBridge.column(ZonalPartial(cq.spec, children))
     val nv = cq.spec.vals.length
@@ -273,8 +283,9 @@ object RasterSql {
   def executeBatch(pairs: DataFrame, cq: CompiledRasterQuery,
                    env: DataEnvironment): DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge
+    val bandCols = cq.spec.usedBands.map(i => col(env.bands(i)))
     val children =
-      (col("gj") +: col("tx") +: col("ty") +: env.bands.map(col))
+      (col("gj") +: col("tx") +: col("ty") +: bandCols)
         .map(ColumnBridge.expression)
     val zp = ColumnBridge.column(ZonalPartial(cq.spec, children))
     val nv = cq.spec.vals.length

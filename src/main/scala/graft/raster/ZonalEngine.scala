@@ -136,14 +136,19 @@ object ZonalEngine {
         lit(g.originLat) - col("ty") * g.tileDeg - g.tileDeg < col("bymax") &&
         lit(g.originLat) - col("ty") * g.tileDeg > col("bymin"))
 
+    val keyL = env.layers("landcover_raster__class")
+    val tcdL = env.layers("umd_tree_cover_density_2000__threshold")
+    val used = (keyL.srcBands ++ tcdThreshold.map(_ => tcdL.srcBands)
+      .getOrElse(Set.empty)).toSeq.sorted
     val spec = ZonalSpec(g,
-      keys = Seq(env.layers("landcover_raster__class").eval), keyStrides = Seq(1L),
+      keys = Seq(keyL.eval), keyStrides = Seq(1L),
       vals = Seq(env.layers("area__ha").eval),
-      preds = tcdThreshold.map(t => PixelPreds.Ge(
-        env.layers("umd_tree_cover_density_2000__threshold").eval, t.toDouble)).toSeq)
+      preds = tcdThreshold.map(t =>
+        PixelPreds.Ge(tcdL.eval, t.toDouble)).toSeq,
+      usedBands = used, nBands = env.bands.length)
     import org.apache.spark.sql.graft.ColumnBridge
     val zp = ColumnBridge.column(ZonalPartial(spec,
-      (col("gj") +: col("tx") +: col("ty") +: env.bands.map(col))
+      (col("gj") +: col("tx") +: col("ty") +: used.map(i => col(env.bands(i))))
         .map(ColumnBridge.expression)))
     val decode = "CASE " + SyntheticEnv.landcoverTable.toSeq.sortBy(_._1)
       .map { case (k, v) => s"WHEN k = $k THEN '$v'" }.mkString(" ") +

@@ -8,15 +8,20 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Compiled query shape for the fused per-tile zonal pass: group-key
-  * layers (packed by stride into one BIGINT), measure layers, and WHERE
-  * predicates. Built by [[RasterSql]] from the user's OTF SQL +
-  * [[DataEnvironment]]. */
+  * layers (packed by stride into one BIGINT), measure layers, WHERE
+  * predicates, and the lake bands the query actually reads
+  * (`usedBands` — band indices into the full lake band list; the scan
+  * projects ONLY these columns, so a 2-layer query over a 6-band lake
+  * does 1/3 of the I/O). Built by [[RasterSql]] from the user's OTF
+  * SQL + [[DataEnvironment]]. */
 final case class ZonalSpec(
     grid: Grid,
     keys: Seq[PixelFn],
     keyStrides: Seq[Long],
     vals: Seq[PixelFn],
-    preds: Seq[PixelPred]) extends Serializable
+    preds: Seq[PixelPred],
+    usedBands: Seq[Int] = Nil,
+    nBands: Int = 0) extends Serializable
 
 /** The fused per-tile zonal operator: one pass over the tile's pixels
   * computing AOI mask (scanline-rasterized once per tile, see
@@ -66,10 +71,15 @@ case class ZonalPartial(spec: ZonalSpec, children: Seq[Expression])
     if (aoiAny == null) return null
     val tx = children(1).eval(input).asInstanceOf[Number].intValue()
     val ty = children(2).eval(input).asInstanceOf[Number].intValue()
-    val bands = new Array[ArrayData](children.length - 3)
+    // children carry ONLY the used band columns (scan pruning); the
+    // PixelFns index by original band position, so scatter into the
+    // full-width slot array
+    val slots = if (spec.usedBands.nonEmpty) spec.usedBands else
+      (0 until children.length - 3)
+    val bands = new Array[ArrayData](math.max(spec.nBands, children.length - 3))
     var b = 0
-    while (b < bands.length) {
-      bands(b) = children(b + 3).eval(input).asInstanceOf[ArrayData]
+    while (b < slots.length) {
+      bands(slots(b)) = children(b + 3).eval(input).asInstanceOf[ArrayData]
       b += 1
     }
 
