@@ -452,6 +452,25 @@ object RasterQueries extends QueryModule {
          |  CAST(sum(t) AS DOUBLE) / count(*) AS avg__threshold
          |FROM f""".stripMargin),
 
+    // Pixel LISTING mode (the GLAD alerts download shape,
+    // `queries.py` CSV src): non-aggregate select over latitude/
+    // longitude pseudo-columns + a date-decoded layer, one row per
+    // masked+filtered pixel, deterministic ORDER/LIMIT.
+    ("rs7_alert_list", "umd_glad_landsat_alerts",
+      """SELECT latitude, longitude,
+        |  umd_glad_landsat_alerts__date AS alert__date
+        |FROM data
+        |WHERE umd_glad_landsat_alerts__date >= '2021-01-01'
+        |ORDER BY latitude, longitude LIMIT 500""".stripMargin,
+      s"""$duckPixels,
+         |f AS (SELECT CAST(${g.latCenterSql(dGy)} AS DOUBLE) AS latitude,
+         |  CAST(${g.lonCenterSql(dGx)} AS DOUBLE) AS longitude,
+         |  DATE '2015-01-01' + CAST(($dDc) % 10000 AS INT) AS alert__date
+         |  FROM px WHERE ($duckAoiMask)
+         |    AND ($dDc) % 10000 >= (DATE '2021-01-01' - DATE '2015-01-01'))
+         |SELECT latitude, longitude, alert__date FROM f
+         |ORDER BY latitude, longitude LIMIT 500""".stripMargin),
+
     // FROM-rewrite base guard: the default layer's no_data (px_w = 0)
     // excludes pixels even with no user WHERE; IN-list filter.
     ("rs5_base_nodata", "umd_tree_cover_loss",

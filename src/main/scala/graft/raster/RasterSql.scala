@@ -22,8 +22,9 @@ final case class CompiledRasterQuery(
     spec: ZonalSpec,
     outputs: Seq[(String, String)],
     orderBy: Seq[(String, Boolean)],
-    limit: Option[Int]) {
-  def isGlobal: Boolean = spec.keys.isEmpty
+    limit: Option[Int],
+    listing: Boolean = false) {
+  def isGlobal: Boolean = !listing && spec.keys.isEmpty
 }
 
 /** The OTF raster SQL dialect over data-environment layers (SURVEY
@@ -184,6 +185,45 @@ object RasterSql {
     val global = keyLayers.isEmpty
     val countExpr = if (global) "coalesce(c, CAST(0 AS BIGINT))" else "c"
 
+    // non-aggregate select list with no GROUP BY → pixel LISTING mode
+    // (the alerts-download shape: one row per masked+filtered pixel)
+    def hasAggFn(e: Expression): Boolean = e.exists {
+      case f: UnresolvedFunction =>
+        Set("sum", "count", "avg", "min", "max")(f.nameParts.last.toLowerCase)
+      case _ => false
+    }
+    if (keyLayers.isEmpty && !selectList.exists(hasAggFn)) {
+      val g = env.grid
+      def listOutput(e: Expression, nameOpt: Option[String]): (String, String) = e match {
+        case a: UnresolvedAttribute => a.name match {
+          case "latitude" =>
+            (nameOpt.getOrElse("latitude"),
+              s"CAST(${g.latCenterSql("gy")} AS DOUBLE)")
+          case "longitude" =>
+            (nameOpt.getOrElse("longitude"),
+              s"CAST(${g.lonCenterSql("gx")} AS DOUBLE)")
+          case "area__ha" =>
+            (nameOpt.getOrElse("area__ha"),
+              s"CAST(${g.microHaSql("gy")} AS DOUBLE) / 1000000.0")
+          case n =>
+            val ly = layer(n)
+            val i = addVal(ly.eval)
+            (nameOpt.getOrElse(n), ly.decodeSql(s"element_at(vs, ${i + 1})"))
+        }
+        case other => throw RasterSqlException(
+          s"Pixel listings select layers / latitude / longitude, got: ${other.sql}")
+      }
+      val listOutputs = selectList.map {
+        case Alias(c, n) => listOutput(c, Some(n))
+        case UnresolvedAlias(c, _) => listOutput(c, None)
+        case other => listOutput(other, None)
+      }
+      return CompiledRasterQuery(
+        ZonalSpec(env.grid, Nil, Nil, valFns.toSeq, preds,
+          usedBands.toSeq, env.bands.length),
+        listOutputs, orderBy, limit, listing = true)
+    }
+
     def argLayer(f: UnresolvedFunction): RasterLayer = f.arguments match {
       case Seq(a: UnresolvedAttribute) => layer(a.name)
       case args => throw RasterSqlException(
@@ -254,6 +294,18 @@ object RasterSql {
     val children =
       (lit(aoiGeoJson) +: col("tx") +: col("ty") +: bandCols)
         .map(ColumnBridge.expression)
+    if (cq.listing) {
+      val pl = ColumnBridge.column(PixelList(cq.spec, children))
+      val rows = lake.select(explode(pl).as("p"))
+        .select(col("p.gx").as("gx"), col("p.gy").as("gy"), col("p.vs").as("vs"))
+      val out = rows.selectExpr(
+        cq.outputs.map { case (n, e) => s"$e AS `$n`" }: _*)
+      val sorted =
+        if (cq.orderBy.isEmpty) out
+        else out.orderBy(cq.orderBy.map { case (n, asc) =>
+          if (asc) col(n).asc else col(n).desc }: _*)
+      return cq.limit.fold(sorted)(sorted.limit)
+    }
     val zp = ColumnBridge.column(ZonalPartial(cq.spec, children))
     val nv = cq.spec.vals.length
     val parts = lake
@@ -282,6 +334,8 @@ object RasterSql {
     * is ONE Spark job regardless of feature count. */
   def executeBatch(pairs: DataFrame, cq: CompiledRasterQuery,
                    env: DataEnvironment): DataFrame = {
+    if (cq.listing) throw RasterSqlException(
+      "Batch feature queries must aggregate (sum/count/avg or GROUP BY)")
     import org.apache.spark.sql.graft.ColumnBridge
     val bandCols = cq.spec.usedBands.map(i => col(env.bands(i)))
     val children =

@@ -142,6 +142,76 @@ case class ZonalPartial(spec: ZonalSpec, children: Seq[Expression])
     copy(children = newChildren)
 }
 
+/** The fused per-tile LISTING pass (the raster path's non-aggregate
+  * query shape — alert pixel lists, `SELECT latitude, longitude,
+  * <layer> FROM data WHERE …`): same mask + predicate machinery as
+  * [[ZonalPartial]], but emitting one `(gx, gy, vals[])` row per
+  * passing pixel instead of merged partials. Output cardinality is
+  * the filtered pixel count — bounded by the AOI, exactly like the
+  * reference's alert downloads. Children as in [[ZonalPartial]]. */
+case class PixelList(spec: ZonalSpec, children: Seq[Expression])
+    extends Expression with CodegenFallback {
+
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("gx", IntegerType), StructField("gy", IntegerType),
+    StructField("vs", ArrayType(LongType)))))
+  override def prettyName: String = "pixel_list"
+
+  @transient private lazy val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Rasterizer.PreparedGeom]()
+
+  override def eval(input: InternalRow): Any = {
+    val aoiAny = children(0).eval(input)
+    if (aoiAny == null) return null
+    val tx = children(1).eval(input).asInstanceOf[Number].intValue()
+    val ty = children(2).eval(input).asInstanceOf[Number].intValue()
+    val slots = if (spec.usedBands.nonEmpty) spec.usedBands else
+      (0 until children.length - 3)
+    val bands = new Array[ArrayData](math.max(spec.nBands, children.length - 3))
+    var b = 0
+    while (b < slots.length) {
+      bands(slots(b)) = children(b + 3).eval(input).asInstanceOf[ArrayData]
+      b += 1
+    }
+    val g = spec.grid
+    val p = g.pxPerTile
+    val pg = cache.computeIfAbsent(aoiAny.asInstanceOf[UTF8String].toString,
+      s => Rasterizer.prepare(graft.geo.Geom.fromGeoJson(s)))
+    val mask = Rasterizer.tileMask(pg, g, Rasterizer.centers(g), tx, ty)
+    val vals = spec.vals.toArray
+    val preds = spec.preds.toArray
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    val gx0 = tx * p
+    val gy0 = ty * p
+    var i = 0
+    val n = p * p
+    while (i < n) {
+      if (mask(i)) {
+        val gx = gx0 + i % p
+        val gy = gy0 + i / p
+        var pass = true
+        var pi = 0
+        while (pass && pi < preds.length) {
+          pass = preds(pi).test(gx, gy, bands, i); pi += 1
+        }
+        if (pass) {
+          val vs = new Array[Long](vals.length)
+          var vi = 0
+          while (vi < vals.length) { vs(vi) = vals(vi).eval(gx, gy, bands, i); vi += 1 }
+          out += InternalRow(gx, gy, new GenericArrayData(vs))
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): PixelList =
+    copy(children = newChildren)
+}
+
 /** Standalone mask expression: `tile_mask(aoi_geojson, tx, ty,
   * origin_lon, origin_lat, tiles_x, tiles_y, tile_deg, px_per_tile)`
   * → array<boolean> of the tile's pixel centers inside the AOI.

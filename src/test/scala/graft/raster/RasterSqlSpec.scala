@@ -94,7 +94,8 @@ class RasterSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
       RasterSql.compile(
         "SELECT first(landcover_raster__class) FROM landcover_raster__class", env) }
     assert(e2.detail.toLowerCase.contains("unsupported") ||
-      e2.detail.toLowerCase.contains("not supported"))
+      e2.detail.toLowerCase.contains("not supported") ||
+      e2.detail.toLowerCase.contains("pixel listings select"))
     val e3 = intercept[RasterSqlException] {
       RasterSql.compile(
         "SELECT count(*) FROM landcover_raster__class WHERE landcover_raster__class = umd_tree_cover_loss__year", env) }
