@@ -111,22 +111,22 @@ case class RphSig(first: Expression, second: Expression, third: Expression)
     val tables = tAny.asInstanceOf[Int]
     val bits = bAny.asInstanceOf[Int]
     val dim = v.numElements()
+    // hyperplanes derive deterministically from (t, b, k) via
+    // splitmix64 — 48×6×64 mixes that are identical for every row, so
+    // the matrix is computed once per (tables, bits, dim) per executor
+    // and the per-row cost is the dot products alone (~3× per VERDICT)
+    val planes = RphSig.planes(tables, bits, dim)
     val out = new Array[Int](tables)
     var t = 0
     while (t < tables) {
       var bucket = 0
       var b = 0
       while (b < bits) {
+        val base = (t * bits + b) * dim
         var dot = 0.0
         var k = 0
         while (k < dim) {
-          var z = t.toLong * 1000003L + b.toLong * 10007L + k.toLong * 101L + 7L
-          z += 0x9E3779B97F4A7C15L
-          z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-          z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-          z ^= z >>> 31
-          val w = (z >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
-          if (!v.isNullAt(k)) dot += v.getDouble(k) * w
+          if (!v.isNullAt(k)) dot += v.getDouble(k) * planes(base + k)
           k += 1
         }
         bucket = (bucket << 1) | (if (dot > 0) 1 else 0)
@@ -141,6 +141,39 @@ case class RphSig(first: Expression, second: Expression, third: Expression)
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): RphSig =
     copy(first = f, second = s, third = t)
+}
+
+object RphSig {
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Double]]()
+
+  /** Flat `tables × bits × dim` hyperplane weight matrix; entries are
+    * the exact splitmix64 values the per-row loop used to recompute
+    * (bit-identical signatures). */
+  private[functions] def planes(tables: Int, bits: Int, dim: Int): Array[Double] =
+    planeCache.computeIfAbsent((tables, bits, dim), { _ =>
+      val out = new Array[Double](tables * bits * dim)
+      var t = 0
+      while (t < tables) {
+        var b = 0
+        while (b < bits) {
+          var k = 0
+          while (k < dim) {
+            var z = t.toLong * 1000003L + b.toLong * 10007L + k.toLong * 101L + 7L
+            z += 0x9E3779B97F4A7C15L
+            z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+            z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+            z ^= z >>> 31
+            out((t * bits + b) * dim + k) =
+              (z >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+            k += 1
+          }
+          b += 1
+        }
+        t += 1
+      }
+      out
+    })
 }
 
 /** `simhash31(hs)` → bigint fingerprint: bit j is set when the ±1

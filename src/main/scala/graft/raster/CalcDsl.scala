@@ -52,7 +52,9 @@ object CalcDsl {
         s"CAST((${inner.trim}) AS $sqlT)"
       case other => other
     }
-    s.replace("==", "=")
+    // numpy floor division `//` → SQL DIV (exact on the non-negative
+    // integer layer domain; caught by CalcPropertySpec)
+    s.replace("//", " DIV ").replace("==", "=")
   }
 
   /** Compile `calc` into the SQL text of an element-wise expression

@@ -41,10 +41,20 @@ object ZonalEngine {
     (env, RasterSql.compile(sql, env))
   }
 
-  private def requireAreal(gj: String): Geom = Geom.fromGeoJson(gj) match {
-    case g @ (_: Polygon | _: MultiPolygon) => g
-    case _ => throw ZonalException(
-      "Geostore must be a Polygon or MultiPolygon for raster analysis")
+  /** OTF AOI size cap (`GEOSTORE_SIZE_LIMIT_OTF`,
+    * `app/settings/globals.py:157-159` default 1e9 ha). */
+  val GeostoreSizeLimitOtfHa: Double = 1e9
+
+  private def requireAreal(gj: String): Geom = {
+    val g = Geom.fromGeoJson(gj) match {
+      case g @ (_: Polygon | _: MultiPolygon) => g
+      case _ => throw ZonalException(
+        "Geostore must be a Polygon or MultiPolygon for raster analysis")
+    }
+    if (Geom.areaHa(g) > GeostoreSizeLimitOtfHa)
+      throw ZonalException("Geostore area exceeds limit of " +
+        s"${GeostoreSizeLimitOtfHa.toLong} ha for raster analysis.")
+    g
   }
 
   def runSql(spark: SparkSession, catalog: graft.catalog.Catalog,
