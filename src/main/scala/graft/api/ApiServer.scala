@@ -88,10 +88,19 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
   Tables.register(spark, sfDir)
 
   @volatile private var catalog = new cat.Catalog(Tables.all.map { t =>
+    // geo-flavoured lake tables carry pre-built export assets the
+    // shp/gpkg download routes 307-redirect to (reference S3 exports)
+    val exports =
+      if (t == "region") Seq(
+        cat.Asset(s"$t-shp", cat.AssetType.ShapefileExport,
+          s"$sfDir/exports/$t.shp.zip", isDefault = false),
+        cat.Asset(s"$t-gpkg", cat.AssetType.GeopackageExport,
+          s"$sfDir/exports/$t.gpkg", isDefault = false))
+      else Nil
     cat.Dataset(t, Seq(cat.Version(t, "v1", isLatest = true,
       isDownloadable = !nonDownloadable.contains(t),
-      assets = Seq(cat.Asset(s"$t-a1", cat.AssetType.DatabaseTable, s"$sfDir/$t.parquet",
-        isDefault = true)))))
+      assets = cat.Asset(s"$t-a1", cat.AssetType.DatabaseTable,
+        s"$sfDir/$t.parquet", isDefault = true) +: exports)))
   } ++ graft.raster.SyntheticRasters.datasets)
 
   private val geostore = scala.collection.concurrent.TrieMap.empty[String, String]
@@ -142,6 +151,7 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
   private val QueryJson = "^/dataset/([^/]+)/([^/]+)/query/json$".r
   private val QueryCsv = "^/dataset/([^/]+)/([^/]+)/query/csv$".r
   private val Download = "^/dataset/([^/]+)/([^/]+)/download/(csv|json)$".r
+  private val DownloadFile = "^/dataset/([^/]+)/([^/]+)/download/(shp|gpkg)$".r
   private val Fields = "^/dataset/([^/]+)/([^/]+)/fields$".r
   private val Features = "^/dataset/([^/]+)/([^/]+)/features$".r
   private val StatsR = "^/dataset/([^/]+)/([^/]+)/stats$".r
@@ -193,6 +203,7 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
         case ("POST", QueryJson(d, v)) => queryPost(ex, d, v, json = true)
         case ("POST", QueryCsv(d, v)) => queryPost(ex, d, v, json = false)
         case ("GET", Download(d, v, fmt)) => download(ex, d, v, fmt)
+        case ("GET", DownloadFile(d, v, fmt)) => downloadFile(ex, d, v, fmt)
         case ("GET", Fields(d, v)) => fields(ex, d, v)
         case ("GET", Features(d, v)) => features(ex, d, v)
         case ("GET", StatsR(d, v)) => stats(ex, d, v)
@@ -388,6 +399,29 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
             // reference; out of scope for the synthetic lake
             respond(ex, 501, "application/json", Sinks.jsendError(
               "This endpoint is not implemented for the given dataset"))
+        }
+    }
+
+  /** Pre-built file-asset downloads (`downloads.py:264-348`): 307
+    * temporary redirect to the version's shapefile / geopackage export
+    * asset URI; absent asset → the reference's not-implemented 501. */
+  private def downloadFile(ex: HttpExchange, dataset: String, version: String,
+                           fmt: String): Unit =
+    catalog.version(dataset, version) match {
+      case None => respond(ex, 404, "application/json",
+        Sinks.jsendError(s"Dataset version $dataset.$version not found"))
+      case Some(v) if !v.isDownloadable =>
+        respond(ex, 403, "application/json",
+          Sinks.jsendError("This dataset is not available for download"))
+      case Some(v) =>
+        val wanted = if (fmt == "shp") cat.AssetType.ShapefileExport
+                     else cat.AssetType.GeopackageExport
+        v.assets.find(_.assetType == wanted) match {
+          case Some(a) =>
+            ex.getResponseHeaders.add("Location", a.assetUri)
+            respond(ex, 307, "application/json", "")
+          case None => respond(ex, 501, "application/json", Sinks.jsendError(
+            "This endpoint is not implemented for the given dataset."))
         }
     }
 

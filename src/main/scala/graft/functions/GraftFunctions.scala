@@ -8,31 +8,41 @@ import org.apache.spark.sql.SparkSession
   * lives in Catalyst — SURVEY §2.8).
   */
 object GraftFunctions {
+
+  import org.apache.spark.sql.catalyst.expressions.Expression
+
+  /** The full native function surface (sketches + raster + geometry):
+    * name → expression builder. */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "polyhash" -> ((es: Seq[Expression]) => PolyHash(es.head)),
+    "vec_dot" -> ((es: Seq[Expression]) => VecDot(es(0), es(1))),
+    "tile_zonal" -> ((es: Seq[Expression]) =>
+      graft.raster.TileZonal(es(0), es(1), es(2))),
+    "ngram_hashes" -> ((es: Seq[Expression]) => NGramHashes(es(0), es(1))),
+    "shingle_hashes" -> ((es: Seq[Expression]) => ShingleHashes(es(0), es(1))),
+    "minhash36" -> ((es: Seq[Expression]) => MinHash36(es.head)),
+    "simhash31" -> ((es: Seq[Expression]) => SimHash31(es.head)),
+    "rph_sig" -> ((es: Seq[Expression]) => RphSig(es(0), es(1), es(2))),
+    "tile_mask" -> ((es: Seq[Expression]) => graft.raster.TileMask(es)),
+    "hist_merge" -> ((es: Seq[Expression]) =>
+      graft.raster.HistMergeAgg(es(0), es(1), es(2), es(3)))) ++
+    graft.geo.GeoFunctions.builders
+
   def install(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction(
-      "polyhash", exprs => PolyHash(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction(
-      "vec_dot", exprs => VecDot(exprs(0), exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction(
-      "tile_zonal",
-      exprs => graft.raster.TileZonal(exprs(0), exprs(1), exprs(2)), "built-in")
-    reg.createOrReplaceTempFunction(
-      "ngram_hashes", exprs => NGramHashes(exprs(0), exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction(
-      "shingle_hashes", exprs => ShingleHashes(exprs(0), exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction(
-      "minhash36", exprs => MinHash36(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction(
-      "simhash31", exprs => SimHash31(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction(
-      "rph_sig", exprs => RphSig(exprs(0), exprs(1), exprs(2)), "built-in")
-    reg.createOrReplaceTempFunction(
-      "tile_mask", exprs => graft.raster.TileMask(exprs), "built-in")
-    reg.createOrReplaceTempFunction(
-      "hist_merge",
-      exprs => graft.raster.HistMergeAgg(exprs(0), exprs(1), exprs(2), exprs(3)),
-      "built-in")
-    graft.geo.GeoFunctions.install(spark)
+    builders.foreach { case (name, b) =>
+      reg.createOrReplaceTempFunction(name, b, "built-in") }
+  }
+
+  /** `SparkSessionExtensions` injection (see [[graft.GraftExtensions]]):
+    * the same builders, registered the declarative way a deployed
+    * cluster configures them (`spark.sql.extensions`). */
+  def injectInto(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    builders.foreach { case (name, b) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft", name), b))
+    }
   }
 }

@@ -285,6 +285,19 @@ object GeoExpressions {
       copy(left = l, right = r)
   }
 
+  /** `ST_SimplifyPreserveTopology(geom, eps)` — DP with a per-ring
+    * validity guard (see [[Geom.simplifyPreserveTopology]]). */
+  case class StSimplifyPreserveTopology(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "st_simplifypreservetopology"
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      Geom.toWkb(Geom.simplifyPreserveTopology(
+        geom(a.asInstanceOf[Array[Byte]]), asD(b)))
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   /** `ST_SnapToGrid(geom, size)` (`export_1x1_grid.py:332`). */
   case class StSnapToGrid(left: Expression, right: Expression)
       extends BinaryExpression with CodegenFallback {
@@ -328,32 +341,38 @@ object GeoExpressions {
 object GeoFunctions {
   import GeoExpressions._
 
+  /** Name → expression builder, consumed both by the per-session
+    * registry install and the `SparkSessionExtensions` injection
+    * (`graft.GraftExtensions`). */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "st_geomfromgeojson" -> (es => StGeomFromGeoJson(es.head)),
+    "st_asgeojson" -> (es => StAsGeoJson(es.head)),
+    "st_point" -> (es => StPoint(es(0), es(1))),
+    "st_makepoint" -> (es => StPoint(es(0), es(1))),
+    "st_x" -> (es => StX(es.head)),
+    "st_y" -> (es => StY(es.head)),
+    "st_intersects" -> (es => StIntersects(es(0), es(1))),
+    "st_within" -> (es => StWithin(es(0), es(1))),
+    "st_area_ha" -> (es => StAreaHa(es.head)),
+    "st_envelope" -> (es => StEnvelope(es.head)),
+    "st_transform_webmercator" -> (es => StTransformWebMercator(es.head)),
+    "st_simplify" -> (es => StSimplify(es(0), es(1))),
+    "st_simplifypreservetopology" -> (es => StSimplifyPreserveTopology(es(0), es(1))),
+    "st_setsrid" -> (es => StSetSrid(es(0), es(1))),
+    "st_geostore_id" -> (es => StGeostoreId(es.head)),
+    "st_distance_sphere" -> (es => StDistanceSphere(es(0), es(1))),
+    "norm_name" -> (es => NormName(es.head)),
+    "st_clip_envelope" -> (es => StClipEnvelope(es)),
+    "st_intersection_convex" -> (es => StIntersectionConvex(es(0), es(1))),
+    "st_intersection" -> (es => StIntersection(es(0), es(1))),
+    "st_area" -> (es => StAreaPlanar(es.head)),
+    "st_snap_to_grid" -> (es => StSnapToGrid(es(0), es(1))),
+    "st_makevalid" -> (es => StMakeValid(es.head)),
+    "st_makeenvelope" -> (es => StMakeEnvelope(es)))
+
   def install(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    def add(name: String, b: Seq[Expression] => Expression): Unit =
-      reg.createOrReplaceTempFunction(name, b, "built-in")
-    add("st_geomfromgeojson", es => StGeomFromGeoJson(es.head))
-    add("st_asgeojson", es => StAsGeoJson(es.head))
-    add("st_point", es => StPoint(es(0), es(1)))
-    add("st_makepoint", es => StPoint(es(0), es(1)))
-    add("st_x", es => StX(es.head))
-    add("st_y", es => StY(es.head))
-    add("st_intersects", es => StIntersects(es(0), es(1)))
-    add("st_within", es => StWithin(es(0), es(1)))
-    add("st_area_ha", es => StAreaHa(es.head))
-    add("st_envelope", es => StEnvelope(es.head))
-    add("st_transform_webmercator", es => StTransformWebMercator(es.head))
-    add("st_simplify", es => StSimplify(es(0), es(1)))
-    add("st_setsrid", es => StSetSrid(es(0), es(1)))
-    add("st_geostore_id", es => StGeostoreId(es.head))
-    add("st_distance_sphere", es => StDistanceSphere(es(0), es(1)))
-    add("norm_name", es => NormName(es.head))
-    add("st_clip_envelope", es => StClipEnvelope(es))
-    add("st_intersection_convex", es => StIntersectionConvex(es(0), es(1)))
-    add("st_intersection", es => StIntersection(es(0), es(1)))
-    add("st_area", es => StAreaPlanar(es.head))
-    add("st_snap_to_grid", es => StSnapToGrid(es(0), es(1)))
-    add("st_makevalid", es => StMakeValid(es.head))
-    add("st_makeenvelope", es => StMakeEnvelope(es))
+    builders.foreach { case (name, b) =>
+      reg.createOrReplaceTempFunction(name, b, "built-in") }
   }
 }

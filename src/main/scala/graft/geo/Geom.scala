@@ -674,6 +674,17 @@ object Geom {
   /** Douglas–Peucker with tolerance `eps` (ST_Simplify semantics —
     * endpoint-preserving, not topology-preserving). */
   def simplify(g: Geom, eps: Double): Geom = {
+    val dp = dpFor(eps)
+    g match {
+      case LineString(c) => LineString(dp(c))
+      case MultiLineString(ls) => MultiLineString(ls.map(dp))
+      case Polygon(r) => Polygon(r.map(dp).filter(_.length >= 4))
+      case MultiPolygon(ps) => MultiPolygon(ps.map(_.map(dp).filter(_.length >= 4)))
+      case other => other
+    }
+  }
+
+  private def dpFor(eps: Double): Array[(Double, Double)] => Array[(Double, Double)] = {
     def dp(coords: Array[(Double, Double)]): Array[(Double, Double)] = {
       if (coords.length <= 2) return coords
       def perpDist(p: (Double, Double), a: (Double, Double), b: (Double, Double)): Double = {
@@ -694,11 +705,68 @@ object Geom {
       if (maxD <= eps) Array(coords.head, coords.last)
       else dp(coords.take(maxI + 1)) ++ dp(coords.drop(maxI)).tail
     }
+    dp
+  }
+
+  /** Does the closed ring self-intersect (non-adjacent proper segment
+    * crossings)? O(n²) — simplified rings are small by construction. */
+  private def ringSelfIntersects(ring: Array[(Double, Double)]): Boolean = {
+    val n = ring.length - 1 // closed
+    var i = 0
+    while (i < n) {
+      var j = i + 2
+      while (j < n) {
+        // skip adjacent pairs (share an endpoint), incl. first-last
+        if (!(i == 0 && j == n - 1)) {
+          if (segsIntersectProper(
+            ring(i)._1, ring(i)._2, ring(i + 1)._1, ring(i + 1)._2,
+            ring(j)._1, ring(j)._2, ring(j + 1)._1, ring(j + 1)._2))
+            return true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    false
+  }
+
+  private def segsIntersectProper(ax: Double, ay: Double, bx: Double, by: Double,
+                                  cx: Double, cy: Double, dx: Double, dy: Double): Boolean = {
+    def orient(px: Double, py: Double, qx: Double, qy: Double, rx: Double, ry: Double): Double =
+      (qx - px) * (ry - py) - (qy - py) * (rx - px)
+    val o1 = orient(ax, ay, bx, by, cx, cy)
+    val o2 = orient(ax, ay, bx, by, dx, dy)
+    val o3 = orient(cx, cy, dx, dy, ax, ay)
+    val o4 = orient(cx, cy, dx, dy, bx, by)
+    o1 * o2 < 0 && o3 * o4 < 0
+  }
+
+  /** `ST_SimplifyPreserveTopology` for areal inputs
+    * (`app/crud/geostore.py:243-249` uses it before storing admin
+    * geometries): Douglas–Peucker per ring, but a ring that collapses
+    * (< 4 points / zero area) or self-intersects retries with halved
+    * tolerance — falling back to the original ring — so the output is
+    * always a valid ring set. Divergence (documented): validity is
+    * per-ring; cross-ring topology (hole escaping its shell) is not
+    * re-checked, which PostGIS/GEOS does. */
+  def simplifyPreserveTopology(g: Geom, eps: Double): Geom = {
+    def safeRing(ring: Array[(Double, Double)]): Array[(Double, Double)] = {
+      var tol = eps
+      var attempts = 0
+      while (attempts < 6) {
+        val s = dpFor(tol)(ring)
+        if (s.length >= 4 && math.abs(signedArea2(s)) > 0 && !ringSelfIntersects(s))
+          return s
+        tol /= 2
+        attempts += 1
+      }
+      ring
+    }
     g match {
-      case LineString(c) => LineString(dp(c))
-      case MultiLineString(ls) => MultiLineString(ls.map(dp))
-      case Polygon(r) => Polygon(r.map(dp).filter(_.length >= 4))
-      case MultiPolygon(ps) => MultiPolygon(ps.map(_.map(dp).filter(_.length >= 4)))
+      case Polygon(r) => Polygon(r.map(safeRing))
+      case MultiPolygon(ps) => MultiPolygon(ps.map(_.map(safeRing)))
+      case LineString(c) => LineString(dpFor(eps)(c))
+      case MultiLineString(ls) => MultiLineString(ls.map(dpFor(eps)))
       case other => other
     }
   }

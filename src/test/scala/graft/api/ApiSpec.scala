@@ -431,6 +431,19 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally rw.stop()
   }
 
+  test("shapefile/geopackage downloads 307-redirect to the export asset") {
+    val shp = get("/dataset/region/v1/download/shp")
+    assert(shp.statusCode() == 307)
+    assert(shp.headers().firstValue("Location").get.endsWith("region.shp.zip"))
+    val gpkg = get("/dataset/region/v1/download/gpkg")
+    assert(gpkg.statusCode() == 307)
+    assert(gpkg.headers().firstValue("Location").get.endsWith("region.gpkg"))
+    // no export asset → reference's 501
+    val none = get("/dataset/nation/v1/download/shp")
+    assert(none.statusCode() == 501)
+    assert(none.body().contains("not implemented for the given dataset"))
+  }
+
   test("geostore create + fetch round-trip with content-addressed id") {
     val gj = """{"type":"Polygon","coordinates":[[[0,0],[10,0],[10,10],[0,10],[0,0]]]}"""
     val created = post("/geostore", gj)

@@ -84,6 +84,26 @@ class GeomClipSpec extends AnyFunSuite {
     }
   }
 
+  test("simplifyPreserveTopology never emits degenerate or crossing rings") {
+    // a ring whose plain DP at eps=1.0 collapses to a flat triangle:
+    // spiky zigzag where aggressive simplification self-destructs
+    val zigzag = poly(
+      (0, 0), (4, 0.1), (8, 0), (8, 4), (4.1, 3.9), (0, 4), (0.5, 2))
+    val plain = Geom.simplify(zigzag, 3.0)
+    val safe = Geom.simplifyPreserveTopology(zigzag, 3.0) match {
+      case Polygon(rs) => rs; case _ => fail()
+    }
+    assert(safe(0).length >= 4)
+    assert(math.abs(Geom.signedArea2(safe(0))) > 0)
+    // preserved version keeps a valid positive-area ring even where the
+    // plain one may degenerate; with a tiny eps both are identity
+    val id = Geom.simplifyPreserveTopology(zigzag, 1e-9) match {
+      case Polygon(rs) => rs; case _ => fail()
+    }
+    assert(id(0).toSeq == zigzag.rings(0).toSeq)
+    assert(plain != null) // plain DP remains the non-topology variant
+  }
+
   test("makeValid closes rings and normalizes winding") {
     // CW outer, CCW hole, outer unclosed — both get flipped + closed
     val messy = Polygon(Array(
