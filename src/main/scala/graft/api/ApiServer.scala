@@ -348,7 +348,8 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
           case None => respond(ex, 422, "application/json",
             Sinks.jsendError("Raster tile set queries require a geometry"))
           case Some(gj) =>
-            send(graft.raster.ZonalEngine.runSql(spark, catalog, dataset, sql, gj))
+            send(graft.raster.ZonalEngine.runSql(spark, catalog, dataset, sql, gj,
+              versionOverrides(obj)))
         }
       case Right(_) =>
         val rewritten = Scrutinizer.scrutinizeTo(dataset, geom, sql)
@@ -728,9 +729,10 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
       return respond(ex, 400, "application/json",
         Sinks.jsendError("feature list must contain 1-100 features"))
 
+    val overrides = versionOverrides(obj)
     val id = jobRegistry.submit { () =>
       val df = graft.raster.ZonalEngine.runSqlBatch(
-        spark, catalog, dataset, sql, geoms)
+        spark, catalog, dataset, sql, geoms, overrides)
       val rows = df.collect()
       val outCols = df.schema.fields.map(_.name).filterNot(_ == "fid")
       val byFid = rows.groupBy(_.getAs[String]("fid")).toSeq.sortBy(_._1)
@@ -753,6 +755,15 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
     respond(ex, 202, "application/json",
       s"""{"data":{"job_id":"$id","status":"pending"},"status":"success"}""")
   }
+
+  /** `version_overrides` request-body map (`_query_raster`'s
+    * per-dataset latest-override resolution, `queries.py:556,790-813`). */
+  private def versionOverrides(obj: Map[String, Any]): Map[String, String] =
+    obj.get("version_overrides") match {
+      case Some(m: Map[_, _]) =>
+        m.asInstanceOf[Map[String, Any]].map { case (k, v) => k -> v.toString }
+      case _ => Map.empty
+    }
 
   private def geostoreCreate(ex: HttpExchange): Unit = {
     val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)

@@ -161,14 +161,25 @@ object DataEnvironment {
     * latest-unless-overridden via [[Catalog.resolveVersions]]. */
   def fromCatalog(catalog: Catalog, lakeDir: String,
                   overrides: Map[String, String] = Map.empty): DataEnvironment = {
-    val g = SyntheticEnv.grid
     val bands = TileLake.bandColumns
     val bandIdx = bands.zipWithIndex.toMap
-    val mh = new MicroHa(g)
-    val px = g.pxPerTile
 
     val rasterDatasets = catalog.rasterDatasets
     val resolved = catalog.resolveVersions(rasterDatasets, overrides)
+
+    // the grid comes from the tile-set assets' creation options (the
+    // reference selects assets sharing one grid, `queries.py:665-668`);
+    // all raster assets in a catalog must agree — mixed grids raise
+    val grids = resolved.values.flatten
+      .flatMap(_.defaultAsset.filter(_.assetType == AssetType.RasterTileSet))
+      .map(a => gridOf(a.creationOptions)).toSeq.distinct
+    val g = grids match {
+      case Seq(one) => one
+      case Seq() => SyntheticEnv.grid // empty environment
+      case many => throw new IllegalArgumentException(
+        s"raster assets span ${many.length} grids; one grid per environment")
+    }
+    val mh = new MicroHa(g)
 
     val layerSeq: Seq[(String, Seq[RasterLayer])] = resolved.toSeq.flatMap {
       case (ds, Some(v)) =>
@@ -225,10 +236,26 @@ object DataEnvironment {
       case _ => None
     }
 
-    val pseudo = RasterLayer("area__ha", AreaFn(mh, px), sumScale = 1e6)
+    val pseudo = RasterLayer("area__ha", AreaFn(mh, g.pxPerTile), sumScale = 1e6)
     DataEnvironment(g, lakeDir, bands,
       layers = (layerSeq.flatMap(_._2) :+ pseudo).map(l => l.name -> l).toMap,
       defaultLayers = layerSeq.map { case (ds, ls) => ds -> ls.head.name }.toMap)
+  }
+
+  /** Grid from a tile-set asset's creation options (`grid_origin_lon`
+    * / `grid_origin_lat` / `grid_tiles_x` / `grid_tiles_y` /
+    * `grid_tile_deg` / `grid_px_per_tile`; absent keys default to the
+    * synthetic test grid — the reference's `grid` enum carries the
+    * analogous tiling parameters). */
+  private def gridOf(opts: Map[String, String]): Grid = {
+    val d = SyntheticEnv.grid
+    Grid(
+      originLon = opts.get("grid_origin_lon").map(_.toDouble).getOrElse(d.originLon),
+      originLat = opts.get("grid_origin_lat").map(_.toDouble).getOrElse(d.originLat),
+      tilesX = opts.get("grid_tiles_x").map(_.toInt).getOrElse(d.tilesX),
+      tilesY = opts.get("grid_tiles_y").map(_.toInt).getOrElse(d.tilesY),
+      tileDeg = opts.get("grid_tile_deg").map(_.toDouble).getOrElse(d.tileDeg),
+      pxPerTile = opts.get("grid_px_per_tile").map(_.toInt).getOrElse(d.pxPerTile))
   }
 
   // ------------------------------------------------- TTL memo (reference
