@@ -79,15 +79,61 @@ object EtlQueries extends QueryModule {
         "st_geostore_id(geom) AS gfw_geostore_id")
   }
 
+  /** S3's other reference ingest form: vector rows as CSV with a
+    * WKB-HEX geometry column (`load_vector_csv_data.sh` /
+    * `vector_source_assets.py` path) — geometry round-trips source →
+    * WKB → hex text → CSV → `unhex` → WKB, then the GFW fields derive
+    * exactly as in the GeoJSON path (the oracle reproduces the final
+    * values arithmetically; the hex round trip is what's under test). */
+  private def wkbCsvIngest(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.register(spark, sfDir)
+    val dir = tmpDir("s4", sfDir)
+    spark.sql(
+      """SELECT c_custkey AS custkey,
+        |  hex(st_setsrid(st_point(
+        |    CAST(c_custkey % 720 AS DOUBLE) / 2.0 - 179.75,
+        |    CAST(c_custkey % 340 AS DOUBLE) / 2.0 - 84.75), 4326)) AS geom_hex
+        |FROM customer WHERE c_custkey < 300""".stripMargin)
+      .write.mode("overwrite").option("header", "true").csv(dir)
+
+    spark.read.option("header", "true").csv(dir)
+      .selectExpr(
+        "CAST(custkey AS BIGINT) AS custkey",
+        "unhex(geom_hex) AS geom")
+      .selectExpr(
+        "custkey",
+        "st_x(geom) AS lon",
+        "st_y(geom) AS lat",
+        "st_asgeojson(geom) AS gfw_geojson",
+        "st_geostore_id(geom) AS gfw_geostore_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_csv_ingest" -> ((s, d) => csvIngest(s, d)),
-    "s3_vector_ingest" -> ((s, d) => vectorIngest(s, d)))
+    "s3_vector_ingest" -> ((s, d) => vectorIngest(s, d)),
+    "s4_wkb_csv_ingest" -> ((s, d) => wkbCsvIngest(s, d)))
 
   override def oracles: Map[String, String] = Map(
     // lossless round trip ⇒ the ingest result equals the source table
     "s1_csv_ingest" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
     "s3_vector_ingest" ->
+      """WITH pts AS (
+        |  SELECT c_custkey AS custkey,
+        |    CAST(c_custkey % 720 AS DOUBLE) / 2.0 - 179.75 AS lon,
+        |    CAST(c_custkey % 340 AS DOUBLE) / 2.0 - 84.75 AS lat
+        |  FROM customer WHERE c_custkey < 300),
+        |j AS (SELECT custkey, lon, lat,
+        |  '{"type":"Point","coordinates":[' || lon::VARCHAR || ',' || lat::VARCHAR || ']}' AS gfw_geojson
+        |  FROM pts)
+        |SELECT custkey, lon, lat, gfw_geojson,
+        |  substr(md5(gfw_geojson), 1, 8) || '-' || substr(md5(gfw_geojson), 9, 4) || '-' ||
+        |  substr(md5(gfw_geojson), 13, 4) || '-' || substr(md5(gfw_geojson), 17, 4) || '-' ||
+        |  substr(md5(gfw_geojson), 21, 12) AS gfw_geostore_id
+        |FROM j""".stripMargin,
+    // the WKB-hex CSV path lands on the exact same derived values —
+    // the hex/CSV round trip is lossless on IEEE doubles
+    "s4_wkb_csv_ingest" ->
       """WITH pts AS (
         |  SELECT c_custkey AS custkey,
         |    CAST(c_custkey % 720 AS DOUBLE) / 2.0 - 179.75 AS lon,

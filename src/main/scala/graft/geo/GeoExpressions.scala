@@ -320,6 +320,41 @@ object GeoExpressions {
       copy(child = c)
   }
 
+  /** RFC 4122 name-based UUID v5 (SHA-1) — the datamart resource-key
+    * scheme (`uuid.uuid5(NAMESPACE_OID, f"{path}_{aoi}_{cc}_{dv}")`,
+    * `app/routes/datamart/land.py:271-274`). First arg: namespace
+    * ('oid' | 'dns' | 'url' | a UUID string), second: the name. */
+  case class Uuid5(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "uuid5"
+    override protected def nullSafeEval(nsAny: Any, nameAny: Any): Any = {
+      val ns = nsAny.toString.toLowerCase match {
+        case "dns" => "6ba7b810-9dad-11d1-80b4-00c04fd430c8"
+        case "url" => "6ba7b811-9dad-11d1-80b4-00c04fd430c8"
+        case "oid" => "6ba7b812-9dad-11d1-80b4-00c04fd430c8"
+        case "x500" => "6ba7b814-9dad-11d1-80b4-00c04fd430c8"
+        case other => other
+      }
+      val nsUuid = java.util.UUID.fromString(ns)
+      val bb = java.nio.ByteBuffer.allocate(16)
+      bb.putLong(nsUuid.getMostSignificantBits)
+      bb.putLong(nsUuid.getLeastSignificantBits)
+      val md = java.security.MessageDigest.getInstance("SHA-1")
+      md.update(bb.array())
+      md.update(nameAny.toString.getBytes("UTF-8"))
+      val h = md.digest()
+      h(6) = ((h(6) & 0x0f) | 0x50).toByte // version 5
+      h(8) = ((h(8) & 0x3f) | 0x80).toByte // RFC 4122 variant
+      val msb = java.nio.ByteBuffer.wrap(h, 0, 8).getLong
+      val lsb = java.nio.ByteBuffer.wrap(h, 8, 8).getLong
+      org.apache.spark.unsafe.types.UTF8String.fromString(
+        new java.util.UUID(msb, lsb).toString)
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   case class StMakeEnvelope(children: Seq[Expression])
       extends Expression with CodegenFallback {
     override def dataType: DataType = BinaryType
@@ -368,7 +403,8 @@ object GeoFunctions {
     "st_area" -> (es => StAreaPlanar(es.head)),
     "st_snap_to_grid" -> (es => StSnapToGrid(es(0), es(1))),
     "st_makevalid" -> (es => StMakeValid(es.head)),
-    "st_makeenvelope" -> (es => StMakeEnvelope(es)))
+    "st_makeenvelope" -> (es => StMakeEnvelope(es)),
+    "uuid5" -> (es => Uuid5(es(0), es(1))))
 
   def install(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
