@@ -534,6 +534,49 @@ object RasterQueries extends QueryModule {
          |FROM parts GROUP BY p.k""".stripMargin)
   }
 
+  /** S7 build-time transforms: zonal statistics over the DERIVED
+    * (2× downsampled + calc'd at build) tile set — the regrid/resample
+    * path pixetl runs while writing an asset. The oracle reproduces
+    * the block means from the fine formulas. */
+  private def derivedZonal(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.register(spark, sfDir)
+    TileLake.ensureDerivedWritten(spark, TileLake.defaultDir, TileLake.derivedDir)
+    val dg = TileLake.derivedGrid
+    val (bxmin, bymin, bxmax, bymax) = bbox(aoi)
+    val ids = TileLake.tileIdsForBbox(dg, bxmin, bymin, bxmax, bymax)
+    TileLake.scanPruned(spark, TileLake.derivedDir, ids)
+      .createOrReplaceTempView("derived_scan")
+    val cpx = dg.pxPerTile * dg.pxPerTile
+    val cGy = s"(ty * ${dg.pxPerTile} + i DIV ${dg.pxPerTile})"
+    spark.sql(
+      s"""WITH arrs AS (SELECT px_biomass_t AS keys,
+         |  transform(sequence(0, ${cpx - 1}), i -> ${dg.microHaSql(cGy)}) AS vals,
+         |  tile_mask('$aoiGeoJson', tx, ty, ${dg.originLon}, ${dg.originLat},
+         |    ${dg.tilesX}, ${dg.tilesY}, ${dg.tileDeg}, ${dg.pxPerTile}) AS mask
+         | FROM derived_scan),
+         |parts AS (SELECT explode(tile_zonal(keys, vals, mask)) AS p FROM arrs)
+         |SELECT p.k AS biomass_t,
+         |  CAST(sum(p.s) AS DOUBLE) / 1000000.0 AS area_ha,
+         |  sum(p.c) AS pixel_count
+         |FROM parts GROUP BY p.k""".stripMargin)
+  }
+
+  private def derivedZonalOracle: String = {
+    val dg = TileLake.derivedGrid
+    val n = dg.pxX // 200 coarse pixels per axis
+    val cGx = s"(p % $n)"; val cGy = s"(p // $n)"
+    def fine(dx: Int, dy: Int): String =
+      biomass10.formula(s"(2 * $cGx + $dx)", s"(2 * $cGy + $dy)")
+    val block = s"((${fine(0, 0)}) + (${fine(1, 0)}) + (${fine(0, 1)}) + (${fine(1, 1)})) // 4"
+    s"""WITH px AS (SELECT unnest(generate_series(0, ${n * n - 1})) AS p),
+       |f AS (SELECT ($block) // 10 AS k, ${dg.microHaSql(cGy)} AS microha FROM px
+       |  WHERE ${halfPlanes(dg.lonCenterSql(cGx), dg.latCenterSql(cGy))})
+       |SELECT k AS biomass_t,
+       |  CAST(sum(microha) AS DOUBLE) / 1000000.0 AS area_ha,
+       |  count(*) AS pixel_count
+       |FROM f GROUP BY k""".stripMargin
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     sqls.map { q =>
       q.name -> ((spark: SparkSession, sfDir: String) => {
@@ -544,7 +587,8 @@ object RasterQueries extends QueryModule {
       ("r9_tile_lake_zonal" -> ((s: SparkSession, d: String) => tileLakeZonal(s, d))) ++
       otfSqls.map { case (name, ds, sql, _) =>
         name -> (otfQuery(ds, sql) _)
-      } + ("rs6_batch_sql" -> (batchSqlQuery _))
+      } + ("rs6_batch_sql" -> (batchSqlQuery _)) +
+      ("r11_derived_tileset" -> (derivedZonal _))
 
   override def oracles: Map[String, String] =
     sqls.flatMap(q => q.oracleSql.map(q.name -> _)).toMap +
@@ -552,5 +596,6 @@ object RasterQueries extends QueryModule {
       // would be all-false
       ("r9_tile_lake_zonal" -> sqls.find(_.name == "r1_zonal_landcover").get.oracleSql.get) ++
       otfSqls.map { case (name, _, _, oracle) => name -> oracle } +
-      ("rs6_batch_sql" -> batchSqlOracle)
+      ("rs6_batch_sql" -> batchSqlOracle) +
+      ("r11_derived_tileset" -> derivedZonalOracle)
 }

@@ -53,6 +53,47 @@ object TileLake {
     tiles.write.mode("overwrite").partitionBy("tile_id").parquet(dir)
   }
 
+  /** The derived (regridded) lake: S7's build-time transform path —
+    * pixetl's resample + calc applied while WRITING a tile set, not
+    * at query time. 2×2 block mean (integer `sum DIV 4`, exact) takes
+    * the 100 px grid to 50 px, then the calc formula maps each coarse
+    * pixel; the result is a NEW partitioned tile set on the coarse
+    * grid, queryable by the same pruned-scan machinery. Runs as one
+    * distributed pass over the source tiles (tile → tile, no
+    * shuffle — resampling is tile-local because the block factor
+    * divides the tile size). */
+  def derivedDir: String =
+    s"${sys.props("java.io.tmpdir")}/graft_tile_lake_derived_v1"
+
+  def derivedGrid: Grid = {
+    val g = SyntheticEnv.grid
+    g.copy(pxPerTile = g.pxPerTile / 2)
+  }
+
+  def ensureDerivedWritten(spark: SparkSession, srcDir: String,
+                           dir: String): Unit = synchronized {
+    val marker = new java.io.File(s"$dir/_SUCCESS")
+    if (marker.exists()) return
+    ensureWritten(spark, srcDir)
+    val fine = SyntheticEnv.grid.pxPerTile // 100
+    val coarse = derivedGrid.pxPerTile     // 50
+    val n = coarse * coarse
+    // block mean: coarse (cx, cy) ← fine (2cx, 2cy)..(2cx+1, 2cy+1);
+    // fine index = (2cy + dy) * fine + (2cx + dx)
+    def blockSum(col: String): String = {
+      val cx = s"(i % $coarse)"; val cy = s"(i DIV $coarse)"
+      (for (dy <- 0 to 1; dx <- 0 to 1) yield
+        s"element_at($col, CAST((2 * $cy + $dy) * $fine + 2 * $cx + $dx + 1 AS INT))")
+        .mkString("(", " + ", s") DIV 4")
+    }
+    spark.read.parquet(srcDir)
+      .selectExpr("tile_id", "tx", "ty",
+        // calc at build: biomass tenths → whole tonnes buckets (A DIV 10)
+        s"transform(sequence(0, ${n - 1}), i -> (${blockSum("px_biomass10")}) DIV 10) AS px_biomass_t",
+        s"transform(sequence(0, ${n - 1}), i -> ${blockSum("px_landcover")}) AS px_lc_mean")
+      .write.mode("overwrite").partitionBy("tile_id").parquet(dir)
+  }
+
   /** Tile ids whose bbox intersects the AOI bbox — the pruning set.
     * Uses the canonical [[Grid.tileId]] formatter (`%02d`/`%03d` +
     * N/S/E/W), matching what [[ensureWritten]] partitions by. */
