@@ -534,6 +534,24 @@ object RasterQueries extends QueryModule {
          |FROM parts GROUP BY p.k""".stripMargin)
   }
 
+  // J5 on the raster path: the SAME query under a version override —
+  // umd_tree_cover_loss resolves to v1 (year = 2000 + w % 25) instead
+  // of the latest v2 (2001 + w % 24); the data environment re-derives
+  // per override set (`_get_data_environment` version_overrides).
+  private def overrideQuery(spark: SparkSession, sfDir: String): DataFrame =
+    ZonalEngine.runSql(spark, SyntheticRasters.catalog, "umd_tree_cover_loss",
+      """SELECT umd_tree_cover_loss__year, COUNT(*) AS loss__count
+        |FROM data GROUP BY umd_tree_cover_loss__year""".stripMargin,
+      aoiGeoJson, overrides = Map("umd_tree_cover_loss" -> "v1"))
+  private val overrideOracle: String = {
+    val yearV1 = s"CAST(2000 + ($dW) % 25 AS BIGINT)"
+    s"""$duckPixels,
+       |f AS (SELECT $yearV1 AS y FROM px
+       |  WHERE ($duckAoiMask) AND ($dW) != 0)
+       |SELECT y AS umd_tree_cover_loss__year, count(*) AS loss__count
+       |FROM f GROUP BY y""".stripMargin
+  }
+
   /** S7 build-time transforms: zonal statistics over the DERIVED
     * (2× downsampled + calc'd at build) tile set — the regrid/resample
     * path pixetl runs while writing an asset. The oracle reproduces
@@ -588,7 +606,8 @@ object RasterQueries extends QueryModule {
       otfSqls.map { case (name, ds, sql, _) =>
         name -> (otfQuery(ds, sql) _)
       } + ("rs6_batch_sql" -> (batchSqlQuery _)) +
-      ("r11_derived_tileset" -> (derivedZonal _))
+      ("r11_derived_tileset" -> (derivedZonal _)) +
+      ("rs8_version_override" -> (overrideQuery _))
 
   override def oracles: Map[String, String] =
     sqls.flatMap(q => q.oracleSql.map(q.name -> _)).toMap +
@@ -597,5 +616,6 @@ object RasterQueries extends QueryModule {
       ("r9_tile_lake_zonal" -> sqls.find(_.name == "r1_zonal_landcover").get.oracleSql.get) ++
       otfSqls.map { case (name, _, _, oracle) => name -> oracle } +
       ("rs6_batch_sql" -> batchSqlOracle) +
-      ("r11_derived_tileset" -> derivedZonalOracle)
+      ("r11_derived_tileset" -> derivedZonalOracle) +
+      ("rs8_version_override" -> overrideOracle)
 }

@@ -40,9 +40,20 @@ object SyntheticRasters {
       "unit_scale" -> "10")),
     rds("umd_regional_primary_forest_2001", Map(
       "pixel_meaning" -> "is", "band" -> "px_u")),
-    rds("umd_tree_cover_loss", Map(
-      "pixel_meaning" -> "year", "band" -> "px_w",
-      "calc" -> "2001 + A % 24", "key_bound" -> "2048", "no_data" -> "0")))
+    {
+      // two versions: the latest (v2) re-bases the year calc; v1 stays
+      // addressable through version_overrides (`queries.py:790-813`)
+      val name = "umd_tree_cover_loss"
+      def version(v: String, isLatest: Boolean, calc: String) =
+        Version(name, v, isLatest = isLatest, sourceType = "raster",
+          assets = Seq(Asset(s"$name-$v", AssetType.RasterTileSet,
+            TileLake.defaultDir, isDefault = true,
+            creationOptions = Map("pixel_meaning" -> "year", "band" -> "px_w",
+              "calc" -> calc, "key_bound" -> "2048", "no_data" -> "0"))))
+      Dataset(name, Seq(
+        version("v1", isLatest = false, "2000 + A % 25"),
+        version("v2", isLatest = true, "2001 + A % 24")))
+    })
 
   /** Raster-only catalog for programmatic/zonal use (the API server
     * appends these datasets to its tabular catalog). */
