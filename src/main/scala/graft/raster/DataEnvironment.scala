@@ -149,6 +149,20 @@ object DataEnvironment {
       bands(idx).getLong(i)
   }
 
+  /** ISO week of a days-since-epoch date layer (the OTF dialect's
+    * `isoweek(x__date)` group key, `analysis.py:143-145`). The per-day
+    * week table precomputes once per compiled query — the hot loop is
+    * one array read. */
+  final case class IsoWeekFn(src: PixelFn, epoch: LocalDate, bound: Int)
+      extends PixelFn {
+    @transient private lazy val table: Array[Long] = {
+      val wf = java.time.temporal.WeekFields.ISO.weekOfWeekBasedYear()
+      Array.tabulate(bound)(d => epoch.plusDays(d.toLong).get(wf).toLong)
+    }
+    def eval(gx: Int, gy: Int, bands: Array[ArrayData], i: Int): Long =
+      table(src.eval(gx, gy, bands, i).toInt)
+  }
+
   private final case class AreaFn(mh: MicroHa, px: Int) extends PixelFn {
     def eval(gx: Int, gy: Int, bands: Array[ArrayData], i: Int): Long = mh(gy)
   }

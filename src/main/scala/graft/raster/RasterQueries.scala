@@ -471,6 +471,23 @@ object RasterQueries extends QueryModule {
          |SELECT latitude, longitude, alert__date FROM f
          |ORDER BY latitude, longitude LIMIT 500""".stripMargin),
 
+    // The GLAD-by-isoweek rewrite (`analysis.py:143-145`): a derived
+    // isoweek(<date layer>) group key — per-pixel days→ISO-week via a
+    // precomputed table, decoded identically by DuckDB's weekofyear.
+    ("rs9_isoweek", "umd_glad_landsat_alerts",
+      """SELECT isoweek(umd_glad_landsat_alerts__date) AS iso__week,
+        |  COUNT(*) AS alert__count
+        |FROM data
+        |WHERE umd_glad_landsat_alerts__date >= '2021-01-01'
+        |GROUP BY isoweek(umd_glad_landsat_alerts__date)""".stripMargin,
+      s"""$duckPixels,
+         |f AS (SELECT CAST(weekofyear(
+         |    DATE '2015-01-01' + CAST(($dDc) % 10000 AS INT)) AS INT) AS w
+         |  FROM px WHERE ($duckAoiMask)
+         |    AND ($dDc) % 10000 >= (DATE '2021-01-01' - DATE '2015-01-01'))
+         |SELECT w AS iso__week, count(*) AS alert__count
+         |FROM f GROUP BY w""".stripMargin),
+
     // FROM-rewrite base guard: the default layer's no_data (px_w = 0)
     // excludes pixels even with no user WHERE; IN-list filter.
     ("rs5_base_nodata", "umd_tree_cover_loss",

@@ -112,8 +112,26 @@ object RasterSql {
     val baseLayer = layer(rel.multipartIdentifier.last)
 
     // ---- group keys: layers packed by keyBound strides ----
+    // `isoweek(<date layer>)` is the one derived key the dialect
+    // accepts (the GLAD-by-isoweek rewrite, `analysis.py:143-145`):
+    // a synthetic layer whose eval reads a precomputed day→week table
+    def isoweekLayer(a: UnresolvedAttribute): RasterLayer = {
+      val ly = layer(a.name)
+      val epoch = ly.dateEpoch.getOrElse(throw RasterSqlException(
+        s"isoweek expects a date layer, got ${a.name}"))
+      RasterLayer(s"isoweek(${a.name})",
+        DataEnvironment.IsoWeekFn(ly.eval, epoch, ly.keyBound.toInt),
+        keyBound = 55, decodeSql = k => s"CAST($k AS INT)")
+    }
     val keyLayers: Seq[RasterLayer] = groupExprs.map {
       case a: UnresolvedAttribute => layer(a.name)
+      case f: UnresolvedFunction
+        if f.nameParts.last.equalsIgnoreCase("isoweek") =>
+        f.arguments match {
+          case Seq(a: UnresolvedAttribute) => isoweekLayer(a)
+          case _ => throw RasterSqlException(
+            "isoweek expects a single date-layer argument")
+        }
       case other => throw RasterSqlException(
         s"GROUP BY supports layer names only, got: ${other.sql}")
     }
@@ -242,6 +260,18 @@ object RasterSql {
       case f: UnresolvedFunction =>
         if (f.isDistinct) throw RasterSqlException("DISTINCT aggregates are not supported")
         f.nameParts.last.toLowerCase match {
+          case "isoweek" =>
+            val keyName = f.arguments match {
+              case Seq(a: UnresolvedAttribute) => s"isoweek(${a.name})"
+              case _ => throw RasterSqlException(
+                "isoweek expects a single date-layer argument")
+            }
+            val idx = keyLayers.indexWhere(_.name == keyName)
+            if (idx < 0) throw RasterSqlException(
+              s"Column $keyName must appear in GROUP BY")
+            val ly = keyLayers(idx)
+            val raw = s"((k DIV ${strides(idx)}) % ${ly.keyBound})"
+            (nameOpt.getOrElse(keyName), ly.decodeSql(raw))
           case "count" =>
             f.arguments match {
               case Seq(_: UnresolvedStar) | Seq(Literal(_, _)) | Nil =>
