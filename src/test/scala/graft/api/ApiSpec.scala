@@ -130,6 +130,23 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
         "SELECT sum(nope__layer) FROM data", "UTF-8"))
     assert(bad.statusCode() == 422, bad.body().take(300))
     assert(bad.body().contains("Layer 'nope__layer' is invalid"))
+    // pixel LISTING through the served path (alerts-download shape)
+    val listing = get("/dataset/umd_glad_landsat_alerts/v1/query/json?geostore_id=" +
+      id + "&sql=" + java.net.URLEncoder.encode(
+        "SELECT latitude, longitude, umd_glad_landsat_alerts__date AS d " +
+          "FROM data WHERE umd_glad_landsat_alerts__date >= '2021-01-01' " +
+          "ORDER BY latitude, longitude LIMIT 5", "UTF-8"))
+    assert(listing.statusCode() == 200, listing.body().take(300))
+    assert(listing.body().contains("\"latitude\":") &&
+      listing.body().contains("\"d\":\"202"))
+    // isoweek group key through the served path
+    val byWeek = get("/dataset/umd_glad_landsat_alerts/v1/query/json?geostore_id=" +
+      id + "&sql=" + java.net.URLEncoder.encode(
+        "SELECT isoweek(umd_glad_landsat_alerts__date) AS w, count(*) AS n " +
+          "FROM data GROUP BY isoweek(umd_glad_landsat_alerts__date) " +
+          "ORDER BY w LIMIT 3", "UTF-8"))
+    assert(byWeek.statusCode() == 200, byWeek.body().take(300))
+    assert(byWeek.body().contains("\"w\":1"))
     // raster fields expose reserved pseudo-columns (versions.py:516-522)
     val f = get("/dataset/landcover_raster/v1/fields")
     assert(f.statusCode() == 200)
