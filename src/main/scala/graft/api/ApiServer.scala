@@ -215,6 +215,15 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
         case ("GET", "/analysis/zonal") => zonal(ex)
         case ("POST", "/analysis/zonal/batch") => zonalBatch(ex)
         case ("POST", QueryBatch(d, v)) => queryBatch(ex, d, v)
+        case ("GET", JobDownload(id)) =>
+          jobRegistry.result(id) match {
+            case Some(payload) =>
+              ex.getResponseHeaders.add("Content-Disposition",
+                s"""attachment; filename="$id.json"""")
+              respond(ex, 200, "application/json", payload)
+            case None => respond(ex, 404, "application/json",
+              Sinks.jsendError(s"No results for job $id"))
+          }
         case ("GET", JobGet(id)) =>
           jobRegistry.get(id) match {
             case None => respond(ex, 404, "application/json",
@@ -222,8 +231,12 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
             case Some(j) =>
               val payload = j.payload.getOrElse("null")
               val msg = j.message.map(m => s""","message":${graft.geo.Json.write(m)}""").getOrElse("")
+              val link =
+                if (j.status.name == "success")
+                  s""","download_link":"/job/${j.id}/download""""
+                else ""
               respond(ex, 200, "application/json",
-                s"""{"data":{"job_id":"${j.id}","status":"${j.status.name}","results":$payload$msg},"status":"success"}""")
+                s"""{"data":{"job_id":"${j.id}","status":"${j.status.name}","results":$payload$msg$link},"status":"success"}""")
           }
         case ("POST", "/geostore") => geostoreCreate(ex)
         case ("GET", GeostoreGet(id)) =>
@@ -609,6 +622,7 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
   }
 
   private val JobGet = "^/job/([^/]+)$".r
+  private val JobDownload = "^/job/([^/]+)/download$".r
 
   /** Batch zonal analysis over an inline FeatureCollection: 202 + a
     * pollable job (the reference fans out ≤100 Step-Function lambdas;

@@ -206,6 +206,10 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(status == "success", bodyTxt.take(500))
     assert(bodyTxt.contains("\"fid\":0") && bodyTxt.contains("\"fid\":1"))
     assert(bodyTxt.contains("\"landcover_name\":\"forest\""))
+    // durable result link: the payload re-reads from disk
+    assert(bodyTxt.contains(s""""download_link":"/job/$jobId/download""""))
+    val dl = get(s"/job/$jobId/download")
+    assert(dl.statusCode() == 200 && dl.body().contains("\"fid\":0"))
     // unknown job → 404; empty feature list → 400
     assert(get("/job/00000000-0000-0000-0000-000000000000").statusCode() == 404)
     assert(post("/analysis/zonal/batch",
