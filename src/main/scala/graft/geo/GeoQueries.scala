@@ -29,9 +29,12 @@ object GeoQueries extends QueryModule {
 
   private val duckPts = sparkPts // same arithmetic text parses in DuckDB
 
-  /** Convex AOI quadrilateral (CCW), vertices off the point lattice. */
+  /** Convex AOI quadrilateral (CCW), vertices off the point lattice.
+    * Straddles the populated diagonal `lon = lat - 95` (custkeys
+    * 70–179 fall inside) so the intersect test is exercised on real
+    * rows at every scale factor. */
   private val aoi = Seq(
-    (-60.1, -30.1), (60.2, -40.2), (70.1, 40.1), (-50.2, 35.2))
+    (-150.1, -50.1), (-60.2, -52.2), (-55.1, 6.1), (-145.2, 3.2))
   private val aoiGeoJson = {
     val ring = (aoi :+ aoi.head).map { case (x, y) => s"[$x,$y]" }.mkString(",")
     s"""{"type":"Polygon","coordinates":[[$ring]]}"""
@@ -153,27 +156,29 @@ object GeoQueries extends QueryModule {
     SqlQ.split("g6_radius_lookup",
       s"""$sparkPts
          |SELECT c_custkey,
-         |  st_distance_sphere(st_point(lon, lat), st_point(10.123, 20.456)) AS dist_m
+         |  st_distance_sphere(st_point(lon, lat), st_point(-94.613, 0.356)) AS dist_m
          |FROM pts
-         |WHERE st_distance_sphere(st_point(lon, lat), st_point(10.123, 20.456)) <= 300000.0""".stripMargin,
+         |WHERE st_distance_sphere(st_point(lon, lat), st_point(-94.613, 0.356)) <= 300000.0""".stripMargin,
       s"""$duckPts,
          |d AS (SELECT c_custkey,
          |  2 * 6371008.8 * asin(sqrt(
-         |    sin(radians(20.456 - lat) / 2) * sin(radians(20.456 - lat) / 2) +
-         |    cos(radians(lat)) * cos(radians(20.456)) *
-         |    sin(radians(10.123 - lon) / 2) * sin(radians(10.123 - lon) / 2))) AS dist_m
+         |    sin(radians(0.356 - lat) / 2) * sin(radians(0.356 - lat) / 2) +
+         |    cos(radians(lat)) * cos(radians(0.356)) *
+         |    sin(radians(-94.613 - lon) / 2) * sin(radians(-94.613 - lon) / 2))) AS dist_m
          |  FROM pts)
          |SELECT c_custkey, dist_m FROM d WHERE dist_m <= 300000.0""".stripMargin),
 
     // P8: name-normalized admin lookup (`unidecode(name).lower()`):
     // the engine's norm_name expression against a literal id list.
     SqlQ.split("g7_name_lookup",
-      """SELECT n_nationkey, n_name, norm_name(n_name) AS name_norm
+      """SELECT n_nationkey, n_name, norm_name(n_name) AS name_norm,
+        |  norm_name('São Tomé & PRÍNCIPE') AS accent_probe
         |FROM nation
-        |WHERE norm_name(n_name) IN ('germany', 'france', 'japan', 'brazil')""".stripMargin,
-      """SELECT n_nationkey, n_name, lower(n_name) AS name_norm
+        |WHERE norm_name(n_name) IN ('nation_3', 'nation_7', 'nation_12', 'nation_19')""".stripMargin,
+      """SELECT n_nationkey, n_name, lower(n_name) AS name_norm,
+        |  'sao tome & principe' AS accent_probe
         |FROM nation
-        |WHERE lower(n_name) IN ('germany', 'france', 'japan', 'brazil')""".stripMargin),
+        |WHERE lower(n_name) IN ('nation_3', 'nation_7', 'nation_12', 'nation_19')""".stripMargin),
 
     // Geostore inheritance (SURVEY §1.1): every vector version is a
     // shard of the global geostore (PG table inheritance,
@@ -219,7 +224,7 @@ object GeoQueries extends QueryModule {
     SqlQ.split("g8_grid_export_join",
       s"""$sparkPts,
          |cells AS (SELECT ix, iy
-         |  FROM (SELECT explode(sequence(-10, 9)) AS ix)
+         |  FROM (SELECT explode(sequence(-105, -86)) AS ix)
          |  CROSS JOIN (SELECT explode(sequence(-10, 9)) AS iy)),
          |j AS (SELECT /*+ BROADCAST(cells) */ p.c_custkey, c.ix, c.iy,
          |    st_clip_envelope(
@@ -235,7 +240,7 @@ object GeoQueries extends QueryModule {
          |FROM j""".stripMargin,
       s"""$duckPts,
          |cells AS (SELECT ix.g::INT AS ix, iy.g::INT AS iy
-         |  FROM generate_series(-10, 9) ix(g) CROSS JOIN generate_series(-10, 9) iy(g))
+         |  FROM generate_series(-105, -86) ix(g) CROSS JOIN generate_series(-10, 9) iy(g))
          |SELECT p.c_custkey, c.ix AS cell_lon, c.iy AS cell_lat,
          |  greatest(lon - 0.5, c.ix) AS cxmin, greatest(lat - 0.5, c.iy) AS cymin,
          |  least(lon + 0.5, c.ix + 1) AS cxmax, least(lat + 0.5, c.iy + 1) AS cymax

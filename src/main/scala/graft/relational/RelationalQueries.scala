@@ -118,7 +118,7 @@ object RelationalQueries extends QueryModule {
     // A1+: HAVING passes through the dialect like GROUP BY tails.
     SqlQ.shared("a10_having",
       """SELECT o_custkey, count(*) AS n_orders
-        |FROM orders GROUP BY o_custkey HAVING count(*) >= 30
+        |FROM orders GROUP BY o_custkey HAVING count(*) >= 20
         |ORDER BY o_custkey""".stripMargin),
 
     // P1+: scalar-function battery — the common PG functions the
