@@ -23,6 +23,8 @@ object GraftFunctions {
     "minhash36" -> ((es: Seq[Expression]) => MinHash36(es.head)),
     "simhash31" -> ((es: Seq[Expression]) => SimHash31(es.head)),
     "rph_sig" -> ((es: Seq[Expression]) => RphSig(es(0), es(1), es(2))),
+    "km_argmax" -> ((es: Seq[Expression]) => KmArgmax(es(0), es(1), es(2))),
+    "vec_ordered_mean" -> ((es: Seq[Expression]) => VecOrderedMean(es(0), es(1))),
     "tile_mask" -> ((es: Seq[Expression]) => graft.raster.TileMask(es)),
     "hist_merge" -> ((es: Seq[Expression]) =>
       graft.raster.HistMergeAgg(es(0), es(1), es(2), es(3)))) ++

@@ -107,56 +107,78 @@ object SimQueries extends QueryModule {
     * KMeans): centroids live on the driver as a 10×64 literal VALUES
     * table re-broadcast each iteration — the per-iteration plan is
     * constant-size (a deep CTE unroll makes Catalyst re-analyze a
-    * superlinearly growing tree), the data-side work is one
-    * cross-join + one vec_id-ordered centroid fold per iteration, and
+    * superlinearly growing tree) and the data never leaves the
+    * executors: each iteration is ONE distributed job (per-row argmax
+    * against the literal centroids, then a per-cluster vec_id-ordered
+    * fold via `sort_array(collect_list(...))`) and the driver collects
+    * only the k×64 centroid doubles. The per-cluster ordered fold adds
+    * vectors in the same sequence as the oracle's
+    * `list(v ORDER BY vec_id)` per-cluster fold, so parity is bitwise;
     * the loop stops at the BITWISE centroid fixed point (double
     * literals round-trip exactly through shortest-repr formatting).
-    * Memoized per scale-factor dir: e5b and e3 share one build. */
+    * Scale note: one cluster's members must fit in one task (k-means
+    * blocking targets cells ≪ a partition); nothing is ever collected
+    * proportional to the table. Memoized per scale-factor dir: e2, e3
+    * and e5b share one build. */
   private[simsearch] def convergedKmeans(spark: SparkSession, sfDir: String): KmResult =
     kmMemo.computeIfAbsent(sfDir, { _ =>
       Tables.register(spark, sfDir)
       graft.functions.GraftFunctions.install(spark)
-      // vectors cached once; per iteration ONE narrow distributed job
-      // (scan + per-row argmax) collecting only (vec_id, cluster) —
-      // the k×64 centroid merge happens on the driver in vec_id order,
-      // mirroring the oracle's `list(v ORDER BY vec_id)` fold exactly.
-      // (MLlib's loop has the same shape; at real scale the collect
-      // becomes per-partition partial sums — here the merge must be a
-      // globally ordered fold for bit parity with the oracle.)
-      val vecsDf = spark.sql(s"$sparkVecs SELECT vec_id, v, nrm FROM n").persist()
+      val vecsDf = spark.sql(s"$sparkVecs SELECT vec_id, v, nrm FROM n")
+        .repartition(4).persist()
       vecsDf.createOrReplaceTempView("km_vecs")
+      // the per-iteration jobs shuffle k≈10 groups — 32 shuffle
+      // partitions would be pure task-launch overhead at any scale
+      val savedShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+      val savedAqe = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      // AQE would split every tiny 2-stage iteration into separate
+      // materialization jobs; the loop's shapes are fixed and small
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
       try {
-        val byId: Array[(Long, Array[Double])] = vecsDf
+        var cents: Seq[(Long, Array[Double])] = vecsDf
+          .where("vec_id < 10").select("vec_id", "v")
           .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
-          .sortBy(_._1)
-        var cents: Seq[(Long, Array[Double])] =
-          byId.filter(_._1 < 10).toSeq
-        val vecMap = byId.toMap
+          .sortBy(_._1).toSeq
         var iter = 0
         var fixed = false
+        val dbg = sys.env.contains("GRAFT_KM_DEBUG")
+        // per-iteration plan built with the Dataset API and a SINGLE
+        // Literal node for the centroid matrix — the SQL-text route
+        // re-parsed a 13 KB literal every iteration (~200 ms/iter of
+        // pure plan overhead, measured)
+        import org.apache.spark.sql.functions.{col, collect_list, count, lit, sort_array, struct, typedlit}
+        import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
         while (iter < KmMaxIter && !fixed) {
           iter += 1
-          val assigned: Array[(Long, Long)] = spark.sql(
-            s"SELECT vec_id, ${argmaxAssign(cents)} AS c FROM km_vecs")
-            .collect().map(r => (r.getLong(0), r.getLong(1)))
-          val next = assigned.groupBy(_._2).toSeq.map { case (c, members) =>
-            val ordered = members.map(_._1).sorted
-            val sum = new Array[Double](64)
-            ordered.foreach { id =>
-              val v = vecMap(id)
-              var i = 0
-              while (i < 64) { sum(i) += v(i); i += 1 }
-            }
-            val cnt = ordered.length
-            c -> sum.map(_ / cnt)
-          }.sortBy(_._1)
+          val itT0 = if (dbg) System.nanoTime() else 0L
+          val centsLit = expression(typedlit(
+            cents.map { case (c, arr) =>
+              (c, arr.toSeq, math.sqrt(dotScala(arr, arr))) }))
+          val asg = vecsDf.select(col("vec_id"), col("v"),
+            column(graft.functions.KmArgmax(
+              expression(col("v")), expression(col("nrm")), centsLit)).as("c"))
+          val next: Seq[(Long, Array[Double])] = asg
+            .groupBy("c")
+            .agg(sort_array(collect_list(struct(col("vec_id"), col("v")))).as("arr"),
+                 count(lit(1)).as("cnt"))
+            .select(col("c"), column(graft.functions.VecOrderedMean(
+              expression(col("arr")), expression(col("cnt")))).as("cv"))
+            .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+            .sortBy(_._1).toSeq
           fixed = next.length == cents.length &&
             next.zip(cents).forall { case ((c1, a1), (c2, a2)) =>
               c1 == c2 && java.util.Arrays.equals(a1, a2) }
           cents = next
+          if (dbg) System.err.println(
+            f"[km] iter $iter%2d ${(System.nanoTime() - itT0) / 1e6}%.0f ms")
         }
         KmResult(cents, iter, fixed)
-      } finally vecsDf.unpersist()
+      } finally {
+        spark.conf.set("spark.sql.shuffle.partitions", savedShuffle)
+        spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
+        vecsDf.unpersist()
+      }
     })
 
   /** Literal centroid table CTE `cn(c, cv, cnrm)`. */
@@ -179,20 +201,18 @@ object SimQueries extends QueryModule {
   /** Per-row argmax assignment over a LITERAL centroid array — no
     * cross join, no window shuffle: the 50k-row sort per Lloyd
     * iteration was the loop's dominant cost. Ascending-c array order +
-    * strict `>` reproduce the window's `DESC, c` tie-break; sims come
-    * from the same codegen'd vec_dot, so assignments are bit-identical
-    * to the windowed (and oracle) formulation. */
+    * strict `>` reproduce the window's `DESC, c` tie-break inside the
+    * fused [[graft.functions.KmArgmax]] kernel (same index-ordered dot
+    * and per-op rounding as vec_dot — assignments are bit-identical to
+    * the windowed / oracle formulation, ~20× faster than the
+    * interpreted-HOF fold it replaces). */
   private def argmaxAssign(cents: Seq[(Long, Array[Double])]): String = {
     val elems = cents.sortBy(_._1).map { case (c, arr) =>
       val cnrm = fmtD(math.sqrt(dotScala(arr, arr)))
       s"named_struct('c', ${c}L, 'cv', array(${arr.map(fmtD).mkString(",")}), 'cnrm', $cnrm)"
     }.mkString(",\n      ")
-    s"""aggregate(
-       |  transform(array(
-       |      $elems),
-       |    ct -> named_struct('c', ct.c, 's', vec_dot(v, ct.cv) / (nrm * ct.cnrm))),
-       |  named_struct('c', CAST(-1 AS BIGINT), 's', CAST(-1.0E308 AS DOUBLE)),
-       |  (acc, e) -> IF(e.s > acc.s, e, acc)).c""".stripMargin
+    s"""km_argmax(v, nrm, array(
+       |      $elems))""".stripMargin
   }
 
   /** e5b Spark side: final assignment from the converged centroids. */
