@@ -92,8 +92,7 @@ case class MinHash36(child: Expression) extends UnaryExpression {
   * standard ANN scale path: bucket-join candidates, verify with exact
   * cosine — never an all-pairs scan. */
 case class RphSig(first: Expression, second: Expression, third: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
   import Sketches.P
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -138,6 +137,37 @@ case class RphSig(first: Expression, second: Expression, third: Expression)
     new GenericArrayData(out)
   }
 
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (vc, tc, bc) => {
+      val planes = ctx.freshName("planes")
+      val dim = ctx.freshName("dim")
+      val out = ctx.freshName("out")
+      val t = ctx.freshName("t")
+      val b = ctx.freshName("b")
+      val base = ctx.freshName("base")
+      val dot = ctx.freshName("dot")
+      val k = ctx.freshName("k")
+      val bucket = ctx.freshName("bucket")
+      s"""
+         |int $dim = $vc.numElements();
+         |double[] $planes = graft.functions.RphSig.planes($tc, $bc, $dim);
+         |int[] $out = new int[$tc];
+         |for (int $t = 0; $t < $tc; $t++) {
+         |  int $bucket = 0;
+         |  for (int $b = 0; $b < $bc; $b++) {
+         |    int $base = ($t * $bc + $b) * $dim;
+         |    double $dot = 0.0;
+         |    for (int $k = 0; $k < $dim; $k++) {
+         |      if (!$vc.isNullAt($k)) $dot += $vc.getDouble($k) * $planes[$base + $k];
+         |    }
+         |    $bucket = ($bucket << 1) | ($dot > 0 ? 1 : 0);
+         |  }
+         |  $out[$t] = $bucket;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): RphSig =
     copy(first = f, second = s, third = t)
@@ -149,8 +179,8 @@ object RphSig {
 
   /** Flat `tables × bits × dim` hyperplane weight matrix; entries are
     * the exact splitmix64 values the per-row loop used to recompute
-    * (bit-identical signatures). */
-  private[functions] def planes(tables: Int, bits: Int, dim: Int): Array[Double] =
+    * (bit-identical signatures). Public: generated code calls it. */
+  def planes(tables: Int, bits: Int, dim: Int): Array[Double] =
     planeCache.computeIfAbsent((tables, bits, dim), { _ =>
       val out = new Array[Double](tables * bits * dim)
       var t = 0

@@ -23,9 +23,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SimQueries extends QueryModule {
 
-  /** Spark: vectors as array<double> with norms. */
+  /** Spark: vectors as array<double> with norms. The element cast is a
+    * native `CAST(array<float> AS array<double>)` — bit-identical to
+    * the per-element HOF cast it replaces, but codegen'd (HOF lambdas
+    * evaluate interpreted and would gate every sim query's scan). */
   private val sparkVecs =
-    """WITH v AS (SELECT vec_id, label, transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+    """WITH v AS (SELECT vec_id, label, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM embeddings),
       |n AS (SELECT vec_id, label, v, sqrt(vec_dot(v, v)) AS nrm FROM v)""".stripMargin
 
   /** DuckDB mirror: index-ordered folds reproduce vec_dot exactly. */
