@@ -529,6 +529,38 @@ object RasterQueries extends QueryModule {
        |FROM f GROUP BY fid, y""".stripMargin
   }
 
+  // §3.3 batch pixel LISTING (the per-feature alert-download contract,
+  // `queries.py:300-343`): the same non-aggregate listing shape as rs7
+  // but over a feature LIST — one fused PixelList pass per (feature,
+  // tile) pair, rows keyed by fid. Both features return rows (the date
+  // stripes are diagonal; thresholds chosen to intersect both AOIs).
+  private val batchListSql =
+    """SELECT latitude, longitude,
+      |  umd_glad_landsat_alerts__date AS alert__date,
+      |  umd_glad_landsat_alerts__confidence AS confidence__cat
+      |FROM data
+      |WHERE umd_glad_landsat_alerts__date >= '2020-06-23'
+      |  AND umd_glad_landsat_alerts__confidence >= 3""".stripMargin
+  private def batchListQuery(spark: SparkSession, sfDir: String): DataFrame =
+    ZonalEngine.runSqlBatch(spark, SyntheticRasters.catalog,
+      "umd_glad_landsat_alerts", batchListSql,
+      Seq("a" -> aoiGeoJson, "b" -> geoJson(aoi2)))
+  private val batchListOracle: String = {
+    def one(fid: String, p: Seq[(Double, Double)]): String =
+      s"""SELECT '$fid' AS fid,
+         |  CAST(${g.latCenterSql(dGy)} AS DOUBLE) AS latitude,
+         |  CAST(${g.lonCenterSql(dGx)} AS DOUBLE) AS longitude,
+         |  DATE '2015-01-01' + CAST(($dDc) % 10000 AS INT) AS alert__date,
+         |  CAST(($dDc) // 10000 AS INT) AS confidence__cat
+         |FROM px
+         |WHERE (${halfPlanesOf(p)(g.lonCenterSql(dGx), g.latCenterSql(dGy))})
+         |  AND ($dDc) % 10000 >= 2000 AND ($dDc) // 10000 >= 3""".stripMargin
+    s"""$duckPixels
+       |${one("a", aoi)}
+       |UNION ALL
+       |${one("b", aoi2)}""".stripMargin
+  }
+
   /** S8 at rest: the same zonal statistic as r1, but reading the
     * PERSISTED tile lake with AOI-bbox partition pruning — only
     * intersecting `tile_id=` partitions are listed and read. */
@@ -623,6 +655,7 @@ object RasterQueries extends QueryModule {
       otfSqls.map { case (name, ds, sql, _) =>
         name -> (otfQuery(ds, sql) _)
       } + ("rs6_batch_sql" -> (batchSqlQuery _)) +
+      ("rs10_batch_alert_list" -> (batchListQuery _)) +
       ("r11_derived_tileset" -> (derivedZonal _)) +
       ("rs8_version_override" -> (overrideQuery _))
 
@@ -633,6 +666,7 @@ object RasterQueries extends QueryModule {
       ("r9_tile_lake_zonal" -> sqls.find(_.name == "r1_zonal_landcover").get.oracleSql.get) ++
       otfSqls.map { case (name, _, _, oracle) => name -> oracle } +
       ("rs6_batch_sql" -> batchSqlOracle) +
+      ("rs10_batch_alert_list" -> batchListOracle) +
       ("r11_derived_tileset" -> derivedZonalOracle) +
       ("rs8_version_override" -> overrideOracle)
 }

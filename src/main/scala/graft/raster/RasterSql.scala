@@ -364,13 +364,31 @@ object RasterSql {
     * is ONE Spark job regardless of feature count. */
   def executeBatch(pairs: DataFrame, cq: CompiledRasterQuery,
                    env: DataEnvironment): DataFrame = {
-    if (cq.listing) throw RasterSqlException(
-      "Batch feature queries must aggregate (sum/count/avg or GROUP BY)")
     import org.apache.spark.sql.graft.ColumnBridge
     val bandCols = cq.spec.usedBands.map(i => col(env.bands(i)))
     val children =
       (col("gj") +: col("tx") +: col("ty") +: bandCols)
         .map(ColumnBridge.expression)
+    if (cq.listing) {
+      // batch pixel LISTING (the per-feature alert-download contract,
+      // reference `queries.py:300-343`): the same fused per-(feature,
+      // tile) pass, emitting one row per masked+filtered pixel — no
+      // shuffle at all unless the user ordered the output. Tiles
+      // partition pixels, so (fid, gx, gy) rows are exact and unique.
+      val pl = ColumnBridge.column(PixelList(cq.spec, children))
+      val rows = pairs.select(col("fid"), explode(pl).as("p"))
+        .select(col("fid"), col("p.gx").as("gx"), col("p.gy").as("gy"),
+          col("p.vs").as("vs"))
+      val out = rows.selectExpr("fid" +:
+        cq.outputs.map { case (n, e) => s"$e AS `$n`" }: _*)
+      // deterministic per-feature download order: fid leads, then the
+      // user's ORDER BY columns
+      val sorted =
+        if (cq.orderBy.isEmpty) out
+        else out.orderBy(col("fid") +: cq.orderBy.map { case (n, asc) =>
+          if (asc) col(n).asc else col(n).desc }: _*)
+      return cq.limit.fold(sorted)(sorted.limit)
+    }
     val zp = ColumnBridge.column(ZonalPartial(cq.spec, children))
     val nv = cq.spec.vals.length
     val parts = pairs

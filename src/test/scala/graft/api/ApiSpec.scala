@@ -396,6 +396,22 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(inline.contains("\"fid\":\"\\\"alpha\\\"\"") ||
       inline.contains("\"fid\":\"alpha\""), inline.take(400))
     assert(inline.contains("\"cls\":0") && inline.contains("\"area__ha\":"))
+    // non-aggregate SQL → batch pixel LISTING (per-feature alert
+    // download rows, `queries.py:300-343`): one (fid, latitude,
+    // longitude, value...) row per masked+filtered pixel
+    val listSql = "SELECT latitude, longitude, " +
+      "umd_glad_landsat_alerts__date AS alert__date FROM data " +
+      "WHERE umd_glad_landsat_alerts__date >= '2020-06-23' " +
+      "AND umd_glad_landsat_alerts__confidence >= 3"
+    val listing = poll(post("/dataset/umd_glad_landsat_alerts/v1/query/batch",
+      s"""{"sql": "$listSql", "id_field": "name", "feature_collection": {
+         |  "type": "FeatureCollection", "features": [
+         |  {"type": "Feature", "properties": {"name": "alpha"}, "geometry": $poly1},
+         |  {"type": "Feature", "properties": {"name": "beta"}, "geometry": $poly2}
+         |]}}""".stripMargin))
+    assert(listing.contains("\"latitude\":") && listing.contains("\"alert__date\":"),
+      listing.take(400))
+    assert(listing.contains("alpha") && listing.contains("beta"), listing.take(400))
     // geostore_ids variant
     val gid = "\"gfw_geostore_id\":\"([0-9a-f-]+)\"".r
       .findFirstMatchIn(post("/geostore", poly1).body()).get.group(1)
