@@ -26,6 +26,13 @@ object GraftFunctions {
     "km_argmax" -> ((es: Seq[Expression]) => KmArgmax(es(0), es(1), es(2))),
     "vec_ordered_mean" -> ((es: Seq[Expression]) => VecOrderedMean(es(0), es(1))),
     "tile_mask" -> ((es: Seq[Expression]) => graft.raster.TileMask(es)),
+    "arr_calc" -> ((es: Seq[Expression]) => ArrCalc(es)),
+    "arr_ge" -> ((es: Seq[Expression]) => ArrGe(es(0), es(1))),
+    "arr_eq" -> ((es: Seq[Expression]) => ArrEq(es(0), es(1))),
+    "arr_and" -> ((es: Seq[Expression]) => ArrAnd(es(0), es(1))),
+    "arr_sum" -> ((es: Seq[Expression]) => ArrSum(es.head)),
+    "arr_hist" -> ((es: Seq[Expression]) => ArrHist(es)),
+    "grid_arr" -> ((es: Seq[Expression]) => GridArr(es)),
     "hist_merge" -> ((es: Seq[Expression]) =>
       graft.raster.HistMergeAgg(es(0), es(1), es(2), es(3)))) ++
     graft.geo.GeoFunctions.builders

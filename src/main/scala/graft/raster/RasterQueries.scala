@@ -36,8 +36,6 @@ object RasterQueries extends QueryModule {
   // ---- pixel-coordinate expressions per dialect ----
   // Spark enumerates per tile (tx, ty, lambda var i);
   // DuckDB enumerates globally (p over all pixels).
-  private val sGx = s"(tx * ${g.pxPerTile} + i % ${g.pxPerTile})"
-  private val sGy = s"(ty * ${g.pxPerTile} + i DIV ${g.pxPerTile})"
   private val dGx = s"(p % ${g.pxX})"
   private val dGy = s"(p // ${g.pxX})"
 
@@ -70,29 +68,17 @@ object RasterQueries extends QueryModule {
   private def tileMaskCall(aoiExpr: String): String =
     s"tile_mask($aoiExpr, tx, ty, ${g.originLon}, ${g.originLat}, " +
       s"${g.tilesX}, ${g.tilesY}, ${g.tileDeg}, ${g.pxPerTile})"
-  /** AOI mask, optionally ANDed with a cheap per-pixel condition (the
-    * residual `zip_with` lambda is trivial arithmetic; the geometry
-    * cost lives in the fused scanline pass). */
-  private def maskArr(cond: Option[String] = None): String = cond match {
-    case None => tileMaskCall(s"'$aoiGeoJson'")
-    case Some(c) =>
-      s"zip_with(${tileMaskCall(s"'$aoiGeoJson'")}, ${sparkBoolArr(c)}, (m, c) -> m AND c)"
-  }
-
-  /** Spark CTE prefix: enumerate tiles of the grid. */
-  private val sparkTiles =
-    s"""WITH t AS (SELECT id AS tile_idx FROM range(${g.nTiles})),
-       |tg AS (SELECT CAST(tile_idx % ${g.tilesX} AS INT) AS tx,
-       |              CAST(tile_idx DIV ${g.tilesX} AS INT) AS ty FROM t)""".stripMargin
+  // ---- native per-tile kernels (no interpreted HOF in hot loops) ----
+  /** Per-pixel micro-hectare array for a tile (grid_arr replicates
+    * microHaSql's decimal arithmetic exactly — see [[GridArr]]). */
+  private val microhaArr =
+    s"grid_arr('microha', ty, ${g.originLat}, ${g.tileDeg}, ${g.pxPerTile})"
+  private val latbandArr =
+    s"grid_arr('latband', ty, ${g.originLat}, ${g.tileDeg}, ${g.pxPerTile})"
 
   /** DuckDB CTE prefix: enumerate all pixels of the grid. */
   private val duckPixels =
     s"WITH px AS (SELECT unnest(generate_series(0, ${g.pxX * g.pxY - 1})) AS p)"
-
-  private def sparkArr(valueExpr: String): String =
-    s"transform(sequence(0, ${px - 1}), i -> CAST($valueExpr AS BIGINT))"
-  private def sparkBoolArr(boolExpr: String): String =
-    s"transform(sequence(0, ${px - 1}), i -> $boolExpr)"
 
   /** Dictionary decode CASE (identical text both dialects). */
   private val landcoverDecode: String =
@@ -108,12 +94,11 @@ object RasterQueries extends QueryModule {
     // count(*) grouped by a categorical layer, keys decoded through
     // the raster table (dictionary decode on output).
     SqlQ.split("r1_zonal_landcover",
-      s"""$sparkTiles,
-         |arrs AS (SELECT
-         |  ${sparkArr(landcover.formula(sGx, sGy))} AS keys,
-         |  ${sparkArr(g.microHaSql(sGy))} AS vals,
-         |  ${maskArr()} AS mask
-         | FROM tg),
+      s"""WITH arrs AS (SELECT
+         |  px_landcover AS keys,
+         |  $microhaArr AS vals,
+         |  ${tileMaskCall(s"'$aoiGeoJson'")} AS mask
+         | FROM lake),
          |parts AS (SELECT explode(tile_zonal(keys, vals, mask)) AS p FROM arrs)
          |SELECT p.k AS landcover, ${decode("p.k")} AS landcover_name,
          |  CAST(sum(p.s) AS DOUBLE) / 1000000.0 AS area_ha,
@@ -131,12 +116,11 @@ object RasterQueries extends QueryModule {
     // A4 + P10: density→absolute rescale (`biomass * area`) under a
     // threshold predicate (`tcd >= 30`), grouped by land cover.
     SqlQ.split("r2_density_rescale",
-      s"""$sparkTiles,
-         |arrs AS (SELECT
-         |  ${sparkArr(landcover.formula(sGx, sGy))} AS keys,
-         |  ${sparkArr(s"${biomass10.formula(sGx, sGy)} * ${g.microHaSql(sGy)}")} AS vals,
-         |  ${maskArr(Some(s"${tcd.formula(sGx, sGy)} >= 30"))} AS mask
-         | FROM tg),
+      s"""WITH arrs AS (SELECT
+         |  px_landcover AS keys,
+         |  arr_calc('A * B', px_biomass10, $microhaArr) AS vals,
+         |  arr_and(${tileMaskCall(s"'$aoiGeoJson'")}, arr_ge(px_tcd, 30)) AS mask
+         | FROM lake),
          |parts AS (SELECT explode(tile_zonal(keys, vals, mask)) AS p FROM arrs)
          |SELECT p.k AS landcover,
          |  CAST(sum(p.s) AS DOUBLE) / 10000000.0 AS biomass_tonnes,
@@ -154,17 +138,16 @@ object RasterQueries extends QueryModule {
     // date_conf decode (SURVEY §7.3 #4): derived date/conf layers via
     // the CalcDsl compiler, date filter, per-(date,conf) alert counts.
     SqlQ.split("r3_date_conf_alerts", {
-      val dcArr = sparkArr(dateConf.formula(sGx, sGy))
-      val days = CalcDsl.compileSql("A % 10000", Map("A" -> "px_dc"))
-      val conf = CalcDsl.compileSql("floor(A / 10000).astype('uint32')", Map("A" -> "px_dc"))
-      val key = CalcDsl.compileSql("A * 100000 + B", Map("A" -> "px_conf", "B" -> "px_days"))
-      s"""$sparkTiles,
-         |raw AS (SELECT $dcArr AS px_dc,
-         |  ${sparkArr(g.microHaSql(sGy))} AS vals,
-         |  ${maskArr(Some(s"(${dateConf.formula(sGx, sGy)}) % 10000 >= 1827"))} AS mask
-         | FROM tg),
-         |der AS (SELECT $days AS px_days, $conf AS px_conf, vals, mask FROM raw),
-         |arrs AS (SELECT $key AS keys, vals, mask FROM der),
+      // derived date/conf layers through the SAME calc DSL the fused
+      // OTF path compiles (PixelCalc), applied array-at-a-time
+      s"""WITH raw AS (SELECT px_dateconf AS px_dc,
+         |  $microhaArr AS vals,
+         |  arr_and(${tileMaskCall(s"'$aoiGeoJson'")},
+         |    arr_ge(arr_calc('A % 10000', px_dateconf), 1827)) AS mask
+         | FROM lake),
+         |der AS (SELECT arr_calc('A % 10000', px_dc) AS px_days,
+         |  arr_calc('floor(A / 10000)', px_dc) AS px_conf, vals, mask FROM raw),
+         |arrs AS (SELECT arr_calc('A * 100000 + B', px_conf, px_days) AS keys, vals, mask FROM der),
          |parts AS (SELECT explode(tile_zonal(keys, vals, mask)) AS p FROM arrs)
          |SELECT date_add(DATE '2015-01-01', CAST(p.k % 100000 AS INT)) AS alert_date,
          |  CAST(p.k DIV 100000 AS INT) AS confidence,
@@ -187,16 +170,12 @@ object RasterQueries extends QueryModule {
     // J4: multi-band calc — two co-registered bands zipped through the
     // CalcDsl two-variable path, bucketed and aggregated.
     SqlQ.split("r4_band_math", {
-      val sum2 = CalcDsl.compileSql("A + B", Map("A" -> "px_u", "B" -> "px_w"))
-      s"""$sparkTiles,
-         |raw AS (SELECT
-         |  ${sparkArr(bandU.formula(sGx, sGy))} AS px_u,
-         |  ${sparkArr(bandW.formula(sGx, sGy))} AS px_w,
-         |  ${sparkArr(g.microHaSql(sGy))} AS vals,
-         |  ${maskArr()} AS mask
-         | FROM tg),
-         |der AS (SELECT $sum2 AS px_s, vals, mask FROM raw),
-         |arrs AS (SELECT transform(px_s, x -> x DIV 10) AS keys, vals, mask FROM der),
+      s"""WITH raw AS (SELECT px_u, px_w,
+         |  $microhaArr AS vals,
+         |  ${tileMaskCall(s"'$aoiGeoJson'")} AS mask
+         | FROM lake),
+         |der AS (SELECT arr_calc('A + B', px_u, px_w) AS px_s, vals, mask FROM raw),
+         |arrs AS (SELECT arr_calc('A DIV 10', px_s) AS keys, vals, mask FROM der),
          |parts AS (SELECT explode(tile_zonal(keys, vals, mask)) AS p FROM arrs)
          |SELECT p.k AS bucket,
          |  CAST(sum(p.s) AS DOUBLE) / 1000000.0 AS area_ha,
@@ -216,11 +195,10 @@ object RasterQueries extends QueryModule {
     // roll-up (global min/max + unweighted mean of tile means, the
     // reference's tile-stats contract in raster_tile_set_assets).
     SqlQ.split("r5_band_stats",
-      s"""$sparkTiles,
-         |raw AS (SELECT tx, ty, ${sparkArr(biomass10.formula(sGx, sGy))} AS pb FROM tg),
+      s"""WITH raw AS (SELECT tx, ty, px_biomass10 AS pb FROM lake),
          |th AS (SELECT tx, ty,
          |  CAST(array_min(pb) AS BIGINT) AS tmin, CAST(array_max(pb) AS BIGINT) AS tmax,
-         |  aggregate(pb, CAST(0 AS BIGINT), (a, v) -> a + v) AS tsum FROM raw)
+         |  arr_sum(pb) AS tsum FROM raw)
          |SELECT min(tmin) AS global_min, max(tmax) AS global_max,
          |  CAST(sum(tsum) AS DOUBLE) / ${g.nTiles * px} AS global_mean,
          |  count(*) AS n_tiles
@@ -241,14 +219,12 @@ object RasterQueries extends QueryModule {
     // replays the same algorithm in SQL (zero-count source bins
     // contribute nothing, so only populated merged bins emit).
     SqlQ.split("r6_histogram_merge",
-      s"""$sparkTiles,
-         |raw AS (SELECT ${sparkArr(biomass10.formula(sGx, sGy))} AS pb FROM tg),
+      s"""WITH raw AS (SELECT px_biomass10 AS pb FROM lake),
          |th AS (SELECT pb, CAST(array_min(pb) AS BIGINT) AS tmin,
          |               CAST(array_max(pb) AS BIGINT) AS tmax FROM raw),
          |hist AS (SELECT CAST(tmin AS DOUBLE) AS hmin, CAST(tmax AS DOUBLE) AS hmax,
          |  6 AS bin_count,
-         |  transform(sequence(0, 5), b -> CAST(size(filter(pb,
-         |    v -> LEAST(CAST(floor((v - tmin) * 6.0 / (tmax - tmin)) AS BIGINT), 5) = b)) AS BIGINT)) AS value_count
+         |  arr_hist(pb, tmin, tmax, 6) AS value_count
          |  FROM th),
          |m AS (SELECT hist_merge(hmin, hmax, bin_count, value_count) AS h FROM hist)
          |SELECT bin, cnt FROM (
@@ -278,12 +254,11 @@ object RasterQueries extends QueryModule {
     // composed with the AOI — the second filter shape the analysis
     // builder emits (analysis.py:117-120).
     SqlQ.split("r10_boolean_layer",
-      s"""$sparkTiles,
-         |arrs AS (SELECT
-         |  ${sparkArr(tcd.formula(sGx, sGy) + " DIV 10")} AS keys,
-         |  ${sparkArr(g.microHaSql(sGy))} AS vals,
-         |  ${maskArr(Some(s"(${landcover.formula(sGx, sGy)}) = 0"))} AS mask
-         | FROM tg),
+      s"""WITH arrs AS (SELECT
+         |  arr_calc('A DIV 10', px_tcd) AS keys,
+         |  $microhaArr AS vals,
+         |  arr_and(${tileMaskCall(s"'$aoiGeoJson'")}, arr_eq(px_landcover, 0)) AS mask
+         | FROM lake),
          |parts AS (SELECT explode(tile_zonal(keys, vals, mask)) AS p FROM arrs)
          |SELECT p.k AS tcd_decile,
          |  CAST(sum(p.s) AS DOUBLE) / 1000000.0 AS forest_area_ha,
@@ -302,12 +277,11 @@ object RasterQueries extends QueryModule {
     // from grid georeferencing, never stored (`versions.py:519-522`).
     // Group pixel area into 1° latitude bands via floor(latitude).
     SqlQ.split("r8_latitude_bands",
-      s"""$sparkTiles,
-         |arrs AS (SELECT
-         |  ${sparkArr(s"floor(${g.latCenterSql(sGy)})")} AS keys,
-         |  ${sparkArr(g.microHaSql(sGy))} AS vals,
-         |  ${maskArr()} AS mask
-         | FROM tg),
+      s"""WITH arrs AS (SELECT
+         |  $latbandArr AS keys,
+         |  $microhaArr AS vals,
+         |  ${tileMaskCall(s"'$aoiGeoJson'")} AS mask
+         | FROM lake),
          |parts AS (SELECT explode(tile_zonal(keys, vals, mask)) AS p FROM arrs)
          |SELECT CAST(p.k AS INT) AS lat_band,
          |  CAST(sum(p.s) AS DOUBLE) / 1000000.0 AS area_ha,
@@ -337,18 +311,17 @@ object RasterQueries extends QueryModule {
       // AOI arrives as the per-row `gj` COLUMN — tile_mask memoizes
       // the parse per distinct AOI, so each feature rasterizes once
       // per tile rather than st_intersects per pixel.
-      s"""$sparkTiles,
-         |aois AS (SELECT * FROM VALUES
+      s"""WITH aois AS (SELECT * FROM VALUES
          |    $aois AS a(fid, gj, bxmin, bymin, bxmax, bymax)),
-         |pairs AS (SELECT /*+ BROADCAST(aois) */ fid, gj, tx, ty
-         |  FROM tg JOIN aois
+         |pairs AS (SELECT /*+ BROADCAST(aois) */ fid, gj, tx, ty, px_landcover
+         |  FROM lake JOIN aois
          |    ON tx * ${g.tileDeg} + ${g.originLon} < bxmax
          |   AND tx * ${g.tileDeg} + ${g.originLon} + ${g.tileDeg} > bxmin
          |   AND ${g.originLat} - ty * ${g.tileDeg} - ${g.tileDeg} < bymax
          |   AND ${g.originLat} - ty * ${g.tileDeg} > bymin),
          |arrs AS (SELECT fid,
-         |  ${sparkArr(landcover.formula(sGx, sGy))} AS keys,
-         |  ${sparkArr(g.microHaSql(sGy))} AS vals,
+         |  px_landcover AS keys,
+         |  $microhaArr AS vals,
          |  ${tileMaskCall("gj")} AS mask
          | FROM pairs),
          |parts AS (SELECT fid, explode(tile_zonal(keys, vals, mask)) AS p FROM arrs)
@@ -573,8 +546,8 @@ object RasterQueries extends QueryModule {
     TileLake.scanPruned(spark, dir, ids).createOrReplaceTempView("tile_lake_scan")
     spark.sql(
       s"""WITH arrs AS (SELECT px_landcover AS keys,
-         |  ${sparkArr(g.microHaSql(sGy))} AS vals,
-         |  ${maskArr()} AS mask
+         |  $microhaArr AS vals,
+         |  ${tileMaskCall(s"'$aoiGeoJson'")} AS mask
          | FROM tile_lake_scan),
          |parts AS (SELECT explode(tile_zonal(keys, vals, mask)) AS p FROM arrs)
          |SELECT p.k AS landcover, ${decode("p.k")} AS landcover_name,
@@ -613,11 +586,9 @@ object RasterQueries extends QueryModule {
     val ids = TileLake.tileIdsForBbox(dg, bxmin, bymin, bxmax, bymax)
     TileLake.scanPruned(spark, TileLake.derivedDir, ids)
       .createOrReplaceTempView("derived_scan")
-    val cpx = dg.pxPerTile * dg.pxPerTile
-    val cGy = s"(ty * ${dg.pxPerTile} + i DIV ${dg.pxPerTile})"
     spark.sql(
       s"""WITH arrs AS (SELECT px_biomass_t AS keys,
-         |  transform(sequence(0, ${cpx - 1}), i -> ${dg.microHaSql(cGy)}) AS vals,
+         |  grid_arr('microha', ty, ${dg.originLat}, ${dg.tileDeg}, ${dg.pxPerTile}) AS vals,
          |  tile_mask('$aoiGeoJson', tx, ty, ${dg.originLon}, ${dg.originLat},
          |    ${dg.tilesX}, ${dg.tilesY}, ${dg.tileDeg}, ${dg.pxPerTile}) AS mask
          | FROM derived_scan),
@@ -648,6 +619,10 @@ object RasterQueries extends QueryModule {
     sqls.map { q =>
       q.name -> ((spark: SparkSession, sfDir: String) => {
         Tables.register(spark, sfDir)
+        // the legacy r-queries scan the persisted tile lake (same
+        // band values the formulas used to synthesize per query)
+        TileLake.ensureWritten(spark, TileLake.defaultDir)
+        spark.read.parquet(TileLake.defaultDir).createOrReplaceTempView("lake")
         spark.sql(q.sparkSql)
       })
     }.toMap +

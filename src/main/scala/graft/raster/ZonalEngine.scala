@@ -194,15 +194,12 @@ object ZonalEngine {
     val ids = TileLake.tileIdsForBbox(g, bb._1, bb._2, bb._3, bb._4)
     TileLake.scanPruned(spark, dir, ids).createOrReplaceTempView("zonal_scan")
 
-    val px = g.pxPerTile * g.pxPerTile
-    val sGy = s"(ty * ${g.pxPerTile} + i DIV ${g.pxPerTile})"
     val aoiMask =
       s"tile_mask('${req.aoiGeoJson.replace("'", "''")}', tx, ty, " +
         s"${g.originLon}, ${g.originLat}, ${g.tilesX}, ${g.tilesY}, " +
         s"${g.tileDeg}, ${g.pxPerTile})"
     val maskE = req.tcdThreshold match {
-      case Some(t) =>
-        s"zip_with($aoiMask, transform(px_tcd, v -> v >= $t), (m, c) -> m AND c)"
+      case Some(t) => s"arr_and($aoiMask, arr_ge(px_tcd, $t))"
       case None => aoiMask
     }
     val decode = "CASE " + landcoverTable.toSeq.sortBy(_._1)
@@ -211,7 +208,7 @@ object ZonalEngine {
 
     spark.sql(
       s"""WITH arrs AS (SELECT px_landcover AS keys,
-         |  transform(sequence(0, ${px - 1}), i -> ${g.microHaSql(sGy)}) AS vals,
+         |  grid_arr('microha', ty, ${g.originLat}, ${g.tileDeg}, ${g.pxPerTile}) AS vals,
          |  $maskE AS mask
          | FROM zonal_scan),
          |parts AS (SELECT explode(tile_zonal(keys, vals, mask)) AS p FROM arrs)
