@@ -19,10 +19,23 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The harness that collects this output keeps only a bounded tail
+    // of stdout, so the JSON line must stay short enough to survive it:
+    // 2-decimal seconds, slowest queries first, and the map is cut off
+    // once the line would exceed the budget ("qdropped" counts the
+    // fast queries omitted — their time is still inside "value").
+    def fmt(v: Double) = f"$v%.2f"
+    val ordered = results.toSeq.sortBy(-_._2)
+    val budget = 1700
+    val sb = new StringBuilder
+    var kept = 0
+    ordered.foreach { case (k, v) =>
+      val entry = (if (kept > 0) "," else "") + "\"" + k + "\":" + fmt(v)
+      if (sb.length + entry.length <= budget) { sb ++= entry; kept += 1 }
+    }
+    val dropped = results.size - kept
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","qcount":${results.size},"qdropped":$dropped,"queries":{$sb},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

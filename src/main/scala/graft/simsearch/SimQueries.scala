@@ -41,46 +41,52 @@ object SimQueries extends QueryModule {
   private def dDot(a: String, b: String): String =
     duckDot.replace("QA", a).replace("QB", b)
 
-  /** Unrolled Lloyd iterations (shared by e5b/e3): `cn0` = seed
-    * centroids (vectors 0..9), then per iteration an assignment by max
-    * cosine (deterministic tie-break on cluster id), a vec_id-ordered
-    * centroid fold (bit-reproducible across engines), and re-norm.
-    * Lloyd is idempotent at its fixed point, so running a fixed
-    * iteration count on both engines sidesteps "did it converge at the
-    * same step" while `KmeansConvergenceSpec` separately asserts the
-    * fixed point IS reached within the unroll (assignments at N and
-    * N−1 identical). Emits `cn0..cn$n` and assignments `asg1..asg$n`.
-    */
-  private def kmeansCtes(n: Int, spark: Boolean): String = {
+  /** Chunk width for the centroid fold: vectors are summed per
+    * `vec_id DIV KmChunk` chunk in vec_id order, then the chunk
+    * partials are summed in chunk order. The chunk boundary is a pure
+    * function of vec_id, so both engines reproduce the identical
+    * floating-point op sequence regardless of physical partitioning —
+    * Spark aligns one chunk per RDD partition, DuckDB groups on the
+    * same expression. (At larger scale the constant grows so the
+    * driver-side merge stays k×chunks×dim doubles, not data-sized.) */
+  private val KmChunk = 512L
+
+  private val duckElemAdd =
+    "(a,b) -> [a[k] + b[k] for k in generate_series(1, len(a))]"
+
+  /** Unrolled Lloyd iterations for the DuckDB oracles (e2/e3/e5b):
+    * `cn0` = seed centroids (vectors 0..9), then per iteration an
+    * assignment by max cosine (deterministic tie-break on cluster id),
+    * a chunked vec_id-ordered centroid fold (see [[KmChunk]] — the op
+    * sequence the Spark loop's per-partition partials reproduce
+    * bitwise), and re-norm. Lloyd is idempotent at its fixed point, so
+    * running a fixed iteration count on both engines sidesteps "did it
+    * converge at the same step" while `KmeansConvergenceSpec`
+    * separately asserts the fixed point IS reached within the unroll
+    * (assignments at N and N−1 identical). Emits `cn0..cn$n` and
+    * assignments `asg1..asg$n`. CTEs are MATERIALIZED: DuckDB inlines
+    * referenced-once CTEs, and optimizer passes over a 40-level
+    * inlined nest go exponential past ~depth 15 (measured: 22 iters =
+    * 24s inlined, 41 iters = 5s materialized). */
+  private def kmeansCtes(n: Int): String = {
     val sb = new StringBuilder(
       "cn0 AS (SELECT vec_id AS c, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 10)")
     for (i <- 1 to n) {
       val p = i - 1
-      val dot =
-        if (spark) s"vec_dot(n.v, cn$p.cv)" else dDot("n.v", s"cn$p.cv")
-      // oracle CTEs are MATERIALIZED: DuckDB inlines referenced-once
-      // CTEs, and optimizer passes over a 40-level inlined nest go
-      // exponential past ~depth 15 (measured: 22 iters = 24s inlined,
-      // 41 iters = 5s materialized)
-      val m = if (spark) "" else "MATERIALIZED "
+      val dot = dDot("n.v", s"cn$p.cv")
       sb ++= s""",
-         |a$i AS $m(SELECT n.vec_id, n.v, cn$p.c,
+         |a$i AS MATERIALIZED (SELECT n.vec_id, n.v, cn$p.c,
          |        row_number() OVER (PARTITION BY n.vec_id
          |          ORDER BY $dot / (n.nrm * cn$p.cnrm) DESC, cn$p.c) AS r
          |       FROM n CROSS JOIN cn$p),
-         |asg$i AS $m(SELECT vec_id, v, c FROM a$i WHERE r = 1)"""
-      if (spark) sb ++= s""",
-         |g$i AS (SELECT c, sort_array(collect_list(struct(vec_id, v))) AS arr, count(*) AS cnt
-         |      FROM asg$i GROUP BY c),
-         |cen$i AS (SELECT c, transform(
-         |    aggregate(arr, array_repeat(CAST(0 AS DOUBLE), 64), (acc, e) -> zip_with(acc, e.v, (p,q) -> p+q)),
-         |    x -> x / cnt) AS cv FROM g$i),
-         |cn$i AS (SELECT c, cv, sqrt(vec_dot(cv, cv)) AS cnrm FROM cen$i)"""
-      else sb ++= s""",
-         |g$i AS MATERIALIZED (SELECT c, list(v ORDER BY vec_id) AS arr, count(*) AS cnt
-         |      FROM asg$i GROUP BY c),
-         |cen$i AS MATERIALIZED (SELECT c, [x / cnt for x in
-         |    list_reduce(arr, (a,b) -> [a[k] + b[k] for k in generate_series(1, len(a))])] AS cv FROM g$i),
+         |asg$i AS MATERIALIZED (SELECT vec_id, v, c FROM a$i WHERE r = 1),
+         |g$i AS MATERIALIZED (SELECT c, vec_id // $KmChunk AS ch,
+         |        list_reduce(list(v ORDER BY vec_id), $duckElemAdd) AS pv, count(*) AS cnt
+         |      FROM asg$i GROUP BY c, vec_id // $KmChunk),
+         |cen$i AS MATERIALIZED (SELECT c, [x / cnt for x in sv] AS cv FROM (
+         |      SELECT c, list_reduce(list(pv ORDER BY ch), $duckElemAdd) AS sv,
+         |             CAST(sum(cnt) AS BIGINT) AS cnt
+         |      FROM g$i GROUP BY c) t$i),
          |cn$i AS MATERIALIZED (SELECT c, cv, sqrt(list_reduce([y*y for y in cv], (a,b) -> a+b)) AS cnrm FROM cen$i)"""
     }
     sb.result().stripMargin
@@ -107,68 +113,98 @@ object SimQueries extends QueryModule {
   }
 
   /** Driver-loop Lloyd (the idiomatic Spark shape, cf. MLlib's
-    * KMeans): centroids live on the driver as a 10×64 literal VALUES
-    * table re-broadcast each iteration — the per-iteration plan is
-    * constant-size (a deep CTE unroll makes Catalyst re-analyze a
-    * superlinearly growing tree) and the data never leaves the
-    * executors: each iteration is ONE distributed job (per-row argmax
-    * against the literal centroids, then a per-cluster vec_id-ordered
-    * fold via `sort_array(collect_list(...))`) and the driver collects
-    * only the k×64 centroid doubles. The per-cluster ordered fold adds
-    * vectors in the same sequence as the oracle's
-    * `list(v ORDER BY vec_id)` per-cluster fold, so parity is bitwise;
-    * the loop stops at the BITWISE centroid fixed point (double
-    * literals round-trip exactly through shortest-repr formatting).
-    * Scale note: one cluster's members must fit in one task (k-means
-    * blocking targets cells ≪ a partition); nothing is ever collected
-    * proportional to the table. Memoized per scale-factor dir: e2, e3
+    * KMeans): the vectors live in a cached RDD partitioned once by
+    * `vec_id DIV KmChunk` (one chunk per partition, sorted by vec_id
+    * inside), centroids live on the driver as k×dim doubles broadcast
+    * each iteration. Each iteration is ONE narrow mapPartitions job —
+    * per-row argmax against the broadcast centroids (the identical
+    * op sequence as [[graft.functions.KmArgmax]]) and a per-(cluster,
+    * chunk) zeros-init fold in vec_id order — and the driver receives
+    * only k×chunks×dim partial doubles, merging them per cluster in
+    * chunk order. That two-level fold is exactly the oracle's
+    * `GROUP BY c, vec_id // KmChunk` + chunk-ordered reduce, so
+    * centroids are bitwise equal across engines; the loop stops at the
+    * BITWISE centroid fixed point (double literals round-trip exactly
+    * through shortest-repr formatting). vs the previous per-iteration
+    * Catalyst job (shuffle + analysis every iteration, ~130 ms/iter at
+    * sf0.1): ~10 ms/iter, and nothing driver-side ever scales with the
+    * table — only with k×chunks. Memoized per scale-factor dir: e2, e3
     * and e5b share one build. */
   private[simsearch] def convergedKmeans(spark: SparkSession, sfDir: String): KmResult =
     kmMemo.computeIfAbsent(sfDir, { _ =>
       Tables.register(spark, sfDir)
       graft.functions.GraftFunctions.install(spark)
-      val vecsDf = spark.sql(s"$sparkVecs SELECT vec_id, v, nrm FROM n")
-        .repartition(4).persist()
-      vecsDf.createOrReplaceTempView("km_vecs")
-      // the per-iteration jobs shuffle k≈10 groups — 32 shuffle
-      // partitions would be pure task-launch overhead at any scale
-      val savedShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-      val savedAqe = spark.conf.get("spark.sql.adaptive.enabled")
-      spark.conf.set("spark.sql.shuffle.partitions", "4")
-      // AQE would split every tiny 2-stage iteration into separate
-      // materialization jobs; the loop's shapes are fixed and small
-      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val raw = spark.sql(s"$sparkVecs SELECT vec_id, v, nrm FROM n").rdd
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+      val nChunks = (raw.map(_._1).max() / KmChunk + 1).toInt
+      val byChunk = new org.apache.spark.Partitioner {
+        override def numPartitions: Int = nChunks
+        override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+      }
+      val chunked = raw.map(t => ((t._1 / KmChunk).toInt, t))
+        .partitionBy(byChunk)
+        .mapPartitions(it => it.map(_._2).toArray.sortBy(_._1).iterator,
+          preservesPartitioning = true)
+        .persist()
       try {
-        var cents: Seq[(Long, Array[Double])] = vecsDf
-          .where("vec_id < 10").select("vec_id", "v")
-          .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
-          .sortBy(_._1).toSeq
+        var cents: Seq[(Long, Array[Double])] = chunked
+          .filter(_._1 < 10).map(t => (t._1, t._2)).collect().sortBy(_._1).toSeq
         var iter = 0
         var fixed = false
         val dbg = sys.env.contains("GRAFT_KM_DEBUG")
-        // per-iteration plan built with the Dataset API and a SINGLE
-        // Literal node for the centroid matrix — the SQL-text route
-        // re-parsed a 13 KB literal every iteration (~200 ms/iter of
-        // pure plan overhead, measured)
-        import org.apache.spark.sql.functions.{col, collect_list, count, lit, sort_array, struct, typedlit}
-        import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
         while (iter < KmMaxIter && !fixed) {
           iter += 1
           val itT0 = if (dbg) System.nanoTime() else 0L
-          val centsLit = expression(typedlit(
-            cents.map { case (c, arr) =>
-              (c, arr.toSeq, math.sqrt(dotScala(arr, arr))) }))
-          val asg = vecsDf.select(col("vec_id"), col("v"),
-            column(graft.functions.KmArgmax(
-              expression(col("v")), expression(col("nrm")), centsLit)).as("c"))
-          val next: Seq[(Long, Array[Double])] = asg
-            .groupBy("c")
-            .agg(sort_array(collect_list(struct(col("vec_id"), col("v")))).as("arr"),
-                 count(lit(1)).as("cnt"))
-            .select(col("c"), column(graft.functions.VecOrderedMean(
-              expression(col("arr")), expression(col("cnt")))).as("cv"))
-            .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
-            .sortBy(_._1).toSeq
+          val cArr = cents.toArray
+          val cNrm = cArr.map { case (_, a) => math.sqrt(dotScala(a, a)) }
+          val bc = spark.sparkContext.broadcast((cArr, cNrm))
+          // (chunk, cluster, partial sum, member count) — zeros-init
+          // vec_id-ordered fold inside the chunk, same per-op rounding
+          // as the oracle's in-chunk reduce
+          val partials: Array[(Int, Long, Array[Double], Long)] =
+            chunked.mapPartitionsWithIndex { (pid, it) =>
+              val (cs, cn) = bc.value
+              val k = cs.length
+              val sums = new Array[Array[Double]](k)
+              val cnts = new Array[Long](k)
+              it.foreach { case (_, v, nrm) =>
+                var bestI = 0
+                var bestS = -1.0e308
+                var ci = 0
+                while (ci < k) {
+                  val cv = cs(ci)._2
+                  var dot = 0.0
+                  var j = 0
+                  while (j < cv.length) { dot += v(j) * cv(j); j += 1 }
+                  val s = dot / (nrm * cn(ci))
+                  if (s > bestS) { bestS = s; bestI = ci }
+                  ci += 1
+                }
+                if (sums(bestI) == null) sums(bestI) = new Array[Double](v.length)
+                val acc = sums(bestI)
+                var j = 0
+                while (j < v.length) { acc(j) += v(j); j += 1 }
+                cnts(bestI) += 1
+              }
+              (0 until k).iterator.filter(cnts(_) > 0)
+                .map(i => (pid, cs(i)._1, sums(i), cnts(i)))
+            }.collect()
+          val next: Seq[(Long, Array[Double])] = partials.groupBy(_._2).toSeq
+            .map { case (c, ps) =>
+              val ordered = ps.sortBy(_._1)
+              val dim = ordered.head._3.length
+              val acc = new Array[Double](dim)
+              var cnt = 0L
+              ordered.foreach { p =>
+                var j = 0
+                while (j < dim) { acc(j) += p._3(j); j += 1 }
+                cnt += p._4
+              }
+              var j = 0
+              while (j < dim) { acc(j) /= cnt.toDouble; j += 1 }
+              c -> acc
+            }.sortBy(_._1)
+          bc.destroy()
           fixed = next.length == cents.length &&
             next.zip(cents).forall { case ((c1, a1), (c2, a2)) =>
               c1 == c2 && java.util.Arrays.equals(a1, a2) }
@@ -178,9 +214,7 @@ object SimQueries extends QueryModule {
         }
         KmResult(cents, iter, fixed)
       } finally {
-        spark.conf.set("spark.sql.shuffle.partitions", savedShuffle)
-        spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
-        vecsDf.unpersist()
+        chunked.unpersist()
       }
     })
 
@@ -388,7 +422,7 @@ object SimQueries extends QueryModule {
 
   private def e2Oracle: String =
     s"""$duckVecs,
-       |${kmeansCtes(KmMaxIter + 1, spark = false)},
+       |${kmeansCtes(KmMaxIter + 1)},
        |fin AS (SELECT asg.vec_id, asg.v, n.nrm, asg.c
        |  FROM asg${KmMaxIter + 1} asg JOIN n ON n.vec_id = asg.vec_id)
        |SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b, a.c AS cell,
@@ -398,12 +432,12 @@ object SimQueries extends QueryModule {
 
   private def e5bOracle: String =
     s"""$duckVecs,
-       |${kmeansCtes(KmMaxIter + 1, spark = false)}
+       |${kmeansCtes(KmMaxIter + 1)}
        |SELECT vec_id, c AS cluster_id FROM asg${KmMaxIter + 1}""".stripMargin
 
   private def e3Oracle: String =
     s"""$duckVecs,
-       |${kmeansCtes(KmMaxIter + 1, spark = false)},
+       |${kmeansCtes(KmMaxIter + 1)},
        |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < 5),
        |pc AS (SELECT qid, cn$KmMaxIter.c AS cell,
        |        row_number() OVER (PARTITION BY qid
