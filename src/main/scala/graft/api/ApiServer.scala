@@ -83,9 +83,26 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
                       apiKeys: Option[ApiKeys] = None,
                       protectedDatasets: Set[String] = Set.empty,
                       adminTokens: Set[String] = Set.empty,
-                      rwGeostore: Option[String => Option[String]] = None) {
+                      rwGeostore: Option[String => Option[String]] = None,
+                      allowedSourceRoots: Seq[String] = Nil) {
 
   Tables.register(spark, sfDir)
+
+  /** Directories a PUT body's `source_uri` (or a batch query's `uri`)
+    * may point into — the reference only loads from its own buckets;
+    * an open path would let any writer read server-local files into a
+    * queryable table. Defaults to the data dir and the JVM tmpdir
+    * (where version targets and test fixtures live). */
+  private val sourceRoots: Seq[java.nio.file.Path] =
+    (if (allowedSourceRoots.nonEmpty) allowedSourceRoots
+     else Seq(sfDir, sys.props("java.io.tmpdir")))
+      .map(r => java.nio.file.Paths.get(r).toAbsolutePath.normalize)
+
+  private def sourceAllowed(uri: String): Boolean = {
+    val p = java.nio.file.Paths.get(uri.stripPrefix("file://"))
+      .toAbsolutePath.normalize
+    sourceRoots.exists(p.startsWith)
+  }
 
   @volatile private var catalog = new cat.Catalog(Tables.all.map { t =>
     // geo-flavoured lake tables carry pre-built export assets the
@@ -102,6 +119,17 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
       assets = cat.Asset(s"$t-a1", cat.AssetType.DatabaseTable,
         s"$sfDir/$t.parquet", isDefault = true) +: exports)))
   } ++ graft.raster.SyntheticRasters.datasets)
+
+  /** Pre-registered lake/raster dataset names — version creation must
+    * not reuse them (a created version would otherwise masquerade as,
+    * and its register step poison queries against, a builtin table). */
+  private val builtinDatasets: Set[String] = catalog.datasets.map(_.name).toSet
+
+  /** All catalog swaps go through one lock: `withVersion` is a
+    * read-modify-write of the immutable catalog, and two creation jobs
+    * completing together could otherwise each rebuild from the same
+    * stale snapshot and lose a version. */
+  private val catalogLock = new Object
 
   private val geostore = scala.collection.concurrent.TrieMap.empty[String, String]
 
@@ -187,6 +215,36 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
             "Unauthorized query on a restricted dataset or version")))
         }
       } else None
+    }
+  }
+
+  private val versionsRoot = s"${sys.props("java.io.tmpdir")}/graft_versions/"
+
+  /** Session table for a (dataset, version): created versions are
+    * registered under per-(dataset, version) view names (so they can
+    * never shadow a lake table, and every version stays queryable);
+    * builtin lake tables keep their bare names. */
+  private def tableFor(dataset: String, version: String): String =
+    catalog.version(dataset, version) match {
+      case Some(v) if v.defaultAsset.exists(a =>
+          a.assetType == cat.AssetType.DatabaseTable &&
+            a.assetUri.startsWith(versionsRoot)) =>
+        graft.etl.VersionCreation.viewName(dataset, v.version)
+      case _ => dataset
+    }
+
+  /** Gate for mutating routes (version creation, API-key minting):
+    * the reference requires an authenticated owner/admin
+    * (`add_new_version` → `get_owner`, `create_api_key` → `get_user`);
+    * here that is an admin bearer token. A server constructed without
+    * admin tokens has no write identity at all, so writes are refused
+    * rather than open. */
+  private def writeGate(ex: HttpExchange): Option[(Int, String)] = {
+    val token = Option(ex.getRequestHeaders.getFirst("Authorization"))
+      .filter(_.startsWith("Bearer ")).map(_.stripPrefix("Bearer "))
+    token match {
+      case Some(t) if adminTokens.contains(t) => None
+      case _ => Some((401, Sinks.jsendError("Unauthorized")))
     }
   }
 
@@ -301,7 +359,7 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
         val geom = params.get("geostore_id").flatMap(resolveGeostore(_,
           params.getOrElse("geostore_origin", "gfw")))
         // lake table view name == dataset name (single-version lake)
-        val rewritten = Scrutinizer.scrutinizeTo(dataset, geom, sql)
+        val rewritten = Scrutinizer.scrutinizeTo(tableFor(dataset, version), geom, sql)
         graft.sqlgate.TabularEngine.checkFunctionsExist(spark, rewritten)
         val df = spark.sql(rewritten)
         ex.getResponseHeaders.add("Cache-Control", cacheControl(dataset))
@@ -326,7 +384,7 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
         respond(ex, 200, "application/json",
           s"""{"data":[${(reserved ++ layers).mkString(",")}],"status":"success"}""")
       case Some(_) =>
-        val schema = spark.table(dataset).schema
+        val schema = spark.table(tableFor(dataset, version)).schema
         val items = schema.fields.map { f =>
           s"""{"name":"${f.name}","data_type":"${f.dataType.catalogString}","is_feature_info":true}"""
         }.mkString(",")
@@ -365,7 +423,7 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
               versionOverrides(obj)))
         }
       case Right(_) =>
-        val rewritten = Scrutinizer.scrutinizeTo(dataset, geom, sql)
+        val rewritten = Scrutinizer.scrutinizeTo(tableFor(dataset, version), geom, sql)
         graft.sqlgate.TabularEngine.checkFunctionsExist(spark, rewritten)
         send(spark.sql(rewritten))
     }
@@ -395,7 +453,7 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
           case Right(cat.TableEngine) =>
             val geom = params.get("geostore_id").flatMap(resolveGeostore(_,
           params.getOrElse("geostore_origin", "gfw")))
-            val rewritten = Scrutinizer.scrutinizeTo(dataset, geom, sql)
+            val rewritten = Scrutinizer.scrutinizeTo(tableFor(dataset, version), geom, sql)
             graft.sqlgate.TabularEngine.checkFunctionsExist(spark, rewritten)
             val df = spark.sql(rewritten)
             ex.getResponseHeaders.add("Content-Disposition",
@@ -487,7 +545,7 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
         respond(ex, 200, "application/json",
           s"""{"data":{"tile_count":${g.nTiles},"pixel_count":${g.nTiles.toLong * g.pxPerTile * g.pxPerTile},"bands":${graft.raster.TileLake.bandColumns.length}},"status":"success"}""")
       case Some(_) =>
-        val cnt = spark.table(dataset).count()
+        val cnt = spark.table(tableFor(dataset, version)).count()
         respond(ex, 200, "application/json",
           s"""{"data":{"row_count":$cnt},"status":"success"}""")
     }
@@ -535,6 +593,11 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
     * "indices": [...], "constraints": [...]}}`. */
   private def versionPut(ex: HttpExchange, dataset: String, version: String): Unit = {
     import graft.etl.VersionCreation
+    writeGate(ex).foreach { case (code, body) =>
+      return respond(ex, code, "application/json", body) }
+    if (builtinDatasets.contains(dataset))
+      return respond(ex, 409, "application/json", Sinks.jsendError(
+        s"Dataset $dataset conflicts with a pre-registered table"))
     val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
     val opts =
       try VersionCreation.CreationOptions.fromJson(
@@ -546,13 +609,16 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
         return respond(ex, 422, "application/json",
           Sinks.jsendError(Option(e.getMessage).getOrElse("Invalid creation options")))
       }
+    opts.sourceUris.find(!sourceAllowed(_)).foreach { uri =>
+      return respond(ex, 403, "application/json", Sinks.jsendError(
+        s"Source URI outside the allowed data directories: $uri")) }
     versionRecords.put((dataset, version), ("pending", Nil))
     val targetDir =
       s"${sys.props("java.io.tmpdir")}/graft_versions/${dataset}_$version"
     val jobId = jobRegistry.submit { () =>
       val (log, ok) = VersionCreation.createTable(spark, dataset, version, opts, targetDir)
       versionRecords.put((dataset, version), (if (ok) "saved" else "failed", log))
-      if (ok) {
+      if (ok) catalogLock.synchronized {
         catalog = catalog.withVersion(dataset, cat.Version(
           dataset, version, isLatest = opts.latest,
           assets = Seq(cat.Asset(s"$dataset-$version-default",
@@ -585,6 +651,9 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
   private def apiKeyCreate(ex: HttpExchange): Unit = apiKeys match {
     case None => respond(ex, 501, "application/json",
       Sinks.jsendError("API keys are not enabled on this deployment"))
+    case Some(reg) if writeGate(ex).isDefined =>
+      val (code, body) = writeGate(ex).get
+      respond(ex, code, "application/json", body)
     case Some(reg) =>
       val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
       val domains =
@@ -719,6 +788,9 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
         case ("feature_collection", fc: Map[_, _]) =>
           featuresOf(fc.asInstanceOf[Map[String, Any]])
         case ("uri", uri) =>
+          if (!sourceAllowed(uri.toString))
+            return respond(ex, 403, "application/json", Sinks.jsendError(
+              s"Source URI outside the allowed data directories: $uri"))
           val p = java.nio.file.Paths.get(
             uri.toString.stripPrefix("file://"))
           if (!java.nio.file.Files.isReadable(p))

@@ -56,7 +56,7 @@ final case class Version(
 
 final case class Dataset(name: String, versions: Seq[Version])
 
-final class Catalog(datasets: Seq[Dataset]) {
+final class Catalog(val datasets: Seq[Dataset]) {
 
   private val byName: Map[String, Dataset] = datasets.map(d => d.name -> d).toMap
 

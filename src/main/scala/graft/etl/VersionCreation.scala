@@ -26,6 +26,16 @@ object VersionCreation {
 
   final case class ChangeLog(task: String, status: String, detail: String)
 
+  /** Session view name for a created version. Views are registered per
+    * (dataset, version) — never under the bare dataset name, which
+    * would shadow pre-registered lake tables and make the last-created
+    * version the only queryable one. The `__` separator cannot appear
+    * in a lake table name, so a created view can never collide with
+    * one; non-identifier characters (dots in `v1.5`-style versions)
+    * are folded to `_`. */
+  def viewName(dataset: String, version: String): String =
+    (dataset + "__" + version).replaceAll("[^A-Za-z0-9_]", "_")
+
   final case class CreationOptions(
       sourceUris: Seq[String],
       delimiter: String = ",",
@@ -164,8 +174,9 @@ object VersionCreation {
 
     // 4. register: the version becomes queryable
     if (ok) try {
-      spark.read.parquet(targetDir).createOrReplaceTempView(dataset)
-      log += ChangeLog("register", "success", s"view $dataset -> $targetDir")
+      val view = viewName(dataset, version)
+      spark.read.parquet(targetDir).createOrReplaceTempView(view)
+      log += ChangeLog("register", "success", s"view $view -> $targetDir")
     } catch {
       case e: Exception =>
         ok = false

@@ -276,17 +276,22 @@ object DataEnvironment {
   // caches the data environment for 5 minutes, `queries.py:654-660`)
 
   private val memo = new java.util.concurrent.ConcurrentHashMap[
-    (String, Map[String, String]), (Long, DataEnvironment)]()
+    (Int, String, Map[String, String]), (Long, DataEnvironment)]()
   private val TtlMs = 5 * 60 * 1000L
 
   def cached(catalog: Catalog, lakeDir: String,
              overrides: Map[String, String] = Map.empty): DataEnvironment = {
-    val key = (lakeDir, overrides)
+    // keyed on the catalog INSTANCE too: catalogs are immutable and the
+    // API layer swaps a fresh one on every version change, so two
+    // catalogs sharing a lake dir (two servers in one JVM, or a server
+    // after a version PUT) must never alias each other's environments
+    val key = (System.identityHashCode(catalog), lakeDir, overrides)
     val now = System.currentTimeMillis()
     val hit = memo.get(key)
     if (hit != null && now - hit._1 < TtlMs) hit._2
     else {
       val env = fromCatalog(catalog, lakeDir, overrides)
+      memo.entrySet.removeIf(e => now - e.getValue._1 >= TtlMs)
       memo.put(key, (now, env))
       env
     }

@@ -23,7 +23,8 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def beforeAll(): Unit = {
     server = new ApiServer(spark, "/root/testdata/sf0.001",
-      nonDownloadable = Set("embeddings"))
+      nonDownloadable = Set("embeddings"),
+      adminTokens = Set("test-admin"))
     port = server.start()
   }
   override def afterAll(): Unit = { server.stop(); spark.stop() }
@@ -254,9 +255,15 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(noTok.body().contains("Unauthorized query on a restricted dataset"))
       assert(sget(pq, "x-api-key" -> key,
         "Authorization" -> "Bearer admintok").statusCode() == 200)
-      // POST /auth/apikey mints a usable key
+      // POST /auth/apikey requires an authenticated caller (reference
+      // create_api_key → get_user): anonymous minting is refused
+      assert(client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$sp/auth/apikey"))
+          .POST(HttpRequest.BodyPublishers.ofString("{}")).build(),
+        HttpResponse.BodyHandlers.ofString()).statusCode() == 401)
       val created = client.send(
         HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$sp/auth/apikey"))
+          .header("Authorization", "Bearer admintok")
           .POST(HttpRequest.BodyPublishers.ofString("{}")).build(),
         HttpResponse.BodyHandlers.ofString())
       assert(created.statusCode() == 201)
@@ -334,10 +341,22 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
          |  "constraints": [{"constraint_type": "unique", "column_names": ["id"]}],
          |  "indices": [{"index_type": "btree", "column_names": ["score"]}]
          |}}""".stripMargin
-    val put = client.send(
-      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/dataset/myds/v202608"))
-        .PUT(HttpRequest.BodyPublishers.ofString(body)).build(),
-      HttpResponse.BodyHandlers.ofString())
+    def putReq(path: String, b: String, hdrs: (String, String)*): HttpResponse[String] = {
+      val rb = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+        .PUT(HttpRequest.BodyPublishers.ofString(b))
+      hdrs.foreach { case (k, v) => rb.header(k, v) }
+      client.send(rb.build(), HttpResponse.BodyHandlers.ofString())
+    }
+    val admin = "Authorization" -> "Bearer test-admin"
+    // writes require an authenticated admin (reference get_owner): 401
+    assert(putReq("/dataset/myds/v202608", body).statusCode() == 401)
+    // created datasets may not reuse a lake table name
+    assert(putReq("/dataset/nation/v9", body, admin).statusCode() == 409)
+    // sources outside the allowed data roots are refused
+    assert(putReq("/dataset/myds/v202608",
+      body.replace(s"file://${src.resolve("part1.csv")}", "file:///etc/passwd"),
+      admin).statusCode() == 403)
+    val put = putReq("/dataset/myds/v202608", body, admin)
     assert(put.statusCode() == 202, put.body().take(300))
     // poll until terminal
     var status = "pending"
@@ -362,10 +381,8 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(q.statusCode() == 200, q.body().take(300))
     assert(q.body().contains("\"cnt\":3") && q.body().contains("\"id_sum\":6"))
     // bad creation options → 422
-    assert(client.send(
-      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/dataset/bad/v1"))
-        .PUT(HttpRequest.BodyPublishers.ofString("""{"creation_options": {}}""")).build(),
-      HttpResponse.BodyHandlers.ofString()).statusCode() == 422)
+    assert(putReq("/dataset/bad/v1", """{"creation_options": {}}""", admin)
+      .statusCode() == 422)
   }
 
   test("batch user SQL over feature lists: inline, geostore_ids, uri, caps") {
@@ -440,9 +457,13 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"""{"sql": "$sql", "feature_collection": {"pad": "${"x" * (257 * 1024)}"}}""")
     assert(oversize.statusCode() == 413)
     val badUri = post("/dataset/landcover_raster/v1/query/batch",
-      s"""{"sql": "$sql", "uri": "file:///nope/missing.geojson"}""")
+      s"""{"sql": "$sql", "uri": "file://${sys.props("java.io.tmpdir")}/nope-missing.geojson"}""")
     assert(badUri.statusCode() == 400 &&
       badUri.body().contains("Cannot access all of the source files"))
+    // uris outside the allowed data roots never reach the filesystem
+    val outsideUri = post("/dataset/landcover_raster/v1/query/batch",
+      s"""{"sql": "$sql", "uri": "file:///etc/passwd"}""")
+    assert(outsideUri.statusCode() == 403)
   }
 
   test("rw geostore origin fallback with memoization") {
