@@ -227,7 +227,8 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
   private def tableFor(dataset: String, version: String): String =
     catalog.version(dataset, version) match {
       case Some(v) if v.defaultAsset.exists(a =>
-          a.assetType == cat.AssetType.DatabaseTable &&
+          (a.assetType == cat.AssetType.DatabaseTable ||
+            a.assetType == cat.AssetType.GeoDatabaseTable) &&
             a.assetUri.startsWith(versionsRoot)) =>
         graft.etl.VersionCreation.viewName(dataset, v.version)
       case _ => dataset
@@ -505,32 +506,42 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
     * geometry columns). */
   private def features(ex: HttpExchange, dataset: String, version: String): Unit = {
     val params = queryParams(ex)
-    if (catalog.version(dataset, version).isEmpty)
+    val ver = catalog.version(dataset, version).getOrElse(
       return respond(ex, 404, "application/json",
-        Sinks.jsendError(s"Dataset version $dataset.$version not found"))
-    if (dataset != "customer")
-      return respond(ex, 501, "application/json", Sinks.jsendError(
+        Sinks.jsendError(s"Dataset version $dataset.$version not found")))
+    // Eligible sources (features.py:39-76 serves any geo table): a
+    // catalog GeoDatabaseTable (e.g. a created vector version) exposes
+    // its derived lon/lat point columns; the synthetic customer
+    // lattice keeps its documented derivation.
+    val pointSource: Option[(String, String)] = // (FROM clause, id col)
+      if (ver.defaultAsset.exists(_.assetType == cat.AssetType.GeoDatabaseTable))
+        Some((tableFor(dataset, version), ""))
+      else if (dataset == "customer")
+        Some(("""(SELECT c_custkey, c_nationkey,
+            |    CAST(c_custkey % 720 AS DOUBLE) / 2.0 - 179.75 AS lon,
+            |    CAST(c_custkey % 340 AS DOUBLE) / 2.0 - 84.75 AS lat
+            |  FROM customer)""".stripMargin, ", c_custkey"))
+      else None
+    pointSource match {
+      case None => respond(ex, 501, "application/json", Sinks.jsendError(
         "This endpoint is not implemented for the given dataset"))
-    val (lat, lng, zoom) =
-      try (params("lat").toDouble, params("lng").toDouble, params("z").toInt)
-      catch { case _: Exception => return respond(ex, 422, "application/json",
-        Sinks.jsendError("lat, lng and z query parameters are required")) }
-    FeatureLookup.bufferMeters(zoom) match {
-      case None => respond(ex, 400, "application/json",
-        Sinks.jsendError("Zoom level out of range"))
-      case Some(radius) =>
-        val df = spark.sql(
-          s"""WITH pts AS (
-             |  SELECT c_custkey, c_nationkey,
-             |    CAST(c_custkey % 720 AS DOUBLE) / 2.0 - 179.75 AS lon,
-             |    CAST(c_custkey % 340 AS DOUBLE) / 2.0 - 84.75 AS lat
-             |  FROM customer)
-             |SELECT c_custkey, lon, lat,
-             |  st_distance_sphere(st_point(lon, lat), st_point($lng, $lat)) AS dist_m
-             |FROM pts
-             |WHERE st_distance_sphere(st_point(lon, lat), st_point($lng, $lat)) <= $radius
-             |ORDER BY dist_m, c_custkey LIMIT 100""".stripMargin)
-        respond(ex, 200, "application/json", Sinks.toJsend(df))
+      case Some((from, tieBreak)) =>
+        val (lat, lng, zoom) =
+          try (params("lat").toDouble, params("lng").toDouble, params("z").toInt)
+          catch { case _: Exception => return respond(ex, 422, "application/json",
+            Sinks.jsendError("lat, lng and z query parameters are required")) }
+        FeatureLookup.bufferMeters(zoom) match {
+          case None => respond(ex, 400, "application/json",
+            Sinks.jsendError("Zoom level out of range"))
+          case Some(radius) =>
+            val df = spark.sql(
+              s"""SELECT *,
+                 |  st_distance_sphere(st_point(lon, lat), st_point($lng, $lat)) AS dist_m
+                 |FROM $from pts
+                 |WHERE st_distance_sphere(st_point(lon, lat), st_point($lng, $lat)) <= $radius
+                 |ORDER BY dist_m$tieBreak LIMIT 100""".stripMargin)
+            respond(ex, 200, "application/json", Sinks.toJsend(df))
+        }
     }
   }
 
@@ -619,10 +630,13 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
       val (log, ok) = VersionCreation.createTable(spark, dataset, version, opts, targetDir)
       versionRecords.put((dataset, version), (if (ok) "saved" else "failed", log))
       if (ok) catalogLock.synchronized {
+        val assetType =
+          if (opts.sourceType == "vector") cat.AssetType.GeoDatabaseTable
+          else cat.AssetType.DatabaseTable
         catalog = catalog.withVersion(dataset, cat.Version(
           dataset, version, isLatest = opts.latest,
           assets = Seq(cat.Asset(s"$dataset-$version-default",
-            cat.AssetType.DatabaseTable, targetDir, isDefault = true))))
+            assetType, targetDir, isDefault = true))))
       }
       s"""{"dataset":"$dataset","version":"$version","status":"${if (ok) "saved" else "failed"}"}"""
     }

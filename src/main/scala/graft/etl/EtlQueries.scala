@@ -108,12 +108,64 @@ object EtlQueries extends QueryModule {
         "st_geostore_id(geom) AS gfw_geostore_id")
   }
 
+  /** S6: the `/features` serving path end-to-end — NDJSON GeoJSON
+    * features ingested through the version-creation vector DAG
+    * (`VersionCreation.createVector`, the code behind
+    * PUT `source_type: "vector"`), then the point-radius feature
+    * lookup against the registered version view — the same SQL the
+    * `/features` route issues (reference `features.py:39-76`,
+    * haversine radius from the zoom table). */
+  private def vectorFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.register(spark, sfDir)
+    graft.functions.GraftFunctions.install(spark)
+    val dir = tmpDir("s6src", sfDir)
+    spark.sql(
+      """SELECT c_custkey,
+        |  CAST(c_custkey % 720 AS DOUBLE) / 2.0 - 179.75 AS lon,
+        |  CAST(c_custkey % 340 AS DOUBLE) / 2.0 - 84.75 AS lat
+        |FROM customer WHERE c_custkey < 300""".stripMargin)
+      .select(to_json(struct(
+        lit("Feature").as("type"),
+        struct(lit("Point").as("type"),
+          array(col("lon"), col("lat")).as("coordinates")).as("geometry"),
+        struct(col("c_custkey").as("custkey")).as("properties"))).as("value"))
+      .write.mode("overwrite").text(dir)
+
+    val target = tmpDir("s6tbl", sfDir)
+    val (log, ok) = VersionCreation.createTable(spark, "vecfeat", "v1",
+      VersionCreation.CreationOptions(sourceUris = Seq(dir), sourceType = "vector"),
+      target)
+    require(ok, s"vector version creation failed: $log")
+    spark.sql(
+      s"""SELECT custkey, lon, lat,
+         |  st_distance_sphere(st_point(lon, lat), st_point(-94.613, 0.356)) AS dist_m
+         |FROM ${VersionCreation.viewName("vecfeat", "v1")}
+         |WHERE st_distance_sphere(st_point(lon, lat), st_point(-94.613, 0.356)) <= 300000.0""".stripMargin)
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_csv_ingest" -> ((s, d) => csvIngest(s, d)),
     "s3_vector_ingest" -> ((s, d) => vectorIngest(s, d)),
-    "s4_wkb_csv_ingest" -> ((s, d) => wkbCsvIngest(s, d)))
+    "s4_wkb_csv_ingest" -> ((s, d) => wkbCsvIngest(s, d)),
+    "s6_vector_features" -> ((s, d) => vectorFeatures(s, d)))
 
   override def oracles: Map[String, String] = Map(
+    // the ingested view reproduces the source lattice exactly, so the
+    // oracle replays the derivation + the haversine (term order mirrors
+    // st_distance_sphere)
+    "s6_vector_features" ->
+      """WITH pts AS (
+        |  SELECT c_custkey AS custkey,
+        |    CAST(c_custkey % 720 AS DOUBLE) / 2.0 - 179.75 AS lon,
+        |    CAST(c_custkey % 340 AS DOUBLE) / 2.0 - 84.75 AS lat
+        |  FROM customer WHERE c_custkey < 300),
+        |d AS (SELECT custkey, lon, lat,
+        |  2 * 6371008.8 * asin(sqrt(
+        |    sin(radians(0.356 - lat) / 2) * sin(radians(0.356 - lat) / 2) +
+        |    cos(radians(lat)) * cos(radians(0.356)) *
+        |    sin(radians(-94.613 - lon) / 2) * sin(radians(-94.613 - lon) / 2))) AS dist_m
+        |  FROM pts)
+        |SELECT custkey, lon, lat, dist_m FROM d WHERE dist_m <= 300000.0""".stripMargin,
     // lossless round trip ⇒ the ingest result equals the source table
     "s1_csv_ingest" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",

@@ -45,7 +45,8 @@ object VersionCreation {
       clusterColumns: Seq[String] = Nil,
       indexes: Seq[Layout.IndexSpec] = Nil,
       uniqueConstraintColumns: Seq[String] = Nil,
-      latest: Boolean = true)
+      latest: Boolean = true,
+      sourceType: String = "table")
 
   object CreationOptions {
     /** Parse the PUT body's `creation_options` object. */
@@ -92,7 +93,8 @@ object VersionCreation {
           }.flatten
           case _ => Nil
         },
-        latest = obj.get("latest").forall(_ == true))
+        latest = obj.get("latest").forall(_ == true),
+        sourceType = obj.get("source_type").map(_.toString).getOrElse("table"))
     }
   }
 
@@ -112,6 +114,8 @@ object VersionCreation {
     * task fails the version). */
   def createTable(spark: SparkSession, dataset: String, version: String,
                   opts: CreationOptions, targetDir: String): (Seq[ChangeLog], Boolean) = {
+    if (opts.sourceType == "vector")
+      return createVector(spark, dataset, version, opts, targetDir)
     val log = Seq.newBuilder[ChangeLog]
     var ok = true
 
@@ -173,6 +177,75 @@ object VersionCreation {
     }
 
     // 4. register: the version becomes queryable
+    if (ok) try {
+      val view = viewName(dataset, version)
+      spark.read.parquet(targetDir).createOrReplaceTempView(view)
+      log += ChangeLog("register", "success", s"view $view -> $targetDir")
+    } catch {
+      case e: Exception =>
+        ok = false
+        log += ChangeLog("register", "failed",
+          Option(e.getMessage).getOrElse("register failed"))
+    }
+
+    (log.result(), ok)
+  }
+
+  /** Vector-source DAG (`source_type: "vector"`; reference
+    * `app/tasks/vector_source_assets.py:195-347` +
+    * `_fill_gfw_fields_sql.sh:9-21`): sources are newline-delimited
+    * GeoJSON Feature objects. Properties become columns, the geometry
+    * derives the GFW fields — point coordinates (`lon`/`lat`),
+    * canonical GeoJSON, and the content-addressed geostore id — the
+    * same path the s3/s4 ingest operators oracle-check. The feature
+    * lookup route (`/features`) serves any version created this way. */
+  private def createVector(spark: SparkSession, dataset: String, version: String,
+                           opts: CreationOptions, targetDir: String): (Seq[ChangeLog], Boolean) = {
+    val log = Seq.newBuilder[ChangeLog]
+    var ok = true
+
+    var df: DataFrame = null
+    try {
+      graft.functions.GraftFunctions.install(spark)
+      val raw = spark.read.json(opts.sourceUris: _*)
+      val props = raw.schema.find(_.name == "properties") match {
+        case Some(f: StructField) => f.dataType match {
+          case st: StructType => st.fieldNames.toSeq
+          case _ => Nil
+        }
+        case None => Nil
+      }
+      val propCols = props.map(p => s"properties.`$p` AS `$p`")
+      df = raw.selectExpr(
+        propCols ++ Seq("st_geomfromgeojson(to_json(geometry)) AS geom"): _*)
+        .selectExpr(
+          props.map(p => s"`$p`") ++ Seq(
+            "st_x(geom) AS lon",
+            "st_y(geom) AS lat",
+            "st_asgeojson(geom) AS gfw_geojson",
+            "st_geostore_id(geom) AS gfw_geostore_id"): _*)
+      log += ChangeLog("create_table", "success",
+        s"vector schema: ${props.mkString(", ")} + GFW fields")
+      log += ChangeLog("load_data", "success",
+        s"loaded ${opts.sourceUris.length} GeoJSON source uri(s)")
+    } catch {
+      case e: Exception =>
+        ok = false
+        log += ChangeLog("create_table", "failed",
+          Option(e.getMessage).getOrElse("vector load failed"))
+    }
+
+    if (ok) try {
+      Layout.write(df, targetDir, partitionColumns = Nil,
+        clusterColumns = opts.clusterColumns, indexes = opts.indexes)
+      log += ChangeLog("apply_layout", "success", "flat parquet")
+    } catch {
+      case e: Exception =>
+        ok = false
+        log += ChangeLog("apply_layout", "failed",
+          Option(e.getMessage).getOrElse("write failed"))
+    }
+
     if (ok) try {
       val view = viewName(dataset, version)
       spark.read.parquet(targetDir).createOrReplaceTempView(view)

@@ -291,6 +291,44 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.body().startsWith("\"cnt\"\r\n25"))
   }
 
+  test("features over a created vector version (PUT source_type=vector)") {
+    val src = java.nio.file.Files.createTempDirectory("vecsrc")
+    java.nio.file.Files.writeString(src.resolve("f.ndjson"),
+      """{"type":"Feature","geometry":{"type":"Point","coordinates":[10.001,45.0]},"properties":{"pid":1}}
+        |{"type":"Feature","geometry":{"type":"Point","coordinates":[-100.0,-40.0]},"properties":{"pid":2}}
+        |""".stripMargin)
+    val body =
+      s"""{"creation_options": {"source_uri": ["file://${src.resolve("f.ndjson")}"],
+         |  "source_type": "vector"}}""".stripMargin
+    val put = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/dataset/vecds/v1"))
+        .header("Authorization", "Bearer test-admin")
+        .PUT(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(put.statusCode() == 202, put.body().take(300))
+    var status = "pending"
+    var vbody = ""
+    var tries = 0
+    while (status == "pending" && tries < 120) {
+      Thread.sleep(250)
+      vbody = get("/dataset/vecds/v1").body()
+      status = "\"status\":\"(\\w+)\"".r.findFirstMatchIn(vbody).get.group(1)
+      tries += 1
+    }
+    assert(status == "saved", vbody.take(500))
+    // zoom 10 → 500 m radius: only the nearby point matches, with its
+    // property column and the derived GFW fields served back
+    val hit = get("/dataset/vecds/v1/features?lat=45.0&lng=10.0&z=10")
+    assert(hit.statusCode() == 200, hit.body().take(300))
+    assert(hit.body().contains("\"pid\":1") && !hit.body().contains("\"pid\":2"))
+    assert(hit.body().contains("\"gfw_geostore_id\""))
+    assert(hit.body().contains("\"dist_m\""))
+    // the created version is also queryable through the tabular surface
+    val q = get("/dataset/vecds/v1/query/json?sql=" +
+      java.net.URLEncoder.encode("SELECT count(*) AS cnt FROM data", "UTF-8"))
+    assert(q.statusCode() == 200 && q.body().contains("\"cnt\":2"), q.body().take(300))
+  }
+
   test("features point lookup: zoom radius table + out-of-range 400") {
     // customer lattice point for c_custkey=1: lon -179.25, lat -84.25
     val hit = get("/dataset/customer/v1/features?lat=-84.25&lng=-179.25&z=0")
