@@ -174,30 +174,39 @@ object DataEnvironment {
     * way `_get_data_environment` does. Versions resolve
     * latest-unless-overridden via [[Catalog.resolveVersions]]. */
   def fromCatalog(catalog: Catalog, lakeDir: String,
-                  overrides: Map[String, String] = Map.empty): DataEnvironment = {
-    val bands = TileLake.bandColumns
-    val bandIdx = bands.zipWithIndex.toMap
-
+                  overrides: Map[String, String] = Map.empty,
+                  gridSel: Option[Grid] = None): DataEnvironment = {
     val rasterDatasets = catalog.rasterDatasets
     val resolved = catalog.resolveVersions(rasterDatasets, overrides)
 
-    // the grid comes from the tile-set assets' creation options (the
-    // reference selects assets sharing one grid, `queries.py:665-668`);
-    // all raster assets in a catalog must agree — mixed grids raise
-    val grids = resolved.values.flatten
-      .flatMap(_.defaultAsset.filter(_.assetType == AssetType.RasterTileSet))
-      .map(a => gridOf(a.creationOptions)).toSeq.distinct
-    val g = grids match {
+    // ONE environment per grid (`_get_data_environment(grid)`,
+    // `queries.py:654-668`): the queried dataset's grid selects which
+    // tile-set assets contribute layers; a layer on another grid is
+    // simply absent, so referencing it fails layer resolution — the
+    // reference's cross-grid rejection. Callers that don't pass a grid
+    // (the fixed zonal route) get the single grid when the catalog has
+    // one, else the default test grid.
+    val allAssets = resolved.toSeq.collect { case (ds, Some(v)) =>
+      v.defaultAsset.filter(_.assetType == AssetType.RasterTileSet).map(ds -> _)
+    }.flatten
+    val byGrid = allAssets.groupBy { case (_, a) => gridOf(a.creationOptions) }
+    val g = gridSel.getOrElse(
+      if (byGrid.size == 1) byGrid.keys.head else SyntheticEnv.grid)
+    val selected = byGrid.getOrElse(g, Nil)
+
+    // the selected grid's assets share one tile lake (per-grid storage)
+    val selLakeDir = selected.map(_._2.assetUri).distinct match {
       case Seq(one) => one
-      case Seq() => SyntheticEnv.grid // empty environment
+      case Seq() => lakeDir
       case many => throw new IllegalArgumentException(
-        s"raster assets span ${many.length} grids; one grid per environment")
+        s"tile-set assets of one grid span ${many.length} lake dirs")
     }
+    val bands = TileLake.bandsOf(selLakeDir)
+    val bandIdx = bands.zipWithIndex.toMap
     val mh = new MicroHa(g)
 
-    val layerSeq: Seq[(String, Seq[RasterLayer])] = resolved.toSeq.flatMap {
-      case (ds, Some(v)) =>
-        v.defaultAsset.filter(_.assetType == AssetType.RasterTileSet).map { asset =>
+    val layerSeq: Seq[(String, Seq[RasterLayer])] = selected.map {
+      case (ds, asset) => {
           val opts = asset.creationOptions
           val meaning = opts.getOrElse("pixel_meaning", "value")
           val band = opts.getOrElse("band",
@@ -247,11 +256,10 @@ object DataEnvironment {
           ds -> layers.map(l =>
             l.copy(noDataPred = noData, srcBands = l.srcBands + src.idx))
         }
-      case _ => None
     }
 
     val pseudo = RasterLayer("area__ha", AreaFn(mh, g.pxPerTile), sumScale = 1e6)
-    DataEnvironment(g, lakeDir, bands,
+    DataEnvironment(g, selLakeDir, bands,
       layers = (layerSeq.flatMap(_._2) :+ pseudo).map(l => l.name -> l).toMap,
       defaultLayers = layerSeq.map { case (ds, ls) => ds -> ls.head.name }.toMap)
   }
@@ -261,7 +269,7 @@ object DataEnvironment {
     * `grid_tile_deg` / `grid_px_per_tile`; absent keys default to the
     * synthetic test grid — the reference's `grid` enum carries the
     * analogous tiling parameters). */
-  private def gridOf(opts: Map[String, String]): Grid = {
+  private[raster] def gridOf(opts: Map[String, String]): Grid = {
     val d = SyntheticEnv.grid
     Grid(
       originLon = opts.get("grid_origin_lon").map(_.toDouble).getOrElse(d.originLon),
@@ -276,21 +284,22 @@ object DataEnvironment {
   // caches the data environment for 5 minutes, `queries.py:654-660`)
 
   private val memo = new java.util.concurrent.ConcurrentHashMap[
-    (Int, String, Map[String, String]), (Long, DataEnvironment)]()
+    (Int, String, Map[String, String], Option[Grid]), (Long, DataEnvironment)]()
   private val TtlMs = 5 * 60 * 1000L
 
   def cached(catalog: Catalog, lakeDir: String,
-             overrides: Map[String, String] = Map.empty): DataEnvironment = {
+             overrides: Map[String, String] = Map.empty,
+             gridSel: Option[Grid] = None): DataEnvironment = {
     // keyed on the catalog INSTANCE too: catalogs are immutable and the
     // API layer swaps a fresh one on every version change, so two
     // catalogs sharing a lake dir (two servers in one JVM, or a server
     // after a version PUT) must never alias each other's environments
-    val key = (System.identityHashCode(catalog), lakeDir, overrides)
+    val key = (System.identityHashCode(catalog), lakeDir, overrides, gridSel)
     val now = System.currentTimeMillis()
     val hit = memo.get(key)
     if (hit != null && now - hit._1 < TtlMs) hit._2
     else {
-      val env = fromCatalog(catalog, lakeDir, overrides)
+      val env = fromCatalog(catalog, lakeDir, overrides, gridSel)
       memo.entrySet.removeIf(e => now - e.getValue._1 >= TtlMs)
       memo.put(key, (now, env))
       env

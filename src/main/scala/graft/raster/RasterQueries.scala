@@ -461,6 +461,33 @@ object RasterQueries extends QueryModule {
          |SELECT w AS iso__week, count(*) AS alert__count
          |FROM f GROUP BY w""".stripMargin),
 
+    // Multi-grid environment: the queried dataset lives on the DERIVED
+    // (coarse, 50 px/tile) grid, so `_get_data_environment` builds the
+    // coarse-grid environment — its own tile lake, bands, and pixel
+    // areas — and the same user-SQL surface serves it end-to-end. The
+    // oracle re-derives the coarse pixels from the fine-band formulas
+    // (block mean DIV 10, the derived lake's build transform).
+    ("rs11_second_grid", "whrc_biomass_tonnes",
+      """SELECT whrc_biomass_tonnes__tonnes, SUM(area__ha) AS area__ha,
+        |  COUNT(*) AS pixel__count
+        |FROM data
+        |WHERE whrc_biomass_tonnes__tonnes >= 50
+        |GROUP BY whrc_biomass_tonnes__tonnes""".stripMargin, {
+      val dg = TileLake.derivedGrid
+      val n = dg.pxX
+      val cGx = s"(p % $n)"; val cGy = s"(p // $n)"
+      def fine(dx: Int, dy: Int): String =
+        biomass10.formula(s"(2 * $cGx + $dx)", s"(2 * $cGy + $dy)")
+      val block = s"((${fine(0, 0)}) + (${fine(1, 0)}) + (${fine(0, 1)}) + (${fine(1, 1)})) // 4"
+      s"""WITH px AS (SELECT unnest(generate_series(0, ${n * n - 1})) AS p),
+         |f AS (SELECT ($block) // 10 AS k, ${dg.microHaSql(cGy)} AS microha FROM px
+         |  WHERE ${halfPlanes(dg.lonCenterSql(cGx), dg.latCenterSql(cGy))})
+         |SELECT k AS whrc_biomass_tonnes__tonnes,
+         |  CAST(sum(microha) AS DOUBLE) / 1000000.0 AS area__ha,
+         |  count(*) AS pixel__count
+         |FROM f WHERE k >= 50 GROUP BY k""".stripMargin
+    }),
+
     // FROM-rewrite base guard: the default layer's no_data (px_w = 0)
     // excludes pixels even with no user WHERE; IN-list filter.
     ("rs5_base_nodata", "umd_tree_cover_loss",

@@ -27,7 +27,21 @@ object SyntheticRasters {
       assets = Seq(Asset(s"$name-a1", AssetType.RasterTileSet, TileLake.defaultDir,
         isDefault = true, creationOptions = opts)))))
 
+  /** A raster dataset on the DERIVED (coarse, 50 px/tile) grid — the
+    * multi-grid case: `_get_data_environment` is built per grid
+    * (`queries.py:654-668`), so this layer is only visible to queries
+    * whose FROM dataset lives on the coarse grid, and referencing it
+    * from a fine-grid query fails layer resolution. */
+  private def rdsDerived(name: String, opts: Map[String, String]): Dataset =
+    Dataset(name, Seq(Version(name, "v1", isLatest = true, sourceType = "raster",
+      assets = Seq(Asset(s"$name-a1", AssetType.RasterTileSet, TileLake.derivedDir,
+        isDefault = true, creationOptions = opts ++ Map(
+          "grid_px_per_tile" -> TileLake.derivedGrid.pxPerTile.toString))))))
+
   val datasets: Seq[Dataset] = Seq(
+    rdsDerived("whrc_biomass_tonnes", Map(
+      "pixel_meaning" -> "tonnes", "band" -> "px_biomass_t",
+      "key_bound" -> "128")),
     rds("landcover_raster", Map(
       "pixel_meaning" -> "class", "band" -> "px_landcover", "key_bound" -> "7")),
     rds("umd_tree_cover_density_2000", Map(

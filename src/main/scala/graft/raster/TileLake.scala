@@ -23,6 +23,19 @@ object TileLake {
   val bandColumns: Seq[String] = Seq(
     "px_landcover", "px_tcd", "px_dateconf", "px_biomass10", "px_u", "px_w")
 
+  /** Band columns of the derived (coarse-grid) lake. */
+  val derivedBandColumns: Seq[String] = Seq("px_biomass_t", "px_lc_mean")
+
+  /** Band set of a lake directory — each grid's lake carries its own
+    * array columns (the reference's tile sets are per-grid assets). */
+  def bandsOf(dir: String): Seq[String] =
+    if (dir == derivedDir) derivedBandColumns else bandColumns
+
+  /** Idempotent build of whichever lake a data environment points at. */
+  def ensureLake(spark: SparkSession, dir: String): Unit =
+    if (dir == derivedDir) ensureDerivedWritten(spark, defaultDir, dir)
+    else ensureWritten(spark, dir)
+
   /** Write the synthetic environment's tiles (idempotent per target
     * dir): one row per tile carrying the raw band arrays. */
   def ensureWritten(spark: SparkSession, dir: String): Unit = synchronized {

@@ -33,7 +33,13 @@ object ZonalEngine {
   private def compileFor(catalog: graft.catalog.Catalog, dataset: String,
                          userSql: String, overrides: Map[String, String])
       : (DataEnvironment, CompiledRasterQuery) = {
-    val env = DataEnvironment.cached(catalog, TileLake.defaultDir, overrides)
+    // the environment is built FOR the queried dataset's grid
+    // (`_get_data_environment(grid)`): layers on other grids are
+    // absent, so cross-grid references fail layer resolution
+    val gridSel = catalog.resolveVersions(Seq(dataset), overrides)(dataset)
+      .flatMap(_.defaultAsset.filter(_.assetType == graft.catalog.AssetType.RasterTileSet))
+      .map(a => DataEnvironment.gridOf(a.creationOptions))
+    val env = DataEnvironment.cached(catalog, TileLake.defaultDir, overrides, gridSel)
     val default = env.defaultLayers.getOrElse(dataset,
       throw RasterSqlException(s"Dataset $dataset has no raster layers"))
     val sql = userSql.replaceAll("(?i)from \\w+",
@@ -63,7 +69,7 @@ object ZonalEngine {
     val geom = requireAreal(aoiGeoJson)
     val (env, cq) = compileFor(catalog, dataset, userSql, overrides)
     graft.functions.GraftFunctions.install(spark)
-    TileLake.ensureWritten(spark, env.lakeDir)
+    TileLake.ensureLake(spark, env.lakeDir)
     val bb = geom.bbox
     val ids = TileLake.tileIdsForBbox(env.grid, bb._1, bb._2, bb._3, bb._4)
     val lake = TileLake.scanPruned(spark, env.lakeDir, ids)
@@ -87,7 +93,7 @@ object ZonalEngine {
     val (env, cq) = compileFor(catalog, dataset, userSql, overrides)
     val g = env.grid
     graft.functions.GraftFunctions.install(spark)
-    TileLake.ensureWritten(spark, env.lakeDir)
+    TileLake.ensureLake(spark, env.lakeDir)
     val bbs = geoms.map { case (fid, gj) => (fid, gj, Geom.fromGeoJson(gj).bbox) }
     val ids = bbs.flatMap { case (_, _, bb) =>
       TileLake.tileIdsForBbox(g, bb._1, bb._2, bb._3, bb._4)
@@ -127,7 +133,7 @@ object ZonalEngine {
     graft.functions.GraftFunctions.install(spark)
     val env = DataEnvironment.cached(catalog, TileLake.defaultDir)
     val g = env.grid
-    TileLake.ensureWritten(spark, env.lakeDir)
+    TileLake.ensureLake(spark, env.lakeDir)
 
     val bbs = geoms.zipWithIndex.map { case (gj, fid) =>
       (fid, gj, Geom.fromGeoJson(gj).bbox)

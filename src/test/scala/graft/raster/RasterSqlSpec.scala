@@ -105,6 +105,29 @@ class RasterSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e4.detail.toLowerCase.contains("single table"))
   }
 
+  test("environments are per grid: cross-grid layer references are invalid") {
+    // the default-grid environment has no coarse-grid layer…
+    assert(!env.layers.contains("whrc_biomass_tonnes__tonnes"))
+    val e1 = intercept[RasterSqlException] {
+      RasterSql.compile(
+        "SELECT sum(whrc_biomass_tonnes__tonnes) FROM umd_tree_cover_loss__year", env) }
+    assert(e1.detail.contains("Layer 'whrc_biomass_tonnes__tonnes' is invalid"))
+    // …and the coarse-grid environment has neither the fine layers nor
+    // their lake: its own grid, bands, and tile dir
+    val coarse = DataEnvironment.cached(SyntheticRasters.catalog,
+      TileLake.defaultDir, gridSel = Some(TileLake.derivedGrid))
+    assert(coarse.grid == TileLake.derivedGrid)
+    assert(coarse.lakeDir == TileLake.derivedDir)
+    assert(coarse.bands == TileLake.derivedBandColumns)
+    assert(coarse.layers.contains("whrc_biomass_tonnes__tonnes"))
+    assert(!coarse.layers.contains("landcover_raster__class"))
+    val e2 = intercept[RasterSqlException] {
+      RasterSql.compile(
+        "SELECT count(*) FROM whrc_biomass_tonnes__tonnes " +
+          "WHERE landcover_raster__class = 3", coarse) }
+    assert(e2.detail.contains("Layer 'landcover_raster__class' is invalid"))
+  }
+
   test("layer-aware literal typing: bool, date, and dict strings") {
     // boolean layer accepts 'true'/'false' only
     RasterSql.compile("SELECT count(*) FROM is__umd_regional_primary_forest_2001 " +
