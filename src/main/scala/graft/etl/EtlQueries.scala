@@ -108,6 +108,91 @@ object EtlQueries extends QueryModule {
         "st_geostore_id(geom) AS gfw_geostore_id")
   }
 
+  /** Fixture writer for the S5 round trip: a Point shapefile
+    * (`.shp` + `.dbf`) of the customer lattice, written with the
+    * byte layout [[Shapefile]] parses (ESRI spec + dBase III). The
+    * feature count is bounded (custkey < 300) — this is the
+    * round-trip harness, not the ingest path. */
+  private def writePointShapefile(rows: Seq[(Long, Double, Double)],
+                                  base: java.nio.file.Path): Unit = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val n = rows.length
+    // .shp — header (100B) + n * (8B record header + 20B point)
+    val shpLen = 100 + n * 28
+    val shp = ByteBuffer.allocate(shpLen)
+    shp.order(ByteOrder.BIG_ENDIAN)
+    shp.putInt(0, 9994)
+    shp.putInt(24, shpLen / 2)
+    shp.order(ByteOrder.LITTLE_ENDIAN)
+    shp.putInt(28, 1000)
+    shp.putInt(32, 1) // Point
+    shp.putDouble(36, rows.map(_._2).min); shp.putDouble(44, rows.map(_._3).min)
+    shp.putDouble(52, rows.map(_._2).max); shp.putDouble(60, rows.map(_._3).max)
+    var off = 100
+    rows.zipWithIndex.foreach { case ((_, lon, lat), i) =>
+      shp.order(ByteOrder.BIG_ENDIAN)
+      shp.putInt(off, i + 1)
+      shp.putInt(off + 4, 10) // 20 content bytes = 10 words
+      shp.order(ByteOrder.LITTLE_ENDIAN)
+      shp.putInt(off + 8, 1)
+      shp.putDouble(off + 12, lon)
+      shp.putDouble(off + 20, lat)
+      off += 28
+    }
+    java.nio.file.Files.write(
+      base.resolveSibling(base.getFileName.toString + ".shp"), shp.array())
+    // .dbf — one N(18,0) field "custkey"
+    val fieldLen = 18
+    val headerSize = 32 + 32 + 1
+    val recSize = 1 + fieldLen
+    val dbf = ByteBuffer.allocate(headerSize + n * recSize + 1)
+    dbf.order(ByteOrder.LITTLE_ENDIAN)
+    dbf.put(0, 0x03.toByte)
+    dbf.putInt(4, n)
+    dbf.putShort(8, headerSize.toShort)
+    dbf.putShort(10, recSize.toShort)
+    val name = "custkey".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    (0 until name.length).foreach(i => dbf.put(32 + i, name(i)))
+    dbf.put(32 + 11, 'N'.toByte)
+    dbf.put(32 + 16, fieldLen.toByte)
+    dbf.put(64, 0x0d.toByte)
+    rows.zipWithIndex.foreach { case ((k, _, _), i) =>
+      val off = headerSize + i * recSize
+      dbf.put(off, ' '.toByte)
+      val txt = k.toString.reverse.padTo(fieldLen, ' ').reverse // right-justified
+      (0 until fieldLen).foreach(j => dbf.put(off + 1 + j, txt(j).toByte))
+    }
+    dbf.put(headerSize + n * recSize, 0x1a.toByte)
+    java.nio.file.Files.write(
+      base.resolveSibling(base.getFileName.toString + ".dbf"), dbf.array())
+  }
+
+  /** S5: shapefile ingest — the `.shp`/`.dbf` pair round-trips through
+    * the pure-JVM [[Shapefile]] reader (the reference's dominant
+    * vector format, `vector_source_assets.py:195-347`), WKB feeds the
+    * same GFW-field derivation as s3/s4, and the oracle proves the
+    * round trip lossless against the source lattice. */
+  private def shpIngest(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.register(spark, sfDir)
+    graft.functions.GraftFunctions.install(spark)
+    val dir = java.nio.file.Paths.get(tmpDir("s5", sfDir))
+    java.nio.file.Files.createDirectories(dir)
+    val rows = spark.sql(
+      """SELECT c_custkey,
+        |  CAST(c_custkey % 720 AS DOUBLE) / 2.0 - 179.75 AS lon,
+        |  CAST(c_custkey % 340 AS DOUBLE) / 2.0 - 84.75 AS lat
+        |FROM customer WHERE c_custkey < 300 ORDER BY c_custkey""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+    writePointShapefile(rows, dir.resolve("pts"))
+    Shapefile.read(spark, dir.toString)
+      .selectExpr(
+        "custkey",
+        "st_x(geom) AS lon",
+        "st_y(geom) AS lat",
+        "st_asgeojson(geom) AS gfw_geojson",
+        "st_geostore_id(geom) AS gfw_geostore_id")
+  }
+
   /** S6: the `/features` serving path end-to-end — NDJSON GeoJSON
     * features ingested through the version-creation vector DAG
     * (`VersionCreation.createVector`, the code behind
@@ -147,6 +232,7 @@ object EtlQueries extends QueryModule {
     "s1_csv_ingest" -> ((s, d) => csvIngest(s, d)),
     "s3_vector_ingest" -> ((s, d) => vectorIngest(s, d)),
     "s4_wkb_csv_ingest" -> ((s, d) => wkbCsvIngest(s, d)),
+    "s5_shp_ingest" -> ((s, d) => shpIngest(s, d)),
     "s6_vector_features" -> ((s, d) => vectorFeatures(s, d)))
 
   override def oracles: Map[String, String] = Map(
@@ -170,6 +256,22 @@ object EtlQueries extends QueryModule {
     "s1_csv_ingest" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
     "s3_vector_ingest" ->
+      """WITH pts AS (
+        |  SELECT c_custkey AS custkey,
+        |    CAST(c_custkey % 720 AS DOUBLE) / 2.0 - 179.75 AS lon,
+        |    CAST(c_custkey % 340 AS DOUBLE) / 2.0 - 84.75 AS lat
+        |  FROM customer WHERE c_custkey < 300),
+        |j AS (SELECT custkey, lon, lat,
+        |  '{"type":"Point","coordinates":[' || lon::VARCHAR || ',' || lat::VARCHAR || ']}' AS gfw_geojson
+        |  FROM pts)
+        |SELECT custkey, lon, lat, gfw_geojson,
+        |  substr(md5(gfw_geojson), 1, 8) || '-' || substr(md5(gfw_geojson), 9, 4) || '-' ||
+        |  substr(md5(gfw_geojson), 13, 4) || '-' || substr(md5(gfw_geojson), 17, 4) || '-' ||
+        |  substr(md5(gfw_geojson), 21, 12) AS gfw_geostore_id
+        |FROM j""".stripMargin,
+    // the shapefile path lands on the same derived values — the
+    // .shp/.dbf byte round trip is lossless on IEEE doubles
+    "s5_shp_ingest" ->
       """WITH pts AS (
         |  SELECT c_custkey AS custkey,
         |    CAST(c_custkey % 720 AS DOUBLE) / 2.0 - 179.75 AS lon,

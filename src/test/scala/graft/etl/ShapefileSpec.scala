@@ -1,0 +1,110 @@
+package graft.etl
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Byte-level shapefile parsing: polygons with holes, null shapes,
+  * deleted dbf rows, and mixed attribute types — the cases the s5
+  * round-trip query (points only) does not reach. */
+class ShapefileSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "2")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** One polygon record (outer ring + hole), one null record. */
+  private def writePolyShp(path: java.nio.file.Path): Unit = {
+    val outer = Seq((0.0, 0.0), (0.0, 4.0), (4.0, 4.0), (4.0, 0.0), (0.0, 0.0))
+    val hole = Seq((1.0, 1.0), (2.0, 1.0), (2.0, 2.0), (1.0, 2.0), (1.0, 1.0))
+    val nPoints = outer.length + hole.length
+    val polyContent = 4 + 32 + 8 + 2 * 4 + nPoints * 16
+    val nullContent = 4
+    val len = 100 + (8 + polyContent) + (8 + nullContent)
+    val b = ByteBuffer.allocate(len)
+    b.order(ByteOrder.BIG_ENDIAN)
+    b.putInt(0, 9994)
+    b.putInt(24, len / 2)
+    b.order(ByteOrder.LITTLE_ENDIAN)
+    b.putInt(28, 1000)
+    b.putInt(32, 5)
+    // record 1: polygon
+    b.order(ByteOrder.BIG_ENDIAN)
+    b.putInt(100, 1); b.putInt(104, polyContent / 2)
+    b.order(ByteOrder.LITTLE_ENDIAN)
+    b.position(108)
+    b.putInt(5)
+    Seq(0.0, 0.0, 4.0, 4.0).foreach(b.putDouble) // bbox
+    b.putInt(2).putInt(nPoints)
+    b.putInt(0).putInt(outer.length) // part offsets
+    (outer ++ hole).foreach { case (x, y) => b.putDouble(x); b.putDouble(y) }
+    // record 2: null shape
+    val off2 = 108 + polyContent
+    b.order(ByteOrder.BIG_ENDIAN)
+    b.putInt(off2, 2); b.putInt(off2 + 4, nullContent / 2)
+    b.order(ByteOrder.LITTLE_ENDIAN)
+    b.putInt(off2 + 8, 0)
+    Files.write(path, b.array())
+  }
+
+  /** Two records — (id N, name C, score N-with-decimals); the second
+    * row is flagged deleted. */
+  private def writeDbf(path: java.nio.file.Path): Unit = {
+    val fields = Seq(("id", 'N', 10, 0), ("name", 'C', 8, 0), ("score", 'N', 8, 2))
+    val headerSize = 32 + 32 * fields.length + 1
+    val recSize = 1 + fields.map(_._3).sum
+    val b = ByteBuffer.allocate(headerSize + 2 * recSize + 1)
+    b.order(ByteOrder.LITTLE_ENDIAN)
+    b.put(0, 0x03.toByte)
+    b.putInt(4, 2)
+    b.putShort(8, headerSize.toShort)
+    b.putShort(10, recSize.toShort)
+    fields.zipWithIndex.foreach { case ((nm, t, ln, dec), i) =>
+      val o = 32 + 32 * i
+      nm.getBytes.zipWithIndex.foreach { case (c, j) => b.put(o + j, c) }
+      b.put(o + 11, t.toByte)
+      b.put(o + 16, ln.toByte)
+      b.put(o + 17, dec.toByte)
+    }
+    b.put(32 + 32 * fields.length, 0x0d.toByte)
+    def rec(off: Int, deleted: Boolean, id: String, name: String, score: String): Unit = {
+      b.put(off, if (deleted) '*'.toByte else ' '.toByte)
+      val payload = id.reverse.padTo(10, ' ').reverse + name.padTo(8, ' ') +
+        score.reverse.padTo(8, ' ').reverse
+      payload.zipWithIndex.foreach { case (c, j) => b.put(off + 1 + j, c.toByte) }
+    }
+    rec(headerSize, deleted = false, "42", "alpha", "3.50")
+    rec(headerSize + recSize, deleted = true, "43", "beta", "9.99")
+    b.put(headerSize + 2 * recSize, 0x1a.toByte)
+    Files.write(path, b.array())
+  }
+
+  test("polygon with hole, null shape, deleted row, typed dbf fields") {
+    val dir = Files.createTempDirectory("shpspec")
+    writePolyShp(dir.resolve("zone.shp"))
+    writeDbf(dir.resolve("zone.dbf"))
+    val df = Shapefile.read(spark, dir.toString)
+    assert(df.schema.fieldNames.toSeq ==
+      Seq("fid", "geom", "id", "name", "score"))
+    val rows = df.collect()
+    // the null shape carried the deleted dbf row — one surviving record
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getInt(0) == 1 && r.getLong(2) == 42L &&
+      r.getString(3) == "alpha" && r.getDouble(4) == 3.5)
+    graft.geo.Geom.fromWkb(r.getAs[Array[Byte]](1)) match {
+      case p: graft.geo.Polygon =>
+        assert(p.rings.length == 2)
+        assert(p.rings.head.length == 5 && p.rings(1).length == 5)
+        assert(p.rings.head.head == ((0.0, 0.0)))
+      case g => fail(s"expected Polygon, got $g")
+    }
+  }
+}
