@@ -36,6 +36,47 @@ class ScrutinizerSpec extends AnyFunSuite {
       """SELECT * FROM "test"."v.1.1.1"""")
   }
 
+  // --- dotted-version quoting edge forms (query_helpers.py:269-271,
+  // 360-380, 424-437): quote_ident doubles embedded quotes, aliases
+  // survive the rewrite (bare aliases gain AS), quoted/schema-qualified
+  // FROM targets are consumed whole, clause tails stay intact ---
+
+  test("dotted version preserves an AS alias") {
+    assert(ok("SELECT t.a FROM x AS t WHERE t.a > 1", "test", "v1.5") ==
+      """SELECT t.a FROM "test"."v1.5" AS t WHERE t.a > 1""")
+  }
+
+  test("bare alias gains AS in the rewritten FROM (reference alias_sql)") {
+    assert(ok("SELECT t.a FROM test_dataset.v2025 t WHERE t.a > 1") ==
+      "SELECT t.a FROM test_dataset.v2025 AS t WHERE t.a > 1")
+  }
+
+  test("quoted schema-qualified FROM target is consumed whole") {
+    // the reference docstring example (`query_helpers.py:404-407`)
+    assert(ok("""SELECT id FROM "mySchema".users WHERE active = true""") ==
+      "SELECT id FROM test_dataset.v2025 WHERE active = true")
+  }
+
+  test("embedded double quote in the version doubles (quote_ident)") {
+    assert(ok("SELECT * FROM x", "test", "v\"1.5") ==
+      "SELECT * FROM \"test\".\"v\"\"1.5\"")
+  }
+
+  test("dotted version with FETCH/FOR-style tails keeps the tail") {
+    assert(ok("SELECT * FROM x ORDER BY a OFFSET 5", "test", "v1.1.1") ==
+      """SELECT * FROM "test"."v1.1.1" ORDER BY a OFFSET 5""")
+  }
+
+  test("quoting triggers on the VERSION only (reference's condition)") {
+    // version carries a dot → both parts quote
+    assert(ok("SELECT * FROM x", "my.schema", "v1.5") ==
+      """SELECT * FROM "my.schema"."v1.5"""")
+    // version without a dot → unquoted, even with a dotted dataset
+    // (`query_helpers.py:374-377` branches on '.' in version alone)
+    assert(ok("SELECT * FROM x", "my.schema", "v2") ==
+      "SELECT * FROM my.schema.v2")
+  }
+
   test("only one statement allowed") {
     assert(err("SELECT * FROM test_dataset.v2025; select * from something_else")
       == "Must use exactly one SQL statement.")
