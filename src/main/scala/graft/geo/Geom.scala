@@ -434,8 +434,16 @@ object Geom {
     * 1×1-export's grid cells and zonal AOI quads are convex, so this
     * covers the reference's `ST_Intersection` uses (J3; general
     * concave×concave intersection is out of scope, documented). */
-  def clipToConvex(g: Geom, clip: Array[(Double, Double)]): Geom = {
-    val edges = clip.dropRight(1).zip(clip.dropRight(1).drop(1) :+ clip(0))
+  def clipToConvex(g: Geom, clip: Array[(Double, Double)]): Geom =
+    clipByEdges(g, clip.dropRight(1).zip(clip.dropRight(1).drop(1) :+ clip(0)))
+
+  /** Sutherland–Hodgman against an arbitrary half-plane intersection:
+    * each directed edge `(p1, p2)` keeps the points on/left of it. A
+    * closed convex ring's edge cycle reproduces [[clipToConvex]]; an
+    * OPEN edge set clips by an unbounded convex region (the tool the
+    * clip-hole subtraction builds its disjoint pieces from). */
+  private def clipByEdges(
+      g: Geom, edges: Array[((Double, Double), (Double, Double))]): Geom = {
     def inside(e: ((Double, Double), (Double, Double)), p: (Double, Double)): Boolean = {
       val ((x1, y1), (x2, y2)) = e
       (x2 - x1) * (p._2 - y1) - (y2 - y1) * (p._1 - x1) >= 0
@@ -575,41 +583,70 @@ object Geom {
     * is clipped by each, yielding a piece MultiPolygon (the
     * clip-by-convex-decomposition strategy; pieces share internal
     * edges but cover exactly A∩B, so area/containment semantics are
-    * exact). Holes are honored on the SUBJECT side (each hole ring
-    * clips alongside its outer); holes on the CLIP side are not
-    * supported and raise — the reference's own clip shapes (1×1 grid
-    * cells, `export_1x1_grid.py:309-345`) are rectangles. */
+    * exact). Holes are honored on BOTH sides: subject hole rings clip
+    * alongside their outer; clip holes subtract afterwards —
+    * `A ∩ (C \ H) = (A ∩ C_outer) \ H`, with each hole triangulated
+    * and every triangle removed through the disjoint angular-sweep
+    * decomposition of its complement ([[subtractTriangle]]). */
   def intersection(subject: Geom, clip: Geom): Geom = {
     val subjPolys = polygons(subject)
     val clipPolys = polygons(clip)
-    if (clipPolys.exists(_.length > 1))
-      throw new IllegalArgumentException(
-        "ST_Intersection: holes in the clip geometry are not supported")
     val pieces = Array.newBuilder[Array[Array[(Double, Double)]]]
     for (sp <- subjPolys; cp <- clipPolys) {
       val outer0 = cp(0)
       // clip ring must wind CCW for the SH inside-test
       val outer = if (signedArea2(outer0) < 0) outer0.reverse else outer0
       val subjPoly = Polygon(sp)
+      val against = Array.newBuilder[Array[Array[(Double, Double)]]]
       if (isConvexRing(outer)) {
         clipToConvex(subjPoly, outer) match {
-          case Polygon(rs) if rs.nonEmpty && rs(0).nonEmpty => pieces += rs
+          case Polygon(rs) if rs.nonEmpty && rs(0).nonEmpty => against += rs
           case _ => ()
         }
       } else {
         triangulate(outer).foreach { tri =>
           clipToConvex(subjPoly, tri) match {
             case Polygon(rs) if rs.nonEmpty && rs(0).nonEmpty &&
-              planarArea(rs) > 0 => pieces += rs
+              planarArea(rs) > 0 => against += rs
             case _ => ()
           }
         }
       }
+      // clip holes: subtract each hole triangle from every piece of
+      // THIS clip polygon (holes of one part never affect another's)
+      var cur = against.result()
+      cp.drop(1).foreach { hole0 =>
+        val hole = if (signedArea2(hole0) < 0) hole0.reverse else hole0
+        triangulate(hole).foreach { tri =>
+          cur = cur.flatMap(p => subtractTriangle(Polygon(p), tri))
+        }
+      }
+      pieces ++= cur
     }
     val ps = pieces.result()
     if (ps.isEmpty) Polygon(Array(Array.empty[(Double, Double)]))
     else if (ps.length == 1) Polygon(ps(0))
     else MultiPolygon(ps)
+  }
+
+  /** `piece \ tri` as DISJOINT pieces: for a CCW triangle with edges
+    * e₀e₁e₂, region i is (outside eᵢ) ∩ (inside e₀..eᵢ₋₁) — the
+    * standard angular-sweep decomposition of a convex complement. The
+    * regions partition the plane minus the triangle, so the emitted
+    * pieces are non-overlapping and their union is exactly the
+    * difference (area semantics stay exact). */
+  private def subtractTriangle(piece: Polygon,
+                               tri: Array[(Double, Double)])
+      : Seq[Array[Array[(Double, Double)]]] = {
+    val es = tri.dropRight(1).zip(tri.dropRight(1).drop(1) :+ tri(0))
+    (0 until es.length).flatMap { i =>
+      val region = (es(i)._2 -> es(i)._1) +: es.take(i) // flipped eᵢ first
+      clipByEdges(piece, region.toArray) match {
+        case Polygon(rs) if rs.nonEmpty && rs(0).nonEmpty &&
+          planarArea(rs) > 0 => Some(rs)
+        case _ => None
+      }
+    }
   }
 
   /** `ST_SnapToGrid(geom, size)`: round every coordinate to the

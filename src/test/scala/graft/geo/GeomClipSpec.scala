@@ -61,6 +61,34 @@ class GeomClipSpec extends AnyFunSuite {
     assert(math.abs(area(out) - 1.5) < 1e-12)
   }
 
+  test("holes in the CLIP geometry subtract exactly") {
+    val donutClip = Polygon(Array(
+      Array((0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 2.0), (0.0, 0.0)),
+      Array((0.5, 0.5), (1.5, 0.5), (1.5, 1.5), (0.5, 1.5), (0.5, 0.5))))
+    // subject covers the left half: keeps 1.0 of the outer minus 0.5
+    // of the hole
+    val subject = poly((0.0, 0.0), (1.0, 0.0), (1.0, 2.0), (0.0, 2.0))
+    val out = Geom.intersection(subject, donutClip)
+    assert(math.abs(area(out) - 1.5) < 1e-12, s"area ${area(out)}")
+    // subject strictly inside the hole → empty
+    val inHole = poly((0.7, 0.7), (1.3, 0.7), (1.3, 1.3), (0.7, 1.3))
+    assert(area(Geom.intersection(inHole, donutClip)) < 1e-12)
+    // concave subject × donut clip: both orders agree (subject holes
+    // and clip holes land on the same area)
+    val viaClipHole = Geom.intersection(lShape, donutClip)
+    val viaSubjHole = Geom.intersection(donutClip, lShape)
+    assert(math.abs(area(viaClipHole) - area(viaSubjHole)) < 1e-9,
+      s"${area(viaClipHole)} vs ${area(viaSubjHole)}")
+    assert(area(viaClipHole) > 0)
+    // CONCAVE hole in the clip: L-shaped hole punched from a square;
+    // subject = whole square → area is outer minus hole exactly
+    val concaveHole = Polygon(Array(
+      Array((-1.0, -1.0), (3.0, -1.0), (3.0, 3.0), (-1.0, 3.0), (-1.0, -1.0)),
+      lShape.rings(0)))
+    val whole = poly((-1.0, -1.0), (3.0, -1.0), (3.0, 3.0), (-1.0, 3.0))
+    assert(math.abs(area(Geom.intersection(whole, concaveHole)) - (16.0 - 1.0)) < 1e-9)
+  }
+
   test("grid cells partition a concave polygon (conservation over many cells)") {
     // L placed to straddle 9 cells with awkward offsets
     val shifted = Polygon(Array(lShape.rings(0).map { case (x, y) => (x - 0.87, y - 0.43) }))
