@@ -322,8 +322,113 @@ object TextQueries extends QueryModule {
          |  list_aggregate(sh.hs, 'min') AS min_shingle_hash,
          |  list_aggregate(sh.hs, 'max') AS max_shingle_hash,
          |  len(sh.hs) AS n_shingles
-         |FROM documents d JOIN sh ON sh.doc_id = d.doc_id""".stripMargin)
+         |FROM documents d JOIN sh ON sh.doc_id = d.doc_id""".stripMargin),
+
+    // T6: stratified corpus sampling — per-language quotas applied by
+    // a DETERMINISTIC content hash (`polyhash(lang:doc_id) % 100 <
+    // quota`), the reproducible corpus-mixing primitive: the same
+    // document lands in the same split on every run, on any cluster
+    // size, with no shared RNG state — a pure per-row predicate that
+    // scales as a scan filter.
+    SqlQ.split("t6_stratified_sample",
+      s"""SELECT doc_id, lang,
+         |  polyhash(concat(lang, ':', CAST(doc_id AS STRING))) % 100 AS bucket
+         |FROM documents
+         |WHERE polyhash(concat(lang, ':', CAST(doc_id AS STRING))) % 100 <
+         |  CASE lang WHEN 'en' THEN 35 WHEN 'de' THEN 70 WHEN 'es' THEN 70 ELSE 100 END""".stripMargin,
+      s"""WITH h AS (SELECT doc_id, lang,
+         |    list_reduce([ascii(c)::BIGINT for c in
+         |        string_split(lang || ':' || CAST(doc_id AS VARCHAR), '')],
+         |      (a,b) -> (a*131+b) % $P) % 100 AS bucket
+         |  FROM documents)
+         |SELECT doc_id, lang, bucket FROM h
+         |WHERE bucket < CASE lang WHEN 'en' THEN 35 WHEN 'de' THEN 70
+         |  WHEN 'es' THEN 70 ELSE 100 END""".stripMargin)
   )
+
+  /** D7: duplicate-cluster resolution — the dedup end-game: the
+    * verified near-dup PAIRS (d3's LSH → exact-Jaccard pipeline) form
+    * a graph whose connected components are the duplicate clusters; a
+    * real pipeline keeps one survivor per cluster, so the operator
+    * every pair-generator feeds is distributed connectivity.
+    *
+    * Spark side: min-label propagation to the fixed point — each
+    * round every node takes the min label among itself and its
+    * neighbors (one join + one groupBy per round). Converges in
+    * O(diameter) rounds (≤ O(log n) with doubling variants); the
+    * driver checks the changed-count each round, so the result is the
+    * exact component minimum regardless of round count. Nothing
+    * driver-side scales with the data — only the convergence counter.
+    *
+    * Oracle: the same pairs via the inverted-index formulation, then
+    * a recursive-CTE transitive closure and `min` over reachable
+    * nodes — a different algorithm arriving at the same fixed point,
+    * which is the point of the check. */
+  private def d7Query(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.register(spark, sfDir)
+    import org.apache.spark.sql.functions._
+    val pairs = spark.sql(
+      s"""$sparkShingles,
+         |$sparkSigs,
+         |band AS (SELECT doc_id, band,
+         |  ((((sg[band*3] * 131 + sg[band*3+1]) % $P) * 131) + sg[band*3+2]) % $P AS bh
+         |  FROM sigs LATERAL VIEW explode(sequence(0, 11)) t AS band),
+         |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+         |  FROM band a JOIN band b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
+         |SELECT i, j FROM cand
+         |  JOIN sh x ON x.doc_id = cand.i JOIN sh y ON y.doc_id = cand.j
+         |  WHERE CAST(size(array_intersect(x.hs, y.hs)) AS DOUBLE)
+         |        / (size(x.hs) + size(y.hs) - size(array_intersect(x.hs, y.hs))) >= 0.5""".stripMargin)
+    val edges = pairs.selectExpr("i AS a", "j AS b")
+      .union(pairs.selectExpr("j AS a", "i AS b")).persist()
+    var labels = edges.selectExpr("a AS doc_id").distinct()
+      .selectExpr("doc_id", "doc_id AS lbl").persist()
+    labels.count()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      rounds += 1
+      val prop = edges.join(labels, col("a") === col("doc_id"))
+        .groupBy(col("b")).agg(min(col("lbl")).as("nlbl"))
+      val next = labels.join(prop, col("doc_id") === col("b"), "left")
+        .selectExpr("doc_id", "least(lbl, coalesce(nlbl, lbl)) AS lbl")
+        .persist()
+      changed = next.as("n").join(labels.as("o"), "doc_id")
+        .where(col("n.lbl") =!= col("o.lbl")).count()
+      labels.unpersist()
+      labels = next
+    }
+    require(changed == 0, s"label propagation did not converge in $rounds rounds")
+    edges.unpersist()
+    labels.selectExpr("doc_id", "lbl AS cluster_id")
+      .withColumn("cluster_size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cluster_id"))))
+  }
+
+  private def d7Oracle: String =
+    s"""WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |sh AS (
+       |  SELECT doc_id, list_distinct([list_reduce(
+       |      [ascii(c)::BIGINT for c in string_split(w[i] || ' ' || w[i+1] || ' ' || w[i+2], '')],
+       |      (h,c) -> (h*131+c) % $P) for i in generate_series(1, len(w)-2)]) AS hs
+       |  FROM w WHERE len(w) >= 3),
+       |e AS (SELECT doc_id, unnest(hs) AS h FROM sh),
+       |cnt AS (SELECT doc_id, len(hs) AS n FROM sh),
+       |pr AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS shared
+       |  FROM e a JOIN e b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id),
+       |pairs AS (SELECT pr.i, pr.j
+       |  FROM pr JOIN cnt ca ON ca.doc_id = pr.i JOIN cnt cb ON cb.doc_id = pr.j
+       |  WHERE CAST(pr.shared AS DOUBLE) / (ca.n + cb.n - pr.shared) >= 0.5),
+       |bidir AS (SELECT i AS a, j AS b FROM pairs UNION SELECT j, i FROM pairs),
+       |reach(a, b) AS (SELECT a, b FROM bidir
+       |  UNION SELECT r.a, e2.b FROM reach r JOIN bidir e2 ON r.b = e2.a),
+       |cl AS (SELECT n.a AS doc_id, least(n.a, min(r.b)) AS cluster_id
+       |  FROM (SELECT DISTINCT a FROM bidir) n
+       |  JOIN reach r ON r.a = n.a GROUP BY n.a)
+       |SELECT doc_id, cluster_id,
+       |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+       |FROM cl""".stripMargin
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     sqls.map { q =>
@@ -331,8 +436,9 @@ object TextQueries extends QueryModule {
         Tables.register(spark, sfDir)
         spark.sql(q.sparkSql)
       })
-    }.toMap
+    }.toMap + ("d7_dup_clusters" -> (d7Query _))
 
   override def oracles: Map[String, String] =
-    sqls.flatMap(q => q.oracleSql.map(q.name -> _)).toMap
+    sqls.flatMap(q => q.oracleSql.map(q.name -> _)).toMap +
+      ("d7_dup_clusters" -> d7Oracle)
 }
