@@ -320,6 +320,60 @@ object GeoExpressions {
       copy(child = c)
   }
 
+  /** `ST_Force2D` (clip pipeline, `clip_and_reproject_geom.sh:26-38`):
+    * the engine's geometry model is 2-D, so this is the identity —
+    * registered so the reference's SQL runs unchanged. */
+  case class StForce2D(child: Expression) extends GeomUnary {
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "st_force2d"
+    override protected def nullSafeEval(a: Any): Any = a
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  /** `ST_Multi`: promote a Polygon to a single-part MultiPolygon
+    * (other types pass through, PostGIS semantics). */
+  case class StMulti(child: Expression) extends GeomUnary {
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "st_multi"
+    override protected def nullSafeEval(a: Any): Any =
+      Geom.toWkb(geom(a.asInstanceOf[Array[Byte]]) match {
+        case Polygon(rs) => MultiPolygon(Array(rs))
+        case g => g
+      })
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  /** `ST_CollectionExtract(geom, 3)` (1×1 export,
+    * `export_1x1_grid.py:309-345`): keep only the polygonal parts.
+    * Type codes follow PostGIS: 1 = points, 2 = lines, 3 = polygons. */
+  case class StCollectionExtract(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "st_collectionextract"
+    override protected def nullSafeEval(a: Any, t: Any): Any = {
+      val g = Geom.fromWkb(a.asInstanceOf[Array[Byte]])
+      val want = t.asInstanceOf[Number].intValue()
+      val out = (want, g) match {
+        case (3, p: Polygon) => p
+        case (3, m: MultiPolygon) => m
+        case (3, _) => Polygon(Array(Array.empty[(Double, Double)]))
+        case (2, l: LineString) => l
+        case (2, m: MultiLineString) => m
+        case (2, _) => MultiLineString(Array.empty)
+        case (1, p: Point) => p
+        case (1, m: MultiPoint) => m
+        case (1, _) => MultiPoint(Array.empty)
+        case _ => throw new IllegalArgumentException(
+          s"st_collectionextract: unsupported type code $want")
+      }
+      Geom.toWkb(out)
+    }
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): Expression = copy(left = l, right = r)
+  }
+
   /** RFC 4122 name-based UUID v5 (SHA-1) — the datamart resource-key
     * scheme (`uuid.uuid5(NAMESPACE_OID, f"{path}_{aoi}_{cc}_{dv}")`,
     * `app/routes/datamart/land.py:271-274`). First arg: namespace
@@ -403,6 +457,9 @@ object GeoFunctions {
     "st_area" -> (es => StAreaPlanar(es.head)),
     "st_snap_to_grid" -> (es => StSnapToGrid(es(0), es(1))),
     "st_makevalid" -> (es => StMakeValid(es.head)),
+    "st_force2d" -> (es => StForce2D(es.head)),
+    "st_multi" -> (es => StMulti(es.head)),
+    "st_collectionextract" -> (es => StCollectionExtract(es(0), es(1))),
     "st_makeenvelope" -> (es => StMakeEnvelope(es)),
     "uuid5" -> (es => Uuid5(es(0), es(1))))
 
