@@ -633,10 +633,18 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
         val assetType =
           if (opts.sourceType == "vector") cat.AssetType.GeoDatabaseTable
           else cat.AssetType.DatabaseTable
+        // vector versions that built the optional shapefile export
+        // register it, so /download/shp 307-redirects like the
+        // reference's prebuilt S3 artifacts
+        val exportShp = new java.io.File(s"$targetDir/export.shp")
+        val exports =
+          if (exportShp.exists()) Seq(cat.Asset(s"$dataset-$version-shp",
+            cat.AssetType.ShapefileExport, exportShp.getPath, isDefault = false))
+          else Nil
         catalog = catalog.withVersion(dataset, cat.Version(
           dataset, version, isLatest = opts.latest,
-          assets = Seq(cat.Asset(s"$dataset-$version-default",
-            assetType, targetDir, isDefault = true))))
+          assets = cat.Asset(s"$dataset-$version-default",
+            assetType, targetDir, isDefault = true) +: exports))
       }
       s"""{"dataset":"$dataset","version":"$version","status":"${if (ok) "saved" else "failed"}"}"""
     }

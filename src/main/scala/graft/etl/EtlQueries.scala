@@ -108,64 +108,15 @@ object EtlQueries extends QueryModule {
         "st_geostore_id(geom) AS gfw_geostore_id")
   }
 
-  /** Fixture writer for the S5 round trip: a Point shapefile
-    * (`.shp` + `.dbf`) of the customer lattice, written with the
-    * byte layout [[Shapefile]] parses (ESRI spec + dBase III). The
-    * feature count is bounded (custkey < 300) — this is the
-    * round-trip harness, not the ingest path. */
+  /** Fixture writer for the S5 round trip: a Point shapefile of the
+    * customer lattice via [[Shapefile.writePoints]] (the same writer
+    * the vector version export uses). Bounded (custkey < 300) — this
+    * is the round-trip harness, not the ingest path. */
   private def writePointShapefile(rows: Seq[(Long, Double, Double)],
-                                  base: java.nio.file.Path): Unit = {
-    import java.nio.{ByteBuffer, ByteOrder}
-    val n = rows.length
-    // .shp — header (100B) + n * (8B record header + 20B point)
-    val shpLen = 100 + n * 28
-    val shp = ByteBuffer.allocate(shpLen)
-    shp.order(ByteOrder.BIG_ENDIAN)
-    shp.putInt(0, 9994)
-    shp.putInt(24, shpLen / 2)
-    shp.order(ByteOrder.LITTLE_ENDIAN)
-    shp.putInt(28, 1000)
-    shp.putInt(32, 1) // Point
-    shp.putDouble(36, rows.map(_._2).min); shp.putDouble(44, rows.map(_._3).min)
-    shp.putDouble(52, rows.map(_._2).max); shp.putDouble(60, rows.map(_._3).max)
-    var off = 100
-    rows.zipWithIndex.foreach { case ((_, lon, lat), i) =>
-      shp.order(ByteOrder.BIG_ENDIAN)
-      shp.putInt(off, i + 1)
-      shp.putInt(off + 4, 10) // 20 content bytes = 10 words
-      shp.order(ByteOrder.LITTLE_ENDIAN)
-      shp.putInt(off + 8, 1)
-      shp.putDouble(off + 12, lon)
-      shp.putDouble(off + 20, lat)
-      off += 28
-    }
-    java.nio.file.Files.write(
-      base.resolveSibling(base.getFileName.toString + ".shp"), shp.array())
-    // .dbf — one N(18,0) field "custkey"
-    val fieldLen = 18
-    val headerSize = 32 + 32 + 1
-    val recSize = 1 + fieldLen
-    val dbf = ByteBuffer.allocate(headerSize + n * recSize + 1)
-    dbf.order(ByteOrder.LITTLE_ENDIAN)
-    dbf.put(0, 0x03.toByte)
-    dbf.putInt(4, n)
-    dbf.putShort(8, headerSize.toShort)
-    dbf.putShort(10, recSize.toShort)
-    val name = "custkey".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
-    (0 until name.length).foreach(i => dbf.put(32 + i, name(i)))
-    dbf.put(32 + 11, 'N'.toByte)
-    dbf.put(32 + 16, fieldLen.toByte)
-    dbf.put(64, 0x0d.toByte)
-    rows.zipWithIndex.foreach { case ((k, _, _), i) =>
-      val off = headerSize + i * recSize
-      dbf.put(off, ' '.toByte)
-      val txt = k.toString.reverse.padTo(fieldLen, ' ').reverse // right-justified
-      (0 until fieldLen).foreach(j => dbf.put(off + 1 + j, txt(j).toByte))
-    }
-    dbf.put(headerSize + n * recSize, 0x1a.toByte)
-    java.nio.file.Files.write(
-      base.resolveSibling(base.getFileName.toString + ".dbf"), dbf.array())
-  }
+                                  base: java.nio.file.Path): Unit =
+    Shapefile.writePoints(
+      rows.map(r => ((r._2, r._3), Seq[Any](r._1))),
+      Seq("custkey" -> LongType), base)
 
   /** S5: shapefile ingest — the `.shp`/`.dbf` pair round-trips through
     * the pure-JVM [[Shapefile]] reader (the reference's dominant

@@ -125,6 +125,88 @@ object Shapefile {
     }
   }
 
+  /** Write a Point shapefile (`<base>.shp` + `<base>.dbf`) — the
+    * export artifact the reference's batch jobs build with ogr2ogr
+    * (`static_vector_file_assets.py`; served by the 307 redirect of
+    * `downloads.py:264-348`). Attribute mapping: integral → `N(18,0)`,
+    * floating → `N(18,6)`, everything else → `C(64)`. Bounded use
+    * only — the caller caps the row count (exports are driver-built
+    * files, mirroring the reference's single-file artifacts). */
+  def writePoints(points: Seq[((Double, Double), Seq[Any])],
+                  fields: Seq[(String, DataType)],
+                  base: java.nio.file.Path): Unit = {
+    val n = points.length
+    require(n > 0, "cannot write an empty shapefile")
+    val shpLen = 100 + n * 28
+    val shp = ByteBuffer.allocate(shpLen)
+    shp.order(ByteOrder.BIG_ENDIAN)
+    shp.putInt(0, 9994)
+    shp.putInt(24, shpLen / 2)
+    shp.order(ByteOrder.LITTLE_ENDIAN)
+    shp.putInt(28, 1000)
+    shp.putInt(32, 1) // Point
+    shp.putDouble(36, points.map(_._1._1).min)
+    shp.putDouble(44, points.map(_._1._2).min)
+    shp.putDouble(52, points.map(_._1._1).max)
+    shp.putDouble(60, points.map(_._1._2).max)
+    var off = 100
+    points.zipWithIndex.foreach { case (((lon, lat), _), i) =>
+      shp.order(ByteOrder.BIG_ENDIAN)
+      shp.putInt(off, i + 1)
+      shp.putInt(off + 4, 10)
+      shp.order(ByteOrder.LITTLE_ENDIAN)
+      shp.putInt(off + 8, 1)
+      shp.putDouble(off + 12, lon)
+      shp.putDouble(off + 20, lat)
+      off += 28
+    }
+    java.nio.file.Files.write(
+      base.resolveSibling(base.getFileName.toString + ".shp"), shp.array())
+
+    def fieldSpec(t: DataType): (Char, Int, Int) = t match {
+      case LongType | IntegerType | ShortType => ('N', 18, 0)
+      case DoubleType | FloatType => ('N', 18, 6)
+      case _ => ('C', 64, 0)
+    }
+    val specs = fields.map { case (nm, t) => (nm, fieldSpec(t)) }
+    val headerSize = 32 + 32 * specs.length + 1
+    val recSize = 1 + specs.map(_._2._2).sum
+    val dbf = ByteBuffer.allocate(headerSize + n * recSize + 1)
+    dbf.order(ByteOrder.LITTLE_ENDIAN)
+    dbf.put(0, 0x03.toByte)
+    dbf.putInt(4, n)
+    dbf.putShort(8, headerSize.toShort)
+    dbf.putShort(10, recSize.toShort)
+    specs.zipWithIndex.foreach { case ((nm, (typ, len, dec)), i) =>
+      val o = 32 + 32 * i
+      val nameBytes = nm.take(10).getBytes(StandardCharsets.US_ASCII)
+      nameBytes.zipWithIndex.foreach { case (c, j) => dbf.put(o + j, c) }
+      dbf.put(o + 11, typ.toByte)
+      dbf.put(o + 16, len.toByte)
+      dbf.put(o + 17, dec.toByte)
+    }
+    dbf.put(32 + 32 * specs.length, 0x0d.toByte)
+    points.zipWithIndex.foreach { case ((_, attrs), i) =>
+      val off0 = headerSize + i * recSize
+      dbf.put(off0, ' '.toByte)
+      var p = off0 + 1
+      specs.zip(attrs).foreach { case ((_, (typ, len, dec)), v) =>
+        val txt = (typ, v) match {
+          case (_, null) => " " * len
+          case ('N', x) if dec == 0 => x.toString.reverse.padTo(len, ' ').reverse
+          case ('N', x) =>
+            f"${x.asInstanceOf[Number].doubleValue()}%.6f".reverse.padTo(len, ' ').reverse
+          case (_, x) => x.toString.take(len).padTo(len, ' ')
+        }
+        txt.take(len).zipWithIndex.foreach { case (c, j) => dbf.put(p + j, c.toByte) }
+        p += len
+      }
+    }
+    dbf.put(headerSize + n * recSize, 0x1a.toByte)
+    java.nio.file.Files.write(
+      base.resolveSibling(base.getFileName.toString + ".dbf"), dbf.array())
+  }
+
   /** Read every `<base>.shp` + `<base>.dbf` pair under `dir` into one
     * DataFrame: `fid` (1-based record number within its file), `geom`
     * (WKB), then the dbf attribute columns. */

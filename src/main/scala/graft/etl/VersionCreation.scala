@@ -257,6 +257,39 @@ object VersionCreation {
           Option(e.getMessage).getOrElse("register failed"))
     }
 
+    // export_shp: the static vector file artifact the download route
+    // 307-redirects to (`static_vector_file_assets.py` /
+    // `downloads.py:264-348`). Driver-built single file, so capped —
+    // larger versions simply skip the export (logged), like the
+    // reference skipping optional assets.
+    if (ok) try {
+      val exported = spark.read.parquet(targetDir)
+      val cnt = exported.count()
+      if (cnt > 0 && cnt <= ShpExportMaxRows) {
+        val attrCols = exported.schema.fields
+          .filterNot(f => Set("lon", "lat", "gfw_geojson").contains(f.name))
+        val rows = exported
+          .select(("lon" +: "lat" +: attrCols.map(_.name)).map(exported.col): _*)
+          .collect()
+          .map(r => ((r.getDouble(0), r.getDouble(1)),
+            (2 until r.length).map(r.get).toSeq)).toSeq
+        Shapefile.writePoints(rows,
+          attrCols.map(f => f.name -> f.dataType).toSeq,
+          java.nio.file.Paths.get(targetDir).resolve("export"))
+        log += ChangeLog("export_shp", "success", s"$targetDir/export.shp ($cnt features)")
+      } else
+        log += ChangeLog("export_shp", "success",
+          s"skipped (size $cnt outside (0, $ShpExportMaxRows])")
+    } catch {
+      case e: Exception =>
+        // export failure does not fail the version (optional artifact)
+        log += ChangeLog("export_shp", "failed",
+          Option(e.getMessage).getOrElse("export failed"))
+    }
+
     (log.result(), ok)
   }
+
+  /** Cap on driver-built shapefile exports (single-file artifact). */
+  val ShpExportMaxRows: Long = 100000L
 }

@@ -327,6 +327,18 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     val q = get("/dataset/vecds/v1/query/json?sql=" +
       java.net.URLEncoder.encode("SELECT count(*) AS cnt FROM data", "UTF-8"))
     assert(q.statusCode() == 200 && q.body().contains("\"cnt\":2"), q.body().take(300))
+    // the creation DAG built a real shapefile export; /download/shp
+    // 307-redirects to it and the artifact parses back losslessly
+    assert(vbody.contains("\"task\":\"export_shp\",\"status\":\"success\""), vbody.take(800))
+    val dl = get("/dataset/vecds/v1/download/shp")
+    assert(dl.statusCode() == 307, dl.body().take(200))
+    val loc = dl.headers().firstValue("Location").get
+    assert(loc.endsWith("export.shp"), loc)
+    assert(new java.io.File(loc).exists(), loc)
+    val parsed = graft.etl.Shapefile
+      .read(spark, new java.io.File(loc).getParent).collect()
+    assert(parsed.length == 2)
+    assert(parsed.map(_.getAs[Long]("pid")).sorted.toSeq == Seq(1L, 2L))
   }
 
   test("features point lookup: zoom radius table + out-of-range 400") {
