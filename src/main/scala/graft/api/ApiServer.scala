@@ -187,6 +187,7 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
   private val GeostoreGet = "^/geostore/([^/]+)$".r
   private val VersionRoot = "^/dataset/([^/]+)/([^/]+)$".r
   private val QueryBatch = "^/dataset/([^/]+)/([^/]+)/query/batch$".r
+  private val VersionAppend = "^/dataset/([^/]+)/([^/]+)/append$".r
 
   // ----------------------------------------------------------- auth gate
 
@@ -270,6 +271,7 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
         case ("GET", "/political/id-lookup") => idLookup(ex)
         case ("POST", "/auth/apikey") => apiKeyCreate(ex)
         case ("PUT", VersionRoot(d, v)) => versionPut(ex, d, v)
+        case ("POST", VersionAppend(d, v)) => versionAppend(ex, d, v)
         case ("GET", VersionRoot(d, v)) => versionGet(ex, d, v)
         case ("GET", "/analysis/zonal") => zonal(ex)
         case ("POST", "/analysis/zonal/batch") => zonalBatch(ex)
@@ -624,6 +626,7 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
       return respond(ex, 403, "application/json", Sinks.jsendError(
         s"Source URI outside the allowed data directories: $uri")) }
     versionRecords.put((dataset, version), ("pending", Nil))
+    versionOpts.put((dataset, version), opts)
     val targetDir =
       s"${sys.props("java.io.tmpdir")}/graft_versions/${dataset}_$version"
     val jobId = jobRegistry.submit { () =>
@@ -646,6 +649,58 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
           assets = cat.Asset(s"$dataset-$version-default",
             assetType, targetDir, isDefault = true) +: exports))
       }
+      s"""{"dataset":"$dataset","version":"$version","status":"${if (ok) "saved" else "failed"}"}"""
+    }
+    respond(ex, 202, "application/json",
+      s"""{"data":{"dataset":"$dataset","version":"$version","status":"pending","job_id":"$jobId"},"status":"success"}""")
+  }
+
+  /** Creation options of versions created through this server —
+    * `/append` re-runs load tasks with the original delimiter/schema/
+    * constraint settings (`table_source_assets.py:221-285`). */
+  private val versionOpts = scala.collection.concurrent.TrieMap
+    .empty[(String, String), graft.etl.VersionCreation.CreationOptions]
+
+  /** Append new source URIs to an existing created version
+    * (`POST /dataset/{d}/{v}/append`, `versions.py` append route):
+    * 202 + background job that re-runs ONLY the load tasks with the
+    * saved creation options — idempotent via the unique-constraint
+    * anti-join. */
+  private def versionAppend(ex: HttpExchange, dataset: String, version: String): Unit = {
+    import graft.etl.VersionCreation
+    writeGate(ex).foreach { case (code, body) =>
+      return respond(ex, code, "application/json", body) }
+    val opts = versionOpts.getOrElse((dataset, version),
+      return respond(ex, 404, "application/json", Sinks.jsendError(
+        s"Dataset version $dataset.$version not found or not appendable")))
+    if (opts.sourceType == "vector")
+      return respond(ex, 501, "application/json", Sinks.jsendError(
+        "Append is not implemented for vector versions"))
+    val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+    val uris = graft.geo.Json.parseObject(body).get("creation_options") match {
+      case Some(m: Map[_, _]) =>
+        m.asInstanceOf[Map[String, Any]].get("source_uri") match {
+          case Some(l: List[_]) => l.map(_.toString)
+          case Some(s: String) => Seq(s)
+          case _ => Nil
+        }
+      case _ => Nil
+    }
+    if (uris.isEmpty)
+      return respond(ex, 422, "application/json",
+        Sinks.jsendError("No source URI provided."))
+    uris.find(!sourceAllowed(_)).foreach { uri =>
+      return respond(ex, 403, "application/json", Sinks.jsendError(
+        s"Source URI outside the allowed data directories: $uri")) }
+    val targetDir =
+      s"${sys.props("java.io.tmpdir")}/graft_versions/${dataset}_$version"
+    val prior = versionRecords.get((dataset, version)).map(_._2).getOrElse(Nil)
+    versionRecords.put((dataset, version), ("pending", prior))
+    val jobId = jobRegistry.submit { () =>
+      val (log, ok) = VersionCreation.appendSources(
+        spark, dataset, version, opts, uris, targetDir)
+      versionRecords.put((dataset, version),
+        (if (ok) "saved" else "failed", prior ++ log))
       s"""{"dataset":"$dataset","version":"$version","status":"${if (ok) "saved" else "failed"}"}"""
     }
     respond(ex, 202, "application/json",

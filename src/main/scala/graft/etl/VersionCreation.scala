@@ -292,4 +292,58 @@ object VersionCreation {
 
   /** Cap on driver-built shapefile exports (single-file artifact). */
   val ShpExportMaxRows: Long = 100000L
+
+  /** The `/append` DAG (reference `table_source_assets.py:221-285` +
+    * `load_tabular_data.sh:59-73`): re-run ONLY the load tasks for the
+    * new source URIs against the existing table — read with the
+    * registered version's schema, `ON CONFLICT DO NOTHING` via a
+    * left-anti join on the unique constraint (idempotent: re-appending
+    * the same file adds zero rows), append-write, re-register. */
+  def appendSources(spark: SparkSession, dataset: String, version: String,
+                    opts: CreationOptions, newUris: Seq[String],
+                    targetDir: String): (Seq[ChangeLog], Boolean) = {
+    val log = Seq.newBuilder[ChangeLog]
+    var ok = true
+
+    var added: Long = -1
+    try {
+      val existing = spark.read.parquet(targetDir)
+      // resolve the new sources BY NAME against the registered schema
+      // (csv schema application is positional; appends must survive a
+      // different column order in the new files)
+      val raw = spark.read
+        .option("header", opts.header.toString).option("sep", opts.delimiter)
+        .option("inferSchema", "true")
+        .csv(newUris: _*)
+      var incoming: DataFrame = raw.select(existing.schema.fields.map(f =>
+        raw.col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+      if (opts.uniqueConstraintColumns.nonEmpty)
+        incoming = incoming
+          .dropDuplicates(opts.uniqueConstraintColumns)
+          .join(existing, opts.uniqueConstraintColumns, "left_anti")
+      added = incoming.count()
+      val w = incoming.write.mode("append")
+      opts.partitionColumn.fold(w)(c => w.partitionBy(c)).parquet(targetDir)
+      log += ChangeLog("load_data", "success",
+        s"appended $added new row(s) from ${newUris.length} source uri(s)")
+    } catch {
+      case e: Exception =>
+        ok = false
+        log += ChangeLog("load_data", "failed",
+          Option(e.getMessage).getOrElse("append failed"))
+    }
+
+    if (ok) try {
+      val view = viewName(dataset, version)
+      spark.read.parquet(targetDir).createOrReplaceTempView(view)
+      log += ChangeLog("register", "success", s"view $view refreshed (+$added)")
+    } catch {
+      case e: Exception =>
+        ok = false
+        log += ChangeLog("register", "failed",
+          Option(e.getMessage).getOrElse("register failed"))
+    }
+
+    (log.result(), ok)
+  }
 }

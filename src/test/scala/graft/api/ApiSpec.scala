@@ -430,6 +430,35 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
         "SELECT count(*) AS cnt, sum(id) AS id_sum FROM data", "UTF-8"))
     assert(q.statusCode() == 200, q.body().take(300))
     assert(q.body().contains("\"cnt\":3") && q.body().contains("\"id_sum\":6"))
+    // append: new source with one genuinely new row + one unique-key
+    // replay; only the new row lands, and the change log grows
+    java.nio.file.Files.writeString(src.resolve("part2.csv"),
+      "id,name,score\n3,gamma,30\n4,delta,40\n")
+    def postReq(path: String, b: String, hdrs: (String, String)*): HttpResponse[String] = {
+      val rb = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+        .POST(HttpRequest.BodyPublishers.ofString(b))
+      hdrs.foreach { case (k, v) => rb.header(k, v) }
+      client.send(rb.build(), HttpResponse.BodyHandlers.ofString())
+    }
+    val appendBody =
+      s"""{"creation_options": {"source_uri": ["file://${src.resolve("part2.csv")}"]}}"""
+    assert(postReq("/dataset/myds/v202608/append", appendBody).statusCode() == 401)
+    assert(postReq("/dataset/nosuch/v1/append", appendBody, admin).statusCode() == 404)
+    val app = postReq("/dataset/myds/v202608/append", appendBody, admin)
+    assert(app.statusCode() == 202, app.body().take(300))
+    status = "pending"; tries = 0
+    while (status == "pending" && tries < 120) {
+      Thread.sleep(250)
+      vbody = get("/dataset/myds/v202608").body()
+      status = "\"status\":\"(\\w+)\"".r.findFirstMatchIn(vbody).get.group(1)
+      tries += 1
+    }
+    assert(status == "saved" && vbody.contains("appended 1 new row(s)"), vbody.take(800))
+    val q2 = get("/dataset/myds/v202608/query/json?sql=" +
+      java.net.URLEncoder.encode(
+        "SELECT count(*) AS cnt, sum(id) AS id_sum FROM data", "UTF-8"))
+    assert(q2.body().contains("\"cnt\":4") && q2.body().contains("\"id_sum\":10"),
+      q2.body().take(300))
     // bad creation options → 422
     assert(putReq("/dataset/bad/v1", """{"creation_options": {}}""", admin)
       .statusCode() == 422)
