@@ -188,6 +188,7 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
   private val VersionRoot = "^/dataset/([^/]+)/([^/]+)$".r
   private val QueryBatch = "^/dataset/([^/]+)/([^/]+)/query/batch$".r
   private val VersionAppend = "^/dataset/([^/]+)/([^/]+)/append$".r
+  private val DatasetRoot = "^/dataset/([^/]+)$".r
 
   // ----------------------------------------------------------- auth gate
 
@@ -273,6 +274,13 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
         case ("PUT", VersionRoot(d, v)) => versionPut(ex, d, v)
         case ("POST", VersionAppend(d, v)) => versionAppend(ex, d, v)
         case ("GET", VersionRoot(d, v)) => versionGet(ex, d, v)
+        case ("PATCH", VersionRoot(d, v)) => versionPatch(ex, d, v)
+        case ("DELETE", VersionRoot(d, v)) => versionDelete(ex, d, v)
+        case ("GET", "/datasets") => datasetsList(ex)
+        case ("PUT", DatasetRoot(d)) => datasetPut(ex, d)
+        case ("GET", DatasetRoot(d)) => datasetGet(ex, d)
+        case ("PATCH", DatasetRoot(d)) => datasetPatch(ex, d)
+        case ("DELETE", DatasetRoot(d)) => datasetDelete(ex, d)
         case ("GET", "/analysis/zonal") => zonal(ex)
         case ("POST", "/analysis/zonal/batch") => zonalBatch(ex)
         case ("POST", QueryBatch(d, v)) => queryBatch(ex, d, v)
@@ -721,6 +729,165 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
     val latest = inCatalog.exists(_.isLatest)
     respond(ex, 200, "application/json",
       s"""{"data":{"dataset":"$dataset","version":"$version","status":"$status","is_latest":$latest,"change_log":[$log]},"status":"success"}""")
+  }
+
+  // ------------------------------------------------- dataset/version CRUD
+
+  /** JSEND body for one dataset record (`_dataset_response`,
+    * `dataset.py:190-…`: metadata + the version name list). */
+  private def datasetBody(d: cat.Dataset): String = {
+    val meta = d.metadata.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${graft.geo.Json.write(k)}:${graft.geo.Json.write(v)}" }
+      .mkString("{", ",", "}")
+    val versions = d.versions.map(v => graft.geo.Json.write(v.version))
+      .mkString("[", ",", "]")
+    s"""{"data":{"dataset":"${d.name}","metadata":$meta,"versions":$versions},"status":"success"}"""
+  }
+
+  private def metadataOf(obj: Map[String, Any]): Map[String, String] =
+    obj.get("metadata") match {
+      case Some(m: Map[_, _]) =>
+        m.asInstanceOf[Map[String, Any]].collect {
+          case (k, s: String) => k -> s
+          case (k, v) if v != null => k -> graft.geo.Json.write(v)
+        }
+      case _ => Map.empty
+    }
+
+  /** GET /datasets (`datasets.py` get_datasets): all dataset records. */
+  private def datasetsList(ex: HttpExchange): Unit = {
+    val items = catalog.datasets.sortBy(_.name).map { d =>
+      val versions = d.versions.map(v => graft.geo.Json.write(v.version))
+        .mkString("[", ",", "]")
+      s"""{"dataset":"${d.name}","versions":$versions}"""
+    }.mkString(",")
+    respond(ex, 200, "application/json", s"""{"data":[$items],"status":"success"}""")
+  }
+
+  /** PUT /dataset/{d} (`dataset.py:84-116`): create the metadata-only
+    * dataset record; 201, or 400 when the record already exists
+    * (reference RecordAlreadyExistsError). Requires a manager/admin. */
+  private def datasetPut(ex: HttpExchange, dataset: String): Unit = {
+    writeGate(ex).foreach { case (code, body) =>
+      return respond(ex, code, "application/json", body) }
+    if (catalog.dataset(dataset).isDefined || builtinDatasets.contains(dataset))
+      return respond(ex, 400, "application/json",
+        Sinks.jsendError(s"Dataset with name $dataset already exists"))
+    val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+    val meta = if (body.isBlank) Map.empty[String, String]
+               else metadataOf(graft.geo.Json.parseObject(body))
+    val created = catalogLock.synchronized {
+      catalog = catalog.withDataset(dataset, meta)
+      catalog.dataset(dataset).get
+    }
+    ex.getResponseHeaders.add("Location", s"/$dataset")
+    respond(ex, 201, "application/json", datasetBody(created))
+  }
+
+  /** GET /dataset/{d} (`dataset.py:61-75`). */
+  private def datasetGet(ex: HttpExchange, dataset: String): Unit =
+    catalog.dataset(dataset) match {
+      case None => respond(ex, 404, "application/json",
+        Sinks.jsendError(s"Dataset $dataset not found"))
+      case Some(d) => respond(ex, 200, "application/json", datasetBody(d))
+    }
+
+  /** PATCH /dataset/{d} (`dataset.py:125-148`): merge individual
+    * metadata fields without touching the rest. */
+  private def datasetPatch(ex: HttpExchange, dataset: String): Unit = {
+    writeGate(ex).foreach { case (code, body) =>
+      return respond(ex, code, "application/json", body) }
+    if (catalog.dataset(dataset).isEmpty)
+      return respond(ex, 404, "application/json",
+        Sinks.jsendError(s"Dataset $dataset not found"))
+    val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+    val patch = if (body.isBlank) Map.empty[String, String]
+                else metadataOf(graft.geo.Json.parseObject(body))
+    val updated = catalogLock.synchronized {
+      catalog = catalog.withDatasetMetadata(dataset, patch)
+      catalog.dataset(dataset).get
+    }
+    respond(ex, 200, "application/json", datasetBody(updated))
+  }
+
+  /** DELETE /dataset/{d} (`dataset.py:157-188`): only once no versions
+    * remain — 409 otherwise, word-for-word the reference detail. */
+  private def datasetDelete(ex: HttpExchange, dataset: String): Unit = {
+    writeGate(ex).foreach { case (code, body) =>
+      return respond(ex, code, "application/json", body) }
+    catalog.dataset(dataset) match {
+      case None => respond(ex, 404, "application/json",
+        Sinks.jsendError(s"Dataset $dataset not found"))
+      case Some(d) if d.versions.nonEmpty =>
+        respond(ex, 409, "application/json", Sinks.jsendError(
+          "There are versions registered with the dataset." +
+            "Delete all related versions prior to deleting a dataset"))
+      case Some(d) =>
+        catalogLock.synchronized { catalog = catalog.withoutDataset(dataset) }
+        respond(ex, 200, "application/json", datasetBody(d))
+    }
+  }
+
+  /** PATCH /dataset/{d}/{v} (`versions.py:154-199`): update the
+    * `latest` tag and/or downloadability of a version. */
+  private def versionPatch(ex: HttpExchange, dataset: String, version: String): Unit = {
+    writeGate(ex).foreach { case (code, body) =>
+      return respond(ex, code, "application/json", body) }
+    if (catalog.version(dataset, version).isEmpty)
+      return respond(ex, 404, "application/json",
+        Sinks.jsendError(s"Dataset version $dataset.$version not found"))
+    val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+    val obj = if (body.isBlank) Map.empty[String, Any]
+              else graft.geo.Json.parseObject(body)
+    val isLatest = obj.get("is_latest").collect { case b: Boolean => b }
+    val downloadable = obj.get("is_downloadable").collect { case b: Boolean => b }
+    catalogLock.synchronized {
+      catalog = catalog.withVersionPatched(dataset, version, v =>
+        v.copy(
+          isLatest = isLatest.getOrElse(v.isLatest),
+          isDownloadable = downloadable.getOrElse(v.isDownloadable)))
+    }
+    versionGet(ex, dataset, version)
+  }
+
+  /** DELETE /dataset/{d}/{v} (`versions.py:279-315`): refuse to delete
+    * a `latest` version while siblings exist (reference 409 detail);
+    * otherwise drop the version, its registered view, and its managed
+    * assets (the background `delete_all_assets`). Builtin lake tables
+    * are not deletable — they are the test fixture, not managed
+    * assets. */
+  private def versionDelete(ex: HttpExchange, dataset: String, version: String): Unit = {
+    writeGate(ex).foreach { case (code, body) =>
+      return respond(ex, code, "application/json", body) }
+    if (builtinDatasets.contains(dataset))
+      return respond(ex, 409, "application/json", Sinks.jsendError(
+        s"Dataset $dataset conflicts with a pre-registered table"))
+    catalog.version(dataset, version) match {
+      case None => respond(ex, 404, "application/json",
+        Sinks.jsendError(s"Dataset version $dataset.$version not found"))
+      case Some(v) =>
+        val siblings = catalog.dataset(dataset).map(_.versions.length).getOrElse(0)
+        if (v.isLatest && siblings > 1)
+          return respond(ex, 409, "application/json", Sinks.jsendError(
+            "Deletion failed." +
+              "You can only delete a version tagged as `latest` if no other version of the same dataset exists." +
+              "Change `latest` version, or delete all other versions first."))
+        catalogLock.synchronized { catalog = catalog.withoutVersion(dataset, version) }
+        versionRecords.remove((dataset, version))
+        versionOpts.remove((dataset, version))
+        // delete_all_assets: the registered view + the version's files
+        spark.catalog.dropTempView(
+          graft.etl.VersionCreation.viewName(dataset, version))
+        val targetDir = java.nio.file.Paths.get(
+          s"${sys.props("java.io.tmpdir")}/graft_versions/${dataset}_$version")
+        if (java.nio.file.Files.exists(targetDir)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(targetDir).iterator().asScala.toSeq
+            .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+        respond(ex, 200, "application/json",
+          s"""{"data":{"dataset":"$dataset","version":"$version","status":"deleted"},"status":"success"}""")
+    }
   }
 
   /** API-key creation (`POST /auth/apikey`): 201 with the new key.

@@ -54,7 +54,11 @@ final case class Version(
   def defaultAsset: Option[Asset] = assets.find(_.isDefault)
 }
 
-final case class Dataset(name: String, versions: Seq[Version])
+/** Dataset record: name + versions + the free-form metadata document
+  * the reference keeps on `ORMDataset` (`app/models/orm/datasets.py` —
+  * title, source, license, …; PATCH merges individual fields). */
+final case class Dataset(name: String, versions: Seq[Version],
+                         metadata: Map[String, String] = Map.empty)
 
 final class Catalog(val datasets: Seq[Dataset]) {
 
@@ -70,9 +74,62 @@ final class Catalog(val datasets: Seq[Dataset]) {
     val newVersions = existing.map(_.versions).getOrElse(Nil)
       .filterNot(_.version == version.version)
       .map(v => if (version.isLatest) v.copy(isLatest = false) else v) :+ version
-    val d = Dataset(dataset, newVersions)
+    val d = Dataset(dataset, newVersions,
+      existing.map(_.metadata).getOrElse(Map.empty))
     new Catalog(datasets.filterNot(_.name == dataset) :+ d)
   }
+
+  /** Upsert a bare dataset record (PUT /dataset/{d},
+    * `dataset.py:84-116` — a dataset is "largely a metadata concept";
+    * versions attach later). */
+  def withDataset(name: String, metadata: Map[String, String]): Catalog = {
+    val existing = byName.get(name)
+    val d = Dataset(name, existing.map(_.versions).getOrElse(Nil), metadata)
+    new Catalog(datasets.filterNot(_.name == name) :+ d)
+  }
+
+  /** Merge metadata fields into a dataset record (PATCH semantics:
+    * "individual fields of the metadata can be modified, without
+    * affecting other existing fields", `dataset.py:125-148`). */
+  def withDatasetMetadata(name: String, patch: Map[String, String]): Catalog =
+    byName.get(name) match {
+      case None => this
+      case Some(d) => new Catalog(datasets.filterNot(_.name == name) :+
+        d.copy(metadata = d.metadata ++ patch))
+    }
+
+  /** Drop a dataset record entirely (DELETE /dataset/{d}; the caller
+    * enforces the no-versions-left 409, `dataset.py:157-188`). */
+  def withoutDataset(name: String): Catalog =
+    new Catalog(datasets.filterNot(_.name == name))
+
+  /** Drop one version (DELETE /dataset/{d}/{v}; the caller enforces
+    * the latest-tag conflict rule, `versions.py:279-315`). */
+  def withoutVersion(dataset: String, version: String): Catalog =
+    byName.get(dataset) match {
+      case None => this
+      case Some(d) => new Catalog(datasets.filterNot(_.name == dataset) :+
+        d.copy(versions = d.versions.filterNot(_.version == version)))
+    }
+
+  /** Apply a partial update to one version (PATCH /dataset/{d}/{v},
+    * `versions.py:154-199`). When the patch sets `is_latest`, sibling
+    * versions lose the flag (crud latest handling). */
+  def withVersionPatched(dataset: String, version: String,
+                         f: Version => Version): Catalog =
+    byName.get(dataset) match {
+      case None => this
+      case Some(d) =>
+        d.versions.find(_.version == version) match {
+          case None => this
+          case Some(v) =>
+            val patched = f(v)
+            val others = d.versions.filterNot(_.version == version).map(o =>
+              if (patched.isLatest) o.copy(isLatest = false) else o)
+            new Catalog(datasets.filterNot(_.name == dataset) :+
+              d.copy(versions = others :+ patched))
+        }
+    }
 
   def dataset(name: String): Option[Dataset] = byName.get(name)
 

@@ -581,6 +581,85 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(none.body().contains("not implemented for the given dataset"))
   }
 
+  test("dataset CRUD: PUT/GET/PATCH/DELETE with reference status codes") {
+    def req(method: String, path: String, body: String,
+            hdrs: (String, String)*): HttpResponse[String] = {
+      val rb = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+        .method(method, HttpRequest.BodyPublishers.ofString(body))
+      hdrs.foreach { case (k, v) => rb.header(k, v) }
+      client.send(rb.build(), HttpResponse.BodyHandlers.ofString())
+    }
+    val admin = "Authorization" -> "Bearer test-admin"
+    // writes are gated (reference get_manager / get_owner)
+    assert(req("PUT", "/dataset/crudds", "{}").statusCode() == 401)
+    // create: 201 + Location header + metadata round-trip
+    val created = req("PUT", "/dataset/crudds",
+      """{"metadata": {"title": "Crud DS", "license": "MIT"}}""", admin)
+    assert(created.statusCode() == 201, created.body().take(300))
+    assert(created.headers().firstValue("Location").get == "/crudds")
+    assert(created.body().contains("\"title\":\"Crud DS\""))
+    // duplicate create → 400 (RecordAlreadyExistsError)
+    assert(req("PUT", "/dataset/crudds", "{}", admin).statusCode() == 400)
+    assert(req("PUT", "/dataset/nation", "{}", admin).statusCode() == 400)
+    // GET: record visible, listed in /datasets
+    val got = get("/dataset/crudds")
+    assert(got.statusCode() == 200 && got.body().contains("\"license\":\"MIT\""))
+    assert(get("/datasets").body().contains("\"dataset\":\"crudds\""))
+    assert(get("/dataset/nosuchds").statusCode() == 404)
+    // PATCH merges individual metadata fields, leaves the rest
+    val patched = req("PATCH", "/dataset/crudds",
+      """{"metadata": {"license": "CC-BY-4.0"}}""", admin)
+    assert(patched.statusCode() == 200, patched.body().take(300))
+    assert(patched.body().contains("\"license\":\"CC-BY-4.0\"") &&
+      patched.body().contains("\"title\":\"Crud DS\""))
+    // attach a version, then dataset DELETE must 409 until it is gone
+    val src = java.nio.file.Files.createTempDirectory("crudsrc")
+    java.nio.file.Files.writeString(src.resolve("a.csv"), "id,v\n1,x\n2,y\n")
+    val put = req("PUT", "/dataset/crudds/v1",
+      s"""{"creation_options": {"source_uri": ["file://${src.resolve("a.csv")}"]}}""",
+      admin)
+    assert(put.statusCode() == 202, put.body().take(300))
+    var tries = 0
+    while (tries < 120 && {
+      val b = get("/dataset/crudds/v1").body()
+      b.contains("\"status\":\"pending\"")
+    }) { Thread.sleep(250); tries += 1 }
+    assert(get("/dataset/crudds/v1").body().contains("\"status\":\"saved\""))
+    assert(get("/dataset/crudds").body().contains("\"versions\":[\"v1\"]"))
+    val delBlocked = req("DELETE", "/dataset/crudds", "", admin)
+    assert(delBlocked.statusCode() == 409 &&
+      delBlocked.body().contains("versions registered"), delBlocked.body().take(300))
+    // PATCH version: drop the latest tag, then flip it back
+    val unlatest = req("PATCH", "/dataset/crudds/v1",
+      """{"is_latest": false}""", admin)
+    assert(unlatest.statusCode() == 200 &&
+      unlatest.body().contains("\"is_latest\":false"), unlatest.body().take(300))
+    assert(req("PATCH", "/dataset/crudds/v1", """{"is_latest": true}""", admin)
+      .body().contains("\"is_latest\":true"))
+    assert(req("PATCH", "/dataset/crudds/nosuch", "{}", admin).statusCode() == 404)
+    // version DELETE: latest-with-siblings 409 rule
+    val put2 = req("PUT", "/dataset/crudds/v2",
+      s"""{"creation_options": {"source_uri": ["file://${src.resolve("a.csv")}"],
+         |  "latest": true}}""".stripMargin, admin)
+    assert(put2.statusCode() == 202)
+    tries = 0
+    while (tries < 120 && get("/dataset/crudds/v2").body().contains("pending")) {
+      Thread.sleep(250); tries += 1
+    }
+    val delLatest = req("DELETE", "/dataset/crudds/v2", "", admin)
+    assert(delLatest.statusCode() == 409 &&
+      delLatest.body().contains("tagged as `latest`"), delLatest.body().take(300))
+    // non-latest deletes fine; then the (only, latest) one deletes too
+    assert(req("DELETE", "/dataset/crudds/v1", "", admin).statusCode() == 200)
+    assert(get("/dataset/crudds/v1").statusCode() == 404)
+    assert(req("DELETE", "/dataset/crudds/v2", "", admin).statusCode() == 200)
+    // builtin lake versions are not deletable
+    assert(req("DELETE", "/dataset/nation/v1", "", admin).statusCode() == 409)
+    // with all versions gone the dataset record deletes
+    assert(req("DELETE", "/dataset/crudds", "", admin).statusCode() == 200)
+    assert(get("/dataset/crudds").statusCode() == 404)
+  }
+
   test("geostore create + fetch round-trip with content-addressed id") {
     val gj = """{"type":"Polygon","coordinates":[[[0,0],[10,0],[10,10],[0,10],[0,0]]]}"""
     val created = post("/geostore", gj)
