@@ -155,11 +155,16 @@ object TextQueries extends QueryModule {
       s"""WITH g AS (SELECT doc_id, array_distinct(ngram_hashes(text, 5)) AS hs
          |  FROM documents WHERE length(text) >= 5),
          |e AS (SELECT doc_id, explode(hs) AS h FROM g),
-         |df AS (SELECT h FROM e GROUP BY h HAVING count(*) <= 25),
-         |ef AS (SELECT e.doc_id, e.h FROM e JOIN df ON e.h = df.h),
-         |cnt AS (SELECT doc_id, count(*) AS n FROM ef GROUP BY doc_id),
-         |pr AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS shared
-         |  FROM ef a JOIN ef b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id)
+         |grp AS (SELECT h, sort_array(collect_list(doc_id)) AS ds
+         |  FROM e GROUP BY h HAVING size(ds) <= 25),
+         |cnt AS (SELECT doc_id, count(*) AS n
+         |  FROM (SELECT explode(ds) AS doc_id FROM grp) GROUP BY doc_id),
+         |pr AS (SELECT i, j, count(*) AS shared FROM (
+         |    SELECT x.i, y.j FROM grp
+         |    LATERAL VIEW posexplode(ds) x AS pi, i
+         |    LATERAL VIEW posexplode(ds) y AS pj, j
+         |    WHERE x.pi < y.pj)
+         |  GROUP BY i, j)
          |SELECT pr.i AS doc_id_a, pr.j AS doc_id_b,
          |  CAST(pr.shared AS DOUBLE) / (ca.n + cb.n - pr.shared) AS jaccard
          |FROM pr JOIN cnt ca ON ca.doc_id = pr.i JOIN cnt cb ON cb.doc_id = pr.j
@@ -379,27 +384,41 @@ object TextQueries extends QueryModule {
          |  JOIN sh x ON x.doc_id = cand.i JOIN sh y ON y.doc_id = cand.j
          |  WHERE CAST(size(array_intersect(x.hs, y.hs)) AS DOUBLE)
          |        / (size(x.hs) + size(y.hs) - size(array_intersect(x.hs, y.hs))) >= 0.5""".stripMargin)
+    // Iterative fixed points on DataFrames need lineage TRUNCATION,
+    // not just caching: `persist` keeps the full logical plan, and a
+    // loop whose round references its own output twice doubles the
+    // plan tree per round — Catalyst analysis time explodes long
+    // before the data does. Eager `localCheckpoint` materializes to
+    // executor-local storage and cuts the plan (what GraphX does for
+    // Pregel loops); each round then analyzes a constant-size plan.
     val edges = pairs.selectExpr("i AS a", "j AS b")
-      .union(pairs.selectExpr("j AS a", "i AS b")).persist()
+      .union(pairs.selectExpr("j AS a", "i AS b")).localCheckpoint()
     var labels = edges.selectExpr("a AS doc_id").distinct()
-      .selectExpr("doc_id", "doc_id AS lbl").persist()
-    labels.count()
+      .selectExpr("doc_id", "doc_id AS lbl").localCheckpoint()
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 50) {
       rounds += 1
+      // neighbor-min pass: every node takes the min label on its edges
       val prop = edges.join(labels, col("a") === col("doc_id"))
         .groupBy(col("b")).agg(min(col("lbl")).as("nlbl"))
-      val next = labels.join(prop, col("doc_id") === col("b"), "left")
+      val stepped = labels.join(prop, col("doc_id") === col("b"), "left")
         .selectExpr("doc_id", "least(lbl, coalesce(nlbl, lbl)) AS lbl")
-        .persist()
+      // pointer-jump pass (lbl := lbl(lbl)): labels always point at a
+      // node of the same component with a ≤ id, so composing the
+      // pointer doubles the reach — chain-shaped clusters converge in
+      // O(log diameter) rounds instead of O(diameter) (each round is
+      // a fixed number of Spark jobs, so round count IS the runtime
+      // at small data, and the depth bound at 100 TB).
+      val parents = stepped.selectExpr("doc_id AS p_id", "lbl AS p_lbl")
+      val next = stepped.join(parents, col("lbl") === col("p_id"), "left")
+        .selectExpr("doc_id", "coalesce(p_lbl, lbl) AS lbl")
+        .localCheckpoint()
       changed = next.as("n").join(labels.as("o"), "doc_id")
         .where(col("n.lbl") =!= col("o.lbl")).count()
-      labels.unpersist()
       labels = next
     }
     require(changed == 0, s"label propagation did not converge in $rounds rounds")
-    edges.unpersist()
     labels.selectExpr("doc_id", "lbl AS cluster_id")
       .withColumn("cluster_size",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
