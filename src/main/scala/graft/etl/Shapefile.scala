@@ -162,7 +162,66 @@ object Shapefile {
     }
     java.nio.file.Files.write(
       base.resolveSibling(base.getFileName.toString + ".shp"), shp.array())
+    writeDbf(points.map(_._2), fields, base)
+  }
 
+  /** Write a Polygon shapefile: each record is one feature's rings
+    * (a MultiPolygon's rings flatten into one type-5 record — the
+    * shapefile model has no separate multipolygon type; readers
+    * reassemble nesting from ring orientation). Rings are written as
+    * given — the round-trip through [[read]] preserves coordinates
+    * exactly (IEEE doubles, no snapping). */
+  def writePolygons(polys: Seq[(Array[Array[(Double, Double)]], Seq[Any])],
+                    fields: Seq[(String, DataType)],
+                    base: java.nio.file.Path): Unit = {
+    val n = polys.length
+    require(n > 0, "cannot write an empty shapefile")
+    require(polys.forall(_._1.nonEmpty), "each polygon needs at least one ring")
+    def contentBytes(rings: Array[Array[(Double, Double)]]): Int =
+      4 + 32 + 4 + 4 + 4 * rings.length + 16 * rings.map(_.length).sum
+    val shpLen = 100 + polys.map { case (r, _) => 8 + contentBytes(r) }.sum
+    val shp = ByteBuffer.allocate(shpLen)
+    shp.order(ByteOrder.BIG_ENDIAN)
+    shp.putInt(0, 9994)
+    shp.putInt(24, shpLen / 2)
+    shp.order(ByteOrder.LITTLE_ENDIAN)
+    shp.putInt(28, 1000)
+    shp.putInt(32, 5) // Polygon
+    val flat = polys.flatMap(_._1.toSeq).flatten
+    shp.putDouble(36, flat.map(_._1).min)
+    shp.putDouble(44, flat.map(_._2).min)
+    shp.putDouble(52, flat.map(_._1).max)
+    shp.putDouble(60, flat.map(_._2).max)
+    var off = 100
+    polys.zipWithIndex.foreach { case ((rings, _), i) =>
+      val content = contentBytes(rings)
+      shp.order(ByteOrder.BIG_ENDIAN)
+      shp.putInt(off, i + 1)
+      shp.putInt(off + 4, content / 2)
+      shp.order(ByteOrder.LITTLE_ENDIAN)
+      shp.position(off + 8)
+      shp.putInt(5)
+      val pts = rings.flatten
+      shp.putDouble(pts.map(_._1).min).putDouble(pts.map(_._2).min)
+      shp.putDouble(pts.map(_._1).max).putDouble(pts.map(_._2).max)
+      shp.putInt(rings.length).putInt(pts.length)
+      var start = 0
+      rings.foreach { r => shp.putInt(start); start += r.length }
+      rings.foreach(_.foreach { case (x, y) => shp.putDouble(x).putDouble(y) })
+      off += 8 + content
+    }
+    java.nio.file.Files.write(
+      base.resolveSibling(base.getFileName.toString + ".shp"), shp.array())
+    writeDbf(polys.map(_._2), fields, base)
+  }
+
+  /** Write the `<base>.dbf` attribute table (dBase III; shared by the
+    * point and polygon writers). Attribute mapping: integral →
+    * `N(18,0)`, floating → `N(18,6)`, everything else → `C(64)`. */
+  private def writeDbf(records: Seq[Seq[Any]],
+                       fields: Seq[(String, DataType)],
+                       base: java.nio.file.Path): Unit = {
+    val n = records.length
     def fieldSpec(t: DataType): (Char, Int, Int) = t match {
       case LongType | IntegerType | ShortType => ('N', 18, 0)
       case DoubleType | FloatType => ('N', 18, 6)
@@ -186,7 +245,7 @@ object Shapefile {
       dbf.put(o + 17, dec.toByte)
     }
     dbf.put(32 + 32 * specs.length, 0x0d.toByte)
-    points.zipWithIndex.foreach { case ((_, attrs), i) =>
+    records.zipWithIndex.foreach { case (attrs, i) =>
       val off0 = headerSize + i * recSize
       dbf.put(off0, ' '.toByte)
       var p = off0 + 1

@@ -269,14 +269,38 @@ object VersionCreation {
         val attrCols = exported.schema.fields
           .filterNot(f => Set("lon", "lat", "gfw_geojson").contains(f.name))
         val rows = exported
-          .select(("lon" +: "lat" +: attrCols.map(_.name)).map(exported.col): _*)
+          .select(("gfw_geojson" +: attrCols.map(_.name)).map(exported.col): _*)
           .collect()
-          .map(r => ((r.getDouble(0), r.getDouble(1)),
-            (2 until r.length).map(r.get).toSeq)).toSeq
-        Shapefile.writePoints(rows,
-          attrCols.map(f => f.name -> f.dataType).toSeq,
-          java.nio.file.Paths.get(targetDir).resolve("export"))
-        log += ChangeLog("export_shp", "success", s"$targetDir/export.shp ($cnt features)")
+          .map(r => (graft.geo.Geom.fromGeoJson(r.getString(0)),
+            (1 until r.length).map(r.get).toSeq)).toSeq
+        val base = java.nio.file.Paths.get(targetDir).resolve("export")
+        val fieldSpecs = attrCols.map(f => f.name -> f.dataType).toSeq
+        // one geometry type per shapefile (format rule): points write a
+        // type-1 file, (multi)polygons a type-5 file, a mixed version
+        // skips the optional artifact
+        val geomKinds = rows.map {
+          case (_: graft.geo.Point, _) => "point"
+          case (_: graft.geo.Polygon, _) | (_: graft.geo.MultiPolygon, _) => "polygon"
+          case _ => "other"
+        }.distinct
+        geomKinds match {
+          case Seq("point") =>
+            Shapefile.writePoints(rows.map {
+              case (p: graft.geo.Point, attrs) => ((p.x, p.y), attrs)
+              case other => throw new MatchError(other)
+            }, fieldSpecs, base)
+            log += ChangeLog("export_shp", "success", s"$targetDir/export.shp ($cnt features)")
+          case Seq("polygon") =>
+            Shapefile.writePolygons(rows.map {
+              case (p: graft.geo.Polygon, attrs) => (p.rings, attrs)
+              case (m: graft.geo.MultiPolygon, attrs) => (m.polys.flatten, attrs)
+              case other => throw new MatchError(other)
+            }, fieldSpecs, base)
+            log += ChangeLog("export_shp", "success", s"$targetDir/export.shp ($cnt features)")
+          case kinds =>
+            log += ChangeLog("export_shp", "success",
+              s"skipped (geometry kinds ${kinds.mkString("/")} not shapefile-exportable)")
+        }
       } else
         log += ChangeLog("export_shp", "success",
           s"skipped (size $cnt outside (0, $ShpExportMaxRows])")

@@ -107,4 +107,67 @@ class ShapefileSpec extends AnyFunSuite with BeforeAndAfterAll {
       case g => fail(s"expected Polygon, got $g")
     }
   }
+
+  test("polygon writer round-trips rings, holes, and attributes") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("shpwr")
+    val outer = Array((0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0))
+    val hole = Array((1.0, 1.0), (1.0, 2.0), (2.0, 2.0), (2.0, 1.0), (1.0, 1.0))
+    val tri = Array((10.0, 10.0), (12.0, 10.0), (11.0, 12.0), (10.0, 10.0))
+    Shapefile.writePolygons(
+      Seq((Array(outer, hole), Seq(1L, "donut")), (Array(tri), Seq(2L, "tri"))),
+      Seq("id" -> LongType, "name" -> StringType),
+      dir.resolve("polys"))
+    val rows = Shapefile.read(spark, dir.toString)
+      .collect().sortBy(_.getInt(0))
+    assert(rows.length == 2)
+    val donut = graft.geo.Geom.fromWkb(rows(0).getAs[Array[Byte]](1))
+      .asInstanceOf[graft.geo.Polygon]
+    assert(donut.rings.length == 2 &&
+      donut.rings(0).toSeq == outer.toSeq && donut.rings(1).toSeq == hole.toSeq)
+    assert(rows(0).getLong(2) == 1L && rows(0).getString(3) == "donut")
+    val triBack = graft.geo.Geom.fromWkb(rows(1).getAs[Array[Byte]](1))
+      .asInstanceOf[graft.geo.Polygon]
+    assert(triBack.rings.length == 1 && triBack.rings(0).toSeq == tri.toSeq)
+  }
+
+  test("property: random point and polygon shapefiles round-trip exactly") {
+    import org.apache.spark.sql.types._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val genCoord: Gen[(Double, Double)] = for {
+      x <- Gen.chooseNum(-179.0, 179.0); y <- Gen.chooseNum(-85.0, 85.0)
+    } yield (x, y)
+    val genRing: Gen[Array[(Double, Double)]] = for {
+      n <- Gen.chooseNum(3, 9); pts <- Gen.listOfN(n, genCoord)
+    } yield (pts :+ pts.head).toArray
+    val genRings: Gen[Array[Array[(Double, Double)]]] =
+      Gen.chooseNum(1, 3).flatMap(k => Gen.listOfN(k, genRing)).map(_.toArray)
+
+    val pointProp = Prop.forAll(Gen.nonEmptyListOf(genCoord)) { pts =>
+      val dir = Files.createTempDirectory("shpp")
+      Shapefile.writePoints(
+        pts.zipWithIndex.map { case (c, i) => (c, Seq(i.toLong)) },
+        Seq("id" -> LongType), dir.resolve("pts"))
+      val back = Shapefile.read(spark, dir.toString).collect()
+        .sortBy(_.getLong(2))
+        .map(r => graft.geo.Geom.fromWkb(r.getAs[Array[Byte]](1)))
+        .collect { case graft.geo.Point(x, y) => (x, y) }
+      back.toSeq == pts
+    }
+    val polyProp = Prop.forAll(Gen.nonEmptyListOf(genRings)) { polys =>
+      val dir = Files.createTempDirectory("shpq")
+      Shapefile.writePolygons(
+        polys.zipWithIndex.map { case (r, i) => (r, Seq(i.toLong)) },
+        Seq("id" -> LongType), dir.resolve("polys"))
+      val back = Shapefile.read(spark, dir.toString).collect()
+        .sortBy(_.getLong(2))
+        .map(r => graft.geo.Geom.fromWkb(r.getAs[Array[Byte]](1))
+          .asInstanceOf[graft.geo.Polygon].rings.map(_.toSeq).toSeq)
+      back.toSeq == polys.map(_.map(_.toSeq).toSeq)
+    }
+    for ((name, p) <- Seq("points" -> pointProp, "polys" -> polyProp)) {
+      val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(25), p)
+      assert(r.passed, s"$name: ${r.status}")
+    }
+  }
 }
