@@ -680,11 +680,84 @@ object Geom {
     }
   }
 
-  /** `ST_MakeValid`-lite for areal inputs: close open rings, drop
-    * degenerate (< 4 point / zero-area) rings, and normalize winding
+  /** Strictly-interior crossing point of segments a-b and c-d, with
+    * the parameters along each (t on a-b, u on c-d). */
+  private def segCrossPoint(a: (Double, Double), b: (Double, Double),
+                            c: (Double, Double), d: (Double, Double))
+      : Option[(Double, Double, (Double, Double))] = {
+    val rX = b._1 - a._1; val rY = b._2 - a._2
+    val sX = d._1 - c._1; val sY = d._2 - c._2
+    val denom = rX * sY - rY * sX
+    if (denom == 0) return None
+    val t = ((c._1 - a._1) * sY - (c._2 - a._2) * sX) / denom
+    val u = ((c._1 - a._1) * rY - (c._2 - a._2) * rX) / denom
+    val eps = 1e-12
+    if (t <= eps || t >= 1 - eps || u <= eps || u >= 1 - eps) None
+    else Some((t, u, (a._1 + t * rX, a._2 + t * rY)))
+  }
+
+  /** Node-split a closed ring at its self-intersection crossings and
+    * return the simple sub-rings (the "bowtie" lobes): insert every
+    * crossing point into the vertex walk (the SAME coordinate pair on
+    * both segments, so equality holds exactly), then extract a cycle
+    * each time the walk revisits a point. A ring with no crossings
+    * returns unchanged. O(n²) crossing scan — rings at this layer are
+    * API-supplied AOIs, not bulk data. */
+  private def splitAtNodes(ring: Array[(Double, Double)])
+      : Seq[Array[(Double, Double)]] = {
+    val n = ring.length - 1 // closed
+    val per = Array.fill(n)(List.empty[(Double, (Double, Double))])
+    var found = false
+    var i = 0
+    while (i < n) {
+      var j = i + 2
+      while (j < n) {
+        if (!(i == 0 && j == n - 1)) {
+          segCrossPoint(ring(i), ring(i + 1), ring(j), ring(j + 1)).foreach {
+            case (t, u, p) =>
+              per(i) ::= (t, p)
+              per(j) ::= (u, p)
+              found = true
+          }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (!found) return Seq(ring)
+    val noded = Array.newBuilder[(Double, Double)]
+    i = 0
+    while (i < n) {
+      noded += ring(i)
+      per(i).sortBy(_._1).foreach { case (_, p) => noded += p }
+      i += 1
+    }
+    val pts = noded.result()
+    val out = Seq.newBuilder[Array[(Double, Double)]]
+    val path = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    val posOf = scala.collection.mutable.HashMap.empty[(Double, Double), Int]
+    for (p <- pts.toSeq :+ pts.head) posOf.get(p) match {
+      case Some(k) =>
+        val cycle = (path.slice(k, path.length) :+ p).toArray
+        if (cycle.length >= 4 && math.abs(signedArea2(cycle)) > 0) out += cycle
+        while (path.length > k) { posOf.remove(path.last); path.remove(path.length - 1) }
+        posOf(p) = path.length
+        path += p
+      case None =>
+        posOf(p) = path.length
+        path += p
+    }
+    out.result()
+  }
+
+  /** `ST_MakeValid` for areal inputs: close open rings, drop
+    * degenerate (< 4 point / zero-area) rings, normalize winding
     * (outer CCW, holes CW — the OGC orientation the exporters
-    * assume). Self-intersection repair by node-splitting is out of
-    * scope (documented divergence; the reference delegates to GEOS). */
+    * assume), and repair self-intersecting rings by node-splitting —
+    * a bowtie outer ring becomes the multipolygon of its lobes, a
+    * bowtie hole splits into the holes it encloses (what PostGIS
+    * observably returns for these inputs). Holes attach to the lobe
+    * containing them. */
   def makeValid(g: Geom): Geom = {
     def fixRing(r0: Array[(Double, Double)], hole: Boolean): Array[(Double, Double)] = {
       var r = r0
@@ -693,17 +766,40 @@ object Geom {
       val ccw = signedArea2(r) > 0
       if (hole == ccw) r.reverse else r
     }
-    def fixPoly(rs: Array[Array[(Double, Double)]]): Array[Array[(Double, Double)]] = {
-      val fixed = rs.zipWithIndex.map { case (r, i) => fixRing(r, hole = i > 0) }
-      if (fixed.isEmpty || fixed(0).isEmpty) Array.empty
-      else fixed.filter(_.nonEmpty)
+    // close a ring without judging its area — a bowtie's SIGNED area
+    // is zero (lobes cancel) even though its lobes are real, so the
+    // degeneracy check must come after node-splitting
+    def closeRing(r0: Array[(Double, Double)]): Array[(Double, Double)] = {
+      val r = if (r0.length > 1 && r0.head != r0.last) r0 :+ r0.head else r0
+      if (r.length < 4) Array.empty else r
+    }
+    // each input polygon → one or more simple polygons (lobes + holes)
+    def fixPoly(rs: Array[Array[(Double, Double)]])
+        : Seq[Array[Array[(Double, Double)]]] = {
+      val outer0 = closeRing(rs.headOption.getOrElse(Array.empty))
+      if (outer0.isEmpty) return Nil
+      val lobes = splitAtNodes(outer0).map(r => fixRing(r, hole = false))
+        .filter(_.nonEmpty)
+      val holes = rs.drop(1).map(closeRing).filter(_.nonEmpty)
+        .flatMap(splitAtNodes).map(r => fixRing(r, hole = true))
+        .filter(_.nonEmpty)
+      lobes.map { o =>
+        val inside = holes.filter { h =>
+          val (hx, hy) = h.head
+          pointInPolygon(hx, hy, Array(o))
+        }
+        o +: inside.toArray
+      }
     }
     g match {
       case Polygon(rs) =>
-        val f = fixPoly(rs)
-        Polygon(if (f.isEmpty) Array(Array.empty[(Double, Double)]) else f)
+        fixPoly(rs) match {
+          case Nil => Polygon(Array(Array.empty[(Double, Double)]))
+          case Seq(one) => Polygon(one)
+          case many => MultiPolygon(many.toArray)
+        }
       case MultiPolygon(ps) =>
-        MultiPolygon(ps.map(fixPoly).filter(_.nonEmpty))
+        MultiPolygon(ps.toSeq.flatMap(fixPoly).toArray)
       case other => other
     }
   }

@@ -143,4 +143,44 @@ class GeomClipSpec extends AnyFunSuite {
     assert(Geom.signedArea2(fixed(1)) < 0)  // hole CW
     assert(math.abs(Geom.planarArea(fixed) - 3.0) < 1e-12)
   }
+
+  test("makeValid splits a bowtie into its lobes (node-splitting)") {
+    // figure-eight: crosses itself at (1,1); PostGIS returns the
+    // MULTIPOLYGON of the two triangular lobes, total area 2·(1/2·2·1)
+    val bowtie = Polygon(Array(
+      Array((0.0, 0.0), (2.0, 2.0), (2.0, 0.0), (0.0, 2.0), (0.0, 0.0))))
+    val fixed = Geom.makeValid(bowtie) match {
+      case MultiPolygon(ps) => ps
+      case g => fail(s"expected MultiPolygon, got $g")
+    }
+    assert(fixed.length == 2)
+    fixed.foreach { rings =>
+      assert(rings.length == 1)
+      assert(Geom.signedArea2(rings(0)) > 0) // each lobe simple + CCW
+      assert(rings(0).contains((1.0, 1.0)))  // split at the crossing node
+    }
+    val total = fixed.map(Geom.planarArea).sum
+    assert(math.abs(total - 2.0) < 1e-12, s"area $total")
+    // a valid polygon still passes through untouched
+    val ok = Polygon(Array(
+      Array((0.0, 0.0), (3.0, 0.0), (3.0, 3.0), (0.0, 3.0), (0.0, 0.0))))
+    assert(Geom.makeValid(ok).isInstanceOf[Polygon])
+  }
+
+  test("makeValid keeps holes with the lobe that contains them") {
+    // bowtie whose left lobe carries a small hole
+    val poly = Polygon(Array(
+      Array((0.0, 0.0), (4.0, 4.0), (4.0, 0.0), (0.0, 4.0), (0.0, 0.0)),
+      Array((0.4, 1.8), (0.4, 2.2), (0.8, 2.2), (0.8, 1.8), (0.4, 1.8))))
+    val fixed = Geom.makeValid(poly) match {
+      case MultiPolygon(ps) => ps
+      case g => fail(s"expected MultiPolygon, got $g")
+    }
+    assert(fixed.length == 2)
+    val withHole = fixed.filter(_.length == 2)
+    assert(withHole.length == 1, fixed.map(_.length).mkString(","))
+    assert(Geom.signedArea2(withHole.head(1)) < 0)
+    val totalArea = fixed.map(Geom.planarArea).sum
+    assert(math.abs(totalArea - (8.0 - 0.16)) < 1e-9, s"area $totalArea")
+  }
 }
