@@ -76,6 +76,41 @@ object ZonalEngine {
     RasterSql.execute(lake, cq, aoiGeoJson, env)
   }
 
+  /** Streaming twin of the batch pixel-listing path (`rs7`/`rs10`
+    * shape): the same compiled listing query applied to a FILE STREAM
+    * over the tile lake — new tile files (an alert drop landing in
+    * the lake) emit their in-AOI pixel rows exactly once, in append
+    * mode. Listing is stateless per tile, so each micro-batch runs
+    * the identical fused [[PixelList]] pass with no streaming state;
+    * the `tile_id` pruning filter applies to the file source exactly
+    * as it does to the batch scan. Aggregating queries and
+    * ORDER BY / LIMIT are rejected — no global order or final
+    * aggregate exists on an unbounded stream (a windowed variant is
+    * [[graft.streaming.AlertStream.windowedCounts]]'s territory). */
+  def runSqlStream(spark: SparkSession, catalog: graft.catalog.Catalog,
+                   dataset: String, userSql: String, aoiGeoJson: String,
+                   overrides: Map[String, String] = Map.empty,
+                   lakeDirOverride: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val geom = requireAreal(aoiGeoJson)
+    val (env, cq) = compileFor(catalog, dataset, userSql, overrides)
+    if (!cq.listing)
+      throw RasterSqlException(
+        "Streaming raster queries must be pixel listings (no aggregates)")
+    if (cq.orderBy.nonEmpty || cq.limit.nonEmpty)
+      throw RasterSqlException(
+        "ORDER BY / LIMIT are not available on a streaming listing")
+    graft.functions.GraftFunctions.install(spark)
+    TileLake.ensureLake(spark, env.lakeDir)
+    val bb = geom.bbox
+    val ids = TileLake.tileIdsForBbox(env.grid, bb._1, bb._2, bb._3, bb._4)
+    val schema = spark.read.parquet(env.lakeDir).schema
+    val lake = spark.readStream.schema(schema)
+      .parquet(lakeDirOverride.getOrElse(env.lakeDir))
+      .where(col("tile_id").isin(ids: _*))
+    RasterSql.execute(lake, cq, aoiGeoJson, env)
+  }
+
   /** The batch form of the user-SQL raster path (`POST
     * /dataset/{d}/{v}/query/batch`, `queries.py:280-430`): the SAME
     * compiled query runs over every feature as ONE Spark job — a
