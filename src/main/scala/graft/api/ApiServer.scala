@@ -189,6 +189,8 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
   private val QueryBatch = "^/dataset/([^/]+)/([^/]+)/query/batch$".r
   private val VersionAppend = "^/dataset/([^/]+)/([^/]+)/append$".r
   private val DatasetRoot = "^/dataset/([^/]+)$".r
+  private val AssetsR = "^/dataset/([^/]+)/([^/]+)/assets$".r
+  private val ChangeLogR = "^/dataset/([^/]+)/([^/]+)/change_log$".r
 
   // ----------------------------------------------------------- auth gate
 
@@ -273,6 +275,8 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
         case ("POST", "/auth/apikey") => apiKeyCreate(ex)
         case ("PUT", VersionRoot(d, v)) => versionPut(ex, d, v)
         case ("POST", VersionAppend(d, v)) => versionAppend(ex, d, v)
+        case ("GET", AssetsR(d, v)) => versionAssets(ex, d, v)
+        case ("GET", ChangeLogR(d, v)) => versionChangeLog(ex, d, v)
         case ("GET", VersionRoot(d, v)) => versionGet(ex, d, v)
         case ("PATCH", VersionRoot(d, v)) => versionPatch(ex, d, v)
         case ("DELETE", VersionRoot(d, v)) => versionDelete(ex, d, v)
@@ -713,6 +717,35 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
     }
     respond(ex, 202, "application/json",
       s"""{"data":{"dataset":"$dataset","version":"$version","status":"pending","job_id":"$jobId"},"status":"success"}""")
+  }
+
+  /** GET /dataset/{d}/{v}/assets (`versions.py` + `asset.py` asset
+    * listing): every asset record of the version — the default
+    * database table plus derived exports. */
+  private def versionAssets(ex: HttpExchange, dataset: String, version: String): Unit =
+    catalog.version(dataset, version) match {
+      case None => respond(ex, 404, "application/json",
+        Sinks.jsendError(s"Dataset version $dataset.$version not found"))
+      case Some(v) =>
+        val items = v.assets.map { a =>
+          s"""{"asset_id":"${a.assetId}","asset_type":${graft.geo.Json.write(a.assetType)},""" +
+            s""""asset_uri":${graft.geo.Json.write(a.assetUri)},"is_default":${a.isDefault},""" +
+            s""""status":"${a.status}"}"""
+        }.mkString(",")
+        respond(ex, 200, "application/json", s"""{"data":[$items],"status":"success"}""")
+    }
+
+  /** GET /dataset/{d}/{v}/change_log (`versions.py:317-330`): the
+    * creation DAG's task log on its own. */
+  private def versionChangeLog(ex: HttpExchange, dataset: String, version: String): Unit = {
+    val record = versionRecords.get((dataset, version))
+    if (record.isEmpty && catalog.version(dataset, version).isEmpty)
+      return respond(ex, 404, "application/json",
+        Sinks.jsendError(s"Dataset version $dataset.$version not found"))
+    val log = record.map(_._2).getOrElse(Nil).map { c =>
+      s"""{"task":"${c.task}","status":"${c.status}","detail":${graft.geo.Json.write(c.detail)}}"""
+    }.mkString(",")
+    respond(ex, 200, "application/json", s"""{"data":[$log],"status":"success"}""")
   }
 
   /** Version metadata + change log (`GET /dataset/{d}/{v}`). */

@@ -348,7 +348,36 @@ object TextQueries extends QueryModule {
          |  FROM documents)
          |SELECT doc_id, lang, bucket FROM h
          |WHERE bucket < CASE lang WHEN 'en' THEN 35 WHEN 'de' THEN 70
-         |  WHEN 'es' THEN 70 ELSE 100 END""".stripMargin)
+         |  WHEN 'es' THEN 70 ELSE 100 END""".stripMargin),
+
+    // T7: benchmark decontamination — flag corpus documents sharing
+    // any 4-word shingle with a held-out "benchmark" subset (doc_id %
+    // 10 = 0 stands in for the eval suite). The at-scale shape is the
+    // whole point: the benchmark side is tiny relative to the corpus
+    // (MBs of eval data vs TBs of training text), so its distinct
+    // shingle hashes BROADCAST and the corpus side never shuffles —
+    // decontamination costs one scan. Hits count the distinct
+    // contaminated shingles per document (the triage signal real
+    // pipelines sort by).
+    SqlQ.split("t7_decontaminate",
+      s"""WITH g AS (SELECT doc_id, array_distinct(shingle_hashes(text, 4)) AS hs
+         |  FROM documents WHERE size(split(text, ' ')) >= 4),
+         |bh AS (SELECT DISTINCT explode(hs) AS h FROM g WHERE doc_id % 10 = 0),
+         |corpus AS (SELECT doc_id, explode(hs) AS h FROM g WHERE doc_id % 10 != 0)
+         |SELECT corpus.doc_id, count(*) AS contaminated_grams
+         |FROM corpus JOIN bh ON corpus.h = bh.h
+         |GROUP BY corpus.doc_id""".stripMargin,
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |g AS (SELECT doc_id, list_distinct([list_reduce(
+         |    [ascii(c)::BIGINT for c in string_split(
+         |       w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3], '')],
+         |    (h,c) -> (h*131+c) % $P) for i in generate_series(1, len(w)-3)]) AS hs
+         |  FROM w WHERE len(w) >= 4),
+         |bh AS (SELECT DISTINCT unnest(hs) AS h FROM g WHERE doc_id % 10 = 0),
+         |corpus AS (SELECT doc_id, unnest(hs) AS h FROM g WHERE doc_id % 10 != 0)
+         |SELECT corpus.doc_id, count(*) AS contaminated_grams
+         |FROM corpus JOIN bh ON corpus.h = bh.h
+         |GROUP BY corpus.doc_id""".stripMargin)
   )
 
   /** D7: duplicate-cluster resolution — the dedup end-game: the

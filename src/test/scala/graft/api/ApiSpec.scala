@@ -341,6 +341,42 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(parsed.map(_.getAs[Long]("pid")).sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("polygon vector version builds a type-5 shapefile export") {
+    val src = java.nio.file.Files.createTempDirectory("polysrc")
+    java.nio.file.Files.writeString(src.resolve("p.ndjson"),
+      """{"type":"Feature","geometry":{"type":"Polygon","coordinates":[[[0,0],[3,0],[3,3],[0,3],[0,0]],[[1,1],[1,2],[2,2],[2,1],[1,1]]]},"properties":{"zone":10}}
+        |{"type":"Feature","geometry":{"type":"Polygon","coordinates":[[[10,10],[12,10],[11,12],[10,10]]]},"properties":{"zone":20}}
+        |""".stripMargin)
+    val body =
+      s"""{"creation_options": {"source_uri": ["file://${src.resolve("p.ndjson")}"],
+         |  "source_type": "vector"}}""".stripMargin
+    val put = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/dataset/polyds/v1"))
+        .header("Authorization", "Bearer test-admin")
+        .PUT(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(put.statusCode() == 202, put.body().take(300))
+    var vbody = ""
+    var tries = 0
+    while (tries < 120 && { vbody = get("/dataset/polyds/v1").body()
+      vbody.contains("\"status\":\"pending\"") }) { Thread.sleep(250); tries += 1 }
+    assert(vbody.contains("\"status\":\"saved\""), vbody.take(500))
+    assert(vbody.contains("\"task\":\"export_shp\",\"status\":\"success\""), vbody.take(800))
+    val dl = get("/dataset/polyds/v1/download/shp")
+    assert(dl.statusCode() == 307, dl.body().take(200))
+    val loc = dl.headers().firstValue("Location").get
+    val parsed = graft.etl.Shapefile
+      .read(spark, new java.io.File(loc).getParent).collect()
+      .sortBy(_.getAs[Long]("zone"))
+    assert(parsed.length == 2)
+    val donut = graft.geo.Geom.fromWkb(parsed(0).getAs[Array[Byte]]("geom"))
+      .asInstanceOf[graft.geo.Polygon]
+    assert(donut.rings.length == 2 && donut.rings(0).length == 5)
+    val tri = graft.geo.Geom.fromWkb(parsed(1).getAs[Array[Byte]]("geom"))
+      .asInstanceOf[graft.geo.Polygon]
+    assert(tri.rings.length == 1 && tri.rings(0).length == 4)
+  }
+
   test("features point lookup: zoom radius table + out-of-range 400") {
     // customer lattice point for c_custkey=1: lon -179.25, lat -84.25
     val hit = get("/dataset/customer/v1/features?lat=-84.25&lng=-179.25&z=0")
@@ -658,6 +694,18 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     // with all versions gone the dataset record deletes
     assert(req("DELETE", "/dataset/crudds", "", admin).statusCode() == 200)
     assert(get("/dataset/crudds").statusCode() == 404)
+  }
+
+  test("assets and change_log routes") {
+    val a = get("/dataset/region/v1/assets")
+    assert(a.statusCode() == 200, a.body().take(200))
+    assert(a.body().contains("\"asset_type\":\"Database table\"") &&
+      a.body().contains("\"is_default\":true"))
+    assert(a.body().contains("ESRI Shapefile")) // region's export assets
+    assert(get("/dataset/nosuch/v1/assets").statusCode() == 404)
+    val cl = get("/dataset/region/v1/change_log")
+    assert(cl.statusCode() == 200 && cl.body().contains("\"data\":["))
+    assert(get("/dataset/nosuch/v1/change_log").statusCode() == 404)
   }
 
   test("geostore create + fetch round-trip with content-addressed id") {
