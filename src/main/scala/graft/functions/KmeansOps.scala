@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -25,7 +25,7 @@ object KmeansOps
   * flat primitive arrays once per (plan, thread) — the per-row cost is
   * the k×dim dot products alone. */
 case class KmArgmax(first: Expression, second: Expression, third: Expression)
-    extends TernaryExpression with CodegenFallback {
+    extends TernaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
     (first.dataType, second.dataType, third.dataType) match {
@@ -62,9 +62,15 @@ case class KmArgmax(first: Expression, second: Expression, third: Expression)
     (ids, flat, nrms, dim)
   }
 
-  override protected def nullSafeEval(vAny: Any, nAny: Any, cAny: Any): Any = {
-    val v = vAny.asInstanceOf[ArrayData].toDoubleArray()
-    val nrm = nAny.asInstanceOf[Double]
+  override protected def nullSafeEval(vAny: Any, nAny: Any, cAny: Any): Any =
+    evalArgmax(vAny.asInstanceOf[ArrayData], nAny.asInstanceOf[Double])
+
+  /** Called from both the interpreted path and the generated code —
+    * the hoisted centroid matrix lives on this instance, which codegen
+    * reaches through `addReferenceObj` (keeping the whole-stage span
+    * intact; the k×dim loop gains nothing from being inlined). */
+  def evalArgmax(vAny: ArrayData, nrm: Double): Long = {
+    val v = vAny.toDoubleArray()
     val (ids, flat, nrms, dim) = hoisted
     val k = ids.length
     var bestC = -1L
@@ -82,6 +88,11 @@ case class KmArgmax(first: Expression, second: Expression, third: Expression)
     bestC
   }
 
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("kmArgmax", this, classOf[KmArgmax].getName)
+    nullSafeCodeGen(ctx, ev, (v, n, _) => s"${ev.value} = $ref.evalArgmax($v, $n);")
+  }
+
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): KmArgmax =
     copy(first = f, second = s, third = t)
@@ -94,7 +105,7 @@ case class KmArgmax(first: Expression, second: Expression, third: Expression)
   * `aggregate(arr, zeros, zip_with(+))` / `transform(/cnt)` HOF pair it
   * replaces, so results are bit-identical. */
 case class VecOrderedMean(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -108,9 +119,20 @@ case class VecOrderedMean(left: Expression, right: Expression)
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "vec_ordered_mean"
 
-  override protected def nullSafeEval(aAny: Any, cntAny: Any): Any = {
-    val arr = aAny.asInstanceOf[ArrayData]
-    val cnt = cntAny.asInstanceOf[Long].toDouble
+  override protected def nullSafeEval(aAny: Any, cntAny: Any): Any =
+    VecOrderedMean.compute(aAny.asInstanceOf[ArrayData], cntAny.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, c) =>
+      s"graft.functions.VecOrderedMean.compute($a, $c)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecOrderedMean =
+    copy(left = l, right = r)
+}
+
+object VecOrderedMean {
+  def compute(arr: ArrayData, cntL: Long): ArrayData = {
+    val cnt = cntL.toDouble
     val n = arr.numElements()
     if (n == 0) return new GenericArrayData(Array.empty[Double])
     val first = arr.getStruct(0, 2).getArray(1)
@@ -127,7 +149,4 @@ case class VecOrderedMean(left: Expression, right: Expression)
     while (j < dim) { sum(j) /= cnt; j += 1 }
     new GenericArrayData(sum)
   }
-
-  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecOrderedMean =
-    copy(left = l, right = r)
 }

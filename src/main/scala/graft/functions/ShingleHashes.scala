@@ -1,9 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -28,9 +28,12 @@ private[functions] object Rolling {
   }
 }
 
-/** `ngram_hashes(text, n)`: hashes of every character n-gram. */
+/** `ngram_hashes(text, n)`: hashes of every character n-gram.
+  * Codegen emits a call to [[NGramHashes.compute]] so the expression
+  * stays inside the whole-stage span (the loop itself gains nothing
+  * from inlining; breaking the span around it does cost). */
 case class NGramHashes(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -41,9 +44,20 @@ case class NGramHashes(left: Expression, right: Expression)
   override def dataType: DataType = ArrayType(LongType)
   override def prettyName: String = "ngram_hashes"
 
-  override protected def nullSafeEval(s: Any, nAny: Any): Any = {
-    val bytes = s.asInstanceOf[UTF8String].getBytes
-    val n = nAny.asInstanceOf[Int]
+  override protected def nullSafeEval(s: Any, nAny: Any): Any =
+    NGramHashes.compute(s.asInstanceOf[UTF8String], nAny.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, n) =>
+      s"graft.functions.NGramHashes.compute($s, $n)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): NGramHashes =
+    copy(left = l, right = r)
+}
+
+object NGramHashes {
+  def compute(s: UTF8String, n: Int): ArrayData = {
+    val bytes = s.getBytes
     val count = bytes.length - n + 1
     if (count <= 0) return new GenericArrayData(Array.empty[Long])
     val out = new Array[Long](count)
@@ -54,18 +68,16 @@ case class NGramHashes(left: Expression, right: Expression)
     }
     new GenericArrayData(out)
   }
-
-  override protected def withNewChildrenInternal(l: Expression, r: Expression): NGramHashes =
-    copy(left = l, right = r)
 }
 
 /** `shingle_hashes(text, k)`: hashes of every k-word shingle, where
   * words split on single spaces and shingles re-join with a space —
   * i.e. the hash of the exact source substring spanning words
   * i..i+k-1 (space-joined text round-trips), matching
-  * `polyhash(concat_ws(' ', w[i..i+k-1]))` byte for byte. */
+  * `polyhash(concat_ws(' ', w[i..i+k-1]))` byte for byte. Codegen
+  * calls [[ShingleHashes.compute]] to keep the whole-stage span. */
 case class ShingleHashes(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -76,9 +88,20 @@ case class ShingleHashes(left: Expression, right: Expression)
   override def dataType: DataType = ArrayType(LongType)
   override def prettyName: String = "shingle_hashes"
 
-  override protected def nullSafeEval(s: Any, kAny: Any): Any = {
-    val bytes = s.asInstanceOf[UTF8String].getBytes
-    val k = kAny.asInstanceOf[Int]
+  override protected def nullSafeEval(s: Any, kAny: Any): Any =
+    ShingleHashes.compute(s.asInstanceOf[UTF8String], kAny.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, k) =>
+      s"graft.functions.ShingleHashes.compute($s, $k)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ShingleHashes =
+    copy(left = l, right = r)
+}
+
+object ShingleHashes {
+  def compute(s: UTF8String, k: Int): ArrayData = {
+    val bytes = s.getBytes
     // word start offsets (split on ' ', empties preserved)
     val starts = scala.collection.mutable.ArrayBuffer(0)
     var i = 0
@@ -101,7 +124,4 @@ case class ShingleHashes(left: Expression, right: Expression)
     }
     new GenericArrayData(out)
   }
-
-  override protected def withNewChildrenInternal(l: Expression, r: Expression): ShingleHashes =
-    copy(left = l, right = r)
 }
