@@ -652,10 +652,14 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
         // register it, so /download/shp 307-redirects like the
         // reference's prebuilt S3 artifacts
         val exportShp = new java.io.File(s"$targetDir/export.shp")
+        val exportGpkg = new java.io.File(s"$targetDir/export.gpkg")
         val exports =
-          if (exportShp.exists()) Seq(cat.Asset(s"$dataset-$version-shp",
+          (if (exportShp.exists()) Seq(cat.Asset(s"$dataset-$version-shp",
             cat.AssetType.ShapefileExport, exportShp.getPath, isDefault = false))
-          else Nil
+          else Nil) ++
+          (if (exportGpkg.exists()) Seq(cat.Asset(s"$dataset-$version-gpkg",
+            cat.AssetType.GeopackageExport, exportGpkg.getPath, isDefault = false))
+          else Nil)
         catalog = catalog.withVersion(dataset, cat.Version(
           dataset, version, isLatest = opts.latest,
           assets = cat.Asset(s"$dataset-$version-default",

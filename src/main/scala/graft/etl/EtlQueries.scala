@@ -144,6 +144,37 @@ object EtlQueries extends QueryModule {
         "st_geostore_id(geom) AS gfw_geostore_id")
   }
 
+  /** S7 (vector formats): GeoPackage ingest — a `.gpkg` container
+    * written by the pure-JVM SQLite core round-trips through
+    * [[Geopackage.read]] (the reference's second ogr2ogr vector
+    * format, `vector_source_assets.py:195-347`), WKB feeds the same
+    * GFW-field derivation as s3/s4/s5, and the oracle proves the
+    * SQLite b-tree + GPKG blob round trip lossless. */
+  private def gpkgIngest(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.register(spark, sfDir)
+    graft.functions.GraftFunctions.install(spark)
+    val dir = java.nio.file.Paths.get(tmpDir("s7", sfDir))
+    java.nio.file.Files.createDirectories(dir)
+    val rows = spark.sql(
+      """SELECT c_custkey,
+        |  CAST(c_custkey % 720 AS DOUBLE) / 2.0 - 179.75 AS lon,
+        |  CAST(c_custkey % 340 AS DOUBLE) / 2.0 - 84.75 AS lat
+        |FROM customer WHERE c_custkey < 300 ORDER BY c_custkey""".stripMargin)
+      .collect().map { r =>
+        (graft.geo.Geom.toWkb(graft.geo.Point(r.getDouble(1), r.getDouble(2))),
+          Seq[Any](r.getLong(0)))
+      }.toSeq
+    Geopackage.write(dir.resolve("pts.gpkg"), "pts", "POINT", rows,
+      Seq("custkey" -> LongType))
+    Geopackage.read(spark, dir.toString)
+      .selectExpr(
+        "custkey",
+        "st_x(geom) AS lon",
+        "st_y(geom) AS lat",
+        "st_asgeojson(geom) AS gfw_geojson",
+        "st_geostore_id(geom) AS gfw_geostore_id")
+  }
+
   /** S6: the `/features` serving path end-to-end — NDJSON GeoJSON
     * features ingested through the version-creation vector DAG
     * (`VersionCreation.createVector`, the code behind
@@ -184,7 +215,8 @@ object EtlQueries extends QueryModule {
     "s3_vector_ingest" -> ((s, d) => vectorIngest(s, d)),
     "s4_wkb_csv_ingest" -> ((s, d) => wkbCsvIngest(s, d)),
     "s5_shp_ingest" -> ((s, d) => shpIngest(s, d)),
-    "s6_vector_features" -> ((s, d) => vectorFeatures(s, d)))
+    "s6_vector_features" -> ((s, d) => vectorFeatures(s, d)),
+    "s7_gpkg_ingest" -> ((s, d) => gpkgIngest(s, d)))
 
   override def oracles: Map[String, String] = Map(
     // the ingested view reproduces the source lattice exactly, so the
@@ -223,6 +255,22 @@ object EtlQueries extends QueryModule {
     // the shapefile path lands on the same derived values — the
     // .shp/.dbf byte round trip is lossless on IEEE doubles
     "s5_shp_ingest" ->
+      """WITH pts AS (
+        |  SELECT c_custkey AS custkey,
+        |    CAST(c_custkey % 720 AS DOUBLE) / 2.0 - 179.75 AS lon,
+        |    CAST(c_custkey % 340 AS DOUBLE) / 2.0 - 84.75 AS lat
+        |  FROM customer WHERE c_custkey < 300),
+        |j AS (SELECT custkey, lon, lat,
+        |  '{"type":"Point","coordinates":[' || lon::VARCHAR || ',' || lat::VARCHAR || ']}' AS gfw_geojson
+        |  FROM pts)
+        |SELECT custkey, lon, lat, gfw_geojson,
+        |  substr(md5(gfw_geojson), 1, 8) || '-' || substr(md5(gfw_geojson), 9, 4) || '-' ||
+        |  substr(md5(gfw_geojson), 13, 4) || '-' || substr(md5(gfw_geojson), 17, 4) || '-' ||
+        |  substr(md5(gfw_geojson), 21, 12) AS gfw_geostore_id
+        |FROM j""".stripMargin,
+    // the GeoPackage path lands on the same derived values — the
+    // SQLite record + GPKG blob round trip is lossless on IEEE doubles
+    "s7_gpkg_ingest" ->
       """WITH pts AS (
         |  SELECT c_custkey AS custkey,
         |    CAST(c_custkey % 720 AS DOUBLE) / 2.0 - 179.75 AS lon,

@@ -1,0 +1,365 @@
+package graft.etl
+
+import java.nio.ByteBuffer
+import scala.collection.mutable.ArrayBuffer
+
+/** Minimal pure-JVM SQLite 3 database writer + reader — just enough of
+  * the public file format (sqlite.org/fileformat2) to build and parse
+  * the GeoPackage containers the reference exchanges via ogr2ogr
+  * (SURVEY §2.1 S3 vector formats / S12 file exports; no GDAL or
+  * SQLite library exists in this build, so the container is written
+  * byte-by-byte):
+  *
+  *   - one file = 64 KiB pages; page 1 carries the 100-byte header and
+  *     the `sqlite_master` table b-tree (schema rows);
+  *   - each table is a table b-tree (leaf type 0x0D, interior 0x05)
+  *     of record cells (varint serial-type header + body);
+  *   - no indexes, no overflow pages (payloads are capped at the
+  *     64 KiB-page inline maximum — the writer rejects larger rows),
+  *     no freelist, UTF-8 text.
+  *
+  * Output validates against stock SQLite (`PRAGMA integrity_check` via
+  * the driver-side python3 sqlite3 module was used while developing
+  * the golden fixtures in `SqliteSpec`).
+  */
+object Sqlite {
+
+  val PageSize = 65536
+  private val MaxInline = PageSize - 35
+
+  // ------------------------------------------------------------ varints
+
+  private[etl] def varint(v: Long): Array[Byte] = {
+    if (v >= 0 && v <= 127) return Array(v.toByte)
+    // up to 9 bytes, big-endian 7-bit groups; 9th byte carries 8 bits
+    val out = new ArrayBuffer[Byte](9)
+    var x = v
+    val needs9 = java.lang.Long.numberOfLeadingZeros(if (x < 0) -1L else x) < 8
+    if (needs9 || x < 0) {
+      // canonical 9-byte form for negatives / huge values
+      val b = new Array[Byte](9)
+      b(8) = (x & 0xff).toByte
+      x >>= 8
+      var i = 7
+      while (i >= 0) { b(i) = ((x & 0x7f) | 0x80).toByte; x >>= 7; i -= 1 }
+      return b
+    }
+    while (x != 0) { out.prepend((x & 0x7f).toByte); x >>>= 7 }
+    var i = 0
+    while (i < out.length - 1) { out(i) = (out(i) | 0x80).toByte; i += 1 }
+    out.toArray
+  }
+
+  /** Decode a varint at `off`; returns (value, bytesRead). */
+  private[etl] def readVarint(b: Array[Byte], off: Int): (Long, Int) = {
+    var v = 0L
+    var i = 0
+    while (i < 8) {
+      val x = b(off + i)
+      if ((x & 0x80) == 0) return (v << 7 | (x & 0x7f), i + 1)
+      v = v << 7 | (x & 0x7f)
+      i += 1
+    }
+    (v << 8 | (b(off + 8) & 0xff), 9)
+  }
+
+  // ------------------------------------------------------------ records
+
+  /** Serialize one record (SQLite record format). Values: null, Long,
+    * Double, String, Array[Byte], Boolean. */
+  private[etl] def record(values: Seq[Any]): Array[Byte] = {
+    def serial(v: Any): (Long, Array[Byte]) = v match {
+      case null => (0L, Array.empty)
+      case b: Boolean => serial(if (b) 1L else 0L)
+      case i: Int => serial(i.toLong)
+      case x: Long =>
+        if (x == 0) (8L, Array.empty)
+        else if (x == 1) (9L, Array.empty)
+        else if (x >= Byte.MinValue && x <= Byte.MaxValue) (1L, Array(x.toByte))
+        else if (x >= Short.MinValue && x <= Short.MaxValue)
+          (2L, ByteBuffer.allocate(2).putShort(x.toShort).array())
+        else if (x >= Int.MinValue && x <= Int.MaxValue)
+          (4L, ByteBuffer.allocate(4).putInt(x.toInt).array())
+        else (6L, ByteBuffer.allocate(8).putLong(x).array())
+      case d: Double => (7L, ByteBuffer.allocate(8).putDouble(d).array())
+      case s: String =>
+        val b = s.getBytes("UTF-8"); (13L + 2 * b.length, b)
+      case b: Array[Byte] => (12L + 2 * b.length, b)
+      case other => throw new IllegalArgumentException(
+        s"unsupported SQLite value ${other.getClass}")
+    }
+    val parts = values.map(serial)
+    val typeBytes = parts.flatMap { case (t, _) => varint(t) }.toArray
+    // header length includes its own varint
+    var hlen = typeBytes.length + 1
+    if (varint(hlen).length > 1) hlen = typeBytes.length + varint(typeBytes.length + 2).length
+    val header = varint(hlen) ++ typeBytes
+    header ++ parts.flatMap(_._2)
+  }
+
+  /** Parse one record → values (ints → Long, floats → Double). */
+  private[etl] def readRecord(b: Array[Byte], off: Int): Seq[Any] = {
+    val (hlen, n0) = readVarint(b, off)
+    var p = off + n0
+    val types = ArrayBuffer.empty[Long]
+    while (p < off + hlen) {
+      val (t, n) = readVarint(b, p); types += t; p += n
+    }
+    var body = off + hlen.toInt
+    types.toSeq.map { t =>
+      def int(n: Int): Long = {
+        var v = if ((b(body) & 0x80) != 0) -1L else 0L
+        var i = 0
+        while (i < n) { v = v << 8 | (b(body + i) & 0xff); i += 1 }
+        body += n
+        v
+      }
+      t match {
+        case 0 => null
+        case 1 => int(1)
+        case 2 => int(2)
+        case 3 => int(3)
+        case 4 => int(4)
+        case 5 => int(6)
+        case 6 => int(8)
+        case 7 =>
+          val v = ByteBuffer.wrap(b, body, 8).getDouble; body += 8; v
+        case 8 => 0L
+        case 9 => 1L
+        case n if n >= 13 && n % 2 == 1 =>
+          val len = ((n - 13) / 2).toInt
+          val s = new String(b, body, len, "UTF-8"); body += len; s
+        case n if n >= 12 && n % 2 == 0 =>
+          val len = ((n - 12) / 2).toInt
+          val blob = java.util.Arrays.copyOfRange(b, body, body + len)
+          body += len; blob
+        case n => throw new IllegalArgumentException(s"serial type $n")
+      }
+    }
+  }
+
+  // ------------------------------------------------------------ writing
+
+  private final case class Cell(rowid: Long, payload: Array[Byte])
+  private final class Page(val data: Array[Byte] = new Array[Byte](PageSize))
+
+  /** One table definition: CREATE SQL + rows. When `rowidAlias` is
+    * set, that column is an INTEGER PRIMARY KEY — its value becomes
+    * the rowid and the record stores NULL there (SQLite's rule). */
+  final case class TableDef(name: String, createSql: String,
+                            rows: Seq[Seq[Any]], rowidAlias: Option[Int] = None)
+
+  def writeDb(path: java.nio.file.Path, tables: Seq[TableDef]): Unit = {
+    val pages = ArrayBuffer.empty[Page] // index 0 = page 2
+    def newPage(): (Page, Int) = {
+      val p = new Page(); pages += p; (p, pages.length + 1)
+    }
+
+    def leafCells(t: TableDef): Seq[Cell] =
+      t.rows.zipWithIndex.map { case (row, i) =>
+        val rowid = t.rowidAlias match {
+          case Some(c) => row(c).asInstanceOf[Number].longValue()
+          case None => i + 1L
+        }
+        val stored = t.rowidAlias match {
+          case Some(c) => row.updated(c, null)
+          case None => row
+        }
+        val payload = record(stored)
+        require(payload.length <= MaxInline,
+          s"row of ${t.name} exceeds the inline payload cap ($MaxInline B)")
+        Cell(rowid, payload)
+      }
+
+    /** Pack cells into leaf pages → (page number, max rowid) per leaf;
+      * then stack interior levels until one root remains. Returns the
+      * root page number. */
+    def buildBtree(cells: Seq[Cell]): Int = {
+      if (cells.isEmpty) { val (p, no) = newPage(); initLeaf(p, Nil, no == 1); return no }
+      cells.sliding(2).foreach {
+        case Seq(a, b) => require(a.rowid < b.rowid,
+          s"rowids must strictly ascend (got ${a.rowid} then ${b.rowid})")
+        case _ =>
+      }
+      // leaves
+      var leaves = ArrayBuffer.empty[(Int, Long)]
+      var batch = ArrayBuffer.empty[Cell]
+      var used = 8 // leaf header
+      def flushLeaf(): Unit = if (batch.nonEmpty) {
+        val (p, no) = newPage()
+        initLeaf(p, batch.toSeq, pageOne = false)
+        leaves += ((no, batch.last.rowid))
+        batch = ArrayBuffer.empty[Cell]
+        used = 8
+      }
+      cells.foreach { c =>
+        val sz = 2 + varint(c.payload.length).length + varint(c.rowid).length +
+          c.payload.length
+        if (used + sz > PageSize) flushLeaf()
+        batch += c
+        used += sz
+      }
+      flushLeaf()
+      // interior levels
+      var level = leaves
+      while (level.length > 1) {
+        val next = ArrayBuffer.empty[(Int, Long)]
+        var group = ArrayBuffer.empty[(Int, Long)]
+        var iused = 12
+        def flushInterior(): Unit = if (group.nonEmpty) {
+          val (p, no) = newPage()
+          initInterior(p, group.toSeq)
+          next += ((no, group.last._2))
+          group = ArrayBuffer.empty[(Int, Long)]
+          iused = 12
+        }
+        level.foreach { child =>
+          val sz = 2 + 4 + varint(child._2).length
+          if (iused + sz > PageSize) flushInterior()
+          group += child
+          iused += sz
+        }
+        flushInterior()
+        level = next
+      }
+      level.head._1
+    }
+
+    def initLeaf(p: Page, cells: Seq[Cell], pageOne: Boolean): Unit = {
+      val base = if (pageOne) 100 else 0
+      val buf = ByteBuffer.wrap(p.data)
+      buf.put(base, 0x0d.toByte)
+      buf.putShort(base + 3, cells.length.toShort)
+      var content = PageSize
+      val ptrs = cells.map { c =>
+        val bytes = varint(c.payload.length) ++ varint(c.rowid) ++ c.payload
+        content -= bytes.length
+        System.arraycopy(bytes, 0, p.data, content, bytes.length)
+        content
+      }
+      buf.putShort(base + 5, (content & 0xffff).toShort)
+      ptrs.zipWithIndex.foreach { case (off, i) =>
+        buf.putShort(base + 8 + 2 * i, (off & 0xffff).toShort)
+      }
+    }
+
+    def initInterior(p: Page, children: Seq[(Int, Long)]): Unit = {
+      val buf = ByteBuffer.wrap(p.data)
+      buf.put(0, 0x05.toByte)
+      val left = children.dropRight(1)
+      buf.putShort(3, left.length.toShort)
+      buf.putInt(8, children.last._1) // rightmost child
+      var content = PageSize
+      val ptrs = left.map { case (child, maxRowid) =>
+        val bytes = ByteBuffer.allocate(4).putInt(child).array() ++ varint(maxRowid)
+        content -= bytes.length
+        System.arraycopy(bytes, 0, p.data, content, bytes.length)
+        content
+      }
+      buf.putShort(5, (content & 0xffff).toShort)
+      ptrs.zipWithIndex.foreach { case (off, i) =>
+        buf.putShort(12 + 2 * i, (off & 0xffff).toShort)
+      }
+    }
+
+    // build user tables, then sqlite_master on page 1
+    val roots = tables.map(t => t.name -> buildBtree(leafCells(t)))
+    val masterCells = tables.zip(roots).zipWithIndex.map {
+      case ((t, (_, root)), i) =>
+        Cell(i + 1L,
+          record(Seq("table", t.name, t.name, root.toLong, t.createSql)))
+    }
+    val pageOne = new Page()
+    initLeaf(pageOne, masterCells, pageOne = true)
+    require(12 + masterCells.map(c => 2 + 13 + c.payload.length).sum < PageSize - 100,
+      "schema does not fit on page 1")
+
+    // header
+    val h = ByteBuffer.wrap(pageOne.data)
+    "SQLite format 3".getBytes("US-ASCII").zipWithIndex.foreach {
+      case (b, i) => h.put(i, b)
+    }
+    h.put(15, 0.toByte)
+    h.putShort(16, 1.toShort) // 65536 encoded as 0x0001
+    h.put(18, 1.toByte).put(19, 1.toByte)
+    h.put(21, 64.toByte).put(22, 32.toByte).put(23, 32.toByte)
+    h.putInt(24, 1) // change counter
+    h.putInt(28, pages.length + 1) // db size in pages
+    h.putInt(40, 1) // schema cookie
+    h.putInt(44, 4) // schema format
+    h.putInt(56, 1) // UTF-8
+    h.putInt(68, 0x47504b47) // application_id "GPKG"
+    h.putInt(92, 1) // version-valid-for
+    h.putInt(96, 3045000)
+
+    val out = java.nio.file.Files.newOutputStream(path)
+    try {
+      out.write(pageOne.data)
+      pages.foreach(p => out.write(p.data))
+    } finally out.close()
+  }
+
+  // ------------------------------------------------------------ reading
+
+  /** All (rowid, record) pairs of `table`, walking its b-tree. */
+  def readTable(db: Array[Byte], table: String): Seq[(Long, Seq[Any])] = {
+    val pageSizeRaw = ((db(16) & 0xff) << 8) | (db(17) & 0xff)
+    val pageSize = if (pageSizeRaw == 1) 65536 else pageSizeRaw
+    def walk(pageNo: Int, out: ArrayBuffer[(Long, Seq[Any])]): Unit = {
+      val base = (pageNo - 1) * pageSize + (if (pageNo == 1) 100 else 0)
+      val typ = db(base) & 0xff
+      val nCells = ((db(base + 3) & 0xff) << 8) | (db(base + 4) & 0xff)
+      typ match {
+        case 0x0d =>
+          var i = 0
+          while (i < nCells) {
+            val off = (pageNo - 1) * pageSize +
+              (((db(base + 8 + 2 * i) & 0xff) << 8) | (db(base + 9 + 2 * i) & 0xff))
+            val (_, n0) = readVarint(db, off)
+            val (rowid, n1) = readVarint(db, off + n0)
+            out += ((rowid, readRecord(db, off + n0 + n1)))
+            i += 1
+          }
+        case 0x05 =>
+          var i = 0
+          while (i < nCells) {
+            val off = (pageNo - 1) * pageSize +
+              (((db(base + 12 + 2 * i) & 0xff) << 8) | (db(base + 13 + 2 * i) & 0xff))
+            walk(ByteBuffer.wrap(db, off, 4).getInt, out)
+            i += 1
+          }
+          walk(ByteBuffer.wrap(db, base + 8, 4).getInt, out)
+        case t => throw new IllegalArgumentException(s"page type $t")
+      }
+    }
+    val master = ArrayBuffer.empty[(Long, Seq[Any])]
+    walk(1, master)
+    val root = master.map(_._2).collectFirst {
+      case Seq("table", n: String, _, rp: Long, _) if n == table => rp.toInt
+    }.getOrElse(throw new IllegalArgumentException(s"no table $table"))
+    val rows = ArrayBuffer.empty[(Long, Seq[Any])]
+    walk(root, rows)
+    rows.toSeq
+  }
+
+  /** The CREATE statement of `table` (for column-name recovery). */
+  def tableSql(db: Array[Byte], table: String): String = {
+    val master = ArrayBuffer.empty[(Long, Seq[Any])]
+    val pageSizeRaw = ((db(16) & 0xff) << 8) | (db(17) & 0xff)
+    require(pageSizeRaw == 1 || pageSizeRaw > 0, "bad page size")
+    // page 1 only — schema is written to fit there
+    val base = 100
+    val nCells = ((db(base + 3) & 0xff) << 8) | (db(base + 4) & 0xff)
+    var i = 0
+    while (i < nCells) {
+      val off = ((db(base + 8 + 2 * i) & 0xff) << 8) | (db(base + 9 + 2 * i) & 0xff)
+      val (_, n0) = readVarint(db, off)
+      val (rowid, n1) = readVarint(db, off + n0)
+      master += ((rowid, readRecord(db, off + n0 + n1)))
+      i += 1
+    }
+    master.map(_._2).collectFirst {
+      case Seq("table", n: String, _, _, sql: String) if n == table => sql
+    }.getOrElse(throw new IllegalArgumentException(s"no table $table"))
+  }
+}

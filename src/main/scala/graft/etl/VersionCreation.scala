@@ -207,27 +207,39 @@ object VersionCreation {
     var df: DataFrame = null
     try {
       graft.functions.GraftFunctions.install(spark)
-      val raw = spark.read.json(opts.sourceUris: _*)
-      val props = raw.schema.find(_.name == "properties") match {
-        case Some(f: StructField) => f.dataType match {
-          case st: StructType => st.fieldNames.toSeq
-          case _ => Nil
+      // two vector drivers (reference ogr2ogr formats): GeoPackage
+      // containers, or the default newline-delimited GeoJSON
+      val isGpkg = opts.sourceUris.forall(_.endsWith(".gpkg"))
+      val (withGeom, props, driver) =
+        if (isGpkg) {
+          val raw = Geopackage.readFiles(spark, opts.sourceUris)
+          val attrs = raw.schema.fieldNames.toSeq
+            .filterNot(n => n == "fid" || n == "geom")
+          (raw, attrs, "GPKG")
+        } else {
+          val raw = spark.read.json(opts.sourceUris: _*)
+          val props = raw.schema.find(_.name == "properties") match {
+            case Some(f: StructField) => f.dataType match {
+              case st: StructType => st.fieldNames.toSeq
+              case _ => Nil
+            }
+            case None => Nil
+          }
+          val propCols = props.map(p => s"properties.`$p` AS `$p`")
+          (raw.selectExpr(
+            propCols ++ Seq("st_geomfromgeojson(to_json(geometry)) AS geom"): _*),
+            props, "GeoJSON")
         }
-        case None => Nil
-      }
-      val propCols = props.map(p => s"properties.`$p` AS `$p`")
-      df = raw.selectExpr(
-        propCols ++ Seq("st_geomfromgeojson(to_json(geometry)) AS geom"): _*)
-        .selectExpr(
-          props.map(p => s"`$p`") ++ Seq(
-            "st_x(geom) AS lon",
-            "st_y(geom) AS lat",
-            "st_asgeojson(geom) AS gfw_geojson",
-            "st_geostore_id(geom) AS gfw_geostore_id"): _*)
+      df = withGeom.selectExpr(
+        props.map(p => s"`$p`") ++ Seq(
+          "st_x(geom) AS lon",
+          "st_y(geom) AS lat",
+          "st_asgeojson(geom) AS gfw_geojson",
+          "st_geostore_id(geom) AS gfw_geostore_id"): _*)
       log += ChangeLog("create_table", "success",
         s"vector schema: ${props.mkString(", ")} + GFW fields")
       log += ChangeLog("load_data", "success",
-        s"loaded ${opts.sourceUris.length} GeoJSON source uri(s)")
+        s"loaded ${opts.sourceUris.length} $driver source uri(s)")
     } catch {
       case e: Exception =>
         ok = false
@@ -301,6 +313,20 @@ object VersionCreation {
             log += ChangeLog("export_shp", "success",
               s"skipped (geometry kinds ${kinds.mkString("/")} not shapefile-exportable)")
         }
+        // export_gpkg: the GeoPackage twin of the artifact — the
+        // pure-JVM SQLite writer is geometry-agnostic (WKB in GPKG
+        // blobs), so every kind exports
+        val geomType = geomKinds match {
+          case Seq("point") => "POINT"
+          case Seq("polygon") => "POLYGON"
+          case _ => "GEOMETRY"
+        }
+        Geopackage.write(
+          java.nio.file.Paths.get(targetDir).resolve("export.gpkg"),
+          dataset, geomType,
+          rows.map { case (g, attrs) => (graft.geo.Geom.toWkb(g), attrs) },
+          fieldSpecs)
+        log += ChangeLog("export_gpkg", "success", s"$targetDir/export.gpkg ($cnt features)")
       } else
         log += ChangeLog("export_shp", "success",
           s"skipped (size $cnt outside (0, $ShpExportMaxRows])")

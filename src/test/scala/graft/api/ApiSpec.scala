@@ -375,6 +375,48 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     val tri = graft.geo.Geom.fromWkb(parsed(1).getAs[Array[Byte]]("geom"))
       .asInstanceOf[graft.geo.Polygon]
     assert(tri.rings.length == 1 && tri.rings(0).length == 4)
+    // the GeoPackage twin of the export: 307 + full geometry round-trip
+    assert(vbody.contains("\"task\":\"export_gpkg\",\"status\":\"success\""), vbody.take(900))
+    val dlg = get("/dataset/polyds/v1/download/gpkg")
+    assert(dlg.statusCode() == 307, dlg.body().take(200))
+    val gloc = dlg.headers().firstValue("Location").get
+    assert(gloc.endsWith("export.gpkg"), gloc)
+    val gback = graft.etl.Geopackage
+      .readFiles(spark, Seq(gloc)).collect().sortBy(_.getAs[Long]("zone"))
+    assert(gback.length == 2)
+    val gdonut = graft.geo.Geom.fromWkb(gback(0).getAs[Array[Byte]]("geom"))
+      .asInstanceOf[graft.geo.Polygon]
+    assert(gdonut.rings.length == 2 && gdonut.rings(0).length == 5)
+  }
+
+  test("vector version creation from a GeoPackage source") {
+    val src = java.nio.file.Files.createTempDirectory("gpkgsrc")
+    val rows = (1 to 20).map { i =>
+      (graft.geo.Geom.toWkb(graft.geo.Point(10.0 + i * 0.001, 45.0)),
+        Seq[Any](i.toLong))
+    }
+    graft.etl.Geopackage.write(src.resolve("pts.gpkg"), "pts", "POINT", rows,
+      Seq("pid" -> org.apache.spark.sql.types.LongType))
+    val body =
+      s"""{"creation_options": {"source_uri": ["${src.resolve("pts.gpkg")}"],
+         |  "source_type": "vector"}}""".stripMargin
+    val put = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/dataset/gpkgds/v1"))
+        .header("Authorization", "Bearer test-admin")
+        .PUT(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(put.statusCode() == 202, put.body().take(300))
+    var vbody = ""
+    var tries = 0
+    while (tries < 120 && { vbody = get("/dataset/gpkgds/v1").body()
+      vbody.contains("\"status\":\"pending\"") }) { Thread.sleep(250); tries += 1 }
+    assert(vbody.contains("\"status\":\"saved\""), vbody.take(600))
+    assert(vbody.contains("GPKG source uri"), vbody.take(600))
+    val q = get("/dataset/gpkgds/v1/query/json?sql=" +
+      java.net.URLEncoder.encode(
+        "SELECT count(*) AS cnt, sum(pid) AS s FROM data", "UTF-8"))
+    assert(q.statusCode() == 200 && q.body().contains("\"cnt\":20") &&
+      q.body().contains("\"s\":210"), q.body().take(300))
   }
 
   test("features point lookup: zoom radius table + out-of-range 400") {
