@@ -180,6 +180,7 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
   private val QueryCsv = "^/dataset/([^/]+)/([^/]+)/query/csv$".r
   private val Download = "^/dataset/([^/]+)/([^/]+)/download/(csv|json)$".r
   private val DownloadFile = "^/dataset/([^/]+)/([^/]+)/download/(shp|gpkg)$".r
+  private val DownloadTiff = "^/dataset/([^/]+)/([^/]+)/download/geotiff$".r
   private val Fields = "^/dataset/([^/]+)/([^/]+)/fields$".r
   private val Features = "^/dataset/([^/]+)/([^/]+)/features$".r
   private val StatsR = "^/dataset/([^/]+)/([^/]+)/stats$".r
@@ -267,6 +268,7 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
         case ("POST", QueryCsv(d, v)) => queryPost(ex, d, v, json = false)
         case ("GET", Download(d, v, fmt)) => download(ex, d, v, fmt)
         case ("GET", DownloadFile(d, v, fmt)) => downloadFile(ex, d, v, fmt)
+        case ("GET", DownloadTiff(d, v)) => downloadGeotiff(ex, d, v)
         case ("GET", Fields(d, v)) => fields(ex, d, v)
         case ("GET", Features(d, v)) => features(ex, d, v)
         case ("GET", StatsR(d, v)) => stats(ex, d, v)
@@ -512,6 +514,62 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
         }
     }
 
+  /** GET /dataset/{d}/{v}/download/geotiff?tile_id=…&pixel_meaning=…
+    * (`downloads.py:264-292`): 307 to the requested raster tile as a
+    * GeoTIFF. The reference redirects to a prebuilt S3 object; here
+    * the tile materializes from the version's Parquet lake on first
+    * request (cached in the version dir) through the pure-JVM
+    * [[graft.raster.GeoTiff]] writer. */
+  private def downloadGeotiff(ex: HttpExchange, dataset: String, version: String): Unit =
+    catalog.version(dataset, version) match {
+      case None => respond(ex, 404, "application/json",
+        Sinks.jsendError(s"Dataset version $dataset.$version not found"))
+      case Some(v) if !v.isDownloadable =>
+        respond(ex, 403, "application/json",
+          Sinks.jsendError("This dataset is not available for download"))
+      case Some(v) =>
+        val asset = v.defaultAsset
+          .filter(_.assetType == cat.AssetType.RasterTileSet).getOrElse(
+            return respond(ex, 501, "application/json", Sinks.jsendError(
+              "This endpoint is not implemented for the given dataset.")))
+        val params = queryParams(ex)
+        val tileId = params.getOrElse("tile_id", return respond(ex, 422,
+          "application/json", Sinks.jsendError("tile_id is required")))
+        val meaning = params.getOrElse("pixel_meaning", return respond(ex, 422,
+          "application/json", Sinks.jsendError("pixel_meaning is required")))
+        val g = graft.raster.DataEnvironment.gridOf(asset.creationOptions)
+        val band = asset.creationOptions.getOrElse("band", s"px_$meaning")
+        val bands = asset.creationOptions.get("lake_bands")
+          .map(_.split(",").toSeq)
+          .getOrElse(graft.raster.TileLake.bandsOf(asset.assetUri))
+        if (!bands.contains(band) ||
+            asset.creationOptions.get("pixel_meaning").exists(_ != meaning))
+          return respond(ex, 404, "application/json",
+            Sinks.jsendError(s"No raster tile set with pixel meaning $meaning"))
+        graft.raster.TileLake.ensureLake(spark, asset.assetUri)
+        val cacheDir = java.nio.file.Paths.get(
+          s"${sys.props("java.io.tmpdir")}/graft_geotiff_cache/${dataset}_$version")
+        java.nio.file.Files.createDirectories(cacheDir)
+        val out = cacheDir.resolve(s"${band}_$tileId.tif")
+        if (!java.nio.file.Files.exists(out)) {
+          val rows = spark.read.parquet(asset.assetUri)
+            .where(org.apache.spark.sql.functions.col("tile_id") === tileId)
+            .selectExpr("tx", "ty", band).collect()
+          if (rows.isEmpty)
+            return respond(ex, 404, "application/json",
+              Sinks.jsendError(s"Tile $tileId not found"))
+          val r = rows.head
+          val px = r.getSeq[Long](2).map(_.toInt).toArray
+          graft.raster.GeoTiff.write(out, graft.raster.GeoTiff.Tile(
+            g.pxPerTile, g.pxPerTile,
+            g.originLon + r.getInt(0) * g.tileDeg,
+            g.originLat - r.getInt(1) * g.tileDeg,
+            g.pixelDeg, px))
+        }
+        ex.getResponseHeaders.add("Location", out.toString)
+        respond(ex, 307, "application/json", "")
+    }
+
   /** Vector feature lookup near a point
     * (`features.py:69-218`): zoom selects the search radius from the
     * tippecanoe precision table × 50; features within the geodesic
@@ -645,9 +703,17 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
       val (log, ok) = VersionCreation.createTable(spark, dataset, version, opts, targetDir)
       versionRecords.put((dataset, version), (if (ok) "saved" else "failed", log))
       if (ok) catalogLock.synchronized {
-        val assetType =
-          if (opts.sourceType == "vector") cat.AssetType.GeoDatabaseTable
-          else cat.AssetType.DatabaseTable
+        val assetType = opts.sourceType match {
+          case "vector" => cat.AssetType.GeoDatabaseTable
+          case "raster" => cat.AssetType.RasterTileSet
+          case _ => cat.AssetType.DatabaseTable
+        }
+        // raster versions carry the DAG-derived grid/band metadata the
+        // data environment synthesizes layers from
+        val assetOpts =
+          if (opts.sourceType == "raster")
+            graft.etl.VersionCreation.rasterAssetOptions(targetDir)
+          else Map.empty[String, String]
         // vector versions that built the optional shapefile export
         // register it, so /download/shp 307-redirects like the
         // reference's prebuilt S3 artifacts
@@ -662,8 +728,10 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
           else Nil)
         catalog = catalog.withVersion(dataset, cat.Version(
           dataset, version, isLatest = opts.latest,
+          sourceType = opts.sourceType,
           assets = cat.Asset(s"$dataset-$version-default",
-            assetType, targetDir, isDefault = true) +: exports))
+            assetType, targetDir, isDefault = true,
+            creationOptions = assetOpts) +: exports))
       }
       s"""{"dataset":"$dataset","version":"$version","status":"${if (ok) "saved" else "failed"}"}"""
     }

@@ -46,7 +46,9 @@ object VersionCreation {
       indexes: Seq[Layout.IndexSpec] = Nil,
       uniqueConstraintColumns: Seq[String] = Nil,
       latest: Boolean = true,
-      sourceType: String = "table")
+      sourceType: String = "table",
+      pixelMeaning: String = "value",
+      noData: Option[String] = None)
 
   object CreationOptions {
     /** Parse the PUT body's `creation_options` object. */
@@ -94,7 +96,9 @@ object VersionCreation {
           case _ => Nil
         },
         latest = obj.get("latest").forall(_ == true),
-        sourceType = obj.get("source_type").map(_.toString).getOrElse("table"))
+        sourceType = obj.get("source_type").map(_.toString).getOrElse("table"),
+        pixelMeaning = obj.get("pixel_meaning").map(_.toString).getOrElse("value"),
+        noData = obj.get("no_data").map(_.toString))
     }
   }
 
@@ -116,6 +120,8 @@ object VersionCreation {
                   opts: CreationOptions, targetDir: String): (Seq[ChangeLog], Boolean) = {
     if (opts.sourceType == "vector")
       return createVector(spark, dataset, version, opts, targetDir)
+    if (opts.sourceType == "raster")
+      return createRaster(spark, dataset, version, opts, targetDir)
     val log = Seq.newBuilder[ChangeLog]
     var ok = true
 
@@ -189,6 +195,108 @@ object VersionCreation {
     }
 
     (log.result(), ok)
+  }
+
+  /** Raster-source DAG (`source_type: "raster"`; reference pixETL,
+    * `raster_tile_set_assets.py:36-117`): source GeoTIFF tiles become
+    * a Parquet tile lake partitioned by `tile_id`, queryable through
+    * the same fused zonal engine as the builtin tile sets. Two
+    * distributed passes over the sources, no shuffle:
+    *
+    *   1. metadata pass — each tile's georeferencing (tiepoint, pixel
+    *      scale, dimensions) collects to the driver (bytes-per-tile,
+    *      not pixels) and derives the GRID: tiles must share one
+    *      square size/scale and sit on one lattice;
+    *   2. pixel pass — each tile parses on an executor and writes its
+    *      `(tile_id, tx, ty, px_<meaning>)` row.
+    *
+    * The derived grid + band metadata land in
+    * `targetDir/_asset_options.json` for the catalog registration
+    * (`DataEnvironment.gridOf` reads the same keys). */
+  private def createRaster(spark: SparkSession, dataset: String, version: String,
+                           opts: CreationOptions, targetDir: String): (Seq[ChangeLog], Boolean) = {
+    import graft.raster.GeoTiff
+    val log = Seq.newBuilder[ChangeLog]
+    var ok = true
+    var assetOpts: Map[String, String] = Map.empty
+    val band = s"px_${opts.pixelMeaning}"
+
+    try {
+      val files = spark.read.format("binaryFile")
+        .load(opts.sourceUris.map(_.stripPrefix("file://")): _*)
+        .select(org.apache.spark.sql.functions.col("content"))
+      // pass 1: georeferencing only (driver holds one tuple per tile)
+      import spark.implicits._
+      val metas = files.map { r =>
+        val t = GeoTiff.read(r.getAs[Array[Byte]](0))
+        (t.originLon, t.originLat, t.pixelDeg, t.width, t.height)
+      }.collect().toSeq
+      require(metas.nonEmpty, "no source tiles")
+      val (pixelDeg, w, h) = (metas.head._3, metas.head._4, metas.head._5)
+      require(w == h, s"tiles must be square (got $w×$h)")
+      require(metas.forall(m => m._3 == pixelDeg && m._4 == w && m._5 == h),
+        "all tiles must share one size and pixel scale")
+      val tileDeg = w * pixelDeg
+      val originLon = metas.map(_._1).min
+      val originLat = metas.map(_._2).max
+      def snap(v: Double): Int = {
+        val t = v / tileDeg
+        require(math.abs(t - math.rint(t)) < 1e-9,
+          f"tile at offset $v%.6f° is off the $tileDeg%.6f° lattice")
+        math.rint(t).toInt
+      }
+      val txy = metas.map(m => (snap(m._1 - originLon), snap(originLat - m._2)))
+      require(txy.distinct.length == txy.length, "duplicate tile positions")
+      val grid = graft.raster.Grid(originLon, originLat,
+        tilesX = txy.map(_._1).max + 1, tilesY = txy.map(_._2).max + 1,
+        tileDeg = tileDeg, pxPerTile = w)
+      log += ChangeLog("create_table", "success",
+        s"derived grid ${grid.tilesX}×${grid.tilesY} tiles of ${grid.pxPerTile} px " +
+          f"at (${grid.originLon}%.4f, ${grid.originLat}%.4f), ${metas.length} source tile(s)")
+
+      // pass 2: pixels, executor-side, one lake row per tile; ids MUST
+      // come from the canonical Grid.tileId formatter — the query-time
+      // partition pruning generates its INSET from the same method
+      val bGrid = grid
+      val rows = files.map { r =>
+        val t = GeoTiff.read(r.getAs[Array[Byte]](0))
+        val tx = math.rint((t.originLon - bGrid.originLon) / bGrid.tileDeg).toInt
+        val ty = math.rint((bGrid.originLat - t.originLat) / bGrid.tileDeg).toInt
+        (bGrid.tileId(tx, ty), tx, ty, t.pixels.map(_.toLong))
+      }.toDF("tile_id", "tx", "ty", band)
+      rows.write.mode("overwrite").partitionBy("tile_id").parquet(targetDir)
+      log += ChangeLog("load_data", "success",
+        s"wrote ${metas.length} tile row(s), band $band")
+
+      assetOpts = Map(
+        "pixel_meaning" -> opts.pixelMeaning,
+        "band" -> band,
+        "lake_bands" -> band,
+        "grid_origin_lon" -> grid.originLon.toString,
+        "grid_origin_lat" -> grid.originLat.toString,
+        "grid_tiles_x" -> grid.tilesX.toString,
+        "grid_tiles_y" -> grid.tilesY.toString,
+        "grid_tile_deg" -> grid.tileDeg.toString,
+        "grid_px_per_tile" -> grid.pxPerTile.toString) ++
+        opts.noData.map("no_data" -> _)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(targetDir).resolve("_asset_options.json"),
+        graft.geo.Json.write(assetOpts))
+      log += ChangeLog("register", "success", s"tile lake $targetDir, band $band")
+    } catch {
+      case e: Exception =>
+        ok = false
+        log += ChangeLog(if (assetOpts.isEmpty) "create_table" else "load_data",
+          "failed", Option(e.getMessage).getOrElse("raster build failed"))
+    }
+    (log.result(), ok)
+  }
+
+  /** Read back the asset creation options a raster DAG derived. */
+  def rasterAssetOptions(targetDir: String): Map[String, String] = {
+    val p = java.nio.file.Paths.get(targetDir).resolve("_asset_options.json")
+    graft.geo.Json.parseObject(java.nio.file.Files.readString(p))
+      .map { case (k, v) => k -> v.toString }
   }
 
   /** Vector-source DAG (`source_type: "vector"`; reference

@@ -201,7 +201,11 @@ object DataEnvironment {
       case many => throw new IllegalArgumentException(
         s"tile-set assets of one grid span ${many.length} lake dirs")
     }
-    val bands = TileLake.bandsOf(selLakeDir)
+    // band columns: ingested lakes declare theirs in creation options
+    // (`lake_bands`); the synthetic fixtures keep the static lists
+    val bands = selected.flatMap(_._2.creationOptions.get("lake_bands"))
+      .headOption.map(_.split(",").toSeq)
+      .getOrElse(TileLake.bandsOf(selLakeDir))
     val bandIdx = bands.zipWithIndex.toMap
     val mh = new MicroHa(g)
 
@@ -269,7 +273,7 @@ object DataEnvironment {
     * `grid_tile_deg` / `grid_px_per_tile`; absent keys default to the
     * synthetic test grid — the reference's `grid` enum carries the
     * analogous tiling parameters). */
-  private[raster] def gridOf(opts: Map[String, String]): Grid = {
+  def gridOf(opts: Map[String, String]): Grid = {
     val d = SyntheticEnv.grid
     Grid(
       originLon = opts.get("grid_origin_lon").map(_.toDouble).getOrElse(d.originLon),

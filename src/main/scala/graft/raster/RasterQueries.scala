@@ -642,6 +642,55 @@ object RasterQueries extends QueryModule {
        |FROM f GROUP BY k""".stripMargin
   }
 
+  /** S7 full ingest: GeoTIFF sources → tile lake, oracle-checked. The
+    * query builds 2×2 one-degree source tiles with the pure-JVM
+    * [[GeoTiff]] writer (deterministic per-pixel formula), runs the
+    * raster creation DAG ([[graft.etl.VersionCreation]] `createRaster`
+    * — grid derivation + distributed pixel pass), and aggregates the
+    * resulting lake; the oracle recomputes the class histogram from
+    * the formula in closed form, proving the TIFF write → read →
+    * lake build chain lossless. */
+  private def geotiffIngest(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.register(spark, sfDir)
+    val base = java.nio.file.Paths.get(
+      s"${sys.props("java.io.tmpdir")}/graft_r12_${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    val src = base.resolve("src")
+    val lake = base.resolve("lake").toString
+    if (!new java.io.File(s"$lake/_SUCCESS").exists()) {
+      java.nio.file.Files.createDirectories(src)
+      val px = 20
+      val deg = 0.05
+      for (tx <- 0 to 1; ty <- 0 to 1) {
+        val pixels = Array.tabulate(px * px) { i =>
+          val gx = tx * px + i % px
+          val gy = ty * px + i / px
+          (gx * 7 + gy * 11) % 5
+        }
+        GeoTiff.write(src.resolve(s"t${tx}_$ty.tif"),
+          GeoTiff.Tile(px, px, 30.0 + tx * px * deg, 20.0 - ty * px * deg,
+            deg, pixels))
+      }
+      val (log, ok) = graft.etl.VersionCreation.createTable(
+        spark, "r12ds", "v1",
+        graft.etl.VersionCreation.CreationOptions(
+          sourceUris = (for (tx <- 0 to 1; ty <- 0 to 1)
+            yield src.resolve(s"t${tx}_$ty.tif").toString),
+          sourceType = "raster", pixelMeaning = "class"),
+        lake)
+      require(ok, s"raster ingest failed: $log")
+    }
+    spark.read.parquet(lake).createOrReplaceTempView("r12_lake")
+    spark.sql(
+      """SELECT v AS cls, count(*) AS n
+        |FROM (SELECT explode(px_class) AS v FROM r12_lake)
+        |GROUP BY v""".stripMargin)
+  }
+
+  private val geotiffIngestOracle: String =
+    """WITH px AS (SELECT unnest(generate_series(0, 1599)) AS p),
+      |f AS (SELECT ((p % 40) * 7 + (p // 40) * 11) % 5 AS cls FROM px)
+      |SELECT cls, count(*) AS n FROM f GROUP BY cls""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     sqls.map { q =>
       q.name -> ((spark: SparkSession, sfDir: String) => {
@@ -659,7 +708,8 @@ object RasterQueries extends QueryModule {
       } + ("rs6_batch_sql" -> (batchSqlQuery _)) +
       ("rs10_batch_alert_list" -> (batchListQuery _)) +
       ("r11_derived_tileset" -> (derivedZonal _)) +
-      ("rs8_version_override" -> (overrideQuery _))
+      ("rs8_version_override" -> (overrideQuery _)) +
+      ("r12_geotiff_ingest" -> (geotiffIngest _))
 
   override def oracles: Map[String, String] =
     sqls.flatMap(q => q.oracleSql.map(q.name -> _)).toMap +
@@ -670,5 +720,6 @@ object RasterQueries extends QueryModule {
       ("rs6_batch_sql" -> batchSqlOracle) +
       ("rs10_batch_alert_list" -> batchListOracle) +
       ("r11_derived_tileset" -> derivedZonalOracle) +
-      ("rs8_version_override" -> overrideOracle)
+      ("rs8_version_override" -> overrideOracle) +
+      ("r12_geotiff_ingest" -> geotiffIngestOracle)
 }

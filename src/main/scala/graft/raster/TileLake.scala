@@ -31,10 +31,14 @@ object TileLake {
   def bandsOf(dir: String): Seq[String] =
     if (dir == derivedDir) derivedBandColumns else bandColumns
 
-  /** Idempotent build of whichever lake a data environment points at. */
+  /** Idempotent build of whichever lake a data environment points at.
+    * Foreign dirs (lakes written by a raster version-creation DAG)
+    * must already exist — only the synthetic fixtures self-build. */
   def ensureLake(spark: SparkSession, dir: String): Unit =
     if (dir == derivedDir) ensureDerivedWritten(spark, defaultDir, dir)
-    else ensureWritten(spark, dir)
+    else if (dir == defaultDir) ensureWritten(spark, dir)
+    else require(new java.io.File(s"$dir/_SUCCESS").exists(),
+      s"tile lake $dir has not been built")
 
   /** Write the synthetic environment's tiles (idempotent per target
     * dir): one row per tile carrying the raw band arrays. */

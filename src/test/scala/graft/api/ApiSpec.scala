@@ -419,6 +419,65 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       q.body().contains("\"s\":210"), q.body().take(300))
   }
 
+  test("raster version from GeoTIFF sources: ingest, query, download") {
+    // 2×2 tiles of 10×10 px, 0.1°/px, origin (20°E, 10°N): the pixETL
+    // path — sources land on a NEW grid with its own tile lake
+    val src = java.nio.file.Files.createTempDirectory("tifsrc")
+    val px = 10
+    val deg = 0.1
+    def value(gx: Int, gy: Int): Int = (gx * 3 + gy * 5) % 4
+    for (tx <- 0 to 1; ty <- 0 to 1) {
+      val pixels = Array.tabulate(px * px) { i =>
+        value(tx * px + i % px, ty * px + i / px)
+      }
+      graft.raster.GeoTiff.write(src.resolve(s"t${tx}_$ty.tif"),
+        graft.raster.GeoTiff.Tile(px, px,
+          20.0 + tx * px * deg, 10.0 - ty * px * deg, deg, pixels))
+    }
+    val body =
+      s"""{"creation_options": {
+         |  "source_uri": ["${src.resolve("t0_0.tif")}", "${src.resolve("t0_1.tif")}",
+         |                 "${src.resolve("t1_0.tif")}", "${src.resolve("t1_1.tif")}"],
+         |  "source_type": "raster", "pixel_meaning": "class"}}""".stripMargin
+    val put = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/dataset/rastds/v1"))
+        .header("Authorization", "Bearer test-admin")
+        .PUT(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(put.statusCode() == 202, put.body().take(300))
+    var vbody = ""
+    var tries = 0
+    while (tries < 120 && { vbody = get("/dataset/rastds/v1").body()
+      vbody.contains("\"status\":\"pending\"") }) { Thread.sleep(250); tries += 1 }
+    assert(vbody.contains("\"status\":\"saved\""), vbody.take(600))
+    assert(vbody.contains("derived grid 2×2 tiles of 10 px"), vbody.take(600))
+    // the ingested tile set serves user raster SQL through the same
+    // fused zonal engine — AOI covers the whole 2°×2° extent, so every
+    // pixel center is inside and counts follow the value formula
+    val aoi = """{"type":"Polygon","coordinates":[[[19.9,7.9],[22.1,7.9],[22.1,10.1],[19.9,10.1],[19.9,7.9]]]}"""
+    val q = post("/dataset/rastds/v1/query/json",
+      s"""{"sql": "SELECT rastds__class AS cls, count(*) AS n FROM data GROUP BY rastds__class ORDER BY cls", "geometry": $aoi}""")
+    assert(q.statusCode() == 200, q.body().take(400))
+    val expected = (0 until 20).flatMap(gx => (0 until 20).map(gy =>
+      value(gx, gy))).groupBy(identity).view.mapValues(_.size).toMap
+    for ((cls, n) <- expected)
+      assert(q.body().contains(s"""{"cls":$cls,"n":$n}"""),
+        s"class $cls=$n missing in ${q.body().take(400)}")
+    // /download/geotiff materializes the tile back from the lake
+    val grid = graft.raster.Grid(20.0, 10.0, 2, 2, 1.0, 10)
+    val tid = grid.tileId(1, 0)
+    val dl = get(s"/dataset/rastds/v1/download/geotiff?tile_id=$tid&pixel_meaning=class")
+    assert(dl.statusCode() == 307, dl.body().take(300))
+    val tif = graft.raster.GeoTiff.read(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dl.headers().firstValue("Location").get)))
+    assert(tif.width == 10 && tif.originLon == 21.0 && tif.originLat == 10.0)
+    assert(tif.pixels.toSeq == (0 until px * px)
+      .map(i => value(px + i % px, i / px)))
+    // wrong pixel_meaning → 404
+    assert(get(s"/dataset/rastds/v1/download/geotiff?tile_id=$tid&pixel_meaning=bogus")
+      .statusCode() == 404)
+  }
+
   test("features point lookup: zoom radius table + out-of-range 400") {
     // customer lattice point for c_custkey=1: lon -179.25, lat -84.25
     val hit = get("/dataset/customer/v1/features?lat=-84.25&lng=-179.25&z=0")

@@ -1,0 +1,70 @@
+package graft.raster
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Byte-level checks of the pure-JVM GeoTIFF codec against the public
+  * TIFF 6.0 / GeoTIFF layout. */
+class GeoTiffSpec extends AnyFunSuite {
+
+  private def tile(n: Int): GeoTiff.Tile = GeoTiff.Tile(
+    width = n, height = n,
+    originLon = 12.5, originLat = 47.25, pixelDeg = 0.01,
+    pixels = Array.tabulate(n * n)(i => (i * 31 + 7) % 97 - 40))
+
+  test("uncompressed round-trip with exact georeferencing") {
+    val p = java.nio.file.Files.createTempFile("gt", ".tif")
+    val t = tile(16)
+    GeoTiff.write(p, t, deflate = false)
+    val bytes = java.nio.file.Files.readAllBytes(p)
+    // golden header: "II", magic 42, IFD at 8
+    assert(bytes(0) == 'I'.toByte && bytes(1) == 'I'.toByte)
+    assert((bytes(2) & 0xff) == 42 && bytes(3) == 0)
+    assert((bytes(4) & 0xff) == 8)
+    // 13 IFD entries
+    assert((bytes(8) & 0xff) == 13)
+    val back = GeoTiff.read(bytes)
+    assert(back.width == 16 && back.height == 16)
+    assert(back.originLon == 12.5 && back.originLat == 47.25 &&
+      back.pixelDeg == 0.01)
+    assert(back.pixels.toSeq == t.pixels.toSeq)
+  }
+
+  test("deflate round-trip (interoperable zlib stream)") {
+    val p = java.nio.file.Files.createTempFile("gtz", ".tif")
+    val t = tile(64)
+    GeoTiff.write(p, t, deflate = true)
+    val bytes = java.nio.file.Files.readAllBytes(p)
+    val back = GeoTiff.read(bytes)
+    assert(back.pixels.toSeq == t.pixels.toSeq)
+    assert(back.originLon == 12.5 && back.pixelDeg == 0.01)
+    // compressed file is actually smaller than raw for this content
+    assert(bytes.length < 64 * 64 * 4)
+    // the strip is a standard zlib stream: first byte 0x78
+    // (CMF: deflate, 32K window) — what every zlib reader expects
+    val stripOff = {
+      // find StripOffsets (tag 273) in the IFD
+      val n = (bytes(8) & 0xff) | ((bytes(9) & 0xff) << 8)
+      (0 until n).map(i => 10 + i * 12).collectFirst {
+        case off if ((bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)) == 273 =>
+          java.nio.ByteBuffer.wrap(bytes, off + 8, 4)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+      }.get
+    }
+    assert((bytes(stripOff) & 0xff) == 0x78)
+  }
+
+  test("reader rejects non-TIFF and unsupported forms") {
+    intercept[IllegalArgumentException](GeoTiff.read("nope".getBytes))
+    val p = java.nio.file.Files.createTempFile("gt3", ".tif")
+    GeoTiff.write(p, tile(4), deflate = false)
+    val ok = java.nio.file.Files.readAllBytes(p)
+    // flip Compression (tag 259) value to LZW (5) → rejected
+    val n = (ok(8) & 0xff) | ((ok(9) & 0xff) << 8)
+    val off = (0 until n).map(i => 10 + i * 12).find { o =>
+      ((ok(o) & 0xff) | ((ok(o + 1) & 0xff) << 8)) == 259
+    }.get
+    ok(off + 8) = 5
+    val e = intercept[IllegalArgumentException](GeoTiff.read(ok))
+    assert(e.getMessage.contains("compression"))
+  }
+}
