@@ -582,22 +582,27 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
       return respond(ex, 404, "application/json",
         Sinks.jsendError(s"Dataset version $dataset.$version not found")))
     // Eligible sources (features.py:39-76 serves any geo table): a
-    // catalog GeoDatabaseTable (e.g. a created vector version) exposes
-    // its derived lon/lat point columns; the synthetic customer
-    // lattice keeps its documented derivation.
-    val pointSource: Option[(String, String)] = // (FROM clause, id col)
+    // catalog GeoDatabaseTable (a created vector version — point OR
+    // polygon features, via the geometry-to-point distance on its
+    // stored GeoJSON); the synthetic customer lattice keeps its
+    // documented lon/lat derivation.
+    val source: Option[(String, String, String)] = // (FROM, dist expr, tiebreak)
       if (ver.defaultAsset.exists(_.assetType == cat.AssetType.GeoDatabaseTable))
-        Some((tableFor(dataset, version), ""))
+        Some((tableFor(dataset, version),
+          "st_distance_to_point(st_geomfromgeojson(gfw_geojson), " +
+            "CAST(%LNG% AS DOUBLE), CAST(%LAT% AS DOUBLE))", ""))
       else if (dataset == "customer")
         Some(("""(SELECT c_custkey, c_nationkey,
             |    CAST(c_custkey % 720 AS DOUBLE) / 2.0 - 179.75 AS lon,
             |    CAST(c_custkey % 340 AS DOUBLE) / 2.0 - 84.75 AS lat
-            |  FROM customer)""".stripMargin, ", c_custkey"))
+            |  FROM customer)""".stripMargin,
+          "st_distance_sphere(st_point(lon, lat), st_point(%LNG%, %LAT%))",
+          ", c_custkey"))
       else None
-    pointSource match {
+    source match {
       case None => respond(ex, 501, "application/json", Sinks.jsendError(
         "This endpoint is not implemented for the given dataset"))
-      case Some((from, tieBreak)) =>
+      case Some((from, distTpl, tieBreak)) =>
         val (lat, lng, zoom) =
           try (params("lat").toDouble, params("lng").toDouble, params("z").toInt)
           catch { case _: Exception => return respond(ex, 422, "application/json",
@@ -606,11 +611,12 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
           case None => respond(ex, 400, "application/json",
             Sinks.jsendError("Zoom level out of range"))
           case Some(radius) =>
+            val dist = distTpl.replace("%LNG%", lng.toString)
+              .replace("%LAT%", lat.toString)
             val df = spark.sql(
-              s"""SELECT *,
-                 |  st_distance_sphere(st_point(lon, lat), st_point($lng, $lat)) AS dist_m
+              s"""SELECT *, $dist AS dist_m
                  |FROM $from pts
-                 |WHERE st_distance_sphere(st_point(lon, lat), st_point($lng, $lat)) <= $radius
+                 |WHERE $dist <= $radius
                  |ORDER BY dist_m$tieBreak LIMIT 100""".stripMargin)
             respond(ex, 200, "application/json", Sinks.toJsend(df))
         }
@@ -859,14 +865,37 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
       case _ => Map.empty
     }
 
-  /** GET /datasets (`datasets.py` get_datasets): all dataset records. */
+  /** GET /datasets (`datasets.py` get_datasets + `utils/paginate.py`):
+    * all dataset records; with `page[size]` / `page[number]` the
+    * response pages and carries the reference's links + meta blocks. */
   private def datasetsList(ex: HttpExchange): Unit = {
-    val items = catalog.datasets.sortBy(_.name).map { d =>
+    val all = catalog.datasets.sortBy(_.name)
+    def item(d: cat.Dataset): String = {
       val versions = d.versions.map(v => graft.geo.Json.write(v.version))
         .mkString("[", ",", "]")
       s"""{"dataset":"${d.name}","versions":$versions}"""
-    }.mkString(",")
-    respond(ex, 200, "application/json", s"""{"data":[$items],"status":"success"}""")
+    }
+    val params = queryParams(ex)
+    val sizeP = params.get("page[size]")
+    val pageP = params.get("page[number]")
+    if (sizeP.isEmpty && pageP.isEmpty)
+      return respond(ex, 200, "application/json",
+        s"""{"data":[${all.map(item).mkString(",")}],"status":"success"}""")
+    val size = sizeP.map(_.toInt).getOrElse(10)
+    val page = pageP.map(_.toInt).getOrElse(1)
+    if (size <= 0 || page <= 0)
+      return respond(ex, 422, "application/json",
+        Sinks.jsendError("page[size] and page[number] must be positive"))
+    val totalPages = math.max(1, (all.length + size - 1) / size)
+    val slice = all.slice((page - 1) * size, (page - 1) * size + size)
+    def link(p: Int) = s"/datasets?page[number]=$p&page[size]=$size"
+    val links =
+      s"""{"self":"${link(page)}","first":"${link(1)}","last":"${link(totalPages)}",""" +
+        s""""prev":"${if (page > 1) link(page - 1) else ""}",""" +
+        s""""next":"${if (page < totalPages) link(page + 1) else ""}"}"""
+    val meta = s"""{"size":$size,"total_items":${all.length},"total_pages":$totalPages}"""
+    respond(ex, 200, "application/json",
+      s"""{"data":[${slice.map(item).mkString(",")}],"links":$links,"meta":$meta,"status":"success"}""")
   }
 
   /** PUT /dataset/{d} (`dataset.py:84-116`): create the metadata-only
@@ -1220,8 +1249,9 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
     Option(ex.getRequestURI.getRawQuery).map { q =>
       q.split("&").toSeq.flatMap { kv =>
         kv.split("=", 2) match {
-          case Array(k, v) => Some(k -> java.net.URLDecoder.decode(v, "UTF-8"))
-          case Array(k) => Some(k -> "")
+          case Array(k, v) => Some(java.net.URLDecoder.decode(k, "UTF-8") ->
+            java.net.URLDecoder.decode(v, "UTF-8"))
+          case Array(k) => Some(java.net.URLDecoder.decode(k, "UTF-8") -> "")
           case _ => None
         }
       }.toMap

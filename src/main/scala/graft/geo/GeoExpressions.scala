@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -186,6 +186,29 @@ object GeoExpressions {
       }
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
       copy(left = l, right = r)
+  }
+
+  /** `st_distance_to_point(geom, lng, lat)` → metres from a geometry
+    * to a query point — the predicate behind the `/features` lookup on
+    * ANY geo table (reference `features.py:140-147` intersects a
+    * geodesic point buffer with the table geometry; distance ≤ radius
+    * is the same test). Points use the exact great-circle formula
+    * (identical to `st_distance_sphere`); areal geometries are 0 when
+    * they contain the point, else the minimum over ring edges in the
+    * local tangent plane at the query point (exact enough at feature-
+    * lookup radii, ≤ ~500 km). */
+  case class StDistanceToPoint(first: Expression, second: Expression, third: Expression)
+      extends TernaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "st_distance_to_point"
+    override protected def nullSafeEval(g: Any, lngA: Any, latA: Any): Any = {
+      val lng = lngA.asInstanceOf[Double]
+      val lat = latA.asInstanceOf[Double]
+      Geom.distanceToPoint(geom(g.asInstanceOf[Array[Byte]]), lng, lat)
+    }
+    override protected def withNewChildrenInternal(
+        f: Expression, s: Expression, t: Expression): Expression =
+      copy(first = f, second = s, third = t)
   }
 
   /** Accent-stripping lowercase normalization (the reference's
@@ -450,6 +473,7 @@ object GeoFunctions {
     "st_setsrid" -> (es => StSetSrid(es(0), es(1))),
     "st_geostore_id" -> (es => StGeostoreId(es.head)),
     "st_distance_sphere" -> (es => StDistanceSphere(es(0), es(1))),
+    "st_distance_to_point" -> (es => StDistanceToPoint(es(0), es(1), es(2))),
     "norm_name" -> (es => NormName(es.head)),
     "st_clip_envelope" -> (es => StClipEnvelope(es)),
     "st_intersection_convex" -> (es => StIntersectionConvex(es(0), es(1))),

@@ -369,6 +369,45 @@ object Geom {
     2 * EarthRadius * Math.asin(Math.sqrt(a))
   }
 
+  /** Metres from `g` to the query point (lng, lat): great-circle for
+    * points; 0 for areal geometries containing the point, else the
+    * minimum point-to-edge distance in the local tangent plane at the
+    * query point (first-order accurate at feature-lookup radii). */
+  def distanceToPoint(g: Geom, lng: Double, lat: Double): Double = {
+    val mPerDegLat = EarthRadius * math.Pi / 180.0
+    val mPerDegLon = mPerDegLat * math.cos(math.toRadians(lat))
+    def planar(x: Double, y: Double): (Double, Double) =
+      ((x - lng) * mPerDegLon, (y - lat) * mPerDegLat)
+    def segDist(a: (Double, Double), b: (Double, Double)): Double = {
+      val (ax, ay) = planar(a._1, a._2)
+      val (bx, by) = planar(b._1, b._2)
+      val dx = bx - ax; val dy = by - ay
+      val len2 = dx * dx + dy * dy
+      val t = if (len2 == 0) 0.0
+              else math.max(0.0, math.min(1.0, -(ax * dx + ay * dy) / len2))
+      val px = ax + t * dx; val py = ay + t * dy
+      math.sqrt(px * px + py * py)
+    }
+    def ringsDist(rings: Array[Array[(Double, Double)]]): Double =
+      rings.iterator.flatMap(r => r.dropRight(1).zip(r.drop(1)).iterator)
+        .map { case (a, b) => segDist(a, b) }.min
+    g match {
+      case Point(x, y) => distanceSphere(x, y, lng, lat)
+      case MultiPoint(ps) =>
+        ps.iterator.map { case (x, y) => distanceSphere(x, y, lng, lat) }.min
+      case LineString(c) =>
+        c.dropRight(1).zip(c.drop(1)).iterator.map { case (a, b) => segDist(a, b) }.min
+      case MultiLineString(ls) =>
+        ls.iterator.map(l =>
+          l.dropRight(1).zip(l.drop(1)).iterator.map { case (a, b) => segDist(a, b) }.min).min
+      case Polygon(rings) =>
+        if (pointInPolygon(lng, lat, rings)) 0.0 else ringsDist(rings)
+      case MultiPolygon(ps) =>
+        if (ps.exists(pointInPolygon(lng, lat, _))) 0.0
+        else ps.iterator.map(ringsDist).min
+    }
+  }
+
   /** EPSG:4326 → EPSG:3857 (spherical mercator, the reference's
     * `geom_wm` twin — `clip_and_reproject_geom.sh`). */
   val WebMercatorR = 6378137.0

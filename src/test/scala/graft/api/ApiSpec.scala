@@ -375,6 +375,19 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     val tri = graft.geo.Geom.fromWkb(parsed(1).getAs[Array[Byte]]("geom"))
       .asInstanceOf[graft.geo.Polygon]
     assert(tri.rings.length == 1 && tri.rings(0).length == 4)
+    // /features over the POLYGON version (features.py serves any geo
+    // table): a point inside the donut's solid part matches at dist 0;
+    // a point inside its HOLE is outside the polygon and the hole edge
+    // is far beyond the z=10 radius; a far point matches nothing
+    val in = get("/dataset/polyds/v1/features?lat=0.5&lng=0.5&z=10")
+    assert(in.statusCode() == 200, in.body().take(300))
+    assert(in.body().contains("\"zone\":10") && in.body().contains("\"dist_m\":0"),
+      in.body().take(300))
+    assert(!in.body().contains("\"zone\":20"))
+    val inHole = get("/dataset/polyds/v1/features?lat=1.5&lng=1.5&z=10")
+    assert(inHole.body() == """{"data":[],"status":"success"}""", inHole.body().take(200))
+    val far = get("/dataset/polyds/v1/features?lat=-40.0&lng=-90.0&z=10")
+    assert(far.body() == """{"data":[],"status":"success"}""")
     // the GeoPackage twin of the export: 307 + full geometry round-trip
     assert(vbody.contains("\"task\":\"export_gpkg\",\"status\":\"success\""), vbody.take(900))
     val dlg = get("/dataset/polyds/v1/download/gpkg")
@@ -795,6 +808,22 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     // with all versions gone the dataset record deletes
     assert(req("DELETE", "/dataset/crudds", "", admin).statusCode() == 200)
     assert(get("/dataset/crudds").statusCode() == 404)
+  }
+
+  test("GET /datasets pagination: links + meta blocks") {
+    val p1 = get("/datasets?page%5Bsize%5D=3&page%5Bnumber%5D=1")
+    assert(p1.statusCode() == 200, p1.body().take(200))
+    assert(p1.body().contains("\"meta\":{\"size\":3,"))
+    assert(p1.body().contains("\"prev\":\"\""))
+    assert(p1.body().contains("page[number]=2&page[size]=3"))
+    val total = "\"total_items\":(\\d+)".r.findFirstMatchIn(p1.body()).get.group(1).toInt
+    val pages = "\"total_pages\":(\\d+)".r.findFirstMatchIn(p1.body()).get.group(1).toInt
+    assert(pages == (total + 2) / 3)
+    val last = get(s"/datasets?page%5Bsize%5D=3&page%5Bnumber%5D=$pages")
+    assert(last.body().contains("\"next\":\"\""))
+    assert(get("/datasets?page%5Bsize%5D=0").statusCode() == 422)
+    // unpaged form stays the plain list
+    assert(!get("/datasets").body().contains("\"links\""))
   }
 
   test("assets and change_log routes") {

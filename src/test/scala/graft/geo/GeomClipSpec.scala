@@ -144,6 +144,26 @@ class GeomClipSpec extends AnyFunSuite {
     assert(math.abs(Geom.planarArea(fixed) - 3.0) < 1e-12)
   }
 
+  test("distanceToPoint: containment, edge distance, haversine parity") {
+    val sq = Polygon(Array(Array(
+      (10.0, 45.0), (11.0, 45.0), (11.0, 46.0), (10.0, 46.0), (10.0, 45.0))))
+    assert(Geom.distanceToPoint(sq, 10.5, 45.5) == 0.0) // inside
+    // 0.1° east of the eastern edge at lat 45.5 ≈ 0.1°·cos(45.5°)·111.195km
+    val d = Geom.distanceToPoint(sq, 11.1, 45.5)
+    val expect = 0.1 * math.cos(math.toRadians(45.5)) * math.Pi / 180.0 * 6371008.8
+    assert(math.abs(d - expect) / expect < 0.01, s"$d vs $expect")
+    // point geometry delegates to the exact great-circle formula
+    val p = Point(2.0, 48.0)
+    assert(Geom.distanceToPoint(p, 2.5, 48.2) ==
+      Geom.distanceSphere(2.0, 48.0, 2.5, 48.2))
+    // a hole interior is OUTSIDE: distance is to the hole's edge
+    val donut = Polygon(Array(
+      Array((0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0)),
+      Array((1.0, 1.0), (1.0, 3.0), (3.0, 3.0), (3.0, 1.0), (1.0, 1.0))))
+    val dh = Geom.distanceToPoint(donut, 2.0, 2.0)
+    assert(dh > 100000, s"hole-center distance $dh") // ~1° ≈ 111 km
+  }
+
   test("makeValid splits a bowtie into its lobes (node-splitting)") {
     // figure-eight: crosses itself at (1,1); PostGIS returns the
     // MULTIPOLYGON of the two triangular lobes, total area 2·(1/2·2·1)
