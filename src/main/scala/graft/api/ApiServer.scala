@@ -191,6 +191,7 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
   private val VersionAppend = "^/dataset/([^/]+)/([^/]+)/append$".r
   private val DatasetRoot = "^/dataset/([^/]+)$".r
   private val AssetsR = "^/dataset/([^/]+)/([^/]+)/assets$".r
+  private val CreationOptsR = "^/dataset/([^/]+)/([^/]+)/creation_options$".r
   private val ChangeLogR = "^/dataset/([^/]+)/([^/]+)/change_log$".r
 
   // ----------------------------------------------------------- auth gate
@@ -278,6 +279,7 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
         case ("PUT", VersionRoot(d, v)) => versionPut(ex, d, v)
         case ("POST", VersionAppend(d, v)) => versionAppend(ex, d, v)
         case ("GET", AssetsR(d, v)) => versionAssets(ex, d, v)
+        case ("GET", CreationOptsR(d, v)) => creationOptions(ex, d, v)
         case ("GET", ChangeLogR(d, v)) => versionChangeLog(ex, d, v)
         case ("GET", VersionRoot(d, v)) => versionGet(ex, d, v)
         case ("PATCH", VersionRoot(d, v)) => versionPatch(ex, d, v)
@@ -723,8 +725,8 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
         // vector versions that built the optional shapefile export
         // register it, so /download/shp 307-redirects like the
         // reference's prebuilt S3 artifacts
-        val exportShp = new java.io.File(s"$targetDir/export.shp")
-        val exportGpkg = new java.io.File(s"$targetDir/export.gpkg")
+        val exportShp = new java.io.File(s"${targetDir}_exports/export.shp")
+        val exportGpkg = new java.io.File(s"${targetDir}_exports/export.gpkg")
         val exports =
           (if (exportShp.exists()) Seq(cat.Asset(s"$dataset-$version-shp",
             cat.AssetType.ShapefileExport, exportShp.getPath, isDefault = false))
@@ -763,9 +765,9 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
     val opts = versionOpts.getOrElse((dataset, version),
       return respond(ex, 404, "application/json", Sinks.jsendError(
         s"Dataset version $dataset.$version not found or not appendable")))
-    if (opts.sourceType == "vector")
+    if (opts.sourceType == "raster")
       return respond(ex, 501, "application/json", Sinks.jsendError(
-        "Append is not implemented for vector versions"))
+        "Append is not implemented for raster versions"))
     val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
     val uris = graft.geo.Json.parseObject(body).get("creation_options") match {
       case Some(m: Map[_, _]) =>
@@ -787,8 +789,11 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
     val prior = versionRecords.get((dataset, version)).map(_._2).getOrElse(Nil)
     versionRecords.put((dataset, version), ("pending", prior))
     val jobId = jobRegistry.submit { () =>
-      val (log, ok) = VersionCreation.appendSources(
-        spark, dataset, version, opts, uris, targetDir)
+      val (log, ok) =
+        if (opts.sourceType == "vector")
+          VersionCreation.appendVectorSources(spark, dataset, version, uris, targetDir)
+        else
+          VersionCreation.appendSources(spark, dataset, version, opts, uris, targetDir)
       versionRecords.put((dataset, version),
         (if (ok) "saved" else "failed", prior ++ log))
       s"""{"dataset":"$dataset","version":"$version","status":"${if (ok) "saved" else "failed"}"}"""
@@ -811,6 +816,19 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
             s""""status":"${a.status}"}"""
         }.mkString(",")
         respond(ex, 200, "application/json", s"""{"data":[$items],"status":"success"}""")
+    }
+
+  /** GET /dataset/{d}/{v}/creation_options (`versions.py:333-347`):
+    * the default asset's creation options — the settings `/append`
+    * re-runs loads with. */
+  private def creationOptions(ex: HttpExchange, dataset: String, version: String): Unit =
+    versionOpts.get((dataset, version)) match {
+      case None => respond(ex, 404, "application/json",
+        Sinks.jsendError(s"Dataset version $dataset.$version has no creation options"))
+      case Some(o) =>
+        val uris = o.sourceUris.map(graft.geo.Json.write).mkString("[", ",", "]")
+        respond(ex, 200, "application/json",
+          s"""{"data":{"source_uri":$uris,"source_type":"${o.sourceType}","delimiter":${graft.geo.Json.write(o.delimiter)},"has_header":${o.header},"latest":${o.latest},"pixel_meaning":"${o.pixelMeaning}"},"status":"success"}""")
     }
 
   /** GET /dataset/{d}/{v}/change_log (`versions.py:317-330`): the

@@ -393,7 +393,12 @@ object VersionCreation {
           .collect()
           .map(r => (graft.geo.Geom.fromGeoJson(r.getString(0)),
             (1 until r.length).map(r.get).toSeq)).toSeq
-        val base = java.nio.file.Paths.get(targetDir).resolve("export")
+        // exports live BESIDE the parquet dir — a non-parquet file
+        // inside it would break every later spark.read.parquet
+        // (appends, stats) with a footer error
+        val exportsDir = java.nio.file.Paths.get(targetDir + "_exports")
+        java.nio.file.Files.createDirectories(exportsDir)
+        val base = exportsDir.resolve("export")
         val fieldSpecs = attrCols.map(f => f.name -> f.dataType).toSeq
         // one geometry type per shapefile (format rule): points write a
         // type-1 file, (multi)polygons a type-5 file, a mixed version
@@ -409,14 +414,14 @@ object VersionCreation {
               case (p: graft.geo.Point, attrs) => ((p.x, p.y), attrs)
               case other => throw new MatchError(other)
             }, fieldSpecs, base)
-            log += ChangeLog("export_shp", "success", s"$targetDir/export.shp ($cnt features)")
+            log += ChangeLog("export_shp", "success", s"${targetDir}_exports/export.shp ($cnt features)")
           case Seq("polygon") =>
             Shapefile.writePolygons(rows.map {
               case (p: graft.geo.Polygon, attrs) => (p.rings, attrs)
               case (m: graft.geo.MultiPolygon, attrs) => (m.polys.flatten, attrs)
               case other => throw new MatchError(other)
             }, fieldSpecs, base)
-            log += ChangeLog("export_shp", "success", s"$targetDir/export.shp ($cnt features)")
+            log += ChangeLog("export_shp", "success", s"${targetDir}_exports/export.shp ($cnt features)")
           case kinds =>
             log += ChangeLog("export_shp", "success",
               s"skipped (geometry kinds ${kinds.mkString("/")} not shapefile-exportable)")
@@ -430,11 +435,11 @@ object VersionCreation {
           case _ => "GEOMETRY"
         }
         Geopackage.write(
-          java.nio.file.Paths.get(targetDir).resolve("export.gpkg"),
+          exportsDir.resolve("export.gpkg"),
           dataset, geomType,
           rows.map { case (g, attrs) => (graft.geo.Geom.toWkb(g), attrs) },
           fieldSpecs)
-        log += ChangeLog("export_gpkg", "success", s"$targetDir/export.gpkg ($cnt features)")
+        log += ChangeLog("export_gpkg", "success", s"${targetDir}_exports/export.gpkg ($cnt features)")
       } else
         log += ChangeLog("export_shp", "success",
           s"skipped (size $cnt outside (0, $ShpExportMaxRows])")
@@ -502,6 +507,64 @@ object VersionCreation {
           Option(e.getMessage).getOrElse("register failed"))
     }
 
+    (log.result(), ok)
+  }
+
+  /** `/append` for VECTOR versions (reference
+    * `vector_source_assets.py:350-413` re-runs the load jobs for the
+    * new source files): new NDJSON-GeoJSON (or `.gpkg`) sources run
+    * the same property + GFW-field derivation, and the
+    * content-addressed `gfw_geostore_id` is the natural idempotency
+    * key — re-appending a feature already in the version is a no-op
+    * (the vector analog of `ON CONFLICT DO NOTHING`). */
+  def appendVectorSources(spark: SparkSession, dataset: String, version: String,
+                          newUris: Seq[String],
+                          targetDir: String): (Seq[ChangeLog], Boolean) = {
+    val log = Seq.newBuilder[ChangeLog]
+    var ok = true
+    var added: Long = -1
+    try {
+      graft.functions.GraftFunctions.install(spark)
+      val existing = spark.read.parquet(targetDir)
+      val isGpkg = newUris.forall(_.endsWith(".gpkg"))
+      val withGeom =
+        if (isGpkg) Geopackage.readFiles(spark, newUris)
+        else {
+          val raw = spark.read.json(newUris: _*)
+          val props = raw.schema.find(_.name == "properties") match {
+            case Some(f: StructField) => f.dataType match {
+              case st: StructType => st.fieldNames.toSeq
+              case _ => Nil
+            }
+            case None => Nil
+          }
+          raw.selectExpr(props.map(p => s"properties.`$p` AS `$p`") ++
+            Seq("st_geomfromgeojson(to_json(geometry)) AS geom"): _*)
+        }
+      val derived = withGeom.selectExpr(
+        withGeom.schema.fieldNames.toSeq
+          .filterNot(n => n == "fid" || n == "geom").map(n => s"`$n`") ++ Seq(
+          "st_x(geom) AS lon",
+          "st_y(geom) AS lat",
+          "st_asgeojson(geom) AS gfw_geojson",
+          "st_geostore_id(geom) AS gfw_geostore_id"): _*)
+      val incoming = derived.select(existing.schema.fields.map(f =>
+        derived.col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+        .dropDuplicates("gfw_geostore_id")
+        .join(existing, Seq("gfw_geostore_id"), "left_anti")
+      added = incoming.count()
+      incoming.write.mode("append").parquet(targetDir)
+      log += ChangeLog("load_data", "success",
+        s"appended $added new feature(s) from ${newUris.length} source uri(s)")
+      val view = viewName(dataset, version)
+      spark.read.parquet(targetDir).createOrReplaceTempView(view)
+      log += ChangeLog("register", "success", s"view $view refreshed (+$added)")
+    } catch {
+      case e: Exception =>
+        ok = false
+        log += ChangeLog("load_data", "failed",
+          Option(e.getMessage).getOrElse("vector append failed"))
+    }
     (log.result(), ok)
   }
 }

@@ -339,6 +339,33 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       .read(spark, new java.io.File(loc).getParent).collect()
     assert(parsed.length == 2)
     assert(parsed.map(_.getAs[Long]("pid")).sorted.toSeq == Seq(1L, 2L))
+    // creation options round-trip (versions.py:333-347)
+    val co = get("/dataset/vecds/v1/creation_options")
+    assert(co.statusCode() == 200 && co.body().contains("\"source_type\":\"vector\""),
+      co.body().take(300))
+    // vector append: one replayed feature (same geometry → same
+    // gfw_geostore_id, dropped) + one genuinely new feature
+    java.nio.file.Files.writeString(src.resolve("g.ndjson"),
+      """{"type":"Feature","geometry":{"type":"Point","coordinates":[10.001,45.0]},"properties":{"pid":1}}
+        |{"type":"Feature","geometry":{"type":"Point","coordinates":[55.5,-20.25]},"properties":{"pid":3}}
+        |""".stripMargin)
+    val app = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/dataset/vecds/v1/append"))
+        .header("Authorization", "Bearer test-admin")
+        .POST(HttpRequest.BodyPublishers.ofString(
+          s"""{"creation_options": {"source_uri": ["file://${src.resolve("g.ndjson")}"]}}"""))
+        .build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(app.statusCode() == 202, app.body().take(300))
+    var abody = ""
+    var atries = 0
+    while (atries < 120 && { abody = get("/dataset/vecds/v1").body()
+      abody.contains("\"status\":\"pending\"") }) { Thread.sleep(250); atries += 1 }
+    assert(abody.contains("appended 1 new feature(s)"), abody.take(900))
+    val q2 = get("/dataset/vecds/v1/query/json?sql=" +
+      java.net.URLEncoder.encode("SELECT count(*) AS cnt, sum(pid) AS s FROM data", "UTF-8"))
+    assert(q2.body().contains("\"cnt\":3") && q2.body().contains("\"s\":6"),
+      q2.body().take(300))
   }
 
   test("polygon vector version builds a type-5 shapefile export") {
