@@ -190,6 +190,13 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
   private val QueryBatch = "^/dataset/([^/]+)/([^/]+)/query/batch$".r
   private val VersionAppend = "^/dataset/([^/]+)/([^/]+)/append$".r
   private val DatasetRoot = "^/dataset/([^/]+)$".r
+  private val DownloadAoi = "^/dataset/([^/]+)/([^/]+)/download_by_aoi/(csv|json)$".r
+  private val MetadataR = "^/dataset/([^/]+)/([^/]+)/metadata$".r
+  private val VersionGeostore = "^/dataset/([^/]+)/([^/]+)/geostore/([^/]+)$".r
+  private val AssetR = "^/asset/([^/]+)$".r
+  private val AssetSubR = "^/asset/([^/]+)/(creation_options|change_log)$".r
+  private val TclDriver = "^/land/tree_cover_loss_by_driver$".r
+  private val TclDriverId = "^/land/tree_cover_loss_by_driver/([^/]+)$".r
   private val AssetsR = "^/dataset/([^/]+)/([^/]+)/assets$".r
   private val CreationOptsR = "^/dataset/([^/]+)/([^/]+)/creation_options$".r
   private val ChangeLogR = "^/dataset/([^/]+)/([^/]+)/change_log$".r
@@ -275,6 +282,19 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
         case ("GET", StatsR(d, v)) => stats(ex, d, v)
         case ("GET", ExtentR(d, v)) => extent(ex, d, v)
         case ("GET", "/political/id-lookup") => idLookup(ex)
+        case ("GET", "/ping") => respond(ex, 200, "application/json", "\"pong\"")
+        case ("GET", DownloadAoi(d, v, fmt)) => downloadByAoi(ex, d, v, fmt)
+        case ("GET", MetadataR(d, v)) => versionMetadataGet(ex, d, v)
+        case (m, MetadataR(d, v)) if m == "POST" || m == "PATCH" =>
+          versionMetadataWrite(ex, d, v)
+        case ("DELETE", MetadataR(d, v)) => versionMetadataDelete(ex, d, v)
+        case ("GET", VersionGeostore(d, v, gid)) => versionGeostore(ex, d, v, gid)
+        case ("GET", AssetR(id)) => assetGet(ex, id)
+        case ("GET", AssetSubR(id, sub)) => assetSub(ex, id, sub)
+        case ("GET", TclDriver()) => tclSearch(ex)
+        case ("POST", TclDriver()) => tclPost(ex)
+        case ("GET", TclDriverId(rid)) => tclGet(ex, rid)
+        case ("DELETE", TclDriverId(rid)) => tclDelete(ex, rid)
         case ("POST", "/auth/apikey") => apiKeyCreate(ex)
         case ("PUT", VersionRoot(d, v)) => versionPut(ex, d, v)
         case ("POST", VersionAppend(d, v)) => versionAppend(ex, d, v)
@@ -334,6 +354,15 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
       case e: graft.raster.RasterSqlException =>
         // raster-analysis validation failure → 422 (queries.py:617-621)
         respond(ex, 422, "application/json", Sinks.jsendError(e.detail))
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getErrorClass != null &&
+            (e.getErrorClass.startsWith("UNRESOLVED_COLUMN") ||
+              e.getErrorClass.startsWith("UNRESOLVED_ROUTINE")) =>
+        // a user-SQL reference that doesn't resolve is the client's
+        // error — the reference surfaces PG's message as 400
+        // (`queries.py` Bad request passthrough)
+        respond(ex, 400, "application/json",
+          Sinks.jsendError("Bad request. " + e.getSimpleMessage))
       case e: Throwable =>
         respond(ex, 500, "application/json",
           Sinks.jsendError(Option(e.getMessage).getOrElse("Internal server error")))
@@ -491,6 +520,256 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
             respond(ex, 501, "application/json", Sinks.jsendError(
               "This endpoint is not implemented for the given dataset"))
         }
+    }
+
+  /** `GET /download_by_aoi/{csv,json}` (`downloads.py:202-263`): the
+    * download variant whose AOI is MANDATORY — same streaming sink,
+    * 422 without a resolvable geostore. */
+  private def downloadByAoi(ex: HttpExchange, dataset: String, version: String,
+                            fmt: String): Unit = {
+    val params = queryParams(ex)
+    val gid = params.getOrElse("geostore_id", return respond(ex, 422,
+      "application/json", Sinks.jsendError("geostore_id is required")))
+    if (resolveGeostore(gid, params.getOrElse("geostore_origin", "gfw")).isEmpty)
+      return respond(ex, 404, "application/json",
+        Sinks.jsendError(s"Geostore $gid not found"))
+    download(ex, dataset, version, fmt)
+  }
+
+  /** Version metadata CRUD (`versions.py:407-517`): a free-form
+    * metadata document per (dataset, version); POST creates, PATCH
+    * merges fields, DELETE clears. */
+  private val versionMetadata = scala.collection.concurrent.TrieMap
+    .empty[(String, String), Map[String, String]]
+
+  private def versionMetadataGet(ex: HttpExchange, dataset: String, version: String): Unit =
+    if (catalog.version(dataset, version).isEmpty)
+      respond(ex, 404, "application/json",
+        Sinks.jsendError(s"Dataset version $dataset.$version not found"))
+    else versionMetadata.get((dataset, version)) match {
+      case None => respond(ex, 404, "application/json",
+        Sinks.jsendError(s"Version $dataset.$version has no metadata"))
+      case Some(m) =>
+        val body = m.toSeq.sortBy(_._1).map { case (k, v) =>
+          s"${graft.geo.Json.write(k)}:${graft.geo.Json.write(v)}"
+        }.mkString("{", ",", "}")
+        respond(ex, 200, "application/json", s"""{"data":$body,"status":"success"}""")
+    }
+
+  private def versionMetadataWrite(ex: HttpExchange, dataset: String, version: String): Unit = {
+    writeGate(ex).foreach { case (code, body) =>
+      return respond(ex, code, "application/json", body) }
+    if (catalog.version(dataset, version).isEmpty)
+      return respond(ex, 404, "application/json",
+        Sinks.jsendError(s"Dataset version $dataset.$version not found"))
+    val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+    val patch = if (body.isBlank) Map.empty[String, String]
+                else graft.geo.Json.parseObject(body).collect {
+                  case (k, s: String) => k -> s
+                  case (k, v) if v != null => k -> graft.geo.Json.write(v)
+                }
+    val isCreate = ex.getRequestMethod == "POST"
+    val merged = versionMetadata.updateWith((dataset, version)) {
+      case Some(old) if !isCreate => Some(old ++ patch)
+      case _ => Some(patch)
+    }.get
+    val out = merged.toSeq.sortBy(_._1).map { case (k, v) =>
+      s"${graft.geo.Json.write(k)}:${graft.geo.Json.write(v)}"
+    }.mkString("{", ",", "}")
+    respond(ex, if (isCreate) 201 else 200, "application/json",
+      s"""{"data":$out,"status":"success"}""")
+  }
+
+  private def versionMetadataDelete(ex: HttpExchange, dataset: String, version: String): Unit = {
+    writeGate(ex).foreach { case (code, body) =>
+      return respond(ex, code, "application/json", body) }
+    versionMetadata.remove((dataset, version)) match {
+      case None => respond(ex, 404, "application/json",
+        Sinks.jsendError(s"Version $dataset.$version has no metadata"))
+      case Some(_) => respond(ex, 200, "application/json",
+        """{"data":{},"status":"success"}""")
+    }
+  }
+
+  /** `GET /dataset/{d}/{v}/geostore/{id}` (`datasets/geostore.py:16`):
+    * a geostore looked up WITHIN a version's table — the row whose
+    * content-addressed `gfw_geostore_id` matches returns its stored
+    * geometry. */
+  private def versionGeostore(ex: HttpExchange, dataset: String, version: String,
+                              gid: String): Unit =
+    catalog.version(dataset, version) match {
+      case None => respond(ex, 404, "application/json",
+        Sinks.jsendError(s"Dataset version $dataset.$version not found"))
+      case Some(v) if !v.defaultAsset.exists(_.assetType == cat.AssetType.GeoDatabaseTable) =>
+        respond(ex, 501, "application/json", Sinks.jsendError(
+          "This endpoint is not implemented for the given dataset"))
+      case Some(_) =>
+        val rows = spark.sql(
+          s"""SELECT gfw_geojson FROM ${tableFor(dataset, version)}
+             |WHERE gfw_geostore_id = '${gid.replace("'", "''")}' LIMIT 1""".stripMargin)
+          .collect()
+        if (rows.isEmpty)
+          respond(ex, 404, "application/json",
+            Sinks.jsendError(s"Geostore $gid not found in $dataset.$version"))
+        else
+          respond(ex, 200, "application/json",
+            s"""{"data":{"gfw_geostore_id":"$gid","geojson":${rows.head.getString(0)}},"status":"success"}""")
+    }
+
+  /** Asset-by-id routes (`assets/asset.py:82-305`): the catalog is
+    * searched across all datasets/versions. */
+  private def findAsset(id: String): Option[(cat.Version, cat.Asset)] =
+    catalog.datasets.iterator.flatMap(_.versions).flatMap(v =>
+      v.assets.collect { case a if a.assetId == id => (v, a) }).nextOption()
+
+  private def assetGet(ex: HttpExchange, id: String): Unit = findAsset(id) match {
+    case None => respond(ex, 404, "application/json",
+      Sinks.jsendError(s"Asset $id not found"))
+    case Some((v, a)) =>
+      respond(ex, 200, "application/json",
+        s"""{"data":{"asset_id":"${a.assetId}","dataset":"${v.dataset}","version":"${v.version}","asset_type":${graft.geo.Json.write(a.assetType)},"asset_uri":${graft.geo.Json.write(a.assetUri)},"is_default":${a.isDefault},"status":"${a.status}"},"status":"success"}""")
+  }
+
+  private def assetSub(ex: HttpExchange, id: String, sub: String): Unit = findAsset(id) match {
+    case None => respond(ex, 404, "application/json",
+      Sinks.jsendError(s"Asset $id not found"))
+    case Some((v, a)) => sub match {
+      case "creation_options" =>
+        val body = a.creationOptions.toSeq.sortBy(_._1).map { case (k, x) =>
+          s"${graft.geo.Json.write(k)}:${graft.geo.Json.write(x)}"
+        }.mkString("{", ",", "}")
+        respond(ex, 200, "application/json", s"""{"data":$body,"status":"success"}""")
+      case "change_log" => versionChangeLog(ex, v.dataset, v.version)
+    }
+  }
+
+  // ------------------------------------------- datamart (land.py, beta)
+
+  /** Tree-cover-loss-by-driver resources (`datamart/land.py:76-268`):
+    * uuid5-keyed async analyses. status → (metadata json, result json
+    * or error detail). */
+  private val tclResources = scala.collection.concurrent.TrieMap
+    .empty[String, (String, String, String)] // status, metadata, payload
+
+  private def tclResourceId(gid: String, canopyCover: Int): String =
+    graft.geo.GeoExpressions.Uuid5.of("oid",
+      s"tree_cover_loss_by_driver_{'type': 'geostore', 'geostore_id': '$gid'}_${canopyCover}_None")
+
+  /** GET search (`tree_cover_loss_by_driver_search`): 404 until the
+    * resource has been computed. */
+  private def tclSearch(ex: HttpExchange): Unit = {
+    val params = queryParams(ex)
+    val gid = params.getOrElse("geostore_id", return respond(ex, 422,
+      "application/json", Sinks.jsendError("geostore_id is required")))
+    val cc = params.get("canopy_cover").map(_.toInt).getOrElse(30)
+    val rid = tclResourceId(gid, cc)
+    if (!tclResources.contains(rid))
+      respond(ex, 404, "application/json", Sinks.jsendError(
+        "Resource not found, may require computation."))
+    else respond(ex, 200, "application/json",
+      s"""{"data":{"link":"/land/tree_cover_loss_by_driver/$rid"},"status":"success"}""")
+  }
+
+  /** POST (`tree_cover_loss_by_driver_post`): 409 when the resource
+    * exists, else 202 + link; the analysis runs in the background —
+    * the SAME fused zonal engine, grouped by loss year and the driver
+    * layer, thresholded on canopy cover. */
+  private def tclPost(ex: HttpExchange): Unit = {
+    val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+    val obj = graft.geo.Json.parseObject(body)
+    val gid = obj.get("geostore_id") match {
+      case Some(s: String) => s
+      case _ => return respond(ex, 422, "application/json",
+        Sinks.jsendError("geostore_id is required"))
+    }
+    val cc = obj.get("canopy_cover").map(_.asInstanceOf[Double].toInt).getOrElse(30)
+    val gj = resolveGeostore(gid, "gfw").getOrElse(
+      return respond(ex, 422, "application/json", Sinks.jsendError(
+        s"Geostore $gid can't be found or is not valid.")))
+    val rid = tclResourceId(gid, cc)
+    if (tclResources.contains(rid))
+      return respond(ex, 409, "application/json", Sinks.jsendError(
+        s"Resource f$rid already exists with those parameters."))
+    val metadata =
+      s"""{"aoi":{"type":"geostore","geostore_id":"$gid"},"canopy_cover":$cc}"""
+    tclResources.put(rid, ("pending", metadata, "null"))
+    jobRegistry.submit { () =>
+      try {
+        // loss year × driver (the landcover classes play the driver
+        // dictionary here), canopy-cover threshold, one zonal pass
+        val df = graft.raster.ZonalEngine.runSql(spark, catalog,
+          "umd_tree_cover_loss",
+          s"""SELECT umd_tree_cover_loss__year,
+             |  landcover_raster__class AS driver_class,
+             |  SUM(area__ha) AS area__ha
+             |FROM data
+             |WHERE umd_tree_cover_density_2000__threshold >= $cc
+             |GROUP BY umd_tree_cover_loss__year, landcover_raster__class""".stripMargin,
+          gj)
+        val rows = df.collect()
+        val dict = graft.raster.SyntheticEnv.dictFor("landcover_raster")
+        val items = rows.sortBy(r => (r.getAs[Long](0), r.getAs[Long](1))).map { r =>
+          val yr = r.getAs[Long]("umd_tree_cover_loss__year")
+          val cls = r.getAs[Long]("driver_class")
+          val drv = dict.getOrElse(cls, s"class_$cls")
+          val ha = r.getAs[Double]("area__ha")
+          s"""{"umd_tree_cover_loss__year":$yr,"tsc_tree_cover_loss_drivers__driver":${graft.geo.Json.write(drv)},"area__ha":$ha}"""
+        }.mkString(",")
+        val byDriver = rows.groupBy(r =>
+          dict.getOrElse(r.getAs[Long]("driver_class"),
+            s"class_${r.getAs[Long]("driver_class")}"))
+          .toSeq.sortBy(_._1).map { case (drv, rs) =>
+            s"""{"driver":${graft.geo.Json.write(drv)},"area__ha":${rs.map(_.getAs[Double]("area__ha")).sum}}"""
+          }.mkString(",")
+        tclResources.put(rid, ("saved", metadata,
+          s"""{"tree_cover_loss_by_driver":[$items],"by_driver_total":[$byDriver]}"""))
+        "done"
+      } catch {
+        case e: Exception =>
+          tclResources.put(rid, ("failed", metadata,
+            graft.geo.Json.write(Option(e.getMessage).getOrElse("analysis failed"))))
+          "failed"
+      }
+    }
+    respond(ex, 202, "application/json",
+      s"""{"data":{"link":"/land/tree_cover_loss_by_driver/$rid"},"status":"success"}""")
+  }
+
+  /** GET by id: pending resources answer with Retry-After: 1; the CSV
+    * representation follows the documented `Accept: text/csv` shape
+    * (year, driver, area). */
+  private def tclGet(ex: HttpExchange, rid: String): Unit =
+    tclResources.get(rid) match {
+      case None => respond(ex, 404, "application/json",
+        Sinks.jsendError(s"Resource $rid not found"))
+      case Some((status, metadata, payload)) =>
+        if (status == "pending") ex.getResponseHeaders.add("Retry-After", "1")
+        if (status == "saved" &&
+            Option(ex.getRequestHeaders.getFirst("Accept")).contains("text/csv")) {
+          val rowRe = ("""\{"umd_tree_cover_loss__year":(\d+),""" +
+            """"tsc_tree_cover_loss_drivers__driver":"([^"]*)","area__ha":([-0-9.eE]+)\}""").r
+          val lines = rowRe.findAllMatchIn(payload).map(m =>
+            s""""${m.group(1)}","${m.group(2)}",${m.group(3)}""").mkString("\r\n")
+          ex.getResponseHeaders.add("Content-Disposition", "attachment")
+          respond(ex, 200, "text/csv",
+            "\"umd_tree_cover_loss__year\",\"tsc_tree_cover_loss_drivers__driver\",\"area__ha\"\r\n" +
+              lines + "\r\n")
+        } else
+          respond(ex, 200, "application/json",
+            s"""{"data":{"id":"$rid","status":"$status","metadata":$metadata,"result":$payload},"status":"success"}""")
+    }
+
+  /** DELETE: only failed resources delete (reference rule). */
+  private def tclDelete(ex: HttpExchange, rid: String): Unit =
+    tclResources.get(rid) match {
+      case None => respond(ex, 404, "application/json",
+        Sinks.jsendError(s"Resource $rid not found"))
+      case Some((status, _, _)) if status != "failed" =>
+        respond(ex, 400, "application/json", Sinks.jsendError(
+          "Only resources with 'failed' status can be deleted"))
+      case Some(_) =>
+        tclResources.remove(rid)
+        respond(ex, 204, "application/json", "")
     }
 
   /** Pre-built file-asset downloads (`downloads.py:264-348`): 307

@@ -338,14 +338,18 @@ object VersionCreation {
             propCols ++ Seq("st_geomfromgeojson(to_json(geometry)) AS geom"): _*),
             props, "GeoJSON")
         }
+      // the stored schema KEEPS the WKB geom column (reference geo
+      // tables do — the injected AOI filter `ST_Intersects(geom, …)`
+      // must resolve on created versions)
       df = withGeom.selectExpr(
         props.map(p => s"`$p`") ++ Seq(
+          "geom",
           "st_x(geom) AS lon",
           "st_y(geom) AS lat",
           "st_asgeojson(geom) AS gfw_geojson",
           "st_geostore_id(geom) AS gfw_geostore_id"): _*)
       log += ChangeLog("create_table", "success",
-        s"vector schema: ${props.mkString(", ")} + GFW fields")
+        s"vector schema: ${props.mkString(", ")} + geom + GFW fields")
       log += ChangeLog("load_data", "success",
         s"loaded ${opts.sourceUris.length} $driver source uri(s)")
     } catch {
@@ -387,7 +391,7 @@ object VersionCreation {
       val cnt = exported.count()
       if (cnt > 0 && cnt <= ShpExportMaxRows) {
         val attrCols = exported.schema.fields
-          .filterNot(f => Set("lon", "lat", "gfw_geojson").contains(f.name))
+          .filterNot(f => Set("geom", "lon", "lat", "gfw_geojson").contains(f.name))
         val rows = exported
           .select(("gfw_geojson" +: attrCols.map(_.name)).map(exported.col): _*)
           .collect()
@@ -544,6 +548,7 @@ object VersionCreation {
       val derived = withGeom.selectExpr(
         withGeom.schema.fieldNames.toSeq
           .filterNot(n => n == "fid" || n == "geom").map(n => s"`$n`") ++ Seq(
+          "geom",
           "st_x(geom) AS lon",
           "st_y(geom) AS lat",
           "st_asgeojson(geom) AS gfw_geojson",

@@ -405,8 +405,16 @@ object GeoExpressions {
       extends BinaryExpression with CodegenFallback {
     override def dataType: DataType = StringType
     override def prettyName: String = "uuid5"
-    override protected def nullSafeEval(nsAny: Any, nameAny: Any): Any = {
-      val ns = nsAny.toString.toLowerCase match {
+    override protected def nullSafeEval(nsAny: Any, nameAny: Any): Any =
+      org.apache.spark.unsafe.types.UTF8String.fromString(
+        Uuid5.of(nsAny.toString, nameAny.toString))
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  object Uuid5 {
+    def of(nsName: String, name: String): String = {
+      val ns = nsName.toLowerCase match {
         case "dns" => "6ba7b810-9dad-11d1-80b4-00c04fd430c8"
         case "url" => "6ba7b811-9dad-11d1-80b4-00c04fd430c8"
         case "oid" => "6ba7b812-9dad-11d1-80b4-00c04fd430c8"
@@ -419,17 +427,14 @@ object GeoExpressions {
       bb.putLong(nsUuid.getLeastSignificantBits)
       val md = java.security.MessageDigest.getInstance("SHA-1")
       md.update(bb.array())
-      md.update(nameAny.toString.getBytes("UTF-8"))
+      md.update(name.getBytes("UTF-8"))
       val h = md.digest()
       h(6) = ((h(6) & 0x0f) | 0x50).toByte // version 5
       h(8) = ((h(8) & 0x3f) | 0x80).toByte // RFC 4122 variant
       val msb = java.nio.ByteBuffer.wrap(h, 0, 8).getLong
       val lsb = java.nio.ByteBuffer.wrap(h, 8, 8).getLong
-      org.apache.spark.unsafe.types.UTF8String.fromString(
-        new java.util.UUID(msb, lsb).toString)
+      new java.util.UUID(msb, lsb).toString
     }
-    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
-      copy(left = l, right = r)
   }
 
   case class StMakeEnvelope(children: Seq[Expression])

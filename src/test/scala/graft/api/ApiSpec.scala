@@ -865,6 +865,123 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(get("/dataset/nosuch/v1/change_log").statusCode() == 404)
   }
 
+  test("ping, download_by_aoi, version metadata CRUD, asset-by-id") {
+    assert(get("/ping").body() == "\"pong\"")
+    // download_by_aoi: geostore mandatory
+    assert(get("/dataset/region/v1/download_by_aoi/csv?sql=SELECT%201%20FROM%20data")
+      .statusCode() == 422)
+    assert(get("/dataset/region/v1/download_by_aoi/csv?geostore_id=00000000-0000-0000-0000-000000000000&sql=SELECT%201%20FROM%20data")
+      .statusCode() == 404)
+    val gj = """{"type":"Polygon","coordinates":[[[0,0],[9,0],[9,9],[0,9],[0,0]]]}"""
+    val gid = "\"gfw_geostore_id\":\"([0-9a-f-]+)\"".r
+      .findFirstMatchIn(post("/geostore", gj).body()).get.group(1)
+    // AOI download over a table WITHOUT a geom column is the client's
+    // error → 400 with the unresolved-column detail (PG parity)
+    val nogeom = get(s"/dataset/region/v1/download_by_aoi/csv?geostore_id=$gid&sql=" +
+      java.net.URLEncoder.encode("SELECT count(*) AS c FROM data", "UTF-8"))
+    assert(nogeom.statusCode() == 400, nogeom.body().take(200))
+    assert(nogeom.body().contains("geom"), nogeom.body().take(300))
+    // over a created vector version (stored WKB geom) the AOI filter
+    // applies: only the feature inside the box downloads
+    val src = java.nio.file.Files.createTempDirectory("aoisrc")
+    java.nio.file.Files.writeString(src.resolve("f.ndjson"),
+      """{"type":"Feature","geometry":{"type":"Point","coordinates":[4.5,4.5]},"properties":{"pid":1}}
+        |{"type":"Feature","geometry":{"type":"Point","coordinates":[120.0,60.0]},"properties":{"pid":2}}
+        |""".stripMargin)
+    val putR = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/dataset/aoids/v1"))
+        .header("Authorization", "Bearer test-admin")
+        .PUT(HttpRequest.BodyPublishers.ofString(
+          s"""{"creation_options": {"source_uri": ["file://${src.resolve("f.ndjson")}"],
+             |  "source_type": "vector"}}""".stripMargin)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(putR.statusCode() == 202, putR.body().take(300))
+    var tries = 0
+    while (tries < 120 && get("/dataset/aoids/v1").body().contains("pending")) {
+      Thread.sleep(250); tries += 1
+    }
+    val dl = get(s"/dataset/aoids/v1/download_by_aoi/csv?geostore_id=$gid&sql=" +
+      java.net.URLEncoder.encode("SELECT pid FROM data ORDER BY pid", "UTF-8"))
+    assert(dl.statusCode() == 200, dl.body().take(300))
+    assert(dl.body().contains("1") && !dl.body().contains("2"), dl.body().take(200))
+    // version metadata CRUD
+    def req(method: String, path: String, body: String,
+            hdrs: (String, String)*): HttpResponse[String] = {
+      val rb = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+        .method(method, HttpRequest.BodyPublishers.ofString(body))
+      hdrs.foreach { case (k, v) => rb.header(k, v) }
+      client.send(rb.build(), HttpResponse.BodyHandlers.ofString())
+    }
+    val admin = "Authorization" -> "Bearer test-admin"
+    assert(get("/dataset/nation/v1/metadata").statusCode() == 404)
+    assert(req("POST", "/dataset/nation/v1/metadata",
+      """{"title": "Nations", "resolution": "admin-0"}""").statusCode() == 401)
+    assert(req("POST", "/dataset/nation/v1/metadata",
+      """{"title": "Nations", "resolution": "admin-0"}""", admin).statusCode() == 201)
+    val patched = req("PATCH", "/dataset/nation/v1/metadata",
+      """{"resolution": "gadm-0"}""", admin)
+    assert(patched.body().contains("\"resolution\":\"gadm-0\"") &&
+      patched.body().contains("\"title\":\"Nations\""), patched.body().take(200))
+    assert(get("/dataset/nation/v1/metadata").statusCode() == 200)
+    assert(req("DELETE", "/dataset/nation/v1/metadata", "", admin).statusCode() == 200)
+    assert(get("/dataset/nation/v1/metadata").statusCode() == 404)
+    // asset by id (region carries export assets)
+    val a = get("/asset/region-shp")
+    assert(a.statusCode() == 200 && a.body().contains("\"dataset\":\"region\"") &&
+      a.body().contains("ESRI Shapefile"), a.body().take(300))
+    assert(get("/asset/region-shp/creation_options").statusCode() == 200)
+    assert(get("/asset/nope").statusCode() == 404)
+  }
+
+  test("datamart: tree_cover_loss_by_driver resource lifecycle") {
+    val gj = """{"type":"Polygon","coordinates":[[[0.3513,40.6821],[3.1242,40.9753],[3.7081,43.2517],[0.8472,42.8391],[0.3513,40.6821]]]}"""
+    val gid = "\"gfw_geostore_id\":\"([0-9a-f-]+)\"".r
+      .findFirstMatchIn(post("/geostore", gj).body()).get.group(1)
+    // search before compute → 404 with the reference's detail
+    val miss = get(s"/land/tree_cover_loss_by_driver?geostore_id=$gid&canopy_cover=30")
+    assert(miss.statusCode() == 404 && miss.body().contains("may require computation"))
+    // create → 202 + resource link
+    val created = post("/land/tree_cover_loss_by_driver",
+      s"""{"geostore_id": "$gid", "canopy_cover": 30}""")
+    assert(created.statusCode() == 202, created.body().take(300))
+    val rid = "tree_cover_loss_by_driver/([0-9a-f-]+)".r
+      .findFirstMatchIn(created.body()).get.group(1)
+    // duplicate create → 409
+    assert(post("/land/tree_cover_loss_by_driver",
+      s"""{"geostore_id": "$gid", "canopy_cover": 30}""").statusCode() == 409)
+    // unknown geostore → 422
+    assert(post("/land/tree_cover_loss_by_driver",
+      """{"geostore_id": "00000000-0000-0000-0000-000000000000"}""").statusCode() == 422)
+    // poll to saved
+    var body = ""
+    var tries = 0
+    while (tries < 120 && { body = get(s"/land/tree_cover_loss_by_driver/$rid").body()
+      body.contains("\"status\":\"pending\"") }) { Thread.sleep(250); tries += 1 }
+    assert(body.contains("\"status\":\"saved\""), body.take(500))
+    assert(body.contains("\"umd_tree_cover_loss__year\":") &&
+      body.contains("\"tsc_tree_cover_loss_drivers__driver\":"), body.take(500))
+    assert(body.contains("\"by_driver_total\""))
+    // search now resolves to the link
+    assert(get(s"/land/tree_cover_loss_by_driver?geostore_id=$gid&canopy_cover=30")
+      .body().contains(rid))
+    // CSV representation via Accept header
+    val csv = client.send(
+      HttpRequest.newBuilder(URI.create(
+        s"http://127.0.0.1:$port/land/tree_cover_loss_by_driver/$rid"))
+        .header("Accept", "text/csv").GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(csv.body().startsWith(
+      "\"umd_tree_cover_loss__year\",\"tsc_tree_cover_loss_drivers__driver\",\"area__ha\""),
+      csv.body().take(200))
+    assert(csv.body().split("\r\n").length > 2)
+    // saved resources refuse deletion (failed-only rule)
+    def del(path: String): Int = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+        .DELETE().build(), HttpResponse.BodyHandlers.ofString()).statusCode()
+    assert(del(s"/land/tree_cover_loss_by_driver/$rid") == 400)
+    assert(del("/land/tree_cover_loss_by_driver/00000000-0000-0000-0000-000000000000") == 404)
+  }
+
   test("geostore create + fetch round-trip with content-addressed id") {
     val gj = """{"type":"Polygon","coordinates":[[[0,0],[10,0],[10,10],[0,10],[0,0]]]}"""
     val created = post("/geostore", gj)
