@@ -377,7 +377,35 @@ object TextQueries extends QueryModule {
          |corpus AS (SELECT doc_id, unnest(hs) AS h FROM g WHERE doc_id % 10 != 0)
          |SELECT corpus.doc_id, count(*) AS contaminated_grams
          |FROM corpus JOIN bh ON corpus.h = bh.h
-         |GROUP BY corpus.doc_id""".stripMargin)
+         |GROUP BY corpus.doc_id""".stripMargin),
+
+    // T8: sequence packing — the last step before a training run:
+    // assign documents to fixed-token-budget packs (4096 here) by a
+    // PREFIX SUM over a deterministic order, pack id =
+    // floor(cum_before / budget) — contiguous-fill packing, the
+    // shuffle-light shape (one global sort / window, no driver loop;
+    // at 100 TB the window's single ordering column makes this a
+    // range-partitioned sort, Spark's bread and butter). Token count
+    // is the whitespace tokenizer (t2's semantics).
+    SqlQ.split("t8_sequence_pack",
+      s"""WITH t AS (SELECT doc_id, size(split(text, ' ')) AS n_tokens FROM documents),
+         |c AS (SELECT doc_id, n_tokens,
+         |  COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+         |  FROM t)
+         |SELECT doc_id, n_tokens,
+         |  CAST(cum_before / 4096 AS BIGINT) AS pack_id,
+         |  CAST(cum_before % 4096 AS BIGINT) AS pack_offset
+         |FROM c""".stripMargin,
+      s"""WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents),
+         |c AS (SELECT doc_id, n_tokens,
+         |  COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+         |  FROM t)
+         |SELECT doc_id, n_tokens,
+         |  CAST(cum_before // 4096 AS BIGINT) AS pack_id,
+         |  CAST(cum_before % 4096 AS BIGINT) AS pack_offset
+         |FROM c""".stripMargin)
   )
 
   /** D7: duplicate-cluster resolution — the dedup end-game: the
