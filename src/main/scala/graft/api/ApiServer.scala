@@ -336,6 +336,7 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
                 s"""{"data":{"job_id":"${j.id}","status":"${j.status.name}","results":$payload$msg$link},"status":"success"}""")
           }
         case ("POST", "/geostore") => geostoreCreate(ex)
+        case ("GET", "/geostore/admin/list") => adminList(ex)
         case ("GET", GeostoreGet(id)) =>
           geostore.get(id) match {
             case Some(gj) => respond(ex, 200, "application/json",
@@ -1525,6 +1526,35 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
         m.asInstanceOf[Map[String, Any]].map { case (k, v) => k -> v.toString }
       case _ => Map.empty
     }
+
+  /** GET /geostore/admin/list (`geostore.py:99-133` +
+    * `crud/geostore.py:137-178`, the A9 admin aggregation): national
+    * ids/names/codes ordered by id. The fixture carries no GADM
+    * geometry, so geostore ids are the content-addressed hash of the
+    * normalized name (documented divergence — per-boundary geometry
+    * routes stay unimplemented). */
+  private def adminList(ex: HttpExchange): Unit = {
+    val params = queryParams(ex)
+    val provider = params.getOrElse("source[provider]", "gadm")
+    val version = params.getOrElse("source[version]", "3.6")
+    if (provider.isEmpty || version.isEmpty)
+      return respond(ex, 400, "application/json",
+        Sinks.jsendError("source provider and version must be non-empty"))
+    if (provider != "gadm")
+      return respond(ex, 400, "application/json",
+        Sinks.jsendError(s"Invalid admin boundary source $provider"))
+    val rows = spark.sql(
+      """SELECT n_nationkey, n_name,
+        |  md5(norm_name(n_name)) AS h
+        |FROM nation ORDER BY n_nationkey""".stripMargin).collect()
+    val items = rows.map { r =>
+      val h = r.getString(2)
+      val gid = s"${h.substring(0, 8)}-${h.substring(8, 12)}-${h.substring(12, 16)}-" +
+        s"${h.substring(16, 20)}-${h.substring(20)}"
+      s"""{"geostore_id":"$gid","iso":"${r.get(0)}","name":${graft.geo.Json.write(r.getString(1))}}"""
+    }.mkString(",")
+    respond(ex, 200, "application/json", s"""{"data":[$items],"status":"success"}""")
+  }
 
   private def geostoreCreate(ex: HttpExchange): Unit = {
     val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)

@@ -982,6 +982,16 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(del("/land/tree_cover_loss_by_driver/00000000-0000-0000-0000-000000000000") == 404)
   }
 
+  test("geostore admin list: ordered national records") {
+    val r = get("/geostore/admin/list")
+    assert(r.statusCode() == 200, r.body().take(200))
+    assert(r.body().contains("\"geostore_id\":") && r.body().contains("\"name\":"))
+    // ordered by national id, all 25 fixture nations present
+    val isos = "\"iso\":\"(\\d+)\"".r.findAllMatchIn(r.body()).map(_.group(1).toInt).toSeq
+    assert(isos == isos.sorted && isos.length == 25, isos.take(5))
+    assert(get("/geostore/admin/list?source%5Bprovider%5D=esri").statusCode() == 400)
+  }
+
   test("geostore create + fetch round-trip with content-addressed id") {
     val gj = """{"type":"Polygon","coordinates":[[[0,0],[10,0],[10,10],[0,10],[0,0]]]}"""
     val created = post("/geostore", gj)
