@@ -1310,12 +1310,15 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
         // delete_all_assets: the registered view + the version's files
         spark.catalog.dropTempView(
           graft.etl.VersionCreation.viewName(dataset, version))
-        val targetDir = java.nio.file.Paths.get(
-          s"${sys.props("java.io.tmpdir")}/graft_versions/${dataset}_$version")
-        if (java.nio.file.Files.exists(targetDir)) {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(targetDir).iterator().asScala.toSeq
-            .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+        val base = s"${sys.props("java.io.tmpdir")}/graft_versions/${dataset}_$version"
+        for (dir <- Seq(base, base + "_exports",
+          s"${sys.props("java.io.tmpdir")}/graft_geotiff_cache/${dataset}_$version")) {
+          val p = java.nio.file.Paths.get(dir)
+          if (java.nio.file.Files.exists(p)) {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(p).iterator().asScala.toSeq
+              .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+          }
         }
         respond(ex, 200, "application/json",
           s"""{"data":{"dataset":"$dataset","version":"$version","status":"deleted"},"status":"success"}""")
