@@ -120,6 +120,18 @@ class GeomPropSpec extends AnyFunSuite {
     })
   }
 
+  test("geometry-to-point distance: zero exactly inside, else positive") {
+    check("d2p", Prop.forAll(genPolygon, genCoord) { case (poly, (x, y)) =>
+      val d = Geom.distanceToPoint(poly, x, y)
+      d >= 0 && ((d == 0.0) == Geom.pointInPolygon(x, y, poly.rings))
+    })
+    // point geometries delegate to the exact haversine
+    check("d2p-pt", Prop.forAll(genCoord, genCoord) { case ((x1, y1), (x2, y2)) =>
+      Geom.distanceToPoint(Point(x1, y1), x2, y2) ==
+        Geom.distanceSphere(x1, y1, x2, y2)
+    })
+  }
+
   test("web mercator is monotone") {
     check("merc", Prop.forAll(Gen.chooseNum(-179.0, 179.0), Gen.chooseNum(-84.0, 84.0)) {
       (lon, lat) =>

@@ -53,6 +53,31 @@ class GeoTiffSpec extends AnyFunSuite {
     assert((bytes(stripOff) & 0xff) == 0x78)
   }
 
+  test("property: random tiles round-trip under both compressions") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val genTile = for {
+      n <- Gen.chooseNum(1, 40)
+      seed <- Gen.chooseNum(Long.MinValue, Long.MaxValue)
+      deflate <- Gen.oneOf(true, false)
+    } yield {
+      var s = seed
+      def next(): Int = { s = s * 6364136223846793005L + 1442695040888963407L
+        (s >>> 33).toInt }
+      (GeoTiff.Tile(n, n, -5.25, 51.0, 0.25 / n,
+        Array.fill(n * n)(next())), deflate)
+    }
+    val p = Prop.forAll(genTile) { case (t, deflate) =>
+      val f = java.nio.file.Files.createTempFile("gtp", ".tif")
+      GeoTiff.write(f, t, deflate)
+      val back = GeoTiff.read(java.nio.file.Files.readAllBytes(f))
+      java.nio.file.Files.delete(f)
+      back.width == t.width && back.pixels.toSeq == t.pixels.toSeq &&
+        back.originLon == t.originLon && back.pixelDeg == t.pixelDeg
+    }
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(50), p)
+    assert(r.passed, r.status.toString)
+  }
+
   test("reader rejects non-TIFF and unsupported forms") {
     intercept[IllegalArgumentException](GeoTiff.read("nope".getBytes))
     val p = java.nio.file.Files.createTempFile("gt3", ".tif")
