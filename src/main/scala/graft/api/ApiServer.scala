@@ -194,7 +194,11 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
   private val MetadataR = "^/dataset/([^/]+)/([^/]+)/metadata$".r
   private val VersionGeostore = "^/dataset/([^/]+)/([^/]+)/geostore/([^/]+)$".r
   private val AssetR = "^/asset/([^/]+)$".r
-  private val AssetSubR = "^/asset/([^/]+)/(creation_options|change_log)$".r
+  private val AssetSubR = "^/asset/([^/]+)/(creation_options|change_log|tasks)$".r
+  private val AssetMetaR = "^/asset/([^/]+)/metadata$".r
+  private val AssetFieldsR = "^/asset/([^/]+)/fields$".r
+  private val AssetFieldR = "^/asset/([^/]+)/fields/([^/]+)$".r
+  private val TaskR = "^/task/([^/]+)$".r
   private val TclDriver = "^/land/tree_cover_loss_by_driver$".r
   private val TclDriverId = "^/land/tree_cover_loss_by_driver/([^/]+)$".r
   private val AssetsR = "^/dataset/([^/]+)/([^/]+)/assets$".r
@@ -289,8 +293,19 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
           versionMetadataWrite(ex, d, v)
         case ("DELETE", MetadataR(d, v)) => versionMetadataDelete(ex, d, v)
         case ("GET", VersionGeostore(d, v, gid)) => versionGeostore(ex, d, v, gid)
+        case ("GET", AssetMetaR(id)) => assetMetadataGet(ex, id)
+        case (m, AssetMetaR(id)) if m == "POST" || m == "PATCH" =>
+          assetMetadataWrite(ex, id)
+        case ("DELETE", AssetMetaR(id)) => assetMetadataDelete(ex, id)
+        case ("GET", AssetFieldsR(id)) => assetFields(ex, id)
+        case ("GET", AssetFieldR(id, f)) => assetFieldGet(ex, id, f)
+        case ("PATCH", AssetFieldR(id, f)) => assetFieldPatch(ex, id, f)
         case ("GET", AssetR(id)) => assetGet(ex, id)
+        case ("DELETE", AssetR(id)) => assetDelete(ex, id)
         case ("GET", AssetSubR(id, sub)) => assetSub(ex, id, sub)
+        case ("GET", TaskR(id)) => taskGet(ex, id)
+        case ("PUT", TaskR(id)) => taskPut(ex, id)
+        case ("PATCH", TaskR(id)) => taskPatch(ex, id)
         case ("GET", TclDriver()) => tclSearch(ex)
         case ("POST", TclDriver()) => tclPost(ex)
         case ("GET", TclDriverId(rid)) => tclGet(ex, rid)
@@ -641,7 +656,299 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
         }.mkString("{", ",", "}")
         respond(ex, 200, "application/json", s"""{"data":$body,"status":"success"}""")
       case "change_log" => versionChangeLog(ex, v.dataset, v.version)
+      case "tasks" =>
+        val items = taskRecords.values.toSeq
+          .filter(_.assetId == a.assetId).sortBy(_.taskId)
+          .map(taskBody).mkString(",")
+        respond(ex, 200, "application/json",
+          s"""{"data":[$items],"status":"success"}""")
     }
+  }
+
+  /** DELETE /asset/{id} (`assets/asset.py:142-223`): non-default
+    * assets (exports, caches) delete their artifact and drop out of
+    * the catalog; default assets are refused — deleting them means
+    * deleting the parent version. */
+  private def assetDelete(ex: HttpExchange, id: String): Unit = {
+    writeGate(ex).foreach { case (code, body) =>
+      return respond(ex, code, "application/json", body) }
+    findAsset(id) match {
+      case None => respond(ex, 404, "application/json",
+        Sinks.jsendError(s"Asset $id not found"))
+      case Some((v, a)) if a.isDefault =>
+        respond(ex, 409, "application/json", Sinks.jsendError(
+          "Deletion failed. You cannot delete a default asset. " +
+            "To delete a default asset you must delete the parent version."))
+      case Some((v, a)) =>
+        catalogLock.synchronized {
+          catalog = catalog.withoutAsset(v.dataset, v.version, a.assetId)
+        }
+        val f = new java.io.File(a.assetUri)
+        if (f.isFile) f.delete()
+        assetMetadata.remove(a.assetId)
+        respond(ex, 200, "application/json",
+          s"""{"data":{"asset_id":"${a.assetId}","status":"deleted"},"status":"success"}""")
+    }
+  }
+
+  // -------------------------------------------------- asset metadata
+
+  /** Asset metadata documents + per-field overrides
+    * (`assets/asset.py:356-520`; the reference keeps them on
+    * `asset_metadata` / `field_metadata` ORM rows). */
+  private val assetMetadata = scala.collection.concurrent.TrieMap
+    .empty[String, Map[String, Any]]
+  private val fieldMetaOverrides = scala.collection.concurrent.TrieMap
+    .empty[(String, String), Map[String, Any]]
+
+  private def assetMetadataGet(ex: HttpExchange, id: String): Unit =
+    findAsset(id) match {
+      case None => respond(ex, 404, "application/json",
+        Sinks.jsendError(s"Asset $id not found"))
+      case Some(_) =>
+        // asset_metadata_factory: a record-less asset still serves a
+        // (empty) metadata document rather than 404
+        val doc = assetMetadata.getOrElse(id, Map.empty[String, Any])
+        respond(ex, 200, "application/json",
+          s"""{"data":${graft.geo.Json.write(doc)},"status":"success"}""")
+    }
+
+  /** POST creates (409 when a record exists,
+    * `metadata_crud.create_asset_metadata`); PATCH merges fields into
+    * an existing record (404 without one). */
+  private def assetMetadataWrite(ex: HttpExchange, id: String): Unit = {
+    writeGate(ex).foreach { case (code, body) =>
+      return respond(ex, code, "application/json", body) }
+    if (findAsset(id).isEmpty)
+      return respond(ex, 404, "application/json",
+        Sinks.jsendError(s"Asset $id not found"))
+    val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+    val doc =
+      try graft.geo.Json.parseObject(body)
+      catch { case _: Exception => return respond(ex, 422, "application/json",
+        Sinks.jsendError("Invalid metadata document")) }
+    ex.getRequestMethod match {
+      case "POST" =>
+        if (assetMetadata.putIfAbsent(id, doc).isDefined)
+          respond(ex, 409, "application/json", Sinks.jsendError(
+            s"Asset $id already has a metadata record"))
+        else respond(ex, 201, "application/json",
+          s"""{"data":${graft.geo.Json.write(doc)},"status":"success"}""")
+      case _ =>
+        assetMetadata.get(id) match {
+          case None => respond(ex, 404, "application/json",
+            Sinks.jsendError(s"Asset $id has no metadata record"))
+          case Some(prior) =>
+            val merged = prior ++ doc
+            assetMetadata.put(id, merged)
+            respond(ex, 200, "application/json",
+              s"""{"data":${graft.geo.Json.write(merged)},"status":"success"}""")
+        }
+    }
+  }
+
+  private def assetMetadataDelete(ex: HttpExchange, id: String): Unit = {
+    writeGate(ex).foreach { case (code, body) =>
+      return respond(ex, code, "application/json", body) }
+    assetMetadata.remove(id) match {
+      case None => respond(ex, 404, "application/json",
+        Sinks.jsendError(s"Asset $id has no metadata record"))
+      case Some(doc) => respond(ex, 200, "application/json",
+        s"""{"data":${graft.geo.Json.write(doc)},"status":"success"}""")
+    }
+  }
+
+  /** Field metadata of the asset's version schema
+    * (`get_asset_fields_dicts`): name + data_type from the table
+    * schema, reference defaults, merged with PATCHed overrides. */
+  private def assetFieldDocs(v: cat.Version): Seq[Map[String, Any]] = {
+    val schema = spark.table(tableFor(v.dataset, v.version)).schema
+    schema.fields.toSeq.map { f =>
+      Map[String, Any]("name" -> f.name,
+        "data_type" -> f.dataType.catalogString,
+        "alias" -> null, "description" -> null, "unit" -> null,
+        "is_feature_info" -> true, "is_filter" -> true)
+    }
+  }
+
+  private def assetFields(ex: HttpExchange, id: String): Unit =
+    findAsset(id) match {
+      case None => respond(ex, 404, "application/json",
+        Sinks.jsendError(s"Asset $id not found"))
+      case Some((v, a)) =>
+        val items = assetFieldDocs(v).map { doc =>
+          val merged = doc ++
+            fieldMetaOverrides.getOrElse((id, doc("name").toString), Map.empty)
+          graft.geo.Json.write(merged)
+        }.mkString(",")
+        respond(ex, 200, "application/json",
+          s"""{"data":[$items],"status":"success"}""")
+    }
+
+  private def assetFieldGet(ex: HttpExchange, id: String, field: String): Unit =
+    findAsset(id) match {
+      case None => respond(ex, 404, "application/json",
+        Sinks.jsendError(s"Asset $id not found"))
+      case Some((v, a)) =>
+        assetFieldDocs(v).find(_("name") == field) match {
+          case None => respond(ex, 404, "application/json",
+            Sinks.jsendError(s"Field $field not found"))
+          case Some(doc) =>
+            val merged = doc ++ fieldMetaOverrides.getOrElse((id, field), Map.empty)
+            respond(ex, 200, "application/json",
+              s"""{"data":${graft.geo.Json.write(merged)},"status":"success"}""")
+        }
+    }
+
+  /** PATCH /asset/{id}/fields/{name} (`update_field_metadata`,
+    * `asset.py:380-415`): merge alias/description/unit/is_filter/
+    * is_feature_info into the field's metadata. */
+  private def assetFieldPatch(ex: HttpExchange, id: String, field: String): Unit = {
+    writeGate(ex).foreach { case (code, body) =>
+      return respond(ex, code, "application/json", body) }
+    findAsset(id) match {
+      case None => respond(ex, 404, "application/json",
+        Sinks.jsendError(s"Asset $id not found"))
+      case Some((v, a)) =>
+        assetFieldDocs(v).find(_("name") == field) match {
+          case None => respond(ex, 404, "application/json",
+            Sinks.jsendError(s"Field $field not found"))
+          case Some(doc) =>
+            val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+            val patch =
+              try graft.geo.Json.parseObject(body)
+              catch { case _: Exception => return respond(ex, 422, "application/json",
+                Sinks.jsendError("Invalid field metadata document")) }
+            val merged = fieldMetaOverrides.getOrElse((id, field), Map.empty) ++
+              (patch - "name" - "data_type") // immutable identity fields
+            fieldMetaOverrides.put((id, field), merged)
+            respond(ex, 200, "application/json",
+              s"""{"data":${graft.geo.Json.write(doc ++ merged)},"status":"success"}""")
+        }
+    }
+  }
+
+  // ------------------------------------------------------------- tasks
+
+  /** Per-step task records of the creation DAG (`app/routes/tasks/
+    * task.py`; reference tasks are the AWS Batch jobs an asset build
+    * fans out, each carrying its own change log). The version-creation
+    * job registers one record per DAG step; PATCH appends change-log
+    * entries and propagates terminal states to the asset — and, for a
+    * default asset, the version (`_set_failed` / `_check_completed`,
+    * `task.py:132-247`). */
+  final case class TaskRec(taskId: String, assetId: String,
+                           changeLog: Seq[graft.etl.VersionCreation.ChangeLog])
+
+  private val taskRecords = scala.collection.concurrent.TrieMap
+    .empty[String, TaskRec]
+
+  private def taskBody(t: TaskRec): String = {
+    val log = t.changeLog.map(c =>
+      s"""{"task":"${c.task}","status":"${c.status}","detail":${graft.geo.Json.write(c.detail)}}""")
+      .mkString(",")
+    s"""{"task_id":"${t.taskId}","asset_id":"${t.assetId}","change_log":[$log]}"""
+  }
+
+  /** Deterministic task ids for DAG-spawned steps so a re-PUT of the
+    * same version replaces its task records instead of leaking. */
+  private def registerDagTasks(dataset: String, version: String,
+                               log: Seq[graft.etl.VersionCreation.ChangeLog]): Unit = {
+    val assetId = s"$dataset-$version-default"
+    log.foreach { c =>
+      val tid = graft.geo.GeoExpressions.Uuid5.of("oid", s"task:$dataset/$version/${c.task}")
+      taskRecords.put(tid, TaskRec(tid, assetId, Seq(c)))
+    }
+  }
+
+  private def taskGet(ex: HttpExchange, id: String): Unit =
+    taskRecords.get(id) match {
+      case None => respond(ex, 404, "application/json",
+        Sinks.jsendError(s"Task $id not found"))
+      case Some(t) => respond(ex, 200, "application/json",
+        s"""{"data":${taskBody(t)},"status":"success"}""")
+    }
+
+  /** PUT /task/{id} (service-account route, `task.py:60-81`): attach a
+    * new task record to an existing asset. */
+  private def taskPut(ex: HttpExchange, id: String): Unit = {
+    writeGate(ex).foreach { case (code, body) =>
+      return respond(ex, code, "application/json", body) }
+    val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+    val obj =
+      try graft.geo.Json.parseObject(body)
+      catch { case _: Exception => return respond(ex, 422, "application/json",
+        Sinks.jsendError("Invalid task document")) }
+    val assetId = obj.get("asset_id") match {
+      case Some(s: String) => s
+      case _ => return respond(ex, 400, "application/json",
+        Sinks.jsendError("asset_id is required"))
+    }
+    if (findAsset(assetId).isEmpty)
+      return respond(ex, 400, "application/json",
+        Sinks.jsendError(s"Asset $assetId not found"))
+    if (taskRecords.contains(id))
+      return respond(ex, 400, "application/json",
+        Sinks.jsendError(s"Task $id already exists"))
+    val t = TaskRec(id, assetId, parseChangeLog(obj))
+    taskRecords.put(id, t)
+    respond(ex, 201, "application/json",
+      s"""{"data":${taskBody(t)},"status":"success"}""")
+  }
+
+  private def parseChangeLog(obj: Map[String, Any]): Seq[graft.etl.VersionCreation.ChangeLog] =
+    obj.get("change_log") match {
+      case Some(l: List[_]) => l.collect { case m: Map[_, _] =>
+        val mm = m.asInstanceOf[Map[String, Any]]
+        graft.etl.VersionCreation.ChangeLog(
+          mm.getOrElse("task", "").toString,
+          mm.getOrElse("status", "").toString,
+          mm.getOrElse("detail", mm.getOrElse("message", "")).toString)
+      }
+      case _ => Nil
+    }
+
+  /** PATCH /task/{id} (`task.py:83-129`): append change-log entries;
+    * a `failed` entry marks the asset (and, when default, the version)
+    * failed; all-success marks the asset saved once every task's last
+    * entry succeeded; anything else is a 400. */
+  private def taskPatch(ex: HttpExchange, id: String): Unit = {
+    writeGate(ex).foreach { case (code, body) =>
+      return respond(ex, code, "application/json", body) }
+    val prior = taskRecords.getOrElse(id,
+      return respond(ex, 404, "application/json",
+        Sinks.jsendError(s"Task $id not found")))
+    val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+    val entries = parseChangeLog(
+      try graft.geo.Json.parseObject(body)
+      catch { case _: Exception => return respond(ex, 422, "application/json",
+        Sinks.jsendError("Invalid task document")) })
+    if (entries.isEmpty || entries.exists(e =>
+        e.status != "success" && e.status != "failed"))
+      return respond(ex, 400, "application/json", Sinks.jsendError(
+        "change log status must be either `success` or `failed`"))
+    val updated = prior.copy(changeLog = prior.changeLog ++ entries)
+    taskRecords.put(id, updated)
+    findAsset(updated.assetId).foreach { case (v, a) =>
+      if (entries.exists(_.status == "failed")) {
+        catalogLock.synchronized {
+          catalog = catalog.withAssetStatus(v.dataset, v.version, a.assetId, "failed")
+        }
+        if (a.isDefault) {
+          val log = versionRecords.get((v.dataset, v.version)).map(_._2).getOrElse(Nil)
+          versionRecords.put((v.dataset, v.version), ("failed", log ++ entries))
+        }
+      } else {
+        // _check_completed: every task of the asset finished cleanly
+        val allDone = taskRecords.values.filter(_.assetId == a.assetId)
+          .forall(_.changeLog.lastOption.exists(_.status == "success"))
+        if (allDone) catalogLock.synchronized {
+          catalog = catalog.withAssetStatus(v.dataset, v.version, a.assetId, "saved")
+        }
+      }
+    }
+    respond(ex, 200, "application/json",
+      s"""{"data":${taskBody(updated)},"status":"success"}""")
   }
 
   // ------------------------------------------- datamart (land.py, beta)
@@ -889,16 +1196,33 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
           try (params("lat").toDouble, params("lng").toDouble, params("z").toInt)
           catch { case _: Exception => return respond(ex, 422, "application/json",
             Sinks.jsendError("lat, lng and z query parameters are required")) }
-        FeatureLookup.bufferMeters(zoom) match {
-          case None => respond(ex, 400, "application/json",
+        // nasa_viirs_fire_alerts special form (`features.py:39-76`):
+        // an alert__date window on top of the location lookup,
+        // defaulting to the trailing week (`default_start/default_end`)
+        val dateFilter: Either[(Int, String), String] =
+          if (dataset != "nasa_viirs_fire_alerts") Right("")
+          else {
+            val today = java.time.LocalDate.now()
+            val start = params.getOrElse("start_date", today.minusWeeks(1).toString)
+            val end = params.getOrElse("end_date", today.toString)
+            val DateRe = "^\\d{4}-\\d{2}-\\d{2}$".r
+            if (DateRe.findFirstIn(start).isEmpty || DateRe.findFirstIn(end).isEmpty)
+              Left((422, Sinks.jsendError("start_date and end_date must be YYYY-MM-DD")))
+            else if (java.time.LocalDate.parse(end).isAfter(today))
+              Left((422, Sinks.jsendError("End date cannot be in the future.")))
+            else Right(s" AND alert__date BETWEEN DATE '$start' AND DATE '$end'")
+          }
+        (FeatureLookup.bufferMeters(zoom), dateFilter) match {
+          case (None, _) => respond(ex, 400, "application/json",
             Sinks.jsendError("Zoom level out of range"))
-          case Some(radius) =>
+          case (_, Left((code, body))) => respond(ex, code, "application/json", body)
+          case (Some(radius), Right(extra)) =>
             val dist = distTpl.replace("%LNG%", lng.toString)
               .replace("%LAT%", lat.toString)
             val df = spark.sql(
               s"""SELECT *, $dist AS dist_m
                  |FROM $from pts
-                 |WHERE $dist <= $radius
+                 |WHERE $dist <= $radius$extra
                  |ORDER BY dist_m$tieBreak LIMIT 100""".stripMargin)
             respond(ex, 200, "application/json", Sinks.toJsend(df))
         }
@@ -990,6 +1314,7 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
     val jobId = jobRegistry.submit { () =>
       val (log, ok) = VersionCreation.createTable(spark, dataset, version, opts, targetDir)
       versionRecords.put((dataset, version), (if (ok) "saved" else "failed", log))
+      registerDagTasks(dataset, version, log)
       if (ok) catalogLock.synchronized {
         val assetType = opts.sourceType match {
           case "vector" => cat.AssetType.GeoDatabaseTable

@@ -112,6 +112,19 @@ final class Catalog(val datasets: Seq[Dataset]) {
         d.copy(versions = d.versions.filterNot(_.version == version)))
     }
 
+  /** Update one asset's status in place (task-failure/-completion
+    * propagation, `app/routes/tasks/task.py:132-247`). */
+  def withAssetStatus(dataset: String, version: String, assetId: String,
+                      status: String): Catalog =
+    withVersionPatched(dataset, version, v => v.copy(assets = v.assets.map(a =>
+      if (a.assetId == assetId) a.copy(status = status) else a)))
+
+  /** Drop one asset record (DELETE /asset/{id}; the caller enforces
+    * the cannot-delete-default-asset 409, `assets/asset.py:142-223`). */
+  def withoutAsset(dataset: String, version: String, assetId: String): Catalog =
+    withVersionPatched(dataset, version, v =>
+      v.copy(assets = v.assets.filterNot(_.assetId == assetId)))
+
   /** Apply a partial update to one version (PATCH /dataset/{d}/{v},
     * `versions.py:154-199`). When the patch sets `is_latest`, sibling
     * versions lose the flag (crud latest handling). */

@@ -992,6 +992,136 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(get("/geostore/admin/list?source%5Bprovider%5D=esri").statusCode() == 400)
   }
 
+  test("task records, asset metadata and field metadata CRUD") {
+    def req(method: String, path: String, body: String,
+            hdrs: (String, String)*): HttpResponse[String] = {
+      val rb = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+        .method(method, HttpRequest.BodyPublishers.ofString(body))
+      hdrs.foreach { case (k, v) => rb.header(k, v) }
+      client.send(rb.build(), HttpResponse.BodyHandlers.ofString())
+    }
+    val admin = "Authorization" -> "Bearer test-admin"
+    // create a small table version so the DAG registers task records
+    val src = java.nio.file.Files.createTempDirectory("tasksrc")
+    java.nio.file.Files.writeString(src.resolve("t.csv"), "id,name\n1,a\n2,b\n")
+    assert(req("PUT", "/dataset/taskds/v1",
+      s"""{"creation_options": {"source_uri": ["file://${src.resolve("t.csv")}"]}}""",
+      admin).statusCode() == 202)
+    var tries = 0
+    while (tries < 120 && get("/dataset/taskds/v1").body().contains("pending")) {
+      Thread.sleep(250); tries += 1
+    }
+    assert(get("/dataset/taskds/v1").body().contains("\"status\":\"saved\""))
+    // the DAG registered one task per step, pollable per asset and by id
+    val tasks = get("/asset/taskds-v1-default/tasks")
+    assert(tasks.statusCode() == 200, tasks.body().take(300))
+    for (step <- Seq("create_table", "load_data", "apply_layout", "register"))
+      assert(tasks.body().contains(s"\"task\":\"$step\""), tasks.body().take(500))
+    val tid = "\"task_id\":\"([0-9a-f-]+)\"".r
+      .findFirstMatchIn(tasks.body()).get.group(1)
+    val one = get(s"/task/$tid")
+    assert(one.statusCode() == 200 &&
+      one.body().contains("\"asset_id\":\"taskds-v1-default\""), one.body().take(300))
+    assert(get("/task/00000000-0000-0000-0000-000000000000").statusCode() == 404)
+    // service-account task creation + status propagation (task.py:60-129)
+    val newTid = "11111111-2222-3333-4444-555555555555"
+    assert(req("PUT", s"/task/$newTid",
+      """{"asset_id": "taskds-v1-default"}""").statusCode() == 401)
+    assert(req("PUT", s"/task/$newTid",
+      """{"asset_id": "taskds-v1-default"}""", admin).statusCode() == 201)
+    assert(req("PUT", s"/task/$newTid",
+      """{"asset_id": "taskds-v1-default"}""", admin).statusCode() == 400)
+    assert(req("PUT", "/task/66666666-7777-8888-9999-000000000000",
+      """{"asset_id": "no-such-asset"}""", admin).statusCode() == 400)
+    // all-success completion marks the asset saved
+    assert(req("PATCH", s"/task/$newTid",
+      """{"change_log": [{"task": "extra_index", "status": "success", "detail": "ok"}]}""",
+      admin).statusCode() == 200)
+    assert(get("/dataset/taskds/v1/assets").body().contains("\"status\":\"saved\""))
+    // a bad status is a 400 (task.py change-log status guard)
+    assert(req("PATCH", s"/task/$newTid",
+      """{"change_log": [{"task": "x", "status": "running", "detail": ""}]}""",
+      admin).statusCode() == 400)
+    // a failed entry propagates to the asset AND the default asset's version
+    assert(req("PATCH", s"/task/$newTid",
+      """{"change_log": [{"task": "extra_index", "status": "failed", "detail": "boom"}]}""",
+      admin).statusCode() == 200)
+    assert(get("/dataset/taskds/v1/assets").body().contains("\"status\":\"failed\""))
+    assert(get("/dataset/taskds/v1").body().contains("\"status\":\"failed\""))
+    // ------------------------------------------------ asset metadata
+    assert(get("/asset/taskds-v1-default/metadata").body() ==
+      """{"data":{},"status":"success"}""")
+    assert(req("POST", "/asset/taskds-v1-default/metadata",
+      """{"resolution": "10m"}""").statusCode() == 401)
+    assert(req("POST", "/asset/taskds-v1-default/metadata",
+      """{"resolution": "10m"}""", admin).statusCode() == 201)
+    assert(req("POST", "/asset/taskds-v1-default/metadata",
+      """{"resolution": "30m"}""", admin).statusCode() == 409)
+    val merged = req("PATCH", "/asset/taskds-v1-default/metadata",
+      """{"tags": ["test"]}""", admin)
+    assert(merged.body().contains("\"resolution\":\"10m\"") &&
+      merged.body().contains("\"tags\":[\"test\"]"), merged.body().take(200))
+    assert(req("DELETE", "/asset/taskds-v1-default/metadata", "", admin)
+      .statusCode() == 200)
+    assert(req("DELETE", "/asset/taskds-v1-default/metadata", "", admin)
+      .statusCode() == 404)
+    assert(get("/asset/no-such/metadata").statusCode() == 404)
+    // ------------------------------------------------- field metadata
+    val fields = get("/asset/taskds-v1-default/fields")
+    assert(fields.statusCode() == 200 &&
+      fields.body().contains("\"name\":\"id\"") &&
+      fields.body().contains("\"is_feature_info\":true"), fields.body().take(300))
+    assert(get("/asset/taskds-v1-default/fields/nope").statusCode() == 404)
+    val fpatch = req("PATCH", "/asset/taskds-v1-default/fields/name",
+      """{"alias": "Display name", "is_filter": false}""", admin)
+    assert(fpatch.statusCode() == 200 &&
+      fpatch.body().contains("\"alias\":\"Display name\""), fpatch.body().take(300))
+    val fget = get("/asset/taskds-v1-default/fields/name")
+    assert(fget.body().contains("\"alias\":\"Display name\"") &&
+      fget.body().contains("\"is_filter\":false"), fget.body().take(300))
+    // ------------------------------------------------- asset deletion
+    assert(req("DELETE", "/asset/taskds-v1-default", "", admin).statusCode() == 409)
+  }
+
+  test("nasa_viirs_fire_alerts features route applies the date window") {
+    def req(method: String, path: String, body: String,
+            hdrs: (String, String)*): HttpResponse[String] = {
+      val rb = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+        .method(method, HttpRequest.BodyPublishers.ofString(body))
+      hdrs.foreach { case (k, v) => rb.header(k, v) }
+      client.send(rb.build(), HttpResponse.BodyHandlers.ofString())
+    }
+    val admin = "Authorization" -> "Bearer test-admin"
+    val src = java.nio.file.Files.createTempDirectory("viirssrc")
+    java.nio.file.Files.writeString(src.resolve("v.ndjson"),
+      """{"type":"Feature","geometry":{"type":"Point","coordinates":[10.001,45.0]},"properties":{"pid":1,"alert__date":"2020-01-05"}}
+        |{"type":"Feature","geometry":{"type":"Point","coordinates":[10.002,45.0]},"properties":{"pid":2,"alert__date":"2024-06-01"}}
+        |""".stripMargin)
+    assert(req("PUT", "/dataset/nasa_viirs_fire_alerts/v202001",
+      s"""{"creation_options": {"source_uri": ["file://${src.resolve("v.ndjson")}"],
+         |  "source_type": "vector"}}""".stripMargin, admin).statusCode() == 202)
+    var tries = 0
+    while (tries < 120 &&
+      get("/dataset/nasa_viirs_fire_alerts/v202001").body().contains("pending")) {
+      Thread.sleep(250); tries += 1
+    }
+    // explicit window: only the 2020 alert matches
+    val w = get("/dataset/nasa_viirs_fire_alerts/v202001/features" +
+      "?lat=45.0&lng=10.0&z=10&start_date=2020-01-01&end_date=2020-12-31")
+    assert(w.statusCode() == 200, w.body().take(300))
+    assert(w.body().contains("\"pid\":1") && !w.body().contains("\"pid\":2"),
+      w.body().take(300))
+    // default window (trailing week): neither historical alert matches
+    val d = get("/dataset/nasa_viirs_fire_alerts/v202001/features?lat=45.0&lng=10.0&z=10")
+    assert(d.statusCode() == 200 && d.body().contains("\"data\":[]"), d.body().take(300))
+    // a future end date is rejected (features.py end_date description)
+    assert(get("/dataset/nasa_viirs_fire_alerts/v202001/features" +
+      "?lat=45.0&lng=10.0&z=10&start_date=2020-01-01&end_date=2999-01-01")
+      .statusCode() == 422)
+    assert(get("/dataset/nasa_viirs_fire_alerts/v202001/features" +
+      "?lat=45.0&lng=10.0&z=10&start_date=not-a-date").statusCode() == 422)
+  }
+
   test("geostore create + fetch round-trip with content-addressed id") {
     val gj = """{"type":"Polygon","coordinates":[[[0,0],[10,0],[10,10],[0,10],[0,0]]]}"""
     val created = post("/geostore", gj)
