@@ -796,7 +796,8 @@ object Geom {
     * a bowtie outer ring becomes the multipolygon of its lobes, a
     * bowtie hole splits into the holes it encloses (what PostGIS
     * observably returns for these inputs). Holes attach to the lobe
-    * containing them. */
+    * containing them; a hole STRADDLING a lobe boundary (crossing the
+    * split node) is re-clipped so each lobe keeps exactly its share. */
   def makeValid(g: Geom): Geom = {
     def fixRing(r0: Array[(Double, Double)], hole: Boolean): Array[(Double, Double)] = {
       var r = r0
@@ -822,12 +823,39 @@ object Geom {
       val holes = rs.drop(1).map(closeRing).filter(_.nonEmpty)
         .flatMap(splitAtNodes).map(r => fixRing(r, hole = true))
         .filter(_.nonEmpty)
-      lobes.map { o =>
-        val inside = holes.filter { h =>
-          val (hx, hy) = h.head
-          pointInPolygon(hx, hy, Array(o))
+      // any strictly-interior segment crossing between the two rings?
+      def ringsCross(a: Array[(Double, Double)], b: Array[(Double, Double)]): Boolean = {
+        var i = 0
+        while (i < a.length - 1) {
+          var j = 0
+          while (j < b.length - 1) {
+            if (segCrossPoint(a(i), a(i + 1), b(j), b(j + 1)).isDefined) return true
+            j += 1
+          }
+          i += 1
         }
-        o +: inside.toArray
+        false
+      }
+      lobes.map { o =>
+        val attached = holes.toSeq.flatMap { h: Array[(Double, Double)] =>
+          val allIn = h.forall { case (hx, hy) => pointInPolygon(hx, hy, Array(o)) }
+          if (!ringsCross(h, o)) {
+            // no boundary crossing: wholly inside (attach as-is) or
+            // wholly outside this lobe (someone else's hole)
+            if (allIn) Seq(h) else Nil
+          } else {
+            // the hole STRADDLES this lobe's boundary (it crosses the
+            // split node of a bowtie): only the part inside the lobe
+            // is a real hole here — re-clip it with the exact
+            // intersection machinery and attach each piece
+            val hOuter = if (signedArea2(h) < 0) h.reverse else h
+            polygons(intersection(Polygon(Array(hOuter)), Polygon(Array(o))))
+              .toSeq.flatMap(_.headOption)
+              .filter(r => r.length >= 4 && math.abs(signedArea2(r)) > 0)
+              .map(r => if (signedArea2(r) > 0) r.reverse else r) // holes CW
+          }
+        }
+        o +: attached.toArray
       }
     }
     g match {

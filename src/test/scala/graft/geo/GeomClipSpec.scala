@@ -203,4 +203,39 @@ class GeomClipSpec extends AnyFunSuite {
     val totalArea = fixed.map(Geom.planarArea).sum
     assert(math.abs(totalArea - (8.0 - 0.16)) < 1e-9, s"area $totalArea")
   }
+
+  test("makeValid re-clips a hole that straddles the bowtie node") {
+    // figure-eight crossing at (2,2); the hole square spans the node,
+    // overlapping BOTH lobes (0.15 each, hand-computed) and the empty
+    // wedges left/right of the pinch (0.18 discarded)
+    val poly = Polygon(Array(
+      Array((0.0, 0.0), (4.0, 0.0), (0.0, 4.0), (4.0, 4.0), (0.0, 0.0)),
+      Array((1.7, 1.6), (1.7, 2.4), (2.3, 2.4), (2.3, 1.6), (1.7, 1.6))))
+    val fixed = Geom.makeValid(poly) match {
+      case MultiPolygon(ps) => ps
+      case g => fail(s"expected MultiPolygon, got $g")
+    }
+    assert(fixed.length == 2, fixed.map(_.length).mkString(","))
+    // each lobe carries its clipped share of the hole
+    fixed.foreach { rings =>
+      assert(rings.length >= 2, s"lobe without a hole piece: ${rings.length}")
+      rings.drop(1).foreach(h => assert(Geom.signedArea2(h) < 0)) // holes CW
+      val holeArea = rings.drop(1).map(r => math.abs(Geom.signedArea2(r)) / 2).sum
+      assert(math.abs(holeArea - 0.15) < 1e-12, s"hole area $holeArea")
+    }
+    val total = fixed.map(Geom.planarArea).sum
+    assert(math.abs(total - (8.0 - 0.3)) < 1e-9, s"area $total")
+    // a hole clear of the node still attaches whole to its lobe
+    val clearHole = Polygon(Array(
+      Array((0.0, 0.0), (4.0, 0.0), (0.0, 4.0), (4.0, 4.0), (0.0, 0.0)),
+      Array((1.6, 0.2), (1.6, 0.6), (2.4, 0.6), (2.4, 0.2), (1.6, 0.2))))
+    val fixed2 = Geom.makeValid(clearHole) match {
+      case MultiPolygon(ps) => ps
+      case g => fail(s"expected MultiPolygon, got $g")
+    }
+    val withHole = fixed2.filter(_.length == 2)
+    assert(withHole.length == 1)
+    // attached unchanged — exactly the input ring's four corners
+    assert(withHole.head(1).toSet == Set((1.6, 0.2), (1.6, 0.6), (2.4, 0.6), (2.4, 0.2)))
+  }
 }
