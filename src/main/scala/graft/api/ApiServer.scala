@@ -1136,10 +1136,14 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
           return respond(ex, 404, "application/json",
             Sinks.jsendError(s"No raster tile set with pixel meaning $meaning"))
         graft.raster.TileLake.ensureLake(spark, asset.assetUri)
+        val compression = queryParams(ex).getOrElse("compression", "deflate")
+        if (!Set("none", "lzw", "deflate").contains(compression))
+          return respond(ex, 422, "application/json", Sinks.jsendError(
+            s"Unsupported compression '$compression' (none/lzw/deflate)"))
         val cacheDir = java.nio.file.Paths.get(
           s"${sys.props("java.io.tmpdir")}/graft_geotiff_cache/${dataset}_$version")
         java.nio.file.Files.createDirectories(cacheDir)
-        val out = cacheDir.resolve(s"${band}_$tileId.tif")
+        val out = cacheDir.resolve(s"${band}_${tileId}_$compression.tif")
         if (!java.nio.file.Files.exists(out)) {
           val rows = spark.read.parquet(asset.assetUri)
             .where(org.apache.spark.sql.functions.col("tile_id") === tileId)
@@ -1153,7 +1157,7 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
             g.pxPerTile, g.pxPerTile,
             g.originLon + r.getInt(0) * g.tileDeg,
             g.originLat - r.getInt(1) * g.tileDeg,
-            g.pixelDeg, px))
+            g.pixelDeg, px), compression)
         }
         ex.getResponseHeaders.add("Location", out.toString)
         respond(ex, 307, "application/json", "")

@@ -12,8 +12,11 @@ import java.util.zip.{Deflater, Inflater}
   *
   *   - single-band, 32-bit signed integer samples (the tile lake's
   *     pixel currency), one strip, little-endian;
-  *   - compression 1 (none) or 8 (zlib/deflate — interoperable by
-  *     construction via `java.util.zip`);
+  *   - compression 1 (none), 8 (zlib/deflate — interoperable by
+  *     construction via `java.util.zip`) or 5 (LZW, the TIFF 6.0
+  *     MSB-first variant with early code-width change — what
+  *     GDAL/libtiff emit by default); the reader also applies the
+  *     horizontal-differencing predictor (tag 317 = 2) on int32 rows;
   *   - georeferencing via ModelPixelScale + ModelTiepoint and a
   *     GeoKeyDirectory declaring geographic WGS 84 (EPSG 4326),
   *     pixel-is-area.
@@ -38,21 +41,33 @@ object GeoTiff {
   private val TSamplesPerPixel = 277
   private val TRowsPerStrip = 278
   private val TStripByteCounts = 279
+  private val TPredictor = 317
   private val TSampleFormat = 339
   private val TPixelScale = 33550
   private val TTiepoint = 33922
   private val TGeoKeys = 34735
 
-  def write(path: java.nio.file.Path, tile: Tile, deflate: Boolean = true): Unit = {
+  def write(path: java.nio.file.Path, tile: Tile, deflate: Boolean = true): Unit =
+    write(path, tile, if (deflate) "deflate" else "none")
+
+  def write(path: java.nio.file.Path, tile: Tile, compression: String): Unit = {
     val raw = {
       val b = ByteBuffer.allocate(tile.pixels.length * 4)
         .order(ByteOrder.LITTLE_ENDIAN)
       tile.pixels.foreach(b.putInt)
       b.array()
     }
-    val strip =
-      if (!deflate) raw
-      else {
+    val compCode = compression match {
+      case "none" => 1
+      case "lzw" => 5
+      case "deflate" => 8
+      case c => throw new IllegalArgumentException(
+        s"unsupported compression '$c' (none/lzw/deflate)")
+    }
+    val strip = compCode match {
+      case 1 => raw
+      case 5 => lzwEncode(raw)
+      case 8 =>
         val d = new Deflater()
         d.setInput(raw); d.finish()
         val out = new java.io.ByteArrayOutputStream()
@@ -60,7 +75,7 @@ object GeoTiff {
         while (!d.finished()) out.write(buf, 0, d.deflate(buf))
         d.end()
         out.toByteArray
-      }
+    }
 
     // GeoKeyDirectory: version 1.1.0, 3 keys:
     //   GTModelType=2 (geographic), GTRasterType=1 (pixel-is-area),
@@ -98,7 +113,7 @@ object GeoTiff {
     entry(TWidth, 3, 1, tile.width)
     entry(TLength, 3, 1, tile.height)
     entry(TBits, 3, 1, 32)
-    entry(TCompression, 3, 1, if (deflate) 8 else 1)
+    entry(TCompression, 3, 1, compCode)
     entry(TPhotometric, 3, 1, 1) // BlackIsZero
     entry(TStripOffsets, 4, 1, stripOff)
     entry(TSamplesPerPixel, 3, 1, 1)
@@ -137,6 +152,7 @@ object GeoTiff {
     var width = 0
     var height = 0
     var compression = 1
+    var predictor = 1
     var bits = 32
     var stripOffsets = Seq.empty[Long]
     var stripCounts = Seq.empty[Long]
@@ -167,6 +183,7 @@ object GeoTiff {
         case TLength => height = values(off)._3.head.toInt
         case TBits => bits = values(off)._3.head.toInt
         case TCompression => compression = values(off)._3.head.toInt
+        case TPredictor => predictor = values(off)._3.head.toInt
         case TStripOffsets => stripOffsets = values(off)._3
         case TStripByteCounts => stripCounts = values(off)._3
         case TPixelScale => scaleOff = b.getInt(off + 8)
@@ -180,8 +197,9 @@ object GeoTiff {
     val data = stripOffsets.zip(stripCounts).map { case (o, c) =>
       java.util.Arrays.copyOfRange(bytes, o.toInt, (o + c).toInt)
     }.reduce(_ ++ _)
-    val raw = compression match {
+    val raw0 = compression match {
       case 1 => data
+      case 5 => lzwDecode(data, width * height * 4)
       case 8 | 32946 =>
         val inf = new Inflater()
         inf.setInput(data)
@@ -195,10 +213,28 @@ object GeoTiff {
         inf.end()
         out.toByteArray
       case c => throw new IllegalArgumentException(
-        s"unsupported TIFF compression $c (none/deflate only)")
+        s"unsupported TIFF compression $c (none/lzw/deflate only)")
     }
-    require(raw.length == width * height * 4,
-      s"strip decodes to ${raw.length} B, expected ${width * height * 4}")
+    require(raw0.length == width * height * 4,
+      s"strip decodes to ${raw0.length} B, expected ${width * height * 4}")
+    // horizontal differencing (predictor 2): each int32 sample stores
+    // the delta to its left neighbor — undo per row
+    val raw =
+      if (predictor != 2) raw0
+      else {
+        val pb = ByteBuffer.wrap(raw0).order(order)
+        var row = 0
+        while (row < height) {
+          var col = 1
+          while (col < width) {
+            val k = (row * width + col) * 4
+            pb.putInt(k, pb.getInt(k) + pb.getInt(k - 4))
+            col += 1
+          }
+          row += 1
+        }
+        raw0
+      }
     val px = new Array[Int](width * height)
     val rb = ByteBuffer.wrap(raw).order(order)
     var j = 0
@@ -209,5 +245,121 @@ object GeoTiff {
       if (tieOff >= 0) (b.getDouble(tieOff + 24), b.getDouble(tieOff + 32))
       else (Double.NaN, Double.NaN)
     Tile(width, height, lon, lat, pixelDeg, px)
+  }
+
+  // ------------------------------------------------------------- LZW
+  // TIFF 6.0 §13: MSB-first bit packing, ClearCode=256, EOI=257,
+  // first table entry 258, 9→12-bit codes with EARLY width change
+  // (the width bumps when the NEXT code to assign would be 2^w - 1 —
+  // the libtiff/GDAL convention).
+
+  private val LzwClear = 256
+  private val LzwEoi = 257
+
+  private def lzwEncode(raw: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 16)
+    var acc = 0L
+    var accBits = 0
+    var width = 9
+    def put(code: Int): Unit = {
+      acc = (acc << width) | code
+      accBits += width
+      while (accBits >= 8) {
+        out.write(((acc >>> (accBits - 8)) & 0xff).toInt)
+        accBits -= 8
+      }
+    }
+    // (prefixCode << 8 | byte) → code
+    var table = new java.util.HashMap[Integer, Integer](8192)
+    var nextCode = 258
+    def reset(): Unit = { table = new java.util.HashMap(8192); nextCode = 258; width = 9 }
+    put(LzwClear)
+    var omega = -1 // current prefix code; -1 = empty
+    var i = 0
+    while (i < raw.length) {
+      val k = raw(i) & 0xff
+      if (omega < 0) omega = k
+      else {
+        val key: Integer = (omega << 8) | k
+        val hit = table.get(key)
+        if (hit != null) omega = hit.intValue()
+        else {
+          put(omega)
+          table.put(key, nextCode)
+          nextCode += 1
+          // early change: bump when the next code to ASSIGN hits 2^w - 1
+          if (nextCode == (1 << width) - 1 && width < 12) width += 1
+          omega = k
+          if (nextCode >= 4094) { // table nearly full: flush + clear
+            put(omega)
+            put(LzwClear)
+            reset()
+            omega = -1
+          }
+        }
+      }
+      i += 1
+    }
+    if (omega >= 0) put(omega)
+    put(LzwEoi)
+    if (accBits > 0) out.write(((acc << (8 - accBits)) & 0xff).toInt)
+    out.toByteArray
+  }
+
+  private def lzwDecode(data: Array[Byte], expected: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(expected)
+    // code → byte string; literals are implicit
+    var entries = new Array[Array[Byte]](4096)
+    var nextCode = 258
+    var width = 9
+    def reset(): Unit = {
+      entries = new Array[Array[Byte]](4096); nextCode = 258; width = 9
+    }
+    def stringOf(code: Int): Array[Byte] =
+      if (code < 256) Array(code.toByte)
+      else {
+        require(entries(code) != null, s"LZW code $code before definition")
+        entries(code)
+      }
+    var acc = 0L
+    var accBits = 0
+    var pos = 0
+    var prev = -1
+    while (pos < data.length || accBits >= width) {
+      while (accBits < width && pos < data.length) {
+        acc = (acc << 8) | (data(pos) & 0xff)
+        accBits += 8
+        pos += 1
+      }
+      if (accBits < width) return out.toByteArray // padding tail
+      val code = ((acc >>> (accBits - width)) & ((1L << width) - 1)).toInt
+      accBits -= width
+      code match {
+        case LzwEoi => return out.toByteArray
+        case LzwClear =>
+          reset()
+          prev = -1
+        case _ =>
+          if (prev < 0) {
+            require(code < 256, s"first LZW code after clear must be a literal, got $code")
+            out.write(code)
+            prev = code
+          } else {
+            val prevStr = stringOf(prev)
+            val cur =
+              if (code < 256 || entries(code) != null) stringOf(code)
+              else prevStr :+ prevStr(0) // KwKwK case
+            out.write(cur, 0, cur.length)
+            entries(nextCode) = prevStr :+ cur(0)
+            nextCode += 1
+            // the decoder reconstructs each entry one code LATER than
+            // the encoder assigned it, so its early-change threshold
+            // sits one entry lower to keep code widths in lockstep
+            if (nextCode == (1 << width) - 2 && width < 12) width += 1
+            prev = code
+          }
+      }
+    }
+    out.toByteArray
   }
 }

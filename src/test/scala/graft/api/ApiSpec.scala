@@ -516,6 +516,16 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     // wrong pixel_meaning → 404
     assert(get(s"/dataset/rastds/v1/download/geotiff?tile_id=$tid&pixel_meaning=bogus")
       .statusCode() == 404)
+    // LZW-compressed variant round-trips to the same pixels
+    val dlLzw = get(s"/dataset/rastds/v1/download/geotiff?tile_id=$tid&pixel_meaning=class&compression=lzw")
+    assert(dlLzw.statusCode() == 307, dlLzw.body().take(300))
+    val lzwPath = dlLzw.headers().firstValue("Location").get
+    assert(lzwPath.endsWith("_lzw.tif"), lzwPath)
+    val tifLzw = graft.raster.GeoTiff.read(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(lzwPath)))
+    assert(tifLzw.pixels.toSeq == tif.pixels.toSeq)
+    assert(get(s"/dataset/rastds/v1/download/geotiff?tile_id=$tid&pixel_meaning=class&compression=zip")
+      .statusCode() == 422)
   }
 
   test("features point lookup: zoom radius table + out-of-range 400") {
