@@ -31,17 +31,15 @@ import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
   */
 object Geopackage {
 
+  // The spec DDL (OGC 12-128r19 annex C): TEXT/composite PRIMARY KEY
+  // and UNIQUE constraints imply `sqlite_autoindex_*` b-trees, which
+  // [[Sqlite.IndexDef]] builds alongside each table.
   private val SrsSql =
     """CREATE TABLE gpkg_spatial_ref_sys (srs_name TEXT NOT NULL, srs_id INTEGER NOT NULL PRIMARY KEY, organization TEXT NOT NULL, organization_coordsys_id INTEGER NOT NULL, definition TEXT NOT NULL, description TEXT)"""
-  // NOTE: the spec's TEXT/composite PRIMARY KEY and UNIQUE constraints
-  // are declared WITHOUT the constraint keywords here — each would
-  // imply a `sqlite_autoindex` b-tree this writer does not build
-  // (stock SQLite flags the database malformed when a declared index
-  // has no tree). INTEGER PRIMARY KEY (a rowid alias) needs no index.
   private val ContentsSql =
-    """CREATE TABLE gpkg_contents (table_name TEXT NOT NULL, data_type TEXT NOT NULL, identifier TEXT, description TEXT DEFAULT '', last_change DATETIME NOT NULL DEFAULT (strftime('%Y-%m-%dT%H:%M:%fZ','now')), min_x DOUBLE, min_y DOUBLE, max_x DOUBLE, max_y DOUBLE, srs_id INTEGER)"""
+    """CREATE TABLE gpkg_contents (table_name TEXT NOT NULL PRIMARY KEY, data_type TEXT NOT NULL, identifier TEXT UNIQUE, description TEXT DEFAULT '', last_change DATETIME NOT NULL DEFAULT (strftime('%Y-%m-%dT%H:%M:%fZ','now')), min_x DOUBLE, min_y DOUBLE, max_x DOUBLE, max_y DOUBLE, srs_id INTEGER, CONSTRAINT fk_gc_r_srs_id FOREIGN KEY (srs_id) REFERENCES gpkg_spatial_ref_sys(srs_id))"""
   private val GeomColsSql =
-    """CREATE TABLE gpkg_geometry_columns (table_name TEXT NOT NULL, column_name TEXT NOT NULL, geometry_type_name TEXT NOT NULL, srs_id INTEGER NOT NULL, z TINYINT NOT NULL, m TINYINT NOT NULL)"""
+    """CREATE TABLE gpkg_geometry_columns (table_name TEXT NOT NULL, column_name TEXT NOT NULL, geometry_type_name TEXT NOT NULL, srs_id INTEGER NOT NULL, z TINYINT NOT NULL, m TINYINT NOT NULL, CONSTRAINT pk_geom_cols PRIMARY KEY (table_name, column_name), CONSTRAINT uk_gc_table_name UNIQUE (table_name), CONSTRAINT fk_gc_tn FOREIGN KEY (table_name) REFERENCES gpkg_contents(table_name), CONSTRAINT fk_gc_srs FOREIGN KEY (srs_id) REFERENCES gpkg_spatial_ref_sys(srs_id))"""
 
   private def sqlType(t: DataType): String = t match {
     case LongType | IntegerType | ShortType | BooleanType => "INTEGER"
@@ -118,9 +116,15 @@ object Geopackage {
         rowidAlias = Some(1)),
       Sqlite.TableDef("gpkg_contents", ContentsSql, Seq(
         Seq(tableName, "features", tableName, "",
-          "2026-01-01T00:00:00.000Z", xmin, ymin, xmax, ymax, 4326L))),
+          "2026-01-01T00:00:00.000Z", xmin, ymin, xmax, ymax, 4326L)),
+        indexes = Seq(
+          Sqlite.IndexDef("sqlite_autoindex_gpkg_contents_1", Seq(0)),
+          Sqlite.IndexDef("sqlite_autoindex_gpkg_contents_2", Seq(2)))),
       Sqlite.TableDef("gpkg_geometry_columns", GeomColsSql, Seq(
-        Seq(tableName, "geom", geometryTypeName, 4326L, 0L, 0L))),
+        Seq(tableName, "geom", geometryTypeName, 4326L, 0L, 0L)),
+        indexes = Seq(
+          Sqlite.IndexDef("sqlite_autoindex_gpkg_geometry_columns_1", Seq(0, 1)),
+          Sqlite.IndexDef("sqlite_autoindex_gpkg_geometry_columns_2", Seq(0)))),
       Sqlite.TableDef(tableName, featureSql, featureRows, rowidAlias = Some(0))))
   }
 

@@ -14,9 +14,13 @@ import scala.collection.mutable.ArrayBuffer
   *     the `sqlite_master` table b-tree (schema rows);
   *   - each table is a table b-tree (leaf type 0x0D, interior 0x05)
   *     of record cells (varint serial-type header + body);
-  *   - no indexes, no overflow pages (payloads are capped at the
-  *     64 KiB-page inline maximum — the writer rejects larger rows),
-  *     no freelist, UTF-8 text.
+  *   - TEXT/composite PRIMARY KEY and UNIQUE constraints materialize
+  *     as `sqlite_autoindex_*` index b-trees (single leaf, type 0x0A:
+  *     key-record cells `(key values…, rowid)` in BINARY-collation
+  *     order, `sql` NULL in `sqlite_master` — the autoindex rule);
+  *   - no overflow pages (payloads are capped at the 64 KiB-page
+  *     inline maximum — the writer rejects larger rows), no freelist,
+  *     UTF-8 text.
   *
   * Output validates against stock SQLite (`PRAGMA integrity_check` via
   * the driver-side python3 sqlite3 module was used while developing
@@ -145,9 +149,54 @@ object Sqlite {
 
   /** One table definition: CREATE SQL + rows. When `rowidAlias` is
     * set, that column is an INTEGER PRIMARY KEY — its value becomes
-    * the rowid and the record stores NULL there (SQLite's rule). */
+    * the rowid and the record stores NULL there (SQLite's rule).
+    * Each [[IndexDef]] in `indexes` becomes a `sqlite_autoindex_*`
+    * b-tree over the named key columns (what a TEXT/composite PRIMARY
+    * KEY or UNIQUE constraint in `createSql` implies — stock SQLite
+    * flags the database malformed when a declared constraint has no
+    * tree). */
   final case class TableDef(name: String, createSql: String,
-                            rows: Seq[Seq[Any]], rowidAlias: Option[Int] = None)
+                            rows: Seq[Seq[Any]], rowidAlias: Option[Int] = None,
+                            indexes: Seq[IndexDef] = Nil)
+
+  /** A unique index over `keyCols` (indices into the row). `name`
+    * follows SQLite's `sqlite_autoindex_<table>_<n>` convention for
+    * constraint-implied indexes. */
+  final case class IndexDef(name: String, keyCols: Seq[Int])
+
+  /** BINARY-collation value order (sqlite.org/datatype3 §4.1):
+    * NULL < numeric < text (memcmp of UTF-8) < blob (memcmp). */
+  private def cmpVals(a: Any, b: Any): Int = {
+    def rank(v: Any): Int = v match {
+      case null => 0
+      case _: Boolean | _: Int | _: Long | _: Double => 1
+      case _: String => 2
+      case _: Array[Byte] => 3
+      case other => throw new IllegalArgumentException(
+        s"unsupported index key ${other.getClass}")
+    }
+    def num(v: Any): Double = v match {
+      case b: Boolean => if (b) 1.0 else 0.0
+      case i: Int => i.toDouble
+      case x: Long => x.toDouble
+      case d: Double => d
+    }
+    def bytes(v: Any): Array[Byte] = v match {
+      case s: String => s.getBytes("UTF-8")
+      case b: Array[Byte] => b
+    }
+    val (ra, rb) = (rank(a), rank(b))
+    if (ra != rb) Integer.compare(ra, rb)
+    else ra match {
+      case 0 => 0
+      case 1 => java.lang.Double.compare(num(a), num(b))
+      case _ => java.util.Arrays.compareUnsigned(bytes(a), bytes(b))
+    }
+  }
+
+  private def cmpKeys(a: Seq[Any], b: Seq[Any]): Int =
+    a.zip(b).iterator.map { case (x, y) => cmpVals(x, y) }
+      .find(_ != 0).getOrElse(Integer.compare(a.length, b.length))
 
   def writeDb(path: java.nio.file.Path, tables: Seq[TableDef]): Unit = {
     val pages = ArrayBuffer.empty[Page] // index 0 = page 2
@@ -243,6 +292,46 @@ object Sqlite {
       }
     }
 
+    /** One index b-tree: a single 0x0A leaf of key records
+      * `(key values…, rowid)` in BINARY-collation order. Metadata-
+      * table constraints index a handful of rows; a 64 KiB leaf holds
+      * thousands, and the writer rejects overflow rather than build
+      * interior index pages. Returns the root page number. */
+    def buildIndex(t: TableDef, idx: IndexDef): Int = {
+      val entries = t.rows.zipWithIndex.map { case (row, i) =>
+        val rowid = t.rowidAlias match {
+          case Some(c) => row(c).asInstanceOf[Number].longValue()
+          case None => i + 1L
+        }
+        idx.keyCols.map(row(_)) :+ (rowid: Any)
+      }.sortWith(cmpKeys(_, _) < 0)
+      entries.sliding(2).foreach {
+        case Seq(x, y) => require(cmpKeys(x.dropRight(1), y.dropRight(1)) != 0,
+          s"duplicate key in unique index ${idx.name}")
+        case _ =>
+      }
+      val payloads = entries.map(record)
+      val size = 8 + payloads.map(p => 2 + varint(p.length).length + p.length).sum
+      require(size <= PageSize,
+        s"index ${idx.name} exceeds one leaf page ($size B)")
+      val (p, no) = newPage()
+      val buf = ByteBuffer.wrap(p.data)
+      buf.put(0, 0x0a.toByte)
+      buf.putShort(3, payloads.length.toShort)
+      var content = PageSize
+      val ptrs = payloads.map { pay =>
+        val bytes = varint(pay.length) ++ pay
+        content -= bytes.length
+        System.arraycopy(bytes, 0, p.data, content, bytes.length)
+        content
+      }
+      buf.putShort(5, (content & 0xffff).toShort)
+      ptrs.zipWithIndex.foreach { case (off, i) =>
+        buf.putShort(8 + 2 * i, (off & 0xffff).toShort)
+      }
+      no
+    }
+
     def initInterior(p: Page, children: Seq[(Int, Long)]): Unit = {
       val buf = ByteBuffer.wrap(p.data)
       buf.put(0, 0x05.toByte)
@@ -262,12 +351,17 @@ object Sqlite {
       }
     }
 
-    // build user tables, then sqlite_master on page 1
-    val roots = tables.map(t => t.name -> buildBtree(leafCells(t)))
-    val masterCells = tables.zip(roots).zipWithIndex.map {
-      case ((t, (_, root)), i) =>
-        Cell(i + 1L,
-          record(Seq("table", t.name, t.name, root.toLong, t.createSql)))
+    // build user tables + their constraint indexes, then
+    // sqlite_master on page 1 (index rows carry sql NULL — the
+    // autoindex convention)
+    val masterRows = tables.flatMap { t =>
+      val root = buildBtree(leafCells(t))
+      Seq[Seq[Any]](Seq("table", t.name, t.name, root.toLong, t.createSql)) ++
+        t.indexes.map(idx =>
+          Seq[Any]("index", idx.name, t.name, buildIndex(t, idx).toLong, null))
+    }
+    val masterCells = masterRows.zipWithIndex.map { case (row, i) =>
+      Cell(i + 1L, record(row))
     }
     val pageOne = new Page()
     initLeaf(pageOne, masterCells, pageOne = true)

@@ -61,6 +61,70 @@ class SqliteSpec extends AnyFunSuite {
     assert(back.map(_._1) == (1L to 5000L))
   }
 
+  test("unique-constraint indexes write sqlite_autoindex b-trees") {
+    // validated against stock SQLite 3.40: integrity_check ok,
+    // PRAGMA index_list reports origins pk/u, WHERE lookups on the
+    // key columns resolve through these trees
+    val path = java.nio.file.Files.createTempFile("sqi", ".db")
+    val rows = Seq[Seq[Any]](
+      Seq("cherry", 3L, "c"), Seq("apple", 1L, "a"), Seq("banana", 2L, "b"))
+    Sqlite.writeDb(path, Seq(
+      Sqlite.TableDef("fruit",
+        "CREATE TABLE fruit (name TEXT NOT NULL PRIMARY KEY, rank INTEGER UNIQUE, tag TEXT)",
+        rows,
+        indexes = Seq(
+          Sqlite.IndexDef("sqlite_autoindex_fruit_1", Seq(0)),
+          Sqlite.IndexDef("sqlite_autoindex_fruit_2", Seq(1))))))
+    val db = java.nio.file.Files.readAllBytes(path)
+    // sqlite_master carries the two index rows with sql NULL (the
+    // autoindex rule) right after their table
+    val master = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+      val nCells = ((db(103) & 0xff) << 8) | (db(104) & 0xff)
+      for (i <- 0 until nCells) {
+        val off = ((db(108 + 2 * i) & 0xff) << 8) | (db(109 + 2 * i) & 0xff)
+        val (_, n0) = Sqlite.readVarint(db, off)
+        val (_, n1) = Sqlite.readVarint(db, off + n0)
+        out += Sqlite.readRecord(db, off + n0 + n1)
+      }
+      out.toSeq
+    }
+    assert(master.map(r => (r(0), r(1))) == Seq(
+      ("table", "fruit"),
+      ("index", "sqlite_autoindex_fruit_1"),
+      ("index", "sqlite_autoindex_fruit_2")))
+    master.drop(1).foreach(r => assert(r(4) == null, r))
+    // each index root is a single 0x0A leaf whose key records sort by
+    // BINARY collation and end with the rowid
+    def indexEntries(name: String): Seq[Seq[Any]] = {
+      val root = master.collectFirst {
+        case r if r(1) == name => r(3).asInstanceOf[Long].toInt
+      }.get
+      val base = (root - 1) * Sqlite.PageSize
+      assert((db(base) & 0xff) == 0x0a, s"page type of $name")
+      val nCells = ((db(base + 3) & 0xff) << 8) | (db(base + 4) & 0xff)
+      (0 until nCells).map { i =>
+        val off = base +
+          (((db(base + 8 + 2 * i) & 0xff) << 8) | (db(base + 9 + 2 * i) & 0xff))
+        val (_, n0) = Sqlite.readVarint(db, off)
+        Sqlite.readRecord(db, off + n0)
+      }
+    }
+    // names sort lexically; rowids follow the original row order
+    assert(indexEntries("sqlite_autoindex_fruit_1") == Seq(
+      Seq("apple", 2L), Seq("banana", 3L), Seq("cherry", 1L)))
+    assert(indexEntries("sqlite_autoindex_fruit_2") == Seq(
+      Seq(1L, 2L), Seq(2L, 3L), Seq(3L, 1L)))
+    // duplicate keys are refused (UNIQUE semantics)
+    val e = intercept[IllegalArgumentException] {
+      Sqlite.writeDb(java.nio.file.Files.createTempFile("sqd", ".db"), Seq(
+        Sqlite.TableDef("t", "CREATE TABLE t (v TEXT PRIMARY KEY)",
+          Seq(Seq("x"), Seq("x")),
+          indexes = Seq(Sqlite.IndexDef("sqlite_autoindex_t_1", Seq(0))))))
+    }
+    assert(e.getMessage.contains("duplicate key"))
+  }
+
   test("oversized rows are rejected (no overflow pages)") {
     val path = java.nio.file.Files.createTempFile("sq2", ".db")
     val big = "y" * 70000
