@@ -105,23 +105,64 @@ object Shapefile {
             var i = 0
             while (i < nPoints) { xs(i) = s.getDouble; ys(i) = s.getDouble; i += 1 }
             val ringEnds = parts.drop(1) :+ nPoints
-            val wkb = ByteBuffer
-              .allocate(9 + nParts * 4 + nPoints * 16)
-              .order(ByteOrder.LITTLE_ENDIAN)
-            wkb.put(1.toByte).putInt(3).putInt(nParts)
-            var r = 0
-            while (r < nParts) {
-              val (from, to) = (parts(r), ringEnds(r))
-              wkb.putInt(to - from)
-              var j = from
-              while (j < to) { wkb.putDouble(xs(j)); wkb.putDouble(ys(j)); j += 1 }
-              r += 1
-            }
-            Some(wkb.array())
+            val rings: Array[Array[(Double, Double)]] =
+              (0 until nParts).map { r =>
+                val (from, to) = (parts(r), ringEnds(r))
+                Array.tabulate(to - from)(j => (xs(from + j), ys(from + j)))
+              }.toArray
+            Some(assembleRings(rings))
           case t => throw new IllegalArgumentException(
             s"unsupported shapefile shape type $t (Point and Polygon only)")
         }
       }
+    }
+  }
+
+  /** Ring-nesting reassembly (ESRI shapefile spec: ring ORDER carries
+    * no structure — clockwise rings are exterior, counter-clockwise
+    * rings are holes of the exterior ring containing them). One
+    * exterior ring → WKB Polygon; several → WKB MultiPolygon with
+    * each hole attached to the exterior containing its first vertex
+    * (file order preserved within each group). A record with no
+    * clockwise ring is degenerate per spec and passes through as a
+    * Polygon in file order. Coordinates are never touched. */
+  private def assembleRings(rings: Array[Array[(Double, Double)]]): Array[Byte] = {
+    import graft.geo.Geom
+    def ringWkb(b: ByteBuffer, r: Array[(Double, Double)]): Unit = {
+      b.putInt(r.length)
+      r.foreach { case (x, y) => b.putDouble(x); b.putDouble(y) }
+    }
+    def polyWkb(rs: Seq[Array[(Double, Double)]]): Array[Byte] = {
+      val b = ByteBuffer
+        .allocate(9 + rs.length * 4 + rs.map(_.length).sum * 16)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      b.put(1.toByte).putInt(3).putInt(rs.length)
+      rs.foreach(ringWkb(b, _))
+      b.array()
+    }
+    val outerIdx = rings.indices.filter(i => Geom.signedArea2(rings(i)) < 0)
+    if (outerIdx.length <= 1) {
+      if (outerIdx.length == 1 && outerIdx.head != 0) {
+        // one exterior but holes precede it in the file: outer first
+        val o = outerIdx.head
+        polyWkb(rings(o) +: rings.indices.filterNot(_ == o).map(rings(_)))
+      } else polyWkb(rings.toSeq)
+    } else {
+      val holeIdx = rings.indices.filterNot(outerIdx.contains)
+      val groups = outerIdx.map(o => o -> scala.collection.mutable.ArrayBuffer(rings(o)))
+      holeIdx.foreach { h =>
+        val (hx, hy) = rings(h).head
+        val owner = groups.find { case (o, _) =>
+          Geom.pointInPolygon(hx, hy, Array(rings(o)))
+        }.getOrElse(groups.head)
+        owner._2 += rings(h)
+      }
+      val polys = groups.map(_._2.toSeq).map(polyWkb)
+      val b = ByteBuffer.allocate(9 + polys.map(_.length).sum)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      b.put(1.toByte).putInt(6).putInt(polys.length)
+      polys.foreach(b.put)
+      b.array()
     }
   }
 
@@ -165,21 +206,36 @@ object Shapefile {
     writeDbf(points.map(_._2), fields, base)
   }
 
-  /** Write a Polygon shapefile: each record is one feature's rings
-    * (a MultiPolygon's rings flatten into one type-5 record — the
+  /** Write a Polygon shapefile: each record is one feature's polygon
+    * parts (a MultiPolygon's parts share one type-5 record — the
     * shapefile model has no separate multipolygon type; readers
-    * reassemble nesting from ring orientation). Rings are written as
-    * given — the round-trip through [[read]] preserves coordinates
-    * exactly (IEEE doubles, no snapping). */
-  def writePolygons(polys: Seq[(Array[Array[(Double, Double)]], Seq[Any])],
+    * reassemble nesting from ring orientation). Each part's first
+    * ring is the exterior. Winding is NORMALIZED to the spec's
+    * convention — exterior rings clockwise, holes counter-clockwise
+    * (our OGC-wound geometries are the opposite; writing them as
+    * given would make external readers see every exterior as a
+    * hole). A reversed ring keeps its start point, so [[read]]
+    * (which reassembles nesting) returns the exact coordinates of a
+    * spec-wound input. */
+  def writePolygons(polys: Seq[(Seq[Array[Array[(Double, Double)]]], Seq[Any])],
                     fields: Seq[(String, DataType)],
                     base: java.nio.file.Path): Unit = {
     val n = polys.length
     require(n > 0, "cannot write an empty shapefile")
-    require(polys.forall(_._1.nonEmpty), "each polygon needs at least one ring")
+    require(polys.forall(p => p._1.nonEmpty && p._1.forall(_.nonEmpty)),
+      "each polygon part needs at least one ring")
+    // flatten parts into the record's ring list, normalizing winding
+    val recs: Seq[(Array[Array[(Double, Double)]], Seq[Any])] =
+      polys.map { case (parts, attrs) =>
+        val rings = parts.flatMap(_.zipWithIndex.map { case (r, ri) =>
+          val cw = graft.geo.Geom.signedArea2(r) < 0
+          if (cw == (ri == 0)) r else r.reverse
+        }).toArray
+        (rings, attrs)
+      }
     def contentBytes(rings: Array[Array[(Double, Double)]]): Int =
       4 + 32 + 4 + 4 + 4 * rings.length + 16 * rings.map(_.length).sum
-    val shpLen = 100 + polys.map { case (r, _) => 8 + contentBytes(r) }.sum
+    val shpLen = 100 + recs.map { case (r, _) => 8 + contentBytes(r) }.sum
     val shp = ByteBuffer.allocate(shpLen)
     shp.order(ByteOrder.BIG_ENDIAN)
     shp.putInt(0, 9994)
@@ -187,13 +243,13 @@ object Shapefile {
     shp.order(ByteOrder.LITTLE_ENDIAN)
     shp.putInt(28, 1000)
     shp.putInt(32, 5) // Polygon
-    val flat = polys.flatMap(_._1.toSeq).flatten
+    val flat = recs.flatMap(_._1.toSeq).flatten
     shp.putDouble(36, flat.map(_._1).min)
     shp.putDouble(44, flat.map(_._2).min)
     shp.putDouble(52, flat.map(_._1).max)
     shp.putDouble(60, flat.map(_._2).max)
     var off = 100
-    polys.zipWithIndex.foreach { case ((rings, _), i) =>
+    recs.zipWithIndex.foreach { case ((rings, _), i) =>
       val content = contentBytes(rings)
       shp.order(ByteOrder.BIG_ENDIAN)
       shp.putInt(off, i + 1)
@@ -212,7 +268,7 @@ object Shapefile {
     }
     java.nio.file.Files.write(
       base.resolveSibling(base.getFileName.toString + ".shp"), shp.array())
-    writeDbf(polys.map(_._2), fields, base)
+    writeDbf(recs.map(_._2), fields, base)
   }
 
   /** Write the `<base>.dbf` attribute table (dBase III; shared by the

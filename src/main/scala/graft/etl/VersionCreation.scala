@@ -421,8 +421,8 @@ object VersionCreation {
             log += ChangeLog("export_shp", "success", s"${targetDir}_exports/export.shp ($cnt features)")
           case Seq("polygon") =>
             Shapefile.writePolygons(rows.map {
-              case (p: graft.geo.Polygon, attrs) => (p.rings, attrs)
-              case (m: graft.geo.MultiPolygon, attrs) => (m.polys.flatten, attrs)
+              case (p: graft.geo.Polygon, attrs) => (Seq(p.rings), attrs)
+              case (m: graft.geo.MultiPolygon, attrs) => (m.polys.toSeq, attrs)
               case other => throw new MatchError(other)
             }, fieldSpecs, base)
             log += ChangeLog("export_shp", "success", s"${targetDir}_exports/export.shp ($cnt features)")
