@@ -314,6 +314,8 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
         case ("PUT", VersionRoot(d, v)) => versionPut(ex, d, v)
         case ("POST", VersionAppend(d, v)) => versionAppend(ex, d, v)
         case ("GET", AssetsR(d, v)) => versionAssets(ex, d, v)
+        case ("POST", AssetsR(d, v)) => assetAdd(ex, d, v)
+        case ("GET", "/assets") => assetsList(ex)
         case ("GET", CreationOptsR(d, v)) => creationOptions(ex, d, v)
         case ("GET", ChangeLogR(d, v)) => versionChangeLog(ex, d, v)
         case ("GET", VersionRoot(d, v)) => versionGet(ex, d, v)
@@ -1414,6 +1416,127 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
   /** GET /dataset/{d}/{v}/assets (`versions.py` + `asset.py` asset
     * listing): every asset record of the version — the default
     * database table plus derived exports. */
+  /** GET /assets (`assets/assets.py:18-…`): the catalog's full asset
+    * list, filterable by `asset_type` and `dataset`. */
+  private def assetsList(ex: HttpExchange): Unit = {
+    val params = queryParams(ex)
+    val items = for {
+      d <- catalog.datasets.sortBy(_.name)
+      v <- d.versions.sortBy(_.version)
+      a <- v.assets
+      if params.get("asset_type").forall(_ == a.assetType)
+      if params.get("dataset").forall(_ == d.name)
+    } yield s"""{"asset_id":"${a.assetId}","dataset":"${d.name}","version":"${v.version}","asset_type":${graft.geo.Json.write(a.assetType)},"asset_uri":${graft.geo.Json.write(a.assetUri)},"is_default":${a.isDefault},"status":"${a.status}"}"""
+    respond(ex, 200, "application/json",
+      s"""{"data":[${items.mkString(",")}],"status":"success"}""")
+  }
+
+  /** POST /dataset/{d}/{v}/assets (`add_new_asset`,
+    * `assets/assets.py:111-…`): build a follow-up asset for a saved
+    * version. COG is the supported managed type — the job coalesces
+    * the source raster tile set into one cloud-optimized GeoTIFF with
+    * average-resampled overviews (`cog_assets.py:26-117`; creation
+    * options `source_asset_id`, `block_size`, `resampling`,
+    * `implementation` per `COGCreationOptions`). The mosaic builds
+    * driver-side, mirroring the reference's single-node
+    * gdal_translate job — the at-scale query path stays the Parquet
+    * tile lake. */
+  private def assetAdd(ex: HttpExchange, dataset: String, version: String): Unit = {
+    writeGate(ex).foreach { case (code, body) =>
+      return respond(ex, code, "application/json", body) }
+    val ver = catalog.version(dataset, version).getOrElse(
+      return respond(ex, 404, "application/json",
+        Sinks.jsendError(s"Dataset version $dataset.$version not found")))
+    val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+    val obj =
+      try graft.geo.Json.parseObject(body)
+      catch { case _: Exception => return respond(ex, 422, "application/json",
+        Sinks.jsendError("Invalid request body")) }
+    if (!obj.get("asset_type").contains("COG"))
+      return respond(ex, 501, "application/json", Sinks.jsendError(
+        "Not implemented for asset type " +
+          obj.getOrElse("asset_type", "(missing)")))
+    val co = obj.get("creation_options") match {
+      case Some(m: Map[_, _]) => m.asInstanceOf[Map[String, Any]]
+      case _ => Map.empty[String, Any]
+    }
+    val resampling = co.getOrElse("resampling", "average").toString
+    if (resampling != "average")
+      return respond(ex, 501, "application/json", Sinks.jsendError(
+        s"Unsupported resampling method $resampling (average only)"))
+    val blockSize = co.get("block_size").map(_.toString.toDouble.toInt).getOrElse(512)
+    if (blockSize <= 0 || blockSize % 16 != 0)
+      return respond(ex, 422, "application/json", Sinks.jsendError(
+        "block_size must be a positive multiple of 16"))
+    val implementation = co.getOrElse("implementation", "default").toString
+    val srcId = co.get("source_asset_id") match {
+      case Some(s: String) => s
+      case _ => return respond(ex, 422, "application/json",
+        Sinks.jsendError("source_asset_id is required"))
+    }
+    // "Must be an asset of the same version"
+    val source = ver.assets.find(_.assetId == srcId) match {
+      case Some(a) if a.assetType == cat.AssetType.RasterTileSet => a
+      case Some(_) => return respond(ex, 400, "application/json",
+        Sinks.jsendError(s"Source asset $srcId is not a raster tile set"))
+      case None => return respond(ex, 400, "application/json",
+        Sinks.jsendError(s"Source asset $srcId is not an asset of $dataset.$version"))
+    }
+    val assetId = s"$dataset-$version-cog-$implementation"
+    if (findAsset(assetId).isDefined)
+      return respond(ex, 409, "application/json", Sinks.jsendError(
+        s"Asset $assetId already exists (choose another implementation)"))
+    val outDir = java.nio.file.Paths.get(
+      s"${sys.props("java.io.tmpdir")}/graft_versions/${dataset}_${version}_exports")
+    val outPath = outDir.resolve(s"cog_$implementation.tif")
+    val jobId = jobRegistry.submit { () =>
+      val g = graft.raster.DataEnvironment.gridOf(source.creationOptions)
+      val band = source.creationOptions.getOrElse("band",
+        s"px_${source.creationOptions.getOrElse("pixel_meaning", "value")}")
+      graft.raster.TileLake.ensureLake(spark, source.assetUri)
+      // mosaic the lake into one image: grid-extent pixels, tiles in
+      // (tx, ty) positions; absent tiles stay 0 (nodata)
+      val w = g.tilesX * g.pxPerTile
+      val h = g.tilesY * g.pxPerTile
+      val px = new Array[Int](w * h)
+      val rows = spark.read.parquet(source.assetUri)
+        .selectExpr("tx", "ty", band).collect()
+      rows.foreach { r =>
+        val tx = r.getInt(0); val ty = r.getInt(1)
+        val vals = r.getSeq[Long](2)
+        var i = 0
+        while (i < vals.length) {
+          val row = ty * g.pxPerTile + i / g.pxPerTile
+          val col = tx * g.pxPerTile + i % g.pxPerTile
+          px(row * w + col) = vals(i).toInt
+          i += 1
+        }
+      }
+      java.nio.file.Files.createDirectories(outDir)
+      graft.raster.GeoTiff.writeCog(outPath,
+        graft.raster.GeoTiff.Tile(w, h, g.originLon, g.originLat, g.pixelDeg, px),
+        blockSize)
+      catalogLock.synchronized {
+        catalog = catalog.withVersionPatched(dataset, version, v =>
+          v.copy(assets = v.assets :+ cat.Asset(assetId, cat.AssetType.Cog,
+            outPath.toString, isDefault = false,
+            creationOptions = Map(
+              "source_asset_id" -> srcId,
+              "block_size" -> blockSize.toString,
+              "resampling" -> resampling,
+              "implementation" -> implementation))))
+      }
+      val tid = graft.geo.GeoExpressions.Uuid5.of("oid",
+        s"task:$dataset/$version/cogify_$implementation")
+      taskRecords.put(tid, TaskRec(tid, assetId, Seq(
+        graft.etl.VersionCreation.ChangeLog("cogify", "success",
+          s"$outPath (${rows.length} tiles, block $blockSize)"))))
+      s"""{"asset_id":"$assetId","status":"saved"}"""
+    }
+    respond(ex, 202, "application/json",
+      s"""{"data":{"asset_id":"$assetId","dataset":"$dataset","version":"$version","asset_type":"COG","status":"pending","job_id":"$jobId"},"status":"success"}""")
+  }
+
   private def versionAssets(ex: HttpExchange, dataset: String, version: String): Unit =
     catalog.version(dataset, version) match {
       case None => respond(ex, 404, "application/json",

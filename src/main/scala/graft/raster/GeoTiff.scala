@@ -32,6 +32,7 @@ object GeoTiff {
                         pixelDeg: Double, pixels: Array[Int])
 
   // TIFF tag ids
+  private val TSubfileType = 254
   private val TWidth = 256
   private val TLength = 257
   private val TBits = 258
@@ -42,6 +43,10 @@ object GeoTiff {
   private val TRowsPerStrip = 278
   private val TStripByteCounts = 279
   private val TPredictor = 317
+  private val TTileWidth = 322
+  private val TTileLength = 323
+  private val TTileOffsets = 324
+  private val TTileByteCounts = 325
   private val TSampleFormat = 339
   private val TPixelScale = 33550
   private val TTiepoint = 33922
@@ -139,7 +144,204 @@ object GeoTiff {
     java.nio.file.Files.write(path, out.array())
   }
 
-  def read(bytes: Array[Byte]): Tile = {
+  /** Compress one raw block with the strip codec. */
+  private def compress(raw: Array[Byte], compCode: Int): Array[Byte] =
+    compCode match {
+      case 1 => raw
+      case 5 => lzwEncode(raw)
+      case 8 =>
+        val d = new Deflater()
+        d.setInput(raw); d.finish()
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+        d.end()
+        out.toByteArray
+    }
+
+  /** Factor-2 AVERAGE downsample (the reference's default overview
+    * resampling, `COGCreationOptions.resampling`): each target pixel
+    * is the rounded mean of its ≤2×2 source block. */
+  private def halve(w: Int, h: Int, px: Array[Int]): (Int, Int, Array[Int]) = {
+    val w2 = (w + 1) / 2
+    val h2 = (h + 1) / 2
+    val out = new Array[Int](w2 * h2)
+    var y = 0
+    while (y < h2) {
+      var x = 0
+      while (x < w2) {
+        var sum = 0L
+        var cnt = 0
+        var dy = 0
+        while (dy < 2 && 2 * y + dy < h) {
+          var dx = 0
+          while (dx < 2 && 2 * x + dx < w) {
+            sum += px((2 * y + dy) * w + 2 * x + dx)
+            cnt += 1
+            dx += 1
+          }
+          dy += 1
+        }
+        out(y * w2 + x) = math.round(sum.toDouble / cnt).toInt
+        x += 1
+      }
+      y += 1
+    }
+    (w2, h2, out)
+  }
+
+  /** Cloud-optimized GeoTIFF: tiled base image (TileWidth/TileLength/
+    * TileOffsets/TileByteCounts) plus a factor-2 average-resampled
+    * overview pyramid chained as reduced-resolution IFDs
+    * (NewSubfileType = 1), laid out COG-style — header and every IFD
+    * at the front, overview tile data before base tile data, so a
+    * range reader gets the whole low-resolution pyramid in one seek.
+    * The Spark-side at-rest format stays Parquet-of-arrays (partition
+    * pruning + columnar band pruning are the scale story); this is
+    * the I/O interchange artifact the reference builds with
+    * `gdal_translate -of COG` (`app/tasks/cog_assets.py:26-117`). */
+  def writeCog(path: java.nio.file.Path, tile: Tile, blockSize: Int = 512,
+               compression: String = "deflate"): Unit = {
+    require(blockSize > 0 && blockSize % 16 == 0,
+      s"TIFF tile dimensions must be multiples of 16 (got $blockSize)")
+    val compCode = compression match {
+      case "none" => 1
+      case "lzw" => 5
+      case "deflate" => 8
+      case c => throw new IllegalArgumentException(
+        s"unsupported compression '$c' (none/lzw/deflate)")
+    }
+    // overview pyramid: halve until the level fits one block
+    val levels = {
+      val out = scala.collection.mutable.ArrayBuffer(
+        (tile.width, tile.height, tile.pixels))
+      while (math.max(out.last._1, out.last._2) > blockSize) {
+        val (w, h, px) = out.last
+        out += halve(w, h, px)
+      }
+      out.toSeq
+    }
+    // compress every level's blocks (row-major, edge blocks padded)
+    case class Level(w: Int, h: Int, blocks: Seq[Array[Byte]])
+    val packed = levels.map { case (w, h, px) =>
+      val across = (w + blockSize - 1) / blockSize
+      val down = (h + blockSize - 1) / blockSize
+      val blocks = (0 until across * down).map { t =>
+        val x0 = (t % across) * blockSize
+        val y0 = (t / across) * blockSize
+        val raw = ByteBuffer.allocate(blockSize * blockSize * 4)
+          .order(ByteOrder.LITTLE_ENDIAN)
+        var row = 0
+        while (row < blockSize) {
+          var col = 0
+          while (col < blockSize) {
+            val v =
+              if (y0 + row < h && x0 + col < w) px((y0 + row) * w + x0 + col)
+              else 0
+            raw.putInt((row * blockSize + col) * 4, v)
+            col += 1
+          }
+          row += 1
+        }
+        compress(raw.array(), compCode)
+      }
+      Level(w, h, blocks)
+    }
+
+    val geoKeys: Array[Short] = Array(
+      1, 1, 0, 3,
+      1024, 0, 1, 2,
+      1025, 0, 1, 1,
+      2048, 0, 1, 4326).map(_.toShort)
+
+    // layout: header, IFDs, external arrays, tile data (overviews
+    // smallest-first, base last)
+    val entryCounts = packed.indices.map(l => if (l == 0) 15 else 12)
+    val ifdSizes = entryCounts.map(2 + _ * 12 + 4)
+    val ifdOffs = ifdSizes.scanLeft(8)(_ + _).dropRight(1)
+    var extOff = 8 + ifdSizes.sum
+    // per level: tile offsets + byte counts arrays
+    val arrOffs = packed.map { lv =>
+      val o = (extOff, extOff + 4 * lv.blocks.length)
+      extOff += 8 * lv.blocks.length
+      o
+    }
+    val scaleOff = extOff
+    val tieOff = scaleOff + 24
+    val geoOff = tieOff + 48
+    var dataOff = geoOff + geoKeys.length * 2
+    // overview data first (deepest level first), base data last
+    val dataOffsets: Seq[Seq[Int]] = {
+      val perLevel = Array.fill(packed.length)(Seq.empty[Int])
+      for (l <- packed.indices.reverse) {
+        perLevel(l) = packed(l).blocks.map { blk =>
+          val o = dataOff; dataOff += blk.length; o
+        }
+      }
+      perLevel.toSeq
+    }
+
+    val out = ByteBuffer.allocate(dataOff).order(ByteOrder.LITTLE_ENDIAN)
+    out.put(0, 'I'.toByte).put(1, 'I'.toByte)
+    out.putShort(2, 42.toShort)
+    out.putInt(4, 8)
+    packed.zipWithIndex.foreach { case (lv, l) =>
+      out.position(ifdOffs(l))
+      out.putShort(entryCounts(l).toShort)
+      def entry(tag: Int, typ: Int, count: Int, value: Long): Unit = {
+        out.putShort(tag.toShort).putShort(typ.toShort).putInt(count)
+        out.putInt((value & 0xffffffffL).toInt)
+      }
+      entry(TSubfileType, 4, 1, if (l == 0) 0 else 1)
+      entry(TWidth, 3, 1, lv.w)
+      entry(TLength, 3, 1, lv.h)
+      entry(TBits, 3, 1, 32)
+      entry(TCompression, 3, 1, compCode)
+      entry(TPhotometric, 3, 1, 1)
+      entry(TSamplesPerPixel, 3, 1, 1)
+      entry(TTileWidth, 3, 1, blockSize)
+      entry(TTileLength, 3, 1, blockSize)
+      if (lv.blocks.length == 1) {
+        // a single LONG fits the value slot — TIFF stores it inline
+        entry(TTileOffsets, 4, 1, dataOffsets(l).head)
+        entry(TTileByteCounts, 4, 1, lv.blocks.head.length)
+      } else {
+        entry(TTileOffsets, 4, lv.blocks.length, arrOffs(l)._1)
+        entry(TTileByteCounts, 4, lv.blocks.length, arrOffs(l)._2)
+      }
+      entry(TSampleFormat, 3, 1, 2)
+      if (l == 0) {
+        entry(TPixelScale, 12, 3, scaleOff)
+        entry(TTiepoint, 12, 6, tieOff)
+        entry(TGeoKeys, 3, geoKeys.length, geoOff)
+      }
+      out.putInt(if (l + 1 < packed.length) ifdOffs(l + 1) else 0)
+      // external arrays
+      out.position(arrOffs(l)._1)
+      dataOffsets(l).foreach(out.putInt)
+      out.position(arrOffs(l)._2)
+      lv.blocks.foreach(b => out.putInt(b.length))
+      // tile data
+      lv.blocks.zip(dataOffsets(l)).foreach { case (blk, o) =>
+        out.position(o); out.put(blk)
+      }
+    }
+    out.position(scaleOff)
+    out.putDouble(tile.pixelDeg).putDouble(tile.pixelDeg).putDouble(0.0)
+    out.position(tieOff)
+    out.putDouble(0.0).putDouble(0.0).putDouble(0.0)
+    out.putDouble(tile.originLon).putDouble(tile.originLat).putDouble(0.0)
+    out.position(geoOff)
+    geoKeys.foreach(out.putShort)
+    java.nio.file.Files.write(path, out.array())
+  }
+
+  def read(bytes: Array[Byte]): Tile = readLevels(bytes).head
+
+  /** Every image in the IFD chain — the base image first, then any
+    * reduced-resolution overviews ([[writeCog]]'s layout, or any
+    * conforming multi-IFD TIFF). */
+  def readLevels(bytes: Array[Byte]): Seq[Tile] = {
     val order = (bytes(0) & 0xff, bytes(1) & 0xff) match {
       case (0x49, 0x49) => ByteOrder.LITTLE_ENDIAN // "II"
       case (0x4d, 0x4d) => ByteOrder.BIG_ENDIAN    // "MM"
@@ -147,7 +349,20 @@ object GeoTiff {
     }
     val b = ByteBuffer.wrap(bytes).order(order)
     require(b.getShort(2) == 42, "bad TIFF magic")
-    val ifd = b.getInt(4)
+    var ifd = b.getInt(4)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Tile]
+    while (ifd != 0) {
+      val (tile, next) = parseIfd(bytes, b, order, ifd)
+      out += tile
+      ifd = next
+    }
+    out.toSeq
+  }
+
+  /** One IFD → its image + the next-IFD offset (0 = end of chain).
+    * Handles both stripped and tiled ([[writeCog]]) layouts. */
+  private def parseIfd(bytes: Array[Byte], b: ByteBuffer, order: ByteOrder,
+                       ifd: Int): (Tile, Int) = {
     val n = b.getShort(ifd) & 0xffff
     var width = 0
     var height = 0
@@ -156,6 +371,10 @@ object GeoTiff {
     var bits = 32
     var stripOffsets = Seq.empty[Long]
     var stripCounts = Seq.empty[Long]
+    var tileW = 0
+    var tileH = 0
+    var tileOffsets = Seq.empty[Long]
+    var tileCounts = Seq.empty[Long]
     var scaleOff = -1
     var tieOff = -1
     val typeSize = Map(1 -> 1, 2 -> 1, 3 -> 2, 4 -> 4, 12 -> 8)
@@ -186,6 +405,10 @@ object GeoTiff {
         case TPredictor => predictor = values(off)._3.head.toInt
         case TStripOffsets => stripOffsets = values(off)._3
         case TStripByteCounts => stripCounts = values(off)._3
+        case TTileWidth => tileW = values(off)._3.head.toInt
+        case TTileLength => tileH = values(off)._3.head.toInt
+        case TTileOffsets => tileOffsets = values(off)._3
+        case TTileByteCounts => tileCounts = values(off)._3
         case TPixelScale => scaleOff = b.getInt(off + 8)
         case TTiepoint => tieOff = b.getInt(off + 8)
         case _ => // skip
@@ -194,57 +417,88 @@ object GeoTiff {
     }
     require(width > 0 && height > 0, "missing dimensions")
     require(bits == 32, s"unsupported BitsPerSample $bits (int32 only)")
-    val data = stripOffsets.zip(stripCounts).map { case (o, c) =>
-      java.util.Arrays.copyOfRange(bytes, o.toInt, (o + c).toInt)
-    }.reduce(_ ++ _)
-    val raw0 = compression match {
-      case 1 => data
-      case 5 => lzwDecode(data, width * height * 4)
-      case 8 | 32946 =>
-        val inf = new Inflater()
-        inf.setInput(data)
-        val out = new java.io.ByteArrayOutputStream()
-        val buf = new Array[Byte](8192)
-        while (!inf.finished()) {
-          val k = inf.inflate(buf)
-          require(k > 0 || inf.finished(), "truncated deflate stream")
-          out.write(buf, 0, k)
-        }
-        inf.end()
-        out.toByteArray
-      case c => throw new IllegalArgumentException(
-        s"unsupported TIFF compression $c (none/lzw/deflate only)")
+
+    def decompress(data: Array[Byte], expected: Int): Array[Byte] = {
+      val raw = compression match {
+        case 1 => data
+        case 5 => lzwDecode(data, expected)
+        case 8 | 32946 =>
+          val inf = new Inflater()
+          inf.setInput(data)
+          val out = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](8192)
+          while (!inf.finished()) {
+            val k = inf.inflate(buf)
+            require(k > 0 || inf.finished(), "truncated deflate stream")
+            out.write(buf, 0, k)
+          }
+          inf.end()
+          out.toByteArray
+        case c => throw new IllegalArgumentException(
+          s"unsupported TIFF compression $c (none/lzw/deflate only)")
+      }
+      require(raw.length == expected,
+        s"block decodes to ${raw.length} B, expected $expected")
+      raw
     }
-    require(raw0.length == width * height * 4,
-      s"strip decodes to ${raw0.length} B, expected ${width * height * 4}")
     // horizontal differencing (predictor 2): each int32 sample stores
     // the delta to its left neighbor — undo per row
-    val raw =
-      if (predictor != 2) raw0
-      else {
-        val pb = ByteBuffer.wrap(raw0).order(order)
+    def unpredict(raw: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      if (predictor == 2) {
+        val pb = ByteBuffer.wrap(raw).order(order)
         var row = 0
-        while (row < height) {
+        while (row < h) {
           var col = 1
-          while (col < width) {
-            val k = (row * width + col) * 4
+          while (col < w) {
+            val k = (row * w + col) * 4
             pb.putInt(k, pb.getInt(k) + pb.getInt(k - 4))
             col += 1
           }
           row += 1
         }
-        raw0
       }
+      raw
+    }
+
     val px = new Array[Int](width * height)
-    val rb = ByteBuffer.wrap(raw).order(order)
-    var j = 0
-    while (j < px.length) { px(j) = rb.getInt(4 * j); j += 1 }
+    if (tileOffsets.nonEmpty) {
+      // tiled layout: blocks are always tileW×tileH (edge blocks are
+      // padded on disk and cropped here), row-major block order
+      require(tileW > 0 && tileH > 0, "tiled IFD without tile dimensions")
+      val across = (width + tileW - 1) / tileW
+      tileOffsets.zip(tileCounts).zipWithIndex.foreach { case ((o, c), t) =>
+        val raw = unpredict(decompress(
+          java.util.Arrays.copyOfRange(bytes, o.toInt, (o + c).toInt),
+          tileW * tileH * 4), tileW, tileH)
+        val rb = ByteBuffer.wrap(raw).order(order)
+        val x0 = (t % across) * tileW
+        val y0 = (t / across) * tileH
+        var row = 0
+        while (row < tileH && y0 + row < height) {
+          var col = 0
+          while (col < tileW && x0 + col < width) {
+            px((y0 + row) * width + x0 + col) = rb.getInt((row * tileW + col) * 4)
+            col += 1
+          }
+          row += 1
+        }
+      }
+    } else {
+      val data = stripOffsets.zip(stripCounts).map { case (o, c) =>
+        java.util.Arrays.copyOfRange(bytes, o.toInt, (o + c).toInt)
+      }.reduce(_ ++ _)
+      val raw = unpredict(decompress(data, width * height * 4), width, height)
+      val rb = ByteBuffer.wrap(raw).order(order)
+      var j = 0
+      while (j < px.length) { px(j) = rb.getInt(4 * j); j += 1 }
+    }
     val pixelDeg =
       if (scaleOff >= 0) b.getDouble(scaleOff) else Double.NaN
     val (lon, lat) =
       if (tieOff >= 0) (b.getDouble(tieOff + 24), b.getDouble(tieOff + 32))
       else (Double.NaN, Double.NaN)
-    Tile(width, height, lon, lat, pixelDeg, px)
+    val next = b.getInt(ifd + 2 + n * 12)
+    (Tile(width, height, lon, lat, pixelDeg, px), next)
   }
 
   // ------------------------------------------------------------- LZW

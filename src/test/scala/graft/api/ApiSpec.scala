@@ -526,6 +526,59 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tifLzw.pixels.toSeq == tif.pixels.toSeq)
     assert(get(s"/dataset/rastds/v1/download/geotiff?tile_id=$tid&pixel_meaning=class&compression=zip")
       .statusCode() == 422)
+    // POST /assets builds a COG follow-up asset from the tile set
+    // (add_new_asset + cog_assets.py)
+    def req(method: String, path: String, body: String,
+            hdrs: (String, String)*): HttpResponse[String] = {
+      val rb = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+        .method(method, HttpRequest.BodyPublishers.ofString(body))
+      hdrs.foreach { case (k, v) => rb.header(k, v) }
+      client.send(rb.build(), HttpResponse.BodyHandlers.ofString())
+    }
+    val admin = "Authorization" -> "Bearer test-admin"
+    val cogBody = """{"asset_type": "COG", "creation_options": {
+      "source_asset_id": "rastds-v1-default", "block_size": 16}}"""
+    assert(req("POST", "/dataset/rastds/v1/assets", cogBody).statusCode() == 401)
+    // bad source / resampling / block size are rejected up front
+    assert(req("POST", "/dataset/rastds/v1/assets",
+      """{"asset_type": "COG", "creation_options": {"source_asset_id": "nope"}}""",
+      admin).statusCode() == 400)
+    assert(req("POST", "/dataset/rastds/v1/assets",
+      """{"asset_type": "COG", "creation_options": {"source_asset_id": "rastds-v1-default", "resampling": "cubic"}}""",
+      admin).statusCode() == 501)
+    assert(req("POST", "/dataset/rastds/v1/assets",
+      """{"asset_type": "Dynamic vector tile cache"}""", admin).statusCode() == 501)
+    val accepted = req("POST", "/dataset/rastds/v1/assets", cogBody, admin)
+    assert(accepted.statusCode() == 202, accepted.body().take(300))
+    val jobId = "\"job_id\":\"([0-9a-f-]+)\"".r
+      .findFirstMatchIn(accepted.body()).get.group(1)
+    var jb = ""
+    var jtries = 0
+    while (jtries < 120 && { jb = get(s"/job/$jobId").body()
+      jb.contains("\"status\":\"pending\"") }) { Thread.sleep(250); jtries += 1 }
+    assert(jb.contains("\"status\":\"success\""), jb.take(400))
+    // the asset registered and the artifact is a real COG: base 20×20
+    // exact vs the tile-lake values, one 10×10 average overview
+    val cog = get("/asset/rastds-v1-cog-default")
+    assert(cog.statusCode() == 200 && cog.body().contains("\"asset_type\":\"COG\""),
+      cog.body().take(300))
+    val cogPath = "\"asset_uri\":\"([^\"]+)\"".r
+      .findFirstMatchIn(cog.body()).get.group(1)
+    val cogLevels = graft.raster.GeoTiff.readLevels(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(cogPath)))
+    assert(cogLevels.map(l => (l.width, l.height)) == Seq((20, 20), (10, 10)))
+    assert(cogLevels.head.pixels.toSeq ==
+      (0 until 20 * 20).map(i => value(i % 20, i / 20)))
+    assert(cogLevels.head.originLon == 20.0 && cogLevels.head.originLat == 10.0)
+    // its task record is pollable; duplicate implementation → 409
+    val cogTasks = get("/asset/rastds-v1-cog-default/tasks")
+    assert(cogTasks.body().contains("\"task\":\"cogify\""), cogTasks.body().take(300))
+    assert(req("POST", "/dataset/rastds/v1/assets", cogBody, admin).statusCode() == 409)
+    // the global asset list filters by type
+    val globalCogs = get("/assets?asset_type=COG")
+    assert(globalCogs.body().contains("rastds-v1-cog-default"), globalCogs.body().take(300))
+    assert(!get("/assets?asset_type=COG&dataset=nation").body().contains("cog"),
+      "dataset filter leaked")
   }
 
   test("features point lookup: zoom radius table + out-of-range 400") {

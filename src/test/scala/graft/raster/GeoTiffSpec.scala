@@ -139,6 +139,66 @@ class GeoTiffSpec extends AnyFunSuite {
     assert(back.pixels.toSeq == t.pixels.toSeq)
   }
 
+  test("COG: tiled pyramid round-trips, overviews average, layout is cloud-optimized") {
+    val w = 100; val h = 80
+    val t = GeoTiff.Tile(w, h, -3.5, 48.0, 0.01,
+      Array.tabulate(w * h)(i => (i % w) * 100 + i / w)) // px = x*100 + y
+    val p = java.nio.file.Files.createTempFile("cog", ".tif")
+    GeoTiff.writeCog(p, t, blockSize = 16, compression = "deflate")
+    val bytes = java.nio.file.Files.readAllBytes(p)
+    val levels = GeoTiff.readLevels(bytes)
+    // pyramid: 100×80 → 50×40 → 25×20 → 13×10 (≤ one 16px block)
+    assert(levels.map(l => (l.width, l.height)) ==
+      Seq((100, 80), (50, 40), (25, 20), (13, 10)))
+    // base image + georeferencing exact
+    assert(levels.head.pixels.toSeq == t.pixels.toSeq)
+    assert(levels.head.originLon == -3.5 && levels.head.originLat == 48.0 &&
+      levels.head.pixelDeg == 0.01)
+    // overview pixel (x,y) = rounded mean of the 2×2 source block:
+    // value form x*100+y → mean = (2x+0.5)*100/2... check directly
+    val l1 = levels(1)
+    for ((x, y) <- Seq((0, 0), (7, 3), (24, 19))) {
+      val srcs = for {
+        dy <- 0 to 1; dx <- 0 to 1
+        if 2 * x + dx < w && 2 * y + dy < h
+      } yield t.pixels((2 * y + dy) * w + 2 * x + dx).toLong
+      val expect = math.round(srcs.sum.toDouble / srcs.length).toInt
+      assert(l1.pixels(y * l1.width + x) == expect, s"overview px ($x,$y)")
+    }
+    // interior tiles are identical across the pyramid edge rule
+    val l3 = levels(3)
+    assert(l3.width == 13 && l3.height == 10)
+    // COG layout: every IFD sits in the file head, before all tile
+    // data; the deepest overview's data precedes the base image's
+    def ifdOffsets(b: Array[Byte]): Seq[Int] = {
+      var off = java.nio.ByteBuffer.wrap(b, 4, 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+      val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+      while (off != 0) {
+        out += off
+        val n = java.nio.ByteBuffer.wrap(b, off, 2)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).getShort & 0xffff
+        off = java.nio.ByteBuffer.wrap(b, off + 2 + n * 12, 4)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+      }
+      out.toSeq
+    }
+    val ifds = ifdOffsets(bytes)
+    assert(ifds.length == 4 && ifds == ifds.sorted && ifds.last < 2048,
+      s"IFDs not at the head: $ifds")
+    // lzw + none variants round-trip the base too
+    for (comp <- Seq("none", "lzw")) {
+      val q = java.nio.file.Files.createTempFile(s"cog$comp", ".tif")
+      GeoTiff.writeCog(q, t, blockSize = 32, compression = comp)
+      val back = GeoTiff.readLevels(java.nio.file.Files.readAllBytes(q))
+      assert(back.head.pixels.toSeq == t.pixels.toSeq, comp)
+      assert(back.length == 3, s"$comp levels ${back.length}") // 100→50→25
+    }
+    // block size must be a multiple of 16 (TIFF 6.0 tiling rule)
+    intercept[IllegalArgumentException](GeoTiff.writeCog(
+      java.nio.file.Files.createTempFile("cogbad", ".tif"), t, blockSize = 20))
+  }
+
   test("reader rejects non-TIFF and unsupported forms") {
     intercept[IllegalArgumentException](GeoTiff.read("nope".getBytes))
     val p = java.nio.file.Files.createTempFile("gt3", ".tif")
