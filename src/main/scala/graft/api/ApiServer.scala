@@ -51,6 +51,13 @@ final class ApiKeys {
     noScheme.split("[/:]")(0)
   }
 
+  def get(key: String): Option[(Seq[String], Option[Long])] = keys.get(key)
+
+  def list: Seq[(String, Seq[String], Option[Long])] =
+    keys.toSeq.map { case (k, (d, e)) => (k, d, e) }.sortBy(_._1)
+
+  def delete(key: String): Option[(Seq[String], Option[Long])] = keys.remove(key)
+
   /** `api_key_is_valid` (`authentication/api_keys.py:62-95`). */
   def isValid(key: String, origin: Option[String], referrer: Option[String]): Boolean =
     keys.get(key).exists { case (domains, expires) =>
@@ -194,7 +201,10 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
   private val MetadataR = "^/dataset/([^/]+)/([^/]+)/metadata$".r
   private val VersionGeostore = "^/dataset/([^/]+)/([^/]+)/geostore/([^/]+)$".r
   private val AssetR = "^/asset/([^/]+)$".r
-  private val AssetSubR = "^/asset/([^/]+)/(creation_options|change_log|tasks)$".r
+  private val AssetSubR = "^/asset/([^/]+)/(creation_options|change_log|tasks|stats|extent|tiles_info)$".r
+  private val ApiKeyR = "^/auth/apikey/([^/]+)$".r
+  private val ApiKeyValidateR = "^/auth/apikey/([^/]+)/validate$".r
+  private val ZonalPathR = "^/analysis/zonal/([^/]+)$".r
   private val AssetMetaR = "^/asset/([^/]+)/metadata$".r
   private val AssetFieldsR = "^/asset/([^/]+)/fields$".r
   private val AssetFieldR = "^/asset/([^/]+)/fields/([^/]+)$".r
@@ -327,6 +337,11 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
         case ("PATCH", DatasetRoot(d)) => datasetPatch(ex, d)
         case ("DELETE", DatasetRoot(d)) => datasetDelete(ex, d)
         case ("GET", "/analysis/zonal") => zonal(ex)
+        case ("GET", ZonalPathR(gid)) => zonal(ex, Some(gid))
+        case ("GET", ApiKeyValidateR(key)) => apiKeyValidate(ex, key)
+        case ("GET", ApiKeyR(key)) => apiKeyGet(ex, key)
+        case ("DELETE", ApiKeyR(key)) => apiKeyDelete(ex, key)
+        case ("GET", "/auth/apikeys") => apiKeysList(ex)
         case ("POST", "/analysis/zonal/batch") => zonalBatch(ex)
         case ("POST", QueryBatch(d, v)) => queryBatch(ex, d, v)
         case ("GET", JobDownload(id)) =>
@@ -664,7 +679,44 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
           .map(taskBody).mkString(",")
         respond(ex, 200, "application/json",
           s"""{"data":[$items],"status":"success"}""")
+      case "stats" => stats(ex, v.dataset, v.version)
+      case "extent" => extent(ex, v.dataset, v.version)
+      case "tiles_info" => assetTilesInfo(ex, v, a)
     }
+  }
+
+  /** GET /asset/{id}/tiles_info (`asset.py:316-335`): raster tile
+    * sets only — 307 to the tiles.geojson artifact (the reference
+    * presigns the pixETL-written S3 object; here the FeatureCollection
+    * of tile footprints materializes from the lake on first request). */
+  private def assetTilesInfo(ex: HttpExchange, v: cat.Version, a: cat.Asset): Unit = {
+    if (a.assetType != cat.AssetType.RasterTileSet)
+      return respond(ex, 400, "application/json", Sinks.jsendError(
+        "Tiles information only available for raster tile sets"))
+    val cacheDir = java.nio.file.Paths.get(
+      s"${sys.props("java.io.tmpdir")}/graft_tiles_info")
+    java.nio.file.Files.createDirectories(cacheDir)
+    val out = cacheDir.resolve(s"${a.assetId}_tiles.geojson")
+    if (!java.nio.file.Files.exists(out)) {
+      val g = graft.raster.DataEnvironment.gridOf(a.creationOptions)
+      graft.raster.TileLake.ensureLake(spark, a.assetUri)
+      val tiles = spark.read.parquet(a.assetUri)
+        .selectExpr("tile_id", "tx", "ty").distinct()
+        .collect().sortBy(r => (r.getInt(1), r.getInt(2)))
+      val features = tiles.map { r =>
+        val (tx, ty) = (r.getInt(1), r.getInt(2))
+        val x0 = g.originLon + tx * g.tileDeg
+        val y0 = g.originLat - ty * g.tileDeg
+        val ring = s"[[$x0,$y0],[${x0 + g.tileDeg},$y0]," +
+          s"[${x0 + g.tileDeg},${y0 - g.tileDeg}],[$x0,${y0 - g.tileDeg}],[$x0,$y0]]"
+        s"""{"type":"Feature","properties":{"name":"${r.getString(0)}.tif"},""" +
+          s""""geometry":{"type":"Polygon","coordinates":[$ring]}}"""
+      }
+      java.nio.file.Files.writeString(out,
+        s"""{"type":"FeatureCollection","features":[${features.mkString(",")}]}""")
+    }
+    ex.getResponseHeaders.add("Location", out.toString)
+    respond(ex, 307, "application/json", "")
   }
 
   /** DELETE /asset/{id} (`assets/asset.py:142-223`): non-default
@@ -1258,7 +1310,11 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
       case None => respond(ex, 404, "application/json",
         Sinks.jsendError(s"Dataset version $dataset.$version not found"))
       case Some(v) if v.defaultAsset.exists(_.assetType == cat.AssetType.RasterTileSet) =>
-        val g = graft.raster.SyntheticEnv.grid
+        // the version's OWN grid — created raster versions carry the
+        // DAG-derived georeferencing in their asset options (gridOf
+        // falls back to the builtin lake's grid)
+        val g = graft.raster.DataEnvironment.gridOf(
+          v.defaultAsset.get.creationOptions)
         val (xmin, ymax) = (g.originLon, g.originLat)
         val (xmax, ymin) = (g.originLon + g.tilesX * g.tileDeg,
           g.originLat - g.tilesY * g.tileDeg)
@@ -1798,12 +1854,78 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
         s"""{"data":{"api_key":"$id"},"status":"success"}""")
   }
 
+  private def apiKeyBody(key: String, domains: Seq[String],
+                         expires: Option[Long]): String = {
+    val ds = domains.map(graft.geo.Json.write).mkString("[", ",", "]")
+    val exp = expires.map(_.toString).getOrElse("null")
+    s"""{"api_key":"$key","domains":$ds,"expires_on":$exp}"""
+  }
+
+  /** GET /auth/apikey/{key} (`authentication.py:106-128`). */
+  private def apiKeyGet(ex: HttpExchange, key: String): Unit = apiKeys match {
+    case None => respond(ex, 501, "application/json",
+      Sinks.jsendError("API keys are not enabled on this deployment"))
+    case Some(reg) =>
+      writeGate(ex).foreach { case (code, body) =>
+        return respond(ex, code, "application/json", body) }
+      reg.get(key) match {
+        case None => respond(ex, 404, "application/json",
+          Sinks.jsendError("The API Key does not exist."))
+        case Some((domains, expires)) => respond(ex, 200, "application/json",
+          s"""{"data":${apiKeyBody(key, domains, expires)},"status":"success"}""")
+      }
+  }
+
+  /** GET /auth/apikeys (`authentication.py:131-142`). */
+  private def apiKeysList(ex: HttpExchange): Unit = apiKeys match {
+    case None => respond(ex, 501, "application/json",
+      Sinks.jsendError("API keys are not enabled on this deployment"))
+    case Some(reg) =>
+      writeGate(ex).foreach { case (code, body) =>
+        return respond(ex, code, "application/json", body) }
+      val items = reg.list.map { case (k, d, e) => apiKeyBody(k, d, e) }
+      respond(ex, 200, "application/json",
+        s"""{"data":[${items.mkString(",")}],"status":"success"}""")
+  }
+
+  /** GET /auth/apikey/{key}/validate (`authentication.py:145-167`):
+    * admin-gated validity check with optional origin/referrer. */
+  private def apiKeyValidate(ex: HttpExchange, key: String): Unit = apiKeys match {
+    case None => respond(ex, 501, "application/json",
+      Sinks.jsendError("API keys are not enabled on this deployment"))
+    case Some(reg) =>
+      writeGate(ex).foreach { case (code, body) =>
+        return respond(ex, code, "application/json", body) }
+      if (reg.get(key).isEmpty)
+        return respond(ex, 404, "application/json",
+          Sinks.jsendError("The requested API key does not exist."))
+      val params = queryParams(ex)
+      val valid = reg.isValid(key, params.get("origin"), params.get("referrer"))
+      respond(ex, 200, "application/json",
+        s"""{"data":{"is_valid":$valid},"status":"success"}""")
+  }
+
+  /** DELETE /auth/apikey/{key} (`authentication.py:170-205`). */
+  private def apiKeyDelete(ex: HttpExchange, key: String): Unit = apiKeys match {
+    case None => respond(ex, 501, "application/json",
+      Sinks.jsendError("API keys are not enabled on this deployment"))
+    case Some(reg) =>
+      writeGate(ex).foreach { case (code, body) =>
+        return respond(ex, code, "application/json", body) }
+      reg.delete(key) match {
+        case None => respond(ex, 404, "application/json",
+          Sinks.jsendError("The requested API key does not exist."))
+        case Some((domains, expires)) => respond(ex, 200, "application/json",
+          s"""{"data":${apiKeyBody(key, domains, expires)},"status":"success"}""")
+      }
+  }
+
   /** OTF zonal statistics over a stored geostore AOI
     * (`/analysis/zonal`, `analysis.py:36-93`): geostore is mandatory
     * for the raster engine (422 without one, `queries.py:487-503`). */
-  private def zonal(ex: HttpExchange): Unit = {
+  private def zonal(ex: HttpExchange, pathGid: Option[String] = None): Unit = {
     val params = queryParams(ex)
-    val gid = params.getOrElse("geostore_id",
+    val gid = pathGid.orElse(params.get("geostore_id")).getOrElse(
       return respond(ex, 422, "application/json",
         Sinks.jsendError("Raster analysis requires a geostore_id")))
     geostore.get(gid) match {

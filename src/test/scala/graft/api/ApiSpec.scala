@@ -579,6 +579,63 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(globalCogs.body().contains("rastds-v1-cog-default"), globalCogs.body().take(300))
     assert(!get("/assets?asset_type=COG&dataset=nation").body().contains("cog"),
       "dataset filter leaked")
+    // asset-level stats/extent delegate to the version; tiles_info
+    // 307s to a tiles.geojson of the lake's footprints
+    assert(get("/asset/rastds-v1-default/stats").statusCode() == 200)
+    val aext = get("/asset/rastds-v1-default/extent")
+    assert(aext.body().contains("\"extent\":[20.0,8.0,22.0,10.0]"), aext.body().take(200))
+    val ti = get("/asset/rastds-v1-default/tiles_info")
+    assert(ti.statusCode() == 307, ti.body().take(200))
+    val tiJson = java.nio.file.Files.readString(java.nio.file.Paths.get(
+      ti.headers().firstValue("Location").get))
+    assert(tiJson.contains("\"FeatureCollection\"") &&
+      "\"type\":\"Feature\"".r.findAllIn(tiJson).length == 4, tiJson.take(300))
+    assert(get("/asset/rastds-v1-cog-default/tiles_info").statusCode() == 400)
+    // zonal also answers on the path-param form (analysis.py /zonal/{gid})
+    val gj = """{"type":"Polygon","coordinates":[[[0.3,40.6],[3.1,40.9],[3.7,43.2],[0.8,42.8],[0.3,40.6]]]}"""
+    val zgid = "\"gfw_geostore_id\":\"([0-9a-f-]+)\"".r
+      .findFirstMatchIn(post("/geostore", gj).body()).get.group(1)
+    val zp = get(s"/analysis/zonal/$zgid")
+    assert(zp.statusCode() == 200, zp.body().take(300))
+  }
+
+  test("api key management: get, list, validate, delete") {
+    val secured = new ApiServer(spark, "/root/testdata/sf0.001",
+      apiKeys = Some(new ApiKeys), adminTokens = Set("admintok"))
+    val p = secured.start()
+    try {
+      def req(method: String, path: String, body: String,
+              hdrs: (String, String)*): HttpResponse[String] = {
+        val rb = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p$path"))
+          .method(method, HttpRequest.BodyPublishers.ofString(body))
+        hdrs.foreach { case (k, v) => rb.header(k, v) }
+        client.send(rb.build(), HttpResponse.BodyHandlers.ofString())
+      }
+      val admin = "Authorization" -> "Bearer admintok"
+      val created = req("POST", "/auth/apikey",
+        """{"domains": ["*.example.com"]}""", admin)
+      assert(created.statusCode() == 201, created.body().take(200))
+      val key = "\"api_key\":\"([0-9a-f-]+)\"".r
+        .findFirstMatchIn(created.body()).get.group(1)
+      // get requires auth; 404 for unknown keys
+      assert(req("GET", s"/auth/apikey/$key", "").statusCode() == 401)
+      val got = req("GET", s"/auth/apikey/$key", "", admin)
+      assert(got.statusCode() == 200 &&
+        got.body().contains("\"domains\":[\"*.example.com\"]"), got.body().take(200))
+      assert(req("GET", "/auth/apikey/00000000-0000-0000-0000-000000000000", "",
+        admin).statusCode() == 404)
+      // list contains it
+      assert(req("GET", "/auth/apikeys", "", admin).body().contains(key))
+      // validate applies the domain rule (api_key_is_valid)
+      assert(req("GET", s"/auth/apikey/$key/validate?origin=https://app.example.com",
+        "", admin).body().contains("\"is_valid\":true"))
+      assert(req("GET", s"/auth/apikey/$key/validate?origin=https://evil.org",
+        "", admin).body().contains("\"is_valid\":false"))
+      // delete, then the key no longer validates requests
+      assert(req("DELETE", s"/auth/apikey/$key", "", admin).statusCode() == 200)
+      assert(req("DELETE", s"/auth/apikey/$key", "", admin).statusCode() == 404)
+      assert(req("GET", s"/auth/apikey/$key", "", admin).statusCode() == 404)
+    } finally secured.stop()
   }
 
   test("features point lookup: zoom radius table + out-of-range 400") {
