@@ -41,6 +41,23 @@ object GraftFunctions {
     val reg = spark.sessionState.functionRegistry
     builders.foreach { case (name, b) =>
       reg.createOrReplaceTempFunction(name, b, "built-in") }
+    excludeGenerateFilterInference(spark)
+  }
+
+  /** `InferFiltersFromGenerate` adds `size(e) > 0 AND isnotnull(e)`
+    * below every inner generate; predicate pushdown then inlines the
+    * generator input through its projection, so an expensive
+    * signature expression (`rph_sig`, `shingle_hashes`, …) evaluates
+    * THREE times per row in the scan filter (visible in the round-2
+    * e4 plan dump). Our generated arrays are never empty or null for
+    * the rows that reach them, so the inferred filters only burn CPU
+    * — exclude the rule for engine sessions. */
+  def excludeGenerateFilterInference(spark: SparkSession): Unit = {
+    val rule = "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    val key = "spark.sql.optimizer.excludedRules"
+    val prior = spark.conf.getOption(key).filter(_.nonEmpty)
+    if (!prior.exists(_.contains(rule)))
+      spark.conf.set(key, prior.map(_ + "," + rule).getOrElse(rule))
   }
 
   /** `SparkSessionExtensions` injection (see [[graft.GraftExtensions]]):
