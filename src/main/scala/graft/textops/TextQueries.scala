@@ -405,7 +405,48 @@ object TextQueries extends QueryModule {
          |SELECT doc_id, n_tokens,
          |  CAST(cum_before // 4096 AS BIGINT) AS pack_id,
          |  CAST(cum_before % 4096 AS BIGINT) AS pack_offset
-         |FROM c""".stripMargin)
+         |FROM c""".stripMargin),
+
+    // T9: intra-document repetition scoring (the Gopher repetition
+    // rules, Rae et al. 2021 §A1.1): the fraction of characters
+    // covered by the most frequent word 2-gram, and the fraction of
+    // 2-gram occurrences that are repeats — the signals used to drop
+    // boilerplate/spam before training. Scale shape: one explode →
+    // one (doc_id, gram) hash aggregate (map-side combine eats the
+    // heavy repeats) → one doc_id-partitioned window; nothing global.
+    // Most-frequent tie-break is (count DESC, gram) — deterministic
+    // binary string order on both engines.
+    SqlQ.split("t9_repetition",
+      """WITH w AS (SELECT doc_id, n_chars, split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id, n_chars,
+        |        explode(transform(sequence(0, size(w)-2), i -> concat(w[i], ' ', w[i+1]))) AS gram
+        |      FROM w WHERE size(w) >= 2),
+        |c AS (SELECT doc_id, n_chars, gram, count(*) AS cnt
+        |      FROM g GROUP BY doc_id, n_chars, gram),
+        |top AS (SELECT doc_id, n_chars, gram, cnt,
+        |        row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram) AS r,
+        |        SUM(cnt) OVER (PARTITION BY doc_id) AS total_grams,
+        |        COUNT(*) OVER (PARTITION BY doc_id) AS distinct_grams
+        |        FROM c)
+        |SELECT doc_id, gram AS top_bigram, cnt AS top_bigram_count,
+        |  CAST(cnt * length(gram) AS DOUBLE) / n_chars AS top_bigram_char_frac,
+        |  CAST(total_grams - distinct_grams AS DOUBLE) / total_grams AS dup_bigram_frac
+        |FROM top WHERE r = 1""".stripMargin,
+      """WITH w AS (SELECT doc_id, n_chars, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id, n_chars,
+        |        unnest([w[i] || ' ' || w[i+1] for i in generate_series(1, len(w)-1)]) AS gram
+        |      FROM w WHERE len(w) >= 2),
+        |c AS (SELECT doc_id, n_chars, gram, count(*) AS cnt
+        |      FROM g GROUP BY doc_id, n_chars, gram),
+        |top AS (SELECT doc_id, n_chars, gram, cnt,
+        |        row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram) AS r,
+        |        SUM(cnt) OVER (PARTITION BY doc_id) AS total_grams,
+        |        COUNT(*) OVER (PARTITION BY doc_id) AS distinct_grams
+        |        FROM c)
+        |SELECT doc_id, gram AS top_bigram, cnt AS top_bigram_count,
+        |  (cnt * len(gram))::DOUBLE / n_chars AS top_bigram_char_frac,
+        |  (total_grams - distinct_grams)::DOUBLE / total_grams AS dup_bigram_frac
+        |FROM top WHERE r = 1""".stripMargin)
   )
 
   /** D7: duplicate-cluster resolution — the dedup end-game: the
