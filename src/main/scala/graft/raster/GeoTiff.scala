@@ -22,8 +22,9 @@ import java.util.zip.{Deflater, Inflater}
   *     pixel-is-area.
   *
   * The reader accepts exactly what the writer produces plus benign
-  * variations (extra tags are skipped, multi-strip data is
-  * concatenated).
+  * variations (extra tags are skipped; multi-strip files decode
+  * strip-by-strip — each strip is an independent compressed stream
+  * per TIFF 6.0 — and big-endian files are honored).
   */
 object GeoTiff {
 
@@ -40,7 +41,7 @@ object GeoTiff {
   private val TPhotometric = 262
   private val TStripOffsets = 273
   private val TSamplesPerPixel = 277
-  private val TRowsPerStrip = 278
+  private val TRowsPerStripTag = 278
   private val TStripByteCounts = 279
   private val TPredictor = 317
   private val TTileWidth = 322
@@ -122,7 +123,7 @@ object GeoTiff {
     entry(TPhotometric, 3, 1, 1) // BlackIsZero
     entry(TStripOffsets, 4, 1, stripOff)
     entry(TSamplesPerPixel, 3, 1, 1)
-    entry(TRowsPerStrip, 3, 1, tile.height)
+    entry(TRowsPerStripTag, 3, 1, tile.height)
     entry(TStripByteCounts, 4, 1, strip.length)
     entry(TSampleFormat, 3, 1, 2) // signed integer
     entry(TPixelScale, 12, 3, scaleOff)
@@ -371,6 +372,7 @@ object GeoTiff {
     var bits = 32
     var stripOffsets = Seq.empty[Long]
     var stripCounts = Seq.empty[Long]
+    var rowsPerStrip = 0
     var tileW = 0
     var tileH = 0
     var tileOffsets = Seq.empty[Long]
@@ -405,6 +407,7 @@ object GeoTiff {
         case TPredictor => predictor = values(off)._3.head.toInt
         case TStripOffsets => stripOffsets = values(off)._3
         case TStripByteCounts => stripCounts = values(off)._3
+        case TRowsPerStripTag => rowsPerStrip = values(off)._3.head.toInt
         case TTileWidth => tileW = values(off)._3.head.toInt
         case TTileLength => tileH = values(off)._3.head.toInt
         case TTileOffsets => tileOffsets = values(off)._3
@@ -484,10 +487,18 @@ object GeoTiff {
         }
       }
     } else {
-      val data = stripOffsets.zip(stripCounts).map { case (o, c) =>
-        java.util.Arrays.copyOfRange(bytes, o.toInt, (o + c).toInt)
+      // each strip is an INDEPENDENT compressed stream (TIFF 6.0 —
+      // concatenating the compressed bytes only works for compression
+      // 1); decode strip-by-strip against its own row count
+      val rps = if (rowsPerStrip > 0) rowsPerStrip else height
+      val data = stripOffsets.zip(stripCounts).zipWithIndex.map {
+        case ((o, c), s) =>
+          val rows = math.min(rps, height - s * rps)
+          decompress(
+            java.util.Arrays.copyOfRange(bytes, o.toInt, (o + c).toInt),
+            rows * width * 4)
       }.reduce(_ ++ _)
-      val raw = unpredict(decompress(data, width * height * 4), width, height)
+      val raw = unpredict(data, width, height)
       val rb = ByteBuffer.wrap(raw).order(order)
       var j = 0
       while (j < px.length) { px(j) = rb.getInt(4 * j); j += 1 }

@@ -199,6 +199,61 @@ class GeoTiffSpec extends AnyFunSuite {
       java.nio.file.Files.createTempFile("cogbad", ".tif"), t, blockSize = 20))
   }
 
+  test("multi-strip deflate: each strip is an independent zlib stream") {
+    // hand-built 4×4 int32 image in two 2-row strips, each deflated
+    // separately (what external writers produce; concatenating the
+    // compressed bytes would feed Inflater a trailing garbage stream)
+    import java.nio.{ByteBuffer, ByteOrder}
+    val px = Array.tabulate(16)(i => i * 7 - 11)
+    def deflate(raw: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(raw); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](256)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end(); out.toByteArray
+    }
+    val strips = Seq(0, 1).map { s =>
+      val raw = ByteBuffer.allocate(32).order(ByteOrder.LITTLE_ENDIAN)
+      (0 until 8).foreach(i => raw.putInt(px(s * 8 + i)))
+      deflate(raw.array())
+    }
+    val entries = 10
+    val ifdSize = 2 + entries * 12 + 4
+    val offArr = 8 + ifdSize        // stripOffsets ext array (2×4 B)
+    val cntArr = offArr + 8         // stripByteCounts ext array
+    val data0 = cntArr + 8
+    val data1 = data0 + strips(0).length
+    val total = data1 + strips(1).length
+    val b = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
+    b.put(0, 'I'.toByte).put(1, 'I'.toByte)
+    b.putShort(2, 42.toShort)
+    b.putInt(4, 8)
+    b.position(8)
+    b.putShort(entries.toShort)
+    def entry(tag: Int, typ: Int, count: Int, value: Int): Unit = {
+      b.putShort(tag.toShort).putShort(typ.toShort).putInt(count).putInt(value)
+    }
+    entry(256, 3, 1, 4)   // width
+    entry(257, 3, 1, 4)   // height
+    entry(258, 3, 1, 32)  // bits
+    entry(259, 3, 1, 8)   // deflate
+    entry(262, 3, 1, 1)   // photometric
+    entry(273, 4, 2, offArr) // strip offsets (external)
+    entry(277, 3, 1, 1)   // samples
+    entry(278, 3, 1, 2)   // rows per strip
+    entry(279, 4, 2, cntArr) // strip byte counts (external)
+    entry(339, 3, 1, 2)   // signed int
+    b.putInt(0)
+    b.position(offArr); b.putInt(data0).putInt(data1)
+    b.position(cntArr); b.putInt(strips(0).length).putInt(strips(1).length)
+    b.position(data0); b.put(strips(0))
+    b.position(data1); b.put(strips(1))
+    val back = GeoTiff.read(b.array())
+    assert(back.width == 4 && back.height == 4)
+    assert(back.pixels.toSeq == px.toSeq)
+  }
+
   test("reader rejects non-TIFF and unsupported forms") {
     intercept[IllegalArgumentException](GeoTiff.read("nope".getBytes))
     val p = java.nio.file.Files.createTempFile("gt3", ".tif")
