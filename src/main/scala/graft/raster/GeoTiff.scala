@@ -615,6 +615,9 @@ object GeoTiff {
               if (code < 256 || entries(code) != null) stringOf(code)
               else prevStr :+ prevStr(0) // KwKwK case
             out.write(cur, 0, cur.length)
+            // a conforming stream clears before 4094 entries (the
+            // encoder's flush); past 4095 is corrupt, not just big
+            require(nextCode < 4096, "LZW table overflow (corrupt stream)")
             entries(nextCode) = prevStr :+ cur(0)
             nextCode += 1
             // the decoder reconstructs each entry one code LATER than

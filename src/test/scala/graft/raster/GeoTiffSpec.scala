@@ -254,6 +254,41 @@ class GeoTiffSpec extends AnyFunSuite {
     assert(back.pixels.toSeq == px.toSeq)
   }
 
+  test("corrupt LZW streams fail cleanly, never out-of-bounds") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // wrap random bytes as the strip of an otherwise-valid LZW tile:
+    // decode must either produce a wrong-length error or a targeted
+    // require failure — no AIOOBE/NegativeArraySize/stack overflow
+    val t = tile(8)
+    val p = java.nio.file.Files.createTempFile("gtfz", ".tif")
+    GeoTiff.write(p, t, "lzw")
+    val good = java.nio.file.Files.readAllBytes(p)
+    val n = (good(8) & 0xff) | ((good(9) & 0xff) << 8)
+    def tagOff(tag: Int) = (0 until n).map(i => 10 + i * 12).find { o =>
+      ((good(o) & 0xff) | ((good(o + 1) & 0xff) << 8)) == tag
+    }.get
+    val stripOff = java.nio.ByteBuffer.wrap(good, tagOff(273) + 8, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+    val gen = for {
+      seed <- Gen.chooseNum(Long.MinValue, Long.MaxValue)
+    } yield seed
+    val prop = Prop.forAll(gen) { seed =>
+      val bytes = good.clone()
+      var s = seed
+      var i = stripOff
+      while (i < bytes.length) {
+        s = s * 6364136223846793005L + 1442695040888963407L
+        bytes(i) = (s >>> 56).toByte
+        i += 1
+      }
+      try { GeoTiff.read(bytes); true }
+      catch { case _: IllegalArgumentException => true }
+      // any other throwable fails the property
+    }
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(r.passed, r.status.toString)
+  }
+
   test("reader rejects non-TIFF and unsupported forms") {
     intercept[IllegalArgumentException](GeoTiff.read("nope".getBytes))
     val p = java.nio.file.Files.createTempFile("gt3", ".tif")
