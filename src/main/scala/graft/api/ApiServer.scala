@@ -740,6 +740,10 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
         val f = new java.io.File(a.assetUri)
         if (f.isFile) f.delete()
         assetMetadata.remove(a.assetId)
+        // field overrides die with the asset — a later asset reusing
+        // the id must not inherit stale aliases
+        fieldMetaOverrides.keys.filter(_._1 == a.assetId)
+          .foreach(fieldMetaOverrides.remove)
         respond(ex, 200, "application/json",
           s"""{"data":{"asset_id":"${a.assetId}","status":"deleted"},"status":"success"}""")
     }
@@ -814,14 +818,26 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
 
   /** Field metadata of the asset's version schema
     * (`get_asset_fields_dicts`): name + data_type from the table
-    * schema, reference defaults, merged with PATCHed overrides. */
+    * schema, reference defaults, merged with PATCHed overrides.
+    * Raster-backed versions register no table view — their fields are
+    * the reserved pseudo-columns plus the version's own bands (the
+    * version-level `/fields` convention, `versions.py:516-522`). */
   private def assetFieldDocs(v: cat.Version): Seq[Map[String, Any]] = {
-    val schema = spark.table(tableFor(v.dataset, v.version)).schema
-    schema.fields.toSeq.map { f =>
-      Map[String, Any]("name" -> f.name,
-        "data_type" -> f.dataType.catalogString,
+    def doc(name: String, dataType: String): Map[String, Any] =
+      Map[String, Any]("name" -> name, "data_type" -> dataType,
         "alias" -> null, "description" -> null, "unit" -> null,
         "is_feature_info" -> true, "is_filter" -> true)
+    v.defaultAsset match {
+      case Some(a) if a.assetType == cat.AssetType.RasterTileSet =>
+        val reserved = Seq("area__ha", "latitude", "longitude")
+          .map(doc(_, "number"))
+        val bands = a.creationOptions.get("lake_bands")
+          .map(_.split(",").toSeq)
+          .getOrElse(graft.raster.TileLake.bandColumns)
+        reserved ++ bands.map(b => doc(b.stripPrefix("px_"), "integer"))
+      case _ =>
+        val schema = spark.table(tableFor(v.dataset, v.version)).schema
+        schema.fields.toSeq.map(f => doc(f.name, f.dataType.catalogString))
     }
   }
 
@@ -1264,11 +1280,20 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
             val start = params.getOrElse("start_date", today.minusWeeks(1).toString)
             val end = params.getOrElse("end_date", today.toString)
             val DateRe = "^\\d{4}-\\d{2}-\\d{2}$".r
-            if (DateRe.findFirstIn(start).isEmpty || DateRe.findFirstIn(end).isEmpty)
-              Left((422, Sinks.jsendError("start_date and end_date must be YYYY-MM-DD")))
-            else if (java.time.LocalDate.parse(end).isAfter(today))
-              Left((422, Sinks.jsendError("End date cannot be in the future.")))
-            else Right(s" AND alert__date BETWEEN DATE '$start' AND DATE '$end'")
+            // calendar-validate BOTH bounds (the regex admits 2026-02-30)
+            val parsed =
+              if (DateRe.findFirstIn(start).isEmpty || DateRe.findFirstIn(end).isEmpty) None
+              else try Some((java.time.LocalDate.parse(start),
+                java.time.LocalDate.parse(end)))
+              catch { case _: java.time.format.DateTimeParseException => None }
+            parsed match {
+              case None =>
+                Left((422, Sinks.jsendError("start_date and end_date must be valid YYYY-MM-DD dates")))
+              case Some((_, e)) if e.isAfter(today) =>
+                Left((422, Sinks.jsendError("End date cannot be in the future.")))
+              case Some(_) =>
+                Right(s" AND alert__date BETWEEN DATE '$start' AND DATE '$end'")
+            }
           }
         (FeatureLookup.bufferMeters(zoom), dateFilter) match {
           case (None, _) => respond(ex, 400, "application/json",
@@ -1294,9 +1319,15 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
       case None => respond(ex, 404, "application/json",
         Sinks.jsendError(s"Dataset version $dataset.$version not found"))
       case Some(v) if v.defaultAsset.exists(_.assetType == cat.AssetType.RasterTileSet) =>
-        val g = graft.raster.SyntheticEnv.grid
+        // the version's OWN grid and band set (created raster versions
+        // carry both in their asset options; builtin falls back)
+        val asset = v.defaultAsset.get
+        val g = graft.raster.DataEnvironment.gridOf(asset.creationOptions)
+        val bands = asset.creationOptions.get("lake_bands")
+          .map(_.split(",").length)
+          .getOrElse(graft.raster.TileLake.bandColumns.length)
         respond(ex, 200, "application/json",
-          s"""{"data":{"tile_count":${g.nTiles},"pixel_count":${g.nTiles.toLong * g.pxPerTile * g.pxPerTile},"bands":${graft.raster.TileLake.bandColumns.length}},"status":"success"}""")
+          s"""{"data":{"tile_count":${g.nTiles},"pixel_count":${g.nTiles.toLong * g.pxPerTile * g.pxPerTile},"bands":$bands},"status":"success"}""")
       case Some(_) =>
         val cnt = spark.table(tableFor(dataset, version)).count()
         respond(ex, 200, "application/json",
@@ -1539,40 +1570,16 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
         Sinks.jsendError(s"Source asset $srcId is not an asset of $dataset.$version"))
     }
     val assetId = s"$dataset-$version-cog-$implementation"
-    if (findAsset(assetId).isDefined)
-      return respond(ex, 409, "application/json", Sinks.jsendError(
-        s"Asset $assetId already exists (choose another implementation)"))
     val outDir = java.nio.file.Paths.get(
       s"${sys.props("java.io.tmpdir")}/graft_versions/${dataset}_${version}_exports")
     val outPath = outDir.resolve(s"cog_$implementation.tif")
-    val jobId = jobRegistry.submit { () =>
-      val g = graft.raster.DataEnvironment.gridOf(source.creationOptions)
-      val band = source.creationOptions.getOrElse("band",
-        s"px_${source.creationOptions.getOrElse("pixel_meaning", "value")}")
-      graft.raster.TileLake.ensureLake(spark, source.assetUri)
-      // mosaic the lake into one image: grid-extent pixels, tiles in
-      // (tx, ty) positions; absent tiles stay 0 (nodata)
-      val w = g.tilesX * g.pxPerTile
-      val h = g.tilesY * g.pxPerTile
-      val px = new Array[Int](w * h)
-      val rows = spark.read.parquet(source.assetUri)
-        .selectExpr("tx", "ty", band).collect()
-      rows.foreach { r =>
-        val tx = r.getInt(0); val ty = r.getInt(1)
-        val vals = r.getSeq[Long](2)
-        var i = 0
-        while (i < vals.length) {
-          val row = ty * g.pxPerTile + i / g.pxPerTile
-          val col = tx * g.pxPerTile + i % g.pxPerTile
-          px(row * w + col) = vals(i).toInt
-          i += 1
-        }
-      }
-      java.nio.file.Files.createDirectories(outDir)
-      graft.raster.GeoTiff.writeCog(outPath,
-        graft.raster.GeoTiff.Tile(w, h, g.originLon, g.originLat, g.pixelDeg, px),
-        blockSize)
-      catalogLock.synchronized {
+    // reserve the asset record SYNCHRONOUSLY (status pending, the
+    // reference's asset-row-before-batch-job shape) — the check and
+    // the append must share the lock or two quick identical POSTs
+    // both pass and duplicate the record
+    val reserved = catalogLock.synchronized {
+      if (findAsset(assetId).isDefined) false
+      else {
         catalog = catalog.withVersionPatched(dataset, version, v =>
           v.copy(assets = v.assets :+ cat.Asset(assetId, cat.AssetType.Cog,
             outPath.toString, isDefault = false,
@@ -1580,14 +1587,58 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
               "source_asset_id" -> srcId,
               "block_size" -> blockSize.toString,
               "resampling" -> resampling,
-              "implementation" -> implementation))))
+              "implementation" -> implementation),
+            status = "pending")))
+        true
       }
-      val tid = graft.geo.GeoExpressions.Uuid5.of("oid",
-        s"task:$dataset/$version/cogify_$implementation")
-      taskRecords.put(tid, TaskRec(tid, assetId, Seq(
-        graft.etl.VersionCreation.ChangeLog("cogify", "success",
-          s"$outPath (${rows.length} tiles, block $blockSize)"))))
-      s"""{"asset_id":"$assetId","status":"saved"}"""
+    }
+    if (!reserved)
+      return respond(ex, 409, "application/json", Sinks.jsendError(
+        s"Asset $assetId already exists (choose another implementation)"))
+    val jobId = jobRegistry.submit { () =>
+      try {
+        val g = graft.raster.DataEnvironment.gridOf(source.creationOptions)
+        val band = source.creationOptions.getOrElse("band",
+          s"px_${source.creationOptions.getOrElse("pixel_meaning", "value")}")
+        graft.raster.TileLake.ensureLake(spark, source.assetUri)
+        // mosaic the lake into one image: grid-extent pixels, tiles in
+        // (tx, ty) positions; absent tiles stay 0 (nodata)
+        val w = g.tilesX * g.pxPerTile
+        val h = g.tilesY * g.pxPerTile
+        val px = new Array[Int](w * h)
+        val rows = spark.read.parquet(source.assetUri)
+          .selectExpr("tx", "ty", band).collect()
+        rows.foreach { r =>
+          val tx = r.getInt(0); val ty = r.getInt(1)
+          val vals = r.getSeq[Long](2)
+          var i = 0
+          while (i < vals.length) {
+            val row = ty * g.pxPerTile + i / g.pxPerTile
+            val col = tx * g.pxPerTile + i % g.pxPerTile
+            px(row * w + col) = vals(i).toInt
+            i += 1
+          }
+        }
+        java.nio.file.Files.createDirectories(outDir)
+        graft.raster.GeoTiff.writeCog(outPath,
+          graft.raster.GeoTiff.Tile(w, h, g.originLon, g.originLat, g.pixelDeg, px),
+          blockSize)
+        catalogLock.synchronized {
+          catalog = catalog.withAssetStatus(dataset, version, assetId, "saved")
+        }
+        val tid = graft.geo.GeoExpressions.Uuid5.of("oid",
+          s"task:$dataset/$version/cogify_$implementation")
+        taskRecords.put(tid, TaskRec(tid, assetId, Seq(
+          graft.etl.VersionCreation.ChangeLog("cogify", "success",
+            s"$outPath (${rows.length} tiles, block $blockSize)"))))
+        s"""{"asset_id":"$assetId","status":"saved"}"""
+      } catch {
+        case e: Throwable =>
+          catalogLock.synchronized {
+            catalog = catalog.withAssetStatus(dataset, version, assetId, "failed")
+          }
+          throw e
+      }
     }
     respond(ex, 202, "application/json",
       s"""{"data":{"asset_id":"$assetId","dataset":"$dataset","version":"$version","asset_type":"COG","status":"pending","job_id":"$jobId"},"status":"success"}""")

@@ -70,18 +70,7 @@ object GeoTiff {
       case c => throw new IllegalArgumentException(
         s"unsupported compression '$c' (none/lzw/deflate)")
     }
-    val strip = compCode match {
-      case 1 => raw
-      case 5 => lzwEncode(raw)
-      case 8 =>
-        val d = new Deflater()
-        d.setInput(raw); d.finish()
-        val out = new java.io.ByteArrayOutputStream()
-        val buf = new Array[Byte](8192)
-        while (!d.finished()) out.write(buf, 0, d.deflate(buf))
-        d.end()
-        out.toByteArray
-    }
+    val strip = compress(raw, compCode)
 
     // GeoKeyDirectory: version 1.1.0, 3 keys:
     //   GTModelType=2 (geographic), GTRasterType=1 (pixel-is-area),
@@ -337,12 +326,14 @@ object GeoTiff {
     java.nio.file.Files.write(path, out.array())
   }
 
-  def read(bytes: Array[Byte]): Tile = readLevels(bytes).head
+  /** The base (first-IFD) image only — the ingest path's form; the
+    * overview pyramid of a COG is skipped, not decoded. */
+  def read(bytes: Array[Byte]): Tile = {
+    val (b, order) = header(bytes)
+    parseIfd(bytes, b, order, b.getInt(4))._1
+  }
 
-  /** Every image in the IFD chain — the base image first, then any
-    * reduced-resolution overviews ([[writeCog]]'s layout, or any
-    * conforming multi-IFD TIFF). */
-  def readLevels(bytes: Array[Byte]): Seq[Tile] = {
+  private def header(bytes: Array[Byte]): (ByteBuffer, ByteOrder) = {
     val order = (bytes(0) & 0xff, bytes(1) & 0xff) match {
       case (0x49, 0x49) => ByteOrder.LITTLE_ENDIAN // "II"
       case (0x4d, 0x4d) => ByteOrder.BIG_ENDIAN    // "MM"
@@ -350,9 +341,23 @@ object GeoTiff {
     }
     val b = ByteBuffer.wrap(bytes).order(order)
     require(b.getShort(2) == 42, "bad TIFF magic")
+    (b, order)
+  }
+
+  /** Every image in the IFD chain — the base image first, then any
+    * reduced-resolution overviews ([[writeCog]]'s layout, or any
+    * conforming multi-IFD TIFF). */
+  def readLevels(bytes: Array[Byte]): Seq[Tile] = {
+    val (b, order) = header(bytes)
     var ifd = b.getInt(4)
+    val seen = scala.collection.mutable.Set.empty[Int]
     val out = scala.collection.mutable.ArrayBuffer.empty[Tile]
     while (ifd != 0) {
+      // a next-IFD pointer revisiting an offset is a corrupt (or
+      // crafted) file — the old single-IFD reader always terminated,
+      // and the chain walk must too
+      require(seen.add(ifd), s"cyclic IFD chain at offset $ifd")
+      require(out.length < 64, "IFD chain exceeds 64 images")
       val (tile, next) = parseIfd(bytes, b, order, ifd)
       out += tile
       ifd = next

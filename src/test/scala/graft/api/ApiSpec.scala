@@ -579,9 +579,18 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(globalCogs.body().contains("rastds-v1-cog-default"), globalCogs.body().take(300))
     assert(!get("/assets?asset_type=COG&dataset=nation").body().contains("cog"),
       "dataset filter leaked")
-    // asset-level stats/extent delegate to the version; tiles_info
-    // 307s to a tiles.geojson of the lake's footprints
-    assert(get("/asset/rastds-v1-default/stats").statusCode() == 200)
+    // asset-level stats/extent delegate to the version AND report the
+    // version's own grid (4 tiles of 10×10 px, one band) — not the
+    // builtin lake's; fields serve the raster pseudo-column contract
+    val astats = get("/asset/rastds-v1-default/stats")
+    assert(astats.statusCode() == 200 &&
+      astats.body().contains("\"tile_count\":4") &&
+      astats.body().contains("\"pixel_count\":400") &&
+      astats.body().contains("\"bands\":1"), astats.body().take(200))
+    val afields = get("/asset/rastds-v1-default/fields")
+    assert(afields.statusCode() == 200 &&
+      afields.body().contains("\"name\":\"area__ha\"") &&
+      afields.body().contains("\"name\":\"class\""), afields.body().take(300))
     val aext = get("/asset/rastds-v1-default/extent")
     assert(aext.body().contains("\"extent\":[20.0,8.0,22.0,10.0]"), aext.body().take(200))
     val ti = get("/asset/rastds-v1-default/tiles_info")
@@ -1240,6 +1249,10 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       .statusCode() == 422)
     assert(get("/dataset/nasa_viirs_fire_alerts/v202001/features" +
       "?lat=45.0&lng=10.0&z=10&start_date=not-a-date").statusCode() == 422)
+    // regex-valid but calendar-invalid dates are 422, not 500
+    assert(get("/dataset/nasa_viirs_fire_alerts/v202001/features" +
+      "?lat=45.0&lng=10.0&z=10&start_date=2020-01-01&end_date=2020-02-30")
+      .statusCode() == 422)
   }
 
   test("geostore create + fetch round-trip with content-addressed id") {
