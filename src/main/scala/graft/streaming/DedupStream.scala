@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Streaming near-duplicate gate — the ingestion-time shape of the
+  * batch MinHash-LSH dedup (`d3_minhash_lsh_pairs` / `t5_corpus_select`
+  * in [[graft.textops.TextQueries]]): a crawl feed dedups against the
+  * EXISTING corpus before anything lands in training storage.
+  *
+  * Scale shape (the reason this is a stream-static join, not a
+  * self-join): the corpus index is the big, slowly-changing side — it
+  * lives partitioned by `(band, bh)` and each micro-batch of incoming
+  * documents joins against it with NO streaming state for the join
+  * itself; the only stateful operator is the
+  * `dropDuplicatesWithinWatermark` collapsing multi-band hits, whose
+  * state is bounded by the event-time watermark. Signatures
+  * (`shingle_hashes` → `minhash36`, both codegen'd scan-side
+  * expressions) compute identically on both sides, so a document
+  * flagged here is exactly one the batch pipeline would pair.
+  */
+object DedupStream {
+
+  private val P = 2147483647L // 2^31 - 1, the minhash modulus
+
+  /** 12 bands × 3 rows — the banding of d3/t5 (`TextQueries`). */
+  private def bandCols(sg: String): String =
+    s"""explode(transform(sequence(0, 11), b -> struct(b AS band,
+       |  ((((($sg[b*3] * 131 + $sg[b*3+1]) % $P) * 131) + $sg[b*3+2]) % $P) AS bh))) AS e""".stripMargin
+
+  /** The static corpus index: one row per (band, band-hash, document),
+    * carrying the shingle set for exact verification. Persist this
+    * partitioned by `(band, bh)` so micro-batch joins co-locate. */
+  def corpusIndex(docs: DataFrame): DataFrame =
+    docs.selectExpr("doc_id", "array_distinct(shingle_hashes(text, 5)) AS hs")
+      .where("size(hs) > 0")
+      .selectExpr("doc_id", "hs", "minhash36(hs) AS sg")
+      .selectExpr("doc_id", "hs", bandCols("sg"))
+      .selectExpr("e.band AS band", "e.bh AS bh", "doc_id", "hs")
+
+  /** The gate: incoming `(doc_id, text, ts)` documents emit one
+    * `(doc_id, dup_of, jaccard, ts)` row per corpus document they
+    * near-duplicate (exact Jaccard ≥ `tau` on the LSH candidates).
+    * Downstream drops flagged documents with a left-anti join, the
+    * `t5_corpus_select` shape. */
+  def lshGate(spark: SparkSession, stream: DataFrame, index: DataFrame,
+              tau: Double = 0.5, watermarkDelay: String = "10 minutes"): DataFrame = {
+    val sigs = stream
+      .withColumn("hs", expr("array_distinct(shingle_hashes(text, 5))"))
+      .where("size(hs) > 0")
+      .withColumn("sg", expr("minhash36(hs)"))
+      .select(col("doc_id"), col("ts"), col("hs"), expr(bandCols("sg")))
+      .selectExpr("doc_id", "ts", "hs", "e.band AS band", "e.bh AS bh")
+    sigs
+      .join(index.withColumnRenamed("doc_id", "dup_of")
+          .withColumnRenamed("hs", "corpus_hs"),
+        Seq("band", "bh"))
+      .withColumn("shared", expr("size(array_intersect(hs, corpus_hs))"))
+      .withColumn("jaccard", expr(
+        "CAST(shared AS DOUBLE) / (size(hs) + size(corpus_hs) - shared)"))
+      .where(col("jaccard") >= tau)
+      .select(col("doc_id"), col("dup_of"), col("jaccard"), col("ts"))
+      // a pair matched in several bands emits once; watermark bounds
+      // the dedup state
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("doc_id", "dup_of")
+  }
+}
