@@ -289,6 +289,42 @@ class GeoTiffSpec extends AnyFunSuite {
     assert(r.passed, r.status.toString)
   }
 
+  test("big-endian (MM) files are honored") {
+    // hand-built 2×2 uncompressed big-endian image — what a
+    // Motorola-order writer produces; every multi-byte field flips
+    import java.nio.{ByteBuffer, ByteOrder}
+    val px = Array(7, -3, 100000, -100000)
+    val entries = 8
+    val ifdSize = 2 + entries * 12 + 4
+    val dataOff = 8 + ifdSize
+    val b = ByteBuffer.allocate(dataOff + 16).order(ByteOrder.BIG_ENDIAN)
+    b.put(0, 'M'.toByte).put(1, 'M'.toByte)
+    b.putShort(2, 42.toShort)
+    b.putInt(4, 8)
+    b.position(8)
+    b.putShort(entries.toShort)
+    def entry(tag: Int, typ: Int, count: Int, value: Int): Unit = {
+      b.putShort(tag.toShort).putShort(typ.toShort).putInt(count)
+      // SHORT values sit in the HIGH half of the big-endian value slot
+      if (typ == 3) { b.putShort(value.toShort); b.putShort(0.toShort) }
+      else b.putInt(value)
+    }
+    entry(256, 3, 1, 2)   // width
+    entry(257, 3, 1, 2)   // height
+    entry(258, 3, 1, 32)  // bits
+    entry(259, 3, 1, 1)   // uncompressed
+    entry(262, 3, 1, 1)   // photometric
+    entry(273, 4, 1, dataOff)
+    entry(279, 4, 1, 16)
+    entry(339, 3, 1, 2)
+    b.putInt(0)
+    b.position(dataOff)
+    px.foreach(b.putInt)
+    val back = GeoTiff.read(b.array())
+    assert(back.width == 2 && back.height == 2)
+    assert(back.pixels.toSeq == px.toSeq)
+  }
+
   test("reader rejects non-TIFF and unsupported forms") {
     intercept[IllegalArgumentException](GeoTiff.read("nope".getBytes))
     val p = java.nio.file.Files.createTempFile("gt3", ".tif")
