@@ -93,9 +93,42 @@ object MultimodalQueries extends QueryModule {
     }(Encoders.row(frameSchema))
   }
 
+  private val resizeSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("src_w", IntegerType),
+    StructField("src_h", IntegerType),
+    StructField("dst_w", IntegerType),
+    StructField("dst_h", IntegerType),
+    StructField("scale_pm", LongType)))
+
+  /** M3: aspect-preserving resize planning — the batch kernel that
+    * sits between decode and feature extraction in a vision pipeline:
+    * fit each (stub-decoded) image into 224×224, long side pinned,
+    * integer arithmetic only (scale in permille so the oracle
+    * reproduces it bit-exactly; a real kernel would also emit the
+    * resampled pixels, which is the stubbed native step). */
+  private def resizePlan(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val media = docs.select(col("doc_id"), col("text").cast(BinaryType).as("media"))
+    media.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.iterator.map { row =>
+          val (h, w, ht, _) = decodeStub(row.getAs[Array[Byte]]("media"))
+          val long = math.max(w, ht)
+          // permille scale, floor — integer-exact on both engines
+          val scalePm = 224000L / long
+          val dw = (w * scalePm / 1000L).toInt
+          val dh = (ht * scalePm / 1000L).toInt
+          Row(row.getLong(0), w, ht, dw, dh, scalePm)
+        }
+      }
+    }(Encoders.row(resizeSchema))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_media_features" -> ((s, d) => mediaFeatures(s, d)),
-    "m2_frame_sample" -> ((s, d) => frameSample(s, d)))
+    "m2_frame_sample" -> ((s, d) => frameSample(s, d)),
+    "m3_resize_plan" -> ((s, d) => resizePlan(s, d)))
 
   override def oracles: Map[String, String] = Map(
     "m1_media_features" ->
@@ -112,5 +145,19 @@ object MultimodalQueries extends QueryModule {
       """WITH f AS (SELECT doc_id, unnest(generate_series(0, len(text) % 24)) AS frame_idx FROM documents)
         |SELECT doc_id, frame_idx::INT AS frame_idx, (frame_idx * 4096)::BIGINT AS frame_off,
         |  frame_idx * 40.0 AS ts_ms
-        |FROM f WHERE frame_idx % 4 = 0""".stripMargin)
+        |FROM f WHERE frame_idx % 4 = 0""".stripMargin,
+    "m3_resize_plan" ->
+      s"""WITH c AS (SELECT doc_id,
+         |  list_reduce([ascii(ch)::BIGINT for ch in string_split(text, '')], (h,ch) -> (h*131+ch) % $P) AS checksum
+         |  FROM documents),
+         |d AS (SELECT doc_id,
+         |  (16 + checksum % 64)::INT AS src_w,
+         |  (16 + (checksum // 64) % 64)::INT AS src_h FROM c),
+         |s AS (SELECT doc_id, src_w, src_h,
+         |  224000 // greatest(src_w, src_h) AS scale_pm FROM d)
+         |SELECT doc_id, src_w, src_h,
+         |  (src_w * scale_pm // 1000)::INT AS dst_w,
+         |  (src_h * scale_pm // 1000)::INT AS dst_h,
+         |  scale_pm::BIGINT AS scale_pm
+         |FROM s""".stripMargin)
 }
