@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The plan PROPERTIES the 100 TB story depends on, pinned as tests so
+  * a refactor that silently loses one (a filter that stops reaching
+  * the scan, a broadcast that becomes a shuffle join, partition
+  * pruning that stops firing, an expression that re-evaluates) fails
+  * loudly instead of only showing up in the bench. PLANS.md carries
+  * the full dumps; these assert just the load-bearing fragments. */
+class PlanInvariantsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "2")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("p3: every predicate reaches the parquet scan; columns prune") {
+    val p = plan("p3_where_like")
+    assert(p.contains("PushedFilters: [IsNotNull(p_name)"), p.take(400))
+    assert(p.contains("StringContains(p_name,a)"), "LIKE did not push")
+    // projection pruning: the scan must NOT read all 9 part columns
+    val readSchema = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(p).get.group(1)
+    assert(readSchema.split(",").length <= 5, readSchema)
+  }
+
+  test("j1: small dimension broadcasts; aggregation is partial-final") {
+    val p = plan("j1_catalog_join")
+    assert(p.contains("BroadcastHashJoin"), p.take(300))
+    assert(p.contains("partial_count"), "no map-side partial aggregation")
+  }
+
+  test("r9: AOI prunes tile partitions BEFORE I/O") {
+    val p = plan("r9_tile_lake_zonal")
+    assert("PartitionFilters: \\[.*tile_id.*INSET".r.findFirstIn(p).isDefined,
+      p.take(600))
+  }
+
+  test("rs1: the fused zonal scan reads only the referenced bands") {
+    val p = plan("rs1_otf_payload")
+    val readSchema = "ReadSchema: struct<(.*)".r
+      .findFirstMatchIn(p).get.group(1)
+    // the payload references 3 of the lake's 6 px_ bands
+    val bands = "px_".r.findAllIn(readSchema).length
+    assert(bands == 3, s"expected 3 pruned bands, scan reads $bands: $readSchema")
+    assert(p.contains("zonal_partial"), "fused kernel missing from the plan")
+  }
+
+  test("e4: the signature computes once per side, not in scan filters") {
+    val p = plan("e4_ann_lsh_pairs")
+    val evals = "rph_sig".r.findAllIn(p).length
+    assert(evals == 2, s"rph_sig appears $evals times (expected 2 — one per join side)")
+  }
+
+  test("d3: signatures stay in the scan projection; verify side broadcasts") {
+    val p = plan("d3_minhash_lsh_pairs")
+    assert(p.contains("minhash36"), p.take(300))
+    assert(p.contains("BroadcastExchange"), "candidate verify no longer broadcasts")
+  }
+
+  test("t7: the benchmark shingle side broadcasts — the corpus never shuffles") {
+    val p = plan("t7_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p.take(300))
+  }
+}
