@@ -816,6 +816,15 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
     }
   }
 
+  /** A raster asset's band columns: explicit `lake_bands` creation
+    * option (created raster versions) or the lake's own parquet
+    * schema — NOT the builtin fine lake's band list, which is wrong
+    * for the derived lake. One helper so fields/stats/downloads can't
+    * diverge. */
+  private def bandsOfAsset(a: cat.Asset): Seq[String] =
+    a.creationOptions.get("lake_bands").map(_.split(",").toSeq)
+      .getOrElse(graft.raster.TileLake.bandsOf(a.assetUri))
+
   /** Field metadata of the asset's version schema
     * (`get_asset_fields_dicts`): name + data_type from the table
     * schema, reference defaults, merged with PATCHed overrides.
@@ -831,10 +840,7 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
       case Some(a) if a.assetType == cat.AssetType.RasterTileSet =>
         val reserved = Seq("area__ha", "latitude", "longitude")
           .map(doc(_, "number"))
-        val bands = a.creationOptions.get("lake_bands")
-          .map(_.split(",").toSeq)
-          .getOrElse(graft.raster.TileLake.bandColumns)
-        reserved ++ bands.map(b => doc(b.stripPrefix("px_"), "integer"))
+        reserved ++ bandsOfAsset(a).map(b => doc(b.stripPrefix("px_"), "integer"))
       case _ =>
         val schema = spark.table(tableFor(v.dataset, v.version)).schema
         schema.fields.toSeq.map(f => doc(f.name, f.dataType.catalogString))
@@ -1198,9 +1204,7 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
           "application/json", Sinks.jsendError("pixel_meaning is required")))
         val g = graft.raster.DataEnvironment.gridOf(asset.creationOptions)
         val band = asset.creationOptions.getOrElse("band", s"px_$meaning")
-        val bands = asset.creationOptions.get("lake_bands")
-          .map(_.split(",").toSeq)
-          .getOrElse(graft.raster.TileLake.bandsOf(asset.assetUri))
+        val bands = bandsOfAsset(asset)
         if (!bands.contains(band) ||
             asset.creationOptions.get("pixel_meaning").exists(_ != meaning))
           return respond(ex, 404, "application/json",
@@ -1323,9 +1327,7 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
         // carry both in their asset options; builtin falls back)
         val asset = v.defaultAsset.get
         val g = graft.raster.DataEnvironment.gridOf(asset.creationOptions)
-        val bands = asset.creationOptions.get("lake_bands")
-          .map(_.split(",").length)
-          .getOrElse(graft.raster.TileLake.bandColumns.length)
+        val bands = bandsOfAsset(asset).length
         respond(ex, 200, "application/json",
           s"""{"data":{"tile_count":${g.nTiles},"pixel_count":${g.nTiles.toLong * g.pxPerTile * g.pxPerTile},"bands":$bands},"status":"success"}""")
       case Some(_) =>
@@ -1578,6 +1580,13 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
     // the append must share the lock or two quick identical POSTs
     // both pass and duplicate the record
     val reserved = catalogLock.synchronized {
+      // a FAILED record is re-reservable — otherwise one transient
+      // build error would 409 every retry until a manual DELETE
+      findAsset(assetId) match {
+        case Some((_, prior)) if prior.status == "failed" =>
+          catalog = catalog.withoutAsset(dataset, version, assetId)
+        case _ => ()
+      }
       if (findAsset(assetId).isDefined) false
       else {
         catalog = catalog.withVersionPatched(dataset, version, v =>
@@ -1863,6 +1872,16 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
             "Deletion failed." +
               "You can only delete a version tagged as `latest` if no other version of the same dataset exists." +
               "Change `latest` version, or delete all other versions first."))
+        // cascade the per-asset state too: asset ids are deterministic,
+        // so a recreated version must not inherit stale metadata,
+        // field overrides, or task records
+        v.assets.foreach { a =>
+          assetMetadata.remove(a.assetId)
+          fieldMetaOverrides.keys.filter(_._1 == a.assetId)
+            .foreach(fieldMetaOverrides.remove)
+          taskRecords.values.filter(_.assetId == a.assetId)
+            .foreach(t => taskRecords.remove(t.taskId))
+        }
         catalogLock.synchronized { catalog = catalog.withoutVersion(dataset, version) }
         versionRecords.remove((dataset, version))
         versionOpts.remove((dataset, version))

@@ -21,21 +21,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object DedupStream {
 
-  private val P = 2147483647L // 2^31 - 1, the minhash modulus
-
-  /** 12 bands × 3 rows — the banding of d3/t5 (`TextQueries`). */
-  private def bandCols(sg: String): String =
-    s"""explode(transform(sequence(0, 11), b -> struct(b AS band,
-       |  ((((($sg[b*3] * 131 + $sg[b*3+1]) % $P) * 131) + $sg[b*3+2]) % $P) AS bh))) AS e""".stripMargin
+  // THE batch pipeline's LSH shape, imported — not re-implemented —
+  // so stream and batch verdicts agree by construction
+  private val shape = graft.textops.TextQueries.LshShape
 
   /** The static corpus index: one row per (band, band-hash, document),
     * carrying the shingle set for exact verification. Persist this
     * partitioned by `(band, bh)` so micro-batch joins co-locate. */
   def corpusIndex(docs: DataFrame): DataFrame =
-    docs.selectExpr("doc_id", "array_distinct(shingle_hashes(text, 5)) AS hs")
+    docs.selectExpr("doc_id", s"${shape.shinglesSql} AS hs")
       .where("size(hs) > 0")
       .selectExpr("doc_id", "hs", "minhash36(hs) AS sg")
-      .selectExpr("doc_id", "hs", bandCols("sg"))
+      .selectExpr("doc_id", "hs", shape.bandStructsSql("sg"))
       .selectExpr("e.band AS band", "e.bh AS bh", "doc_id", "hs")
 
   /** The gate: incoming `(doc_id, text, ts)` documents emit one
@@ -46,15 +43,18 @@ object DedupStream {
   def lshGate(spark: SparkSession, stream: DataFrame, index: DataFrame,
               tau: Double = 0.5, watermarkDelay: String = "10 minutes"): DataFrame = {
     val sigs = stream
-      .withColumn("hs", expr("array_distinct(shingle_hashes(text, 5))"))
+      .withColumn("hs", expr(shape.shinglesSql))
       .where("size(hs) > 0")
       .withColumn("sg", expr("minhash36(hs)"))
-      .select(col("doc_id"), col("ts"), col("hs"), expr(bandCols("sg")))
+      .select(col("doc_id"), col("ts"), col("hs"), expr(shape.bandStructsSql("sg")))
       .selectExpr("doc_id", "ts", "hs", "e.band AS band", "e.bh AS bh")
     sigs
       .join(index.withColumnRenamed("doc_id", "dup_of")
           .withColumnRenamed("hs", "corpus_hs"),
         Seq("band", "bh"))
+      // a re-ingested document carrying an existing corpus id must not
+      // flag itself (the batch pipeline's a.doc_id < b.doc_id analog)
+      .where(col("doc_id") =!= col("dup_of"))
       .withColumn("shared", expr("size(array_intersect(hs, corpus_hs))"))
       .withColumn("jaccard", expr(
         "CAST(shared AS DOUBLE) / (size(hs) + size(corpus_hs) - shared)"))

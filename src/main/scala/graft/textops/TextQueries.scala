@@ -29,6 +29,22 @@ object TextQueries extends QueryModule {
 
   // ------------------------------------------------------------ fragments
 
+  /** THE dedup LSH shape, shared with every consumer (the streaming
+    * gate [[graft.streaming.DedupStream]] reuses these so stream and
+    * batch verdicts agree BY CONSTRUCTION): word-`shingleK` shingles,
+    * 36-permutation MinHash, `bands` bands of `rowsPerBand` rows. */
+  object LshShape {
+    val shingleK = 3
+    val bands = 12
+    val modulus: Long = 2147483647L
+    /** Spark SQL: distinct shingle hashes of a `text` column. */
+    def shinglesSql: String = s"array_distinct(shingle_hashes(text, $shingleK))"
+    /** Spark SQL: the per-band bucket hash over a signature column. */
+    def bandStructsSql(sg: String): String =
+      s"""explode(transform(sequence(0, ${bands - 1}, 1), b -> struct(b AS band,
+         |  (((($sg[b*3] * 131 + $sg[b*3+1]) % $modulus) * 131 + $sg[b*3+2]) % $modulus) AS bh))) AS e""".stripMargin
+  }
+
   /** Spark: distinct word-3-shingle polyhashes per doc, via the
     * single-pass native `shingle_hashes` (one loop per document). */
   private val sparkShingles =

@@ -45,7 +45,9 @@ class DedupStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     stream.addData(
       (1L, variant, ts("2024-01-01 00:00:00")),
-      (2L, fresh, ts("2024-01-01 00:00:01")))
+      (2L, fresh, ts("2024-01-01 00:00:01")),
+      // a re-crawl of corpus doc 100 itself: must NOT self-flag
+      (100L, base, ts("2024-01-01 00:00:01")))
     q.processAllAvailable()
     // a second batch re-sending the same near-dup inside the watermark:
     // the (doc, dup_of) pair must not emit twice
