@@ -1210,6 +1210,25 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       fget.body().contains("\"is_filter\":false"), fget.body().take(300))
     // ------------------------------------------------- asset deletion
     assert(req("DELETE", "/asset/taskds-v1-default", "", admin).statusCode() == 409)
+    // version deletion cascades per-asset state: a recreated version
+    // (deterministic asset ids) must not inherit metadata, field
+    // overrides, or task records
+    assert(req("POST", "/asset/taskds-v1-default/metadata",
+      """{"resolution": "1m"}""", admin).statusCode() == 201)
+    assert(req("DELETE", "/dataset/taskds/v1", "", admin).statusCode() == 200)
+    assert(req("PUT", "/dataset/taskds/v1",
+      s"""{"creation_options": {"source_uri": ["file://${src.resolve("t.csv")}"]}}""",
+      admin).statusCode() == 202)
+    tries = 0
+    while (tries < 120 && get("/dataset/taskds/v1").body().contains("pending")) {
+      Thread.sleep(250); tries += 1
+    }
+    assert(get("/asset/taskds-v1-default/metadata").body() ==
+      """{"data":{},"status":"success"}""")
+    val ffresh = get("/asset/taskds-v1-default/fields/name")
+    assert(!ffresh.body().contains("Display name"), ffresh.body().take(200))
+    val tfresh = get("/asset/taskds-v1-default/tasks")
+    assert(!tfresh.body().contains("extra_index"), tfresh.body().take(400))
   }
 
   test("nasa_viirs_fire_alerts features route applies the date window") {
