@@ -400,6 +400,48 @@ object SimQueries extends QueryModule {
          |               for k in generate_series(1, len(v))], (a, b) -> a + b) AS recon_err
          |FROM q""".stripMargin),
 
+    // E7: product quantization — the other standard ANN compression
+    // (e6 is scalar): 64 dims → 4 subspaces × 16 dims, 8-entry
+    // codebook per subspace seeded from vectors 0..7 (codebook FROM
+    // seeds keeps the oracle one pass; iterative training is already
+    // proven by the e5 family). Code = L2²-nearest centroid per
+    // subspace with deterministic tie-break; recon_err adds the four
+    // subspace minima in FIXED textual order (no aggregation-order FP
+    // drift). Scale shape: codebook broadcasts (8 rows), one scan.
+    SqlQ.split("e7_pq_code",
+      s"""$sparkVecs,
+         |seed AS (SELECT vec_id AS cid, v AS cv FROM n WHERE vec_id < 8),
+         |sub AS (SELECT n.vec_id, seed.cid, s,
+         |    aggregate(zip_with(slice(n.v, s*16+1, 16), slice(seed.cv, s*16+1, 16),
+         |        (a, b) -> (a-b)*(a-b)), CAST(0 AS DOUBLE), (acc, x) -> acc + x) AS d2
+         |  FROM n CROSS JOIN seed LATERAL VIEW explode(sequence(0, 3)) t AS s),
+         |best AS (SELECT vec_id, s, cid, d2,
+         |    row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cid) AS r FROM sub)
+         |SELECT vec_id,
+         |  max(CASE WHEN s=0 THEN cid END) AS code0,
+         |  max(CASE WHEN s=1 THEN cid END) AS code1,
+         |  max(CASE WHEN s=2 THEN cid END) AS code2,
+         |  max(CASE WHEN s=3 THEN cid END) AS code3,
+         |  max(CASE WHEN s=0 THEN d2 END) + max(CASE WHEN s=1 THEN d2 END)
+         |    + max(CASE WHEN s=2 THEN d2 END) + max(CASE WHEN s=3 THEN d2 END) AS recon_err
+         |FROM best WHERE r = 1 GROUP BY vec_id""".stripMargin,
+      s"""$duckVecs,
+         |seed AS (SELECT vec_id AS cid, v AS cv FROM n WHERE vec_id < 8),
+         |sub AS (SELECT n.vec_id, seed.cid, s,
+         |    list_reduce([(n.v[s*16+k] - seed.cv[s*16+k]) * (n.v[s*16+k] - seed.cv[s*16+k])
+         |                 for k in generate_series(1, 16)], (acc, x) -> acc + x) AS d2
+         |  FROM n CROSS JOIN seed CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS s)),
+         |best AS (SELECT vec_id, s, cid, d2,
+         |    row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cid) AS r FROM sub)
+         |SELECT vec_id,
+         |  max(CASE WHEN s=0 THEN cid END) AS code0,
+         |  max(CASE WHEN s=1 THEN cid END) AS code1,
+         |  max(CASE WHEN s=2 THEN cid END) AS code2,
+         |  max(CASE WHEN s=3 THEN cid END) AS code3,
+         |  max(CASE WHEN s=0 THEN d2 END) + max(CASE WHEN s=1 THEN d2 END)
+         |    + max(CASE WHEN s=2 THEN d2 END) + max(CASE WHEN s=3 THEN d2 END) AS recon_err
+         |FROM best WHERE r = 1 GROUP BY vec_id""".stripMargin),
+
     // E5b / E3 are programmatic (driver-loop Lloyd + IVF probe over
     // the converged cells) — see `queries` below; their oracles unroll
     // the same updates in DuckDB (materialized CTEs keep that linear).
