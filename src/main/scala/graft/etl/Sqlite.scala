@@ -399,7 +399,15 @@ object Sqlite {
   def readTable(db: Array[Byte], table: String): Seq[(Long, Seq[Any])] = {
     val pageSizeRaw = ((db(16) & 0xff) << 8) | (db(17) & 0xff)
     val pageSize = if (pageSizeRaw == 1) 65536 else pageSizeRaw
+    // .gpkg sources parse on EXECUTORS from user-supplied URIs: a
+    // corrupt interior page re-pointing at an ancestor must fail as a
+    // catchable exception, not unbounded recursion (StackOverflowError
+    // would escape the creation DAG's exception handling)
+    val visited = scala.collection.mutable.Set.empty[Int]
     def walk(pageNo: Int, out: ArrayBuffer[(Long, Seq[Any])]): Unit = {
+      require(pageNo >= 1 && (pageNo.toLong - 1) * pageSize < db.length,
+        s"page $pageNo outside the database")
+      require(visited.add(pageNo), s"cyclic b-tree at page $pageNo")
       val base = (pageNo - 1) * pageSize + (if (pageNo == 1) 100 else 0)
       val typ = db(base) & 0xff
       val nCells = ((db(base + 3) & 0xff) << 8) | (db(base + 4) & 0xff)

@@ -125,6 +125,27 @@ class SqliteSpec extends AnyFunSuite {
     assert(e.getMessage.contains("duplicate key"))
   }
 
+  test("cyclic b-tree pages fail cleanly instead of unbounded recursion") {
+    // build a valid single-table db, then corrupt the table's root
+    // into an interior page whose rightmost child is ITSELF — the
+    // walk must raise a catchable error, not StackOverflowError
+    val path = java.nio.file.Files.createTempFile("sqc", ".db")
+    Sqlite.writeDb(path, Seq(Sqlite.TableDef("t",
+      "CREATE TABLE t (v TEXT)", Seq(Seq("x")))))
+    val db = java.nio.file.Files.readAllBytes(path)
+    val rootBase = (2 - 1) * Sqlite.PageSize // table root is page 2
+    db(rootBase) = 0x05.toByte // interior
+    db(rootBase + 3) = 0; db(rootBase + 4) = 0 // no cells
+    val bb = java.nio.ByteBuffer.wrap(db)
+    bb.putInt(rootBase + 8, 2) // rightmost child = page 2 (itself)
+    val e = intercept[IllegalArgumentException](Sqlite.readTable(db, "t"))
+    assert(e.getMessage.contains("cyclic"), e.getMessage)
+    // an out-of-range child pointer is equally clean
+    bb.putInt(rootBase + 8, 9999)
+    val e2 = intercept[IllegalArgumentException](Sqlite.readTable(db, "t"))
+    assert(e2.getMessage.contains("outside"), e2.getMessage)
+  }
+
   test("oversized rows are rejected (no overflow pages)") {
     val path = java.nio.file.Files.createTempFile("sq2", ".db")
     val big = "y" * 70000
