@@ -86,6 +86,11 @@ object Shapefile {
       def next(): Option[Array[Byte]] = {
         val contentWords = (bytes(off + 4) & 0xff) << 24 | (bytes(off + 5) & 0xff) << 16 |
           (bytes(off + 6) & 0xff) << 8 | (bytes(off + 7) & 0xff)
+        // executor-side parse of user-supplied files: a crafted
+        // non-positive record length must fail, not stall the
+        // iterator forever (off would stop advancing)
+        require(contentWords >= 2 && off + 8 + contentWords * 2 <= bytes.length,
+          s"corrupt shapefile record at offset $off (length $contentWords words)")
         val s = ByteBuffer.wrap(bytes, off + 8, contentWords * 2)
           .order(ByteOrder.LITTLE_ENDIAN)
         off += 8 + contentWords * 2

@@ -216,6 +216,23 @@ class ShapefileSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("corrupt record lengths fail cleanly instead of stalling the iterator") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("shpcor")
+    Shapefile.writePoints(Seq(((1.0, 2.0), Seq(1L)), ((3.0, 4.0), Seq(2L))),
+      Seq("id" -> LongType), dir.resolve("pts"))
+    val shp = dir.resolve("pts.shp")
+    val bytes = java.nio.file.Files.readAllBytes(shp)
+    // zero out the first record's content length: without the guard
+    // the offset never advances and the read loops forever
+    bytes(104) = 0; bytes(105) = 0; bytes(106) = 0; bytes(107) = 0
+    java.nio.file.Files.write(shp, bytes)
+    val e = intercept[org.apache.spark.SparkException] {
+      Shapefile.read(spark, dir.toString).collect()
+    }
+    assert(e.getCause != null || e.getMessage.contains("corrupt"), e.getMessage)
+  }
+
   test("reader reassembles holes that precede their exterior in the file") {
     import org.apache.spark.sql.types._
     // two exteriors + two holes written DELIBERATELY out of order
