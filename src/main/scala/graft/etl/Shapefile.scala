@@ -331,13 +331,27 @@ object Shapefile {
     * DataFrame: `fid` (1-based record number within its file), `geom`
     * (WKB), then the dbf attribute columns. */
   def read(spark: SparkSession, dir: String): DataFrame = {
+    val d = new java.io.File(dir)
+    val fs = Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".dbf")).sortBy(_.getName)
+    require(fs.nonEmpty, s"no .dbf files under $dir")
+    readPaths(spark, Seq(s"$dir/*.shp", s"$dir/*.dbf"), fs.head.getPath)
+  }
+
+  /** [[read]] over an explicit `.shp` file list (the `/append` and
+    * version-creation source-URI form); sibling `.dbf` files are
+    * implied by the format. */
+  def readFiles(spark: SparkSession, shpFiles: Seq[String]): DataFrame = {
+    val paths = shpFiles.map(_.stripPrefix("file://"))
+    val dbfs = paths.map(p => p.stripSuffix(".shp") + ".dbf")
+    readPaths(spark, paths ++ dbfs, dbfs.head)
+  }
+
+  private def readPaths(spark: SparkSession, loadPaths: Seq[String],
+                        firstDbfPath: String): DataFrame = {
     // schema discovery: first .dbf header only (driver-side, bounded)
     val firstDbf = {
-      val d = new java.io.File(dir)
-      val fs = Option(d.listFiles()).getOrElse(Array.empty)
-        .filter(_.getName.endsWith(".dbf")).sortBy(_.getName)
-      require(fs.nonEmpty, s"no .dbf files under $dir")
-      val in = new java.io.FileInputStream(fs.head)
+      val in = new java.io.FileInputStream(firstDbfPath)
       try { val h = new Array[Byte](4096); in.read(h); h } finally in.close()
     }
     val fields = dbfFields(firstDbf)
@@ -347,7 +361,7 @@ object Shapefile {
         fields.map(f => StructField(f.name, fieldType(f))))
 
     val files = spark.read.format("binaryFile")
-      .load(s"$dir/*.shp", s"$dir/*.dbf")
+      .load(loadPaths: _*)
       .select(
         regexp_extract(col("path"), "([^/]+)\\.(shp|dbf)$", 1).as("base"),
         regexp_extract(col("path"), "\\.(shp|dbf)$", 1).as("ext"),

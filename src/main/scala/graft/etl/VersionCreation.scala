@@ -315,28 +315,49 @@ object VersionCreation {
     var df: DataFrame = null
     try {
       graft.functions.GraftFunctions.install(spark)
-      // two vector drivers (reference ogr2ogr formats): GeoPackage
-      // containers, or the default newline-delimited GeoJSON
+      // four vector drivers (reference ogr2ogr formats): GeoPackage
+      // containers, ESRI Shapefiles, whole-file GeoJSON
+      // FeatureCollections (`.geojson`), or the default
+      // newline-delimited GeoJSON features
       val isGpkg = opts.sourceUris.forall(_.endsWith(".gpkg"))
+      val isShp = opts.sourceUris.forall(_.endsWith(".shp"))
+      val isFc = opts.sourceUris.forall(_.endsWith(".geojson"))
+      def geojsonProps(raw: DataFrame): Seq[String] =
+        raw.schema.find(_.name == "properties") match {
+          case Some(f: StructField) => f.dataType match {
+            case st: StructType => st.fieldNames.toSeq
+            case _ => Nil
+          }
+          case None => Nil
+        }
+      def fromFeatures(raw: DataFrame, driver: String) = {
+        val props = geojsonProps(raw)
+        val propCols = props.map(p => s"properties.`$p` AS `$p`")
+        (raw.selectExpr(
+          propCols ++ Seq("st_geomfromgeojson(to_json(geometry)) AS geom"): _*),
+          props, driver)
+      }
       val (withGeom, props, driver) =
         if (isGpkg) {
           val raw = Geopackage.readFiles(spark, opts.sourceUris)
           val attrs = raw.schema.fieldNames.toSeq
             .filterNot(n => n == "fid" || n == "geom")
           (raw, attrs, "GPKG")
+        } else if (isShp) {
+          val raw = Shapefile.readFiles(spark, opts.sourceUris)
+          val attrs = raw.schema.fieldNames.toSeq
+            .filterNot(n => n == "fid" || n == "geom")
+          (raw, attrs, "ESRI Shapefile")
+        } else if (isFc) {
+          // one FeatureCollection object per file → its feature rows
+          val fc = spark.read.option("multiLine", "true")
+            .json(opts.sourceUris: _*)
+          require(fc.schema.fieldNames.contains("features"),
+            "a .geojson source must be a FeatureCollection")
+          fromFeatures(fc.selectExpr("explode(features) AS f").select("f.*"),
+            "GeoJSON FeatureCollection")
         } else {
-          val raw = spark.read.json(opts.sourceUris: _*)
-          val props = raw.schema.find(_.name == "properties") match {
-            case Some(f: StructField) => f.dataType match {
-              case st: StructType => st.fieldNames.toSeq
-              case _ => Nil
-            }
-            case None => Nil
-          }
-          val propCols = props.map(p => s"properties.`$p` AS `$p`")
-          (raw.selectExpr(
-            propCols ++ Seq("st_geomfromgeojson(to_json(geometry)) AS geom"): _*),
-            props, "GeoJSON")
+          fromFeatures(spark.read.json(opts.sourceUris: _*), "GeoJSON")
         }
       // the stored schema KEEPS the WKB geom column (reference geo
       // tables do — the injected AOI filter `ST_Intersects(geom, …)`

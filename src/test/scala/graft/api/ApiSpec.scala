@@ -1231,6 +1231,57 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!tfresh.body().contains("extra_index"), tfresh.body().take(400))
   }
 
+  test("vector ingest accepts FeatureCollection .geojson and .shp sources") {
+    def req(method: String, path: String, body: String,
+            hdrs: (String, String)*): HttpResponse[String] = {
+      val rb = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+        .method(method, HttpRequest.BodyPublishers.ofString(body))
+      hdrs.foreach { case (k, v) => rb.header(k, v) }
+      client.send(rb.build(), HttpResponse.BodyHandlers.ofString())
+    }
+    val admin = "Authorization" -> "Bearer test-admin"
+    def createAndWait(ds: String, uri: String): Unit = {
+      assert(req("PUT", s"/dataset/$ds/v1",
+        s"""{"creation_options": {"source_uri": ["$uri"], "source_type": "vector"}}""",
+        admin).statusCode() == 202)
+      var tries = 0
+      while (tries < 120 && get(s"/dataset/$ds/v1").body().contains("pending")) {
+        Thread.sleep(250); tries += 1
+      }
+      assert(get(s"/dataset/$ds/v1").body().contains("\"status\":\"saved\""),
+        get(s"/dataset/$ds/v1").body().take(500))
+    }
+    // whole-file FeatureCollection (the reference's test.geojson form)
+    val src = java.nio.file.Files.createTempDirectory("fcsrc")
+    java.nio.file.Files.writeString(src.resolve("fc.geojson"),
+      """{"type":"FeatureCollection","features":[
+        |  {"type":"Feature","geometry":{"type":"Point","coordinates":[5.5,50.0]},"properties":{"pid":1}},
+        |  {"type":"Feature","geometry":{"type":"Point","coordinates":[6.5,51.0]},"properties":{"pid":2}},
+        |  {"type":"Feature","geometry":{"type":"Point","coordinates":[7.5,52.0]},"properties":{"pid":3}}
+        |]}""".stripMargin)
+    createAndWait("fcds", s"file://${src.resolve("fc.geojson")}")
+    val q = get("/dataset/fcds/v1/query/json?sql=" +
+      java.net.URLEncoder.encode("SELECT count(*) AS cnt, sum(pid) AS s FROM data", "UTF-8"))
+    assert(q.statusCode() == 200 && q.body().contains("\"cnt\":3") &&
+      q.body().contains("\"s\":6"), q.body().take(300))
+    // ESRI shapefile source URIs (the reader that s5 oracle-checks,
+    // now wired into the creation DAG)
+    import org.apache.spark.sql.types._
+    graft.etl.Shapefile.writePoints(
+      Seq(((10.0, 20.0), Seq(7L, "a")), ((11.0, 21.0), Seq(8L, "b"))),
+      Seq("pid" -> LongType, "tag" -> StringType), src.resolve("pts"))
+    createAndWait("shpds", s"file://${src.resolve("pts.shp")}")
+    val q2 = get("/dataset/shpds/v1/query/json?sql=" +
+      java.net.URLEncoder.encode(
+        "SELECT count(*) AS cnt, sum(pid) AS s FROM data", "UTF-8"))
+    assert(q2.statusCode() == 200 && q2.body().contains("\"cnt\":2") &&
+      q2.body().contains("\"s\":15"), q2.body().take(300))
+    // the features route works over the shapefile-created version
+    val hit = get("/dataset/shpds/v1/features?lat=20.0&lng=10.0&z=10")
+    assert(hit.statusCode() == 200 && hit.body().contains("\"pid\":7") &&
+      !hit.body().contains("\"pid\":8"), hit.body().take(300))
+  }
+
   test("nasa_viirs_fire_alerts features route applies the date window") {
     def req(method: String, path: String, body: String,
             hdrs: (String, String)*): HttpResponse[String] = {
