@@ -1214,10 +1214,18 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
         if (!Set("none", "lzw", "deflate").contains(compression))
           return respond(ex, 422, "application/json", Sinks.jsendError(
             s"Unsupported compression '$compression' (none/lzw/deflate)"))
+        // srid mirrors the tile-cache CRS choice (reference warps tile
+        // caches to EPSG:3857); the lake itself stays 4326
+        val srid = queryParams(ex).getOrElse("srid", "4326")
+        if (!Set("4326", "3857").contains(srid))
+          return respond(ex, 422, "application/json", Sinks.jsendError(
+            s"Unsupported srid '$srid' (4326/3857)"))
         val cacheDir = java.nio.file.Paths.get(
           s"${sys.props("java.io.tmpdir")}/graft_geotiff_cache/${dataset}_$version")
         java.nio.file.Files.createDirectories(cacheDir)
-        val out = cacheDir.resolve(s"${band}_${tileId}_$compression.tif")
+        val out = cacheDir.resolve(
+          if (srid == "4326") s"${band}_${tileId}_$compression.tif"
+          else s"${band}_${tileId}_${compression}_$srid.tif")
         if (!java.nio.file.Files.exists(out)) {
           val rows = spark.read.parquet(asset.assetUri)
             .where(org.apache.spark.sql.functions.col("tile_id") === tileId)
@@ -1227,11 +1235,16 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
               Sinks.jsendError(s"Tile $tileId not found"))
           val r = rows.head
           val px = r.getSeq[Long](2).map(_.toInt).toArray
-          graft.raster.GeoTiff.write(out, graft.raster.GeoTiff.Tile(
+          val tile = graft.raster.GeoTiff.Tile(
             g.pxPerTile, g.pxPerTile,
             g.originLon + r.getInt(0) * g.tileDeg,
             g.originLat - r.getInt(1) * g.tileDeg,
-            g.pixelDeg, px), compression)
+            g.pixelDeg, px)
+          if (srid == "3857")
+            graft.raster.GeoTiff.writeRaster(out,
+              graft.raster.Warp.tileToWebMercator(tile), compression)
+          else
+            graft.raster.GeoTiff.write(out, tile, compression)
         }
         ex.getResponseHeaders.add("Location", out.toString)
         respond(ex, 307, "application/json", "")

@@ -228,14 +228,26 @@ object VersionCreation {
       // pass 1: georeferencing only (driver holds one tuple per tile)
       import spark.implicits._
       val metas = files.map { r =>
-        val t = GeoTiff.read(r.getAs[Array[Byte]](0))
-        (t.originLon, t.originLat, t.pixelDeg, t.width, t.height)
+        val t = GeoTiff.readRaster(r.getAs[Array[Byte]](0))
+        (t.originX, t.originY, t.pixelScale, t.width, t.height,
+          t.bands.length, t.sampleType.name, t.epsg)
       }.collect().toSeq
       require(metas.nonEmpty, "no source tiles")
       val (pixelDeg, w, h) = (metas.head._3, metas.head._4, metas.head._5)
       require(w == h, s"tiles must be square (got $w×$h)")
       require(metas.forall(m => m._3 == pixelDeg && m._4 == w && m._5 == h),
         "all tiles must share one size and pixel scale")
+      val bandCount = metas.head._6
+      require(metas.forall(_._6 == bandCount),
+        "all tiles must share one band count")
+      // the lake's pixel currency is integer; pixETL's float types are
+      // decoded by the codec but not ingestable as zonal layers
+      require(!metas.map(_._7).exists(n => n.startsWith("float")),
+        s"float sample type ${metas.head._7} not supported for tile lakes " +
+          "(integer rasters only)")
+      require(metas.forall(_._8 == 4326),
+        s"source CRS EPSG:${metas.map(_._8).find(_ != 4326).get} not " +
+          "supported — reproject to EPSG:4326 first (unify_projection)")
       val tileDeg = w * pixelDeg
       val originLon = metas.map(_._1).min
       val originLat = metas.map(_._2).max
@@ -256,22 +268,37 @@ object VersionCreation {
 
       // pass 2: pixels, executor-side, one lake row per tile; ids MUST
       // come from the canonical Grid.tileId formatter — the query-time
-      // partition pruning generates its INSET from the same method
+      // partition pruning generates its INSET from the same method.
+      // Multi-band sources (calc variables A..Z in the reference,
+      // `creation_options.py:159-176`) land as one lake column per
+      // band: px_<meaning> for single-band, px_<meaning>_b<i> beyond.
+      val bandCols: Seq[String] =
+        if (bandCount == 1) Seq(band)
+        else (1 to bandCount).map(i => s"${band}_b$i")
       val bGrid = grid
-      val rows = files.map { r =>
-        val t = GeoTiff.read(r.getAs[Array[Byte]](0))
-        val tx = math.rint((t.originLon - bGrid.originLon) / bGrid.tileDeg).toInt
-        val ty = math.rint((bGrid.originLat - t.originLat) / bGrid.tileDeg).toInt
-        (bGrid.tileId(tx, ty), tx, ty, t.pixels.map(_.toLong))
-      }.toDF("tile_id", "tx", "ty", band)
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val schema = StructType(
+        StructField("tile_id", StringType) ::
+          StructField("tx", IntegerType) :: StructField("ty", IntegerType) ::
+          bandCols.map(c => StructField(c, ArrayType(LongType))).toList)
+      val rowsRdd = files.rdd.map { r =>
+        val t = GeoTiff.readRaster(r.getAs[Array[Byte]](0))
+        val tx = math.rint((t.originX - bGrid.originLon) / bGrid.tileDeg).toInt
+        val ty = math.rint((bGrid.originLat - t.originY) / bGrid.tileDeg).toInt
+        Row.fromSeq(
+          bGrid.tileId(tx, ty) :: tx :: ty ::
+            t.bands.map(b => b.toSeq.map(_.toLong)).toList)
+      }
+      val rows = spark.createDataFrame(rowsRdd, schema)
       rows.write.mode("overwrite").partitionBy("tile_id").parquet(targetDir)
       log += ChangeLog("load_data", "success",
-        s"wrote ${metas.length} tile row(s), band $band")
+        s"wrote ${metas.length} tile row(s), band(s) ${bandCols.mkString(",")}")
 
       assetOpts = Map(
         "pixel_meaning" -> opts.pixelMeaning,
-        "band" -> band,
-        "lake_bands" -> band,
+        "band" -> bandCols.head,
+        "lake_bands" -> bandCols.mkString(","),
         "grid_origin_lon" -> grid.originLon.toString,
         "grid_origin_lat" -> grid.originLat.toString,
         "grid_tiles_x" -> grid.tilesX.toString,

@@ -257,8 +257,23 @@ object DataEnvironment {
                     dict = SyntheticEnv.dictFor(ds)))
               }
             }
-          ds -> layers.map(l =>
-            l.copy(noDataPred = noData, srcBands = l.srcBands + src.idx))
+          // multi-band ingested assets (px_<meaning>_b1..bk columns):
+          // bands beyond the primary surface as <ds>__<meaning>_b<i>
+          // layers — the calc variables A..Z of the reference's
+          // multi-source DSL (`creation_options.py:159-176`)
+          val extras = opts.get("lake_bands").map(_.split(",").toSeq)
+            .getOrElse(Nil)
+            .filter(b => b != band && bandIdx.contains(b) &&
+              b.startsWith(s"px_${meaning}_b"))
+            .map { b =>
+              val idx = bandIdx(b)
+              RasterLayer(
+                s"${ds}__${meaning}_b${b.stripPrefix(s"px_${meaning}_b")}",
+                BandFn(idx), keyBound = bound, srcBands = Set(idx))
+            }
+          ds -> (layers.map(l =>
+            l.copy(noDataPred = noData, srcBands = l.srcBands + src.idx)) ++
+            extras)
         }
     }
 

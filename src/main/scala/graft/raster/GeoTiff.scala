@@ -10,27 +10,101 @@ import java.util.zip.{Deflater, Inflater}
   * (`downloads.py:264-292`). No GDAL exists in this build, so the
   * format is written byte-by-byte:
   *
-  *   - single-band, 32-bit signed integer samples (the tile lake's
-  *     pixel currency), one strip, little-endian;
+  *   - samples in any of the reference's pixel types
+  *     (`app/models/enum/pixetl.py:9-23`): u/int8, u/int16, uint32,
+  *     int32, float32, float64 — one [[SampleType]] per file;
+  *   - 1..64 bands, chunky interleave (PlanarConfiguration 1, the
+  *     TIFF default and what GDAL emits) — the reference's calc DSL
+  *     addresses multi-band sources as variables A..Z
+  *     (`creation_options.py:159-176`) and `band_count` declares
+  *     multi-band outputs (`creation_options.py:168-175`);
   *   - compression 1 (none), 8 (zlib/deflate — interoperable by
   *     construction via `java.util.zip`) or 5 (LZW, the TIFF 6.0
   *     MSB-first variant with early code-width change — what
   *     GDAL/libtiff emit by default); the reader also applies the
-  *     horizontal-differencing predictor (tag 317 = 2) on int32 rows;
+  *     horizontal-differencing predictor (tag 317 = 2) per band on
+  *     integer samples;
   *   - georeferencing via ModelPixelScale + ModelTiepoint and a
-  *     GeoKeyDirectory declaring geographic WGS 84 (EPSG 4326),
-  *     pixel-is-area.
+  *     GeoKeyDirectory: EPSG 4326 writes geographic keys
+  *     (GTModelType=2 + GeographicType), any other EPSG writes
+  *     projected keys (GTModelType=1 + ProjectedCSType, e.g. 3857
+  *     web mercator — the tile-cache CRS, `_tile_cache_assets`).
   *
   * The reader accepts exactly what the writer produces plus benign
   * variations (extra tags are skipped; multi-strip files decode
   * strip-by-strip — each strip is an independent compressed stream
   * per TIFF 6.0 — and big-endian files are honored).
+  *
+  * The legacy single-band int32 [[Tile]] API (the tile lake's pixel
+  * currency) wraps the general [[Raster]] path.
   */
 object GeoTiff {
 
   final case class Tile(width: Int, height: Int,
                         originLon: Double, originLat: Double,
                         pixelDeg: Double, pixels: Array[Int])
+
+  /** One TIFF sample type: `bits` per sample, TIFF SampleFormat
+    * `fmt` (1 = unsigned int, 2 = signed int, 3 = IEEE float). */
+  sealed abstract class SampleType(val name: String, val bits: Int, val fmt: Int) {
+    def isFloat: Boolean = fmt == 3
+  }
+  object SampleType {
+    case object UInt8   extends SampleType("uint8",   8, 1)
+    case object Int8    extends SampleType("int8",    8, 2)
+    case object UInt16  extends SampleType("uint16", 16, 1)
+    case object Int16   extends SampleType("int16",  16, 2)
+    case object UInt32  extends SampleType("uint32", 32, 1)
+    case object Int32   extends SampleType("int32",  32, 2)
+    case object Float32 extends SampleType("float32", 32, 3)
+    case object Float64 extends SampleType("float64", 64, 3)
+    val all: Seq[SampleType] =
+      Seq(UInt8, Int8, UInt16, Int16, UInt32, Int32, Float32, Float64)
+    def of(name: String): SampleType = all.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(s"unknown sample type '$name'"))
+    def of(bits: Int, fmt: Int): SampleType =
+      all.find(t => t.bits == bits && t.fmt == fmt).getOrElse(
+        throw new IllegalArgumentException(
+          s"unsupported sample layout: $bits bits, format $fmt"))
+  }
+
+  /** A (possibly multi-band) georeferenced image. Samples are carried
+    * as doubles — exact for every supported [[SampleType]] (uint32 <
+    * 2^53, float32/64 native). `epsg` 4326 is geographic; any other
+    * code is written/read as a projected CRS (ModelPixelScale is then
+    * in projected units, e.g. meters for 3857). */
+  final case class Raster(width: Int, height: Int,
+                          originX: Double, originY: Double,
+                          pixelScale: Double, epsg: Int,
+                          sampleType: SampleType,
+                          bands: Seq[Array[Double]],
+                          pixelScaleYOpt: Double = Double.NaN) {
+    require(bands.nonEmpty && bands.length <= 64,
+      s"1..64 bands supported (got ${bands.length})")
+    bands.foreach(b => require(b.length == width * height,
+      s"band length ${b.length} != $width×$height"))
+    /** Y pixel scale — equals [[pixelScale]] (square pixels) unless a
+      * warp produced an anisotropic grid (e.g. 4326 → 3857, where the
+      * y span stretches with latitude). */
+    def pixelScaleY: Double =
+      if (pixelScaleYOpt.isNaN) pixelScale else pixelScaleYOpt
+  }
+
+  private def tileOf(r: Raster): Tile = {
+    require(r.bands.length == 1,
+      s"expected a single-band tile, got ${r.bands.length} bands")
+    require(!r.sampleType.isFloat,
+      s"expected integer samples, got ${r.sampleType.name}")
+    // toLong.toInt wraps (not saturates), so a uint32 file with the
+    // sign bit set reads back as the same int32 bit pattern the old
+    // signed-only reader produced
+    Tile(r.width, r.height, r.originX, r.originY, r.pixelScale,
+      r.bands.head.map(_.toLong.toInt))
+  }
+
+  private def rasterOf(t: Tile): Raster =
+    Raster(t.width, t.height, t.originLon, t.originLat, t.pixelDeg,
+      4326, SampleType.Int32, Seq(t.pixels.map(_.toDouble)))
 
   // TIFF tag ids
   private val TSubfileType = 254
@@ -43,11 +117,13 @@ object GeoTiff {
   private val TSamplesPerPixel = 277
   private val TRowsPerStripTag = 278
   private val TStripByteCounts = 279
+  private val TPlanarConfig = 284
   private val TPredictor = 317
   private val TTileWidth = 322
   private val TTileLength = 323
   private val TTileOffsets = 324
   private val TTileByteCounts = 325
+  private val TExtraSamples = 338
   private val TSampleFormat = 339
   private val TPixelScale = 33550
   private val TTiepoint = 33922
@@ -56,81 +132,156 @@ object GeoTiff {
   def write(path: java.nio.file.Path, tile: Tile, deflate: Boolean = true): Unit =
     write(path, tile, if (deflate) "deflate" else "none")
 
-  def write(path: java.nio.file.Path, tile: Tile, compression: String): Unit = {
-    val raw = {
-      val b = ByteBuffer.allocate(tile.pixels.length * 4)
-        .order(ByteOrder.LITTLE_ENDIAN)
-      tile.pixels.foreach(b.putInt)
-      b.array()
-    }
-    val compCode = compression match {
-      case "none" => 1
-      case "lzw" => 5
-      case "deflate" => 8
-      case c => throw new IllegalArgumentException(
-        s"unsupported compression '$c' (none/lzw/deflate)")
-    }
-    val strip = compress(raw, compCode)
+  def write(path: java.nio.file.Path, tile: Tile, compression: String): Unit =
+    writeRaster(path, rasterOf(tile), compression)
 
-    // GeoKeyDirectory: version 1.1.0, 3 keys:
-    //   GTModelType=2 (geographic), GTRasterType=1 (pixel-is-area),
-    //   GeographicType=4326
-    val geoKeys: Array[Short] = Array(
-      1, 1, 0, 3,
-      1024, 0, 1, 2,
-      1025, 0, 1, 1,
-      2048, 0, 1, 4326).map(_.toShort)
+  private def compCodeOf(compression: String): Int = compression match {
+    case "none" => 1
+    case "lzw" => 5
+    case "deflate" => 8
+    case c => throw new IllegalArgumentException(
+      s"unsupported compression '$c' (none/lzw/deflate)")
+  }
 
-    // layout: header(8) + IFD + external values + strip
-    val entries = 13
-    val ifdSize = 2 + entries * 12 + 4
-    val extBase = 8 + ifdSize
-    // external blocks: pixelScale (3 doubles), tiepoint (6 doubles),
-    // geokeys (16 shorts)
-    val scaleOff = extBase
-    val tieOff = scaleOff + 24
-    val geoOff = tieOff + 48
-    val stripOff = geoOff + geoKeys.length * 2
+  /** GeoKeyDirectory (version 1.1.0): geographic for 4326, projected
+    * (key 3072) for every other EPSG code, pixel-is-area. */
+  private def geoKeysFor(epsg: Int): Array[Short] =
+    (if (epsg == 4326)
+      Array(1, 1, 0, 3, 1024, 0, 1, 2, 1025, 0, 1, 1, 2048, 0, 1, 4326)
+    else
+      Array(1, 1, 0, 3, 1024, 0, 1, 1, 1025, 0, 1, 1, 3072, 0, 1, epsg))
+      .map(_.toShort)
+
+  private def putSample(bb: ByteBuffer, off: Int, t: SampleType, v: Double): Unit =
+    t match {
+      case SampleType.UInt8 | SampleType.Int8 => bb.put(off, (v.toLong & 0xff).toByte)
+      case SampleType.UInt16 | SampleType.Int16 =>
+        bb.putShort(off, (v.toLong & 0xffff).toShort)
+      case SampleType.UInt32 | SampleType.Int32 =>
+        bb.putInt(off, (v.toLong & 0xffffffffL).toInt)
+      case SampleType.Float32 => bb.putFloat(off, v.toFloat)
+      case SampleType.Float64 => bb.putDouble(off, v)
+    }
+
+  private def getSample(bb: ByteBuffer, off: Int, t: SampleType): Double =
+    t match {
+      case SampleType.UInt8 => (bb.get(off) & 0xff).toDouble
+      case SampleType.Int8 => bb.get(off).toDouble
+      case SampleType.UInt16 => (bb.getShort(off) & 0xffff).toDouble
+      case SampleType.Int16 => bb.getShort(off).toDouble
+      case SampleType.UInt32 => (bb.getInt(off).toLong & 0xffffffffL).toDouble
+      case SampleType.Int32 => bb.getInt(off).toDouble
+      case SampleType.Float32 => bb.getFloat(off).toDouble
+      case SampleType.Float64 => bb.getDouble(off)
+    }
+
+  /** Serialize the pixel block: chunky interleave (band-major within
+    * each pixel), little-endian. */
+  private def interleave(r: Raster): Array[Byte] = {
+    val spp = r.bands.length
+    val bps = r.sampleType.bits / 8
+    val n = r.width * r.height
+    val raw = new Array[Byte](n * spp * bps)
+    val bb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    while (i < n) {
+      var c = 0
+      while (c < spp) {
+        putSample(bb, (i * spp + c) * bps, r.sampleType, r.bands(c)(i))
+        c += 1
+      }
+      i += 1
+    }
+    raw
+  }
+
+  /** One IFD entry in the builder below: external payloads are laid
+    * out after the IFD in entry order. */
+  private final case class Tag(tag: Int, typ: Int, count: Int,
+                               inline: Long = 0L, ext: Array[Byte] = null)
+
+  private def shorts(vs: Seq[Int]): Array[Byte] = {
+    val b = ByteBuffer.allocate(vs.length * 2).order(ByteOrder.LITTLE_ENDIAN)
+    vs.foreach(v => b.putShort(v.toShort))
+    b.array()
+  }
+  private def doubles(vs: Seq[Double]): Array[Byte] = {
+    val b = ByteBuffer.allocate(vs.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+    vs.foreach(b.putDouble)
+    b.array()
+  }
+
+  /** A SHORT-array tag: inline when ≤2 values fit the 4-byte slot
+    * (packed low-short-first), external otherwise. */
+  private def shortTag(tag: Int, vs: Seq[Int]): Tag =
+    if (vs.length == 1) Tag(tag, 3, 1, vs.head)
+    else if (vs.length == 2)
+      Tag(tag, 3, 2, (vs(0) & 0xffffL) | ((vs(1) & 0xffffL) << 16))
+    else Tag(tag, 3, vs.length, ext = shorts(vs))
+
+  /** Write a single-strip GeoTIFF for `r`. */
+  def writeRaster(path: java.nio.file.Path, r: Raster,
+                  compression: String = "deflate"): Unit = {
+    val compCode = compCodeOf(compression)
+    val strip = compress(interleave(r), compCode)
+    val spp = r.bands.length
+    val geoKeys = geoKeysFor(r.epsg)
+
+    // tags must ascend; strip offset is patched once layout is known
+    val tags = Seq.newBuilder[Tag]
+    tags += Tag(TWidth, 3, 1, r.width)
+    tags += Tag(TLength, 3, 1, r.height)
+    tags += shortTag(TBits, Seq.fill(spp)(r.sampleType.bits))
+    tags += Tag(TCompression, 3, 1, compCode)
+    tags += Tag(TPhotometric, 3, 1, 1) // BlackIsZero
+    tags += Tag(TStripOffsets, 4, 1, -1) // patched below
+    tags += Tag(TSamplesPerPixel, 3, 1, spp)
+    tags += Tag(TRowsPerStripTag, 3, 1, r.height)
+    tags += Tag(TStripByteCounts, 4, 1, strip.length)
+    if (spp > 1) {
+      tags += Tag(TPlanarConfig, 3, 1, 1) // chunky
+      // bands beyond the photometric's one gray sample must be
+      // declared (TIFF 6.0): 0 = unspecified data
+      tags += shortTag(TExtraSamples, Seq.fill(spp - 1)(0))
+    }
+    tags += shortTag(TSampleFormat, Seq.fill(spp)(r.sampleType.fmt))
+    tags += Tag(TPixelScale, 12, 3,
+      ext = doubles(Seq(r.pixelScale, r.pixelScaleY, 0.0)))
+    tags += Tag(TTiepoint, 12, 6,
+      ext = doubles(Seq(0.0, 0.0, 0.0, r.originX, r.originY, 0.0)))
+    tags += Tag(TGeoKeys, 3, geoKeys.length, ext = shorts(geoKeys.map(_.toInt)))
+    val entries = tags.result()
+
+    val ifdSize = 2 + entries.length * 12 + 4
+    var extOff = 8 + ifdSize
+    val extOffsets = entries.map { t =>
+      val o = extOff
+      if (t.ext != null) extOff += t.ext.length
+      o
+    }
+    val stripOff = extOff
 
     val out = ByteBuffer.allocate(stripOff + strip.length)
       .order(ByteOrder.LITTLE_ENDIAN)
     out.put(0, 'I'.toByte).put(1, 'I'.toByte)
     out.putShort(2, 42.toShort)
     out.putInt(4, 8) // first IFD offset
-
     out.position(8)
-    out.putShort(entries.toShort)
-    def entry(tag: Int, typ: Int, count: Int, value: Long): Unit = {
-      out.putShort(tag.toShort).putShort(typ.toShort).putInt(count)
-      out.putInt((value & 0xffffffffL).toInt)
+    out.putShort(entries.length.toShort)
+    entries.zip(extOffsets).foreach { case (t, eo) =>
+      out.putShort(t.tag.toShort).putShort(t.typ.toShort).putInt(t.count)
+      val v =
+        if (t.ext != null) eo.toLong
+        else if (t.tag == TStripOffsets) stripOff.toLong
+        else t.inline
+      out.putInt((v & 0xffffffffL).toInt)
     }
-    // tags must ascend
-    entry(TWidth, 3, 1, tile.width)
-    entry(TLength, 3, 1, tile.height)
-    entry(TBits, 3, 1, 32)
-    entry(TCompression, 3, 1, compCode)
-    entry(TPhotometric, 3, 1, 1) // BlackIsZero
-    entry(TStripOffsets, 4, 1, stripOff)
-    entry(TSamplesPerPixel, 3, 1, 1)
-    entry(TRowsPerStripTag, 3, 1, tile.height)
-    entry(TStripByteCounts, 4, 1, strip.length)
-    entry(TSampleFormat, 3, 1, 2) // signed integer
-    entry(TPixelScale, 12, 3, scaleOff)
-    entry(TTiepoint, 12, 6, tieOff)
-    entry(TGeoKeys, 3, geoKeys.length, geoOff)
     out.putInt(0) // next IFD
-
-    out.position(scaleOff)
-    out.putDouble(tile.pixelDeg).putDouble(tile.pixelDeg).putDouble(0.0)
-    out.position(tieOff)
-    // raster (0,0,0) ↦ model (originLon, originLat, 0)
-    out.putDouble(0.0).putDouble(0.0).putDouble(0.0)
-    out.putDouble(tile.originLon).putDouble(tile.originLat).putDouble(0.0)
-    out.position(geoOff)
-    geoKeys.foreach(out.putShort)
+    entries.zip(extOffsets).foreach { case (t, eo) =>
+      if (t.ext != null) { out.position(eo); out.put(t.ext) }
+    }
     out.position(stripOff)
     out.put(strip)
-
     java.nio.file.Files.write(path, out.array())
   }
 
@@ -189,18 +340,13 @@ object GeoTiff {
     * The Spark-side at-rest format stays Parquet-of-arrays (partition
     * pruning + columnar band pruning are the scale story); this is
     * the I/O interchange artifact the reference builds with
-    * `gdal_translate -of COG` (`app/tasks/cog_assets.py:26-117`). */
+    * `gdal_translate -of COG` (`app/tasks/cog_assets.py:26-117`).
+    * Single-band int32 (the tile lake's currency). */
   def writeCog(path: java.nio.file.Path, tile: Tile, blockSize: Int = 512,
                compression: String = "deflate"): Unit = {
     require(blockSize > 0 && blockSize % 16 == 0,
       s"TIFF tile dimensions must be multiples of 16 (got $blockSize)")
-    val compCode = compression match {
-      case "none" => 1
-      case "lzw" => 5
-      case "deflate" => 8
-      case c => throw new IllegalArgumentException(
-        s"unsupported compression '$c' (none/lzw/deflate)")
-    }
+    val compCode = compCodeOf(compression)
     // overview pyramid: halve until the level fits one block
     val levels = {
       val out = scala.collection.mutable.ArrayBuffer(
@@ -238,11 +384,7 @@ object GeoTiff {
       Level(w, h, blocks)
     }
 
-    val geoKeys: Array[Short] = Array(
-      1, 1, 0, 3,
-      1024, 0, 1, 2,
-      1025, 0, 1, 1,
-      2048, 0, 1, 4326).map(_.toShort)
+    val geoKeys = geoKeysFor(4326)
 
     // layout: header, IFDs, external arrays, tile data (overviews
     // smallest-first, base last)
@@ -326,9 +468,13 @@ object GeoTiff {
     java.nio.file.Files.write(path, out.array())
   }
 
+  /** The base (first-IFD) image only, as a legacy single-band integer
+    * [[Tile]]; float files must go through [[readRaster]]. */
+  def read(bytes: Array[Byte]): Tile = tileOf(readRaster(bytes))
+
   /** The base (first-IFD) image only — the ingest path's form; the
     * overview pyramid of a COG is skipped, not decoded. */
-  def read(bytes: Array[Byte]): Tile = {
+  def readRaster(bytes: Array[Byte]): Raster = {
     val (b, order) = header(bytes)
     parseIfd(bytes, b, order, b.getInt(4))._1
   }
@@ -347,19 +493,22 @@ object GeoTiff {
   /** Every image in the IFD chain — the base image first, then any
     * reduced-resolution overviews ([[writeCog]]'s layout, or any
     * conforming multi-IFD TIFF). */
-  def readLevels(bytes: Array[Byte]): Seq[Tile] = {
+  def readLevels(bytes: Array[Byte]): Seq[Tile] =
+    readRasterLevels(bytes).map(tileOf)
+
+  def readRasterLevels(bytes: Array[Byte]): Seq[Raster] = {
     val (b, order) = header(bytes)
     var ifd = b.getInt(4)
     val seen = scala.collection.mutable.Set.empty[Int]
-    val out = scala.collection.mutable.ArrayBuffer.empty[Tile]
+    val out = scala.collection.mutable.ArrayBuffer.empty[Raster]
     while (ifd != 0) {
       // a next-IFD pointer revisiting an offset is a corrupt (or
       // crafted) file — the old single-IFD reader always terminated,
       // and the chain walk must too
       require(seen.add(ifd), s"cyclic IFD chain at offset $ifd")
       require(out.length < 64, "IFD chain exceeds 64 images")
-      val (tile, next) = parseIfd(bytes, b, order, ifd)
-      out += tile
+      val (r, next) = parseIfd(bytes, b, order, ifd)
+      out += r
       ifd = next
     }
     out.toSeq
@@ -368,13 +517,16 @@ object GeoTiff {
   /** One IFD → its image + the next-IFD offset (0 = end of chain).
     * Handles both stripped and tiled ([[writeCog]]) layouts. */
   private def parseIfd(bytes: Array[Byte], b: ByteBuffer, order: ByteOrder,
-                       ifd: Int): (Tile, Int) = {
+                       ifd: Int): (Raster, Int) = {
     val n = b.getShort(ifd) & 0xffff
     var width = 0
     var height = 0
     var compression = 1
     var predictor = 1
-    var bits = 32
+    var bits = Seq(32L)
+    var fmts = Seq(1L) // TIFF default: unsigned
+    var spp = 1
+    var planar = 1
     var stripOffsets = Seq.empty[Long]
     var stripCounts = Seq.empty[Long]
     var rowsPerStrip = 0
@@ -382,6 +534,7 @@ object GeoTiff {
     var tileH = 0
     var tileOffsets = Seq.empty[Long]
     var tileCounts = Seq.empty[Long]
+    var geoKeyVals = Seq.empty[Long]
     var scaleOff = -1
     var tieOff = -1
     val typeSize = Map(1 -> 1, 2 -> 1, 3 -> 2, 4 -> 4, 12 -> 8)
@@ -407,9 +560,12 @@ object GeoTiff {
       tag match {
         case TWidth => width = values(off)._3.head.toInt
         case TLength => height = values(off)._3.head.toInt
-        case TBits => bits = values(off)._3.head.toInt
+        case TBits => bits = values(off)._3
         case TCompression => compression = values(off)._3.head.toInt
         case TPredictor => predictor = values(off)._3.head.toInt
+        case TSamplesPerPixel => spp = values(off)._3.head.toInt
+        case TPlanarConfig => planar = values(off)._3.head.toInt
+        case TSampleFormat => fmts = values(off)._3
         case TStripOffsets => stripOffsets = values(off)._3
         case TStripByteCounts => stripCounts = values(off)._3
         case TRowsPerStripTag => rowsPerStrip = values(off)._3.head.toInt
@@ -417,6 +573,7 @@ object GeoTiff {
         case TTileLength => tileH = values(off)._3.head.toInt
         case TTileOffsets => tileOffsets = values(off)._3
         case TTileByteCounts => tileCounts = values(off)._3
+        case TGeoKeys => geoKeyVals = values(off)._3
         case TPixelScale => scaleOff = b.getInt(off + 8)
         case TTiepoint => tieOff = b.getInt(off + 8)
         case _ => // skip
@@ -424,7 +581,15 @@ object GeoTiff {
       i += 1
     }
     require(width > 0 && height > 0, "missing dimensions")
-    require(bits == 32, s"unsupported BitsPerSample $bits (int32 only)")
+    require(spp >= 1 && spp <= 64, s"unsupported SamplesPerPixel $spp")
+    require(planar == 1,
+      s"unsupported PlanarConfiguration $planar (chunky only)")
+    require(bits.distinct.length == 1 && fmts.distinct.length == 1,
+      "bands must share one sample layout")
+    val sampleType = SampleType.of(bits.head.toInt, fmts.head.toInt)
+    val bps = sampleType.bits / 8
+    require(predictor == 1 || (predictor == 2 && !sampleType.isFloat),
+      s"unsupported Predictor $predictor for ${sampleType.name}")
 
     def decompress(data: Array[Byte], expected: Int): Array[Byte] = {
       val raw = compression match {
@@ -449,17 +614,25 @@ object GeoTiff {
         s"block decodes to ${raw.length} B, expected $expected")
       raw
     }
-    // horizontal differencing (predictor 2): each int32 sample stores
-    // the delta to its left neighbor — undo per row
+    // horizontal differencing (predictor 2): each integer sample
+    // stores the delta to the same band's left neighbor — undo per
+    // row, per band, at the sample width
     def unpredict(raw: Array[Byte], w: Int, h: Int): Array[Byte] = {
       if (predictor == 2) {
         val pb = ByteBuffer.wrap(raw).order(order)
+        val rowStride = w * spp
         var row = 0
         while (row < h) {
-          var col = 1
-          while (col < w) {
-            val k = (row * w + col) * 4
-            pb.putInt(k, pb.getInt(k) + pb.getInt(k - 4))
+          var col = spp // first pixel of the row is stored verbatim
+          while (col < rowStride) {
+            val k = (row * rowStride + col) * bps
+            bps match {
+              case 1 => pb.put(k, (pb.get(k) + pb.get(k - spp)).toByte)
+              case 2 => pb.putShort(k,
+                (pb.getShort(k) + pb.getShort(k - 2 * spp)).toShort)
+              case 4 => pb.putInt(k, pb.getInt(k) + pb.getInt(k - 4 * spp))
+              case 8 => pb.putLong(k, pb.getLong(k) + pb.getLong(k - 8 * spp))
+            }
             col += 1
           }
           row += 1
@@ -468,7 +641,26 @@ object GeoTiff {
       raw
     }
 
-    val px = new Array[Int](width * height)
+    val bands = Seq.fill(spp)(new Array[Double](width * height))
+    def scatter(raw: Array[Byte], blockW: Int, blockH: Int,
+                x0: Int, y0: Int): Unit = {
+      val rb = ByteBuffer.wrap(raw).order(order)
+      var row = 0
+      while (row < blockH && y0 + row < height) {
+        var col = 0
+        while (col < blockW && x0 + col < width) {
+          var c = 0
+          while (c < spp) {
+            bands(c)((y0 + row) * width + x0 + col) =
+              getSample(rb, ((row * blockW + col) * spp + c) * bps, sampleType)
+            c += 1
+          }
+          col += 1
+        }
+        row += 1
+      }
+    }
+
     if (tileOffsets.nonEmpty) {
       // tiled layout: blocks are always tileW×tileH (edge blocks are
       // padded on disk and cropped here), row-major block order
@@ -477,44 +669,46 @@ object GeoTiff {
       tileOffsets.zip(tileCounts).zipWithIndex.foreach { case ((o, c), t) =>
         val raw = unpredict(decompress(
           java.util.Arrays.copyOfRange(bytes, o.toInt, (o + c).toInt),
-          tileW * tileH * 4), tileW, tileH)
-        val rb = ByteBuffer.wrap(raw).order(order)
-        val x0 = (t % across) * tileW
-        val y0 = (t / across) * tileH
-        var row = 0
-        while (row < tileH && y0 + row < height) {
-          var col = 0
-          while (col < tileW && x0 + col < width) {
-            px((y0 + row) * width + x0 + col) = rb.getInt((row * tileW + col) * 4)
-            col += 1
-          }
-          row += 1
-        }
+          tileW * tileH * spp * bps), tileW, tileH)
+        scatter(raw, tileW, tileH, (t % across) * tileW, (t / across) * tileH)
       }
     } else {
       // each strip is an INDEPENDENT compressed stream (TIFF 6.0 —
       // concatenating the compressed bytes only works for compression
       // 1); decode strip-by-strip against its own row count
       val rps = if (rowsPerStrip > 0) rowsPerStrip else height
-      val data = stripOffsets.zip(stripCounts).zipWithIndex.map {
-        case ((o, c), s) =>
-          val rows = math.min(rps, height - s * rps)
-          decompress(
-            java.util.Arrays.copyOfRange(bytes, o.toInt, (o + c).toInt),
-            rows * width * 4)
-      }.reduce(_ ++ _)
-      val raw = unpredict(data, width, height)
-      val rb = ByteBuffer.wrap(raw).order(order)
-      var j = 0
-      while (j < px.length) { px(j) = rb.getInt(4 * j); j += 1 }
+      stripOffsets.zip(stripCounts).zipWithIndex.foreach { case ((o, c), s) =>
+        val rows = math.min(rps, height - s * rps)
+        val raw = unpredict(decompress(
+          java.util.Arrays.copyOfRange(bytes, o.toInt, (o + c).toInt),
+          rows * width * spp * bps), width, rows)
+        scatter(raw, width, rows, 0, s * rps)
+      }
     }
-    val pixelDeg =
+    val pixelScale =
       if (scaleOff >= 0) b.getDouble(scaleOff) else Double.NaN
-    val (lon, lat) =
+    val pixelScaleY =
+      if (scaleOff >= 0) b.getDouble(scaleOff + 8) else Double.NaN
+    val (ox, oy) =
       if (tieOff >= 0) (b.getDouble(tieOff + 24), b.getDouble(tieOff + 32))
       else (Double.NaN, Double.NaN)
+    // GeoKeyDirectory: groups of 4 shorts (key, location, count,
+    // value) after the 4-short header; model type 2 = geographic
+    // (key 2048 carries the EPSG), 1 = projected (key 3072)
+    val epsg = {
+      val groups = geoKeyVals.grouped(4).toSeq
+      def key(id: Int): Option[Int] = groups.collectFirst {
+        case Seq(k, 0, 1, v) if k == id => v.toInt
+      }
+      key(1024) match {
+        case Some(1) => key(3072).getOrElse(0)
+        case Some(2) => key(2048).getOrElse(4326)
+        case _ => 4326 // no keys: assume the lake's geographic CRS
+      }
+    }
     val next = b.getInt(ifd + 2 + n * 12)
-    (Tile(width, height, lon, lat, pixelDeg, px), next)
+    (Raster(width, height, ox, oy, pixelScale, epsg, sampleType, bands,
+      pixelScaleYOpt = pixelScaleY), next)
   }
 
   // ------------------------------------------------------------- LZW

@@ -526,6 +526,20 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tifLzw.pixels.toSeq == tif.pixels.toSeq)
     assert(get(s"/dataset/rastds/v1/download/geotiff?tile_id=$tid&pixel_meaning=class&compression=zip")
       .statusCode() == 422)
+    // srid=3857 serves the tile warped to web mercator (the tile-cache
+    // CRS): projected geokeys, x linear in lon, columns untouched
+    val dlWm = get(s"/dataset/rastds/v1/download/geotiff?tile_id=$tid&pixel_meaning=class&srid=3857")
+    assert(dlWm.statusCode() == 307, dlWm.body().take(300))
+    val wm = graft.raster.GeoTiff.readRaster(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dlWm.headers().firstValue("Location").get)))
+    assert(wm.epsg == 3857 && wm.width == 10 && wm.height == 10)
+    assert(wm.originX == graft.geo.Geom.toWebMercatorX(21.0))
+    assert(wm.originY == graft.geo.Geom.toWebMercatorY(10.0))
+    // near the equator the warp moves no rows at 10 px: pixel values
+    // match the 4326 tile exactly
+    assert(wm.bands.head.map(_.toInt).toSeq == tif.pixels.toSeq)
+    assert(get(s"/dataset/rastds/v1/download/geotiff?tile_id=$tid&pixel_meaning=class&srid=9999")
+      .statusCode() == 422)
     // POST /assets builds a COG follow-up asset from the tile set
     // (add_new_asset + cog_assets.py)
     def req(method: String, path: String, body: String,
@@ -606,6 +620,82 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       .findFirstMatchIn(post("/geostore", gj).body()).get.group(1)
     val zp = get(s"/analysis/zonal/$zgid")
     assert(zp.statusCode() == 200, zp.body().take(300))
+  }
+
+  test("multi-band GeoTIFF sources ingest as per-band layers; float and projected CRS are rejected") {
+    import graft.raster.GeoTiff
+    import GeoTiff.{Raster, SampleType}
+    val src = java.nio.file.Files.createTempDirectory("mbsrc")
+    // one 8×8 uint16 2-band tile at (5E, 5N), 0.25°/px
+    val px = 8
+    val b1 = Array.tabulate(px * px)(i => (i % 3).toDouble)
+    val b2 = Array.tabulate(px * px)(i => (i % 5).toDouble)
+    GeoTiff.writeRaster(src.resolve("mb.tif"),
+      Raster(px, px, 5.0, 5.0, 0.25, 4326, SampleType.UInt16, Seq(b1, b2)))
+    val body =
+      s"""{"creation_options": {
+         |  "source_uri": ["${src.resolve("mb.tif")}"],
+         |  "source_type": "raster", "pixel_meaning": "pair"}}""".stripMargin
+    val put = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/dataset/mbds/v1"))
+        .header("Authorization", "Bearer test-admin")
+        .PUT(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(put.statusCode() == 202, put.body().take(300))
+    var vbody = ""
+    var tries = 0
+    while (tries < 120 && { vbody = get("/dataset/mbds/v1").body()
+      vbody.contains("\"status\":\"pending\"") }) { Thread.sleep(250); tries += 1 }
+    assert(vbody.contains("\"status\":\"saved\""), vbody.take(600))
+    assert(vbody.contains("px_pair_b1,px_pair_b2"), vbody.take(600))
+    // band 1 answers as mbds__pair, band 2 as mbds__pair_b2
+    val aoi = """{"type":"Polygon","coordinates":[[[4.9,2.9],[7.1,2.9],[7.1,5.1],[4.9,5.1],[4.9,2.9]]]}"""
+    val q = post("/dataset/mbds/v1/query/json",
+      s"""{"sql": "SELECT mbds__pair AS k, count(*) AS n FROM data GROUP BY mbds__pair ORDER BY k", "geometry": $aoi}""")
+    assert(q.statusCode() == 200, q.body().take(400))
+    val exp1 = b1.groupBy(_.toInt).view.mapValues(_.length).toMap
+    for ((k, n) <- exp1)
+      assert(q.body().contains(s"""{"k":$k,"n":$n}"""), s"b1 $k=$n: ${q.body().take(300)}")
+    val q2 = post("/dataset/mbds/v1/query/json",
+      s"""{"sql": "SELECT mbds__pair_b2 AS k, count(*) AS n FROM data GROUP BY mbds__pair_b2 ORDER BY k", "geometry": $aoi}""")
+    assert(q2.statusCode() == 200, q2.body().take(400))
+    val exp2 = b2.groupBy(_.toInt).view.mapValues(_.length).toMap
+    for ((k, n) <- exp2)
+      assert(q2.body().contains(s"""{"k":$k,"n":$n}"""), s"b2 $k=$n: ${q2.body().take(300)}")
+    // float samples → clean creation failure naming the cause
+    GeoTiff.writeRaster(src.resolve("f32.tif"),
+      Raster(px, px, 5.0, 5.0, 0.25, 4326, SampleType.Float32, Seq(b1)))
+    val putF = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/dataset/fltds/v1"))
+        .header("Authorization", "Bearer test-admin")
+        .PUT(HttpRequest.BodyPublishers.ofString(
+          s"""{"creation_options": {"source_uri": ["${src.resolve("f32.tif")}"],
+             |  "source_type": "raster", "pixel_meaning": "x"}}""".stripMargin))
+        .build(), HttpResponse.BodyHandlers.ofString())
+    assert(putF.statusCode() == 202, putF.body().take(300))
+    var fb = ""
+    tries = 0
+    while (tries < 120 && { fb = get("/dataset/fltds/v1").body()
+      fb.contains("\"status\":\"pending\"") }) { Thread.sleep(250); tries += 1 }
+    assert(fb.contains("\"status\":\"failed\"") && fb.contains("float"),
+      fb.take(600))
+    // projected-CRS source → clean failure pointing at unify_projection
+    GeoTiff.writeRaster(src.resolve("wm.tif"),
+      Raster(px, px, 556597.0, 556597.0, 1000.0, 3857, SampleType.Int32, Seq(b1)))
+    val putW = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/dataset/wmds/v1"))
+        .header("Authorization", "Bearer test-admin")
+        .PUT(HttpRequest.BodyPublishers.ofString(
+          s"""{"creation_options": {"source_uri": ["${src.resolve("wm.tif")}"],
+             |  "source_type": "raster", "pixel_meaning": "x"}}""".stripMargin))
+        .build(), HttpResponse.BodyHandlers.ofString())
+    assert(putW.statusCode() == 202, putW.body().take(300))
+    var wb = ""
+    tries = 0
+    while (tries < 120 && { wb = get("/dataset/wmds/v1").body()
+      wb.contains("\"status\":\"pending\"") }) { Thread.sleep(250); tries += 1 }
+    assert(wb.contains("\"status\":\"failed\"") && wb.contains("4326"),
+      wb.take(600))
   }
 
   test("api key management: get, list, validate, delete") {

@@ -325,6 +325,133 @@ class GeoTiffSpec extends AnyFunSuite {
     assert(back.pixels.toSeq == px.toSeq)
   }
 
+  test("multi-band rasters round-trip in every sample type × compression") {
+    import GeoTiff.{Raster, SampleType}
+    def domain(t: SampleType, v: Long): Double = t match {
+      case SampleType.UInt8 => (v & 0xff).toDouble
+      case SampleType.Int8 => (v & 0xff).toByte.toDouble
+      case SampleType.UInt16 => (v & 0xffff).toDouble
+      case SampleType.Int16 => (v & 0xffff).toShort.toDouble
+      case SampleType.UInt32 => (v & 0xffffffffL).toDouble
+      case SampleType.Int32 => v.toInt.toDouble
+      case SampleType.Float32 => java.lang.Float.intBitsToFloat(
+        (v.toInt & 0x7fffff) | 0x3f800000).toDouble // finite mantissas
+      case SampleType.Float64 => (v % 100000).toDouble / 7.0
+    }
+    for (t <- SampleType.all; comp <- Seq("none", "deflate", "lzw")) {
+      var s = t.bits * 1315423911L + comp.hashCode
+      def next(): Long = { s = s * 6364136223846793005L + 1442695040888963407L
+        s >>> 13 }
+      val bands = Seq.tabulate(3)(b =>
+        Array.fill(12 * 9)(domain(t, next() + b)))
+      val r = Raster(12, 9, -61.5, 4.25, 0.125, 4326, t, bands)
+      val p = java.nio.file.Files.createTempFile(s"mb_${t.name}", ".tif")
+      GeoTiff.writeRaster(p, r, comp)
+      val back = GeoTiff.readRaster(java.nio.file.Files.readAllBytes(p))
+      java.nio.file.Files.delete(p)
+      assert(back.sampleType == t, s"$t/$comp")
+      assert(back.bands.length == 3, s"$t/$comp")
+      assert(back.epsg == 4326 && back.originX == -61.5 &&
+        back.originY == 4.25 && back.pixelScale == 0.125, s"$t/$comp")
+      for (b <- 0 until 3)
+        assert(back.bands(b).toSeq == bands(b).toSeq, s"$t/$comp band $b")
+    }
+  }
+
+  test("projected CRS (EPSG:3857) writes and reads GTModelType=1 + ProjectedCSType") {
+    import GeoTiff.{Raster, SampleType}
+    // a web-mercator tile: origin/scale in meters
+    val r = Raster(8, 8, -8237642.0, 4970241.0, 152.87, 3857,
+      SampleType.Int16, Seq(Array.tabulate(64)(i => (i * 13 - 400).toDouble)))
+    val p = java.nio.file.Files.createTempFile("merc", ".tif")
+    GeoTiff.writeRaster(p, r, "deflate")
+    val back = GeoTiff.readRaster(java.nio.file.Files.readAllBytes(p))
+    assert(back.epsg == 3857)
+    assert(back.originX == -8237642.0 && back.pixelScale == 152.87)
+    assert(back.bands.head.toSeq == r.bands.head.toSeq)
+    // the geokey directory carries GTModelTypeGeoKey = 1 (projected)
+    val bytes = java.nio.file.Files.readAllBytes(p)
+    val n = (bytes(8) & 0xff) | ((bytes(9) & 0xff) << 8)
+    val geoOff = (0 until n).map(i => 10 + i * 12).collectFirst {
+      case off if ((bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)) == 34735 =>
+        java.nio.ByteBuffer.wrap(bytes, off + 8, 4)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+    }.get
+    val keys = (0 until 16).map(i =>
+      java.nio.ByteBuffer.wrap(bytes, geoOff + 2 * i, 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getShort.toInt)
+    assert(keys.grouped(4).exists(_ == Seq(1024, 0, 1, 1)), keys.toString)
+    assert(keys.grouped(4).exists(_ == Seq(3072, 0, 1, 3857)), keys.toString)
+  }
+
+  test("predictor 2 on multi-band 16-bit data undoes per band") {
+    import GeoTiff.{Raster, SampleType}
+    // write uncompressed 2-band uint16, hand-difference per band with
+    // stride = samplesPerPixel, then declare Predictor=2 by rewriting
+    // the SampleFormat slot (format falls back to the unsigned default)
+    val w = 6; val h = 4
+    val bands = Seq.tabulate(2)(b =>
+      Array.tabulate(w * h)(i => ((i * 37 + b * 101) % 65536).toDouble))
+    val r = Raster(w, h, 0.0, 0.0, 1.0, 4326, SampleType.UInt16, bands)
+    val p = java.nio.file.Files.createTempFile("pred2", ".tif")
+    GeoTiff.writeRaster(p, r, "none")
+    val bytes = java.nio.file.Files.readAllBytes(p)
+    val n = (bytes(8) & 0xff) | ((bytes(9) & 0xff) << 8)
+    def tagOff(tag: Int) = (0 until n).map(i => 10 + i * 12).find { o =>
+      ((bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)) == tag
+    }.get
+    val stripOff = java.nio.ByteBuffer.wrap(bytes, tagOff(273) + 8, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val spp = 2
+    for (row <- 0 until h; col <- (spp until w * spp).reverse) {
+      val k = stripOff + (row * w * spp + col) * 2
+      bb.putShort(k, (bb.getShort(k) - bb.getShort(k - 2 * spp)).toShort)
+    }
+    val fmtOff = tagOff(339)
+    bb.putShort(fmtOff, 317.toShort)
+    bb.putShort(fmtOff + 2, 3.toShort)
+    bb.putInt(fmtOff + 4, 1)
+    bb.putInt(fmtOff + 8, 2)
+    val back = GeoTiff.readRaster(bytes)
+    assert(back.sampleType == SampleType.UInt16)
+    for (b <- 0 until 2)
+      assert(back.bands(b).toSeq == bands(b).toSeq, s"band $b")
+  }
+
+  test("legacy Tile read rejects float and multi-band files") {
+    import GeoTiff.{Raster, SampleType}
+    val f = Raster(4, 4, 0.0, 0.0, 1.0, 4326, SampleType.Float32,
+      Seq(Array.tabulate(16)(_ * 0.5)))
+    val p = java.nio.file.Files.createTempFile("flt", ".tif")
+    GeoTiff.writeRaster(p, f)
+    val e1 = intercept[IllegalArgumentException](
+      GeoTiff.read(java.nio.file.Files.readAllBytes(p)))
+    assert(e1.getMessage.contains("integer"))
+    val mb = Raster(4, 4, 0.0, 0.0, 1.0, 4326, SampleType.Int32,
+      Seq(Array.fill(16)(1.0), Array.fill(16)(2.0)))
+    GeoTiff.writeRaster(p, mb)
+    val e2 = intercept[IllegalArgumentException](
+      GeoTiff.read(java.nio.file.Files.readAllBytes(p)))
+    assert(e2.getMessage.contains("single-band"))
+    // predictor on float data is rejected, not mis-applied
+    GeoTiff.writeRaster(p, f)
+    val fb = java.nio.file.Files.readAllBytes(p)
+    val n = (fb(8) & 0xff) | ((fb(9) & 0xff) << 8)
+    val fmtOff = (0 until n).map(i => 10 + i * 12).find { o =>
+      ((fb(o) & 0xff) | ((fb(o + 1) & 0xff) << 8)) == 262
+    }.get
+    // rewrite Photometric as Predictor=2 (262 → 317 keeps ascending
+    // order irrelevant to the tag-driven reader)
+    val bb2 = java.nio.ByteBuffer.wrap(fb)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb2.putShort(fmtOff, 317.toShort)
+    bb2.putInt(fmtOff + 8, 2)
+    val e3 = intercept[IllegalArgumentException](GeoTiff.readRaster(fb))
+    assert(e3.getMessage.contains("Predictor"))
+  }
+
   test("reader rejects non-TIFF and unsupported forms") {
     intercept[IllegalArgumentException](GeoTiff.read("nope".getBytes))
     val p = java.nio.file.Files.createTempFile("gt3", ".tif")

@@ -1,0 +1,58 @@
+package graft.raster
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.geo.Geom
+
+class WarpSpec extends AnyFunSuite {
+
+  test("4326 tile → web mercator: columns exact, rows nearest-neighbor") {
+    // 10×10 px, 1°/px tile at (20E, 50N): far enough north that the
+    // mercator stretch moves rows visibly
+    val px = Array.tabulate(100)(i => (i / 10) * 100 + i % 10) // row*100+col
+    val t = GeoTiff.Tile(10, 10, 20.0, 50.0, 1.0, px)
+    val r = Warp.tileToWebMercator(t)
+    assert(r.epsg == 3857 && r.width == 10 && r.height == 10)
+    // x is linear in lon: origin and scale are the exact projections
+    assert(r.originX == Geom.toWebMercatorX(20.0))
+    assert(r.originY == Geom.toWebMercatorY(50.0))
+    val x1 = Geom.toWebMercatorX(30.0)
+    assert(math.abs(r.pixelScale - (x1 - r.originX) / 10) < 1e-9)
+    // anisotropic: y scale ≠ x scale away from the equator
+    assert(math.abs(r.pixelScaleY - r.pixelScale) > 1.0)
+    // columns pass through unchanged; every output row holds ONE
+    // source row (nearest neighbor), reproducible from the y mapping
+    val yBot = Geom.toWebMercatorY(40.0)
+    val scaleY = (r.originY - yBot) / 10
+    for (row <- 0 until 10) {
+      val y = r.originY - (row + 0.5) * scaleY
+      val lat = Math.toDegrees(
+        2.0 * Math.atan(Math.exp(y / Geom.WebMercatorR)) - Math.PI / 2.0)
+      val srcRow = math.min(9, math.max(0, ((50.0 - lat) / 1.0).toInt))
+      for (col <- 0 until 10)
+        assert(r.bands.head(row * 10 + col) == (srcRow * 100 + col).toDouble,
+          s"($row,$col)")
+    }
+    // the mercator stretch duplicates a southern row into the gap the
+    // northern compression opens: rows are monotone non-decreasing
+    val rowsUsed = (0 until 10).map(row => (r.bands.head(row * 10) / 100).toInt)
+    assert(rowsUsed == rowsUsed.sorted, rowsUsed.toString)
+    // round-trips through the codec with the projected CRS
+    val p = java.nio.file.Files.createTempFile("warp", ".tif")
+    GeoTiff.writeRaster(p, r, "deflate")
+    val back = GeoTiff.readRaster(java.nio.file.Files.readAllBytes(p))
+    assert(back.epsg == 3857)
+    assert(back.pixelScaleY == r.pixelScaleY &&
+      back.pixelScale == r.pixelScale)
+    assert(back.bands.head.toSeq == r.bands.head.toSeq)
+  }
+
+  test("equator tile is (nearly) isotropic; polar tile is rejected") {
+    val t = GeoTiff.Tile(4, 4, 0.0, 2.0, 1.0, Array.tabulate(16)(identity))
+    val r = Warp.tileToWebMercator(t)
+    // |lat| ≤ 2°: x and y scales agree within 0.1%
+    assert(math.abs(r.pixelScaleY / r.pixelScale - 1.0) < 1e-3)
+    val polar = GeoTiff.Tile(4, 4, 0.0, 89.0, 1.0, new Array[Int](16))
+    val e = intercept[IllegalArgumentException](Warp.tileToWebMercator(polar))
+    assert(e.getMessage.contains("mercator"))
+  }
+}
