@@ -18,9 +18,11 @@ import scala.collection.mutable.ArrayBuffer
   *     as `sqlite_autoindex_*` index b-trees (single leaf, type 0x0A:
   *     key-record cells `(key values…, rowid)` in BINARY-collation
   *     order, `sql` NULL in `sqlite_master` — the autoindex rule);
-  *   - no overflow pages (payloads are capped at the 64 KiB-page
-  *     inline maximum — the writer rejects larger rows), no freelist,
-  *     UTF-8 text.
+  *   - table-leaf payloads past the spec's inline threshold spill to
+  *     overflow-page chains (4-byte next pointer + data), using the
+  *     format's exact K/M split so stock SQLite finds every byte
+  *     where it expects it; index leaves keep the inline cap
+  *     (constraint keys are short); no freelist, UTF-8 text.
   *
   * Output validates against stock SQLite (`PRAGMA integrity_check` via
   * the driver-side python3 sqlite3 module was used while developing
@@ -29,7 +31,20 @@ import scala.collection.mutable.ArrayBuffer
 object Sqlite {
 
   val PageSize = 65536
-  private val MaxInline = PageSize - 35
+
+  /** The spec's table-leaf inline portion of a payload of `p` bytes
+    * (sqlite.org/fileformat2 §B-tree Pages): X = U-35 fits whole;
+    * otherwise K = M + (p-M) % (U-4) bytes stay inline when K ≤ X,
+    * else the minimum M — the remainder lives on overflow pages. */
+  private[etl] def tableLeafInline(p: Long, u: Int): Int = {
+    val x = u - 35
+    if (p <= x) p.toInt
+    else {
+      val m = (u - 12) * 32 / 255 - 23
+      val k = m + ((p - m) % (u - 4))
+      if (k <= x) k.toInt else m
+    }
+  }
 
   // ------------------------------------------------------------ varints
 
@@ -214,11 +229,34 @@ object Sqlite {
           case Some(c) => row.updated(c, null)
           case None => row
         }
-        val payload = record(stored)
-        require(payload.length <= MaxInline,
-          s"row of ${t.name} exceeds the inline payload cap ($MaxInline B)")
-        Cell(rowid, payload)
+        Cell(rowid, record(stored))
       }
+
+    /** The on-page image of one table-leaf cell: varint(FULL payload
+      * length) + varint(rowid) + inline portion, plus the 4-byte
+      * first-overflow-page number when the payload spills. Allocates
+      * the overflow chain as a side effect — call once per cell. */
+    def packCell(c: Cell): Array[Byte] = {
+      val p = c.payload
+      val inline = tableLeafInline(p.length, PageSize)
+      val head = varint(p.length) ++ varint(c.rowid)
+      if (inline == p.length) head ++ p
+      else {
+        val perPage = PageSize - 4
+        val nPages = (p.length - inline + perPage - 1) / perPage
+        val chain = Seq.fill(nPages)(newPage())
+        var off = inline
+        chain.zipWithIndex.foreach { case ((pg, _), idx) =>
+          val next = if (idx + 1 < nPages) chain(idx + 1)._2 else 0
+          ByteBuffer.wrap(pg.data).putInt(0, next)
+          val n = math.min(perPage, p.length - off)
+          System.arraycopy(p, off, pg.data, 4, n)
+          off += n
+        }
+        head ++ p.take(inline) ++
+          ByteBuffer.allocate(4).putInt(chain.head._2).array()
+      }
+    }
 
     /** Pack cells into leaf pages → (page number, max rowid) per leaf;
       * then stack interior levels until one root remains. Returns the
@@ -230,22 +268,22 @@ object Sqlite {
           s"rowids must strictly ascend (got ${a.rowid} then ${b.rowid})")
         case _ =>
       }
-      // leaves
+      // leaves (cells packed up front — overflow chains allocate here)
+      val packed = cells.map(c => (c.rowid, packCell(c)))
       var leaves = ArrayBuffer.empty[(Int, Long)]
-      var batch = ArrayBuffer.empty[Cell]
+      var batch = ArrayBuffer.empty[(Long, Array[Byte])]
       var used = 8 // leaf header
       def flushLeaf(): Unit = if (batch.nonEmpty) {
         val (p, no) = newPage()
-        initLeaf(p, batch.toSeq, pageOne = false)
-        leaves += ((no, batch.last.rowid))
-        batch = ArrayBuffer.empty[Cell]
+        initLeaf(p, batch.toSeq.map(_._2), pageOne = false)
+        leaves += ((no, batch.last._1))
+        batch = ArrayBuffer.empty[(Long, Array[Byte])]
         used = 8
       }
-      cells.foreach { c =>
-        val sz = 2 + varint(c.payload.length).length + varint(c.rowid).length +
-          c.payload.length
+      packed.foreach { case (rowid, bytes) =>
+        val sz = 2 + bytes.length
         if (used + sz > PageSize) flushLeaf()
-        batch += c
+        batch += ((rowid, bytes))
         used += sz
       }
       flushLeaf()
@@ -274,14 +312,13 @@ object Sqlite {
       level.head._1
     }
 
-    def initLeaf(p: Page, cells: Seq[Cell], pageOne: Boolean): Unit = {
+    def initLeaf(p: Page, cellImages: Seq[Array[Byte]], pageOne: Boolean): Unit = {
       val base = if (pageOne) 100 else 0
       val buf = ByteBuffer.wrap(p.data)
       buf.put(base, 0x0d.toByte)
-      buf.putShort(base + 3, cells.length.toShort)
+      buf.putShort(base + 3, cellImages.length.toShort)
       var content = PageSize
-      val ptrs = cells.map { c =>
-        val bytes = varint(c.payload.length) ++ varint(c.rowid) ++ c.payload
+      val ptrs = cellImages.map { bytes =>
         content -= bytes.length
         System.arraycopy(bytes, 0, p.data, content, bytes.length)
         content
@@ -364,7 +401,7 @@ object Sqlite {
       Cell(i + 1L, record(row))
     }
     val pageOne = new Page()
-    initLeaf(pageOne, masterCells, pageOne = true)
+    initLeaf(pageOne, masterCells.map(packCell), pageOne = true)
     require(12 + masterCells.map(c => 2 + 13 + c.payload.length).sum < PageSize - 100,
       "schema does not fit on page 1")
 
@@ -417,9 +454,36 @@ object Sqlite {
           while (i < nCells) {
             val off = (pageNo - 1) * pageSize +
               (((db(base + 8 + 2 * i) & 0xff) << 8) | (db(base + 9 + 2 * i) & 0xff))
-            val (_, n0) = readVarint(db, off)
+            val (plen, n0) = readVarint(db, off)
             val (rowid, n1) = readVarint(db, off + n0)
-            out += ((rowid, readRecord(db, off + n0 + n1)))
+            val inline = tableLeafInline(plen, pageSize)
+            if (inline == plen)
+              out += ((rowid, readRecord(db, off + n0 + n1)))
+            else {
+              // spilled payload: inline bytes + overflow chain (each
+              // page = 4-byte next pointer + data). Same cycle/range
+              // armor as the b-tree walk — overflow pointers come
+              // from the same untrusted bytes.
+              val full = new Array[Byte](plen.toInt)
+              System.arraycopy(db, off + n0 + n1, full, 0, inline)
+              var at = inline
+              var ptr = ByteBuffer.wrap(db, off + n0 + n1 + inline, 4).getInt
+              val seenOv = scala.collection.mutable.Set.empty[Int]
+              while (ptr != 0) {
+                require(ptr >= 1 && (ptr.toLong - 1) * pageSize < db.length,
+                  s"overflow page $ptr outside the database")
+                require(seenOv.add(ptr), s"cyclic overflow chain at page $ptr")
+                val ob = (ptr - 1) * pageSize
+                val n = math.min(pageSize - 4, plen.toInt - at)
+                require(n > 0, "overflow chain longer than the payload")
+                System.arraycopy(db, ob + 4, full, at, n)
+                at += n
+                ptr = ByteBuffer.wrap(db, ob, 4).getInt
+              }
+              require(at == plen,
+                s"overflow chain holds $at of $plen payload bytes")
+              out += ((rowid, readRecord(full, 0)))
+            }
             i += 1
           }
         case 0x05 =>

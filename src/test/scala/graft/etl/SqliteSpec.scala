@@ -146,13 +146,56 @@ class SqliteSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("outside"), e2.getMessage)
   }
 
-  test("oversized rows are rejected (no overflow pages)") {
+  test("payloads past the inline threshold spill to overflow chains and read back") {
     val path = java.nio.file.Files.createTempFile("sq2", ".db")
-    val big = "y" * 70000
-    val e = intercept[IllegalArgumentException] {
-      Sqlite.writeDb(path, Seq(Sqlite.TableDef("t",
-        "CREATE TABLE t (v TEXT)", Seq(Seq(big)))))
+    // mixed sizes around every boundary: X = 65501 (inline max),
+    // one-overflow-page, multi-page chains, interleaved small rows
+    def blob(n: Int, seed: Int): Array[Byte] = {
+      var s = seed.toLong
+      Array.fill(n) {
+        s = s * 6364136223846793005L + 1442695040888963407L
+        (s >>> 56).toByte
+      }
     }
-    assert(e.getMessage.contains("inline payload cap"))
+    val rows: Seq[Seq[Any]] = Seq(
+      Seq(1L, "small"),
+      Seq(2L, blob(65490, 7)),    // just under X with record header
+      Seq(3L, blob(65520, 11)),   // just over: one overflow page
+      Seq(4L, "y" * 70000),       // text spill
+      Seq(5L, blob(200000, 13)),  // 3-page chain
+      Seq(6L, "tail"))
+    Sqlite.writeDb(path, Seq(Sqlite.TableDef("t",
+      "CREATE TABLE t (id INTEGER PRIMARY KEY, v)", rows,
+      rowidAlias = Some(0))))
+    val db = java.nio.file.Files.readAllBytes(path)
+    val back = Sqlite.readTable(db, "t")
+    assert(back.map(_._1) == Seq(1L, 2L, 3L, 4L, 5L, 6L))
+    def v(i: Int): Any = back(i)._2(1)
+    assert(v(0) == "small" && v(5) == "tail")
+    assert(v(1).asInstanceOf[Array[Byte]].toSeq ==
+      rows(1)(1).asInstanceOf[Array[Byte]].toSeq)
+    assert(v(2).asInstanceOf[Array[Byte]].toSeq ==
+      rows(2)(1).asInstanceOf[Array[Byte]].toSeq)
+    assert(v(3) == "y" * 70000)
+    assert(v(4).asInstanceOf[Array[Byte]].toSeq ==
+      rows(4)(1).asInstanceOf[Array[Byte]].toSeq)
+    // the db size header counts the overflow pages too
+    val pages = java.nio.ByteBuffer.wrap(db, 28, 4).getInt
+    assert(pages.toLong * Sqlite.PageSize == db.length, s"$pages pages")
+    // a corrupt chain fails cleanly, not endlessly: truncating the
+    // file leaves a chain pointer past EOF → targeted require
+    val short = java.util.Arrays.copyOfRange(db, 0, db.length - Sqlite.PageSize)
+    intercept[IllegalArgumentException](Sqlite.readTable(short, "t"))
+  }
+
+  test("overflow spill matches stock SQLite byte layout (golden K/M split)") {
+    // the spec formula at U = 65536: X = U-35 = 65501,
+    // M = (U-12)*32/255 - 23 = 8199, K = M + (p-M) % (U-4)
+    assert(Sqlite.tableLeafInline(65501, 65536) == 65501) // fits whole
+    assert(Sqlite.tableLeafInline(65502, 65536) == 8199)  // K > X → M
+    assert(Sqlite.tableLeafInline(70005, 65536) == 8199)
+    assert(Sqlite.tableLeafInline(8199 + 65532, 65536) == 8199) // K = M
+    assert(Sqlite.tableLeafInline(8199 + 2 * 65532, 65536) == 8199)
+    assert(Sqlite.tableLeafInline(8199 + 65532 + 100, 65536) == 8299) // K ≤ X
   }
 }
