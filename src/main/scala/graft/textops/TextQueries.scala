@@ -462,6 +462,42 @@ object TextQueries extends QueryModule {
         |SELECT doc_id, gram AS top_bigram, cnt AS top_bigram_count,
         |  (cnt * len(gram))::DOUBLE / n_chars AS top_bigram_char_frac,
         |  (total_grams - distinct_grams)::DOUBLE / total_grams AS dup_bigram_frac
+        |FROM top WHERE r = 1""".stripMargin),
+
+    // T10: per-document keyword extraction — the top rarity-weighted
+    // term (TF-IDF with a LINEAR inverse document frequency:
+    // score = tf × N/df). ln() is deliberately avoided: tf×N is an
+    // exact integer < 2^53 and one IEEE division is bit-identical on
+    // both engines, so the oracle hash-matches; the ranking is
+    // idf-monotone either way. Scale shape: one explode feeding two
+    // hash aggregates (tf keyed by (doc, word) — map-side combine;
+    // df keyed by word — vocabulary-sized result, broadcast back),
+    // then one doc_id-partitioned window. No global sort, no join of
+    // two big sides.
+    SqlQ.split("t10_keywords",
+      """WITH w AS (SELECT doc_id, explode(split(text, ' ')) AS word FROM documents),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY doc_id, word),
+        |df AS (SELECT word, count(DISTINCT doc_id) AS df FROM w GROUP BY word),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |s AS (SELECT tf.doc_id, tf.word, tf.tf, df.df,
+        |        CAST(tf.tf * n.n AS DOUBLE) / df.df AS score
+        |      FROM tf JOIN df ON tf.word = df.word CROSS JOIN n),
+        |top AS (SELECT doc_id, word, tf, df, score,
+        |        row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word) AS r
+        |        FROM s)
+        |SELECT doc_id, word AS keyword, tf, df, score
+        |FROM top WHERE r = 1""".stripMargin,
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY doc_id, word),
+        |df AS (SELECT word, count(DISTINCT doc_id) AS df FROM w GROUP BY word),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |s AS (SELECT tf.doc_id, tf.word, tf.tf, df.df,
+        |        (tf.tf * n.n)::DOUBLE / df.df AS score
+        |      FROM tf JOIN df ON tf.word = df.word CROSS JOIN n),
+        |top AS (SELECT doc_id, word, tf, df, score,
+        |        row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word) AS r
+        |        FROM s)
+        |SELECT doc_id, word AS keyword, tf, df, score
         |FROM top WHERE r = 1""".stripMargin)
   )
 
