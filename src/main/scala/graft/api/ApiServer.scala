@@ -1210,13 +1210,13 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
           return respond(ex, 404, "application/json",
             Sinks.jsendError(s"No raster tile set with pixel meaning $meaning"))
         graft.raster.TileLake.ensureLake(spark, asset.assetUri)
-        val compression = queryParams(ex).getOrElse("compression", "deflate")
+        val compression = params.getOrElse("compression", "deflate")
         if (!Set("none", "lzw", "deflate").contains(compression))
           return respond(ex, 422, "application/json", Sinks.jsendError(
             s"Unsupported compression '$compression' (none/lzw/deflate)"))
         // srid mirrors the tile-cache CRS choice (reference warps tile
         // caches to EPSG:3857); the lake itself stays 4326
-        val srid = queryParams(ex).getOrElse("srid", "4326")
+        val srid = params.getOrElse("srid", "4326")
         if (!Set("4326", "3857").contains(srid))
           return respond(ex, 422, "application/json", Sinks.jsendError(
             s"Unsupported srid '$srid' (4326/3857)"))
@@ -1240,10 +1240,18 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
             g.originLon + r.getInt(0) * g.tileDeg,
             g.originLat - r.getInt(1) * g.tileDeg,
             g.pixelDeg, px)
-          if (srid == "3857")
-            graft.raster.GeoTiff.writeRaster(out,
-              graft.raster.Warp.tileToWebMercator(tile), compression)
-          else
+          if (srid == "3857") {
+            // tiles past ±85.05° have no mercator image — a client
+            // input problem (422), not a server fault
+            val warped =
+              try graft.raster.Warp.tileToWebMercator(tile)
+              catch {
+                case e: IllegalArgumentException =>
+                  return respond(ex, 422, "application/json",
+                    Sinks.jsendError(e.getMessage))
+              }
+            graft.raster.GeoTiff.writeRaster(out, warped, compression)
+          } else
             graft.raster.GeoTiff.write(out, tile, compression)
         }
         ex.getResponseHeaders.add("Location", out.toString)

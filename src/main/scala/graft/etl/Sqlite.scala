@@ -348,6 +348,14 @@ object Sqlite {
         case _ =>
       }
       val payloads = entries.map(record)
+      // the spec's INDEX inline maximum, X = (U-12)*64/255 - 23: a
+      // payload past it would need a K/M split + overflow chain on
+      // read — stock SQLite would misparse a fully-inlined one.
+      // Constraint keys are short; reject rather than spill.
+      val indexInlineMax = (PageSize - 12) * 64 / 255 - 23
+      payloads.foreach(p => require(p.length <= indexInlineMax,
+        s"index ${idx.name} key of ${p.length} B exceeds the index " +
+          s"inline maximum ($indexInlineMax B)"))
       val size = 8 + payloads.map(p => 2 + varint(p.length).length + p.length).sum
       require(size <= PageSize,
         s"index ${idx.name} exceeds one leaf page ($size B)")
@@ -463,14 +471,22 @@ object Sqlite {
               // spilled payload: inline bytes + overflow chain (each
               // page = 4-byte next pointer + data). Same cycle/range
               // armor as the b-tree walk — overflow pointers come
-              // from the same untrusted bytes.
+              // from the same untrusted bytes. A declared length
+              // beyond the file itself is corrupt: reject BEFORE
+              // allocating (a crafted 2 GB varint must not cost 2 GB
+              // of executor heap, and a negative toInt must hit the
+              // targeted require, not NegativeArraySizeException).
+              require(plen > 0 && plen <= db.length,
+                s"payload length $plen exceeds the ${db.length}-byte database")
               val full = new Array[Byte](plen.toInt)
               System.arraycopy(db, off + n0 + n1, full, 0, inline)
               var at = inline
               var ptr = ByteBuffer.wrap(db, off + n0 + n1 + inline, 4).getInt
               val seenOv = scala.collection.mutable.Set.empty[Int]
               while (ptr != 0) {
-                require(ptr >= 1 && (ptr.toLong - 1) * pageSize < db.length,
+                // the whole page must be inside the file — a file
+                // truncated mid-page fails here, not in arraycopy
+                require(ptr >= 1 && ptr.toLong * pageSize <= db.length,
                   s"overflow page $ptr outside the database")
                 require(seenOv.add(ptr), s"cyclic overflow chain at page $ptr")
                 val ob = (ptr - 1) * pageSize

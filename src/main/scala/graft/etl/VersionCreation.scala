@@ -242,9 +242,10 @@ object VersionCreation {
         "all tiles must share one band count")
       // the lake's pixel currency is integer; pixETL's float types are
       // decoded by the codec but not ingestable as zonal layers
-      require(!metas.map(_._7).exists(n => n.startsWith("float")),
-        s"float sample type ${metas.head._7} not supported for tile lakes " +
-          "(integer rasters only)")
+      require(!metas.map(_._7).exists(_.startsWith("float")),
+        "float sample type " +
+          s"${metas.map(_._7).find(_.startsWith("float")).getOrElse("")} " +
+          "not supported for tile lakes (integer rasters only)")
       require(metas.forall(_._8 == 4326),
         s"source CRS EPSG:${metas.map(_._8).find(_ != 4326).get} not " +
           "supported — reproject to EPSG:4326 first (unify_projection)")

@@ -267,9 +267,14 @@ object DataEnvironment {
               b.startsWith(s"px_${meaning}_b"))
             .map { b =>
               val idx = bandIdx(b)
+              // the asset's no_data applies to every band — but each
+              // layer masks on ITS OWN band, not the primary's
+              val bandNoData =
+                opts.get("no_data").map(v => PixelPreds.Ne(BandFn(idx), v.toDouble))
               RasterLayer(
                 s"${ds}__${meaning}_b${b.stripPrefix(s"px_${meaning}_b")}",
-                BandFn(idx), keyBound = bound, srcBands = Set(idx))
+                BandFn(idx), keyBound = bound, srcBands = Set(idx),
+                noDataPred = bandNoData)
             }
           ds -> (layers.map(l =>
             l.copy(noDataPred = noData, srcBands = l.srcBands + src.idx)) ++

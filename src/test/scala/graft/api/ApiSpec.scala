@@ -635,7 +635,8 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     val body =
       s"""{"creation_options": {
          |  "source_uri": ["${src.resolve("mb.tif")}"],
-         |  "source_type": "raster", "pixel_meaning": "pair"}}""".stripMargin
+         |  "source_type": "raster", "pixel_meaning": "pair",
+         |  "no_data": "0"}}""".stripMargin
     val put = client.send(
       HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/dataset/mbds/v1"))
         .header("Authorization", "Bearer test-admin")
@@ -653,13 +654,20 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     val q = post("/dataset/mbds/v1/query/json",
       s"""{"sql": "SELECT mbds__pair AS k, count(*) AS n FROM data GROUP BY mbds__pair ORDER BY k", "geometry": $aoi}""")
     assert(q.statusCode() == 200, q.body().take(400))
-    val exp1 = b1.groupBy(_.toInt).view.mapValues(_.length).toMap
+    // base-layer contract: FROM data masks pixels where the DEFAULT
+    // layer's band (b1) equals no_data — for every selected layer
+    val exp1 = b1.filter(_ != 0.0).groupBy(_.toInt)
+      .view.mapValues(_.length).toMap
     for ((k, n) <- exp1)
       assert(q.body().contains(s"""{"k":$k,"n":$n}"""), s"b1 $k=$n: ${q.body().take(300)}")
+    assert(!q.body().contains("\"k\":0,"), s"nodata leaked: ${q.body().take(300)}")
     val q2 = post("/dataset/mbds/v1/query/json",
       s"""{"sql": "SELECT mbds__pair_b2 AS k, count(*) AS n FROM data GROUP BY mbds__pair_b2 ORDER BY k", "geometry": $aoi}""")
     assert(q2.statusCode() == 200, q2.body().take(400))
-    val exp2 = b2.groupBy(_.toInt).view.mapValues(_.length).toMap
+    // grouping by b2 under the b1 base mask: b2 = 0 rows are real
+    // data (only the BASE band's no_data masks)
+    val exp2 = b1.zip(b2).filter(_._1 != 0.0).map(_._2.toInt)
+      .groupBy(identity).view.mapValues(_.length).toMap
     for ((k, n) <- exp2)
       assert(q2.body().contains(s"""{"k":$k,"n":$n}"""), s"b2 $k=$n: ${q2.body().take(300)}")
     // float samples → clean creation failure naming the cause

@@ -188,6 +188,50 @@ class SqliteSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Sqlite.readTable(short, "t"))
   }
 
+  test("corrupt overflow metadata fails with targeted errors, no blind allocation") {
+    // one spilled row: pages are [1: master][2: overflow][3: leaf]
+    val path = java.nio.file.Files.createTempFile("sq3", ".db")
+    Sqlite.writeDb(path, Seq(Sqlite.TableDef("t",
+      "CREATE TABLE t (v TEXT)", Seq(Seq("y" * 70000)))))
+    val db = java.nio.file.Files.readAllBytes(path)
+    val leafBase = 2 * Sqlite.PageSize
+    assert((db(leafBase) & 0xff) == 0x0d, "expected the leaf on page 3")
+    val cellOff = leafBase +
+      (((db(leafBase + 8) & 0xff) << 8) | (db(leafBase + 9) & 0xff))
+    val (plen, n0) = Sqlite.readVarint(db, cellOff)
+    val (_, n1) = Sqlite.readVarint(db, cellOff + n0)
+    assert(n0 == 3, s"expected a 3-byte payload-length varint, got $n0")
+    // 1. declared payload far past EOF: the reject happens BEFORE the
+    //    allocation (same 3-byte varint slot, value 2^21-1 > file)
+    val huge = db.clone()
+    huge(cellOff) = 0xff.toByte
+    huge(cellOff + 1) = 0xff.toByte
+    huge(cellOff + 2) = 0x7f.toByte
+    val e1 = intercept[IllegalArgumentException](Sqlite.readTable(huge, "t"))
+    assert(e1.getMessage.contains("exceeds"), e1.getMessage)
+    // 2. chain pointer at a page that only PARTIALLY exists (file
+    //    extended by a ragged tail): whole-page bound must catch it
+    val inline = Sqlite.tableLeafInline(plen, Sqlite.PageSize)
+    val ragged = db ++ new Array[Byte](10) // "page 4" starts, 10 B long
+    val bb = java.nio.ByteBuffer.wrap(ragged)
+    bb.putInt(cellOff + n0 + n1 + inline, 4) // overflow ptr → page 4
+    val e2 = intercept[IllegalArgumentException](Sqlite.readTable(ragged, "t"))
+    assert(e2.getMessage.contains("outside"), e2.getMessage)
+  }
+
+  test("index keys past the spec's index inline maximum are rejected") {
+    // X_index = (U-12)*64/255 - 23 = 16422 at U = 65536: a fully
+    // inlined key past it would be misparsed by stock SQLite (it
+    // expects a K/M split + overflow chain there)
+    val path = java.nio.file.Files.createTempFile("sq4", ".db")
+    val e = intercept[IllegalArgumentException] {
+      Sqlite.writeDb(path, Seq(Sqlite.TableDef("t",
+        "CREATE TABLE t (k TEXT PRIMARY KEY)", Seq(Seq("z" * 20000)),
+        indexes = Seq(Sqlite.IndexDef("sqlite_autoindex_t_1", Seq(0))))))
+    }
+    assert(e.getMessage.contains("index inline maximum"), e.getMessage)
+  }
+
   test("overflow spill matches stock SQLite byte layout (golden K/M split)") {
     // the spec formula at U = 65536: X = U-35 = 65501,
     // M = (U-12)*32/255 - 23 = 8199, K = M + (p-M) % (U-4)
