@@ -48,7 +48,8 @@ object VersionCreation {
       latest: Boolean = true,
       sourceType: String = "table",
       pixelMeaning: String = "value",
-      noData: Option[String] = None)
+      noData: Option[String] = None,
+      unifyProjection: Boolean = false)
 
   object CreationOptions {
     /** Parse the PUT body's `creation_options` object. */
@@ -98,7 +99,8 @@ object VersionCreation {
         latest = obj.get("latest").forall(_ == true),
         sourceType = obj.get("source_type").map(_.toString).getOrElse("table"),
         pixelMeaning = obj.get("pixel_meaning").map(_.toString).getOrElse("value"),
-        noData = obj.get("no_data").map(_.toString))
+        noData = obj.get("no_data").map(_.toString),
+        unifyProjection = obj.get("unify_projection").contains(true))
     }
   }
 
@@ -246,26 +248,40 @@ object VersionCreation {
         "float sample type " +
           s"${metas.map(_._7).find(_.startsWith("float")).getOrElse("")} " +
           "not supported for tile lakes (integer rasters only)")
-      require(metas.forall(_._8 == 4326),
-        s"source CRS EPSG:${metas.map(_._8).find(_ != 4326).get} not " +
-          "supported — reproject to EPSG:4326 first (unify_projection)")
-      val tileDeg = w * pixelDeg
-      val originLon = metas.map(_._1).min
-      val originLat = metas.map(_._2).max
+      val srcEpsg = metas.head._8
+      require(metas.forall(_._8 == srcEpsg), "all tiles must share one CRS")
+      require(srcEpsg == 4326 || (srcEpsg == 3857 && opts.unifyProjection),
+        s"source CRS EPSG:$srcEpsg not supported — " +
+          (if (srcEpsg == 3857)
+            "set unify_projection to warp web-mercator sources to EPSG:4326"
+          else "reproject to EPSG:4326 first (unify_projection handles 3857)"))
+
+      // source lattice (degrees for 4326, meters for 3857): every tile
+      // must sit on one square lattice of shared size/scale
+      val tileSpan = w * pixelDeg
+      val originX = metas.map(_._1).min
+      val originY = metas.map(_._2).max
       def snap(v: Double): Int = {
-        val t = v / tileDeg
-        require(math.abs(t - math.rint(t)) < 1e-9,
-          f"tile at offset $v%.6f° is off the $tileDeg%.6f° lattice")
+        val t = v / tileSpan
+        require(math.abs(t - math.rint(t)) < 1e-9 * math.max(1.0, math.abs(v / tileSpan)),
+          f"tile at offset $v%.6f is off the $tileSpan%.6f lattice")
         math.rint(t).toInt
       }
-      val txy = metas.map(m => (snap(m._1 - originLon), snap(originLat - m._2)))
+      val txy = metas.map(m => (snap(m._1 - originX), snap(originY - m._2)))
       require(txy.distinct.length == txy.length, "duplicate tile positions")
-      val grid = graft.raster.Grid(originLon, originLat,
-        tilesX = txy.map(_._1).max + 1, tilesY = txy.map(_._2).max + 1,
-        tileDeg = tileDeg, pxPerTile = w)
-      log += ChangeLog("create_table", "success",
-        s"derived grid ${grid.tilesX}×${grid.tilesY} tiles of ${grid.pxPerTile} px " +
-          f"at (${grid.originLon}%.4f, ${grid.originLat}%.4f), ${metas.length} source tile(s)")
+      val (tilesX, tilesYSrc) = (txy.map(_._1).max + 1, txy.map(_._2).max + 1)
+
+      val bandCols: Seq[String] =
+        if (bandCount == 1) Seq(band)
+        else (1 to bandCount).map(i => s"${band}_b$i")
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val schema = StructType(
+        StructField("tile_id", StringType) ::
+          StructField("tx", IntegerType) :: StructField("ty", IntegerType) ::
+          bandCols.map(c => StructField(c, ArrayType(LongType))).toList)
+      val (bX0, bY0, bSpan, bW, bH, bBands) =
+        (originX, originY, tileSpan, w, h, bandCount)
 
       // pass 2: pixels, executor-side, one lake row per tile; ids MUST
       // come from the canonical Grid.tileId formatter — the query-time
@@ -273,24 +289,64 @@ object VersionCreation {
       // Multi-band sources (calc variables A..Z in the reference,
       // `creation_options.py:159-176`) land as one lake column per
       // band: px_<meaning> for single-band, px_<meaning>_b<i> beyond.
-      val bandCols: Seq[String] =
-        if (bandCount == 1) Seq(band)
-        else (1 to bandCount).map(i => s"${band}_b$i")
-      val bGrid = grid
-      import org.apache.spark.sql.Row
-      import org.apache.spark.sql.types._
-      val schema = StructType(
-        StructField("tile_id", StringType) ::
-          StructField("tx", IntegerType) :: StructField("ty", IntegerType) ::
-          bandCols.map(c => StructField(c, ArrayType(LongType))).toList)
-      val rowsRdd = files.rdd.map { r =>
-        val t = GeoTiff.readRaster(r.getAs[Array[Byte]](0))
-        val tx = math.rint((t.originX - bGrid.originLon) / bGrid.tileDeg).toInt
-        val ty = math.rint((bGrid.originLat - t.originY) / bGrid.tileDeg).toInt
-        Row.fromSeq(
-          bGrid.tileId(tx, ty) :: tx :: ty ::
-            t.bands.map(b => b.toSeq.map(_.toLong)).toList)
-      }
+      val (grid, rowsRdd) =
+        if (srcEpsg == 4326) {
+          val g = graft.raster.Grid(originX, originY,
+            tilesX = tilesX, tilesY = tilesYSrc,
+            tileDeg = tileSpan, pxPerTile = w)
+          val bGrid = g
+          val rdd = files.rdd.map { r =>
+            val t = GeoTiff.readRaster(r.getAs[Array[Byte]](0))
+            val tx = math.rint((t.originX - bX0) / bSpan).toInt
+            val ty = math.rint((bY0 - t.originY) / bSpan).toInt
+            Row.fromSeq(
+              bGrid.tileId(tx, ty) :: tx :: ty ::
+                t.bands.map(b => b.toSeq.map(_.toLong)).toList)
+          }
+          (g, rdd)
+        } else {
+          // unify_projection warp (pixETL's warp step): columns map
+          // 1:1 (mercator x linear in lon), each source tile computes
+          // the target rows it owns (monotone row map), one shuffle
+          // assembles target tiles — no driver pixels, no cross-tile
+          // reads beyond the row-segment exchange.
+          val lattice = graft.raster.Warp.MercatorLattice(
+            originX, originY, pixelDeg, tilesX, tilesYSrc, w)
+          val g = graft.raster.Grid(lattice.originLon, lattice.originLat,
+            tilesX = tilesX, tilesY = lattice.tilesYTarget,
+            tileDeg = w * lattice.pixelDeg, pxPerTile = w)
+          val bGrid = g
+          val ndFill = opts.noData.map(_.toDouble.toLong).getOrElse(0L)
+          val segs = files.rdd.flatMap { r =>
+            val t = GeoTiff.readRaster(r.getAs[Array[Byte]](0))
+            val tx = math.rint((t.originX - bX0) / bSpan).toInt
+            val ty = math.rint((bY0 - t.originY) / bSpan).toInt
+            lattice.targetRowsOf(ty).iterator.map { gr =>
+              val ri = lattice.srcRowOf(gr) % bH
+              ((tx, gr / bH), (gr % bH,
+                t.bands.map(b => b.slice(ri * bW, ri * bW + bW).map(_.toLong))))
+            }
+          }
+          val rdd = segs.groupByKey().map { case ((tx, tyT), rows) =>
+            // rows a target tile never received (south of the source
+            // span on the last tile row-band) fill with no_data
+            val out = Array.fill(bBands)(Array.fill(bW * bH)(ndFill))
+            rows.foreach { case (ri, bandRows) =>
+              var c = 0
+              while (c < bBands) {
+                System.arraycopy(bandRows(c), 0, out(c), ri * bW, bW)
+                c += 1
+              }
+            }
+            Row.fromSeq(
+              bGrid.tileId(tx, tyT) :: tx :: tyT :: out.map(_.toSeq).toList)
+          }
+          (g, rdd)
+        }
+      log += ChangeLog("create_table", "success",
+        s"derived grid ${grid.tilesX}×${grid.tilesY} tiles of ${grid.pxPerTile} px " +
+          f"at (${grid.originLon}%.4f, ${grid.originLat}%.4f), ${metas.length} source tile(s)" +
+          (if (srcEpsg == 3857) " (warped from EPSG:3857)" else ""))
       val rows = spark.createDataFrame(rowsRdd, schema)
       rows.write.mode("overwrite").partitionBy("tile_id").parquet(targetDir)
       log += ChangeLog("load_data", "success",

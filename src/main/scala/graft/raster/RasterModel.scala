@@ -23,7 +23,16 @@ final case class Grid(originLon: Double, originLat: Double,
     val lon = originLon + tx * tileDeg
     val ns = if (lat >= 0) "N" else "S"
     val ew = if (lon >= 0) "E" else "W"
-    f"${math.abs(lat).round}%02d${ns}_${math.abs(lon).round}%03d$ew"
+    def integral(v: Double) = math.abs(v - math.rint(v)) < 1e-9
+    // integer-degree grids keep the reference's tile-id convention;
+    // fractional grids (e.g. derived from a unify_projection warp)
+    // carry 5 decimals — whole-degree rounding would collide every
+    // sub-degree tile onto one id (= one Parquet partition)
+    if (integral(tileDeg) && integral(lat) && integral(lon))
+      f"${math.abs(lat).round}%02d${ns}_${math.abs(lon).round}%03d$ew"
+    else // Locale.ROOT: a comma decimal separator must never reach ids
+      String.format(java.util.Locale.ROOT, "%09.5f%s_%010.5f%s",
+        Double.box(math.abs(lat)), ns, Double.box(math.abs(lon)), ew)
   }
 
   /** SQL fragment: pixel-center longitude from a global pixel-x expr. */

@@ -706,6 +706,89 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       wb.take(600))
   }
 
+  test("unify_projection warps EPSG:3857 sources onto a 4326 grid at ingest") {
+    import graft.raster.GeoTiff
+    import GeoTiff.{Raster, SampleType}
+    import graft.geo.Geom
+    // two stacked 8×8 mercator tiles at ~47°N (10 km pixels): source
+    // global pixel value = globalRow*100 + col, so the warped rows
+    // are directly readable
+    val src = java.nio.file.Files.createTempDirectory("wmsrc")
+    val px = 8
+    val pixelM = 10000.0
+    val yTop = 6000000.0
+    for (ty <- 0 to 1) {
+      val bands = Seq(Array.tabulate(px * px) { i =>
+        ((ty * px + i / px) * 100 + i % px).toDouble
+      })
+      GeoTiff.writeRaster(src.resolve(s"m$ty.tif"),
+        Raster(px, px, 0.0, yTop - ty * px * pixelM, pixelM, 3857,
+          SampleType.Int32, bands))
+    }
+    val put = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/dataset/warpds/v1"))
+        .header("Authorization", "Bearer test-admin")
+        .PUT(HttpRequest.BodyPublishers.ofString(
+          s"""{"creation_options": {
+             |  "source_uri": ["${src.resolve("m0.tif")}", "${src.resolve("m1.tif")}"],
+             |  "source_type": "raster", "pixel_meaning": "code",
+             |  "unify_projection": true, "no_data": "-1"}}""".stripMargin))
+        .build(), HttpResponse.BodyHandlers.ofString())
+    assert(put.statusCode() == 202, put.body().take(300))
+    var vbody = ""
+    var tries = 0
+    while (tries < 120 && { vbody = get("/dataset/warpds/v1").body()
+      vbody.contains("\"status\":\"pending\"") }) { Thread.sleep(250); tries += 1 }
+    assert(vbody.contains("\"status\":\"saved\""), vbody.take(600))
+    assert(vbody.contains("warped from EPSG:3857"), vbody.take(600))
+    // expected warp, computed independently: for each target global
+    // row, lat at the row center → mercator y → nearest source row
+    val pixelDeg = Math.toDegrees(pixelM / Geom.WebMercatorR)
+    def latOfY(y: Double) = Math.toDegrees(
+      2.0 * Math.atan(Math.exp(y / Geom.WebMercatorR)) - Math.PI / 2.0)
+    val latTop = latOfY(yTop)
+    val yBot = yTop - 16 * pixelM
+    val targetRows = math.ceil((latTop - latOfY(yBot)) / pixelDeg - 1e-9).toInt
+    def expectedRow(gr: Int): Seq[Int] = {
+      val y = Geom.toWebMercatorY(latTop - (gr + 0.5) * pixelDeg)
+      if (y > yTop || y <= yBot) Seq.fill(px)(-1) // no_data fill
+      else {
+        val sr = math.min(15, ((yTop - y) / pixelM).toInt)
+        (0 until px).map(c => sr * 100 + c)
+      }
+    }
+    // grid: 1 × ceil(targetRows/8) tiles anchored at the projected NW
+    val g = graft.raster.Grid(Math.toDegrees(0.0), latTop,
+      1, (targetRows + px - 1) / px, px * pixelDeg, px)
+    // tile 0 materializes through /download/geotiff and matches the
+    // expected warp row-for-row
+    val dl = get(s"/dataset/warpds/v1/download/geotiff?tile_id=${g.tileId(0, 0)}&pixel_meaning=code")
+    assert(dl.statusCode() == 307, dl.body().take(300))
+    val tif = GeoTiff.read(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dl.headers().firstValue("Location").get)))
+    assert(math.abs(tif.originLat - latTop) < 1e-12 && tif.originLon == 0.0)
+    for (r <- 0 until px)
+      assert(tif.pixels.slice(r * px, r * px + px).toSeq == expectedRow(r),
+        s"row $r")
+    // the last tile carries the trailing rows + no_data fill
+    val lastTy = (targetRows + px - 1) / px - 1
+    val dl2 = get(s"/dataset/warpds/v1/download/geotiff?tile_id=${g.tileId(0, lastTy)}&pixel_meaning=code")
+    assert(dl2.statusCode() == 307, dl2.body().take(300))
+    val tif2 = GeoTiff.read(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dl2.headers().firstValue("Location").get)))
+    for (r <- 0 until px) {
+      val gr = lastTy * px + r
+      val exp = if (gr < targetRows) expectedRow(gr) else Seq.fill(px)(-1)
+      assert(tif2.pixels.slice(r * px, r * px + px).toSeq == exp,
+        s"last-tile row $r (gr $gr)")
+    }
+    // and the warped lake answers zonal SQL like any other version
+    val aoi = s"""{"type":"Polygon","coordinates":[[[-0.1,${latOfY(yBot) - 0.1}],[1.2,${latOfY(yBot) - 0.1}],[1.2,${latTop + 0.1}],[-0.1,${latTop + 0.1}],[-0.1,${latOfY(yBot) - 0.1}]]]}"""
+    val q = post("/dataset/warpds/v1/query/json",
+      s"""{"sql": "SELECT count(*) AS n FROM data", "geometry": $aoi}""")
+    assert(q.statusCode() == 200 && !q.body().contains("\"n\":0"), q.body().take(300))
+  }
+
   test("api key management: get, list, validate, delete") {
     val secured = new ApiServer(spark, "/root/testdata/sf0.001",
       apiKeys = Some(new ApiKeys), adminTokens = Set("admintok"))

@@ -46,6 +46,33 @@ class WarpSpec extends AnyFunSuite {
     assert(back.bands.head.toSeq == r.bands.head.toSeq)
   }
 
+  test("mercator lattice: monotone row map, full target coverage, exact columns") {
+    // two stacked 8-px tiles at ~47°N, 10 km pixels
+    val lat = Warp.MercatorLattice(x0 = 0.0, yTop = 6000000.0,
+      pixelM = 10000.0, tilesX = 1, tilesY = 2, pxPerTile = 8)
+    // pixelDeg is the exact linear-x conversion
+    assert(lat.pixelDeg == Math.toDegrees(10000.0 / Geom.WebMercatorR))
+    // one 10 km source row at 47°N spans pixelDeg·cos(47°) of
+    // latitude < pixelDeg, so the 16-row source span needs ≤ 16
+    // target rows (≈ 16·cos 47° ≈ 11): the warp SKIPS source rows
+    // going north, it never gaps
+    assert(lat.targetRows >= 10 && lat.targetRows <= 16,
+      s"targetRows ${lat.targetRows}")
+    // the row map is monotone non-decreasing; at most the trailing
+    // target row (center past the source's south edge) is unmapped
+    val srcRows = (0 until lat.targetRows).map(lat.srcRowOf)
+    val mapped = srcRows.takeWhile(_ >= 0)
+    assert(mapped.length >= lat.targetRows - 1, srcRows.toString)
+    assert(srcRows.drop(mapped.length).forall(_ == -1), srcRows.toString)
+    assert(mapped.forall(r => r < 16), srcRows.toString)
+    assert(mapped == mapped.sorted, srcRows.toString)
+    // targetRowsOf(ty) partitions the MAPPED target rows: every one is
+    // owned by exactly one source tile row-band
+    val owned = (0 until 2).flatMap(lat.targetRowsOf)
+    assert(owned.sorted == (0 until mapped.length), owned.toString)
+    assert(lat.tilesYTarget == (lat.targetRows + 7) / 8)
+  }
+
   test("equator tile is (nearly) isotropic; polar tile is rejected") {
     val t = GeoTiff.Tile(4, 4, 0.0, 2.0, 1.0, Array.tabulate(16)(identity))
     val r = Warp.tileToWebMercator(t)
