@@ -125,10 +125,54 @@ object MultimodalQueries extends QueryModule {
     }(Encoders.row(resizeSchema))
   }
 
+  private val audioSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("window_idx", IntegerType),
+    StructField("n_samples", IntegerType),
+    StructField("energy", LongType),
+    StructField("peak", IntegerType)))
+
+  /** M4: windowed audio features over a fake PCM stream — per
+    * 64-sample window: energy = Σ s² and peak = max |s|, with
+    * s = byte − 64 (the deterministic stand-in for PCM decode). The
+    * per-window loop is the batched kernel shape of a real audio
+    * front-end (RMS / voice-activity features); integer-only so the
+    * oracle reproduces it exactly. Fan-out is bounded (≤ ~10 windows
+    * per document at the test text lengths; at scale the window rows
+    * stay proportional to audio duration — a narrow map, no shuffle). */
+  private def audioEnergy(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val media = docs.select(col("doc_id"), col("text").cast(BinaryType).as("media"))
+    val W = 64
+    media.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.iterator.flatMap { row =>
+          val bytes = row.getAs[Array[Byte]]("media")
+          val n = bytes.length
+          val lastWin = math.floorDiv(n - 1, W) // -1 for an empty stream
+          (0 to lastWin).iterator.map { k =>
+            val end = math.min(n, (k + 1) * W)
+            var i = k * W
+            var energy = 0L
+            var peak = 0
+            while (i < end) {
+              val s = (bytes(i) & 0xff) - 64
+              energy += s.toLong * s
+              if (math.abs(s) > peak) peak = math.abs(s)
+              i += 1
+            }
+            Row(row.getLong(0), k, end - k * W, energy, peak)
+          }
+        }
+      }
+    }(Encoders.row(audioSchema))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_media_features" -> ((s, d) => mediaFeatures(s, d)),
     "m2_frame_sample" -> ((s, d) => frameSample(s, d)),
-    "m3_resize_plan" -> ((s, d) => resizePlan(s, d)))
+    "m3_resize_plan" -> ((s, d) => resizePlan(s, d)),
+    "m4_audio_energy" -> ((s, d) => audioEnergy(s, d)))
 
   override def oracles: Map[String, String] = Map(
     "m1_media_features" ->
@@ -146,6 +190,18 @@ object MultimodalQueries extends QueryModule {
         |SELECT doc_id, frame_idx::INT AS frame_idx, (frame_idx * 4096)::BIGINT AS frame_off,
         |  frame_idx * 40.0 AS ts_ms
         |FROM f WHERE frame_idx % 4 = 0""".stripMargin,
+    "m4_audio_energy" ->
+      """WITH s AS (SELECT doc_id,
+        |  [ascii(ch)::BIGINT - 64 for ch in string_split(text, '')] AS smp
+        |  FROM documents),
+        |w AS (SELECT doc_id, smp,
+        |  unnest(generate_series(0, (len(smp)-1)//64)) AS win FROM s),
+        |sl AS (SELECT doc_id, win,
+        |  list_slice(smp, win*64 + 1, least(len(smp), (win+1)*64)) AS seg FROM w)
+        |SELECT doc_id, win::INT AS window_idx, len(seg)::INT AS n_samples,
+        |  list_sum(list_transform(seg, x -> x*x))::BIGINT AS energy,
+        |  list_max(list_transform(seg, x -> abs(x)))::INT AS peak
+        |FROM sl""".stripMargin,
     "m3_resize_plan" ->
       s"""WITH c AS (SELECT doc_id,
          |  list_reduce([ascii(ch)::BIGINT for ch in string_split(text, '')], (h,ch) -> (h*131+ch) % $P) AS checksum
