@@ -302,31 +302,37 @@ object GeoTiff {
 
   /** Factor-2 AVERAGE downsample (the reference's default overview
     * resampling, `COGCreationOptions.resampling`): each target pixel
-    * is the rounded mean of its ≤2×2 source block. */
-  private def halve(w: Int, h: Int, px: Array[Int]): (Int, Int, Array[Int]) = {
+    * is the mean of its ≤2×2 source block — rounded for integer
+    * sample types, exact for floats. */
+  private def halveBands(w: Int, h: Int, bands: Seq[Array[Double]],
+                         float: Boolean): (Int, Int, Seq[Array[Double]]) = {
     val w2 = (w + 1) / 2
     val h2 = (h + 1) / 2
-    val out = new Array[Int](w2 * h2)
-    var y = 0
-    while (y < h2) {
-      var x = 0
-      while (x < w2) {
-        var sum = 0L
-        var cnt = 0
-        var dy = 0
-        while (dy < 2 && 2 * y + dy < h) {
-          var dx = 0
-          while (dx < 2 && 2 * x + dx < w) {
-            sum += px((2 * y + dy) * w + 2 * x + dx)
-            cnt += 1
-            dx += 1
+    val out = bands.map { px =>
+      val o = new Array[Double](w2 * h2)
+      var y = 0
+      while (y < h2) {
+        var x = 0
+        while (x < w2) {
+          var sum = 0.0
+          var cnt = 0
+          var dy = 0
+          while (dy < 2 && 2 * y + dy < h) {
+            var dx = 0
+            while (dx < 2 && 2 * x + dx < w) {
+              sum += px((2 * y + dy) * w + 2 * x + dx)
+              cnt += 1
+              dx += 1
+            }
+            dy += 1
           }
-          dy += 1
+          val mean = sum / cnt
+          o(y * w2 + x) = if (float) mean else math.round(mean).toDouble
+          x += 1
         }
-        out(y * w2 + x) = math.round(sum.toDouble / cnt).toInt
-        x += 1
+        y += 1
       }
-      y += 1
+      o
     }
     (w2, h2, out)
   }
@@ -340,41 +346,52 @@ object GeoTiff {
     * The Spark-side at-rest format stays Parquet-of-arrays (partition
     * pruning + columnar band pruning are the scale story); this is
     * the I/O interchange artifact the reference builds with
-    * `gdal_translate -of COG` (`app/tasks/cog_assets.py:26-117`).
-    * Single-band int32 (the tile lake's currency). */
+    * `gdal_translate -of COG` (`app/tasks/cog_assets.py:26-117`). */
   def writeCog(path: java.nio.file.Path, tile: Tile, blockSize: Int = 512,
-               compression: String = "deflate"): Unit = {
+               compression: String = "deflate"): Unit =
+    writeCogRaster(path, rasterOf(tile), blockSize, compression)
+
+  def writeCogRaster(path: java.nio.file.Path, r: Raster, blockSize: Int = 512,
+                     compression: String = "deflate"): Unit = {
     require(blockSize > 0 && blockSize % 16 == 0,
       s"TIFF tile dimensions must be multiples of 16 (got $blockSize)")
     val compCode = compCodeOf(compression)
+    val spp = r.bands.length
+    val bps = r.sampleType.bits / 8
     // overview pyramid: halve until the level fits one block
     val levels = {
       val out = scala.collection.mutable.ArrayBuffer(
-        (tile.width, tile.height, tile.pixels))
+        (r.width, r.height, r.bands))
       while (math.max(out.last._1, out.last._2) > blockSize) {
-        val (w, h, px) = out.last
-        out += halve(w, h, px)
+        val (w, h, bs) = out.last
+        out += halveBands(w, h, bs, r.sampleType.isFloat)
       }
       out.toSeq
     }
-    // compress every level's blocks (row-major, edge blocks padded)
+    // compress every level's blocks (row-major, edge blocks padded,
+    // chunky interleave within each block)
     case class Level(w: Int, h: Int, blocks: Seq[Array[Byte]])
-    val packed = levels.map { case (w, h, px) =>
+    val packed = levels.map { case (w, h, bs) =>
       val across = (w + blockSize - 1) / blockSize
       val down = (h + blockSize - 1) / blockSize
       val blocks = (0 until across * down).map { t =>
         val x0 = (t % across) * blockSize
         val y0 = (t / across) * blockSize
-        val raw = ByteBuffer.allocate(blockSize * blockSize * 4)
+        val raw = ByteBuffer.allocate(blockSize * blockSize * spp * bps)
           .order(ByteOrder.LITTLE_ENDIAN)
         var row = 0
         while (row < blockSize) {
           var col = 0
           while (col < blockSize) {
-            val v =
-              if (y0 + row < h && x0 + col < w) px((y0 + row) * w + x0 + col)
-              else 0
-            raw.putInt((row * blockSize + col) * 4, v)
+            var c = 0
+            while (c < spp) {
+              val v =
+                if (y0 + row < h && x0 + col < w) bs(c)((y0 + row) * w + x0 + col)
+                else 0.0
+              putSample(raw, ((row * blockSize + col) * spp + c) * bps,
+                r.sampleType, v)
+              c += 1
+            }
             col += 1
           }
           row += 1
@@ -384,25 +401,63 @@ object GeoTiff {
       Level(w, h, blocks)
     }
 
-    val geoKeys = geoKeysFor(4326)
+    val geoKeys = geoKeysFor(r.epsg)
 
-    // layout: header, IFDs, external arrays, tile data (overviews
-    // smallest-first, base last)
-    val entryCounts = packed.indices.map(l => if (l == 0) 15 else 12)
-    val ifdSizes = entryCounts.map(2 + _ * 12 + 4)
+    // per-level IFD tags (ascending): multi-band levels add
+    // PlanarConfig + ExtraSamples, like the strip writer
+    def levelTags(l: Int, lv: Level): Seq[Tag] = {
+      val tags = Seq.newBuilder[Tag]
+      tags += Tag(TSubfileType, 4, 1, if (l == 0) 0 else 1)
+      tags += Tag(TWidth, 3, 1, lv.w)
+      tags += Tag(TLength, 3, 1, lv.h)
+      tags += shortTag(TBits, Seq.fill(spp)(r.sampleType.bits))
+      tags += Tag(TCompression, 3, 1, compCode)
+      tags += Tag(TPhotometric, 3, 1, 1)
+      tags += Tag(TSamplesPerPixel, 3, 1, spp)
+      if (spp > 1) tags += Tag(TPlanarConfig, 3, 1, 1)
+      tags += Tag(TTileWidth, 3, 1, blockSize)
+      tags += Tag(TTileLength, 3, 1, blockSize)
+      // TileOffsets/ByteCounts: placeholders — patched during write
+      if (lv.blocks.length == 1) {
+        tags += Tag(TTileOffsets, 4, 1, -1)
+        tags += Tag(TTileByteCounts, 4, 1, lv.blocks.head.length)
+      } else {
+        tags += Tag(TTileOffsets, 4, lv.blocks.length,
+          ext = new Array[Byte](4 * lv.blocks.length))
+        tags += Tag(TTileByteCounts, 4, lv.blocks.length, ext = {
+          val b = ByteBuffer.allocate(4 * lv.blocks.length)
+            .order(ByteOrder.LITTLE_ENDIAN)
+          lv.blocks.foreach(blk => b.putInt(blk.length))
+          b.array()
+        })
+      }
+      if (spp > 1) tags += shortTag(TExtraSamples, Seq.fill(spp - 1)(0))
+      tags += shortTag(TSampleFormat, Seq.fill(spp)(r.sampleType.fmt))
+      if (l == 0) {
+        tags += Tag(TPixelScale, 12, 3,
+          ext = doubles(Seq(r.pixelScale, r.pixelScaleY, 0.0)))
+        tags += Tag(TTiepoint, 12, 6,
+          ext = doubles(Seq(0.0, 0.0, 0.0, r.originX, r.originY, 0.0)))
+        tags += Tag(TGeoKeys, 3, geoKeys.length,
+          ext = shorts(geoKeys.map(_.toInt)))
+      }
+      tags.result()
+    }
+    val allTags: Seq[Seq[Tag]] = packed.zipWithIndex.map {
+      case (lv, l) => levelTags(l, lv)
+    }
+
+    // layout: header, IFDs, external arrays (per level, in tag
+    // order), tile data (overviews deepest-first, base last)
+    val ifdSizes = allTags.map(ts => 2 + ts.length * 12 + 4)
     val ifdOffs = ifdSizes.scanLeft(8)(_ + _).dropRight(1)
     var extOff = 8 + ifdSizes.sum
-    // per level: tile offsets + byte counts arrays
-    val arrOffs = packed.map { lv =>
-      val o = (extOff, extOff + 4 * lv.blocks.length)
-      extOff += 8 * lv.blocks.length
+    val extOffs: Seq[Seq[Int]] = allTags.map(_.map { t =>
+      val o = extOff
+      if (t.ext != null) extOff += t.ext.length
       o
-    }
-    val scaleOff = extOff
-    val tieOff = scaleOff + 24
-    val geoOff = tieOff + 48
-    var dataOff = geoOff + geoKeys.length * 2
-    // overview data first (deepest level first), base data last
+    })
+    var dataOff = extOff
     val dataOffsets: Seq[Seq[Int]] = {
       val perLevel = Array.fill(packed.length)(Seq.empty[Int])
       for (l <- packed.indices.reverse) {
@@ -419,52 +474,30 @@ object GeoTiff {
     out.putInt(4, 8)
     packed.zipWithIndex.foreach { case (lv, l) =>
       out.position(ifdOffs(l))
-      out.putShort(entryCounts(l).toShort)
-      def entry(tag: Int, typ: Int, count: Int, value: Long): Unit = {
-        out.putShort(tag.toShort).putShort(typ.toShort).putInt(count)
-        out.putInt((value & 0xffffffffL).toInt)
-      }
-      entry(TSubfileType, 4, 1, if (l == 0) 0 else 1)
-      entry(TWidth, 3, 1, lv.w)
-      entry(TLength, 3, 1, lv.h)
-      entry(TBits, 3, 1, 32)
-      entry(TCompression, 3, 1, compCode)
-      entry(TPhotometric, 3, 1, 1)
-      entry(TSamplesPerPixel, 3, 1, 1)
-      entry(TTileWidth, 3, 1, blockSize)
-      entry(TTileLength, 3, 1, blockSize)
-      if (lv.blocks.length == 1) {
-        // a single LONG fits the value slot — TIFF stores it inline
-        entry(TTileOffsets, 4, 1, dataOffsets(l).head)
-        entry(TTileByteCounts, 4, 1, lv.blocks.head.length)
-      } else {
-        entry(TTileOffsets, 4, lv.blocks.length, arrOffs(l)._1)
-        entry(TTileByteCounts, 4, lv.blocks.length, arrOffs(l)._2)
-      }
-      entry(TSampleFormat, 3, 1, 2)
-      if (l == 0) {
-        entry(TPixelScale, 12, 3, scaleOff)
-        entry(TTiepoint, 12, 6, tieOff)
-        entry(TGeoKeys, 3, geoKeys.length, geoOff)
+      out.putShort(allTags(l).length.toShort)
+      allTags(l).zip(extOffs(l)).foreach { case (t, eo) =>
+        out.putShort(t.tag.toShort).putShort(t.typ.toShort).putInt(t.count)
+        val v =
+          if (t.tag == TTileOffsets && t.ext == null) dataOffsets(l).head.toLong
+          else if (t.ext != null) eo.toLong
+          else t.inline
+        out.putInt((v & 0xffffffffL).toInt)
       }
       out.putInt(if (l + 1 < packed.length) ifdOffs(l + 1) else 0)
-      // external arrays
-      out.position(arrOffs(l)._1)
-      dataOffsets(l).foreach(out.putInt)
-      out.position(arrOffs(l)._2)
-      lv.blocks.foreach(b => out.putInt(b.length))
+      // external blocks (the TileOffsets array is filled from the
+      // data layout, everything else was materialized up front)
+      allTags(l).zip(extOffs(l)).foreach { case (t, eo) =>
+        if (t.ext != null) {
+          out.position(eo)
+          if (t.tag == TTileOffsets) dataOffsets(l).foreach(out.putInt)
+          else out.put(t.ext)
+        }
+      }
       // tile data
       lv.blocks.zip(dataOffsets(l)).foreach { case (blk, o) =>
         out.position(o); out.put(blk)
       }
     }
-    out.position(scaleOff)
-    out.putDouble(tile.pixelDeg).putDouble(tile.pixelDeg).putDouble(0.0)
-    out.position(tieOff)
-    out.putDouble(0.0).putDouble(0.0).putDouble(0.0)
-    out.putDouble(tile.originLon).putDouble(tile.originLat).putDouble(0.0)
-    out.position(geoOff)
-    geoKeys.foreach(out.putShort)
     java.nio.file.Files.write(path, out.array())
   }
 

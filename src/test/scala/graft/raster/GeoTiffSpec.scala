@@ -420,6 +420,44 @@ class GeoTiffSpec extends AnyFunSuite {
       assert(back.bands(b).toSeq == bands(b).toSeq, s"band $b")
   }
 
+  test("COG generalizes to multi-band and float samples") {
+    import GeoTiff.{Raster, SampleType}
+    val w = 40; val h = 24
+    // 2-band float32: band values reconstruct exactly (x/4 + b has an
+    // exact float representation), overview means are true means
+    val bands = Seq.tabulate(2)(b =>
+      Array.tabulate(w * h)(i => (i % w) / 4.0 + b))
+    val r = Raster(w, h, 9.5, 51.0, 0.05, 4326, SampleType.Float32, bands)
+    val p = java.nio.file.Files.createTempFile("cogmb", ".tif")
+    GeoTiff.writeCogRaster(p, r, blockSize = 16, compression = "deflate")
+    val levels = GeoTiff.readRasterLevels(java.nio.file.Files.readAllBytes(p))
+    assert(levels.map(l => (l.width, l.height)) ==
+      Seq((40, 24), (20, 12), (10, 6)))
+    assert(levels.head.sampleType == SampleType.Float32)
+    assert(levels.forall(_.bands.length == 2))
+    for (b <- 0 until 2)
+      assert(levels.head.bands(b).toSeq == bands(b).toSeq, s"band $b")
+    // float overviews carry the exact (unrounded) 2×2 mean
+    val l1 = levels(1)
+    for ((x, y) <- Seq((0, 0), (9, 5), (19, 11)); b <- 0 until 2) {
+      val srcs = for (dy <- 0 to 1; dx <- 0 to 1)
+        yield bands(b)((2 * y + dy) * w + 2 * x + dx)
+      val mean = (srcs.sum / 4).toFloat.toDouble // stored as float32
+      assert(math.abs(l1.bands(b)(y * l1.width + x) - mean) < 1e-6,
+        s"overview ($x,$y) band $b")
+    }
+    // projected multi-band int16 COG keeps its CRS through the chain
+    val pr = Raster(20, 20, -8237642.0, 4970241.0, 152.87, 3857,
+      SampleType.Int16,
+      Seq(Array.tabulate(400)(i => (i % 7).toDouble),
+        Array.tabulate(400)(i => (i % 11).toDouble)))
+    GeoTiff.writeCogRaster(p, pr, blockSize = 16, compression = "lzw")
+    val back = GeoTiff.readRasterLevels(java.nio.file.Files.readAllBytes(p))
+    assert(back.head.epsg == 3857 && back.head.sampleType == SampleType.Int16)
+    assert(back.head.bands(1).toSeq == pr.bands(1).toSeq)
+    assert(back.length == 2 && back(1).bands.length == 2)
+  }
+
   test("legacy Tile read rejects float and multi-band files") {
     import GeoTiff.{Raster, SampleType}
     val f = Raster(4, 4, 0.0, 0.0, 1.0, 4326, SampleType.Float32,
