@@ -621,7 +621,8 @@ object GeoTiff {
       "bands must share one sample layout")
     val sampleType = SampleType.of(bits.head.toInt, fmts.head.toInt)
     val bps = sampleType.bits / 8
-    require(predictor == 1 || (predictor == 2 && !sampleType.isFloat),
+    require(predictor == 1 || (predictor == 2 && !sampleType.isFloat) ||
+      (predictor == 3 && sampleType.isFloat),
       s"unsupported Predictor $predictor for ${sampleType.name}")
 
     def decompress(data: Array[Byte], expected: Int): Array[Byte] = {
@@ -647,10 +648,46 @@ object GeoTiff {
         s"block decodes to ${raw.length} B, expected $expected")
       raw
     }
+    // floating-point predictor (3): each row stores its samples'
+    // bytes split into planes (MSB plane first, regardless of the
+    // file's byte order) with byte-wise horizontal differencing at
+    // sample stride — undo the differencing, then de-shuffle the
+    // planes back into the FILE's byte order so the normal sample
+    // decode applies (the libtiff fpAcc convention)
+    def unpredictFloat(raw: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val bpsF = sampleType.bits / 8
+      val rowBytes = w * spp * bpsF
+      val wc = w * spp // samples per row
+      val tmp = new Array[Byte](rowBytes)
+      var row = 0
+      while (row < h) {
+        val base = row * rowBytes
+        var i = spp
+        while (i < rowBytes) {
+          raw(base + i) = (raw(base + i) + raw(base + i - spp)).toByte
+          i += 1
+        }
+        System.arraycopy(raw, base, tmp, 0, rowBytes)
+        var s = 0
+        while (s < wc) {
+          var b = 0
+          while (b < bpsF) {
+            val plane = if (order == ByteOrder.BIG_ENDIAN) b else bpsF - 1 - b
+            raw(base + s * bpsF + b) = tmp(plane * wc + s)
+            b += 1
+          }
+          s += 1
+        }
+        row += 1
+      }
+      raw
+    }
+
     // horizontal differencing (predictor 2): each integer sample
     // stores the delta to the same band's left neighbor — undo per
     // row, per band, at the sample width
     def unpredict(raw: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      if (predictor == 3) return unpredictFloat(raw, w, h)
       if (predictor == 2) {
         val pb = ByteBuffer.wrap(raw).order(order)
         val rowStride = w * spp

@@ -200,6 +200,49 @@ object TextQueries extends QueryModule {
          |FROM pr JOIN cnt ca ON ca.doc_id = pr.i JOIN cnt cb ON cb.doc_id = pr.j
          |WHERE CAST(pr.shared AS DOUBLE) / (ca.n + cb.n - pr.shared) >= 0.4""".stripMargin),
 
+    // D8: containment pairs — the subset-duplicate detector Jaccard
+    // misses: a short document embedded in a long one has low Jaccard
+    // (|∩|/|∪| diluted by the long side) but containment |∩|/|A| ≈ 1.
+    // Same grouped-posting-list shape as d4 (ONE shuffle of the
+    // posting stream, df-capped buckets), different normalization:
+    // per-side containment, pairs kept when either side ≥ 0.8.
+    SqlQ.split("d8_containment_pairs",
+      s"""WITH g AS (SELECT doc_id, array_distinct(ngram_hashes(text, 5)) AS hs
+         |  FROM documents WHERE length(text) >= 5),
+         |e AS (SELECT doc_id, explode(hs) AS h FROM g),
+         |grp AS (SELECT h, sort_array(collect_list(doc_id)) AS ds
+         |  FROM e GROUP BY h HAVING size(ds) <= 25),
+         |cnt AS (SELECT doc_id, count(*) AS n
+         |  FROM (SELECT explode(ds) AS doc_id FROM grp) GROUP BY doc_id),
+         |pr AS (SELECT i, j, count(*) AS shared FROM (
+         |    SELECT x.i, y.j FROM grp
+         |    LATERAL VIEW posexplode(ds) x AS pi, i
+         |    LATERAL VIEW posexplode(ds) y AS pj, j
+         |    WHERE x.pi < y.pj)
+         |  GROUP BY i, j)
+         |SELECT pr.i AS doc_id_a, pr.j AS doc_id_b,
+         |  CAST(pr.shared AS DOUBLE) / ca.n AS containment_a,
+         |  CAST(pr.shared AS DOUBLE) / cb.n AS containment_b
+         |FROM pr JOIN cnt ca ON ca.doc_id = pr.i JOIN cnt cb ON cb.doc_id = pr.j
+         |WHERE greatest(CAST(pr.shared AS DOUBLE) / ca.n,
+         |               CAST(pr.shared AS DOUBLE) / cb.n) >= 0.8""".stripMargin,
+      s"""WITH g AS (SELECT doc_id, list_distinct([list_reduce(
+         |    [ascii(c)::BIGINT for c in string_split(substr(text, i, 5), '')],
+         |    (h,c) -> (h*131+c) % $P) for i in generate_series(1, len(text)-4)]) AS hs
+         |  FROM documents WHERE len(text) >= 5),
+         |e AS (SELECT doc_id, unnest(hs) AS h FROM g),
+         |df AS (SELECT h FROM e GROUP BY h HAVING count(*) <= 25),
+         |ef AS (SELECT e.doc_id, e.h FROM e JOIN df ON e.h = df.h),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM ef GROUP BY doc_id),
+         |pr AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS shared
+         |  FROM ef a JOIN ef b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id)
+         |SELECT pr.i AS doc_id_a, pr.j AS doc_id_b,
+         |  CAST(pr.shared AS DOUBLE) / ca.n AS containment_a,
+         |  CAST(pr.shared AS DOUBLE) / cb.n AS containment_b
+         |FROM pr JOIN cnt ca ON ca.doc_id = pr.i JOIN cnt cb ON cb.doc_id = pr.j
+         |WHERE greatest(CAST(pr.shared AS DOUBLE) / ca.n,
+         |               CAST(pr.shared AS DOUBLE) / cb.n) >= 0.8""".stripMargin),
+
     // D5: 31-bit SimHash fingerprints over shingle hashes (one shuffle:
     // explode -> groupBy(doc_id) with 31 codegen'd conditional sums).
     SqlQ.split("d5_simhash",

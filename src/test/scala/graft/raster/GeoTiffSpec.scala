@@ -420,6 +420,52 @@ class GeoTiffSpec extends AnyFunSuite {
       assert(back.bands(b).toSeq == bands(b).toSeq, s"band $b")
   }
 
+  test("predictor 3 (floating-point) decodes: plane shuffle + byte differencing") {
+    import GeoTiff.{Raster, SampleType}
+    val w = 6; val h = 3; val spp = 2
+    val bands = Seq.tabulate(spp)(b =>
+      Array.tabulate(w * h)(i => i * 0.37 + b * 11.5 - 3.25))
+    val r = Raster(w, h, 2.0, 3.0, 0.5, 4326, SampleType.Float32, bands)
+    val p = java.nio.file.Files.createTempFile("pred3", ".tif")
+    GeoTiff.writeRaster(p, r, "none")
+    val bytes = java.nio.file.Files.readAllBytes(p)
+    val n = (bytes(8) & 0xff) | ((bytes(9) & 0xff) << 8)
+    def tagOff(tag: Int) = (0 until n).map(i => 10 + i * 12).find { o =>
+      ((bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)) == tag
+    }.get
+    val stripOff = java.nio.ByteBuffer.wrap(bytes, tagOff(273) + 8, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+    // hand-encode the strip the way libtiff's fp predictor does:
+    // per row, split sample bytes into MSB-first planes, then
+    // byte-difference at sample stride
+    val bps = 4
+    val wc = w * spp
+    val rowBytes = wc * bps
+    for (row <- 0 until h) {
+      val base = stripOff + row * rowBytes
+      val src = java.util.Arrays.copyOfRange(bytes, base, base + rowBytes)
+      val planes = new Array[Byte](rowBytes)
+      for (s <- 0 until wc; b <- 0 until bps) {
+        val plane = bps - 1 - b // little-endian file: byte b is LSB-first
+        planes(plane * wc + s) = src(s * bps + b)
+      }
+      for (i <- (spp until rowBytes).reverse)
+        planes(i) = (planes(i) - planes(i - spp)).toByte
+      System.arraycopy(planes, 0, bytes, base, rowBytes)
+    }
+    // declare Predictor=3 by rewriting the Photometric slot
+    val phOff = tagOff(262)
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putShort(phOff, 317.toShort)
+    bb.putInt(phOff + 8, 3)
+    val back = GeoTiff.readRaster(bytes)
+    assert(back.sampleType == SampleType.Float32)
+    for (b <- 0 until spp)
+      assert(back.bands(b).map(_.toFloat).toSeq ==
+        bands(b).map(_.toFloat).toSeq, s"band $b")
+  }
+
   test("COG generalizes to multi-band and float samples") {
     import GeoTiff.{Raster, SampleType}
     val w = 40; val h = 24
