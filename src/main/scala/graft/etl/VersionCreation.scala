@@ -280,27 +280,25 @@ object VersionCreation {
         StructField("tile_id", StringType) ::
           StructField("tx", IntegerType) :: StructField("ty", IntegerType) ::
           bandCols.map(c => StructField(c, ArrayType(LongType))).toList)
-      val (bX0, bY0, bSpan, bW, bH, bBands) =
-        (originX, originY, tileSpan, w, h, bandCount)
-
       // pass 2: pixels, executor-side, one lake row per tile; ids MUST
       // come from the canonical Grid.tileId formatter — the query-time
       // partition pruning generates its INSET from the same method.
       // Multi-band sources (calc variables A..Z in the reference,
       // `creation_options.py:159-176`) land as one lake column per
       // band: px_<meaning> for single-band, px_<meaning>_b<i> beyond.
+      // (originX/tileSpan/w/h/bandCount are method locals — the Spark
+      // closures below capture them directly.)
       val (grid, rowsRdd) =
         if (srcEpsg == 4326) {
           val g = graft.raster.Grid(originX, originY,
             tilesX = tilesX, tilesY = tilesYSrc,
             tileDeg = tileSpan, pxPerTile = w)
-          val bGrid = g
           val rdd = files.rdd.map { r =>
             val t = GeoTiff.readRaster(r.getAs[Array[Byte]](0))
-            val tx = math.rint((t.originX - bX0) / bSpan).toInt
-            val ty = math.rint((bY0 - t.originY) / bSpan).toInt
+            val tx = math.rint((t.originX - originX) / tileSpan).toInt
+            val ty = math.rint((originY - t.originY) / tileSpan).toInt
             Row.fromSeq(
-              bGrid.tileId(tx, ty) :: tx :: ty ::
+              g.tileId(tx, ty) :: tx :: ty ::
                 t.bands.map(b => b.toSeq.map(_.toLong)).toList)
           }
           (g, rdd)
@@ -315,31 +313,42 @@ object VersionCreation {
           val g = graft.raster.Grid(lattice.originLon, lattice.originLat,
             tilesX = tilesX, tilesY = lattice.tilesYTarget,
             tileDeg = w * lattice.pixelDeg, pxPerTile = w)
-          val bGrid = g
           val ndFill = opts.noData.map(_.toDouble.toLong).getOrElse(0L)
           val segs = files.rdd.flatMap { r =>
             val t = GeoTiff.readRaster(r.getAs[Array[Byte]](0))
-            val tx = math.rint((t.originX - bX0) / bSpan).toInt
-            val ty = math.rint((bY0 - t.originY) / bSpan).toInt
+            val tx = math.rint((t.originX - originX) / tileSpan).toInt
+            val ty = math.rint((originY - t.originY) / tileSpan).toInt
             lattice.targetRowsOf(ty).iterator.map { gr =>
-              val ri = lattice.srcRowOf(gr) % bH
-              ((tx, gr / bH), (gr % bH,
-                t.bands.map(b => b.slice(ri * bW, ri * bW + bW).map(_.toLong))))
+              val ri = lattice.srcRowOf(gr) % h
+              ((tx, gr / h), (gr % h,
+                t.bands.map(b => b.slice(ri * w, ri * w + w).map(_.toLong))))
             }
           }
-          val rdd = segs.groupByKey().map { case ((tx, tyT), rows) =>
+          // every advertised target tile must exist even when ALL its
+          // rows are unmapped (a trailing tile south of the source
+          // span would otherwise get zero segments and never be
+          // written — /download for its id would 404): seed one empty
+          // marker per (source column, target row-band)
+          val seeds = spark.sparkContext.parallelize(
+            for {
+              tx <- txy.map(_._1).distinct
+              tyT <- 0 until lattice.tilesYTarget
+            } yield ((tx, tyT), (-1, Seq.empty[Array[Long]])))
+          val rdd = (segs union seeds).groupByKey().map { case ((tx, tyT), rows) =>
             // rows a target tile never received (south of the source
             // span on the last tile row-band) fill with no_data
-            val out = Array.fill(bBands)(Array.fill(bW * bH)(ndFill))
+            val out = Array.fill(bandCount)(Array.fill(w * h)(ndFill))
             rows.foreach { case (ri, bandRows) =>
-              var c = 0
-              while (c < bBands) {
-                System.arraycopy(bandRows(c), 0, out(c), ri * bW, bW)
-                c += 1
+              if (ri >= 0) {
+                var c = 0
+                while (c < bandCount) {
+                  System.arraycopy(bandRows(c), 0, out(c), ri * w, w)
+                  c += 1
+                }
               }
             }
             Row.fromSeq(
-              bGrid.tileId(tx, tyT) :: tx :: tyT :: out.map(_.toSeq).toList)
+              g.tileId(tx, tyT) :: tx :: tyT :: out.map(_.toSeq).toList)
           }
           (g, rdd)
         }

@@ -142,6 +142,9 @@ object MultimodalQueries extends QueryModule {
     * stay proportional to audio duration — a narrow map, no shuffle). */
   private def audioEnergy(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.load(spark, sfDir, "documents")
+    // empty streams emit nothing (lastWin = -1); the oracle filters
+    // len(text) > 0 explicitly because DuckDB's string_split('','')
+    // is [''] (one spurious zero sample), not []
     val media = docs.select(col("doc_id"), col("text").cast(BinaryType).as("media"))
     val W = 64
     media.mapPartitions { it =>
@@ -193,7 +196,7 @@ object MultimodalQueries extends QueryModule {
     "m4_audio_energy" ->
       """WITH s AS (SELECT doc_id,
         |  [ascii(ch)::BIGINT - 64 for ch in string_split(text, '')] AS smp
-        |  FROM documents),
+        |  FROM documents WHERE len(text) > 0),
         |w AS (SELECT doc_id, smp,
         |  unnest(generate_series(0, (len(smp)-1)//64)) AS win FROM s),
         |sl AS (SELECT doc_id, win,

@@ -787,6 +787,48 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     val q = post("/dataset/warpds/v1/query/json",
       s"""{"sql": "SELECT count(*) AS n FROM data", "geometry": $aoi}""")
     assert(q.statusCode() == 200 && !q.body().contains("\"n\":0"), q.body().take(300))
+
+    // a trailing target tile whose ONLY row is unmapped (here
+    // yTop = 8050 km → 9 target rows, the 9th south of the source
+    // span) must still be written — all no_data — so every advertised
+    // tile id resolves
+    val src2 = java.nio.file.Files.createTempDirectory("wmsrc2")
+    val yTop2 = 8050000.0
+    for (ty <- 0 to 1) {
+      GeoTiff.writeRaster(src2.resolve(s"m$ty.tif"),
+        Raster(px, px, 0.0, yTop2 - ty * px * pixelM, pixelM, 3857,
+          SampleType.Int32,
+          Seq(Array.tabulate(px * px)(i => (1 + i % 3).toDouble))))
+    }
+    val put2 = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/dataset/warpds2/v1"))
+        .header("Authorization", "Bearer test-admin")
+        .PUT(HttpRequest.BodyPublishers.ofString(
+          s"""{"creation_options": {
+             |  "source_uri": ["${src2.resolve("m0.tif")}", "${src2.resolve("m1.tif")}"],
+             |  "source_type": "raster", "pixel_meaning": "v",
+             |  "unify_projection": true, "no_data": "-1"}}""".stripMargin))
+        .build(), HttpResponse.BodyHandlers.ofString())
+    assert(put2.statusCode() == 202, put2.body().take(300))
+    var v2 = ""
+    tries = 0
+    while (tries < 120 && { v2 = get("/dataset/warpds2/v1").body()
+      v2.contains("\"status\":\"pending\"") }) { Thread.sleep(250); tries += 1 }
+    assert(v2.contains("\"status\":\"saved\""), v2.take(600))
+    val latTop2 = latOfY(yTop2)
+    val yBot2 = yTop2 - 16 * pixelM
+    val targetRows2 = math.ceil((latTop2 - latOfY(yBot2)) /
+      pixelDeg - 1e-9).toInt
+    assert(targetRows2 % px == 1, s"fixture drifted: targetRows $targetRows2")
+    val g2 = graft.raster.Grid(0.0, latTop2, 1, (targetRows2 + px - 1) / px,
+      px * pixelDeg, px)
+    val dlt = get(s"/dataset/warpds2/v1/download/geotiff?tile_id=${g2.tileId(0, 1)}&pixel_meaning=v")
+    assert(dlt.statusCode() == 307, s"trailing tile 404: ${dlt.body().take(300)}")
+    val tift = GeoTiff.read(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dlt.headers().firstValue("Location").get)))
+    // the tile's single in-range row (gr=8) is unmapped, so the
+    // whole tile is the no_data fill
+    assert(tift.pixels.forall(_ == -1), tift.pixels.take(20).toSeq.toString)
   }
 
   test("api key management: get, list, validate, delete") {
