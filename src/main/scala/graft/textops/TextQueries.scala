@@ -642,13 +642,72 @@ object TextQueries extends QueryModule {
        |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
        |FROM cl""".stripMargin
 
+  // ---- d4/d8: one materialization of the posting buckets ----------
+  //
+  // Both queries consume the same df-capped grouped posting lists
+  // (CTE `grp`) from several branches (pair generation + per-doc
+  // counts). Physical exchange reuse does NOT collapse those branches
+  // (measured: three materializations of the 270M-row h-shuffle in
+  // the adaptive plan), so the buckets are shuffled ONCE here and
+  // eagerly `localCheckpoint`ed — every consumer, in both queries,
+  // reads the materialized buckets. Same pattern as d7's iterates.
+  private val postingsMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+
+  private def groupedPostings(spark: SparkSession, sfDir: String): DataFrame =
+    postingsMemo.computeIfAbsent((spark, sfDir), _ => {
+      Tables.register(spark, sfDir)
+      spark.sql(
+        """SELECT h, sort_array(collect_list(doc_id)) AS ds FROM (
+          |  SELECT doc_id, explode(array_distinct(ngram_hashes(text, 5))) AS h
+          |  FROM documents WHERE length(text) >= 5)
+          |GROUP BY h HAVING size(ds) <= 25""".stripMargin)
+        .localCheckpoint()
+    })
+
+  /** Shared tail of d4/d8 over the checkpointed buckets: pair shared
+    * counts + per-doc posting counts, then `select` normalizes. */
+  private def postingPairs(spark: SparkSession, sfDir: String,
+                           select: String): DataFrame = {
+    groupedPostings(spark, sfDir).createOrReplaceTempView("ngram_postings")
+    spark.sql(
+      s"""WITH cnt AS (SELECT doc_id, count(*) AS n
+         |  FROM (SELECT explode(ds) AS doc_id FROM ngram_postings) GROUP BY doc_id),
+         |pr AS (SELECT i, j, count(*) AS shared FROM (
+         |    SELECT x.i, y.j FROM ngram_postings
+         |    LATERAL VIEW posexplode(ds) x AS pi, i
+         |    LATERAL VIEW posexplode(ds) y AS pj, j
+         |    WHERE x.pi < y.pj)
+         |  GROUP BY i, j)
+         |$select""".stripMargin)
+  }
+
+  private def d4Query(spark: SparkSession, sfDir: String): DataFrame =
+    postingPairs(spark, sfDir,
+      """SELECT pr.i AS doc_id_a, pr.j AS doc_id_b,
+        |  CAST(pr.shared AS DOUBLE) / (ca.n + cb.n - pr.shared) AS jaccard
+        |FROM pr JOIN cnt ca ON ca.doc_id = pr.i JOIN cnt cb ON cb.doc_id = pr.j
+        |WHERE CAST(pr.shared AS DOUBLE) / (ca.n + cb.n - pr.shared) >= 0.4""".stripMargin)
+
+  private def d8Query(spark: SparkSession, sfDir: String): DataFrame =
+    postingPairs(spark, sfDir,
+      """SELECT pr.i AS doc_id_a, pr.j AS doc_id_b,
+        |  CAST(pr.shared AS DOUBLE) / ca.n AS containment_a,
+        |  CAST(pr.shared AS DOUBLE) / cb.n AS containment_b
+        |FROM pr JOIN cnt ca ON ca.doc_id = pr.i JOIN cnt cb ON cb.doc_id = pr.j
+        |WHERE greatest(CAST(pr.shared AS DOUBLE) / ca.n,
+        |               CAST(pr.shared AS DOUBLE) / cb.n) >= 0.8""".stripMargin)
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     sqls.map { q =>
       q.name -> ((spark: SparkSession, sfDir: String) => {
         Tables.register(spark, sfDir)
         spark.sql(q.sparkSql)
       })
-    }.toMap + ("d7_dup_clusters" -> (d7Query _))
+    }.toMap +
+      ("d7_dup_clusters" -> (d7Query _)) +
+      ("d4_ngram_jaccard_pairs" -> (d4Query _)) +
+      ("d8_containment_pairs" -> (d8Query _))
 
   override def oracles: Map[String, String] =
     sqls.flatMap(q => q.oracleSql.map(q.name -> _)).toMap +

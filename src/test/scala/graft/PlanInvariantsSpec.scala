@@ -73,4 +73,27 @@ class PlanInvariantsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val p = plan("t7_decontaminate")
     assert(p.contains("BroadcastHashJoin"), p.take(300))
   }
+
+  test("t10: top-1-per-doc collapses BELOW the shuffle; df side broadcasts") {
+    val p = plan("t10_keywords")
+    // WindowGroupLimit Partial before the doc_id exchange: each map
+    // task ships ~1 candidate row per doc, not the scored vocabulary
+    assert(p.contains("WindowGroupLimit"), p.take(400))
+    assert(p.contains("BroadcastHashJoin"),
+      "df join no longer broadcasts the vocabulary side")
+  }
+
+  test("d4/d8: the posting stream shuffles once, then both read the buckets") {
+    // the grouped posting lists are materialized (localCheckpoint)
+    // exactly once and shared: each query's own plan reads the
+    // checkpointed RDD and contains NO h-shuffle at all (before this,
+    // CTE inlining materialized the 270M-row exchange three times)
+    for (q <- Seq("d4_ngram_jaccard_pairs", "d8_containment_pairs")) {
+      val p = plan(q)
+      assert(p.contains("ExistingRDD"), s"$q no longer reads the checkpointed buckets")
+      val postingExchanges = "hashpartitioning\\(h#".r.findAllIn(p).length
+      assert(postingExchanges == 0,
+        s"$q re-shuffles the posting stream $postingExchanges times")
+    }
+  }
 }
