@@ -133,7 +133,10 @@ object GeoTiff {
     write(path, tile, if (deflate) "deflate" else "none")
 
   def write(path: java.nio.file.Path, tile: Tile, compression: String): Unit =
-    writeRaster(path, rasterOf(tile), compression)
+    // integer data compresses far better differenced (GDAL writes
+    // PREDICTOR=2 on compressed integer rasters by default)
+    writeRaster(path, rasterOf(tile), compression,
+      predictor = if (compression == "none") 1 else 2)
 
   private def compCodeOf(compression: String): Int = compression match {
     case "none" => 1
@@ -219,12 +222,47 @@ object GeoTiff {
       Tag(tag, 3, 2, (vs(0) & 0xffffL) | ((vs(1) & 0xffffL) << 16))
     else Tag(tag, 3, vs.length, ext = shorts(vs))
 
-  /** Write a single-strip GeoTIFF for `r`. */
+  /** Apply horizontal differencing (predictor 2) in place: each
+    * integer sample becomes the delta to the same band's left
+    * neighbor, at the sample byte width — the encode mirror of the
+    * reader's `unpredict`. Differenced rasters compress much better
+    * under LZW/deflate (GDAL writes PREDICTOR=2 on integer data). */
+  private def predict2(raw: Array[Byte], w: Int, h: Int, spp: Int,
+                       bps: Int): Array[Byte] = {
+    val pb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+    val rowStride = w * spp
+    var row = 0
+    while (row < h) {
+      var col = rowStride - 1
+      while (col >= spp) {
+        val k = (row * rowStride + col) * bps
+        bps match {
+          case 1 => pb.put(k, (pb.get(k) - pb.get(k - spp)).toByte)
+          case 2 => pb.putShort(k,
+            (pb.getShort(k) - pb.getShort(k - 2 * spp)).toShort)
+          case 4 => pb.putInt(k, pb.getInt(k) - pb.getInt(k - 4 * spp))
+          case 8 => pb.putLong(k, pb.getLong(k) - pb.getLong(k - 8 * spp))
+        }
+        col -= 1
+      }
+      row += 1
+    }
+    raw
+  }
+
+  /** Write a single-strip GeoTIFF for `r`. `predictor` 2 (integer
+    * types only) differences rows before compression. */
   def writeRaster(path: java.nio.file.Path, r: Raster,
-                  compression: String = "deflate"): Unit = {
+                  compression: String = "deflate",
+                  predictor: Int = 1): Unit = {
     val compCode = compCodeOf(compression)
-    val strip = compress(interleave(r), compCode)
     val spp = r.bands.length
+    require(predictor == 1 || (predictor == 2 && !r.sampleType.isFloat),
+      s"predictor $predictor unsupported for ${r.sampleType.name}")
+    val raw = interleave(r)
+    if (predictor == 2)
+      predict2(raw, r.width, r.height, spp, r.sampleType.bits / 8)
+    val strip = compress(raw, compCode)
     val geoKeys = geoKeysFor(r.epsg)
 
     // tags must ascend; strip offset is patched once layout is known
@@ -238,12 +276,14 @@ object GeoTiff {
     tags += Tag(TSamplesPerPixel, 3, 1, spp)
     tags += Tag(TRowsPerStripTag, 3, 1, r.height)
     tags += Tag(TStripByteCounts, 4, 1, strip.length)
-    if (spp > 1) {
+    if (spp > 1)
       tags += Tag(TPlanarConfig, 3, 1, 1) // chunky
+    if (predictor == 2)
+      tags += Tag(TPredictor, 3, 1, 2)
+    if (spp > 1)
       // bands beyond the photometric's one gray sample must be
       // declared (TIFF 6.0): 0 = unspecified data
       tags += shortTag(TExtraSamples, Seq.fill(spp - 1)(0))
-    }
     tags += shortTag(TSampleFormat, Seq.fill(spp)(r.sampleType.fmt))
     tags += Tag(TPixelScale, 12, 3,
       ext = doubles(Seq(r.pixelScale, r.pixelScaleY, 0.0)))
@@ -358,6 +398,8 @@ object GeoTiff {
     val compCode = compCodeOf(compression)
     val spp = r.bands.length
     val bps = r.sampleType.bits / 8
+    // compressed integer COGs difference per block (GDAL's default)
+    val pred = if (compCode != 1 && !r.sampleType.isFloat) 2 else 1
     // overview pyramid: halve until the level fits one block
     val levels = {
       val out = scala.collection.mutable.ArrayBuffer(
@@ -396,7 +438,9 @@ object GeoTiff {
           }
           row += 1
         }
-        compress(raw.array(), compCode)
+        val bytes = raw.array()
+        if (pred == 2) predict2(bytes, blockSize, blockSize, spp, bps)
+        compress(bytes, compCode)
       }
       Level(w, h, blocks)
     }
@@ -415,6 +459,7 @@ object GeoTiff {
       tags += Tag(TPhotometric, 3, 1, 1)
       tags += Tag(TSamplesPerPixel, 3, 1, spp)
       if (spp > 1) tags += Tag(TPlanarConfig, 3, 1, 1)
+      if (pred == 2) tags += Tag(TPredictor, 3, 1, 2)
       tags += Tag(TTileWidth, 3, 1, blockSize)
       tags += Tag(TTileLength, 3, 1, blockSize)
       // TileOffsets/ByteCounts: placeholders — patched during write

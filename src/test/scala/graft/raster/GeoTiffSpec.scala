@@ -466,6 +466,38 @@ class GeoTiffSpec extends AnyFunSuite {
         bands(b).map(_.toFloat).toSeq, s"band $b")
   }
 
+  test("predictor-2 encode round-trips and shrinks smooth rasters") {
+    import GeoTiff.{Raster, SampleType}
+    // a smooth gradient: deltas are tiny and constant-ish, so
+    // differencing + LZW compresses far better than raw LZW
+    val w = 64; val h = 64
+    val bands = Seq.tabulate(2)(b =>
+      Array.tabulate(w * h)(i => (i % w) * 7 + (i / w) * 3 + b * 1000.0))
+    val r = Raster(w, h, 0.0, 1.0, 0.01, 4326, SampleType.Int32, bands)
+    val plain = java.nio.file.Files.createTempFile("np", ".tif")
+    val pred = java.nio.file.Files.createTempFile("p2", ".tif")
+    GeoTiff.writeRaster(plain, r, "lzw")
+    GeoTiff.writeRaster(pred, r, "lzw", predictor = 2)
+    val plainBytes = java.nio.file.Files.readAllBytes(plain)
+    val predBytes = java.nio.file.Files.readAllBytes(pred)
+    assert(predBytes.length < plainBytes.length / 2,
+      s"predictor ${predBytes.length} B vs plain ${plainBytes.length} B")
+    val back = GeoTiff.readRaster(predBytes)
+    for (b <- 0 until 2)
+      assert(back.bands(b).toSeq == bands(b).toSeq, s"band $b")
+    // uint16 single-band too (2-byte differencing path)
+    val r16 = Raster(32, 32, 0.0, 1.0, 0.01, 4326, SampleType.UInt16,
+      Seq(Array.tabulate(1024)(i => ((i * 13) % 60000).toDouble)))
+    GeoTiff.writeRaster(pred, r16, "deflate", predictor = 2)
+    val back16 = GeoTiff.readRaster(java.nio.file.Files.readAllBytes(pred))
+    assert(back16.bands.head.toSeq == r16.bands.head.toSeq)
+    // floats reject the integer predictor
+    val f = Raster(4, 4, 0.0, 1.0, 1.0, 4326, SampleType.Float32,
+      Seq(Array.fill(16)(1.5)))
+    intercept[IllegalArgumentException](
+      GeoTiff.writeRaster(pred, f, "lzw", predictor = 2))
+  }
+
   test("COG generalizes to multi-band and float samples") {
     import GeoTiff.{Raster, SampleType}
     val w = 40; val h = 24
