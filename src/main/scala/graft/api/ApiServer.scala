@@ -1250,7 +1250,8 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
                   return respond(ex, 422, "application/json",
                     Sinks.jsendError(e.getMessage))
               }
-            graft.raster.GeoTiff.writeRaster(out, warped, compression)
+            graft.raster.GeoTiff.writeRaster(out, warped, compression,
+              predictor = if (compression == "none") 1 else 2)
           } else
             graft.raster.GeoTiff.write(out, tile, compression)
         }

@@ -324,16 +324,18 @@ object VersionCreation {
                 t.bands.map(b => b.slice(ri * w, ri * w + w).map(_.toLong))))
             }
           }
-          // every advertised target tile must exist even when ALL its
-          // rows are unmapped (a trailing tile south of the source
-          // span would otherwise get zero segments and never be
-          // written — /download for its id would 404): seed one empty
-          // marker per (source column, target row-band)
+          // a column whose sources reach the LAST source row-band can
+          // own a trailing target tile with every row unmapped (its
+          // centers sit south of the source span): such a tile gets
+          // zero segments, so seed it explicitly — it must exist as
+          // all-no_data or its advertised id would 404. Columns with
+          // interior holes keep the 4326 path's semantics (absent
+          // source tile → absent target rows → no_data fill where a
+          // tile exists, 404 where none does).
           val seeds = spark.sparkContext.parallelize(
-            for {
-              tx <- txy.map(_._1).distinct
-              tyT <- 0 until lattice.tilesYTarget
-            } yield ((tx, tyT), (-1, Seq.empty[Array[Long]])))
+            txy.filter(_._2 == tilesYSrc - 1).map(_._1).distinct
+              .map(tx => ((tx, lattice.tilesYTarget - 1),
+                (-1, Seq.empty[Array[Long]]))))
           val rdd = (segs union seeds).groupByKey().map { case ((tx, tyT), rows) =>
             // rows a target tile never received (south of the source
             // span on the last tile row-band) fill with no_data

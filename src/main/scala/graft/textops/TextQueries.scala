@@ -163,85 +163,7 @@ object TextQueries extends QueryModule {
          |FROM pr JOIN cnt ca ON ca.doc_id = pr.i JOIN cnt cb ON cb.doc_id = pr.j
          |WHERE CAST(pr.shared AS DOUBLE) / (ca.n + cb.n - pr.shared) >= 0.5""".stripMargin),
 
-    // D4: character-5-gram Jaccard near-dup via a document-frequency-
-    // pruned inverted index (df <= 25 drops stop-shingles, bounding
-    // join bucket size — the skew guard that makes exact n-gram
-    // similarity feasible at scale). Same SQL shape both engines.
-    SqlQ.split("d4_ngram_jaccard_pairs",
-      s"""WITH g AS (SELECT doc_id, array_distinct(ngram_hashes(text, 5)) AS hs
-         |  FROM documents WHERE length(text) >= 5),
-         |e AS (SELECT doc_id, explode(hs) AS h FROM g),
-         |grp AS (SELECT h, sort_array(collect_list(doc_id)) AS ds
-         |  FROM e GROUP BY h HAVING size(ds) <= 25),
-         |cnt AS (SELECT doc_id, count(*) AS n
-         |  FROM (SELECT explode(ds) AS doc_id FROM grp) GROUP BY doc_id),
-         |pr AS (SELECT i, j, count(*) AS shared FROM (
-         |    SELECT x.i, y.j FROM grp
-         |    LATERAL VIEW posexplode(ds) x AS pi, i
-         |    LATERAL VIEW posexplode(ds) y AS pj, j
-         |    WHERE x.pi < y.pj)
-         |  GROUP BY i, j)
-         |SELECT pr.i AS doc_id_a, pr.j AS doc_id_b,
-         |  CAST(pr.shared AS DOUBLE) / (ca.n + cb.n - pr.shared) AS jaccard
-         |FROM pr JOIN cnt ca ON ca.doc_id = pr.i JOIN cnt cb ON cb.doc_id = pr.j
-         |WHERE CAST(pr.shared AS DOUBLE) / (ca.n + cb.n - pr.shared) >= 0.4""".stripMargin,
-      s"""WITH g AS (SELECT doc_id, list_distinct([list_reduce(
-         |    [ascii(c)::BIGINT for c in string_split(substr(text, i, 5), '')],
-         |    (h,c) -> (h*131+c) % $P) for i in generate_series(1, len(text)-4)]) AS hs
-         |  FROM documents WHERE len(text) >= 5),
-         |e AS (SELECT doc_id, unnest(hs) AS h FROM g),
-         |df AS (SELECT h FROM e GROUP BY h HAVING count(*) <= 25),
-         |ef AS (SELECT e.doc_id, e.h FROM e JOIN df ON e.h = df.h),
-         |cnt AS (SELECT doc_id, count(*) AS n FROM ef GROUP BY doc_id),
-         |pr AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS shared
-         |  FROM ef a JOIN ef b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id)
-         |SELECT pr.i AS doc_id_a, pr.j AS doc_id_b,
-         |  CAST(pr.shared AS DOUBLE) / (ca.n + cb.n - pr.shared) AS jaccard
-         |FROM pr JOIN cnt ca ON ca.doc_id = pr.i JOIN cnt cb ON cb.doc_id = pr.j
-         |WHERE CAST(pr.shared AS DOUBLE) / (ca.n + cb.n - pr.shared) >= 0.4""".stripMargin),
 
-    // D8: containment pairs — the subset-duplicate detector Jaccard
-    // misses: a short document embedded in a long one has low Jaccard
-    // (|∩|/|∪| diluted by the long side) but containment |∩|/|A| ≈ 1.
-    // Same grouped-posting-list shape as d4 (ONE shuffle of the
-    // posting stream, df-capped buckets), different normalization:
-    // per-side containment, pairs kept when either side ≥ 0.8.
-    SqlQ.split("d8_containment_pairs",
-      s"""WITH g AS (SELECT doc_id, array_distinct(ngram_hashes(text, 5)) AS hs
-         |  FROM documents WHERE length(text) >= 5),
-         |e AS (SELECT doc_id, explode(hs) AS h FROM g),
-         |grp AS (SELECT h, sort_array(collect_list(doc_id)) AS ds
-         |  FROM e GROUP BY h HAVING size(ds) <= 25),
-         |cnt AS (SELECT doc_id, count(*) AS n
-         |  FROM (SELECT explode(ds) AS doc_id FROM grp) GROUP BY doc_id),
-         |pr AS (SELECT i, j, count(*) AS shared FROM (
-         |    SELECT x.i, y.j FROM grp
-         |    LATERAL VIEW posexplode(ds) x AS pi, i
-         |    LATERAL VIEW posexplode(ds) y AS pj, j
-         |    WHERE x.pi < y.pj)
-         |  GROUP BY i, j)
-         |SELECT pr.i AS doc_id_a, pr.j AS doc_id_b,
-         |  CAST(pr.shared AS DOUBLE) / ca.n AS containment_a,
-         |  CAST(pr.shared AS DOUBLE) / cb.n AS containment_b
-         |FROM pr JOIN cnt ca ON ca.doc_id = pr.i JOIN cnt cb ON cb.doc_id = pr.j
-         |WHERE greatest(CAST(pr.shared AS DOUBLE) / ca.n,
-         |               CAST(pr.shared AS DOUBLE) / cb.n) >= 0.8""".stripMargin,
-      s"""WITH g AS (SELECT doc_id, list_distinct([list_reduce(
-         |    [ascii(c)::BIGINT for c in string_split(substr(text, i, 5), '')],
-         |    (h,c) -> (h*131+c) % $P) for i in generate_series(1, len(text)-4)]) AS hs
-         |  FROM documents WHERE len(text) >= 5),
-         |e AS (SELECT doc_id, unnest(hs) AS h FROM g),
-         |df AS (SELECT h FROM e GROUP BY h HAVING count(*) <= 25),
-         |ef AS (SELECT e.doc_id, e.h FROM e JOIN df ON e.h = df.h),
-         |cnt AS (SELECT doc_id, count(*) AS n FROM ef GROUP BY doc_id),
-         |pr AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS shared
-         |  FROM ef a JOIN ef b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id)
-         |SELECT pr.i AS doc_id_a, pr.j AS doc_id_b,
-         |  CAST(pr.shared AS DOUBLE) / ca.n AS containment_a,
-         |  CAST(pr.shared AS DOUBLE) / cb.n AS containment_b
-         |FROM pr JOIN cnt ca ON ca.doc_id = pr.i JOIN cnt cb ON cb.doc_id = pr.j
-         |WHERE greatest(CAST(pr.shared AS DOUBLE) / ca.n,
-         |               CAST(pr.shared AS DOUBLE) / cb.n) >= 0.8""".stripMargin),
 
     // D5: 31-bit SimHash fingerprints over shingle hashes (one shuffle:
     // explode -> groupBy(doc_id) with 31 codegen'd conditional sums).
@@ -651,35 +573,78 @@ object TextQueries extends QueryModule {
   // the adaptive plan), so the buckets are shuffled ONCE here and
   // eagerly `localCheckpoint`ed — every consumer, in both queries,
   // reads the materialized buckets. Same pattern as d7's iterates.
-  private val postingsMemo = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), DataFrame]()
+  private val d4Oracle: String =
+      s"""WITH g AS (SELECT doc_id, list_distinct([list_reduce(
+         |    [ascii(c)::BIGINT for c in string_split(substr(text, i, 5), '')],
+         |    (h,c) -> (h*131+c) % $P) for i in generate_series(1, len(text)-4)]) AS hs
+         |  FROM documents WHERE len(text) >= 5),
+         |e AS (SELECT doc_id, unnest(hs) AS h FROM g),
+         |df AS (SELECT h FROM e GROUP BY h HAVING count(*) <= 25),
+         |ef AS (SELECT e.doc_id, e.h FROM e JOIN df ON e.h = df.h),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM ef GROUP BY doc_id),
+         |pr AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS shared
+         |  FROM ef a JOIN ef b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id)
+         |SELECT pr.i AS doc_id_a, pr.j AS doc_id_b,
+         |  CAST(pr.shared AS DOUBLE) / (ca.n + cb.n - pr.shared) AS jaccard
+         |FROM pr JOIN cnt ca ON ca.doc_id = pr.i JOIN cnt cb ON cb.doc_id = pr.j
+         |WHERE CAST(pr.shared AS DOUBLE) / (ca.n + cb.n - pr.shared) >= 0.4""".stripMargin
 
-  private def groupedPostings(spark: SparkSession, sfDir: String): DataFrame =
-    postingsMemo.computeIfAbsent((spark, sfDir), _ => {
-      Tables.register(spark, sfDir)
-      spark.sql(
-        """SELECT h, sort_array(collect_list(doc_id)) AS ds FROM (
-          |  SELECT doc_id, explode(array_distinct(ngram_hashes(text, 5))) AS h
-          |  FROM documents WHERE length(text) >= 5)
-          |GROUP BY h HAVING size(ds) <= 25""".stripMargin)
-        .localCheckpoint()
-    })
+  private val d8Oracle: String =
+      s"""WITH g AS (SELECT doc_id, list_distinct([list_reduce(
+         |    [ascii(c)::BIGINT for c in string_split(substr(text, i, 5), '')],
+         |    (h,c) -> (h*131+c) % $P) for i in generate_series(1, len(text)-4)]) AS hs
+         |  FROM documents WHERE len(text) >= 5),
+         |e AS (SELECT doc_id, unnest(hs) AS h FROM g),
+         |df AS (SELECT h FROM e GROUP BY h HAVING count(*) <= 25),
+         |ef AS (SELECT e.doc_id, e.h FROM e JOIN df ON e.h = df.h),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM ef GROUP BY doc_id),
+         |pr AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS shared
+         |  FROM ef a JOIN ef b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id)
+         |SELECT pr.i AS doc_id_a, pr.j AS doc_id_b,
+         |  CAST(pr.shared AS DOUBLE) / ca.n AS containment_a,
+         |  CAST(pr.shared AS DOUBLE) / cb.n AS containment_b
+         |FROM pr JOIN cnt ca ON ca.doc_id = pr.i JOIN cnt cb ON cb.doc_id = pr.j
+         |WHERE greatest(CAST(pr.shared AS DOUBLE) / ca.n,
+         |               CAST(pr.shared AS DOUBLE) / cb.n) >= 0.8""".stripMargin
+
+  /** The df-capped grouped posting lists, shuffled once and eagerly
+    * `localCheckpoint`ed so every consumer branch of the query reads
+    * the materialized buckets (CTE inlining materialized the
+    * h-shuffle three times before). NOT memoized: checkpoint blocks
+    * die with executors and the table under `sfDir` can change, so
+    * each query call re-materializes — the same lifetime rule as
+    * d7's iterates. */
+  private def groupedPostings(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.register(spark, sfDir)
+    spark.sql(
+      """SELECT h, sort_array(collect_list(doc_id)) AS ds FROM (
+        |  SELECT doc_id, explode(array_distinct(ngram_hashes(text, 5))) AS h
+        |  FROM documents WHERE length(text) >= 5)
+        |GROUP BY h HAVING size(ds) <= 25""".stripMargin)
+      .localCheckpoint()
+  }
 
   /** Shared tail of d4/d8 over the checkpointed buckets: pair shared
-    * counts + per-doc posting counts, then `select` normalizes. */
+    * counts + per-doc posting counts, then `select` normalizes. The
+    * view name is per-call so concurrent sessions/sfDirs never clobber
+    * each other; the plan resolves at `sql()` time, so the view can be
+    * dropped immediately after. */
   private def postingPairs(spark: SparkSession, sfDir: String,
                            select: String): DataFrame = {
-    groupedPostings(spark, sfDir).createOrReplaceTempView("ngram_postings")
-    spark.sql(
+    val view = "ngram_postings_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    groupedPostings(spark, sfDir).createOrReplaceTempView(view)
+    try spark.sql(
       s"""WITH cnt AS (SELECT doc_id, count(*) AS n
-         |  FROM (SELECT explode(ds) AS doc_id FROM ngram_postings) GROUP BY doc_id),
+         |  FROM (SELECT explode(ds) AS doc_id FROM $view) GROUP BY doc_id),
          |pr AS (SELECT i, j, count(*) AS shared FROM (
-         |    SELECT x.i, y.j FROM ngram_postings
+         |    SELECT x.i, y.j FROM $view
          |    LATERAL VIEW posexplode(ds) x AS pi, i
          |    LATERAL VIEW posexplode(ds) y AS pj, j
          |    WHERE x.pi < y.pj)
          |  GROUP BY i, j)
          |$select""".stripMargin)
+    finally spark.catalog.dropTempView(view)
   }
 
   private def d4Query(spark: SparkSession, sfDir: String): DataFrame =
@@ -711,5 +676,7 @@ object TextQueries extends QueryModule {
 
   override def oracles: Map[String, String] =
     sqls.flatMap(q => q.oracleSql.map(q.name -> _)).toMap +
-      ("d7_dup_clusters" -> d7Oracle)
+      ("d7_dup_clusters" -> d7Oracle) +
+      ("d4_ngram_jaccard_pairs" -> d4Oracle) +
+      ("d8_containment_pairs" -> d8Oracle)
 }
