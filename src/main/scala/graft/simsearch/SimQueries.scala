@@ -495,6 +495,53 @@ object SimQueries extends QueryModule {
        |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk FROM s) t
        |WHERE rnk <= 5""".stripMargin
 
+  /** e8: recall accounting for the ANN path — "measure, don't guess":
+    * recall@5 of the 2-probe IVF (e3) against the exact brute-force
+    * top-5 (e1's pipeline), per query. hits is an integer count and
+    * recall one IEEE division, so the oracle hash-matches. The join
+    * is 25 rows × 25 rows — the measurement costs nothing next to the
+    * pipelines it audits. */
+  private def exactTop5Sql: String =
+    s"""$sparkVecs,
+       |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < 5),
+       |s AS (SELECT qid, n.vec_id AS nid, vec_dot(qv, n.v) / (qn * n.nrm) AS sim
+       |      FROM q CROSS JOIN n WHERE n.vec_id != qid)
+       |SELECT qid AS query_id, nid AS neighbor_id
+       |FROM (SELECT qid, nid, sim,
+       |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk FROM s) t
+       |WHERE rnk <= 5""".stripMargin
+
+  private def ivfRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    Tables.register(spark, sfDir)
+    val exact = spark.sql(exactTop5Sql).as("e")
+    val ivf = ivfTopK(spark, sfDir)
+      .select(col("query_id"), col("neighbor_id")).as("i")
+    exact.join(ivf,
+        col("e.query_id") === col("i.query_id") &&
+          col("e.neighbor_id") === col("i.neighbor_id"), "left")
+      .groupBy(col("e.query_id").as("query_id"))
+      .agg(count(col("i.neighbor_id")).as("hits"),
+        (count(col("i.neighbor_id")).cast("double") / 5).as("recall_at_5"))
+  }
+
+  private def e8Oracle: String =
+    s"""WITH exact AS (SELECT query_id, neighbor_id FROM (
+       |  $duckVecs,
+       |  q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < 5),
+       |  s AS (SELECT qid, n.vec_id AS nid, ${dDot("qv", "n.v")} / (qn * n.nrm) AS sim
+       |        FROM q CROSS JOIN n WHERE n.vec_id != qid)
+       |  SELECT qid AS query_id, nid AS neighbor_id
+       |  FROM (SELECT qid, nid, sim,
+       |          row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk FROM s) t
+       |  WHERE rnk <= 5)),
+       |ivf AS (SELECT query_id, neighbor_id FROM ($e3Oracle))
+       |SELECT e.query_id, count(i.neighbor_id) AS hits,
+       |  CAST(count(i.neighbor_id) AS DOUBLE) / 5 AS recall_at_5
+       |FROM exact e LEFT JOIN ivf i
+       |  ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+       |GROUP BY e.query_id""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     sqls.map { q =>
       q.name -> ((spark: SparkSession, sfDir: String) => {
@@ -504,11 +551,13 @@ object SimQueries extends QueryModule {
     }.toMap +
       ("e5b_kmeans_converged" -> ((s: SparkSession, d: String) => kmeansAssignments(s, d))) +
       ("e3_ann_ivf" -> ((s: SparkSession, d: String) => ivfTopK(s, d))) +
-      ("e2_cosine_neardup" -> ((s: SparkSession, d: String) => cellNearDup(s, d)))
+      ("e2_cosine_neardup" -> ((s: SparkSession, d: String) => cellNearDup(s, d))) +
+      ("e8_ivf_recall" -> ((s: SparkSession, d: String) => ivfRecall(s, d)))
 
   override def oracles: Map[String, String] =
     sqls.flatMap(q => q.oracleSql.map(q.name -> _)).toMap +
       ("e5b_kmeans_converged" -> e5bOracle) +
       ("e3_ann_ivf" -> e3Oracle) +
-      ("e2_cosine_neardup" -> e2Oracle)
+      ("e2_cosine_neardup" -> e2Oracle) +
+      ("e8_ivf_recall" -> e8Oracle)
 }
