@@ -131,7 +131,15 @@ object SimQueries extends QueryModule {
     * table — only with k×chunks. Memoized per scale-factor dir: e2, e3
     * and e5b share one build. */
   private[simsearch] def convergedKmeans(spark: SparkSession, sfDir: String): KmResult =
-    kmMemo.computeIfAbsent(sfDir, { _ =>
+    lloyd(spark, sfDir, KmMaxIter)
+
+  /** The driver-loop Lloyd body, parameterized on the iteration budget
+    * so e5 (exactly ONE centroid update — the pedagogical
+    * demonstration) and e2/e3/e5b (the converged build) share one
+    * implementation. Memo key includes the budget: the one-iteration
+    * and converged builds coexist without clobbering each other. */
+  private def lloyd(spark: SparkSession, sfDir: String, maxIter: Int): KmResult =
+    kmMemo.computeIfAbsent(s"$sfDir#$maxIter", { _ =>
       Tables.register(spark, sfDir)
       graft.functions.GraftFunctions.install(spark)
       val raw = spark.sql(s"$sparkVecs SELECT vec_id, v, nrm FROM n").rdd
@@ -152,7 +160,7 @@ object SimQueries extends QueryModule {
         var iter = 0
         var fixed = false
         val dbg = sys.env.contains("GRAFT_KM_DEBUG")
-        while (iter < KmMaxIter && !fixed) {
+        while (iter < maxIter && !fixed) {
           iter += 1
           val itT0 = if (dbg) System.nanoTime() else 0L
           val cArr = cents.toArray
@@ -260,6 +268,27 @@ object SimQueries extends QueryModule {
          |SELECT vec_id, ${argmaxAssign(km.centroids)} AS cluster_id FROM n""".stripMargin)
   }
 
+  /** e5 Spark side: assignment after exactly ONE centroid update —
+    * the same driver loop with the budget pinned at 1, so the update
+    * uses the bounded per-(cluster, chunk) partial fold (never a
+    * whole-cluster buffer) and the assignment is the fused
+    * [[graft.functions.KmArgmax]] scan. */
+  private def oneIterAssignments(spark: SparkSession, sfDir: String): DataFrame = {
+    val km = lloyd(spark, sfDir, maxIter = 1)
+    spark.sql(
+      s"""$sparkVecs
+         |SELECT vec_id, ${argmaxAssign(km.centroids)} AS cluster_id FROM n""".stripMargin)
+  }
+
+  /** e5 oracle: seeds → one chunked centroid update (cn1) → re-assign
+    * (asg2). `kmeansCtes(2)` computes an unused second update; its
+    * cost is noise and reusing the shared unroll keeps the op
+    * sequence identical to the Spark loop's by construction. */
+  private def e5Oracle: String =
+    s"""$duckVecs,
+       |${kmeansCtes(2)}
+       |SELECT vec_id, c AS cluster_id FROM asg2""".stripMargin
+
   /** e3 Spark side: IVF probe over the converged cells. */
   private def ivfTopK(spark: SparkSession, sfDir: String): DataFrame = {
     val km = convergedKmeans(spark, sfDir)
@@ -286,8 +315,13 @@ object SimQueries extends QueryModule {
   private val sqls: Seq[SqlQ] = Seq(
 
     // E1: brute-force cosine top-10 for 5 query vectors — the exact
-    // baseline every ANN variant is judged against. Query side is tiny
-    // => broadcast; the scan side streams once.
+    // baseline every ANN variant is judged against (e8 measures e3's
+    // recall against it). Query side is tiny => broadcast; the scan
+    // side streams once. SCOPE: the crossJoin is the exactness
+    // baseline and recall yardstick, valid only while the query side
+    // stays small enough to broadcast — for all-pairs or large-Q work
+    // the scale paths are e3 (IVF cells) / e4 (LSH buckets), which
+    // block candidates before any pairwise work.
     SqlQ.split("e1_knn_bruteforce",
       s"""$sparkVecs,
          |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < 5),
@@ -330,47 +364,13 @@ object SimQueries extends QueryModule {
          |FROM n a, n b WHERE a.vec_id < b.vec_id
          |  AND ${dDot("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.4""".stripMargin),
 
-    // E5: k-means clustering (the IVF coarse-quantizer build): seeds =
-    // vectors 0..9, one Lloyd iteration — assignment by max cosine with
-    // deterministic tie-break, centroid update as a vec_id-ordered
-    // elementwise fold (bit-reproducible), re-assignment. The oracle
-    // replays the identical iteration.
-    SqlQ.split("e5_kmeans_assign",
-      s"""$sparkVecs,
-         |seed AS (SELECT vec_id AS sid, v AS sv, nrm AS snrm FROM n WHERE vec_id < 10),
-         |a1 AS (SELECT n.vec_id, n.v, seed.sid,
-         |        row_number() OVER (PARTITION BY n.vec_id
-         |          ORDER BY vec_dot(n.v, seed.sv) / (n.nrm * seed.snrm) DESC, seed.sid) AS r
-         |       FROM n CROSS JOIN seed),
-         |asg1 AS (SELECT vec_id, v, sid AS c FROM a1 WHERE r = 1),
-         |g AS (SELECT c, sort_array(collect_list(struct(vec_id, v))) AS arr, count(*) AS cnt
-         |      FROM asg1 GROUP BY c),
-         |cen AS (SELECT c, transform(
-         |    aggregate(arr, array_repeat(CAST(0 AS DOUBLE), 64), (acc, e) -> zip_with(acc, e.v, (p,q) -> p+q)),
-         |    x -> x / cnt) AS cv FROM g),
-         |cn AS (SELECT c, cv, sqrt(vec_dot(cv, cv)) AS cnrm FROM cen),
-         |a2 AS (SELECT n.vec_id, cn.c,
-         |        row_number() OVER (PARTITION BY n.vec_id
-         |          ORDER BY vec_dot(n.v, cn.cv) / (n.nrm * cn.cnrm) DESC, cn.c) AS r
-         |       FROM n CROSS JOIN cn)
-         |SELECT vec_id, c AS cluster_id FROM a2 WHERE r = 1""".stripMargin,
-      s"""$duckVecs,
-         |seed AS (SELECT vec_id AS sid, v AS sv, nrm AS snrm FROM n WHERE vec_id < 10),
-         |a1 AS (SELECT n.vec_id, n.v, seed.sid,
-         |        row_number() OVER (PARTITION BY n.vec_id
-         |          ORDER BY ${dDot("n.v", "seed.sv")} / (n.nrm * seed.snrm) DESC, seed.sid) AS r
-         |       FROM n CROSS JOIN seed),
-         |asg1 AS (SELECT vec_id, v, sid AS c FROM a1 WHERE r = 1),
-         |g AS (SELECT c, list(v ORDER BY vec_id) AS arr, count(*) AS cnt
-         |      FROM asg1 GROUP BY c),
-         |cen AS (SELECT c, [x / cnt for x in
-         |    list_reduce(arr, (a,b) -> [a[k] + b[k] for k in generate_series(1, len(a))])] AS cv FROM g),
-         |cn AS (SELECT c, cv, sqrt(list_reduce([y*y for y in cv], (a,b) -> a+b)) AS cnrm FROM cen),
-         |a2 AS (SELECT n.vec_id, cn.c,
-         |        row_number() OVER (PARTITION BY n.vec_id
-         |          ORDER BY ${dDot("n.v", "cn.cv")} / (n.nrm * cn.cnrm) DESC, cn.c) AS r
-         |       FROM n CROSS JOIN cn)
-         |SELECT vec_id, c AS cluster_id FROM a2 WHERE r = 1""".stripMargin),
+    // E5 is programmatic (ONE Lloyd iteration from the seeds — the
+    // pedagogical single-update demonstration; the converged build is
+    // e5b). It runs on the SAME chunked two-level fold as e5b, so no
+    // aggregation buffer ever holds more than one KmChunk of vectors
+    // — the former SQL formulation's whole-cluster
+    // `collect_list(struct(vec_id, v))` was an executor OOM at scale.
+    // See `queries` below; the oracle unrolls the identical update.
 
     // E6: int8 scalar quantization — the embedding-compression storage
     // path (4× smaller vectors at rest). Per-vector max-abs scale,
@@ -550,12 +550,14 @@ object SimQueries extends QueryModule {
       })
     }.toMap +
       ("e5b_kmeans_converged" -> ((s: SparkSession, d: String) => kmeansAssignments(s, d))) +
+      ("e5_kmeans_assign" -> ((s: SparkSession, d: String) => oneIterAssignments(s, d))) +
       ("e3_ann_ivf" -> ((s: SparkSession, d: String) => ivfTopK(s, d))) +
       ("e2_cosine_neardup" -> ((s: SparkSession, d: String) => cellNearDup(s, d))) +
       ("e8_ivf_recall" -> ((s: SparkSession, d: String) => ivfRecall(s, d)))
 
   override def oracles: Map[String, String] =
     sqls.flatMap(q => q.oracleSql.map(q.name -> _)).toMap +
+      ("e5_kmeans_assign" -> e5Oracle) +
       ("e5b_kmeans_converged" -> e5bOracle) +
       ("e3_ann_ivf" -> e3Oracle) +
       ("e2_cosine_neardup" -> e2Oracle) +

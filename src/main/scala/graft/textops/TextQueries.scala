@@ -360,33 +360,9 @@ object TextQueries extends QueryModule {
          |FROM corpus JOIN bh ON corpus.h = bh.h
          |GROUP BY corpus.doc_id""".stripMargin),
 
-    // T8: sequence packing — the last step before a training run:
-    // assign documents to fixed-token-budget packs (4096 here) by a
-    // PREFIX SUM over a deterministic order, pack id =
-    // floor(cum_before / budget) — contiguous-fill packing, the
-    // shuffle-light shape (one global sort / window, no driver loop;
-    // at 100 TB the window's single ordering column makes this a
-    // range-partitioned sort, Spark's bread and butter). Token count
-    // is the whitespace tokenizer (t2's semantics).
-    SqlQ.split("t8_sequence_pack",
-      s"""WITH t AS (SELECT doc_id, size(split(text, ' ')) AS n_tokens FROM documents),
-         |c AS (SELECT doc_id, n_tokens,
-         |  COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
-         |  FROM t)
-         |SELECT doc_id, n_tokens,
-         |  CAST(cum_before / 4096 AS BIGINT) AS pack_id,
-         |  CAST(cum_before % 4096 AS BIGINT) AS pack_offset
-         |FROM c""".stripMargin,
-      s"""WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents),
-         |c AS (SELECT doc_id, n_tokens,
-         |  COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
-         |  FROM t)
-         |SELECT doc_id, n_tokens,
-         |  CAST(cum_before // 4096 AS BIGINT) AS pack_id,
-         |  CAST(cum_before % 4096 AS BIGINT) AS pack_offset
-         |FROM c""".stripMargin),
+    // T8 is programmatic (distributed two-pass prefix sum — a
+    // partition-less window would plan Exchange SinglePartition and
+    // route every document through ONE task) — see t8Query below.
 
     // T9: intra-document repetition scoring (the Gopher repetition
     // rules, Rae et al. 2021 §A1.1): the fraction of characters
@@ -647,6 +623,85 @@ object TextQueries extends QueryModule {
     finally spark.catalog.dropTempView(view)
   }
 
+  // ---- t8: sequence packing by DISTRIBUTED prefix sum ------------
+  //
+  // The last step before a training run: assign documents to
+  // fixed-token-budget packs (4096 here) by a prefix sum over the
+  // deterministic doc_id order; pack id = floor(cum_before / budget)
+  // — contiguous-fill packing. A naive `SUM() OVER (ORDER BY doc_id)`
+  // has no PARTITION BY, so Spark plans `Exchange SinglePartition` +
+  // one global sort — at 100 TB every document flows through ONE
+  // task. Instead this is the textbook two-pass distributed scan:
+  //
+  //   pass 0  range-partition by doc_id + sort within partitions
+  //           (ONE range exchange — the same shuffle the window
+  //           would need, but into P parallel partitions), then
+  //           materialize so both passes read identical data;
+  //   pass 1  per-partition token totals to the driver — ONE long
+  //           per partition (at 100k partitions: 800 KB);
+  //   pass 2  broadcast the cumulative offsets; each partition runs
+  //           its local running sum seeded at its offset — narrow,
+  //           embarrassingly parallel.
+  //
+  // Exact integer sums make the result independent of how the total
+  // is associated, so oracle parity is untouched. Token count is the
+  // whitespace tokenizer (t2's semantics).
+
+  private val t8Budget = 4096L
+
+  /** Pass 0 — exposed so `PlanInvariantsSpec` can pin the plan shape:
+    * range partitioning present, no `SinglePartition` exchange. */
+  private[graft] def t8RangePartitioned(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.register(spark, sfDir)
+    spark.sql("SELECT doc_id, size(split(text, ' ')) AS n_tokens FROM documents")
+      .repartitionByRange(org.apache.spark.sql.functions.col("doc_id"))
+      .sortWithinPartitions("doc_id")
+  }
+
+  private def t8Query(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val t = t8RangePartitioned(spark, sfDir).localCheckpoint()
+    val rows = t.rdd
+    // pass 1: one partial per partition (empty partitions contribute 0)
+    val totals: Array[Long] = {
+      val byPid = rows.mapPartitionsWithIndex { (pid, it) =>
+        var s = 0L
+        it.foreach(r => s += r.getInt(1))
+        Iterator((pid, s))
+      }.collect().toMap
+      Array.tabulate(rows.getNumPartitions)(byPid.getOrElse(_, 0L))
+    }
+    val offsets = totals.scanLeft(0L)(_ + _) // offsets(pid) = tokens before pid
+    val bc = spark.sparkContext.broadcast(offsets)
+    val budget = t8Budget
+    // pass 2: per-partition running sum seeded at the partition offset
+    val packed = rows.mapPartitionsWithIndex { (pid, it) =>
+      var cum = bc.value(pid)
+      it.map { r =>
+        val n = r.getInt(1)
+        val before = cum
+        cum += n
+        org.apache.spark.sql.Row(r.getLong(0), n, before / budget, before % budget)
+      }
+    }
+    spark.createDataFrame(packed, StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("n_tokens", IntegerType, nullable = false),
+      StructField("pack_id", LongType, nullable = false),
+      StructField("pack_offset", LongType, nullable = false))))
+  }
+
+  private val t8Oracle: String =
+    s"""WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents),
+       |c AS (SELECT doc_id, n_tokens,
+       |  COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       |  FROM t)
+       |SELECT doc_id, n_tokens,
+       |  CAST(cum_before // $t8Budget AS BIGINT) AS pack_id,
+       |  CAST(cum_before % $t8Budget AS BIGINT) AS pack_offset
+       |FROM c""".stripMargin
+
   private def d4Query(spark: SparkSession, sfDir: String): DataFrame =
     postingPairs(spark, sfDir,
       """SELECT pr.i AS doc_id_a, pr.j AS doc_id_b,
@@ -672,11 +727,13 @@ object TextQueries extends QueryModule {
     }.toMap +
       ("d7_dup_clusters" -> (d7Query _)) +
       ("d4_ngram_jaccard_pairs" -> (d4Query _)) +
-      ("d8_containment_pairs" -> (d8Query _))
+      ("d8_containment_pairs" -> (d8Query _)) +
+      ("t8_sequence_pack" -> (t8Query _))
 
   override def oracles: Map[String, String] =
     sqls.flatMap(q => q.oracleSql.map(q.name -> _)).toMap +
       ("d7_dup_clusters" -> d7Oracle) +
       ("d4_ngram_jaccard_pairs" -> d4Oracle) +
-      ("d8_containment_pairs" -> d8Oracle)
+      ("d8_containment_pairs" -> d8Oracle) +
+      ("t8_sequence_pack" -> t8Oracle)
 }

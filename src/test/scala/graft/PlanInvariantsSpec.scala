@@ -83,6 +83,19 @@ class PlanInvariantsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "df join no longer broadcasts the vocabulary side")
   }
 
+  test("t8: the prefix sum is distributed — no SinglePartition exchange") {
+    // the partition-less window formulation planned
+    // `Exchange SinglePartition` (every document through one task);
+    // the two-pass shape range-partitions instead
+    val pass0 = graft.textops.TextQueries
+      .t8RangePartitioned(spark, sf).queryExecution.executedPlan.toString
+    assert(pass0.toLowerCase.contains("rangepartitioning"), pass0.take(400))
+    assert(!pass0.contains("SinglePartition"), pass0.take(400))
+    val full = plan("t8_sequence_pack")
+    assert(!full.contains("SinglePartition"), full.take(400))
+    assert(!full.contains("Window"), "t8 regressed to a window formulation")
+  }
+
   test("d4/d8: the posting stream shuffles once, then both read the buckets") {
     // the grouped posting lists are materialized (localCheckpoint)
     // exactly once and shared: each query's own plan reads the
