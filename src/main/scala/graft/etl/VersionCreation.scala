@@ -242,12 +242,15 @@ object VersionCreation {
       val bandCount = metas.head._6
       require(metas.forall(_._6 == bandCount),
         "all tiles must share one band count")
-      // the lake's pixel currency is integer; pixETL's float types are
-      // decoded by the codec but not ingestable as zonal layers
-      require(!metas.map(_._7).exists(_.startsWith("float")),
-        "float sample type " +
-          s"${metas.map(_._7).find(_.startsWith("float")).getOrElse("")} " +
-          "not supported for tile lakes (integer rasters only)")
+      // pixel currency: integer sources land as array<bigint> lake
+      // columns (exact), float32/64 sources (pixETL's float pixel
+      // types — biomass, emissions factors) as array<double>; zonal
+      // sums over float layers go through fixed-point scaling at
+      // query time (`arr_fixed`) so aggregation stays exact integers
+      val isFloat = metas.head._7.startsWith("float")
+      require(metas.forall(_._7.startsWith("float") == isFloat),
+        "all tiles must share one sample format family (int vs float), got " +
+          metas.map(_._7).distinct.mkString(","))
       val srcEpsg = metas.head._8
       require(metas.forall(_._8 == srcEpsg), "all tiles must share one CRS")
       require(srcEpsg == 4326 || (srcEpsg == 3857 && opts.unifyProjection),
@@ -279,7 +282,12 @@ object VersionCreation {
       val schema = StructType(
         StructField("tile_id", StringType) ::
           StructField("tx", IntegerType) :: StructField("ty", IntegerType) ::
-          bandCols.map(c => StructField(c, ArrayType(LongType))).toList)
+          bandCols.map(c => StructField(c,
+            ArrayType(if (isFloat) DoubleType else LongType))).toList)
+      // band array for one lake row: doubles stay doubles for float
+      // sources, integer sources convert to exact longs
+      def bandSeq(b: Array[Double]): Seq[Any] =
+        if (isFloat) b.toSeq else b.toSeq.map(_.toLong)
       // pass 2: pixels, executor-side, one lake row per tile; ids MUST
       // come from the canonical Grid.tileId formatter — the query-time
       // partition pruning generates its INSET from the same method.
@@ -299,7 +307,7 @@ object VersionCreation {
             val ty = math.rint((originY - t.originY) / tileSpan).toInt
             Row.fromSeq(
               g.tileId(tx, ty) :: tx :: ty ::
-                t.bands.map(b => b.toSeq.map(_.toLong)).toList)
+                t.bands.map(b => bandSeq(b)).toList)
           }
           (g, rdd)
         } else {
@@ -313,7 +321,14 @@ object VersionCreation {
           val g = graft.raster.Grid(lattice.originLon, lattice.originLat,
             tilesX = tilesX, tilesY = lattice.tilesYTarget,
             tileDeg = w * lattice.pixelDeg, pxPerTile = w)
-          val ndFill = opts.noData.map(_.toDouble.toLong).getOrElse(0L)
+          // unmapped target rows fill with no_data; fabricating
+          // value-0 pixels when none was declared would be
+          // indistinguishable from real zero data, so the warp path
+          // requires an explicit no_data
+          require(opts.noData.isDefined,
+            "unify_projection requires no_data (unmapped target rows " +
+              "must be distinguishable from data)")
+          val ndFill = opts.noData.get.toDouble
           val segs = files.rdd.flatMap { r =>
             val t = GeoTiff.readRaster(r.getAs[Array[Byte]](0))
             val tx = math.rint((t.originX - originX) / tileSpan).toInt
@@ -321,7 +336,7 @@ object VersionCreation {
             lattice.targetRowsOf(ty).iterator.map { gr =>
               val ri = lattice.srcRowOf(gr) % h
               ((tx, gr / h), (gr % h,
-                t.bands.map(b => b.slice(ri * w, ri * w + w).map(_.toLong))))
+                t.bands.map(b => b.slice(ri * w, ri * w + w))))
             }
           }
           // a column whose sources reach the LAST source row-band can
@@ -335,7 +350,7 @@ object VersionCreation {
           val seeds = spark.sparkContext.parallelize(
             txy.filter(_._2 == tilesYSrc - 1).map(_._1).distinct
               .map(tx => ((tx, lattice.tilesYTarget - 1),
-                (-1, Seq.empty[Array[Long]]))))
+                (-1, Seq.empty[Array[Double]]))))
           val rdd = (segs union seeds).groupByKey().map { case ((tx, tyT), rows) =>
             // rows a target tile never received (south of the source
             // span on the last tile row-band) fill with no_data
@@ -350,7 +365,7 @@ object VersionCreation {
               }
             }
             Row.fromSeq(
-              g.tileId(tx, tyT) :: tx :: tyT :: out.map(_.toSeq).toList)
+              g.tileId(tx, tyT) :: tx :: tyT :: out.map(b => bandSeq(b)).toList)
           }
           (g, rdd)
         }
@@ -361,10 +376,13 @@ object VersionCreation {
       val rows = spark.createDataFrame(rowsRdd, schema)
       rows.write.mode("overwrite").partitionBy("tile_id").parquet(targetDir)
       log += ChangeLog("load_data", "success",
-        s"wrote ${metas.length} tile row(s), band(s) ${bandCols.mkString(",")}")
+        s"loaded from ${metas.length} source tile(s) " +
+          s"(${grid.tilesX}×${grid.tilesY} target grid), " +
+          s"band(s) ${bandCols.mkString(",")}, samples ${metas.head._7}")
 
       assetOpts = Map(
         "pixel_meaning" -> opts.pixelMeaning,
+        "sample_type" -> metas.head._7,
         "band" -> bandCols.head,
         "lake_bands" -> bandCols.mkString(","),
         "grid_origin_lon" -> grid.originLon.toString,

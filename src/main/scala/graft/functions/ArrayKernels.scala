@@ -156,6 +156,38 @@ case class ArrSum(child: Expression) extends UnaryExpression with CodegenFallbac
   override protected def withNewChildInternal(c: Expression): ArrSum = copy(child = c)
 }
 
+/** `arr_fixed(a, scale)` → array<bigint>: fixed-point conversion of a
+  * FLOAT band — elementwise `round(v * scale)` (half away from zero,
+  * `Math.round` on the scaled double). This is the bridge that lets
+  * float tile-lake layers (array<double> columns) ride the exact
+  * integer zonal machinery: scale by the layer's precision (4 for
+  * quarter-unit data, 100 for centi-units), aggregate as exact
+  * 64-bit integers in any order, divide once at the end. The oracle
+  * mirrors it with `CAST(round(v * scale) AS BIGINT)`. */
+case class ArrFixed(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "arr_fixed"
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), _: NumericType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"arr_fixed expects (array<double>, numeric scale), got $t")
+    }
+  override protected def nullSafeEval(aAny: Any, sAny: Any): Any = {
+    val a = aAny.asInstanceOf[ArrayData]
+    val scale = sAny.asInstanceOf[Number].doubleValue()
+    val n = a.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) { out(i) = Math.round(a.getDouble(i) * scale); i += 1 }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ArrFixed =
+    copy(left = l, right = r)
+}
+
 /** `arr_hist(a, lo, hi, bins)` → array<bigint>: equal-width histogram
   * counts with the reference's bin rule
   * `least(floor((v - lo) * bins / (hi - lo)), bins - 1)` — the exact

@@ -31,6 +31,7 @@ object GraftFunctions {
     "arr_eq" -> ((es: Seq[Expression]) => ArrEq(es(0), es(1))),
     "arr_and" -> ((es: Seq[Expression]) => ArrAnd(es(0), es(1))),
     "arr_sum" -> ((es: Seq[Expression]) => ArrSum(es.head)),
+    "arr_fixed" -> ((es: Seq[Expression]) => ArrFixed(es(0), es(1))),
     "arr_hist" -> ((es: Seq[Expression]) => ArrHist(es)),
     "grid_arr" -> ((es: Seq[Expression]) => GridArr(es)),
     "hist_merge" -> ((es: Seq[Expression]) =>

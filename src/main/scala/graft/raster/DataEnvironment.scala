@@ -149,6 +149,21 @@ object DataEnvironment {
       bands(idx).getLong(i)
   }
 
+  /** Fixed-point band fn for FLOAT lake columns (array<double>):
+    * `round(v × scale)` — converts float pixels into the exact-int64
+    * currency of the partial-aggregation contract at the scan, so
+    * every aggregation tree above stays order-independent integer
+    * math; one division by the same scale (sumScale / decodeSql)
+    * restores the unit at output. */
+  private final case class FloatBandFn(idx: Int, scale: Double) extends PixelFn {
+    def eval(gx: Int, gy: Int, bands: Array[ArrayData], i: Int): Long =
+      Math.round(bands(idx).getDouble(i) * scale)
+  }
+
+  /** Default fixed-point scale for float layers: 4 decimal digits
+    * (override per asset with creation option `float_scale`). */
+  val FloatScaleDefault: Double = 10000.0
+
   /** ISO week of a days-since-epoch date layer (the OTF dialect's
     * `isoweek(x__date)` group key, `analysis.py:143-145`). The per-day
     * week table precomputes once per compiled query — the hot loop is
@@ -215,19 +230,32 @@ object DataEnvironment {
           val meaning = opts.getOrElse("pixel_meaning", "value")
           val band = opts.getOrElse("band",
             throw new IllegalArgumentException(s"raster asset of $ds has no band"))
-          val src = BandFn(bandIdx.getOrElse(band,
-            throw new IllegalArgumentException(s"unknown lake band $band")))
-          val bound = opts.get("key_bound").map(_.toLong).getOrElse(1L << 20)
-          val noData = opts.get("no_data").map(v => PixelPreds.Ne(src, v.toDouble))
+          // float assets (array<double> lake columns) read through the
+          // fixed-point band fn; their raw long currency is v×scale
+          val isFloat = opts.get("sample_type").exists(_.startsWith("float"))
+          val floatScale =
+            opts.get("float_scale").map(_.toDouble).getOrElse(FloatScaleDefault)
+          def bandFn(idx: Int): PixelFn =
+            if (isFloat) FloatBandFn(idx, floatScale) else BandFn(idx)
+          val srcIdx = bandIdx.getOrElse(band,
+            throw new IllegalArgumentException(s"unknown lake band $band"))
+          val src = bandFn(srcIdx)
+          val bound = opts.get("key_bound").map(_.toLong)
+            .getOrElse(if (isFloat) 1L << 33 else 1L << 20)
+          val noData = opts.get("no_data").map(v => PixelPreds.Ne(src,
+            if (isFloat) Math.round(v.toDouble * floatScale).toDouble
+            else v.toDouble))
           val default = graft.analysis.Builders.defaultLayer(ds, meaning)
           val layers: Seq[RasterLayer] =
             if (meaning == "is") {
               // presence layer: nonzero source pixel = true
+              require(!isFloat, s"presence layer of $ds requires an integer band")
               Seq(RasterLayer(default, PixelCalc.compile("A != 0", Seq(src)),
                 keyBound = 2, isBool = true))
             } else if (meaning.contains("date_conf")) {
               // date_conf decode (`queries.py:713-744`): days since the
               // band epoch in the low digits, confidence in the high
+              require(!isFloat, s"date_conf layer of $ds requires an integer band")
               val epoch = LocalDate.parse(opts.getOrElse("epoch", "2015-01-01"))
               Seq(
                 RasterLayer(s"${ds}__date",
@@ -240,18 +268,30 @@ object DataEnvironment {
             } else if (graft.analysis.Builders.areaDensityName(meaning).nonEmpty) {
               // density → absolute: value × pixel area, fixed-point
               // micro-units (`_get_area_density_name`, A4 rescale).
-              // source stores tenths → scale = 10 × 1e6
-              val unitScale = opts.getOrElse("unit_scale", "10").toDouble
+              // integer sources store tenths → unit_scale 10; float
+              // sources are already ×floatScale at the band fn, so the
+              // post-sum divisor folds both scales into one division
+              val unitScale =
+                opts.getOrElse("unit_scale", if (isFloat) "1" else "10").toDouble
               Seq(RasterLayer(default,
                 PixelCalc.compileArea("A * AREA", Seq(src), mh),
-                sumScale = unitScale * 1e6))
+                sumScale = unitScale * (if (isFloat) floatScale else 1.0) * 1e6))
             } else {
               opts.get("calc") match {
                 case Some(calc) =>
+                  require(!isFloat,
+                    s"calc layer of $ds requires integer bands " +
+                      "(fixed-point float inputs would change the formula's domain)")
                   val b2 = opts.get("band2").map(b => BandFn(bandIdx(b)))
                   Seq(RasterLayer(default,
                     PixelCalc.compile(calc, Seq(src) ++ b2.toSeq), keyBound = bound,
                     srcBands = b2.map(_.idx).toSet))
+                case None if isFloat =>
+                  // plain float value layer: group keys decode back to
+                  // the float value; SUM/AVG divide by the same scale
+                  Seq(RasterLayer(default, src, keyBound = bound,
+                    decodeSql = k => s"CAST($k AS DOUBLE) / $floatScale",
+                    sumScale = floatScale))
                 case None =>
                   Seq(RasterLayer(default, src, keyBound = bound,
                     dict = SyntheticEnv.dictFor(ds)))
@@ -270,14 +310,20 @@ object DataEnvironment {
               // the asset's no_data applies to every band — but each
               // layer masks on ITS OWN band, not the primary's
               val bandNoData =
-                opts.get("no_data").map(v => PixelPreds.Ne(BandFn(idx), v.toDouble))
+                opts.get("no_data").map(v => PixelPreds.Ne(bandFn(idx),
+                  if (isFloat) Math.round(v.toDouble * floatScale).toDouble
+                  else v.toDouble))
               RasterLayer(
                 s"${ds}__${meaning}_b${b.stripPrefix(s"px_${meaning}_b")}",
-                BandFn(idx), keyBound = bound, srcBands = Set(idx),
-                noDataPred = bandNoData)
+                bandFn(idx), keyBound = bound, srcBands = Set(idx),
+                noDataPred = bandNoData,
+                decodeSql =
+                  if (isFloat) k => s"CAST($k AS DOUBLE) / $floatScale"
+                  else identity,
+                sumScale = if (isFloat) floatScale else 1.0)
             }
           ds -> (layers.map(l =>
-            l.copy(noDataPred = noData, srcBands = l.srcBands + src.idx)) ++
+            l.copy(noDataPred = noData, srcBands = l.srcBands + srcIdx)) ++
             extras)
         }
     }

@@ -816,7 +816,12 @@ object GeoTiff {
         case Seq(k, 0, 1, v) if k == id => v.toInt
       }
       key(1024) match {
-        case Some(1) => key(3072).getOrElse(0)
+        // a projected file MUST carry its EPSG — defaulting here would
+        // silently propagate "EPSG 0" into re-written GeoKeyDirectories
+        // and downstream CRS branching (fail fast like the rest of the
+        // reader)
+        case Some(1) => key(3072).getOrElse(throw new IllegalArgumentException(
+          "projected GeoKeyDirectory (GTModelType=1) missing ProjectedCSType (key 3072)"))
         case Some(2) => key(2048).getOrElse(4326)
         case _ => 4326 // no keys: assume the lake's geographic CRS
       }

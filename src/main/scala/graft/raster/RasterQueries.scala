@@ -691,6 +691,135 @@ object RasterQueries extends QueryModule {
       |f AS (SELECT ((p % 40) * 7 + (p // 40) * 11) % 5 AS cls FROM px)
       |SELECT cls, count(*) AS n FROM f GROUP BY cls""".stripMargin
 
+  /** S7 float path (r13): float32 GeoTIFF sources ingest into
+    * array<double> lake columns, and a density-layer zonal sum rides
+    * the EXACT integer zonal machinery through fixed-point scaling —
+    * `arr_fixed(px, 4)` turns quarter-unit float pixels into exact
+    * int64, `arr_calc('A * B', …)` weights by the geodesic pixel
+    * area, `tile_zonal` aggregates, one division at the end. Proves
+    * the float TIFF write → read → lake → zonal chain end-to-end
+    * (reference pixETL float pixel types, `pixetl.py:21-23`); the
+    * oracle recomputes the latitude-band sums from the pixel formula
+    * in closed form. Values are exact quarters so float32 storage,
+    * the ×4 scaling, and both engines' rounding are all exact. */
+  private val r13Grid = Grid(originLon = 30.0, originLat = 20.0,
+    tilesX = 2, tilesY = 2, tileDeg = 1.0, pxPerTile = 20)
+
+  /** Idempotent build of the r13 float lake: 2×2 float32 one-degree
+    * source tiles (exact-quarter pixel values) ingested through the
+    * raster creation DAG. Returns the lake dir. */
+  private def ensureR13Lake(spark: SparkSession, sfDir: String): String = {
+    val base = java.nio.file.Paths.get(
+      s"${sys.props("java.io.tmpdir")}/graft_r13_${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    val src = base.resolve("src")
+    val lake = base.resolve("lake").toString
+    val fg = r13Grid
+    val px = fg.pxPerTile
+    if (!new java.io.File(s"$lake/_SUCCESS").exists()) {
+      java.nio.file.Files.createDirectories(src)
+      for (tx <- 0 until fg.tilesX; ty <- 0 until fg.tilesY) {
+        val vals = Array.tabulate(px * px) { i =>
+          val gx = tx * px + i % px
+          val gy = ty * px + i / px
+          ((gx * 7 + gy * 11) % 8) / 4.0 // exact quarters — float32-exact
+        }
+        GeoTiff.writeRaster(src.resolve(s"t${tx}_$ty.tif"),
+          GeoTiff.Raster(px, px,
+            fg.originLon + tx * fg.tileDeg, fg.originLat - ty * fg.tileDeg,
+            fg.pixelDeg, 4326, GeoTiff.SampleType.Float32, Seq(vals)))
+      }
+      val (log, ok) = graft.etl.VersionCreation.createTable(
+        spark, "r13ds", "v1",
+        graft.etl.VersionCreation.CreationOptions(
+          sourceUris = (for (tx <- 0 until fg.tilesX; ty <- 0 until fg.tilesY)
+            yield src.resolve(s"t${tx}_$ty.tif").toString),
+          sourceType = "raster", pixelMeaning = "density"),
+        lake)
+      require(ok, s"float raster ingest failed: $log")
+    }
+    lake
+  }
+
+  private def floatZonal(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.register(spark, sfDir)
+    val fg = r13Grid
+    val px = fg.pxPerTile
+    val lake = ensureR13Lake(spark, sfDir)
+    graft.functions.GraftFunctions.install(spark)
+    spark.read.parquet(lake).createOrReplaceTempView("r13_lake")
+    spark.sql(
+      s"""WITH arrs AS (SELECT
+         |    grid_arr('latband', ty, ${fg.originLat}, ${fg.tileDeg}, $px) AS keys,
+         |    arr_calc('A * B', arr_fixed(px_density, 4),
+         |      grid_arr('microha', ty, ${fg.originLat}, ${fg.tileDeg}, $px)) AS vals,
+         |    arr_ge(arr_fixed(px_density, 4), 0) AS mask
+         |  FROM r13_lake),
+         |parts AS (SELECT explode(tile_zonal(keys, vals, mask)) AS p FROM arrs)
+         |SELECT p.k AS lat_band,
+         |  CAST(sum(p.s) AS DOUBLE) / 4000000.0 AS density_ha,
+         |  sum(p.c) AS pixel_count
+         |FROM parts GROUP BY p.k""".stripMargin)
+  }
+
+  private def floatZonalOracle: String = {
+    val fg = r13Grid
+    val n = fg.pxX
+    val gx = s"(p % $n)"; val gy = s"(p // $n)"
+    s"""WITH px AS (SELECT unnest(generate_series(0, ${n * n - 1})) AS p),
+       |f AS (SELECT
+       |  CAST(round((($gx * 7 + $gy * 11) % 8) / 4.0 * 4) AS BIGINT) AS v4,
+       |  ${fg.microHaSql(gy)} AS microha,
+       |  CAST(floor(${fg.latCenterSql(gy)}) AS BIGINT) AS lat_band FROM px)
+       |SELECT lat_band,
+       |  CAST(sum(v4 * microha) AS DOUBLE) / 4000000.0 AS density_ha,
+       |  count(*) AS pixel_count
+       |FROM f GROUP BY lat_band""".stripMargin
+  }
+
+  /** rs12: the float layer served through the FULL OTF SQL gate —
+    * catalog asset (creation options from the ingest DAG) → data
+    * environment with the fixed-point float band fn at the scan →
+    * FROM-rewrite → fused zonal pass. GROUP BY on the float layer
+    * decodes the scaled key back to the float value (one exact
+    * division); `area__ha` rides the usual microha machinery. This is
+    * the "zonal sum over a float layer" query the reference serves
+    * for biomass/emissions-factor tile sets. */
+  private val r13Aoi =
+    """{"type":"Polygon","coordinates":[[[30.21,18.31],[31.69,18.31],
+      |[31.69,19.59],[30.21,19.59],[30.21,18.31]]]}""".stripMargin.replace("\n", "")
+
+  private def floatOtfQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.register(spark, sfDir)
+    val lake = ensureR13Lake(spark, sfDir)
+    import graft.catalog._
+    val assetOpts = graft.etl.VersionCreation.rasterAssetOptions(lake)
+    val cat = new Catalog(Seq(Dataset("float_density_ds", Seq(
+      Version("float_density_ds", "v1", isLatest = true, sourceType = "raster",
+        assets = Seq(Asset("fd-a1", AssetType.RasterTileSet, lake,
+          isDefault = true, creationOptions = assetOpts)))))))
+    ZonalEngine.runSql(spark, cat, "float_density_ds",
+      """SELECT float_density_ds__density AS density, SUM(area__ha) AS area_ha,
+        | COUNT(*) AS pixel_count FROM data GROUP BY float_density_ds__density""".stripMargin,
+      r13Aoi)
+  }
+
+  private def floatOtfOracle: String = {
+    val fg = r13Grid
+    val n = fg.pxX
+    val gx = s"(p % $n)"; val gy = s"(p // $n)"
+    // FloatBandFn currency: round(v × 10000) = m × 2500 for quarters
+    s"""WITH px AS (SELECT unnest(generate_series(0, ${n * n - 1})) AS p),
+       |f AS (SELECT (($gx * 7 + $gy * 11) % 8) AS m,
+       |  ${fg.microHaSql(gy)} AS microha,
+       |  ${fg.lonCenterSql(gx)} AS lon, ${fg.latCenterSql(gy)} AS lat FROM px)
+       |SELECT CAST(m * 2500 AS DOUBLE) / 10000.0 AS density,
+       |  CAST(sum(microha) AS DOUBLE) / 1000000.0 AS area_ha,
+       |  count(*) AS pixel_count
+       |FROM f
+       |WHERE lon > 30.21 AND lon < 31.69 AND lat > 18.31 AND lat < 19.59
+       |GROUP BY m""".stripMargin
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     sqls.map { q =>
       q.name -> ((spark: SparkSession, sfDir: String) => {
@@ -709,7 +838,9 @@ object RasterQueries extends QueryModule {
       ("rs10_batch_alert_list" -> (batchListQuery _)) +
       ("r11_derived_tileset" -> (derivedZonal _)) +
       ("rs8_version_override" -> (overrideQuery _)) +
-      ("r12_geotiff_ingest" -> (geotiffIngest _))
+      ("r12_geotiff_ingest" -> (geotiffIngest _)) +
+      ("r13_float_zonal" -> (floatZonal _)) +
+      ("rs12_float_otf" -> (floatOtfQuery _))
 
   override def oracles: Map[String, String] =
     sqls.flatMap(q => q.oracleSql.map(q.name -> _)).toMap +
@@ -721,5 +852,7 @@ object RasterQueries extends QueryModule {
       ("rs10_batch_alert_list" -> batchListOracle) +
       ("r11_derived_tileset" -> derivedZonalOracle) +
       ("rs8_version_override" -> overrideOracle) +
-      ("r12_geotiff_ingest" -> geotiffIngestOracle)
+      ("r12_geotiff_ingest" -> geotiffIngestOracle) +
+      ("r13_float_zonal" -> floatZonalOracle) +
+      ("rs12_float_otf" -> floatOtfOracle)
 }

@@ -69,10 +69,16 @@ object Warp {
   /** One 4326 lake tile → a web-mercator [[GeoTiff.Raster]] covering
     * the same bbox. Tiles above ±85.05° (outside the mercator square)
     * are rejected. */
+  /** Exact top edge of the web-mercator square: the latitude whose
+    * mercator y equals the half-circumference (x of the ±180 edge),
+    * ≈ 85.05113°. */
+  val WebMercatorMaxLat: Double =
+    Math.toDegrees(2.0 * Math.atan(Math.exp(Math.PI)) - Math.PI / 2.0)
+
   def tileToWebMercator(t: GeoTiff.Tile): GeoTiff.Raster = {
     val latTop = t.originLat
     val latBot = t.originLat - t.height * t.pixelDeg
-    require(latTop <= 85.06 && latBot >= -85.06,
+    require(latTop <= WebMercatorMaxLat && latBot >= -WebMercatorMaxLat,
       f"tile spans latitudes [$latBot%.2f, $latTop%.2f] outside the web-mercator square")
     val x0 = Geom.toWebMercatorX(t.originLon)
     val x1 = Geom.toWebMercatorX(t.originLon + t.width * t.pixelDeg)

@@ -622,7 +622,7 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(zp.statusCode() == 200, zp.body().take(300))
   }
 
-  test("multi-band GeoTIFF sources ingest as per-band layers; float and projected CRS are rejected") {
+  test("multi-band GeoTIFF sources ingest as per-band layers; float lands as double; projected CRS is rejected") {
     import graft.raster.GeoTiff
     import GeoTiff.{Raster, SampleType}
     val src = java.nio.file.Files.createTempDirectory("mbsrc")
@@ -670,9 +670,11 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       .groupBy(identity).view.mapValues(_.length).toMap
     for ((k, n) <- exp2)
       assert(q2.body().contains(s"""{"k":$k,"n":$n}"""), s"b2 $k=$n: ${q2.body().take(300)}")
-    // float samples → clean creation failure naming the cause
+    // float samples ingest as array<double> lake columns (S7 float
+    // path) — quarters are float32-exact, so the round trip is exact
+    val bf = Array.tabulate(px * px)(i => (i % 5) / 4.0)
     GeoTiff.writeRaster(src.resolve("f32.tif"),
-      Raster(px, px, 5.0, 5.0, 0.25, 4326, SampleType.Float32, Seq(b1)))
+      Raster(px, px, 5.0, 5.0, 0.25, 4326, SampleType.Float32, Seq(bf)))
     val putF = client.send(
       HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/dataset/fltds/v1"))
         .header("Authorization", "Bearer test-admin")
@@ -685,8 +687,20 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     tries = 0
     while (tries < 120 && { fb = get("/dataset/fltds/v1").body()
       fb.contains("\"status\":\"pending\"") }) { Thread.sleep(250); tries += 1 }
-    assert(fb.contains("\"status\":\"failed\"") && fb.contains("float"),
+    assert(fb.contains("\"status\":\"saved\"") && fb.contains("float32"),
       fb.take(600))
+    // the lake column is array<double> and the pixel values survive
+    // the float32 TIFF round trip exactly
+    val fltLake = spark.read.parquet(
+      s"${sys.props("java.io.tmpdir")}/graft_versions/fltds_v1")
+    val fltField = fltLake.schema("px_x").dataType
+    assert(fltField ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType),
+      fltField.toString)
+    val got = fltLake.selectExpr("px_x").collect()
+      .head.getSeq[Double](0)
+    assert(got == bf.toSeq, s"float pixels drifted: ${got.take(8)}")
     // projected-CRS source → clean failure pointing at unify_projection
     GeoTiff.writeRaster(src.resolve("wm.tif"),
       Raster(px, px, 556597.0, 556597.0, 1000.0, 3857, SampleType.Int32, Seq(b1)))
