@@ -253,11 +253,14 @@ object VersionCreation {
           metas.map(_._7).distinct.mkString(","))
       val srcEpsg = metas.head._8
       require(metas.forall(_._8 == srcEpsg), "all tiles must share one CRS")
-      require(srcEpsg == 4326 || (srcEpsg == 3857 && opts.unifyProjection),
+      val utmSrc = graft.raster.Warp.TransverseMercator.isUtm(srcEpsg)
+      require(srcEpsg == 4326 ||
+        ((srcEpsg == 3857 || utmSrc) && opts.unifyProjection),
         s"source CRS EPSG:$srcEpsg not supported — " +
-          (if (srcEpsg == 3857)
-            "set unify_projection to warp web-mercator sources to EPSG:4326"
-          else "reproject to EPSG:4326 first (unify_projection handles 3857)"))
+          (if (srcEpsg == 3857 || utmSrc)
+            "set unify_projection to warp projected sources to EPSG:4326"
+          else "reproject to EPSG:4326 first (unify_projection handles " +
+            "EPSG:3857 and UTM zones 326xx/327xx)"))
 
       // source lattice (degrees for 4326, meters for 3857): every tile
       // must sit on one square lattice of shared size/scale
@@ -308,6 +311,41 @@ object VersionCreation {
             Row.fromSeq(
               g.tileId(tx, ty) :: tx :: ty ::
                 t.bands.map(b => bandSeq(b)).toList)
+          }
+          (g, rdd)
+        } else if (utmSrc) {
+          // general projected-CRS warp (UTM zones): target-driven
+          // nearest-neighbor resample — each source tile emits one
+          // sparse contribution per overlapping target tile, one
+          // shuffle assembles target tiles (see Warp.ProjectedLattice)
+          require(opts.noData.isDefined,
+            "unify_projection requires no_data (unmapped target pixels " +
+              "must be distinguishable from data)")
+          val ndFill = opts.noData.get.toDouble
+          val tm = graft.raster.Warp.TransverseMercator.utm(srcEpsg)
+          val latt = graft.raster.Warp.ProjectedLattice(
+            tm, originX, originY, pixelDeg, tilesX, tilesYSrc, w)
+          val g = graft.raster.Grid(latt.originLon, latt.originLat,
+            tilesX = latt.tilesXTarget, tilesY = latt.tilesYTarget,
+            tileDeg = w * latt.pixelDeg, pxPerTile = w)
+          val segs = files.rdd.flatMap { r =>
+            val t = GeoTiff.readRaster(r.getAs[Array[Byte]](0))
+            val stx = math.rint((t.originX - originX) / tileSpan).toInt
+            val sty = math.rint((originY - t.originY) / tileSpan).toInt
+            latt.contributionsOf(stx, sty, t.bands)
+          }
+          val rdd = segs.groupByKey().map { case ((ttx, tty), contribs) =>
+            val out = Array.fill(bandCount)(Array.fill(w * h)(ndFill))
+            contribs.foreach { case (idxs, bvals) =>
+              var k = 0
+              while (k < idxs.length) {
+                var c = 0
+                while (c < bandCount) { out(c)(idxs(k)) = bvals(c)(k); c += 1 }
+                k += 1
+              }
+            }
+            Row.fromSeq(
+              g.tileId(ttx, tty) :: ttx :: tty :: out.map(b => bandSeq(b)).toList)
           }
           (g, rdd)
         } else {
@@ -372,7 +410,7 @@ object VersionCreation {
       log += ChangeLog("create_table", "success",
         s"derived grid ${grid.tilesX}×${grid.tilesY} tiles of ${grid.pxPerTile} px " +
           f"at (${grid.originLon}%.4f, ${grid.originLat}%.4f), ${metas.length} source tile(s)" +
-          (if (srcEpsg == 3857) " (warped from EPSG:3857)" else ""))
+          (if (srcEpsg != 4326) s" (warped from EPSG:$srcEpsg)" else ""))
       val rows = spark.createDataFrame(rowsRdd, schema)
       rows.write.mode("overwrite").partitionBy("tile_id").parquet(targetDir)
       log += ChangeLog("load_data", "success",

@@ -776,6 +776,86 @@ object RasterQueries extends QueryModule {
        |FROM f GROUP BY lat_band""".stripMargin
   }
 
+  /** r14: UTM-zone GeoTIFF sources (EPSG:32633) ingested through the
+    * GENERAL projected-CRS warp — the target-driven transverse-
+    * mercator resample of [[Warp.ProjectedLattice]] (the mercator
+    * path's column-linearity doesn't apply to TM, so this exercises
+    * the fully general shape `unify_projection.sh` covers with
+    * gdalwarp). The oracle replays the SAME forward series in DuckDB
+    * SQL ([[Warp.TransverseMercator.forwardSelect]]): last-ulp libm
+    * differences cannot flip the 10⁴-meter pixel floor for centers in
+    * general position, so the per-class histogram (no_data included)
+    * hash-matches. */
+  private def r14Lattice: Warp.ProjectedLattice =
+    Warp.ProjectedLattice(Warp.TransverseMercator.utm(32633),
+      x0 = 400000.0, yTop = 5000000.0, pixelM = 10000.0,
+      tilesX = 2, tilesY = 2, pxPerTile = 20)
+
+  private def utmIngest(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.register(spark, sfDir)
+    val base = java.nio.file.Paths.get(
+      s"${sys.props("java.io.tmpdir")}/graft_r14_${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    val src = base.resolve("src")
+    val lake = base.resolve("lake").toString
+    val latt = r14Lattice
+    val px = latt.pxPerTile
+    val span = px * latt.pixelM
+    if (!new java.io.File(s"$lake/_SUCCESS").exists()) {
+      java.nio.file.Files.createDirectories(src)
+      for (stx <- 0 until latt.tilesX; sty <- 0 until latt.tilesY) {
+        val vals = Array.tabulate(px * px) { i =>
+          val sgx = stx * px + i % px
+          val sgy = sty * px + i / px
+          ((sgx * 7 + sgy * 11) % 5).toDouble
+        }
+        GeoTiff.writeRaster(src.resolve(s"u${stx}_$sty.tif"),
+          GeoTiff.Raster(px, px,
+            latt.x0 + stx * span, latt.yTop - sty * span,
+            latt.pixelM, 32633, GeoTiff.SampleType.Int32, Seq(vals)))
+      }
+      val (log, ok) = graft.etl.VersionCreation.createTable(
+        spark, "r14ds", "v1",
+        graft.etl.VersionCreation.CreationOptions(
+          sourceUris = (for (stx <- 0 until latt.tilesX; sty <- 0 until latt.tilesY)
+            yield src.resolve(s"u${stx}_$sty.tif").toString),
+          sourceType = "raster", pixelMeaning = "cls",
+          noData = Some("-1"), unifyProjection = true),
+        lake)
+      require(ok, s"UTM raster ingest failed: $log")
+    }
+    spark.read.parquet(lake).createOrReplaceTempView("r14_lake")
+    spark.sql(
+      """SELECT v, count(*) AS n
+        |FROM (SELECT explode(px_cls) AS v FROM r14_lake)
+        |GROUP BY v""".stripMargin)
+  }
+
+  private def utmIngestOracle: String = {
+    val latt = r14Lattice
+    val tm = latt.tm
+    val px = latt.pxPerTile
+    val nX = latt.tilesXTarget * px
+    val nY = latt.tilesYTarget * px
+    def d(v: Double) = s"CAST(${java.lang.Double.toString(v)} AS DOUBLE)"
+    s"""WITH px AS (SELECT unnest(generate_series(0, ${nX * nY - 1})) AS p),
+       |c AS (SELECT p % $nX AS gx, p // $nX AS gy FROM px),
+       |geo AS (SELECT gx, gy,
+       |  ${d(latt.originLon)} + (gx + 0.5) * ${d(latt.pixelDeg)} AS lon,
+       |  ${d(latt.originLat)} - (gy + 0.5) * ${d(latt.pixelDeg)} AS lat FROM c),
+       |fw AS (SELECT gx, gy, ${tm.forwardSelect("lat", "lon")} FROM geo),
+       |xy AS (SELECT gx, gy, ${tm.xSql} AS x, ${tm.ySql} AS y FROM fw),
+       |s AS (SELECT gx // $px AS ttx, gy // $px AS tty,
+       |  CAST(floor((x - ${d(latt.x0)}) / ${d(latt.pixelM)}) AS BIGINT) AS sgx,
+       |  CAST(floor((${d(latt.yTop)} - y) / ${d(latt.pixelM)}) AS BIGINT) AS sgy FROM xy),
+       |v AS (SELECT ttx, tty,
+       |  CASE WHEN sgx >= 0 AND sgx < ${latt.pxX} AND sgy >= 0 AND sgy < ${latt.pxY}
+       |       THEN (sgx * 7 + sgy * 11) % 5 ELSE -1 END AS v FROM s),
+       |ex AS (SELECT ttx, tty FROM v GROUP BY ttx, tty HAVING max(v) >= 0)
+       |SELECT v.v AS v, count(*) AS n
+       |FROM v JOIN ex ON v.ttx = ex.ttx AND v.tty = ex.tty
+       |GROUP BY v.v""".stripMargin
+  }
+
   /** rs12: the float layer served through the FULL OTF SQL gate —
     * catalog asset (creation options from the ingest DAG) → data
     * environment with the fixed-point float band fn at the scan →
@@ -840,7 +920,8 @@ object RasterQueries extends QueryModule {
       ("rs8_version_override" -> (overrideQuery _)) +
       ("r12_geotiff_ingest" -> (geotiffIngest _)) +
       ("r13_float_zonal" -> (floatZonal _)) +
-      ("rs12_float_otf" -> (floatOtfQuery _))
+      ("rs12_float_otf" -> (floatOtfQuery _)) +
+      ("r14_utm_ingest" -> (utmIngest _))
 
   override def oracles: Map[String, String] =
     sqls.flatMap(q => q.oracleSql.map(q.name -> _)).toMap +
@@ -854,5 +935,6 @@ object RasterQueries extends QueryModule {
       ("rs8_version_override" -> overrideOracle) +
       ("r12_geotiff_ingest" -> geotiffIngestOracle) +
       ("r13_float_zonal" -> floatZonalOracle) +
-      ("rs12_float_otf" -> floatOtfOracle)
+      ("rs12_float_otf" -> floatOtfOracle) +
+      ("r14_utm_ingest" -> utmIngestOracle)
 }

@@ -66,15 +66,14 @@ object Warp {
     }
   }
 
-  /** One 4326 lake tile → a web-mercator [[GeoTiff.Raster]] covering
-    * the same bbox. Tiles above ±85.05° (outside the mercator square)
-    * are rejected. */
   /** Exact top edge of the web-mercator square: the latitude whose
     * mercator y equals the half-circumference (x of the ±180 edge),
     * ≈ 85.05113°. */
   val WebMercatorMaxLat: Double =
     Math.toDegrees(2.0 * Math.atan(Math.exp(Math.PI)) - Math.PI / 2.0)
 
+  /** One 4326 lake tile → a web-mercator [[GeoTiff.Raster]] covering
+    * the same bbox. Tiles outside the mercator square are rejected. */
   def tileToWebMercator(t: GeoTiff.Tile): GeoTiff.Raster = {
     val latTop = t.originLat
     val latBot = t.originLat - t.height * t.pixelDeg
@@ -104,5 +103,228 @@ object Warp {
     }
     GeoTiff.Raster(t.width, t.height, x0, yTop, scaleX, 3857,
       GeoTiff.SampleType.Int32, Seq(out), pixelScaleYOpt = scaleY)
+  }
+
+  /** The fully GENERAL projected-CRS → EPSG:4326 ingest warp (the
+    * path `unify_projection.sh` covers with gdalwarp): a lattice of
+    * square source tiles in projected meters and its derived
+    * geographic target grid. Unlike [[MercatorLattice]] (which
+    * exploits x-linearity in longitude), every target pixel center
+    * FORWARD-projects into the source plane and samples its nearest
+    * source pixel — the target-driven nearest-neighbor resample.
+    * Distribution shape: each source tile emits one sparse
+    * contribution per overlapping target tile (the only shuffle is
+    * target-tile assembly, volume = data); ownership of a projected
+    * point is the global source-pixel floor, so contributions are
+    * exclusive by construction. */
+  final case class ProjectedLattice(tm: TransverseMercator,
+                                    x0: Double, yTop: Double, pixelM: Double,
+                                    tilesX: Int, tilesY: Int, pxPerTile: Int) {
+    val pxX: Int = tilesX * pxPerTile
+    val pxY: Int = tilesY * pxPerTile
+    val xRight: Double = x0 + pxX * pixelM
+    val yBot: Double = yTop - pxY * pixelM
+    /** Target resolution: the source pixel size expressed in equator
+      * degrees (one scalar rule, like the mercator path's). */
+    val pixelDeg: Double = Math.toDegrees(pixelM / TransverseMercator.A)
+
+    // target bbox: inverse-project a dense boundary sampling, pad a px
+    private val boundary: Seq[(Double, Double)] = {
+      val n = 64
+      (0 to n).flatMap { i =>
+        val fx = x0 + (xRight - x0) * i / n
+        val fy = yTop - (yTop - yBot) * i / n
+        Seq((fx, yTop), (fx, yBot), (x0, fy), (xRight, fy))
+      }.map { case (x, y) => tm.inverse(x, y) }
+    }
+    val originLon: Double = boundary.map(_._2).min - pixelDeg
+    val originLat: Double = boundary.map(_._1).max + pixelDeg
+    private val lonMax = boundary.map(_._2).max + pixelDeg
+    private val latMin = boundary.map(_._1).min - pixelDeg
+    val tilesXTarget: Int = math.max(1,
+      math.ceil((lonMax - originLon) / (pxPerTile * pixelDeg)).toInt)
+    val tilesYTarget: Int = math.max(1,
+      math.ceil((originLat - latMin) / (pxPerTile * pixelDeg)).toInt)
+
+    /** Sparse contributions of source tile (stx, sty) to each target
+      * tile it overlaps: (target tile, (pixel indexes, per-band
+      * values)). Pixel-center geometry MUST stay
+      * `origin ± (global + 0.5) × pixelDeg` — the oracle replays the
+      * identical arithmetic. */
+    def contributionsOf(stx: Int, sty: Int, bands: Seq[Array[Double]])
+        : Iterator[((Int, Int), (Array[Int], Seq[Array[Double]]))] = {
+      val span = pxPerTile * pixelM
+      val tx0 = x0 + stx * span
+      val ty0 = yTop - sty * span
+      // lon/lat bbox of this source tile: 5×5 inverse-projected grid
+      // of sample points, padded 2 px (TM distortion over one tile is
+      // far below a pixel; candidates are only a prefilter — the
+      // exact forward test decides membership)
+      val pts = for (i <- 0 to 4; j <- 0 to 4)
+        yield tm.inverse(tx0 + span * i / 4.0, ty0 - span * j / 4.0)
+      val tdeg = pxPerTile * pixelDeg
+      val ttxLo = math.max(0,
+        ((pts.map(_._2).min - 2 * pixelDeg - originLon) / tdeg).toInt)
+      val ttxHi = math.min(tilesXTarget - 1,
+        ((pts.map(_._2).max + 2 * pixelDeg - originLon) / tdeg).toInt)
+      val ttyLo = math.max(0,
+        ((originLat - (pts.map(_._1).max + 2 * pixelDeg)) / tdeg).toInt)
+      val ttyHi = math.min(tilesYTarget - 1,
+        ((originLat - (pts.map(_._1).min - 2 * pixelDeg)) / tdeg).toInt)
+      (for (ttx <- ttxLo to ttxHi; tty <- ttyLo to ttyHi) yield (ttx, tty))
+        .iterator.flatMap { case (ttx, tty) =>
+          val idxs = Array.newBuilder[Int]
+          val vals = Seq.fill(bands.length)(Array.newBuilder[Double])
+          var cy = 0
+          while (cy < pxPerTile) {
+            val lat = originLat - (tty * pxPerTile + cy + 0.5) * pixelDeg
+            var cx = 0
+            while (cx < pxPerTile) {
+              val lon = originLon + (ttx * pxPerTile + cx + 0.5) * pixelDeg
+              val (x, y) = tm.forward(lat, lon)
+              val sgx = Math.floor((x - x0) / pixelM).toInt
+              val sgy = Math.floor((yTop - y) / pixelM).toInt
+              if (sgx >= 0 && sgy >= 0 &&
+                sgx / pxPerTile == stx && sgy / pxPerTile == sty) {
+                val li = (sgy - sty * pxPerTile) * pxPerTile + (sgx - stx * pxPerTile)
+                idxs += cy * pxPerTile + cx
+                var b = 0
+                while (b < bands.length) { vals(b) += bands(b)(li); b += 1 }
+              }
+              cx += 1
+            }
+            cy += 1
+          }
+          val ia = idxs.result()
+          if (ia.isEmpty) Iterator.empty
+          else Iterator(((ttx, tty), (ia, vals.map(_.result()))))
+        }
+    }
+  }
+
+  /** Ellipsoidal transverse mercator (the UTM projection family) —
+    * the standard series expansion (Snyder, "Map Projections — A
+    * Working Manual", USGS PP 1395, eqs. 3-21, 8-9..8-25; accurate to
+    * millimeters inside a UTM zone). This is the second projected CRS
+    * the ingest warp handles beyond web mercator, demonstrating the
+    * warp path generalizes: mercator exploits x-linearity in
+    * longitude; the UTM path is the fully general target-driven
+    * resample (reference `unify_projection.sh` shells out to
+    * gdalwarp for the same job).
+    *
+    * Parity note: the oracle replays [[forwardSelect]] — the same
+    * formulas in DuckDB SQL. The two engines' libm differ in last
+    * ulps, which is FINE: the only discretization is
+    * `floor((x-x0)/pixelM)` against 10⁴-meter pixels, and sub-µm
+    * projection disagreement cannot flip a floor for pixel centers in
+    * general position (nothing aligns a projected center to within
+    * 1e-9 m of a source-pixel boundary). */
+  final case class TransverseMercator(lon0Deg: Double, falseE: Double,
+                                      falseN: Double) {
+    import TransverseMercator._
+    val lam0: Double = Math.toRadians(lon0Deg)
+
+    /** (latDeg, lonDeg) → (easting, northing). */
+    def forward(latDeg: Double, lonDeg: Double): (Double, Double) = {
+      val phi = Math.toRadians(latDeg)
+      val sinP = Math.sin(phi); val cosP = Math.cos(phi); val tanP = Math.tan(phi)
+      val n = A / Math.sqrt(1.0 - E2 * sinP * sinP)
+      val t = tanP * tanP
+      val c = Ep2 * cosP * cosP
+      val aa = (Math.toRadians(lonDeg) - lam0) * cosP
+      val m = A * (M1 * phi - M2 * Math.sin(2 * phi) +
+        M3 * Math.sin(4 * phi) - M4 * Math.sin(6 * phi))
+      val aa2 = aa * aa; val aa3 = aa2 * aa
+      val x = K0 * n * (aa + (1 - t + c) * aa3 / 6.0 +
+        (5 - 18 * t + t * t + 72 * c - 58 * Ep2) * aa3 * aa2 / 120.0) + falseE
+      val y = K0 * (m + n * tanP * (aa2 / 2.0 +
+        (5 - t + 9 * c + 4 * c * c) * aa2 * aa2 / 24.0 +
+        (61 - 58 * t + t * t + 600 * c - 330 * Ep2) * aa3 * aa3 / 720.0)) + falseN
+      (x, y)
+    }
+
+    /** (easting, northing) → (latDeg, lonDeg) (Snyder 8-17..8-25). */
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val m = (y - falseN) / K0
+      val mu = m / (A * M1)
+      val phi1 = mu + P1 * Math.sin(2 * mu) + P2 * Math.sin(4 * mu) +
+        P3 * Math.sin(6 * mu) + P4 * Math.sin(8 * mu)
+      val sinP = Math.sin(phi1); val cosP = Math.cos(phi1); val tanP = Math.tan(phi1)
+      val c1 = Ep2 * cosP * cosP
+      val t1 = tanP * tanP
+      val n1 = A / Math.sqrt(1.0 - E2 * sinP * sinP)
+      val r1 = A * (1.0 - E2) / Math.pow(1.0 - E2 * sinP * sinP, 1.5)
+      val d = (x - falseE) / (n1 * K0)
+      val d2 = d * d; val d3 = d2 * d
+      val lat = phi1 - (n1 * tanP / r1) * (d2 / 2.0 -
+        (5 + 3 * t1 + 10 * c1 - 4 * c1 * c1 - 9 * Ep2) * d2 * d2 / 24.0 +
+        (61 + 90 * t1 + 298 * c1 + 45 * t1 * t1 - 252 * Ep2 - 3 * c1 * c1) *
+          d3 * d3 / 720.0)
+      val lon = lam0 + (d - (1 + 2 * t1 + c1) * d3 / 6.0 +
+        (5 - 2 * c1 + 28 * t1 - 3 * c1 * c1 + 8 * Ep2 + 24 * t1 * t1) *
+          d3 * d2 / 120.0) / cosP
+      (Math.toDegrees(lat), Math.toDegrees(lon))
+    }
+
+    /** DuckDB SQL mirror of [[forward]]: SELECT-list fragments deriving
+      * easting `x` and northing `y` from double columns `$lat`/`$lon`
+      * (the warp-parity contract above: value agreement to ~1e-9 m,
+      * not bitwise). Emitted next to the Scala so the formulas cannot
+      * drift apart. */
+    def forwardSelect(lat: String, lon: String): String = {
+      def d(v: Double) = s"CAST(${java.lang.Double.toString(v)} AS DOUBLE)"
+      s"""radians($lat) AS phi_, radians($lon) - ${d(lam0)} AS dlam_,
+         |${d(A)} / sqrt(1.0 - ${d(E2)} * sin(radians($lat)) * sin(radians($lat))) AS n_,
+         |tan(radians($lat)) * tan(radians($lat)) AS t_,
+         |${d(Ep2)} * cos(radians($lat)) * cos(radians($lat)) AS c_,
+         |(radians($lon) - ${d(lam0)}) * cos(radians($lat)) AS aa_,
+         |${d(A)} * (${d(M1)} * radians($lat) - ${d(M2)} * sin(2 * radians($lat))
+         |  + ${d(M3)} * sin(4 * radians($lat)) - ${d(M4)} * sin(6 * radians($lat))) AS m_""".stripMargin
+    }
+
+    /** The x/y expressions over [[forwardSelect]]'s columns. */
+    def xSql: String = {
+      def d(v: Double) = s"CAST(${java.lang.Double.toString(v)} AS DOUBLE)"
+      s"${d(K0)} * n_ * (aa_ + (1 - t_ + c_) * aa_*aa_*aa_ / 6.0 + " +
+        s"(5 - 18*t_ + t_*t_ + 72*c_ - 58*${d(Ep2)}) * aa_*aa_*aa_*aa_*aa_ / 120.0) + ${d(falseE)}"
+    }
+    def ySql: String = {
+      def d(v: Double) = s"CAST(${java.lang.Double.toString(v)} AS DOUBLE)"
+      s"${d(K0)} * (m_ + n_ * tan(phi_) * (aa_*aa_ / 2.0 + " +
+        s"(5 - t_ + 9*c_ + 4*c_*c_) * aa_*aa_*aa_*aa_ / 24.0 + " +
+        s"(61 - 58*t_ + t_*t_ + 600*c_ - 330*${d(Ep2)}) * aa_*aa_*aa_*aa_*aa_*aa_ / 720.0)) + ${d(falseN)}"
+    }
+  }
+
+  object TransverseMercator {
+    // WGS84 + UTM constants (public: EPSG registry / Snyder PP 1395)
+    val A = 6378137.0
+    val F: Double = 1.0 / 298.257223563
+    val E2: Double = F * (2.0 - F)
+    val Ep2: Double = E2 / (1.0 - E2)
+    val K0 = 0.9996
+    // meridian-arc series coefficients (Snyder 3-21)
+    val M1: Double = 1 - E2 / 4 - 3 * E2 * E2 / 64 - 5 * E2 * E2 * E2 / 256
+    val M2: Double = 3 * E2 / 8 + 3 * E2 * E2 / 32 + 45 * E2 * E2 * E2 / 1024
+    val M3: Double = 15 * E2 * E2 / 256 + 45 * E2 * E2 * E2 / 1024
+    val M4: Double = 35 * E2 * E2 * E2 / 3072
+    // footprint-latitude series (Snyder 3-26), e1 = (1-√(1-e²))/(1+√(1-e²))
+    private val E1: Double =
+      (1 - Math.sqrt(1 - E2)) / (1 + Math.sqrt(1 - E2))
+    val P1: Double = 3 * E1 / 2 - 27 * E1 * E1 * E1 / 32
+    val P2: Double = 21 * E1 * E1 / 16 - 55 * E1 * E1 * E1 * E1 / 32
+    val P3: Double = 151 * E1 * E1 * E1 / 96
+    val P4: Double = 1097 * E1 * E1 * E1 * E1 / 512
+
+    /** UTM zone CRS from its EPSG code (326xx north / 327xx south). */
+    def utm(epsg: Int): TransverseMercator = {
+      require((epsg >= 32601 && epsg <= 32660) || (epsg >= 32701 && epsg <= 32760),
+        s"EPSG:$epsg is not a UTM zone code (32601-32660 / 32701-32760)")
+      val zone = epsg % 100
+      TransverseMercator(lon0Deg = -183.0 + 6.0 * zone, falseE = 500000.0,
+        falseN = if (epsg >= 32701) 1.0e7 else 0.0)
+    }
+    def isUtm(epsg: Int): Boolean =
+      (epsg >= 32601 && epsg <= 32660) || (epsg >= 32701 && epsg <= 32760)
   }
 }

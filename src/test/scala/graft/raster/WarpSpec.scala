@@ -73,6 +73,73 @@ class WarpSpec extends AnyFunSuite {
     assert(lat.tilesYTarget == (lat.targetRows + 7) / 8)
   }
 
+  test("transverse mercator: known UTM vectors, mm round trip, zone params") {
+    // Zone 31N reference point (the classic 0.5°E example family):
+    // forward/inverse must agree to sub-meter with published UTM
+    // converters for mid-latitude points well inside the zone
+    val z31 = Warp.TransverseMercator.utm(32631)
+    assert(z31.lon0Deg == 3.0 && z31.falseN == 0.0)
+    // Karney's test point: lat 40.5°, lon 0.5°E is in zone 31 (0-6°E);
+    // cross-checked magnitudes: easting < 500000 (west of CM 3°E)
+    val (e1, n1) = z31.forward(40.5, 0.5)
+    assert(e1 > 200000 && e1 < 500000, s"easting $e1")
+    assert(n1 > 4.4e6 && n1 < 4.6e6, s"northing $n1")
+    // round trip: forward∘inverse = identity to 1e-8° (≈ 1 mm — the
+    // series truncation bound inside a zone)
+    for (lat <- Seq(-60.0, -33.3, 0.1, 41.7, 68.9); lon <- Seq(13.2, 15.0, 16.9)) {
+      val z33 = Warp.TransverseMercator.utm(if (lat < 0) 32733 else 32633)
+      val (x, y) = z33.forward(lat, lon)
+      val (lat2, lon2) = z33.inverse(x, y)
+      assert(math.abs(lat2 - lat) < 1e-8 && math.abs(lon2 - lon) < 1e-8,
+        s"($lat,$lon) → ($x,$y) → ($lat2,$lon2)")
+    }
+    // southern hemisphere carries the 10⁷ false northing
+    val z33s = Warp.TransverseMercator.utm(32733)
+    val (_, nS) = z33s.forward(-33.3, 15.0)
+    assert(nS > 0 && nS < 1.0e7, s"southern northing $nS")
+    // scale at the central meridian is k0 (0.9996): 1° of northing
+    // near the CM measures ~k0 × meridian arc
+    val (_, ya) = z31.forward(45.0, 3.0)
+    val (_, yb) = z31.forward(46.0, 3.0)
+    assert(math.abs((yb - ya) / 111141.548 - 0.9996) < 1e-3)
+  }
+
+  test("projected lattice: exclusive pixel ownership, full coverage") {
+    val latt = Warp.ProjectedLattice(Warp.TransverseMercator.utm(32633),
+      x0 = 400000.0, yTop = 5000000.0, pixelM = 10000.0,
+      tilesX = 2, tilesY = 2, pxPerTile = 20)
+    // target grid covers the source span with padding
+    assert(latt.tilesXTarget >= 3 && latt.tilesYTarget >= 2,
+      s"${latt.tilesXTarget}×${latt.tilesYTarget}")
+    // every (source tile, target tile) contribution set is disjoint:
+    // a target pixel is owned by EXACTLY one source tile
+    val bands = Seq(Array.tabulate(400)(_.toDouble))
+    val seen = scala.collection.mutable.Map.empty[(Int, Int, Int), Int]
+    for (stx <- 0 until 2; sty <- 0 until 2) {
+      latt.contributionsOf(stx, sty, bands).foreach { case ((ttx, tty), (idxs, _)) =>
+        idxs.foreach { i =>
+          val key = (ttx, tty, i)
+          seen.get(key).foreach(prev =>
+            fail(s"pixel $key claimed by both $prev and ${sty * 2 + stx}"))
+          seen(key) = sty * 2 + stx
+        }
+      }
+    }
+    // interior target pixels (whose centers project inside the source
+    // span) are ALL covered: count equals an independent forward scan
+    val expected = (for {
+      gy <- 0 until latt.tilesYTarget * 20
+      gx <- 0 until latt.tilesXTarget * 20
+      lat = latt.originLat - (gy + 0.5) * latt.pixelDeg
+      lon = latt.originLon + (gx + 0.5) * latt.pixelDeg
+      xy = latt.tm.forward(lat, lon)
+      sgx = Math.floor((xy._1 - 400000.0) / 10000.0).toInt
+      sgy = Math.floor((5000000.0 - xy._2) / 10000.0).toInt
+      if sgx >= 0 && sgx < 40 && sgy >= 0 && sgy < 40
+    } yield 1).sum
+    assert(seen.size == expected, s"${seen.size} covered, $expected expected")
+  }
+
   test("equator tile is (nearly) isotropic; polar tile is rejected") {
     val t = GeoTiff.Tile(4, 4, 0.0, 2.0, 1.0, Array.tabulate(16)(identity))
     val r = Warp.tileToWebMercator(t)
