@@ -193,6 +193,9 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
   private val StatsR = "^/dataset/([^/]+)/([^/]+)/stats$".r
   private val ExtentR = "^/dataset/([^/]+)/([^/]+)/extent$".r
   private val GeostoreGet = "^/geostore/([^/]+)$".r
+  private val AdminBoundary0 = "^/geostore/admin/([^/]+)$".r
+  private val AdminBoundary1 = "^/geostore/admin/([^/]+)/([^/]+)$".r
+  private val AdminBoundary2 = "^/geostore/admin/([^/]+)/([^/]+)/([^/]+)$".r
   private val VersionRoot = "^/dataset/([^/]+)/([^/]+)$".r
   private val QueryBatch = "^/dataset/([^/]+)/([^/]+)/query/batch$".r
   private val VersionAppend = "^/dataset/([^/]+)/([^/]+)/append$".r
@@ -369,6 +372,10 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
           }
         case ("POST", "/geostore") => geostoreCreate(ex)
         case ("GET", "/geostore/admin/list") => adminList(ex)
+        case ("GET", AdminBoundary2(c, r, s)) =>
+          adminBoundary(ex, c, Some(r), Some(s))
+        case ("GET", AdminBoundary1(c, r)) => adminBoundary(ex, c, Some(r), None)
+        case ("GET", AdminBoundary0(c)) => adminBoundary(ex, c, None, None)
         case ("GET", GeostoreGet(id)) =>
           geostore.get(id) match {
             case Some(gj) => respond(ex, 200, "application/json",
@@ -2196,12 +2203,22 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
       case _ => Map.empty
     }
 
+  /** Content-addressed geostore id of a geometry (the service-wide
+    * convention: md5 of the canonical GeoJSON, uuid-formatted). */
+  private def geostoreIdOf(canonical: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(canonical.getBytes("UTF-8"))
+    val hex = md.map(b => f"$b%02x").mkString
+    s"${hex.substring(0, 8)}-${hex.substring(8, 12)}-${hex.substring(12, 16)}-" +
+      s"${hex.substring(16, 20)}-${hex.substring(20)}"
+  }
+
   /** GET /geostore/admin/list (`geostore.py:99-133` +
     * `crud/geostore.py:137-178`, the A9 admin aggregation): national
-    * ids/names/codes ordered by id. The fixture carries no GADM
-    * geometry, so geostore ids are the content-addressed hash of the
-    * normalized name (documented divergence — per-boundary geometry
-    * routes stay unimplemented). */
+    * ids/names/codes ordered by id. Geostore ids are the
+    * content-addressed hash of each country's synthesized boundary
+    * polygon ([[graft.geo.AdminFixtures]]) — the same id the
+    * per-boundary routes serve and register. */
   private def adminList(ex: HttpExchange): Unit = {
     val params = queryParams(ex)
     val provider = params.getOrElse("source[provider]", "gadm")
@@ -2213,16 +2230,85 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
       return respond(ex, 400, "application/json",
         Sinks.jsendError(s"Invalid admin boundary source $provider"))
     val rows = spark.sql(
-      """SELECT n_nationkey, n_name,
-        |  md5(norm_name(n_name)) AS h
-        |FROM nation ORDER BY n_nationkey""".stripMargin).collect()
+      "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey").collect()
     val items = rows.map { r =>
-      val h = r.getString(2)
-      val gid = s"${h.substring(0, 8)}-${h.substring(8, 12)}-${h.substring(12, 16)}-" +
-        s"${h.substring(16, 20)}-${h.substring(20)}"
-      s"""{"geostore_id":"$gid","iso":"${r.get(0)}","name":${graft.geo.Json.write(r.getString(1))}}"""
+      val k = r.get(0).toString.toInt
+      val canonical = graft.geo.Geom.toGeoJson(
+        graft.geo.AdminFixtures.polygon(graft.geo.AdminFixtures.adm0Rect(k)))
+      s"""{"geostore_id":"${geostoreIdOf(canonical)}","iso":"${r.get(0)}",""" +
+        s""""name":${graft.geo.Json.write(r.getString(1))}}"""
     }.mkString(",")
     respond(ex, 200, "application/json", s"""{"data":[$items],"status":"success"}""")
+  }
+
+  /** GET /geostore/admin/{country}[/{region}[/{subregion}]]
+    * (`geostore.py:135-260` + `crud/geostore.py:218-330`
+    * `build_gadm_geostore`/`form_admin_geostore`): the per-boundary
+    * GADM geometry lookup. The reference proxies gadm/3.6 to the RW
+    * API and serves other versions from a boundary version table;
+    * zero-egress build serves BOTH from the synthesized deterministic
+    * boundaries ([[graft.geo.AdminFixtures]] — documented divergence
+    * in data source, same response shape). The boundary's geostore id
+    * is content-addressed and REGISTERED, so it resolves through
+    * `GET /geostore/{id}` and works as a query `geostore_id`. */
+  private def adminBoundary(ex: HttpExchange, cid: String,
+                            rid: Option[String], sid: Option[String]): Unit = {
+    import graft.geo.{AdminFixtures, Geom, Json}
+    val params = queryParams(ex)
+    val provider = params.getOrElse("source[provider]", "gadm")
+    val version = params.getOrElse("source[version]", "3.6")
+    if (provider.isEmpty || version.isEmpty)
+      return respond(ex, 400, "application/json",
+        Sinks.jsendError("source provider and version must be non-empty"))
+    if (provider != "gadm")
+      return respond(ex, 400, "application/json",
+        Sinks.jsendError(s"Invalid admin boundary source $provider"))
+    def notFound() = respond(ex, 404, "application/json", Sinks.jsendError(
+      s"Admin boundary not found in $provider version $version"))
+    val k = cid.toIntOption.getOrElse(return notFound())
+    val country = spark.sql(s"SELECT n_name FROM nation WHERE n_nationkey = $k")
+      .collect().headOption.map(_.getString(0)).getOrElse(return notFound())
+    val r1 = rid.map(_.toIntOption.getOrElse(return notFound()))
+    val s2 = sid.map(_.toIntOption.getOrElse(return notFound()))
+    if (r1.exists(r => r < 1 || r > 4) || s2.exists(s => s < 1 || s > 2))
+      return notFound()
+    val admLevel = s2.map(_ => 2).orElse(r1.map(_ => 1)).getOrElse(0)
+    val rect = (r1, s2) match {
+      case (Some(r), Some(s)) => AdminFixtures.adm2Rect(k, r, s)
+      case (Some(r), None) => AdminFixtures.adm1Rect(k, r)
+      case _ => AdminFixtures.adm0Rect(k)
+    }
+    val simplify = params.get("simplify").map(_.toDouble)
+    val poly0 = AdminFixtures.polygon(rect)
+    // Douglas–Peucker at the requested tolerance (identity on the
+    // rectangular fixtures; the threshold is echoed in `info`)
+    val poly = simplify.map(Geom.simplify(poly0, _)).getOrElse(poly0)
+    val canonical = Geom.toGeoJson(poly)
+    val id = geostoreIdOf(canonical)
+    geostore.put(id, canonical)
+    val name = admLevel match {
+      case 0 => country
+      case 1 => s"$country Region ${r1.get}"
+      case _ => s"$country Region ${r1.get} Subregion ${s2.get}"
+    }
+    val (bx0, by0, bx1, by1) = poly.bbox
+    val info = {
+      val base =
+        s""""use":{},"simplifyThresh":${simplify.map(_.toString).getOrElse("null")},""" +
+          s""""gadm":${Json.write(version)},"name":${Json.write(name)},"iso":${Json.write(cid)}"""
+      admLevel match {
+        case 0 => s"{$base}"
+        case 1 => s"""{$base,"id1":${r1.get}}"""
+        case _ => s"""{$base,"id1":${r1.get},"id2":${s2.get}}"""
+      }
+    }
+    respond(ex, 200, "application/json",
+      s"""{"data":{"type":"geoStore","id":"$id","attributes":{""" +
+        s""""geojson":{"crs":{},"type":"FeatureCollection","features":[""" +
+        s"""{"geometry":$canonical,"properties":null,"type":"Feature"}]},""" +
+        s""""hash":"$id","provider":{},"areaHa":${Geom.areaHa(poly)},""" +
+        s""""bbox":[$bx0,$by0,$bx1,$by1],"lock":false,"info":$info}},""" +
+        s""""status":"success"}""")
   }
 
   private def geostoreCreate(ex: HttpExchange): Unit = {

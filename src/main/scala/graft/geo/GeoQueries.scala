@@ -284,7 +284,55 @@ object GeoQueries extends QueryModule {
          |  CAST((floor(x0 + 1.3) - floor(x0) + 1) * (floor(y0 + 1.2) - floor(y0) + 1)
          |    - CASE WHEN floor(x0 + 1.3) >= x0 + 0.5 AND floor(y0 + 1.2) >= y0 + 0.5
          |      THEN 1 ELSE 0 END AS BIGINT) AS cell_count
-         |FROM polys""".stripMargin)
+         |FROM polys""".stripMargin),
+
+    // G11: the per-boundary GADM lookup's data
+    // ([[AdminFixtures]] — the deterministic admin rectangles the
+    // `/geostore/admin/{id}…` routes serve): per nation the country
+    // (region 0) and its four quadrant regions, with GADM-style ids,
+    // geodesic areas (st_area_ha ↔ the g4 spherical-excess replay)
+    // and bboxes. Rect corners are integers/halves — exactly
+    // representable, so both engines project identical vertices.
+    SqlQ.split("g11_admin_boundary",
+      """WITH lv AS (SELECT explode(sequence(0, 4)) AS region),
+        |n AS (SELECT CAST(n_nationkey AS INT) AS k FROM nation),
+        |r AS (SELECT k, region,
+        |  CAST(-90.0 + (k % 6) * 15.0 +
+        |    CASE WHEN region = 0 THEN 0.0 ELSE ((region - 1) % 2) * 5.0 END AS DOUBLE) AS x0,
+        |  CAST(-52.0 + (k DIV 6) * 22.0 +
+        |    CASE WHEN region = 0 THEN 0.0 ELSE ((region - 1) DIV 2) * 8.0 END AS DOUBLE) AS y0,
+        |  CAST(CASE WHEN region = 0 THEN 10.0 ELSE 5.0 END AS DOUBLE) AS w,
+        |  CAST(CASE WHEN region = 0 THEN 16.0 ELSE 8.0 END AS DOUBLE) AS h
+        |  FROM n CROSS JOIN lv)
+        |SELECT k AS iso,
+        |  CASE WHEN region = 0 THEN CAST(k AS STRING)
+        |       ELSE concat(k, '.', region, '_1') END AS gid,
+        |  st_area_ha(st_makeenvelope(x0, y0, x0 + w, y0 + h)) AS area_ha,
+        |  x0 AS bbox_xmin, y0 AS bbox_ymin,
+        |  x0 + w AS bbox_xmax, y0 + h AS bbox_ymax
+        |FROM r""".stripMargin,
+      """WITH lv AS (SELECT unnest(generate_series(0, 4)) AS region),
+        |n AS (SELECT CAST(n_nationkey AS INT) AS k FROM nation),
+        |r AS (SELECT k, region,
+        |  CAST(-90.0 + (k % 6) * 15.0 +
+        |    CASE WHEN region = 0 THEN 0.0 ELSE ((region - 1) % 2) * 5.0 END AS DOUBLE) AS x0,
+        |  CAST(-52.0 + (k // 6) * 22.0 +
+        |    CASE WHEN region = 0 THEN 0.0 ELSE ((region - 1) // 2) * 8.0 END AS DOUBLE) AS y0,
+        |  CAST(CASE WHEN region = 0 THEN 10.0 ELSE 5.0 END AS DOUBLE) AS w,
+        |  CAST(CASE WHEN region = 0 THEN 16.0 ELSE 8.0 END AS DOUBLE) AS h
+        |  FROM n CROSS JOIN lv)
+        |SELECT k AS iso,
+        |  CASE WHEN region = 0 THEN CAST(k AS VARCHAR)
+        |       ELSE concat(k, '.', region, '_1') END AS gid,
+        |  abs(
+        |    radians((x0 + w) - x0) * (2.0 + sin(radians(y0)) + sin(radians(y0)))
+        |    + radians((x0 + w) - (x0 + w)) * (2.0 + sin(radians(y0)) + sin(radians(y0 + h)))
+        |    + radians(x0 - (x0 + w)) * (2.0 + sin(radians(y0 + h)) + sin(radians(y0 + h)))
+        |    + radians(x0 - x0) * (2.0 + sin(radians(y0 + h)) + sin(radians(y0)))
+        |  ) * 6371008.8 * 6371008.8 / 2.0 / 10000.0 AS area_ha,
+        |  x0 AS bbox_xmin, y0 AS bbox_ymin,
+        |  x0 + w AS bbox_xmax, y0 + h AS bbox_ymax
+        |FROM r""".stripMargin)
   )
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1358,6 +1358,45 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(get("/geostore/admin/list?source%5Bprovider%5D=esri").statusCode() == 400)
   }
 
+  test("geostore admin boundaries: country/region/subregion lookup, registered ids") {
+    // country (adm 0): the synthesized rectangle for nation 3
+    val c = get("/geostore/admin/3")
+    assert(c.statusCode() == 200, c.body().take(300))
+    assert(c.body().contains("\"type\":\"geoStore\"") &&
+      c.body().contains("\"iso\":\"3\"") &&
+      c.body().contains("\"lock\":false"), c.body().take(400))
+    val (x0, y0, x1, y1) = graft.geo.AdminFixtures.adm0Rect(3)
+    assert(c.body().contains(s""""bbox":[$x0,$y0,$x1,$y1]"""), c.body().take(500))
+    val expArea = graft.geo.Geom.areaHa(
+      graft.geo.AdminFixtures.polygon(graft.geo.AdminFixtures.adm0Rect(3)))
+    assert(c.body().contains(s""""areaHa":$expArea"""), c.body().take(500))
+    // the admin list's geostore id matches the boundary route's
+    val listed = "\"geostore_id\":\"([0-9a-f-]+)\",\"iso\":\"3\"".r
+      .findFirstMatchIn(get("/geostore/admin/list").body()).map(_.group(1))
+    val cid = "\"id\":\"([0-9a-f-]+)\"".r.findFirstMatchIn(c.body()).map(_.group(1))
+    assert(cid.isDefined && cid == listed, s"$cid vs $listed")
+    // the boundary geostore id RESOLVES as a served geostore
+    assert(get(s"/geostore/${cid.get}").statusCode() == 200)
+    // region (adm 1) carries id1; subregion (adm 2) id1+id2; both are
+    // proper sub-rectangles of the country
+    val r = get("/geostore/admin/3/2")
+    assert(r.statusCode() == 200 && r.body().contains("\"id1\":2"), r.body().take(300))
+    val s = get("/geostore/admin/3/2/1")
+    assert(s.statusCode() == 200 && s.body().contains("\"id1\":2") &&
+      s.body().contains("\"id2\":1"), s.body().take(300))
+    val (rx0, ry0, rx1, ry1) = graft.geo.AdminFixtures.adm1Rect(3, 2)
+    assert(r.body().contains(s""""bbox":[$rx0,$ry0,$rx1,$ry1]"""), r.body().take(500))
+    assert(rx0 >= x0 && ry0 >= y0 && rx1 <= x1 && ry1 <= y1)
+    // simplify is echoed in info (identity on the rectangular fixture)
+    val sp = get("/geostore/admin/3?simplify=0.01")
+    assert(sp.statusCode() == 200 && sp.body().contains("\"simplifyThresh\":0.01"),
+      sp.body().take(300))
+    // unknown country / out-of-range region → 404; bad provider → 400
+    assert(get("/geostore/admin/99").statusCode() == 404)
+    assert(get("/geostore/admin/3/9").statusCode() == 404)
+    assert(get("/geostore/admin/3?source%5Bprovider%5D=esri").statusCode() == 400)
+  }
+
   test("task records, asset metadata and field metadata CRUD") {
     def req(method: String, path: String, body: String,
             hdrs: (String, String)*): HttpResponse[String] = {
