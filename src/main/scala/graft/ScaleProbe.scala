@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scale-factor ratchet (measure, don't guess): times the headline
+  * queries at sf0.1 and at a synthesized 10× corpus, and prints the
+  * per-query scaling exponent `log10(T(10N)/T(N))` — ~1.0 is linear,
+  * the shape the plan arguments predict; >1.3 flags a stage that
+  * won't survive the next 100×.
+  *
+  * The 10× corpus derives from sf0.1 under /tmp (the driver testdata
+  * is read-only and has no sf1): ten replicas of `documents` with
+  * every word suffixed `_<replica>` — replicas share no shingles, so
+  * dedup pair cardinality scales linearly instead of quadratically
+  * (the workload keeps its sf0.1 character, just 10× of it) — and ten
+  * replicas of `embeddings` with dimensions circularly shifted per
+  * replica (norms preserved, directions decorrelated). All other
+  * tables symlink to sf0.1.
+  *
+  * Usage: `runMain graft.ScaleProbe [sfDir] [outDir]`; prints one
+  * JSON line per query: name, warm seconds at 1× and 10×, exponent.
+  */
+object ScaleProbe {
+
+  private val Headline = Seq("d3_minhash_lsh_pairs", "d4_ngram_jaccard_pairs",
+    "t10_keywords", "e4_ann_lsh_pairs", "e3_ann_ivf")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val outDir = if (args.length > 1) args(1)
+      else s"${sys.props("java.io.tmpdir")}/graft_sf10x"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.driver.memory", "16g")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    buildScaled(spark, sfDir, outDir)
+
+    def warmTime(name: String, dir: String): Double = {
+      // first run pays OS cache + any memoized builds; report the second
+      SparkEntry.queries(name)(spark, dir).count()
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val rows = Headline.map { q =>
+      val t1 = warmTime(q, sfDir)
+      val t10 = warmTime(q, outDir)
+      val exp = math.log10(t10 / t1)
+      println(f"""{"query":"$q","sec_1x":$t1%.2f,"sec_10x":$t10%.2f,"exponent":$exp%.2f}""")
+      (q, t1, t10, exp)
+    }
+    val worst = rows.maxBy(_._4)
+    println(f"""{"summary":"worst","query":"${worst._1}","exponent":${worst._4}%.2f}""")
+    spark.stop()
+  }
+
+  /** Idempotent build of the 10× dir (documents + embeddings scaled,
+    * everything else symlinked). */
+  def buildScaled(spark: SparkSession, sfDir: String, outDir: String): Unit = {
+    val marker = new java.io.File(s"$outDir/_SCALED")
+    if (marker.exists()) return
+    import java.nio.file.{Files, Paths}
+    Files.createDirectories(Paths.get(outDir))
+    graft.functions.GraftFunctions.install(spark)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val nDocs = docs.count()
+    docs.createOrReplaceTempView("sp_docs")
+    spark.sql(
+      s"""SELECT doc_id + r * $nDocs AS doc_id,
+         |  array_join(transform(split(text, ' '), w -> concat(w, '_', r)), ' ') AS text,
+         |  lang, source,
+         |  CAST(length(array_join(transform(split(text, ' '), w -> concat(w, '_', r)), ' ')) AS BIGINT) AS n_chars
+         |FROM sp_docs LATERAL VIEW explode(sequence(0, 9)) t AS r""".stripMargin)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val nVecs = vecs.count()
+    vecs.createOrReplaceTempView("sp_vecs")
+    spark.sql(
+      s"""SELECT vec_id + r * $nVecs AS vec_id, label,
+         |  CASE WHEN r = 0 THEN embedding
+         |       ELSE concat(slice(embedding, r * 6 + 1, 64 - r * 6),
+         |                   slice(embedding, 1, r * 6)) END AS embedding
+         |FROM sp_vecs LATERAL VIEW explode(sequence(0, 9)) t AS r""".stripMargin)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    for (t <- Tables.all if t != "documents" && t != "embeddings") {
+      val link = Paths.get(outDir, s"$t.parquet")
+      if (!Files.exists(link))
+        Files.createSymbolicLink(link, Paths.get(sfDir, s"$t.parquet"))
+    }
+    Files.writeString(marker.toPath, "ok")
+  }
+}

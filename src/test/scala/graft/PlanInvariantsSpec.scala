@@ -96,6 +96,27 @@ class PlanInvariantsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!full.contains("Window"), "t8 regressed to a window formulation")
   }
 
+  test("rs1: scan → zonal partials is ONE whole-stage-codegen span") {
+    // the fused raster hot path: FileScan → ColumnarToRow → Project →
+    // Generate(explode(zonal_partial)) → partial HashAggregate must
+    // all sit in the SAME codegen span (TileKernelCodegen's doGenCode
+    // keeps the kernel call fusable); a regression to CodegenFallback
+    // would split the span and re-introduce per-row interpretation
+    val df = SparkEntry.queries("rs1_otf_payload")(spark, sf)
+    df.collect() // AQE finalizes spans only at execution
+    val p = df.queryExecution.executedPlan.toString
+    def span(marker: String): String =
+      s"\\*\\((\\d+)\\) $marker".r.findFirstMatchIn(p).map(_.group(1))
+        .getOrElse(fail(s"$marker not in any codegen span:\n${p.take(1200)}"))
+    val gen = span("Generate")
+    val c2r = span("ColumnarToRow")
+    // the PARTIAL aggregate (map side, below the exchange) — the
+    // final aggregate naturally lives in the post-shuffle span
+    val agg = span("HashAggregate\\(keys=[^\\n]*partial_")
+    assert(gen == c2r && gen == agg,
+      s"span split: ColumnarToRow *($c2r), Generate *($gen), HashAggregate *($agg)")
+  }
+
   test("d4/d8: the posting stream shuffles once, then both read the buckets") {
     // the grouped posting lists are materialized (localCheckpoint)
     // exactly once and shared: each query's own plan reads the
