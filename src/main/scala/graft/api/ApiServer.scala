@@ -196,6 +196,8 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
   private val AdminBoundary0 = "^/geostore/admin/([^/]+)$".r
   private val AdminBoundary1 = "^/geostore/admin/([^/]+)/([^/]+)$".r
   private val AdminBoundary2 = "^/geostore/admin/([^/]+)/([^/]+)/([^/]+)$".r
+  private val TileGet =
+    "^/([^/]+)/([^/]+)/([^/]+)/(\\d+)/(\\d+)/(\\d+)\\.(png|pbf)$".r
   private val VersionRoot = "^/dataset/([^/]+)/([^/]+)$".r
   private val QueryBatch = "^/dataset/([^/]+)/([^/]+)/query/batch$".r
   private val VersionAppend = "^/dataset/([^/]+)/([^/]+)/append$".r
@@ -376,6 +378,8 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
           adminBoundary(ex, c, Some(r), Some(s))
         case ("GET", AdminBoundary1(c, r)) => adminBoundary(ex, c, Some(r), None)
         case ("GET", AdminBoundary0(c)) => adminBoundary(ex, c, None, None)
+        case ("GET", TileGet(d, v, impl, z, x, y, ext)) =>
+          serveTile(ex, d, v, impl, z, x, y, ext)
         case ("GET", GeostoreGet(id)) =>
           geostore.get(id) match {
             case Some(gj) => respond(ex, 200, "application/json",
@@ -1570,10 +1574,16 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
       try graft.geo.Json.parseObject(body)
       catch { case _: Exception => return respond(ex, 422, "application/json",
         Sinks.jsendError("Invalid request body")) }
-    if (!obj.get("asset_type").contains("COG"))
-      return respond(ex, 501, "application/json", Sinks.jsendError(
-        "Not implemented for asset type " +
-          obj.getOrElse("asset_type", "(missing)")))
+    obj.get("asset_type") match {
+      case Some("COG") => ()
+      case Some("Raster tile cache") =>
+        return rasterTileCacheAdd(ex, dataset, version, ver, obj)
+      case Some("Static vector tile cache") =>
+        return vectorTileCacheAdd(ex, dataset, version, ver, obj)
+      case other =>
+        return respond(ex, 501, "application/json", Sinks.jsendError(
+          "Not implemented for asset type " + other.getOrElse("(missing)")))
+    }
     val co = obj.get("creation_options") match {
       case Some(m: Map[_, _]) => m.asInstanceOf[Map[String, Any]]
       case _ => Map.empty[String, Any]
@@ -1680,6 +1690,246 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
     }
     respond(ex, 202, "application/json",
       s"""{"data":{"asset_id":"$assetId","dataset":"$dataset","version":"$version","asset_type":"COG","status":"pending","job_id":"$jobId"},"status":"success"}""")
+  }
+
+  /** POST asset_type "Raster tile cache"
+    * (`raster_tile_cache_assets.py` — the reference fans out
+    * gdal2tiles + symbology lambdas per zoom): pre-renders the source
+    * raster tile set as z/x/y web-mercator PNG tiles for zooms
+    * 0..max_static_zoom with a discrete/gradient colormap
+    * ([[graft.raster.TileCache]]; one distributed source-driven pass,
+    * PNG encode at the reducer). Tiles serve from
+    * `GET /{dataset}/{version}/{implementation}/{z}/{x}/{y}.png` —
+    * the tile-cache URL shape. */
+  private def rasterTileCacheAdd(ex: HttpExchange, dataset: String,
+                                 version: String, ver: cat.Version,
+                                 obj: Map[String, Any]): Unit = {
+    val co = obj.get("creation_options") match {
+      case Some(m: Map[_, _]) => m.asInstanceOf[Map[String, Any]]
+      case _ => Map.empty[String, Any]
+    }
+    val implementation = co.getOrElse("implementation", "default").toString
+    val maxZoom = co.get("max_static_zoom").map(_.toString.toDouble.toInt).getOrElse(9)
+    if (maxZoom < 0 || maxZoom > 22)
+      return respond(ex, 422, "application/json",
+        Sinks.jsendError("max_static_zoom must be in 0..22"))
+    val resampling = co.getOrElse("resampling", "nearest").toString
+    if (resampling != "nearest")
+      return respond(ex, 501, "application/json", Sinks.jsendError(
+        s"Unsupported resampling method $resampling (nearest only)"))
+    val sym = co.get("symbology") match {
+      case Some(m: Map[_, _]) => m.asInstanceOf[Map[String, Any]]
+      case _ => return respond(ex, 422, "application/json",
+        Sinks.jsendError("symbology is required"))
+    }
+    val cmap =
+      try graft.raster.TileCache.Colormap.parse(sym)
+      catch { case e: IllegalArgumentException =>
+        return respond(ex, 422, "application/json",
+          Sinks.jsendError(Option(e.getMessage).getOrElse("Invalid symbology"))) }
+    val srcId = co.get("source_asset_id") match {
+      case Some(s: String) => s
+      case _ => return respond(ex, 422, "application/json",
+        Sinks.jsendError("source_asset_id is required"))
+    }
+    val source = ver.assets.find(_.assetId == srcId) match {
+      case Some(a) if a.assetType == cat.AssetType.RasterTileSet => a
+      case Some(_) => return respond(ex, 400, "application/json",
+        Sinks.jsendError(s"Source asset $srcId is not a raster tile set"))
+      case None => return respond(ex, 400, "application/json",
+        Sinks.jsendError(s"Source asset $srcId is not an asset of $dataset.$version"))
+    }
+    val assetId = s"$dataset-$version-tilecache-$implementation"
+    val outDir = java.nio.file.Paths.get(
+      s"${sys.props("java.io.tmpdir")}/graft_versions/" +
+        s"${dataset}_${version}_tilecache/$implementation")
+    val reserved = catalogLock.synchronized {
+      findAsset(assetId) match {
+        case Some((_, prior)) if prior.status == "failed" =>
+          catalog = catalog.withoutAsset(dataset, version, assetId)
+        case _ => ()
+      }
+      if (findAsset(assetId).isDefined) false
+      else {
+        catalog = catalog.withVersionPatched(dataset, version, v =>
+          v.copy(assets = v.assets :+ cat.Asset(assetId,
+            cat.AssetType.RasterTileCache, outDir.toString, isDefault = false,
+            creationOptions = Map(
+              "source_asset_id" -> srcId,
+              "implementation" -> implementation,
+              "resampling" -> resampling,
+              "min_zoom" -> "0",
+              "max_static_zoom" -> maxZoom.toString),
+            status = "pending")))
+        true
+      }
+    }
+    if (!reserved)
+      return respond(ex, 409, "application/json", Sinks.jsendError(
+        s"Asset $assetId already exists (choose another implementation)"))
+    val jobId = jobRegistry.submit { () =>
+      try {
+        val g = graft.raster.DataEnvironment.gridOf(source.creationOptions)
+        val band = source.creationOptions.getOrElse("band",
+          s"px_${source.creationOptions.getOrElse("pixel_meaning", "value")}")
+        val noData = source.creationOptions.get("no_data").map(_.toDouble)
+        graft.raster.TileLake.ensureLake(spark, source.assetUri)
+        val n = graft.raster.TileCache.build(spark, source.assetUri, band, g,
+          cmap, noData, maxZoom, outDir.toString)
+        catalogLock.synchronized {
+          catalog = catalog.withAssetStatus(dataset, version, assetId, "saved")
+        }
+        val tid = graft.geo.GeoExpressions.Uuid5.of("oid",
+          s"task:$dataset/$version/tilecache_$implementation")
+        taskRecords.put(tid, TaskRec(tid, assetId, Seq(
+          graft.etl.VersionCreation.ChangeLog("tile_cache", "success",
+            s"$outDir ($n tiles, zooms 0..$maxZoom)"))))
+        s"""{"asset_id":"$assetId","status":"saved","tiles":$n}"""
+      } catch {
+        case e: Throwable =>
+          catalogLock.synchronized {
+            catalog = catalog.withAssetStatus(dataset, version, assetId, "failed")
+          }
+          throw e
+      }
+    }
+    respond(ex, 202, "application/json",
+      s"""{"data":{"asset_id":"$assetId","dataset":"$dataset","version":"$version","asset_type":"Raster tile cache","status":"pending","job_id":"$jobId"},"status":"success"}""")
+  }
+
+  /** POST asset_type "Static vector tile cache"
+    * (`static_vector_tile_cache_assets.py` — the reference exports
+    * NDJSON and shells out to tippecanoe): renders the vector
+    * version's geo table as z/x/y Mapbox Vector Tiles
+    * ([[graft.geo.VectorTileCache]] — bbox fan-out, per-tile clip +
+    * quantize + MVT encode in one distributed pass) and writes the
+    * Mapbox-GL `root.json` from the posted `layer_style`. Tiles serve
+    * from `GET /{dataset}/{version}/{implementation}/{z}/{x}/{y}.pbf`. */
+  private def vectorTileCacheAdd(ex: HttpExchange, dataset: String,
+                                 version: String, ver: cat.Version,
+                                 obj: Map[String, Any]): Unit = {
+    val co = obj.get("creation_options") match {
+      case Some(m: Map[_, _]) => m.asInstanceOf[Map[String, Any]]
+      case _ => Map.empty[String, Any]
+    }
+    val implementation = co.getOrElse("implementation", "default").toString
+    val minZoom = co.get("min_zoom").map(_.toString.toDouble.toInt).getOrElse(0)
+    val maxZoom = co.get("max_zoom").map(_.toString.toDouble.toInt).getOrElse(9)
+    if (minZoom < 0 || maxZoom > 22 || maxZoom < minZoom)
+      return respond(ex, 422, "application/json", Sinks.jsendError(
+        "`max_zoom` must be equal or larger than `min_zoom` (0..22)"))
+    val source = ver.assets.find(a =>
+      a.isDefault && a.assetType == cat.AssetType.GeoDatabaseTable) match {
+      case Some(a) => a
+      case None => return respond(ex, 400, "application/json", Sinks.jsendError(
+        s"$dataset.$version is not a vector version (no geo database table)"))
+    }
+    val fields: Seq[String] = co.get("field_attributes") match {
+      case Some(xs: Seq[_]) => xs.map(_.toString)
+      case _ =>
+        // default: the version's feature-info columns — every stored
+        // attribute except the geometry/derived internals
+        val internal = Set("geom", "lon", "lat", "gfw_geojson", "gfw_geostore_id")
+        spark.read.parquet(source.assetUri).schema.fieldNames.toSeq
+          .filterNot(internal)
+    }
+    val layerStyle = co.get("layer_style") match {
+      case Some(xs: Seq[_]) => graft.geo.Json.write(xs.toList)
+      case _ => "[]"
+    }
+    val assetId = s"$dataset-$version-vectortilecache-$implementation"
+    val outDir = java.nio.file.Paths.get(
+      s"${sys.props("java.io.tmpdir")}/graft_versions/" +
+        s"${dataset}_${version}_vectortiles/$implementation")
+    val reserved = catalogLock.synchronized {
+      findAsset(assetId) match {
+        case Some((_, prior)) if prior.status == "failed" =>
+          catalog = catalog.withoutAsset(dataset, version, assetId)
+        case _ => ()
+      }
+      if (findAsset(assetId).isDefined) false
+      else {
+        catalog = catalog.withVersionPatched(dataset, version, v =>
+          v.copy(assets = v.assets :+ cat.Asset(assetId,
+            cat.AssetType.StaticVectorTileCache, outDir.toString,
+            isDefault = false,
+            creationOptions = Map(
+              "implementation" -> implementation,
+              "min_zoom" -> minZoom.toString,
+              "max_zoom" -> maxZoom.toString),
+            status = "pending")))
+        true
+      }
+    }
+    if (!reserved)
+      return respond(ex, 409, "application/json", Sinks.jsendError(
+        s"Asset $assetId already exists (choose another implementation)"))
+    val jobId = jobRegistry.submit { () =>
+      try {
+        val rows = spark.read.parquet(source.assetUri)
+        val n = graft.geo.VectorTileCache.build(spark, rows, dataset,
+          fields, minZoom, maxZoom, outDir.toString)
+        // Mapbox-GL root.json (tile-cache convention): the posted
+        // layer styles over a vector source at the serving URL shape
+        val rootJson =
+          s"""{"version":8,"sources":{${graft.geo.Json.write(dataset)}:{""" +
+            s""""type":"vector","tiles":[${graft.geo.Json.write(
+              s"/$dataset/$version/$implementation/{z}/{x}/{y}.pbf")}],""" +
+            s""""minzoom":$minZoom,"maxzoom":$maxZoom}},"layers":$layerStyle}"""
+        java.nio.file.Files.writeString(
+          outDir.resolve("root.json"), rootJson)
+        catalogLock.synchronized {
+          catalog = catalog.withAssetStatus(dataset, version, assetId, "saved")
+        }
+        val tid = graft.geo.GeoExpressions.Uuid5.of("oid",
+          s"task:$dataset/$version/vectortiles_$implementation")
+        taskRecords.put(tid, TaskRec(tid, assetId, Seq(
+          graft.etl.VersionCreation.ChangeLog("vector_tile_cache", "success",
+            s"$outDir ($n tiles, zooms $minZoom..$maxZoom, " +
+              s"fields ${fields.mkString(",")})"))))
+        s"""{"asset_id":"$assetId","status":"saved","tiles":$n}"""
+      } catch {
+        case e: Throwable =>
+          catalogLock.synchronized {
+            catalog = catalog.withAssetStatus(dataset, version, assetId, "failed")
+          }
+          throw e
+      }
+    }
+    respond(ex, 202, "application/json",
+      s"""{"data":{"asset_id":"$assetId","dataset":"$dataset","version":"$version","asset_type":"Static vector tile cache","status":"pending","job_id":"$jobId"},"status":"success"}""")
+  }
+
+  /** GET /{dataset}/{version}/{implementation}/{z}/{x}/{y}.{png|pbf}
+    * — the tile-cache serving shape (the reference serves these from
+    * the tile-cache CDN; same path layout). */
+  private def serveTile(ex: HttpExchange, dataset: String, version: String,
+                        impl: String, z: String, x: String, y: String,
+                        ext: String): Unit = {
+    val wanted =
+      if (ext == "png") cat.AssetType.RasterTileCache
+      else cat.AssetType.StaticVectorTileCache
+    val asset = catalog.version(dataset, version).toSeq.flatMap(_.assets)
+      .find(a => a.assetType == wanted &&
+        a.creationOptions.get("implementation").contains(impl) &&
+        a.status == "saved")
+    asset match {
+      case None => respond(ex, 404, "application/json",
+        Sinks.jsendError(s"No $wanted $impl for $dataset.$version"))
+      case Some(a) =>
+        val f = java.nio.file.Paths.get(a.assetUri, z, x, s"$y.$ext")
+        if (!java.nio.file.Files.exists(f))
+          respond(ex, 404, "application/json", Sinks.jsendError("Tile not found"))
+        else {
+          val bytes = java.nio.file.Files.readAllBytes(f)
+          val ctype =
+            if (ext == "png") "image/png" else "application/x-protobuf"
+          ex.getResponseHeaders.set("Content-Type", ctype)
+          ex.sendResponseHeaders(200, bytes.length.toLong)
+          ex.getResponseBody.write(bytes)
+          ex.close()
+        }
+    }
   }
 
   private def versionAssets(ex: HttpExchange, dataset: String, version: String): Unit =

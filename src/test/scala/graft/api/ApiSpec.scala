@@ -622,6 +622,172 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(zp.statusCode() == 200, zp.body().take(300))
   }
 
+  test("raster tile cache asset: z/x/y PNG pyramid served at the cache URL") {
+    // self-contained fixture: tcds/v1, 2×2 one-degree tiles at
+    // (20E,10N), class = (gx*3+gy*5)%4 (the tcds formula)
+    def req(method: String, path: String, body: String,
+            hdrs: (String, String)*): HttpResponse[String] = {
+      val rb = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+        .method(method, HttpRequest.BodyPublishers.ofString(body))
+      hdrs.foreach { case (k, v) => rb.header(k, v) }
+      client.send(rb.build(), HttpResponse.BodyHandlers.ofString())
+    }
+    val admin = "Authorization" -> "Bearer test-admin"
+    val src = java.nio.file.Files.createTempDirectory("tcsrc")
+    val px0 = 10; val deg = 0.1
+    for (tx <- 0 to 1; ty <- 0 to 1) {
+      val pixels = Array.tabulate(px0 * px0) { i =>
+        ((tx * px0 + i % px0) * 3 + (ty * px0 + i / px0) * 5) % 4
+      }
+      graft.raster.GeoTiff.write(src.resolve(s"t${tx}_$ty.tif"),
+        graft.raster.GeoTiff.Tile(px0, px0,
+          20.0 + tx * px0 * deg, 10.0 - ty * px0 * deg, deg, pixels))
+    }
+    val putBody =
+      s"""{"creation_options": {
+         |  "source_uri": ["${src.resolve("t0_0.tif")}", "${src.resolve("t0_1.tif")}",
+         |                 "${src.resolve("t1_0.tif")}", "${src.resolve("t1_1.tif")}"],
+         |  "source_type": "raster", "pixel_meaning": "class"}}""".stripMargin
+    assert(req("PUT", "/dataset/tcds/v1", putBody, admin).statusCode() == 202)
+    var vb = ""
+    var vtries = 0
+    while (vtries < 240 && { vb = get("/dataset/tcds/v1").body()
+      vb.contains("\"status\":\"pending\"") }) { Thread.sleep(250); vtries += 1 }
+    assert(vb.contains("\"status\":\"saved\""), vb.take(400))
+    val sym = """"symbology": {"type": "discrete", "colormap": {
+      "0": {"red": 10, "green": 0, "blue": 0},
+      "1": {"red": 70, "green": 0, "blue": 0},
+      "2": {"red": 130, "green": 0, "blue": 0},
+      "3": {"red": 190, "green": 0, "blue": 0}}}"""
+    val tcBody = s"""{"asset_type": "Raster tile cache", "creation_options": {
+      "source_asset_id": "tcds-v1-default", "max_static_zoom": 8, $sym}}"""
+    assert(req("POST", "/dataset/tcds/v1/assets", tcBody).statusCode() == 401)
+    // symbology is required; bad resampling 501s
+    assert(req("POST", "/dataset/tcds/v1/assets",
+      """{"asset_type": "Raster tile cache", "creation_options": {
+        "source_asset_id": "tcds-v1-default"}}""", admin).statusCode() == 422)
+    assert(req("POST", "/dataset/tcds/v1/assets",
+      s"""{"asset_type": "Raster tile cache", "creation_options": {
+        "source_asset_id": "tcds-v1-default", "resampling": "average", $sym}}""",
+      admin).statusCode() == 501)
+    val accepted = req("POST", "/dataset/tcds/v1/assets", tcBody, admin)
+    assert(accepted.statusCode() == 202, accepted.body().take(300))
+    val jobId = "\"job_id\":\"([0-9a-f-]+)\"".r
+      .findFirstMatchIn(accepted.body()).get.group(1)
+    var jb = ""
+    var jtries = 0
+    while (jtries < 240 && { jb = get(s"/job/$jobId").body()
+      jb.contains("\"status\":\"pending\"") }) { Thread.sleep(250); jtries += 1 }
+    assert(jb.contains("\"status\":\"success\""), jb.take(400))
+    // the tile containing the grid center serves as image/png with
+    // colormapped pixels following the class formula
+    import graft.raster.TileCache
+    val z = 8
+    val tx = math.floor(TileCache.xOfLon(21.0, z)).toInt
+    val ty = math.floor(TileCache.yOfLat(9.0, z)).toInt
+    val tileResp = client.send(
+      HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:$port/tcds/v1/default/$z/$tx/$ty.png"))
+        .GET().build(), HttpResponse.BodyHandlers.ofByteArray())
+    assert(tileResp.statusCode() == 200, new String(tileResp.body()).take(200))
+    assert(tileResp.headers().firstValue("Content-Type").get == "image/png")
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(tileResp.body()))
+    assert(img.getWidth == 256 && img.getHeight == 256)
+    var inGrid = 0
+    for (py <- 0 until 256 by 37; px <- 0 until 256 by 37) {
+      val lon = TileCache.lonOfX(tx + (px + 0.5) / 256.0, z)
+      val lat = TileCache.latOfY(ty + (py + 0.5) / 256.0, z)
+      val gx = math.floor((lon - 20.0) / 0.1).toInt
+      val gy = math.floor((10.0 - lat) / 0.1).toInt
+      if (gx >= 0 && gx < 20 && gy >= 0 && gy < 20) {
+        val cls = (gx * 3 + gy * 5) % 4
+        val argb = img.getRGB(px, py)
+        assert((argb >>> 24) == 255 && ((argb >> 16) & 0xff) == 10 + cls * 60,
+          s"($px,$py) lake($gx,$gy) class $cls got ${argb.toHexString}")
+        inGrid += 1
+      }
+    }
+    assert(inGrid > 0, "tile shares no pixels with the grid")
+    // a tile outside the pyramid 404s; duplicate implementation 409s;
+    // the asset lists with its type
+    assert(get(s"/tcds/v1/default/3/0/0.png").statusCode() == 404)
+    assert(req("POST", "/dataset/tcds/v1/assets", tcBody, admin).statusCode() == 409)
+    assert(get("/assets?asset_type=Raster%20tile%20cache").body()
+      .contains("tcds-v1-tilecache-default"))
+  }
+
+  test("static vector tile cache asset: z/x/y MVT pyramid + root.json") {
+    def req(method: String, path: String, body: String,
+            hdrs: (String, String)*): HttpResponse[String] = {
+      val rb = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+        .method(method, HttpRequest.BodyPublishers.ofString(body))
+      hdrs.foreach { case (k, v) => rb.header(k, v) }
+      client.send(rb.build(), HttpResponse.BodyHandlers.ofString())
+    }
+    val admin = "Authorization" -> "Bearer test-admin"
+    // vector version: two polygons around (12E, 48N) — NDJSON ingest
+    // needs one geometry arity per file (Spark JSON schema inference);
+    // the MVT point/line paths are covered by MvtSpec
+    val src = java.nio.file.Files.createTempDirectory("vtcsrc")
+    java.nio.file.Files.writeString(src.resolve("f.ndjson"),
+      """{"type":"Feature","geometry":{"type":"Polygon","coordinates":[[[10.0,46.0],[14.0,46.0],[14.0,50.0],[10.0,50.0],[10.0,46.0]]]},"properties":{"kind":"park","score":9}}
+        |{"type":"Feature","geometry":{"type":"Polygon","coordinates":[[[11.0,47.0],[12.5,47.0],[12.5,48.5],[11.0,48.5],[11.0,47.0]]]},"properties":{"kind":"lake","score":1}}
+        |""".stripMargin)
+    assert(req("PUT", "/dataset/vtcds/v1",
+      s"""{"creation_options": {"source_uri": ["file://${src.resolve("f.ndjson")}"],
+         |  "source_type": "vector"}}""".stripMargin, admin).statusCode() == 202)
+    var vb = ""
+    var tries = 0
+    while (tries < 240 && { vb = get("/dataset/vtcds/v1").body()
+      vb.contains("\"status\":\"pending\"") }) { Thread.sleep(250); tries += 1 }
+    assert(vb.contains("\"status\":\"saved\""), vb.take(400))
+    // zoom validation; then build zooms 0..3 with the style passthrough
+    assert(req("POST", "/dataset/vtcds/v1/assets",
+      """{"asset_type": "Static vector tile cache", "creation_options": {
+        "min_zoom": 4, "max_zoom": 2}}""", admin).statusCode() == 422)
+    val accepted = req("POST", "/dataset/vtcds/v1/assets",
+      """{"asset_type": "Static vector tile cache", "creation_options": {
+        "max_zoom": 3, "tile_strategy": "discontinuous",
+        "layer_style": [{"id": "parks", "type": "fill", "source": "vtcds",
+                         "source-layer": "vtcds"}]}}""", admin)
+    assert(accepted.statusCode() == 202, accepted.body().take(300))
+    val jobId = "\"job_id\":\"([0-9a-f-]+)\"".r
+      .findFirstMatchIn(accepted.body()).get.group(1)
+    var jb = ""
+    tries = 0
+    while (tries < 240 && { jb = get(s"/job/$jobId").body()
+      jb.contains("\"status\":\"pending\"") }) { Thread.sleep(250); tries += 1 }
+    assert(jb.contains("\"status\":\"success\""), jb.take(400))
+    // the z2 tile over (12E, 48N) serves as protobuf and contains the
+    // layer name + attribute keys as raw strings
+    import graft.raster.TileCache.{xOfLon, yOfLat}
+    val z = 2
+    val tx = math.floor(xOfLon(12.0, z)).toInt
+    val ty = math.floor(yOfLat(48.0, z)).toInt
+    val tile = client.send(
+      HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:$port/vtcds/v1/default/$z/$tx/$ty.pbf"))
+        .GET().build(), HttpResponse.BodyHandlers.ofByteArray())
+    assert(tile.statusCode() == 200)
+    assert(tile.headers().firstValue("Content-Type").get == "application/x-protobuf")
+    val s = new String(tile.body(), java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(s.contains("vtcds") && s.contains("kind") && s.contains("park"), "layer/keys missing")
+    // root.json carries the posted style and the serving URL shape
+    val asset = get("/asset/vtcds-v1-vectortilecache-default")
+    assert(asset.statusCode() == 200, asset.body().take(300))
+    val uri = "\"asset_uri\":\"([^\"]+)\"".r.findFirstMatchIn(asset.body()).get.group(1)
+    val root = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(uri, "root.json"))
+    assert(root.contains("\"parks\"") &&
+      root.contains("/vtcds/v1/default/{z}/{x}/{y}.pbf"), root.take(300))
+    // absent tile 404s; duplicate implementation 409s
+    assert(get("/vtcds/v1/default/3/0/0.pbf").statusCode() == 404)
+    assert(req("POST", "/dataset/vtcds/v1/assets",
+      """{"asset_type": "Static vector tile cache", "creation_options": {}}""",
+      admin).statusCode() == 409)
+  }
+
   test("multi-band GeoTIFF sources ingest as per-band layers; float lands as double; projected CRS is rejected") {
     import graft.raster.GeoTiff
     import GeoTiff.{Raster, SampleType}

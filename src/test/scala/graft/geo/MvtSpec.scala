@@ -1,0 +1,242 @@
+package graft.geo
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-trips [[Mvt]] output through a minimal independent protobuf
+  * decoder written against the vector-tile-spec v2.1 wire format —
+  * the interop check standing in for a real MVT consumer. */
+class MvtSpec extends AnyFunSuite {
+
+  // ---- tiny protobuf reader -------------------------------------
+  private final class Reader(b: Array[Byte], var pos: Int, val end: Int) {
+    def hasNext: Boolean = pos < end
+    def varint(): Long = {
+      var shift = 0; var v = 0L
+      while (true) {
+        val x = b(pos) & 0xff; pos += 1
+        v |= (x & 0x7fL) << shift
+        if ((x & 0x80) == 0) return v
+        shift += 7
+      }
+      v
+    }
+    def skip(wire: Int): Unit = wire match {
+      case 0 => varint()
+      case 1 => pos += 8
+      case 2 => val n = varint().toInt; pos += n
+      case 5 => pos += 4
+    }
+    def sub(): Reader = {
+      val n = varint().toInt
+      val r = new Reader(b, pos, pos + n)
+      pos += n
+      r
+    }
+    def bytes(): Array[Byte] = {
+      val n = varint().toInt
+      val out = java.util.Arrays.copyOfRange(b, pos, pos + n)
+      pos += n
+      out
+    }
+  }
+  private def zigzagDec(v: Long): Long = (v >>> 1) ^ -(v & 1)
+
+  private case class DecFeature(id: Long, gtype: Int, tags: Seq[Int],
+                                rings: Seq[Seq[(Long, Long)]], closed: Seq[Boolean])
+  private case class DecLayer(version: Long, name: String, extent: Long,
+                              keys: Seq[String], values: Seq[Any],
+                              features: Seq[DecFeature])
+
+  private def decodeValue(r: Reader): Any = {
+    var out: Any = null
+    while (r.hasNext) {
+      val k = r.varint(); val field = (k >> 3).toInt; val wire = (k & 7).toInt
+      field match {
+        case 1 => out = new String(r.bytes(), "UTF-8")
+        case 3 =>
+          var bits = 0L
+          for (i <- 0 until 8) { bits |= (r.b(r.pos) & 0xffL) << (8 * i); r.pos += 1 }
+          out = java.lang.Double.longBitsToDouble(bits)
+        case 4 => out = r.varint()
+        case 7 => out = r.varint() == 1L
+        case _ => r.skip(wire)
+      }
+    }
+    out
+  }
+  private implicit class RB(r: Reader) { def b: Array[Byte] = rBytes(r) }
+  private val f = classOf[Reader].getDeclaredFields.find(_.getName == "b").get
+  f.setAccessible(true)
+  private def rBytes(r: Reader): Array[Byte] = f.get(r).asInstanceOf[Array[Byte]]
+
+  private def decodeGeometry(g: Seq[Long], gtype: Int): (Seq[Seq[(Long, Long)]], Seq[Boolean]) = {
+    var cx = 0L; var cy = 0L
+    var i = 0
+    val rings = Seq.newBuilder[Seq[(Long, Long)]]
+    val closed = Seq.newBuilder[Boolean]
+    var cur = Seq.newBuilder[(Long, Long)]
+    var open = false
+    while (i < g.length) {
+      val cmd = g(i); i += 1
+      val id = (cmd & 7).toInt; val count = (cmd >> 3).toInt
+      id match {
+        case 1 => // MoveTo
+          if (open) { rings += cur.result(); closed += false; cur = Seq.newBuilder }
+          open = true
+          for (_ <- 0 until count) {
+            cx += zigzagDec(g(i)); cy += zigzagDec(g(i + 1)); i += 2
+            cur += ((cx, cy))
+          }
+        case 2 => // LineTo
+          for (_ <- 0 until count) {
+            cx += zigzagDec(g(i)); cy += zigzagDec(g(i + 1)); i += 2
+            cur += ((cx, cy))
+          }
+        case 7 => // ClosePath
+          rings += cur.result(); closed += true; cur = Seq.newBuilder; open = false
+      }
+    }
+    if (open) { rings += cur.result(); closed += false }
+    (rings.result(), closed.result())
+  }
+
+  private def decodeTile(bytes: Array[Byte]): Seq[DecLayer] = {
+    val top = new Reader(bytes, 0, bytes.length)
+    val layers = Seq.newBuilder[DecLayer]
+    while (top.hasNext) {
+      val k = top.varint()
+      if ((k >> 3).toInt == 3) {
+        val lr = top.sub()
+        var version = 0L; var name = ""; var extent = 0L
+        val keys = Seq.newBuilder[String]; val values = Seq.newBuilder[Any]
+        val features = Seq.newBuilder[DecFeature]
+        while (lr.hasNext) {
+          val lk = lr.varint(); val field = (lk >> 3).toInt; val wire = (lk & 7).toInt
+          field match {
+            case 15 => version = lr.varint()
+            case 1 => name = new String(lr.bytes(), "UTF-8")
+            case 5 => extent = lr.varint()
+            case 3 => keys += new String(lr.bytes(), "UTF-8")
+            case 4 => values += decodeValue(lr.sub())
+            case 2 =>
+              val fr = lr.sub()
+              var id = 0L; var gtype = 0
+              var tags = Seq.empty[Int]; var geom = Seq.empty[Long]
+              while (fr.hasNext) {
+                val fk = fr.varint()
+                ((fk >> 3).toInt, (fk & 7).toInt) match {
+                  case (1, _) => id = fr.varint()
+                  case (3, _) => gtype = fr.varint().toInt
+                  case (2, _) =>
+                    val tr = fr.sub()
+                    val tb = Seq.newBuilder[Int]
+                    while (tr.hasNext) tb += tr.varint().toInt
+                    tags = tb.result()
+                  case (4, _) =>
+                    val gr = fr.sub()
+                    val gb = Seq.newBuilder[Long]
+                    while (gr.hasNext) gb += gr.varint()
+                    geom = gb.result()
+                  case (_, w) => fr.skip(w)
+                }
+              }
+              val (rings, closed) = decodeGeometry(geom, gtype)
+              features += DecFeature(id, gtype, tags, rings, closed)
+            case _ => lr.skip(wire)
+          }
+        }
+        layers += DecLayer(version, name, extent, keys.result(),
+          values.result(), features.result())
+      } else top.skip((k & 7).toInt)
+    }
+    layers.result()
+  }
+
+  // ------------------------------------------------------------ tests
+
+  test("polygon feature round-trips: commands, winding, tags, tables") {
+    val square = Array((100, 100), (3000, 100), (3000, 3000), (100, 3000))
+    val hole = Array((1000, 1000), (1000, 2000), (2000, 2000), (2000, 1000))
+    val feats = Seq(
+      Mvt.Feature(7L, 3, Seq(square, hole),
+        Seq("name" -> "alpha", "count" -> 42L, "frac" -> 0.5)),
+      Mvt.Feature(8L, 1, Seq(Array((50, 60))), Seq("name" -> "beta")))
+    val tile = Mvt.encodeTile("areas", feats)
+    val Seq(layer) = decodeTile(tile)
+    assert(layer.version == 2 && layer.extent == 4096 && layer.name == "areas")
+    assert(layer.keys == Seq("name", "count", "frac"))
+    assert(layer.values == Seq("alpha", 42L, 0.5, "beta"))
+    val poly = layer.features.find(_.id == 7L).get
+    assert(poly.gtype == 3)
+    // tags decode through the tables back to the attribute pairs
+    val attrs = poly.tags.grouped(2).map { case Seq(ki, vi) =>
+      layer.keys(ki) -> layer.values(vi) }.toSeq
+    assert(attrs == Seq("name" -> "alpha", "count" -> 42L, "frac" -> 0.5))
+    // two rings, both ClosePath'd
+    assert(poly.rings.length == 2 && poly.closed.forall(identity))
+    // spec winding: exterior positive area, hole negative (tile space)
+    def area2(ring: Seq[(Long, Long)]): Long =
+      ring.indices.map { i =>
+        val (x0, y0) = ring(i); val (x1, y1) = ring((i + 1) % ring.length)
+        x0 * y1 - x1 * y0
+      }.sum
+    assert(area2(poly.rings.head) > 0, "exterior must be positive-area")
+    assert(area2(poly.rings(1)) < 0, "hole must be negative-area")
+    // vertex sets survive (order may rotate/reverse for winding)
+    assert(poly.rings.head.map(p => (p._1.toInt, p._2.toInt)).toSet == square.toSet)
+    assert(poly.rings(1).map(p => (p._1.toInt, p._2.toInt)).toSet == hole.toSet)
+    val pt = layer.features.find(_.id == 8L).get
+    assert(pt.gtype == 1 && pt.rings.flatten == Seq((50L, 60L)))
+  }
+
+  test("vector tile cache build: features land on the right tiles and clip") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", "2").getOrCreate()
+    try {
+      import spark.implicits._
+      // one square polygon spanning the (z1, x1, y0) tile boundary at
+      // lon 90E (tiles x=1:[0..180]), lat 40..50
+      val poly = Polygon(Array(Array(
+        (80.0, 40.0), (100.0, 40.0), (100.0, 50.0), (80.0, 50.0), (80.0, 40.0))))
+      val rows = Seq((Geom.toWkb(poly), "big", 3L))
+        .toDF("geom", "label", "rank")
+      val out = java.nio.file.Files.createTempDirectory("vtc").toString
+      val n = graft.geo.VectorTileCache.build(spark, rows, "test_layer",
+        Seq("label", "rank"), minZoom = 0, maxZoom = 2, out)
+      assert(n >= 3, s"$n tiles written")
+      // z0: the single world tile carries the feature
+      val z0 = java.nio.file.Paths.get(out, "0", "0", "0.pbf")
+      assert(java.nio.file.Files.exists(z0), "z0 tile missing")
+      val Seq(l0) = decodeTile(java.nio.file.Files.readAllBytes(z0))
+      assert(l0.name == "test_layer" && l0.features.nonEmpty)
+      val f0 = l0.features.head
+      assert(f0.gtype == 3)
+      val attrs = f0.tags.grouped(2).map { case Seq(ki, vi) =>
+        l0.keys(ki) -> l0.values(vi) }.toMap
+      assert(attrs == Map("label" -> "big", "rank" -> 3L))
+      // its z0 vertex quantization matches the slippy projection
+      import graft.raster.TileCache.{xOfLon, yOfLat}
+      val expected = Set((80.0, 40.0), (100.0, 40.0), (100.0, 50.0), (80.0, 50.0))
+        .map { case (lon, lat) =>
+          (Math.round(xOfLon(lon, 0) * Mvt.Extent),
+            Math.round(yOfLat(lat, 0) * Mvt.Extent)) }
+      assert(f0.rings.head.toSet == expected,
+        s"${f0.rings.head.toSet} vs $expected")
+      // z1: the polygon spans lon 90 ⇒ both x=1 (east hemisphere edge)
+      // tiles carry a CLIPPED piece whose coords stay within the
+      // buffered extent
+      val z1e = java.nio.file.Paths.get(out, "1", "1", "0.pbf")
+      assert(java.nio.file.Files.exists(z1e), "z1 east tile missing")
+      val Seq(l1) = decodeTile(java.nio.file.Files.readAllBytes(z1e))
+      val lim = graft.geo.VectorTileCache.BufferUnits
+      l1.features.head.rings.flatten.foreach { case (x, y) =>
+        assert(x >= -lim && x <= Mvt.Extent + lim &&
+          y >= -lim && y <= Mvt.Extent + lim, s"unclipped vertex ($x,$y)")
+      }
+      // a tile the bbox never touches is absent
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(out, "1", "0", "1.pbf")))
+    } finally spark.stop()
+  }
+}
