@@ -140,28 +140,51 @@ object TileCache {
         val clampedLat0 = math.max(lat0, -Warp.WebMercatorMaxLat)
         val yLo = math.max(0, math.floor(yOfLat(clampedLat1, z)).toInt)
         val yHi = math.min(n - 1, math.floor(yOfLat(clampedLat0, z) - 1e-12).toInt)
+        // candidate pixel ranges from the monotone tile math (±1 pad
+        // absorbs rounding; the exact floor-ownership test below still
+        // decides membership) — without these bounds every
+        // (lake tile, out tile) pair scans all px² centers, which at
+        // coarse zooms is O(lakeTiles × px²) work for px² total output
+        val xLoF = xOfLon(lon0, z); val xHiF = xOfLon(lon1, z)
+        val yLoF = yOfLat(clampedLat1, z); val yHiF = yOfLat(clampedLat0, z)
         for (x <- xLo to xHi; y <- yLo to yHi) yield {
           // pixels of output tile (z,x,y) whose center samples THIS
           // lake tile (exclusive floor ownership)
+          val rLo = math.max(0, ((yLoF - y) * px - 0.5).toInt - 1)
+          val rHi = math.min(px - 1, ((yHiF - y) * px - 0.5).toInt + 1)
+          val cLo = math.max(0, ((xLoF - x) * px - 0.5).toInt - 1)
+          val cHi = math.min(px - 1, ((xHiF - x) * px - 0.5).toInt + 1)
+          // column ownership is row-independent: test once
+          val ownedC = new Array[Int](math.max(0, cHi - cLo + 1))
+          val ownedLx = new Array[Int](ownedC.length)
+          var nC = 0
+          var cI = cLo
+          while (cI <= cHi) {
+            val lon = lonOfX(x + (cI + 0.5) / px, z)
+            val gx = Math.floor((lon - origLon) / pixelDeg).toInt
+            if (gx >= 0 && gx < pxX && gx / p == tx) {
+              ownedC(nC) = cI; ownedLx(nC) = gx - tx * p; nC += 1
+            }
+            cI += 1
+          }
           val idxs = Array.newBuilder[Int]
           val cols = Array.newBuilder[Double]
-          var rI = 0
-          while (rI < px) {
-            val lat = latOfY(y + (rI + 0.5) / px, z)
-            val gy = Math.floor((origLat - lat) / pixelDeg).toInt
-            if (gy >= 0 && gy < pxY && gy / p == ty) {
-              var cI = 0
-              while (cI < px) {
-                val lon = lonOfX(x + (cI + 0.5) / px, z)
-                val gx = Math.floor((lon - origLon) / pixelDeg).toInt
-                if (gx >= 0 && gx < pxX && gx / p == tx) {
-                  idxs += rI * px + cI
-                  cols += vs((gy - ty * p) * p + (gx - tx * p))
+          if (nC > 0) {
+            var rI = rLo
+            while (rI <= rHi) {
+              val lat = latOfY(y + (rI + 0.5) / px, z)
+              val gy = Math.floor((origLat - lat) / pixelDeg).toInt
+              if (gy >= 0 && gy < pxY && gy / p == ty) {
+                val rowOff = (gy - ty * p) * p
+                var k = 0
+                while (k < nC) {
+                  idxs += rI * px + ownedC(k)
+                  cols += vs(rowOff + ownedLx(k))
+                  k += 1
                 }
-                cI += 1
               }
+              rI += 1
             }
-            rI += 1
           }
           ((z, x, y), (idxs.result(), cols.result()))
         }
