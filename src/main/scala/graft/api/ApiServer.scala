@@ -198,6 +198,7 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
   private val AdminBoundary2 = "^/geostore/admin/([^/]+)/([^/]+)/([^/]+)$".r
   private val TileGet =
     "^/([^/]+)/([^/]+)/([^/]+)/(\\d+)/(\\d+)/(\\d+)\\.(png|pbf)$".r
+  private val TileRootJson = "^/([^/]+)/([^/]+)/([^/]+)/root\\.json$".r
   private val VersionRoot = "^/dataset/([^/]+)/([^/]+)$".r
   private val QueryBatch = "^/dataset/([^/]+)/([^/]+)/query/batch$".r
   private val VersionAppend = "^/dataset/([^/]+)/([^/]+)/append$".r
@@ -380,6 +381,7 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
         case ("GET", AdminBoundary0(c)) => adminBoundary(ex, c, None, None)
         case ("GET", TileGet(d, v, impl, z, x, y, ext)) =>
           serveTile(ex, d, v, impl, z, x, y, ext)
+        case ("GET", TileRootJson(d, v, impl)) => serveTileRoot(ex, d, v, impl)
         case ("GET", GeostoreGet(id)) =>
           geostore.get(id) match {
             case Some(gj) => respond(ex, 200, "application/json",
@@ -1929,6 +1931,27 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
           ex.getResponseBody.write(bytes)
           ex.close()
         }
+    }
+  }
+
+  /** GET /{dataset}/{version}/{implementation}/root.json — the
+    * Mapbox-GL style document the vector tile cache builder writes
+    * (tile-cache convention: the style lives next to the tiles). */
+  private def serveTileRoot(ex: HttpExchange, dataset: String,
+                            version: String, impl: String): Unit = {
+    val asset = catalog.version(dataset, version).toSeq.flatMap(_.assets)
+      .find(a => a.assetType == cat.AssetType.StaticVectorTileCache &&
+        a.creationOptions.get("implementation").contains(impl) &&
+        a.status == "saved")
+    asset match {
+      case None => respond(ex, 404, "application/json", Sinks.jsendError(
+        s"No static vector tile cache $impl for $dataset.$version"))
+      case Some(a) =>
+        val f = java.nio.file.Paths.get(a.assetUri, "root.json")
+        if (!java.nio.file.Files.exists(f))
+          respond(ex, 404, "application/json", Sinks.jsendError("root.json not found"))
+        else respond(ex, 200, "application/json",
+          java.nio.file.Files.readString(f))
     }
   }
 

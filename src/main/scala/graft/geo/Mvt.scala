@@ -52,6 +52,11 @@ object Mvt {
         while (i < 8) { out.write(((bits >>> (8 * i)) & 0xff).toInt); i += 1 }
       case b: Boolean =>
         varint(out, key(7, 0).toLong); varint(out, if (b) 1L else 0L)
+      case f: Float => // float_value (field 2, fixed32)
+        varint(out, key(2, 5).toLong)
+        val bits = java.lang.Float.floatToIntBits(f)
+        var i = 0
+        while (i < 4) { out.write((bits >>> (8 * i)) & 0xff); i += 1 }
       case n: Number =>
         varint(out, key(4, 0).toLong); varint(out, n.longValue())
       case other =>

@@ -773,14 +773,14 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tile.headers().firstValue("Content-Type").get == "application/x-protobuf")
     val s = new String(tile.body(), java.nio.charset.StandardCharsets.ISO_8859_1)
     assert(s.contains("vtcds") && s.contains("kind") && s.contains("park"), "layer/keys missing")
-    // root.json carries the posted style and the serving URL shape
-    val asset = get("/asset/vtcds-v1-vectortilecache-default")
-    assert(asset.statusCode() == 200, asset.body().take(300))
-    val uri = "\"asset_uri\":\"([^\"]+)\"".r.findFirstMatchIn(asset.body()).get.group(1)
-    val root = java.nio.file.Files.readString(
-      java.nio.file.Paths.get(uri, "root.json"))
+    // root.json serves from the tile-cache URL shape and carries the
+    // posted style + the tiles template
+    val rootResp = get("/vtcds/v1/default/root.json")
+    assert(rootResp.statusCode() == 200, rootResp.body().take(300))
+    val root = rootResp.body()
     assert(root.contains("\"parks\"") &&
       root.contains("/vtcds/v1/default/{z}/{x}/{y}.pbf"), root.take(300))
+    assert(get("/vtcds/v1/nosuch/root.json").statusCode() == 404)
     // absent tile 404s; duplicate implementation 409s
     assert(get("/vtcds/v1/default/3/0/0.pbf").statusCode() == 404)
     assert(req("POST", "/dataset/vtcds/v1/assets",

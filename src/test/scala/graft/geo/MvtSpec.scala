@@ -53,6 +53,10 @@ class MvtSpec extends AnyFunSuite {
       val k = r.varint(); val field = (k >> 3).toInt; val wire = (k & 7).toInt
       field match {
         case 1 => out = new String(r.bytes(), "UTF-8")
+        case 2 =>
+          var bits = 0
+          for (i <- 0 until 4) { bits |= (r.b(r.pos) & 0xff) << (8 * i); r.pos += 1 }
+          out = java.lang.Float.intBitsToFloat(bits)
         case 3 =>
           var bits = 0L
           for (i <- 0 until 8) { bits |= (r.b(r.pos) & 0xffL) << (8 * i); r.pos += 1 }
@@ -160,12 +164,15 @@ class MvtSpec extends AnyFunSuite {
     val feats = Seq(
       Mvt.Feature(7L, 3, Seq(square, hole),
         Seq("name" -> "alpha", "count" -> 42L, "frac" -> 0.5)),
-      Mvt.Feature(8L, 1, Seq(Array((50, 60))), Seq("name" -> "beta")))
+      Mvt.Feature(8L, 1, Seq(Array((50, 60))),
+        Seq("name" -> "beta", "score" -> 1.25f)))
     val tile = Mvt.encodeTile("areas", feats)
     val Seq(layer) = decodeTile(tile)
     assert(layer.version == 2 && layer.extent == 4096 && layer.name == "areas")
-    assert(layer.keys == Seq("name", "count", "frac"))
-    assert(layer.values == Seq("alpha", 42L, 0.5, "beta"))
+    assert(layer.keys == Seq("name", "count", "frac", "score"))
+    // float attrs keep their value through float_value (field 2), not
+    // a long truncation
+    assert(layer.values == Seq("alpha", 42L, 0.5, "beta", 1.25f))
     val poly = layer.features.find(_.id == 7L).get
     assert(poly.gtype == 3)
     // tags decode through the tables back to the attribute pairs
