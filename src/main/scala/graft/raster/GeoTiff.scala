@@ -250,18 +250,66 @@ object GeoTiff {
     raw
   }
 
+  /** Apply the floating-point predictor (3) in place: per row, split
+    * each sample's bytes into planes (MSB plane first) and difference
+    * byte-wise at sample stride — the encode mirror of the reader's
+    * `unpredictFloat` (the libtiff fpDiff convention). Exponent bytes
+    * land adjacent, so smooth float rasters compress far better
+    * (GDAL writes PREDICTOR=3 on compressed float data). */
+  private def predict3(raw: Array[Byte], w: Int, h: Int, spp: Int,
+                       bpsF: Int): Array[Byte] = {
+    val rowBytes = w * spp * bpsF
+    val wc = w * spp // samples per row
+    val tmp = new Array[Byte](rowBytes)
+    var row = 0
+    while (row < h) {
+      val base = row * rowBytes
+      // byte-split: plane index is the big-endian byte rank — the
+      // file order is little-endian, so byte b of a sample is plane
+      // bpsF-1-b (matching the reader's de-shuffle exactly)
+      var s = 0
+      while (s < wc) {
+        var b = 0
+        while (b < bpsF) {
+          tmp((bpsF - 1 - b) * wc + s) = raw(base + s * bpsF + b)
+          b += 1
+        }
+        s += 1
+      }
+      var i = rowBytes - 1
+      while (i >= spp) {
+        tmp(i) = (tmp(i) - tmp(i - spp)).toByte
+        i -= 1
+      }
+      System.arraycopy(tmp, 0, raw, base, rowBytes)
+      row += 1
+    }
+    raw
+  }
+
   /** Write a single-strip GeoTIFF for `r`. `predictor` 2 (integer
-    * types only) differences rows before compression. */
+    * types only) differences rows before compression; 3 (float types
+    * only) byte-splits and differences; 0 (the default) picks GDAL's
+    * convention — none on uncompressed output, else 2 for integer /
+    * 3 for float samples. */
   def writeRaster(path: java.nio.file.Path, r: Raster,
                   compression: String = "deflate",
-                  predictor: Int = 1): Unit = {
+                  predictor: Int = 0): Unit = {
     val compCode = compCodeOf(compression)
     val spp = r.bands.length
-    require(predictor == 1 || (predictor == 2 && !r.sampleType.isFloat),
-      s"predictor $predictor unsupported for ${r.sampleType.name}")
+    val pred =
+      if (predictor != 0) predictor
+      else if (compCode == 1) 1
+      else if (r.sampleType.isFloat) 3
+      else 2
+    require(pred == 1 || (pred == 2 && !r.sampleType.isFloat) ||
+      (pred == 3 && r.sampleType.isFloat),
+      s"predictor $pred unsupported for ${r.sampleType.name}")
     val raw = interleave(r)
-    if (predictor == 2)
+    if (pred == 2)
       predict2(raw, r.width, r.height, spp, r.sampleType.bits / 8)
+    else if (pred == 3)
+      predict3(raw, r.width, r.height, spp, r.sampleType.bits / 8)
     val strip = compress(raw, compCode)
     val geoKeys = geoKeysFor(r.epsg)
 
@@ -278,8 +326,8 @@ object GeoTiff {
     tags += Tag(TStripByteCounts, 4, 1, strip.length)
     if (spp > 1)
       tags += Tag(TPlanarConfig, 3, 1, 1) // chunky
-    if (predictor == 2)
-      tags += Tag(TPredictor, 3, 1, 2)
+    if (pred != 1)
+      tags += Tag(TPredictor, 3, 1, pred)
     if (spp > 1)
       // bands beyond the photometric's one gray sample must be
       // declared (TIFF 6.0): 0 = unspecified data
@@ -398,8 +446,10 @@ object GeoTiff {
     val compCode = compCodeOf(compression)
     val spp = r.bands.length
     val bps = r.sampleType.bits / 8
-    // compressed integer COGs difference per block (GDAL's default)
-    val pred = if (compCode != 1 && !r.sampleType.isFloat) 2 else 1
+    // compressed COGs difference per block (GDAL's default):
+    // predictor 2 on integer samples, the byte-split 3 on float
+    val pred =
+      if (compCode == 1) 1 else if (r.sampleType.isFloat) 3 else 2
     // overview pyramid: halve until the level fits one block
     val levels = {
       val out = scala.collection.mutable.ArrayBuffer(
@@ -440,6 +490,7 @@ object GeoTiff {
         }
         val bytes = raw.array()
         if (pred == 2) predict2(bytes, blockSize, blockSize, spp, bps)
+        else if (pred == 3) predict3(bytes, blockSize, blockSize, spp, bps)
         compress(bytes, compCode)
       }
       Level(w, h, blocks)
@@ -459,7 +510,7 @@ object GeoTiff {
       tags += Tag(TPhotometric, 3, 1, 1)
       tags += Tag(TSamplesPerPixel, 3, 1, spp)
       if (spp > 1) tags += Tag(TPlanarConfig, 3, 1, 1)
-      if (pred == 2) tags += Tag(TPredictor, 3, 1, 2)
+      if (pred != 1) tags += Tag(TPredictor, 3, 1, pred)
       tags += Tag(TTileWidth, 3, 1, blockSize)
       tags += Tag(TTileLength, 3, 1, blockSize)
       // TileOffsets/ByteCounts: placeholders — patched during write

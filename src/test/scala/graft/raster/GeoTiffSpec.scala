@@ -480,7 +480,7 @@ class GeoTiffSpec extends AnyFunSuite {
     val r = Raster(w, h, 0.0, 1.0, 0.01, 4326, SampleType.Int32, bands)
     val plain = java.nio.file.Files.createTempFile("np", ".tif")
     val pred = java.nio.file.Files.createTempFile("p2", ".tif")
-    GeoTiff.writeRaster(plain, r, "lzw")
+    GeoTiff.writeRaster(plain, r, "lzw", predictor = 1)
     GeoTiff.writeRaster(pred, r, "lzw", predictor = 2)
     val plainBytes = java.nio.file.Files.readAllBytes(plain)
     val predBytes = java.nio.file.Files.readAllBytes(pred)
@@ -500,6 +500,52 @@ class GeoTiffSpec extends AnyFunSuite {
       Seq(Array.fill(16)(1.5)))
     intercept[IllegalArgumentException](
       GeoTiff.writeRaster(pred, f, "lzw", predictor = 2))
+  }
+
+  test("predictor-3 encode round-trips and shrinks smooth float rasters") {
+    import GeoTiff.{Raster, SampleType}
+    // a float ramp with non-dyadic step: the mantissa low bytes churn
+    // (raw deflate sees noise) while the byte-split planes group the
+    // stable sign/exponent bytes and differencing flattens the rest
+    val w = 64; val h = 64
+    val band = Array.tabulate(w * h)(i => i * 0.1f + 1000.0f)
+      .map(_.toDouble)
+    val r = Raster(w, h, 0.0, 1.0, 0.01, 4326, SampleType.Float32, Seq(band))
+    val plain = java.nio.file.Files.createTempFile("np3", ".tif")
+    val pred = java.nio.file.Files.createTempFile("p3", ".tif")
+    GeoTiff.writeRaster(plain, r, "deflate", predictor = 1)
+    GeoTiff.writeRaster(pred, r, "deflate", predictor = 3)
+    val plainBytes = java.nio.file.Files.readAllBytes(plain)
+    val predBytes = java.nio.file.Files.readAllBytes(pred)
+    assert(predBytes.length < plainBytes.length / 2,
+      s"predictor ${predBytes.length} B vs plain ${plainBytes.length} B")
+    assert(GeoTiff.readRaster(predBytes).bands.head.toSeq == band.toSeq)
+    // multi-band float32 (interleaved samples diff at band stride)
+    val mb = Seq.tabulate(2)(b =>
+      Array.tabulate(w * h)(i => (i * 0.1f + b * 10f).toDouble))
+    val rmb = Raster(w, h, 0.0, 1.0, 0.01, 4326, SampleType.Float32, mb)
+    GeoTiff.writeRaster(pred, rmb, "deflate", predictor = 3)
+    val back = GeoTiff.readRaster(java.nio.file.Files.readAllBytes(pred))
+    for (b <- 0 until 2)
+      assert(back.bands(b).toSeq == mb(b).toSeq, s"band $b")
+    // float64 single-band (8-byte plane split)
+    val r64 = Raster(32, 32, 0.0, 1.0, 0.01, 4326, SampleType.Float64,
+      Seq(Array.tabulate(1024)(i => i * 0.001 + 1e6)))
+    GeoTiff.writeRaster(pred, r64, "lzw", predictor = 3)
+    val back64 = GeoTiff.readRaster(java.nio.file.Files.readAllBytes(pred))
+    assert(back64.bands.head.toSeq == r64.bands.head.toSeq)
+    // the default now picks 3 for compressed float output: the file
+    // carries the tag and round-trips
+    GeoTiff.writeRaster(pred, r, "deflate")
+    val db = java.nio.file.Files.readAllBytes(pred)
+    assert(GeoTiff.readRaster(db).bands.head.toSeq == band.toSeq)
+    assert(db.length.toLong == predBytes.length.toLong,
+      "default compressed-float write should equal the explicit predictor-3 file")
+    // integers reject the float predictor
+    val ri = Raster(4, 4, 0.0, 1.0, 1.0, 4326, SampleType.Int32,
+      Seq(Array.fill(16)(3.0)))
+    intercept[IllegalArgumentException](
+      GeoTiff.writeRaster(pred, ri, "lzw", predictor = 3))
   }
 
   test("COG generalizes to multi-band and float samples") {
@@ -555,8 +601,10 @@ class GeoTiffSpec extends AnyFunSuite {
     val e2 = intercept[IllegalArgumentException](
       GeoTiff.read(java.nio.file.Files.readAllBytes(p)))
     assert(e2.getMessage.contains("single-band"))
-    // predictor on float data is rejected, not mis-applied
-    GeoTiff.writeRaster(p, f)
+    // the INTEGER predictor on float data is rejected, not
+    // mis-applied (write with predictor pinned to 1 so the only
+    // Predictor tag is the doctored one)
+    GeoTiff.writeRaster(p, f, "deflate", predictor = 1)
     val fb = java.nio.file.Files.readAllBytes(p)
     val n = (fb(8) & 0xff) | ((fb(9) & 0xff) << 8)
     val fmtOff = (0 until n).map(i => 10 + i * 12).find { o =>
