@@ -253,14 +253,14 @@ object VersionCreation {
           metas.map(_._7).distinct.mkString(","))
       val srcEpsg = metas.head._8
       require(metas.forall(_._8 == srcEpsg), "all tiles must share one CRS")
-      val utmSrc = graft.raster.Warp.TransverseMercator.isUtm(srcEpsg)
+      val projSrc = graft.raster.Warp.projectionFor(srcEpsg)
       require(srcEpsg == 4326 ||
-        ((srcEpsg == 3857 || utmSrc) && opts.unifyProjection),
+        ((srcEpsg == 3857 || projSrc.isDefined) && opts.unifyProjection),
         s"source CRS EPSG:$srcEpsg not supported — " +
-          (if (srcEpsg == 3857 || utmSrc)
+          (if (srcEpsg == 3857 || projSrc.isDefined)
             "set unify_projection to warp projected sources to EPSG:4326"
           else "reproject to EPSG:4326 first (unify_projection handles " +
-            "EPSG:3857 and UTM zones 326xx/327xx)"))
+            "EPSG:3857, UTM zones 326xx/327xx, and EPSG:6933)"))
 
       // source lattice (degrees for 4326, meters for 3857): every tile
       // must sit on one square lattice of shared size/scale
@@ -313,18 +313,17 @@ object VersionCreation {
                 t.bands.map(b => bandSeq(b)).toList)
           }
           (g, rdd)
-        } else if (utmSrc) {
-          // general projected-CRS warp (UTM zones): target-driven
-          // nearest-neighbor resample — each source tile emits one
-          // sparse contribution per overlapping target tile, one
-          // shuffle assembles target tiles (see Warp.ProjectedLattice)
+        } else if (projSrc.isDefined) {
+          // general projected-CRS warp (UTM zones, EASE-Grid 2.0):
+          // target-driven nearest-neighbor resample — each source tile
+          // emits one sparse contribution per overlapping target tile,
+          // one shuffle assembles target tiles (Warp.ProjectedLattice)
           require(opts.noData.isDefined,
             "unify_projection requires no_data (unmapped target pixels " +
               "must be distinguishable from data)")
           val ndFill = opts.noData.get.toDouble
-          val tm = graft.raster.Warp.TransverseMercator.utm(srcEpsg)
           val latt = graft.raster.Warp.ProjectedLattice(
-            tm, originX, originY, pixelDeg, tilesX, tilesYSrc, w)
+            projSrc.get, originX, originY, pixelDeg, tilesX, tilesYSrc, w)
           val g = graft.raster.Grid(latt.originLon, latt.originLat,
             tilesX = latt.tilesXTarget, tilesY = latt.tilesYTarget,
             tileDeg = w * latt.pixelDeg, pxPerTile = w)

@@ -791,13 +791,26 @@ object RasterQueries extends QueryModule {
       x0 = 400000.0, yTop = 5000000.0, pixelM = 10000.0,
       tilesX = 2, tilesY = 2, pxPerTile = 20)
 
-  private def utmIngest(spark: SparkSession, sfDir: String): DataFrame = {
+  /** r15: the same ingest through EPSG:6933 (EASE-Grid 2.0, an
+    * equal-area CYLINDER — nothing in common with the transverse
+    * series), pinning that [[Warp.ProjectedLattice]] is
+    * projection-generic. y = 4×10⁶ m sits near 36°N. */
+  private def r15Lattice: Warp.ProjectedLattice =
+    Warp.ProjectedLattice(Warp.CylindricalEqualArea.ease2,
+      x0 = 1000000.0, yTop = 4000000.0, pixelM = 10000.0,
+      tilesX = 2, tilesY = 2, pxPerTile = 20)
+
+  /** Shared projected-CRS ingest driver for r14/r15: write the 2×2
+    * source tile lattice in the projection's meters, run the raster
+    * creation DAG with unify_projection, and histogram the warped
+    * lake per class. */
+  private def projIngest(spark: SparkSession, sfDir: String, tag: String,
+                         latt: Warp.ProjectedLattice, epsg: Int): DataFrame = {
     Tables.register(spark, sfDir)
     val base = java.nio.file.Paths.get(
-      s"${sys.props("java.io.tmpdir")}/graft_r14_${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}")
+      s"${sys.props("java.io.tmpdir")}/graft_${tag}_${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}")
     val src = base.resolve("src")
     val lake = base.resolve("lake").toString
-    val latt = r14Lattice
     val px = latt.pxPerTile
     val span = px * latt.pixelM
     if (!new java.io.File(s"$lake/_SUCCESS").exists()) {
@@ -811,28 +824,33 @@ object RasterQueries extends QueryModule {
         GeoTiff.writeRaster(src.resolve(s"u${stx}_$sty.tif"),
           GeoTiff.Raster(px, px,
             latt.x0 + stx * span, latt.yTop - sty * span,
-            latt.pixelM, 32633, GeoTiff.SampleType.Int32, Seq(vals)))
+            latt.pixelM, epsg, GeoTiff.SampleType.Int32, Seq(vals)))
       }
       val (log, ok) = graft.etl.VersionCreation.createTable(
-        spark, "r14ds", "v1",
+        spark, s"${tag}ds", "v1",
         graft.etl.VersionCreation.CreationOptions(
           sourceUris = (for (stx <- 0 until latt.tilesX; sty <- 0 until latt.tilesY)
             yield src.resolve(s"u${stx}_$sty.tif").toString),
           sourceType = "raster", pixelMeaning = "cls",
           noData = Some("-1"), unifyProjection = true),
         lake)
-      require(ok, s"UTM raster ingest failed: $log")
+      require(ok, s"EPSG:$epsg raster ingest failed: $log")
     }
-    spark.read.parquet(lake).createOrReplaceTempView("r14_lake")
+    spark.read.parquet(lake).createOrReplaceTempView(s"${tag}_lake")
     spark.sql(
-      """SELECT v, count(*) AS n
-        |FROM (SELECT explode(px_cls) AS v FROM r14_lake)
-        |GROUP BY v""".stripMargin)
+      s"""SELECT v, count(*) AS n
+         |FROM (SELECT explode(px_cls) AS v FROM ${tag}_lake)
+         |GROUP BY v""".stripMargin)
   }
 
-  private def utmIngestOracle: String = {
-    val latt = r14Lattice
-    val tm = latt.tm
+  private def utmIngest(spark: SparkSession, sfDir: String): DataFrame =
+    projIngest(spark, sfDir, "r14", r14Lattice, 32633)
+
+  private def ceaIngest(spark: SparkSession, sfDir: String): DataFrame =
+    projIngest(spark, sfDir, "r15", r15Lattice, 6933)
+
+  private def projIngestOracle(latt: Warp.ProjectedLattice): String = {
+    val tm = latt.proj
     val px = latt.pxPerTile
     val nX = latt.tilesXTarget * px
     val nY = latt.tilesYTarget * px
@@ -921,7 +939,8 @@ object RasterQueries extends QueryModule {
       ("r12_geotiff_ingest" -> (geotiffIngest _)) +
       ("r13_float_zonal" -> (floatZonal _)) +
       ("rs12_float_otf" -> (floatOtfQuery _)) +
-      ("r14_utm_ingest" -> (utmIngest _))
+      ("r14_utm_ingest" -> (utmIngest _)) +
+      ("r15_cea_ingest" -> (ceaIngest _))
 
   override def oracles: Map[String, String] =
     sqls.flatMap(q => q.oracleSql.map(q.name -> _)).toMap +
@@ -936,5 +955,6 @@ object RasterQueries extends QueryModule {
       ("r12_geotiff_ingest" -> geotiffIngestOracle) +
       ("r13_float_zonal" -> floatZonalOracle) +
       ("rs12_float_otf" -> floatOtfOracle) +
-      ("r14_utm_ingest" -> utmIngestOracle)
+      ("r14_utm_ingest" -> projIngestOracle(r14Lattice)) +
+      ("r15_cea_ingest" -> projIngestOracle(r15Lattice))
 }

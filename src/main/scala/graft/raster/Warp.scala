@@ -105,6 +105,34 @@ object Warp {
       GeoTiff.SampleType.Int32, Seq(out), pixelScaleYOpt = scaleY)
   }
 
+  /** A projected CRS the general ingest warp can resample from:
+    * closed-form forward/inverse on the WGS84 ellipsoid plus a DuckDB
+    * SQL mirror of the forward, so the correctness oracle can replay
+    * the identical projection arithmetic. Every implementation
+    * documents the same parity contract: value agreement to ~1e-9 m
+    * (libm last-ulp), which cannot flip a 10⁴-meter pixel floor for
+    * centers in general position. */
+  sealed trait Projection extends Serializable {
+    /** (latDeg, lonDeg) → (easting, northing) in meters. */
+    def forward(latDeg: Double, lonDeg: Double): (Double, Double)
+    /** (easting, northing) → (latDeg, lonDeg). */
+    def inverse(x: Double, y: Double): (Double, Double)
+    /** SELECT-list fragments deriving the forward's intermediates
+      * from double columns `$lat`/`$lon`. */
+    def forwardSelect(lat: String, lon: String): String
+    /** The easting expression over [[forwardSelect]]'s columns. */
+    def xSql: String
+    /** The northing expression over [[forwardSelect]]'s columns. */
+    def ySql: String
+  }
+
+  /** The projection of a supported projected-CRS EPSG code: UTM zones
+    * (326xx/327xx) and the EASE-Grid 2.0 equal-area CRS (6933). */
+  def projectionFor(epsg: Int): Option[Projection] =
+    if (TransverseMercator.isUtm(epsg)) Some(TransverseMercator.utm(epsg))
+    else if (epsg == 6933) Some(CylindricalEqualArea.ease2)
+    else None
+
   /** The fully GENERAL projected-CRS → EPSG:4326 ingest warp (the
     * path `unify_projection.sh` covers with gdalwarp): a lattice of
     * square source tiles in projected meters and its derived
@@ -117,7 +145,7 @@ object Warp {
     * target-tile assembly, volume = data); ownership of a projected
     * point is the global source-pixel floor, so contributions are
     * exclusive by construction. */
-  final case class ProjectedLattice(tm: TransverseMercator,
+  final case class ProjectedLattice(proj: Projection,
                                     x0: Double, yTop: Double, pixelM: Double,
                                     tilesX: Int, tilesY: Int, pxPerTile: Int) {
     val pxX: Int = tilesX * pxPerTile
@@ -135,7 +163,7 @@ object Warp {
         val fx = x0 + (xRight - x0) * i / n
         val fy = yTop - (yTop - yBot) * i / n
         Seq((fx, yTop), (fx, yBot), (x0, fy), (xRight, fy))
-      }.map { case (x, y) => tm.inverse(x, y) }
+      }.map { case (x, y) => proj.inverse(x, y) }
     }
     val originLon: Double = boundary.map(_._2).min - pixelDeg
     val originLat: Double = boundary.map(_._1).max + pixelDeg
@@ -161,7 +189,7 @@ object Warp {
       // far below a pixel; candidates are only a prefilter — the
       // exact forward test decides membership)
       val pts = for (i <- 0 to 4; j <- 0 to 4)
-        yield tm.inverse(tx0 + span * i / 4.0, ty0 - span * j / 4.0)
+        yield proj.inverse(tx0 + span * i / 4.0, ty0 - span * j / 4.0)
       val tdeg = pxPerTile * pixelDeg
       val ttxLo = math.max(0,
         ((pts.map(_._2).min - 2 * pixelDeg - originLon) / tdeg).toInt)
@@ -181,7 +209,7 @@ object Warp {
             var cx = 0
             while (cx < pxPerTile) {
               val lon = originLon + (ttx * pxPerTile + cx + 0.5) * pixelDeg
-              val (x, y) = tm.forward(lat, lon)
+              val (x, y) = proj.forward(lat, lon)
               val sgx = Math.floor((x - x0) / pixelM).toInt
               val sgy = Math.floor((yTop - y) / pixelM).toInt
               if (sgx >= 0 && sgy >= 0 &&
@@ -220,7 +248,7 @@ object Warp {
     * general position (nothing aligns a projected center to within
     * 1e-9 m of a source-pixel boundary). */
   final case class TransverseMercator(lon0Deg: Double, falseE: Double,
-                                      falseN: Double) {
+                                      falseN: Double) extends Projection {
     import TransverseMercator._
     val lam0: Double = Math.toRadians(lon0Deg)
 
@@ -326,5 +354,77 @@ object Warp {
     }
     def isUtm(epsg: Int): Boolean =
       (epsg >= 32601 && epsg <= 32660) || (epsg >= 32701 && epsg <= 32760)
+  }
+
+  /** Ellipsoidal cylindrical equal-area projection (Snyder PP 1395,
+    * eqs. 10-1, 10-2, 3-11/3-12 for the authalic q, 3-18 for the
+    * inverse series) — the THIRD projected CRS the ingest warp
+    * handles, showing [[ProjectedLattice]] is projection-generic: an
+    * equal-area cylinder shares nothing with mercator's conformal
+    * x-linearity or the transverse aspect's series. EPSG:6933 is
+    * NSIDC EASE-Grid 2.0 Global (standard parallels ±30°) — the grid
+    * polar/climate rasters ship in. */
+  final case class CylindricalEqualArea(latTsDeg: Double, lon0Deg: Double,
+                                        falseE: Double, falseN: Double)
+      extends Projection {
+    import TransverseMercator.{A, E2}
+    private val e: Double = Math.sqrt(E2)
+    val lam0: Double = Math.toRadians(lon0Deg)
+    /** Scale along the standard parallel: k0 = cosφs/√(1−e²sin²φs). */
+    val k0: Double = {
+      val s = Math.sin(Math.toRadians(latTsDeg))
+      Math.cos(Math.toRadians(latTsDeg)) / Math.sqrt(1.0 - E2 * s * s)
+    }
+    /** Authalic q of a latitude (Snyder 3-12). */
+    private def qOf(sinP: Double): Double =
+      (1.0 - E2) * (sinP / (1.0 - E2 * sinP * sinP) -
+        (1.0 / (2.0 * e)) * Math.log((1.0 - e * sinP) / (1.0 + e * sinP)))
+    private val qPole: Double = qOf(1.0)
+    // authalic→geodetic series coefficients (Snyder 3-18)
+    private val B1: Double = E2 / 3 + 31 * E2 * E2 / 180 + 517 * E2 * E2 * E2 / 5040
+    private val B2: Double = 23 * E2 * E2 / 360 + 251 * E2 * E2 * E2 / 3780
+    private val B3: Double = 761 * E2 * E2 * E2 / 45360
+
+    def forward(latDeg: Double, lonDeg: Double): (Double, Double) = {
+      val q = qOf(Math.sin(Math.toRadians(latDeg)))
+      // association mirrors xSql/ySql exactly (constant × variable)
+      (A * k0 * (Math.toRadians(lonDeg) - lam0) + falseE,
+        A / (2.0 * k0) * q + falseN)
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val q = 2.0 * k0 * (y - falseN) / A
+      val beta = Math.asin(math.max(-1.0, math.min(1.0, q / qPole)))
+      val lat = beta + B1 * Math.sin(2 * beta) + B2 * Math.sin(4 * beta) +
+        B3 * Math.sin(6 * beta)
+      val lon = lam0 + (x - falseE) / (A * k0)
+      (Math.toDegrees(lat), Math.toDegrees(lon))
+    }
+
+    /** DuckDB SQL mirror of [[forward]] (same parity contract as the
+      * transverse-mercator mirror: value agreement to last ulps,
+      * which cannot flip a 10⁴-meter pixel floor). */
+    def forwardSelect(lat: String, lon: String): String = {
+      def d(v: Double) = s"CAST(${java.lang.Double.toString(v)} AS DOUBLE)"
+      s"""radians($lon) - ${d(lam0)} AS dlam_,
+         |sin(radians($lat)) AS sphi_,
+         |${d(1.0 - E2)} * (sin(radians($lat)) / (1.0 - ${d(E2)} * sin(radians($lat)) * sin(radians($lat)))
+         |  - ${d(1.0 / (2.0 * e))} * ln((1.0 - ${d(e)} * sin(radians($lat))) / (1.0 + ${d(e)} * sin(radians($lat))))) AS q_""".stripMargin
+    }
+    def xSql: String = {
+      def d(v: Double) = s"CAST(${java.lang.Double.toString(v)} AS DOUBLE)"
+      s"${d(A * k0)} * dlam_ + ${d(falseE)}"
+    }
+    def ySql: String = {
+      def d(v: Double) = s"CAST(${java.lang.Double.toString(v)} AS DOUBLE)"
+      s"${d(A / (2.0 * k0))} * q_ + ${d(falseN)}"
+    }
+  }
+
+  object CylindricalEqualArea {
+    /** EPSG:6933 — WGS84 / NSIDC EASE-Grid 2.0 Global. */
+    val ease2: CylindricalEqualArea =
+      CylindricalEqualArea(latTsDeg = 30.0, lon0Deg = 0.0,
+        falseE = 0.0, falseN = 0.0)
   }
 }

@@ -132,12 +132,52 @@ class WarpSpec extends AnyFunSuite {
       gx <- 0 until latt.tilesXTarget * 20
       lat = latt.originLat - (gy + 0.5) * latt.pixelDeg
       lon = latt.originLon + (gx + 0.5) * latt.pixelDeg
-      xy = latt.tm.forward(lat, lon)
+      xy = latt.proj.forward(lat, lon)
       sgx = Math.floor((xy._1 - 400000.0) / 10000.0).toInt
       sgy = Math.floor((5000000.0 - xy._2) / 10000.0).toInt
       if sgx >= 0 && sgx < 40 && sgy >= 0 && sgy < 40
     } yield 1).sum
     assert(seen.size == expected, s"${seen.size} covered, $expected expected")
+  }
+
+  test("EPSG:6933 cylindrical equal-area: published extent, round-trip") {
+    val cea = Warp.CylindricalEqualArea.ease2
+    // the EASE-Grid 2.0 published map extent: x(±180°) ≈ ±17367530.45 m
+    val (x180, _) = cea.forward(0.0, 180.0)
+    assert(math.abs(x180 - 17367530.45) < 1.0, s"x(180°) = $x180")
+    // equator northing is 0; standard parallel ±30° maps symmetric
+    val (_, y0) = cea.forward(0.0, 10.0)
+    assert(math.abs(y0) < 1e-9)
+    val (_, yN) = cea.forward(30.0, 0.0)
+    val (_, yS) = cea.forward(-30.0, 0.0)
+    assert(math.abs(yN + yS) < 1e-6)
+    // equal-area property: two 1°-lon strips at 0° and 60° have the
+    // same projected area per degree of q — widths equal, so heights
+    // encode the cos-shrink: dy at 60° ≈ cos(60°)/cos(0°) × dy at 0°
+    // (to ellipsoidal correction <1%)
+    val dy0 = cea.forward(0.5, 0.0)._2 - cea.forward(-0.5, 0.0)._2
+    val dy60 = cea.forward(60.5, 0.0)._2 - cea.forward(59.5, 0.0)._2
+    assert(math.abs(dy60 / dy0 - 0.5) < 0.01, s"dy60/dy0 = ${dy60 / dy0}")
+    // forward∘inverse is identity to sub-micron over the usable band
+    for (li <- 0 to 18; lj <- 0 to 14) {
+      val lat = -80.0 + li * 8.5
+      val lon = -170.0 + lj * 23.0
+      val (x, y) = cea.forward(lat, lon)
+      val (la, lo) = cea.inverse(x, y)
+      // 5e-8° ≈ 5 mm: the Snyder 3-18 3-term series' truncation level
+      assert(math.abs(la - lat) < 5e-8 && math.abs(lo - lon) < 5e-8,
+        s"round-trip ($lat, $lon) → ($la, $lo)")
+    }
+    // the general lattice accepts it: disjoint contributions as for UTM
+    val latt = Warp.ProjectedLattice(cea,
+      x0 = 1000000.0, yTop = 4000000.0, pixelM = 10000.0,
+      tilesX = 1, tilesY = 1, pxPerTile = 20)
+    val bands = Seq(Array.tabulate(400)(_.toDouble))
+    val contribs = latt.contributionsOf(0, 0, bands).toSeq
+    assert(contribs.nonEmpty)
+    val all = contribs.flatMap { case ((ttx, tty), (idxs, _)) =>
+      idxs.map(i => (ttx, tty, i)) }
+    assert(all.distinct.length == all.length, "overlapping ownership")
   }
 
   test("equator tile is (nearly) isotropic; polar tile is rejected") {
