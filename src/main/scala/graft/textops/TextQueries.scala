@@ -439,7 +439,57 @@ object TextQueries extends QueryModule {
         |        row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word) AS r
         |        FROM s)
         |SELECT doc_id, word AS keyword, tf, df, score
-        |FROM top WHERE r = 1""".stripMargin)
+        |FROM top WHERE r = 1""".stripMargin),
+
+    // T11: PII detection + redaction (the Dolma/CCNet-style scrub
+    // every released training corpus runs): emails, IPv4s, and
+    // phone-shaped numbers detected by dialect-portable regexes
+    // (leftmost-greedy in both engines; no lookaround, no
+    // backreferences — RE2-safe) and replaced with type tags. The
+    // fixture corpus is PII-free word soup, so a deterministic third
+    // of the documents get PII INJECTED in-query (both engines replay
+    // the identical construction) — the other two thirds pin the
+    // no-false-positive path: their redaction must be the identity.
+    // Scale shape: one per-row codegen'd regex scan, no shuffle.
+    SqlQ.split("t11_pii_scrub",
+      """WITH aug AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN concat(text,
+        |      ' contact user', CAST(doc_id % 97 AS STRING),
+        |      '@example.com or 10.', CAST(doc_id % 256 AS STRING),
+        |      '.0.', CAST(doc_id % 7 AS STRING), ' phone 555-',
+        |      lpad(CAST(doc_id % 10000 AS STRING), 4, '0'))
+        |    ELSE text END AS text FROM documents),
+        |scrub AS (SELECT doc_id, text,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>'),
+        |    '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', '<IP>'),
+        |    '[0-9]{3}-[0-9]{4}', '<PHONE>') AS redacted
+        |  FROM aug)
+        |SELECT doc_id,
+        |  size(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', 0)) AS n_emails,
+        |  size(regexp_extract_all(text, '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', 0)) AS n_ips,
+        |  CAST(length(text) - length(redacted) AS BIGINT) AS removed_chars,
+        |  md5(redacted) AS redacted_md5
+        |FROM scrub""".stripMargin,
+      """WITH aug AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN concat(text,
+        |      ' contact user', CAST(doc_id % 97 AS VARCHAR),
+        |      '@example.com or 10.', CAST(doc_id % 256 AS VARCHAR),
+        |      '.0.', CAST(doc_id % 7 AS VARCHAR), ' phone 555-',
+        |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'))
+        |    ELSE text END AS text FROM documents),
+        |scrub AS (SELECT doc_id, text,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
+        |    '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted
+        |  FROM aug)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(text, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS n_ips,
+        |  CAST(len(text) - len(redacted) AS BIGINT) AS removed_chars,
+        |  md5(redacted) AS redacted_md5
+        |FROM scrub""".stripMargin)
   )
 
   /** D7: duplicate-cluster resolution — the dedup end-game: the
