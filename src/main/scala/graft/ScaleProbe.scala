@@ -23,7 +23,10 @@ import org.apache.spark.sql.SparkSession
 object ScaleProbe {
 
   private val Headline = Seq("d3_minhash_lsh_pairs", "d4_ngram_jaccard_pairs",
-    "t10_keywords", "e4_ann_lsh_pairs", "e3_ann_ivf")
+    "t10_keywords", "e4_ann_lsh_pairs", "e3_ann_ivf",
+    // round-5 additions: the distributed two-pass prefix sum (was the
+    // SinglePartition scale-killer) and the pointer-jumping CC loop
+    "t8_sequence_pack", "d7_dup_clusters")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
@@ -56,6 +59,18 @@ object ScaleProbe {
     }
     val worst = rows.maxBy(_._4)
     println(f"""{"summary":"worst","query":"${worst._1}","exponent":${worst._4}%.2f}""")
+    // e4's scale knob, MEASURED: its 6-bit bands (64 buckets) are
+    // sized for the fixture corpus; at 10× the per-bucket occupancy
+    // (and candidate pairs ∝ occupancy²) grows 10×, which is the
+    // superlinear exponent above. Widening to 8-bit bands (256
+    // buckets — bits ∝ log₂ n) restores the operating point; the
+    // time printed here should sit near 10× the 1× e4 time.
+    def timed(f: => Long): Double = {
+      f; val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val wide = timed(
+      graft.simsearch.SimQueries.e4Banded(spark, outDir, bandBits = 8).count())
+    println(f"""{"query":"e4_wide_bands_10x","bits":8,"sec_10x":$wide%.2f}""")
     spark.stop()
   }
 

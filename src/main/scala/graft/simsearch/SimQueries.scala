@@ -41,6 +41,30 @@ object SimQueries extends QueryModule {
   private def dDot(a: String, b: String): String =
     duckDot.replace("QA", a).replace("QB", b)
 
+  /** e4's Spark SQL with a configurable band width — `bandBits` is
+    * THE scale knob of random-hyperplane LSH: per-band bucket count
+    * is 2^bits, so occupancy (and candidate pairs, which grow with
+    * occupancy²) stays flat only if bits grows ~log₂ of the corpus.
+    * The oracle-checked e4 pins 6 bits (full recall at the fixture
+    * size, measured by e8); [[graft.ScaleProbe]] measures the widened
+    * variant at 10× to show the knob restores linear scaling. */
+  private def e4SparkSql(bandBits: Int): String =
+    s"""$sparkVecs,
+       |sig AS (SELECT vec_id, rph_sig(v, 48, $bandBits) AS sg FROM n),
+       |b AS (SELECT vec_id, t, bv FROM sig LATERAL VIEW posexplode(sg) x AS t, bv),
+       |cand AS (SELECT DISTINCT a.vec_id AS i, b2.vec_id AS j
+       |  FROM b a JOIN b b2 ON a.t = b2.t AND a.bv = b2.bv AND a.vec_id < b2.vec_id),
+       |ver AS (SELECT i, j, vec_dot(x.v, y.v) / (x.nrm * y.nrm) AS cosine
+       |  FROM cand JOIN n x ON x.vec_id = cand.i JOIN n y ON y.vec_id = cand.j)
+       |SELECT i AS vec_id_a, j AS vec_id_b, cosine FROM ver WHERE cosine >= 0.4""".stripMargin
+
+  /** The widened-band e4 (see [[e4SparkSql]]) for scale probing. */
+  private[graft] def e4Banded(spark: SparkSession, sfDir: String,
+                              bandBits: Int): DataFrame = {
+    Tables.register(spark, sfDir)
+    spark.sql(e4SparkSql(bandBits))
+  }
+
   /** Chunk width for the centroid fold: vectors are summed per
     * `vec_id DIV KmChunk` chunk in vec_id order, then the chunk
     * partials are summed in chunk order. The chunk boundary is a pure
@@ -350,14 +374,7 @@ object SimQueries extends QueryModule {
     // this dataset (verified empirically; recall is tunable, the
     // candidate join is the scale path).
     SqlQ.split("e4_ann_lsh_pairs",
-      s"""$sparkVecs,
-         |sig AS (SELECT vec_id, rph_sig(v, 48, 6) AS sg FROM n),
-         |b AS (SELECT vec_id, t, bv FROM sig LATERAL VIEW posexplode(sg) x AS t, bv),
-         |cand AS (SELECT DISTINCT a.vec_id AS i, b2.vec_id AS j
-         |  FROM b a JOIN b b2 ON a.t = b2.t AND a.bv = b2.bv AND a.vec_id < b2.vec_id),
-         |ver AS (SELECT i, j, vec_dot(x.v, y.v) / (x.nrm * y.nrm) AS cosine
-         |  FROM cand JOIN n x ON x.vec_id = cand.i JOIN n y ON y.vec_id = cand.j)
-         |SELECT i AS vec_id_a, j AS vec_id_b, cosine FROM ver WHERE cosine >= 0.4""".stripMargin,
+      e4SparkSql(bandBits = 6),
       s"""$duckVecs
          |SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
          |  ${dDot("a.v", "b.v")} / (a.nrm * b.nrm) AS cosine

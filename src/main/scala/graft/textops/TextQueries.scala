@@ -45,6 +45,28 @@ object TextQueries extends QueryModule {
          |  (((($sg[b*3] * 131 + $sg[b*3+1]) % $modulus) * 131 + $sg[b*3+2]) % $modulus) AS bh))) AS e""".stripMargin
   }
 
+  /** THE PII shapes (t11), shared with the streaming scrub gate
+    * ([[graft.streaming.PiiStream]]) so stream and batch redactions
+    * agree BY CONSTRUCTION. Raw Java/RE2-portable regexes —
+    * leftmost-greedy, no lookaround, no backreferences. `sqlLit`
+    * doubles backslashes for engines that process escapes inside
+    * string literals (Spark SQL); DuckDB takes the raw form. */
+  object PiiShape {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ipv4 = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+    val phone = "[0-9]{3}-[0-9]{4}"
+    def sqlLit(re: String): String = re.replace("\\", "\\\\")
+    /** The redaction: email → ip → phone, in that order (later
+      * patterns cannot match inside earlier tags). `esc` is the
+      * dialect's literal escaper; `g` appends DuckDB's global flag. */
+    def redactSql(col: String, esc: String => String,
+                  g: String = ""): String =
+      s"""regexp_replace(regexp_replace(regexp_replace($col,
+         |    '${esc(email)}', '<EMAIL>'$g),
+         |    '${esc(ipv4)}', '<IP>'$g),
+         |    '${esc(phone)}', '<PHONE>'$g)""".stripMargin
+  }
+
   /** Spark: distinct word-3-shingle polyhashes per doc, via the
     * single-pass native `shingle_hashes` (one loop per document). */
   private val sparkShingles =
@@ -452,44 +474,38 @@ object TextQueries extends QueryModule {
     // no-false-positive path: their redaction must be the identity.
     // Scale shape: one per-row codegen'd regex scan, no shuffle.
     SqlQ.split("t11_pii_scrub",
-      """WITH aug AS (SELECT doc_id,
-        |  CASE WHEN doc_id % 3 = 0 THEN concat(text,
-        |      ' contact user', CAST(doc_id % 97 AS STRING),
-        |      '@example.com or 10.', CAST(doc_id % 256 AS STRING),
-        |      '.0.', CAST(doc_id % 7 AS STRING), ' phone 555-',
-        |      lpad(CAST(doc_id % 10000 AS STRING), 4, '0'))
-        |    ELSE text END AS text FROM documents),
-        |scrub AS (SELECT doc_id, text,
-        |  regexp_replace(regexp_replace(regexp_replace(text,
-        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>'),
-        |    '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', '<IP>'),
-        |    '[0-9]{3}-[0-9]{4}', '<PHONE>') AS redacted
-        |  FROM aug)
-        |SELECT doc_id,
-        |  size(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', 0)) AS n_emails,
-        |  size(regexp_extract_all(text, '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', 0)) AS n_ips,
-        |  CAST(length(text) - length(redacted) AS BIGINT) AS removed_chars,
-        |  md5(redacted) AS redacted_md5
-        |FROM scrub""".stripMargin,
-      """WITH aug AS (SELECT doc_id,
-        |  CASE WHEN doc_id % 3 = 0 THEN concat(text,
-        |      ' contact user', CAST(doc_id % 97 AS VARCHAR),
-        |      '@example.com or 10.', CAST(doc_id % 256 AS VARCHAR),
-        |      '.0.', CAST(doc_id % 7 AS VARCHAR), ' phone 555-',
-        |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'))
-        |    ELSE text END AS text FROM documents),
-        |scrub AS (SELECT doc_id, text,
-        |  regexp_replace(regexp_replace(regexp_replace(text,
-        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
-        |    '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted
-        |  FROM aug)
-        |SELECT doc_id,
-        |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
-        |  len(regexp_extract_all(text, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS n_ips,
-        |  CAST(len(text) - len(redacted) AS BIGINT) AS removed_chars,
-        |  md5(redacted) AS redacted_md5
-        |FROM scrub""".stripMargin)
+      s"""WITH aug AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 3 = 0 THEN concat(text,
+         |      ' contact user', CAST(doc_id % 97 AS STRING),
+         |      '@example.com or 10.', CAST(doc_id % 256 AS STRING),
+         |      '.0.', CAST(doc_id % 7 AS STRING), ' phone 555-',
+         |      lpad(CAST(doc_id % 10000 AS STRING), 4, '0'))
+         |    ELSE text END AS text FROM documents),
+         |scrub AS (SELECT doc_id, text,
+         |  ${PiiShape.redactSql("text", PiiShape.sqlLit)} AS redacted
+         |  FROM aug)
+         |SELECT doc_id,
+         |  size(regexp_extract_all(text, '${PiiShape.sqlLit(PiiShape.email)}', 0)) AS n_emails,
+         |  size(regexp_extract_all(text, '${PiiShape.sqlLit(PiiShape.ipv4)}', 0)) AS n_ips,
+         |  CAST(length(text) - length(redacted) AS BIGINT) AS removed_chars,
+         |  md5(redacted) AS redacted_md5
+         |FROM scrub""".stripMargin,
+      s"""WITH aug AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 3 = 0 THEN concat(text,
+         |      ' contact user', CAST(doc_id % 97 AS VARCHAR),
+         |      '@example.com or 10.', CAST(doc_id % 256 AS VARCHAR),
+         |      '.0.', CAST(doc_id % 7 AS VARCHAR), ' phone 555-',
+         |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'))
+         |    ELSE text END AS text FROM documents),
+         |scrub AS (SELECT doc_id, text,
+         |  ${PiiShape.redactSql("text", identity, ", 'g'")} AS redacted
+         |  FROM aug)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(text, '${PiiShape.email}')) AS n_emails,
+         |  len(regexp_extract_all(text, '${PiiShape.ipv4}')) AS n_ips,
+         |  CAST(len(text) - len(redacted) AS BIGINT) AS removed_chars,
+         |  md5(redacted) AS redacted_md5
+         |FROM scrub""".stripMargin)
   )
 
   /** D7: duplicate-cluster resolution — the dedup end-game: the
