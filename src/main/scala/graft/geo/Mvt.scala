@@ -164,11 +164,13 @@ object Mvt {
       keys.getOrElseUpdate(k, keys.size)
       vals.getOrElseUpdate(v, vals.size)
     })
+    val keyIdx = keys.toMap
+    val valIdx = vals.toMap
     val layer = new ByteArrayOutputStream()
     varint(layer, key(15, 0).toLong); varint(layer, 2L) // version 2
     lenDelim(layer, 1, layerName.getBytes("UTF-8"))
     features.foreach(f =>
-      lenDelim(layer, 2, featureMsg(f, keys.toMap, vals.toMap)))
+      lenDelim(layer, 2, featureMsg(f, keyIdx, valIdx)))
     keys.keys.foreach(k => lenDelim(layer, 3, k.getBytes("UTF-8")))
     vals.keys.foreach(v => lenDelim(layer, 4, valueMsg(v)))
     varint(layer, key(5, 0).toLong); varint(layer, Extent.toLong)

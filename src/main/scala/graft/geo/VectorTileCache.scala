@@ -31,16 +31,19 @@ object VectorTileCache {
       case MultiPolygon(ps) => MultiPolygon(ps.map(_.map(_.map(f))))
     }
 
-  /** Quantize a tile-space ring to ints, dropping consecutive dupes. */
-  private def quantize(ring: Array[(Double, Double)]): Array[(Int, Int)] = {
+  /** Quantize a tile-space part to ints, dropping consecutive dupes.
+    * Only RINGS drop a duplicated closing vertex (ClosePath implies
+    * it) — a loop-shaped LineString keeps its closing segment. */
+  private def quantize(part: Array[(Double, Double)],
+                       ring: Boolean): Array[(Int, Int)] = {
     val out = Array.newBuilder[(Int, Int)]
     var last: (Int, Int) = null
-    ring.foreach { case (x, y) =>
+    part.foreach { case (x, y) =>
       val q = (Math.round(x).toInt, Math.round(y).toInt)
       if (q != last) { out += q; last = q }
     }
     val r = out.result()
-    if (r.length > 1 && r.head == r.last) r.dropRight(1) else r
+    if (ring && r.length > 1 && r.head == r.last) r.dropRight(1) else r
   }
 
   /** MVT features of one source feature on one tile, in tile coords. */
