@@ -19,13 +19,22 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS) which Spark 4 refuses by
-      // default; read the raw int64 nanos and floor-divide to micros —
-      // the same truncation DuckDB applies, so oracle values agree.
+      // events.ts has shipped as both TIMESTAMP(NANOS) (which Spark 4
+      // refuses by default — we read the raw int64 nanos and floor-
+      // divide to micros, the same truncation DuckDB applies) and as
+      // native TIMESTAMP(MICROS, NTZ). Branch on the resolved type so
+      // either file vintage works; session TZ is pinned UTC so the
+      // NTZ→TIMESTAMP cast is value-preserving.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(path(sfDir, name))
-        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+      val raw = spark.read.parquet(path(sfDir, name))
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types._
+      raw.schema("ts").dataType match {
+        case LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampType => raw
+        case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+      }
     } else spark.read.parquet(path(sfDir, name))
 
   private var registeredFor: Option[(SparkSession, String)] = None

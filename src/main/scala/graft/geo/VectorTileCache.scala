@@ -68,10 +68,10 @@ object VectorTileCache {
           .map(p => (Math.round(p._1).toInt, Math.round(p._2).toInt))
         if (in.isEmpty) Nil else Seq(Mvt.Feature(fid, 1, Seq(in), attrs))
       case LineString(cs) =>
-        val q = quantize(cs)
+        val q = quantize(cs, ring = false)
         if (q.length < 2) Nil else Seq(Mvt.Feature(fid, 2, Seq(q), attrs))
       case MultiLineString(ls) =>
-        val qs = ls.map(quantize).filter(_.length >= 2).toSeq
+        val qs = ls.map(quantize(_, ring = false)).filter(_.length >= 2).toSeq
         if (qs.isEmpty) Nil else Seq(Mvt.Feature(fid, 2, qs, attrs))
       case p: Polygon =>
         polyFeature(fid, Array(p.rings), lo, hi, attrs)
@@ -91,7 +91,7 @@ object VectorTileCache {
         case Polygon(rs) => rs
         case _ => Array.empty[Array[(Double, Double)]]
       }
-      val qs = clipped.map(quantize).filter(_.length >= 3).toSeq
+      val qs = clipped.map(quantize(_, ring = true)).filter(_.length >= 3).toSeq
       if (qs.isEmpty || qs.head.length < 3) Nil
       else Seq(Mvt.Feature(fid, 3, qs, attrs))
     }
