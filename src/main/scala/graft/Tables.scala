@@ -38,15 +38,38 @@ object Tables {
     } else spark.read.parquet(path(sfDir, name))
 
   private var registeredFor: Option[(SparkSession, String)] = None
+  @volatile private var loadFailures: Map[String, Throwable] = Map.empty
+
+  /** Load errors from the most recent [[register]], keyed by table
+    * name. A table listed here has no temp view; queries that
+    * reference it fail at resolution while the other tables serve. */
+  def loadErrors: Map[String, Throwable] = loadFailures
 
   /** Register every lake table as a temp view for the SQL surface,
     * plus the engine's native function surface. Idempotent per
     * (session, lake dir): repeated queries skip the catalog round
-    * trips (parquet footer reads) entirely. */
+    * trips (parquet footer reads) entirely.
+    *
+    * Failure-isolated per table: one unreadable parquet (corrupt file,
+    * schema drift the loader can't bridge) must not poison the other
+    * nine views — its error is recorded in [[loadErrors]] and surfaces
+    * only when a query actually references the broken table. */
   def register(spark: SparkSession, sfDir: String): Unit = synchronized {
     if (!registeredFor.contains((spark, sfDir))) {
       graft.functions.GraftFunctions.install(spark)
-      all.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+      var failures = Map.empty[String, Throwable]
+      all.foreach { n =>
+        try load(spark, sfDir, n).createOrReplaceTempView(n)
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            spark.catalog.dropTempView(n)
+            failures += (n -> e)
+            System.err.println(
+              s"[graft] table '$n' failed to load from $sfDir " +
+                s"(queries over it will fail; others serve): ${e.getMessage}")
+        }
+      }
+      loadFailures = failures
       registeredFor = Some((spark, sfDir))
     }
   }
