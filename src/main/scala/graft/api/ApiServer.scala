@@ -2508,7 +2508,12 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
       val k = r.get(0).toString.toInt
       val canonical = graft.geo.Geom.toGeoJson(
         graft.geo.AdminFixtures.polygon(graft.geo.AdminFixtures.adm0Rect(k)))
-      s"""{"geostore_id":"${geostoreIdOf(canonical)}","iso":"${r.get(0)}",""" +
+      // register every advertised id so it immediately resolves via
+      // GET /geostore/{id} (before the fix, ids 404'd until the
+      // per-boundary route happened to be hit first)
+      val id = geostoreIdOf(canonical)
+      geostore.put(id, canonical)
+      s"""{"geostore_id":"$id","iso":"${r.get(0)}",""" +
         s""""name":${graft.geo.Json.write(r.getString(1))}}"""
     }.mkString(",")
     respond(ex, 200, "application/json", s"""{"data":[$items],"status":"success"}""")

@@ -91,9 +91,19 @@ object VectorTileCache {
         case Polygon(rs) => rs
         case _ => Array.empty[Array[(Double, Double)]]
       }
-      val qs = clipped.map(quantize(_, ring = true)).filter(_.length >= 3).toSeq
-      if (qs.isEmpty || qs.head.length < 3) Nil
-      else Seq(Mvt.Feature(fid, 3, qs, attrs))
+      // Quantize the exterior FIRST and gate on it: if the exterior
+      // collapses below 3 vertices the polygon is gone — dropping only
+      // the exterior would promote the first surviving hole to
+      // exterior (the encoder assigns winding by position).
+      if (clipped.isEmpty) Nil
+      else {
+        val ext = quantize(clipped.head, ring = true)
+        if (ext.length < 3) Nil
+        else {
+          val holes = clipped.tail.map(quantize(_, ring = true)).filter(_.length >= 3)
+          Seq(Mvt.Feature(fid, 3, ext +: holes.toSeq, attrs))
+        }
+      }
     }
 
   /** Build the cache; returns tiles written. `rows` must carry `geom`

@@ -42,6 +42,12 @@ object TileCache {
                             breaks: Array[(Double, Int, Int, Int, Int)])
       extends Serializable {
     def rgba(v: Double, noData: Option[Double]): Int = {
+      // NaN no_data needs an explicit check: NaN == NaN is false, so a
+      // plain equality would render float NaN pixels through the
+      // gradient instead of transparent. A NaN VALUE is also always
+      // transparent — there is no breakpoint it can match or
+      // interpolate between.
+      if (java.lang.Double.isNaN(v)) return 0
       if (noData.exists(_ == v)) return 0
       kind match {
         case "discrete" =>

@@ -1521,6 +1521,14 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     // ordered by national id, all 25 fixture nations present
     val isos = "\"iso\":\"(\\d+)\"".r.findAllMatchIn(r.body()).map(_.group(1).toInt).toSeq
     assert(isos == isos.sorted && isos.length == 25, isos.take(5))
+    // every advertised id resolves immediately — no need to hit the
+    // per-boundary route first (used to 404 until then). Nation 7's
+    // boundary route is never touched elsewhere in this suite.
+    val listed7 = "\"geostore_id\":\"([0-9a-f-]+)\",\"iso\":\"7\"".r
+      .findFirstMatchIn(r.body()).map(_.group(1))
+    assert(listed7.isDefined, r.body().take(300))
+    assert(get(s"/geostore/${listed7.get}").statusCode() == 200,
+      "listed geostore id must resolve without a prior boundary hit")
     assert(get("/geostore/admin/list?source%5Bprovider%5D=esri").statusCode() == 400)
   }
 

@@ -196,6 +196,68 @@ class MvtSpec extends AnyFunSuite {
     assert(pt.gtype == 1 && pt.rings.flatten == Seq((50L, 60L)))
   }
 
+  test("quantize: loop LineString keeps its closing segment, ring drops it") {
+    // regression for the ring flag the round-5 refactor introduced (and
+    // whose call sites broke the build): a loop-shaped LineString must
+    // keep its explicit closing vertex (MVT LineTo), while a polygon
+    // ring drops the duplicated close (ClosePath implies it)
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", "2").getOrCreate()
+    try {
+      import spark.implicits._
+      val loopCs = Array(
+        (10.0, 10.0), (80.0, 10.0), (80.0, 50.0), (10.0, 50.0), (10.0, 10.0))
+      val rows = Seq(
+        (Geom.toWkb(LineString(loopCs)), "loop"),
+        (Geom.toWkb(Polygon(Array(loopCs))), "poly"))
+        .toDF("geom", "kind")
+      val out = java.nio.file.Files.createTempDirectory("vtc_ring").toString
+      graft.geo.VectorTileCache.build(spark, rows, "l", Seq("kind"), 0, 0, out)
+      val Seq(layer) = decodeTile(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(out, "0", "0", "0.pbf")))
+      def kindOf(f: DecFeature): Any = {
+        val Seq(ki, vi) = f.tags.take(2)
+        assert(layer.keys(ki) == "kind"); layer.values(vi)
+      }
+      val line = layer.features.find(_.gtype == 2).get
+      val poly = layer.features.find(_.gtype == 3).get
+      assert(kindOf(line) == "loop" && kindOf(poly) == "poly")
+      // the line keeps 5 vertices (closing segment explicit, no ClosePath)
+      assert(line.rings.head.length == 5 && !line.closed.head)
+      assert(line.rings.head.head == line.rings.head.last)
+      // the ring keeps 4 (duplicated close dropped, ClosePath set)
+      assert(poly.rings.head.length == 4 && poly.closed.head)
+      assert(poly.rings.head.toSet.size == 4)
+    } finally spark.stop()
+  }
+
+  test("degenerate exterior ring drops the polygon, never promotes a hole") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", "2").getOrCreate()
+    try {
+      import spark.implicits._
+      // exterior collapses to one quantized vertex at z0 (~0.09° per
+      // MVT unit); the (invalid-input) second ring is huge and would
+      // survive quantization — it must NOT be emitted as the exterior
+      val tiny = Array(
+        (10.0, 10.0), (10.001, 10.0), (10.0, 10.001), (10.0, 10.0))
+      val big = Array(
+        (20.0, 20.0), (60.0, 20.0), (60.0, 60.0), (20.0, 60.0), (20.0, 20.0))
+      val rows = Seq((Geom.toWkb(Polygon(Array(tiny, big))), "x"))
+        .toDF("geom", "kind")
+      val out = java.nio.file.Files.createTempDirectory("vtc_degen").toString
+      graft.geo.VectorTileCache.build(spark, rows, "l", Seq("kind"), 0, 0, out)
+      val z0 = java.nio.file.Paths.get(out, "0", "0", "0.pbf")
+      val feats =
+        if (!java.nio.file.Files.exists(z0)) Nil
+        else decodeTile(java.nio.file.Files.readAllBytes(z0))
+          .flatMap(_.features)
+      assert(feats.isEmpty, s"degenerate polygon emitted $feats")
+    } finally spark.stop()
+  }
+
   test("vector tile cache build: features land on the right tiles and clip") {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[2]").config("spark.ui.enabled", "false")

@@ -52,6 +52,20 @@ class TileCacheSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(g.rgba(99.0, None) == g.rgba(10.0, None), "clamps above")
   }
 
+  test("colormap: NaN pixels render transparent (NaN == NaN is false)") {
+    val g = TileCache.Colormap.parse(Map(
+      "type" -> "gradient",
+      "colormap" -> Map(
+        "0" -> Map("red" -> 0, "green" -> 0, "blue" -> 0),
+        "10" -> Map("red" -> 100, "green" -> 200, "blue" -> 40))))
+    // float lakes use NaN no_data; an == comparison never matches it,
+    // which used to push NaN pixels through the gradient clamp
+    assert(g.rgba(Double.NaN, Some(Double.NaN)) == 0)
+    assert(g.rgba(Double.NaN, None) == 0, "a NaN value has no color")
+    assert(g.rgba(Double.NaN, Some(0.0)) == 0)
+    assert(g.rgba(5.0, Some(Double.NaN)) != 0, "real values still render")
+  }
+
   test("slippy math: round trips and matches the z0 world tile") {
     assert(TileCache.lonOfX(0, 0) == -180.0)
     assert(TileCache.lonOfX(1, 0) == 180.0)
