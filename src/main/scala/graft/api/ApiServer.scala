@@ -1651,28 +1651,13 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
         val band = source.creationOptions.getOrElse("band",
           s"px_${source.creationOptions.getOrElse("pixel_meaning", "value")}")
         graft.raster.TileLake.ensureLake(spark, source.assetUri)
-        // mosaic the lake into one image: grid-extent pixels, tiles in
-        // (tx, ty) positions; absent tiles stay 0 (nodata)
-        val w = g.tilesX * g.pxPerTile
-        val h = g.tilesY * g.pxPerTile
-        val px = new Array[Int](w * h)
-        val rows = spark.read.parquet(source.assetUri)
-          .selectExpr("tx", "ty", band).collect()
-        rows.foreach { r =>
-          val tx = r.getInt(0); val ty = r.getInt(1)
-          val vals = r.getSeq[Long](2)
-          var i = 0
-          while (i < vals.length) {
-            val row = ty * g.pxPerTile + i / g.pxPerTile
-            val col = tx * g.pxPerTile + i % g.pxPerTile
-            px(row * w + col) = vals(i).toInt
-            i += 1
-          }
-        }
         java.nio.file.Files.createDirectories(outDir)
-        graft.raster.GeoTiff.writeCog(outPath,
-          graft.raster.GeoTiff.Tile(w, h, g.originLon, g.originLat, g.pixelDeg, px),
-          blockSize)
+        // distributed mosaic: executors assemble + encode TIFF
+        // blocks, the driver only streams compressed bytes — never a
+        // full-lake collect ([[graft.raster.Cog]]); absent tiles stay
+        // 0 (nodata)
+        val nTiles = graft.raster.Cog.buildFromLake(
+          spark, source.assetUri, band, g, blockSize, outPath)
         catalogLock.synchronized {
           catalog = catalog.withAssetStatus(dataset, version, assetId, "saved")
         }
@@ -1680,7 +1665,7 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
           s"task:$dataset/$version/cogify_$implementation")
         taskRecords.put(tid, TaskRec(tid, assetId, Seq(
           graft.etl.VersionCreation.ChangeLog("cogify", "success",
-            s"$outPath (${rows.length} tiles, block $blockSize)"))))
+            s"$outPath ($nTiles tiles, block $blockSize)"))))
         s"""{"asset_id":"$assetId","status":"saved"}"""
       } catch {
         case e: Throwable =>

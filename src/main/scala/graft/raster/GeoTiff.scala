@@ -445,11 +445,7 @@ object GeoTiff {
       s"TIFF tile dimensions must be multiples of 16 (got $blockSize)")
     val compCode = compCodeOf(compression)
     val spp = r.bands.length
-    val bps = r.sampleType.bits / 8
-    // compressed COGs difference per block (GDAL's default):
-    // predictor 2 on integer samples, the byte-split 3 on float
-    val pred =
-      if (compCode == 1) 1 else if (r.sampleType.isFloat) 3 else 2
+    val pred = predictorFor(compCode, r.sampleType)
     // overview pyramid: halve until the level fits one block
     val levels = {
       val out = scala.collection.mutable.ArrayBuffer(
@@ -462,50 +458,137 @@ object GeoTiff {
     }
     // compress every level's blocks (row-major, edge blocks padded,
     // chunky interleave within each block)
-    case class Level(w: Int, h: Int, blocks: Seq[Array[Byte]])
-    val packed = levels.map { case (w, h, bs) =>
+    val packed: Seq[(Int, Int, Seq[Array[Byte]])] = levels.map { case (w, h, bs) =>
       val across = (w + blockSize - 1) / blockSize
-      val down = (h + blockSize - 1) / blockSize
-      val blocks = (0 until across * down).map { t =>
-        val x0 = (t % across) * blockSize
-        val y0 = (t / across) * blockSize
-        val raw = ByteBuffer.allocate(blockSize * blockSize * spp * bps)
-          .order(ByteOrder.LITTLE_ENDIAN)
-        var row = 0
-        while (row < blockSize) {
-          var col = 0
-          while (col < blockSize) {
-            var c = 0
-            while (c < spp) {
-              val v =
-                if (y0 + row < h && x0 + col < w) bs(c)((y0 + row) * w + x0 + col)
-                else 0.0
-              putSample(raw, ((row * blockSize + col) * spp + c) * bps,
-                r.sampleType, v)
-              c += 1
-            }
-            col += 1
-          }
-          row += 1
-        }
-        val bytes = raw.array()
-        if (pred == 2) predict2(bytes, blockSize, blockSize, spp, bps)
-        else if (pred == 3) predict3(bytes, blockSize, blockSize, spp, bps)
-        compress(bytes, compCode)
+      val ndown = (h + blockSize - 1) / blockSize
+      val blocks = (0 until across * ndown).map { t =>
+        encodeBlock(blockOf(bs, w, h, (t % across) * blockSize,
+          (t / across) * blockSize, blockSize), blockSize,
+          r.sampleType, pred, compCode)
       }
-      Level(w, h, blocks)
+      (w, h, blocks)
+    }
+    assembleCog(path,
+      packed.map { case (w, h, blks) =>
+        CogLevelMeta(w, h, blks.map(_.length).toArray) },
+      blockSize, spp, r.sampleType, pred, compCode,
+      r.originX, r.originY, r.pixelScale, r.pixelScaleY, r.epsg,
+      l => packed(l)._3.iterator)
+  }
+
+  /** Predictor choice for a compressed COG block (GDAL's default):
+    * 2 on integer samples, the byte-split 3 on float, none when
+    * uncompressed. */
+  private[raster] def predictorFor(compCode: Int, t: SampleType): Int =
+    if (compCode == 1) 1 else if (t.isFloat) 3 else 2
+
+  private[raster] def compressionCode(compression: String): Int =
+    compCodeOf(compression)
+
+  /** The zero-padded blockSize² per-band samples of the block whose
+    * top-left is (x0, y0) in a w×h image. */
+  private[raster] def blockOf(bs: Seq[Array[Double]], w: Int, h: Int,
+                              x0: Int, y0: Int,
+                              blockSize: Int): Seq[Array[Double]] =
+    bs.map { px =>
+      val o = new Array[Double](blockSize * blockSize)
+      var row = 0
+      while (row < blockSize && y0 + row < h) {
+        var col = 0
+        while (col < blockSize && x0 + col < w) {
+          o(row * blockSize + col) = px((y0 + row) * w + x0 + col)
+          col += 1
+        }
+        row += 1
+      }
+      o
     }
 
-    val geoKeys = geoKeysFor(r.epsg)
+  /** Encode one already-padded block: chunky interleave, predictor,
+    * compress. The unit the in-memory writer and the distributed
+    * [[Cog]] builder share — byte parity between the two paths
+    * reduces to feeding equal sample arrays. */
+  private[raster] def encodeBlock(bandsBlk: Seq[Array[Double]],
+                                  blockSize: Int, sampleType: SampleType,
+                                  pred: Int, compCode: Int): Array[Byte] = {
+    val spp = bandsBlk.length
+    val bps = sampleType.bits / 8
+    val raw = ByteBuffer.allocate(blockSize * blockSize * spp * bps)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    while (i < blockSize * blockSize) {
+      var c = 0
+      while (c < spp) {
+        putSample(raw, (i * spp + c) * bps, sampleType, bandsBlk(c)(i))
+        c += 1
+      }
+      i += 1
+    }
+    val bytes = raw.array()
+    if (pred == 2) predict2(bytes, blockSize, blockSize, spp, bps)
+    else if (pred == 3) predict3(bytes, blockSize, blockSize, spp, bps)
+    compress(bytes, compCode)
+  }
 
+  /** Block-local factor-2 average downsample of the unpadded bw×bh
+    * region of a padded block (stride blockSize). Exactly the global
+    * [[halveBands]] restricted to the block: blockSize is even, so
+    * 2×2 source groups never span a block edge, and the ≤-edge
+    * partial-group averaging is identical. */
+  private[raster] def halveBlock(blk: Array[Double], blockSize: Int,
+                                 bw: Int, bh: Int,
+                                 float: Boolean): Array[Double] = {
+    val hw = (bw + 1) / 2
+    val hh = (bh + 1) / 2
+    val o = new Array[Double](hw * hh)
+    var y = 0
+    while (y < hh) {
+      var x = 0
+      while (x < hw) {
+        var sum = 0.0
+        var cnt = 0
+        var dy = 0
+        while (dy < 2 && 2 * y + dy < bh) {
+          var dx = 0
+          while (dx < 2 && 2 * x + dx < bw) {
+            sum += blk((2 * y + dy) * blockSize + 2 * x + dx)
+            cnt += 1
+            dx += 1
+          }
+          dy += 1
+        }
+        val mean = sum / cnt
+        o(y * hw + x) = if (float) mean else math.round(mean).toDouble
+        x += 1
+      }
+      y += 1
+    }
+    o
+  }
+
+  private[raster] final case class CogLevelMeta(w: Int, h: Int,
+                                                byteCounts: Array[Int])
+
+  /** Lay out and write a COG: header and every IFD at the front,
+    * overview tile data before base tile data (deepest level first).
+    * `data(l)` must yield level l's compressed blocks in row-major
+    * order; only one block is held in memory at a time, so callers
+    * may stream them straight out of a distributed computation. */
+  private[raster] def assembleCog(path: java.nio.file.Path,
+      meta: Seq[CogLevelMeta], blockSize: Int, spp: Int,
+      sampleType: SampleType, pred: Int, compCode: Int,
+      originX: Double, originY: Double,
+      pixelScale: Double, pixelScaleY: Double, epsg: Int,
+      data: Int => Iterator[Array[Byte]]): Unit = {
+    val geoKeys = geoKeysFor(epsg)
     // per-level IFD tags (ascending): multi-band levels add
     // PlanarConfig + ExtraSamples, like the strip writer
-    def levelTags(l: Int, lv: Level): Seq[Tag] = {
+    def levelTags(l: Int, lv: CogLevelMeta): Seq[Tag] = {
       val tags = Seq.newBuilder[Tag]
       tags += Tag(TSubfileType, 4, 1, if (l == 0) 0 else 1)
       tags += Tag(TWidth, 3, 1, lv.w)
       tags += Tag(TLength, 3, 1, lv.h)
-      tags += shortTag(TBits, Seq.fill(spp)(r.sampleType.bits))
+      tags += shortTag(TBits, Seq.fill(spp)(sampleType.bits))
       tags += Tag(TCompression, 3, 1, compCode)
       tags += Tag(TPhotometric, 3, 1, 1)
       tags += Tag(TSamplesPerPixel, 3, 1, spp)
@@ -514,32 +597,32 @@ object GeoTiff {
       tags += Tag(TTileWidth, 3, 1, blockSize)
       tags += Tag(TTileLength, 3, 1, blockSize)
       // TileOffsets/ByteCounts: placeholders — patched during write
-      if (lv.blocks.length == 1) {
+      if (lv.byteCounts.length == 1) {
         tags += Tag(TTileOffsets, 4, 1, -1)
-        tags += Tag(TTileByteCounts, 4, 1, lv.blocks.head.length)
+        tags += Tag(TTileByteCounts, 4, 1, lv.byteCounts.head)
       } else {
-        tags += Tag(TTileOffsets, 4, lv.blocks.length,
-          ext = new Array[Byte](4 * lv.blocks.length))
-        tags += Tag(TTileByteCounts, 4, lv.blocks.length, ext = {
-          val b = ByteBuffer.allocate(4 * lv.blocks.length)
+        tags += Tag(TTileOffsets, 4, lv.byteCounts.length,
+          ext = new Array[Byte](4 * lv.byteCounts.length))
+        tags += Tag(TTileByteCounts, 4, lv.byteCounts.length, ext = {
+          val b = ByteBuffer.allocate(4 * lv.byteCounts.length)
             .order(ByteOrder.LITTLE_ENDIAN)
-          lv.blocks.foreach(blk => b.putInt(blk.length))
+          lv.byteCounts.foreach(b.putInt)
           b.array()
         })
       }
       if (spp > 1) tags += shortTag(TExtraSamples, Seq.fill(spp - 1)(0))
-      tags += shortTag(TSampleFormat, Seq.fill(spp)(r.sampleType.fmt))
+      tags += shortTag(TSampleFormat, Seq.fill(spp)(sampleType.fmt))
       if (l == 0) {
         tags += Tag(TPixelScale, 12, 3,
-          ext = doubles(Seq(r.pixelScale, r.pixelScaleY, 0.0)))
+          ext = doubles(Seq(pixelScale, pixelScaleY, 0.0)))
         tags += Tag(TTiepoint, 12, 6,
-          ext = doubles(Seq(0.0, 0.0, 0.0, r.originX, r.originY, 0.0)))
+          ext = doubles(Seq(0.0, 0.0, 0.0, originX, originY, 0.0)))
         tags += Tag(TGeoKeys, 3, geoKeys.length,
           ext = shorts(geoKeys.map(_.toInt)))
       }
       tags.result()
     }
-    val allTags: Seq[Seq[Tag]] = packed.zipWithIndex.map {
+    val allTags: Seq[Seq[Tag]] = meta.zipWithIndex.map {
       case (lv, l) => levelTags(l, lv)
     }
 
@@ -553,48 +636,69 @@ object GeoTiff {
       if (t.ext != null) extOff += t.ext.length
       o
     })
-    var dataOff = extOff
-    val dataOffsets: Seq[Seq[Int]] = {
-      val perLevel = Array.fill(packed.length)(Seq.empty[Int])
-      for (l <- packed.indices.reverse) {
-        perLevel(l) = packed(l).blocks.map { blk =>
-          val o = dataOff; dataOff += blk.length; o
+    val headerEnd = extOff
+    var dataOff = headerEnd.toLong
+    val dataOffsets: Seq[Array[Long]] = {
+      val perLevel = Array.fill(meta.length)(Array.empty[Long])
+      for (l <- meta.indices.reverse) {
+        perLevel(l) = meta(l).byteCounts.map { n =>
+          val o = dataOff; dataOff += n; o
         }
       }
       perLevel.toSeq
     }
+    require(dataOff <= 0xffffffffL,
+      s"COG needs $dataOff bytes — past the classic-TIFF 32-bit offset" +
+        " limit; shrink the extent or split the export")
 
-    val out = ByteBuffer.allocate(dataOff).order(ByteOrder.LITTLE_ENDIAN)
-    out.put(0, 'I'.toByte).put(1, 'I'.toByte)
-    out.putShort(2, 42.toShort)
-    out.putInt(4, 8)
-    packed.zipWithIndex.foreach { case (lv, l) =>
-      out.position(ifdOffs(l))
-      out.putShort(allTags(l).length.toShort)
+    val head = ByteBuffer.allocate(headerEnd).order(ByteOrder.LITTLE_ENDIAN)
+    head.put(0, 'I'.toByte).put(1, 'I'.toByte)
+    head.putShort(2, 42.toShort)
+    head.putInt(4, 8)
+    meta.indices.foreach { l =>
+      head.position(ifdOffs(l))
+      head.putShort(allTags(l).length.toShort)
       allTags(l).zip(extOffs(l)).foreach { case (t, eo) =>
-        out.putShort(t.tag.toShort).putShort(t.typ.toShort).putInt(t.count)
+        head.putShort(t.tag.toShort).putShort(t.typ.toShort).putInt(t.count)
         val v =
-          if (t.tag == TTileOffsets && t.ext == null) dataOffsets(l).head.toLong
+          if (t.tag == TTileOffsets && t.ext == null) dataOffsets(l).head
           else if (t.ext != null) eo.toLong
           else t.inline
-        out.putInt((v & 0xffffffffL).toInt)
+        head.putInt((v & 0xffffffffL).toInt)
       }
-      out.putInt(if (l + 1 < packed.length) ifdOffs(l + 1) else 0)
-      // external blocks (the TileOffsets array is filled from the
+      head.putInt(if (l + 1 < meta.length) ifdOffs(l + 1) else 0)
+      // external arrays (the TileOffsets array is filled from the
       // data layout, everything else was materialized up front)
       allTags(l).zip(extOffs(l)).foreach { case (t, eo) =>
         if (t.ext != null) {
-          out.position(eo)
-          if (t.tag == TTileOffsets) dataOffsets(l).foreach(out.putInt)
-          else out.put(t.ext)
+          head.position(eo)
+          if (t.tag == TTileOffsets)
+            dataOffsets(l).foreach(o => head.putInt((o & 0xffffffffL).toInt))
+          else head.put(t.ext)
         }
       }
-      // tile data
-      lv.blocks.zip(dataOffsets(l)).foreach { case (blk, o) =>
-        out.position(o); out.put(blk)
-      }
     }
-    java.nio.file.Files.write(path, out.array())
+    val out = new java.io.BufferedOutputStream(
+      java.nio.file.Files.newOutputStream(path))
+    try {
+      out.write(head.array())
+      // tile data, deepest overview first — the dataOffsets order
+      for (l <- meta.indices.reverse) {
+        val it = data(l)
+        var i = 0
+        while (it.hasNext) {
+          val blk = it.next()
+          require(i < meta(l).byteCounts.length &&
+            blk.length == meta(l).byteCounts(i),
+            s"level $l block $i: ${blk.length} bytes, expected " +
+              s"${if (i < meta(l).byteCounts.length) meta(l).byteCounts(i) else -1}")
+          out.write(blk)
+          i += 1
+        }
+        require(i == meta(l).byteCounts.length,
+          s"level $l: $i blocks streamed, expected ${meta(l).byteCounts.length}")
+      }
+    } finally out.close()
   }
 
   /** The base (first-IFD) image only, as a legacy single-band integer
