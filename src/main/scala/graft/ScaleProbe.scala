@@ -59,18 +59,26 @@ object ScaleProbe {
     }
     val worst = rows.maxBy(_._4)
     println(f"""{"summary":"worst","query":"${worst._1}","exponent":${worst._4}%.2f}""")
-    // e4's scale knob, MEASURED: its 6-bit bands (64 buckets) are
-    // sized for the fixture corpus; at 10× the per-bucket occupancy
-    // (and candidate pairs ∝ occupancy²) grows 10×, which is the
-    // superlinear exponent above. Widening to 8-bit bands (256
-    // buckets — bits ∝ log₂ n) restores the operating point; the
-    // time printed here should sit near 10× the 1× e4 time.
+    // e4's scale knob, now WIRED (e4Auto / e4_ann_lsh_auto): band
+    // width derives from corpus size (occupancy ≤ ~100 per bucket, so
+    // candidate pairs ∝ occupancy² stay flat). Probe the auto-chosen
+    // width at 10×: its exponent vs the 1× auto run should be ~1.0
+    // where the pinned 6-bit row above is superlinear — and record
+    // the recall the width costs, e8-style.
     def timed(f: => Long): Double = {
       f; val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    val wide = timed(
-      graft.simsearch.SimQueries.e4Banded(spark, outDir, bandBits = 8).count())
-    println(f"""{"query":"e4_wide_bands_10x","bits":8,"sec_10x":$wide%.2f}""")
+    import graft.simsearch.SimQueries
+    val n1 = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    val n10 = spark.read.parquet(s"$outDir/embeddings.parquet").count()
+    val bits1 = SimQueries.e4AutoBits(n1)
+    val bits10 = SimQueries.e4AutoBits(n10)
+    val auto1 = timed(SimQueries.e4Banded(spark, sfDir, bits1).count())
+    val auto10 = timed(SimQueries.e4Banded(spark, outDir, bits10).count())
+    val autoExp = math.log10(auto10 / auto1)
+    val (found, total) = SimQueries.e4Recall(spark, outDir, bits10, sampleMod = 40)
+    val recall = if (total == 0) 1.0 else found.toDouble / total
+    println(f"""{"query":"e4_auto_bands","bits_1x":$bits1,"bits_10x":$bits10,"sec_1x":$auto1%.2f,"sec_10x":$auto10%.2f,"exponent":$autoExp%.2f,"recall_10x":$recall%.3f,"recall_pairs":"$found/$total"}""")
     spark.stop()
   }
 

@@ -232,7 +232,10 @@ object VersionCreation {
       val metas = files.map { r =>
         val t = GeoTiff.readRaster(r.getAs[Array[Byte]](0))
         (t.originX, t.originY, t.pixelScale, t.width, t.height,
-          t.bands.length, t.sampleType.name, t.epsg)
+          t.bands.length, t.sampleType.name, t.epsg,
+          // geokey projection parameters, canonicalized to a string
+          // (stable tuple encoder; parsed back driver-side)
+          t.geoParams.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(";"))
       }.collect().toSeq
       require(metas.nonEmpty, "no source tiles")
       val (pixelDeg, w, h) = (metas.head._3, metas.head._4, metas.head._5)
@@ -253,14 +256,23 @@ object VersionCreation {
           metas.map(_._7).distinct.mkString(","))
       val srcEpsg = metas.head._8
       require(metas.forall(_._8 == srcEpsg), "all tiles must share one CRS")
-      val projSrc = graft.raster.Warp.projectionFor(srcEpsg)
+      require(metas.forall(_._9 == metas.head._9),
+        "all tiles must share one set of projection parameters")
+      val srcGeoParams: Map[Int, Double] =
+        if (metas.head._9.isEmpty) Map.empty
+        else metas.head._9.split(";").map { kv =>
+          val Array(k, v) = kv.split("=", 2)
+          k.toInt -> v.toDouble
+        }.toMap
+      val projSrc = graft.raster.Warp.projectionFor(srcEpsg, srcGeoParams)
       require(srcEpsg == 4326 ||
         ((srcEpsg == 3857 || projSrc.isDefined) && opts.unifyProjection),
         s"source CRS EPSG:$srcEpsg not supported — " +
           (if (srcEpsg == 3857 || projSrc.isDefined)
             "set unify_projection to warp projected sources to EPSG:4326"
           else "reproject to EPSG:4326 first (unify_projection handles " +
-            "EPSG:3857, UTM zones 326xx/327xx, and EPSG:6933)"))
+            "EPSG:3857, UTM zones 326xx/327xx, EPSG:6933, and " +
+            "parameter-defined Albers conics via geokeys)"))
 
       // source lattice (degrees for 4326, meters for 3857): every tile
       // must sit on one square lattice of shared size/scale

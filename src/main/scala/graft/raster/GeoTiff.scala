@@ -78,7 +78,8 @@ object GeoTiff {
                           pixelScale: Double, epsg: Int,
                           sampleType: SampleType,
                           bands: Seq[Array[Double]],
-                          pixelScaleYOpt: Double = Double.NaN) {
+                          pixelScaleYOpt: Double = Double.NaN,
+                          geoParams: Map[Int, Double] = Map.empty) {
     require(bands.nonEmpty && bands.length <= 64,
       s"1..64 bands supported (got ${bands.length})")
     bands.foreach(b => require(b.length == width * height,
@@ -128,6 +129,7 @@ object GeoTiff {
   private val TPixelScale = 33550
   private val TTiepoint = 33922
   private val TGeoKeys = 34735
+  private val TGeoDoubles = 34736
 
   def write(path: java.nio.file.Path, tile: Tile, deflate: Boolean = true): Unit =
     write(path, tile, if (deflate) "deflate" else "none")
@@ -154,6 +156,37 @@ object GeoTiff {
     else
       Array(1, 1, 0, 3, 1024, 0, 1, 1, 1025, 0, 1, 1, 3072, 0, 1, epsg))
       .map(_.toShort)
+
+  /** GeoKeyDirectory + GeoDoubleParams for a PARAMETER-DEFINED
+    * projected CRS (ProjectedCSType 32767, user-defined — the
+    * GeoTIFF 1.1 escape hatch national datasets use for Albers/LCC
+    * grids without an EPSG code). Integer-valued keys (the coordinate
+    * transformation code 3075) inline as shorts; everything else
+    * lands in the double-params array with its directory entry
+    * pointing at the value's index. Keys must ascend (GeoTIFF §2.4).
+    * Returns (directory shorts, double params). */
+  private def geoKeysWithParams(epsg: Int,
+                                params: Map[Int, Double]): (Array[Short], Array[Double]) = {
+    val sorted = params.toSeq.sortBy(_._1)
+    val dbls = Array.newBuilder[Double]
+    val entries = Seq.newBuilder[(Int, Int, Int, Int)]
+    entries += ((1024, 0, 1, 1)) // GTModelType: projected
+    entries += ((1025, 0, 1, 1)) // GTRasterType: pixel-is-area
+    entries += ((3072, 0, 1, epsg))
+    var di = 0
+    sorted.foreach { case (k, v) =>
+      if (k == 3075) entries += ((k, 0, 1, v.toInt))
+      else {
+        entries += ((k, TGeoDoubles, 1, di))
+        dbls += v
+        di += 1
+      }
+    }
+    val es = entries.result().sortBy(_._1)
+    val dir = Array(1, 1, 0, es.length) ++
+      es.flatMap { case (a, b, c, d) => Seq(a, b, c, d) }
+    (dir.map(_.toShort), dbls.result())
+  }
 
   private def putSample(bb: ByteBuffer, off: Int, t: SampleType, v: Double): Unit =
     t match {
@@ -311,7 +344,9 @@ object GeoTiff {
     else if (pred == 3)
       predict3(raw, r.width, r.height, spp, r.sampleType.bits / 8)
     val strip = compress(raw, compCode)
-    val geoKeys = geoKeysFor(r.epsg)
+    val (geoKeys, geoDbls) =
+      if (r.geoParams.nonEmpty) geoKeysWithParams(r.epsg, r.geoParams)
+      else (geoKeysFor(r.epsg), Array.empty[Double])
 
     // tags must ascend; strip offset is patched once layout is known
     val tags = Seq.newBuilder[Tag]
@@ -338,6 +373,8 @@ object GeoTiff {
     tags += Tag(TTiepoint, 12, 6,
       ext = doubles(Seq(0.0, 0.0, 0.0, r.originX, r.originY, 0.0)))
     tags += Tag(TGeoKeys, 3, geoKeys.length, ext = shorts(geoKeys.map(_.toInt)))
+    if (geoDbls.nonEmpty)
+      tags += Tag(TGeoDoubles, 12, geoDbls.length, ext = doubles(geoDbls.toSeq))
     val entries = tags.result()
 
     val ifdSize = 2 + entries.length * 12 + 4
@@ -768,6 +805,7 @@ object GeoTiff {
     var tileOffsets = Seq.empty[Long]
     var tileCounts = Seq.empty[Long]
     var geoKeyVals = Seq.empty[Long]
+    var geoDblVals = Seq.empty[Long]
     var scaleOff = -1
     var tieOff = -1
     val typeSize = Map(1 -> 1, 2 -> 1, 3 -> 2, 4 -> 4, 12 -> 8)
@@ -807,6 +845,7 @@ object GeoTiff {
         case TTileOffsets => tileOffsets = values(off)._3
         case TTileByteCounts => tileCounts = values(off)._3
         case TGeoKeys => geoKeyVals = values(off)._3
+        case TGeoDoubles => geoDblVals = values(off)._3
         case TPixelScale => scaleOff = b.getInt(off + 8)
         case TTiepoint => tieOff = b.getInt(off + 8)
         case _ => // skip
@@ -965,8 +1004,8 @@ object GeoTiff {
     // GeoKeyDirectory: groups of 4 shorts (key, location, count,
     // value) after the 4-short header; model type 2 = geographic
     // (key 2048 carries the EPSG), 1 = projected (key 3072)
+    val groups = geoKeyVals.grouped(4).toSeq
     val epsg = {
-      val groups = geoKeyVals.grouped(4).toSeq
       def key(id: Int): Option[Int] = groups.collectFirst {
         case Seq(k, 0, 1, v) if k == id => v.toInt
       }
@@ -981,9 +1020,19 @@ object GeoTiff {
         case _ => 4326 // no keys: assume the lake's geographic CRS
       }
     }
+    // projection-parameter keys (user-defined CRSs, ProjectedCSType
+    // 32767): SHORT-valued proj keys inline, DOUBLE-valued ones index
+    // into GeoDoubleParams (values() surfaced them as raw bits)
+    val geoParams: Map[Int, Double] = groups.collect {
+      case Seq(k, 0, 1, v) if k >= 3073 && k <= 3095 =>
+        k.toInt -> v.toDouble
+      case Seq(k, TGeoDoubles, 1, v)
+          if k >= 3073 && k <= 3095 && v < geoDblVals.length =>
+        k.toInt -> java.lang.Double.longBitsToDouble(geoDblVals(v.toInt))
+    }.toMap
     val next = b.getInt(ifd + 2 + n * 12)
     (Raster(width, height, ox, oy, pixelScale, epsg, sampleType, bands,
-      pixelScaleYOpt = pixelScaleY), next)
+      pixelScaleYOpt = pixelScaleY, geoParams = geoParams), next)
   }
 
   // ------------------------------------------------------------- LZW

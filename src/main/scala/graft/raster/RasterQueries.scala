@@ -800,12 +800,29 @@ object RasterQueries extends QueryModule {
       x0 = 1000000.0, yTop = 4000000.0, pixelM = 10000.0,
       tilesX = 2, tilesY = 2, pxPerTile = 20)
 
+  /** r16: a PARAMETER-DEFINED Albers conic (CONUS-style parallels
+    * 29.5/45.5, origin 23/−96) carried as GeoTIFF geokeys with
+    * ProjectedCSType = 32767 (user-defined) — the ingest resolves the
+    * projection from the file's own keys ([[Warp.projectionFor]] with
+    * params, CT 11), never from an EPSG switch; the lattice sits over
+    * the central US (~37..40°N). */
+  private val r16Params: Map[Int, Double] = Map(
+    3075 -> 11.0,   // ProjCoordTrans: CT_AlbersEqualArea
+    3078 -> 29.5, 3079 -> 45.5, // standard parallels
+    3085 -> 23.0, 3084 -> -96.0, // false origin lat/lon
+    3086 -> 0.0, 3087 -> 0.0)
+  private def r16Lattice: Warp.ProjectedLattice =
+    Warp.ProjectedLattice(Warp.AlbersEqualArea.fromGeoKeys(r16Params),
+      x0 = -400000.0, yTop = 1900000.0, pixelM = 10000.0,
+      tilesX = 2, tilesY = 2, pxPerTile = 20)
+
   /** Shared projected-CRS ingest driver for r14/r15: write the 2×2
     * source tile lattice in the projection's meters, run the raster
     * creation DAG with unify_projection, and histogram the warped
     * lake per class. */
   private def projIngest(spark: SparkSession, sfDir: String, tag: String,
-                         latt: Warp.ProjectedLattice, epsg: Int): DataFrame = {
+                         latt: Warp.ProjectedLattice, epsg: Int,
+                         geoParams: Map[Int, Double] = Map.empty): DataFrame = {
     Tables.register(spark, sfDir)
     val base = java.nio.file.Paths.get(
       s"${sys.props("java.io.tmpdir")}/graft_${tag}_${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}")
@@ -824,7 +841,8 @@ object RasterQueries extends QueryModule {
         GeoTiff.writeRaster(src.resolve(s"u${stx}_$sty.tif"),
           GeoTiff.Raster(px, px,
             latt.x0 + stx * span, latt.yTop - sty * span,
-            latt.pixelM, epsg, GeoTiff.SampleType.Int32, Seq(vals)))
+            latt.pixelM, epsg, GeoTiff.SampleType.Int32, Seq(vals),
+            geoParams = geoParams))
       }
       val (log, ok) = graft.etl.VersionCreation.createTable(
         spark, s"${tag}ds", "v1",
@@ -848,6 +866,9 @@ object RasterQueries extends QueryModule {
 
   private def ceaIngest(spark: SparkSession, sfDir: String): DataFrame =
     projIngest(spark, sfDir, "r15", r15Lattice, 6933)
+
+  private def albersIngest(spark: SparkSession, sfDir: String): DataFrame =
+    projIngest(spark, sfDir, "r16", r16Lattice, 32767, r16Params)
 
   private def projIngestOracle(latt: Warp.ProjectedLattice): String = {
     val tm = latt.proj
@@ -940,7 +961,8 @@ object RasterQueries extends QueryModule {
       ("r13_float_zonal" -> (floatZonal _)) +
       ("rs12_float_otf" -> (floatOtfQuery _)) +
       ("r14_utm_ingest" -> (utmIngest _)) +
-      ("r15_cea_ingest" -> (ceaIngest _))
+      ("r15_cea_ingest" -> (ceaIngest _)) +
+      ("r16_albers_ingest" -> (albersIngest _))
 
   override def oracles: Map[String, String] =
     sqls.flatMap(q => q.oracleSql.map(q.name -> _)).toMap +
@@ -956,5 +978,6 @@ object RasterQueries extends QueryModule {
       ("r13_float_zonal" -> floatZonalOracle) +
       ("rs12_float_otf" -> floatOtfOracle) +
       ("r14_utm_ingest" -> projIngestOracle(r14Lattice)) +
-      ("r15_cea_ingest" -> projIngestOracle(r15Lattice))
+      ("r15_cea_ingest" -> projIngestOracle(r15Lattice)) +
+      ("r16_albers_ingest" -> projIngestOracle(r16Lattice))
 }

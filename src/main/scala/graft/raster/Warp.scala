@@ -129,9 +129,23 @@ object Warp {
   /** The projection of a supported projected-CRS EPSG code: UTM zones
     * (326xx/327xx) and the EASE-Grid 2.0 equal-area CRS (6933). */
   def projectionFor(epsg: Int): Option[Projection] =
+    projectionFor(epsg, Map.empty)
+
+  /** CRS resolution the way `unify_projection.sh` resolves one with
+    * GDAL/proj: by EPSG code when the code is known, otherwise from
+    * the file's own projection PARAMETERS. A user-defined
+    * ProjectedCSType (32767) with coordinate-transformation geokeys
+    * (key 3075) builds the projection from the parameter keys —
+    * CT 11 is Albers equal-area ([[AlbersEqualArea.fromGeoKeys]]);
+    * an EPSG code that IS a parameterized family (5070/102003-style
+    * conic codes are not closed-form enumerable) must ship its keys. */
+  def projectionFor(epsg: Int, geoParams: Map[Int, Double]): Option[Projection] =
     if (TransverseMercator.isUtm(epsg)) Some(TransverseMercator.utm(epsg))
     else if (epsg == 6933) Some(CylindricalEqualArea.ease2)
-    else None
+    else geoParams.get(3075).map(_.toInt) match {
+      case Some(11) => Some(AlbersEqualArea.fromGeoKeys(geoParams))
+      case _ => None
+    }
 
   /** The fully GENERAL projected-CRS → EPSG:4326 ingest warp (the
     * path `unify_projection.sh` covers with gdalwarp): a lattice of
@@ -426,5 +440,121 @@ object Warp {
     val ease2: CylindricalEqualArea =
       CylindricalEqualArea(latTsDeg = 30.0, lon0Deg = 0.0,
         falseE = 0.0, falseN = 0.0)
+  }
+
+  /** Ellipsoidal Albers equal-area CONIC (Snyder PP 1395, eqs.
+    * 14-1..14-11 with the authalic-latitude series 3-18) — the FOURTH
+    * projected CRS of the ingest warp, and the first built from
+    * GeoTIFF PARAMETER keys instead of an EPSG code switch
+    * ([[fromGeoKeys]]): the projection national land-cover datasets
+    * ship in (CONUS Albers, national equal-area grids), where every
+    * agency picks its own parallels, so a closed EPSG enumeration can
+    * never cover them. `unify_projection.sh` handles these because
+    * GDAL reads the parameters from the file; [[fromGeoKeys]] is that
+    * same move on the pure-JVM path. */
+  final case class AlbersEqualArea(lat1Deg: Double, lat2Deg: Double,
+                                   lat0Deg: Double, lon0Deg: Double,
+                                   falseE: Double, falseN: Double)
+      extends Projection {
+    import TransverseMercator.{A, E2}
+    private val e: Double = Math.sqrt(E2)
+    val lam0: Double = Math.toRadians(lon0Deg)
+    /** m = cosφ/√(1−e²sin²φ) (Snyder 14-15). */
+    private def mOf(phi: Double): Double = {
+      val s = Math.sin(phi)
+      Math.cos(phi) / Math.sqrt(1.0 - E2 * s * s)
+    }
+    /** Authalic q (Snyder 3-12) — shared with the equal-area
+      * cylinder; conic vs cylinder differ only in how q maps to the
+      * plane. */
+    private def qOf(sinP: Double): Double =
+      (1.0 - E2) * (sinP / (1.0 - E2 * sinP * sinP) -
+        (1.0 / (2.0 * e)) * Math.log((1.0 - e * sinP) / (1.0 + e * sinP)))
+    private val qPole: Double = qOf(1.0)
+    // cone constant n, C, and the origin radius ρ0 (Snyder 14-14,
+    // 14-13, 14-12a); equal parallels degenerate to n = sinφ1
+    val coneN: Double = {
+      val m1 = mOf(Math.toRadians(lat1Deg))
+      val m2 = mOf(Math.toRadians(lat2Deg))
+      val q1 = qOf(Math.sin(Math.toRadians(lat1Deg)))
+      val q2 = qOf(Math.sin(Math.toRadians(lat2Deg)))
+      if (math.abs(lat1Deg - lat2Deg) < 1e-12) Math.sin(Math.toRadians(lat1Deg))
+      else (m1 * m1 - m2 * m2) / (q2 - q1)
+    }
+    require(math.abs(coneN) > 1e-12,
+      s"degenerate Albers cone (symmetric parallels $lat1Deg/$lat2Deg)")
+    val bigC: Double = {
+      val m1 = mOf(Math.toRadians(lat1Deg))
+      m1 * m1 + coneN * qOf(Math.sin(Math.toRadians(lat1Deg)))
+    }
+    /** ρ(q) = RhoK·√(C − n·q) with RhoK = A/n — factored so the Scala
+      * and SQL evaluate the identical op sequence. */
+    private val rhoK: Double = A / coneN
+    val rho0: Double = rhoK * Math.sqrt(bigC - coneN * qOf(Math.sin(Math.toRadians(lat0Deg))))
+    // authalic→geodetic series coefficients (Snyder 3-18)
+    private val B1: Double = E2 / 3 + 31 * E2 * E2 / 180 + 517 * E2 * E2 * E2 / 5040
+    private val B2: Double = 23 * E2 * E2 / 360 + 251 * E2 * E2 * E2 / 3780
+    private val B3: Double = 761 * E2 * E2 * E2 / 45360
+
+    def forward(latDeg: Double, lonDeg: Double): (Double, Double) = {
+      val q = qOf(Math.sin(Math.toRadians(latDeg)))
+      val dlam = Math.toRadians(lonDeg) - lam0
+      // association mirrors xSql/ySql exactly
+      (rhoK * Math.sqrt(bigC - coneN * q) * Math.sin(coneN * dlam) + falseE,
+        rho0 - rhoK * Math.sqrt(bigC - coneN * q) * Math.cos(coneN * dlam) + falseN)
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val xp = x - falseE
+      val yp = rho0 - (y - falseN)
+      val rho = Math.hypot(xp, yp)
+      // θ sign convention follows the cone constant (Snyder 14-11)
+      val theta =
+        if (coneN >= 0) Math.atan2(xp, yp) else Math.atan2(-xp, -yp)
+      val q = (bigC - (rho / rhoK) * (rho / rhoK)) / coneN
+      val beta = Math.asin(math.max(-1.0, math.min(1.0, q / qPole)))
+      val lat = beta + B1 * Math.sin(2 * beta) + B2 * Math.sin(4 * beta) +
+        B3 * Math.sin(6 * beta)
+      (Math.toDegrees(lat), Math.toDegrees(lam0 + theta / coneN))
+    }
+
+    /** DuckDB SQL mirror of [[forward]] (same parity contract as the
+      * other projections: value agreement to last ulps, which cannot
+      * flip a 10⁴-meter pixel floor). */
+    def forwardSelect(lat: String, lon: String): String = {
+      def d(v: Double) = s"CAST(${java.lang.Double.toString(v)} AS DOUBLE)"
+      s"""radians($lon) - ${d(lam0)} AS dlam_,
+         |${d(1.0 - E2)} * (sin(radians($lat)) / (1.0 - ${d(E2)} * sin(radians($lat)) * sin(radians($lat)))
+         |  - ${d(1.0 / (2.0 * e))} * ln((1.0 - ${d(e)} * sin(radians($lat))) / (1.0 + ${d(e)} * sin(radians($lat))))) AS q_""".stripMargin
+    }
+    def xSql: String = {
+      def d(v: Double) = s"CAST(${java.lang.Double.toString(v)} AS DOUBLE)"
+      s"${d(rhoK)} * sqrt(${d(bigC)} - ${d(coneN)} * q_) * sin(${d(coneN)} * dlam_) + ${d(falseE)}"
+    }
+    def ySql: String = {
+      def d(v: Double) = s"CAST(${java.lang.Double.toString(v)} AS DOUBLE)"
+      s"${d(rho0)} - ${d(rhoK)} * sqrt(${d(bigC)} - ${d(coneN)} * q_) * cos(${d(coneN)} * dlam_) + ${d(falseN)}"
+    }
+  }
+
+  object AlbersEqualArea {
+    /** Build from GeoTIFF projection geokeys (CT 11): standard
+      * parallels 3078/3079; origin lat/lon from the false-origin keys
+      * (3085/3084) or the natural-origin keys (3081/3080) — GeoTIFF
+      * writers split between the two; false easting/northing likewise
+      * (3086/3082, 3087/3083). Missing parallels fail fast. */
+    def fromGeoKeys(p: Map[Int, Double]): AlbersEqualArea = {
+      def req(id: Int, what: String): Double = p.getOrElse(id,
+        throw new IllegalArgumentException(
+          s"Albers GeoKeyDirectory missing $what (key $id)"))
+      def either(a: Int, b: Int): Double = p.getOrElse(a, p.getOrElse(b, 0.0))
+      AlbersEqualArea(
+        lat1Deg = req(3078, "ProjStdParallel1"),
+        lat2Deg = req(3079, "ProjStdParallel2"),
+        lat0Deg = either(3085, 3081),
+        lon0Deg = either(3084, 3080),
+        falseE = either(3086, 3082),
+        falseN = either(3087, 3083))
+    }
   }
 }

@@ -48,14 +48,28 @@ object SimQueries extends QueryModule {
     * The oracle-checked e4 pins 6 bits (full recall at the fixture
     * size, measured by e8); [[graft.ScaleProbe]] measures the widened
     * variant at 10× to show the knob restores linear scaling. */
-  private def e4SparkSql(bandBits: Int): String =
-    s"""$sparkVecs,
-       |sig AS (SELECT vec_id, rph_sig(v, 48, $bandBits) AS sg FROM n),
+  /** e4's oracle: the global brute-force pair scan. Equality holds
+    * because the table count is tuned for full recall at this τ on
+    * the fixture corpus (verified empirically; [[e4Recall]] measures
+    * the recall at other widths/sizes). */
+  private lazy val e4Oracle: String =
+    s"""$duckVecs
+       |SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+       |  ${dDot("a.v", "b.v")} / (a.nrm * b.nrm) AS cosine
+       |FROM n a, n b WHERE a.vec_id < b.vec_id
+       |  AND ${dDot("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.4""".stripMargin
+
+  private def e4Ctes(bandBits: Int): String =
+    s"""sig AS (SELECT vec_id, rph_sig(v, 48, $bandBits) AS sg FROM n),
        |b AS (SELECT vec_id, t, bv FROM sig LATERAL VIEW posexplode(sg) x AS t, bv),
        |cand AS (SELECT DISTINCT a.vec_id AS i, b2.vec_id AS j
        |  FROM b a JOIN b b2 ON a.t = b2.t AND a.bv = b2.bv AND a.vec_id < b2.vec_id),
        |ver AS (SELECT i, j, vec_dot(x.v, y.v) / (x.nrm * y.nrm) AS cosine
-       |  FROM cand JOIN n x ON x.vec_id = cand.i JOIN n y ON y.vec_id = cand.j)
+       |  FROM cand JOIN n x ON x.vec_id = cand.i JOIN n y ON y.vec_id = cand.j)""".stripMargin
+
+  private def e4SparkSql(bandBits: Int): String =
+    s"""$sparkVecs,
+       |${e4Ctes(bandBits)}
        |SELECT i AS vec_id_a, j AS vec_id_b, cosine FROM ver WHERE cosine >= 0.4""".stripMargin
 
   /** The widened-band e4 (see [[e4SparkSql]]) for scale probing. */
@@ -63,6 +77,48 @@ object SimQueries extends QueryModule {
                               bandBits: Int): DataFrame = {
     Tables.register(spark, sfDir)
     spark.sql(e4SparkSql(bandBits))
+  }
+
+  /** Auto-sized band width: the smallest width keeping expected
+    * per-band bucket occupancy (n / 2^bits) at or under ~100 vectors,
+    * from the ladder of widths that divide the 48 hyperplanes. The
+    * calibration points are measured (`BENCH_sf1.md`): 6 bits is full
+    * recall at the 2k-vector fixture, 8 bits restores linear scaling
+    * at 10× (20k). Candidate pairs grow with occupancy², so a pinned
+    * width is superlinear in corpus size — this is THE scale knob. */
+  private[graft] def e4AutoBits(n: Long): Int =
+    Seq(6, 8, 12, 16).find(b => n.toDouble / (1L << b) <= 100.0).getOrElse(16)
+
+  /** e4 with the band width derived from the corpus size — the
+    * production default. At the oracle fixture sizes the auto choice
+    * is 6 bits (identical to the pinned `e4_ann_lsh_pairs`), so the
+    * brute-force oracle checks this path too. */
+  def e4Auto(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.register(spark, sfDir)
+    val n = spark.table("embeddings").count()
+    spark.sql(e4SparkSql(e4AutoBits(n)))
+  }
+
+  /** Measured recall of the banded candidate generator at `bandBits`
+    * against the exact cosine≥τ pair set, restricted to the 1-in-
+    * `sampleMod` query sample (sample×corpus stays linear in n, a
+    * full exact pair scan would not). Returns (found, total). */
+  private[graft] def e4Recall(spark: SparkSession, sfDir: String,
+                              bandBits: Int, sampleMod: Int): (Long, Long) = {
+    Tables.register(spark, sfDir)
+    val row = spark.sql(
+      s"""$sparkVecs,
+         |${e4Ctes(bandBits)},
+         |got AS (SELECT i, j FROM ver WHERE cosine >= 0.4),
+         |q AS (SELECT * FROM n WHERE vec_id % $sampleMod = 0),
+         |exact AS (SELECT DISTINCT least(q.vec_id, m.vec_id) AS i,
+         |    greatest(q.vec_id, m.vec_id) AS j
+         |  FROM q JOIN n m ON q.vec_id <> m.vec_id
+         |    AND vec_dot(q.v, m.v) / (q.nrm * m.nrm) >= 0.4)
+         |SELECT count(*) AS total, count(g.i) AS found
+         |FROM exact LEFT JOIN got g ON exact.i = g.i AND exact.j = g.j
+         |""".stripMargin).collect()(0)
+    (row.getLong(1), row.getLong(0))
   }
 
   /** Chunk width for the centroid fold: vectors are summed per
@@ -373,13 +429,7 @@ object SimQueries extends QueryModule {
     // because the table count is tuned for full recall at this τ on
     // this dataset (verified empirically; recall is tunable, the
     // candidate join is the scale path).
-    SqlQ.split("e4_ann_lsh_pairs",
-      e4SparkSql(bandBits = 6),
-      s"""$duckVecs
-         |SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
-         |  ${dDot("a.v", "b.v")} / (a.nrm * b.nrm) AS cosine
-         |FROM n a, n b WHERE a.vec_id < b.vec_id
-         |  AND ${dDot("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.4""".stripMargin),
+    SqlQ.split("e4_ann_lsh_pairs", e4SparkSql(bandBits = 6), e4Oracle),
 
     // E5 is programmatic (ONE Lloyd iteration from the seeds — the
     // pedagogical single-update demonstration; the converged build is
@@ -570,7 +620,8 @@ object SimQueries extends QueryModule {
       ("e5_kmeans_assign" -> ((s: SparkSession, d: String) => oneIterAssignments(s, d))) +
       ("e3_ann_ivf" -> ((s: SparkSession, d: String) => ivfTopK(s, d))) +
       ("e2_cosine_neardup" -> ((s: SparkSession, d: String) => cellNearDup(s, d))) +
-      ("e8_ivf_recall" -> ((s: SparkSession, d: String) => ivfRecall(s, d)))
+      ("e8_ivf_recall" -> ((s: SparkSession, d: String) => ivfRecall(s, d))) +
+      ("e4_ann_lsh_auto" -> ((s: SparkSession, d: String) => e4Auto(s, d)))
 
   override def oracles: Map[String, String] =
     sqls.flatMap(q => q.oracleSql.map(q.name -> _)).toMap +
@@ -578,5 +629,6 @@ object SimQueries extends QueryModule {
       ("e5b_kmeans_converged" -> e5bOracle) +
       ("e3_ann_ivf" -> e3Oracle) +
       ("e2_cosine_neardup" -> e2Oracle) +
-      ("e8_ivf_recall" -> e8Oracle)
+      ("e8_ivf_recall" -> e8Oracle) +
+      ("e4_ann_lsh_auto" -> e4Oracle)
 }

@@ -180,6 +180,76 @@ class WarpSpec extends AnyFunSuite {
     assert(all.distinct.length == all.length, "overlapping ownership")
   }
 
+  test("Albers conic from geokeys: origin, parallels true-scale, round-trip") {
+    val params = Map[Int, Double](
+      3075 -> 11.0, 3078 -> 29.5, 3079 -> 45.5,
+      3085 -> 23.0, 3084 -> -96.0, 3086 -> 0.0, 3087 -> 0.0)
+    val aea = Warp.AlbersEqualArea.fromGeoKeys(params)
+    // the false origin projects to (FE, FN)
+    val (x0, y0) = aea.forward(23.0, -96.0)
+    assert(math.abs(x0) < 1e-6 && math.abs(y0) < 1e-6, s"origin → ($x0, $y0)")
+    // scale along each STANDARD parallel is 1 (the defining property
+    // of a two-parallel conic): measure via a finite difference along
+    // the parallel vs the true ellipsoidal parallel arc
+    for (latS <- Seq(29.5, 45.5)) {
+      val dLon = 0.01
+      val (xa, ya) = aea.forward(latS, -96.0)
+      val (xb, yb) = aea.forward(latS, -96.0 + dLon)
+      val planar = math.hypot(xb - xa, yb - ya)
+      val s = math.sin(math.toRadians(latS))
+      val nu = Warp.TransverseMercator.A /
+        math.sqrt(1 - Warp.TransverseMercator.E2 * s * s)
+      val arc = nu * math.cos(math.toRadians(latS)) * math.toRadians(dLon)
+      assert(math.abs(planar / arc - 1.0) < 1e-6, s"k at $latS = ${planar / arc}")
+    }
+    // round-trip across the CONUS window: 5e-8° ≈ 5 mm (series level)
+    for (li <- 0 to 6; lj <- 0 to 6) {
+      val lat = 25.0 + li * 4.0
+      val lon = -120.0 + lj * 8.0
+      val (x, y) = aea.forward(lat, lon)
+      val (la, lo) = aea.inverse(x, y)
+      assert(math.abs(la - lat) < 5e-8 && math.abs(lo - lon) < 5e-8,
+        s"round-trip ($lat, $lon) → ($la, $lo)")
+    }
+    // geokey resolution: CT 11 builds the conic, other CTs refuse,
+    // and natural-origin keys are honored when false-origin are absent
+    assert(Warp.projectionFor(32767, params).exists(_.isInstanceOf[Warp.AlbersEqualArea]))
+    assert(Warp.projectionFor(32767, params.updated(3075, 7.0)).isEmpty)
+    assert(Warp.projectionFor(32767, Map.empty).isEmpty)
+    val nat = Warp.AlbersEqualArea.fromGeoKeys(Map(
+      3075 -> 11.0, 3078 -> 29.5, 3079 -> 45.5, 3081 -> 23.0, 3080 -> -96.0))
+    assert(nat == aea.copy())
+    val e = intercept[IllegalArgumentException](
+      Warp.AlbersEqualArea.fromGeoKeys(Map(3075 -> 11.0)))
+    assert(e.getMessage.contains("3078"))
+    // lattice ownership stays exclusive under the conic (θ rotation
+    // makes rows/cols genuinely non-axis-aligned — the general path)
+    val latt = Warp.ProjectedLattice(aea,
+      x0 = -400000.0, yTop = 1900000.0, pixelM = 10000.0,
+      tilesX = 1, tilesY = 1, pxPerTile = 20)
+    val contribs = latt.contributionsOf(0, 0,
+      Seq(Array.tabulate(400)(_.toDouble))).toSeq
+    assert(contribs.nonEmpty)
+    val all = contribs.flatMap { case ((ttx, tty), (idxs, _)) =>
+      idxs.map(i => (ttx, tty, i)) }
+    assert(all.distinct.length == all.length, "overlapping ownership")
+  }
+
+  test("geokey params round-trip through the GeoTIFF writer/reader") {
+    val params = Map[Int, Double](
+      3075 -> 11.0, 3078 -> 29.5, 3079 -> 45.5,
+      3085 -> 23.0, 3084 -> -96.0, 3086 -> 1000.0, 3087 -> 2000.0)
+    val r = GeoTiff.Raster(4, 4, -400000.0, 1900000.0, 10000.0, 32767,
+      GeoTiff.SampleType.Int32, Seq(Array.tabulate(16)(_.toDouble)),
+      geoParams = params)
+    val p = java.nio.file.Files.createTempDirectory("aea").resolve("t.tif")
+    GeoTiff.writeRaster(p, r)
+    val back = GeoTiff.readRaster(java.nio.file.Files.readAllBytes(p))
+    assert(back.epsg == 32767)
+    assert(back.geoParams == params)
+    assert(back.bands.head.toSeq == r.bands.head.toSeq)
+  }
+
   test("equator tile is (nearly) isotropic; polar tile is rejected") {
     val t = GeoTiff.Tile(4, 4, 0.0, 2.0, 1.0, Array.tabulate(16)(identity))
     val r = Warp.tileToWebMercator(t)
