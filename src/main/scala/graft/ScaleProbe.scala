@@ -79,6 +79,37 @@ object ScaleProbe {
     val (found, total) = SimQueries.e4Recall(spark, outDir, bits10, sampleMod = 40)
     val recall = if (total == 0) 1.0 else found.toDouble / total
     println(f"""{"query":"e4_auto_bands","bits_1x":$bits1,"bits_10x":$bits10,"sec_1x":$auto1%.2f,"sec_10x":$auto10%.2f,"exponent":$autoExp%.2f,"recall_10x":$recall%.3f,"recall_pairs":"$found/$total"}""")
+
+    // ---- raster zonal at 10× (the plan-pinned 100× story, measured):
+    // a lake with 10× the tiles; (a) the FIXED r9 AOI must stay flat
+    // (tile-id partition pruning reads the same 12 tiles), (b) a
+    // full-extent AOI must stay ~linear (data read grows 10×, the
+    // fused mask+zonal pass is per-tile).
+    import graft.raster.{RasterQueries, SyntheticEnv, TileLake}
+    val rg1 = SyntheticEnv.grid
+    val rg10 = rg1.copy(tilesX = rg1.tilesX * 10)
+    val lake1 = TileLake.defaultDir
+    TileLake.ensureWritten(spark, lake1)
+    val lake10 = s"$outDir/tile_lake_10x"
+    TileLake.ensureWrittenFor(spark, lake10, rg10)
+    def timedDf(f: => org.apache.spark.sql.DataFrame): Double = {
+      f.count(); val t0 = System.nanoTime(); f.count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val aoiFixed = Seq(
+      (0.3513, 40.6821), (3.1242, 40.9753), (3.7081, 43.2517), (0.8472, 42.8391))
+    def fullExtent(g: graft.raster.Grid): Seq[(Double, Double)] = {
+      val lonHi = g.originLon + g.tilesX * g.tileDeg - 0.01
+      val latLo = g.originLat - g.tilesY * g.tileDeg + 0.01
+      Seq((g.originLon + 0.01, latLo), (lonHi, latLo),
+        (lonHi, g.originLat - 0.01), (g.originLon + 0.01, g.originLat - 0.01))
+    }
+    val zFix1 = timedDf(RasterQueries.probeZonal(spark, lake1, rg1, aoiFixed))
+    val zFix10 = timedDf(RasterQueries.probeZonal(spark, lake10, rg10, aoiFixed))
+    val zFull1 = timedDf(RasterQueries.probeZonal(spark, lake1, rg1, fullExtent(rg1)))
+    val zFull10 = timedDf(RasterQueries.probeZonal(spark, lake10, rg10, fullExtent(rg10)))
+    println(f"""{"query":"zonal_fixed_aoi_pruned","sec_1x":$zFix1%.2f,"sec_10x":$zFix10%.2f,"exponent":${math.log10(zFix10 / zFix1)}%.2f,"expect":"~0 (pruned)"}""")
+    println(f"""{"query":"zonal_full_extent","sec_1x":$zFull1%.2f,"sec_10x":$zFull10%.2f,"exponent":${math.log10(zFull10 / zFull1)}%.2f,"expect":"~1 (linear)"}""")
     spark.stop()
   }
 

@@ -583,6 +583,32 @@ object RasterQueries extends QueryModule {
          |FROM parts GROUP BY p.k""".stripMargin)
   }
 
+  /** r9's zonal shape, parameterized for [[graft.ScaleProbe]]: the
+    * same tile-id-pruned scan → scanline mask → fused tile_zonal over
+    * ANY lake grid and AOI, so the probe can measure (a) a fixed AOI
+    * against a 10× lake (partition pruning ⇒ flat) and (b) a 10× AOI
+    * against the 10× lake (data read grows 10× ⇒ linear). */
+  private[graft] def probeZonal(spark: SparkSession, dir: String,
+                                pg: Grid,
+                                poly: Seq[(Double, Double)]): DataFrame = {
+    graft.functions.GraftFunctions.install(spark)
+    val gj = geoJson(poly)
+    val (bxmin, bymin, bxmax, bymax) = bbox(poly)
+    val ids = TileLake.tileIdsForBbox(pg, bxmin, bymin, bxmax, bymax)
+    TileLake.scanPruned(spark, dir, ids)
+      .createOrReplaceTempView("probe_lake_scan")
+    spark.sql(
+      s"""WITH arrs AS (SELECT px_landcover AS keys,
+         |  grid_arr('microha', ty, ${pg.originLat}, ${pg.tileDeg}, ${pg.pxPerTile}) AS vals,
+         |  tile_mask('$gj', tx, ty, ${pg.originLon}, ${pg.originLat}, ${pg.tilesX}, ${pg.tilesY}, ${pg.tileDeg}, ${pg.pxPerTile}) AS mask
+         | FROM probe_lake_scan),
+         |parts AS (SELECT explode(tile_zonal(keys, vals, mask)) AS p FROM arrs)
+         |SELECT p.k AS landcover,
+         |  CAST(sum(p.s) AS DOUBLE) / 1000000.0 AS area_ha,
+         |  sum(p.c) AS pixel_count
+         |FROM parts GROUP BY p.k""".stripMargin)
+  }
+
   // J5 on the raster path: the SAME query under a version override —
   // umd_tree_cover_loss resolves to v1 (year = 2000 + w % 25) instead
   // of the latest v2 (2001 + w % 24); the data environment re-derives

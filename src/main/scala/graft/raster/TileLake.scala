@@ -42,11 +42,16 @@ object TileLake {
 
   /** Write the synthetic environment's tiles (idempotent per target
     * dir): one row per tile carrying the raw band arrays. */
-  def ensureWritten(spark: SparkSession, dir: String): Unit = synchronized {
+  def ensureWritten(spark: SparkSession, dir: String): Unit =
+    ensureWrittenFor(spark, dir, SyntheticEnv.grid)
+
+  /** The synthetic lake on an arbitrary grid — the scale probe builds
+    * a 10× tile count through this (same formulas, wider extent). */
+  private[graft] def ensureWrittenFor(spark: SparkSession, dir: String,
+                                      g: Grid): Unit = synchronized {
     val marker = new java.io.File(s"$dir/_SUCCESS")
     if (marker.exists()) return
     import SyntheticEnv._
-    val g = grid
     val px = g.pxPerTile * g.pxPerTile
     val sGx = s"(tx * ${g.pxPerTile} + i % ${g.pxPerTile})"
     val sGy = s"(ty * ${g.pxPerTile} + i DIV ${g.pxPerTile})"

@@ -60,7 +60,11 @@ object SimQueries extends QueryModule {
        |  AND ${dDot("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.4""".stripMargin
 
   private def e4Ctes(bandBits: Int): String =
-    s"""sig AS (SELECT vec_id, rph_sig(v, 48, $bandBits) AS sg FROM n),
+    // plane count scales WITH band width (8 bands always): widening a
+    // band narrows its collision probability p^bits, so holding the
+    // band count at 8 keeps recall ≈ 1-(1-p^bits)^8 from also decaying
+    // with the width. 6 bits ⇒ the oracle-pinned 48 planes.
+    s"""sig AS (SELECT vec_id, rph_sig(v, ${8 * bandBits}, $bandBits) AS sg FROM n),
        |b AS (SELECT vec_id, t, bv FROM sig LATERAL VIEW posexplode(sg) x AS t, bv),
        |cand AS (SELECT DISTINCT a.vec_id AS i, b2.vec_id AS j
        |  FROM b a JOIN b b2 ON a.t = b2.t AND a.bv = b2.bv AND a.vec_id < b2.vec_id),
