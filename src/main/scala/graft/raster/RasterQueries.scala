@@ -842,6 +842,20 @@ object RasterQueries extends QueryModule {
       x0 = -400000.0, yTop = 1900000.0, pixelM = 10000.0,
       tilesX = 2, tilesY = 2, pxPerTile = 20)
 
+  /** r17: the same parameter-key move through a Lambert conformal
+    * conic (CT 8, parallels 33/45, origin 39/−96 — the CONUS LCC
+    * shape): conformal where r16's cone is equal-area, pinning that
+    * the geokey path is CT-generic, not an Albers special case. */
+  private val r17Params: Map[Int, Double] = Map(
+    3075 -> 8.0,    // ProjCoordTrans: CT_LambertConfConic_2SP
+    3078 -> 33.0, 3079 -> 45.0,
+    3085 -> 39.0, 3084 -> -96.0,
+    3086 -> 0.0, 3087 -> 0.0)
+  private def r17Lattice: Warp.ProjectedLattice =
+    Warp.ProjectedLattice(Warp.LambertConformalConic.fromGeoKeys(r17Params),
+      x0 = -400000.0, yTop = 500000.0, pixelM = 10000.0,
+      tilesX = 2, tilesY = 2, pxPerTile = 20)
+
   /** Shared projected-CRS ingest driver for r14/r15: write the 2×2
     * source tile lattice in the projection's meters, run the raster
     * creation DAG with unify_projection, and histogram the warped
@@ -895,6 +909,9 @@ object RasterQueries extends QueryModule {
 
   private def albersIngest(spark: SparkSession, sfDir: String): DataFrame =
     projIngest(spark, sfDir, "r16", r16Lattice, 32767, r16Params)
+
+  private def lccIngest(spark: SparkSession, sfDir: String): DataFrame =
+    projIngest(spark, sfDir, "r17", r17Lattice, 32767, r17Params)
 
   private def projIngestOracle(latt: Warp.ProjectedLattice): String = {
     val tm = latt.proj
@@ -988,7 +1005,8 @@ object RasterQueries extends QueryModule {
       ("rs12_float_otf" -> (floatOtfQuery _)) +
       ("r14_utm_ingest" -> (utmIngest _)) +
       ("r15_cea_ingest" -> (ceaIngest _)) +
-      ("r16_albers_ingest" -> (albersIngest _))
+      ("r16_albers_ingest" -> (albersIngest _)) +
+      ("r17_lcc_ingest" -> (lccIngest _))
 
   override def oracles: Map[String, String] =
     sqls.flatMap(q => q.oracleSql.map(q.name -> _)).toMap +
@@ -1005,5 +1023,6 @@ object RasterQueries extends QueryModule {
       ("rs12_float_otf" -> floatOtfOracle) +
       ("r14_utm_ingest" -> projIngestOracle(r14Lattice)) +
       ("r15_cea_ingest" -> projIngestOracle(r15Lattice)) +
-      ("r16_albers_ingest" -> projIngestOracle(r16Lattice))
+      ("r16_albers_ingest" -> projIngestOracle(r16Lattice)) +
+      ("r17_lcc_ingest" -> projIngestOracle(r17Lattice))
 }

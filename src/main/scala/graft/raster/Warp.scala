@@ -144,6 +144,7 @@ object Warp {
     else if (epsg == 6933) Some(CylindricalEqualArea.ease2)
     else geoParams.get(3075).map(_.toInt) match {
       case Some(11) => Some(AlbersEqualArea.fromGeoKeys(geoParams))
+      case Some(8) => Some(LambertConformalConic.fromGeoKeys(geoParams))
       case _ => None
     }
 
@@ -534,6 +535,109 @@ object Warp {
     def ySql: String = {
       def d(v: Double) = s"CAST(${java.lang.Double.toString(v)} AS DOUBLE)"
       s"${d(rho0)} - ${d(rhoK)} * sqrt(${d(bigC)} - ${d(coneN)} * q_) * cos(${d(coneN)} * dlam_) + ${d(falseN)}"
+    }
+  }
+
+  /** Ellipsoidal Lambert conformal conic, two standard parallels
+    * (Snyder PP 1395, eqs. 15-1..15-11; inverse via the conformal-
+    * latitude series 3-5) — the conic national topographic and
+    * aviation grids ship in, built like Albers from GeoTIFF parameter
+    * keys (CT 8, LambertConfConic_2SP). Conformal where Albers is
+    * equal-area: same cone machinery (n, ρ0, θ = n·Δλ), but radius
+    * follows the isometric t(φ) instead of the authalic q(φ). */
+  final case class LambertConformalConic(lat1Deg: Double, lat2Deg: Double,
+                                         lat0Deg: Double, lon0Deg: Double,
+                                         falseE: Double, falseN: Double)
+      extends Projection {
+    import TransverseMercator.{A, E2}
+    private val e: Double = Math.sqrt(E2)
+    val lam0: Double = Math.toRadians(lon0Deg)
+    /** Isometric t (Snyder 15-9). Association mirrors the SQL. */
+    private def tOf(phi: Double): Double = {
+      val s = Math.sin(phi)
+      Math.tan(Math.PI / 4 - phi / 2) /
+        Math.pow((1.0 - e * s) / (1.0 + e * s), e / 2)
+    }
+    private def mOf(phi: Double): Double = {
+      val s = Math.sin(phi)
+      Math.cos(phi) / Math.sqrt(1.0 - E2 * s * s)
+    }
+    /** Cone constant (Snyder 15-8); equal parallels → n = sinφ1. */
+    val coneN: Double = {
+      val p1 = Math.toRadians(lat1Deg)
+      val p2 = Math.toRadians(lat2Deg)
+      if (math.abs(lat1Deg - lat2Deg) < 1e-12) Math.sin(p1)
+      else (Math.log(mOf(p1)) - Math.log(mOf(p2))) /
+        (Math.log(tOf(p1)) - Math.log(tOf(p2)))
+    }
+    require(math.abs(coneN) > 1e-12,
+      s"degenerate Lambert cone (symmetric parallels $lat1Deg/$lat2Deg)")
+    /** A·F with F = m1/(n·t1ⁿ) (Snyder 15-10), factored so Scala and
+      * SQL evaluate the identical op sequence ρ = AF·tⁿ. */
+    private val aF: Double = {
+      val p1 = Math.toRadians(lat1Deg)
+      A * (mOf(p1) / (coneN * Math.pow(tOf(p1), coneN)))
+    }
+    val rho0: Double = aF * Math.pow(tOf(Math.toRadians(lat0Deg)), coneN)
+    // conformal→geodetic series coefficients (Snyder 3-5)
+    private val C1: Double = E2 / 2 + 5 * E2 * E2 / 24 + E2 * E2 * E2 / 12
+    private val C2: Double = 7 * E2 * E2 / 48 + 29 * E2 * E2 * E2 / 240
+    private val C3: Double = 7 * E2 * E2 * E2 / 120
+
+    def forward(latDeg: Double, lonDeg: Double): (Double, Double) = {
+      val t = tOf(Math.toRadians(latDeg))
+      val dlam = Math.toRadians(lonDeg) - lam0
+      // association mirrors xSql/ySql exactly
+      (aF * Math.pow(t, coneN) * Math.sin(coneN * dlam) + falseE,
+        rho0 - aF * Math.pow(t, coneN) * Math.cos(coneN * dlam) + falseN)
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val xp = x - falseE
+      val yp = rho0 - (y - falseN)
+      val rho = Math.hypot(xp, yp)
+      val theta =
+        if (coneN >= 0) Math.atan2(xp, yp) else Math.atan2(-xp, -yp)
+      val t = Math.pow(rho / aF, 1.0 / coneN)
+      val chi = Math.PI / 2 - 2.0 * Math.atan(t)
+      val lat = chi + C1 * Math.sin(2 * chi) + C2 * Math.sin(4 * chi) +
+        C3 * Math.sin(6 * chi)
+      (Math.toDegrees(lat), Math.toDegrees(lam0 + theta / coneN))
+    }
+
+    /** DuckDB SQL mirror of [[forward]] (same parity contract as the
+      * other projections). */
+    def forwardSelect(lat: String, lon: String): String = {
+      def d(v: Double) = s"CAST(${java.lang.Double.toString(v)} AS DOUBLE)"
+      s"""radians($lon) - ${d(lam0)} AS dlam_,
+         |tan(pi() / 4 - radians($lat) / 2) /
+         |  power((1.0 - ${d(e)} * sin(radians($lat))) / (1.0 + ${d(e)} * sin(radians($lat))), ${d(e / 2)}) AS t_""".stripMargin
+    }
+    def xSql: String = {
+      def d(v: Double) = s"CAST(${java.lang.Double.toString(v)} AS DOUBLE)"
+      s"${d(aF)} * power(t_, ${d(coneN)}) * sin(${d(coneN)} * dlam_) + ${d(falseE)}"
+    }
+    def ySql: String = {
+      def d(v: Double) = s"CAST(${java.lang.Double.toString(v)} AS DOUBLE)"
+      s"${d(rho0)} - ${d(aF)} * power(t_, ${d(coneN)}) * cos(${d(coneN)} * dlam_) + ${d(falseN)}"
+    }
+  }
+
+  object LambertConformalConic {
+    /** Build from GeoTIFF projection geokeys (CT 8) — same key scheme
+      * as [[AlbersEqualArea.fromGeoKeys]]. */
+    def fromGeoKeys(p: Map[Int, Double]): LambertConformalConic = {
+      def req(id: Int, what: String): Double = p.getOrElse(id,
+        throw new IllegalArgumentException(
+          s"Lambert GeoKeyDirectory missing $what (key $id)"))
+      def either(a: Int, b: Int): Double = p.getOrElse(a, p.getOrElse(b, 0.0))
+      LambertConformalConic(
+        lat1Deg = req(3078, "ProjStdParallel1"),
+        lat2Deg = req(3079, "ProjStdParallel2"),
+        lat0Deg = either(3085, 3081),
+        lon0Deg = either(3084, 3080),
+        falseE = either(3086, 3082),
+        falseN = either(3087, 3083))
     }
   }
 

@@ -235,6 +235,62 @@ class WarpSpec extends AnyFunSuite {
     assert(all.distinct.length == all.length, "overlapping ownership")
   }
 
+  test("Lambert conformal conic from geokeys: origin, parallels, conformality") {
+    val params = Map[Int, Double](
+      3075 -> 8.0, 3078 -> 33.0, 3079 -> 45.0,
+      3085 -> 39.0, 3084 -> -96.0, 3086 -> 0.0, 3087 -> 0.0)
+    val lcc = Warp.LambertConformalConic.fromGeoKeys(params)
+    // the origin projects to (FE, FN)
+    val (x0, y0) = lcc.forward(39.0, -96.0)
+    assert(math.abs(x0) < 1e-6 && math.abs(y0) < 1e-6, s"origin → ($x0, $y0)")
+    // scale along each standard parallel is 1
+    for (latS <- Seq(33.0, 45.0)) {
+      val dLon = 0.01
+      val (xa, ya) = lcc.forward(latS, -96.0)
+      val (xb, yb) = lcc.forward(latS, -96.0 + dLon)
+      val planar = math.hypot(xb - xa, yb - ya)
+      val s = math.sin(math.toRadians(latS))
+      val nu = Warp.TransverseMercator.A /
+        math.sqrt(1 - Warp.TransverseMercator.E2 * s * s)
+      val arc = nu * math.cos(math.toRadians(latS)) * math.toRadians(dLon)
+      assert(math.abs(planar / arc - 1.0) < 1e-6, s"k at $latS = ${planar / arc}")
+    }
+    // CONFORMALITY (the property Albers lacks): local scale is
+    // direction-independent — compare the parallel-wise and
+    // meridian-wise finite-difference scales off the std parallels
+    for (lat <- Seq(36.0, 42.0)) {
+      val eps = 1e-4
+      val (xa, ya) = lcc.forward(lat, -100.0)
+      val (xb, yb) = lcc.forward(lat, -100.0 + eps)
+      val (xc, yc) = lcc.forward(lat + eps, -100.0)
+      val s = math.sin(math.toRadians(lat))
+      val w = math.sqrt(1 - Warp.TransverseMercator.E2 * s * s)
+      val nu = Warp.TransverseMercator.A / w
+      val rhoM = Warp.TransverseMercator.A *
+        (1 - Warp.TransverseMercator.E2) / (w * w * w)
+      val kPar = math.hypot(xb - xa, yb - ya) /
+        (nu * math.cos(math.toRadians(lat)) * math.toRadians(eps))
+      val kMer = math.hypot(xc - xa, yc - ya) / (rhoM * math.toRadians(eps))
+      assert(math.abs(kPar / kMer - 1.0) < 1e-4,
+        s"anisotropy at $lat: $kPar vs $kMer")
+    }
+    // round-trip: 1e-7° ≈ 1 cm (conformal-latitude series level)
+    for (li <- 0 to 6; lj <- 0 to 6) {
+      val lat = 28.0 + li * 3.5
+      val lon = -118.0 + lj * 7.0
+      val (x, y) = lcc.forward(lat, lon)
+      val (la, lo) = lcc.inverse(x, y)
+      assert(math.abs(la - lat) < 1e-7 && math.abs(lo - lon) < 1e-7,
+        s"round-trip ($lat, $lon) → ($la, $lo)")
+    }
+    // geokey resolution: CT 8 builds the conic
+    assert(Warp.projectionFor(32767, params)
+      .exists(_.isInstanceOf[Warp.LambertConformalConic]))
+    val e = intercept[IllegalArgumentException](
+      Warp.LambertConformalConic.fromGeoKeys(Map(3075 -> 8.0)))
+    assert(e.getMessage.contains("3078"))
+  }
+
   test("geokey params round-trip through the GeoTIFF writer/reader") {
     val params = Map[Int, Double](
       3075 -> 11.0, 3078 -> 29.5, 3079 -> 45.5,
