@@ -142,6 +142,15 @@ object Warp {
   def projectionFor(epsg: Int, geoParams: Map[Int, Double]): Option[Projection] =
     if (TransverseMercator.isUtm(epsg)) Some(TransverseMercator.utm(epsg))
     else if (epsg == 6933) Some(CylindricalEqualArea.ease2)
+    // conic codes whose EPSG parameter sets are public registry
+    // entries — resolved through the same parameter constructors the
+    // geokey path uses (GRS80 vs WGS84 flattening differs below the
+    // mm level, the usual GIS-practice equivalence)
+    else if (epsg == 5070 || epsg == 5071) // NAD83 / CONUS Albers
+      Some(AlbersEqualArea(29.5, 45.5, 23.0, -96.0, 0.0, 0.0))
+    else if (epsg == 3347) // NAD83 / Statistics Canada Lambert
+      Some(LambertConformalConic(49.0, 77.0, 63.390675, -91.866667,
+        6200000.0, 3000000.0))
     else geoParams.get(3075).map(_.toInt) match {
       case Some(11) => Some(AlbersEqualArea.fromGeoKeys(geoParams))
       case Some(8) => Some(LambertConformalConic.fromGeoKeys(geoParams))

@@ -289,6 +289,13 @@ class WarpSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](
       Warp.LambertConformalConic.fromGeoKeys(Map(3075 -> 8.0)))
     assert(e.getMessage.contains("3078"))
+    // registry conic codes resolve without geokeys (CONUS Albers,
+    // StatCan Lambert) — same constructors as the parameter path
+    assert(Warp.projectionFor(5070).exists(_.isInstanceOf[Warp.AlbersEqualArea]))
+    val statcan = Warp.projectionFor(3347).get
+    // its origin projects to the registry false easting/northing
+    val (sx, sy) = statcan.forward(63.390675, -91.866667)
+    assert(math.abs(sx - 6200000.0) < 1e-6 && math.abs(sy - 3000000.0) < 1e-6)
   }
 
   test("geokey params round-trip through the GeoTIFF writer/reader") {
