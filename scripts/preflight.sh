@@ -11,7 +11,10 @@ echo "[preflight] sbt compile"
 sbt -batch compile
 
 echo "[preflight] graft.Smoke (entry rows on sf0.001)"
-rows=$(sbt -batch 'runMain graft.Smoke' 2>&1 | grep -o 'ENTRY_ROWS=[0-9]*' | cut -d= -f2)
+# `|| true` keeps set -e from killing the script when Smoke crashes
+# before printing the marker — the branch below owns that diagnostic
+rows=$(sbt -batch 'runMain graft.Smoke' 2>&1 \
+  | grep -o 'ENTRY_ROWS=[0-9]*' | tail -1 | cut -d= -f2 || true)
 if [ -z "${rows:-}" ] || [ "$rows" -le 0 ]; then
   echo "[preflight] FAIL: ENTRY_ROWS=${rows:-none}" >&2
   exit 1

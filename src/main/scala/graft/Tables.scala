@@ -70,7 +70,12 @@ object Tables {
         }
       }
       loadFailures = failures
-      registeredFor = Some((spark, sfDir))
+      // latch the (session, dir) pair only on a clean registration: a
+      // transiently unreadable table (mid-rewrite, fs blip) must stay
+      // retryable — the next register() call reloads instead of
+      // serving the cached failure for the session's lifetime
+      if (failures.isEmpty) registeredFor = Some((spark, sfDir))
+      else registeredFor = None
     }
   }
 }

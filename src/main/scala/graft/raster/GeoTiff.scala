@@ -510,7 +510,7 @@ object GeoTiff {
         CogLevelMeta(w, h, blks.map(_.length).toArray) },
       blockSize, spp, r.sampleType, pred, compCode,
       r.originX, r.originY, r.pixelScale, r.pixelScaleY, r.epsg,
-      l => packed(l)._3.iterator)
+      l => packed(l)._3.iterator, geoParams = r.geoParams)
   }
 
   /** Predictor choice for a compressed COG block (GDAL's default):
@@ -616,8 +616,11 @@ object GeoTiff {
       sampleType: SampleType, pred: Int, compCode: Int,
       originX: Double, originY: Double,
       pixelScale: Double, pixelScaleY: Double, epsg: Int,
-      data: Int => Iterator[Array[Byte]]): Unit = {
-    val geoKeys = geoKeysFor(epsg)
+      data: Int => Iterator[Array[Byte]],
+      geoParams: Map[Int, Double] = Map.empty): Unit = {
+    val (geoKeys, geoDbls) =
+      if (geoParams.nonEmpty) geoKeysWithParams(epsg, geoParams)
+      else (geoKeysFor(epsg), Array.empty[Double])
     // per-level IFD tags (ascending): multi-band levels add
     // PlanarConfig + ExtraSamples, like the strip writer
     def levelTags(l: Int, lv: CogLevelMeta): Seq[Tag] = {
@@ -656,6 +659,9 @@ object GeoTiff {
           ext = doubles(Seq(0.0, 0.0, 0.0, originX, originY, 0.0)))
         tags += Tag(TGeoKeys, 3, geoKeys.length,
           ext = shorts(geoKeys.map(_.toInt)))
+        if (geoDbls.nonEmpty)
+          tags += Tag(TGeoDoubles, 12, geoDbls.length,
+            ext = doubles(geoDbls.toSeq))
       }
       tags.result()
     }

@@ -566,21 +566,12 @@ object RasterQueries extends QueryModule {
     * intersecting `tile_id=` partitions are listed and read. */
   private def tileLakeZonal(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.register(spark, sfDir)
-    val dir = TileLake.defaultDir
-    TileLake.ensureWritten(spark, dir)
-    val (bxmin, bymin, bxmax, bymax) = bbox(aoi)
-    val ids = TileLake.tileIdsForBbox(g, bxmin, bymin, bxmax, bymax)
-    TileLake.scanPruned(spark, dir, ids).createOrReplaceTempView("tile_lake_scan")
-    spark.sql(
-      s"""WITH arrs AS (SELECT px_landcover AS keys,
-         |  $microhaArr AS vals,
-         |  ${tileMaskCall(s"'$aoiGeoJson'")} AS mask
-         | FROM tile_lake_scan),
-         |parts AS (SELECT explode(tile_zonal(keys, vals, mask)) AS p FROM arrs)
-         |SELECT p.k AS landcover, ${decode("p.k")} AS landcover_name,
-         |  CAST(sum(p.s) AS DOUBLE) / 1000000.0 AS area_ha,
-         |  sum(p.c) AS pixel_count
-         |FROM parts GROUP BY p.k""".stripMargin)
+    TileLake.ensureWritten(spark, TileLake.defaultDir)
+    // one zonal pipeline ([[probeZonal]]) serves both r9 and the scale
+    // probe — the dictionary decode is a post-aggregation projection
+    probeZonal(spark, TileLake.defaultDir, g, aoi)
+      .selectExpr("landcover", s"${decode("landcover")} AS landcover_name",
+        "area_ha", "pixel_count")
   }
 
   /** r9's zonal shape, parameterized for [[graft.ScaleProbe]]: the

@@ -604,7 +604,10 @@ object Warp {
     def inverse(x: Double, y: Double): (Double, Double) = {
       val xp = x - falseE
       val yp = rho0 - (y - falseN)
-      val rho = Math.hypot(xp, yp)
+      // ρ carries the cone's sign (Snyder 15-11): southern cones have
+      // n < 0 AND aF < 0, and ρ/aF must stay positive or the
+      // fractional pow below is NaN
+      val rho = (if (coneN >= 0) 1.0 else -1.0) * Math.hypot(xp, yp)
       val theta =
         if (coneN >= 0) Math.atan2(xp, yp) else Math.atan2(-xp, -yp)
       val t = Math.pow(rho / aF, 1.0 / coneN)
@@ -636,17 +639,22 @@ object Warp {
     /** Build from GeoTIFF projection geokeys (CT 8) — same key scheme
       * as [[AlbersEqualArea.fromGeoKeys]]. */
     def fromGeoKeys(p: Map[Int, Double]): LambertConformalConic = {
-      def req(id: Int, what: String): Double = p.getOrElse(id,
-        throw new IllegalArgumentException(
-          s"Lambert GeoKeyDirectory missing $what (key $id)"))
-      def either(a: Int, b: Int): Double = p.getOrElse(a, p.getOrElse(b, 0.0))
+      def req(id: Int, alt: Int, what: String): Double =
+        p.getOrElse(id, p.getOrElse(alt,
+          throw new IllegalArgumentException(
+            s"Lambert GeoKeyDirectory missing $what (key $id or $alt)")))
+      def opt(a: Int, b: Int): Double = p.getOrElse(a, p.getOrElse(b, 0.0))
       LambertConformalConic(
-        lat1Deg = req(3078, "ProjStdParallel1"),
-        lat2Deg = req(3079, "ProjStdParallel2"),
-        lat0Deg = either(3085, 3081),
-        lon0Deg = either(3084, 3080),
-        falseE = either(3086, 3082),
-        falseN = either(3087, 3083))
+        lat1Deg = req(3078, 3078, "ProjStdParallel1"),
+        lat2Deg = req(3079, 3079, "ProjStdParallel2"),
+        // origin keys are load-bearing georeferencing — a writer that
+        // omitted them produced a broken file; silently centering on
+        // 0/0 would warp every pixel thousands of km off
+        lat0Deg = req(3085, 3081, "ProjFalseOriginLat/ProjNatOriginLat"),
+        lon0Deg = req(3084, 3080, "ProjFalseOriginLong/ProjNatOriginLong"),
+        // false offsets legitimately default to 0
+        falseE = opt(3086, 3082),
+        falseN = opt(3087, 3083))
     }
   }
 
@@ -657,17 +665,22 @@ object Warp {
       * writers split between the two; false easting/northing likewise
       * (3086/3082, 3087/3083). Missing parallels fail fast. */
     def fromGeoKeys(p: Map[Int, Double]): AlbersEqualArea = {
-      def req(id: Int, what: String): Double = p.getOrElse(id,
-        throw new IllegalArgumentException(
-          s"Albers GeoKeyDirectory missing $what (key $id)"))
-      def either(a: Int, b: Int): Double = p.getOrElse(a, p.getOrElse(b, 0.0))
+      def req(id: Int, alt: Int, what: String): Double =
+        p.getOrElse(id, p.getOrElse(alt,
+          throw new IllegalArgumentException(
+            s"Albers GeoKeyDirectory missing $what (key $id or $alt)")))
+      def opt(a: Int, b: Int): Double = p.getOrElse(a, p.getOrElse(b, 0.0))
       AlbersEqualArea(
-        lat1Deg = req(3078, "ProjStdParallel1"),
-        lat2Deg = req(3079, "ProjStdParallel2"),
-        lat0Deg = either(3085, 3081),
-        lon0Deg = either(3084, 3080),
-        falseE = either(3086, 3082),
-        falseN = either(3087, 3083))
+        lat1Deg = req(3078, 3078, "ProjStdParallel1"),
+        lat2Deg = req(3079, 3079, "ProjStdParallel2"),
+        // origin keys are load-bearing georeferencing — a writer that
+        // omitted them produced a broken file; silently centering on
+        // 0/0 would warp every pixel thousands of km off
+        lat0Deg = req(3085, 3081, "ProjFalseOriginLat/ProjNatOriginLat"),
+        lon0Deg = req(3084, 3080, "ProjFalseOriginLong/ProjNatOriginLong"),
+        // false offsets legitimately default to 0
+        falseE = opt(3086, 3082),
+        falseN = opt(3087, 3083))
     }
   }
 }

@@ -60,10 +60,12 @@ object SimQueries extends QueryModule {
        |  AND ${dDot("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.4""".stripMargin
 
   private def e4Ctes(bandBits: Int): String =
-    // plane count scales WITH band width (8 bands always): widening a
-    // band narrows its collision probability p^bits, so holding the
-    // band count at 8 keeps recall ≈ 1-(1-p^bits)^8 from also decaying
-    // with the width. 6 bits ⇒ the oracle-pinned 48 planes.
+    // rph_sig(v, TABLES, bits): the table (band) count scales with
+    // the width as 8×bits — widening a band cuts its collision
+    // probability p^bits, so growing the table count partially
+    // compensates recall = 1-(1-p^bits)^tables (measured at 10×:
+    // 0.844 with 64 tables of 8 bits vs 0.756 holding 48 tables).
+    // 6 bits ⇒ 48 tables, the oracle-pinned configuration exactly.
     s"""sig AS (SELECT vec_id, rph_sig(v, ${8 * bandBits}, $bandBits) AS sg FROM n),
        |b AS (SELECT vec_id, t, bv FROM sig LATERAL VIEW posexplode(sg) x AS t, bv),
        |cand AS (SELECT DISTINCT a.vec_id AS i, b2.vec_id AS j
@@ -85,7 +87,7 @@ object SimQueries extends QueryModule {
 
   /** Auto-sized band width: the smallest width keeping expected
     * per-band bucket occupancy (n / 2^bits) at or under ~100 vectors,
-    * from the ladder of widths that divide the 48 hyperplanes. The
+    * from a small discrete ladder. The
     * calibration points are measured (`BENCH_sf1.md`): 6 bits is full
     * recall at the 2k-vector fixture, 8 bits restores linear scaling
     * at 10× (20k). Candidate pairs grow with occupancy², so a pinned

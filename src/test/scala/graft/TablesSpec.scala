@@ -35,6 +35,15 @@ class TablesSpec extends AnyFunSuite {
       // referencing the broken table raises (view absent), not silently empty
       val err = intercept[Exception](spark.sql("SELECT count(*) FROM events").collect())
       assert(err.getMessage.toLowerCase.contains("events"))
+      // a failed registration is NOT latched: once the file is fixed,
+      // the next register() heals the session instead of serving the
+      // cached failure forever
+      java.nio.file.Files.delete(lake.resolve("events.parquet"))
+      Files.createSymbolicLink(lake.resolve("events.parquet"),
+        src.resolve("events.parquet"))
+      Tables.register(spark, lake.toString)
+      assert(Tables.loadErrors.isEmpty)
+      assert(spark.sql("SELECT count(*) AS n FROM events").collect()(0).getLong(0) > 0L)
     } finally {
       // restore the real lake for any suite sharing this session
       Tables.register(spark, "/root/testdata/sf0.001")

@@ -289,6 +289,17 @@ class WarpSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](
       Warp.LambertConformalConic.fromGeoKeys(Map(3075 -> 8.0)))
     assert(e.getMessage.contains("3078"))
+    // southern-hemisphere cone (negative parallels, coneN < 0 — the
+    // Australia/Argentina national-grid case): the inverse must carry
+    // the cone's sign into ρ or pow(negative, 1/n) is NaN
+    val south = Warp.LambertConformalConic(-18.0, -36.0, -27.0, 134.0, 0.0, 0.0)
+    assert(south.coneN < 0)
+    for ((lat, lon) <- Seq((-25.0, 140.0), (-33.5, 121.2), (-12.1, 131.0))) {
+      val (xs, ys) = south.forward(lat, lon)
+      val (laS, loS) = south.inverse(xs, ys)
+      assert(math.abs(laS - lat) < 1e-7 && math.abs(loS - lon) < 1e-7,
+        s"southern round-trip ($lat, $lon) → ($laS, $loS)")
+    }
     // registry conic codes resolve without geokeys (CONUS Albers,
     // StatCan Lambert) — same constructors as the parameter path
     assert(Warp.projectionFor(5070).exists(_.isInstanceOf[Warp.AlbersEqualArea]))
@@ -311,6 +322,12 @@ class WarpSpec extends AnyFunSuite {
     assert(back.epsg == 32767)
     assert(back.geoParams == params)
     assert(back.bands.head.toSeq == r.bands.head.toSeq)
+    // the COG writer must carry the params too — a user-defined CRS
+    // with no parameter keys is an un-georeferenceable file
+    val pc = p.resolveSibling("t_cog.tif")
+    GeoTiff.writeCogRaster(pc, r, blockSize = 16)
+    val backCog = GeoTiff.readRaster(java.nio.file.Files.readAllBytes(pc))
+    assert(backCog.epsg == 32767 && backCog.geoParams == params)
   }
 
   test("equator tile is (nearly) isotropic; polar tile is rejected") {
