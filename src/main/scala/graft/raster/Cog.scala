@@ -153,11 +153,18 @@ object Cog {
         .persist(StorageLevel.MEMORY_AND_DISK))
     }
 
-    // 3. encode on executors; the driver sees sizes, then streams
+    // 3. encode on executors; the driver sees sizes, then streams.
+    // Ordering uses a DETERMINISTIC range partitioner over the known
+    // block-index space — sortByKey would run a sampling job per
+    // level just to learn bounds we already have.
     val encoded = levels.toSeq.map { lv =>
-      lv.blocks.map { case (i, blk) =>
+      val nBlocks = across(lv.w).toLong * ndown(lv.h)
+      val enc = lv.blocks.map { case (i, blk) =>
         (i, GeoTiff.encodeBlock(Seq(blk), B, sampleType, pred, compCode))
-      }.sortByKey().persist(StorageLevel.MEMORY_AND_DISK)
+      }
+      enc.repartitionAndSortWithinPartitions(
+        new BlockRangePartitioner(partsFor(nBlocks.toInt), nBlocks))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     }
     try {
       val meta = levels.toSeq.zip(encoded).map { case (lv, enc) =>
@@ -171,6 +178,19 @@ object Cog {
       levels.foreach(_.blocks.unpersist(blocking = false))
     }
     nTiles
+  }
+
+  /** Contiguous equal ranges of the block-index space — partition p
+    * holds keys [p·n/parts, (p+1)·n/parts), so iterating partitions
+    * in order (with keys sorted within each) yields the global
+    * row-major block order `toLocalIterator` streams to the file. */
+  private final class BlockRangePartitioner(parts: Int, nBlocks: Long)
+      extends org.apache.spark.Partitioner {
+    override def numPartitions: Int = parts
+    override def getPartition(key: Any): Int = {
+      val i = key.asInstanceOf[Int].toLong
+      math.min(parts - 1, (i * parts / nBlocks).toInt)
+    }
   }
 
   private def anyToDouble(a: Any): Double = a match {
