@@ -34,11 +34,6 @@ class CogSpec extends AnyFunSuite {
     rows.toDF("tile_id", "tx", "ty", "px_value")
       .write.mode("overwrite").parquet(lake)
 
-    val outDir = java.nio.file.Files.createTempDirectory("cog_out")
-    val distPath = outDir.resolve("dist.tif")
-    val n = Cog.buildFromLake(spark, lake, "px_value", g, 16, distPath)
-    assert(n == 5)
-
     // the legacy path: full mosaic in memory
     val w = g.pxX; val h = g.pxY
     val px = new Array[Int](w * h)
@@ -50,17 +45,28 @@ class CogSpec extends AnyFunSuite {
         i += 1
       }
     }
-    val memPath = outDir.resolve("mem.tif")
-    GeoTiff.writeCog(memPath,
-      GeoTiff.Tile(w, h, g.originLon, g.originLat, g.pixelDeg, px), 16)
 
-    val distBytes = java.nio.file.Files.readAllBytes(distPath)
-    val memBytes = java.nio.file.Files.readAllBytes(memPath)
-    assert(distBytes.length == memBytes.length,
-      s"${distBytes.length} vs ${memBytes.length} bytes")
-    assert(java.util.Arrays.equals(distBytes, memBytes))
+    val outDir = java.nio.file.Files.createTempDirectory("cog_out")
+    // 16: blocks smaller than a lake tile (fragments split tiles);
+    // 32: blocks LARGER than the 20-px tile (many tiles per block —
+    // the realistic shape, production blocks are 512 over 256-px
+    // tiles); 48: one block column swallows the whole 60-px width
+    for (blockSize <- Seq(16, 32, 48)) {
+      val distPath = outDir.resolve(s"dist_$blockSize.tif")
+      val n = Cog.buildFromLake(spark, lake, "px_value", g, blockSize, distPath)
+      assert(n == 5)
+      val memPath = outDir.resolve(s"mem_$blockSize.tif")
+      GeoTiff.writeCog(memPath,
+        GeoTiff.Tile(w, h, g.originLon, g.originLat, g.pixelDeg, px), blockSize)
+      val distBytes = java.nio.file.Files.readAllBytes(distPath)
+      val memBytes = java.nio.file.Files.readAllBytes(memPath)
+      assert(distBytes.length == memBytes.length,
+        s"block $blockSize: ${distBytes.length} vs ${memBytes.length} bytes")
+      assert(java.util.Arrays.equals(distBytes, memBytes), s"block $blockSize")
+    }
 
-    // and it reads back: 3 pyramid levels, base pixels = mosaic
+    // and it reads back: 3 pyramid levels at block 16, base = mosaic
+    val distBytes = java.nio.file.Files.readAllBytes(outDir.resolve("dist_16.tif"))
     val levels = GeoTiff.readLevels(distBytes)
     assert(levels.map(l => (l.width, l.height)) ==
       Seq((60, 40), (30, 20), (15, 10)))
