@@ -37,8 +37,20 @@ object Hist {
     val gmax = hs.map(_.max).max
     if (gmax == gmin)
       return Some(Hist(gmin, gmax, 1, Array(hs.map(_.counts.sum).sum)))
-    val minRes = hs.map(h => (h.max - h.min) / (h.binCount - 1)).min
-    val nb = math.ceil((gmax - gmin) / minRes).toInt
+    // finest resolution among NON-degenerate sources: a constant-valued
+    // tile (min == max) has resolution 0, which would explode the bin
+    // count to ceil(span/0) = Int.MaxValue and OOM the merge — its
+    // spike still re-bins below, it just cannot vote on the binning
+    val res = hs.collect {
+      case h if h.max > h.min && h.binCount > 1 =>
+        (h.max - h.min) / (h.binCount - 1)
+    }
+    val nb =
+      if (res.isEmpty) hs.map(_.binCount).max // only distinct spikes
+      else math.ceil((gmax - gmin) / res.min).toInt
+    require(nb <= (1 << 24),
+      s"histogram merge needs $nb bins (span ${gmax - gmin} at resolution " +
+        s"${res.min}) — beyond the 16M-bin sanity bound; coarsen the sources")
     val counts = new Array[Long](nb)
     hs.foreach { h =>
       var i = 0

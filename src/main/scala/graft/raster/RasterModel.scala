@@ -97,4 +97,12 @@ object SyntheticEnv {
     if (dataset.contains("landcover"))
       landcoverTable.map { case (k, v) => k.toLong -> v }
     else Map.empty
+
+  /** THE dictionary-decode CASE over [[landcoverTable]] for any key
+    * expression — identical text in both SQL dialects; every consumer
+    * derives from here so the decode rule cannot drift. */
+  def landcoverDecodeSql(keyExpr: String): String =
+    "CASE " + landcoverTable.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"WHEN $keyExpr = $k THEN '$v'" }.mkString(" ") +
+      " ELSE 'unknown' END"
 }

@@ -81,12 +81,8 @@ object RasterQueries extends QueryModule {
     s"WITH px AS (SELECT unnest(generate_series(0, ${g.pxX * g.pxY - 1})) AS p)"
 
   /** Dictionary decode CASE (identical text both dialects). */
-  private val landcoverDecode: String =
-    "CASE " + landcoverTable.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"WHEN KEYE = $k THEN '$v'" }.mkString(" ") +
-      " ELSE 'unknown' END"
   private def decode(keyExpr: String): String =
-    landcoverDecode.replace("KEYE", keyExpr)
+    SyntheticEnv.landcoverDecodeSql(keyExpr)
 
   private val sqls: Seq[SqlQ] = Seq(
 

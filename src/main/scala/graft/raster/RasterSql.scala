@@ -135,8 +135,20 @@ object RasterSql {
       case other => throw RasterSqlException(
         s"GROUP BY supports layer names only, got: ${other.sql}")
     }
+    // composite key packing: k = Σ keyᵢ·strideᵢ in one long. The
+    // product of key bounds must fit 63 bits or the packing silently
+    // wraps and unrelated groups collide — fail loudly instead (three
+    // float layers at the default 2^33 bound already overflow).
     val strides: Seq[Long] =
-      keyLayers.scanLeft(1L)((acc, l) => acc * l.keyBound).init
+      keyLayers.scanLeft(1L) { (acc, l) =>
+        if (acc > Long.MaxValue / l.keyBound)
+          throw RasterSqlException(
+            "GROUP BY key space overflows 63-bit packing: " +
+              keyLayers.map(k => s"${k.name}(2^${63 - java.lang.Long
+                .numberOfLeadingZeros(k.keyBound)})").mkString(" × ") +
+              " — group by fewer wide (float/date) layers")
+        acc * l.keyBound
+      }.init
 
     // ---- WHERE → PixelPred tree ----
     import PixelPreds._
@@ -398,8 +410,14 @@ object RasterSql {
     val aggs = sum(col("pc")).as("c") +:
       (0 until nv).map(i => sum(col(s"ps$i")).as(s"s$i"))
     val merged =
-      if (cq.isGlobal) parts.groupBy("fid").agg(aggs.head, aggs.tail: _*)
-      else parts.groupBy("fid", "k").agg(aggs.head, aggs.tail: _*)
+      if (cq.isGlobal) {
+        // parity with the single-AOI path: a feature whose mask+filter
+        // passes zero pixels still gets its global-aggregate row
+        // (COUNT coalesces to 0 downstream) — groupBy alone would drop
+        // the fid entirely where execute() returns one row
+        val grouped = parts.groupBy("fid").agg(aggs.head, aggs.tail: _*)
+        pairs.select("fid").distinct().join(grouped, Seq("fid"), "left")
+      } else parts.groupBy("fid", "k").agg(aggs.head, aggs.tail: _*)
     merged.selectExpr("fid" +:
       cq.outputs.map { case (n, e) => s"$e AS `$n`" }: _*)
   }

@@ -137,12 +137,20 @@ object ZonalEngine {
     import spark.implicits._
     val aois = bbs.map { case (fid, gj, bb) => (fid, gj, bb._1, bb._2, bb._3, bb._4) }
       .toDF("fid", "gj", "bxmin", "bymin", "bxmax", "bymax")
-    val pairs = lake.join(broadcast(aois),
+    RasterSql.executeBatch(tileBboxJoin(lake, aois, g), cq, env)
+  }
+
+  /** Broadcast bbox join of the AOI table against a (pruned) lake
+    * scan — THE (feature, tile) pairing rule both batch paths share.
+    * `aois` must carry `bxmin/bymin/bxmax/bymax` bbox columns. */
+  private def tileBboxJoin(lake: DataFrame, aois: DataFrame,
+                           g: Grid): DataFrame = {
+    import org.apache.spark.sql.functions._
+    lake.join(broadcast(aois),
       col("tx") * g.tileDeg + g.originLon < col("bxmax") &&
         col("tx") * g.tileDeg + g.originLon + g.tileDeg > col("bxmin") &&
         lit(g.originLat) - col("ty") * g.tileDeg - g.tileDeg < col("bymax") &&
         lit(g.originLat) - col("ty") * g.tileDeg > col("bymin"))
-    RasterSql.executeBatch(pairs, cq, env)
   }
 
   /** Whole-batch zonal statistics as ONE Spark job (the
@@ -181,11 +189,7 @@ object ZonalEngine {
     import spark.implicits._
     val aois = bbs.map { case (fid, gj, bb) => (fid, gj, bb._1, bb._2, bb._3, bb._4) }
       .toDF("fid", "gj", "bxmin", "bymin", "bxmax", "bymax")
-    val pairs = lake.join(broadcast(aois),
-      col("tx") * g.tileDeg + g.originLon < col("bxmax") &&
-        col("tx") * g.tileDeg + g.originLon + g.tileDeg > col("bxmin") &&
-        lit(g.originLat) - col("ty") * g.tileDeg - g.tileDeg < col("bymax") &&
-        lit(g.originLat) - col("ty") * g.tileDeg > col("bymin"))
+    val pairs = tileBboxJoin(lake, aois, g)
 
     val keyL = env.layers("landcover_raster__class")
     val tcdL = env.layers("umd_tree_cover_density_2000__threshold")
@@ -201,9 +205,7 @@ object ZonalEngine {
     val zp = ColumnBridge.column(ZonalPartial(spec,
       (col("gj") +: col("tx") +: col("ty") +: used.map(i => col(env.bands(i))))
         .map(ColumnBridge.expression)))
-    val decode = "CASE " + SyntheticEnv.landcoverTable.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"WHEN k = $k THEN '$v'" }.mkString(" ") +
-      " ELSE 'unknown' END"
+    val decode = SyntheticEnv.landcoverDecodeSql("k")
     pairs.select(col("fid"), explode(zp).as("p"))
       .select(col("fid"), col("p.k").as("k"), col("p.c").as("pc"),
         element_at(col("p.ss"), 1).as("s0"))
@@ -243,9 +245,7 @@ object ZonalEngine {
       case Some(t) => s"arr_and($aoiMask, arr_ge(px_tcd, $t))"
       case None => aoiMask
     }
-    val decode = "CASE " + landcoverTable.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"WHEN p.k = $k THEN '$v'" }.mkString(" ") +
-      " ELSE 'unknown' END"
+    val decode = SyntheticEnv.landcoverDecodeSql("p.k")
 
     spark.sql(
       s"""WITH arrs AS (SELECT px_landcover AS keys,

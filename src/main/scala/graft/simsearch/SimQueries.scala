@@ -224,8 +224,14 @@ object SimQueries extends QueryModule {
     * demonstration) and e2/e3/e5b (the converged build) share one
     * implementation. Memo key includes the budget: the one-iteration
     * and converged builds coexist without clobbering each other. */
-  private def lloyd(spark: SparkSession, sfDir: String, maxIter: Int): KmResult =
-    kmMemo.computeIfAbsent(s"$sfDir#$maxIter", { _ =>
+  private def lloyd(spark: SparkSession, sfDir: String, maxIter: Int): KmResult = {
+    // fingerprint the source file into the memo key: a path alone
+    // would serve stale centroids after the parquet under sfDir is
+    // regenerated (the groupedPostings hazard), silently breaking
+    // oracle parity for e2/e3/e5b
+    val src = new java.io.File(s"$sfDir/embeddings.parquet")
+    val key = s"$sfDir#$maxIter#${src.lastModified}#${src.length}"
+    kmMemo.computeIfAbsent(key, { _ =>
       Tables.register(spark, sfDir)
       graft.functions.GraftFunctions.install(spark)
       val raw = spark.sql(s"$sparkVecs SELECT vec_id, v, nrm FROM n").rdd
@@ -311,6 +317,7 @@ object SimQueries extends QueryModule {
         chunked.unpersist()
       }
     })
+  }
 
   /** Literal centroid table CTE `cn(c, cv, cnrm)`. */
   private def centroidCte(cents: Seq[(Long, Array[Double])]): String = {
@@ -454,7 +461,7 @@ object SimQueries extends QueryModule {
          |s AS (SELECT vec_id, v,
          |        aggregate(v, CAST(0 AS DOUBLE), (a, x) -> greatest(a, abs(x))) AS scale FROM v),
          |q AS (SELECT vec_id, v, scale,
-         |        transform(v, x -> CAST(floor(x / scale * 127.0) AS INT)) AS qv FROM s)
+         |        transform(v, x -> CAST(floor(CASE WHEN scale = 0 THEN CAST(0 AS DOUBLE) ELSE x / scale * 127.0 END) AS INT)) AS qv FROM s)
          |SELECT vec_id, scale,
          |  aggregate(qv, 0, (a, b) -> a + b) AS q_sum,
          |  aggregate(zip_with(v, qv, (x, qq) ->
@@ -465,7 +472,7 @@ object SimQueries extends QueryModule {
          |s AS (SELECT vec_id, v,
          |        list_reduce([abs(x) for x in v], (a, b) -> greatest(a, b)) AS scale FROM v),
          |q AS (SELECT vec_id, v, scale,
-         |        [CAST(floor(x / scale * 127.0) AS INT) for x in v] AS qv FROM s)
+         |        [CAST(floor(CASE WHEN scale = 0 THEN CAST(0 AS DOUBLE) ELSE x / scale * 127.0 END) AS INT) for x in v] AS qv FROM s)
          |SELECT vec_id, scale,
          |  list_reduce(qv, (a, b) -> a + b) AS q_sum,
          |  list_reduce([(v[k] - CAST(qv[k] AS DOUBLE) * scale / 127.0)

@@ -39,10 +39,20 @@ object TextQueries extends QueryModule {
     val modulus: Long = 2147483647L
     /** Spark SQL: distinct shingle hashes of a `text` column. */
     def shinglesSql: String = s"array_distinct(shingle_hashes(text, $shingleK))"
+    /** Spark SQL: ONE band's bucket hash from a signature column —
+      * the single source of the formula every consumer derives from. */
+    def bandHashSql(sg: String, b: String): String =
+      s"(((($sg[$b*3] * 131 + $sg[$b*3+1]) % $modulus) * 131 + $sg[$b*3+2]) % $modulus)"
     /** Spark SQL: the per-band bucket hash over a signature column. */
     def bandStructsSql(sg: String): String =
       s"""explode(transform(sequence(0, ${bands - 1}, 1), b -> struct(b AS band,
-         |  (((($sg[b*3] * 131 + $sg[b*3+1]) % $modulus) * 131 + $sg[b*3+2]) % $modulus) AS bh))) AS e""".stripMargin
+         |  ${bandHashSql(sg, "b")} AS bh))) AS e""".stripMargin
+    /** The batch queries' band CTE over `sigs(doc_id, sg)` — same
+      * formula, LATERAL VIEW form. */
+    def bandCteSql: String =
+      s"""band AS (SELECT doc_id, band,
+         |  ${bandHashSql("sg", "band")} AS bh
+         |  FROM sigs LATERAL VIEW explode(sequence(0, ${bands - 1})) t AS band)""".stripMargin
   }
 
   /** THE PII shapes (t11), shared with the streaming scrub gate
@@ -164,9 +174,7 @@ object TextQueries extends QueryModule {
     SqlQ.split("d3_minhash_lsh_pairs",
       s"""$sparkShingles,
          |$sparkSigs,
-         |band AS (SELECT doc_id, band,
-         |  ((((sg[band*3] * 131 + sg[band*3+1]) % $P) * 131) + sg[band*3+2]) % $P AS bh
-         |  FROM sigs LATERAL VIEW explode(sequence(0, 11)) t AS band),
+         |${LshShape.bandCteSql},
          |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
          |  FROM band a JOIN band b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
          |ver AS (SELECT i, j, size(array_intersect(x.hs, y.hs)) AS shared,
@@ -232,9 +240,7 @@ object TextQueries extends QueryModule {
     SqlQ.split("t5_corpus_select",
       s"""$sparkShingles,
          |$sparkSigs,
-         |band AS (SELECT doc_id, band,
-         |  ((((sg[band*3] * 131 + sg[band*3+1]) % $P) * 131) + sg[band*3+2]) % $P AS bh
-         |  FROM sigs LATERAL VIEW explode(sequence(0, 11)) t AS band),
+         |${LshShape.bandCteSql},
          |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
          |  FROM band a JOIN band b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
          |dup AS (SELECT DISTINCT j AS doc_id FROM cand
@@ -532,9 +538,7 @@ object TextQueries extends QueryModule {
     val pairs = spark.sql(
       s"""$sparkShingles,
          |$sparkSigs,
-         |band AS (SELECT doc_id, band,
-         |  ((((sg[band*3] * 131 + sg[band*3+1]) % $P) * 131) + sg[band*3+2]) % $P AS bh
-         |  FROM sigs LATERAL VIEW explode(sequence(0, 11)) t AS band),
+         |${LshShape.bandCteSql},
          |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
          |  FROM band a JOIN band b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
          |SELECT i, j FROM cand

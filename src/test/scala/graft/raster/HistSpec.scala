@@ -43,6 +43,26 @@ class HistSpec extends AnyFunSuite {
     assert(m.binCount == 1 && m.counts.toSeq == Seq(7L))
   }
 
+  test("a constant tile merges with a real one without exploding bins") {
+    // the spike's zero resolution must not vote on the binning (it
+    // used to drive bin count to ceil(span/0) = Int.MaxValue → OOM)
+    val spike = Hist(2.0, 2.0, 6, Array(0L, 0L, 0L, 0L, 0L, 9L))
+    val real = Hist(0.0, 10.0, 6, Array(1L, 1L, 1L, 1L, 1L, 1L))
+    val m = Hist.mergeN(Seq(spike, real)).get
+    assert(m.binCount == 5, s"binCount ${m.binCount}") // ceil(10 / (10/5))
+    assert(m.counts.sum == 15L)
+    // the spike's mass lands in the bin containing 2.0
+    assert(m.counts(Hist.binIndex(2.0, 0.0, 10.0, m.binCount)) >= 9L)
+  }
+
+  test("two distinct spikes merge over the global span") {
+    val a = Hist(1.0, 1.0, 4, Array(3L, 0L, 0L, 0L))
+    val b = Hist(9.0, 9.0, 4, Array(0L, 0L, 0L, 5L))
+    val m = Hist.mergeN(Seq(a, b)).get
+    assert(m.binCount == 4 && m.counts.sum == 8L)
+    assert(m.counts.head == 3L && m.counts.last == 5L)
+  }
+
   test("endpoint value lands in the last (closed) bin") {
     assert(Hist.binIndex(10.0, 0.0, 10.0, 5) == 4)
     assert(Hist.binIndex(0.0, 0.0, 10.0, 5) == 0)
