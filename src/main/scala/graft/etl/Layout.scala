@@ -38,12 +38,20 @@ object Layout {
     val sortCols = (clusterColumns ++
       indexes.filter(_.indexType == "btree").flatMap(_.columns)).distinct
     var writer = out
-    if (sortCols.nonEmpty)
+    if (sortCols.nonEmpty) {
       // lead with the partition columns: FileFormatWriter requires its
       // output sorted by them and would otherwise inject its own
-      // (non-stable) sort, destroying the cluster order
-      writer = out.repartition(partitionColumns.map(col): _*)
+      // (non-stable) sort, destroying the cluster order.
+      // With NO partition columns, hash-repartition() would degenerate
+      // to a round-robin scatter (every file spans the full key range,
+      // killing row-group min/max selectivity) — range-partition on
+      // the cluster keys instead so files hold disjoint key ranges.
+      val parted =
+        if (partitionColumns.nonEmpty) out.repartition(partitionColumns.map(col): _*)
+        else out.repartitionByRange(sortCols.map(col): _*)
+      writer = parted
         .sortWithinPartitions((partitionColumns ++ sortCols).distinct.map(col): _*)
+    }
     val w = writer.write.mode("overwrite")
     (if (partitionColumns.nonEmpty) w.partitionBy(partitionColumns: _*) else w)
       .parquet(path)

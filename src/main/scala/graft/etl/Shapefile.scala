@@ -363,7 +363,10 @@ object Shapefile {
     val files = spark.read.format("binaryFile")
       .load(loadPaths: _*)
       .select(
-        regexp_extract(col("path"), "([^/]+)\\.(shp|dbf)$", 1).as("base"),
+        // the FULL path minus extension pairs .shp with ITS .dbf —
+        // grouping on the basename alone silently merges (and can
+        // cross-pair) same-named shapefiles from different directories
+        regexp_replace(col("path"), "\\.(shp|dbf)$", "").as("base"),
         regexp_extract(col("path"), "\\.(shp|dbf)$", 1).as("ext"),
         col("content"))
     implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(schema))

@@ -217,7 +217,12 @@ case class ArrHist(children: Seq[Expression])
     while (i < n) {
       val v = a.getLong(i)
       val d = Math.floor((v - lo).toDouble * bins.toDouble / (hi - lo).toDouble)
-      val idx = Math.min(if (d.isNaN) 0L else d.toLong, (bins - 1).toLong).toInt
+      // clamp BOTH ends: a value below lo is a caller-supplied bound,
+      // not a crash — it lands in bin 0 like values above hi land in
+      // the last bin (r6 passes lo = array_min, so its binning is
+      // untouched)
+      val idx = Math.max(0L,
+        Math.min(if (d.isNaN) 0L else d.toLong, (bins - 1).toLong)).toInt
       counts(idx) += 1L
       i += 1
     }

@@ -201,11 +201,11 @@ object GeoExpressions {
       extends TernaryExpression with CodegenFallback {
     override def dataType: DataType = DoubleType
     override def prettyName: String = "st_distance_to_point"
-    override protected def nullSafeEval(g: Any, lngA: Any, latA: Any): Any = {
-      val lng = lngA.asInstanceOf[Double]
-      val lat = latA.asInstanceOf[Double]
-      Geom.distanceToPoint(geom(g.asInstanceOf[Array[Byte]]), lng, lat)
-    }
+    override protected def nullSafeEval(g: Any, lngA: Any, latA: Any): Any =
+      // asD, not asInstanceOf: SQL literals arrive as Decimal/Int and
+      // a bare cast crashes (the sibling expressions learned this too)
+      Geom.distanceToPoint(geom(g.asInstanceOf[Array[Byte]]),
+        asD(lngA), asD(latA))
     override protected def withNewChildrenInternal(
         f: Expression, s: Expression, t: Expression): Expression =
       copy(first = f, second = s, third = t)

@@ -388,23 +388,39 @@ object Geom {
       val px = ax + t * dx; val py = ay + t * dy
       math.sqrt(px * px + py * py)
     }
+    // Empty-safe minimum: the library's own empty results are
+    // Polygon(Array(Array.empty)) (clip/intersection), and a bare
+    // .min on an empty iterator throws — distance to an empty (or
+    // degenerate single-vertex) part falls back to vertex distance,
+    // and to +∞ when there are no coordinates at all (an empty
+    // geometry is at no finite distance, so radius filters never
+    // match it).
+    def minOr(it: Iterator[Double], fallback: => Double): Double =
+      if (it.hasNext) it.min else fallback
+    def vertDist(cs: Iterator[(Double, Double)]): Double =
+      minOr(cs.map { case (x, y) =>
+        val (px, py) = planar(x, y); math.sqrt(px * px + py * py)
+      }, Double.PositiveInfinity)
+    def linesDist(ls: Iterator[Array[(Double, Double)]]): Double = {
+      val parts = ls.toSeq
+      minOr(parts.iterator.flatMap(r => r.dropRight(1).zip(r.drop(1)).iterator)
+        .map { case (a, b) => segDist(a, b) },
+        vertDist(parts.iterator.flatMap(_.iterator)))
+    }
     def ringsDist(rings: Array[Array[(Double, Double)]]): Double =
-      rings.iterator.flatMap(r => r.dropRight(1).zip(r.drop(1)).iterator)
-        .map { case (a, b) => segDist(a, b) }.min
+      linesDist(rings.iterator)
     g match {
       case Point(x, y) => distanceSphere(x, y, lng, lat)
       case MultiPoint(ps) =>
-        ps.iterator.map { case (x, y) => distanceSphere(x, y, lng, lat) }.min
-      case LineString(c) =>
-        c.dropRight(1).zip(c.drop(1)).iterator.map { case (a, b) => segDist(a, b) }.min
-      case MultiLineString(ls) =>
-        ls.iterator.map(l =>
-          l.dropRight(1).zip(l.drop(1)).iterator.map { case (a, b) => segDist(a, b) }.min).min
+        minOr(ps.iterator.map { case (x, y) => distanceSphere(x, y, lng, lat) },
+          Double.PositiveInfinity)
+      case LineString(c) => linesDist(Iterator.single(c))
+      case MultiLineString(ls) => linesDist(ls.iterator)
       case Polygon(rings) =>
         if (pointInPolygon(lng, lat, rings)) 0.0 else ringsDist(rings)
       case MultiPolygon(ps) =>
         if (ps.exists(pointInPolygon(lng, lat, _))) 0.0
-        else ps.iterator.map(ringsDist).min
+        else minOr(ps.iterator.map(ringsDist), Double.PositiveInfinity)
     }
   }
 
@@ -875,11 +891,25 @@ object Geom {
     * endpoint-preserving, not topology-preserving). */
   def simplify(g: Geom, eps: Double): Geom = {
     val dp = dpFor(eps)
+    // ring 0 is the exterior: when it collapses below a valid ring,
+    // the whole polygon is gone — keeping a surviving hole would
+    // promote it to exterior (inverted polygon: areaHa counts the
+    // hole positive, the MVT winding flips)
+    def simpRings(r: Array[Array[(Double, Double)]])
+        : Option[Array[Array[(Double, Double)]]] =
+      if (r.isEmpty) Some(r)
+      else {
+        val ext = dp(r.head)
+        if (ext.length < 4) None
+        else Some(ext +: r.tail.map(dp).filter(_.length >= 4))
+      }
     g match {
       case LineString(c) => LineString(dp(c))
       case MultiLineString(ls) => MultiLineString(ls.map(dp))
-      case Polygon(r) => Polygon(r.map(dp).filter(_.length >= 4))
-      case MultiPolygon(ps) => MultiPolygon(ps.map(_.map(dp).filter(_.length >= 4)))
+      case Polygon(r) =>
+        // the library's empty-polygon convention (clip/intersection)
+        Polygon(simpRings(r).getOrElse(Array(Array.empty[(Double, Double)])))
+      case MultiPolygon(ps) => MultiPolygon(ps.flatMap(simpRings))
       case other => other
     }
   }

@@ -117,7 +117,12 @@ object VectorTileCache {
     val src = rows.selectExpr(Seq("geom") ++ fieldArr.map(f => s"`$f`"): _*).rdd
       .zipWithIndex()
     val contribs = src.flatMap { case (r, fid) =>
-      val g = Geom.fromWkb(r.getAs[Array[Byte]](0))
+      // keep the ORIGINAL WKB bytes for the shuffle payload — the
+      // geometry was just decoded from them, and re-encoding once per
+      // overlapping tile multiplied the serialization work by the
+      // tile fan-out
+      val wkb = r.getAs[Array[Byte]](0)
+      val g = Geom.fromWkb(wkb)
       val attrs: Seq[(String, Any)] = fieldArr.toSeq.zipWithIndex.flatMap {
         case (f, i) => Option(r.get(i + 1)).map(f -> _)
       }
@@ -132,7 +137,7 @@ object VectorTileCache {
         val yLo = math.max(0, math.floor(yOfLat(latHi, z) - pad).toInt)
         val yHi = math.min(n - 1, math.floor(yOfLat(latLo, z) + pad).toInt)
         for (x <- xLo to xHi; y <- yLo to yHi)
-          yield ((z, x, y), (fid, Geom.toWkb(g), attrs))
+          yield ((z, x, y), (fid, wkb, attrs))
       }
     }
     contribs.groupByKey().map { case ((z, x, y), feats) =>

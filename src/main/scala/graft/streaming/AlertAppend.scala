@@ -38,14 +38,21 @@ object AlertAppend {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark(uniqueKey)
 
-  /** Wire a streaming dedup-append into an in-memory sink (tests) or a
-    * Parquet sink (production path). */
-  def run(spark: SparkSession, input: DataFrame, queryName: String): Unit = {
-    streamingDedup(input, Seq("event_id"))
+  /** Wire a streaming dedup-append into a sink: `format` "memory"
+    * (tests) or "parquet" with `path`+`checkpoint` (the production
+    * shape). Returns the query handle so callers can await, stop, and
+    * observe failures — a discarded handle dies silently. */
+  def run(spark: SparkSession, input: DataFrame, queryName: String,
+          format: String = "memory", path: Option[String] = None,
+          checkpoint: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = streamingDedup(input, Seq("event_id"))
       .writeStream
-      .format("memory")
+      .format(format)
       .queryName(queryName)
       .outputMode("append")
-      .start()
+    val withPath = path.fold(w)(w.option("path", _))
+    val withCp = checkpoint.fold(withPath)(withPath.option("checkpointLocation", _))
+    withCp.start()
   }
 }

@@ -68,7 +68,12 @@ object AlertStream {
               val t = e.ts.getTime
               cur match {
                 case Some(s) if t - s.last <= gapMs =>
-                  cur = Some(s.copy(last = math.max(s.last, t),
+                  // a late (out-of-order, above-watermark) event can
+                  // extend the session BACKWARD too — batch
+                  // sessionization (w3) sorts globally and would have
+                  // started the session at the earlier timestamp
+                  cur = Some(s.copy(start = math.min(s.start, t),
+                    last = math.max(s.last, t),
                     count = s.count + 1))
                 case Some(s) =>
                   closed ::= Session(cell, new Timestamp(s.start),

@@ -40,7 +40,7 @@ object DedupStream {
     * near-duplicate (exact Jaccard ≥ `tau` on the LSH candidates).
     * Downstream drops flagged documents with a left-anti join, the
     * `t5_corpus_select` shape. */
-  def lshGate(spark: SparkSession, stream: DataFrame, index: DataFrame,
+  def lshGate(stream: DataFrame, index: DataFrame,
               tau: Double = 0.5, watermarkDelay: String = "10 minutes"): DataFrame = {
     val sigs = stream
       .withColumn("hs", expr(shape.shinglesSql))

@@ -78,4 +78,32 @@ class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     val fp = spark.sql("SELECT simhash31(hs) FROM h").collect().head.getLong(0)
     assert(fp == 0b001L)
   }
+
+  test("arr_hist clamps out-of-range values instead of crashing") {
+    // a value below the caller's lo bound lands in bin 0 (mirror of
+    // above-hi landing in the last bin) — it used to compute a
+    // negative index and throw ArrayIndexOutOfBounds
+    val r = spark.sql(
+      "SELECT arr_hist(array(5L, -3L, 99L), 0L, 10L, 4) AS h")
+      .collect().head.getSeq[Long](0)
+    assert(r == Seq(1L, 0L, 1L, 1L), r)
+  }
+
+  test("st_distance_to_point accepts decimal and integer SQL literals") {
+    // literals parse as Decimal/Int — a bare asInstanceOf[Double]
+    // crashed here (sibling expressions go through asD)
+    val d = spark.sql(
+      """SELECT st_distance_to_point(
+        |  st_geomfromgeojson('{"type":"Point","coordinates":[12.5,55.7]}'),
+        |  12.5, 55) AS d""".stripMargin).collect().head.getDouble(0)
+    assert(math.abs(d - 0.7 * 111194.9) < 200.0, d) // ~0.7° of latitude
+  }
+
+  test("st_distance_to_point on an empty polygon is +infinity, not a crash") {
+    val d = spark.sql(
+      """SELECT st_distance_to_point(
+        |  st_geomfromgeojson('{"type":"Polygon","coordinates":[[]]}'),
+        |  0.0D, 0.0D) AS d""".stripMargin).collect().head.getDouble(0)
+    assert(d.isPosInfinity, d)
+  }
 }

@@ -72,4 +72,31 @@ class AlertStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.contains((1L, "2024-01-01 00:00:00", "2024-01-01 00:05:00", 2L)), rows)
     assert(rows.contains((1L, "2024-01-01 00:35:00", "2024-01-01 00:35:00", 1L)), rows)
   }
+
+  test("a late out-of-order event extends the session start backward") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp)]
+    val q = AlertStream.sessionize(spark, stream.toDF().toDF("cell", "ts"))
+      .writeStream.format("memory").queryName("late_sessions")
+      .outputMode("append").start()
+    // batch 1 opens the session at 00:10; batch 2's event is EARLIER
+    // (above the watermark, within the gap) — batch sessionization
+    // (w3 sorts globally) would date the session from 00:05
+    stream.addData((1L, ts("2024-01-01 00:10:00")))
+    q.processAllAvailable()
+    stream.addData((1L, ts("2024-01-01 00:05:00")))
+    q.processAllAvailable()
+    // far-future event on another cell times the session out
+    stream.addData((2L, ts("2024-01-01 03:00:00")))
+    q.processAllAvailable()
+    stream.addData((2L, ts("2024-01-01 06:00:00")))
+    q.processAllAvailable()
+    val rows = spark.table("late_sessions")
+      .selectExpr("cell", "CAST(startTs AS STRING)", "CAST(endTs AS STRING)", "alerts")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSet
+    q.stop()
+    assert(rows.contains((1L, "2024-01-01 00:05:00", "2024-01-01 00:10:00", 2L)), rows)
+  }
 }

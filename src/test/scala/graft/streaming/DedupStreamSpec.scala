@@ -38,7 +38,7 @@ class DedupStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     val index = DedupStream.corpusIndex(corpus)
 
     val stream = MemoryStream[(Long, String, Timestamp)]
-    val q = DedupStream.lshGate(spark,
+    val q = DedupStream.lshGate(
       stream.toDF().toDF("doc_id", "text", "ts"), index)
       .writeStream.format("memory").queryName("gate")
       .outputMode("append").start()
