@@ -271,8 +271,10 @@ object VersionCreation {
           (if (srcEpsg == 3857 || projSrc.isDefined)
             "set unify_projection to warp projected sources to EPSG:4326"
           else "reproject to EPSG:4326 first (unify_projection handles " +
-            "EPSG:3857, UTM zones 326xx/327xx, EPSG:6933, and " +
-            "parameter-defined Albers conics via geokeys)"))
+            "EPSG:3857, UTM zones 326xx/327xx, EPSG:6933, polar " +
+            "stereographic 3413/3976/3031, and parameter-defined " +
+            "Albers/Lambert conics, polar stereographic, and " +
+            "sinusoidal via geokeys)"))
 
       // source lattice (degrees for 4326, meters for 3857): every tile
       // must sit on one square lattice of shared size/scale

@@ -843,6 +843,34 @@ object RasterQueries extends QueryModule {
       x0 = -400000.0, yTop = 500000.0, pixelM = 10000.0,
       tilesX = 2, tilesY = 2, pxPerTile = 20)
 
+  /** r18: a PARAMETER-DEFINED sinusoidal grid (CT 24, lon0 = 0 — the
+    * MODIS land-product projection family) over north-east Africa
+    * (~16..20°N): pseudocylindrical where r16/r17 are conics, pinning
+    * that the geokey path covers non-conic transformations too. */
+  private val r18Params: Map[Int, Double] = Map(
+    3075 -> 24.0,   // ProjCoordTrans: CT_Sinusoidal
+    3088 -> 0.0,    // ProjCenterLong
+    3082 -> 0.0, 3083 -> 0.0)
+  private def r18Lattice: Warp.ProjectedLattice =
+    Warp.ProjectedLattice(Warp.Sinusoidal.fromGeoKeys(r18Params),
+      x0 = 3000000.0, yTop = 2200000.0, pixelM = 10000.0,
+      tilesX = 2, tilesY = 2, pxPerTile = 20)
+
+  /** r19: a PARAMETER-DEFINED polar stereographic grid (CT 15,
+    * standard parallel 70°N, pole meridian −45° — the EPSG:3413
+    * sea-ice parameterization) over south Greenland (~71..76°N): the
+    * azimuthal family, where longitude is an ANGLE around the pole
+    * rather than an x offset — the strongest rotation the lattice's
+    * target-driven resample sees. */
+  private val r19Params: Map[Int, Double] = Map(
+    3075 -> 15.0,   // ProjCoordTrans: CT_PolarStereographic
+    3095 -> -45.0,  // ProjStraightVertPoleLong
+    3081 -> 70.0)   // ProjNatOriginLat (the standard parallel)
+  private def r19Lattice: Warp.ProjectedLattice =
+    Warp.ProjectedLattice(Warp.PolarStereographic.fromGeoKeys(r19Params),
+      x0 = 300000.0, yTop = -2000000.0, pixelM = 10000.0,
+      tilesX = 2, tilesY = 2, pxPerTile = 20)
+
   /** Shared projected-CRS ingest driver for r14/r15: write the 2×2
     * source tile lattice in the projection's meters, run the raster
     * creation DAG with unify_projection, and histogram the warped
@@ -899,6 +927,12 @@ object RasterQueries extends QueryModule {
 
   private def lccIngest(spark: SparkSession, sfDir: String): DataFrame =
     projIngest(spark, sfDir, "r17", r17Lattice, 32767, r17Params)
+
+  private def sinusoidalIngest(spark: SparkSession, sfDir: String): DataFrame =
+    projIngest(spark, sfDir, "r18", r18Lattice, 32767, r18Params)
+
+  private def polarIngest(spark: SparkSession, sfDir: String): DataFrame =
+    projIngest(spark, sfDir, "r19", r19Lattice, 32767, r19Params)
 
   private def projIngestOracle(latt: Warp.ProjectedLattice): String = {
     val tm = latt.proj
@@ -993,7 +1027,9 @@ object RasterQueries extends QueryModule {
       ("r14_utm_ingest" -> (utmIngest _)) +
       ("r15_cea_ingest" -> (ceaIngest _)) +
       ("r16_albers_ingest" -> (albersIngest _)) +
-      ("r17_lcc_ingest" -> (lccIngest _))
+      ("r17_lcc_ingest" -> (lccIngest _)) +
+      ("r18_sinusoidal_ingest" -> (sinusoidalIngest _)) +
+      ("r19_polar_ingest" -> (polarIngest _))
 
   override def oracles: Map[String, String] =
     sqls.flatMap(q => q.oracleSql.map(q.name -> _)).toMap +
@@ -1011,5 +1047,7 @@ object RasterQueries extends QueryModule {
       ("r14_utm_ingest" -> projIngestOracle(r14Lattice)) +
       ("r15_cea_ingest" -> projIngestOracle(r15Lattice)) +
       ("r16_albers_ingest" -> projIngestOracle(r16Lattice)) +
-      ("r17_lcc_ingest" -> projIngestOracle(r17Lattice))
+      ("r17_lcc_ingest" -> projIngestOracle(r17Lattice)) +
+      ("r18_sinusoidal_ingest" -> projIngestOracle(r18Lattice)) +
+      ("r19_polar_ingest" -> projIngestOracle(r19Lattice))
 }

@@ -136,9 +136,10 @@ object Warp {
     * the file's own projection PARAMETERS. A user-defined
     * ProjectedCSType (32767) with coordinate-transformation geokeys
     * (key 3075) builds the projection from the parameter keys —
-    * CT 11 is Albers equal-area ([[AlbersEqualArea.fromGeoKeys]]);
-    * an EPSG code that IS a parameterized family (5070/102003-style
-    * conic codes are not closed-form enumerable) must ship its keys. */
+    * CT 11 Albers equal-area, CT 8 Lambert conformal 2SP, CT 15
+    * polar stereographic, CT 24 sinusoidal; an EPSG code that IS a
+    * parameterized family (5070/102003-style conic codes are not
+    * closed-form enumerable) must ship its keys. */
   def projectionFor(epsg: Int, geoParams: Map[Int, Double]): Option[Projection] =
     if (TransverseMercator.isUtm(epsg)) Some(TransverseMercator.utm(epsg))
     else if (epsg == 6933) Some(CylindricalEqualArea.ease2)
@@ -151,9 +152,17 @@ object Warp {
     else if (epsg == 3347) // NAD83 / Statistics Canada Lambert
       Some(LambertConformalConic(49.0, 77.0, 63.390675, -91.866667,
         6200000.0, 3000000.0))
+    else if (epsg == 3413) // WGS84 / NSIDC Sea Ice Polar Stereo North
+      Some(PolarStereographic(70.0, -45.0, 0.0, 0.0))
+    else if (epsg == 3976) // WGS84 / NSIDC Sea Ice Polar Stereo South
+      Some(PolarStereographic(-70.0, 0.0, 0.0, 0.0))
+    else if (epsg == 3031) // WGS84 / Antarctic Polar Stereographic
+      Some(PolarStereographic(-71.0, 0.0, 0.0, 0.0))
     else geoParams.get(3075).map(_.toInt) match {
       case Some(11) => Some(AlbersEqualArea.fromGeoKeys(geoParams))
       case Some(8) => Some(LambertConformalConic.fromGeoKeys(geoParams))
+      case Some(15) => Some(PolarStereographic.fromGeoKeys(geoParams))
+      case Some(24) => Some(Sinusoidal.fromGeoKeys(geoParams))
       case _ => None
     }
 
@@ -681,6 +690,191 @@ object Warp {
         // false offsets legitimately default to 0
         falseE = opt(3086, 3082),
         falseN = opt(3087, 3083))
+    }
+  }
+
+  /** Ellipsoidal polar stereographic (Snyder PP 1395, eqs.
+    * 21-33..21-41; conformal azimuthal, the projection of the NSIDC
+    * sea-ice and Antarctic grids — EPSG:3413/3976/3031) — built like
+    * the conics from GeoTIFF parameter keys (CT 15). Both aspects in
+    * one parameterization: `s = ±1` mirrors the south aspect onto the
+    * north formulas (Snyder p. 161: reverse the signs of x, y, φc, φ,
+    * λ0, λ), folded into the isometric t and the y sign so the Scala
+    * and its SQL mirror stay one expression.
+    *
+    * Variant B (standard parallel, |φts| < 90) sets true scale along
+    * φts via ρ = A·m(φts)·t/t(φts) (eq. 21-34); variant A (|φts| =
+    * 90, scale factor k0 at the pole) uses eq. 21-39's closed-form
+    * constant. */
+  final case class PolarStereographic(latTsDeg: Double, lon0Deg: Double,
+                                      falseE: Double, falseN: Double,
+                                      k0: Double = 1.0)
+      extends Projection {
+    import TransverseMercator.{A, E2}
+    private val e: Double = Math.sqrt(E2)
+    val lam0: Double = Math.toRadians(lon0Deg)
+    /** Aspect sign: +1 north (φts ≥ 0), −1 south. */
+    val aspect: Double = if (latTsDeg >= 0) 1.0 else -1.0
+    /** Mirrored isometric t (Snyder 15-9 at s·φ): the north-aspect t
+      * of the hemisphere-mirrored latitude. */
+    private def tOf(phi: Double): Double = {
+      val ss = aspect * Math.sin(phi)
+      Math.tan(Math.PI / 4 - aspect * phi / 2) /
+        Math.pow((1.0 - e * ss) / (1.0 + e * ss), e / 2)
+    }
+    private def mOf(phi: Double): Double = {
+      val s = Math.sin(phi)
+      Math.cos(phi) / Math.sqrt(1.0 - E2 * s * s)
+    }
+    /** ρ = RhoK·t: variant B's A·m(φts)/t(φts) (true scale along the
+      * standard parallel; m is even in φ so the south aspect needs no
+      * special case) or variant A's 2·A·k0/√((1+e)^(1+e)(1−e)^(1−e)). */
+    val rhoK: Double =
+      if (math.abs(latTsDeg) >= 90.0 - 1e-9)
+        2.0 * A * k0 / Math.sqrt(
+          Math.pow(1.0 + e, 1.0 + e) * Math.pow(1.0 - e, 1.0 - e))
+      else {
+        val pts = Math.toRadians(latTsDeg)
+        A * (mOf(pts) / tOf(pts))
+      }
+    private val negSRhoK: Double = -aspect * rhoK
+    // conformal→geodetic series coefficients (Snyder 3-5)
+    private val C1: Double = E2 / 2 + 5 * E2 * E2 / 24 + E2 * E2 * E2 / 12
+    private val C2: Double = 7 * E2 * E2 / 48 + 29 * E2 * E2 * E2 / 240
+    private val C3: Double = 7 * E2 * E2 * E2 / 120
+
+    def forward(latDeg: Double, lonDeg: Double): (Double, Double) = {
+      val t = tOf(Math.toRadians(latDeg))
+      val dlam = Math.toRadians(lonDeg) - lam0
+      // association mirrors xSql/ySql exactly
+      (rhoK * t * Math.sin(dlam) + falseE,
+        negSRhoK * t * Math.cos(dlam) + falseN)
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val xp = x - falseE
+      val yp = y - falseN
+      val t = Math.hypot(xp, yp) / rhoK
+      val chi = Math.PI / 2 - 2.0 * Math.atan(t)
+      val latM = chi + C1 * Math.sin(2 * chi) + C2 * Math.sin(4 * chi) +
+        C3 * Math.sin(6 * chi)
+      // the pole itself (ρ = 0) lands here naturally: χ = π/2, Δλ = 0
+      val lon = lam0 + Math.atan2(xp, -aspect * yp)
+      (Math.toDegrees(aspect * latM), Math.toDegrees(lon))
+    }
+
+    /** DuckDB SQL mirror of [[forward]] (same parity contract as the
+      * other projections: value agreement to last ulps, which cannot
+      * flip a 10⁴-meter pixel floor). */
+    def forwardSelect(lat: String, lon: String): String = {
+      def d(v: Double) = s"CAST(${java.lang.Double.toString(v)} AS DOUBLE)"
+      s"""radians($lon) - ${d(lam0)} AS dlam_,
+         |tan(pi() / 4 - ${d(aspect)} * radians($lat) / 2) /
+         |  power((1.0 - ${d(e)} * (${d(aspect)} * sin(radians($lat)))) /
+         |        (1.0 + ${d(e)} * (${d(aspect)} * sin(radians($lat)))), ${d(e / 2)}) AS t_""".stripMargin
+    }
+    def xSql: String = {
+      def d(v: Double) = s"CAST(${java.lang.Double.toString(v)} AS DOUBLE)"
+      s"${d(rhoK)} * t_ * sin(dlam_) + ${d(falseE)}"
+    }
+    def ySql: String = {
+      def d(v: Double) = s"CAST(${java.lang.Double.toString(v)} AS DOUBLE)"
+      s"${d(negSRhoK)} * t_ * cos(dlam_) + ${d(falseN)}"
+    }
+  }
+
+  object PolarStereographic {
+    /** Build from GeoTIFF projection geokeys (CT 15): GDAL writes the
+      * standard parallel (or pole latitude, variant A) as
+      * ProjNatOriginLat (3081; some writers use ProjStdParallel1
+      * 3078), the central meridian as ProjStraightVertPoleLong (3095;
+      * fallbacks 3088/3084/3080), the variant-A scale as
+      * ProjScaleAtNatOrigin (3092, default 1). Missing origin keys
+      * fail fast — same load-bearing-georeferencing stance as the
+      * conics. */
+    def fromGeoKeys(p: Map[Int, Double]): PolarStereographic = {
+      def req(ids: Seq[Int], what: String): Double =
+        ids.collectFirst { case id if p.contains(id) => p(id) }
+          .getOrElse(throw new IllegalArgumentException(
+            s"PolarStereographic GeoKeyDirectory missing $what " +
+              s"(keys ${ids.mkString("/")})"))
+      PolarStereographic(
+        latTsDeg = req(Seq(3081, 3078), "ProjNatOriginLat/ProjStdParallel1"),
+        lon0Deg = req(Seq(3095, 3088, 3084, 3080),
+          "ProjStraightVertPoleLong/ProjCenterLong"),
+        falseE = p.getOrElse(3082, p.getOrElse(3086, 0.0)),
+        falseN = p.getOrElse(3083, p.getOrElse(3087, 0.0)),
+        k0 = p.getOrElse(3092, 1.0))
+    }
+  }
+
+  /** Ellipsoidal sinusoidal projection (Snyder PP 1395, eqs.
+    * 30-8..30-11) — equal-area pseudocylindrical, the projection the
+    * MODIS land-product grid ships in; built from GeoTIFF parameter
+    * keys (CT 24). x is true-scale along EVERY parallel (x = ν·cosφ·Δλ),
+    * y is the meridian arc — the same Snyder 3-21 series the
+    * transverse-mercator family uses, so the constants are shared. */
+  final case class Sinusoidal(lon0Deg: Double, falseE: Double, falseN: Double)
+      extends Projection {
+    import TransverseMercator.{A, E2, M1, M2, M3, M4, P1, P2, P3, P4}
+    val lam0: Double = Math.toRadians(lon0Deg)
+
+    def forward(latDeg: Double, lonDeg: Double): (Double, Double) = {
+      val phi = Math.toRadians(latDeg)
+      val sinP = Math.sin(phi)
+      val dlam = Math.toRadians(lonDeg) - lam0
+      // association mirrors xSql/ySql exactly
+      (A * dlam * Math.cos(phi) / Math.sqrt(1.0 - E2 * sinP * sinP) + falseE,
+        A * (M1 * phi - M2 * Math.sin(2 * phi) +
+          M3 * Math.sin(4 * phi) - M4 * Math.sin(6 * phi)) + falseN)
+    }
+
+    /** Inverse via the footprint-latitude series (Snyder 3-26), then
+      * the closed-form λ (30-11). Undefined within ~a pixel of the
+      * poles (cosφ → 0) — the warp lattices this engine builds never
+      * reach them (the bbox derivation would already have rejected a
+      * pole-crossing lattice). */
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val mu = (y - falseN) / (A * M1)
+      val phi = mu + P1 * Math.sin(2 * mu) + P2 * Math.sin(4 * mu) +
+        P3 * Math.sin(6 * mu) + P4 * Math.sin(8 * mu)
+      val sinP = Math.sin(phi)
+      val lon = lam0 +
+        (x - falseE) * Math.sqrt(1.0 - E2 * sinP * sinP) / (A * Math.cos(phi))
+      (Math.toDegrees(phi), Math.toDegrees(lon))
+    }
+
+    /** DuckDB SQL mirror of [[forward]] (same parity contract as the
+      * other projections). */
+    def forwardSelect(lat: String, lon: String): String = {
+      def d(v: Double) = s"CAST(${java.lang.Double.toString(v)} AS DOUBLE)"
+      s"radians($lat) AS phi_, radians($lon) - ${d(lam0)} AS dlam_"
+    }
+    def xSql: String = {
+      def d(v: Double) = s"CAST(${java.lang.Double.toString(v)} AS DOUBLE)"
+      s"${d(A)} * dlam_ * cos(phi_) / sqrt(1.0 - ${d(E2)} * sin(phi_) * sin(phi_)) + ${d(falseE)}"
+    }
+    def ySql: String = {
+      def d(v: Double) = s"CAST(${java.lang.Double.toString(v)} AS DOUBLE)"
+      s"${d(A)} * (${d(M1)} * phi_ - ${d(M2)} * sin(2 * phi_) + " +
+        s"${d(M3)} * sin(4 * phi_) - ${d(M4)} * sin(6 * phi_)) + ${d(falseN)}"
+    }
+  }
+
+  object Sinusoidal {
+    /** Build from GeoTIFF projection geokeys (CT 24): central
+      * meridian from ProjCenterLong (3088; fallbacks 3080/3084 —
+      * required even when 0, the load-bearing-georeferencing stance),
+      * false offsets from 3082/3083 (or the false-origin pair). */
+    def fromGeoKeys(p: Map[Int, Double]): Sinusoidal = {
+      val lon0 = Seq(3088, 3080, 3084)
+        .collectFirst { case id if p.contains(id) => p(id) }
+        .getOrElse(throw new IllegalArgumentException(
+          "Sinusoidal GeoKeyDirectory missing ProjCenterLong " +
+            "(keys 3088/3080/3084)"))
+      Sinusoidal(lon0Deg = lon0,
+        falseE = p.getOrElse(3082, p.getOrElse(3086, 0.0)),
+        falseN = p.getOrElse(3083, p.getOrElse(3087, 0.0)))
     }
   }
 }

@@ -309,6 +309,154 @@ class WarpSpec extends AnyFunSuite {
     assert(math.abs(sx - 6200000.0) < 1e-6 && math.abs(sy - 3000000.0) < 1e-6)
   }
 
+  test("polar stereographic from geokeys: aspects, true scale, conformality") {
+    // EPSG:3413 parameterization via CT 15 geokeys
+    val north = Warp.PolarStereographic.fromGeoKeys(Map(
+      3075 -> 15.0, 3095 -> -45.0, 3081 -> 70.0))
+    // the pole projects to (FE, FN); the pole meridian has x = 0
+    val (px, py) = north.forward(90.0, 123.4)
+    assert(math.abs(px) < 1e-6 && math.abs(py) < 1e-6, s"pole → ($px, $py)")
+    val (cx, _) = north.forward(75.0, -45.0)
+    assert(math.abs(cx) < 1e-6, s"central-meridian x = $cx")
+    // true scale along the standard parallel: ρ(70°) = A·m(70°)
+    // (eq. 21-34's defining property), and the finite-difference
+    // scale along the parallel is 1
+    val s70 = math.sin(math.toRadians(70.0))
+    val m70 = math.cos(math.toRadians(70.0)) /
+      math.sqrt(1 - Warp.TransverseMercator.E2 * s70 * s70)
+    val (x70, y70) = north.forward(70.0, -45.0)
+    assert(math.abs(math.hypot(x70, y70) -
+      Warp.TransverseMercator.A * m70) < 1e-6)
+    for ((proj, latS) <- Seq((north, 70.0),
+      (Warp.PolarStereographic(-71.0, 0.0, 0.0, 0.0), -71.0))) {
+      val dLon = 0.01
+      val (xa, ya) = proj.forward(latS, 10.0)
+      val (xb, yb) = proj.forward(latS, 10.0 + dLon)
+      val planar = math.hypot(xb - xa, yb - ya)
+      val s = math.sin(math.toRadians(latS))
+      val nu = Warp.TransverseMercator.A /
+        math.sqrt(1 - Warp.TransverseMercator.E2 * s * s)
+      val arc = nu * math.cos(math.toRadians(latS)) * math.toRadians(dLon)
+      assert(math.abs(planar / arc - 1.0) < 1e-6, s"k at $latS = ${planar / arc}")
+    }
+    // conformality off the standard parallel (polar stereographic is
+    // conformal): parallel-wise and meridian-wise scales agree
+    for (lat <- Seq(65.0, 80.0)) {
+      val eps = 1e-4
+      val (xa, ya) = north.forward(lat, 20.0)
+      val (xb, yb) = north.forward(lat, 20.0 + eps)
+      val (xc, yc) = north.forward(lat + eps, 20.0)
+      val s = math.sin(math.toRadians(lat))
+      val w = math.sqrt(1 - Warp.TransverseMercator.E2 * s * s)
+      val nu = Warp.TransverseMercator.A / w
+      val rhoM = Warp.TransverseMercator.A *
+        (1 - Warp.TransverseMercator.E2) / (w * w * w)
+      val kPar = math.hypot(xb - xa, yb - ya) /
+        (nu * math.cos(math.toRadians(lat)) * math.toRadians(eps))
+      val kMer = math.hypot(xc - xa, yc - ya) / (rhoM * math.toRadians(eps))
+      assert(math.abs(kPar / kMer - 1.0) < 1e-4,
+        s"anisotropy at $lat: $kPar vs $kMer")
+    }
+    // round-trip both aspects: 1e-7° ≈ 1 cm (conformal series level)
+    val south = Warp.PolarStereographic(-71.0, 0.0, 0.0, 0.0)
+    for ((proj, lats) <- Seq((north, Seq(62.0, 71.5, 84.0, 89.9)),
+      (south, Seq(-62.0, -71.5, -84.0, -89.9)));
+         lat <- lats; lon <- Seq(-170.0, -45.0, 0.0, 30.0, 179.0)) {
+      val (x, y) = proj.forward(lat, lon)
+      val (la, lo) = proj.inverse(x, y)
+      val dLon = math.abs((lo - lon + 540.0) % 360.0 - 180.0)
+      assert(math.abs(la - lat) < 1e-7 && dLon < 1e-6,
+        s"round-trip ($lat, $lon) → ($la, $lo)")
+    }
+    // variant A (pole latitude + k0) agrees with variant B: derive
+    // the pole-scale k0 implied by the 70° standard parallel (eq.
+    // 21-39 solved for k0) and check the two constants coincide
+    val e = math.sqrt(Warp.TransverseMercator.E2)
+    val k0Implied = north.rhoK * math.sqrt(
+      math.pow(1 + e, 1 + e) * math.pow(1 - e, 1 - e)) /
+      (2.0 * Warp.TransverseMercator.A)
+    val ups = Warp.PolarStereographic(90.0, -45.0, 0.0, 0.0, k0 = k0Implied)
+    assert(math.abs(ups.rhoK - north.rhoK) < 1e-6)
+    // geokey resolution: CT 15 builds it; EPSG registry codes resolve
+    assert(Warp.projectionFor(32767, Map(3075 -> 15.0, 3095 -> -45.0,
+      3081 -> 70.0)).exists(_.isInstanceOf[Warp.PolarStereographic]))
+    assert(Warp.projectionFor(3413).exists(
+      _.asInstanceOf[Warp.PolarStereographic].aspect == 1.0))
+    assert(Warp.projectionFor(3031).exists(
+      _.asInstanceOf[Warp.PolarStereographic].aspect == -1.0))
+    val err = intercept[IllegalArgumentException](
+      Warp.PolarStereographic.fromGeoKeys(Map(3075 -> 15.0, 3081 -> 70.0)))
+    assert(err.getMessage.contains("3095"))
+    // lattice ownership stays exclusive under the azimuthal rotation
+    val latt = Warp.ProjectedLattice(north,
+      x0 = 300000.0, yTop = -2000000.0, pixelM = 10000.0,
+      tilesX = 1, tilesY = 1, pxPerTile = 20)
+    val contribs = latt.contributionsOf(0, 0,
+      Seq(Array.tabulate(400)(_.toDouble))).toSeq
+    assert(contribs.nonEmpty)
+    val all = contribs.flatMap { case ((ttx, tty), (idxs, _)) =>
+      idxs.map(i => (ttx, tty, i)) }
+    assert(all.distinct.length == all.length, "overlapping ownership")
+  }
+
+  test("sinusoidal from geokeys: parallel true scale, meridian arc, round-trip") {
+    val sinu = Warp.Sinusoidal.fromGeoKeys(Map(
+      3075 -> 24.0, 3088 -> 0.0, 3082 -> 0.0, 3083 -> 0.0))
+    // equator origin projects to (0, 0)
+    val (x0, y0) = sinu.forward(0.0, 0.0)
+    assert(math.abs(x0) < 1e-9 && math.abs(y0) < 1e-9)
+    // y on the central meridian IS the meridian arc — the transverse-
+    // mercator CM northing divided by its k0 (identical Snyder 3-21
+    // series, so agreement is to rounding)
+    val tm = Warp.TransverseMercator(0.0, 0.0, 0.0)
+    for (lat <- Seq(-60.0, -18.5, 7.0, 45.0, 78.0)) {
+      val ys = sinu.forward(lat, 0.0)._2
+      val yt = tm.forward(lat, 0.0)._2 / Warp.TransverseMercator.K0
+      assert(math.abs(ys - yt) < 1e-6, s"meridian arc at $lat: $ys vs $yt")
+    }
+    // x is true-scale along EVERY parallel (the sinusoidal signature;
+    // conics/stereographic hold it only on standard parallels)
+    for (latS <- Seq(0.0, 18.0, 43.0, 71.0)) {
+      val dLon = 0.01
+      val (xa, ya) = sinu.forward(latS, 30.0)
+      val (xb, yb) = sinu.forward(latS, 30.0 + dLon)
+      val s = math.sin(math.toRadians(latS))
+      val nu = Warp.TransverseMercator.A /
+        math.sqrt(1 - Warp.TransverseMercator.E2 * s * s)
+      val arc = nu * math.cos(math.toRadians(latS)) * math.toRadians(dLon)
+      assert(math.abs((xb - xa) / arc - 1.0) < 1e-9 && ya == yb,
+        s"k at $latS = ${(xb - xa) / arc}")
+    }
+    // round-trip: 5e-8° ≈ 5 mm (the footprint-series truncation; the
+    // λ leg amplifies it by Δλ·tanφ, so wide-Δλ points sit near the
+    // bound)
+    for (lat <- Seq(-55.0, -10.0, 16.5, 19.8, 62.0);
+         lon <- Seq(-120.0, 0.0, 28.4, 150.0)) {
+      val (x, y) = sinu.forward(lat, lon)
+      val (la, lo) = sinu.inverse(x, y)
+      assert(math.abs(la - lat) < 5e-8 && math.abs(lo - lon) < 5e-8,
+        s"round-trip ($lat, $lon) → ($la, $lo)")
+    }
+    // geokey resolution: CT 24 builds it; the central meridian is
+    // load-bearing (missing key fails fast, even though MODIS uses 0)
+    assert(Warp.projectionFor(32767, Map(3075 -> 24.0, 3088 -> 0.0))
+      .exists(_.isInstanceOf[Warp.Sinusoidal]))
+    val err = intercept[IllegalArgumentException](
+      Warp.Sinusoidal.fromGeoKeys(Map(3075 -> 24.0)))
+    assert(err.getMessage.contains("3088"))
+    // lattice ownership stays exclusive under the pseudocylindrical
+    // shear (x compresses toward the poles while y stays metric)
+    val latt = Warp.ProjectedLattice(sinu,
+      x0 = 3000000.0, yTop = 2200000.0, pixelM = 10000.0,
+      tilesX = 1, tilesY = 1, pxPerTile = 20)
+    val contribs = latt.contributionsOf(0, 0,
+      Seq(Array.tabulate(400)(_.toDouble))).toSeq
+    assert(contribs.nonEmpty)
+    val all = contribs.flatMap { case ((ttx, tty), (idxs, _)) =>
+      idxs.map(i => (ttx, tty, i)) }
+    assert(all.distinct.length == all.length, "overlapping ownership")
+  }
+
   test("geokey params round-trip through the GeoTIFF writer/reader") {
     val params = Map[Int, Double](
       3075 -> 11.0, 3078 -> 29.5, 3079 -> 45.5,
