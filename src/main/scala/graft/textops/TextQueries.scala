@@ -232,6 +232,44 @@ object TextQueries extends QueryModule {
          |FROM f a, f b WHERE a.doc_id < b.doc_id
          |  AND bit_count(xor(a.simhash::BIGINT, b.simhash::BIGINT)) <= 3""".stripMargin),
 
+    // D9: C4-style cross-document SPAN dedup (Raffel et al. 2020 §2.2
+    // "we discarded all but one of any three-sentence span occurring
+    // more than once"): non-overlapping 10-word spans, global
+    // keep-first on the span hash, documents rebuilt from their
+    // surviving spans (docs losing every span drop out — the
+    // whole-doc-duplicate case). Distinct from d1 (whole-doc hash)
+    // and d4 (pair scoring): the unit is the span and the output is
+    // REWRITTEN text. Scale shape: explode is linear, the keep-first
+    // is ONE window shuffle on md5(span) (well-distributed — spans
+    // are near-unique), the rebuild one groupBy(doc_id) — no joins,
+    // no O(n²) stage. The 1048576 pack bounds spans/doc at 2^20
+    // (a 10M-word doc), far past any training document.
+    SqlQ.split("d9_span_dedup",
+      """WITH w AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
+        |ch AS (SELECT doc_id, i AS idx, array_join(slice(w, i * 10 + 1, 10), ' ') AS span
+        |  FROM w LATERAL VIEW explode(sequence(0, CAST(ceil(size(w) / 10.0) AS INT) - 1)) t AS i),
+        |k AS (SELECT doc_id, idx, span,
+        |    min(doc_id * 1048576 + idx) OVER (PARTITION BY md5(span)) AS fk
+        |  FROM ch),
+        |kept AS (SELECT doc_id, idx, span FROM k WHERE doc_id * 1048576 + idx = fk)
+        |SELECT doc_id,
+        |  array_join(transform(array_sort(collect_list(struct(idx, span))), s -> s.span), ' ') AS kept_text,
+        |  count(*) AS n_kept
+        |FROM kept GROUP BY doc_id""".stripMargin,
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sp AS (SELECT doc_id,
+        |    [array_to_string(w[(i-1)*10+1:(i-1)*10+10], ' ')
+        |     for i in generate_series(1, CAST(ceil(len(w) / 10.0) AS BIGINT))] AS spans
+        |  FROM w),
+        |ch AS (SELECT doc_id, i - 1 AS idx, spans[i] AS span
+        |  FROM sp, unnest(generate_series(1, len(spans))) AS t(i)),
+        |k AS (SELECT doc_id, idx, span,
+        |    min(doc_id * 1048576 + idx) OVER (PARTITION BY md5(span)) AS fk
+        |  FROM ch),
+        |kept AS (SELECT doc_id, idx, span FROM k WHERE doc_id * 1048576 + idx = fk)
+        |SELECT doc_id, string_agg(span, ' ' ORDER BY idx) AS kept_text, count(*) AS n_kept
+        |FROM kept GROUP BY doc_id""".stripMargin),
+
     // T5: the end-to-end training-corpus selection this pipeline
     // exists for — keep documents that pass quality heuristics AND are
     // not the duplicate side of a near-dup pair (keep-lowest-doc_id).

@@ -96,6 +96,16 @@ class PlanInvariantsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!full.contains("Window"), "t8 regressed to a window formulation")
   }
 
+  test("d9: span dedup is join-free — one window shuffle + one rebuild shuffle") {
+    val p = plan("d9_span_dedup")
+    // keep-first is a window over md5(span), NOT a groupBy+self-join:
+    // a join formulation would shuffle the span stream twice more
+    assert(!p.contains("Join"), p.take(600))
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles == 2,
+      s"expected 2 hash exchanges (window on md5(span), rebuild on doc_id), got $shuffles")
+  }
+
   test("rs1: scan → zonal partials is ONE whole-stage-codegen span") {
     // the fused raster hot path: FileScan → ColumnarToRow → Project →
     // Generate(explode(zonal_partial)) → partial HashAggregate must
