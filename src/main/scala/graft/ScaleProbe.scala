@@ -26,7 +26,11 @@ object ScaleProbe {
     "t10_keywords", "e4_ann_lsh_pairs", "e3_ann_ivf",
     // round-5 additions: the distributed two-pass prefix sum (was the
     // SinglePartition scale-killer) and the pointer-jumping CC loop
-    "t8_sequence_pack", "d7_dup_clusters")
+    "t8_sequence_pack", "d7_dup_clusters",
+    // round-7 addition: C4 span dedup — the window-on-md5(span) shuffle
+    // is the whole cost, so the exponent should track data volume
+    // (replica word-suffixing keeps cross-replica spans distinct)
+    "d9_span_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

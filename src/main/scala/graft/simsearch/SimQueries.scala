@@ -552,6 +552,37 @@ object SimQueries extends QueryModule {
        |FROM fin a JOIN fin b ON a.c = b.c AND a.vec_id < b.vec_id
        |WHERE ${dDot("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.35""".stripMargin
 
+  /** e9 SemDedup (Abbas et al. 2023, "SemDedup: Data-efficient
+    * learning at web-scale through semantic deduplication"): within
+    * each CONVERGED k-means cell, drop every embedding that has a
+    * lower-id cell-mate above the cosine threshold — the retained
+    * corpus is the output. Reuses e2's blocked per-cell self-join for
+    * candidate generation (never globally n²; the cell bound is the
+    * published algorithm's own scale argument), then one anti-join
+    * back to the assignment. */
+  private def semDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val km = convergedKmeans(spark, sfDir)
+    spark.sql(
+      s"""$sparkVecs,
+         |asg AS (SELECT vec_id, v, nrm, ${argmaxAssign(km.centroids)} AS c FROM n),
+         |drp AS (SELECT DISTINCT b.vec_id
+         |  FROM asg a JOIN asg b ON a.c = b.c AND a.vec_id < b.vec_id
+         |  WHERE vec_dot(a.v, b.v) / (a.nrm * b.nrm) >= 0.35)
+         |SELECT asg.vec_id, asg.c AS cell
+         |FROM asg LEFT ANTI JOIN drp ON drp.vec_id = asg.vec_id""".stripMargin)
+  }
+
+  private def e9Oracle: String =
+    s"""$duckVecs,
+       |${kmeansCtes(KmMaxIter + 1)},
+       |fin AS (SELECT asg.vec_id, asg.v, n.nrm, asg.c
+       |  FROM asg${KmMaxIter + 1} asg JOIN n ON n.vec_id = asg.vec_id),
+       |drp AS (SELECT DISTINCT b.vec_id
+       |  FROM fin a JOIN fin b ON a.c = b.c AND a.vec_id < b.vec_id
+       |  WHERE ${dDot("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.35)
+       |SELECT fin.vec_id, fin.c AS cell
+       |FROM fin WHERE fin.vec_id NOT IN (SELECT vec_id FROM drp)""".stripMargin
+
   private def e5bOracle: String =
     s"""$duckVecs,
        |${kmeansCtes(KmMaxIter + 1)}
@@ -634,7 +665,8 @@ object SimQueries extends QueryModule {
       ("e3_ann_ivf" -> ((s: SparkSession, d: String) => ivfTopK(s, d))) +
       ("e2_cosine_neardup" -> ((s: SparkSession, d: String) => cellNearDup(s, d))) +
       ("e8_ivf_recall" -> ((s: SparkSession, d: String) => ivfRecall(s, d))) +
-      ("e4_ann_lsh_auto" -> ((s: SparkSession, d: String) => e4Auto(s, d)))
+      ("e4_ann_lsh_auto" -> ((s: SparkSession, d: String) => e4Auto(s, d))) +
+      ("e9_semdedup" -> ((s: SparkSession, d: String) => semDedup(s, d)))
 
   override def oracles: Map[String, String] =
     sqls.flatMap(q => q.oracleSql.map(q.name -> _)).toMap +
@@ -643,5 +675,6 @@ object SimQueries extends QueryModule {
       ("e3_ann_ivf" -> e3Oracle) +
       ("e2_cosine_neardup" -> e2Oracle) +
       ("e8_ivf_recall" -> e8Oracle) +
-      ("e4_ann_lsh_auto" -> e4Oracle)
+      ("e4_ann_lsh_auto" -> e4Oracle) +
+      ("e9_semdedup" -> e9Oracle)
 }
