@@ -858,10 +858,12 @@ object RasterQueries extends QueryModule {
 
   /** r19: a PARAMETER-DEFINED polar stereographic grid (CT 15,
     * standard parallel 70°N, pole meridian −45° — the EPSG:3413
-    * sea-ice parameterization) over south Greenland (~71..76°N): the
-    * azimuthal family, where longitude is an ANGLE around the pole
-    * rather than an x offset — the strongest rotation the lattice's
-    * target-driven resample sees. */
+    * sea-ice parameterization) over south Greenland (ρ 2020..2530 km
+    * from the pole ≈ 67.2..71.5°N, lon ≈ −38..−26): the azimuthal
+    * family, where longitude is an ANGLE around the pole rather than
+    * an x offset — the strongest rotation the lattice's target-driven
+    * resample sees. (A pole-CONTAINING lattice goes through the
+    * full-longitude singularity path; WarpSpec covers it.) */
   private val r19Params: Map[Int, Double] = Map(
     3075 -> 15.0,   // ProjCoordTrans: CT_PolarStereographic
     3095 -> -45.0,  // ProjStraightVertPoleLong

@@ -124,6 +124,14 @@ object Warp {
     def xSql: String
     /** The northing expression over [[forwardSelect]]'s columns. */
     def ySql: String
+    /** Projected-plane points where the lat/lon graticule is singular
+      * — the pole of an azimuthal projection, as `(x, y, latDeg)`.
+      * A lattice whose rectangle CONTAINS one has its latitude
+      * extreme in the interior (edge sampling cannot see it) and
+      * covers every longitude; [[ProjectedLattice]] branches on this.
+      * Cylindrical/conic/pseudocylindrical families map the poles to
+      * lattice edges or infinity, so the default is none. */
+    def planeSingularities: Seq[(Double, Double, Double)] = Nil
   }
 
   /** The projection of a supported projected-CRS EPSG code: UTM zones
@@ -198,10 +206,26 @@ object Warp {
         Seq((fx, yTop), (fx, yBot), (x0, fy), (xRight, fy))
       }.map { case (x, y) => proj.inverse(x, y) }
     }
-    val originLon: Double = boundary.map(_._2).min - pixelDeg
-    val originLat: Double = boundary.map(_._1).max + pixelDeg
-    private val lonMax = boundary.map(_._2).max + pixelDeg
-    private val latMin = boundary.map(_._1).min - pixelDeg
+    /** Latitudes of graticule singularities (azimuthal poles) INSIDE
+      * the lattice rectangle: their latitude extreme is interior —
+      * edge sampling cannot see it — and they force full-longitude
+      * coverage (every meridian passes through the pole). */
+    private val polesInside: Seq[Double] = proj.planeSingularities.collect {
+      case (sx, sy, latDeg)
+        if sx >= x0 && sx <= xRight && sy >= yBot && sy <= yTop => latDeg
+    }
+    private val wrapped: Boolean = polesInside.nonEmpty
+    val originLon: Double =
+      if (wrapped) -180.0 else boundary.map(_._2).min - pixelDeg
+    // the pole itself caps the pad: centers past ±90° have no latitude
+    val originLat: Double =
+      if (polesInside.exists(_ > 0)) 90.0
+      else boundary.map(_._1).max + pixelDeg
+    private val lonMax =
+      if (wrapped) 180.0 else boundary.map(_._2).max + pixelDeg
+    private val latMin =
+      if (polesInside.exists(_ < 0)) -90.0
+      else boundary.map(_._1).min - pixelDeg
     val tilesXTarget: Int = math.max(1,
       math.ceil((lonMax - originLon) / (pxPerTile * pixelDeg)).toInt)
     val tilesYTarget: Int = math.max(1,
@@ -224,13 +248,21 @@ object Warp {
       val pts = for (i <- 0 to 4; j <- 0 to 4)
         yield proj.inverse(tx0 + span * i / 4.0, ty0 - span * j / 4.0)
       val tdeg = pxPerTile * pixelDeg
-      val ttxLo = math.max(0,
+      // a source tile CONTAINING the pole has its latitude extreme
+      // (and every longitude) interior to it — the sample-based range
+      // below would silently exclude the polar cap's target rows
+      val tilePole: Option[Double] = proj.planeSingularities.collectFirst {
+        case (sx, sy, latDeg)
+          if sx >= tx0 && sx <= tx0 + span &&
+            sy <= ty0 && sy >= ty0 - span => latDeg
+      }
+      val ttxLo = if (tilePole.isDefined) 0 else math.max(0,
         ((pts.map(_._2).min - 2 * pixelDeg - originLon) / tdeg).toInt)
-      val ttxHi = math.min(tilesXTarget - 1,
+      val ttxHi = if (tilePole.isDefined) tilesXTarget - 1 else math.min(tilesXTarget - 1,
         ((pts.map(_._2).max + 2 * pixelDeg - originLon) / tdeg).toInt)
-      val ttyLo = math.max(0,
+      val ttyLo = if (tilePole.exists(_ > 0)) 0 else math.max(0,
         ((originLat - (pts.map(_._1).max + 2 * pixelDeg)) / tdeg).toInt)
-      val ttyHi = math.min(tilesYTarget - 1,
+      val ttyHi = if (tilePole.exists(_ < 0)) tilesYTarget - 1 else math.min(tilesYTarget - 1,
         ((originLat - (pts.map(_._1).min - 2 * pixelDeg)) / tdeg).toInt)
       (for (ttx <- ttxLo to ttxHi; tty <- ttyLo to ttyHi) yield (ttx, tty))
         .iterator.flatMap { case (ttx, tty) =>
@@ -240,8 +272,13 @@ object Warp {
           while (cy < pxPerTile) {
             val lat = originLat - (tty * pxPerTile + cy + 0.5) * pixelDeg
             var cx = 0
-            while (cx < pxPerTile) {
+            while (cx < pxPerTile && lat <= 90.0 && lat >= -90.0) {
               val lon = originLon + (ttx * pxPerTile + cx + 0.5) * pixelDeg
+              // in the wrapped (pole-inside) case the ragged last tile
+              // column can pass +180°, which is the same geography as
+              // the −180° column — emitting both would duplicate it
+              if (wrapped && lon >= 180.0) { cx = pxPerTile }
+              else {
               val (x, y) = proj.forward(lat, lon)
               val sgx = Math.floor((x - x0) / pixelM).toInt
               val sgy = Math.floor((yTop - y) / pixelM).toInt
@@ -253,6 +290,7 @@ object Warp {
                 while (b < bands.length) { vals(b) += bands(b)(li); b += 1 }
               }
               cx += 1
+              }
             }
             cy += 1
           }
@@ -738,6 +776,9 @@ object Warp {
         A * (mOf(pts) / tOf(pts))
       }
     private val negSRhoK: Double = -aspect * rhoK
+    /** The pole projects to (FE, FN) — the azimuthal singularity. */
+    override def planeSingularities: Seq[(Double, Double, Double)] =
+      Seq((falseE, falseN, 90.0 * aspect))
     // conformal→geodetic series coefficients (Snyder 3-5)
     private val C1: Double = E2 / 2 + 5 * E2 * E2 / 24 + E2 * E2 * E2 / 12
     private val C2: Double = 7 * E2 * E2 / 48 + 29 * E2 * E2 * E2 / 240
@@ -786,12 +827,15 @@ object Warp {
   object PolarStereographic {
     /** Build from GeoTIFF projection geokeys (CT 15): GDAL writes the
       * standard parallel (or pole latitude, variant A) as
-      * ProjNatOriginLat (3081; some writers use ProjStdParallel1
-      * 3078), the central meridian as ProjStraightVertPoleLong (3095;
-      * fallbacks 3088/3084/3080), the variant-A scale as
-      * ProjScaleAtNatOrigin (3092, default 1). Missing origin keys
-      * fail fast — same load-bearing-georeferencing stance as the
-      * conics. */
+      * ProjNatOriginLat (3081); ESRI-style writers put the standard
+      * parallel in ProjStdParallel1 (3078) alongside 3081 = ±90, so
+      * 3078 takes PRECEDENCE when present — reading 3081 first would
+      * misread those variant-B files as variant A with k0 = 1 (~3%
+      * scale error). The central meridian is
+      * ProjStraightVertPoleLong (3095; fallbacks 3088/3084/3080), the
+      * variant-A scale ProjScaleAtNatOrigin (3092, default 1).
+      * Missing origin keys fail fast — same
+      * load-bearing-georeferencing stance as the conics. */
     def fromGeoKeys(p: Map[Int, Double]): PolarStereographic = {
       def req(ids: Seq[Int], what: String): Double =
         ids.collectFirst { case id if p.contains(id) => p(id) }
@@ -799,7 +843,7 @@ object Warp {
             s"PolarStereographic GeoKeyDirectory missing $what " +
               s"(keys ${ids.mkString("/")})"))
       PolarStereographic(
-        latTsDeg = req(Seq(3081, 3078), "ProjNatOriginLat/ProjStdParallel1"),
+        latTsDeg = req(Seq(3078, 3081), "ProjStdParallel1/ProjNatOriginLat"),
         lon0Deg = req(Seq(3095, 3088, 3084, 3080),
           "ProjStraightVertPoleLong/ProjCenterLong"),
         falseE = p.getOrElse(3082, p.getOrElse(3086, 0.0)),
@@ -830,12 +874,16 @@ object Warp {
     }
 
     /** Inverse via the footprint-latitude series (Snyder 3-26), then
-      * the closed-form λ (30-11). Undefined within ~a pixel of the
-      * poles (cosφ → 0) — the warp lattices this engine builds never
-      * reach them (the bbox derivation would already have rejected a
-      * pole-crossing lattice). */
+      * the closed-form λ (30-11). A northing past the pole's meridian
+      * arc has no latitude — that is invalid sinusoidal
+      * georeferencing (mis-unitted or corrupt), and silently folding
+      * it through cos(φ) ≈ 0 would explode the ingest's derived
+      * target grid, so it fails fast here instead. */
     def inverse(x: Double, y: Double): (Double, Double) = {
       val mu = (y - falseN) / (A * M1)
+      require(math.abs(mu) <= Math.PI / 2,
+        f"northing ${y - falseN}%.1f m is beyond the pole's meridian arc " +
+          f"(${A * M1 * Math.PI / 2}%.1f m) — invalid sinusoidal georeferencing")
       val phi = mu + P1 * Math.sin(2 * mu) + P2 * Math.sin(4 * mu) +
         P3 * Math.sin(6 * mu) + P4 * Math.sin(8 * mu)
       val sinP = Math.sin(phi)

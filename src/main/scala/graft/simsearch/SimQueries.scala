@@ -527,6 +527,11 @@ object SimQueries extends QueryModule {
     // the same updates in DuckDB (materialized CTEs keep that linear).
   )
 
+  /** THE near-dup cosine threshold, shared by e2 (pair listing) and
+    * e9 (SemDedup retention) in BOTH dialects — one constant so the
+    * four SQL sites cannot drift apart. */
+  private val NearDupCosine = "0.35"
+
   /** e2 Spark side: near-dup pairs blocked by the CONVERGED k-means
     * cell — a fully self-contained near-dup path (candidate generation
     * needs no pre-existing key; the per-cell self-join is the blocked
@@ -539,7 +544,7 @@ object SimQueries extends QueryModule {
          |SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b, a.c AS cell,
          |  vec_dot(a.v, b.v) / (a.nrm * b.nrm) AS cosine
          |FROM asg a JOIN asg b ON a.c = b.c AND a.vec_id < b.vec_id
-         |WHERE vec_dot(a.v, b.v) / (a.nrm * b.nrm) >= 0.35""".stripMargin)
+         |WHERE vec_dot(a.v, b.v) / (a.nrm * b.nrm) >= $NearDupCosine""".stripMargin)
   }
 
   private def e2Oracle: String =
@@ -550,7 +555,7 @@ object SimQueries extends QueryModule {
        |SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b, a.c AS cell,
        |  ${dDot("a.v", "b.v")} / (a.nrm * b.nrm) AS cosine
        |FROM fin a JOIN fin b ON a.c = b.c AND a.vec_id < b.vec_id
-       |WHERE ${dDot("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.35""".stripMargin
+       |WHERE ${dDot("a.v", "b.v")} / (a.nrm * b.nrm) >= $NearDupCosine""".stripMargin
 
   /** e9 SemDedup (Abbas et al. 2023, "SemDedup: Data-efficient
     * learning at web-scale through semantic deduplication"): within
@@ -567,7 +572,7 @@ object SimQueries extends QueryModule {
          |asg AS (SELECT vec_id, v, nrm, ${argmaxAssign(km.centroids)} AS c FROM n),
          |drp AS (SELECT DISTINCT b.vec_id
          |  FROM asg a JOIN asg b ON a.c = b.c AND a.vec_id < b.vec_id
-         |  WHERE vec_dot(a.v, b.v) / (a.nrm * b.nrm) >= 0.35)
+         |  WHERE vec_dot(a.v, b.v) / (a.nrm * b.nrm) >= $NearDupCosine)
          |SELECT asg.vec_id, asg.c AS cell
          |FROM asg LEFT ANTI JOIN drp ON drp.vec_id = asg.vec_id""".stripMargin)
   }
@@ -579,7 +584,7 @@ object SimQueries extends QueryModule {
        |  FROM asg${KmMaxIter + 1} asg JOIN n ON n.vec_id = asg.vec_id),
        |drp AS (SELECT DISTINCT b.vec_id
        |  FROM fin a JOIN fin b ON a.c = b.c AND a.vec_id < b.vec_id
-       |  WHERE ${dDot("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.35)
+       |  WHERE ${dDot("a.v", "b.v")} / (a.nrm * b.nrm) >= $NearDupCosine)
        |SELECT fin.vec_id, fin.c AS cell
        |FROM fin WHERE fin.vec_id NOT IN (SELECT vec_id FROM drp)""".stripMargin
 

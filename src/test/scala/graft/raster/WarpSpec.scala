@@ -387,6 +387,12 @@ class WarpSpec extends AnyFunSuite {
     val err = intercept[IllegalArgumentException](
       Warp.PolarStereographic.fromGeoKeys(Map(3075 -> 15.0, 3081 -> 70.0)))
     assert(err.getMessage.contains("3095"))
+    // ESRI-style variant-B files carry BOTH 3081 = ±90 (pole) and
+    // 3078 = the standard parallel: 3078 must win, or the file is
+    // misread as variant A with k0 = 1 (~3% scale error)
+    val esri = Warp.PolarStereographic.fromGeoKeys(Map(
+      3075 -> 15.0, 3095 -> -45.0, 3081 -> 90.0, 3078 -> 70.0))
+    assert(esri.latTsDeg == 70.0 && esri.rhoK == north.rhoK)
     // lattice ownership stays exclusive under the azimuthal rotation
     val latt = Warp.ProjectedLattice(north,
       x0 = 300000.0, yTop = -2000000.0, pixelM = 10000.0,
@@ -397,6 +403,58 @@ class WarpSpec extends AnyFunSuite {
     val all = contribs.flatMap { case ((ttx, tty), (idxs, _)) =>
       idxs.map(i => (ttx, tty, i)) }
     assert(all.distinct.length == all.length, "overlapping ownership")
+  }
+
+  test("pole-containing polar lattice: full-longitude target, cap covered") {
+    // EPSG:3413-style CRS; a 2×2 lattice of 20-px 10 km tiles CENTERED
+    // on the pole (x, y ∈ [−200 km, 200 km]) — the canonical NSIDC
+    // use case. The latitude extreme (90°N) is interior to the
+    // rectangle, so edge-only bbox sampling would silently drop the
+    // polar cap; the singularity path must cover every longitude.
+    val ps = Warp.PolarStereographic(70.0, -45.0, 0.0, 0.0)
+    val latt = Warp.ProjectedLattice(ps,
+      x0 = -200000.0, yTop = 200000.0, pixelM = 10000.0,
+      tilesX = 2, tilesY = 2, pxPerTile = 20)
+    assert(latt.originLat == 90.0, s"originLat ${latt.originLat}")
+    assert(latt.originLon == -180.0, s"originLon ${latt.originLon}")
+    assert(latt.tilesXTarget * 20 * latt.pixelDeg >= 360.0 - 1e-9,
+      s"target grid spans ${latt.tilesXTarget * 20 * latt.pixelDeg}° of longitude")
+    val bands = Seq(Array.tabulate(400)(_.toDouble))
+    val seen = scala.collection.mutable.Map.empty[(Int, Int, Int), Int]
+    for (stx <- 0 until 2; sty <- 0 until 2)
+      latt.contributionsOf(stx, sty, bands).foreach { case ((ttx, tty), (idxs, _)) =>
+        idxs.foreach { i =>
+          val key = (ttx, tty, i)
+          seen.get(key).foreach(prev =>
+            fail(s"pixel $key claimed by both $prev and ${sty * 2 + stx}"))
+          seen(key) = sty * 2 + stx
+        }
+      }
+    // coverage: claimed pixels = an independent scan over ALL target
+    // centers (same skip rules: |lat| ≤ 90, wrapped lon < 180) whose
+    // forward lands in the source square — catches both the bbox and
+    // the per-tile candidate-range versions of the cap-loss bug
+    val expected = (for {
+      gy <- 0 until latt.tilesYTarget * 20
+      gx <- 0 until latt.tilesXTarget * 20
+      lat = latt.originLat - (gy + 0.5) * latt.pixelDeg
+      lon = latt.originLon + (gx + 0.5) * latt.pixelDeg
+      if lat >= -90.0 && lon < 180.0
+      xy = ps.forward(lat, lon)
+      sgx = Math.floor((xy._1 - -200000.0) / 10000.0).toInt
+      sgy = Math.floor((200000.0 - xy._2) / 10000.0).toInt
+      if sgx >= 0 && sgx < 40 && sgy >= 0 && sgy < 40
+    } yield 1).sum
+    assert(seen.size == expected, s"${seen.size} covered, $expected expected")
+    // the cap itself is present: the top target row (centers at
+    // 90° − pixelDeg/2) is claimed across many longitudes
+    val topRow = seen.keys.count { case (_, tty, i) => tty == 0 && i < 20 }
+    assert(topRow > 100, s"polar-cap top-row pixels claimed: $topRow")
+    // every longitude column appears (full wrap): distinct target tile
+    // columns = the full range
+    val cols = seen.keys.map(_._1).toSet
+    assert(cols == (0 until latt.tilesXTarget).toSet,
+      s"missing longitude tile columns: ${(0 until latt.tilesXTarget).toSet -- cols}")
   }
 
   test("sinusoidal from geokeys: parallel true scale, meridian arc, round-trip") {
