@@ -55,6 +55,20 @@ object TextQueries extends QueryModule {
          |  FROM sigs LATERAL VIEW explode(sequence(0, ${bands - 1})) t AS band)""".stripMargin
   }
 
+  /** THE span shape of the C4-style span dedup (d9), shared with the
+    * streaming gate [[graft.streaming.SpanDedupStream]] so stream and
+    * batch span boundaries (and hashes) agree BY CONSTRUCTION:
+    * non-overlapping `words`-word chunks, md5 of the joined chunk. */
+  object SpanShape {
+    val words = 10
+    /** Spark SQL: chunk `$i` (0-based) of word array `$w`. */
+    def chunkSql(w: String, i: String): String =
+      s"array_join(slice($w, $i * $words + 1, $words), ' ')"
+    /** Spark SQL: chunk count of word array `$w` (ceil division). */
+    def countSql(w: String): String =
+      s"CAST(ceil(size($w) / $words.0) AS INT)"
+  }
+
   /** THE PII shapes (t11), shared with the streaming scrub gate
     * ([[graft.streaming.PiiStream]]) so stream and batch redactions
     * agree BY CONSTRUCTION. Raw Java/RE2-portable regexes —
@@ -245,30 +259,30 @@ object TextQueries extends QueryModule {
     // no O(n²) stage. The 1048576 pack bounds spans/doc at 2^20
     // (a 10M-word doc), far past any training document.
     SqlQ.split("d9_span_dedup",
-      """WITH w AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
-        |ch AS (SELECT doc_id, i AS idx, array_join(slice(w, i * 10 + 1, 10), ' ') AS span
-        |  FROM w LATERAL VIEW explode(sequence(0, CAST(ceil(size(w) / 10.0) AS INT) - 1)) t AS i),
-        |k AS (SELECT doc_id, idx, span,
-        |    min(doc_id * 1048576 + idx) OVER (PARTITION BY md5(span)) AS fk
-        |  FROM ch),
-        |kept AS (SELECT doc_id, idx, span FROM k WHERE doc_id * 1048576 + idx = fk)
-        |SELECT doc_id,
-        |  array_join(transform(array_sort(collect_list(struct(idx, span))), s -> s.span), ' ') AS kept_text,
-        |  count(*) AS n_kept
-        |FROM kept GROUP BY doc_id""".stripMargin,
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |sp AS (SELECT doc_id,
-        |    [array_to_string(w[(i-1)*10+1:(i-1)*10+10], ' ')
-        |     for i in generate_series(1, CAST(ceil(len(w) / 10.0) AS BIGINT))] AS spans
-        |  FROM w),
-        |ch AS (SELECT doc_id, i - 1 AS idx, spans[i] AS span
-        |  FROM sp, unnest(generate_series(1, len(spans))) AS t(i)),
-        |k AS (SELECT doc_id, idx, span,
-        |    min(doc_id * 1048576 + idx) OVER (PARTITION BY md5(span)) AS fk
-        |  FROM ch),
-        |kept AS (SELECT doc_id, idx, span FROM k WHERE doc_id * 1048576 + idx = fk)
-        |SELECT doc_id, string_agg(span, ' ' ORDER BY idx) AS kept_text, count(*) AS n_kept
-        |FROM kept GROUP BY doc_id""".stripMargin),
+      s"""WITH w AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
+         |ch AS (SELECT doc_id, i AS idx, ${SpanShape.chunkSql("w", "i")} AS span
+         |  FROM w LATERAL VIEW explode(sequence(0, ${SpanShape.countSql("w")} - 1)) t AS i),
+         |k AS (SELECT doc_id, idx, span,
+         |    min(doc_id * 1048576 + idx) OVER (PARTITION BY md5(span)) AS fk
+         |  FROM ch),
+         |kept AS (SELECT doc_id, idx, span FROM k WHERE doc_id * 1048576 + idx = fk)
+         |SELECT doc_id,
+         |  array_join(transform(array_sort(collect_list(struct(idx, span))), s -> s.span), ' ') AS kept_text,
+         |  count(*) AS n_kept
+         |FROM kept GROUP BY doc_id""".stripMargin,
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |sp AS (SELECT doc_id,
+         |    [array_to_string(w[(i-1)*${SpanShape.words}+1:(i-1)*${SpanShape.words}+${SpanShape.words}], ' ')
+         |     for i in generate_series(1, CAST(ceil(len(w) / ${SpanShape.words}.0) AS BIGINT))] AS spans
+         |  FROM w),
+         |ch AS (SELECT doc_id, i - 1 AS idx, spans[i] AS span
+         |  FROM sp, unnest(generate_series(1, len(spans))) AS t(i)),
+         |k AS (SELECT doc_id, idx, span,
+         |    min(doc_id * 1048576 + idx) OVER (PARTITION BY md5(span)) AS fk
+         |  FROM ch),
+         |kept AS (SELECT doc_id, idx, span FROM k WHERE doc_id * 1048576 + idx = fk)
+         |SELECT doc_id, string_agg(span, ' ' ORDER BY idx) AS kept_text, count(*) AS n_kept
+         |FROM kept GROUP BY doc_id""".stripMargin),
 
     // T5: the end-to-end training-corpus selection this pipeline
     // exists for — keep documents that pass quality heuristics AND are
@@ -759,6 +773,11 @@ object TextQueries extends QueryModule {
 
   /** Pass 0 — exposed so `PlanInvariantsSpec` can pin the plan shape:
     * range partitioning present, no `SinglePartition` exchange. */
+  /** d9's Spark SQL, exposed for the streaming span gate's
+    * batch-parity spec ([[graft.streaming.SpanDedupStream]]). */
+  private[graft] def d9SparkSqlForTest: String =
+    sqls.find(_.name == "d9_span_dedup").get.sparkSql
+
   private[graft] def t8RangePartitioned(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.register(spark, sfDir)
     spark.sql("SELECT doc_id, size(split(text, ' ')) AS n_tokens FROM documents")
