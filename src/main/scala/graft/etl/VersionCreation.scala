@@ -49,7 +49,8 @@ object VersionCreation {
       sourceType: String = "table",
       pixelMeaning: String = "value",
       noData: Option[String] = None,
-      unifyProjection: Boolean = false)
+      unifyProjection: Boolean = false,
+      resampling: String = "nearest")
 
   object CreationOptions {
     /** Parse the PUT body's `creation_options` object. */
@@ -100,7 +101,8 @@ object VersionCreation {
         sourceType = obj.get("source_type").map(_.toString).getOrElse("table"),
         pixelMeaning = obj.get("pixel_meaning").map(_.toString).getOrElse("value"),
         noData = obj.get("no_data").map(_.toString),
-        unifyProjection = obj.get("unify_projection").contains(true))
+        unifyProjection = obj.get("unify_projection").contains(true),
+        resampling = obj.get("resampling").map(_.toString).getOrElse("nearest"))
     }
   }
 
@@ -276,6 +278,14 @@ object VersionCreation {
             "Albers/Lambert conics, polar stereographic, and " +
             "sinusoidal via geokeys)"))
 
+      // a non-default resampling method only has meaning where an
+      // actual resample happens — the general projected-CRS warp; the
+      // 4326 path is an identity copy and the mercator path is the
+      // closed-form row resample
+      require(opts.resampling == "nearest" || projSrc.isDefined,
+        s"resampling '${opts.resampling}' requires a projected source CRS " +
+          "(the EPSG:4326 and EPSG:3857 paths resample implicitly)")
+
       // source lattice (degrees for 4326, meters for 3857): every tile
       // must sit on one square lattice of shared size/scale
       val tileSpan = w * pixelDeg
@@ -328,37 +338,92 @@ object VersionCreation {
           }
           (g, rdd)
         } else if (projSrc.isDefined) {
-          // general projected-CRS warp (UTM zones, EASE-Grid 2.0):
-          // target-driven nearest-neighbor resample — each source tile
-          // emits one sparse contribution per overlapping target tile,
-          // one shuffle assembles target tiles (Warp.ProjectedLattice)
+          // general projected-CRS warp (UTM zones, EASE-Grid 2.0,
+          // conics, polar stereo, sinusoidal): target-driven resample
+          // — each source tile emits one sparse contribution per
+          // overlapping target tile, one shuffle assembles target
+          // tiles (Warp.ProjectedLattice). Resampling: nearest
+          // (exclusive ownership) or bilinear (additive partial
+          // weighted sums — the continuous-data method of the
+          // reference's ResamplingMethod enum); the other enum values
+          // (cubic/lanczos/…) are rejected with a message.
           require(opts.noData.isDefined,
             "unify_projection requires no_data (unmapped target pixels " +
               "must be distinguishable from data)")
+          require(opts.resampling == "nearest" || opts.resampling == "bilinear",
+            s"resampling '${opts.resampling}' not supported on the warp path " +
+              "(supported: nearest, bilinear; the reference's remaining " +
+              "ResamplingMethod values are not implemented)")
           val ndFill = opts.noData.get.toDouble
           val latt = graft.raster.Warp.ProjectedLattice(
             projSrc.get, originX, originY, pixelDeg, tilesX, tilesYSrc, w)
           val g = graft.raster.Grid(latt.originLon, latt.originLat,
             tilesX = latt.tilesXTarget, tilesY = latt.tilesYTarget,
             tileDeg = w * latt.pixelDeg, pxPerTile = w)
-          val segs = files.rdd.flatMap { r =>
-            val t = GeoTiff.readRaster(r.getAs[Array[Byte]](0))
-            val stx = math.rint((t.originX - originX) / tileSpan).toInt
-            val sty = math.rint((originY - t.originY) / tileSpan).toInt
-            latt.contributionsOf(stx, sty, t.bands)
-          }
-          val rdd = segs.groupByKey().map { case ((ttx, tty), contribs) =>
-            val out = Array.fill(bandCount)(Array.fill(w * h)(ndFill))
-            contribs.foreach { case (idxs, bvals) =>
-              var k = 0
-              while (k < idxs.length) {
-                var c = 0
-                while (c < bandCount) { out(c)(idxs(k)) = bvals(c)(k); c += 1 }
-                k += 1
-              }
+          val rdd = if (opts.resampling == "bilinear") {
+            val toInt = !isFloat
+            val segs = files.rdd.flatMap { r =>
+              val t = GeoTiff.readRaster(r.getAs[Array[Byte]](0))
+              val stx = math.rint((t.originX - originX) / tileSpan).toInt
+              val sty = math.rint((originY - t.originY) / tileSpan).toInt
+              latt.contributionsOfBilinear(stx, sty, t.bands, ndFill)
             }
-            Row.fromSeq(
-              g.tileId(ttx, tty) :: ttx :: tty :: out.map(b => bandSeq(b)).toList)
+            segs.groupByKey().map { case ((ttx, tty), contribs) =>
+              // determinism contract: fold the per-source-tile partial
+              // (Σ w·v, Σ w) sums in tileKey order — the oracle
+              // replays the identical grouped fold
+              val wv = Array.fill(bandCount)(new Array[Double](w * h))
+              val wsum = Array.fill(bandCount)(new Array[Double](w * h))
+              contribs.toSeq.sortBy(_._1).foreach { case (_, idxs, bwv, bws) =>
+                var k = 0
+                while (k < idxs.length) {
+                  var c = 0
+                  while (c < bandCount) {
+                    wv(c)(idxs(k)) += bwv(c)(k)
+                    wsum(c)(idxs(k)) += bws(c)(k)
+                    c += 1
+                  }
+                  k += 1
+                }
+              }
+              val out = Array.fill(bandCount)(Array.fill(w * h)(ndFill))
+              var c = 0
+              while (c < bandCount) {
+                var k = 0
+                while (k < w * h) {
+                  if (wsum(c)(k) > 0.0) {
+                    val v = wv(c)(k) / wsum(c)(k)
+                    // integer lakes round half-up — floor(v + 0.5) is
+                    // the association the oracle mirrors
+                    out(c)(k) = if (toInt) Math.floor(v + 0.5) else v
+                  }
+                  k += 1
+                }
+                c += 1
+              }
+              Row.fromSeq(
+                g.tileId(ttx, tty) :: ttx :: tty :: out.map(b => bandSeq(b)).toList)
+            }
+          } else {
+            val segs = files.rdd.flatMap { r =>
+              val t = GeoTiff.readRaster(r.getAs[Array[Byte]](0))
+              val stx = math.rint((t.originX - originX) / tileSpan).toInt
+              val sty = math.rint((originY - t.originY) / tileSpan).toInt
+              latt.contributionsOf(stx, sty, t.bands)
+            }
+            segs.groupByKey().map { case ((ttx, tty), contribs) =>
+              val out = Array.fill(bandCount)(Array.fill(w * h)(ndFill))
+              contribs.foreach { case (idxs, bvals) =>
+                var k = 0
+                while (k < idxs.length) {
+                  var c = 0
+                  while (c < bandCount) { out(c)(idxs(k)) = bvals(c)(k); c += 1 }
+                  k += 1
+                }
+              }
+              Row.fromSeq(
+                g.tileId(ttx, tty) :: ttx :: tty :: out.map(b => bandSeq(b)).toList)
+            }
           }
           (g, rdd)
         } else {

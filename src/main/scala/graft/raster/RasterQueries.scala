@@ -879,7 +879,8 @@ object RasterQueries extends QueryModule {
     * lake per class. */
   private def projIngest(spark: SparkSession, sfDir: String, tag: String,
                          latt: Warp.ProjectedLattice, epsg: Int,
-                         geoParams: Map[Int, Double] = Map.empty): DataFrame = {
+                         geoParams: Map[Int, Double] = Map.empty,
+                         resampling: String = "nearest"): DataFrame = {
     Tables.register(spark, sfDir)
     val base = java.nio.file.Paths.get(
       s"${sys.props("java.io.tmpdir")}/graft_${tag}_${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}")
@@ -907,7 +908,8 @@ object RasterQueries extends QueryModule {
           sourceUris = (for (stx <- 0 until latt.tilesX; sty <- 0 until latt.tilesY)
             yield src.resolve(s"u${stx}_$sty.tif").toString),
           sourceType = "raster", pixelMeaning = "cls",
-          noData = Some("-1"), unifyProjection = true),
+          noData = Some("-1"), unifyProjection = true,
+          resampling = resampling),
         lake)
       require(ok, s"EPSG:$epsg raster ingest failed: $log")
     }
@@ -936,6 +938,15 @@ object RasterQueries extends QueryModule {
   private def polarIngest(spark: SparkSession, sfDir: String): DataFrame =
     projIngest(spark, sfDir, "r19", r19Lattice, 32767, r19Params)
 
+  /** r20: the r16 Albers grid ingested with BILINEAR resampling (the
+    * reference ResamplingMethod's continuous-data choice) — additive
+    * per-source-tile (Σ w·v, Σ w) partials, tileKey-ordered assembly
+    * fold, integer rounding; the oracle replays the identical grouped
+    * fold per target pixel. */
+  private def bilinearIngest(spark: SparkSession, sfDir: String): DataFrame =
+    projIngest(spark, sfDir, "r20", r16Lattice, 32767, r16Params,
+      resampling = "bilinear")
+
   private def projIngestOracle(latt: Warp.ProjectedLattice): String = {
     val tm = latt.proj
     val px = latt.pxPerTile
@@ -955,6 +966,62 @@ object RasterQueries extends QueryModule {
        |v AS (SELECT ttx, tty,
        |  CASE WHEN sgx >= 0 AND sgx < ${latt.pxX} AND sgy >= 0 AND sgy < ${latt.pxY}
        |       THEN (sgx * 7 + sgy * 11) % 5 ELSE -1 END AS v FROM s),
+       |ex AS (SELECT ttx, tty FROM v GROUP BY ttx, tty HAVING max(v) >= 0)
+       |SELECT v.v AS v, count(*) AS n
+       |FROM v JOIN ex ON v.ttx = ex.ttx AND v.tty = ex.tty
+       |GROUP BY v.v""".stripMargin
+  }
+
+  /** The bilinear twin of [[projIngestOracle]]: per target pixel, the
+    * 2×2 stencil's weighted mean, computed with the ENGINE's exact
+    * association — per-source-tile partial sums of (w·v, w) folded in
+    * tileKey order (inner folds in the fixed stencil order), then one
+    * division and half-up rounding. The synthetic value formula
+    * `(ci·7 + cj·11) % 5` is closed-form, so the oracle evaluates all
+    * four neighbors symbolically. */
+  private def projIngestBilinearOracle(latt: Warp.ProjectedLattice): String = {
+    val tm = latt.proj
+    val px = latt.pxPerTile
+    val nX = latt.tilesXTarget * px
+    val nY = latt.tilesYTarget * px
+    def d(v: Double) = s"CAST(${java.lang.Double.toString(v)} AS DOUBLE)"
+    // one clamped neighbor struct: tile key, weight, synthetic value
+    def nb(iE: String, jE: String, wE: String): String = {
+      val ci = s"least(greatest($iE, 0), ${latt.pxX - 1})"
+      val cj = s"least(greatest($jE, 0), ${latt.pxY - 1})"
+      s"struct_pack(k := ($cj // $px) * ${latt.tilesX} + ($ci // $px), " +
+        s"w := CAST($wE AS DOUBLE), v := CAST(($ci * 7 + $cj * 11) % 5 AS DOUBLE))"
+    }
+    def groupedFold(term: String): String =
+      s"""list_reduce([ list_reduce([$term for n in nbs if n.k = t], (a,b) -> a + b)
+         |    for t in list_sort(list_distinct([n.k for n in nbs])) ], (a,b) -> a + b)""".stripMargin
+    s"""WITH px AS (SELECT unnest(generate_series(0, ${nX * nY - 1})) AS p),
+       |c AS (SELECT p % $nX AS gx, p // $nX AS gy FROM px),
+       |geo AS (SELECT gx, gy,
+       |  ${d(latt.originLon)} + (gx + 0.5) * ${d(latt.pixelDeg)} AS lon,
+       |  ${d(latt.originLat)} - (gy + 0.5) * ${d(latt.pixelDeg)} AS lat FROM c),
+       |fw AS (SELECT gx, gy, ${tm.forwardSelect("lat", "lon")} FROM geo),
+       |xy AS (SELECT gx, gy, ${tm.xSql} AS x, ${tm.ySql} AS y FROM fw),
+       |f AS (SELECT gx, gy,
+       |  (x - ${d(latt.x0)}) / ${d(latt.pixelM)} AS gxc,
+       |  (${d(latt.yTop)} - y) / ${d(latt.pixelM)} AS gyc FROM xy),
+       |g AS (SELECT gx, gy,
+       |  CAST(floor(gxc) AS BIGINT) AS sgx, CAST(floor(gyc) AS BIGINT) AS sgy,
+       |  gxc - 0.5 AS fx, gyc - 0.5 AS fy FROM f),
+       |hh AS (SELECT gx, gy, sgx, sgy,
+       |  CAST(floor(fx) AS BIGINT) AS i0, CAST(floor(fy) AS BIGINT) AS j0,
+       |  fx - floor(fx) AS wx, fy - floor(fy) AS wy FROM g),
+       |nb AS (SELECT gx, gy, sgx, sgy, [
+       |    ${nb("i0", "j0", "(1 - wy) * (1 - wx)")},
+       |    ${nb("i0 + 1", "j0", "(1 - wy) * wx")},
+       |    ${nb("i0", "j0 + 1", "wy * (1 - wx)")},
+       |    ${nb("i0 + 1", "j0 + 1", "wy * wx")}] AS nbs FROM hh),
+       |agg AS (SELECT gx, gy, sgx, sgy,
+       |  ${groupedFold("n.w * n.v")} AS wv,
+       |  ${groupedFold("n.w")} AS ws FROM nb),
+       |v AS (SELECT gx // $px AS ttx, gy // $px AS tty,
+       |  CASE WHEN sgx >= 0 AND sgx < ${latt.pxX} AND sgy >= 0 AND sgy < ${latt.pxY}
+       |       THEN CAST(floor(wv / ws + 0.5) AS BIGINT) ELSE -1 END AS v FROM agg),
        |ex AS (SELECT ttx, tty FROM v GROUP BY ttx, tty HAVING max(v) >= 0)
        |SELECT v.v AS v, count(*) AS n
        |FROM v JOIN ex ON v.ttx = ex.ttx AND v.tty = ex.tty
@@ -1031,7 +1098,8 @@ object RasterQueries extends QueryModule {
       ("r16_albers_ingest" -> (albersIngest _)) +
       ("r17_lcc_ingest" -> (lccIngest _)) +
       ("r18_sinusoidal_ingest" -> (sinusoidalIngest _)) +
-      ("r19_polar_ingest" -> (polarIngest _))
+      ("r19_polar_ingest" -> (polarIngest _)) +
+      ("r20_bilinear_ingest" -> (bilinearIngest _))
 
   override def oracles: Map[String, String] =
     sqls.flatMap(q => q.oracleSql.map(q.name -> _)).toMap +
@@ -1051,5 +1119,6 @@ object RasterQueries extends QueryModule {
       ("r16_albers_ingest" -> projIngestOracle(r16Lattice)) +
       ("r17_lcc_ingest" -> projIngestOracle(r17Lattice)) +
       ("r18_sinusoidal_ingest" -> projIngestOracle(r18Lattice)) +
-      ("r19_polar_ingest" -> projIngestOracle(r19Lattice))
+      ("r19_polar_ingest" -> projIngestOracle(r19Lattice)) +
+      ("r20_bilinear_ingest" -> projIngestBilinearOracle(r16Lattice))
 }

@@ -231,26 +231,20 @@ object Warp {
     val tilesYTarget: Int = math.max(1,
       math.ceil((originLat - latMin) / (pxPerTile * pixelDeg)).toInt)
 
-    /** Sparse contributions of source tile (stx, sty) to each target
-      * tile it overlaps: (target tile, (pixel indexes, per-band
-      * values)). Pixel-center geometry MUST stay
-      * `origin ± (global + 0.5) × pixelDeg` — the oracle replays the
-      * identical arithmetic. */
-    def contributionsOf(stx: Int, sty: Int, bands: Seq[Array[Double]])
-        : Iterator[((Int, Int), (Array[Int], Seq[Array[Double]]))] = {
+    /** Candidate target tiles of source tile (stx, sty): lon/lat bbox
+      * from a 5×5 inverse-projected sample grid, padded 2 px (the
+      * candidates are only a prefilter — the exact forward test
+      * decides membership). A source tile CONTAINING an azimuthal
+      * pole has its latitude extreme (and every longitude) interior
+      * to it — the sample-based range would silently exclude the
+      * polar cap's target rows, so it widens to the full grid edge. */
+    private def candidateTargets(stx: Int, sty: Int): Seq[(Int, Int)] = {
       val span = pxPerTile * pixelM
       val tx0 = x0 + stx * span
       val ty0 = yTop - sty * span
-      // lon/lat bbox of this source tile: 5×5 inverse-projected grid
-      // of sample points, padded 2 px (TM distortion over one tile is
-      // far below a pixel; candidates are only a prefilter — the
-      // exact forward test decides membership)
       val pts = for (i <- 0 to 4; j <- 0 to 4)
         yield proj.inverse(tx0 + span * i / 4.0, ty0 - span * j / 4.0)
       val tdeg = pxPerTile * pixelDeg
-      // a source tile CONTAINING the pole has its latitude extreme
-      // (and every longitude) interior to it — the sample-based range
-      // below would silently exclude the polar cap's target rows
       val tilePole: Option[Double] = proj.planeSingularities.collectFirst {
         case (sx, sy, latDeg)
           if sx >= tx0 && sx <= tx0 + span &&
@@ -264,7 +258,17 @@ object Warp {
         ((originLat - (pts.map(_._1).max + 2 * pixelDeg)) / tdeg).toInt)
       val ttyHi = if (tilePole.exists(_ < 0)) tilesYTarget - 1 else math.min(tilesYTarget - 1,
         ((originLat - (pts.map(_._1).min - 2 * pixelDeg)) / tdeg).toInt)
-      (for (ttx <- ttxLo to ttxHi; tty <- ttyLo to ttyHi) yield (ttx, tty))
+      for (ttx <- ttxLo to ttxHi; tty <- ttyLo to ttyHi) yield (ttx, tty)
+    }
+
+    /** Sparse contributions of source tile (stx, sty) to each target
+      * tile it overlaps: (target tile, (pixel indexes, per-band
+      * values)). Pixel-center geometry MUST stay
+      * `origin ± (global + 0.5) × pixelDeg` — the oracle replays the
+      * identical arithmetic. */
+    def contributionsOf(stx: Int, sty: Int, bands: Seq[Array[Double]])
+        : Iterator[((Int, Int), (Array[Int], Seq[Array[Double]]))] = {
+      candidateTargets(stx, sty)
         .iterator.flatMap { case (ttx, tty) =>
           val idxs = Array.newBuilder[Int]
           val vals = Seq.fill(bands.length)(Array.newBuilder[Double])
@@ -297,6 +301,105 @@ object Warp {
           val ia = idxs.result()
           if (ia.isEmpty) Iterator.empty
           else Iterator(((ttx, tty), (ia, vals.map(_.result()))))
+        }
+    }
+
+    /** BILINEAR contributions of source tile (stx, sty) — the
+      * continuous-data resample of the reference's ResamplingMethod
+      * enum (`app/models/enum/pixetl.py:75-88`; gdalwarp
+      * `-r bilinear`). Where the nearest-neighbor path claims each
+      * target pixel EXCLUSIVELY, bilinear is ADDITIVE: a target
+      * pixel's 2×2 stencil can straddle source tiles, so each tile
+      * emits partial `(Σ w·v, Σ w)` sums for its own stencil
+      * neighbors and the assembly divides after summing across tiles.
+      * Determinism contract: the assembly MUST fold the per-tile
+      * partials in `tileKey` order (the key is `sty·tilesX + stx`,
+      * returned per contribution) and each partial folds its stencil
+      * neighbors in the fixed (j,i) order used here — the DuckDB
+      * oracle replays the identical grouped fold, so the doubles
+      * agree to the same last-ulp contract as the projections.
+      * Neighbors valued `noData` drop out of both sums (GDAL's
+      * renormalization); a pixel is emitted only when its CENTER
+      * floors inside the source span (same validity rule as nearest,
+      * so the two resamplers fill the identical footprint). Stencil
+      * indexes clamp to the span (edge replication). */
+    def contributionsOfBilinear(stx: Int, sty: Int, bands: Seq[Array[Double]],
+                                noData: Double)
+        : Iterator[((Int, Int), (Int, Array[Int], Seq[Array[Double]], Seq[Array[Double]]))] = {
+      val tileKey = sty * tilesX + stx
+      def isNd(v: Double): Boolean = v == noData || (noData.isNaN && v.isNaN)
+      candidateTargets(stx, sty)
+        .iterator.flatMap { case (ttx, tty) =>
+          val idxs = Array.newBuilder[Int]
+          val wv = Seq.fill(bands.length)(Array.newBuilder[Double])
+          val ws = Seq.fill(bands.length)(Array.newBuilder[Double])
+          var cy = 0
+          while (cy < pxPerTile) {
+            val lat = originLat - (tty * pxPerTile + cy + 0.5) * pixelDeg
+            var cx = 0
+            while (cx < pxPerTile && lat <= 90.0 && lat >= -90.0) {
+              val lon = originLon + (ttx * pxPerTile + cx + 0.5) * pixelDeg
+              if (wrapped && lon >= 180.0) { cx = pxPerTile }
+              else {
+              val (x, y) = proj.forward(lat, lon)
+              val gxc = (x - x0) / pixelM
+              val gyc = (yTop - y) / pixelM
+              val sgx = Math.floor(gxc).toInt
+              val sgy = Math.floor(gyc).toInt
+              // validity = the nearest rule (center inside the span)
+              if (sgx >= 0 && sgx < pxX && sgy >= 0 && sgy < pxY) {
+                val fx = gxc - 0.5
+                val fy = gyc - 0.5
+                val i0 = Math.floor(fx).toInt
+                val j0 = Math.floor(fy).toInt
+                val wx = fx - Math.floor(fx)
+                val wy = fy - Math.floor(fy)
+                // stencil in FIXED (j,i) order — the oracle's list order
+                val ni = Array(i0, i0 + 1, i0, i0 + 1)
+                val nj = Array(j0, j0, j0 + 1, j0 + 1)
+                val nw = Array((1 - wy) * (1 - wx), (1 - wy) * wx,
+                  wy * (1 - wx), wy * wx)
+                var wvAcc: Array[Double] = null
+                var wsAcc: Array[Double] = null
+                var n = 0
+                while (n < 4) {
+                  val ci = math.min(pxX - 1, math.max(0, ni(n)))
+                  val cj = math.min(pxY - 1, math.max(0, nj(n)))
+                  if (ci / pxPerTile == stx && cj / pxPerTile == sty) {
+                    if (wvAcc == null) {
+                      wvAcc = new Array[Double](bands.length)
+                      wsAcc = new Array[Double](bands.length)
+                    }
+                    val li = (cj - sty * pxPerTile) * pxPerTile + (ci - stx * pxPerTile)
+                    var b = 0
+                    while (b < bands.length) {
+                      val v = bands(b)(li)
+                      if (!isNd(v)) {
+                        wvAcc(b) += nw(n) * v
+                        wsAcc(b) += nw(n)
+                      }
+                      b += 1
+                    }
+                  }
+                  n += 1
+                }
+                if (wvAcc != null) {
+                  idxs += cy * pxPerTile + cx
+                  var b = 0
+                  while (b < bands.length) {
+                    wv(b) += wvAcc(b); ws(b) += wsAcc(b); b += 1
+                  }
+                }
+              }
+              cx += 1
+              }
+            }
+            cy += 1
+          }
+          val ia = idxs.result()
+          if (ia.isEmpty) Iterator.empty
+          else Iterator(((ttx, tty),
+            (tileKey, ia, wv.map(_.result()), ws.map(_.result()))))
         }
     }
   }

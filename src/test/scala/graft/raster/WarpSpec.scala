@@ -515,6 +515,78 @@ class WarpSpec extends AnyFunSuite {
     assert(all.distinct.length == all.length, "overlapping ownership")
   }
 
+  test("bilinear contributions: partition of unity, interior value, nd renorm") {
+    val latt = Warp.ProjectedLattice(Warp.TransverseMercator.utm(32633),
+      x0 = 400000.0, yTop = 5000000.0, pixelM = 10000.0,
+      tilesX = 2, tilesY = 2, pxPerTile = 20)
+    val mkBands = (f: (Int, Int) => Double) =>
+      (stx: Int, sty: Int) => Seq(Array.tabulate(400) { i =>
+        f(stx * 20 + i % 20, sty * 20 + i / 20)
+      })
+    val linear = mkBands((gx, gy) => gx * 2.0 + gy * 3.0)
+    // accumulate (wv, ws) per target pixel across all source tiles
+    val wv = scala.collection.mutable.Map.empty[(Int, Int, Int), Double]
+    val ws = scala.collection.mutable.Map.empty[(Int, Int, Int), Double]
+    for (stx <- 0 until 2; sty <- 0 until 2)
+      latt.contributionsOfBilinear(stx, sty, linear(stx, sty), -1.0)
+        .foreach { case ((ttx, tty), (_, idxs, bwv, bws)) =>
+          idxs.indices.foreach { k =>
+            val key = (ttx, tty, idxs(k))
+            wv(key) = wv.getOrElse(key, 0.0) + bwv.head(k)
+            ws(key) = ws.getOrElse(key, 0.0) + bws.head(k)
+          }
+        }
+    assert(wv.nonEmpty)
+    // weights sum to 1 for every emitted pixel (all 4 clamped stencil
+    // neighbors exist and carry data) — including pixels whose stencil
+    // straddles source tiles
+    ws.values.foreach(s => assert(math.abs(s - 1.0) < 1e-12, s))
+    // a bilinear interpolation of a LINEAR field reproduces the field
+    // exactly: value = gxc·2 + gyc·3 at the continuous stencil center
+    var checked = 0
+    wv.keys.take(500).foreach { case key @ (ttx, tty, i) =>
+      val gx = ttx * 20 + i % 20
+      val gy = tty * 20 + i / 20
+      val lat = latt.originLat - (gy + 0.5) * latt.pixelDeg
+      val lon = latt.originLon + (gx + 0.5) * latt.pixelDeg
+      val (x, y) = latt.proj.forward(lat, lon)
+      val fx = (x - 400000.0) / 10000.0 - 0.5
+      val fy = (5000000.0 - y) / 10000.0 - 0.5
+      // strictly interior stencils only (clamping bends the field)
+      if (fx >= 0 && fx < 38.9 && fy >= 0 && fy < 38.9) {
+        val expect = fx * 2.0 + fy * 3.0
+        assert(math.abs(wv(key) / ws(key) - expect) < 1e-9,
+          s"$key: ${wv(key) / ws(key)} vs $expect")
+        checked += 1
+      }
+    }
+    assert(checked > 100, s"only $checked interior pixels checked")
+    // no_data neighbors drop out of BOTH sums: a checkerboard where
+    // odd pixels are nd keeps the even neighbors' weights only, so
+    // the renormalized value is exactly the even-value mean
+    val nd = mkBands((gx, gy) => if ((gx + gy) % 2 == 1) -1.0 else 7.0)
+    val wv2 = scala.collection.mutable.Map.empty[(Int, Int, Int), Double]
+    val ws2 = scala.collection.mutable.Map.empty[(Int, Int, Int), Double]
+    for (stx <- 0 until 2; sty <- 0 until 2)
+      latt.contributionsOfBilinear(stx, sty, nd(stx, sty), -1.0)
+        .foreach { case ((ttx, tty), (_, idxs, bwv, bws)) =>
+          idxs.indices.foreach { k =>
+            val key = (ttx, tty, idxs(k))
+            wv2(key) = wv2.getOrElse(key, 0.0) + bwv.head(k)
+            ws2(key) = ws2.getOrElse(key, 0.0) + bws.head(k)
+          }
+        }
+    // every pixel with ANY surviving weight renormalizes to exactly 7
+    var renormed = 0
+    wv2.foreach { case (key, v) =>
+      if (ws2(key) > 1e-9) {
+        assert(math.abs(v / ws2(key) - 7.0) < 1e-12, s"$key: ${v / ws2(key)}")
+        renormed += 1
+      }
+    }
+    assert(renormed > 100, s"only $renormed renormalized pixels")
+  }
+
   test("geokey params round-trip through the GeoTIFF writer/reader") {
     val params = Map[Int, Double](
       3075 -> 11.0, 3078 -> 29.5, 3079 -> 45.5,
