@@ -1561,10 +1561,11 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
     * the source raster tile set into one cloud-optimized GeoTIFF with
     * average-resampled overviews (`cog_assets.py:26-117`; creation
     * options `source_asset_id`, `block_size`, `resampling`,
-    * `implementation` per `COGCreationOptions`). The mosaic builds
-    * driver-side, mirroring the reference's single-node
-    * gdal_translate job — the at-scale query path stays the Parquet
-    * tile lake. */
+    * `implementation` per `COGCreationOptions`). The build is
+    * DISTRIBUTED ([[graft.raster.Cog.buildFromLake]]): executors
+    * assemble and encode TIFF blocks, the driver streams compressed
+    * bytes — never a full-lake collect; the at-scale query path stays
+    * the Parquet tile lake. */
   private def assetAdd(ex: HttpExchange, dataset: String, version: String): Unit = {
     writeGate(ex).foreach { case (code, body) =>
       return respond(ex, code, "application/json", body) }
@@ -1594,7 +1595,11 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
     if (resampling != "average")
       return respond(ex, 501, "application/json", Sinks.jsendError(
         s"Unsupported resampling method $resampling (average only)"))
-    val blockSize = co.get("block_size").map(_.toString.toDouble.toInt).getOrElse(512)
+    val blockSize =
+      try co.get("block_size").map(_.toString.toDouble.toInt).getOrElse(512)
+      catch { case _: NumberFormatException =>
+        return respond(ex, 422, "application/json", Sinks.jsendError(
+          "block_size must be a positive multiple of 16")) }
     if (blockSize <= 0 || blockSize % 16 != 0)
       return respond(ex, 422, "application/json", Sinks.jsendError(
         "block_size must be a positive multiple of 16"))
@@ -1654,10 +1659,12 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
         java.nio.file.Files.createDirectories(outDir)
         // distributed mosaic: executors assemble + encode TIFF
         // blocks, the driver only streams compressed bytes — never a
-        // full-lake collect ([[graft.raster.Cog]]); absent tiles stay
-        // 0 (nodata)
+        // full-lake collect ([[graft.raster.Cog]]); absent tiles fill
+        // with the asset's declared no_data (0 when none declared)
+        val nd = source.creationOptions.get("no_data")
+          .map(_.toString.toDouble).getOrElse(0.0)
         val nTiles = graft.raster.Cog.buildFromLake(
-          spark, source.assetUri, band, g, blockSize, outPath)
+          spark, source.assetUri, band, g, blockSize, outPath, noData = nd)
         catalogLock.synchronized {
           catalog = catalog.withAssetStatus(dataset, version, assetId, "saved")
         }

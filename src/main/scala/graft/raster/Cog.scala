@@ -14,16 +14,22 @@ import org.apache.spark.storage.StorageLevel
   * driver never holds pixels:
   *
   *  1. every lake tile is cut into fragments keyed by the TIFF block
-  *     (COG-internal tile) it lands in — one shuffle of ~image size;
-  *  2. executors assemble each block's zero-padded samples, derive
-  *     the factor-2 average overview pyramid level by level
+  *     (COG-internal tile) it lands in — one shuffle of ~image size,
+  *     range-partitioned directly into the file's block order;
+  *  2. executors assemble each block's samples (uncovered pixels fill
+  *     with the declared `noData`; padding beyond the image edge
+  *     stays 0, the TIFF convention the in-memory writer shares),
+  *     derive the factor-2 average overview pyramid level by level
   *     (block-local halving is exact: block edges are even, so 2×2
   *     source groups never span a block — [[GeoTiff.halveBlock]]),
-  *     and encode every block;
+  *     and encode every block — no second shuffle: encode and the
+  *     in-partition sort preserve the assembly partitioning;
   *  3. the driver collects byte COUNTS only (one int per block), lays
   *     out the IFDs, and streams the compressed blocks through
-  *     `toLocalIterator` into the file — peak driver memory is one
-  *     block plus the offset tables.
+  *     `toLocalIterator` into the file — peak driver memory is ONE
+  *     PARTITION of compressed blocks (≈ total compressed size /
+  *     `spark.sql.shuffle.partitions`), plus the offset tables; size
+  *     the partition count for the expected compressed volume.
   *
   * Byte-identical to [[GeoTiff.writeCog]] on integer lakes: both
   * paths share [[GeoTiff.encodeBlock]] and [[GeoTiff.assembleCog]],
@@ -41,10 +47,14 @@ object Cog {
 
   /** Build `path` as a COG from the lake's `band` column; returns the
     * lake tile count. Integer lakes encode as int32 (the legacy
-    * in-memory writer's layout); float lakes as float64. */
+    * in-memory writer's layout); float lakes as float64. Lake tiles
+    * absent from the grid fill with `noData` (the reference's
+    * gdal_translate mosaic fills with the declared nodata; 0 when the
+    * asset declares none). */
   def buildFromLake(spark: SparkSession, lakeDir: String, band: String,
                     g: Grid, blockSize: Int, path: java.nio.file.Path,
-                    compression: String = "deflate"): Long = {
+                    compression: String = "deflate",
+                    noData: Double = 0.0): Long = {
     require(blockSize > 0 && blockSize % 16 == 0,
       s"TIFF tile dimensions must be multiples of 16 (got $blockSize)")
     val B = blockSize
@@ -52,10 +62,17 @@ object Cog {
     val h = g.pxY
     val P = g.pxPerTile
     val df = spark.read.parquet(lakeDir).selectExpr("tx", "ty", s"`$band`")
+    // validate the element type UP FRONT: an unsupported one must be
+    // an immediate rejection, not a distributed MatchError storm
     val isFloat = df.schema(2).dataType match {
       case org.apache.spark.sql.types.ArrayType(et, _) =>
-        et == org.apache.spark.sql.types.DoubleType ||
-          et == org.apache.spark.sql.types.FloatType
+        import org.apache.spark.sql.types._
+        et match {
+          case DoubleType | FloatType => true
+          case LongType | IntegerType | ShortType | ByteType => false
+          case other => throw new IllegalArgumentException(
+            s"band '$band' has element type $other — COG encode needs a numeric array")
+        }
       case other => throw new IllegalArgumentException(
         s"band '$band' is $other, expected an array column")
     }
@@ -66,32 +83,55 @@ object Cog {
     def across(wl: Int): Int = (wl + B - 1) / B
     def ndown(hl: Int): Int = (hl + B - 1) / B
     val shufParts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    def partsFor(nBlocks: Int): Int = math.max(1, math.min(shufParts, nBlocks))
+    def partsFor(nBlocks: Long): Int =
+      math.max(1L, math.min(shufParts.toLong, nBlocks)).toInt
 
-    def assemble(frags: RDD[(Int, Frag)], parts: Int): RDD[(Int, Array[Double])] =
-      frags.groupByKey(parts).mapValues { fs =>
-        val blk = new Array[Double](B * B)
-        fs.foreach { f =>
-          var yy = 0
-          while (yy < f.rows) {
-            System.arraycopy(f.vals, yy * f.cols, blk,
-              (f.row0 + yy) * B + f.col0, f.cols)
-            yy += 1
+    /** One shuffle: group fragments straight into the file's block
+      * order (the range partitioner), assemble each block with the
+      * `noData` fill clipped to the block's VALID region (padding
+      * beyond the image edge stays 0 for writeCog parity). */
+    def assemble(frags: RDD[(Long, Frag)], lw: Int, lh: Int)
+        : RDD[(Long, Array[Double])] = {
+      val aL = across(lw)
+      val nBlocks = aL.toLong * ndown(lh)
+      frags.groupByKey(new BlockRangePartitioner(partsFor(nBlocks), nBlocks))
+        .mapPartitions(_.map { case (i, fs) =>
+          val blk = new Array[Double](B * B)
+          if (noData != 0.0) {
+            val bx = (i % aL).toInt
+            val by = (i / aL).toInt
+            val bw = math.min(B, lw - bx * B)
+            val bh = math.min(B, lh - by * B)
+            var yy = 0
+            while (yy < bh) {
+              java.util.Arrays.fill(blk, yy * B, yy * B + bw, noData)
+              yy += 1
+            }
           }
-        }
-        blk
-      }
+          fs.foreach { f =>
+            var yy = 0
+            while (yy < f.rows) {
+              System.arraycopy(f.vals, yy * f.cols, blk,
+                (f.row0 + yy) * B + f.col0, f.cols)
+              yy += 1
+            }
+          }
+          (i, blk)
+        }, preservesPartitioning = true)
+    }
 
     val sc = spark.sparkContext
     val nTiles = spark.read.parquet(lakeDir).count() // footer-only scan
 
     // 1. base-level fragments, plus an empty fragment per block so
-    //    blocks no lake tile covers still materialize as nodata 0
+    //    blocks no lake tile covers still materialize as nodata.
+    //    Block keys are LONG: a reference-scale grid (~10¹² px at a
+    //    16-px block) has more than 2³¹ base blocks.
     val across0 = across(w)
     val down0 = ndown(h)
-    val fill: RDD[(Int, Frag)] = sc.range(0, across0.toLong * down0)
-      .map(i => (i.toInt, Frag(0, 0, 0, 0, Array.empty[Double])))
-    val baseFrags: RDD[(Int, Frag)] = df.rdd.flatMap { r =>
+    val fill: RDD[(Long, Frag)] = sc.range(0, across0.toLong * down0)
+      .map(i => (i, Frag(0, 0, 0, 0, Array.empty[Double])))
+    val baseFrags: RDD[(Long, Frag)] = df.rdd.flatMap { r =>
       val tx = r.getInt(0)
       val ty = r.getInt(1)
       val vs = r.getSeq[Any](2)
@@ -121,15 +161,15 @@ object Cog {
           }
           yy += 1
         }
-        (by * across0 + bx, Frag(y0 - by * B, x0 - bx * B, rows, cols, vals))
+        (by.toLong * across0 + bx, Frag(y0 - by * B, x0 - bx * B, rows, cols, vals))
       }
     }
 
     // 2. assembled blocks per pyramid level (all persisted: each
     //    feeds both its encode and the next level's halving)
-    case class Lvl(w: Int, h: Int, blocks: RDD[(Int, Array[Double])])
+    case class Lvl(w: Int, h: Int, blocks: RDD[(Long, Array[Double])])
     val levels = scala.collection.mutable.ArrayBuffer(
-      Lvl(w, h, assemble(baseFrags.union(fill), partsFor(across0 * down0))
+      Lvl(w, h, assemble(baseFrags.union(fill), w, h)
         .persist(StorageLevel.MEMORY_AND_DISK)))
     while (math.max(levels.last.w, levels.last.h) > B) {
       val cur = levels.last
@@ -140,30 +180,31 @@ object Cog {
       val aL = across(curW)
       val aL2 = across(w2)
       val halved = cur.blocks.map { case (i, blk) =>
-        val bx = i % aL
-        val by = i / aL
+        val bx = (i % aL).toInt
+        val by = (i / aL).toInt
         val bw = math.min(B, curW - bx * B)
         val bh = math.min(B, curH - by * B)
         val o = GeoTiff.halveBlock(blk, B, bw, bh, isFloat)
-        ((by / 2) * aL2 + bx / 2,
+        ((by / 2).toLong * aL2 + bx / 2,
           Frag((by % 2) * (B / 2), (bx % 2) * (B / 2),
             (bh + 1) / 2, (bw + 1) / 2, o))
       }
-      levels += Lvl(w2, h2, assemble(halved, partsFor(aL2 * ndown(h2)))
+      levels += Lvl(w2, h2, assemble(halved, w2, h2)
         .persist(StorageLevel.MEMORY_AND_DISK))
     }
 
     // 3. encode on executors; the driver sees sizes, then streams.
-    // Ordering uses a DETERMINISTIC range partitioner over the known
-    // block-index space — sortByKey would run a sampling job per
-    // level just to learn bounds we already have.
+    // Assembly already range-partitioned each level into the file's
+    // block order, so encode keeps the partitioning and only an
+    // IN-PARTITION sort remains — no second full-data shuffle. The
+    // per-partition sort buffer is the same volume `toLocalIterator`
+    // later fetches per partition, so it sets no new memory bound.
     val encoded = levels.toSeq.map { lv =>
-      val nBlocks = across(lv.w).toLong * ndown(lv.h)
-      val enc = lv.blocks.map { case (i, blk) =>
-        (i, GeoTiff.encodeBlock(Seq(blk), B, sampleType, pred, compCode))
-      }
-      enc.repartitionAndSortWithinPartitions(
-        new BlockRangePartitioner(partsFor(nBlocks.toInt), nBlocks))
+      lv.blocks.mapPartitions(_.map { case (i, blk) =>
+          (i, GeoTiff.encodeBlock(Seq(blk), B, sampleType, pred, compCode))
+        }, preservesPartitioning = true)
+        .mapPartitions(it => it.toArray.sortBy(_._1).iterator,
+          preservesPartitioning = true)
         .persist(StorageLevel.MEMORY_AND_DISK)
     }
     try {
@@ -188,7 +229,7 @@ object Cog {
       extends org.apache.spark.Partitioner {
     override def numPartitions: Int = parts
     override def getPartition(key: Any): Int = {
-      val i = key.asInstanceOf[Int].toLong
+      val i = key.asInstanceOf[Long]
       math.min(parts - 1, (i * parts / nBlocks).toInt)
     }
   }

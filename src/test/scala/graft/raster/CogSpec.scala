@@ -73,6 +73,39 @@ class CogSpec extends AnyFunSuite {
     assert(levels.head.pixels.toSeq == px.toSeq)
   }
 
+  test("absent lake tiles fill with the declared no_data, not 0") {
+    val spark = sparkSession()
+    import spark.implicits._
+    val rows = for {
+      ty <- 0 until g.tilesY; tx <- 0 until g.tilesX
+      if !(tx == 2 && ty == 1)
+    } yield (g.tileId(tx, ty), tx, ty,
+      Array.tabulate(g.pxPerTile * g.pxPerTile)(i => pixel(tx, ty, i)))
+    val lake = java.nio.file.Files.createTempDirectory("cog_ndlake").toString
+    rows.toDF("tile_id", "tx", "ty", "px_value")
+      .write.mode("overwrite").parquet(lake)
+    val out = java.nio.file.Files.createTempDirectory("cog_ndout").resolve("nd.tif")
+    Cog.buildFromLake(spark, lake, "px_value", g, 16, out, noData = -9999.0)
+    val lv = GeoTiff.readLevels(java.nio.file.Files.readAllBytes(out)).head
+    val w = g.pxX
+    // the absent (2,1) tile's footprint is ALL -9999 — a value-0 fill
+    // would be indistinguishable from real zero data
+    for (yy <- 20 until 40; xx <- 40 until 60)
+      assert(lv.pixels(yy * w + xx) == -9999,
+        s"($xx,$yy) = ${lv.pixels(yy * w + xx)}")
+    // present tiles are untouched by the fill
+    rows.foreach { case (_, tx, ty, vals) =>
+      var i = 0
+      while (i < vals.length) {
+        val got = lv.pixels(
+          (ty * g.pxPerTile + i / g.pxPerTile) * w +
+            tx * g.pxPerTile + i % g.pxPerTile)
+        assert(got == vals(i), s"($tx,$ty) px $i")
+        i += 1
+      }
+    }
+  }
+
   test("float lakes stream as float64 with exact values") {
     val spark = sparkSession()
     import spark.implicits._
