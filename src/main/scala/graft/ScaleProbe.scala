@@ -37,11 +37,13 @@ object ScaleProbe {
     val outDir = if (args.length > 1) args(1)
       else s"${sys.props("java.io.tmpdir")}/graft_sf10x"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // NB: driver heap cannot be set here — local-mode `runMain` runs
+    // inside the already-forked JVM, so a spark.driver.memory config
+    // would silently no-op; build.sbt's fork options size the heap
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.driver.memory", "16g")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -149,8 +151,11 @@ object ScaleProbe {
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
     for (t <- Tables.all if t != "documents" && t != "embeddings") {
       val link = Paths.get(outDir, s"$t.parquet")
+      // absolute target: a relative sfDir would otherwise produce a
+      // symlink resolving against OUTDIR (broken for every table)
       if (!Files.exists(link))
-        Files.createSymbolicLink(link, Paths.get(sfDir, s"$t.parquet"))
+        Files.createSymbolicLink(link,
+          Paths.get(sfDir, s"$t.parquet").toAbsolutePath)
     }
     Files.writeString(marker.toPath, "ok")
   }

@@ -31,13 +31,21 @@ object Tables {
       import org.apache.spark.sql.types._
       raw.schema("ts").dataType match {
         case LongType =>
-          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          // FLOOR division (ts div 1000 truncates toward zero, which
+          // disagrees with floor by 1µs on pre-epoch nanos)
+          raw.withColumn("ts", timestamp_micros(
+            expr("(ts - ((ts % 1000 + 1000) % 1000)) div 1000")))
         case TimestampType => raw
         case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
       }
     } else spark.read.parquet(path(sfDir, name))
 
-  private var registeredFor: Option[(SparkSession, String)] = None
+  // every cleanly registered (session, dir) pair — a SET, not a single
+  // slot: alternating between two lake dirs in one session (the
+  // ScaleProbe 1×/10× pattern) must not re-read ten parquet footers on
+  // every switch
+  private val registeredFor =
+    scala.collection.mutable.Set.empty[(SparkSession, String)]
   @volatile private var loadFailures: Map[String, Throwable] = Map.empty
 
   /** Load errors from the most recent [[register]], keyed by table
@@ -73,9 +81,15 @@ object Tables {
       // latch the (session, dir) pair only on a clean registration: a
       // transiently unreadable table (mid-rewrite, fs blip) must stay
       // retryable — the next register() call reloads instead of
-      // serving the cached failure for the session's lifetime
-      if (failures.isEmpty) registeredFor = Some((spark, sfDir))
-      else registeredFor = None
+      // serving the cached failure for the session's lifetime. A later
+      // register() against a DIFFERENT dir rebinds the views, so any
+      // pair registered earlier in this session is re-registered when
+      // it next comes around — the set only skips the case where the
+      // views are already bound to this exact dir.
+      if (failures.isEmpty) {
+        registeredFor.retain(_._1 != spark)
+        registeredFor += ((spark, sfDir))
+      } else registeredFor.retain(_._1 != spark)
     }
   }
 }

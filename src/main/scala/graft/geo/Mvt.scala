@@ -57,6 +57,18 @@ object Mvt {
         val bits = java.lang.Float.floatToIntBits(f)
         var i = 0
         while (i < 4) { out.write((bits >>> (8 * i)) & 0xff); i += 1 }
+      // DECIMAL columns (java/scala BigDecimal from Spark rows) carry
+      // fractions — encode as double_value, not a truncated int
+      case bd: java.math.BigDecimal =>
+        varint(out, key(3, 1).toLong)
+        val bits = java.lang.Double.doubleToLongBits(bd.doubleValue())
+        var i = 0
+        while (i < 8) { out.write(((bits >>> (8 * i)) & 0xff).toInt); i += 1 }
+      case bd: scala.math.BigDecimal =>
+        varint(out, key(3, 1).toLong)
+        val bits = java.lang.Double.doubleToLongBits(bd.toDouble)
+        var i = 0
+        while (i < 8) { out.write(((bits >>> (8 * i)) & 0xff).toInt); i += 1 }
       case n: Number =>
         varint(out, key(4, 0).toLong); varint(out, n.longValue())
       case other =>

@@ -46,6 +46,69 @@ object VectorTileCache {
     if (ring && r.length > 1 && r.head == r.last) r.dropRight(1) else r
   }
 
+  /** Clip a polyline to the axis-aligned square [lo,hi]², splitting
+    * where it exits: Liang–Barsky parametric clip per segment,
+    * consecutive surviving segments stitched back into parts (a
+    * segment entering at t0=0 starts exactly at the previous
+    * segment's t1=1 endpoint, so exact-equality stitching is sound).
+    * Without this, a polyline was encoded in FULL into every tile its
+    * bbox overlaps — payload O(vertices × tiles) and features in
+    * tiles they never intersect. */
+  private def clipLine(cs: Array[(Double, Double)],
+                       lo: Double, hi: Double): Seq[Array[(Double, Double)]] = {
+    val parts = Seq.newBuilder[Array[(Double, Double)]]
+    var cur = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    def flush(): Unit = {
+      if (cur.length >= 2) parts += cur.toArray
+      cur = scala.collection.mutable.ArrayBuffer.empty
+    }
+    var i = 0
+    while (i < cs.length - 1) {
+      val (x0, y0) = cs(i)
+      val (x1, y1) = cs(i + 1)
+      val dx = x1 - x0
+      val dy = y1 - y0
+      var t0 = 0.0
+      var t1 = 1.0
+      var ok = true
+      def edge(p: Double, q: Double): Unit =
+        if (ok) {
+          if (p == 0.0) { if (q < 0.0) ok = false }
+          else {
+            val r = q / p
+            if (p < 0.0) { if (r > t1) ok = false else if (r > t0) t0 = r }
+            else { if (r < t0) ok = false else if (r < t1) t1 = r }
+          }
+        }
+      edge(-dx, x0 - lo); edge(dx, hi - x0)
+      edge(-dy, y0 - lo); edge(dy, hi - y0)
+      if (ok && t0 <= t1) {
+        val a = if (t0 == 0.0) (x0, y0) else (x0 + t0 * dx, y0 + t0 * dy)
+        val b = if (t1 == 1.0) (x1, y1) else (x0 + t1 * dx, y0 + t1 * dy)
+        if (cur.nonEmpty && cur.last == a) cur += b
+        else { flush(); cur += a; cur += b }
+      }
+      i += 1
+    }
+    flush()
+    parts.result()
+  }
+
+  /** Signed area ×2 (surveyor's formula) of a quantized ring —
+    * MVT 2.1 §4.3.4.4 forbids zero-area exteriors, and a sliver that
+    * quantized to collinear points would otherwise ship one. */
+  private def area2(ring: Array[(Int, Int)]): Long = {
+    var s = 0L
+    var i = 0
+    while (i < ring.length) {
+      val (ax, ay) = ring(i)
+      val (bx, by) = ring((i + 1) % ring.length)
+      s += ax.toLong * by - bx.toLong * ay
+      i += 1
+    }
+    s
+  }
+
   /** MVT features of one source feature on one tile, in tile coords. */
   private def tileFeatures(fid: Long, geom: Geom, attrs: Seq[(String, Any)],
                            z: Int, x: Int, y: Int): Seq[Mvt.Feature] = {
@@ -68,10 +131,12 @@ object VectorTileCache {
           .map(p => (Math.round(p._1).toInt, Math.round(p._2).toInt))
         if (in.isEmpty) Nil else Seq(Mvt.Feature(fid, 1, Seq(in), attrs))
       case LineString(cs) =>
-        val q = quantize(cs, ring = false)
-        if (q.length < 2) Nil else Seq(Mvt.Feature(fid, 2, Seq(q), attrs))
+        val qs = clipLine(cs, lo, hi)
+          .map(quantize(_, ring = false)).filter(_.length >= 2)
+        if (qs.isEmpty) Nil else Seq(Mvt.Feature(fid, 2, qs, attrs))
       case MultiLineString(ls) =>
-        val qs = ls.map(quantize(_, ring = false)).filter(_.length >= 2).toSeq
+        val qs = ls.toSeq.flatMap(clipLine(_, lo, hi))
+          .map(quantize(_, ring = false)).filter(_.length >= 2)
         if (qs.isEmpty) Nil else Seq(Mvt.Feature(fid, 2, qs, attrs))
       case p: Polygon =>
         polyFeature(fid, Array(p.rings), lo, hi, attrs)
@@ -98,9 +163,12 @@ object VectorTileCache {
       if (clipped.isEmpty) Nil
       else {
         val ext = quantize(clipped.head, ring = true)
-        if (ext.length < 3) Nil
+        // zero-area exteriors (slivers quantized to collinear points)
+        // are spec-invalid — drop the polygon, not just the ring
+        if (ext.length < 3 || area2(ext) == 0L) Nil
         else {
-          val holes = clipped.tail.map(quantize(_, ring = true)).filter(_.length >= 3)
+          val holes = clipped.tail.map(quantize(_, ring = true))
+            .filter(h => h.length >= 3 && area2(h) != 0L)
           Seq(Mvt.Feature(fid, 3, ext +: holes.toSeq, attrs))
         }
       }
@@ -130,13 +198,27 @@ object VectorTileCache {
       (minZoom to maxZoom).iterator.flatMap { z =>
         val n = 1 << z
         val pad = BufferUnits.toDouble / Mvt.Extent // tile fraction
-        val xLo = math.max(0, math.floor(xOfLon(bx0, z) - pad).toInt)
-        val xHi = math.min(n - 1, math.floor(xOfLon(bx1, z) + pad).toInt)
+        // a lon bbox wider than 180° means the feature crosses the
+        // antimeridian (RFC 7946 §3.1.9 asks producers to SPLIT such
+        // geometries; for unsplit input we at least fan out only to
+        // the two edge ranges instead of every x tile on earth — the
+        // per-tile clip drops what does not intersect)
+        val xRanges: Seq[(Int, Int)] =
+          if (bx1 - bx0 > 180.0)
+            Seq((math.max(0, math.floor(xOfLon(bx1, z) - pad).toInt), n - 1),
+              (0, math.min(n - 1, math.floor(xOfLon(bx0, z) + pad).toInt)))
+          else
+            Seq((math.max(0, math.floor(xOfLon(bx0, z) - pad).toInt),
+              math.min(n - 1, math.floor(xOfLon(bx1, z) + pad).toInt)))
         val latHi = math.min(by1, graft.raster.Warp.WebMercatorMaxLat)
         val latLo = math.max(by0, -graft.raster.Warp.WebMercatorMaxLat)
         val yLo = math.max(0, math.floor(yOfLat(latHi, z) - pad).toInt)
         val yHi = math.min(n - 1, math.floor(yOfLat(latLo, z) + pad).toInt)
-        for (x <- xLo to xHi; y <- yLo to yHi)
+        // distinct x values: the two wrap ranges can overlap for a
+        // near-global feature, and a duplicate (tile, fid) pair would
+        // render the feature twice in that tile
+        val xs = xRanges.flatMap { case (a, b) => a to b }.distinct
+        for (x <- xs; y <- yLo to yHi)
           yield ((z, x, y), (fid, wkb, attrs))
       }
     }

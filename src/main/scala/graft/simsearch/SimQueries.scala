@@ -86,14 +86,21 @@ object SimQueries extends QueryModule {
   }
 
   /** Auto-sized band width: the smallest width keeping expected
-    * per-band bucket occupancy (n / 2^bits) at or under ~100 vectors,
-    * from a small discrete ladder. The
-    * calibration points are measured (`BENCH_sf1.md`): 6 bits is full
-    * recall at the 2k-vector fixture, 8 bits restores linear scaling
-    * at 10× (20k). Candidate pairs grow with occupancy², so a pinned
-    * width is superlinear in corpus size — this is THE scale knob. */
-  private[graft] def e4AutoBits(n: Long): Int =
-    Seq(6, 8, 12, 16).find(b => n.toDouble / (1L << b) <= 100.0).getOrElse(16)
+    * per-band bucket occupancy (n / 2^bits) at or under ~100 vectors —
+    * `bits = ⌈log₂(n/100)⌉`, floor 6. OPEN-ENDED by design (a capped
+    * ladder would quietly return to superlinear occupancy past the
+    * cap, the exact failure the knob exists to prevent); the ceiling
+    * is the 62-bit overflow guard, far past any corpus (2⁶² buckets).
+    * The calibration points are measured (`BENCH_sf1.md`): 6 bits is
+    * full recall at the 2k-vector fixture, 8 bits restores linear
+    * scaling at 10× (20k). Candidate pairs grow with occupancy², so a
+    * pinned width is superlinear in corpus size — this is THE scale
+    * knob; the table count grows with it as 8×bits so recall holds. */
+  private[graft] def e4AutoBits(n: Long): Int = {
+    val need = math.ceil(
+      math.log(math.max(1.0, n.toDouble / 100.0)) / math.log(2.0)).toInt
+    math.min(62, math.max(6, need))
+  }
 
   /** e4 with the band width derived from the corpus size — the
     * production default. At the oracle fixture sizes the auto choice

@@ -258,6 +258,76 @@ class MvtSpec extends AnyFunSuite {
     } finally spark.stop()
   }
 
+  test("lines clip to tiles: bbox-only tiles stay empty, exits split parts") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", "2").getOrCreate()
+    try {
+      import spark.implicits._
+      import graft.raster.TileCache.{xOfLon, yOfLat}
+      // an L-shaped polyline: north along lon 5, then east along lat 40
+      // — its bbox corner (lon ~38, lat ~6) overlaps tiles the geometry
+      // never enters
+      val lShape = LineString(Array((5.0, 5.0), (5.0, 40.0), (40.0, 40.0)))
+      // a V detour: exits tile x=1 (z2: −90..0) into x=0 and re-enters,
+      // so tile (2,1,·) must decode TWO line parts
+      val vShape = LineString(Array(
+        (-10.0, 10.0), (-95.0, 10.0), (-95.0, 20.0), (-10.0, 20.0)))
+      val rows = Seq((Geom.toWkb(lShape), "l"), (Geom.toWkb(vShape), "v"))
+        .toDF("geom", "kind")
+      val out = java.nio.file.Files.createTempDirectory("vtc_clip").toString
+      graft.geo.VectorTileCache.build(spark, rows, "l", Seq("kind"), 0, 5, out)
+      // the L's bbox corner tile at z5 holds no geometry → no file
+      val cx = math.floor(xOfLon(38.0, 5)).toInt
+      val cy = math.floor(yOfLat(6.0, 5)).toInt
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(out, "5", cx.toString, s"$cy.pbf")),
+        s"bbox-corner tile 5/$cx/$cy written for a geometry that never enters it")
+      // ...while a tile the vertical leg does cross exists
+      val vx = math.floor(xOfLon(5.0, 5)).toInt
+      val vy = math.floor(yOfLat(20.0, 5)).toInt
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(out, "5", vx.toString, s"$vy.pbf")))
+      // the V decodes as TWO parts in the tile it exits and re-enters
+      val vTileY = math.floor(yOfLat(15.0, 2)).toInt
+      val vTile = java.nio.file.Paths.get(out, "2", "1", s"$vTileY.pbf")
+      assert(java.nio.file.Files.exists(vTile), s"2/1/$vTileY missing")
+      val vFeats = decodeTile(java.nio.file.Files.readAllBytes(vTile))
+        .flatMap(_.features).filter(_.gtype == 2)
+      assert(vFeats.exists(_.rings.length == 2),
+        s"expected a 2-part clipped line, got ${vFeats.map(_.rings.length)}")
+    } finally spark.stop()
+  }
+
+  test("quantized zero-area slivers drop; antimeridian bbox fans out to edges only") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", "2").getOrCreate()
+    try {
+      import spark.implicits._
+      // a sliver whose vertices quantize to collinear points at z0:
+      // spec-invalid zero-area exterior must drop the polygon
+      val sliver = Polygon(Array(Array(
+        (10.0, 10.0), (40.0, 10.000001), (40.0, 10.000002), (10.0, 10.0))))
+      val rows = Seq((Geom.toWkb(sliver), "s")).toDF("geom", "kind")
+      val out = java.nio.file.Files.createTempDirectory("vtc_sliver").toString
+      val n = graft.geo.VectorTileCache.build(
+        spark, rows, "l", Seq("kind"), 0, 0, out)
+      assert(n == 0, s"$n tiles written for a zero-area sliver")
+
+      // an unsplit antimeridian-crossing line (bbox wider than 180°)
+      // fans out to the two EDGE x-ranges only — never the middle
+      val amLine = LineString(Array((179.5, 10.0), (-179.5, 10.0)))
+      val rows2 = Seq((Geom.toWkb(amLine), "am")).toDF("geom", "kind")
+      val out2 = java.nio.file.Files.createTempDirectory("vtc_am").toString
+      graft.geo.VectorTileCache.build(spark, rows2, "l", Seq("kind"), 3, 3, out2)
+      for (x <- 1 to 6)
+        assert(!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(out2, "3", x.toString)),
+          s"middle column 3/$x written for an antimeridian bbox")
+    } finally spark.stop()
+  }
+
   test("vector tile cache build: features land on the right tiles and clip") {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[2]").config("spark.ui.enabled", "false")
