@@ -171,11 +171,57 @@ object MultimodalQueries extends QueryModule {
     }(Encoders.row(audioSchema))
   }
 
+  private val phashSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("phash", LongType)))
+
+  /** M5: perceptual-hash media dedup — the cross-modal twin of the
+    * text near-dup family (d5/d6). An aHash over the stub decode:
+    * sample 32 "pixels" `g(i) = byte[(i·n)/32]`, bit i set when
+    * `g(i)·32 > Σg` (the integer form of "above the mean" — exact in
+    * both engines), then near-dup pairs by Hamming ≤ 3 via the
+    * pigeonhole band join (4 bands of 8 bits: 4 mismatches would need
+    * 4 differing bands). The decode sampling is the stub; the
+    * hash→band→pair machinery is the real production shape (one
+    * bounded band shuffle, never n²). */
+  private def phashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val media = docs.select(col("doc_id"), col("text").cast(BinaryType).as("media"))
+    media.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.iterator.map { row =>
+          val bytes = row.getAs[Array[Byte]]("media")
+          val n = bytes.length
+          var h = 0L
+          if (n > 0) {
+            val g = Array.tabulate(32)(i => bytes(i * n / 32) & 0xff)
+            val tot = g.sum
+            var i = 0
+            while (i < 32) {
+              if (g(i) * 32 > tot) h |= (1L << i)
+              i += 1
+            }
+          }
+          Row(row.getLong(0), h)
+        }
+      }
+    }(Encoders.row(phashSchema)).createOrReplaceTempView("m5_phash")
+    spark.sql(
+      """WITH b AS (SELECT doc_id, phash, k, (phash >> (8 * k)) & 255 AS bv
+        |  FROM m5_phash LATERAL VIEW explode(sequence(0, 3)) t AS k),
+        |cand AS (SELECT DISTINCT a.doc_id AS i, a.phash AS ha,
+        |    b2.doc_id AS j, b2.phash AS hb
+        |  FROM b a JOIN b b2 ON a.k = b2.k AND a.bv = b2.bv AND a.doc_id < b2.doc_id)
+        |SELECT i AS doc_id_a, j AS doc_id_b, bit_count(ha ^ hb) AS hamming
+        |FROM cand WHERE bit_count(ha ^ hb) <= 3""".stripMargin)
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_media_features" -> ((s, d) => mediaFeatures(s, d)),
     "m2_frame_sample" -> ((s, d) => frameSample(s, d)),
     "m3_resize_plan" -> ((s, d) => resizePlan(s, d)),
-    "m4_audio_energy" -> ((s, d) => audioEnergy(s, d)))
+    "m4_audio_energy" -> ((s, d) => audioEnergy(s, d)),
+    "m5_phash_pairs" -> ((s, d) => phashPairs(s, d)))
 
   override def oracles: Map[String, String] = Map(
     "m1_media_features" ->
@@ -205,6 +251,18 @@ object MultimodalQueries extends QueryModule {
         |  list_sum(list_transform(seg, x -> x*x))::BIGINT AS energy,
         |  list_max(list_transform(seg, x -> abs(x)))::INT AS peak
         |FROM sl""".stripMargin,
+    "m5_phash_pairs" ->
+      """WITH m AS (SELECT doc_id, text, len(text) AS n FROM documents WHERE len(text) > 0),
+        |g AS (SELECT doc_id,
+        |  [ascii(text[(i*n)//32 + 1 : (i*n)//32 + 1])::BIGINT
+        |   for i in generate_series(0, 31)] AS gs FROM m),
+        |h AS (SELECT doc_id,
+        |  list_sum([CASE WHEN gs[i+1] * 32 > list_sum(gs) THEN (1::BIGINT << i) ELSE 0 END
+        |            for i in generate_series(0, 31)])::BIGINT AS phash FROM g)
+        |SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+        |  bit_count(xor(a.phash, b.phash)) AS hamming
+        |FROM h a, h b WHERE a.doc_id < b.doc_id
+        |  AND bit_count(xor(a.phash, b.phash)) <= 3""".stripMargin,
     "m3_resize_plan" ->
       s"""WITH c AS (SELECT doc_id,
          |  list_reduce([ascii(ch)::BIGINT for ch in string_split(text, '')], (h,ch) -> (h*131+ch) % $P) AS checksum
