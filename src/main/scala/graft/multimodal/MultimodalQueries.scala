@@ -187,33 +187,45 @@ object MultimodalQueries extends QueryModule {
   private def phashPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.load(spark, sfDir, "documents")
     val media = docs.select(col("doc_id"), col("text").cast(BinaryType).as("media"))
-    media.mapPartitions { it =>
+    val hashed = media.mapPartitions { it =>
       it.grouped(BatchSize).flatMap { batch =>
-        batch.iterator.map { row =>
+        batch.iterator.flatMap { row =>
           val bytes = row.getAs[Array[Byte]]("media")
           val n = bytes.length
-          var h = 0L
-          if (n > 0) {
+          // empty media emits nothing (m4's convention — the oracle
+          // filters len > 0, and an all-zero hash would pair every
+          // empty payload with every uniform one)
+          if (n == 0) Iterator.empty
+          else {
             val g = Array.tabulate(32)(i => bytes(i * n / 32) & 0xff)
             val tot = g.sum
+            var h = 0L
             var i = 0
             while (i < 32) {
               if (g(i) * 32 > tot) h |= (1L << i)
               i += 1
             }
+            Iterator.single(Row(row.getLong(0), h))
           }
-          Row(row.getLong(0), h)
         }
       }
-    }(Encoders.row(phashSchema)).createOrReplaceTempView("m5_phash")
+    }(Encoders.row(phashSchema))
+      // materialize ONCE: the band self-join references the kernel on
+      // both sides, and Catalyst would otherwise inline (and re-run)
+      // the decode per side
+      .localCheckpoint()
+    // per-call view name: a fixed name is a race between concurrent
+    // sessions serving different lake dirs
+    val view = s"m5_phash_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    hashed.createOrReplaceTempView(view)
     spark.sql(
-      """WITH b AS (SELECT doc_id, phash, k, (phash >> (8 * k)) & 255 AS bv
-        |  FROM m5_phash LATERAL VIEW explode(sequence(0, 3)) t AS k),
-        |cand AS (SELECT DISTINCT a.doc_id AS i, a.phash AS ha,
-        |    b2.doc_id AS j, b2.phash AS hb
-        |  FROM b a JOIN b b2 ON a.k = b2.k AND a.bv = b2.bv AND a.doc_id < b2.doc_id)
-        |SELECT i AS doc_id_a, j AS doc_id_b, bit_count(ha ^ hb) AS hamming
-        |FROM cand WHERE bit_count(ha ^ hb) <= 3""".stripMargin)
+      s"""WITH b AS (SELECT doc_id, phash, k, (phash >> (8 * k)) & 255 AS bv
+         |  FROM $view LATERAL VIEW explode(sequence(0, 3)) t AS k),
+         |cand AS (SELECT DISTINCT a.doc_id AS i, a.phash AS ha,
+         |    b2.doc_id AS j, b2.phash AS hb
+         |  FROM b a JOIN b b2 ON a.k = b2.k AND a.bv = b2.bv AND a.doc_id < b2.doc_id)
+         |SELECT i AS doc_id_a, j AS doc_id_b, bit_count(ha ^ hb) AS hamming
+         |FROM cand WHERE bit_count(ha ^ hb) <= 3""".stripMargin)
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -232,32 +232,55 @@ object Warp {
       math.ceil((originLat - latMin) / (pxPerTile * pixelDeg)).toInt)
 
     /** Candidate target tiles of source tile (stx, sty): lon/lat bbox
-      * from a 5×5 inverse-projected sample grid, padded 2 px (the
-      * candidates are only a prefilter — the exact forward test
-      * decides membership). A source tile CONTAINING an azimuthal
-      * pole has its latitude extreme (and every longitude) interior
-      * to it — the sample-based range would silently exclude the
-      * polar cap's target rows, so it widens to the full grid edge. */
-    private def candidateTargets(stx: Int, sty: Int): Seq[(Int, Int)] = {
+      * from a 5×5 inverse-projected sample grid over the tile
+      * rectangle EXPANDED by `padM` meters (the bilinear stencil
+      * reaches one source pixel beyond the tile — padM = pixelM
+      * covers that overhang in projected space, where it is exact
+      * regardless of distortion), padded angularly by 2 px PLUS one
+      * source pixel's local angular extent (estimated from the
+      * adjacent-sample gaps: near a pole one meter of northing spans
+      * many equator-pixelDeg of latitude, so a fixed pad is
+      * structurally too small there). The candidates are only a
+      * prefilter — the exact forward test decides membership. A
+      * source tile CONTAINING an azimuthal pole has its latitude
+      * extreme (and every longitude) interior to it — the
+      * sample-based range would silently exclude the polar cap's
+      * target rows, so it widens to the full grid edge. */
+    private def candidateTargets(stx: Int, sty: Int,
+                                 padM: Double = 0.0): Seq[(Int, Int)] = {
       val span = pxPerTile * pixelM
-      val tx0 = x0 + stx * span
-      val ty0 = yTop - sty * span
+      val tx0 = x0 + stx * span - padM
+      val ty0 = yTop - sty * span + padM
+      val sampleSpan = span + 2 * padM
       val pts = for (i <- 0 to 4; j <- 0 to 4)
-        yield proj.inverse(tx0 + span * i / 4.0, ty0 - span * j / 4.0)
+        yield proj.inverse(tx0 + sampleSpan * i / 4.0, ty0 - sampleSpan * j / 4.0)
+      // one source pixel's local angular extent ≈ the max adjacent-
+      // sample gap (pxPerTile/4 source pixels apart) scaled down
+      def gap(sel: ((Double, Double)) => Double): Double = {
+        var m = 0.0
+        for (i <- 0 to 4; j <- 0 to 4) {
+          val p = sel(pts(i * 5 + j))
+          if (j < 4) m = math.max(m, math.abs(sel(pts(i * 5 + j + 1)) - p))
+          if (i < 4) m = math.max(m, math.abs(sel(pts((i + 1) * 5 + j)) - p))
+        }
+        m * 4.0 / pxPerTile
+      }
+      val padLon = 2 * pixelDeg + 2 * gap(_._2)
+      val padLat = 2 * pixelDeg + 2 * gap(_._1)
       val tdeg = pxPerTile * pixelDeg
       val tilePole: Option[Double] = proj.planeSingularities.collectFirst {
         case (sx, sy, latDeg)
-          if sx >= tx0 && sx <= tx0 + span &&
-            sy <= ty0 && sy >= ty0 - span => latDeg
+          if sx >= tx0 && sx <= tx0 + sampleSpan &&
+            sy <= ty0 && sy >= ty0 - sampleSpan => latDeg
       }
       val ttxLo = if (tilePole.isDefined) 0 else math.max(0,
-        ((pts.map(_._2).min - 2 * pixelDeg - originLon) / tdeg).toInt)
+        ((pts.map(_._2).min - padLon - originLon) / tdeg).toInt)
       val ttxHi = if (tilePole.isDefined) tilesXTarget - 1 else math.min(tilesXTarget - 1,
-        ((pts.map(_._2).max + 2 * pixelDeg - originLon) / tdeg).toInt)
+        ((pts.map(_._2).max + padLon - originLon) / tdeg).toInt)
       val ttyLo = if (tilePole.exists(_ > 0)) 0 else math.max(0,
-        ((originLat - (pts.map(_._1).max + 2 * pixelDeg)) / tdeg).toInt)
+        ((originLat - (pts.map(_._1).max + padLat)) / tdeg).toInt)
       val ttyHi = if (tilePole.exists(_ < 0)) tilesYTarget - 1 else math.min(tilesYTarget - 1,
-        ((originLat - (pts.map(_._1).min - 2 * pixelDeg)) / tdeg).toInt)
+        ((originLat - (pts.map(_._1).min - padLat)) / tdeg).toInt)
       for (ttx <- ttxLo to ttxHi; tty <- ttyLo to ttyHi) yield (ttx, tty)
     }
 
@@ -328,7 +351,9 @@ object Warp {
         : Iterator[((Int, Int), (Int, Array[Int], Seq[Array[Double]], Seq[Array[Double]]))] = {
       val tileKey = sty * tilesX + stx
       def isNd(v: Double): Boolean = v == noData || (noData.isNaN && v.isNaN)
-      candidateTargets(stx, sty)
+      // padM = one source pixel: the stencil of a target pixel owned
+      // by a NEIGHBORING tile can reach one pixel into this one
+      candidateTargets(stx, sty, padM = pixelM)
         .iterator.flatMap { case (ttx, tty) =>
           val idxs = Array.newBuilder[Int]
           val wv = Seq.fill(bands.length)(Array.newBuilder[Double])

@@ -43,7 +43,13 @@ object SpanDedupStream {
 
   /** The gate: incoming `(doc_id, text, ts)` documents emit one
     * `(doc_id, ts, kept_text, n_kept)` row once the watermark passes
-    * their event time; fully-duplicate documents emit nothing. */
+    * their event time; fully-duplicate documents emit nothing.
+    *
+    * Within-document keep-first happens in the REBUILD:
+    * `array_distinct` over the idx-sorted surviving spans keeps the
+    * first occurrence of each — hash-set linear in the span count (a
+    * per-span `array_position` filter before the explode would be
+    * O(k²) string compares inside one task for a k-span document). */
   def spanGate(stream: DataFrame, index: DataFrame,
                watermarkDelay: String = "10 minutes"): DataFrame = {
     val spans = stream
@@ -51,10 +57,6 @@ object SpanDedupStream {
       .withColumn("sp", expr(
         s"""transform(sequence(0, ${shape.countSql("w")} - 1),
            |  i -> struct(i AS idx, ${shape.chunkSql("w", "i")} AS span))""".stripMargin))
-      // within-document keep-first — the same-doc case of the batch
-      // window's global min (array_position finds the FIRST occurrence)
-      .withColumn("sp", expr(
-        "filter(sp, s -> array_position(transform(sp, x -> x.span), s.span) = s.idx + 1)"))
       .select(col("doc_id"), col("ts"), explode(col("sp")).as("e"))
       .selectExpr("doc_id", "ts", "e.idx AS idx", "e.span AS span",
         "md5(e.span) AS h")
@@ -63,8 +65,10 @@ object SpanDedupStream {
       .withWatermark("ts", watermarkDelay)
       .groupBy(col("doc_id"), col("ts"))
       .agg(
-        expr("array_join(transform(array_sort(collect_list(struct(idx, span))), s -> s.span), ' ')")
-          .as("kept_text"),
-        count(lit(1)).as("n_kept"))
+        expr("array_distinct(transform(array_sort(collect_list(struct(idx, span))), s -> s.span))")
+          .as("kept_spans"))
+      .select(col("doc_id"), col("ts"),
+        expr("array_join(kept_spans, ' ')").as("kept_text"),
+        expr("CAST(size(kept_spans) AS BIGINT)").as("n_kept"))
   }
 }

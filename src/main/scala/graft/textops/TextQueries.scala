@@ -257,10 +257,15 @@ object TextQueries extends QueryModule {
     // is ONE window shuffle on md5(span) (well-distributed — spans
     // are near-unique), the rebuild one groupBy(doc_id) — no joins,
     // no O(n²) stage. The 1048576 pack bounds spans/doc at 2^20
-    // (a 10M-word doc), far past any training document.
+    // (a 10M-word doc), far past any training document — ENFORCED in
+    // both dialects (a lazy CASE raises instead of silently aliasing
+    // the keep-first key into the next doc_id's space).
     SqlQ.split("d9_span_dedup",
       s"""WITH w AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
-         |ch AS (SELECT doc_id, i AS idx, ${SpanShape.chunkSql("w", "i")} AS span
+         |ch AS (SELECT doc_id,
+         |  CASE WHEN i < 1048576 THEN i
+         |       ELSE CAST(assert_true(false, 'd9: document exceeds 2^20 spans — keep-first key would alias') AS INT) END AS idx,
+         |  ${SpanShape.chunkSql("w", "i")} AS span
          |  FROM w LATERAL VIEW explode(sequence(0, ${SpanShape.countSql("w")} - 1)) t AS i),
          |k AS (SELECT doc_id, idx, span,
          |    min(doc_id * 1048576 + idx) OVER (PARTITION BY md5(span)) AS fk
@@ -275,7 +280,10 @@ object TextQueries extends QueryModule {
          |    [array_to_string(w[(i-1)*${SpanShape.words}+1:(i-1)*${SpanShape.words}+${SpanShape.words}], ' ')
          |     for i in generate_series(1, CAST(ceil(len(w) / ${SpanShape.words}.0) AS BIGINT))] AS spans
          |  FROM w),
-         |ch AS (SELECT doc_id, i - 1 AS idx, spans[i] AS span
+         |ch AS (SELECT doc_id,
+         |  CASE WHEN i - 1 < 1048576 THEN i - 1
+         |       ELSE error('d9: document exceeds 2^20 spans') END AS idx,
+         |  spans[i] AS span
          |  FROM sp, unnest(generate_series(1, len(spans))) AS t(i)),
          |k AS (SELECT doc_id, idx, span,
          |    min(doc_id * 1048576 + idx) OVER (PARTITION BY md5(span)) AS fk
@@ -769,15 +777,15 @@ object TextQueries extends QueryModule {
   // is associated, so oracle parity is untouched. Token count is the
   // whitespace tokenizer (t2's semantics).
 
-  private val t8Budget = 4096L
-
-  /** Pass 0 — exposed so `PlanInvariantsSpec` can pin the plan shape:
-    * range partitioning present, no `SinglePartition` exchange. */
   /** d9's Spark SQL, exposed for the streaming span gate's
     * batch-parity spec ([[graft.streaming.SpanDedupStream]]). */
   private[graft] def d9SparkSqlForTest: String =
     sqls.find(_.name == "d9_span_dedup").get.sparkSql
 
+  private val t8Budget = 4096L
+
+  /** Pass 0 — exposed so `PlanInvariantsSpec` can pin the plan shape:
+    * range partitioning present, no `SinglePartition` exchange. */
   private[graft] def t8RangePartitioned(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.register(spark, sfDir)
     spark.sql("SELECT doc_id, size(split(text, ' ')) AS n_tokens FROM documents")

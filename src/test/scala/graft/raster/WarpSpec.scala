@@ -587,6 +587,52 @@ class WarpSpec extends AnyFunSuite {
     assert(renormed > 100, s"only $renormed renormalized pixels")
   }
 
+  test("bilinear near-pole: stencil overhang is covered, unity holds") {
+    // EASE-2 near 89.5°N: one 10 km northing step spans MANY equator-
+    // pixelDeg of latitude, so a fixed 2-px angular candidate pad
+    // missed target tiles whose stencil reaches one pixel into a
+    // neighboring source tile — partial weight silently renormalized
+    val cea = Warp.CylindricalEqualArea.ease2
+    val yTop = cea.forward(89.5, 10.0)._2
+    val latt = Warp.ProjectedLattice(cea,
+      x0 = 200000.0, yTop = yTop, pixelM = 10000.0,
+      tilesX = 2, tilesY = 2, pxPerTile = 8)
+    val bands = (stx: Int, sty: Int) =>
+      Seq(Array.tabulate(64)(i => (stx * 1000 + sty * 100 + i).toDouble))
+    val ws = scala.collection.mutable.Map.empty[(Int, Int, Int), Double]
+    for (stx <- 0 until 2; sty <- 0 until 2)
+      latt.contributionsOfBilinear(stx, sty, bands(stx, sty), -1.0)
+        .foreach { case ((ttx, tty), (_, idxs, _, bws)) =>
+          idxs.indices.foreach { k =>
+            val key = (ttx, tty, idxs(k))
+            ws(key) = ws.getOrElse(key, 0.0) + bws.head(k)
+          }
+        }
+    // independent scan: the set of VALID target centers (center floors
+    // into the source span) — every one must be emitted with total
+    // weight exactly 1 (all 4 clamped neighbors exist and carry data)
+    var valid = 0
+    for {
+      gy <- 0 until latt.tilesYTarget * 8
+      gx <- 0 until latt.tilesXTarget * 8
+    } {
+      val lat = latt.originLat - (gy + 0.5) * latt.pixelDeg
+      val lon = latt.originLon + (gx + 0.5) * latt.pixelDeg
+      val (x, y) = cea.forward(lat, lon)
+      val sgx = Math.floor((x - 200000.0) / 10000.0).toInt
+      val sgy = Math.floor((yTop - y) / 10000.0).toInt
+      if (sgx >= 0 && sgx < 16 && sgy >= 0 && sgy < 16) {
+        valid += 1
+        val key = (gx / 8, gy / 8, (gy % 8) * 8 + gx % 8)
+        val w = ws.getOrElse(key, 0.0)
+        assert(math.abs(w - 1.0) < 1e-9,
+          s"pixel $key (lat ${lat}%.4f): weight $w — stencil partial lost")
+      }
+    }
+    assert(valid > 50, s"only $valid valid pixels — fixture degenerate")
+    assert(ws.size == valid, s"${ws.size} emitted vs $valid valid")
+  }
+
   test("geokey params round-trip through the GeoTIFF writer/reader") {
     val params = Map[Int, Double](
       3075 -> 11.0, 3078 -> 29.5, 3079 -> 45.5,
