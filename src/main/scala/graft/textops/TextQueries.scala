@@ -292,6 +292,56 @@ object TextQueries extends QueryModule {
          |SELECT doc_id, string_agg(span, ' ' ORDER BY idx) AS kept_text, count(*) AS n_kept
          |FROM kept GROUP BY doc_id""".stripMargin),
 
+    // T12: the published Gopher quality rules (Rae et al. 2021,
+    // "Scaling Language Models", table A1) as a per-document keep/drop
+    // verdict — the hard-filter stage a real pre-training pipeline
+    // runs before dedup. Every rule is an EXACT integer comparison
+    // (mean word length 3..10 becomes sum_len within [3n, 10n] — no
+    // division), so the oracle hash-matches. One codegen'd per-row
+    // scan, no shuffle; rules over lines are N/A on the single-line
+    // corpus and documented out.
+    SqlQ.split("t12_gopher_filters",
+      """WITH w AS (SELECT doc_id, split(text, ' ') AS ws FROM documents),
+        |m AS (SELECT doc_id,
+        |    CAST(size(ws) AS BIGINT) AS n_words,
+        |    aggregate(transform(ws, x -> length(x)), 0L, (a, b) -> a + CAST(b AS BIGINT)) AS sum_len,
+        |    CAST(size(filter(ws, x -> x rlike '[a-zA-Z]')) AS BIGINT) AS alpha_words,
+        |    CAST(size(array_intersect(ws, array('the','a','of','and','to','is','in','that'))) AS BIGINT) AS stop_hits,
+        |    CAST(size(filter(ws, x -> x = '#' OR x LIKE '%...%')) AS BIGINT) AS symbol_words
+        |  FROM w)
+        |SELECT doc_id, n_words,
+        |  CAST(n_words >= 50 AND n_words <= 100000 AS BIGINT) AS ok_words,
+        |  CAST(sum_len >= 3 * n_words AND sum_len <= 10 * n_words AS BIGINT) AS ok_mean_len,
+        |  CAST(10 * symbol_words <= n_words AS BIGINT) AS ok_symbols,
+        |  CAST(10 * alpha_words >= 8 * n_words AS BIGINT) AS ok_alpha,
+        |  CAST(stop_hits >= 2 AS BIGINT) AS ok_stop,
+        |  CAST(n_words >= 50 AND n_words <= 100000
+        |    AND sum_len >= 3 * n_words AND sum_len <= 10 * n_words
+        |    AND 10 * symbol_words <= n_words
+        |    AND 10 * alpha_words >= 8 * n_words
+        |    AND stop_hits >= 2 AS BIGINT) AS keep
+        |FROM m""".stripMargin,
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |m AS (SELECT doc_id,
+        |    len(ws)::BIGINT AS n_words,
+        |    list_sum(list_transform(ws, x -> length(x)))::BIGINT AS sum_len,
+        |    len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]')))::BIGINT AS alpha_words,
+        |    len(list_intersect(ws, ['the','a','of','and','to','is','in','that']))::BIGINT AS stop_hits,
+        |    len(list_filter(ws, x -> x = '#' OR x LIKE '%...%'))::BIGINT AS symbol_words
+        |  FROM w)
+        |SELECT doc_id, n_words,
+        |  CAST(n_words >= 50 AND n_words <= 100000 AS BIGINT) AS ok_words,
+        |  CAST(sum_len >= 3 * n_words AND sum_len <= 10 * n_words AS BIGINT) AS ok_mean_len,
+        |  CAST(10 * symbol_words <= n_words AS BIGINT) AS ok_symbols,
+        |  CAST(10 * alpha_words >= 8 * n_words AS BIGINT) AS ok_alpha,
+        |  CAST(stop_hits >= 2 AS BIGINT) AS ok_stop,
+        |  CAST(n_words >= 50 AND n_words <= 100000
+        |    AND sum_len >= 3 * n_words AND sum_len <= 10 * n_words
+        |    AND 10 * symbol_words <= n_words
+        |    AND 10 * alpha_words >= 8 * n_words
+        |    AND stop_hits >= 2 AS BIGINT) AS keep
+        |FROM m""".stripMargin),
+
     // T5: the end-to-end training-corpus selection this pipeline
     // exists for — keep documents that pass quality heuristics AND are
     // not the duplicate side of a near-dup pair (keep-lowest-doc_id).
