@@ -58,16 +58,17 @@ final class ApiKeys {
 
   def delete(key: String): Option[(Seq[String], Option[Long])] = keys.remove(key)
 
-  /** `api_key_is_valid` (`authentication/api_keys.py:62-95`). */
+  /** `api_key_is_valid` (`authentication/api_keys.py:62-95`). The
+    * reference's elif-chain falls THROUGH to the referrer check when
+    * an Origin header is present but non-matching — either header
+    * matching validates. */
   def isValid(key: String, origin: Option[String], referrer: Option[String]): Boolean =
     keys.get(key).exists { case (domains, expires) =>
+      def matches(v: String): Boolean =
+        domains.exists(d => toRegex(d).findFirstIn(extractDomain(v)).isDefined)
       val domainOk =
         if (domains.isEmpty) true
-        else origin.map(o => domains.exists(d =>
-          toRegex(d).findFirstIn(extractDomain(o)).isDefined))
-          .orElse(referrer.map(r => domains.exists(d =>
-            toRegex(d).findFirstIn(extractDomain(r)).isDefined)))
-          .getOrElse(false)
+        else origin.exists(matches) || referrer.exists(matches)
       domainOk && expires.forall(_ > System.currentTimeMillis())
     }
 }
@@ -176,9 +177,16 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   server.createContext("/", (ex: HttpExchange) => handle(ex))
+  // without an executor the JDK HttpServer handles every exchange on
+  // the single dispatcher thread — one long streaming download would
+  // block /ping and every /job poll of the 202-then-poll workflow
+  private val requestPool = java.util.concurrent.Executors.newFixedThreadPool(8)
+  server.setExecutor(requestPool)
 
   def start(): Int = { server.start(); server.getAddress.getPort }
-  def stop(): Unit = { jobRegistry.shutdown(); server.stop(0) }
+  def stop(): Unit = {
+    jobRegistry.shutdown(); server.stop(0); requestPool.shutdown()
+  }
 
   // ------------------------------------------------------------- routing
 
@@ -266,6 +274,16 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
         graft.etl.VersionCreation.viewName(dataset, v.version)
       case _ => dataset
     }
+
+  /** The CONCRETE version name behind a possibly-aliased path
+    * segment: the catalog resolves `latest` (tableFor relies on it),
+    * but the versionRecords/versionOpts/versionMetadata side maps key
+    * on real names — looking them up with the alias 404s/blanks
+    * routes that work under the real name. */
+  private def realVersion(dataset: String, version: String): String =
+    if (version == "latest")
+      catalog.version(dataset, version).map(_.version).getOrElse(version)
+    else version
 
   /** Gate for mutating routes (version creation, API-key minting):
     * the reference requires an authenticated owner/admin
@@ -421,6 +439,15 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
   private def cacheControl(dataset: String): String =
     if (dataset.contains("gadm__tcl__")) "max-age=31536000" else "max-age=7200"
 
+  /** Driver-memory guardrail for the INTERACTIVE query routes: they
+    * buffer the full result (JSEND/CSV string) on the driver, so an
+    * un-LIMITed `SELECT *` over a big version would OOM the server.
+    * The reference leans on its API-gateway timeout for this; a
+    * Spark driver needs an explicit bound. Downloads stream
+    * (`toLocalIterator`) and are not capped. */
+  private val MaxInteractiveRows =
+    sys.env.getOrElse("GRAFT_MAX_QUERY_ROWS", "100000").toInt
+
   private def query(ex: HttpExchange, dataset: String, version: String,
                     json: Boolean): Unit = {
     authGate(ex, dataset).foreach { case (code, body) =>
@@ -444,18 +471,25 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
             Sinks.jsendError("Raster tile set queries require a geostore"))
           case Some(gj) =>
             val df = graft.raster.ZonalEngine.runSql(
-              spark, catalog, dataset, sql, gj)
+              spark, catalog, dataset, sql, gj).limit(MaxInteractiveRows)
             ex.getResponseHeaders.add("Cache-Control", cacheControl(dataset))
             if (json) respond(ex, 200, "application/json", Sinks.toJsend(df))
             else respond(ex, 200, "text/csv", Sinks.toCsv(df))
         }
       case Right(_) =>
-        val geom = params.get("geostore_id").flatMap(resolveGeostore(_,
+        val gidOpt = params.get("geostore_id")
+        val geom = gidOpt.flatMap(resolveGeostore(_,
           params.getOrElse("geostore_origin", "gfw")))
+        // an UNRESOLVABLE geostore is 404 (the reference's
+        // RecordNotFoundError) — silently dropping the AOI would
+        // return the full unfiltered table
+        if (gidOpt.isDefined && geom.isEmpty)
+          return respond(ex, 404, "application/json", Sinks.jsendError(
+            s"Area with gfw_geostore_id ${gidOpt.get} does not exist"))
         // lake table view name == dataset name (single-version lake)
         val rewritten = Scrutinizer.scrutinizeTo(tableFor(dataset, version), geom, sql)
         graft.sqlgate.TabularEngine.checkFunctionsExist(spark, rewritten)
-        val df = spark.sql(rewritten)
+        val df = spark.sql(rewritten).limit(MaxInteractiveRows)
         ex.getResponseHeaders.add("Cache-Control", cacheControl(dataset))
         if (json) respond(ex, 200, "application/json", Sinks.toJsend(df))
         else respond(ex, 200, "text/csv", Sinks.toCsv(df))
@@ -493,7 +527,7 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
     authGate(ex, dataset).foreach { case (code, body) =>
       return respond(ex, code, "application/json", body) }
     val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
-    val obj = graft.geo.Json.parseObject(body)
+    val obj = parseBody422(ex, body).getOrElse(return)
     val sql = obj.get("sql") match {
       case Some(s: String) => s
       case _ => return respond(ex, 422, "application/json",
@@ -501,8 +535,9 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
     }
     val geom = obj.get("geometry").map(graft.geo.Json.write)
     def send(df: org.apache.spark.sql.DataFrame): Unit =
-      if (json) respond(ex, 200, "application/json", Sinks.toJsend(df))
-      else respond(ex, 200, "text/csv", Sinks.toCsv(df))
+      if (json) respond(ex, 200, "application/json",
+        Sinks.toJsend(df.limit(MaxInteractiveRows)))
+      else respond(ex, 200, "text/csv", Sinks.toCsv(df.limit(MaxInteractiveRows)))
     catalog.queryEngine(dataset, version) match {
       case Left(msg) if msg.contains("not found") =>
         respond(ex, 404, "application/json", Sinks.jsendError(msg))
@@ -545,8 +580,12 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
           "application/json", Sinks.jsendError("Missing sql parameter")))
         catalog.queryEngine(dataset, version) match {
           case Right(cat.TableEngine) =>
-            val geom = params.get("geostore_id").flatMap(resolveGeostore(_,
-          params.getOrElse("geostore_origin", "gfw")))
+            val gidOpt = params.get("geostore_id")
+            val geom = gidOpt.flatMap(resolveGeostore(_,
+              params.getOrElse("geostore_origin", "gfw")))
+            if (gidOpt.isDefined && geom.isEmpty)
+              return respond(ex, 404, "application/json", Sinks.jsendError(
+                s"Area with gfw_geostore_id ${gidOpt.get} does not exist"))
             val rewritten = Scrutinizer.scrutinizeTo(tableFor(dataset, version), geom, sql)
             graft.sqlgate.TabularEngine.checkFunctionsExist(spark, rewritten)
             val df = spark.sql(rewritten)
@@ -592,7 +631,7 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
     if (catalog.version(dataset, version).isEmpty)
       respond(ex, 404, "application/json",
         Sinks.jsendError(s"Dataset version $dataset.$version not found"))
-    else versionMetadata.get((dataset, version)) match {
+    else versionMetadata.get((dataset, realVersion(dataset, version))) match {
       case None => respond(ex, 404, "application/json",
         Sinks.jsendError(s"Version $dataset.$version has no metadata"))
       case Some(m) =>
@@ -610,12 +649,12 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
         Sinks.jsendError(s"Dataset version $dataset.$version not found"))
     val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
     val patch = if (body.isBlank) Map.empty[String, String]
-                else graft.geo.Json.parseObject(body).collect {
+                else parseBody422(ex, body).getOrElse(return).collect {
                   case (k, s: String) => k -> s
                   case (k, v) if v != null => k -> graft.geo.Json.write(v)
                 }
     val isCreate = ex.getRequestMethod == "POST"
-    val merged = versionMetadata.updateWith((dataset, version)) {
+    val merged = versionMetadata.updateWith((dataset, realVersion(dataset, version))) {
       case Some(old) if !isCreate => Some(old ++ patch)
       case _ => Some(patch)
     }.get
@@ -629,7 +668,7 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
   private def versionMetadataDelete(ex: HttpExchange, dataset: String, version: String): Unit = {
     writeGate(ex).foreach { case (code, body) =>
       return respond(ex, code, "application/json", body) }
-    versionMetadata.remove((dataset, version)) match {
+    versionMetadata.remove((dataset, realVersion(dataset, version))) match {
       case None => respond(ex, 404, "application/json",
         Sinks.jsendError(s"Version $dataset.$version has no metadata"))
       case Some(_) => respond(ex, 200, "application/json",
@@ -976,11 +1015,11 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
     if (findAsset(assetId).isEmpty)
       return respond(ex, 400, "application/json",
         Sinks.jsendError(s"Asset $assetId not found"))
-    if (taskRecords.contains(id))
+    val t = TaskRec(id, assetId, parseChangeLog(obj))
+    // putIfAbsent: a concurrent PUT of the same id must not overwrite
+    if (taskRecords.putIfAbsent(id, t).isDefined)
       return respond(ex, 400, "application/json",
         Sinks.jsendError(s"Task $id already exists"))
-    val t = TaskRec(id, assetId, parseChangeLog(obj))
-    taskRecords.put(id, t)
     respond(ex, 201, "application/json",
       s"""{"data":${taskBody(t)},"status":"success"}""")
   }
@@ -1016,16 +1055,22 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
         e.status != "success" && e.status != "failed"))
       return respond(ex, 400, "application/json", Sinks.jsendError(
         "change log status must be either `success` or `failed`"))
-    val updated = prior.copy(changeLog = prior.changeLog ++ entries)
-    taskRecords.put(id, updated)
+    // atomic append: a background creation job putting a fresh record
+    // for the same deterministic task id must not erase these entries
+    val updated = catalogLock.synchronized {
+      val cur = taskRecords.getOrElse(id, prior)
+      val u = cur.copy(changeLog = cur.changeLog ++ entries)
+      taskRecords.put(id, u)
+      u
+    }
     findAsset(updated.assetId).foreach { case (v, a) =>
       if (entries.exists(_.status == "failed")) {
         catalogLock.synchronized {
           catalog = catalog.withAssetStatus(v.dataset, v.version, a.assetId, "failed")
-        }
-        if (a.isDefault) {
-          val log = versionRecords.get((v.dataset, v.version)).map(_._2).getOrElse(Nil)
-          versionRecords.put((v.dataset, v.version), ("failed", log ++ entries))
+          if (a.isDefault) {
+            val log = versionRecords.get((v.dataset, v.version)).map(_._2).getOrElse(Nil)
+            versionRecords.put((v.dataset, v.version), ("failed", log ++ entries))
+          }
         }
       } else {
         // _check_completed: every task of the asset finished cleanly
@@ -1058,7 +1103,8 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
     val params = queryParams(ex)
     val gid = params.getOrElse("geostore_id", return respond(ex, 422,
       "application/json", Sinks.jsendError("geostore_id is required")))
-    val cc = params.get("canopy_cover").map(_.toInt).getOrElse(30)
+    val cc = num422(ex, "canopy_cover",
+      params.get("canopy_cover").map(_.toInt).getOrElse(30)).getOrElse(return)
     val rid = tclResourceId(gid, cc)
     if (!tclResources.contains(rid))
       respond(ex, 404, "application/json", Sinks.jsendError(
@@ -1073,20 +1119,21 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
     * layer, thresholded on canopy cover. */
   private def tclPost(ex: HttpExchange): Unit = {
     val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
-    val obj = graft.geo.Json.parseObject(body)
+    val obj = parseBody422(ex, body).getOrElse(return)
     val gid = obj.get("geostore_id") match {
       case Some(s: String) => s
       case _ => return respond(ex, 422, "application/json",
         Sinks.jsendError("geostore_id is required"))
     }
-    val cc = obj.get("canopy_cover").map(_.asInstanceOf[Double].toInt).getOrElse(30)
+    val cc = num422(ex, "canopy_cover",
+      obj.get("canopy_cover").map(_.toString.toDouble.toInt).getOrElse(30)).getOrElse(return)
     val gj = resolveGeostore(gid, "gfw").getOrElse(
       return respond(ex, 422, "application/json", Sinks.jsendError(
         s"Geostore $gid can't be found or is not valid.")))
     val rid = tclResourceId(gid, cc)
     if (tclResources.contains(rid))
       return respond(ex, 409, "application/json", Sinks.jsendError(
-        s"Resource f$rid already exists with those parameters."))
+        s"Resource $rid already exists with those parameters."))
     val metadata =
       s"""{"aoi":{"type":"geostore","geostore_id":"$gid"},"canopy_cover":$cc}"""
     tclResources.put(rid, ("pending", metadata, "null"))
@@ -1181,6 +1228,10 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
         respond(ex, 403, "application/json",
           Sinks.jsendError("This dataset is not available for download"))
       case Some(v) =>
+        // same gate as the csv/json downloads — a 307 to the asset is
+        // still a download of protected data
+        authGate(ex, dataset).foreach { case (code, body) =>
+          return respond(ex, code, "application/json", body) }
         val wanted = if (fmt == "shp") cat.AssetType.ShapefileExport
                      else cat.AssetType.GeopackageExport
         v.assets.find(_.assetType == wanted) match {
@@ -1206,6 +1257,8 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
         respond(ex, 403, "application/json",
           Sinks.jsendError("This dataset is not available for download"))
       case Some(v) =>
+        authGate(ex, dataset).foreach { case (code, body) =>
+          return respond(ex, code, "application/json", body) }
         val asset = v.defaultAsset
           .filter(_.assetType == cat.AssetType.RasterTileSet).getOrElse(
             return respond(ex, 501, "application/json", Sinks.jsendError(
@@ -1497,14 +1550,14 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
     import graft.etl.VersionCreation
     writeGate(ex).foreach { case (code, body) =>
       return respond(ex, code, "application/json", body) }
-    val opts = versionOpts.getOrElse((dataset, version),
+    val opts = versionOpts.getOrElse((dataset, realVersion(dataset, version)),
       return respond(ex, 404, "application/json", Sinks.jsendError(
         s"Dataset version $dataset.$version not found or not appendable")))
     if (opts.sourceType == "raster")
       return respond(ex, 501, "application/json", Sinks.jsendError(
         "Append is not implemented for raster versions"))
     val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
-    val uris = graft.geo.Json.parseObject(body).get("creation_options") match {
+    val uris = parseBody422(ex, body).getOrElse(return).get("creation_options") match {
       case Some(m: Map[_, _]) =>
         m.asInstanceOf[Map[String, Any]].get("source_uri") match {
           case Some(l: List[_]) => l.map(_.toString)
@@ -1521,16 +1574,23 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
         s"Source URI outside the allowed data directories: $uri")) }
     val targetDir =
       s"${sys.props("java.io.tmpdir")}/graft_versions/${dataset}_$version"
-    val prior = versionRecords.get((dataset, version)).map(_._2).getOrElse(Nil)
-    versionRecords.put((dataset, version), ("pending", prior))
+    catalogLock.synchronized {
+      val prior = versionRecords.get((dataset, version)).map(_._2).getOrElse(Nil)
+      versionRecords.put((dataset, version), ("pending", prior))
+    }
     val jobId = jobRegistry.submit { () =>
       val (log, ok) =
         if (opts.sourceType == "vector")
           VersionCreation.appendVectorSources(spark, dataset, version, uris, targetDir)
         else
           VersionCreation.appendSources(spark, dataset, version, opts, uris, targetDir)
-      versionRecords.put((dataset, version),
-        (if (ok) "saved" else "failed", prior ++ log))
+      // append against the CURRENT log under the lock — capturing
+      // `prior` at request time loses a concurrent append's entries
+      catalogLock.synchronized {
+        val cur = versionRecords.get((dataset, version)).map(_._2).getOrElse(Nil)
+        versionRecords.put((dataset, version),
+          (if (ok) "saved" else "failed", cur ++ log))
+      }
       s"""{"dataset":"$dataset","version":"$version","status":"${if (ok) "saved" else "failed"}"}"""
     }
     respond(ex, 202, "application/json",
@@ -1703,7 +1763,8 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
       case _ => Map.empty[String, Any]
     }
     val implementation = co.getOrElse("implementation", "default").toString
-    val maxZoom = co.get("max_static_zoom").map(_.toString.toDouble.toInt).getOrElse(9)
+    val maxZoom = num422(ex, "max_static_zoom",
+      co.get("max_static_zoom").map(_.toString.toDouble.toInt).getOrElse(9)).getOrElse(return)
     if (maxZoom < 0 || maxZoom > 22)
       return respond(ex, 422, "application/json",
         Sinks.jsendError("max_static_zoom must be in 0..22"))
@@ -1807,8 +1868,10 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
       case _ => Map.empty[String, Any]
     }
     val implementation = co.getOrElse("implementation", "default").toString
-    val minZoom = co.get("min_zoom").map(_.toString.toDouble.toInt).getOrElse(0)
-    val maxZoom = co.get("max_zoom").map(_.toString.toDouble.toInt).getOrElse(9)
+    val minZoom = num422(ex, "min_zoom",
+      co.get("min_zoom").map(_.toString.toDouble.toInt).getOrElse(0)).getOrElse(return)
+    val maxZoom = num422(ex, "max_zoom",
+      co.get("max_zoom").map(_.toString.toDouble.toInt).getOrElse(9)).getOrElse(return)
     if (minZoom < 0 || maxZoom > 22 || maxZoom < minZoom)
       return respond(ex, 422, "application/json", Sinks.jsendError(
         "`max_zoom` must be equal or larger than `min_zoom` (0..22)"))
@@ -1964,7 +2027,7 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
     * the default asset's creation options — the settings `/append`
     * re-runs loads with. */
   private def creationOptions(ex: HttpExchange, dataset: String, version: String): Unit =
-    versionOpts.get((dataset, version)) match {
+    versionOpts.get((dataset, realVersion(dataset, version))) match {
       case None => respond(ex, 404, "application/json",
         Sinks.jsendError(s"Dataset version $dataset.$version has no creation options"))
       case Some(o) =>
@@ -1976,7 +2039,7 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
   /** GET /dataset/{d}/{v}/change_log (`versions.py:317-330`): the
     * creation DAG's task log on its own. */
   private def versionChangeLog(ex: HttpExchange, dataset: String, version: String): Unit = {
-    val record = versionRecords.get((dataset, version))
+    val record = versionRecords.get((dataset, realVersion(dataset, version)))
     if (record.isEmpty && catalog.version(dataset, version).isEmpty)
       return respond(ex, 404, "application/json",
         Sinks.jsendError(s"Dataset version $dataset.$version not found"))
@@ -1988,7 +2051,7 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
 
   /** Version metadata + change log (`GET /dataset/{d}/{v}`). */
   private def versionGet(ex: HttpExchange, dataset: String, version: String): Unit = {
-    val record = versionRecords.get((dataset, version))
+    val record = versionRecords.get((dataset, realVersion(dataset, version)))
     val inCatalog = catalog.version(dataset, version)
     if (record.isEmpty && inCatalog.isEmpty)
       return respond(ex, 404, "application/json",
@@ -2041,8 +2104,10 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
     if (sizeP.isEmpty && pageP.isEmpty)
       return respond(ex, 200, "application/json",
         s"""{"data":[${all.map(item).mkString(",")}],"status":"success"}""")
-    val size = sizeP.map(_.toInt).getOrElse(10)
-    val page = pageP.map(_.toInt).getOrElse(1)
+    val size = num422(ex, "page[size]",
+      sizeP.map(_.toInt).getOrElse(10)).getOrElse(return)
+    val page = num422(ex, "page[number]",
+      pageP.map(_.toInt).getOrElse(1)).getOrElse(return)
     if (size <= 0 || page <= 0)
       return respond(ex, 422, "application/json",
         Sinks.jsendError("page[size] and page[number] must be positive"))
@@ -2069,7 +2134,7 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
         Sinks.jsendError(s"Dataset with name $dataset already exists"))
     val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
     val meta = if (body.isBlank) Map.empty[String, String]
-               else metadataOf(graft.geo.Json.parseObject(body))
+               else metadataOf(parseBody422(ex, body).getOrElse(return))
     val created = catalogLock.synchronized {
       catalog = catalog.withDataset(dataset, meta)
       catalog.dataset(dataset).get
@@ -2096,7 +2161,7 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
         Sinks.jsendError(s"Dataset $dataset not found"))
     val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
     val patch = if (body.isBlank) Map.empty[String, String]
-                else metadataOf(graft.geo.Json.parseObject(body))
+                else metadataOf(parseBody422(ex, body).getOrElse(return))
     val updated = catalogLock.synchronized {
       catalog = catalog.withDatasetMetadata(dataset, patch)
       catalog.dataset(dataset).get
@@ -2132,7 +2197,7 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
         Sinks.jsendError(s"Dataset version $dataset.$version not found"))
     val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
     val obj = if (body.isBlank) Map.empty[String, Any]
-              else graft.geo.Json.parseObject(body)
+              else parseBody422(ex, body).getOrElse(return)
     val isLatest = obj.get("is_latest").collect { case b: Boolean => b }
     val downloadable = obj.get("is_downloadable").collect { case b: Boolean => b }
     catalogLock.synchronized {
@@ -2209,7 +2274,7 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
       val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
       val domains =
         if (body.isBlank) Nil
-        else graft.geo.Json.parseObject(body).get("domains") match {
+        else parseBody422(ex, body).getOrElse(return).get("domains") match {
           case Some(l: List[_]) => l.map(_.toString)
           case _ => Nil
         }
@@ -2300,7 +2365,8 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
           aoiGeoJson = gj,
           groupBy = params.get("group_by").map(_.split(",").toSeq)
             .getOrElse(Seq("landcover")),
-          tcdThreshold = params.get("tcd_threshold").map(_.toInt))
+          tcdThreshold = num422(ex, "tcd_threshold",
+            params.get("tcd_threshold").map(_.toInt)).getOrElse(return))
         val df = graft.raster.ZonalEngine.run(spark, req)
         ex.getResponseHeaders.add("Cache-Control", "max-age=7200")
         respond(ex, 200, "application/json", Sinks.toJsend(df))
@@ -2317,7 +2383,7 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
     * Body: `{"feature_collection": {...}, "tcd_threshold": n?}`. */
   private def zonalBatch(ex: HttpExchange): Unit = {
     val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
-    val obj = graft.geo.Json.parseObject(body)
+    val obj = parseBody422(ex, body).getOrElse(return)
     val fc = obj.get("feature_collection") match {
       case Some(m: Map[_, _]) => m.asInstanceOf[Map[String, Any]]
       case _ => return respond(ex, 422, "application/json",
@@ -2327,7 +2393,8 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
     if (features.isEmpty || features.size > 100)
       return respond(ex, 400, "application/json",
         Sinks.jsendError("feature_collection must contain 1-100 features"))
-    val threshold = obj.get("tcd_threshold").map(_.asInstanceOf[Double].toInt)
+    val threshold = num422(ex, "tcd_threshold",
+      obj.get("tcd_threshold").map(_.toString.toDouble.toInt)).getOrElse(return)
     val geoms = features.map { f =>
       graft.geo.Json.write(f.asInstanceOf[Map[String, Any]]("geometry"))
     }
@@ -2372,7 +2439,7 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
       _.defaultAsset.exists(_.assetType == cat.AssetType.RasterTileSet)))
       return respond(ex, 400, "application/json", Sinks.jsendError(
         "Querying on lists is only available for raster tile sets."))
-    val obj = graft.geo.Json.parseObject(body)
+    val obj = parseBody422(ex, body).getOrElse(return)
     val sql = obj.get("sql") match {
       case Some(s: String) => s
       case _ => return respond(ex, 422, "application/json",
@@ -2548,7 +2615,8 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
       case (Some(r), None) => AdminFixtures.adm1Rect(k, r)
       case _ => AdminFixtures.adm0Rect(k)
     }
-    val simplify = params.get("simplify").map(_.toDouble)
+    val simplify = num422(ex, "simplify",
+      params.get("simplify").map(_.toDouble)).getOrElse(return)
     val poly0 = AdminFixtures.polygon(rect)
     // Douglas–Peucker at the requested tolerance (identity on the
     // rectangular fixtures; the threshold is echoed in `info`)
@@ -2583,7 +2651,11 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
 
   private def geostoreCreate(ex: HttpExchange): Unit = {
     val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
-    val geom = graft.geo.Geom.fromGeoJson(body)
+    val geom =
+      try graft.geo.Geom.fromGeoJson(body)
+      catch { case scala.util.control.NonFatal(_) =>
+        return respond(ex, 422, "application/json",
+          Sinks.jsendError("Invalid GeoJSON body")) }
     val canonical = graft.geo.Geom.toGeoJson(geom)
     val md = java.security.MessageDigest.getInstance("MD5")
       .digest(canonical.getBytes("UTF-8"))
@@ -2596,6 +2668,31 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
   }
 
   // --------------------------------------------------------------- utils
+
+  /** Parse a JSON request body, answering 422 (the validation-error
+    * contract every write route shares) instead of letting the parse
+    * exception surface as a 500. `None` means the 422 was sent. */
+  private def parseBody422(ex: HttpExchange,
+                           body: String): Option[Map[String, Any]] =
+    try Some(graft.geo.Json.parseObject(body))
+    catch {
+      case scala.util.control.NonFatal(_) =>
+        respond(ex, 422, "application/json",
+          Sinks.jsendError("Invalid request body"))
+        None
+    }
+
+  /** A numeric parameter, answering 422 on a non-numeric value
+    * instead of a NumberFormatException 500. */
+  private def num422[T](ex: HttpExchange, name: String,
+                        parse: => T): Option[T] =
+    try Some(parse)
+    catch {
+      case _: NumberFormatException | _: ClassCastException =>
+        respond(ex, 422, "application/json",
+          Sinks.jsendError(s"$name must be a number"))
+        None
+    }
 
   private def queryParams(ex: HttpExchange): Map[String, String] =
     Option(ex.getRequestURI.getRawQuery).map { q =>

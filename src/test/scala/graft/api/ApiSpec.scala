@@ -270,7 +270,30 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       val minted = "\"api_key\":\"([0-9a-f-]+)\"".r
         .findFirstMatchIn(created.body()).get.group(1)
       assert(sget(q, "x-api-key" -> minted).statusCode() == 200)
+      // reference elif-chain: a NON-matching Origin falls through to
+      // the Referer check — either header matching validates
+      assert(sget(q, "x-api-key" -> dkey,
+        "Origin" -> "https://evil.org",
+        "Referer" -> "https://maps.example.com/page").statusCode() == 200)
+      // file downloads are gated like csv/json downloads: a 307 to
+      // the asset is still a download of protected data
+      assert(sget("/dataset/nation/v1/download/shp").statusCode() == 403)
+      assert(sget("/dataset/nation/v1/download/geotiff?tile_id=x&pixel_meaning=v")
+        .statusCode() == 403)
     } finally secured.stop()
+  }
+
+  test("client errors are 4xx: bad numerics, bad bodies, unknown geostore") {
+    // non-numeric query param → 422, not a NumberFormatException 500
+    assert(get("/datasets?page[size]=abc").statusCode() == 422)
+    // malformed JSON body → 422 on body-taking routes
+    assert(post("/dataset/nation/v1/query/json", "{bad json").statusCode() == 422)
+    // an UNRESOLVABLE geostore on the tabular query path is 404 — the
+    // AOI must never be silently dropped (full-table leak)
+    val r = get("/dataset/nation/v1/query/json?sql=SELECT%20count(*)%20AS%20c%20FROM%20data" +
+      "&geostore_id=00000000-dead-beef-0000-000000000000")
+    assert(r.statusCode() == 404, s"${r.statusCode()} ${r.body().take(120)}")
+    assert(r.body().contains("does not exist"))
   }
 
   test("streaming download matches the collect encoding") {
