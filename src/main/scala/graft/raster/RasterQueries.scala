@@ -655,6 +655,56 @@ object RasterQueries extends QueryModule {
        |FROM f GROUP BY k""".stripMargin
   }
 
+  /** r21: the MODE-resampled categorical band of the derived tile set
+    * — the reference ResamplingMethod's categorical downsampling
+    * choice (a mean of class codes is meaningless): most frequent of
+    * each 2×2 block, ties to the smallest code. Same pruned-scan
+    * zonal machinery as r11; the oracle replays the identical
+    * sorted-block closed form over the synthetic landcover formula. */
+  private def derivedModeZonal(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.register(spark, sfDir)
+    TileLake.ensureDerivedWritten(spark, TileLake.defaultDir, TileLake.derivedDir)
+    val dg = TileLake.derivedGrid
+    val (bxmin, bymin, bxmax, bymax) = bbox(aoi)
+    val ids = TileLake.tileIdsForBbox(dg, bxmin, bymin, bxmax, bymax)
+    TileLake.scanPruned(spark, TileLake.derivedDir, ids)
+      .createOrReplaceTempView("derived_mode_scan")
+    spark.sql(
+      s"""WITH arrs AS (SELECT px_lc_mode AS keys,
+         |  grid_arr('microha', ty, ${dg.originLat}, ${dg.tileDeg}, ${dg.pxPerTile}) AS vals,
+         |  tile_mask('$aoiGeoJson', tx, ty, ${dg.originLon}, ${dg.originLat},
+         |    ${dg.tilesX}, ${dg.tilesY}, ${dg.tileDeg}, ${dg.pxPerTile}) AS mask
+         | FROM derived_mode_scan),
+         |parts AS (SELECT explode(tile_zonal(keys, vals, mask)) AS p FROM arrs)
+         |SELECT p.k AS landcover_mode,
+         |  CAST(sum(p.s) AS DOUBLE) / 1000000.0 AS area_ha,
+         |  sum(p.c) AS pixel_count
+         |FROM parts GROUP BY p.k""".stripMargin)
+  }
+
+  private def derivedModeZonalOracle: String = {
+    val dg = TileLake.derivedGrid
+    val n = dg.pxX
+    val cGx = s"(p % $n)"; val cGy = s"(p // $n)"
+    def fineLc(dx: Int, dy: Int): String =
+      landcover.formula(s"(2 * $cGx + $dx)", s"(2 * $cGy + $dy)")
+    val arr = s"list_sort([(${fineLc(0, 0)}), (${fineLc(1, 0)}), (${fineLc(0, 1)}), (${fineLc(1, 1)})])"
+    val mode =
+      s"""[CASE WHEN s[1] = s[2] AND s[2] = s[3] THEN s[1]
+         |      WHEN s[2] = s[3] AND s[3] = s[4] THEN s[2]
+         |      WHEN s[1] = s[2] THEN s[1]
+         |      WHEN s[2] = s[3] THEN s[2]
+         |      WHEN s[3] = s[4] THEN s[3]
+         |      ELSE s[1] END for s in [$arr]][1]""".stripMargin.replace("\n", " ")
+    s"""WITH px AS (SELECT unnest(generate_series(0, ${n * n - 1})) AS p),
+       |f AS (SELECT ($mode) AS k, ${dg.microHaSql(cGy)} AS microha FROM px
+       |  WHERE ${halfPlanes(dg.lonCenterSql(cGx), dg.latCenterSql(cGy))})
+       |SELECT k AS landcover_mode,
+       |  CAST(sum(microha) AS DOUBLE) / 1000000.0 AS area_ha,
+       |  count(*) AS pixel_count
+       |FROM f GROUP BY k""".stripMargin
+  }
+
   /** S7 full ingest: GeoTIFF sources → tile lake, oracle-checked. The
     * query builds 2×2 one-degree source tiles with the pure-JVM
     * [[GeoTiff]] writer (deterministic per-pixel formula), runs the
@@ -1099,7 +1149,8 @@ object RasterQueries extends QueryModule {
       ("r17_lcc_ingest" -> (lccIngest _)) +
       ("r18_sinusoidal_ingest" -> (sinusoidalIngest _)) +
       ("r19_polar_ingest" -> (polarIngest _)) +
-      ("r20_bilinear_ingest" -> (bilinearIngest _))
+      ("r20_bilinear_ingest" -> (bilinearIngest _)) +
+      ("r21_mode_resample" -> (derivedModeZonal _))
 
   override def oracles: Map[String, String] =
     sqls.flatMap(q => q.oracleSql.map(q.name -> _)).toMap +
@@ -1120,5 +1171,6 @@ object RasterQueries extends QueryModule {
       ("r17_lcc_ingest" -> projIngestOracle(r17Lattice)) +
       ("r18_sinusoidal_ingest" -> projIngestOracle(r18Lattice)) +
       ("r19_polar_ingest" -> projIngestOracle(r19Lattice)) +
-      ("r20_bilinear_ingest" -> projIngestBilinearOracle(r16Lattice))
+      ("r20_bilinear_ingest" -> projIngestBilinearOracle(r16Lattice)) +
+      ("r21_mode_resample" -> derivedModeZonalOracle)
 }

@@ -24,7 +24,8 @@ object TileLake {
     "px_landcover", "px_tcd", "px_dateconf", "px_biomass10", "px_u", "px_w")
 
   /** Band columns of the derived (coarse-grid) lake. */
-  val derivedBandColumns: Seq[String] = Seq("px_biomass_t", "px_lc_mean")
+  val derivedBandColumns: Seq[String] =
+    Seq("px_biomass_t", "px_lc_mean", "px_lc_mode")
 
   /** Band set of a lake directory — each grid's lake carries its own
     * array columns (the reference's tile sets are per-grid assets). */
@@ -85,7 +86,7 @@ object TileLake {
     * shuffle — resampling is tile-local because the block factor
     * divides the tile size). */
   def derivedDir: String =
-    s"${sys.props("java.io.tmpdir")}/graft_tile_lake_derived_v1"
+    s"${sys.props("java.io.tmpdir")}/graft_tile_lake_derived_v2"
 
   def derivedGrid: Grid = {
     val g = SyntheticEnv.grid
@@ -102,17 +103,35 @@ object TileLake {
     val n = coarse * coarse
     // block mean: coarse (cx, cy) ← fine (2cx, 2cy)..(2cx+1, 2cy+1);
     // fine index = (2cy + dy) * fine + (2cx + dx)
-    def blockSum(col: String): String = {
+    def blockElems(col: String): Seq[String] = {
       val cx = s"(i % $coarse)"; val cy = s"(i DIV $coarse)"
-      (for (dy <- 0 to 1; dx <- 0 to 1) yield
-        s"element_at($col, CAST((2 * $cy + $dy) * $fine + 2 * $cx + $dx + 1 AS INT))")
-        .mkString("(", " + ", s") DIV 4")
+      for (dy <- 0 to 1; dx <- 0 to 1) yield
+        s"element_at($col, CAST((2 * $cy + $dy) * $fine + 2 * $cx + $dx + 1 AS INT))"
+    }
+    def blockSum(col: String): String =
+      blockElems(col).mkString("(", " + ", s") DIV 4")
+    // MODE resampling (the reference ResamplingMethod's categorical
+    // choice — a mean of class CODES is meaningless): most frequent
+    // of the 2×2 block, ties to the SMALLEST value. Closed form over
+    // the sorted block s1≤s2≤s3≤s4: a triple wins, else the smallest
+    // pair, else (all distinct) s1 — the singleton transform binds
+    // the sorted array once.
+    def blockMode(col: String): String = {
+      val arr = s"array_sort(array(${blockElems(col).mkString(", ")}))"
+      s"""element_at(transform(array($arr), s ->
+         |  CASE WHEN element_at(s, 1) = element_at(s, 2) AND element_at(s, 2) = element_at(s, 3) THEN element_at(s, 1)
+         |       WHEN element_at(s, 2) = element_at(s, 3) AND element_at(s, 3) = element_at(s, 4) THEN element_at(s, 2)
+         |       WHEN element_at(s, 1) = element_at(s, 2) THEN element_at(s, 1)
+         |       WHEN element_at(s, 2) = element_at(s, 3) THEN element_at(s, 2)
+         |       WHEN element_at(s, 3) = element_at(s, 4) THEN element_at(s, 3)
+         |       ELSE element_at(s, 1) END), 1)""".stripMargin.replace("\n", " ")
     }
     spark.read.parquet(srcDir)
       .selectExpr("tile_id", "tx", "ty",
         // calc at build: biomass tenths → whole tonnes buckets (A DIV 10)
         s"transform(sequence(0, ${n - 1}), i -> (${blockSum("px_biomass10")}) DIV 10) AS px_biomass_t",
-        s"transform(sequence(0, ${n - 1}), i -> ${blockSum("px_landcover")}) AS px_lc_mean")
+        s"transform(sequence(0, ${n - 1}), i -> ${blockSum("px_landcover")}) AS px_lc_mean",
+        s"transform(sequence(0, ${n - 1}), i -> ${blockMode("px_landcover")}) AS px_lc_mode")
       .write.mode("overwrite").partitionBy("tile_id").parquet(dir)
   }
 
