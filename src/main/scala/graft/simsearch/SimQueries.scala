@@ -529,6 +529,80 @@ object SimQueries extends QueryModule {
          |    + max(CASE WHEN s=2 THEN d2 END) + max(CASE WHEN s=3 THEN d2 END) AS recon_err
          |FROM best WHERE r = 1 GROUP BY vec_id""".stripMargin),
 
+    // E10: PQ search by ASYMMETRIC distance computation (Jégou et al.
+    // 2011, "Product Quantization for Nearest Neighbor Search" §IV):
+    // per query, a tiny distance table d²(q_sub, centroid) per
+    // (subspace, centroid) — 4×8 entries here — then the corpus scan
+    // touches only the CODES (4 small ints per vector, the
+    // memory-compressed representation; at 100 TB the full vectors
+    // never leave the ingest job). The table side broadcasts; the
+    // sum is 4 lookups per candidate. Top-5 per query, ties to the
+    // smaller id — exact-arithmetic parity with the oracle because
+    // every d² is the same index-ordered fold as e7's.
+    SqlQ.split("e10_pq_adc",
+      s"""$sparkVecs,
+         |seed AS (SELECT vec_id AS cid, v AS cv FROM n WHERE vec_id < 8),
+         |sub AS (SELECT n.vec_id, seed.cid, s,
+         |    aggregate(zip_with(slice(n.v, s*16+1, 16), slice(seed.cv, s*16+1, 16),
+         |        (a, b) -> (a-b)*(a-b)), CAST(0 AS DOUBLE), (acc, x) -> acc + x) AS d2
+         |  FROM n CROSS JOIN seed LATERAL VIEW explode(sequence(0, 3)) t AS s),
+         |best AS (SELECT vec_id, s, cid, d2,
+         |    row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cid) AS r FROM sub),
+         |codes AS (SELECT vec_id,
+         |    max(CASE WHEN s=0 THEN cid END) AS code0,
+         |    max(CASE WHEN s=1 THEN cid END) AS code1,
+         |    max(CASE WHEN s=2 THEN cid END) AS code2,
+         |    max(CASE WHEN s=3 THEN cid END) AS code3
+         |  FROM best WHERE r = 1 GROUP BY vec_id),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM n WHERE vec_id < 5),
+         |dt AS (SELECT qid, seed.cid, s,
+         |    aggregate(zip_with(slice(qv, s*16+1, 16), slice(seed.cv, s*16+1, 16),
+         |        (a, b) -> (a-b)*(a-b)), CAST(0 AS DOUBLE), (acc, x) -> acc + x) AS d2
+         |  FROM q CROSS JOIN seed LATERAL VIEW explode(sequence(0, 3)) t AS s),
+         |adc AS (SELECT d0.qid, codes.vec_id AS nid,
+         |    d0.d2 + d1.d2 + d2t.d2 + d3.d2 AS adist
+         |  FROM codes
+         |  JOIN dt d0 ON d0.s = 0 AND d0.cid = codes.code0
+         |  JOIN dt d1 ON d1.s = 1 AND d1.cid = codes.code1 AND d1.qid = d0.qid
+         |  JOIN dt d2t ON d2t.s = 2 AND d2t.cid = codes.code2 AND d2t.qid = d0.qid
+         |  JOIN dt d3 ON d3.s = 3 AND d3.cid = codes.code3 AND d3.qid = d0.qid
+         |  WHERE codes.vec_id != d0.qid)
+         |SELECT qid AS query_id, nid AS neighbor_id, adist AS adc_dist, rnk
+         |FROM (SELECT qid, nid, adist,
+         |        row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS rnk FROM adc) t
+         |WHERE rnk <= 5""".stripMargin,
+      s"""$duckVecs,
+         |seed AS (SELECT vec_id AS cid, v AS cv FROM n WHERE vec_id < 8),
+         |sub AS (SELECT n.vec_id, seed.cid, s,
+         |    list_reduce([(n.v[s*16+k] - seed.cv[s*16+k]) * (n.v[s*16+k] - seed.cv[s*16+k])
+         |                 for k in generate_series(1, 16)], (acc, x) -> acc + x) AS d2
+         |  FROM n CROSS JOIN seed CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS s)),
+         |best AS (SELECT vec_id, s, cid, d2,
+         |    row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cid) AS r FROM sub),
+         |codes AS (SELECT vec_id,
+         |    max(CASE WHEN s=0 THEN cid END) AS code0,
+         |    max(CASE WHEN s=1 THEN cid END) AS code1,
+         |    max(CASE WHEN s=2 THEN cid END) AS code2,
+         |    max(CASE WHEN s=3 THEN cid END) AS code3
+         |  FROM best WHERE r = 1 GROUP BY vec_id),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM n WHERE vec_id < 5),
+         |dt AS (SELECT qid, seed.cid, s,
+         |    list_reduce([(qv[s*16+k] - seed.cv[s*16+k]) * (qv[s*16+k] - seed.cv[s*16+k])
+         |                 for k in generate_series(1, 16)], (acc, x) -> acc + x) AS d2
+         |  FROM q CROSS JOIN seed CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS s)),
+         |adc AS (SELECT d0.qid, codes.vec_id AS nid,
+         |    d0.d2 + d1.d2 + d2t.d2 + d3.d2 AS adist
+         |  FROM codes
+         |  JOIN dt d0 ON d0.s = 0 AND d0.cid = codes.code0
+         |  JOIN dt d1 ON d1.s = 1 AND d1.cid = codes.code1 AND d1.qid = d0.qid
+         |  JOIN dt d2t ON d2t.s = 2 AND d2t.cid = codes.code2 AND d2t.qid = d0.qid
+         |  JOIN dt d3 ON d3.s = 3 AND d3.cid = codes.code3 AND d3.qid = d0.qid
+         |  WHERE codes.vec_id != d0.qid)
+         |SELECT qid AS query_id, nid AS neighbor_id, adist AS adc_dist, rnk
+         |FROM (SELECT qid, nid, adist,
+         |        row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS rnk FROM adc) t
+         |WHERE rnk <= 5""".stripMargin),
+
     // E5b / E3 are programmatic (driver-loop Lloyd + IVF probe over
     // the converged cells) — see `queries` below; their oracles unroll
     // the same updates in DuckDB (materialized CTEs keep that linear).
