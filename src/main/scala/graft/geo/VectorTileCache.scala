@@ -54,8 +54,8 @@ object VectorTileCache {
     * Without this, a polyline was encoded in FULL into every tile its
     * bbox overlaps — payload O(vertices × tiles) and features in
     * tiles they never intersect. */
-  private def clipLine(cs: Array[(Double, Double)],
-                       lo: Double, hi: Double): Seq[Array[(Double, Double)]] = {
+  private[geo] def clipLine(cs: Array[(Double, Double)],
+                            lo: Double, hi: Double): Seq[Array[(Double, Double)]] = {
     val parts = Seq.newBuilder[Array[(Double, Double)]]
     var cur = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
     def flush(): Unit = {

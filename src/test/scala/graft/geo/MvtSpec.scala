@@ -299,6 +299,46 @@ class MvtSpec extends AnyFunSuite {
     } finally spark.stop()
   }
 
+  test("clipLine property: outputs inside the square, inside samples covered") {
+    val rnd = new scala.util.Random(20260814L)
+    val lo = 0.0
+    val hi = 100.0
+    for (trial <- 0 until 300) {
+      // random polylines straddling the square generously
+      val n = 2 + rnd.nextInt(8)
+      val cs = Array.fill(n)((rnd.nextDouble() * 300 - 100,
+        rnd.nextDouble() * 300 - 100))
+      val parts = VectorTileCache.clipLine(cs, lo, hi)
+      val eps = 1e-9
+      // every output vertex is inside the (closed) square
+      parts.foreach(_.foreach { case (x, y) =>
+        assert(x >= lo - eps && x <= hi + eps && y >= lo - eps && y <= hi + eps,
+          s"trial $trial: vertex ($x,$y) outside")
+      })
+      // every part has ≥ 2 points and consecutive parts are genuinely
+      // disconnected (a split only happens at an exit)
+      parts.foreach(p => assert(p.length >= 2))
+      // coverage: sampled points strictly inside the square on the
+      // original segments must lie (within ε) on some clipped part
+      for (i <- 0 until n - 1; f <- Seq(0.17, 0.5, 0.83)) {
+        val px = cs(i)._1 + f * (cs(i + 1)._1 - cs(i)._1)
+        val py = cs(i)._2 + f * (cs(i + 1)._2 - cs(i)._2)
+        if (px > lo + 1e-6 && px < hi - 1e-6 && py > lo + 1e-6 && py < hi - 1e-6) {
+          val onPart = parts.exists(p => p.sliding(2).exists { seg =>
+            val (ax, ay) = seg(0); val (bx, by) = seg(1)
+            // point-segment distance via projection clamp
+            val vx = bx - ax; val vy = by - ay
+            val len2 = vx * vx + vy * vy
+            val t = if (len2 == 0) 0.0
+              else math.max(0.0, math.min(1.0, ((px - ax) * vx + (py - ay) * vy) / len2))
+            math.hypot(px - (ax + t * vx), py - (ay + t * vy)) < 1e-6
+          })
+          assert(onPart, s"trial $trial: inside point ($px,$py) lost by clip")
+        }
+      }
+    }
+  }
+
   test("quantized zero-area slivers drop; antimeridian bbox fans out to edges only") {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[2]").config("spark.ui.enabled", "false")
