@@ -923,6 +923,27 @@ object RasterQueries extends QueryModule {
       x0 = 300000.0, yTop = -2000000.0, pixelM = 10000.0,
       tilesX = 2, tilesY = 2, pxPerTile = 20)
 
+  /** r22: ellipsoidal Mercator via CT 7 geokeys (the EPSG:3395 World
+    * Mercator shape — NOT the spherical web-mercator fast path) over
+    * the Gulf of Guinea (~0..4°N, 3..7°E so the spherical/ellipsoidal
+    * northing difference is live). */
+  private val r22Params: Map[Int, Double] = Map(
+    3075 -> 7.0, 3080 -> 0.0, 3082 -> 0.0, 3083 -> 0.0)
+  private def r22Lattice: Warp.ProjectedLattice =
+    Warp.ProjectedLattice(Warp.MercatorEllipsoidal.fromGeoKeys(r22Params),
+      x0 = 300000.0, yTop = 500000.0, pixelM = 10000.0,
+      tilesX = 2, tilesY = 2, pxPerTile = 20)
+
+  /** r23: equidistant cylindrical via CT 17 geokeys with a NON-ZERO
+    * standard parallel (45° — x compressed by cos 45°, so the lattice
+    * is anisotropic in angle and the resample is not an identity). */
+  private val r23Params: Map[Int, Double] = Map(
+    3075 -> 17.0, 3078 -> 45.0, 3080 -> 10.0, 3082 -> 0.0, 3083 -> 0.0)
+  private def r23Lattice: Warp.ProjectedLattice =
+    Warp.ProjectedLattice(Warp.Equirectangular.fromGeoKeys(r23Params),
+      x0 = 500000.0, yTop = 5500000.0, pixelM = 10000.0,
+      tilesX = 2, tilesY = 2, pxPerTile = 20)
+
   /** Shared projected-CRS ingest driver for r14/r15: write the 2×2
     * source tile lattice in the projection's meters, run the raster
     * creation DAG with unify_projection, and histogram the warped
@@ -996,6 +1017,12 @@ object RasterQueries extends QueryModule {
   private def bilinearIngest(spark: SparkSession, sfDir: String): DataFrame =
     projIngest(spark, sfDir, "r20", r16Lattice, 32767, r16Params,
       resampling = "bilinear")
+
+  private def mercatorEllIngest(spark: SparkSession, sfDir: String): DataFrame =
+    projIngest(spark, sfDir, "r22", r22Lattice, 32767, r22Params)
+
+  private def equirectIngest(spark: SparkSession, sfDir: String): DataFrame =
+    projIngest(spark, sfDir, "r23", r23Lattice, 32767, r23Params)
 
   private def projIngestOracle(latt: Warp.ProjectedLattice): String = {
     val tm = latt.proj
@@ -1150,7 +1177,9 @@ object RasterQueries extends QueryModule {
       ("r18_sinusoidal_ingest" -> (sinusoidalIngest _)) +
       ("r19_polar_ingest" -> (polarIngest _)) +
       ("r20_bilinear_ingest" -> (bilinearIngest _)) +
-      ("r21_mode_resample" -> (derivedModeZonal _))
+      ("r21_mode_resample" -> (derivedModeZonal _)) +
+      ("r22_mercator_ell_ingest" -> (mercatorEllIngest _)) +
+      ("r23_equirect_ingest" -> (equirectIngest _))
 
   override def oracles: Map[String, String] =
     sqls.flatMap(q => q.oracleSql.map(q.name -> _)).toMap +
@@ -1172,5 +1201,7 @@ object RasterQueries extends QueryModule {
       ("r18_sinusoidal_ingest" -> projIngestOracle(r18Lattice)) +
       ("r19_polar_ingest" -> projIngestOracle(r19Lattice)) +
       ("r20_bilinear_ingest" -> projIngestBilinearOracle(r16Lattice)) +
-      ("r21_mode_resample" -> derivedModeZonalOracle)
+      ("r21_mode_resample" -> derivedModeZonalOracle) +
+      ("r22_mercator_ell_ingest" -> projIngestOracle(r22Lattice)) +
+      ("r23_equirect_ingest" -> projIngestOracle(r23Lattice))
 }

@@ -166,10 +166,16 @@ object Warp {
       Some(PolarStereographic(-70.0, 0.0, 0.0, 0.0))
     else if (epsg == 3031) // WGS84 / Antarctic Polar Stereographic
       Some(PolarStereographic(-71.0, 0.0, 0.0, 0.0))
+    else if (epsg == 3395) // WGS84 / World Mercator (ellipsoidal)
+      Some(MercatorEllipsoidal(0.0, 0.0, 0.0, 0.0))
+    else if (epsg == 32662 || epsg == 4087) // WGS84 / Plate Carrée
+      Some(Equirectangular(0.0, 0.0, 0.0, 0.0))
     else geoParams.get(3075).map(_.toInt) match {
+      case Some(7) => Some(MercatorEllipsoidal.fromGeoKeys(geoParams))
       case Some(11) => Some(AlbersEqualArea.fromGeoKeys(geoParams))
       case Some(8) => Some(LambertConformalConic.fromGeoKeys(geoParams))
       case Some(15) => Some(PolarStereographic.fromGeoKeys(geoParams))
+      case Some(17) => Some(Equirectangular.fromGeoKeys(geoParams))
       case Some(24) => Some(Sinusoidal.fromGeoKeys(geoParams))
       case _ => None
     }
@@ -978,6 +984,138 @@ object Warp {
         falseN = p.getOrElse(3083, p.getOrElse(3087, 0.0)),
         k0 = p.getOrElse(3092, 1.0))
     }
+  }
+
+  /** Ellipsoidal Mercator (Snyder PP 1395, eqs. 7-7..7-10) — the
+    * normal aspect on the WGS84 ellipsoid (EPSG:3395, "World
+    * Mercator", used by hydrographic charts), built from CT 7
+    * geokeys. NOT the spherical web-mercator special case (EPSG:3857
+    * takes the closed-form column-linear path): y = −a·k0·ln t(φ)
+    * with the SAME isometric t as the Lambert cone, so conformality
+    * machinery is shared. */
+  final case class MercatorEllipsoidal(latTsDeg: Double, lon0Deg: Double,
+                                       falseE: Double, falseN: Double,
+                                       k0In: Double = 1.0)
+      extends Projection {
+    import TransverseMercator.{A, E2}
+    private val e: Double = Math.sqrt(E2)
+    val lam0: Double = Math.toRadians(lon0Deg)
+    /** Effective scale: an explicit k0, reduced by a standard
+      * parallel when one is given (k0 = m(φts), eq. 7-? — true scale
+      * along ±φts). */
+    val k0: Double =
+      if (latTsDeg == 0.0) k0In
+      else {
+        val s = Math.sin(Math.toRadians(latTsDeg))
+        k0In * Math.cos(Math.toRadians(latTsDeg)) / Math.sqrt(1.0 - E2 * s * s)
+      }
+    private def tOf(phi: Double): Double = {
+      val s = Math.sin(phi)
+      Math.tan(Math.PI / 4 - phi / 2) /
+        Math.pow((1.0 - e * s) / (1.0 + e * s), e / 2)
+    }
+    // conformal→geodetic series coefficients (Snyder 3-5)
+    private val C1: Double = E2 / 2 + 5 * E2 * E2 / 24 + E2 * E2 * E2 / 12
+    private val C2: Double = 7 * E2 * E2 / 48 + 29 * E2 * E2 * E2 / 240
+    private val C3: Double = 7 * E2 * E2 * E2 / 120
+
+    def forward(latDeg: Double, lonDeg: Double): (Double, Double) = {
+      val dlam = Math.toRadians(lonDeg) - lam0
+      // association mirrors xSql/ySql exactly
+      (A * k0 * dlam + falseE,
+        -(A * k0) * Math.log(tOf(Math.toRadians(latDeg))) + falseN)
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val t = Math.exp(-(y - falseN) / (A * k0))
+      val chi = Math.PI / 2 - 2.0 * Math.atan(t)
+      val lat = chi + C1 * Math.sin(2 * chi) + C2 * Math.sin(4 * chi) +
+        C3 * Math.sin(6 * chi)
+      (Math.toDegrees(lat), Math.toDegrees(lam0 + (x - falseE) / (A * k0)))
+    }
+
+    /** DuckDB SQL mirror of [[forward]] (same parity contract as the
+      * other projections). */
+    def forwardSelect(lat: String, lon: String): String = {
+      def d(v: Double) = s"CAST(${java.lang.Double.toString(v)} AS DOUBLE)"
+      s"""radians($lon) - ${d(lam0)} AS dlam_,
+         |tan(pi() / 4 - radians($lat) / 2) /
+         |  power((1.0 - ${d(e)} * sin(radians($lat))) / (1.0 + ${d(e)} * sin(radians($lat))), ${d(e / 2)}) AS t_""".stripMargin
+    }
+    def xSql: String = {
+      def d(v: Double) = s"CAST(${java.lang.Double.toString(v)} AS DOUBLE)"
+      s"${d(A * k0)} * dlam_ + ${d(falseE)}"
+    }
+    def ySql: String = {
+      def d(v: Double) = s"CAST(${java.lang.Double.toString(v)} AS DOUBLE)"
+      s"-(${d(A * k0)}) * ln(t_) + ${d(falseN)}"
+    }
+  }
+
+  object MercatorEllipsoidal {
+    /** Build from GeoTIFF projection geokeys (CT 7): standard
+      * parallel from 3078/3081 (0 when absent), scale from 3092,
+      * central meridian from 3080/3084/3088 (0 when absent — the
+      * worldwide-natural default for Mercator, unlike the conics'
+      * load-bearing origins), false offsets from 3082/3083. */
+    def fromGeoKeys(p: Map[Int, Double]): MercatorEllipsoidal =
+      MercatorEllipsoidal(
+        latTsDeg = p.getOrElse(3078, p.getOrElse(3081, 0.0)),
+        lon0Deg = p.getOrElse(3080, p.getOrElse(3084, p.getOrElse(3088, 0.0))),
+        falseE = p.getOrElse(3082, p.getOrElse(3086, 0.0)),
+        falseN = p.getOrElse(3083, p.getOrElse(3087, 0.0)),
+        k0In = p.getOrElse(3092, 1.0))
+  }
+
+  /** Equirectangular / equidistant cylindrical (Snyder PP 1395, eqs.
+    * 12-1..12-5, spherical form on the WGS84 authalic-free radius A —
+    * the GeoTIFF CT 17 convention for plate-carrée rasters; exact for
+    * the common lat_ts = 0 case): x = A·cos(φ1)·Δλ, y = A·φ. The
+    * simplest projected CRS real datasets ship in (EPSG:32662 /
+    * 4087-style world files). */
+  final case class Equirectangular(latTsDeg: Double, lon0Deg: Double,
+                                   falseE: Double, falseN: Double)
+      extends Projection {
+    import TransverseMercator.A
+    val lam0: Double = Math.toRadians(lon0Deg)
+    val cosTs: Double = Math.cos(Math.toRadians(latTsDeg))
+
+    def forward(latDeg: Double, lonDeg: Double): (Double, Double) = {
+      val dlam = Math.toRadians(lonDeg) - lam0
+      // association mirrors xSql/ySql exactly
+      (A * cosTs * dlam + falseE,
+        A * Math.toRadians(latDeg) + falseN)
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) =
+      (Math.toDegrees((y - falseN) / A),
+        Math.toDegrees(lam0 + (x - falseE) / (A * cosTs)))
+
+    /** DuckDB SQL mirror of [[forward]]. */
+    def forwardSelect(lat: String, lon: String): String = {
+      def d(v: Double) = s"CAST(${java.lang.Double.toString(v)} AS DOUBLE)"
+      s"radians($lat) AS phi_, radians($lon) - ${d(lam0)} AS dlam_"
+    }
+    def xSql: String = {
+      def d(v: Double) = s"CAST(${java.lang.Double.toString(v)} AS DOUBLE)"
+      s"${d(A * cosTs)} * dlam_ + ${d(falseE)}"
+    }
+    def ySql: String = {
+      def d(v: Double) = s"CAST(${java.lang.Double.toString(v)} AS DOUBLE)"
+      s"${d(A)} * phi_ + ${d(falseN)}"
+    }
+  }
+
+  object Equirectangular {
+    /** Build from GeoTIFF projection geokeys (CT 17): standard
+      * parallel 3078/3081 (0 = plate carrée when absent), central
+      * meridian 3080/3084/3088, false offsets 3082/3083. */
+    def fromGeoKeys(p: Map[Int, Double]): Equirectangular =
+      Equirectangular(
+        latTsDeg = p.getOrElse(3078, p.getOrElse(3081, 0.0)),
+        lon0Deg = p.getOrElse(3080, p.getOrElse(3084, p.getOrElse(3088, 0.0))),
+        falseE = p.getOrElse(3082, p.getOrElse(3086, 0.0)),
+        falseN = p.getOrElse(3083, p.getOrElse(3087, 0.0)))
   }
 
   /** Ellipsoidal sinusoidal projection (Snyder PP 1395, eqs.

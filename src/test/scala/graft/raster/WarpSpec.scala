@@ -214,7 +214,8 @@ class WarpSpec extends AnyFunSuite {
     // geokey resolution: CT 11 builds the conic, other CTs refuse,
     // and natural-origin keys are honored when false-origin are absent
     assert(Warp.projectionFor(32767, params).exists(_.isInstanceOf[Warp.AlbersEqualArea]))
-    assert(Warp.projectionFor(32767, params.updated(3075, 7.0)).isEmpty)
+    // CT 3 (oblique mercator) is genuinely unsupported → rejected
+    assert(Warp.projectionFor(32767, params.updated(3075, 3.0)).isEmpty)
     assert(Warp.projectionFor(32767, Map.empty).isEmpty)
     val nat = Warp.AlbersEqualArea.fromGeoKeys(Map(
       3075 -> 11.0, 3078 -> 29.5, 3079 -> 45.5, 3081 -> 23.0, 3080 -> -96.0))
@@ -513,6 +514,61 @@ class WarpSpec extends AnyFunSuite {
     val all = contribs.flatMap { case ((ttx, tty), (idxs, _)) =>
       idxs.map(i => (ttx, tty, i)) }
     assert(all.distinct.length == all.length, "overlapping ownership")
+  }
+
+  test("ellipsoidal Mercator and equirectangular from geokeys") {
+    // CT 7 — the EPSG:3395 World Mercator shape
+    val m = Warp.MercatorEllipsoidal.fromGeoKeys(Map(3075 -> 7.0, 3080 -> 0.0))
+    // equator maps to y = 0; x is linear in longitude at A per radian
+    assert(math.abs(m.forward(0.0, 10.0)._2) < 1e-9)
+    assert(math.abs(m.forward(0.0, 90.0)._1 -
+      Warp.TransverseMercator.A * Math.PI / 2) < 1e-6)
+    // ellipsoidal ≠ spherical web mercator: the northing difference at
+    // 45° is kilometres (the reason EPSG:3395 is its own CRS)
+    val ySph = graft.geo.Geom.toWebMercatorY(45.0)
+    val yEll = m.forward(45.0, 0.0)._2
+    assert(math.abs(ySph - yEll) > 10000.0, s"sph $ySph vs ell $yEll")
+    // conformality: parallel-wise and meridian-wise scales agree
+    for (lat <- Seq(-30.0, 20.0, 55.0)) {
+      val eps = 1e-4
+      val (xa, ya) = m.forward(lat, 10.0)
+      val (xb, yb) = m.forward(lat, 10.0 + eps)
+      val (xc, yc) = m.forward(lat + eps, 10.0)
+      val s = math.sin(math.toRadians(lat))
+      val w = math.sqrt(1 - Warp.TransverseMercator.E2 * s * s)
+      val nu = Warp.TransverseMercator.A / w
+      val rhoM = Warp.TransverseMercator.A *
+        (1 - Warp.TransverseMercator.E2) / (w * w * w)
+      val kPar = math.hypot(xb - xa, yb - ya) /
+        (nu * math.cos(math.toRadians(lat)) * math.toRadians(eps))
+      val kMer = math.hypot(xc - xa, yc - ya) / (rhoM * math.toRadians(eps))
+      assert(math.abs(kPar / kMer - 1.0) < 1e-4, s"anisotropy at $lat")
+    }
+    // round-trip + a standard-parallel variant reduces scale
+    for (lat <- Seq(-60.0, -5.0, 33.3, 70.0); lon <- Seq(-120.0, 0.0, 77.7)) {
+      val (x, y) = m.forward(lat, lon)
+      val (la, lo) = m.inverse(x, y)
+      assert(math.abs(la - lat) < 1e-7 && math.abs(lo - lon) < 1e-7,
+        s"round-trip ($lat, $lon) → ($la, $lo)")
+    }
+    val mTs = Warp.MercatorEllipsoidal(41.0, 0.0, 0.0, 0.0)
+    assert(mTs.k0 < 0.76 && mTs.k0 > 0.74, s"k0(41°) = ${mTs.k0}")
+    assert(Warp.projectionFor(3395).exists(_.isInstanceOf[Warp.MercatorEllipsoidal]))
+
+    // CT 17 — equidistant cylindrical: closed-form EXACT
+    val eq = Warp.Equirectangular.fromGeoKeys(Map(3075 -> 17.0, 3078 -> 45.0,
+      3080 -> 10.0))
+    val (ex1, ey1) = eq.forward(30.0, 20.0)
+    assert(ex1 == Warp.TransverseMercator.A * math.cos(math.toRadians(45.0)) *
+      math.toRadians(10.0))
+    assert(ey1 == Warp.TransverseMercator.A * math.toRadians(30.0))
+    for (lat <- Seq(-80.0, 0.0, 66.6); lon <- Seq(-170.0, 10.0, 150.0)) {
+      val (x, y) = eq.forward(lat, lon)
+      val (la, lo) = eq.inverse(x, y)
+      assert(math.abs(la - lat) < 1e-12 && math.abs(lo - lon) < 1e-12)
+    }
+    assert(Warp.projectionFor(32662).exists(_.isInstanceOf[Warp.Equirectangular]))
+    assert(Warp.projectionFor(4087).exists(_.isInstanceOf[Warp.Equirectangular]))
   }
 
   test("bilinear contributions: partition of unity, interior value, nd renorm") {
