@@ -944,6 +944,24 @@ object RasterQueries extends QueryModule {
       x0 = 500000.0, yTop = 5500000.0, pixelM = 10000.0,
       tilesX = 2, tilesY = 2, pxPerTile = 20)
 
+  /** r24: a PARAMETER-DEFINED Lambert azimuthal equal-area grid
+    * (CT 10, origin 52°N 10°E with the EPSG:3035 false offsets — the
+    * pan-European LAEA shape) over southern France (~43..47°N): the
+    * OBLIQUE azimuthal aspect, where neither parallels nor meridians
+    * are plane-aligned — the most general graticule rotation the
+    * target-driven resample sees. (The POLAR aspect — EASE-Grid 2.0
+    * North/South — goes through the registry codes 6931/6932 and the
+    * full-longitude singularity path; WarpSpec covers both.) */
+  private val r24Params: Map[Int, Double] = Map(
+    3075 -> 10.0,   // ProjCoordTrans: CT_LambertAzimEqualArea
+    3089 -> 52.0, 3088 -> 10.0, // ProjCenterLat/Long
+    3082 -> 4321000.0, 3083 -> 3210000.0)
+  private def r24Lattice: Warp.ProjectedLattice =
+    Warp.ProjectedLattice(
+      Warp.LambertAzimuthalEqualArea.fromGeoKeys(r24Params),
+      x0 = 3700000.0, yTop = 2600000.0, pixelM = 10000.0,
+      tilesX = 2, tilesY = 2, pxPerTile = 20)
+
   /** Shared projected-CRS ingest driver for r14/r15: write the 2×2
     * source tile lattice in the projection's meters, run the raster
     * creation DAG with unify_projection, and histogram the warped
@@ -1023,6 +1041,9 @@ object RasterQueries extends QueryModule {
 
   private def equirectIngest(spark: SparkSession, sfDir: String): DataFrame =
     projIngest(spark, sfDir, "r23", r23Lattice, 32767, r23Params)
+
+  private def laeaIngest(spark: SparkSession, sfDir: String): DataFrame =
+    projIngest(spark, sfDir, "r24", r24Lattice, 32767, r24Params)
 
   private def projIngestOracle(latt: Warp.ProjectedLattice): String = {
     val tm = latt.proj
@@ -1179,7 +1200,8 @@ object RasterQueries extends QueryModule {
       ("r20_bilinear_ingest" -> (bilinearIngest _)) +
       ("r21_mode_resample" -> (derivedModeZonal _)) +
       ("r22_mercator_ell_ingest" -> (mercatorEllIngest _)) +
-      ("r23_equirect_ingest" -> (equirectIngest _))
+      ("r23_equirect_ingest" -> (equirectIngest _)) +
+      ("r24_laea_ingest" -> (laeaIngest _))
 
   override def oracles: Map[String, String] =
     sqls.flatMap(q => q.oracleSql.map(q.name -> _)).toMap +
@@ -1203,5 +1225,6 @@ object RasterQueries extends QueryModule {
       ("r20_bilinear_ingest" -> projIngestBilinearOracle(r16Lattice)) +
       ("r21_mode_resample" -> derivedModeZonalOracle) +
       ("r22_mercator_ell_ingest" -> projIngestOracle(r22Lattice)) +
-      ("r23_equirect_ingest" -> projIngestOracle(r23Lattice))
+      ("r23_equirect_ingest" -> projIngestOracle(r23Lattice)) +
+      ("r24_laea_ingest" -> projIngestOracle(r24Lattice))
 }

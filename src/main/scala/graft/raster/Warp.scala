@@ -170,10 +170,17 @@ object Warp {
       Some(MercatorEllipsoidal(0.0, 0.0, 0.0, 0.0))
     else if (epsg == 32662 || epsg == 4087) // WGS84 / Plate Carrée
       Some(Equirectangular(0.0, 0.0, 0.0, 0.0))
+    else if (epsg == 3035) // ETRS89-extended / LAEA Europe
+      Some(LambertAzimuthalEqualArea.laeaEurope)
+    else if (epsg == 6931) // WGS84 / EASE-Grid 2.0 North
+      Some(LambertAzimuthalEqualArea.ease2North)
+    else if (epsg == 6932) // WGS84 / EASE-Grid 2.0 South
+      Some(LambertAzimuthalEqualArea.ease2South)
     else geoParams.get(3075).map(_.toInt) match {
       case Some(7) => Some(MercatorEllipsoidal.fromGeoKeys(geoParams))
       case Some(11) => Some(AlbersEqualArea.fromGeoKeys(geoParams))
       case Some(8) => Some(LambertConformalConic.fromGeoKeys(geoParams))
+      case Some(10) => Some(LambertAzimuthalEqualArea.fromGeoKeys(geoParams))
       case Some(15) => Some(PolarStereographic.fromGeoKeys(geoParams))
       case Some(17) => Some(Equirectangular.fromGeoKeys(geoParams))
       case Some(24) => Some(Sinusoidal.fromGeoKeys(geoParams))
@@ -1190,5 +1197,187 @@ object Warp {
         falseE = p.getOrElse(3082, p.getOrElse(3086, 0.0)),
         falseN = p.getOrElse(3083, p.getOrElse(3087, 0.0)))
     }
+  }
+
+  /** Ellipsoidal Lambert azimuthal equal-area (Snyder PP 1395, eqs.
+    * 24-2..24-28 + the authalic machinery 3-11..3-18) — the azimuthal
+    * equal-area family: EPSG:3035 (the pan-European statistical /
+    * land-cover grid, oblique aspect at 52°N 10°E) and EPSG:6931/6932
+    * (EASE-Grid 2.0 North/South — the POLAR siblings of the 6933
+    * cylinder, sharing its authalic q). Built from GeoTIFF parameter
+    * keys (CT 10).
+    *
+    * Both aspects in one class: the oblique formulas (24-17..24-19
+    * with D from 24-20) divide by cos β₁, so |φ₀| = 90 takes the
+    * closed polar form (24-23/24-24), sign-folded like
+    * [[PolarStereographic]] (`aspect = ±1` mirrors south onto the
+    * north equations). Equal-area everywhere: the Jacobian of (x, y)
+    * w.r.t. authalic (β, λ) has determinant Rq² cos β by
+    * construction — WarpSpec pins the property numerically. */
+  final case class LambertAzimuthalEqualArea(lat0Deg: Double, lon0Deg: Double,
+                                             falseE: Double, falseN: Double)
+      extends Projection {
+    import TransverseMercator.{A, E2}
+    private val e: Double = Math.sqrt(E2)
+    val lam0: Double = Math.toRadians(lon0Deg)
+    /** Authalic q (Snyder 3-12) — the same q as the Albers cone and
+      * the EASE-2 cylinder; the azimuthal map sends it along radii. */
+    private def qOf(sinP: Double): Double =
+      (1.0 - E2) * (sinP / (1.0 - E2 * sinP * sinP) -
+        (1.0 / (2.0 * e)) * Math.log((1.0 - e * sinP) / (1.0 + e * sinP)))
+    private val qp: Double = qOf(1.0)
+    /** Authalic-sphere radius Rq = a·√(qp/2) (Snyder 3-13). */
+    val rq: Double = A * Math.sqrt(qp / 2.0)
+    /** Polar aspect when the origin IS a pole (the oblique D would
+      * divide by cos β₁ = 0). */
+    val polar: Boolean = math.abs(lat0Deg) >= 90.0 - 1e-9
+    /** Aspect sign for the polar form: +1 north, −1 south. */
+    val aspect: Double = if (lat0Deg >= 0) 1.0 else -1.0
+    private val phi0 = Math.toRadians(lat0Deg)
+    private val beta1: Double =
+      if (polar) 0.0
+      else Math.asin(math.max(-1.0, math.min(1.0, qOf(Math.sin(phi0)) / qp)))
+    private val sinB1 = Math.sin(beta1)
+    private val cosB1 = Math.cos(beta1)
+    /** D = a·m₁/(Rq·cos β₁) (Snyder 24-20): the origin-parallel
+      * stretch that restores true scale along the φ₀ parallel. */
+    val bigD: Double =
+      if (polar) 1.0
+      else {
+        val s = Math.sin(phi0)
+        A * (Math.cos(phi0) / Math.sqrt(1.0 - E2 * s * s)) / (rq * cosB1)
+      }
+    private val rqD: Double = rq * bigD
+    private val rqOverD: Double = rq / bigD
+    // authalic→geodetic series coefficients (Snyder 3-18)
+    private val B1: Double = E2 / 3 + 31 * E2 * E2 / 180 + 517 * E2 * E2 * E2 / 5040
+    private val B2: Double = 23 * E2 * E2 / 360 + 251 * E2 * E2 * E2 / 3780
+    private val B3: Double = 761 * E2 * E2 * E2 / 45360
+
+    /** The pole images — the oblique aspect maps BOTH poles to finite
+      * y-axis points (only the antipode of the origin is unmappable);
+      * the polar aspect's own pole is the origin. */
+    override def planeSingularities: Seq[(Double, Double, Double)] =
+      if (polar) Seq((falseE, falseN, 90.0 * aspect))
+      else Seq(
+        (falseE, falseN + rqOverD * cosB1 * Math.sqrt(2.0 / (1.0 + sinB1)), 90.0),
+        (falseE, falseN - rqOverD * cosB1 * Math.sqrt(2.0 / (1.0 - sinB1)), -90.0))
+
+    def forward(latDeg: Double, lonDeg: Double): (Double, Double) = {
+      val q = qOf(Math.sin(Math.toRadians(latDeg)))
+      val dlam = Math.toRadians(lonDeg) - lam0
+      if (polar) {
+        // ρ = a·√(qp − s·q) (Snyder 24-23/24-24 folded); association
+        // mirrors xSql/ySql exactly
+        val rho = A * Math.sqrt(math.max(qp - aspect * q, 0.0))
+        (rho * Math.sin(dlam) + falseE,
+          -aspect * (rho * Math.cos(dlam)) + falseN)
+      } else {
+        // sin β clamped (|q| can pass qp by an ulp at the poles)
+        val sb = math.max(-1.0, math.min(1.0, q / qp))
+        val cb = Math.sqrt(1.0 - sb * sb)
+        // B·D and B/D with B = Rq·√(2/(1+sinβ₁sinβ+cosβ₁cosβcosΔλ))
+        // (24-17..24-19); association mirrors xSql/ySql exactly
+        val k = Math.sqrt(2.0 / (1.0 + sinB1 * sb + cosB1 * (cb * Math.cos(dlam))))
+        (rqD * (cb * Math.sin(dlam)) * k + falseE,
+          rqOverD * (cosB1 * sb - sinB1 * (cb * Math.cos(dlam))) * k + falseN)
+      }
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val xp = x - falseE
+      val yp = y - falseN
+      def latOf(beta: Double): Double = beta + B1 * Math.sin(2 * beta) +
+        B2 * Math.sin(4 * beta) + B3 * Math.sin(6 * beta)
+      if (polar) {
+        val rho = Math.hypot(xp, yp)
+        if (rho < 1e-9) (lat0Deg, lon0Deg)
+        else {
+          // q = s·(qp − (ρ/a)²) (Snyder 24-31 folded)
+          val q = aspect * (qp - (rho / A) * (rho / A))
+          val beta = Math.asin(math.max(-1.0, math.min(1.0, q / qp)))
+          (Math.toDegrees(latOf(beta)),
+            Math.toDegrees(lam0 + Math.atan2(xp, -aspect * yp)))
+        }
+      } else {
+        // Snyder 24-26..24-28 on the authalic sphere
+        val rho = Math.hypot(xp / bigD, bigD * yp)
+        if (rho < 1e-9) (lat0Deg, lon0Deg)
+        else {
+          val ce = 2.0 * Math.asin(math.max(-1.0, math.min(1.0, rho / (2.0 * rq))))
+          val beta = Math.asin(math.max(-1.0, math.min(1.0,
+            Math.cos(ce) * sinB1 + bigD * yp * Math.sin(ce) * cosB1 / rho)))
+          val lon = lam0 + Math.atan2(xp * Math.sin(ce),
+            bigD * rho * cosB1 * Math.cos(ce) -
+              bigD * bigD * yp * sinB1 * Math.sin(ce))
+          (Math.toDegrees(latOf(beta)), Math.toDegrees(lon))
+        }
+      }
+    }
+
+    /** DuckDB SQL mirror of [[forward]] (same parity contract as the
+      * other projections: value agreement to last ulps, which cannot
+      * flip a 10⁴-meter pixel floor). The oblique fragments expose
+      * sin β / cos β so [[xSql]]/[[ySql]] — evaluated in a LATER
+      * select over these aliases — can fold B in without lateral
+      * alias references. */
+    def forwardSelect(lat: String, lon: String): String = {
+      def d(v: Double) = s"CAST(${java.lang.Double.toString(v)} AS DOUBLE)"
+      val q =
+        s"""${d(1.0 - E2)} * (sin(radians($lat)) / (1.0 - ${d(E2)} * sin(radians($lat)) * sin(radians($lat)))
+           |  - ${d(1.0 / (2.0 * e))} * ln((1.0 - ${d(e)} * sin(radians($lat))) / (1.0 + ${d(e)} * sin(radians($lat)))))""".stripMargin
+      if (polar)
+        s"""radians($lon) - ${d(lam0)} AS dlam_,
+           |$q AS q_""".stripMargin
+      else
+        s"""radians($lon) - ${d(lam0)} AS dlam_,
+           |least(greatest(($q) / ${d(qp)}, -1.0), 1.0) AS sb_,
+           |sqrt(1.0 - least(greatest(($q) / ${d(qp)}, -1.0), 1.0) * least(greatest(($q) / ${d(qp)}, -1.0), 1.0)) AS cb_""".stripMargin
+    }
+    def xSql: String = {
+      def d(v: Double) = s"CAST(${java.lang.Double.toString(v)} AS DOUBLE)"
+      if (polar)
+        s"${d(A)} * sqrt(greatest(${d(qp)} - ${d(aspect)} * q_, 0.0)) * sin(dlam_) + ${d(falseE)}"
+      else
+        s"${d(rqD)} * (cb_ * sin(dlam_)) * sqrt(2.0 / (1.0 + ${d(sinB1)} * sb_ + ${d(cosB1)} * (cb_ * cos(dlam_)))) + ${d(falseE)}"
+    }
+    def ySql: String = {
+      def d(v: Double) = s"CAST(${java.lang.Double.toString(v)} AS DOUBLE)"
+      if (polar)
+        s"${d(-aspect)} * (${d(A)} * sqrt(greatest(${d(qp)} - ${d(aspect)} * q_, 0.0)) * cos(dlam_)) + ${d(falseN)}"
+      else
+        s"${d(rqOverD)} * (${d(cosB1)} * sb_ - ${d(sinB1)} * (cb_ * cos(dlam_))) * sqrt(2.0 / (1.0 + ${d(sinB1)} * sb_ + ${d(cosB1)} * (cb_ * cos(dlam_)))) + ${d(falseN)}"
+    }
+  }
+
+  object LambertAzimuthalEqualArea {
+    /** Build from GeoTIFF projection geokeys (CT 10): GDAL writes the
+      * origin as ProjCenterLat/ProjCenterLong (3089/3088; fallbacks
+      * the natural-origin pair 3081/3080), false offsets 3082/3083.
+      * Missing origin keys fail fast — load-bearing georeferencing,
+      * same stance as the conics. */
+    def fromGeoKeys(p: Map[Int, Double]): LambertAzimuthalEqualArea = {
+      def req(ids: Seq[Int], what: String): Double =
+        ids.collectFirst { case id if p.contains(id) => p(id) }
+          .getOrElse(throw new IllegalArgumentException(
+            s"LambertAzimuthalEqualArea GeoKeyDirectory missing $what " +
+              s"(keys ${ids.mkString("/")})"))
+      LambertAzimuthalEqualArea(
+        lat0Deg = req(Seq(3089, 3081, 3085), "ProjCenterLat/ProjNatOriginLat"),
+        lon0Deg = req(Seq(3088, 3080, 3084), "ProjCenterLong/ProjNatOriginLong"),
+        falseE = p.getOrElse(3082, p.getOrElse(3086, 0.0)),
+        falseN = p.getOrElse(3083, p.getOrElse(3087, 0.0)))
+    }
+
+    /** EPSG:3035 — ETRS89-extended / LAEA Europe (the CORINE /
+      * EU-statistics grid); GRS80 vs WGS84 differs below the mm. */
+    val laeaEurope: LambertAzimuthalEqualArea =
+      LambertAzimuthalEqualArea(52.0, 10.0, 4321000.0, 3210000.0)
+    /** EPSG:6931 — WGS84 / NSIDC EASE-Grid 2.0 North (polar). */
+    val ease2North: LambertAzimuthalEqualArea =
+      LambertAzimuthalEqualArea(90.0, 0.0, 0.0, 0.0)
+    /** EPSG:6932 — WGS84 / NSIDC EASE-Grid 2.0 South (polar). */
+    val ease2South: LambertAzimuthalEqualArea =
+      LambertAzimuthalEqualArea(-90.0, 0.0, 0.0, 0.0)
   }
 }

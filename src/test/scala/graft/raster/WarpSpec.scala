@@ -710,6 +710,106 @@ class WarpSpec extends AnyFunSuite {
     assert(backCog.epsg == 32767 && backCog.geoParams == params)
   }
 
+  test("Lambert azimuthal equal-area: aspects, area preservation, round-trip") {
+    import Warp.TransverseMercator.{A, E2}
+    // ----- oblique aspect: the EPSG:3035 Europe parameterization -----
+    val params = Map[Int, Double](
+      3075 -> 10.0, 3089 -> 52.0, 3088 -> 10.0,
+      3082 -> 4321000.0, 3083 -> 3210000.0)
+    val laea = Warp.LambertAzimuthalEqualArea.fromGeoKeys(params)
+    // the projection center maps to the false offsets
+    val (x0, y0) = laea.forward(52.0, 10.0)
+    assert(math.abs(x0 - 4321000.0) < 1e-6 && math.abs(y0 - 3210000.0) < 1e-6,
+      s"origin → ($x0, $y0)")
+    // authalic-sphere radius: the published WGS84 authalic mean radius
+    assert(math.abs(laea.rq - 6371007.1809) < 0.01, s"Rq = ${laea.rq}")
+    // the DEFINING property — the local area scale is 1 everywhere:
+    // finite-difference parallelogram area vs the ellipsoidal area
+    // element M·ν·cosφ dφ dλ
+    def areaScale(p: Warp.Projection, lat: Double, lon: Double): Double = {
+      val h = 1e-4
+      val (xa, ya) = p.forward(lat, lon)
+      val (xb, yb) = p.forward(lat + h, lon)
+      val (xc, yc) = p.forward(lat, lon + h)
+      val planar = math.abs(
+        (xb - xa) * (yc - ya) - (xc - xa) * (yb - ya))
+      val s = math.sin(math.toRadians(lat))
+      val w = 1.0 - E2 * s * s
+      val m = A * (1.0 - E2) / (w * math.sqrt(w))
+      val nu = A / math.sqrt(w)
+      planar / (m * nu * math.cos(math.toRadians(lat)) *
+        math.toRadians(h) * math.toRadians(h))
+    }
+    for (lat <- Seq(35.0, 45.0, 52.0, 65.0); lon <- Seq(-10.0, 10.0, 30.0))
+      assert(math.abs(areaScale(laea, lat, lon) - 1.0) < 1e-5,
+        s"area scale at ($lat, $lon) = ${areaScale(laea, lat, lon)}")
+    // round-trip across the European window: 5e-8° ≈ 5 mm
+    for (li <- 0 to 6; lj <- 0 to 6) {
+      val lat = 34.0 + li * 6.0
+      val lon = -15.0 + lj * 10.0
+      val (x, y) = laea.forward(lat, lon)
+      val (la, lo) = laea.inverse(x, y)
+      assert(math.abs(la - lat) < 5e-8 && math.abs(lo - lon) < 5e-8,
+        s"round-trip ($lat, $lon) → ($la, $lo)")
+    }
+    // the oblique aspect maps BOTH poles to finite y-axis points
+    val sings = laea.planeSingularities
+    assert(sings.map(_._3).sorted == Seq(-90.0, 90.0))
+    for ((sx, sy, latDeg) <- sings) {
+      val (fx, fy) = laea.forward(latDeg, 123.0) // any longitude
+      // cb = √(1−sb²) amplifies the last-ulp error of q/qp at the
+      // exact pole to ~√ulp ≈ meter level — irrelevant against the
+      // singularity's 2-px containment pad at any real pixel size
+      assert(math.abs(fx - sx) < 1.0 && math.abs(fy - sy) < 1.0,
+        s"pole $latDeg image ($fx, $fy) vs declared ($sx, $sy)")
+    }
+    // geokey resolution: CT 10 builds it; registry code too
+    assert(Warp.projectionFor(32767, params)
+      .exists(_.isInstanceOf[Warp.LambertAzimuthalEqualArea]))
+    assert(Warp.projectionFor(3035).contains(Warp.LambertAzimuthalEqualArea.laeaEurope))
+    val e = intercept[IllegalArgumentException](
+      Warp.LambertAzimuthalEqualArea.fromGeoKeys(Map(3075 -> 10.0, 3088 -> 10.0)))
+    assert(e.getMessage.contains("3089"))
+
+    // ----- polar aspects: EASE-Grid 2.0 North / South -----
+    val north = Warp.LambertAzimuthalEqualArea.ease2North
+    val south = Warp.LambertAzimuthalEqualArea.ease2South
+    assert(Warp.projectionFor(6931).contains(north))
+    assert(Warp.projectionFor(6932).contains(south))
+    // the pole is the origin at any longitude
+    for (lon <- Seq(-120.0, 0.0, 77.0)) {
+      val (nx, ny) = north.forward(90.0, lon)
+      assert(math.hypot(nx, ny) < 1e-6, s"north pole → ($nx, $ny)")
+    }
+    // constant latitude is a circle; area preserved; round-trip holds
+    val rho83 = math.hypot(north.forward(83.0, 0.0)._1, north.forward(83.0, 0.0)._2)
+    for (lon <- Seq(-150.0, -45.0, 30.0, 170.0)) {
+      val (x, y) = north.forward(83.0, lon)
+      assert(math.abs(math.hypot(x, y) - rho83) < 1e-6)
+      val (la, lo) = north.inverse(x, y)
+      assert(math.abs(la - 83.0) < 5e-8 && math.abs(lo - lon) < 5e-8)
+    }
+    for (lat <- Seq(60.0, 75.0, 89.0))
+      assert(math.abs(areaScale(north, lat, 40.0) - 1.0) < 1e-5)
+    // the south aspect mirrors: same radius at the mirrored latitude
+    val (sx2, sy2) = south.forward(-83.0, 30.0)
+    assert(math.abs(math.hypot(sx2, sy2) - rho83) < 1e-6)
+    val (sla, slo) = south.inverse(sx2, sy2)
+    assert(math.abs(sla + 83.0) < 5e-8 && math.abs(slo - 30.0) < 5e-8)
+    // a pole-containing lattice takes the full-longitude path
+    val latt = Warp.ProjectedLattice(north,
+      x0 = -200000.0, yTop = 200000.0, pixelM = 10000.0,
+      tilesX = 2, tilesY = 2, pxPerTile = 20)
+    assert(latt.originLon == -180.0 && latt.originLat == 90.0)
+    // exclusive ownership under the azimuthal rotation
+    val contribs = latt.contributionsOf(0, 0,
+      Seq(Array.tabulate(400)(_.toDouble))).toSeq
+    assert(contribs.nonEmpty)
+    val all = contribs.flatMap { case ((ttx, tty), (idxs, _)) =>
+      idxs.map(i => (ttx, tty, i)) }
+    assert(all.distinct.length == all.length, "overlapping ownership")
+  }
+
   test("equator tile is (nearly) isotropic; polar tile is rejected") {
     val t = GeoTiff.Tile(4, 4, 0.0, 2.0, 1.0, Array.tabulate(16)(identity))
     val r = Warp.tileToWebMercator(t)
