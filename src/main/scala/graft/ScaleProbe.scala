@@ -27,10 +27,15 @@ object ScaleProbe {
     // round-5 additions: the distributed two-pass prefix sum (was the
     // SinglePartition scale-killer) and the pointer-jumping CC loop
     "t8_sequence_pack", "d7_dup_clusters",
-    // round-7 addition: C4 span dedup — the window-on-md5(span) shuffle
-    // is the whole cost, so the exponent should track data volume
-    // (replica word-suffixing keeps cross-replica spans distinct)
-    "d9_span_dedup")
+    // round-7 additions: C4 span dedup — the window-on-md5(span)
+    // shuffle is the whole cost, so the exponent should track data
+    // volume (replica word-suffixing keeps cross-replica spans
+    // distinct); the bloom append gate — build is one corpus scan,
+    // probe one incoming scan, confirm join only the candidate
+    // sliver, so ~linear; IVFADC — codes-only scan of 2 probed cells,
+    // distance-table build is corpus-independent (k-means build
+    // memoized before timing, like e3)
+    "d9_span_dedup", "d10_bloom_gate", "e11_ivfpq")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -16,6 +16,7 @@ object GraftFunctions {
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "polyhash" -> ((es: Seq[Expression]) => PolyHash(es.head)),
     "vec_dot" -> ((es: Seq[Expression]) => VecDot(es(0), es(1))),
+    "vec_sqdist" -> ((es: Seq[Expression]) => VecSqDist(es(0), es(1), es(2), es(3))),
     "tile_zonal" -> ((es: Seq[Expression]) =>
       graft.raster.TileZonal(es(0), es(1), es(2))),
     "ngram_hashes" -> ((es: Seq[Expression]) => NGramHashes(es(0), es(1))),
@@ -35,7 +36,10 @@ object GraftFunctions {
     "arr_hist" -> ((es: Seq[Expression]) => ArrHist(es)),
     "grid_arr" -> ((es: Seq[Expression]) => GridArr(es)),
     "hist_merge" -> ((es: Seq[Expression]) =>
-      graft.raster.HistMergeAgg(es(0), es(1), es(2), es(3)))) ++
+      graft.raster.HistMergeAgg(es(0), es(1), es(2), es(3))),
+    "bloom_agg" -> ((es: Seq[Expression]) => BloomAgg(es(0), es(1), es(2))),
+    "bloom_might_contain" -> ((es: Seq[Expression]) =>
+      BloomMightContain(es(0), es(1)))) ++
     graft.geo.GeoFunctions.builders
 
   def install(spark: SparkSession): Unit = {

@@ -70,3 +70,81 @@ case class VecDot(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): VecDot =
     copy(left = newLeft, right = newRight)
 }
+
+/** `vec_sqdist(a, b, off, len)` → double: Σₖ (a[off+k] − b[off+k])²
+  * for k in 0 until len (off ZERO-based), summed left-to-right — the
+  * fused, codegen'd form of the subspace-distance HOF chain
+  * `aggregate(zip_with(slice(a, off+1, len), slice(b, off+1, len),
+  * (x, y) -> (x-y)*(x-y)), 0d, (acc, x) -> acc + x)` used by the PQ
+  * family (e7/e10/e11). Per-op IEEE rounding and the index order are
+  * identical, so results are bit-equal to the HOF formulation and the
+  * DuckDB oracles' index-ordered `list_reduce` mirrors keep matching
+  * without change; what changes is the cost — no per-row slice
+  * allocations, no interpreted lambda, and the expression stays
+  * inside the whole-stage span. Null elements are skipped (never
+  * present on the query surface), missing tail elements read as
+  * absent (loop bound clamps to the arrays' lengths). */
+case class VecSqDist(a: Expression, b: Expression,
+                     off: Expression, len: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+
+  override def first: Expression = a
+  override def second: Expression = b
+  override def third: Expression = off
+  override def fourth: Expression = len
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (a.dataType, b.dataType, off.dataType, len.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _),
+            org.apache.spark.sql.types.IntegerType,
+            org.apache.spark.sql.types.IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r, o, n) => TypeCheckResult.TypeCheckFailure(
+        s"vec_sqdist requires (array<double>, array<double>, int, int), got " +
+          s"${l.catalogString}, ${r.catalogString}, ${o.catalogString}, ${n.catalogString}")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_sqdist"
+
+  override protected def nullSafeEval(av: Any, bv: Any, ov: Any, nv: Any): Any = {
+    val x = av.asInstanceOf[ArrayData]
+    val y = bv.asInstanceOf[ArrayData]
+    val o = ov.asInstanceOf[Int]
+    val hi = math.min(o + nv.asInstanceOf[Int],
+      math.min(x.numElements(), y.numElements()))
+    var acc = 0.0
+    var i = o
+    while (i < hi) {
+      if (!x.isNullAt(i) && !y.isNullAt(i)) {
+        val d = x.getDouble(i) - y.getDouble(i)
+        acc += d * d
+      }
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (av, bv, ov, nv) => {
+      val hi = ctx.freshName("hi")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |int $hi = java.lang.Math.min($ov + $nv,
+         |  java.lang.Math.min($av.numElements(), $bv.numElements()));
+         |double $acc = 0.0;
+         |for (int $i = $ov; $i < $hi; $i++) {
+         |  if (!$av.isNullAt($i) && !$bv.isNullAt($i)) {
+         |    double $d = $av.getDouble($i) - $bv.getDouble($i);
+         |    $acc += $d * $d;
+         |  }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): VecSqDist =
+    copy(a = f, b = s, off = t, len = q)
+}

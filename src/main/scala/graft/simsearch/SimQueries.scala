@@ -498,9 +498,8 @@ object SimQueries extends QueryModule {
     SqlQ.split("e7_pq_code",
       s"""$sparkVecs,
          |seed AS (SELECT vec_id AS cid, v AS cv FROM n WHERE vec_id < 8),
-         |sub AS (SELECT n.vec_id, seed.cid, s,
-         |    aggregate(zip_with(slice(n.v, s*16+1, 16), slice(seed.cv, s*16+1, 16),
-         |        (a, b) -> (a-b)*(a-b)), CAST(0 AS DOUBLE), (acc, x) -> acc + x) AS d2
+         |sub AS (SELECT /*+ BROADCAST(seed) */ n.vec_id, seed.cid, s,
+         |    vec_sqdist(n.v, seed.cv, s*16, 16) AS d2
          |  FROM n CROSS JOIN seed LATERAL VIEW explode(sequence(0, 3)) t AS s),
          |best AS (SELECT vec_id, s, cid, d2,
          |    row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cid) AS r FROM sub)
@@ -542,9 +541,8 @@ object SimQueries extends QueryModule {
     SqlQ.split("e10_pq_adc",
       s"""$sparkVecs,
          |seed AS (SELECT vec_id AS cid, v AS cv FROM n WHERE vec_id < 8),
-         |sub AS (SELECT n.vec_id, seed.cid, s,
-         |    aggregate(zip_with(slice(n.v, s*16+1, 16), slice(seed.cv, s*16+1, 16),
-         |        (a, b) -> (a-b)*(a-b)), CAST(0 AS DOUBLE), (acc, x) -> acc + x) AS d2
+         |sub AS (SELECT /*+ BROADCAST(seed) */ n.vec_id, seed.cid, s,
+         |    vec_sqdist(n.v, seed.cv, s*16, 16) AS d2
          |  FROM n CROSS JOIN seed LATERAL VIEW explode(sequence(0, 3)) t AS s),
          |best AS (SELECT vec_id, s, cid, d2,
          |    row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cid) AS r FROM sub),
@@ -555,9 +553,8 @@ object SimQueries extends QueryModule {
          |    max(CASE WHEN s=3 THEN cid END) AS code3
          |  FROM best WHERE r = 1 GROUP BY vec_id),
          |q AS (SELECT vec_id AS qid, v AS qv FROM n WHERE vec_id < 5),
-         |dt AS (SELECT qid, seed.cid, s,
-         |    aggregate(zip_with(slice(qv, s*16+1, 16), slice(seed.cv, s*16+1, 16),
-         |        (a, b) -> (a-b)*(a-b)), CAST(0 AS DOUBLE), (acc, x) -> acc + x) AS d2
+         |dt AS (SELECT /*+ BROADCAST(seed) */ qid, seed.cid, s,
+         |    vec_sqdist(qv, seed.cv, s*16, 16) AS d2
          |  FROM q CROSS JOIN seed LATERAL VIEW explode(sequence(0, 3)) t AS s),
          |adc AS (SELECT d0.qid, codes.vec_id AS nid,
          |    d0.d2 + d1.d2 + d2t.d2 + d3.d2 AS adist
@@ -722,6 +719,135 @@ object SimQueries extends QueryModule {
         (count(col("i.neighbor_id")).cast("double") / 5).as("recall_at_5"))
   }
 
+  /** e11 Spark side: IVFADC (Jégou et al. 2011 §V, "Product
+    * Quantization for Nearest Neighbor Search") — the composed
+    * at-scale ANN serving shape: a coarse IVF quantizer (the
+    * converged k-means cells, broadcast as literals like e3) routes
+    * each query to its 2 best cells; within a cell, vectors are
+    * represented ONLY by PQ codes of their RESIDUAL v − centroid
+    * (residuals concentrate near 0, so the same codebook budget
+    * quantizes them far better than raw vectors — the paper's central
+    * trick); the query builds one tiny per-(probed cell, subspace)
+    * distance table of its own residual against the codebook and the
+    * scan sums 4 table lookups per candidate. 100 TB story: the full
+    * vectors never leave the ingest job (codes are 4 small ints), the
+    * distance tables broadcast, and a probe touches ~2/k of the
+    * corpus; the codes carry their cell so candidate selection is one
+    * equality join on the probed cell, no second shuffle. Codebook =
+    * the 8 seed vectors' residuals (fixture-sized like e7's seeds;
+    * k-means-trained codebooks drop in without changing the shape). */
+  private def ivfPqTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val km = convergedKmeans(spark, sfDir)
+    spark.sql(
+      s"""$sparkVecs,
+         |${centroidCte(km.centroids)},
+         |asg AS (SELECT vec_id, v, ${argmaxAssign(km.centroids)} AS c FROM n),
+         |res AS (SELECT asg.vec_id, asg.c,
+         |    zip_with(asg.v, cn.cv, (a, b) -> a - b) AS rv
+         |  FROM asg JOIN cn ON cn.c = asg.c),
+         |seed AS (SELECT vec_id AS cid, rv AS cv FROM res WHERE vec_id < 8),
+         |sub AS (SELECT /*+ BROADCAST(seed) */ res.vec_id, res.c, seed.cid, s,
+         |    vec_sqdist(res.rv, seed.cv, s*16, 16) AS d2
+         |  FROM res CROSS JOIN seed LATERAL VIEW explode(sequence(0, 3)) t AS s),
+         |best AS (SELECT vec_id, c, s, cid, d2,
+         |    row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cid) AS r FROM sub),
+         |codes AS (SELECT vec_id, c,
+         |    max(CASE WHEN s=0 THEN cid END) AS code0,
+         |    max(CASE WHEN s=1 THEN cid END) AS code1,
+         |    max(CASE WHEN s=2 THEN cid END) AS code2,
+         |    max(CASE WHEN s=3 THEN cid END) AS code3
+         |  FROM best WHERE r = 1 GROUP BY vec_id, c),
+         |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < 5),
+         |pc AS (SELECT qid, cn.c AS cell,
+         |        row_number() OVER (PARTITION BY qid
+         |          ORDER BY vec_dot(qv, cn.cv) / (qn * cn.cnrm) DESC, cn.c) AS cr
+         |       FROM q CROSS JOIN cn),
+         |probe AS (SELECT qid, cell FROM pc WHERE cr <= 2),
+         |qres AS (SELECT probe.qid, probe.cell,
+         |    zip_with(q.qv, cn.cv, (a, b) -> a - b) AS qrv
+         |  FROM probe JOIN q ON q.qid = probe.qid JOIN cn ON cn.c = probe.cell),
+         |dt AS (SELECT /*+ BROADCAST(seed) */ qres.qid, qres.cell, seed.cid, s,
+         |    vec_sqdist(qres.qrv, seed.cv, s*16, 16) AS d2
+         |  FROM qres CROSS JOIN seed LATERAL VIEW explode(sequence(0, 3)) t AS s),
+         |cand AS (SELECT /*+ BROADCAST(probe) */
+         |    probe.qid, codes.vec_id AS nid, probe.cell,
+         |    codes.code0, codes.code1, codes.code2, codes.code3
+         |  FROM probe JOIN codes ON codes.c = probe.cell
+         |  WHERE codes.vec_id != probe.qid),
+         |adc AS (SELECT /*+ BROADCAST(d0, d1, d2t, d3) */
+         |    cand.qid, cand.nid,
+         |    d0.d2 + d1.d2 + d2t.d2 + d3.d2 AS adist
+         |  FROM cand
+         |  JOIN dt d0 ON d0.qid = cand.qid AND d0.cell = cand.cell
+         |    AND d0.s = 0 AND d0.cid = cand.code0
+         |  JOIN dt d1 ON d1.qid = cand.qid AND d1.cell = cand.cell
+         |    AND d1.s = 1 AND d1.cid = cand.code1
+         |  JOIN dt d2t ON d2t.qid = cand.qid AND d2t.cell = cand.cell
+         |    AND d2t.s = 2 AND d2t.cid = cand.code2
+         |  JOIN dt d3 ON d3.qid = cand.qid AND d3.cell = cand.cell
+         |    AND d3.s = 3 AND d3.cid = cand.code3)
+         |SELECT qid AS query_id, nid AS neighbor_id, adist AS adc_dist, rnk
+         |FROM (SELECT qid, nid, adist,
+         |        row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS rnk FROM adc) t
+         |WHERE rnk <= 5""".stripMargin)
+  }
+
+  /** e11 oracle: the identical pipeline with the k-means fixed point
+    * unrolled (kmeansCtes) and index-ordered folds for every d² — the
+    * same-arithmetic contract as e3/e7/e10. */
+  private def e11Oracle: String =
+    s"""$duckVecs,
+       |${kmeansCtes(KmMaxIter + 1)},
+       |res AS (SELECT asg.vec_id, asg.c,
+       |    [asg.v[k] - cn.cv[k] for k in generate_series(1, len(asg.v))] AS rv
+       |  FROM asg${KmMaxIter + 1} asg JOIN cn$KmMaxIter cn ON cn.c = asg.c),
+       |seed AS (SELECT vec_id AS cid, rv AS cv FROM res WHERE vec_id < 8),
+       |sub AS (SELECT res.vec_id, res.c, seed.cid, s,
+       |    list_reduce([(res.rv[s*16+k] - seed.cv[s*16+k]) * (res.rv[s*16+k] - seed.cv[s*16+k])
+       |                 for k in generate_series(1, 16)], (acc, x) -> acc + x) AS d2
+       |  FROM res CROSS JOIN seed CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS s)),
+       |best AS (SELECT vec_id, c, s, cid, d2,
+       |    row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cid) AS r FROM sub),
+       |codes AS (SELECT vec_id, c,
+       |    max(CASE WHEN s=0 THEN cid END) AS code0,
+       |    max(CASE WHEN s=1 THEN cid END) AS code1,
+       |    max(CASE WHEN s=2 THEN cid END) AS code2,
+       |    max(CASE WHEN s=3 THEN cid END) AS code3
+       |  FROM best WHERE r = 1 GROUP BY vec_id, c),
+       |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < 5),
+       |pc AS (SELECT qid, cn$KmMaxIter.c AS cell,
+       |        row_number() OVER (PARTITION BY qid
+       |          ORDER BY ${dDot("qv", s"cn$KmMaxIter.cv")} / (qn * cn$KmMaxIter.cnrm) DESC, cn$KmMaxIter.c) AS cr
+       |       FROM q CROSS JOIN cn$KmMaxIter),
+       |probe AS (SELECT qid, cell FROM pc WHERE cr <= 2),
+       |qres AS (SELECT probe.qid, probe.cell,
+       |    [q.qv[k] - cn.cv[k] for k in generate_series(1, len(q.qv))] AS qrv
+       |  FROM probe JOIN q ON q.qid = probe.qid
+       |       JOIN cn$KmMaxIter cn ON cn.c = probe.cell),
+       |dt AS (SELECT qres.qid, qres.cell, seed.cid, s,
+       |    list_reduce([(qres.qrv[s*16+k] - seed.cv[s*16+k]) * (qres.qrv[s*16+k] - seed.cv[s*16+k])
+       |                 for k in generate_series(1, 16)], (acc, x) -> acc + x) AS d2
+       |  FROM qres CROSS JOIN seed CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS s)),
+       |cand AS (SELECT probe.qid, codes.vec_id AS nid, probe.cell,
+       |    codes.code0, codes.code1, codes.code2, codes.code3
+       |  FROM probe JOIN codes ON codes.c = probe.cell
+       |  WHERE codes.vec_id != probe.qid),
+       |adc AS (SELECT cand.qid, cand.nid,
+       |    d0.d2 + d1.d2 + d2t.d2 + d3.d2 AS adist
+       |  FROM cand
+       |  JOIN dt d0 ON d0.qid = cand.qid AND d0.cell = cand.cell
+       |    AND d0.s = 0 AND d0.cid = cand.code0
+       |  JOIN dt d1 ON d1.qid = cand.qid AND d1.cell = cand.cell
+       |    AND d1.s = 1 AND d1.cid = cand.code1
+       |  JOIN dt d2t ON d2t.qid = cand.qid AND d2t.cell = cand.cell
+       |    AND d2t.s = 2 AND d2t.cid = cand.code2
+       |  JOIN dt d3 ON d3.qid = cand.qid AND d3.cell = cand.cell
+       |    AND d3.s = 3 AND d3.cid = cand.code3)
+       |SELECT qid AS query_id, nid AS neighbor_id, adist AS adc_dist, rnk
+       |FROM (SELECT qid, nid, adist,
+       |        row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS rnk FROM adc) t
+       |WHERE rnk <= 5""".stripMargin
+
   private def e8Oracle: String =
     s"""WITH exact AS (SELECT query_id, neighbor_id FROM (
        |  $duckVecs,
@@ -752,7 +878,8 @@ object SimQueries extends QueryModule {
       ("e2_cosine_neardup" -> ((s: SparkSession, d: String) => cellNearDup(s, d))) +
       ("e8_ivf_recall" -> ((s: SparkSession, d: String) => ivfRecall(s, d))) +
       ("e4_ann_lsh_auto" -> ((s: SparkSession, d: String) => e4Auto(s, d))) +
-      ("e9_semdedup" -> ((s: SparkSession, d: String) => semDedup(s, d)))
+      ("e9_semdedup" -> ((s: SparkSession, d: String) => semDedup(s, d))) +
+      ("e11_ivfpq" -> ((s: SparkSession, d: String) => ivfPqTopK(s, d)))
 
   override def oracles: Map[String, String] =
     sqls.flatMap(q => q.oracleSql.map(q.name -> _)).toMap +
@@ -762,5 +889,6 @@ object SimQueries extends QueryModule {
       ("e2_cosine_neardup" -> e2Oracle) +
       ("e8_ivf_recall" -> e8Oracle) +
       ("e4_ann_lsh_auto" -> e4Oracle) +
-      ("e9_semdedup" -> e9Oracle)
+      ("e9_semdedup" -> e9Oracle) +
+      ("e11_ivfpq" -> e11Oracle)
 }

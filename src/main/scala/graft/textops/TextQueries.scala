@@ -887,6 +887,53 @@ object TextQueries extends QueryModule {
        |  CAST(cum_before % $t8Budget AS BIGINT) AS pack_offset
        |FROM c""".stripMargin
 
+  /** d10: Bloom-gated INCREMENTAL dedup — the append-time shape of d1
+    * (reference S2's constraint dedup checks new rows against the
+    * EXISTING table, not within-batch; within-batch is d1's job).
+    * Corpus = doc_id%10<7, incoming = the rest; incoming docs whose
+    * text already exists in the corpus are dropped.
+    *
+    * The Bloom filter ([[graft.functions.BloomAgg]], sized from the
+    * measured corpus count like e4's auto band width) is a
+    * SEMANTICS-PRESERVING accelerator: might_contain=false proves
+    * absence, so those rows skip the join entirely; only the
+    * might_contain=true sliver (true dups + ~1% false positives)
+    * reaches the exact anti-join confirm. The result is therefore
+    * bloom-independent — the oracle is the plain anti-join. 100 TB
+    * story: one corpus scan builds the filter with bounded
+    * per-partition state (bit arrays OR-merge), the blob broadcasts,
+    * and the incoming-side shuffle shrinks from |incoming| to
+    * |candidates| — the win whenever dups are sparse, which is the
+    * append-ingest common case. BloomGateSpec pins the plan (blob
+    * broadcast, anti-join probe side prefiltered) and the
+    * no-false-negative property. */
+  private def d10Query(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.register(spark, sfDir)
+    val n = spark.sql(
+      "SELECT count(*) FROM documents WHERE doc_id % 10 < 7").head().getLong(0)
+    spark.sql(
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 < 7),
+         |inc AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 7),
+         |bl AS (SELECT bloom_agg(xxhash64(text), ${math.max(1L, n)}L,
+         |                        CAST(0.01 AS DOUBLE)) AS b FROM corpus),
+         |safe AS (SELECT inc.doc_id, inc.text FROM inc CROSS JOIN bl
+         |  WHERE NOT bloom_might_contain(bl.b, xxhash64(inc.text))),
+         |cand AS (SELECT inc.doc_id, inc.text FROM inc CROSS JOIN bl
+         |  WHERE bloom_might_contain(bl.b, xxhash64(inc.text))),
+         |conf AS (SELECT cand.doc_id, cand.text FROM cand
+         |  LEFT ANTI JOIN corpus ON corpus.text = cand.text)
+         |SELECT doc_id, md5(text) AS text_md5
+         |FROM (SELECT * FROM safe UNION ALL SELECT * FROM conf)""".stripMargin)
+  }
+
+  /** d10 oracle: the bloom-independent truth — incoming minus exact
+    * corpus text matches. */
+  private val d10Oracle: String =
+    """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 < 7),
+      |inc AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 7)
+      |SELECT doc_id, md5(text) AS text_md5 FROM inc
+      |WHERE text NOT IN (SELECT text FROM corpus)""".stripMargin
+
   private def d4Query(spark: SparkSession, sfDir: String): DataFrame =
     postingPairs(spark, sfDir,
       """SELECT pr.i AS doc_id_a, pr.j AS doc_id_b,
@@ -913,12 +960,14 @@ object TextQueries extends QueryModule {
       ("d7_dup_clusters" -> (d7Query _)) +
       ("d4_ngram_jaccard_pairs" -> (d4Query _)) +
       ("d8_containment_pairs" -> (d8Query _)) +
-      ("t8_sequence_pack" -> (t8Query _))
+      ("t8_sequence_pack" -> (t8Query _)) +
+      ("d10_bloom_gate" -> (d10Query _))
 
   override def oracles: Map[String, String] =
     sqls.flatMap(q => q.oracleSql.map(q.name -> _)).toMap +
       ("d7_dup_clusters" -> d7Oracle) +
       ("d4_ngram_jaccard_pairs" -> d4Oracle) +
       ("d8_containment_pairs" -> d8Oracle) +
-      ("t8_sequence_pack" -> t8Oracle)
+      ("t8_sequence_pack" -> t8Oracle) +
+      ("d10_bloom_gate" -> d10Oracle)
 }

@@ -127,6 +127,38 @@ class PlanInvariantsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"span split: ColumnarToRow *($c2r), Generate *($gen), HashAggregate *($agg)")
   }
 
+  test("d10: bloom blob fans out by broadcast; probe prefilters the anti-join") {
+    val p = plan("d10_bloom_gate")
+    // the single-row blob side must never shuffle the document stream:
+    // it arrives as a broadcast nested-loop (1-row cross join)
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(600))
+    // the bloom probe sits in a Filter BEFORE the exact anti-join —
+    // the no-false-negative branch skips the join entirely
+    assert(p.contains("bloom_might_contain"), "bloom prefilter missing")
+    assert(p.contains("Join LeftAnti") || p.contains("BroadcastHashJoin LeftAnti, BuildRight")
+      || p.contains("LeftAnti"), "exact confirm anti-join missing")
+  }
+
+  test("e11: probed-cell equality join; distance tables broadcast, no cartesian") {
+    // inspect the FINALIZED plan — the query-side frames (probe, the
+    // 4 distance tables) are tiny by construction and hinted
+    // BROADCAST, so the corpus-sized codes stream must never shuffle
+    // for them
+    val df = SparkEntry.queries("e11_ivfpq")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), "cartesian in the ADC assembly")
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(bhj >= 5,
+      s"expected ≥5 broadcast joins (cand + 4 distance tables), got $bhj:\n${p.take(800)}")
+    // the candidate selection must hit the codes stream by CELL
+    // equality (the IVF contract: a probe touches ~probes/k of the
+    // corpus, never all of it)
+    assert("BroadcastHashJoin \\[cell".r.findFirstIn(p).isDefined ||
+      "BroadcastHashJoin \\[c#".r.findFirstIn(p).isDefined,
+      s"no broadcast equality join on the cell column:\n${p.take(800)}")
+  }
+
   test("d4/d8: the posting stream shuffles once, then both read the buckets") {
     // the grouped posting lists are materialized (localCheckpoint)
     // exactly once and shared: each query's own plan reads the

@@ -106,4 +106,24 @@ class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
         |  0.0D, 0.0D) AS d""".stripMargin).collect().head.getDouble(0)
     assert(d.isPosInfinity, d)
   }
+
+  test("vec_sqdist == aggregate(zip_with(slice...)) bitwise, all subspaces") {
+    import spark.implicits._
+    // adversarial doubles: denormal-ish, huge, negative, repeating —
+    // bit-equality across 4 offsets pins the fold order exactly
+    val a = Array.tabulate(64)(i => math.sin(i * 1.7) * math.pow(10.0, (i % 9) - 4))
+    val b = Array.tabulate(64)(i => math.cos(i * 2.3) * math.pow(10.0, (i % 7) - 3))
+    Seq((a.toSeq, b.toSeq)).toDF("a", "b").createOrReplaceTempView("vs")
+    val rows = spark.sql(
+      """SELECT s, vec_sqdist(a, b, s*16, 16) AS fast,
+        |  aggregate(zip_with(slice(a, s*16+1, 16), slice(b, s*16+1, 16),
+        |    (x, y) -> (x-y)*(x-y)), CAST(0 AS DOUBLE), (acc, x) -> acc + x) AS slow
+        |FROM vs LATERAL VIEW explode(sequence(0, 3)) t AS s""".stripMargin)
+      .collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(1)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(2)),
+        s"subspace ${r.getInt(0)}: ${r.getDouble(1)} vs ${r.getDouble(2)}")
+    }
+  }
 }
