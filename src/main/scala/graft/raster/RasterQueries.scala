@@ -962,6 +962,18 @@ object RasterQueries extends QueryModule {
       x0 = 3700000.0, yTop = 2600000.0, pixelM = 10000.0,
       tilesX = 2, tilesY = 2, pxPerTile = 20)
 
+  /** r25: EASE-Grid 2.0 North (EPSG:6931 — polar LAEA, resolved from
+    * the REGISTRY code like r14/r15, no geokeys) with a lattice
+    * CONTAINING the pole: the target grid snaps to full longitude
+    * (every meridian passes through the pole) and the polar cap must
+    * come out covered — the strongest stress of the singularity path,
+    * here oracle-checked end-to-end where WarpSpec checks it
+    * geometrically. */
+  private def r25Lattice: Warp.ProjectedLattice =
+    Warp.ProjectedLattice(Warp.LambertAzimuthalEqualArea.ease2North,
+      x0 = -200000.0, yTop = 200000.0, pixelM = 10000.0,
+      tilesX = 2, tilesY = 2, pxPerTile = 20)
+
   /** Shared projected-CRS ingest driver for r14/r15: write the 2×2
     * source tile lattice in the projection's meters, run the raster
     * creation DAG with unify_projection, and histogram the warped
@@ -1045,6 +1057,9 @@ object RasterQueries extends QueryModule {
   private def laeaIngest(spark: SparkSession, sfDir: String): DataFrame =
     projIngest(spark, sfDir, "r24", r24Lattice, 32767, r24Params)
 
+  private def laeaPolarIngest(spark: SparkSession, sfDir: String): DataFrame =
+    projIngest(spark, sfDir, "r25", r25Lattice, 6931)
+
   private def projIngestOracle(latt: Warp.ProjectedLattice): String = {
     val tm = latt.proj
     val px = latt.pxPerTile
@@ -1058,11 +1073,16 @@ object RasterQueries extends QueryModule {
        |  ${d(latt.originLat)} - (gy + 0.5) * ${d(latt.pixelDeg)} AS lat FROM c),
        |fw AS (SELECT gx, gy, ${tm.forwardSelect("lat", "lon")} FROM geo),
        |xy AS (SELECT gx, gy, ${tm.xSql} AS x, ${tm.ySql} AS y FROM fw),
-       |s AS (SELECT gx // $px AS ttx, gy // $px AS tty,
+       |s AS (SELECT gx, gy // $px AS tty, gx // $px AS ttx,
        |  CAST(floor((x - ${d(latt.x0)}) / ${d(latt.pixelM)}) AS BIGINT) AS sgx,
        |  CAST(floor((${d(latt.yTop)} - y) / ${d(latt.pixelM)}) AS BIGINT) AS sgy FROM xy),
        |v AS (SELECT ttx, tty,
-       |  CASE WHEN sgx >= 0 AND sgx < ${latt.pxX} AND sgy >= 0 AND sgy < ${latt.pxY}
+       |  CASE ${if (latt.wrapped)
+             // the engine suppresses the ragged overrun columns past
+             // +180° in the pole-wrapped case (duplicate geography);
+             // the cutoff replays lon >= 180 in the identical doubles
+             s"WHEN ${d(latt.originLon)} + (gx + 0.5) * ${d(latt.pixelDeg)} >= 180.0 THEN -1 "
+           else ""}WHEN sgx >= 0 AND sgx < ${latt.pxX} AND sgy >= 0 AND sgy < ${latt.pxY}
        |       THEN (sgx * 7 + sgy * 11) % 5 ELSE -1 END AS v FROM s),
        |ex AS (SELECT ttx, tty FROM v GROUP BY ttx, tty HAVING max(v) >= 0)
        |SELECT v.v AS v, count(*) AS n
@@ -1201,7 +1221,8 @@ object RasterQueries extends QueryModule {
       ("r21_mode_resample" -> (derivedModeZonal _)) +
       ("r22_mercator_ell_ingest" -> (mercatorEllIngest _)) +
       ("r23_equirect_ingest" -> (equirectIngest _)) +
-      ("r24_laea_ingest" -> (laeaIngest _))
+      ("r24_laea_ingest" -> (laeaIngest _)) +
+      ("r25_laea_polar_ingest" -> (laeaPolarIngest _))
 
   override def oracles: Map[String, String] =
     sqls.flatMap(q => q.oracleSql.map(q.name -> _)).toMap +
@@ -1226,5 +1247,6 @@ object RasterQueries extends QueryModule {
       ("r21_mode_resample" -> derivedModeZonalOracle) +
       ("r22_mercator_ell_ingest" -> projIngestOracle(r22Lattice)) +
       ("r23_equirect_ingest" -> projIngestOracle(r23Lattice)) +
-      ("r24_laea_ingest" -> projIngestOracle(r24Lattice))
+      ("r24_laea_ingest" -> projIngestOracle(r24Lattice)) +
+      ("r25_laea_polar_ingest" -> projIngestOracle(r25Lattice))
 }

@@ -227,7 +227,11 @@ object Warp {
       case (sx, sy, latDeg)
         if sx >= x0 && sx <= xRight && sy >= yBot && sy <= yTop => latDeg
     }
-    private val wrapped: Boolean = polesInside.nonEmpty
+    /** True when an azimuthal pole is inside the lattice: the target
+      * grid snaps to full longitude and the ragged last tile column
+      * past +180° is suppressed as duplicate geography (the oracle
+      * replays the same rule). */
+    val wrapped: Boolean = polesInside.nonEmpty
     val originLon: Double =
       if (wrapped) -180.0 else boundary.map(_._2).min - pixelDeg
     // the pole itself caps the pad: centers past ±90° have no latitude

@@ -848,6 +848,42 @@ object SimQueries extends QueryModule {
        |        row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS rnk FROM adc) t
        |WHERE rnk <= 5""".stripMargin
 
+  /** e12: recall accounting for the IVFADC path (e8's
+    * measure-don't-guess check applied to e11): per-query recall@5 of
+    * the code-quantized probed search against the exact brute-force
+    * top-5. Quantifies BOTH losses at once — cell routing (e8's
+    * subject) and the PQ residual codes. */
+  private def ivfPqRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    Tables.register(spark, sfDir)
+    val exact = spark.sql(exactTop5Sql).as("e")
+    val adc = ivfPqTopK(spark, sfDir)
+      .select(col("query_id"), col("neighbor_id")).as("i")
+    exact.join(adc,
+        col("e.query_id") === col("i.query_id") &&
+          col("e.neighbor_id") === col("i.neighbor_id"), "left")
+      .groupBy(col("e.query_id").as("query_id"))
+      .agg(count(col("i.neighbor_id")).as("hits"),
+        (count(col("i.neighbor_id")).cast("double") / 5).as("recall_at_5"))
+  }
+
+  private def e12Oracle: String =
+    s"""WITH exact AS (SELECT query_id, neighbor_id FROM (
+       |  $duckVecs,
+       |  q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < 5),
+       |  s AS (SELECT qid, n.vec_id AS nid, ${dDot("qv", "n.v")} / (qn * n.nrm) AS sim
+       |        FROM q CROSS JOIN n WHERE n.vec_id != qid)
+       |  SELECT qid AS query_id, nid AS neighbor_id
+       |  FROM (SELECT qid, nid, sim,
+       |          row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk FROM s) t
+       |  WHERE rnk <= 5)),
+       |adc AS (SELECT query_id, neighbor_id FROM ($e11Oracle))
+       |SELECT e.query_id, count(i.neighbor_id) AS hits,
+       |  CAST(count(i.neighbor_id) AS DOUBLE) / 5 AS recall_at_5
+       |FROM exact e LEFT JOIN adc i
+       |  ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+       |GROUP BY e.query_id""".stripMargin
+
   private def e8Oracle: String =
     s"""WITH exact AS (SELECT query_id, neighbor_id FROM (
        |  $duckVecs,
@@ -879,7 +915,8 @@ object SimQueries extends QueryModule {
       ("e8_ivf_recall" -> ((s: SparkSession, d: String) => ivfRecall(s, d))) +
       ("e4_ann_lsh_auto" -> ((s: SparkSession, d: String) => e4Auto(s, d))) +
       ("e9_semdedup" -> ((s: SparkSession, d: String) => semDedup(s, d))) +
-      ("e11_ivfpq" -> ((s: SparkSession, d: String) => ivfPqTopK(s, d)))
+      ("e11_ivfpq" -> ((s: SparkSession, d: String) => ivfPqTopK(s, d))) +
+      ("e12_ivfpq_recall" -> ((s: SparkSession, d: String) => ivfPqRecall(s, d)))
 
   override def oracles: Map[String, String] =
     sqls.flatMap(q => q.oracleSql.map(q.name -> _)).toMap +
@@ -890,5 +927,6 @@ object SimQueries extends QueryModule {
       ("e8_ivf_recall" -> e8Oracle) +
       ("e4_ann_lsh_auto" -> e4Oracle) +
       ("e9_semdedup" -> e9Oracle) +
-      ("e11_ivfpq" -> e11Oracle)
+      ("e11_ivfpq" -> e11Oracle) +
+      ("e12_ivfpq_recall" -> e12Oracle)
 }
