@@ -36,7 +36,17 @@ case class BloomAgg(
     (hashExpr.dataType, itemsExpr.dataType, fppExpr.dataType) match {
       case (LongType, LongType | IntegerType, DoubleType)
         if itemsExpr.foldable && fppExpr.foldable =>
-        TypeCheckResult.TypeCheckSuccess
+        // the sizing params configure every partial buffer, so a NULL
+        // or out-of-range literal must die at ANALYSIS, not as a
+        // per-task MatchError/IllegalArgumentException on executors
+        (itemsExpr.eval(), fppExpr.eval()) match {
+          case (null, _) | (_, null) => TypeCheckResult.TypeCheckFailure(
+            "bloom_agg sizing parameters must not be NULL")
+          case (_, f: Double) if !(f > 0.0 && f < 1.0) =>
+            TypeCheckResult.TypeCheckFailure(
+              s"bloom_agg fpp must be in (0, 1), got $f")
+          case _ => TypeCheckResult.TypeCheckSuccess
+        }
       case other => TypeCheckResult.TypeCheckFailure(
         s"bloom_agg expects (bigint, foldable int/bigint, foldable double), got $other")
     }
@@ -84,13 +94,18 @@ case class BloomAgg(
 }
 
 /** `bloom_might_contain(blob, hash)` → boolean: probe a serialized
-  * Bloom filter (from [[BloomAgg]]) with a 64-bit hash. The blob
-  * column is one scalar fanned out by a broadcast (single-row cross
-  * join), so per-task it is the same byte array instance row after
-  * row — the expression deserializes once per distinct array
-  * (reference-keyed memo) and the per-row cost is the filter's bit
-  * probes. Codegen keeps the whole-stage span via an instance
-  * reference (same pattern as `km_argmax`). */
+  * Bloom filter (from [[BloomAgg]]) with a 64-bit hash.
+  *
+  * Pass the blob as a FOLDABLE expression (a binary literal /
+  * `unbase64('…')` of a driver-held blob — what `d10_bloom_gate` and
+  * `BloomGateStream` do): the filter then deserializes ONCE per task
+  * (transient lazy val) and the per-row cost is the bit probes. A
+  * non-foldable blob column still works but pays a per-row
+  * `Arrays.equals` content check against the cached copy (row values
+  * surface as fresh byte[] copies out of UnsafeRow, so a reference
+  * memo never hits) — correct, but a memcmp per row; the scaladoc-
+  * recommended shape is the literal. Codegen keeps the whole-stage
+  * span via an instance reference (same pattern as `km_argmax`). */
 case class BloomMightContain(blobExpr: Expression, hashExpr: Expression)
     extends BinaryExpression {
 
@@ -107,18 +122,27 @@ case class BloomMightContain(blobExpr: Expression, hashExpr: Expression)
   override def dataType: DataType = BooleanType
   override def prettyName: String = "bloom_might_contain"
 
-  // last-seen deserialized filter, keyed on the blob's reference: the
-  // broadcast row hands every task the same backing array, so this is
-  // a deserialize-once cache in the common case and merely a
-  // deserialize-per-change slow path otherwise
-  @transient private var cachedRef: AnyRef = _
+  // foldable fast path: one deserialization per task, zero per-row work
+  @transient private lazy val foldedFilter: BloomFilter =
+    if (blobExpr.foldable) {
+      val b = blobExpr.eval()
+      if (b == null) null
+      else BloomFilter.readFrom(
+        new ByteArrayInputStream(b.asInstanceOf[Array[Byte]]))
+    } else null
+
+  // non-foldable fallback: content-equality memo (reference identity
+  // never holds — each row materializes its own byte[] copy)
+  @transient private var cachedBytes: Array[Byte] = _
   @transient private var cachedFilter: BloomFilter = _
 
   def probe(blob: AnyRef, hash: Long): Boolean = {
-    if (!(blob eq cachedRef)) {
-      cachedFilter = BloomFilter.readFrom(
-        new ByteArrayInputStream(blob.asInstanceOf[Array[Byte]]))
-      cachedRef = blob
+    val folded = foldedFilter
+    if (folded != null) return folded.mightContainLong(hash)
+    val bytes = blob.asInstanceOf[Array[Byte]]
+    if (cachedBytes == null || !java.util.Arrays.equals(cachedBytes, bytes)) {
+      cachedFilter = BloomFilter.readFrom(new ByteArrayInputStream(bytes))
+      cachedBytes = bytes
     }
     cachedFilter.mightContainLong(hash)
   }

@@ -109,9 +109,11 @@ case class VecSqDist(a: Expression, b: Expression,
   override protected def nullSafeEval(av: Any, bv: Any, ov: Any, nv: Any): Any = {
     val x = av.asInstanceOf[ArrayData]
     val y = bv.asInstanceOf[ArrayData]
-    val o = ov.asInstanceOf[Int]
-    val hi = math.min(o + nv.asInstanceOf[Int],
-      math.min(x.numElements(), y.numElements()))
+    // clamp the start: a negative offset on UnsafeArrayData would
+    // read header/null-bitmap memory before the element region
+    val o = math.max(ov.asInstanceOf[Int], 0)
+    val hi = math.min(o.toLong + nv.asInstanceOf[Int],
+      math.min(x.numElements(), y.numElements()).toLong).toInt
     var acc = 0.0
     var i = o
     while (i < hi) {
@@ -126,15 +128,17 @@ case class VecSqDist(a: Expression, b: Expression,
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (av, bv, ov, nv) => {
+      val lo = ctx.freshName("lo")
       val hi = ctx.freshName("hi")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       val d = ctx.freshName("d")
       s"""
-         |int $hi = java.lang.Math.min($ov + $nv,
-         |  java.lang.Math.min($av.numElements(), $bv.numElements()));
+         |int $lo = java.lang.Math.max($ov, 0);
+         |int $hi = (int) java.lang.Math.min((long) $lo + $nv,
+         |  (long) java.lang.Math.min($av.numElements(), $bv.numElements()));
          |double $acc = 0.0;
-         |for (int $i = $ov; $i < $hi; $i++) {
+         |for (int $i = $lo; $i < $hi; $i++) {
          |  if (!$av.isNullAt($i) && !$bv.isNullAt($i)) {
          |    double $d = $av.getDouble($i) - $bv.getDouble($i);
          |    $acc += $d * $d;

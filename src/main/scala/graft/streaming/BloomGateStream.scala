@@ -40,23 +40,25 @@ object BloomGateStream {
 
   /** The gate: incoming `(doc_id, text, ...)` documents not already
     * in `corpus` (by exact text) pass through with their columns
-    * unchanged. Works on static and streaming frames. */
+    * unchanged. Works on static and streaming frames.
+    *
+    * The blob enters as a binary LITERAL (`lit(blob)`), so the probe
+    * expression is foldable and deserializes the filter once per task
+    * — never per row — and no join/extra column touches the stream
+    * for the probe itself. */
   def gate(stream: DataFrame, corpus: DataFrame, blob: Array[Byte]): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val blobDf = Seq(Tuple1(blob)).toDF("bl_b")
-    val cols = stream.columns.toSeq
-    val probed = stream.crossJoin(broadcast(blobDf))
-      .withColumn("maybe_dup", expr("bloom_might_contain(bl_b, xxhash64(text))"))
+    val corpusText = "__bloom_corpus_text"
+    require(!stream.columns.contains(corpusText),
+      s"input stream must not carry a '$corpusText' column")
+    val probe = call_function("bloom_might_contain",
+      lit(blob), xxhash64(col("text")))
     // proven-absent rows skip the join — the common case on a
     // mostly-fresh feed
-    val fresh = probed.where(!col("maybe_dup"))
-      .select(cols.map(col): _*)
+    val fresh = stream.where(!probe)
     // the candidate sliver confirms against the real corpus
-    val confirmed = probed.where(col("maybe_dup"))
-      .join(corpus.select(col("text").as("corpus_text")),
-        col("text") === col("corpus_text"), "left_anti")
-      .select(cols.map(col): _*)
+    val confirmed = stream.where(probe)
+      .join(corpus.select(col("text").as(corpusText)),
+        col("text") === col(corpusText), "left_anti")
     fresh.unionByName(confirmed)
   }
 }

@@ -911,15 +911,24 @@ object TextQueries extends QueryModule {
     Tables.register(spark, sfDir)
     val n = spark.sql(
       "SELECT count(*) FROM documents WHERE doc_id % 10 < 7").head().getLong(0)
+    // the blob is built on the driver and enters the query as a
+    // FOLDABLE literal (`unbase64('…')` constant-folds): the probe
+    // expression deserializes it once per task instead of per row —
+    // the deployment shape (a corpus-version artifact next to the
+    // corpus snapshot), and what BloomGateStream does with lit()
+    val blob = spark.sql(
+      s"""SELECT bloom_agg(xxhash64(text), ${math.max(1L, n)}L,
+         |  CAST(0.01 AS DOUBLE)) AS b
+         |FROM documents WHERE doc_id % 10 < 7""".stripMargin)
+      .head().getAs[Array[Byte]](0)
+    val b64 = java.util.Base64.getEncoder.encodeToString(blob)
     spark.sql(
       s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 < 7),
          |inc AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 7),
-         |bl AS (SELECT bloom_agg(xxhash64(text), ${math.max(1L, n)}L,
-         |                        CAST(0.01 AS DOUBLE)) AS b FROM corpus),
-         |safe AS (SELECT inc.doc_id, inc.text FROM inc CROSS JOIN bl
-         |  WHERE NOT bloom_might_contain(bl.b, xxhash64(inc.text))),
-         |cand AS (SELECT inc.doc_id, inc.text FROM inc CROSS JOIN bl
-         |  WHERE bloom_might_contain(bl.b, xxhash64(inc.text))),
+         |safe AS (SELECT doc_id, text FROM inc
+         |  WHERE NOT bloom_might_contain(unbase64('$b64'), xxhash64(text))),
+         |cand AS (SELECT doc_id, text FROM inc
+         |  WHERE bloom_might_contain(unbase64('$b64'), xxhash64(text))),
          |conf AS (SELECT cand.doc_id, cand.text FROM cand
          |  LEFT ANTI JOIN corpus ON corpus.text = cand.text)
          |SELECT doc_id, md5(text) AS text_md5
@@ -927,12 +936,15 @@ object TextQueries extends QueryModule {
   }
 
   /** d10 oracle: the bloom-independent truth — incoming minus exact
-    * corpus text matches. */
+    * corpus text matches. NOT EXISTS, not NOT IN: a NULL corpus text
+    * would turn NOT IN into the empty set (three-valued logic) while
+    * the engine's LEFT ANTI ignores it — the anti-join formulation
+    * keeps both sides' NULL semantics aligned. */
   private val d10Oracle: String =
     """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 < 7),
       |inc AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 7)
       |SELECT doc_id, md5(text) AS text_md5 FROM inc
-      |WHERE text NOT IN (SELECT text FROM corpus)""".stripMargin
+      |WHERE NOT EXISTS (SELECT 1 FROM corpus WHERE corpus.text = inc.text)""".stripMargin
 
   private def d4Query(spark: SparkSession, sfDir: String): DataFrame =
     postingPairs(spark, sfDir,

@@ -127,16 +127,17 @@ class PlanInvariantsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"span split: ColumnarToRow *($c2r), Generate *($gen), HashAggregate *($agg)")
   }
 
-  test("d10: bloom blob fans out by broadcast; probe prefilters the anti-join") {
+  test("d10: literal blob, probe prefilters the anti-join, no blob join") {
     val p = plan("d10_bloom_gate")
-    // the single-row blob side must never shuffle the document stream:
-    // it arrives as a broadcast nested-loop (1-row cross join)
-    assert(p.contains("BroadcastNestedLoopJoin"), p.take(600))
+    // the blob enters as a constant-folded literal — there must be NO
+    // join fanning it out (the old cross-join shape deserialized the
+    // filter per row because row values surface as fresh byte[] copies)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "blob regressed to a cross-join fan-out")
     // the bloom probe sits in a Filter BEFORE the exact anti-join —
     // the no-false-negative branch skips the join entirely
     assert(p.contains("bloom_might_contain"), "bloom prefilter missing")
-    assert(p.contains("Join LeftAnti") || p.contains("BroadcastHashJoin LeftAnti, BuildRight")
-      || p.contains("LeftAnti"), "exact confirm anti-join missing")
+    assert(p.contains("LeftAnti"), "exact confirm anti-join missing")
   }
 
   test("e11: probed-cell equality join; distance tables broadcast, no cartesian") {

@@ -61,6 +61,9 @@ class BloomGateSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("d10 composition: gate output equals the plain anti-join") {
+    // deliberately probes through a NON-foldable blob column (cross
+    // join) — the content-equality fallback path; the production
+    // query uses the foldable literal (see the codegen test)
     import spark.implicits._
     // corpus texts 0..69 (with dups), incoming 50..99 — overlap 50..69
     val docs = ((0 until 70).map(i => (i.toLong, s"text number ${i % 60}")) ++
@@ -94,16 +97,41 @@ class BloomGateSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("probe keeps whole-stage codegen (instance-ref doGenCode)") {
     import spark.implicits._
-    (0L until 100L).toDF("id").createOrReplaceTempView("cg")
+    // parquet-backed input: a LocalRelation would be filter-folded at
+    // optimization time and no runtime Filter would exist to pin
+    val dir = java.nio.file.Files.createTempDirectory("bloomcg").toString
+    (0L until 100L).toDF("id").write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir).createOrReplaceTempView("cg")
+    val blob = spark.sql(
+      """SELECT bloom_agg(xxhash64(id), 100L, CAST(0.01 AS DOUBLE)) AS b
+        |FROM cg""".stripMargin).head().getAs[Array[Byte]](0)
+    val b64 = java.util.Base64.getEncoder.encodeToString(blob)
     val df = spark.sql(
-      """WITH bl AS (SELECT bloom_agg(xxhash64(id), 100L, CAST(0.01 AS DOUBLE)) AS b FROM cg)
-        |SELECT count(*) FROM cg CROSS JOIN bl
-        |WHERE bloom_might_contain(bl.b, xxhash64(id))""".stripMargin)
-    // the filter must sit inside a WholeStageCodegen span, not a
-    // fallback project — assert the executed plan shows the probe
-    // under codegen (no "CodegenFallback" marker for it)
+      s"""SELECT count(*) FROM cg
+         |WHERE bloom_might_contain(unbase64('$b64'), xxhash64(id))""".stripMargin)
+    // collect(), not head(): head() limits through a SEPARATE plan
+    // copy and leaves this one unfinalized (spans render only in the
+    // finalized adaptive plan — same gotcha as the rs1 span test)
+    df.collect() // force execution — codegen compiles or dies here
+    // the probe Filter must sit INSIDE a WholeStageCodegen span (the
+    // `*(n)` prefix); a doGenCode regression silently falling back to
+    // interpreted eval would drop the prefix and still return correct
+    // results — this is the assertion that catches it
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("bloom_might_contain"))
-    df.head() // force execution — codegen compiles or dies here
+    assert("\\*\\(\\d+\\) Filter [^\\n]*bloom_might_contain".r.findFirstIn(plan).isDefined,
+      s"probe filter not inside a codegen span:\n${plan.take(1200)}")
+  }
+
+  test("bloom_agg rejects NULL / out-of-range sizing at analysis time") {
+    import spark.implicits._
+    (0L until 5L).toDF("id").createOrReplaceTempView("sz")
+    for (bad <- Seq(
+      "bloom_agg(xxhash64(id), CAST(NULL AS BIGINT), CAST(0.01 AS DOUBLE))",
+      "bloom_agg(xxhash64(id), 10L, CAST(1.5 AS DOUBLE))",
+      "bloom_agg(xxhash64(id), 10L, CAST(0.0 AS DOUBLE))")) {
+      val e = intercept[Exception](spark.sql(s"SELECT $bad FROM sz").head())
+      assert(e.getMessage.contains("bloom_agg") ||
+        e.getMessage.contains("DATATYPE_MISMATCH"), s"$bad → ${e.getMessage.take(200)}")
+    }
   }
 }
