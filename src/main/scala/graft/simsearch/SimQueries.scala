@@ -600,6 +600,59 @@ object SimQueries extends QueryModule {
          |        row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS rnk FROM adc) t
          |WHERE rnk <= 5""".stripMargin),
 
+    // E13: dimension-truncation quality — the Matryoshka-style
+    // question "how much recall do the first 16 of 64 dims keep?",
+    // answered as a measured number (the e8 pattern): per query,
+    // recall@5 of the truncated-cosine top-5 against the full-dim
+    // exact top-5. At scale, truncated search reads a quarter of the
+    // vector bytes (column pruning cannot split an array, but a
+    // truncated SIDECAR column written at ingest would — this
+    // measures whether that sidecar is worth writing). Both engines
+    // fold the 16-dim dot in index order.
+    SqlQ.split("e13_trunc_recall",
+      s"""$sparkVecs,
+         |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn,
+         |         sqrt(vec_dot(slice(v, 1, 16), slice(v, 1, 16))) AS tn
+         |      FROM n WHERE vec_id < 5),
+         |base AS (SELECT vec_id, v, nrm,
+         |         sqrt(vec_dot(slice(v, 1, 16), slice(v, 1, 16))) AS tnrm FROM n),
+         |exact AS (SELECT qid, nid FROM (
+         |  SELECT q.qid, b.vec_id AS nid,
+         |    row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY vec_dot(q.qv, b.v) / (q.qn * b.nrm) DESC, b.vec_id) AS r
+         |  FROM q CROSS JOIN base b WHERE b.vec_id != q.qid) t WHERE r <= 5),
+         |trunc AS (SELECT qid, nid FROM (
+         |  SELECT q.qid, b.vec_id AS nid,
+         |    row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY vec_dot(slice(q.qv, 1, 16), slice(b.v, 1, 16)) / (q.tn * b.tnrm) DESC, b.vec_id) AS r
+         |  FROM q CROSS JOIN base b WHERE b.vec_id != q.qid) t WHERE r <= 5)
+         |SELECT exact.qid AS query_id, count(trunc.nid) AS hits,
+         |  CAST(count(trunc.nid) AS DOUBLE) / 5 AS recall_at_5
+         |FROM exact LEFT JOIN trunc
+         |  ON trunc.qid = exact.qid AND trunc.nid = exact.nid
+         |GROUP BY exact.qid""".stripMargin,
+      s"""$duckVecs,
+         |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn,
+         |         sqrt(list_reduce([v[k] * v[k] for k in generate_series(1, 16)], (a,b) -> a+b)) AS tn
+         |      FROM n WHERE vec_id < 5),
+         |base AS (SELECT vec_id, v, nrm,
+         |         sqrt(list_reduce([v[k] * v[k] for k in generate_series(1, 16)], (a,b) -> a+b)) AS tnrm FROM n),
+         |exact AS (SELECT qid, nid FROM (
+         |  SELECT q.qid, b.vec_id AS nid,
+         |    row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY ${dDot("q.qv", "b.v")} / (q.qn * b.nrm) DESC, b.vec_id) AS r
+         |  FROM q CROSS JOIN base b WHERE b.vec_id != q.qid) t WHERE r <= 5),
+         |trunc AS (SELECT qid, nid FROM (
+         |  SELECT q.qid, b.vec_id AS nid,
+         |    row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY list_reduce([q.qv[k] * b.v[k] for k in generate_series(1, 16)], (a,b) -> a+b) / (q.tn * b.tnrm) DESC, b.vec_id) AS r
+         |  FROM q CROSS JOIN base b WHERE b.vec_id != q.qid) t WHERE r <= 5)
+         |SELECT exact.qid AS query_id, count(trunc.nid) AS hits,
+         |  CAST(count(trunc.nid) AS DOUBLE) / 5 AS recall_at_5
+         |FROM exact LEFT JOIN trunc
+         |  ON trunc.qid = exact.qid AND trunc.nid = exact.nid
+         |GROUP BY exact.qid""".stripMargin),
+
     // E5b / E3 are programmatic (driver-loop Lloyd + IVF probe over
     // the converged cells) — see `queries` below; their oracles unroll
     // the same updates in DuckDB (materialized CTEs keep that linear).

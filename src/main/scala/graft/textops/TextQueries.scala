@@ -342,6 +342,105 @@ object TextQueries extends QueryModule {
         |    AND stop_hits >= 2 AS BIGINT) AS keep
         |FROM m""".stripMargin),
 
+    // D11: URL canonicalization + dedup — the CommonCrawl-pipeline
+    // step that runs BEFORE any content dedup (C4 dedups at the URL
+    // level first; tracking parameters and scheme/www/fragment
+    // variants make one page look like many). The fixture corpus has
+    // no URLs, so each doc gets one CONSTRUCTED in-query from its id
+    // (t11's injection pattern — both engines replay the identical
+    // concat), with scheme/www/tracking-query/fragment variation
+    // baked in; canonicalization lowercases, strips scheme + www.,
+    // drops the fragment and the tracking params (the fixture's query
+    // strings are all-tracking — real pipelines keep non-tracking
+    // params, documented simplification), trims the trailing slash;
+    // dedup is d1's keep-first groupBy on the canonical URL. Scale
+    // shape: per-row codegen'd regex chain + ONE shuffle on the
+    // canonical key.
+    SqlQ.split("d11_url_dedup",
+      """WITH u AS (SELECT doc_id, concat(
+        |    CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END,
+        |    'site', CAST(doc_id % 7 AS STRING), '.example.com/page/',
+        |    CAST(doc_id % 13 AS STRING),
+        |    CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END,
+        |    CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed&ref=rss'
+        |         WHEN doc_id % 5 = 1 THEN '?ref=rss' ELSE '' END,
+        |    CASE WHEN doc_id % 11 = 0 THEN '#frag' ELSE '' END) AS url
+        |  FROM documents),
+        |norm AS (SELECT doc_id, url,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      lower(url),
+        |      '^https?://', ''),
+        |      '^www\\.', ''),
+        |      '#.*$', ''),
+        |      '[?&](utm_[a-z]+|ref)=[^&#]*', ''),
+        |      '/$', '') AS canon
+        |  FROM u)
+        |SELECT canon, min(doc_id) AS keep_doc_id, count(*) AS n_variants
+        |FROM norm GROUP BY canon""".stripMargin,
+      """WITH u AS (SELECT doc_id, concat(
+        |    CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END,
+        |    'site', CAST(doc_id % 7 AS VARCHAR), '.example.com/page/',
+        |    CAST(doc_id % 13 AS VARCHAR),
+        |    CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END,
+        |    CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed&ref=rss'
+        |         WHEN doc_id % 5 = 1 THEN '?ref=rss' ELSE '' END,
+        |    CASE WHEN doc_id % 11 = 0 THEN '#frag' ELSE '' END) AS url
+        |  FROM documents),
+        |norm AS (SELECT doc_id, url,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      lower(url),
+        |      '^https?://', '', 'g'),
+        |      '^www\.', '', 'g'),
+        |      '#.*$', '', 'g'),
+        |      '[?&](utm_[a-z]+|ref)=[^&#]*', '', 'g'),
+        |      '/$', '', 'g') AS canon
+        |  FROM u)
+        |SELECT canon, min(doc_id) AS keep_doc_id, count(*) AS n_variants
+        |FROM norm GROUP BY canon""".stripMargin),
+
+    // T13: language-model quality scoring, the CCNet move (Wenzek et
+    // al. 2020 §3.3: rank documents by LM perplexity; low = fluent,
+    // high = noise) with the LM simplified to the corpus's own
+    // unigram distribution — per-doc mean negative log-probability,
+    // so rare-vocabulary word-soup scores high. Cross-engine float
+    // parity: each word's −ln(c/t) is one libm call (the same
+    // contract as the warp oracles), and the per-doc sum folds in
+    // POSITION order on both sides (sort_array(collect_list(struct))
+    // fold vs list(nll ORDER BY pos) reduce; Spark's 0.0 seed adds
+    // exactly). Scale shape: the vocabulary aggregate is map-side
+    // combined and joins the token stream the same way t10's df side
+    // does (broadcast under the threshold, SMJ on word beyond); the
+    // only other shuffle is the per-doc aggregation.
+    SqlQ.split("t13_lm_score",
+      """WITH w AS (SELECT doc_id, pos, word FROM documents
+        |  LATERAL VIEW posexplode(split(text, ' ')) t AS pos, word),
+        |cnt AS (SELECT word, count(*) AS c FROM w GROUP BY word),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM cnt),
+        |per AS (SELECT w.doc_id, w.pos,
+        |    -ln(CAST(cnt.c AS DOUBLE) / CAST(tot.t AS DOUBLE)) AS nll
+        |  FROM w JOIN cnt ON cnt.word = w.word CROSS JOIN tot),
+        |agg AS (SELECT doc_id,
+        |    aggregate(sort_array(collect_list(struct(pos, nll))), CAST(0 AS DOUBLE),
+        |      (acc, x) -> acc + x.nll) AS sum_nll,
+        |    count(*) AS n_tokens
+        |  FROM per GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, sum_nll / n_tokens AS avg_nll FROM agg""".stripMargin,
+      """WITH w AS (SELECT doc_id,
+        |    unnest(string_split(text, ' ')) AS word,
+        |    generate_subscripts(string_split(text, ' '), 1) AS pos FROM documents),
+        |cnt AS (SELECT word, count(*) AS c FROM w GROUP BY word),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM cnt),
+        |per AS (SELECT w.doc_id, w.pos,
+        |    -ln(CAST(cnt.c AS DOUBLE) / CAST(tot.t AS DOUBLE)) AS nll
+        |  FROM w JOIN cnt ON cnt.word = w.word CROSS JOIN tot),
+        |agg AS (SELECT doc_id,
+        |    list_reduce(list(nll ORDER BY pos), (a, b) -> a + b) AS sum_nll,
+        |    count(*) AS n_tokens
+        |  FROM per GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, sum_nll / n_tokens AS avg_nll FROM agg""".stripMargin),
+
     // T5: the end-to-end training-corpus selection this pipeline
     // exists for — keep documents that pass quality heuristics AND are
     // not the duplicate side of a near-dup pair (keep-lowest-doc_id).
