@@ -417,7 +417,7 @@ object TextQueries extends QueryModule {
       """WITH w AS (SELECT doc_id, pos, word FROM documents
         |  LATERAL VIEW posexplode(split(text, ' ')) t AS pos, word),
         |cnt AS (SELECT word, count(*) AS c FROM w GROUP BY word),
-        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM cnt),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM w),
         |per AS (SELECT w.doc_id, w.pos,
         |    -ln(CAST(cnt.c AS DOUBLE) / CAST(tot.t AS DOUBLE)) AS nll
         |  FROM w JOIN cnt ON cnt.word = w.word CROSS JOIN tot),
@@ -431,7 +431,7 @@ object TextQueries extends QueryModule {
         |    unnest(string_split(text, ' ')) AS word,
         |    generate_subscripts(string_split(text, ' '), 1) AS pos FROM documents),
         |cnt AS (SELECT word, count(*) AS c FROM w GROUP BY word),
-        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM cnt),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM w),
         |per AS (SELECT w.doc_id, w.pos,
         |    -ln(CAST(cnt.c AS DOUBLE) / CAST(tot.t AS DOUBLE)) AS nll
         |  FROM w JOIN cnt ON cnt.word = w.word CROSS JOIN tot),
