@@ -35,7 +35,9 @@ object ScaleProbe {
     // sliver, so ~linear; IVFADC — codes-only scan of 2 probed cells,
     // distance-table build is corpus-independent (k-means build
     // memoized before timing, like e3)
-    "d9_span_dedup", "d10_bloom_gate", "e11_ivfpq")
+    // d12: the overlapping-gram shuffle IS the cost (suffix-array
+    // replacement) — expect ~linear in corpus size
+    "d9_span_dedup", "d10_bloom_gate", "e11_ivfpq", "d12_exact_substr")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

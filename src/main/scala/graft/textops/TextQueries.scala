@@ -400,6 +400,64 @@ object TextQueries extends QueryModule {
         |SELECT canon, min(doc_id) AS keep_doc_id, count(*) AS n_variants
         |FROM norm GROUP BY canon""".stripMargin),
 
+    // D12: exact-substring dedup in the Lee et al. 2021 shape
+    // ("Deduplicating Training Data Makes Language Models Better",
+    // ExactSubstr): any substring duplicated ANYWHERE in the corpus
+    // (other docs or the same doc) is removed from every occurrence
+    // position — where d9 (C4) hashes disjoint 10-word blocks and
+    // keeps one global copy, this detects OVERLAPPING 10-gram matches
+    // so duplicated passages are caught at any offset. The suffix
+    // array of the paper is replaced by hashed overlapping shingles
+    // (`shingle_hashes`, collision odds ~n²/2³¹ on gram counts here);
+    // a token is removed when ANY duplicated gram covers it — a
+    // sliding-window max over the gram-start flags (ROWS 9 PRECEDING),
+    // never a range join. Scale shape: one shuffle of the overlapping
+    // gram stream on the hash, the duplicated-hash set broadcasts
+    // back, one doc-partitioned window + the d9-style rebuild.
+    SqlQ.split("d12_exact_substr",
+      """WITH toks AS (SELECT doc_id, pos, word FROM documents
+        |  LATERAL VIEW posexplode(split(text, ' ')) t AS pos, word),
+        |g AS (SELECT doc_id, s, h FROM
+        |  (SELECT doc_id, shingle_hashes(text, 10) AS hs FROM documents
+        |   WHERE size(split(text, ' ')) >= 10) x
+        |  LATERAL VIEW posexplode(hs) t AS s, h),
+        |dup AS (SELECT h FROM g GROUP BY h HAVING count(*) > 1),
+        |ds AS (SELECT g.doc_id, g.s,
+        |    CASE WHEN dup.h IS NULL THEN 0 ELSE 1 END AS isdup
+        |  FROM g LEFT JOIN dup ON dup.h = g.h),
+        |cov AS (SELECT t.doc_id, t.pos, t.word,
+        |    max(coalesce(ds.isdup, 0)) OVER (PARTITION BY t.doc_id ORDER BY t.pos
+        |      ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS covered
+        |  FROM toks t LEFT JOIN ds ON ds.doc_id = t.doc_id AND ds.s = t.pos),
+        |agg AS (SELECT doc_id,
+        |    array_join(transform(sort_array(collect_list(
+        |      CASE WHEN covered = 0 THEN struct(pos, word) END)), x -> x.word), ' ') AS kept_text,
+        |    CAST(sum(CASE WHEN covered = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |    CAST(sum(covered) AS BIGINT) AS n_removed
+        |  FROM cov GROUP BY doc_id)
+        |SELECT doc_id, kept_text, n_kept, n_removed FROM agg WHERE n_kept > 0""".stripMargin,
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |toks AS (SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS pos FROM w),
+         |g AS (SELECT doc_id, s, list_reduce(
+         |    [ascii(c)::BIGINT for c in string_split(${(0 until 10).map(j => if (j == 0) "w[s]" else s"w[s+$j]").mkString(" || ' ' || ")}, '')],
+         |    (h,c) -> (h*131+c) % $P) AS h
+         |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w)-9)) AS s
+         |        FROM w WHERE len(w) >= 10) x),
+         |dup AS (SELECT h FROM g GROUP BY h HAVING count(*) > 1),
+         |ds AS (SELECT g.doc_id, g.s,
+         |    CASE WHEN dup.h IS NULL THEN 0 ELSE 1 END AS isdup
+         |  FROM g LEFT JOIN dup ON dup.h = g.h),
+         |cov AS (SELECT t.doc_id, t.pos, t.word,
+         |    max(coalesce(ds.isdup, 0)) OVER (PARTITION BY t.doc_id ORDER BY t.pos
+         |      ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS covered
+         |  FROM toks t LEFT JOIN ds ON ds.doc_id = t.doc_id AND ds.s = t.pos),
+         |agg AS (SELECT doc_id,
+         |    string_agg(word, ' ' ORDER BY pos) FILTER (WHERE covered = 0) AS kept_text,
+         |    CAST(count(*) FILTER (WHERE covered = 0) AS BIGINT) AS n_kept,
+         |    CAST(sum(covered) AS BIGINT) AS n_removed
+         |  FROM cov GROUP BY doc_id)
+         |SELECT doc_id, kept_text, n_kept, n_removed FROM agg WHERE n_kept > 0""".stripMargin),
+
     // T13: language-model quality scoring, the CCNet move (Wenzek et
     // al. 2020 §3.3: rank documents by LM perplexity; low = fluent,
     // high = noise) with the LM simplified to the corpus's own
