@@ -184,6 +184,7 @@ object Warp {
       case Some(15) => Some(PolarStereographic.fromGeoKeys(geoParams))
       case Some(17) => Some(Equirectangular.fromGeoKeys(geoParams))
       case Some(24) => Some(Sinusoidal.fromGeoKeys(geoParams))
+      case Some(28) => Some(CylindricalEqualArea.fromGeoKeys(geoParams))
       case _ => None
     }
 
@@ -642,6 +643,26 @@ object Warp {
     val ease2: CylindricalEqualArea =
       CylindricalEqualArea(latTsDeg = 30.0, lon0Deg = 0.0,
         falseE = 0.0, falseN = 0.0)
+
+    /** Build from GeoTIFF projection geokeys (CT 28,
+      * CT_CylindricalEqualArea): standard parallel from
+      * ProjStdParallel1 (3078; fallback ProjNatOriginLat 3081),
+      * central meridian from ProjNatOriginLong (3080; fallbacks
+      * 3088/3084), false offsets 3082/3083. A missing standard
+      * parallel fails fast — it sets the aspect ratio of every
+      * pixel, load-bearing georeferencing like the conics'. */
+    def fromGeoKeys(p: Map[Int, Double]): CylindricalEqualArea = {
+      def req(ids: Seq[Int], what: String): Double =
+        ids.collectFirst { case id if p.contains(id) => p(id) }
+          .getOrElse(throw new IllegalArgumentException(
+            s"CylindricalEqualArea GeoKeyDirectory missing $what " +
+              s"(keys ${ids.mkString("/")})"))
+      CylindricalEqualArea(
+        latTsDeg = req(Seq(3078, 3081), "ProjStdParallel1/ProjNatOriginLat"),
+        lon0Deg = req(Seq(3080, 3088, 3084), "ProjNatOriginLong/ProjCenterLong"),
+        falseE = p.getOrElse(3082, p.getOrElse(3086, 0.0)),
+        falseN = p.getOrElse(3083, p.getOrElse(3087, 0.0)))
+    }
   }
 
   /** Ellipsoidal Albers equal-area CONIC (Snyder PP 1395, eqs.

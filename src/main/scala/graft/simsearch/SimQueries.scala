@@ -611,11 +611,11 @@ object SimQueries extends QueryModule {
     // fold the 16-dim dot in index order.
     SqlQ.split("e13_trunc_recall",
       s"""$sparkVecs,
-         |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn,
-         |         sqrt(vec_dot(slice(v, 1, 16), slice(v, 1, 16))) AS tn
-         |      FROM n WHERE vec_id < 5),
-         |base AS (SELECT vec_id, v, nrm,
-         |         sqrt(vec_dot(slice(v, 1, 16), slice(v, 1, 16))) AS tnrm FROM n),
+         |pre AS (SELECT vec_id, v, nrm, slice(v, 1, 16) AS tv FROM n),
+         |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, tv AS qtv,
+         |         sqrt(vec_dot(tv, tv)) AS tn
+         |      FROM pre WHERE vec_id < 5),
+         |base AS (SELECT vec_id, v, nrm, tv, sqrt(vec_dot(tv, tv)) AS tnrm FROM pre),
          |exact AS (SELECT qid, nid FROM (
          |  SELECT q.qid, b.vec_id AS nid,
          |    row_number() OVER (PARTITION BY q.qid
@@ -624,7 +624,7 @@ object SimQueries extends QueryModule {
          |trunc AS (SELECT qid, nid FROM (
          |  SELECT q.qid, b.vec_id AS nid,
          |    row_number() OVER (PARTITION BY q.qid
-         |      ORDER BY vec_dot(slice(q.qv, 1, 16), slice(b.v, 1, 16)) / (q.tn * b.tnrm) DESC, b.vec_id) AS r
+         |      ORDER BY vec_dot(q.qtv, b.tv) / (q.tn * b.tnrm) DESC, b.vec_id) AS r
          |  FROM q CROSS JOIN base b WHERE b.vec_id != q.qid) t WHERE r <= 5)
          |SELECT exact.qid AS query_id, count(trunc.nid) AS hits,
          |  CAST(count(trunc.nid) AS DOUBLE) / 5 AS recall_at_5
@@ -632,11 +632,11 @@ object SimQueries extends QueryModule {
          |  ON trunc.qid = exact.qid AND trunc.nid = exact.nid
          |GROUP BY exact.qid""".stripMargin,
       s"""$duckVecs,
-         |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn,
-         |         sqrt(list_reduce([v[k] * v[k] for k in generate_series(1, 16)], (a,b) -> a+b)) AS tn
-         |      FROM n WHERE vec_id < 5),
-         |base AS (SELECT vec_id, v, nrm,
-         |         sqrt(list_reduce([v[k] * v[k] for k in generate_series(1, 16)], (a,b) -> a+b)) AS tnrm FROM n),
+         |pre AS (SELECT vec_id, v, nrm, v[1:16] AS tv FROM n),
+         |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, tv AS qtv,
+         |         sqrt(${dDot("tv", "tv")}) AS tn
+         |      FROM pre WHERE vec_id < 5),
+         |base AS (SELECT vec_id, v, nrm, tv, sqrt(${dDot("tv", "tv")}) AS tnrm FROM pre),
          |exact AS (SELECT qid, nid FROM (
          |  SELECT q.qid, b.vec_id AS nid,
          |    row_number() OVER (PARTITION BY q.qid
@@ -645,7 +645,7 @@ object SimQueries extends QueryModule {
          |trunc AS (SELECT qid, nid FROM (
          |  SELECT q.qid, b.vec_id AS nid,
          |    row_number() OVER (PARTITION BY q.qid
-         |      ORDER BY list_reduce([q.qv[k] * b.v[k] for k in generate_series(1, 16)], (a,b) -> a+b) / (q.tn * b.tnrm) DESC, b.vec_id) AS r
+         |      ORDER BY ${dDot("q.qtv", "b.tv")} / (q.tn * b.tnrm) DESC, b.vec_id) AS r
          |  FROM q CROSS JOIN base b WHERE b.vec_id != q.qid) t WHERE r <= 5)
          |SELECT exact.qid AS query_id, count(trunc.nid) AS hits,
          |  CAST(count(trunc.nid) AS DOUBLE) / 5 AS recall_at_5

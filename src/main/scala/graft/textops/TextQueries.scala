@@ -463,11 +463,16 @@ object TextQueries extends QueryModule {
     // high = noise) with the LM simplified to the corpus's own
     // unigram distribution — per-doc mean negative log-probability,
     // so rare-vocabulary word-soup scores high. Cross-engine float
-    // parity: each word's −ln(c/t) is one libm call (the same
-    // contract as the warp oracles), and the per-doc sum folds in
-    // POSITION order on both sides (sort_array(collect_list(struct))
-    // fold vs list(nll ORDER BY pos) reduce; Spark's 0.0 seed adds
-    // exactly). Scale shape: the vocabulary aggregate is map-side
+    // parity: a raw ln() sum would hang the hash compare on the last
+    // ulp of two different libm implementations (the reason t10
+    // avoids ln), so each word's −ln(c/t) is QUANTIZED once to
+    // integer micro-nats — round() half-away-from-zero agrees across
+    // engines for the non-negative nll, and a last-ulp ln difference
+    // flips the grid only within an ulp of a .5 boundary (the same
+    // absorb-in-discretization argument as the warp oracles' pixel
+    // floor) — and the per-doc sum is an order-independent BIGINT
+    // sum; avg_nll derives from the two integers by one exact
+    // division. Scale shape: the vocabulary aggregate is map-side
     // combined and joins the token stream the same way t10's df side
     // does (broadcast under the threshold, SMJ on word beyond); the
     // only other shuffle is the per-doc aggregation.
@@ -476,28 +481,27 @@ object TextQueries extends QueryModule {
         |  LATERAL VIEW posexplode(split(text, ' ')) t AS pos, word),
         |cnt AS (SELECT word, count(*) AS c FROM w GROUP BY word),
         |tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM w),
-        |per AS (SELECT w.doc_id, w.pos,
-        |    -ln(CAST(cnt.c AS DOUBLE) / CAST(tot.t AS DOUBLE)) AS nll
+        |per AS (SELECT w.doc_id,
+        |    CAST(round(-ln(CAST(cnt.c AS DOUBLE) / CAST(tot.t AS DOUBLE)) * 1000000.0) AS BIGINT) AS nll_u
         |  FROM w JOIN cnt ON cnt.word = w.word CROSS JOIN tot),
-        |agg AS (SELECT doc_id,
-        |    aggregate(sort_array(collect_list(struct(pos, nll))), CAST(0 AS DOUBLE),
-        |      (acc, x) -> acc + x.nll) AS sum_nll,
+        |agg AS (SELECT doc_id, CAST(sum(nll_u) AS BIGINT) AS sum_u,
         |    count(*) AS n_tokens
         |  FROM per GROUP BY doc_id)
-        |SELECT doc_id, n_tokens, sum_nll / n_tokens AS avg_nll FROM agg""".stripMargin,
+        |SELECT doc_id, n_tokens,
+        |  CAST(sum_u AS DOUBLE) / (n_tokens * 1000000.0) AS avg_nll FROM agg""".stripMargin,
       """WITH w AS (SELECT doc_id,
         |    unnest(string_split(text, ' ')) AS word,
         |    generate_subscripts(string_split(text, ' '), 1) AS pos FROM documents),
         |cnt AS (SELECT word, count(*) AS c FROM w GROUP BY word),
         |tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM w),
-        |per AS (SELECT w.doc_id, w.pos,
-        |    -ln(CAST(cnt.c AS DOUBLE) / CAST(tot.t AS DOUBLE)) AS nll
+        |per AS (SELECT w.doc_id,
+        |    CAST(round(-ln(CAST(cnt.c AS DOUBLE) / CAST(tot.t AS DOUBLE)) * 1000000.0) AS BIGINT) AS nll_u
         |  FROM w JOIN cnt ON cnt.word = w.word CROSS JOIN tot),
-        |agg AS (SELECT doc_id,
-        |    list_reduce(list(nll ORDER BY pos), (a, b) -> a + b) AS sum_nll,
+        |agg AS (SELECT doc_id, CAST(sum(nll_u) AS BIGINT) AS sum_u,
         |    count(*) AS n_tokens
         |  FROM per GROUP BY doc_id)
-        |SELECT doc_id, n_tokens, sum_nll / n_tokens AS avg_nll FROM agg""".stripMargin),
+        |SELECT doc_id, n_tokens,
+        |  CAST(sum_u AS DOUBLE) / (n_tokens * 1000000.0) AS avg_nll FROM agg""".stripMargin),
 
     // T5: the end-to-end training-corpus selection this pipeline
     // exists for — keep documents that pass quality heuristics AND are

@@ -178,6 +178,15 @@ class WarpSpec extends AnyFunSuite {
     val all = contribs.flatMap { case ((ttx, tty), (idxs, _)) =>
       idxs.map(i => (ttx, tty, i)) }
     assert(all.distinct.length == all.length, "overlapping ownership")
+    // CT 28 geokeys build the identical cylinder (a parameter-defined
+    // equal-area cylinder with agency-picked parallels, not just the
+    // EASE-2 registry code); a missing standard parallel fails fast
+    assert(Warp.projectionFor(32767,
+        Map(3075 -> 28.0, 3078 -> 30.0, 3080 -> 0.0))
+      .contains(Warp.CylindricalEqualArea.ease2))
+    val eCea = intercept[IllegalArgumentException](
+      Warp.CylindricalEqualArea.fromGeoKeys(Map(3075 -> 28.0, 3080 -> 0.0)))
+    assert(eCea.getMessage.contains("3078"))
   }
 
   test("Albers conic from geokeys: origin, parallels true-scale, round-trip") {
