@@ -276,9 +276,10 @@ object VersionCreation {
             "EPSG:3857/3395, UTM zones 326xx/327xx, EASE-Grid 2.0 " +
             "6933/6931/6932, LAEA Europe 3035, polar stereographic " +
             "3413/3976/3031, plate carrée 32662/4087, and " +
-            "parameter-defined Albers/Lambert conics, azimuthal " +
-            "equal-area, polar stereographic, Mercator, " +
-            "equirectangular, and sinusoidal via geokeys)"))
+            "parameter-defined Albers/Lambert conics (2SP and " +
+            "Helmert 1SP), azimuthal and cylindrical equal-area, " +
+            "polar stereographic, Mercator, equirectangular, and " +
+            "sinusoidal via geokeys)"))
 
       // a non-default resampling method only has meaning where an
       // actual resample happens — the general projected-CRS warp; the

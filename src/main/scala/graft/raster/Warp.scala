@@ -180,6 +180,7 @@ object Warp {
       case Some(7) => Some(MercatorEllipsoidal.fromGeoKeys(geoParams))
       case Some(11) => Some(AlbersEqualArea.fromGeoKeys(geoParams))
       case Some(8) => Some(LambertConformalConic.fromGeoKeys(geoParams))
+      case Some(9) => Some(LambertConformalConic.fromGeoKeys1SP(geoParams))
       case Some(10) => Some(LambertAzimuthalEqualArea.fromGeoKeys(geoParams))
       case Some(15) => Some(PolarStereographic.fromGeoKeys(geoParams))
       case Some(17) => Some(Equirectangular.fromGeoKeys(geoParams))
@@ -769,7 +770,8 @@ object Warp {
     * follows the isometric t(φ) instead of the authalic q(φ). */
   final case class LambertConformalConic(lat1Deg: Double, lat2Deg: Double,
                                          lat0Deg: Double, lon0Deg: Double,
-                                         falseE: Double, falseN: Double)
+                                         falseE: Double, falseN: Double,
+                                         k0: Double = 1.0)
       extends Projection {
     import TransverseMercator.{A, E2}
     private val e: Double = Math.sqrt(E2)
@@ -794,11 +796,13 @@ object Warp {
     }
     require(math.abs(coneN) > 1e-12,
       s"degenerate Lambert cone (symmetric parallels $lat1Deg/$lat2Deg)")
-    /** A·F with F = m1/(n·t1ⁿ) (Snyder 15-10), factored so Scala and
-      * SQL evaluate the identical op sequence ρ = AF·tⁿ. */
+    /** A·k0·F with F = m1/(n·t1ⁿ) (Snyder 15-10; the 1SP variant
+      * 15-4 scales every radius by k0 — the 2SP default k0 = 1 leaves
+      * the product bitwise unchanged), factored so Scala and SQL
+      * evaluate the identical op sequence ρ = Ak0F·tⁿ. */
     private val aF: Double = {
       val p1 = Math.toRadians(lat1Deg)
-      A * (mOf(p1) / (coneN * Math.pow(tOf(p1), coneN)))
+      A * k0 * (mOf(p1) / (coneN * Math.pow(tOf(p1), coneN)))
     }
     val rho0: Double = aF * Math.pow(tOf(Math.toRadians(lat0Deg)), coneN)
     // conformal→geodetic series coefficients (Snyder 3-5)
@@ -868,6 +872,29 @@ object Warp {
         // false offsets legitimately default to 0
         falseE = opt(3086, 3082),
         falseN = opt(3087, 3083))
+    }
+
+    /** Build the SINGLE-parallel variant from CT 9 geokeys
+      * (CT_LambertConfConic_Helmert — the national-grid form where an
+      * agency picks one origin parallel and a scale factor k0 instead
+      * of two standard parallels): both parallels collapse onto the
+      * origin latitude (the 2SP machinery degenerates to n = sinφ0
+      * exactly) and k0 scales every radius (Snyder 15-4). Keys:
+      * ProjNatOriginLat/Long 3081/3080 (fallback the false-origin
+      * pair), ProjScaleAtNatOrigin 3092 (default 1). */
+    def fromGeoKeys1SP(p: Map[Int, Double]): LambertConformalConic = {
+      def req(id: Int, alt: Int, what: String): Double =
+        p.getOrElse(id, p.getOrElse(alt,
+          throw new IllegalArgumentException(
+            s"Lambert-1SP GeoKeyDirectory missing $what (key $id or $alt)")))
+      def opt(a: Int, b: Int): Double = p.getOrElse(a, p.getOrElse(b, 0.0))
+      val lat0 = req(3081, 3085, "ProjNatOriginLat/ProjFalseOriginLat")
+      LambertConformalConic(
+        lat1Deg = lat0, lat2Deg = lat0, lat0Deg = lat0,
+        lon0Deg = req(3080, 3084, "ProjNatOriginLong/ProjFalseOriginLong"),
+        falseE = opt(3082, 3086),
+        falseN = opt(3083, 3087),
+        k0 = p.getOrElse(3092, 1.0))
     }
   }
 

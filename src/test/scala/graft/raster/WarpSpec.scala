@@ -317,6 +317,28 @@ class WarpSpec extends AnyFunSuite {
     // its origin projects to the registry false easting/northing
     val (sx, sy) = statcan.forward(63.390675, -91.866667)
     assert(math.abs(sx - 6200000.0) < 1e-6 && math.abs(sy - 3000000.0) < 1e-6)
+    // CT 9 (Helmert single-parallel + k0, the national-grid form):
+    // scale along the origin parallel is k0, NOT 1 — the defining
+    // difference from the 2SP cone
+    val p1sp = Map[Int, Double](
+      3075 -> 9.0, 3081 -> 46.5, 3080 -> 3.0, 3092 -> 0.9998)
+    val one = Warp.LambertConformalConic.fromGeoKeys1SP(p1sp)
+    assert(Warp.projectionFor(32767, p1sp).contains(one))
+    val dL = 0.01
+    val (x1a, y1a) = one.forward(46.5, 3.0)
+    val (x1b, y1b) = one.forward(46.5, 3.0 + dL)
+    val s465 = math.sin(math.toRadians(46.5))
+    val nu465 = Warp.TransverseMercator.A /
+      math.sqrt(1 - Warp.TransverseMercator.E2 * s465 * s465)
+    val arc465 = nu465 * math.cos(math.toRadians(46.5)) * math.toRadians(dL)
+    assert(math.abs(math.hypot(x1b - x1a, y1b - y1a) / arc465 - 0.9998) < 1e-6,
+      s"k at origin parallel = ${math.hypot(x1b - x1a, y1b - y1a) / arc465}")
+    val (fx, fy) = one.forward(44.0, 1.0)
+    val (fla, flo) = one.inverse(fx, fy)
+    assert(math.abs(fla - 44.0) < 5e-8 && math.abs(flo - 1.0) < 5e-8)
+    val e1sp = intercept[IllegalArgumentException](
+      Warp.LambertConformalConic.fromGeoKeys1SP(Map(3075 -> 9.0, 3080 -> 3.0)))
+    assert(e1sp.getMessage.contains("3081"))
   }
 
   test("polar stereographic from geokeys: aspects, true scale, conformality") {
