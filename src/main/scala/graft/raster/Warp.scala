@@ -593,6 +593,12 @@ object Warp {
       val s = Math.sin(Math.toRadians(latTsDeg))
       Math.cos(Math.toRadians(latTsDeg)) / Math.sqrt(1.0 - E2 * s * s)
     }
+    // a polar standard parallel collapses the cylinder (k0 → 0 scales
+    // y by A/2k0 → ∞) — broken georeferencing must fail fast, not
+    // warp every pixel by 10²³
+    require(k0 > 1e-9,
+      s"degenerate equal-area cylinder (standard parallel $latTsDeg° " +
+        "is at or beyond the pole)")
     /** Authalic q of a latitude (Snyder 3-12). */
     private def qOf(sinP: Double): Double =
       (1.0 - E2) * (sinP / (1.0 - E2 * sinP * sinP) -
@@ -715,6 +721,15 @@ object Warp {
       * and SQL evaluate the identical op sequence. */
     private val rhoK: Double = A / coneN
     val rho0: Double = rhoK * Math.sqrt(bigC - coneN * qOf(Math.sin(Math.toRadians(lat0Deg))))
+    /** The cone APEX (ρ = 0) is the finite plane point every meridian
+      * converges toward. The ellipsoidal Albers pole is an arc at
+      * ρ_pole = (A/n)·√(C − n·q_pole) ≥ 0, so the apex itself sits at
+      * or beyond the pole — a lattice containing it still has its
+      * latitude extreme interior and spans all longitudes, the same
+      * handling as the azimuthal poles (inverse clamps q/q_pole, so
+      * off-map apex-side points read as the pole). */
+    override def planeSingularities: Seq[(Double, Double, Double)] =
+      Seq((falseE, rho0 + falseN, if (coneN >= 0) 90.0 else -90.0))
     // authalic→geodetic series coefficients (Snyder 3-18)
     private val B1: Double = E2 / 3 + 31 * E2 * E2 / 180 + 517 * E2 * E2 * E2 / 5040
     private val B2: Double = 23 * E2 * E2 / 360 + 251 * E2 * E2 * E2 / 3780
@@ -795,7 +810,12 @@ object Warp {
         (Math.log(tOf(p1)) - Math.log(tOf(p2)))
     }
     require(math.abs(coneN) > 1e-12,
-      s"degenerate Lambert cone (symmetric parallels $lat1Deg/$lat2Deg)")
+      s"degenerate Lambert cone (n = sin φ = 0 at parallels " +
+        s"$lat1Deg/$lat2Deg — symmetric 2SP parallels or an equatorial " +
+        "1SP origin latitude have no cone)")
+    // a zero/negative scale factor collapses every radius — as
+    // load-bearing as the parallels, same fail-fast stance
+    require(k0 > 1e-9, s"Lambert scale factor k0 = $k0 must be positive")
     /** A·k0·F with F = m1/(n·t1ⁿ) (Snyder 15-10; the 1SP variant
       * 15-4 scales every radius by k0 — the 2SP default k0 = 1 leaves
       * the product bitwise unchanged), factored so Scala and SQL
@@ -805,6 +825,14 @@ object Warp {
       A * k0 * (mOf(p1) / (coneN * Math.pow(tOf(p1), coneN)))
     }
     val rho0: Double = aF * Math.pow(tOf(Math.toRadians(lat0Deg)), coneN)
+    /** The cone APEX is a finite plane point — ρ(pole) = 0 because
+      * tⁿ → 0 there (the near pole for a northern cone, n > 0; the
+      * south pole for a southern one) — where every meridian
+      * converges: a lattice containing it needs the full-longitude /
+      * interior-latitude-extreme handling, exactly like the azimuthal
+      * poles. */
+    override def planeSingularities: Seq[(Double, Double, Double)] =
+      Seq((falseE, rho0 + falseN, if (coneN >= 0) 90.0 else -90.0))
     // conformal→geodetic series coefficients (Snyder 3-5)
     private val C1: Double = E2 / 2 + 5 * E2 * E2 / 24 + E2 * E2 * E2 / 12
     private val C2: Double = 7 * E2 * E2 / 48 + 29 * E2 * E2 * E2 / 240

@@ -477,8 +477,8 @@ object TextQueries extends QueryModule {
     // does (broadcast under the threshold, SMJ on word beyond); the
     // only other shuffle is the per-doc aggregation.
     SqlQ.split("t13_lm_score",
-      """WITH w AS (SELECT doc_id, pos, word FROM documents
-        |  LATERAL VIEW posexplode(split(text, ' ')) t AS pos, word),
+      """WITH w AS (SELECT doc_id, word FROM documents
+        |  LATERAL VIEW explode(split(text, ' ')) t AS word),
         |cnt AS (SELECT word, count(*) AS c FROM w GROUP BY word),
         |tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM w),
         |per AS (SELECT w.doc_id,
@@ -490,8 +490,7 @@ object TextQueries extends QueryModule {
         |SELECT doc_id, n_tokens,
         |  CAST(sum_u AS DOUBLE) / (n_tokens * 1000000.0) AS avg_nll FROM agg""".stripMargin,
       """WITH w AS (SELECT doc_id,
-        |    unnest(string_split(text, ' ')) AS word,
-        |    generate_subscripts(string_split(text, ' '), 1) AS pos FROM documents),
+        |    unnest(string_split(text, ' ')) AS word FROM documents),
         |cnt AS (SELECT word, count(*) AS c FROM w GROUP BY word),
         |tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM w),
         |per AS (SELECT w.doc_id,

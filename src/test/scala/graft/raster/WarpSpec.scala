@@ -187,6 +187,12 @@ class WarpSpec extends AnyFunSuite {
     val eCea = intercept[IllegalArgumentException](
       Warp.CylindricalEqualArea.fromGeoKeys(Map(3075 -> 28.0, 3080 -> 0.0)))
     assert(eCea.getMessage.contains("3078"))
+    // a polar standard parallel collapses the cylinder (k0 → 0,
+    // y scale → ∞): fail fast instead of warping pixels by 10²³
+    val ePolar = intercept[IllegalArgumentException](
+      Warp.CylindricalEqualArea.fromGeoKeys(
+        Map(3075 -> 28.0, 3078 -> 90.0, 3080 -> 0.0)))
+    assert(ePolar.getMessage.contains("degenerate"))
   }
 
   test("Albers conic from geokeys: origin, parallels true-scale, round-trip") {
@@ -339,6 +345,30 @@ class WarpSpec extends AnyFunSuite {
     val e1sp = intercept[IllegalArgumentException](
       Warp.LambertConformalConic.fromGeoKeys1SP(Map(3075 -> 9.0, 3080 -> 3.0)))
     assert(e1sp.getMessage.contains("3081"))
+    // a broken writer's k0 = 0 must fail fast, not produce aF = 0
+    val eK0 = intercept[IllegalArgumentException](
+      Warp.LambertConformalConic.fromGeoKeys1SP(
+        Map(3075 -> 9.0, 3081 -> 46.5, 3080 -> 3.0, 3092 -> 0.0)))
+    assert(eK0.getMessage.contains("k0"))
+    // the cone APEX is a declared plane singularity (ρ = 0 at
+    // (FE, ρ0+FN), the near pole for a northern cone): a lattice
+    // containing it takes the full-longitude path like the azimuthal
+    // poles — a pan-Arctic Lambert grid must not silently truncate
+    // the polar cap
+    val lcc8 = Warp.LambertConformalConic.fromGeoKeys(Map(
+      3075 -> 8.0, 3078 -> 33.0, 3079 -> 45.0,
+      3085 -> 39.0, 3084 -> -96.0))
+    assert(lcc8.planeSingularities ==
+      Seq((0.0, lcc8.rho0, 90.0)), lcc8.planeSingularities)
+    val apexLatt = Warp.ProjectedLattice(lcc8,
+      x0 = -200000.0, yTop = lcc8.rho0 + 200000.0, pixelM = 10000.0,
+      tilesX = 2, tilesY = 2, pxPerTile = 20)
+    assert(apexLatt.originLon == -180.0 && apexLatt.originLat == 90.0)
+    // the Albers apex is declared too (its pole is an arc at
+    // ρ_pole ≥ 0, but the apex still forces the interior-extreme /
+    // full-longitude handling)
+    val aeaApex = Warp.AlbersEqualArea(29.5, 45.5, 23.0, -96.0, 0.0, 0.0)
+    assert(aeaApex.planeSingularities == Seq((0.0, aeaApex.rho0, 90.0)))
   }
 
   test("polar stereographic from geokeys: aspects, true scale, conformality") {
