@@ -240,24 +240,29 @@ object MultimodalQueries extends QueryModule {
     * (never n²) and the union is one shuffle on the pair key. */
   private def multiSignalPairs(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.register(spark, sfDir)
-    val ph = phashPairs(spark, sfDir)
-      .select(col("doc_id_a"), col("doc_id_b"), lit(1).as("sig_phash"))
-    val cos = spark.sql(
-      """WITH v AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM embeddings),
-        |n AS (SELECT vec_id, v, sqrt(vec_dot(v, v)) AS nrm FROM v),
-        |sig AS (SELECT vec_id, rph_sig(v, 48, 6) AS sg FROM n),
-        |b AS (SELECT vec_id, t, bv FROM sig LATERAL VIEW posexplode(sg) x AS t, bv),
-        |cand AS (SELECT DISTINCT a.vec_id AS i, b2.vec_id AS j
-        |  FROM b a JOIN b b2 ON a.t = b2.t AND a.bv = b2.bv AND a.vec_id < b2.vec_id)
-        |SELECT i AS doc_id_a, j AS doc_id_b
-        |FROM cand JOIN n x ON x.vec_id = cand.i JOIN n y ON y.vec_id = cand.j
-        |WHERE vec_dot(x.v, y.v) / (x.nrm * y.nrm) >= 0.4""".stripMargin)
-      .withColumn("sig_cosine", lit(1))
-    ph.join(cos, Seq("doc_id_a", "doc_id_b"), "full_outer")
+    val ph = phashPairs(spark, sfDir).select(col("doc_id_a"), col("doc_id_b"))
+    // THE e4 pipeline, reused — same machinery, same auto-sized band
+    // width (a pinned width is the superlinear scale failure e4's
+    // knob exists to prevent; at fixture sizes auto = the pinned 6
+    // bits, so the oracle's exact pair scan keeps matching)
+    val n = spark.table("embeddings").count()
+    val cos = graft.simsearch.SimQueries
+      .e4Banded(spark, sfDir, graft.simsearch.SimQueries.e4AutoBits(n))
+      .select(col("vec_id_a").as("doc_id_a"), col("vec_id_b").as("doc_id_b"))
+    mergeSignals(ph, cos)
+  }
+
+  /** The signal merge — one row per pair, a 0/1 flag per signal.
+    * Factored out so the BOTH-signals merge path has a direct spec
+    * (the oracle fixtures' two signal sets happen to be disjoint, so
+    * end-to-end correctness alone would never exercise it). */
+  private[multimodal] def mergeSignals(ph: DataFrame, cos: DataFrame): DataFrame =
+    ph.withColumn("sig_phash", lit(1))
+      .join(cos.withColumn("sig_cosine", lit(1)),
+        Seq("doc_id_a", "doc_id_b"), "full_outer")
       .na.fill(0, Seq("sig_phash", "sig_cosine"))
       .select(col("doc_id_a"), col("doc_id_b"),
         col("sig_phash"), col("sig_cosine"))
-  }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_media_features" -> ((s, d) => mediaFeatures(s, d)),
@@ -266,6 +271,18 @@ object MultimodalQueries extends QueryModule {
     "m4_audio_energy" -> ((s, d) => audioEnergy(s, d)),
     "m5_phash_pairs" -> ((s, d) => phashPairs(s, d)),
     "m6_multisignal_pairs" -> ((s, d) => multiSignalPairs(s, d)))
+
+  /** The aHash oracle CTEs (m5's hash definition), shared by the m5
+    * and m6 oracles so the two cannot drift apart. Emits `h(doc_id,
+    * phash)`. */
+  private val phashOracleCtes: String =
+    """m AS (SELECT doc_id, text, len(text) AS n FROM documents WHERE len(text) > 0),
+      |g AS (SELECT doc_id,
+      |  [ascii(text[(i*n)//32 + 1 : (i*n)//32 + 1])::BIGINT
+      |   for i in generate_series(0, 31)] AS gs FROM m),
+      |h AS (SELECT doc_id,
+      |  list_sum([CASE WHEN gs[i+1] * 32 > list_sum(gs) THEN (1::BIGINT << i) ELSE 0 END
+      |            for i in generate_series(0, 31)])::BIGINT AS phash FROM g)""".stripMargin
 
   override def oracles: Map[String, String] = Map(
     "m1_media_features" ->
@@ -296,43 +313,32 @@ object MultimodalQueries extends QueryModule {
         |  list_max(list_transform(seg, x -> abs(x)))::INT AS peak
         |FROM sl""".stripMargin,
     "m5_phash_pairs" ->
-      """WITH m AS (SELECT doc_id, text, len(text) AS n FROM documents WHERE len(text) > 0),
-        |g AS (SELECT doc_id,
-        |  [ascii(text[(i*n)//32 + 1 : (i*n)//32 + 1])::BIGINT
-        |   for i in generate_series(0, 31)] AS gs FROM m),
-        |h AS (SELECT doc_id,
-        |  list_sum([CASE WHEN gs[i+1] * 32 > list_sum(gs) THEN (1::BIGINT << i) ELSE 0 END
-        |            for i in generate_series(0, 31)])::BIGINT AS phash FROM g)
-        |SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-        |  bit_count(xor(a.phash, b.phash)) AS hamming
-        |FROM h a, h b WHERE a.doc_id < b.doc_id
-        |  AND bit_count(xor(a.phash, b.phash)) <= 3""".stripMargin,
+      s"""WITH $phashOracleCtes
+         |SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+         |  bit_count(xor(a.phash, b.phash)) AS hamming
+         |FROM h a, h b WHERE a.doc_id < b.doc_id
+         |  AND bit_count(xor(a.phash, b.phash)) <= 3""".stripMargin,
     // the cosine side's oracle is the exact pair scan (the e4
-    // contract: the pinned 48×6 LSH tables have full recall at the
-    // fixture sizes, verified by e8/e4Recall)
+    // contract: the auto-sized LSH tables have full recall at the
+    // fixture sizes, verified by e8/e4Recall); the phash CTEs are
+    // SHARED with the m5 oracle so the hash definition cannot drift
     "m6_multisignal_pairs" ->
-      """WITH m AS (SELECT doc_id, text, len(text) AS n FROM documents WHERE len(text) > 0),
-        |g AS (SELECT doc_id,
-        |  [ascii(text[(i*n)//32 + 1 : (i*n)//32 + 1])::BIGINT
-        |   for i in generate_series(0, 31)] AS gs FROM m),
-        |h AS (SELECT doc_id,
-        |  list_sum([CASE WHEN gs[i+1] * 32 > list_sum(gs) THEN (1::BIGINT << i) ELSE 0 END
-        |            for i in generate_series(0, 31)])::BIGINT AS phash FROM g),
-        |ph AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
-        |  FROM h a, h b WHERE a.doc_id < b.doc_id
-        |    AND bit_count(xor(a.phash, b.phash)) <= 3),
-        |v AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings),
-        |n AS (SELECT vec_id, v, sqrt(list_reduce([y*y for y in v], (a,b) -> a+b)) AS nrm FROM v),
-        |cos AS (SELECT a.vec_id AS doc_id_a, b.vec_id AS doc_id_b
-        |  FROM n a, n b WHERE a.vec_id < b.vec_id
-        |    AND list_reduce([a.v[k] * b.v[k] for k in generate_series(1, len(a.v))], (x,y) -> x+y)
-        |        / (a.nrm * b.nrm) >= 0.4)
-        |SELECT COALESCE(ph.doc_id_a, cos.doc_id_a) AS doc_id_a,
-        |  COALESCE(ph.doc_id_b, cos.doc_id_b) AS doc_id_b,
-        |  CASE WHEN ph.doc_id_a IS NULL THEN 0 ELSE 1 END AS sig_phash,
-        |  CASE WHEN cos.doc_id_a IS NULL THEN 0 ELSE 1 END AS sig_cosine
-        |FROM ph FULL OUTER JOIN cos
-        |  ON ph.doc_id_a = cos.doc_id_a AND ph.doc_id_b = cos.doc_id_b""".stripMargin,
+      s"""WITH $phashOracleCtes,
+         |ph AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+         |  FROM h a, h b WHERE a.doc_id < b.doc_id
+         |    AND bit_count(xor(a.phash, b.phash)) <= 3),
+         |v AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(list_reduce([y*y for y in v], (a,b) -> a+b)) AS nrm FROM v),
+         |cos AS (SELECT a.vec_id AS doc_id_a, b.vec_id AS doc_id_b
+         |  FROM n a, n b WHERE a.vec_id < b.vec_id
+         |    AND list_reduce([a.v[k] * b.v[k] for k in generate_series(1, len(a.v))], (x,y) -> x+y)
+         |        / (a.nrm * b.nrm) >= 0.4)
+         |SELECT COALESCE(ph.doc_id_a, cos.doc_id_a) AS doc_id_a,
+         |  COALESCE(ph.doc_id_b, cos.doc_id_b) AS doc_id_b,
+         |  CASE WHEN ph.doc_id_a IS NULL THEN 0 ELSE 1 END AS sig_phash,
+         |  CASE WHEN cos.doc_id_a IS NULL THEN 0 ELSE 1 END AS sig_cosine
+         |FROM ph FULL OUTER JOIN cos
+         |  ON ph.doc_id_a = cos.doc_id_a AND ph.doc_id_b = cos.doc_id_b""".stripMargin,
     "m3_resize_plan" ->
       s"""WITH c AS (SELECT doc_id,
          |  list_reduce([ascii(ch)::BIGINT for ch in string_split(text, '')], (h,ch) -> (h*131+ch) % $P) AS checksum
