@@ -17,12 +17,25 @@ object Bench {
     // first measured query isn't charged for JVM startup
     Tables.register(spark, sfDir)
     spark.sql("SELECT count(*) FROM lineitem").count()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Deterministic benchmark protocol (round-7 verdict "Wrong #1"):
+    // queries run in SORTED name order — Map hash order made the
+    // official artifact depend on which query happened to run first
+    // and absorb residual warmup (d11 showed 9.25 s vs 1.39 s real).
+    // Two passes: a COLD pass (headline `value`, comparable to prior
+    // rounds) and a WARM pass whose per-query times are what the
+    // `queries` map reports — those reproduce within noise because
+    // codegen/JIT/memoized-model costs have been paid.
+    val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+    def pass(): Seq[(String, Double)] = sorted.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val cold = pass()
+    val warm = pass()
+    val results = warm.toMap
+    val total = if (cold.nonEmpty) cold.map(_._2).sum else 0.0
+    val warmTotal = if (warm.nonEmpty) warm.map(_._2).sum else 0.0
     // The harness that collects this output keeps only a bounded tail
     // of stdout, so the JSON line must stay short enough to survive it:
     // 2-decimal seconds, slowest queries first, and the map is cut off
@@ -38,7 +51,7 @@ object Bench {
       if (sb.length + entry.length <= budget) { sb ++= entry; kept += 1 }
     }
     val dropped = results.size - kept
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","qcount":${results.size},"qdropped":$dropped,"queries":{$sb},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","warm_total":${fmt(warmTotal)},"pass":"queries=warm","qcount":${results.size},"qdropped":$dropped,"queries":{$sb},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -45,6 +45,13 @@ case class BloomAgg(
           case (_, f: Double) if !(f > 0.0 && f < 1.0) =>
             TypeCheckResult.TypeCheckFailure(
               s"bloom_agg fpp must be in (0, 1), got $f")
+          // a non-positive item count would otherwise be silently
+          // clamped to 1 in createAggregationBuffer, producing a
+          // near-100%-FP filter — fail fast like the fpp checks
+          case (i: Int, _) if i <= 0 => TypeCheckResult.TypeCheckFailure(
+            s"bloom_agg expected_items must be positive, got $i")
+          case (l: Long, _) if l <= 0L => TypeCheckResult.TypeCheckFailure(
+            s"bloom_agg expected_items must be positive, got $l")
           case _ => TypeCheckResult.TypeCheckSuccess
         }
       case other => TypeCheckResult.TypeCheckFailure(

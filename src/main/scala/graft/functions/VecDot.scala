@@ -77,13 +77,17 @@ case class VecDot(left: Expression, right: Expression)
   * `aggregate(zip_with(slice(a, off+1, len), slice(b, off+1, len),
   * (x, y) -> (x-y)*(x-y)), 0d, (acc, x) -> acc + x)` used by the PQ
   * family (e7/e10/e11). Per-op IEEE rounding and the index order are
-  * identical, so results are bit-equal to the HOF formulation and the
-  * DuckDB oracles' index-ordered `list_reduce` mirrors keep matching
-  * without change; what changes is the cost — no per-row slice
-  * allocations, no interpreted lambda, and the expression stays
-  * inside the whole-stage span. Null elements are skipped (never
-  * present on the query surface), missing tail elements read as
-  * absent (loop bound clamps to the arrays' lengths). */
+  * identical, so for NULL-FREE arrays results are bit-equal to the
+  * HOF formulation and the DuckDB oracles' index-ordered
+  * `list_reduce` mirrors keep matching without change; what changes
+  * is the cost — no per-row slice allocations, no interpreted
+  * lambda, and the expression stays inside the whole-stage span.
+  * Null elements diverge by design: the HOF chain null-propagates to
+  * a NULL result, while this kernel skips null elements and returns
+  * the partial sum over the non-null positions (nulls never occur on
+  * the query surface, where embeddings are dense); missing tail
+  * elements read as absent (loop bound clamps to the arrays'
+  * lengths). */
 case class VecSqDist(a: Expression, b: Expression,
                      off: Expression, len: Expression)
     extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {

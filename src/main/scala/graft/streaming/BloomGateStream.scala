@@ -45,7 +45,19 @@ object BloomGateStream {
     * The blob enters as a binary LITERAL (`lit(blob)`), so the probe
     * expression is foldable and deserializes the filter once per task
     * — never per row — and no join/extra column touches the stream
-    * for the probe itself. */
+    * for the probe itself.
+    *
+    * DELIBERATE double-scan: the micro-batch source is read twice
+    * (`where(!probe)` + `where(probe)`), evaluating the probe twice
+    * per row. The single-pass alternative — folding the probe into
+    * the anti-join condition (`probe && text === corpusText`) — would
+    * send EVERY stream row through the join, and when the corpus side
+    * is too large to broadcast that means shuffling the whole batch
+    * instead of only the candidate sliver; Catalyst cannot push
+    * `probe` below a left-anti join because probe-false rows must be
+    * KEPT, not filtered. A micro-batch is small and typically
+    * memory-resident, so two cheap codegen'd scans of it beat one
+    * full-batch shuffle against a TB corpus. */
   def gate(stream: DataFrame, corpus: DataFrame, blob: Array[Byte]): DataFrame = {
     val corpusText = "__bloom_corpus_text"
     require(!stream.columns.contains(corpusText),

@@ -29,6 +29,26 @@ object TextQueries extends QueryModule {
 
   // ------------------------------------------------------------ fragments
 
+  /** THE URL canonicalization chain, shared with the streaming gate
+    * ([[graft.streaming.UrlDedupStream]] reuses this so stream and
+    * batch canonical keys agree BY CONSTRUCTION): lowercase, strip
+    * scheme + www., drop fragment + tracking params, re-normalize the
+    * first surviving separator back to '?', trim the trailing slash.
+    * Returns the Spark-SQL expression text over column/expr `c`; the
+    * d11 DuckDB oracle mirrors it with the 'g' flag and `\1`
+    * backreference syntax. */
+  object UrlCanon {
+    def expr(c: String): String =
+      ("""regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      lower(%s),
+        |      '^https?://', ''),
+        |      '^www\\.', ''),
+        |      '#.*$', ''),
+        |      '[?&](utm_[a-z]+|ref)=[^&#]*', ''),
+        |      '^([^?]*)&', '$1?'),
+        |      '/$', '')""").stripMargin.format(c)
+  }
+
   /** THE dedup LSH shape, shared with every consumer (the streaming
     * gate [[graft.streaming.DedupStream]] reuses these so stream and
     * batch verdicts agree BY CONSTRUCTION): word-`shingleK` shingles,
@@ -350,9 +370,11 @@ object TextQueries extends QueryModule {
     // (t11's injection pattern — both engines replay the identical
     // concat), with scheme/www/tracking-query/fragment variation
     // baked in; canonicalization lowercases, strips scheme + www.,
-    // drops the fragment and the tracking params (the fixture's query
-    // strings are all-tracking — real pipelines keep non-tracking
-    // params, documented simplification), trims the trailing slash;
+    // drops the fragment and the tracking params, re-normalizes the
+    // first surviving separator back to '?' (stripping '?utm_x=2'
+    // from '?utm_x=2&keep=1' leaves '&keep=1' — the '^([^?]*)&'
+    // rewrite turns that dangling '&' into '?'; a no-op when a '?'
+    // survives or no params remain), trims the trailing slash;
     // dedup is d1's keep-first groupBy on the canonical URL. Scale
     // shape: per-row codegen'd regex chain + ONE shuffle on the
     // canonical key.
@@ -368,13 +390,7 @@ object TextQueries extends QueryModule {
         |    CASE WHEN doc_id % 11 = 0 THEN '#frag' ELSE '' END) AS url
         |  FROM documents),
         |norm AS (SELECT doc_id, url,
-        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-        |      lower(url),
-        |      '^https?://', ''),
-        |      '^www\\.', ''),
-        |      '#.*$', ''),
-        |      '[?&](utm_[a-z]+|ref)=[^&#]*', ''),
-        |      '/$', '') AS canon
+        |    """.stripMargin + UrlCanon.expr("url") + """ AS canon
         |  FROM u)
         |SELECT canon, min(doc_id) AS keep_doc_id, count(*) AS n_variants
         |FROM norm GROUP BY canon""".stripMargin,
@@ -389,12 +405,13 @@ object TextQueries extends QueryModule {
         |    CASE WHEN doc_id % 11 = 0 THEN '#frag' ELSE '' END) AS url
         |  FROM documents),
         |norm AS (SELECT doc_id, url,
-        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
         |      lower(url),
         |      '^https?://', '', 'g'),
         |      '^www\.', '', 'g'),
         |      '#.*$', '', 'g'),
         |      '[?&](utm_[a-z]+|ref)=[^&#]*', '', 'g'),
+        |      '^([^?]*)&', '\1?', 'g'),
         |      '/$', '', 'g') AS canon
         |  FROM u)
         |SELECT canon, min(doc_id) AS keep_doc_id, count(*) AS n_variants
