@@ -1,0 +1,77 @@
+package graft.multimodal
+
+import graft.Tables
+import graft.raster.Png
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The media lake: REAL PNG containers as an ingest artifact.
+  *
+  * Round 7's multimodal ops decoded a stub; round 8 replaces the stub
+  * with an actual container format. Because no image corpus ships
+  * with the testdata, the lake RENDERS one deterministically: each
+  * document's text becomes a grayscale "glyph page" — pixel p of a
+  * `w×h` image samples the text byte at `(p·n)/(w·h)` (the resolution
+  * -independent sampler m5's aHash already used, generalized to 2-D)
+  * — and is encoded as a REAL RGBA PNG via [[graft.raster.Png]].
+  * Downstream queries (m1/m5/m7) then scan the lake and DECODE the
+  * PNGs (inflate + unfilter) to recover pixels; the DuckDB oracle
+  * replays the pixel FORMULA from the text in closed form, never
+  * touching PNG — decode fidelity itself is pinned by PngSpec's
+  * byte-exact round-trip and `javax.imageio` interop.
+  *
+  * Dims are doc-dependent (`w = 16 + n mod 16`, `h = 16 + id mod 16`,
+  * so 16..31 each) to keep the IHDR read path honest. The build is
+  * distributed (one mapPartitions encode pass over documents) and
+  * memoized under /tmp per sf dir, the same idempotent-ingest pattern
+  * as the r12..r25 raster lakes — at 100 TB this is the one-time
+  * ingest job, and queries only ever pay the (columnar, pruned) lake
+  * scan. */
+object MediaLake {
+
+  private val lakeSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("fmt", StringType),
+    StructField("media", BinaryType)))
+
+  /** Pixel formula shared by the renderer and every oracle replay:
+    * gray(p) = text byte at `(p*n)/(w*h)`. */
+  private[multimodal] def grayPixels(text: Array[Byte], w: Int, h: Int): Array[Int] = {
+    val n = text.length
+    val npx = w * h
+    Array.tabulate(npx)(p => text((p.toLong * n / npx).toInt) & 0xff)
+  }
+
+  private[multimodal] def dims(docId: Long, n: Int): (Int, Int) =
+    (16 + n % 16, 16 + (docId % 16).toInt)
+
+  /** Idempotent build; returns the lake dir. */
+  def ensure(spark: SparkSession, sfDir: String): String = {
+    val lake = s"${sys.props("java.io.tmpdir")}/graft_media_lake_v1_${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    if (!new java.io.File(s"$lake/_SUCCESS").exists()) {
+      val docs = Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text"))
+        .where(length(col("text")) > 0)
+      docs.mapPartitions { it =>
+        it.map { row =>
+          val id = row.getLong(0)
+          val bytes = row.getString(1).getBytes("UTF-8")
+          val (w, h) = dims(id, bytes.length)
+          val gray = grayPixels(bytes, w, h)
+          val rgba = new Array[Byte](w * h * 4)
+          var p = 0
+          while (p < w * h) {
+            val g = gray(p).toByte
+            rgba(p * 4) = g; rgba(p * 4 + 1) = g; rgba(p * 4 + 2) = g
+            rgba(p * 4 + 3) = -1
+            p += 1
+          }
+          Row(id, "png", Png.encode(w, h, rgba))
+        }
+      }(Encoders.row(lakeSchema))
+        .write.mode("overwrite").parquet(lake)
+    }
+    lake
+  }
+}

@@ -13,12 +13,20 @@ import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
   * per-partition kernels (in PySpark these would be `mapInPandas`
   * Pandas UDFs; the Scala-native equivalent is `mapPartitions` over an
   * explicit row encoder with an internal batch size, which is what the
-  * kernels here do). The media decode itself is a DETERMINISTIC STUB —
-  * no image/audio codecs exist in this environment — but everything
-  * Spark-side is real and tested: binary column handling, batch
-  * iteration shape, output schema/encoder, and partition parallelism.
-  * The stub arithmetic is integer-only so the DuckDB oracle reproduces
-  * it exactly from the source text (ASCII ⇒ bytes == code points).
+  * kernels here do).
+  *
+  * The IMAGE family (m1 features, m5 aHash, m7 joint-embedding
+  * alignment) decodes REAL PNG containers — [[MediaLake]] renders
+  * each document into an actual RGBA PNG as a memoized ingest
+  * artifact, and the query kernels run the full inflate + unfilter
+  * read path ([[graft.raster.Png.decode]]) on every row. The DuckDB
+  * oracle replays the PIXEL FORMULA from the source text in closed
+  * form (it cannot decode PNG); decode fidelity is pinned separately
+  * by PngSpec (byte-exact encoder round-trip + `javax.imageio`
+  * interop). The fake-container families (m2 video frames, m4 PCM
+  * audio) keep deterministic stub decodes — no video/audio codec
+  * exists in this environment — with the Spark-side plumbing (batch
+  * shape, schema, fan-out bounds) real and tested.
   */
 object MultimodalQueries extends QueryModule {
 
@@ -43,30 +51,45 @@ object MultimodalQueries extends QueryModule {
     (h, width, height, mean)
   }
 
+  /** The gray stream of a decoded lake PNG: the renderer writes
+    * r=g=b, so channel 0 of the RGBA output IS the gray value. */
+  private def grayOf(img: graft.raster.Png.Image): Array[Int] =
+    Array.tabulate(img.width * img.height)(p => img.rgba(p * 4) & 0xff)
+
   private val featSchema = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("fmt", StringType),
-    StructField("n_bytes", LongType),
-    StructField("checksum", LongType),
     StructField("width", IntegerType),
     StructField("height", IntegerType),
+    StructField("n_px", LongType),
+    StructField("checksum", LongType),
     StructField("mean_byte", DoubleType)))
 
-  /** M1: binary ingest + batched feature extraction. */
+  /** M1: media-lake scan + batched REAL decode + feature extraction —
+    * width/height come from the PNG's own IHDR, checksum/mean from
+    * the inflate+unfiltered pixels. (n_px, not n_bytes: the container
+    * byte count is deflate-dependent and so not a portable feature;
+    * the pixel count is.) */
   private def mediaFeatures(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.load(spark, sfDir, "documents")
-    val media = docs.select(
-      col("doc_id"), col("source").as("fmt"),
-      col("text").cast(BinaryType).as("media"))
+    val media = spark.read.parquet(MediaLake.ensure(spark, sfDir))
     media.mapPartitions { it =>
       // Batched kernel shape: accumulate BatchSize rows, decode the
-      // batch, emit. (A real decoder would hand the whole batch to a
-      // native library in one call.)
+      // batch, emit. (A native decoder would take the batch in one
+      // call; Png.decode runs per element.)
       it.grouped(BatchSize).flatMap { batch =>
         batch.iterator.map { row =>
-          val bytes = row.getAs[Array[Byte]]("media")
-          val (h, w, ht, mean) = decodeStub(bytes)
-          Row(row.getLong(0), row.getString(1), bytes.length.toLong, h, w, ht, mean)
+          val img = graft.raster.Png.decode(row.getAs[Array[Byte]]("media"))
+          val gray = grayOf(img)
+          var h = 0L
+          var sum = 0L
+          var p = 0
+          while (p < gray.length) {
+            h = (h * 131L + gray(p)) % P
+            sum += gray(p)
+            p += 1
+          }
+          Row(row.getLong(0), row.getString(1), img.width, img.height,
+            gray.length.toLong, h, sum.toDouble / gray.length)
         }
       }
     }(Encoders.row(featSchema))
@@ -176,37 +199,31 @@ object MultimodalQueries extends QueryModule {
     StructField("phash", LongType)))
 
   /** M5: perceptual-hash media dedup — the cross-modal twin of the
-    * text near-dup family (d5/d6). An aHash over the stub decode:
-    * sample 32 "pixels" `g(i) = byte[(i·n)/32]`, bit i set when
-    * `g(i)·32 > Σg` (the integer form of "above the mean" — exact in
-    * both engines), then near-dup pairs by Hamming ≤ 3 via the
-    * pigeonhole band join (4 bands of 8 bits: 4 mismatches would need
-    * 4 differing bands). The decode sampling is the stub; the
-    * hash→band→pair machinery is the real production shape (one
+    * text near-dup family (d5/d6). An aHash over REAL decoded pixels:
+    * sample 32 pixels `g(i) = gray[(i·npx)/32]` from the PNG's
+    * inflate+unfiltered gray stream, bit i set when `g(i)·32 > Σg`
+    * (the integer form of "above the mean" — exact in both engines),
+    * then near-dup pairs by Hamming ≤ 3 via the pigeonhole band join
+    * (4 bands of 8 bits: 4 mismatches would need 4 differing bands).
+    * The hash→band→pair machinery is the production shape (one
     * bounded band shuffle, never n²). */
   private def phashPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.load(spark, sfDir, "documents")
-    val media = docs.select(col("doc_id"), col("text").cast(BinaryType).as("media"))
+    val media = spark.read.parquet(MediaLake.ensure(spark, sfDir))
     val hashed = media.mapPartitions { it =>
       it.grouped(BatchSize).flatMap { batch =>
-        batch.iterator.flatMap { row =>
-          val bytes = row.getAs[Array[Byte]]("media")
-          val n = bytes.length
-          // empty media emits nothing (m4's convention — the oracle
-          // filters len > 0, and an all-zero hash would pair every
-          // empty payload with every uniform one)
-          if (n == 0) Iterator.empty
-          else {
-            val g = Array.tabulate(32)(i => bytes(i * n / 32) & 0xff)
-            val tot = g.sum
-            var h = 0L
-            var i = 0
-            while (i < 32) {
-              if (g(i) * 32 > tot) h |= (1L << i)
-              i += 1
-            }
-            Iterator.single(Row(row.getLong(0), h))
+        batch.iterator.map { row =>
+          val img = graft.raster.Png.decode(row.getAs[Array[Byte]]("media"))
+          val gray = grayOf(img)
+          val npx = gray.length
+          val g = Array.tabulate(32)(i => gray(((i.toLong * npx) / 32).toInt))
+          val tot = g.sum
+          var h = 0L
+          var i = 0
+          while (i < 32) {
+            if (g(i) * 32 > tot) h |= (1L << i)
+            i += 1
           }
+          Row(row.getLong(0), h)
         }
       }
     }(Encoders.row(phashSchema))
@@ -264,37 +281,113 @@ object MultimodalQueries extends QueryModule {
       .select(col("doc_id_a"), col("doc_id_b"),
         col("sig_phash"), col("sig_cosine"))
 
+  private val imgEmbSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("img", ArrayType(DoubleType))))
+
+  /** M7: text↔image joint-embedding alignment — the CLIP-shaped
+    * paired-curation step (Radford et al. 2021's data shape: row i's
+    * text and row i's image are a CLAIMED pair; curation scores the
+    * claim by cosine between the two towers' embeddings and keeps
+    * aligned pairs). The image tower here is an 8-block mean-pixel
+    * embedding computed from the REAL decoded PNG; the text tower is
+    * the embeddings table's vector (first 8 dims, cast to double).
+    * Scale shape: the image embedding rides the (one-time) lake scan
+    * + decode kernel; the pairing is ONE equality join on the id —
+    * co-partitionable at 100 TB — and the cosine is the fused
+    * `vec_dot` codegen kernel, index-ordered so the DuckDB oracle's
+    * `list_reduce` mirrors it exactly. */
+  private def clipAlign(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.register(spark, sfDir)
+    val media = spark.read.parquet(MediaLake.ensure(spark, sfDir))
+    val imgEmb = media.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.iterator.map { row =>
+          val img = graft.raster.Png.decode(row.getAs[Array[Byte]]("media"))
+          val gray = grayOf(img)
+          val npx = gray.length
+          val emb = Array.tabulate(8) { j =>
+            val lo = j * npx / 8
+            val hi = (j + 1) * npx / 8
+            var s = 0L
+            var p = lo
+            while (p < hi) { s += gray(p); p += 1 }
+            s.toDouble / (hi - lo)
+          }
+          Row(row.getLong(0), emb)
+        }
+      }
+    }(Encoders.row(imgEmbSchema))
+    val view = s"m7_img_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    imgEmb.createOrReplaceTempView(view)
+    spark.sql(
+      s"""WITH t AS (SELECT vec_id,
+         |    CAST(slice(embedding, 1, 8) AS ARRAY<DOUBLE>) AS txt FROM embeddings),
+         |j AS (SELECT i.doc_id,
+         |    vec_dot(i.img, t.txt)
+         |      / (sqrt(vec_dot(i.img, i.img)) * sqrt(vec_dot(t.txt, t.txt))) AS cosine
+         |  FROM $view i JOIN t ON i.doc_id = t.vec_id)
+         |SELECT doc_id, cosine, CAST(cosine >= 0 AS INT) AS aligned FROM j""".stripMargin)
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_media_features" -> ((s, d) => mediaFeatures(s, d)),
     "m2_frame_sample" -> ((s, d) => frameSample(s, d)),
     "m3_resize_plan" -> ((s, d) => resizePlan(s, d)),
     "m4_audio_energy" -> ((s, d) => audioEnergy(s, d)),
     "m5_phash_pairs" -> ((s, d) => phashPairs(s, d)),
-    "m6_multisignal_pairs" -> ((s, d) => multiSignalPairs(s, d)))
+    "m6_multisignal_pairs" -> ((s, d) => multiSignalPairs(s, d)),
+    "m7_clip_align" -> ((s, d) => clipAlign(s, d)))
 
   /** The aHash oracle CTEs (m5's hash definition), shared by the m5
     * and m6 oracles so the two cannot drift apart. Emits `h(doc_id,
-    * phash)`. */
+    * phash)`. Replays [[MediaLake]]'s pixel formula in closed form —
+    * the sampled pixel `(i·npx)/32` maps back to text byte
+    * `(((i·npx)/32)·n)/npx` (two floor divisions, matching the
+    * decode-side composition exactly). */
   private val phashOracleCtes: String =
-    """m AS (SELECT doc_id, text, len(text) AS n FROM documents WHERE len(text) > 0),
+    """m AS (SELECT doc_id, text, len(text) AS n,
+      |  (16 + len(text) % 16) * (16 + doc_id % 16) AS npx
+      |  FROM documents WHERE len(text) > 0),
       |g AS (SELECT doc_id,
-      |  [ascii(text[(i*n)//32 + 1 : (i*n)//32 + 1])::BIGINT
+      |  [ascii(text[(((i*npx)//32)*n)//npx + 1 : (((i*npx)//32)*n)//npx + 1])::BIGINT
       |   for i in generate_series(0, 31)] AS gs FROM m),
       |h AS (SELECT doc_id,
       |  list_sum([CASE WHEN gs[i+1] * 32 > list_sum(gs) THEN (1::BIGINT << i) ELSE 0 END
       |            for i in generate_series(0, 31)])::BIGINT AS phash FROM g)""".stripMargin
 
+  /** The full-pixel-stream oracle CTEs (m1/m7's gray stream): emits
+    * `g(doc_id, npx, gs)` with `gs` the complete rendered pixel list,
+    * replayed from the text via [[MediaLake]]'s formula. */
+  private val grayOracleCtes: String =
+    """m AS (SELECT doc_id, text, len(text) AS n,
+      |  16 + len(text) % 16 AS w, 16 + doc_id % 16 AS hh
+      |  FROM documents WHERE len(text) > 0),
+      |g AS (SELECT doc_id, w, hh, w * hh AS npx,
+      |  [ascii(text[(p*n)//(w*hh) + 1 : (p*n)//(w*hh) + 1])::BIGINT
+      |   for p in generate_series(0, w*hh - 1)] AS gs FROM m)""".stripMargin
+
   override def oracles: Map[String, String] = Map(
     "m1_media_features" ->
-      s"""WITH c AS (SELECT doc_id, source AS fmt, len(text)::BIGINT AS n_bytes,
-         |  list_reduce([ascii(ch)::BIGINT for ch in string_split(text, '')], (h,ch) -> (h*131+ch) % $P) AS checksum,
-         |  list_reduce([ascii(ch)::BIGINT for ch in string_split(text, '')], (a,b) -> a+b) AS bytesum
-         |  FROM documents)
-         |SELECT doc_id, fmt, n_bytes, checksum,
-         |  (16 + checksum % 64)::INT AS width,
-         |  (16 + (checksum // 64) % 64)::INT AS height,
-         |  bytesum::DOUBLE / n_bytes AS mean_byte
-         |FROM c""".stripMargin,
+      s"""WITH $grayOracleCtes
+         |SELECT doc_id, 'png' AS fmt, w::INT AS width, hh::INT AS height,
+         |  npx::BIGINT AS n_px,
+         |  list_reduce(gs, (a,b) -> (a*131+b) % $P) AS checksum,
+         |  list_sum(gs)::DOUBLE / npx AS mean_byte
+         |FROM g""".stripMargin,
+    "m7_clip_align" ->
+      s"""WITH $grayOracleCtes,
+         |b AS (SELECT doc_id,
+         |  [list_sum(list_slice(gs, j*npx//8 + 1, (j+1)*npx//8))::DOUBLE
+         |     / ((j+1)*npx//8 - j*npx//8)
+         |   for j in generate_series(0, 7)] AS img FROM g),
+         |t AS (SELECT vec_id, [x::DOUBLE for x in list_slice(embedding, 1, 8)] AS txt FROM embeddings),
+         |jn AS (SELECT b.doc_id,
+         |    list_reduce([b.img[k] * t.txt[k] for k in generate_series(1, 8)], (a,c) -> a+c)
+         |      / (sqrt(list_reduce([y*y for y in b.img], (a,c) -> a+c))
+         |         * sqrt(list_reduce([y*y for y in t.txt], (a,c) -> a+c))) AS cosine
+         |  FROM b JOIN t ON b.doc_id = t.vec_id)
+         |SELECT doc_id, cosine, (cosine >= 0)::INT AS aligned FROM jn""".stripMargin,
     "m2_frame_sample" ->
       """WITH f AS (SELECT doc_id, unnest(generate_series(0, len(text) % 24)) AS frame_idx FROM documents)
         |SELECT doc_id, frame_idx::INT AS frame_idx, (frame_idx * 4096)::BIGINT AS frame_off,

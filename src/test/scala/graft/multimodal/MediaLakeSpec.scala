@@ -1,0 +1,55 @@
+package graft.multimodal
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The media lake renders REAL PNGs and the query kernels decode
+  * them: this pins the lake→decode round-trip against the pixel
+  * formula the oracles replay, on the actual sf0.001 testdata. */
+class MediaLakeSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("every lake row is a real PNG whose decoded pixels equal the formula") {
+    val sfDir = "/root/testdata/sf0.001"
+    val lake = MediaLake.ensure(spark, sfDir)
+    val media = spark.read.parquet(lake).collect()
+    assert(media.length == 500, s"lake rows=${media.length}")
+    val texts = graft.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    media.foreach { row =>
+      val id = row.getAs[Long]("doc_id")
+      val bytes = row.getAs[Array[Byte]]("media")
+      // a REAL container: PNG signature present, decodes cleanly
+      assert((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P', s"doc $id: not a PNG")
+      val img = graft.raster.Png.decode(bytes)
+      val t = texts(id).getBytes("UTF-8")
+      val (w, h) = MediaLake.dims(id, t.length)
+      assert(img.width == w && img.height == h, s"doc $id dims")
+      val expected = MediaLake.grayPixels(t, w, h)
+      var p = 0
+      while (p < w * h) {
+        assert((img.rgba(p * 4) & 0xff) == expected(p), s"doc $id px $p")
+        assert((img.rgba(p * 4 + 3) & 0xff) == 255, s"doc $id alpha $p")
+        p += 1
+      }
+    }
+  }
+
+  test("lake PNGs also decode in javax.imageio (independent reader)") {
+    val lake = MediaLake.ensure(spark, "/root/testdata/sf0.001")
+    val one = spark.read.parquet(lake).limit(1).collect()(0)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(one.getAs[Array[Byte]]("media")))
+    assert(img != null && img.getWidth >= 16 && img.getHeight >= 16)
+  }
+}
