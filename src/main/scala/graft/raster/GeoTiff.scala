@@ -1028,12 +1028,17 @@ object GeoTiff {
     }
     // projection-parameter keys (user-defined CRSs, ProjectedCSType
     // 32767): SHORT-valued proj keys inline, DOUBLE-valued ones index
-    // into GeoDoubleParams (values() surfaced them as raw bits)
+    // into GeoDoubleParams (values() surfaced them as raw bits).
+    // 2057/2059 (GeogSemiMajorAxis/GeogInvFlattening) ride along so a
+    // file on a non-WGS84 ellipsoid (Bessel for the Dutch RD grid)
+    // carries its own figure to the projection constructors.
+    def keyInRange(k: Long): Boolean =
+      (k >= 3073 && k <= 3095) || k == 2057 || k == 2059
     val geoParams: Map[Int, Double] = groups.collect {
-      case Seq(k, 0, 1, v) if k >= 3073 && k <= 3095 =>
+      case Seq(k, 0, 1, v) if keyInRange(k) =>
         k.toInt -> v.toDouble
       case Seq(k, TGeoDoubles, 1, v)
-          if k >= 3073 && k <= 3095 && v < geoDblVals.length =>
+          if keyInRange(k) && v < geoDblVals.length =>
         k.toInt -> java.lang.Double.longBitsToDouble(geoDblVals(v.toInt))
     }.toMap
     val next = b.getInt(ifd + 2 + n * 12)

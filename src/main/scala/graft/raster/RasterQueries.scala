@@ -974,6 +974,28 @@ object RasterQueries extends QueryModule {
       x0 = -200000.0, yTop = 200000.0, pixelM = 10000.0,
       tilesX = 2, tilesY = 2, pxPerTile = 20)
 
+  /** r26: the Dutch RD grid — CT 16 double-stereographic geokeys with
+    * the EPSG:28992 parameter set AND the Bessel 1841 figure carried
+    * in GeogSemiMajorAxis/GeogInvFlattening (2057/2059): the
+    * conformal-sphere ("double") construction, the last common
+    * projection family outside the closed-form set (reference:
+    * `unify_projection.sh` via proj `+proj=sterea`). The lattice
+    * covers the RD domain (x 0..400 km, y 200..600 km ≈ the
+    * Netherlands); ellipsoid keys are load-bearing — WarpSpec pins
+    * that dropping them shifts the grid by >10 m. */
+  private val r26Params: Map[Int, Double] = Map(
+    3075 -> 16.0,   // ProjCoordTrans: CT_ObliqueStereographic
+    3081 -> (52.0 + 9.0 / 60 + 22.178 / 3600),  // Amersfoort
+    3080 -> (5.0 + 23.0 / 60 + 15.500 / 3600),
+    3092 -> 0.9999079,
+    3082 -> 155000.0, 3083 -> 463000.0,
+    2057 -> Warp.ObliqueStereographic.BesselA,
+    2059 -> Warp.ObliqueStereographic.BesselInvF)
+  private def r26Lattice: Warp.ProjectedLattice =
+    Warp.ProjectedLattice(Warp.ObliqueStereographic.fromGeoKeys(r26Params),
+      x0 = 0.0, yTop = 600000.0, pixelM = 10000.0,
+      tilesX = 2, tilesY = 2, pxPerTile = 20)
+
   /** Shared projected-CRS ingest driver for r14/r15: write the 2×2
     * source tile lattice in the projection's meters, run the raster
     * creation DAG with unify_projection, and histogram the warped
@@ -1059,6 +1081,9 @@ object RasterQueries extends QueryModule {
 
   private def laeaPolarIngest(spark: SparkSession, sfDir: String): DataFrame =
     projIngest(spark, sfDir, "r25", r25Lattice, 6931)
+
+  private def stereaIngest(spark: SparkSession, sfDir: String): DataFrame =
+    projIngest(spark, sfDir, "r26", r26Lattice, 32767, r26Params)
 
   private def projIngestOracle(latt: Warp.ProjectedLattice): String = {
     val tm = latt.proj
@@ -1222,7 +1247,8 @@ object RasterQueries extends QueryModule {
       ("r22_mercator_ell_ingest" -> (mercatorEllIngest _)) +
       ("r23_equirect_ingest" -> (equirectIngest _)) +
       ("r24_laea_ingest" -> (laeaIngest _)) +
-      ("r25_laea_polar_ingest" -> (laeaPolarIngest _))
+      ("r25_laea_polar_ingest" -> (laeaPolarIngest _)) +
+      ("r26_sterea_ingest" -> (stereaIngest _))
 
   override def oracles: Map[String, String] =
     sqls.flatMap(q => q.oracleSql.map(q.name -> _)).toMap +
@@ -1248,5 +1274,6 @@ object RasterQueries extends QueryModule {
       ("r22_mercator_ell_ingest" -> projIngestOracle(r22Lattice)) +
       ("r23_equirect_ingest" -> projIngestOracle(r23Lattice)) +
       ("r24_laea_ingest" -> projIngestOracle(r24Lattice)) +
-      ("r25_laea_polar_ingest" -> projIngestOracle(r25Lattice))
+      ("r25_laea_polar_ingest" -> projIngestOracle(r25Lattice)) +
+      ("r26_sterea_ingest" -> projIngestOracle(r26Lattice))
 }

@@ -176,12 +176,16 @@ object Warp {
       Some(LambertAzimuthalEqualArea.ease2North)
     else if (epsg == 6932) // WGS84 / EASE-Grid 2.0 South
       Some(LambertAzimuthalEqualArea.ease2South)
+    else if (epsg == 28992) // Amersfoort / RD New (double stereographic)
+      Some(ObliqueStereographic.rdNew)
     else geoParams.get(3075).map(_.toInt) match {
       case Some(7) => Some(MercatorEllipsoidal.fromGeoKeys(geoParams))
       case Some(11) => Some(AlbersEqualArea.fromGeoKeys(geoParams))
       case Some(8) => Some(LambertConformalConic.fromGeoKeys(geoParams))
       case Some(9) => Some(LambertConformalConic.fromGeoKeys1SP(geoParams))
       case Some(10) => Some(LambertAzimuthalEqualArea.fromGeoKeys(geoParams))
+      case Some(14) | Some(16) => // Stereographic / ObliqueStereographic
+        Some(ObliqueStereographic.fromGeoKeys(geoParams))
       case Some(15) => Some(PolarStereographic.fromGeoKeys(geoParams))
       case Some(17) => Some(Equirectangular.fromGeoKeys(geoParams))
       case Some(24) => Some(Sinusoidal.fromGeoKeys(geoParams))
@@ -1070,6 +1074,181 @@ object Warp {
         falseE = p.getOrElse(3082, p.getOrElse(3086, 0.0)),
         falseN = p.getOrElse(3083, p.getOrElse(3087, 0.0)),
         k0 = p.getOrElse(3092, 1.0))
+    }
+  }
+
+  /** Oblique ("double") stereographic — EPSG method 9809, the
+    * conformal-sphere construction (IOGP Guidance Note 7-2 §3.2.5.1):
+    * the ellipsoid maps conformally to a sphere of radius
+    * R = √(ρ₀ν₀), then the sphere maps stereographically from the
+    * conformal origin. This is the projection of the Dutch RD grid
+    * (EPSG:28992 Amersfoort / RD New) and several Caribbean grids —
+    * the last common projection family the closed-form set lacked;
+    * the reference warps it via proj (`batch/scripts/
+    * unify_projection.sh:13-40`, `+proj=sterea`).
+    *
+    * Built from GeoTIFF parameter keys: GDAL writes
+    * CT_ObliqueStereographic (16) for EPSG 9809; some writers emit
+    * CT_Stereographic (14) with the same parameter set — both resolve
+    * here. The ellipsoid is a PARAMETER (`aAxis`/`e2`, default WGS84;
+    * geokeys 2057/2059 override) because RD is defined on Bessel
+    * 1841, where WGS84's figure would be ~100 m off; the
+    * Amersfoort↔WGS84 DATUM shift is out of scope — lat/lon are
+    * geodetic coordinates on the projection's own ellipsoid, the same
+    * stance as the GRS80-vs-WGS84 equivalence elsewhere. */
+  final case class ObliqueStereographic(lat0Deg: Double, lon0Deg: Double,
+                                        falseE: Double, falseN: Double,
+                                        k0: Double = 1.0,
+                                        aAxis: Double = TransverseMercator.A,
+                                        e2: Double = TransverseMercator.E2)
+      extends Projection {
+    require(math.abs(lat0Deg) < 90.0 - 1e-9,
+      s"ObliqueStereographic origin latitude $lat0Deg is polar — " +
+        "use PolarStereographic (CT 15)")
+    require(k0 > 1e-9, s"ObliqueStereographic scale k0 = $k0 must be positive")
+    require(aAxis > 0.0 && e2 >= 0.0 && e2 < 1.0,
+      s"ObliqueStereographic ellipsoid a=$aAxis e2=$e2 is degenerate")
+    private val e: Double = Math.sqrt(e2)
+    val lam0: Double = Math.toRadians(lon0Deg)
+    private val phi0: Double = Math.toRadians(lat0Deg)
+    private val sinPhi0: Double = Math.sin(phi0)
+    private val w0: Double = 1.0 - e2 * sinPhi0 * sinPhi0
+    /** Conformal-sphere radius R = √(ρ₀ν₀) (GN7-2). */
+    val bigR: Double =
+      Math.sqrt((aAxis * (1.0 - e2) / (w0 * Math.sqrt(w0))) *
+        (aAxis / Math.sqrt(w0)))
+    /** Conformal-latitude exponent n = √(1 + e²cos⁴φ₀/(1−e²)). */
+    val coneN: Double = Math.sqrt(1.0 +
+      e2 * Math.pow(Math.cos(phi0), 4) / (1.0 - e2))
+    private val w1: Double = Math.pow(
+      ((1.0 + sinPhi0) / (1.0 - sinPhi0)) *
+        Math.pow((1.0 - e * sinPhi0) / (1.0 + e * sinPhi0), e), coneN)
+    private val sinChi00: Double = (w1 - 1.0) / (w1 + 1.0)
+    /** c makes the conformal origin's latitude equal χ₀ on the
+      * sphere. */
+    val cConst: Double = (coneN + sinPhi0) * (1.0 - sinChi00) /
+      ((coneN - sinPhi0) * (1.0 + sinChi00))
+    private val w2: Double = cConst * w1
+    val chi0: Double = Math.asin((w2 - 1.0) / (w2 + 1.0))
+    private val sinChi0: Double = Math.sin(chi0)
+    private val cosChi0: Double = Math.cos(chi0)
+    private val twoRk0: Double = 2.0 * bigR * k0
+
+    /** Both poles map to finite y-axis points (only the origin's
+      * antipode is unmappable) — same declaration as the oblique
+      * LAEA. */
+    override def planeSingularities: Seq[(Double, Double, Double)] =
+      Seq(
+        (falseE, falseN + twoRk0 * cosChi0 / (1.0 + sinChi0), 90.0),
+        (falseE, falseN - twoRk0 * cosChi0 / (1.0 - sinChi0), -90.0))
+
+    def forward(latDeg: Double, lonDeg: Double): (Double, Double) = {
+      val sinPhi = Math.sin(Math.toRadians(latDeg))
+      val dlam = coneN * (Math.toRadians(lonDeg) - lam0) // Λ − Λ₀
+      val w = cConst * Math.pow(
+        ((1.0 + sinPhi) / (1.0 - sinPhi)) *
+          Math.pow((1.0 - e * sinPhi) / (1.0 + e * sinPhi), e), coneN)
+      val sinChi = (w - 1.0) / (w + 1.0)
+      // cos via asin so the SQL mirror is the identical op chain
+      val cosChi = Math.cos(Math.asin(sinChi))
+      val bb = 1.0 + sinChi0 * sinChi + cosChi0 * (cosChi * Math.cos(dlam))
+      (falseE + twoRk0 * cosChi * Math.sin(dlam) / bb,
+        falseN + twoRk0 * (sinChi * cosChi0 - sinChi0 * (cosChi * Math.cos(dlam))) / bb)
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val dE = x - falseE
+      val dN = y - falseN
+      // GN7-2 inverse: recover (χ, Λ) on the conformal sphere ...
+      val g = twoRk0 * Math.tan(Math.PI / 4 - chi0 / 2)
+      val h = 2.0 * twoRk0 * Math.tan(chi0) + g
+      val ii = Math.atan2(dE, h + dN)
+      val jj = Math.atan2(dE, g - dN) - ii
+      val chi = chi0 + 2.0 * Math.atan((dN - dE * Math.tan(jj / 2)) / twoRk0)
+      val lon = (jj + 2.0 * ii) / coneN + lam0
+      // ... then the isometric latitude ψ inverts iteratively on the
+      // ellipsoid (quadratic convergence; 1e-14 rad ≈ 0.1 µm)
+      val psi = 0.5 * Math.log(
+        (1.0 + Math.sin(chi)) / (cConst * (1.0 - Math.sin(chi)))) / coneN
+      var phi = 2.0 * Math.atan(Math.exp(psi)) - Math.PI / 2
+      var it = 0
+      var delta = 1.0
+      while (it < 12 && math.abs(delta) > 1e-14) {
+        val sp = Math.sin(phi)
+        val psiI = Math.log(Math.tan(phi / 2 + Math.PI / 4) *
+          Math.pow((1.0 - e * sp) / (1.0 + e * sp), e / 2))
+        delta = -(psiI - psi) * Math.cos(phi) * (1.0 - e2 * sp * sp) / (1.0 - e2)
+        phi += delta
+        it += 1
+      }
+      (Math.toDegrees(phi), Math.toDegrees(lon))
+    }
+
+    /** DuckDB SQL mirror of [[forward]] (same parity contract as the
+      * other projections: value agreement to last ulps, which cannot
+      * flip a 10⁴-meter pixel floor). */
+    def forwardSelect(lat: String, lon: String): String = {
+      def d(v: Double) = s"CAST(${java.lang.Double.toString(v)} AS DOUBLE)"
+      val w =
+        s"""${d(cConst)} * power(((1.0 + sin(radians($lat))) / (1.0 - sin(radians($lat)))) *
+           |  power((1.0 - ${d(e)} * sin(radians($lat))) / (1.0 + ${d(e)} * sin(radians($lat))), ${d(e)}), ${d(coneN)})""".stripMargin
+      s"""${d(coneN)} * (radians($lon) - ${d(lam0)}) AS dlam_,
+         |(($w) - 1.0) / (($w) + 1.0) AS sinchi_,
+         |cos(asin((($w) - 1.0) / (($w) + 1.0))) AS coschi_""".stripMargin
+    }
+    def xSql: String = {
+      def d(v: Double) = s"CAST(${java.lang.Double.toString(v)} AS DOUBLE)"
+      s"${d(falseE)} + ${d(twoRk0)} * coschi_ * sin(dlam_) / " +
+        s"(1.0 + ${d(sinChi0)} * sinchi_ + ${d(cosChi0)} * (coschi_ * cos(dlam_)))"
+    }
+    def ySql: String = {
+      def d(v: Double) = s"CAST(${java.lang.Double.toString(v)} AS DOUBLE)"
+      s"${d(falseN)} + ${d(twoRk0)} * (sinchi_ * ${d(cosChi0)} - ${d(sinChi0)} * (coschi_ * cos(dlam_))) / " +
+        s"(1.0 + ${d(sinChi0)} * sinchi_ + ${d(cosChi0)} * (coschi_ * cos(dlam_)))"
+    }
+  }
+
+  object ObliqueStereographic {
+    /** Bessel 1841 (the RD ellipsoid): a = 6377397.155,
+      * 1/f = 299.1528128. */
+    val BesselA: Double = 6377397.155
+    val BesselInvF: Double = 299.1528128
+    private def e2OfInvF(invF: Double): Double = {
+      val f = 1.0 / invF
+      f * (2.0 - f)
+    }
+    val BesselE2: Double = e2OfInvF(BesselInvF)
+
+    /** EPSG:28992 — Amersfoort / RD New (the Dutch national grid):
+      * origin 52°09′22.178″N 5°23′15.500″E, k₀ = 0.9999079, false
+      * origin (155 000, 463 000), Bessel 1841. */
+    val rdNew: ObliqueStereographic = ObliqueStereographic(
+      lat0Deg = 52.0 + 9.0 / 60 + 22.178 / 3600,
+      lon0Deg = 5.0 + 23.0 / 60 + 15.500 / 3600,
+      falseE = 155000.0, falseN = 463000.0, k0 = 0.9999079,
+      aAxis = BesselA, e2 = BesselE2)
+
+    /** Build from GeoTIFF projection geokeys (CT 14/16): natural
+      * origin 3081/3080 (fallbacks the center pair 3089/3088), scale
+      * ProjScaleAtNatOrigin 3092 (default 1), false offsets
+      * 3082/3083; ellipsoid from GeogSemiMajorAxis 2057 +
+      * GeogInvFlattening 2059 when the file carries them (WGS84
+      * otherwise). Missing origin keys fail fast — load-bearing
+      * georeferencing, same stance as the conics. */
+    def fromGeoKeys(p: Map[Int, Double]): ObliqueStereographic = {
+      def req(ids: Seq[Int], what: String): Double =
+        ids.collectFirst { case id if p.contains(id) => p(id) }
+          .getOrElse(throw new IllegalArgumentException(
+            s"ObliqueStereographic GeoKeyDirectory missing $what " +
+              s"(keys ${ids.mkString("/")})"))
+      ObliqueStereographic(
+        lat0Deg = req(Seq(3081, 3089, 3085), "ProjNatOriginLat/ProjCenterLat"),
+        lon0Deg = req(Seq(3080, 3088, 3084), "ProjNatOriginLong/ProjCenterLong"),
+        falseE = p.getOrElse(3082, p.getOrElse(3086, 0.0)),
+        falseN = p.getOrElse(3083, p.getOrElse(3087, 0.0)),
+        k0 = p.getOrElse(3092, 1.0),
+        aAxis = p.getOrElse(2057, TransverseMercator.A),
+        e2 = p.get(2059).map(e2OfInvF).getOrElse(TransverseMercator.E2))
     }
   }
 

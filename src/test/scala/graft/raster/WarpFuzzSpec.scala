@@ -140,6 +140,43 @@ class WarpFuzzSpec extends AnyFunSuite {
     }
   }
 
+  /** Isotropy with the projection's OWN figure — the double
+    * stereographic fuzzes RANDOM ellipsoids (its RD instance lives on
+    * Bessel), so the WGS84-constant helper above would misreport. */
+  private def isotropyErrorOn(p: Warp.Projection, a: Double, e2: Double,
+                              lat: Double, lon: Double): Double = {
+    val h = 1e-4
+    val (xa, ya) = p.forward(lat, lon)
+    val (xb, yb) = p.forward(lat + h, lon)
+    val (xc, yc) = p.forward(lat, lon + h)
+    val s = math.sin(math.toRadians(lat))
+    val w = 1.0 - e2 * s * s
+    val m = a * (1.0 - e2) / (w * math.sqrt(w))
+    val nu = a / math.sqrt(w)
+    val kLat = math.hypot(xb - xa, yb - ya) / (m * math.toRadians(h))
+    val kLon = math.hypot(xc - xa, yc - ya) /
+      (nu * math.cos(math.toRadians(lat)) * math.toRadians(h))
+    math.abs(kLat / kLon - 1.0)
+  }
+
+  test("oblique stereographic: random origins, scales AND ellipsoids") {
+    for (_ <- 0 until 8) {
+      val invF = uni(290.0, 310.0)
+      val f = 1.0 / invF
+      val os = Warp.ObliqueStereographic(
+        lat0Deg = uni(-70.0, 70.0), lon0Deg = uni(-150.0, 150.0),
+        falseE = uni(0.0, 1e6), falseN = uni(0.0, 1e6),
+        k0 = uni(0.999, 1.0),
+        aAxis = uni(6.35e6, 6.40e6), e2 = f * (2.0 - f))
+      roundTrip(os, os.lat0Deg - 15.0, math.min(85.0, os.lat0Deg + 15.0),
+        os.lon0Deg - 20.0, os.lon0Deg + 20.0, tol = 1e-8)
+      for (dlat <- Seq(-10.0, 0.0, 10.0))
+        assert(isotropyErrorOn(os, os.aAxis, os.e2,
+          os.lat0Deg + dlat, os.lon0Deg + 8.0) < 1e-5,
+          s"sterea(${os.lat0Deg}, e2=${os.e2}) anisotropy at dlat $dlat")
+    }
+  }
+
   test("equirectangular: exact x/y linearity for random parallels") {
     for (_ <- 0 until 8) {
       val eq = Warp.Equirectangular(uni(0.0, 60.0), uni(-150.0, 150.0), 0.0, 0.0)

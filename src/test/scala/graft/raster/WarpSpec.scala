@@ -880,4 +880,92 @@ class WarpSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](Warp.tileToWebMercator(polar))
     assert(e.getMessage.contains("mercator"))
   }
+
+  test("oblique stereographic (Dutch RD): published point, round-trip, conformality") {
+    val rd = Warp.ObliqueStereographic.rdNew
+    // the false origin IS the natural origin: forward(φ0, λ0) = (FE, FN)
+    val (ox, oy) = rd.forward(52.0 + 9.0 / 60 + 22.178 / 3600,
+      5.0 + 23.0 / 60 + 15.500 / 3600)
+    assert(math.abs(ox - 155000.0) < 1e-6 && math.abs(oy - 463000.0) < 1e-6,
+      s"origin → ($ox, $oy)")
+    // IOGP Guidance Note 7-2's worked example for EPSG method 9809
+    // (Amersfoort / RD New): 53°N 6°E → E 196105.283, N 557057.739
+    val (ex, ny) = rd.forward(53.0, 6.0)
+    assert(math.abs(ex - 196105.283) < 0.01 && math.abs(ny - 557057.739) < 0.01,
+      s"GN7-2 example → ($ex, $ny)")
+    // mm-level round trip across the RD domain (inverse iterates the
+    // isometric latitude to 1e-14 rad)
+    for (lat <- Seq(50.6, 51.5, 52.2, 53.4); lon <- Seq(3.2, 4.9, 6.1, 7.2)) {
+      val (x, y) = rd.forward(lat, lon)
+      val (la, lo) = rd.inverse(x, y)
+      assert(math.abs(la - lat) < 1e-9 && math.abs(lo - lon) < 1e-9,
+        s"round trip ($lat, $lon) → ($la, $lo)")
+    }
+    // conformal: meridian and parallel scale factors agree on the
+    // PROJECTION'S OWN ellipsoid (Bessel) to finite-difference level
+    val a = Warp.ObliqueStereographic.BesselA
+    val e2 = Warp.ObliqueStereographic.BesselE2
+    for (lat <- Seq(51.0, 52.2, 53.0); lon <- Seq(4.0, 5.4, 6.5)) {
+      val h = 1e-4
+      val (xa, ya) = rd.forward(lat, lon)
+      val (xb, yb) = rd.forward(lat + h, lon)
+      val (xc, yc) = rd.forward(lat, lon + h)
+      val s = math.sin(math.toRadians(lat))
+      val w = 1.0 - e2 * s * s
+      val m = a * (1.0 - e2) / (w * math.sqrt(w))
+      val nu = a / math.sqrt(w)
+      val kLat = math.hypot(xb - xa, yb - ya) / (m * math.toRadians(h))
+      val kLon = math.hypot(xc - xa, yc - ya) /
+        (nu * math.cos(math.toRadians(lat)) * math.toRadians(h))
+      assert(math.abs(kLat / kLon - 1.0) < 1e-6, s"anisotropy at ($lat, $lon)")
+      // and scale at the origin parallel sits near k0
+      assert(kLat > 0.9998 && kLat < 1.0002, s"scale $kLat at ($lat, $lon)")
+    }
+  }
+
+  test("oblique stereographic: geokeys, registry code, pole images, degenerates") {
+    val rd = Warp.ObliqueStereographic.rdNew
+    // registry code resolves to the RD parameterization
+    assert(Warp.projectionFor(28992).contains(rd))
+    // CT 16 (and the CT 14 alias) with Bessel carried in 2057/2059
+    val keys = Map[Int, Double](
+      3081 -> rd.lat0Deg, 3080 -> rd.lon0Deg, 3092 -> 0.9999079,
+      3082 -> 155000.0, 3083 -> 463000.0,
+      2057 -> Warp.ObliqueStereographic.BesselA,
+      2059 -> Warp.ObliqueStereographic.BesselInvF)
+    for (ct <- Seq(14.0, 16.0)) {
+      val p = Warp.projectionFor(32767, keys + (3075 -> ct))
+      assert(p.contains(rd), s"CT $ct")
+    }
+    // without 2057/2059 the figure defaults to WGS84 — a DIFFERENT
+    // projection (~100 m): the ellipsoid keys are load-bearing
+    val wgs = Warp.projectionFor(32767,
+      (keys - 2057 - 2059) + (3075 -> 16.0)).get
+    val (bx, by) = rd.forward(53.0, 6.0)
+    val (wx, wy) = wgs.forward(53.0, 6.0)
+    assert(math.hypot(wx - bx, wy - by) > 10.0, "Bessel vs WGS84 must differ")
+    // pole images: forwarding near-pole approaches the declared
+    // singularity points (the poles map FINITE in the oblique aspect)
+    val Seq((pxn, pyn, pln), (pxs, pys, pls)) = rd.planeSingularities
+    assert(pln == 90.0 && pls == -90.0 && pxn == 155000.0 && pxs == 155000.0)
+    val (nx, ny2) = rd.forward(89.9999, 77.0) // any longitude
+    assert(math.hypot(nx - pxn, ny2 - pyn) < 50.0, s"north pole image ($nx, $ny2)")
+    // south pole: the stereographic scale is ~10 there (far
+    // hemisphere), so the 1e-4° ≈ 11 m step lands ~100 m away
+    val (sx, sy) = rd.forward(-89.9999, -13.0)
+    assert(math.hypot(sx - pxs, sy - pys) < 500.0, s"south pole image ($sx, $sy)")
+    // degenerate parameters fail fast with messages
+    val e1 = intercept[IllegalArgumentException](
+      Warp.ObliqueStereographic(90.0, 0.0, 0.0, 0.0))
+    assert(e1.getMessage.contains("polar"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      Warp.ObliqueStereographic(52.0, 5.0, 0.0, 0.0, k0 = 0.0))
+    assert(e2.getMessage.contains("k0"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException](
+      Warp.ObliqueStereographic(52.0, 5.0, 0.0, 0.0, aAxis = -1.0))
+    assert(e3.getMessage.contains("degenerate"), e3.getMessage)
+    val e4 = intercept[IllegalArgumentException](
+      Warp.ObliqueStereographic.fromGeoKeys(Map(3075 -> 16.0)))
+    assert(e4.getMessage.contains("missing"), e4.getMessage)
+  }
 }
