@@ -788,28 +788,66 @@ object SimQueries extends QueryModule {
     * corpus; the codes carry their cell so candidate selection is one
     * equality join on the probed cell, no second shuffle. Codebook =
     * the 8 seed vectors' residuals (fixture-sized like e7's seeds;
-    * k-means-trained codebooks drop in without changing the shape). */
+    * k-means-trained codebooks drop in without changing the shape).
+    *
+    * The codes and codebook are an INGEST ARTIFACT, not a query
+    * stage: [[ensurePqArtifacts]] builds them once per corpus version
+    * into parquet sidecars (memoized under /tmp like the raster lakes
+    * and the k-means fixed point), and the serving query reads them
+    * back — at 100 TB the corpus-wide quantization pass runs exactly
+    * once per ingest, and a query's executed plan contains NO
+    * corpus-wide window/aggregate (pinned in PlanInvariantsSpec: the
+    * codes enter from a FileScan, the code-build window is absent). */
+  private def ensurePqArtifacts(spark: SparkSession, sfDir: String): (String, String) = {
+    val base = s"${sys.props("java.io.tmpdir")}/graft_e11_v1_${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val codesDir = s"$base/codes"
+    val bookDir = s"$base/codebook"
+    if (!(new java.io.File(s"$codesDir/_SUCCESS").exists() &&
+          new java.io.File(s"$bookDir/_SUCCESS").exists())) {
+      Tables.register(spark, sfDir)
+      val km = convergedKmeans(spark, sfDir)
+      val resCtes =
+        s"""$sparkVecs,
+           |${centroidCte(km.centroids)},
+           |asg AS (SELECT vec_id, v, ${argmaxAssign(km.centroids)} AS c FROM n),
+           |res AS (SELECT asg.vec_id, asg.c,
+           |    zip_with(asg.v, cn.cv, (a, b) -> a - b) AS rv
+           |  FROM asg JOIN cn ON cn.c = asg.c),
+           |seed AS (SELECT vec_id AS cid, rv AS cv FROM res WHERE vec_id < 8)""".stripMargin
+      spark.sql(s"$resCtes SELECT cid, cv FROM seed")
+        .write.mode("overwrite").parquet(bookDir)
+      spark.sql(
+        s"""$resCtes,
+           |sub AS (SELECT /*+ BROADCAST(seed) */ res.vec_id, res.c, seed.cid, s,
+           |    vec_sqdist(res.rv, seed.cv, s*16, 16) AS d2
+           |  FROM res CROSS JOIN seed LATERAL VIEW explode(sequence(0, 3)) t AS s),
+           |best AS (SELECT vec_id, c, s, cid, d2,
+           |    row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cid) AS r FROM sub)
+           |SELECT vec_id, c,
+           |    max(CASE WHEN s=0 THEN cid END) AS code0,
+           |    max(CASE WHEN s=1 THEN cid END) AS code1,
+           |    max(CASE WHEN s=2 THEN cid END) AS code2,
+           |    max(CASE WHEN s=3 THEN cid END) AS code3
+           |FROM best WHERE r = 1 GROUP BY vec_id, c""".stripMargin)
+        .write.mode("overwrite").parquet(codesDir)
+    }
+    (codesDir, bookDir)
+  }
+
   private def ivfPqTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val (codesDir, bookDir) = ensurePqArtifacts(spark, sfDir)
+    Tables.register(spark, sfDir)
     val km = convergedKmeans(spark, sfDir)
+    // per-call view names: a fixed name is a race between concurrent
+    // sessions serving different corpus dirs
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    spark.read.parquet(codesDir).createOrReplaceTempView(s"e11_codes_$tag")
+    spark.read.parquet(bookDir).createOrReplaceTempView(s"e11_book_$tag")
     spark.sql(
       s"""$sparkVecs,
          |${centroidCte(km.centroids)},
-         |asg AS (SELECT vec_id, v, ${argmaxAssign(km.centroids)} AS c FROM n),
-         |res AS (SELECT asg.vec_id, asg.c,
-         |    zip_with(asg.v, cn.cv, (a, b) -> a - b) AS rv
-         |  FROM asg JOIN cn ON cn.c = asg.c),
-         |seed AS (SELECT vec_id AS cid, rv AS cv FROM res WHERE vec_id < 8),
-         |sub AS (SELECT /*+ BROADCAST(seed) */ res.vec_id, res.c, seed.cid, s,
-         |    vec_sqdist(res.rv, seed.cv, s*16, 16) AS d2
-         |  FROM res CROSS JOIN seed LATERAL VIEW explode(sequence(0, 3)) t AS s),
-         |best AS (SELECT vec_id, c, s, cid, d2,
-         |    row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cid) AS r FROM sub),
-         |codes AS (SELECT vec_id, c,
-         |    max(CASE WHEN s=0 THEN cid END) AS code0,
-         |    max(CASE WHEN s=1 THEN cid END) AS code1,
-         |    max(CASE WHEN s=2 THEN cid END) AS code2,
-         |    max(CASE WHEN s=3 THEN cid END) AS code3
-         |  FROM best WHERE r = 1 GROUP BY vec_id, c),
+         |seed AS (SELECT cid, cv FROM e11_book_$tag),
+         |codes AS (SELECT vec_id, c, code0, code1, code2, code3 FROM e11_codes_$tag),
          |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < 5),
          |pc AS (SELECT qid, cn.c AS cell,
          |        row_number() OVER (PARTITION BY qid
@@ -937,6 +975,164 @@ object SimQueries extends QueryModule {
        |  ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
        |GROUP BY e.query_id""".stripMargin
 
+  /** e14's trained-codebook ADC CTE chain + final top-5 SELECT, one
+    * generator for both dialects (they cannot drift apart). Expects
+    * `n` (vectors) and `res` (residuals `rv` + cell `c`) CTEs in
+    * scope, with the centroid table named `cnName`.
+    *
+    * Training: per-subspace k-means (the PQ paper's real codebook
+    * construction, vs e11's seed-residual stand-in) — `TrainIter`
+    * Lloyd rounds over the 4 × 16-dim residual subvectors, k = 8,
+    * seeded by the seed residuals. Cross-engine parity without the
+    * chunked-fold machinery the main k-means needs: residuals
+    * QUANTIZE to integer-valued doubles (×2²⁰, exact — |rv| < 2 so
+    * round(x·2²⁰) < 2²², and 500 of them sum < 2³¹), so centroid
+    * sums are exact integers in ANY aggregation order and the mean is
+    * one deterministic IEEE division; every subsequent distance is an
+    * index-ordered fold of deterministic doubles. ADC distances
+    * assemble in the fixed d0+d1+d2+d3 association like e11. */
+  private val TrainIter = 3
+
+  private def e14Body(sparkD: Boolean, cnName: String): String = {
+    def slice(arr: String, s: String): String =
+      if (sparkD) s"slice($arr, $s*16+1, 16)"
+      else s"list_slice($arr, $s*16+1, $s*16+16)"
+    def sq(x: String, c: String): String =
+      if (sparkD) s"vec_sqdist($x, $c, 0, 16)"
+      else s"list_reduce([($x[k] - $c[k]) * ($x[k] - $c[k]) " +
+        s"for k in generate_series(1, 16)], (acc, y) -> acc + y)"
+    def quant(arr: String): String =
+      if (sparkD) s"transform($arr, x -> round(x * 1048576.0))"
+      else s"[round(x * 1048576.0) for x in $arr]"
+    val explodeS =
+      if (sparkD) "LATERAL VIEW explode(sequence(0, 3)) t AS s"
+      else "CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS s)"
+    val explodeK =
+      if (sparkD) "LATERAL VIEW explode(sequence(0, 15)) tk AS k"
+      else "CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS k)"
+    val assemble =
+      if (sparkD) "transform(array_sort(collect_list(named_struct('k', k, 'm', sx / cnt))), p -> p.m)"
+      else "list(sx / cnt ORDER BY k)"
+    val routeSim =
+      if (sparkD) s"vec_dot(qv, $cnName.cv) / (qn * $cnName.cnrm)"
+      else s"${dDot("qv", s"$cnName.cv")} / (qn * $cnName.cnrm)"
+    val qresDiff =
+      if (sparkD) s"zip_with(q.qv, $cnName.cv, (a, b) -> a - b)"
+      else s"[q.qv[k] - $cnName.cv[k] for k in generate_series(1, len(q.qv))]"
+    val sb = new StringBuilder
+    sb ++= s"""rq AS (SELECT vec_id, c, ${quant("rv")} AS rvq FROM res),
+       |sub0 AS (SELECT vec_id, c, s, ${slice("rvq", "s")} AS x FROM rq $explodeS),
+       |cb0 AS (SELECT s, vec_id AS cid, x AS cv FROM sub0 WHERE vec_id < 8)""".stripMargin
+    for (i <- 1 to TrainIter) {
+      val p = i - 1
+      sb ++= s""",
+         |a_$i AS (SELECT sub0.vec_id, sub0.s, sub0.x, cb$p.cid,
+         |    row_number() OVER (PARTITION BY sub0.vec_id, sub0.s
+         |      ORDER BY ${sq("sub0.x", s"cb$p.cv")}, cb$p.cid) AS r
+         |  FROM sub0 JOIN cb$p ON cb$p.s = sub0.s),
+         |asg_$i AS (SELECT vec_id, s, x, cid FROM a_$i WHERE r = 1),
+         |g_$i AS (SELECT s, cid, k, SUM(${if (sparkD) "element_at(x, k + 1)" else "x[k + 1]"}) AS sx, COUNT(*) AS cnt
+         |  FROM asg_$i $explodeK GROUP BY s, cid, k),
+         |cb$i AS (SELECT s, cid, $assemble AS cv FROM g_$i GROUP BY s, cid)""".stripMargin
+    }
+    sb ++= s""",
+       |aF AS (SELECT sub0.vec_id, sub0.c, sub0.s, cb$TrainIter.cid,
+       |    row_number() OVER (PARTITION BY sub0.vec_id, sub0.s
+       |      ORDER BY ${sq("sub0.x", s"cb$TrainIter.cv")}, cb$TrainIter.cid) AS r
+       |  FROM sub0 JOIN cb$TrainIter ON cb$TrainIter.s = sub0.s),
+       |codesT AS (SELECT vec_id, c,
+       |    max(CASE WHEN s=0 THEN cid END) AS code0,
+       |    max(CASE WHEN s=1 THEN cid END) AS code1,
+       |    max(CASE WHEN s=2 THEN cid END) AS code2,
+       |    max(CASE WHEN s=3 THEN cid END) AS code3
+       |  FROM aF WHERE r = 1 GROUP BY vec_id, c),
+       |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < 5),
+       |pc AS (SELECT qid, $cnName.c AS cell,
+       |        row_number() OVER (PARTITION BY qid
+       |          ORDER BY $routeSim DESC, $cnName.c) AS cr
+       |       FROM q CROSS JOIN $cnName),
+       |probe AS (SELECT qid, cell FROM pc WHERE cr <= 2),
+       |qres AS (SELECT probe.qid, probe.cell, $qresDiff AS qrv
+       |  FROM probe JOIN q ON q.qid = probe.qid
+       |       JOIN $cnName ON $cnName.c = probe.cell),
+       |qsub AS (SELECT qid, cell, s, ${slice(quant("qrv"), "s")} AS qx
+       |  FROM qres $explodeS),
+       |dtT AS (SELECT qsub.qid, qsub.cell, qsub.s, cb$TrainIter.cid,
+       |    ${sq("qsub.qx", s"cb$TrainIter.cv")} AS d2
+       |  FROM qsub JOIN cb$TrainIter ON cb$TrainIter.s = qsub.s),
+       |candT AS (SELECT probe.qid, codesT.vec_id AS nid, probe.cell,
+       |    codesT.code0, codesT.code1, codesT.code2, codesT.code3
+       |  FROM probe JOIN codesT ON codesT.c = probe.cell
+       |  WHERE codesT.vec_id != probe.qid),
+       |adcT AS (SELECT candT.qid, candT.nid,
+       |    d0.d2 + d1.d2 + d2t.d2 + d3.d2 AS adist
+       |  FROM candT
+       |  JOIN dtT d0 ON d0.qid = candT.qid AND d0.cell = candT.cell
+       |    AND d0.s = 0 AND d0.cid = candT.code0
+       |  JOIN dtT d1 ON d1.qid = candT.qid AND d1.cell = candT.cell
+       |    AND d1.s = 1 AND d1.cid = candT.code1
+       |  JOIN dtT d2t ON d2t.qid = candT.qid AND d2t.cell = candT.cell
+       |    AND d2t.s = 2 AND d2t.cid = candT.code2
+       |  JOIN dtT d3 ON d3.qid = candT.qid AND d3.cell = candT.cell
+       |    AND d3.s = 3 AND d3.cid = candT.code3)
+       |SELECT qid AS query_id, nid AS neighbor_id
+       |FROM (SELECT qid, nid, adist,
+       |        row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS rnk FROM adcT) t
+       |WHERE rnk <= 5""".stripMargin
+    sb.result()
+  }
+
+  /** e14: recall@5 of IVFADC with the per-subspace k-means TRAINED
+    * codebook — the measured answer to "how much does real codebook
+    * training buy over the seed stand-in" (compare e12, the verdict's
+    * round-7 ask #5). A MEASUREMENT query: it replays the (ingest-
+    * time) training inline the way e12 replays the search, because
+    * the measurement must see the whole pipeline. */
+  private def pqTrainedRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    Tables.register(spark, sfDir)
+    val km = convergedKmeans(spark, sfDir)
+    val adcSql =
+      s"""$sparkVecs,
+         |${centroidCte(km.centroids)},
+         |asg AS (SELECT vec_id, v, ${argmaxAssign(km.centroids)} AS c FROM n),
+         |res AS (SELECT asg.vec_id, asg.c,
+         |    zip_with(asg.v, cn.cv, (a, b) -> a - b) AS rv
+         |  FROM asg JOIN cn ON cn.c = asg.c),
+         |${e14Body(sparkD = true, cnName = "cn")}""".stripMargin
+    val exact = spark.sql(exactTop5Sql).as("e")
+    val adc = spark.sql(adcSql).as("i")
+    exact.join(adc,
+        col("e.query_id") === col("i.query_id") &&
+          col("e.neighbor_id") === col("i.neighbor_id"), "left")
+      .groupBy(col("e.query_id").as("query_id"))
+      .agg(count(col("i.neighbor_id")).as("hits"),
+        (count(col("i.neighbor_id")).cast("double") / 5).as("recall_at_5"))
+  }
+
+  private def e14Oracle: String =
+    s"""WITH exact AS (SELECT query_id, neighbor_id FROM (
+       |  $duckVecs,
+       |  q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < 5),
+       |  s AS (SELECT qid, n.vec_id AS nid, ${dDot("qv", "n.v")} / (qn * n.nrm) AS sim
+       |        FROM q CROSS JOIN n WHERE n.vec_id != qid)
+       |  SELECT qid AS query_id, nid AS neighbor_id
+       |  FROM (SELECT qid, nid, sim,
+       |          row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk FROM s) t
+       |  WHERE rnk <= 5)),
+       |adc AS (SELECT query_id, neighbor_id FROM (
+       |  $duckVecs,
+       |  ${kmeansCtes(KmMaxIter + 1)},
+       |  res AS (SELECT asg.vec_id, asg.c,
+       |      [asg.v[k] - cn.cv[k] for k in generate_series(1, len(asg.v))] AS rv
+       |    FROM asg${KmMaxIter + 1} asg JOIN cn$KmMaxIter cn ON cn.c = asg.c),
+       |  ${e14Body(sparkD = false, cnName = s"cn$KmMaxIter")}))
+       |SELECT e.query_id, count(i.neighbor_id) AS hits,
+       |  CAST(count(i.neighbor_id) AS DOUBLE) / 5 AS recall_at_5
+       |FROM exact e LEFT JOIN adc i
+       |  ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+       |GROUP BY e.query_id""".stripMargin
+
   private def e8Oracle: String =
     s"""WITH exact AS (SELECT query_id, neighbor_id FROM (
        |  $duckVecs,
@@ -969,7 +1165,8 @@ object SimQueries extends QueryModule {
       ("e4_ann_lsh_auto" -> ((s: SparkSession, d: String) => e4Auto(s, d))) +
       ("e9_semdedup" -> ((s: SparkSession, d: String) => semDedup(s, d))) +
       ("e11_ivfpq" -> ((s: SparkSession, d: String) => ivfPqTopK(s, d))) +
-      ("e12_ivfpq_recall" -> ((s: SparkSession, d: String) => ivfPqRecall(s, d)))
+      ("e12_ivfpq_recall" -> ((s: SparkSession, d: String) => ivfPqRecall(s, d))) +
+      ("e14_pq_trained_recall" -> ((s: SparkSession, d: String) => pqTrainedRecall(s, d)))
 
   override def oracles: Map[String, String] =
     sqls.flatMap(q => q.oracleSql.map(q.name -> _)).toMap +
@@ -981,5 +1178,6 @@ object SimQueries extends QueryModule {
       ("e4_ann_lsh_auto" -> e4Oracle) +
       ("e9_semdedup" -> e9Oracle) +
       ("e11_ivfpq" -> e11Oracle) +
-      ("e12_ivfpq_recall" -> e12Oracle)
+      ("e12_ivfpq_recall" -> e12Oracle) +
+      ("e14_pq_trained_recall" -> e14Oracle)
 }

@@ -158,6 +158,18 @@ class PlanInvariantsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert("BroadcastHashJoin \\[cell".r.findFirstIn(p).isDefined ||
       "BroadcastHashJoin \\[c#".r.findFirstIn(p).isDefined,
       s"no broadcast equality join on the cell column:\n${p.take(800)}")
+    // the codes are an INGEST ARTIFACT: the serving plan reads them
+    // from parquet and contains NO corpus-wide quantization stage
+    assert(p.contains("/codes") || p.toLowerCase.contains("e11_codes"),
+      s"codes do not enter from the persisted sidecar:\n${p.take(800)}")
+    // every window in the serving plan is per-QUERY (partitioned by
+    // qid — 5 rows × k cells; the probe ranking inlines per distance
+    // table, all tiny); the code build's signature is a window
+    // partitioned by the corpus vec_id, which must be absent
+    assert(!p.contains("windowspecdefinition(vec_id"),
+      "corpus-wide code-build window leaked into the serving query")
+    assert(!p.contains("vec_sqdist(rv"),
+      "corpus-residual quantization ran inside the serving query")
   }
 
   test("d4/d8: the posting stream shuffles once, then both read the buckets") {
