@@ -42,7 +42,7 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val outDir = if (args.length > 1) args(1)
-      else s"${sys.props("java.io.tmpdir")}/graft_sf10x"
+      else s"${sys.props("java.io.tmpdir")}/graft_sf10x_v2"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // NB: driver heap cannot be set here — local-mode `runMain` runs
     // inside the already-forked JVM, so a spark.driver.memory config
@@ -52,6 +52,15 @@ object ScaleProbe {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // e4's exact-verify join at 100× must BROADCAST the vector side
+      // (200k × ~600 B ≈ 120 MB — trivially broadcastable): under the
+      // default 10 MB threshold Spark sort-merge-joins instead, which
+      // drags two 512 B embedding arrays per candidate pair through a
+      // sort of ~4.6e8 rows — ~200 GB of spill that fills the probe
+      // box's disk. On a real cluster the embedding side of a verify
+      // join is exactly the kind of dimension you broadcast (or
+      // co-partition by the pair key when it outgrows memory).
+      .config("spark.sql.autoBroadcastJoinThreshold", (1L << 30).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     buildScaled(spark, sfDir, outDir)
@@ -63,6 +72,12 @@ object ScaleProbe {
       SparkEntry.queries(name)(spark, dir).count()
       (System.nanoTime() - t0) / 1e9
     }
+    // GRAFT_PROBE_SKIP_BASE: iterate on the 100× section alone (the
+    // base 10× sweep is ~5 min of timing that must not run while
+    // another Spark JVM competes for the cores)
+    val skipBase = sys.env.contains("GRAFT_PROBE_SKIP_BASE")
+    if (!skipBase) runBase()
+    def runBase(): Unit = {
     val rows = Headline.map { q =>
       val t1 = warmTime(q, sfDir)
       val t10 = warmTime(q, outDir)
@@ -123,15 +138,65 @@ object ScaleProbe {
     val zFull10 = timedDf(RasterQueries.probeZonal(spark, lake10, rg10, fullExtent(rg10)))
     println(f"""{"query":"zonal_fixed_aoi_pruned","sec_1x":$zFix1%.2f,"sec_10x":$zFix10%.2f,"exponent":${math.log10(zFix10 / zFix1)}%.2f,"expect":"~0 (pruned)"}""")
     println(f"""{"query":"zonal_full_extent","sec_1x":$zFull1%.2f,"sec_10x":$zFull10%.2f,"exponent":${math.log10(zFull10 / zFull1)}%.2f,"expect":"~1 (linear)"}""")
+
+    // ---- PQ codebook quality (round-8 verdict ask #5): mean recall@5
+    // of IVFADC with the seed codebook (e12's pipeline) vs the
+    // per-subspace k-means-TRAINED codebook (e14's), at this sf — the
+    // measured answer to what training buys. The declared oracle
+    // queries use 5 query vectors (25 neighbor slots — pure noise as
+    // a MEASUREMENT; a 3-hit swing flips the sign); the probe widens
+    // to 50 queries / 250 slots through the same parameterized
+    // pipelines.
+    def meanRecall(df: org.apache.spark.sql.DataFrame): Double = {
+      val rows = df.select("recall_at_5").collect()
+      rows.map(_.getDouble(0)).sum / rows.length
+    }
+    val rSeed = meanRecall(SimQueries.ivfPqRecall(spark, sfDir, nQ = 50))
+    val rTrained = meanRecall(SimQueries.pqTrainedRecall(spark, sfDir, nQ = 50))
+    println(f"""{"probe":"pq_codebook_recall","queries":50,"seed_mean_recall_at_5":$rSeed%.3f,"trained_mean_recall_at_5":$rTrained%.3f}""")
+    }
+
+    // ---- 100× (round-8 verdict ask #8): the 10× exponents on
+    // sub-second queries are noise-dominated; push the two cheapest
+    // headline ops where fixed overhead no longer dominates. Gated by
+    // env because the 100× corpus build is minutes, not seconds.
+    if (sys.env.contains("GRAFT_PROBE_100X")) {
+      import graft.simsearch.SimQueries
+      def timed100(f: => Long): Double = {
+        f; val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val out100 = s"${sys.props("java.io.tmpdir")}/graft_sf100x_v2"
+      buildScaled(spark, sfDir, out100, reps = 100)
+      val d3t10 = warmTime("d3_minhash_lsh_pairs", outDir)
+      val d3t100 = warmTime("d3_minhash_lsh_pairs", out100)
+      println(f"""{"query":"d3_minhash_lsh_pairs","sec_10x":$d3t10%.2f,"sec_100x":$d3t100%.2f,"exponent_10_100":${math.log10(d3t100 / d3t10)}%.2f}""")
+      val n10e = spark.read.parquet(s"$outDir/embeddings.parquet").count()
+      val n100 = spark.read.parquet(s"$out100/embeddings.parquet").count()
+      val bits10e = SimQueries.e4AutoBits(n10e)
+      val bits100 = SimQueries.e4AutoBits(n100)
+      val a10 = timed100(SimQueries.e4Banded(spark, outDir, bits10e).count())
+      val a100 = timed100(SimQueries.e4Banded(spark, out100, bits100).count())
+      println(f"""{"query":"e4_auto_bands","bits_10x":$bits10e,"bits_100x":$bits100,"sec_10x":$a10%.2f,"sec_100x":$a100%.2f,"exponent_10_100":${math.log10(a100 / a10)}%.2f}""")
+      val (f100, tot100) = SimQueries.e4Recall(spark, out100, bits100, sampleMod = 400)
+      val rec100 = if (tot100 == 0) 1.0 else f100.toDouble / tot100
+      println(f"""{"query":"e4_auto_recall_100x","recall":$rec100%.3f,"recall_pairs":"$f100/$tot100"}""")
+    }
     spark.stop()
   }
 
-  /** Idempotent build of the 10× dir (documents + embeddings scaled,
-    * everything else symlinked). */
-  def buildScaled(spark: SparkSession, sfDir: String, outDir: String): Unit = {
+  /** Idempotent build of an N× dir (documents + embeddings scaled,
+    * everything else symlinked). The embedding transform must keep
+    * replicas DECORRELATED (no cross-replica near-neighbors, so pair
+    * cardinality scales linearly): replica r circularly shifts by
+    * `r mod 64` dims (norms preserved), and replicas ≥ 64 ALSO negate
+    * the vector — a shift collision with r−64 then lands at cosine
+    * −1, below any positive threshold, instead of duplicating. */
+  def buildScaled(spark: SparkSession, sfDir: String, outDir: String,
+                  reps: Int = 10): Unit = {
     val marker = new java.io.File(s"$outDir/_SCALED")
     if (marker.exists()) return
     import java.nio.file.{Files, Paths}
+    require(reps <= 128, s"decorrelation transform covers ≤128 replicas, got $reps")
     Files.createDirectories(Paths.get(outDir))
     graft.functions.GraftFunctions.install(spark)
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -142,7 +207,7 @@ object ScaleProbe {
          |  array_join(transform(split(text, ' '), w -> concat(w, '_', r)), ' ') AS text,
          |  lang, source,
          |  CAST(length(array_join(transform(split(text, ' '), w -> concat(w, '_', r)), ' ')) AS BIGINT) AS n_chars
-         |FROM sp_docs LATERAL VIEW explode(sequence(0, 9)) t AS r""".stripMargin)
+         |FROM sp_docs LATERAL VIEW explode(sequence(0, ${reps - 1})) t AS r""".stripMargin)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
     val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
@@ -150,10 +215,12 @@ object ScaleProbe {
     vecs.createOrReplaceTempView("sp_vecs")
     spark.sql(
       s"""SELECT vec_id + r * $nVecs AS vec_id, label,
-         |  CASE WHEN r = 0 THEN embedding
-         |       ELSE concat(slice(embedding, r * 6 + 1, 64 - r * 6),
-         |                   slice(embedding, 1, r * 6)) END AS embedding
-         |FROM sp_vecs LATERAL VIEW explode(sequence(0, 9)) t AS r""".stripMargin)
+         |  transform(
+         |    CASE WHEN r % 64 = 0 THEN embedding
+         |         ELSE concat(slice(embedding, r % 64 + 1, 64 - r % 64),
+         |                     slice(embedding, 1, r % 64)) END,
+         |    x -> IF(r >= 64, -x, x)) AS embedding
+         |FROM sp_vecs LATERAL VIEW explode(sequence(0, ${reps - 1})) t AS r""".stripMargin)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
     for (t <- Tables.all if t != "documents" && t != "embeddings") {

@@ -46,6 +46,32 @@ object MediaLake {
   private[multimodal] def dims(docId: Long, n: Int): (Int, Int) =
     (16 + n % 16, 16 + (docId % 16).toInt)
 
+  /** Sample formula shared by the audio renderer and the m4 oracle:
+    * sample i = text byte i − 64 (the PCM stand-in m4 always used —
+    * now stored inside a REAL RIFF/WAVE container). */
+  private[multimodal] def pcmSamples(text: Array[Byte]): Array[Short] =
+    Array.tabulate(text.length)(i => ((text(i) & 0xff) - 64).toShort)
+
+  /** Idempotent build of the AUDIO lake: one 16-bit PCM mono WAV per
+    * document ([[Wav.encode]]), same memoization contract as the
+    * image lake. m4 decodes these with the full RIFF chunk walk. */
+  def ensureAudio(spark: SparkSession, sfDir: String): String = {
+    val lake = s"${sys.props("java.io.tmpdir")}/graft_audio_lake_v1_${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    if (!new java.io.File(s"$lake/_SUCCESS").exists()) {
+      val docs = Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text"))
+        .where(length(col("text")) > 0)
+      docs.mapPartitions { it =>
+        it.map { row =>
+          val samples = pcmSamples(row.getString(1).getBytes("UTF-8"))
+          Row(row.getLong(0), "wav", Wav.encode(8000, samples))
+        }
+      }(Encoders.row(lakeSchema))
+        .write.mode("overwrite").parquet(lake)
+    }
+    lake
+  }
+
   /** Idempotent build; returns the lake dir. */
   def ensure(spark: SparkSession, sfDir: String): String = {
     val lake = s"${sys.props("java.io.tmpdir")}/graft_media_lake_v1_${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}"

@@ -155,26 +155,25 @@ object MultimodalQueries extends QueryModule {
     StructField("energy", LongType),
     StructField("peak", IntegerType)))
 
-  /** M4: windowed audio features over a fake PCM stream — per
-    * 64-sample window: energy = Σ s² and peak = max |s|, with
-    * s = byte − 64 (the deterministic stand-in for PCM decode). The
-    * per-window loop is the batched kernel shape of a real audio
-    * front-end (RMS / voice-activity features); integer-only so the
-    * oracle reproduces it exactly. Fan-out is bounded (≤ ~10 windows
-    * per document at the test text lengths; at scale the window rows
-    * stay proportional to audio duration — a narrow map, no shuffle). */
+  /** M4: windowed audio features over REAL WAV containers — the
+    * audio lake stores each document as a 16-bit PCM mono RIFF/WAVE
+    * file ([[MediaLake.ensureAudio]]) and this kernel runs the full
+    * chunk-walking decode ([[Wav.decode]]) before the per-64-sample
+    * window pass: energy = Σ s² and peak = max |s|. The samples are
+    * rendered by the closed formula the DuckDB oracle replays from
+    * the text (the same contract as the PNG family: the oracle checks
+    * the feature math, WavSpec pins decode fidelity byte-exactly).
+    * Fan-out is bounded (window rows ∝ audio duration — a narrow
+    * map, no shuffle). */
   private def audioEnergy(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.load(spark, sfDir, "documents")
-    // empty streams emit nothing (lastWin = -1); the oracle filters
-    // len(text) > 0 explicitly because DuckDB's string_split('','')
-    // is [''] (one spurious zero sample), not []
-    val media = docs.select(col("doc_id"), col("text").cast(BinaryType).as("media"))
+    val media = spark.read.parquet(MediaLake.ensureAudio(spark, sfDir))
     val W = 64
     media.mapPartitions { it =>
       it.grouped(BatchSize).flatMap { batch =>
         batch.iterator.flatMap { row =>
-          val bytes = row.getAs[Array[Byte]]("media")
-          val n = bytes.length
+          val audio = Wav.decode(row.getAs[Array[Byte]]("media"))
+          val smp = audio.samples
+          val n = smp.length
           val lastWin = math.floorDiv(n - 1, W) // -1 for an empty stream
           (0 to lastWin).iterator.map { k =>
             val end = math.min(n, (k + 1) * W)
@@ -182,7 +181,7 @@ object MultimodalQueries extends QueryModule {
             var energy = 0L
             var peak = 0
             while (i < end) {
-              val s = (bytes(i) & 0xff) - 64
+              val s = smp(i).toInt
               energy += s.toLong * s
               if (math.abs(s) > peak) peak = math.abs(s)
               i += 1

@@ -96,10 +96,30 @@ object SimQueries extends QueryModule {
     * scaling at 10× (20k). Candidate pairs grow with occupancy², so a
     * pinned width is superlinear in corpus size — this is THE scale
     * knob; the table count grows with it as 8×bits so recall holds. */
+  /** THE scale knob, auto-sized on a CANDIDATE BUDGET: smallest width
+    * whose expected verify work per vector — bucket occupancy
+    * (n/2^bits) × table count (8·bits) — stays ≤ ~1600, i.e. total
+    * candidates ∝ n BY CONSTRUCTION. Round 7's occupancy-only rule
+    * (occupancy ≤ 100) was falsified by the round-8 100× probe: with
+    * occupancy pinned near its cap, candidates grew as occ × tables
+    * (measured 10×→100× exponent 1.91, 4 s → 335 s, recall 0.485);
+    * the budget rule re-measured 1.17 / 40 s, recall 0.201 at the
+    * fixture's τ = 0.4 (BENCH_sf1.md). The recall ladder is the
+    * PUBLISHED LSH trade, not a defect: at τ = 0.4, p₁ = 1 − θ/π =
+    * 0.63 gives ρ = ln p₁ / ln p₂ ≈ 0.67, so CONSTANT recall
+    * inherently costs n^1.67 total — no knob escapes it; at the
+    * realistic near-dup thresholds this op serves (τ ≥ 0.9,
+    * p₁ = 0.86) the same budget holds recall ≈ 1, and m6's
+    * multi-signal union exists precisely because one bucketed signal
+    * is allowed to miss. At the oracle fixture sizes (n ≤ 2000) both
+    * rules choose 6 bits, so `e4_ann_lsh_auto`'s brute-force-oracle
+    * equality is unchanged. */
   private[graft] def e4AutoBits(n: Long): Int = {
-    val need = math.ceil(
-      math.log(math.max(1.0, n.toDouble / 100.0)) / math.log(2.0)).toInt
-    math.min(62, math.max(6, need))
+    val budget = 1600.0
+    var bits = 6
+    while (bits < 62 &&
+      (n.toDouble / math.pow(2.0, bits)) * (8.0 * bits) > budget) bits += 1
+    bits
   }
 
   /** e4 with the band width derived from the corpus size — the
@@ -748,9 +768,9 @@ object SimQueries extends QueryModule {
     * recall one IEEE division, so the oracle hash-matches. The join
     * is 25 rows × 25 rows — the measurement costs nothing next to the
     * pipelines it audits. */
-  private def exactTop5Sql: String =
+  private def exactTop5Sql(nQ: Int = 5): String =
     s"""$sparkVecs,
-       |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < 5),
+       |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < $nQ),
        |s AS (SELECT qid, n.vec_id AS nid, vec_dot(qv, n.v) / (qn * n.nrm) AS sim
        |      FROM q CROSS JOIN n WHERE n.vec_id != qid)
        |SELECT qid AS query_id, nid AS neighbor_id
@@ -761,7 +781,7 @@ object SimQueries extends QueryModule {
   private def ivfRecall(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     Tables.register(spark, sfDir)
-    val exact = spark.sql(exactTop5Sql).as("e")
+    val exact = spark.sql(exactTop5Sql()).as("e")
     val ivf = ivfTopK(spark, sfDir)
       .select(col("query_id"), col("neighbor_id")).as("i")
     exact.join(ivf,
@@ -834,7 +854,8 @@ object SimQueries extends QueryModule {
     (codesDir, bookDir)
   }
 
-  private def ivfPqTopK(spark: SparkSession, sfDir: String): DataFrame = {
+  private def ivfPqTopK(spark: SparkSession, sfDir: String,
+                        nQ: Int = 5): DataFrame = {
     val (codesDir, bookDir) = ensurePqArtifacts(spark, sfDir)
     Tables.register(spark, sfDir)
     val km = convergedKmeans(spark, sfDir)
@@ -848,7 +869,7 @@ object SimQueries extends QueryModule {
          |${centroidCte(km.centroids)},
          |seed AS (SELECT cid, cv FROM e11_book_$tag),
          |codes AS (SELECT vec_id, c, code0, code1, code2, code3 FROM e11_codes_$tag),
-         |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < 5),
+         |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < $nQ),
          |pc AS (SELECT qid, cn.c AS cell,
          |        row_number() OVER (PARTITION BY qid
          |          ORDER BY vec_dot(qv, cn.cv) / (qn * cn.cnrm) DESC, cn.c) AS cr
@@ -944,11 +965,12 @@ object SimQueries extends QueryModule {
     * the code-quantized probed search against the exact brute-force
     * top-5. Quantifies BOTH losses at once — cell routing (e8's
     * subject) and the PQ residual codes. */
-  private def ivfPqRecall(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def ivfPqRecall(spark: SparkSession, sfDir: String,
+                                 nQ: Int = 5): DataFrame = {
     import org.apache.spark.sql.functions._
     Tables.register(spark, sfDir)
-    val exact = spark.sql(exactTop5Sql).as("e")
-    val adc = ivfPqTopK(spark, sfDir)
+    val exact = spark.sql(exactTop5Sql(nQ)).as("e")
+    val adc = ivfPqTopK(spark, sfDir, nQ)
       .select(col("query_id"), col("neighbor_id")).as("i")
     exact.join(adc,
         col("e.query_id") === col("i.query_id") &&
@@ -993,7 +1015,7 @@ object SimQueries extends QueryModule {
     * assemble in the fixed d0+d1+d2+d3 association like e11. */
   private val TrainIter = 3
 
-  private def e14Body(sparkD: Boolean, cnName: String): String = {
+  private def e14Body(sparkD: Boolean, cnName: String, nQ: Int = 5): String = {
     def slice(arr: String, s: String): String =
       if (sparkD) s"slice($arr, $s*16+1, 16)"
       else s"list_slice($arr, $s*16+1, $s*16+16)"
@@ -1046,7 +1068,7 @@ object SimQueries extends QueryModule {
        |    max(CASE WHEN s=2 THEN cid END) AS code2,
        |    max(CASE WHEN s=3 THEN cid END) AS code3
        |  FROM aF WHERE r = 1 GROUP BY vec_id, c),
-       |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < 5),
+       |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < $nQ),
        |pc AS (SELECT qid, $cnName.c AS cell,
        |        row_number() OVER (PARTITION BY qid
        |          ORDER BY $routeSim DESC, $cnName.c) AS cr
@@ -1088,7 +1110,8 @@ object SimQueries extends QueryModule {
     * round-7 ask #5). A MEASUREMENT query: it replays the (ingest-
     * time) training inline the way e12 replays the search, because
     * the measurement must see the whole pipeline. */
-  private def pqTrainedRecall(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def pqTrainedRecall(spark: SparkSession, sfDir: String,
+                                     nQ: Int = 5): DataFrame = {
     import org.apache.spark.sql.functions._
     Tables.register(spark, sfDir)
     val km = convergedKmeans(spark, sfDir)
@@ -1099,8 +1122,8 @@ object SimQueries extends QueryModule {
          |res AS (SELECT asg.vec_id, asg.c,
          |    zip_with(asg.v, cn.cv, (a, b) -> a - b) AS rv
          |  FROM asg JOIN cn ON cn.c = asg.c),
-         |${e14Body(sparkD = true, cnName = "cn")}""".stripMargin
-    val exact = spark.sql(exactTop5Sql).as("e")
+         |${e14Body(sparkD = true, cnName = "cn", nQ = nQ)}""".stripMargin
+    val exact = spark.sql(exactTop5Sql(nQ)).as("e")
     val adc = spark.sql(adcSql).as("i")
     exact.join(adc,
         col("e.query_id") === col("i.query_id") &&

@@ -45,6 +45,25 @@ class MediaLakeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("every audio-lake row is a real WAV whose samples equal the formula") {
+    val sfDir = "/root/testdata/sf0.001"
+    val lake = MediaLake.ensureAudio(spark, sfDir)
+    val media = spark.read.parquet(lake).collect()
+    assert(media.length == 500, s"audio lake rows=${media.length}")
+    val texts = graft.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    media.foreach { row =>
+      val id = row.getAs[Long]("doc_id")
+      val bytes = row.getAs[Array[Byte]]("media")
+      assert(new String(bytes, 0, 4, "US-ASCII") == "RIFF", s"doc $id: not RIFF")
+      val audio = Wav.decode(bytes)
+      val expected = MediaLake.pcmSamples(texts(id).getBytes("UTF-8"))
+      assert(audio.sampleRate == 8000 &&
+        audio.samples.toSeq == expected.toSeq, s"doc $id samples")
+    }
+  }
+
   test("lake PNGs also decode in javax.imageio (independent reader)") {
     val lake = MediaLake.ensure(spark, "/root/testdata/sf0.001")
     val one = spark.read.parquet(lake).limit(1).collect()(0)
