@@ -55,8 +55,17 @@ object MediaLake {
   /** Idempotent build of the AUDIO lake: one 16-bit PCM mono WAV per
     * document ([[Wav.encode]]), same memoization contract as the
     * image lake. m4 decodes these with the full RIFF chunk walk. */
+  /** Source fingerprint folded into the lake paths — a path-only memo
+    * key would serve media rendered from the OLD documents after the
+    * testdata under sfDir is regenerated, while the oracles replay
+    * the formula from the NEW documents (the lloyd-memo hazard). */
+  private def docsTag(sfDir: String): String = {
+    val src = new java.io.File(s"$sfDir/documents.parquet")
+    s"${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}_${src.lastModified}_${src.length}"
+  }
+
   def ensureAudio(spark: SparkSession, sfDir: String): String = {
-    val lake = s"${sys.props("java.io.tmpdir")}/graft_audio_lake_v1_${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val lake = s"${sys.props("java.io.tmpdir")}/graft_audio_lake_v1_${docsTag(sfDir)}"
     if (!new java.io.File(s"$lake/_SUCCESS").exists()) {
       val docs = Tables.load(spark, sfDir, "documents")
         .select(col("doc_id"), col("text"))
@@ -74,7 +83,7 @@ object MediaLake {
 
   /** Idempotent build; returns the lake dir. */
   def ensure(spark: SparkSession, sfDir: String): String = {
-    val lake = s"${sys.props("java.io.tmpdir")}/graft_media_lake_v1_${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val lake = s"${sys.props("java.io.tmpdir")}/graft_media_lake_v1_${docsTag(sfDir)}"
     if (!new java.io.File(s"$lake/_SUCCESS").exists()) {
       val docs = Tables.load(spark, sfDir, "documents")
         .select(col("doc_id"), col("text"))

@@ -230,9 +230,10 @@ object MultimodalQueries extends QueryModule {
       // both sides, and Catalyst would otherwise inline (and re-run)
       // the decode per side
       .localCheckpoint()
-    // per-call view name: a fixed name is a race between concurrent
-    // sessions serving different lake dirs
-    val view = s"m5_phash_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    // per-DIR view name: distinct lake dirs cannot race each other,
+    // and repeat invocations replace the view instead of leaking a
+    // UUID-named catalog entry per call
+    val view = s"m5_phash_${Integer.toHexString(sfDir.hashCode)}"
     hashed.createOrReplaceTempView(view)
     spark.sql(
       s"""WITH b AS (SELECT doc_id, phash, k, (phash >> (8 * k)) & 255 AS bv
@@ -317,7 +318,7 @@ object MultimodalQueries extends QueryModule {
         }
       }
     }(Encoders.row(imgEmbSchema))
-    val view = s"m7_img_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val view = s"m7_img_${Integer.toHexString(sfDir.hashCode)}"
     imgEmb.createOrReplaceTempView(view)
     spark.sql(
       s"""WITH t AS (SELECT vec_id,

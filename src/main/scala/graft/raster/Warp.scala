@@ -1145,10 +1145,16 @@ object Warp {
     def forward(latDeg: Double, lonDeg: Double): (Double, Double) = {
       val sinPhi = Math.sin(Math.toRadians(latDeg))
       val dlam = coneN * (Math.toRadians(lonDeg) - lam0) // Λ − Λ₀
-      val w = cConst * Math.pow(
-        ((1.0 + sinPhi) / (1.0 - sinPhi)) *
-          Math.pow((1.0 - e * sinPhi) / (1.0 + e * sinPhi), e), coneN)
-      val sinChi = (w - 1.0) / (w + 1.0)
+      // the exact north pole: (1+1)/(1−1) → ∞/∞ would NaN where the
+      // limit is finite (χ → π/2) — branch to the limit so BOTH poles
+      // land on the planeSingularities points (the south pole's w → 0
+      // already gives sinχ = −1 without a branch)
+      val w =
+        if (sinPhi >= 1.0) Double.PositiveInfinity
+        else cConst * Math.pow(
+          ((1.0 + sinPhi) / (1.0 - sinPhi)) *
+            Math.pow((1.0 - e * sinPhi) / (1.0 + e * sinPhi), e), coneN)
+      val sinChi = if (w.isInfinity) 1.0 else (w - 1.0) / (w + 1.0)
       // cos via asin so the SQL mirror is the identical op chain
       val cosChi = Math.cos(Math.asin(sinChi))
       val bb = 1.0 + sinChi0 * sinChi + cosChi0 * (cosChi * Math.cos(dlam))

@@ -819,7 +819,12 @@ object SimQueries extends QueryModule {
     * corpus-wide window/aggregate (pinned in PlanInvariantsSpec: the
     * codes enter from a FileScan, the code-build window is absent). */
   private def ensurePqArtifacts(spark: SparkSession, sfDir: String): (String, String) = {
-    val base = s"${sys.props("java.io.tmpdir")}/graft_e11_v1_${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    // fingerprint the source parquet into the sidecar path — the same
+    // staleness hazard lloyd's memo key documents: a path-only key
+    // would serve codes of the OLD corpus against FRESH centroids
+    // after the testdata under sfDir is regenerated
+    val src = new java.io.File(s"$sfDir/embeddings.parquet")
+    val base = s"${sys.props("java.io.tmpdir")}/graft_e11_v1_${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}_${src.lastModified}_${src.length}"
     val codesDir = s"$base/codes"
     val bookDir = s"$base/codebook"
     if (!(new java.io.File(s"$codesDir/_SUCCESS").exists() &&
@@ -859,9 +864,11 @@ object SimQueries extends QueryModule {
     val (codesDir, bookDir) = ensurePqArtifacts(spark, sfDir)
     Tables.register(spark, sfDir)
     val km = convergedKmeans(spark, sfDir)
-    // per-call view names: a fixed name is a race between concurrent
-    // sessions serving different corpus dirs
-    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    // per-DIR view names: distinct corpus dirs cannot race each other,
+    // and repeat invocations for the same dir REPLACE the view instead
+    // of leaking a fresh UUID-named catalog entry per call (Bench runs
+    // every query twice, ScaleProbe dozens of times)
+    val tag = Integer.toHexString(codesDir.hashCode)
     spark.read.parquet(codesDir).createOrReplaceTempView(s"e11_codes_$tag")
     spark.read.parquet(bookDir).createOrReplaceTempView(s"e11_book_$tag")
     spark.sql(

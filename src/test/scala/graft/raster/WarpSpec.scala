@@ -954,6 +954,12 @@ class WarpSpec extends AnyFunSuite {
     // hemisphere), so the 1e-4° ≈ 11 m step lands ~100 m away
     val (sx, sy) = rd.forward(-89.9999, -13.0)
     assert(math.hypot(sx - pxs, sy - pys) < 500.0, s"south pole image ($sx, $sy)")
+    // the EXACT poles are finite (not NaN) and land ON the declared
+    // points — the naive (1+sinφ)/(1−sinφ) would ∞/∞-NaN at +90
+    val (nex, ney) = rd.forward(90.0, 123.0)
+    assert(math.hypot(nex - pxn, ney - pyn) < 1e-6, s"exact north pole ($nex, $ney)")
+    val (sex, sey) = rd.forward(-90.0, -7.0)
+    assert(math.hypot(sex - pxs, sey - pys) < 1e-3, s"exact south pole ($sex, $sey)")
     // degenerate parameters fail fast with messages
     val e1 = intercept[IllegalArgumentException](
       Warp.ObliqueStereographic(90.0, 0.0, 0.0, 0.0))
