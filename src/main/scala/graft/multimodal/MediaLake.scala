@@ -81,6 +81,41 @@ object MediaLake {
     lake
   }
 
+  /** Frame formula shared by the video renderer and the m2 oracle:
+    * 8×8 frames, `F = 1 + n mod 24` of them, frame k pixel p samples
+    * the text byte at `((k·64 + p)·n)/(F·64)` — the [[grayPixels]]
+    * sampler extended along the time axis. */
+  private[multimodal] val VideoW = 8
+  private[multimodal] val VideoRate = 25
+  private[multimodal] def videoFrames(text: Array[Byte]): Seq[Array[Int]] = {
+    val n = text.length
+    val f = 1 + n % 24
+    val npx = VideoW * VideoW
+    (0 until f).map(k => Array.tabulate(npx)(p =>
+      text(((k.toLong * npx + p) * n / (f.toLong * npx)).toInt) & 0xff))
+  }
+
+  /** Idempotent build of the VIDEO lake: one uncompressed-DIB AVI per
+    * document ([[Avi.encode]]), same memoization contract as the
+    * image/audio lakes. m2 decodes these with the full RIFF walk. */
+  def ensureVideo(spark: SparkSession, sfDir: String): String = {
+    val lake = s"${sys.props("java.io.tmpdir")}/graft_video_lake_v1_${docsTag(sfDir)}"
+    if (!new java.io.File(s"$lake/_SUCCESS").exists()) {
+      val docs = Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text"))
+        .where(length(col("text")) > 0)
+      docs.mapPartitions { it =>
+        it.map { row =>
+          val frames = videoFrames(row.getString(1).getBytes("UTF-8"))
+          Row(row.getLong(0), "avi",
+            Avi.encode(VideoW, VideoW, VideoRate, frames))
+        }
+      }(Encoders.row(lakeSchema))
+        .write.mode("overwrite").parquet(lake)
+    }
+    lake
+  }
+
   /** Idempotent build; returns the lake dir. */
   def ensure(spark: SparkSession, sfDir: String): String = {
     val lake = s"${sys.props("java.io.tmpdir")}/graft_media_lake_v1_${docsTag(sfDir)}"

@@ -23,33 +23,17 @@ import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
   * oracle replays the PIXEL FORMULA from the source text in closed
   * form (it cannot decode PNG); decode fidelity is pinned separately
   * by PngSpec (byte-exact encoder round-trip + `javax.imageio`
-  * interop). The fake-container families (m2 video frames, m4 PCM
-  * audio) keep deterministic stub decodes — no video/audio codec
-  * exists in this environment — with the Spark-side plumbing (batch
-  * shape, schema, fan-out bounds) real and tested.
+  * interop). The AUDIO family (m4) decodes REAL RIFF/WAVE containers
+  * the same way ([[Wav.decode]], `javax.sound.sampled` interop), and
+  * the VIDEO family (m2) REAL uncompressed-DIB AVI containers
+  * ([[Avi.decode]], layout pinned byte-exactly in AviSpec) — every
+  * media query decodes an actual container format; no decode stubs
+  * remain anywhere in the family.
   */
 object MultimodalQueries extends QueryModule {
 
   private val BatchSize = 64
   private val P = 2147483647L
-
-  /** The deterministic stand-in for a media decoder: rolling-hash
-    * checksum, fake dimensions derived from it, byte statistics. */
-  private def decodeStub(bytes: Array[Byte]): (Long, Int, Int, Double) = {
-    var h = 0L
-    var sum = 0L
-    var i = 0
-    while (i < bytes.length) {
-      val b = bytes(i) & 0xff
-      h = (h * 131L + b) % P
-      sum += b
-      i += 1
-    }
-    val width = (16 + h % 64).toInt
-    val height = (16 + (h / 64) % 64).toInt
-    val mean = if (bytes.length == 0) 0.0 else sum.toDouble / bytes.length
-    (h, width, height, mean)
-  }
 
   /** The gray stream of a decoded lake PNG: the renderer writes
     * r=g=b, so channel 0 of the RGBA output IS the gray value. */
@@ -99,19 +83,29 @@ object MultimodalQueries extends QueryModule {
     StructField("doc_id", LongType),
     StructField("frame_idx", IntegerType),
     StructField("frame_off", LongType),
-    StructField("ts_ms", DoubleType)))
+    StructField("ts_ms", DoubleType),
+    StructField("frame_sum", LongType)))
 
-  /** M2: frame sampling from a fake video container — every 4th frame
-    * of `1 + n_bytes % 24` frames. The generator runs per partition;
-    * output fan-out stays bounded (≤ 6 rows per doc). */
+  /** M2: frame sampling from REAL AVI containers — the video lake
+    * stores each document as an uncompressed-DIB AVI
+    * ([[MediaLake.ensureVideo]]) and this kernel runs the full RIFF
+    * chunk walk ([[Avi.decode]]): every 4th frame's CONTAINER byte
+    * offset (what a seek-based sampler reads), its timestamp from the
+    * stream header's own µs-per-frame, and a pixel sum over the
+    * decoded frame. The oracle replays the deterministic container
+    * layout and the frame formula in closed form; AviSpec pins decode
+    * fidelity. Fan-out stays bounded (≤ 6 rows per doc). */
   private def frameSample(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.load(spark, sfDir, "documents")
-    val media = docs.select(col("doc_id"), col("text").cast(BinaryType).as("media"))
+    val media = spark.read.parquet(MediaLake.ensureVideo(spark, sfDir))
     media.flatMap { row =>
-      val nBytes = row.getAs[Array[Byte]]("media").length
-      val nFrames = 1 + nBytes % 24
-      (0 until nFrames by 4).map { idx =>
-        Row(row.getLong(0), idx, idx.toLong * 4096L, idx * 40.0)
+      val video = Avi.decode(row.getAs[Array[Byte]]("media"))
+      (0 until video.frames.length by 4).map { idx =>
+        var sum = 0L
+        val f = video.frames(idx)
+        var p = 0
+        while (p < f.length) { sum += f(p); p += 1 }
+        Row(row.getLong(0), idx, video.frameOffsets(idx),
+          idx * (video.usPerFrame / 1000.0), sum)
       }
     }(Encoders.row(frameSchema))
   }
@@ -126,17 +120,18 @@ object MultimodalQueries extends QueryModule {
 
   /** M3: aspect-preserving resize planning — the batch kernel that
     * sits between decode and feature extraction in a vision pipeline:
-    * fit each (stub-decoded) image into 224×224, long side pinned,
-    * integer arithmetic only (scale in permille so the oracle
-    * reproduces it bit-exactly; a real kernel would also emit the
-    * resampled pixels, which is the stubbed native step). */
+    * fit each image into 224×224, long side pinned, integer
+    * arithmetic only (scale in permille so the oracle reproduces it
+    * bit-exactly). The source dimensions come from the REAL PNG's own
+    * IHDR via the full decode — the plan is computed for the actual
+    * lake images m1/m5/m7 process. */
   private def resizePlan(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.load(spark, sfDir, "documents")
-    val media = docs.select(col("doc_id"), col("text").cast(BinaryType).as("media"))
+    val media = spark.read.parquet(MediaLake.ensure(spark, sfDir))
     media.mapPartitions { it =>
       it.grouped(BatchSize).flatMap { batch =>
         batch.iterator.map { row =>
-          val (h, w, ht, _) = decodeStub(row.getAs[Array[Byte]]("media"))
+          val img = graft.raster.Png.decode(row.getAs[Array[Byte]]("media"))
+          val (w, ht) = (img.width, img.height)
           val long = math.max(w, ht)
           // permille scale, floor — integer-exact on both engines
           val scalePm = 224000L / long
@@ -388,11 +383,21 @@ object MultimodalQueries extends QueryModule {
          |         * sqrt(list_reduce([y*y for y in t.txt], (a,c) -> a+c))) AS cosine
          |  FROM b JOIN t ON b.doc_id = t.vec_id)
          |SELECT doc_id, cosine, (cosine >= 0)::INT AS aligned FROM jn""".stripMargin,
+    // the frame_off constants replay the writer's deterministic
+    // layout (pinned byte-exactly in AviSpec): RIFF hdr 12 + hdrl
+    // chunk 200 + movi LIST hdr 12 + per-frame ('00db' hdr 8 +
+    // 8×8×3 = 192 data) ⇒ frame k's data at 232 + 200·k
     "m2_frame_sample" ->
-      """WITH f AS (SELECT doc_id, unnest(generate_series(0, len(text) % 24)) AS frame_idx FROM documents)
-        |SELECT doc_id, frame_idx::INT AS frame_idx, (frame_idx * 4096)::BIGINT AS frame_off,
-        |  frame_idx * 40.0 AS ts_ms
-        |FROM f WHERE frame_idx % 4 = 0""".stripMargin,
+      """WITH m AS (SELECT doc_id, text, len(text) AS n, 1 + len(text) % 24 AS f
+        |  FROM documents WHERE len(text) > 0),
+        |fr AS (SELECT doc_id, text, n, f,
+        |  unnest(generate_series(0, f - 1)) AS k FROM m)
+        |SELECT doc_id, k::INT AS frame_idx,
+        |  (232 + 200 * k)::BIGINT AS frame_off,
+        |  k * 40.0 AS ts_ms,
+        |  list_sum([ascii(text[((k*64 + p) * n) // (f*64) + 1 : ((k*64 + p) * n) // (f*64) + 1])::BIGINT
+        |            for p in generate_series(0, 63)]) AS frame_sum
+        |FROM fr WHERE k % 4 = 0""".stripMargin,
     "m4_audio_energy" ->
       """WITH s AS (SELECT doc_id,
         |  [ascii(ch)::BIGINT - 64 for ch in string_split(text, '')] AS smp
@@ -433,17 +438,15 @@ object MultimodalQueries extends QueryModule {
          |FROM ph FULL OUTER JOIN cos
          |  ON ph.doc_id_a = cos.doc_id_a AND ph.doc_id_b = cos.doc_id_b""".stripMargin,
     "m3_resize_plan" ->
-      s"""WITH c AS (SELECT doc_id,
-         |  list_reduce([ascii(ch)::BIGINT for ch in string_split(text, '')], (h,ch) -> (h*131+ch) % $P) AS checksum
-         |  FROM documents),
-         |d AS (SELECT doc_id,
-         |  (16 + checksum % 64)::INT AS src_w,
-         |  (16 + (checksum // 64) % 64)::INT AS src_h FROM c),
-         |s AS (SELECT doc_id, src_w, src_h,
-         |  224000 // greatest(src_w, src_h) AS scale_pm FROM d)
-         |SELECT doc_id, src_w, src_h,
-         |  (src_w * scale_pm // 1000)::INT AS dst_w,
-         |  (src_h * scale_pm // 1000)::INT AS dst_h,
-         |  scale_pm::BIGINT AS scale_pm
-         |FROM s""".stripMargin)
+      """WITH d AS (SELECT doc_id,
+        |  (16 + len(text) % 16)::INT AS src_w,
+        |  (16 + doc_id % 16)::INT AS src_h
+        |  FROM documents WHERE len(text) > 0),
+        |s AS (SELECT doc_id, src_w, src_h,
+        |  224000 // greatest(src_w, src_h) AS scale_pm FROM d)
+        |SELECT doc_id, src_w, src_h,
+        |  (src_w * scale_pm // 1000)::INT AS dst_w,
+        |  (src_h * scale_pm // 1000)::INT AS dst_h,
+        |  scale_pm::BIGINT AS scale_pm
+        |FROM s""".stripMargin)
 }

@@ -64,6 +64,26 @@ class MediaLakeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("every video-lake row is a real AVI whose frames equal the formula") {
+    val sfDir = "/root/testdata/sf0.001"
+    val lake = MediaLake.ensureVideo(spark, sfDir)
+    val media = spark.read.parquet(lake).collect()
+    assert(media.length == 500, s"video lake rows=${media.length}")
+    val texts = graft.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    media.foreach { row =>
+      val id = row.getAs[Long]("doc_id")
+      val bytes = row.getAs[Array[Byte]]("media")
+      assert(new String(bytes, 8, 4, "US-ASCII") == "AVI ", s"doc $id: not AVI")
+      val video = Avi.decode(bytes)
+      val expected = MediaLake.videoFrames(texts(id).getBytes("UTF-8"))
+      assert(video.frames.length == expected.length, s"doc $id frame count")
+      for (k <- expected.indices)
+        assert(video.frames(k).toSeq == expected(k).toSeq, s"doc $id frame $k")
+    }
+  }
+
   test("lake PNGs also decode in javax.imageio (independent reader)") {
     val lake = MediaLake.ensure(spark, "/root/testdata/sf0.001")
     val one = spark.read.parquet(lake).limit(1).collect()(0)
