@@ -37,8 +37,27 @@ object MultimodalQueries extends QueryModule {
 
   /** The gray stream of a decoded lake PNG: the renderer writes
     * r=g=b, so channel 0 of the RGBA output IS the gray value. */
-  private def grayOf(img: graft.raster.Png.Image): Array[Int] =
+  private[multimodal] def grayOf(img: graft.raster.Png.Image): Array[Int] =
     Array.tabulate(img.width * img.height)(p => img.rgba(p * 4) & 0xff)
+
+  /** THE media perceptual hash, shared with the streaming gate
+    * ([[graft.streaming.MediaDedupStream]] reuses this so stream and
+    * batch verdicts agree BY CONSTRUCTION — the LshShape/UrlCanon
+    * precedent): decode the PNG, sample 32 pixels
+    * `g(i) = gray[(i·npx)/32]`, bit i set when `g(i)·32 > Σg`. */
+  private[graft] def phashOf(media: Array[Byte]): Long = {
+    val gray = grayOf(graft.raster.Png.decode(media))
+    val npx = gray.length
+    val g = Array.tabulate(32)(i => gray(((i.toLong * npx) / 32).toInt))
+    val tot = g.sum
+    var h = 0L
+    var i = 0
+    while (i < 32) {
+      if (g(i) * 32 > tot) h |= (1L << i)
+      i += 1
+    }
+    h
+  }
 
   private val featSchema = StructType(Seq(
     StructField("doc_id", LongType),
@@ -206,18 +225,7 @@ object MultimodalQueries extends QueryModule {
     val hashed = media.mapPartitions { it =>
       it.grouped(BatchSize).flatMap { batch =>
         batch.iterator.map { row =>
-          val img = graft.raster.Png.decode(row.getAs[Array[Byte]]("media"))
-          val gray = grayOf(img)
-          val npx = gray.length
-          val g = Array.tabulate(32)(i => gray(((i.toLong * npx) / 32).toInt))
-          val tot = g.sum
-          var h = 0L
-          var i = 0
-          while (i < 32) {
-            if (g(i) * 32 > tot) h |= (1L << i)
-            i += 1
-          }
-          Row(row.getLong(0), h)
+          Row(row.getLong(0), phashOf(row.getAs[Array[Byte]]("media")))
         }
       }
     }(Encoders.row(phashSchema))
