@@ -519,6 +519,68 @@ object TextQueries extends QueryModule {
         |SELECT doc_id, n_tokens,
         |  CAST(sum_u AS DOUBLE) / (n_tokens * 1000000.0) AS avg_nll FROM agg""".stripMargin),
 
+    // T14: DSIR — Data Selection via Importance Resampling (Xie et
+    // al. 2023): pick raw-corpus documents whose hashed-n-gram
+    // distribution looks like a TARGET domain sample. Per bucket
+    // (hashed bigram mod 10007), estimate add-1-smoothed unigram LMs
+    // of the target (t7's doc_id%10=0 stand-in) and the raw rest;
+    // each raw document's log importance weight is the sum of its
+    // grams' ln(p_target/p_raw); keep the top-100. The paper samples
+    // with Gumbel noise; the deterministic variant ranks by weight
+    // with a doc_id tie-break (reproducible corpus mixing, like t6).
+    // Cross-engine parity: each bucket's log-ratio quantizes ONCE to
+    // integer micro-nats (t13's trick — round() is away-from-zero in
+    // both engines, including the negative ratios here) and the
+    // per-doc sum is an order-independent BIGINT sum. Scale shape:
+    // the bucket LM table is ≤10007 rows — broadcast — so selection
+    // costs the gram scan + one per-doc aggregation, and the top-k is
+    // ORDER BY+LIMIT (TakeOrdered — per-partition top-k merged on the
+    // driver, no single-partition window).
+    SqlQ.split("t14_dsir_select",
+      s"""WITH g AS (SELECT doc_id, explode(shingle_hashes(text, 2)) AS h
+         |  FROM documents WHERE size(split(text, ' ')) >= 2),
+         |b AS (SELECT doc_id, h % 10007 AS bkt FROM g),
+         |tc AS (SELECT bkt, count(*) AS ct FROM b WHERE doc_id % 10 = 0 GROUP BY bkt),
+         |rc AS (SELECT bkt, count(*) AS cr FROM b WHERE doc_id % 10 != 0 GROUP BY bkt),
+         |tt AS (SELECT CAST(sum(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS t,
+         |    CAST(sum(CASE WHEN doc_id % 10 != 0 THEN 1 ELSE 0 END) AS BIGINT) AS r FROM b),
+         |lm AS (SELECT k.bkt,
+         |    CAST(round((ln(CAST(coalesce(tc.ct, 0) + 1 AS DOUBLE) / (tt.t + 10007))
+         |              - ln(CAST(coalesce(rc.cr, 0) + 1 AS DOUBLE) / (tt.r + 10007))) * 1000000.0) AS BIGINT) AS lw_u
+         |  FROM (SELECT DISTINCT bkt FROM b) k
+         |  LEFT JOIN tc ON tc.bkt = k.bkt LEFT JOIN rc ON rc.bkt = k.bkt
+         |  CROSS JOIN tt),
+         |agg AS (SELECT b.doc_id, CAST(sum(lm.lw_u) AS BIGINT) AS logw_u,
+         |    count(*) AS n_grams
+         |  FROM b JOIN lm ON lm.bkt = b.bkt WHERE b.doc_id % 10 != 0
+         |  GROUP BY b.doc_id)
+         |SELECT doc_id, n_grams, logw_u,
+         |  CAST(logw_u AS DOUBLE) / 1000000.0 AS log_weight
+         |FROM agg ORDER BY logw_u DESC, doc_id LIMIT 100""".stripMargin,
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |g AS (SELECT doc_id, unnest([list_reduce(
+         |    [ascii(c)::BIGINT for c in string_split(w[i] || ' ' || w[i+1], '')],
+         |    (h,c) -> (h*131+c) % $P) for i in generate_series(1, len(w)-1)]) AS h
+         |  FROM w WHERE len(w) >= 2),
+         |b AS (SELECT doc_id, h % 10007 AS bkt FROM g),
+         |tc AS (SELECT bkt, count(*) AS ct FROM b WHERE doc_id % 10 = 0 GROUP BY bkt),
+         |rc AS (SELECT bkt, count(*) AS cr FROM b WHERE doc_id % 10 != 0 GROUP BY bkt),
+         |tt AS (SELECT CAST(sum(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS t,
+         |    CAST(sum(CASE WHEN doc_id % 10 != 0 THEN 1 ELSE 0 END) AS BIGINT) AS r FROM b),
+         |lm AS (SELECT k.bkt,
+         |    CAST(round((ln(CAST(coalesce(tc.ct, 0) + 1 AS DOUBLE) / (tt.t + 10007))
+         |              - ln(CAST(coalesce(rc.cr, 0) + 1 AS DOUBLE) / (tt.r + 10007))) * 1000000.0) AS BIGINT) AS lw_u
+         |  FROM (SELECT DISTINCT bkt FROM b) k
+         |  LEFT JOIN tc ON tc.bkt = k.bkt LEFT JOIN rc ON rc.bkt = k.bkt
+         |  CROSS JOIN tt),
+         |agg AS (SELECT b.doc_id, CAST(sum(lm.lw_u) AS BIGINT) AS logw_u,
+         |    count(*) AS n_grams
+         |  FROM b JOIN lm ON lm.bkt = b.bkt WHERE b.doc_id % 10 != 0
+         |  GROUP BY b.doc_id)
+         |SELECT doc_id, n_grams, logw_u,
+         |  CAST(logw_u AS DOUBLE) / 1000000.0 AS log_weight
+         |FROM agg ORDER BY logw_u DESC, doc_id LIMIT 100""".stripMargin),
+
     // T5: the end-to-end training-corpus selection this pipeline
     // exists for — keep documents that pass quality heuristics AND are
     // not the duplicate side of a near-dup pair (keep-lowest-doc_id).
