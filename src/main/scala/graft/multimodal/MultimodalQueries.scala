@@ -300,8 +300,10 @@ object MultimodalQueries extends QueryModule {
     * co-partitionable at 100 TB — and the cosine is the fused
     * `vec_dot` codegen kernel, index-ordered so the DuckDB oracle's
     * `list_reduce` mirrors it exactly. */
-  private def clipAlign(spark: SparkSession, sfDir: String): DataFrame = {
-    Tables.register(spark, sfDir)
+  /** The image TOWER, shared by m7 (pair scoring) and m9 (retrieval):
+    * decode the real PNG, 8-block mean-pixel embedding, registered as
+    * a per-dir temp view; returns the view name. */
+  private def imgEmbView(spark: SparkSession, sfDir: String): String = {
     val media = spark.read.parquet(MediaLake.ensure(spark, sfDir))
     val imgEmb = media.mapPartitions { it =>
       it.grouped(BatchSize).flatMap { batch =>
@@ -323,6 +325,12 @@ object MultimodalQueries extends QueryModule {
     }(Encoders.row(imgEmbSchema))
     val view = s"m7_img_${Integer.toHexString(sfDir.hashCode)}"
     imgEmb.createOrReplaceTempView(view)
+    view
+  }
+
+  private def clipAlign(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.register(spark, sfDir)
+    val view = imgEmbView(spark, sfDir)
     spark.sql(
       s"""WITH t AS (SELECT vec_id,
          |    CAST(slice(embedding, 1, 8) AS ARRAY<DOUBLE>) AS txt FROM embeddings),
@@ -333,6 +341,31 @@ object MultimodalQueries extends QueryModule {
          |SELECT doc_id, cosine, CAST(cosine >= 0 AS INT) AS aligned FROM j""".stripMargin)
   }
 
+  /** M9: cross-modal retrieval — the other half of the CLIP data
+    * story: a TEXT query embedding retrieves the top-5 IMAGES by
+    * cosine over the image tower (m7 scores CLAIMED pairs; this
+    * searches). Exact brute-force top-k — e1's baseline contract;
+    * the at-scale serving path is the e3/e11 IVF machinery applied
+    * to the image-tower vectors unchanged. Scale shape: 5 query
+    * vectors broadcast against one image-tower scan (which rides the
+    * decoded lake), per-query top-k in a 5-partition window. */
+  private def clipRetrieve(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.register(spark, sfDir)
+    val view = imgEmbView(spark, sfDir)
+    spark.sql(
+      s"""WITH q AS (SELECT vec_id AS qid,
+         |    CAST(slice(embedding, 1, 8) AS ARRAY<DOUBLE>) AS txt
+         |  FROM embeddings WHERE vec_id < 5),
+         |s AS (SELECT q.qid, i.doc_id,
+         |    vec_dot(q.txt, i.img)
+         |      / (sqrt(vec_dot(q.txt, q.txt)) * sqrt(vec_dot(i.img, i.img))) AS cosine
+         |  FROM q CROSS JOIN $view i)
+         |SELECT qid AS query_id, doc_id AS image_id, cosine, rnk
+         |FROM (SELECT qid, doc_id, cosine,
+         |        row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, doc_id) AS rnk FROM s) t
+         |WHERE rnk <= 5""".stripMargin)
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_media_features" -> ((s, d) => mediaFeatures(s, d)),
     "m2_frame_sample" -> ((s, d) => frameSample(s, d)),
@@ -340,7 +373,8 @@ object MultimodalQueries extends QueryModule {
     "m4_audio_energy" -> ((s, d) => audioEnergy(s, d)),
     "m5_phash_pairs" -> ((s, d) => phashPairs(s, d)),
     "m6_multisignal_pairs" -> ((s, d) => multiSignalPairs(s, d)),
-    "m7_clip_align" -> ((s, d) => clipAlign(s, d)))
+    "m7_clip_align" -> ((s, d) => clipAlign(s, d)),
+    "m9_clip_retrieve" -> ((s, d) => clipRetrieve(s, d)))
 
   /** The aHash oracle CTEs (m5's hash definition), shared by the m5
     * and m6 oracles so the two cannot drift apart. Emits `h(doc_id,
@@ -378,6 +412,23 @@ object MultimodalQueries extends QueryModule {
          |  list_reduce(gs, (a,b) -> (a*131+b) % $P) AS checksum,
          |  list_sum(gs)::DOUBLE / npx AS mean_byte
          |FROM g""".stripMargin,
+    "m9_clip_retrieve" ->
+      s"""WITH $grayOracleCtes,
+         |b AS (SELECT doc_id,
+         |  [list_sum(list_slice(gs, j*npx//8 + 1, (j+1)*npx//8))::DOUBLE
+         |     / ((j+1)*npx//8 - j*npx//8)
+         |   for j in generate_series(0, 7)] AS img FROM g),
+         |q AS (SELECT vec_id AS qid, [x::DOUBLE for x in list_slice(embedding, 1, 8)] AS txt
+         |  FROM embeddings WHERE vec_id < 5),
+         |s AS (SELECT q.qid, b.doc_id,
+         |    list_reduce([q.txt[k] * b.img[k] for k in generate_series(1, 8)], (a,c) -> a+c)
+         |      / (sqrt(list_reduce([y*y for y in q.txt], (a,c) -> a+c))
+         |         * sqrt(list_reduce([y*y for y in b.img], (a,c) -> a+c))) AS cosine
+         |  FROM q CROSS JOIN b)
+         |SELECT qid AS query_id, doc_id AS image_id, cosine, rnk
+         |FROM (SELECT qid, doc_id, cosine,
+         |        row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, doc_id) AS rnk FROM s) t
+         |WHERE rnk <= 5""".stripMargin,
     "m7_clip_align" ->
       s"""WITH $grayOracleCtes,
          |b AS (SELECT doc_id,
