@@ -116,12 +116,15 @@ object MediaLake {
     lake
   }
 
-  /** Idempotent build; returns the lake dir. */
+  /** Idempotent build; returns the lake dir. The PNGs carry REAL
+    * in-container metadata — tEXt chunks for Title/Language/Source
+    * (the EXIF-shaped provenance a curation pipeline reads without
+    * decoding pixels) — which m8 extracts through the chunk walk. */
   def ensure(spark: SparkSession, sfDir: String): String = {
-    val lake = s"${sys.props("java.io.tmpdir")}/graft_media_lake_v1_${docsTag(sfDir)}"
+    val lake = s"${sys.props("java.io.tmpdir")}/graft_media_lake_v2_${docsTag(sfDir)}"
     if (!new java.io.File(s"$lake/_SUCCESS").exists()) {
       val docs = Tables.load(spark, sfDir, "documents")
-        .select(col("doc_id"), col("text"))
+        .select(col("doc_id"), col("text"), col("lang"), col("source"))
         .where(length(col("text")) > 0)
       docs.mapPartitions { it =>
         it.map { row =>
@@ -137,7 +140,10 @@ object MediaLake {
             rgba(p * 4 + 3) = -1
             p += 1
           }
-          Row(id, "png", Png.encode(w, h, rgba))
+          Row(id, "png", Png.encode(w, h, rgba, Seq(
+            "Title" -> s"doc $id",
+            "Language" -> row.getString(2),
+            "Source" -> row.getString(3))))
         }
       }(Encoders.row(lakeSchema))
         .write.mode("overwrite").parquet(lake)

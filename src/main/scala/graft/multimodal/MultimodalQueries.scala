@@ -341,6 +341,31 @@ object MultimodalQueries extends QueryModule {
          |SELECT doc_id, cosine, CAST(cosine >= 0 AS INT) AS aligned FROM j""".stripMargin)
   }
 
+  private val metaSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("meta_key", StringType),
+    StructField("meta_value", StringType)))
+
+  /** M8: in-container metadata extraction — the EXIF-shaped move: a
+    * curation pipeline reads provenance (title/language/source) from
+    * the container's OWN metadata chunks without decoding pixels.
+    * The kernel walks the real PNG's chunk stream
+    * ([[graft.raster.Png.textChunks]], CRC-verified) and explodes
+    * tEXt entries to typed rows; the oracle replays the values the
+    * lake wrote from the documents table. Scale shape: one narrow
+    * scan — the chunk walk stops caring about IDAT bytes, so the
+    * per-row cost is the header region, not the image. */
+  private def mediaMetadata(spark: SparkSession, sfDir: String): DataFrame = {
+    val media = spark.read.parquet(MediaLake.ensure(spark, sfDir))
+    media.mapPartitions { it =>
+      it.flatMap { row =>
+        val id = row.getLong(0)
+        graft.raster.Png.textChunks(row.getAs[Array[Byte]]("media"))
+          .iterator.map { case (k, v) => Row(id, k, v) }
+      }
+    }(Encoders.row(metaSchema))
+  }
+
   /** M9: cross-modal retrieval — the other half of the CLIP data
     * story: a TEXT query embedding retrieves the top-5 IMAGES by
     * cosine over the image tower (m7 scores CLAIMED pairs; this
@@ -374,6 +399,7 @@ object MultimodalQueries extends QueryModule {
     "m5_phash_pairs" -> ((s, d) => phashPairs(s, d)),
     "m6_multisignal_pairs" -> ((s, d) => multiSignalPairs(s, d)),
     "m7_clip_align" -> ((s, d) => clipAlign(s, d)),
+    "m8_media_metadata" -> ((s, d) => mediaMetadata(s, d)),
     "m9_clip_retrieve" -> ((s, d) => clipRetrieve(s, d)))
 
   /** The aHash oracle CTEs (m5's hash definition), shared by the m5
@@ -412,6 +438,12 @@ object MultimodalQueries extends QueryModule {
          |  list_reduce(gs, (a,b) -> (a*131+b) % $P) AS checksum,
          |  list_sum(gs)::DOUBLE / npx AS mean_byte
          |FROM g""".stripMargin,
+    "m8_media_metadata" ->
+      """SELECT doc_id, k AS meta_key, v AS meta_value
+        |FROM (SELECT doc_id,
+        |  unnest(['Title', 'Language', 'Source']) AS k,
+        |  unnest(['doc ' || doc_id, lang, source]) AS v
+        |  FROM documents WHERE len(text) > 0)""".stripMargin,
     "m9_clip_retrieve" ->
       s"""WITH $grayOracleCtes,
          |b AS (SELECT doc_id,

@@ -29,8 +29,11 @@ object Png {
   private val Signature: Array[Byte] =
     Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
 
-  /** Encode `rgba` (row-major, 4 bytes per pixel: r,g,b,a). */
-  def encode(width: Int, height: Int, rgba: Array[Byte]): Array[Byte] = {
+  /** Encode `rgba` (row-major, 4 bytes per pixel: r,g,b,a), with
+    * optional tEXt metadata chunks (PNG spec §11.3.4: Latin-1
+    * keyword NUL text, keyword 1..79 chars) after IHDR. */
+  def encode(width: Int, height: Int, rgba: Array[Byte],
+             meta: Seq[(String, String)] = Nil): Array[Byte] = {
     require(rgba.length == width * height * 4,
       s"rgba length ${rgba.length} != $width×$height×4")
     val out = new ByteArrayOutputStream(rgba.length / 4 + 128)
@@ -42,6 +45,13 @@ object Png {
     writeIntBE(ihdr, 4, height)
     ihdr(8) = 8; ihdr(9) = 6; ihdr(10) = 0; ihdr(11) = 0; ihdr(12) = 0
     chunk(out, "IHDR", ihdr)
+    meta.foreach { case (key, value) =>
+      require(key.nonEmpty && key.length <= 79 && key.trim == key,
+        s"png: bad tEXt keyword '$key'")
+      chunk(out, "tEXt",
+        key.getBytes("ISO-8859-1") ++ Array(0.toByte) ++
+          value.getBytes("ISO-8859-1"))
+    }
     // raw scanlines: filter byte 0 + row bytes
     val stride = width * 4
     val raw = new Array[Byte](height * (stride + 1))
@@ -184,6 +194,40 @@ object Png {
       y += 1
     }
     Image(width, height, toRgba(px, width, height, colorType))
+  }
+
+  /** Extract tEXt metadata chunks (keyword → text, file order) —
+    * walks the chunk stream with the same CRC verification as
+    * [[decode]]; returns Nil for a file without tEXt. */
+  def textChunks(png: Array[Byte]): Seq[(String, String)] = {
+    require(png.length >= 8, "png: truncated stream")
+    var i = 0
+    while (i < 8) {
+      require(png(i) == Signature(i), "png: bad signature")
+      i += 1
+    }
+    val out = Seq.newBuilder[(String, String)]
+    var pos = 8
+    var done = false
+    while (pos + 8 <= png.length && !done) {
+      val len = readIntBE(png, pos)
+      require(len >= 0 && pos + 12 + len <= png.length,
+        s"png: chunk length $len overruns the stream")
+      val tag = new String(png, pos + 4, 4, "US-ASCII")
+      val crc = new CRC32()
+      crc.update(png, pos + 4, 4 + len)
+      require(crc.getValue.toInt == readIntBE(png, pos + 8 + len),
+        s"png: CRC mismatch in $tag chunk")
+      if (tag == "tEXt") {
+        val data = new String(png, pos + 8, len, "ISO-8859-1")
+        val nul = data.indexOf('\u0000')
+        require(nul > 0, "png: tEXt chunk without keyword separator")
+        out += ((data.substring(0, nul), data.substring(nul + 1)))
+      }
+      if (tag == "IEND") done = true
+      pos += 12 + len
+    }
+    out.result()
   }
 
   /** Paeth predictor (PNG spec §9.4): the neighbor closest to the

@@ -78,6 +78,24 @@ class PngSpec extends AnyFunSuite {
     }
   }
 
+  test("tEXt metadata round-trips and does not disturb pixels or ImageIO") {
+    val rgba = Array.tabulate(4 * 4 * 4)(det)
+    val meta = Seq("Title" -> "doc 7", "Language" -> "en",
+      "Source" -> "web/crawl-01")
+    val bytes = Png.encode(4, 4, rgba, meta)
+    assert(Png.textChunks(bytes) == meta)
+    val img = Png.decode(bytes)
+    assert(java.util.Arrays.equals(img.rgba, rgba))
+    // a metadata-free file yields no chunks
+    assert(Png.textChunks(Png.encode(4, 4, rgba)).isEmpty)
+    // independent reader still accepts the file
+    assert(ImageIO.read(new ByteArrayInputStream(bytes)) != null)
+    // bad keywords fail fast
+    val e = intercept[IllegalArgumentException](
+      Png.encode(4, 4, rgba, Seq(" lead" -> "x")))
+    assert(e.getMessage.contains("keyword"), e.getMessage)
+  }
+
   test("our encoder's output still reads in ImageIO (interop both ways)") {
     val w = 9; val h = 4
     val rgba = Array.tabulate(w * h * 4)(det)
