@@ -11,6 +11,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * here each parquet file is one "version table" of the lake.
   */
 object Tables {
+
+  /** Source-file fingerprint for /tmp memo keys and sidecar paths —
+    * a path-only key serves STALE artifacts after the testdata under
+    * it is regenerated (centroids/codes/media from the old corpus
+    * against oracles reading the new one). One shared helper so the
+    * scheme cannot drift across the memos (k-means, e11 PQ sidecars,
+    * the media lakes); fails fast on a missing source rather than
+    * fingerprinting it as a silent constant. */
+  def sourceTag(path: String): String = {
+    val f = new java.io.File(path)
+    require(f.exists, s"fingerprint source missing: $path")
+    s"${f.lastModified}_${f.length}"
+  }
+
   val all: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")

@@ -134,6 +134,7 @@ object Avi {
           s"avi: chunk $tag length $len overruns the stream")
         tag match {
           case "LIST" =>
+            require(len >= 4, s"avi: LIST chunk too short ($len)")
             val listType = asciiAt(pos + 8)
             if (listType == "hdrl" || listType == "strl" || listType == "movi")
               walk(pos + 12, pos + 8 + len.toInt)
@@ -144,10 +145,21 @@ object Avi {
             height = u32At(pos + 8 + 36).toInt
             require(width > 0 && height > 0, s"avi: bad dims ${width}x$height")
           case "strh" =>
+            require(len >= 4, s"avi: strh chunk too short ($len)")
             require(asciiAt(pos + 8) == "vids",
               s"avi: unsupported stream type ${asciiAt(pos + 8)} (only vids)")
           case "strf" =>
             require(len >= 40, "avi: short strf")
+            // the stream format's own geometry must AGREE with avih:
+            // a mismatched biWidth changes the row stride and a
+            // NEGATIVE biHeight flips to top-down rows — decoding
+            // with avih's dims would silently produce garbage, so
+            // both reject instead
+            val biW = u32At(pos + 8 + 4).toInt
+            val biH = u32At(pos + 8 + 8).toInt
+            require(biW == width && biH == height,
+              s"avi: strf geometry ${biW}x$biH disagrees with avih " +
+                s"${width}x$height (top-down negative heights unsupported)")
             val bits = u16At(pos + 8 + 14)
             val compression = u32At(pos + 8 + 16)
             require(compression == 0,

@@ -55,14 +55,11 @@ object MediaLake {
   /** Idempotent build of the AUDIO lake: one 16-bit PCM mono WAV per
     * document ([[Wav.encode]]), same memoization contract as the
     * image lake. m4 decodes these with the full RIFF chunk walk. */
-  /** Source fingerprint folded into the lake paths — a path-only memo
-    * key would serve media rendered from the OLD documents after the
-    * testdata under sfDir is regenerated, while the oracles replay
-    * the formula from the NEW documents (the lloyd-memo hazard). */
-  private def docsTag(sfDir: String): String = {
-    val src = new java.io.File(s"$sfDir/documents.parquet")
-    s"${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}_${src.lastModified}_${src.length}"
-  }
+  /** Source fingerprint folded into the lake paths (the shared
+    * [[graft.Tables.sourceTag]] scheme — see its doc for the
+    * staleness hazard). */
+  private def docsTag(sfDir: String): String =
+    s"${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}_${Tables.sourceTag(s"$sfDir/documents.parquet")}"
 
   def ensureAudio(spark: SparkSession, sfDir: String): String = {
     val lake = s"${sys.props("java.io.tmpdir")}/graft_audio_lake_v1_${docsTag(sfDir)}"
@@ -140,10 +137,14 @@ object MediaLake {
             rgba(p * 4 + 3) = -1
             p += 1
           }
-          Row(id, "png", Png.encode(w, h, rgba, Seq(
+          // NULL provenance writes NO chunk (the m8 oracle filters
+          // the same way) — Png.encode on a null value would NPE the
+          // whole lake build for one bad row
+          val meta = Seq(
             "Title" -> s"doc $id",
             "Language" -> row.getString(2),
-            "Source" -> row.getString(3))))
+            "Source" -> row.getString(3)).filter(_._2 != null)
+          Row(id, "png", Png.encode(w, h, rgba, meta))
         }
       }(Encoders.row(lakeSchema))
         .write.mode("overwrite").parquet(lake)

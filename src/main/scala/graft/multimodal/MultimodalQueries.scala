@@ -142,15 +142,16 @@ object MultimodalQueries extends QueryModule {
     * fit each image into 224×224, long side pinned, integer
     * arithmetic only (scale in permille so the oracle reproduces it
     * bit-exactly). The source dimensions come from the REAL PNG's own
-    * IHDR via the full decode — the plan is computed for the actual
-    * lake images m1/m5/m7 process. */
+    * IHDR via the HEADER-ONLY read (`Png.headerDims` — O(header);
+    * planning must not pay the inflate+unfilter cost of the pixels it
+    * never touches) — the plan is computed for the actual lake images
+    * m1/m5/m7 process. */
   private def resizePlan(spark: SparkSession, sfDir: String): DataFrame = {
     val media = spark.read.parquet(MediaLake.ensure(spark, sfDir))
     media.mapPartitions { it =>
       it.grouped(BatchSize).flatMap { batch =>
         batch.iterator.map { row =>
-          val img = graft.raster.Png.decode(row.getAs[Array[Byte]]("media"))
-          val (w, ht) = (img.width, img.height)
+          val (w, ht) = graft.raster.Png.headerDims(row.getAs[Array[Byte]]("media"))
           val long = math.max(w, ht)
           // permille scale, floor — integer-exact on both engines
           val scalePm = 224000L / long
@@ -419,6 +420,17 @@ object MultimodalQueries extends QueryModule {
       |  list_sum([CASE WHEN gs[i+1] * 32 > list_sum(gs) THEN (1::BIGINT << i) ELSE 0 END
       |            for i in generate_series(0, 31)])::BIGINT AS phash FROM g)""".stripMargin
 
+  /** The image-tower oracle CTE, shared by the m7 and m9 oracles so
+    * the two replays cannot drift (the Scala side already shares
+    * [[imgEmbView]]): 8-block mean over the replayed gray stream.
+    * Expects [[grayOracleCtes]]'s `g` in scope; emits `b(doc_id,
+    * img)`. */
+  private val imgTowerOracleCte: String =
+    """b AS (SELECT doc_id,
+      |  [list_sum(list_slice(gs, j*npx//8 + 1, (j+1)*npx//8))::DOUBLE
+      |     / ((j+1)*npx//8 - j*npx//8)
+      |   for j in generate_series(0, 7)] AS img FROM g)""".stripMargin
+
   /** The full-pixel-stream oracle CTEs (m1/m7's gray stream): emits
     * `g(doc_id, npx, gs)` with `gs` the complete rendered pixel list,
     * replayed from the text via [[MediaLake]]'s formula. */
@@ -443,13 +455,11 @@ object MultimodalQueries extends QueryModule {
         |FROM (SELECT doc_id,
         |  unnest(['Title', 'Language', 'Source']) AS k,
         |  unnest(['doc ' || doc_id, lang, source]) AS v
-        |  FROM documents WHERE len(text) > 0)""".stripMargin,
+        |  FROM documents WHERE len(text) > 0)
+        |WHERE v IS NOT NULL""".stripMargin,
     "m9_clip_retrieve" ->
       s"""WITH $grayOracleCtes,
-         |b AS (SELECT doc_id,
-         |  [list_sum(list_slice(gs, j*npx//8 + 1, (j+1)*npx//8))::DOUBLE
-         |     / ((j+1)*npx//8 - j*npx//8)
-         |   for j in generate_series(0, 7)] AS img FROM g),
+         |$imgTowerOracleCte,
          |q AS (SELECT vec_id AS qid, [x::DOUBLE for x in list_slice(embedding, 1, 8)] AS txt
          |  FROM embeddings WHERE vec_id < 5),
          |s AS (SELECT q.qid, b.doc_id,
@@ -463,10 +473,7 @@ object MultimodalQueries extends QueryModule {
          |WHERE rnk <= 5""".stripMargin,
     "m7_clip_align" ->
       s"""WITH $grayOracleCtes,
-         |b AS (SELECT doc_id,
-         |  [list_sum(list_slice(gs, j*npx//8 + 1, (j+1)*npx//8))::DOUBLE
-         |     / ((j+1)*npx//8 - j*npx//8)
-         |   for j in generate_series(0, 7)] AS img FROM g),
+         |$imgTowerOracleCte,
          |t AS (SELECT vec_id, [x::DOUBLE for x in list_slice(embedding, 1, 8)] AS txt FROM embeddings),
          |jn AS (SELECT b.doc_id,
          |    list_reduce([b.img[k] * t.txt[k] for k in generate_series(1, 8)], (a,c) -> a+c)

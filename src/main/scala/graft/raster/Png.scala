@@ -196,9 +196,14 @@ object Png {
     Image(width, height, toRgba(px, width, height, colorType))
   }
 
-  /** Extract tEXt metadata chunks (keyword → text, file order) —
-    * walks the chunk stream with the same CRC verification as
-    * [[decode]]; returns Nil for a file without tEXt. */
+  /** Extract tEXt metadata chunks (keyword → text, file order);
+    * returns Nil for a file without tEXt. Fail-fast envelope matches
+    * [[decode]]: bad signature, overrunning chunk lengths, and a
+    * missing IEND all throw. CRC is verified for the chunks this
+    * reader USES (tEXt) — pixel chunks are length-validated and
+    * skipped without touching their payloads, which is the point:
+    * the per-file cost is the header region, not the image
+    * ([[decode]] still CRC-checks everything it inflates). */
   def textChunks(png: Array[Byte]): Seq[(String, String)] = {
     require(png.length >= 8, "png: truncated stream")
     var i = 0
@@ -214,11 +219,11 @@ object Png {
       require(len >= 0 && pos + 12 + len <= png.length,
         s"png: chunk length $len overruns the stream")
       val tag = new String(png, pos + 4, 4, "US-ASCII")
-      val crc = new CRC32()
-      crc.update(png, pos + 4, 4 + len)
-      require(crc.getValue.toInt == readIntBE(png, pos + 8 + len),
-        s"png: CRC mismatch in $tag chunk")
       if (tag == "tEXt") {
+        val crc = new CRC32()
+        crc.update(png, pos + 4, 4 + len)
+        require(crc.getValue.toInt == readIntBE(png, pos + 8 + len),
+          s"png: CRC mismatch in $tag chunk")
         val data = new String(png, pos + 8, len, "ISO-8859-1")
         val nul = data.indexOf('\u0000')
         require(nul > 0, "png: tEXt chunk without keyword separator")
@@ -227,7 +232,31 @@ object Png {
       if (tag == "IEND") done = true
       pos += 12 + len
     }
+    require(done, "png: missing IEND (truncated stream)")
     out.result()
+  }
+
+  /** Header-only dimension read: signature + IHDR (CRC-verified),
+    * nothing past it — O(header) where [[decode]] is O(pixels). For
+    * kernels (m3's resize planning) that need only the declared
+    * geometry. */
+  def headerDims(png: Array[Byte]): (Int, Int) = {
+    require(png.length >= 8 + 12 + 13, "png: truncated stream")
+    var i = 0
+    while (i < 8) {
+      require(png(i) == Signature(i), "png: bad signature")
+      i += 1
+    }
+    require(readIntBE(png, 8) == 13 &&
+      new String(png, 12, 4, "US-ASCII") == "IHDR", "png: bad IHDR")
+    val crc = new CRC32()
+    crc.update(png, 12, 4 + 13)
+    require(crc.getValue.toInt == readIntBE(png, 29),
+      "png: CRC mismatch in IHDR chunk")
+    val w = readIntBE(png, 16)
+    val h = readIntBE(png, 20)
+    require(w > 0 && h > 0, s"png: bad dims ${w}x$h")
+    (w, h)
   }
 
   /** Paeth predictor (PNG spec §9.4): the neighbor closest to the

@@ -1192,15 +1192,22 @@ object Warp {
 
     /** DuckDB SQL mirror of [[forward]] (same parity contract as the
       * other projections: value agreement to last ulps, which cannot
-      * flip a 10⁴-meter pixel floor). */
+      * flip a 10⁴-meter pixel floor). The exact-north-pole branch is
+      * mirrored too (sin ≥ 1 ⇒ sinχ = 1) so the two stay the
+      * identical op chain even at ±90 — without it the SQL's ∞/∞
+      * would NaN where the Scala side returns the finite pole
+      * image. */
     def forwardSelect(lat: String, lon: String): String = {
       def d(v: Double) = s"CAST(${java.lang.Double.toString(v)} AS DOUBLE)"
       val w =
         s"""${d(cConst)} * power(((1.0 + sin(radians($lat))) / (1.0 - sin(radians($lat)))) *
            |  power((1.0 - ${d(e)} * sin(radians($lat))) / (1.0 + ${d(e)} * sin(radians($lat))), ${d(e)}), ${d(coneN)})""".stripMargin
+      val sinChiSql =
+        s"""CASE WHEN sin(radians($lat)) >= 1.0 THEN 1.0
+           |  ELSE (($w) - 1.0) / (($w) + 1.0) END""".stripMargin
       s"""${d(coneN)} * (radians($lon) - ${d(lam0)}) AS dlam_,
-         |(($w) - 1.0) / (($w) + 1.0) AS sinchi_,
-         |cos(asin((($w) - 1.0) / (($w) + 1.0))) AS coschi_""".stripMargin
+         |($sinChiSql) AS sinchi_,
+         |cos(asin($sinChiSql)) AS coschi_""".stripMargin
     }
     def xSql: String = {
       def d(v: Double) = s"CAST(${java.lang.Double.toString(v)} AS DOUBLE)"

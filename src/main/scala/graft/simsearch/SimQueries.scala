@@ -256,8 +256,7 @@ object SimQueries extends QueryModule {
     // would serve stale centroids after the parquet under sfDir is
     // regenerated (the groupedPostings hazard), silently breaking
     // oracle parity for e2/e3/e5b
-    val src = new java.io.File(s"$sfDir/embeddings.parquet")
-    val key = s"$sfDir#$maxIter#${src.lastModified}#${src.length}"
+    val key = s"$sfDir#$maxIter#${Tables.sourceTag(s"$sfDir/embeddings.parquet")}"
     kmMemo.computeIfAbsent(key, { _ =>
       Tables.register(spark, sfDir)
       graft.functions.GraftFunctions.install(spark)
@@ -819,12 +818,10 @@ object SimQueries extends QueryModule {
     * corpus-wide window/aggregate (pinned in PlanInvariantsSpec: the
     * codes enter from a FileScan, the code-build window is absent). */
   private def ensurePqArtifacts(spark: SparkSession, sfDir: String): (String, String) = {
-    // fingerprint the source parquet into the sidecar path — the same
-    // staleness hazard lloyd's memo key documents: a path-only key
-    // would serve codes of the OLD corpus against FRESH centroids
-    // after the testdata under sfDir is regenerated
-    val src = new java.io.File(s"$sfDir/embeddings.parquet")
-    val base = s"${sys.props("java.io.tmpdir")}/graft_e11_v1_${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}_${src.lastModified}_${src.length}"
+    // fingerprint the source parquet into the sidecar path (the
+    // shared Tables.sourceTag scheme — see its doc for the staleness
+    // hazard)
+    val base = s"${sys.props("java.io.tmpdir")}/graft_e11_v1_${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}_${Tables.sourceTag(s"$sfDir/embeddings.parquet")}"
     val codesDir = s"$base/codes"
     val bookDir = s"$base/codebook"
     if (!(new java.io.File(s"$codesDir/_SUCCESS").exists() &&

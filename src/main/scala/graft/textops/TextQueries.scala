@@ -29,6 +29,30 @@ object TextQueries extends QueryModule {
 
   // ------------------------------------------------------------ fragments
 
+  /** t14's bucket-LM + selection tail, shared VERBATIM by the Spark
+    * SQL and the DuckDB oracle (only the leading gram CTE `g`
+    * differs) — a one-sided edit to the smoothing/quantization/top-k
+    * logic would otherwise read as an engine bug. */
+  private val t14Tail: String =
+    """b AS (SELECT doc_id, h % 10007 AS bkt FROM g),
+      |tc AS (SELECT bkt, count(*) AS ct FROM b WHERE doc_id % 10 = 0 GROUP BY bkt),
+      |rc AS (SELECT bkt, count(*) AS cr FROM b WHERE doc_id % 10 != 0 GROUP BY bkt),
+      |tt AS (SELECT CAST(sum(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS t,
+      |    CAST(sum(CASE WHEN doc_id % 10 != 0 THEN 1 ELSE 0 END) AS BIGINT) AS r FROM b),
+      |lm AS (SELECT k.bkt,
+      |    CAST(round((ln(CAST(coalesce(tc.ct, 0) + 1 AS DOUBLE) / (tt.t + 10007))
+      |              - ln(CAST(coalesce(rc.cr, 0) + 1 AS DOUBLE) / (tt.r + 10007))) * 1000000.0) AS BIGINT) AS lw_u
+      |  FROM (SELECT DISTINCT bkt FROM b) k
+      |  LEFT JOIN tc ON tc.bkt = k.bkt LEFT JOIN rc ON rc.bkt = k.bkt
+      |  CROSS JOIN tt),
+      |agg AS (SELECT b.doc_id, CAST(sum(lm.lw_u) AS BIGINT) AS logw_u,
+      |    count(*) AS n_grams
+      |  FROM b JOIN lm ON lm.bkt = b.bkt WHERE b.doc_id % 10 != 0
+      |  GROUP BY b.doc_id)
+      |SELECT doc_id, n_grams, logw_u,
+      |  CAST(logw_u AS DOUBLE) / 1000000.0 AS log_weight
+      |FROM agg ORDER BY logw_u DESC, doc_id LIMIT 100""".stripMargin
+
   /** THE URL canonicalization chain, shared with the streaming gate
     * ([[graft.streaming.UrlDedupStream]] reuses this so stream and
     * batch canonical keys agree BY CONSTRUCTION): lowercase, strip
@@ -539,47 +563,13 @@ object TextQueries extends QueryModule {
     SqlQ.split("t14_dsir_select",
       s"""WITH g AS (SELECT doc_id, explode(shingle_hashes(text, 2)) AS h
          |  FROM documents WHERE size(split(text, ' ')) >= 2),
-         |b AS (SELECT doc_id, h % 10007 AS bkt FROM g),
-         |tc AS (SELECT bkt, count(*) AS ct FROM b WHERE doc_id % 10 = 0 GROUP BY bkt),
-         |rc AS (SELECT bkt, count(*) AS cr FROM b WHERE doc_id % 10 != 0 GROUP BY bkt),
-         |tt AS (SELECT CAST(sum(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS t,
-         |    CAST(sum(CASE WHEN doc_id % 10 != 0 THEN 1 ELSE 0 END) AS BIGINT) AS r FROM b),
-         |lm AS (SELECT k.bkt,
-         |    CAST(round((ln(CAST(coalesce(tc.ct, 0) + 1 AS DOUBLE) / (tt.t + 10007))
-         |              - ln(CAST(coalesce(rc.cr, 0) + 1 AS DOUBLE) / (tt.r + 10007))) * 1000000.0) AS BIGINT) AS lw_u
-         |  FROM (SELECT DISTINCT bkt FROM b) k
-         |  LEFT JOIN tc ON tc.bkt = k.bkt LEFT JOIN rc ON rc.bkt = k.bkt
-         |  CROSS JOIN tt),
-         |agg AS (SELECT b.doc_id, CAST(sum(lm.lw_u) AS BIGINT) AS logw_u,
-         |    count(*) AS n_grams
-         |  FROM b JOIN lm ON lm.bkt = b.bkt WHERE b.doc_id % 10 != 0
-         |  GROUP BY b.doc_id)
-         |SELECT doc_id, n_grams, logw_u,
-         |  CAST(logw_u AS DOUBLE) / 1000000.0 AS log_weight
-         |FROM agg ORDER BY logw_u DESC, doc_id LIMIT 100""".stripMargin,
+         |$t14Tail""".stripMargin,
       s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          |g AS (SELECT doc_id, unnest([list_reduce(
          |    [ascii(c)::BIGINT for c in string_split(w[i] || ' ' || w[i+1], '')],
          |    (h,c) -> (h*131+c) % $P) for i in generate_series(1, len(w)-1)]) AS h
          |  FROM w WHERE len(w) >= 2),
-         |b AS (SELECT doc_id, h % 10007 AS bkt FROM g),
-         |tc AS (SELECT bkt, count(*) AS ct FROM b WHERE doc_id % 10 = 0 GROUP BY bkt),
-         |rc AS (SELECT bkt, count(*) AS cr FROM b WHERE doc_id % 10 != 0 GROUP BY bkt),
-         |tt AS (SELECT CAST(sum(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS t,
-         |    CAST(sum(CASE WHEN doc_id % 10 != 0 THEN 1 ELSE 0 END) AS BIGINT) AS r FROM b),
-         |lm AS (SELECT k.bkt,
-         |    CAST(round((ln(CAST(coalesce(tc.ct, 0) + 1 AS DOUBLE) / (tt.t + 10007))
-         |              - ln(CAST(coalesce(rc.cr, 0) + 1 AS DOUBLE) / (tt.r + 10007))) * 1000000.0) AS BIGINT) AS lw_u
-         |  FROM (SELECT DISTINCT bkt FROM b) k
-         |  LEFT JOIN tc ON tc.bkt = k.bkt LEFT JOIN rc ON rc.bkt = k.bkt
-         |  CROSS JOIN tt),
-         |agg AS (SELECT b.doc_id, CAST(sum(lm.lw_u) AS BIGINT) AS logw_u,
-         |    count(*) AS n_grams
-         |  FROM b JOIN lm ON lm.bkt = b.bkt WHERE b.doc_id % 10 != 0
-         |  GROUP BY b.doc_id)
-         |SELECT doc_id, n_grams, logw_u,
-         |  CAST(logw_u AS DOUBLE) / 1000000.0 AS log_weight
-         |FROM agg ORDER BY logw_u DESC, doc_id LIMIT 100""".stripMargin),
+         |$t14Tail""".stripMargin),
 
     // T5: the end-to-end training-corpus selection this pipeline
     // exists for — keep documents that pass quality heuristics AND are
