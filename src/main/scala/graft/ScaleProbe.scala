@@ -167,9 +167,12 @@ object ScaleProbe {
       }
       val out100 = s"${sys.props("java.io.tmpdir")}/graft_sf100x_v2"
       buildScaled(spark, sfDir, out100, reps = 100)
-      val d3t10 = warmTime("d3_minhash_lsh_pairs", outDir)
-      val d3t100 = warmTime("d3_minhash_lsh_pairs", out100)
-      println(f"""{"query":"d3_minhash_lsh_pairs","sec_10x":$d3t10%.2f,"sec_100x":$d3t100%.2f,"exponent_10_100":${math.log10(d3t100 / d3t10)}%.2f}""")
+      for (q <- Seq("d3_minhash_lsh_pairs", "d9_span_dedup",
+        "d10_bloom_gate", "d12_exact_substr")) {
+        val t10 = warmTime(q, outDir)
+        val t100 = warmTime(q, out100)
+        println(f"""{"query":"$q","sec_10x":$t10%.2f,"sec_100x":$t100%.2f,"exponent_10_100":${math.log10(t100 / t10)}%.2f}""")
+      }
       val n10e = spark.read.parquet(s"$outDir/embeddings.parquet").count()
       val n100 = spark.read.parquet(s"$out100/embeddings.parquet").count()
       val bits10e = SimQueries.e4AutoBits(n10e)
