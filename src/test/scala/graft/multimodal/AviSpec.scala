@@ -56,5 +56,11 @@ class AviSpec extends AnyFunSuite {
       Avi.decode(good.take(100)))
     assert(e3.getMessage.contains("overruns") ||
       e3.getMessage.contains("truncated"), e3.getMessage)
+    // strf geometry disagreeing with avih would silently mis-stride
+    // the frames — must reject instead (biWidth at strf data + 4)
+    val badW = good.clone()
+    badW(172 + 4) = 16
+    val e4 = intercept[IllegalArgumentException](Avi.decode(badW))
+    assert(e4.getMessage.contains("disagrees"), e4.getMessage)
   }
 }

@@ -96,6 +96,23 @@ class PngSpec extends AnyFunSuite {
     assert(e.getMessage.contains("keyword"), e.getMessage)
   }
 
+  test("headerDims reads IHDR only; textChunks rejects truncated files") {
+    val rgba = Array.tabulate(6 * 9 * 4)(det)
+    val bytes = Png.encode(6, 9, rgba, Seq("Title" -> "t"))
+    assert(Png.headerDims(bytes) == ((6, 9)))
+    // dims agree with the full decode on every lake-shaped file
+    val img = Png.decode(bytes)
+    assert((img.width, img.height) == Png.headerDims(bytes))
+    // a truncated stream (IEND dropped) must NOT yield silent partial
+    // metadata — fail-fast envelope matches decode
+    val truncated = bytes.take(bytes.length - 12)
+    val e = intercept[IllegalArgumentException](Png.textChunks(truncated))
+    assert(e.getMessage.contains("IEND"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      Png.headerDims("not png but long enough to pass the length gate".getBytes))
+    assert(e2.getMessage.contains("signature"), e2.getMessage)
+  }
+
   test("our encoder's output still reads in ImageIO (interop both ways)") {
     val w = 9; val h = 4
     val rgba = Array.tabulate(w * h * 4)(det)
