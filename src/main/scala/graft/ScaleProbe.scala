@@ -183,6 +183,27 @@ object ScaleProbe {
       val (f100, tot100) = SimQueries.e4Recall(spark, out100, bits100, sampleMod = 400)
       val rec100 = if (tot100 == 0) 1.0 else f100.toDouble / tot100
       println(f"""{"query":"e4_auto_recall_100x","recall":$rec100%.3f,"recall_pairs":"$f100/$tot100"}""")
+
+      // raster zonal at a 100× lake (1600 tiles): the FIXED AOI must
+      // stay ~flat — tile-id partition pruning reads the same 12
+      // partitions out of 1600 as out of 16 (the at-scale pruning
+      // claim, measured at two decades instead of pinned once)
+      import graft.raster.{RasterQueries, SyntheticEnv, TileLake}
+      val rg1b = SyntheticEnv.grid
+      val rg100 = rg1b.copy(tilesX = rg1b.tilesX * 100)
+      val lake100 = s"$out100/tile_lake_100x"
+      TileLake.ensureWrittenFor(spark, lake100, rg100)
+      def timedDf100(f: => org.apache.spark.sql.DataFrame): Double = {
+        f.count(); val t0 = System.nanoTime(); f.count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val aoi = Seq(
+        (0.3513, 40.6821), (3.1242, 40.9753), (3.7081, 43.2517), (0.8472, 42.8391))
+      val lake1b = TileLake.defaultDir
+      TileLake.ensureWritten(spark, lake1b)
+      val zf1 = timedDf100(RasterQueries.probeZonal(spark, lake1b, rg1b, aoi))
+      val zf100 = timedDf100(RasterQueries.probeZonal(spark, lake100, rg100, aoi))
+      println(f"""{"query":"zonal_fixed_aoi_pruned_100x","sec_1x":$zf1%.2f,"sec_100x":$zf100%.2f,"expect":"flat (same 12 pruned partitions)"}""")
     }
     spark.stop()
   }

@@ -104,7 +104,7 @@ object ZonalEngine {
     TileLake.ensureLake(spark, env.lakeDir)
     val bb = geom.bbox
     val ids = TileLake.tileIdsForBbox(env.grid, bb._1, bb._2, bb._3, bb._4)
-    val schema = spark.read.parquet(env.lakeDir).schema
+    val schema = TileLake.scan(spark, env.lakeDir).schema
     val lake = spark.readStream.schema(schema)
       .parquet(lakeDirOverride.getOrElse(env.lakeDir))
       .where(col("tile_id").isin(ids: _*))
