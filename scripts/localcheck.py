@@ -7,6 +7,7 @@ and compares. Usage:
     python3 scripts/localcheck.py <verify_out_dir> <sf_dir>
 """
 import json, sys, glob, os
+import decimal
 import duckdb
 
 def canon(rows, cols):
@@ -21,6 +22,21 @@ def norm(v):
     if isinstance(v, float):
         return v  # exact compare — we engineered determinism
     return v
+
+def find_decimal(rows):
+    """The driver's hash is type-sensitive; Python's Decimal == float is
+    True, so a DECIMAL-producing oracle (un-cast `x * 40.0` etc.) passes
+    here while failing the driver (round-8 m2). Reject Decimals outright."""
+    for r in rows[:1000]:
+        for i, v in enumerate(r):
+            if isinstance(v, decimal.Decimal):
+                return i
+    return None
+
+def cells_type_equal(a, b):
+    """Type-sensitive cell compare mirroring the driver's hash: value AND
+    python type must agree (int vs float vs Decimal all distinct)."""
+    return type(a) is type(b) and a == b
 
 def main():
     outdir, sfdir = sys.argv[1], sys.argv[2]
@@ -50,12 +66,23 @@ def main():
             print(f"ORAFAIL {name}: {e}"); n_fail += 1; continue
         gc, gr = canon(grows, gcols)
         ec, er = canon(erows, ecols)
+        dec = find_decimal(er)
+        if dec is not None:
+            print(f"DECIMAL {name}: oracle column '{ec[dec]}' yields Decimal "
+                  f"— cast to ::DOUBLE/::BIGINT in the oracle SQL"); n_fail += 1; continue
+        dec = find_decimal(gr)
+        if dec is not None:
+            print(f"DECIMAL {name}: spark column '{gc[dec]}' yields Decimal"); n_fail += 1; continue
         if gc != ec:
             print(f"SCHEMA  {name}: spark={gc} oracle={ec}"); n_fail += 1; continue
         if len(gr) != len(er):
             print(f"ROWS    {name}: spark={len(gr)} oracle={len(er)}"); n_fail += 1; continue
-        if gr != er:
-            bad = [i for i, (a, b) in enumerate(zip(gr, er)) if a != b][:3]
+        mismatch = any(
+            not all(cells_type_equal(x, y) for x, y in zip(a, b))
+            for a, b in zip(gr, er))
+        if mismatch:
+            bad = [i for i, (a, b) in enumerate(zip(gr, er))
+                   if not all(cells_type_equal(x, y) for x, y in zip(a, b))][:3]
             print(f"VALUES  {name}: first diffs at rows {bad}")
             for i in bad:
                 print(f"  spark : {gr[i]}\n  oracle: {er[i]}")

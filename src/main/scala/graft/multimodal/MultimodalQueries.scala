@@ -492,7 +492,7 @@ object MultimodalQueries extends QueryModule {
         |  unnest(generate_series(0, f - 1)) AS k FROM m)
         |SELECT doc_id, k::INT AS frame_idx,
         |  (232 + 200 * k)::BIGINT AS frame_off,
-        |  k * 40.0 AS ts_ms,
+        |  (k * 40.0)::DOUBLE AS ts_ms,
         |  list_sum([ascii(text[((k*64 + p) * n) // (f*64) + 1 : ((k*64 + p) * n) // (f*64) + 1])::BIGINT
         |            for p in generate_series(0, 63)]) AS frame_sum
         |FROM fr WHERE k % 4 = 0""".stripMargin,

@@ -131,6 +131,16 @@ object GeoTiff {
   private val TGeoKeys = 34735
   private val TGeoDoubles = 34736
 
+  /** GeogTOWGS84GeoKey (2062) carries THREE or SEVEN doubles — the
+    * one multi-valued key this reader surfaces. `geoParams` is
+    * `Map[Int, Double]` (one value per key) through all the ingest
+    * plumbing, so the reader unpacks value i of key 2062 to synthetic
+    * key `Towgs84Base + i` and the writer packs those back into a
+    * single count-N directory entry. The synthetic range sits far
+    * outside the 16-bit geokey space, so it can never collide with a
+    * real key. */
+  private[raster] val Towgs84Base = 206200
+
   def write(path: java.nio.file.Path, tile: Tile, deflate: Boolean = true): Unit =
     write(path, tile, if (deflate) "deflate" else "none")
 
@@ -167,7 +177,9 @@ object GeoTiff {
     * Returns (directory shorts, double params). */
   private def geoKeysWithParams(epsg: Int,
                                 params: Map[Int, Double]): (Array[Short], Array[Double]) = {
-    val sorted = params.toSeq.sortBy(_._1)
+    val (towgs, plain) =
+      params.partition(kv => kv._1 >= Towgs84Base && kv._1 < Towgs84Base + 7)
+    val sorted = plain.toSeq.sortBy(_._1)
     val dbls = Array.newBuilder[Double]
     val entries = Seq.newBuilder[(Int, Int, Int, Int)]
     entries += ((1024, 0, 1, 1)) // GTModelType: projected
@@ -181,6 +193,17 @@ object GeoTiff {
         dbls += v
         di += 1
       }
+    }
+    if (towgs.nonEmpty) {
+      // re-pack the synthetic keys into one count-N 2062 entry; the
+      // spec allows exactly 3 (geocentric translation) or 7 (full
+      // position-vector) values, contiguous from index 0
+      val n = towgs.size
+      require((n == 3 || n == 7) &&
+        (0 until n).forall(i => towgs.contains(Towgs84Base + i)),
+        s"GeogTOWGS84GeoKey needs 3 or 7 contiguous values, got ${towgs.keys.toSeq.sorted}")
+      entries += ((2062, TGeoDoubles, n, di))
+      (0 until n).foreach { i => dbls += towgs(Towgs84Base + i); di += 1 }
     }
     val es = entries.result().sortBy(_._1)
     val dir = Array(1, 1, 0, es.length) ++
@@ -1034,12 +1057,20 @@ object GeoTiff {
     // carries its own figure to the projection constructors.
     def keyInRange(k: Long): Boolean =
       (k >= 3073 && k <= 3095) || k == 2057 || k == 2059
-    val geoParams: Map[Int, Double] = groups.collect {
+    val geoParams: Map[Int, Double] = groups.flatMap {
       case Seq(k, 0, 1, v) if keyInRange(k) =>
-        k.toInt -> v.toDouble
+        Seq(k.toInt -> v.toDouble)
       case Seq(k, TGeoDoubles, 1, v)
           if keyInRange(k) && v < geoDblVals.length =>
-        k.toInt -> java.lang.Double.longBitsToDouble(geoDblVals(v.toInt))
+        Seq(k.toInt -> java.lang.Double.longBitsToDouble(geoDblVals(v.toInt)))
+      // GeogTOWGS84GeoKey: 3 or 7 doubles unpacked to synthetic keys
+      // (see Towgs84Base) so the single-valued map plumbing carries
+      // the datum shift to Warp.projectionFor
+      case Seq(k, TGeoDoubles, n, v)
+          if k == 2062 && (n == 3 || n == 7) && v + n <= geoDblVals.length =>
+        (0 until n.toInt).map(i => (Towgs84Base + i) ->
+          java.lang.Double.longBitsToDouble(geoDblVals(v.toInt + i)))
+      case _ => Nil
     }.toMap
     val next = b.getInt(ifd + 2 + n * 12)
     (Raster(width, height, ox, oy, pixelScale, epsg, sampleType, bands,

@@ -177,20 +177,52 @@ object Warp {
     else if (epsg == 6932) // WGS84 / EASE-Grid 2.0 South
       Some(LambertAzimuthalEqualArea.ease2South)
     else if (epsg == 28992) // Amersfoort / RD New (double stereographic)
-      Some(ObliqueStereographic.rdNew)
-    else geoParams.get(3075).map(_.toInt) match {
-      case Some(7) => Some(MercatorEllipsoidal.fromGeoKeys(geoParams))
-      case Some(11) => Some(AlbersEqualArea.fromGeoKeys(geoParams))
-      case Some(8) => Some(LambertConformalConic.fromGeoKeys(geoParams))
-      case Some(9) => Some(LambertConformalConic.fromGeoKeys1SP(geoParams))
-      case Some(10) => Some(LambertAzimuthalEqualArea.fromGeoKeys(geoParams))
-      case Some(14) | Some(16) => // Stereographic / ObliqueStereographic
-        Some(ObliqueStereographic.fromGeoKeys(geoParams))
-      case Some(15) => Some(PolarStereographic.fromGeoKeys(geoParams))
-      case Some(17) => Some(Equirectangular.fromGeoKeys(geoParams))
-      case Some(24) => Some(Sinusoidal.fromGeoKeys(geoParams))
-      case Some(28) => Some(CylindricalEqualArea.fromGeoKeys(geoParams))
-      case _ => None
+      // the registry code implies the Amersfoort DATUM, so the
+      // closed-form resolution composes the towgs84 shift the way
+      // proj does implicitly (unify_projection.sh:13-40) — a Bessel
+      // raster lands ON the WGS84 grid, not ~100 m off it
+      Some(DatumShifted(ObliqueStereographic.rdNew, Helmert7.amersfoort,
+        ObliqueStereographic.BesselA, ObliqueStereographic.BesselE2))
+    else {
+      val base = geoParams.get(3075).map(_.toInt) match {
+        case Some(7) => Some(MercatorEllipsoidal.fromGeoKeys(geoParams))
+        case Some(11) => Some(AlbersEqualArea.fromGeoKeys(geoParams))
+        case Some(8) => Some(LambertConformalConic.fromGeoKeys(geoParams))
+        case Some(9) => Some(LambertConformalConic.fromGeoKeys1SP(geoParams))
+        case Some(10) => Some(LambertAzimuthalEqualArea.fromGeoKeys(geoParams))
+        case Some(14) | Some(16) => // Stereographic / ObliqueStereographic
+          Some(ObliqueStereographic.fromGeoKeys(geoParams))
+        case Some(15) => Some(PolarStereographic.fromGeoKeys(geoParams))
+        case Some(17) => Some(Equirectangular.fromGeoKeys(geoParams))
+        case Some(24) => Some(Sinusoidal.fromGeoKeys(geoParams))
+        case Some(28) => Some(CylindricalEqualArea.fromGeoKeys(geoParams))
+        case _ => None
+      }
+      // a GeogTOWGS84GeoKey (2062) riding along composes the datum
+      // shift over whatever family the transform keys built; the
+      // source figure comes from 2057/2059 exactly as the projection
+      // constructors take it (WGS84 absent)
+      (base, towgs84Of(geoParams)) match {
+        case (Some(b), Some(h)) =>
+          val srcA = geoParams.getOrElse(2057, TransverseMercator.A)
+          val srcE2 = geoParams.get(2059)
+            .map { invF => val f = 1.0 / invF; f * (2.0 - f) }
+            .getOrElse(TransverseMercator.E2)
+          Some(DatumShifted(b, h, srcA, srcE2))
+        case _ => base
+      }
+    }
+
+  /** The Helmert set carried in GeogTOWGS84GeoKey (2062), surfaced by
+    * the GeoTIFF reader as synthetic keys [[GeoTiff.Towgs84Base]]+i
+    * (3 translations, or the full 7-parameter position vector). An
+    * all-zero set is the identity — no wrap. */
+  private def towgs84Of(p: Map[Int, Double]): Option[Helmert7] =
+    if (!p.contains(GeoTiff.Towgs84Base)) None
+    else {
+      def v(i: Int): Double = p.getOrElse(GeoTiff.Towgs84Base + i, 0.0)
+      val h = Helmert7(v(0), v(1), v(2), v(3), v(4), v(5), v(6))
+      if (h.isIdentity) None else Some(h)
     }
 
   /** The fully GENERAL projected-CRS → EPSG:4326 ingest warp (the
@@ -1262,6 +1294,151 @@ object Warp {
         k0 = p.getOrElse(3092, 1.0),
         aAxis = p.getOrElse(2057, TransverseMercator.A),
         e2 = p.get(2059).map(e2OfInvF).getOrElse(TransverseMercator.E2))
+    }
+  }
+
+  /** 7-parameter Helmert datum transformation (EPSG method 9606,
+    * position-vector rotation convention — the `+towgs84=` shift proj
+    * applies implicitly when the reference warps a non-WGS84-datum
+    * source, `batch/scripts/unify_projection.sh:13-40`). Parameters
+    * define SOURCE datum → WGS84: translations in meters, rotations
+    * in arc-seconds, scale change in ppm. The REVERSE transformation
+    * negates all seven parameters — EPSG GN7-2 §4.3.3 sanctions sign
+    * reversal as the reverse of the linearized position-vector form;
+    * the neglected O(rot²) ≈ 1e-11 rad re-rotation error is
+    * micrometers on the ground, far below the ~0.5 m accuracy class
+    * of any published towgs84 set. */
+  final case class Helmert7(tx: Double, ty: Double, tz: Double,
+                            rxSec: Double, rySec: Double, rzSec: Double,
+                            dsPpm: Double) extends Serializable {
+    def isIdentity: Boolean =
+      tx == 0.0 && ty == 0.0 && tz == 0.0 &&
+        rxSec == 0.0 && rySec == 0.0 && rzSec == 0.0 && dsPpm == 0.0
+    def negated: Helmert7 =
+      Helmert7(-tx, -ty, -tz, -rxSec, -rySec, -rzSec, -dsPpm)
+    /** Rotations in radians and the scale factor, precomputed once. */
+    private[raster] def rx: Double = Math.toRadians(rxSec / 3600.0)
+    private[raster] def ry: Double = Math.toRadians(rySec / 3600.0)
+    private[raster] def rz: Double = Math.toRadians(rzSec / 3600.0)
+    private[raster] def sFac: Double = 1.0 + dsPpm * 1e-6
+  }
+
+  object Helmert7 {
+    /** Amersfoort (Bessel 1841) → WGS84, the RDNAPTRANS-derived set
+      * proj ships for EPSG:28992/4289 (EPSG transformation 15934,
+      * "Amersfoort to WGS 84 (3)"): the 7-param approximation is
+      * accurate to ~0.25-0.5 m against the official grid — versus
+      * ~100 m with no shift at all. */
+    val amersfoort: Helmert7 = Helmert7(
+      565.2369, 50.0087, 465.658,
+      -0.406857, 0.350733, -1.87035, 4.0812)
+  }
+
+  /** A projection on a non-WGS84 DATUM, composed with the Helmert
+    * shift that relates its datum to WGS84 — the closed-form
+    * equivalent of proj resolving `+towgs84=` during a warp. The
+    * lattice contract stays the Projection trait's: [[forward]] takes
+    * WGS84 geodetic lat/lon (the target grid) and lands in the source
+    * projection's meters, so the shift runs WGS84 → source datum
+    * (reverse Helmert) before the base projection's forward;
+    * [[inverse]] runs base inverse then source datum → WGS84.
+    *
+    * The geodetic↔geocentric legs use h = 0 (a raster grid carries no
+    * heights — proj's 2D pipeline stance) and Bowring's (1976)
+    * single-step geocentric→geodetic, whose error for |h| < 10 km is
+    * < 1e-9 rad (sub-mm); the SQL mirror replays the identical op
+    * chain, so engine/oracle parity is ulp-exact regardless of the
+    * formula's truncation. */
+  final case class DatumShifted(base: Projection, shift: Helmert7,
+                                srcA: Double, srcE2: Double)
+      extends Projection {
+    require(!shift.isIdentity,
+      "DatumShifted with an identity shift — use the base projection")
+    require(srcA > 0.0 && srcE2 >= 0.0 && srcE2 < 1.0,
+      s"DatumShifted source ellipsoid a=$srcA e2=$srcE2 is degenerate")
+    import DatumShifted.{WgsA, WgsE2, applyShift}
+    private val rev = shift.negated // WGS84 → source datum
+
+    def forward(latDeg: Double, lonDeg: Double): (Double, Double) = {
+      val (sLat, sLon) = applyShift(latDeg, lonDeg, WgsA, WgsE2, rev, srcA, srcE2)
+      base.forward(sLat, sLon)
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val (bLat, bLon) = base.inverse(x, y)
+      applyShift(bLat, bLon, srcA, srcE2, shift, WgsA, WgsE2)
+    }
+
+    /** The base's plane singularities carry over unchanged: the
+      * singular plane POINTS are a property of the source projection;
+      * their latitude labels move by the sub-km datum offset, which
+      * cannot flip rectangle containment at the 10⁴-meter lattice
+      * scales the warp runs at. */
+    override def planeSingularities: Seq[(Double, Double, Double)] =
+      base.planeSingularities
+
+    /** SQL mirror: the reverse shift's op chain as lateral-alias
+      * intermediates producing source-datum `dslat_`/`dslon_`, then
+      * the base projection's mirror over those — one SELECT list,
+      * exactly the doubles [[forward]] computes. */
+    def forwardSelect(lat: String, lon: String): String = {
+      def d(v: Double) = s"CAST(${java.lang.Double.toString(v)} AS DOUBLE)"
+      val srcB = srcA * Math.sqrt(1.0 - srcE2)
+      val ep2 = srcE2 / (1.0 - srcE2)
+      s"""${d(WgsA)} / sqrt(1.0 - ${d(WgsE2)} * sin(radians($lat)) * sin(radians($lat))) AS dsnu_,
+         |dsnu_ * cos(radians($lat)) * cos(radians($lon)) AS dsx_,
+         |dsnu_ * cos(radians($lat)) * sin(radians($lon)) AS dsy_,
+         |dsnu_ * ${d(1.0 - WgsE2)} * sin(radians($lat)) AS dsz_,
+         |${d(rev.tx)} + ${d(rev.sFac)} * (dsx_ - ${d(rev.rz)} * dsy_ + ${d(rev.ry)} * dsz_) AS dsx2_,
+         |${d(rev.ty)} + ${d(rev.sFac)} * (${d(rev.rz)} * dsx_ + dsy_ - ${d(rev.rx)} * dsz_) AS dsy2_,
+         |${d(rev.tz)} + ${d(rev.sFac)} * (-(${d(rev.ry)}) * dsx_ + ${d(rev.rx)} * dsy_ + dsz_) AS dsz2_,
+         |sqrt(dsx2_ * dsx2_ + dsy2_ * dsy2_) AS dsp_,
+         |atan2(dsz2_ * ${d(srcA)}, dsp_ * ${d(srcB)}) AS dsth_,
+         |degrees(atan2(dsz2_ + ${d(ep2 * srcB)} * (sin(dsth_) * sin(dsth_) * sin(dsth_)),
+         |  dsp_ - ${d(srcE2 * srcA)} * (cos(dsth_) * cos(dsth_) * cos(dsth_)))) AS dslat_,
+         |degrees(atan2(dsy2_, dsx2_)) AS dslon_,
+         |${base.forwardSelect("dslat_", "dslon_")}""".stripMargin
+    }
+    def xSql: String = base.xSql
+    def ySql: String = base.ySql
+  }
+
+  object DatumShifted {
+    /** WGS84 figure (the target datum of every towgs84 set). */
+    val WgsA: Double = TransverseMercator.A
+    val WgsE2: Double = TransverseMercator.E2
+
+    /** One datum leg: geodetic (h = 0) on the FROM ellipsoid →
+      * geocentric → Helmert (position vector, linearized) → Bowring
+      * single-step geodetic on the TO ellipsoid. Association mirrors
+      * [[DatumShifted.forwardSelect]] exactly. */
+    private[raster] def applyShift(latDeg: Double, lonDeg: Double,
+                                   aFrom: Double, e2From: Double,
+                                   h: Helmert7,
+                                   aTo: Double, e2To: Double): (Double, Double) = {
+      val phi = Math.toRadians(latDeg)
+      val lam = Math.toRadians(lonDeg)
+      val sinPhi = Math.sin(phi)
+      val cosPhi = Math.cos(phi)
+      val nu = aFrom / Math.sqrt(1.0 - e2From * sinPhi * sinPhi)
+      val x = nu * cosPhi * Math.cos(lam)
+      val y = nu * cosPhi * Math.sin(lam)
+      val z = nu * (1.0 - e2From) * sinPhi
+      val s = h.sFac
+      val x2 = h.tx + s * (x - h.rz * y + h.ry * z)
+      val y2 = h.ty + s * (h.rz * x + y - h.rx * z)
+      val z2 = h.tz + s * (-h.ry * x + h.rx * y + z)
+      val bTo = aTo * Math.sqrt(1.0 - e2To)
+      val ep2 = e2To / (1.0 - e2To)
+      val p = Math.sqrt(x2 * x2 + y2 * y2)
+      val th = Math.atan2(z2 * aTo, p * bTo)
+      val sinTh = Math.sin(th)
+      val cosTh = Math.cos(th)
+      val lat2 = Math.atan2(
+        z2 + (ep2 * bTo) * (sinTh * sinTh * sinTh),
+        p - (e2To * aTo) * (cosTh * cosTh * cosTh))
+      val lon2 = Math.atan2(y2, x2)
+      (Math.toDegrees(lat2), Math.toDegrees(lon2))
     }
   }
 
