@@ -1305,9 +1305,10 @@ object Warp {
     * in arc-seconds, scale change in ppm. The REVERSE transformation
     * negates all seven parameters — EPSG GN7-2 §4.3.3 sanctions sign
     * reversal as the reverse of the linearized position-vector form;
-    * the neglected O(rot²) ≈ 1e-11 rad re-rotation error is
-    * micrometers on the ground, far below the ~0.5 m accuracy class
-    * of any published towgs84 set. */
+    * the neglected rotation×translation cross terms (~1e-5 rad ×
+    * ~500 m) put the round-trip error at a few MILLIMETERS on the
+    * ground, far below the ~0.25-0.5 m accuracy class of any
+    * published towgs84 set (WarpSpec pins the round trip < 1 cm). */
   final case class Helmert7(tx: Double, ty: Double, tz: Double,
                             rxSec: Double, rySec: Double, rzSec: Double,
                             dsPpm: Double) extends Serializable {

@@ -925,8 +925,11 @@ class WarpSpec extends AnyFunSuite {
 
   test("oblique stereographic: geokeys, registry code, pole images, degenerates") {
     val rd = Warp.ObliqueStereographic.rdNew
-    // registry code resolves to the RD parameterization
-    assert(Warp.projectionFor(28992).contains(rd))
+    // registry code resolves to the RD parameterization WITH the
+    // Amersfoort datum shift composed (proj's implicit towgs84)
+    assert(Warp.projectionFor(28992).contains(Warp.DatumShifted(rd,
+      Warp.Helmert7.amersfoort, Warp.ObliqueStereographic.BesselA,
+      Warp.ObliqueStereographic.BesselE2)))
     // CT 16 (and the CT 14 alias) with Bessel carried in 2057/2059
     val keys = Map[Int, Double](
       3081 -> rd.lat0Deg, 3080 -> rd.lon0Deg, 3092 -> 0.9999079,
