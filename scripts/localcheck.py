@@ -5,38 +5,30 @@ Runs graft.Verify output (parquet per query + oracle_sql.json) against
 DuckDB on the same sf dir, sorts columns by name and rows by value,
 and compares. Usage:
     python3 scripts/localcheck.py <verify_out_dir> <sf_dir>
+
+Type checking happens at the DuckDB level, not the Python-cell level:
+`DESCRIBE <oracle sql>` must equal `DESCRIBE SELECT * FROM '<spark
+parquet>'` column-for-column (name + DuckDB type). Python's duckdb
+client renders HUGEINT and BIGINT both as `int`, and Decimal == float
+is True, so cell-level checks are blind to exactly the class of skew
+(round-8 m2 ts_ms DECIMAL, round-9 m2 frame_sum HUGEINT) that the
+driver's type-sensitive hash rejects.
 """
 import json, sys, glob, os
-import decimal
 import duckdb
 
 def canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for r in rows:
-        out.append(tuple(norm(r[i]) for i in order))
+        out.append(tuple(r[i] for i in order))
     out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
     return [cols[i] for i in order], out
 
-def norm(v):
-    if isinstance(v, float):
-        return v  # exact compare — we engineered determinism
-    return v
-
-def find_decimal(rows):
-    """The driver's hash is type-sensitive; Python's Decimal == float is
-    True, so a DECIMAL-producing oracle (un-cast `x * 40.0` etc.) passes
-    here while failing the driver (round-8 m2). Reject Decimals outright."""
-    for r in rows[:1000]:
-        for i, v in enumerate(r):
-            if isinstance(v, decimal.Decimal):
-                return i
-    return None
-
-def cells_type_equal(a, b):
-    """Type-sensitive cell compare mirroring the driver's hash: value AND
-    python type must agree (int vs float vs Decimal all distinct)."""
-    return type(a) is type(b) and a == b
+def describe(con, sql):
+    """name -> DuckDB type for the result of `sql` (sorted by name)."""
+    rows = con.execute(f"DESCRIBE {sql}").fetchall()
+    return sorted((r[0], r[1]) for r in rows)
 
 def main():
     outdir, sfdir = sys.argv[1], sys.argv[2]
@@ -53,7 +45,8 @@ def main():
         files = glob.glob(f"{qdir}/*.parquet")
         if not files:
             print(f"NOROWS  {name} (no parquet written)"); n_fail += 1; continue
-        got = con.execute(f"SELECT * FROM '{qdir}/*.parquet'")
+        spark_sql = f"SELECT * FROM '{qdir}/*.parquet'"
+        got = con.execute(spark_sql)
         gcols = [d[0] for d in got.description]; grows = got.fetchall()
         if name not in oracles:
             print(f"ROWSONLY {name}: {len(grows)} rows"); n_noora += 1
@@ -64,25 +57,28 @@ def main():
             ecols = [d[0] for d in exp.description]; erows = exp.fetchall()
         except Exception as e:
             print(f"ORAFAIL {name}: {e}"); n_fail += 1; continue
+        # DuckDB-native type equality: catches HUGEINT/DECIMAL/unsigned
+        # skew invisible at the Python cell level.
+        gtypes = describe(con, spark_sql)
+        try:
+            etypes = describe(con, oracles[name])
+        except Exception as e:
+            print(f"ORAFAIL {name}: DESCRIBE: {e}"); n_fail += 1; continue
+        if gtypes != etypes:
+            diffs = [(g, e) for g, e in zip(gtypes, etypes) if g != e]
+            print(f"TYPES   {name}:")
+            for g, e in diffs[:5]:
+                print(f"  spark {g[0]}: {g[1]}  vs  oracle {e[0]}: {e[1]}")
+            n_fail += 1; continue
         gc, gr = canon(grows, gcols)
         ec, er = canon(erows, ecols)
-        dec = find_decimal(er)
-        if dec is not None:
-            print(f"DECIMAL {name}: oracle column '{ec[dec]}' yields Decimal "
-                  f"— cast to ::DOUBLE/::BIGINT in the oracle SQL"); n_fail += 1; continue
-        dec = find_decimal(gr)
-        if dec is not None:
-            print(f"DECIMAL {name}: spark column '{gc[dec]}' yields Decimal"); n_fail += 1; continue
         if gc != ec:
             print(f"SCHEMA  {name}: spark={gc} oracle={ec}"); n_fail += 1; continue
         if len(gr) != len(er):
             print(f"ROWS    {name}: spark={len(gr)} oracle={len(er)}"); n_fail += 1; continue
-        mismatch = any(
-            not all(cells_type_equal(x, y) for x, y in zip(a, b))
-            for a, b in zip(gr, er))
+        mismatch = any(a != b for a, b in zip(gr, er))
         if mismatch:
-            bad = [i for i, (a, b) in enumerate(zip(gr, er))
-                   if not all(cells_type_equal(x, y) for x, y in zip(a, b))][:3]
+            bad = [i for i, (a, b) in enumerate(zip(gr, er)) if a != b][:3]
             print(f"VALUES  {name}: first diffs at rows {bad}")
             for i in bad:
                 print(f"  spark : {gr[i]}\n  oracle: {er[i]}")

@@ -280,7 +280,7 @@ object GeoQueries extends QueryModule {
       s"""$duckPts,
          |polys AS (SELECT c_custkey, lon + 0.13 AS x0, lat + 0.21 AS y0
          |  FROM pts WHERE c_custkey < 60)
-         |SELECT c_custkey, ROUND(1.3 * 0.5 + 0.5 * 0.7, 6) AS clip_area,
+         |SELECT c_custkey, ROUND(1.3 * 0.5 + 0.5 * 0.7, 6)::DOUBLE AS clip_area,
          |  CAST((floor(x0 + 1.3) - floor(x0) + 1) * (floor(y0 + 1.2) - floor(y0) + 1)
          |    - CASE WHEN floor(x0 + 1.3) >= x0 + 0.5 AND floor(y0 + 1.2) >= y0 + 0.5
          |      THEN 1 ELSE 0 END AS BIGINT) AS cell_count

@@ -388,7 +388,7 @@ object MultimodalQueries extends QueryModule {
          |  FROM q CROSS JOIN $view i)
          |SELECT qid AS query_id, doc_id AS image_id, cosine, rnk
          |FROM (SELECT qid, doc_id, cosine,
-         |        row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, doc_id) AS rnk FROM s) t
+         |        CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, doc_id) AS INT) AS rnk FROM s) t
          |WHERE rnk <= 5""".stripMargin)
   }
 
@@ -469,7 +469,7 @@ object MultimodalQueries extends QueryModule {
          |  FROM q CROSS JOIN b)
          |SELECT qid AS query_id, doc_id AS image_id, cosine, rnk
          |FROM (SELECT qid, doc_id, cosine,
-         |        row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, doc_id) AS rnk FROM s) t
+         |        CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, doc_id) AS INT) AS rnk FROM s) t
          |WHERE rnk <= 5""".stripMargin,
     "m7_clip_align" ->
       s"""WITH $grayOracleCtes,
@@ -494,7 +494,7 @@ object MultimodalQueries extends QueryModule {
         |  (232 + 200 * k)::BIGINT AS frame_off,
         |  (k * 40.0)::DOUBLE AS ts_ms,
         |  list_sum([ascii(text[((k*64 + p) * n) // (f*64) + 1 : ((k*64 + p) * n) // (f*64) + 1])::BIGINT
-        |            for p in generate_series(0, 63)]) AS frame_sum
+        |            for p in generate_series(0, 63)])::BIGINT AS frame_sum
         |FROM fr WHERE k % 4 = 0""".stripMargin,
     "m4_audio_energy" ->
       """WITH s AS (SELECT doc_id,
@@ -511,7 +511,7 @@ object MultimodalQueries extends QueryModule {
     "m5_phash_pairs" ->
       s"""WITH $phashOracleCtes
          |SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-         |  bit_count(xor(a.phash, b.phash)) AS hamming
+         |  bit_count(xor(a.phash, b.phash))::INT AS hamming
          |FROM h a, h b WHERE a.doc_id < b.doc_id
          |  AND bit_count(xor(a.phash, b.phash)) <= 3""".stripMargin,
     // the cosine side's oracle is the exact pair scan (the e4

@@ -92,7 +92,7 @@ object RelationalQueries extends QueryModule {
     SqlQ.shared("w_window_rank",
       """SELECT o_custkey, o_orderkey, rn FROM (
         |  SELECT o_custkey, o_orderkey,
-        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+        |    CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INT) AS rn
         |  FROM orders) t
         |WHERE rn <= 2""".stripMargin),
 
@@ -127,13 +127,13 @@ object RelationalQueries extends QueryModule {
     SqlQ.shared("p10_scalar_funcs",
       """SELECT o_orderkey,
         |  upper(substr(o_orderpriority, 1, 1)) AS pri_initial,
-        |  length(o_orderpriority) AS pri_len,
+        |  CAST(length(o_orderpriority) AS INT) AS pri_len,
         |  coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_label,
         |  CASE WHEN o_totalprice > 200000 THEN 'big' WHEN o_totalprice > 50000 THEN 'mid' ELSE 'small' END AS size_class,
         |  abs(o_totalprice - 100000) AS dist_from_100k,
         |  greatest(o_custkey, 100) AS cust_floor,
-        |  year(cast(o_orderdate as date)) AS order_year,
-        |  month(cast(o_orderdate as date)) AS order_month
+        |  CAST(year(cast(o_orderdate as date)) AS INT) AS order_year,
+        |  CAST(month(cast(o_orderdate as date)) AS INT) AS order_month
         |FROM orders WHERE o_orderkey < 200""".stripMargin),
 
     // §2.5+: analytic windows beyond row_number — lag and a cumulative
@@ -186,7 +186,7 @@ object RelationalQueries extends QueryModule {
     // OTF dialect's isoweek(date) (analysis.py:143-145) →
     // weekofyear, ISO semantics in both engines.
     SqlQ.shared("a11_isoweek",
-      """SELECT weekofyear(cast(ts as date)) AS iso_week, count(*) AS n_events
+      """SELECT CAST(weekofyear(cast(ts as date)) AS INT) AS iso_week, count(*) AS n_events
         |FROM events GROUP BY weekofyear(cast(ts as date))
         |ORDER BY iso_week""".stripMargin),
 

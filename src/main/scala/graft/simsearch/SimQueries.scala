@@ -427,7 +427,7 @@ object SimQueries extends QueryModule {
          |             JOIN n ON n.vec_id = m.vec_id AND n.vec_id != q.qid)
          |SELECT qid AS query_id, nid AS neighbor_id, sim AS cosine, rnk
          |FROM (SELECT qid, nid, sim,
-         |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk FROM s) t
+         |        CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS INT) AS rnk FROM s) t
          |WHERE rnk <= 5""".stripMargin)
   }
 
@@ -448,7 +448,7 @@ object SimQueries extends QueryModule {
          |      FROM q CROSS JOIN n WHERE n.vec_id != qid)
          |SELECT qid AS query_id, nid AS neighbor_id, sim AS cosine, rnk
          |FROM (SELECT qid, nid, sim,
-         |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk FROM s) t
+         |        CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS INT) AS rnk FROM s) t
          |WHERE rnk <= 10""".stripMargin,
       s"""$duckVecs,
          |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < 5),
@@ -456,7 +456,7 @@ object SimQueries extends QueryModule {
          |      FROM q CROSS JOIN n WHERE n.vec_id != qid)
          |SELECT qid AS query_id, nid AS neighbor_id, sim AS cosine, rnk
          |FROM (SELECT qid, nid, sim,
-         |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk FROM s) t
+         |        CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS INT) AS rnk FROM s) t
          |WHERE rnk <= 10""".stripMargin),
 
     // E2 is programmatic (near-dup pairs blocked on the COMPUTED
@@ -585,7 +585,7 @@ object SimQueries extends QueryModule {
          |  WHERE codes.vec_id != d0.qid)
          |SELECT qid AS query_id, nid AS neighbor_id, adist AS adc_dist, rnk
          |FROM (SELECT qid, nid, adist,
-         |        row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS rnk FROM adc) t
+         |        CAST(row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS INT) AS rnk FROM adc) t
          |WHERE rnk <= 5""".stripMargin,
       s"""$duckVecs,
          |seed AS (SELECT vec_id AS cid, v AS cv FROM n WHERE vec_id < 8),
@@ -616,7 +616,7 @@ object SimQueries extends QueryModule {
          |  WHERE codes.vec_id != d0.qid)
          |SELECT qid AS query_id, nid AS neighbor_id, adist AS adc_dist, rnk
          |FROM (SELECT qid, nid, adist,
-         |        row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS rnk FROM adc) t
+         |        CAST(row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS INT) AS rnk FROM adc) t
          |WHERE rnk <= 5""".stripMargin),
 
     // E13: dimension-truncation quality — the Matryoshka-style
@@ -758,7 +758,7 @@ object SimQueries extends QueryModule {
        |             JOIN n ON n.vec_id = m.vec_id AND n.vec_id != q.qid)
        |SELECT qid AS query_id, nid AS neighbor_id, sim AS cosine, rnk
        |FROM (SELECT qid, nid, sim,
-       |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk FROM s) t
+       |        CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS INT) AS rnk FROM s) t
        |WHERE rnk <= 5""".stripMargin
 
   /** e8: recall accounting for the ANN path — "measure, don't guess":
@@ -774,7 +774,7 @@ object SimQueries extends QueryModule {
        |      FROM q CROSS JOIN n WHERE n.vec_id != qid)
        |SELECT qid AS query_id, nid AS neighbor_id
        |FROM (SELECT qid, nid, sim,
-       |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk FROM s) t
+       |        CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS INT) AS rnk FROM s) t
        |WHERE rnk <= 5""".stripMargin
 
   private def ivfRecall(spark: SparkSession, sfDir: String): DataFrame = {
@@ -904,7 +904,7 @@ object SimQueries extends QueryModule {
          |    AND d3.s = 3 AND d3.cid = cand.code3)
          |SELECT qid AS query_id, nid AS neighbor_id, adist AS adc_dist, rnk
          |FROM (SELECT qid, nid, adist,
-         |        row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS rnk FROM adc) t
+         |        CAST(row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS INT) AS rnk FROM adc) t
          |WHERE rnk <= 5""".stripMargin)
   }
 
@@ -961,7 +961,7 @@ object SimQueries extends QueryModule {
        |    AND d3.s = 3 AND d3.cid = cand.code3)
        |SELECT qid AS query_id, nid AS neighbor_id, adist AS adc_dist, rnk
        |FROM (SELECT qid, nid, adist,
-       |        row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS rnk FROM adc) t
+       |        CAST(row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS INT) AS rnk FROM adc) t
        |WHERE rnk <= 5""".stripMargin
 
   /** e12: recall accounting for the IVFADC path (e8's
@@ -992,7 +992,7 @@ object SimQueries extends QueryModule {
        |        FROM q CROSS JOIN n WHERE n.vec_id != qid)
        |  SELECT qid AS query_id, nid AS neighbor_id
        |  FROM (SELECT qid, nid, sim,
-       |          row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk FROM s) t
+       |          CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS INT) AS rnk FROM s) t
        |  WHERE rnk <= 5)),
        |adc AS (SELECT query_id, neighbor_id FROM ($e11Oracle))
        |SELECT e.query_id, count(i.neighbor_id) AS hits,
@@ -1103,7 +1103,7 @@ object SimQueries extends QueryModule {
        |    AND d3.s = 3 AND d3.cid = candT.code3)
        |SELECT qid AS query_id, nid AS neighbor_id
        |FROM (SELECT qid, nid, adist,
-       |        row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS rnk FROM adcT) t
+       |        CAST(row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS INT) AS rnk FROM adcT) t
        |WHERE rnk <= 5""".stripMargin
     sb.result()
   }
@@ -1145,7 +1145,7 @@ object SimQueries extends QueryModule {
        |        FROM q CROSS JOIN n WHERE n.vec_id != qid)
        |  SELECT qid AS query_id, nid AS neighbor_id
        |  FROM (SELECT qid, nid, sim,
-       |          row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk FROM s) t
+       |          CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS INT) AS rnk FROM s) t
        |  WHERE rnk <= 5)),
        |adc AS (SELECT query_id, neighbor_id FROM (
        |  $duckVecs,
@@ -1168,7 +1168,7 @@ object SimQueries extends QueryModule {
        |        FROM q CROSS JOIN n WHERE n.vec_id != qid)
        |  SELECT qid AS query_id, nid AS neighbor_id
        |  FROM (SELECT qid, nid, sim,
-       |          row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk FROM s) t
+       |          CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS INT) AS rnk FROM s) t
        |  WHERE rnk <= 5)),
        |ivf AS (SELECT query_id, neighbor_id FROM ($e3Oracle))
        |SELECT e.query_id, count(i.neighbor_id) AS hits,

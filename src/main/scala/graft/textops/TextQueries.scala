@@ -220,7 +220,7 @@ object TextQueries extends QueryModule {
          |FROM sigs LATERAL VIEW posexplode(sg) t AS perm, sig""".stripMargin,
       s"""$duckShingles,
          |e AS (SELECT doc_id, unnest(hs) AS h FROM sh),
-         |p AS (SELECT unnest(generate_series(0, 35)) AS perm)
+         |p AS (SELECT CAST(unnest(generate_series(0, 35)) AS INT) AS perm)
          |SELECT doc_id, perm, $minhashSig
          |FROM e CROSS JOIN p GROUP BY doc_id, perm""".stripMargin),
 
@@ -263,7 +263,7 @@ object TextQueries extends QueryModule {
          |b AS (SELECT doc_id,
          |    $simhashBitSums
          |  FROM e GROUP BY doc_id)
-         |SELECT doc_id, $simhashAssemble AS simhash FROM b""".stripMargin),
+         |SELECT doc_id, ($simhashAssemble)::BIGINT AS simhash FROM b""".stripMargin),
 
     // D6: SimHash near-dup pairs, Hamming distance <= 3. Spark side
     // uses 4-band candidate generation: distance <= 3 touches at most 3
@@ -286,7 +286,7 @@ object TextQueries extends QueryModule {
          |  FROM e GROUP BY doc_id),
          |f AS (SELECT doc_id, $simhashAssemble AS simhash FROM b)
          |SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-         |  bit_count(xor(a.simhash::BIGINT, b.simhash::BIGINT)) AS hamming
+         |  bit_count(xor(a.simhash::BIGINT, b.simhash::BIGINT))::INT AS hamming
          |FROM f a, f b WHERE a.doc_id < b.doc_id
          |  AND bit_count(xor(a.simhash::BIGINT, b.simhash::BIGINT)) <= 3""".stripMargin),
 
@@ -600,7 +600,7 @@ object TextQueries extends QueryModule {
          |dup AS (SELECT DISTINCT pr.j AS doc_id
          |  FROM pr JOIN cnt ca ON ca.doc_id = pr.i JOIN cnt cb ON cb.doc_id = pr.j
          |  WHERE CAST(pr.shared AS DOUBLE) / (ca.n + cb.n - pr.shared) >= 0.5),
-         |q AS (SELECT doc_id, len(string_split(text, ' ')) AS n_words,
+         |q AS (SELECT doc_id, len(string_split(text, ' '))::INT AS n_words,
          |        len(list_distinct(string_split(text, ' ')))::DOUBLE / len(string_split(text, ' ')) AS uniq_ratio
          |      FROM documents)
          |SELECT q.doc_id, q.n_words, q.uniq_ratio
@@ -620,8 +620,8 @@ object TextQueries extends QueryModule {
          |FROM w""".stripMargin,
       s"""WITH w AS (SELECT doc_id, n_chars, string_split(text, ' ') AS w FROM documents)
          |SELECT doc_id, n_chars,
-         |  len(w) AS n_words,
-         |  len(list_distinct(w)) AS n_uniq_words,
+         |  len(w)::INT AS n_words,
+         |  len(list_distinct(w))::INT AS n_uniq_words,
          |  list_reduce([len(x) for x in w], (a,b) -> a+b)::DOUBLE / len(w) AS avg_word_len,
          |  len(list_distinct(w))::DOUBLE / len(w) AS uniq_ratio,
          |  ${hitCount(spark = false, langMarkers.head._2)}::DOUBLE / len(w) AS stopword_ratio
@@ -636,10 +636,10 @@ object TextQueries extends QueryModule {
         |  length(text) AS n_chars_measured
         |FROM documents""".stripMargin,
       """SELECT doc_id,
-        |  len(list_filter(string_split(text, ' '), x -> x != '')) AS ws_tokens,
-        |  len(regexp_extract_all(text, '[a-z]+')) AS alpha_tokens,
-        |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_tokens,
-        |  len(text) AS n_chars_measured
+        |  len(list_filter(string_split(text, ' '), x -> x != ''))::INT AS ws_tokens,
+        |  len(regexp_extract_all(text, '[a-z]+'))::INT AS alpha_tokens,
+        |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))::INT AS bpe_tokens,
+        |  len(text)::INT AS n_chars_measured
         |FROM documents""".stripMargin),
 
     // T3: language-ID via stopword-marker counts, deterministic
@@ -654,7 +654,7 @@ object TextQueries extends QueryModule {
          |FROM s""".stripMargin,
       s"""WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
          |s AS (SELECT doc_id, lang,
-         |  ${langMarkers.map { case (l, ms) => s"${hitCount(spark = false, ms)} AS s_$l" }.mkString(",\n  ")}
+         |  ${langMarkers.map { case (l, ms) => s"${hitCount(spark = false, ms)}::INT AS s_$l" }.mkString(",\n  ")}
          |FROM w)
          |SELECT doc_id, lang, ${langMarkers.map(m => "s_" + m._1).mkString(", ")},
          |  $langPredCase AS lang_pred
@@ -674,7 +674,7 @@ object TextQueries extends QueryModule {
          |    (h,c) -> (h*131+c) % $P) AS content_hash,
          |  list_aggregate(sh.hs, 'min') AS min_shingle_hash,
          |  list_aggregate(sh.hs, 'max') AS max_shingle_hash,
-         |  len(sh.hs) AS n_shingles
+         |  len(sh.hs)::INT AS n_shingles
          |FROM documents d JOIN sh ON sh.doc_id = d.doc_id""".stripMargin),
 
     // T6: stratified corpus sampling — per-language quotas applied by
@@ -846,8 +846,8 @@ object TextQueries extends QueryModule {
          |  ${PiiShape.redactSql("text", identity, ", 'g'")} AS redacted
          |  FROM aug)
          |SELECT doc_id,
-         |  len(regexp_extract_all(text, '${PiiShape.email}')) AS n_emails,
-         |  len(regexp_extract_all(text, '${PiiShape.ipv4}')) AS n_ips,
+         |  len(regexp_extract_all(text, '${PiiShape.email}'))::INT AS n_emails,
+         |  len(regexp_extract_all(text, '${PiiShape.ipv4}'))::INT AS n_ips,
          |  CAST(len(text) - len(redacted) AS BIGINT) AS removed_chars,
          |  md5(redacted) AS redacted_md5
          |FROM scrub""".stripMargin)
@@ -1106,7 +1106,7 @@ object TextQueries extends QueryModule {
   }
 
   private val t8Oracle: String =
-    s"""WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents),
+    s"""WITH t AS (SELECT doc_id, len(string_split(text, ' '))::INT AS n_tokens FROM documents),
        |c AS (SELECT doc_id, n_tokens,
        |  COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
