@@ -52,15 +52,13 @@ object ScaleProbe {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // e4's exact-verify join at 100× must BROADCAST the vector side
-      // (200k × ~600 B ≈ 120 MB — trivially broadcastable): under the
-      // default 10 MB threshold Spark sort-merge-joins instead, which
-      // drags two 512 B embedding arrays per candidate pair through a
-      // sort of ~4.6e8 rows — ~200 GB of spill that fills the probe
-      // box's disk. On a real cluster the embedding side of a verify
-      // join is exactly the kind of dimension you broadcast (or
-      // co-partition by the pair key when it outgrows memory).
-      .config("spark.sql.autoBroadcastJoinThreshold", (1L << 30).toString)
+      // NB round 10: the probe used to raise autoBroadcastJoinThreshold
+      // to 1 GB so e4's verify join would broadcast its vector side
+      // (the default-threshold SMJ spilled ~200 GB at 100×). The
+      // verify join now carries an explicit BROADCAST hint at the
+      // source (SimQueries.e4Ctes — threshold-independent), so the
+      // probe runs the DEFAULT config the driver uses: the robustness
+      // is in the plan, not the probe.
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     buildScaled(spark, sfDir, outDir)
@@ -204,6 +202,30 @@ object ScaleProbe {
       val zf1 = timedDf100(RasterQueries.probeZonal(spark, lake1b, rg1b, aoi))
       val zf100 = timedDf100(RasterQueries.probeZonal(spark, lake100, rg100, aoi))
       println(f"""{"query":"zonal_fixed_aoi_pruned_100x","sec_1x":$zf1%.2f,"sec_100x":$zf100%.2f,"expect":"flat (same 12 pruned partitions)"}""")
+
+      // ---- batch many-AOI zonal (round-9 verdict ask #8): the
+      // reference's ≤100-parallel-lambda fan-out as ONE job
+      // (RasterQueries.probeBatchZonal). Two claims, measured:
+      // (a) 100 AOIs inside the shared [0,4)° extent cost the SAME on
+      //     the 16-tile and the 1600-tile lake — per-AOI pruning
+      //     holds through the batch join;
+      // (b) on the 1600-tile lake, 10 AOIs → 100 AOIs spread across
+      //     the full extent scales ~linearly in AOI count (each AOI
+      //     pulls its own few tiles; no cross-AOI blowup).
+      def quadAt(lon: Double, lat: Double): Seq[(Double, Double)] =
+        Seq((lon, lat), (lon + 0.6, lat), (lon + 0.6, lat + 0.6), (lon, lat + 0.6))
+      val dense100 = (0 until 100).map { i =>
+        quadAt(0.13 + (i % 10) * 0.32, 40.2 + (i / 10) * 0.33) }
+      val spread10 = (0 until 10).map { i =>
+        quadAt(0.2 + i * 39.7, 40.9 + (i % 3) * 0.7) }
+      val spread100 = (0 until 100).map { i =>
+        quadAt(0.2 + i * 3.97, 40.9 + (i % 3) * 0.7) }
+      val b1 = timedDf100(RasterQueries.probeBatchZonal(spark, lake1b, rg1b, dense100))
+      val b100 = timedDf100(RasterQueries.probeBatchZonal(spark, lake100, rg100, dense100))
+      println(f"""{"query":"batch_zonal_100aoi_lake_size","sec_16tiles":$b1%.2f,"sec_1600tiles":$b100%.2f,"expect":"flat (per-AOI pruning)"}""")
+      val s10 = timedDf100(RasterQueries.probeBatchZonal(spark, lake100, rg100, spread10))
+      val s100 = timedDf100(RasterQueries.probeBatchZonal(spark, lake100, rg100, spread100))
+      println(f"""{"query":"batch_zonal_aoi_count","sec_10aoi":$s10%.2f,"sec_100aoi":$s100%.2f,"exponent":${math.log10(s100 / s10)}%.2f,"expect":"~1 (linear in AOIs)"}""")
     }
     spark.stop()
   }

@@ -1,7 +1,7 @@
 package graft.multimodal
 
 import graft.Tables
-import graft.raster.Png
+import graft.raster.{Jpeg, Png}
 import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -46,11 +46,82 @@ object MediaLake {
   private[multimodal] def dims(docId: Long, n: Int): (Int, Int) =
     (16 + n % 16, 16 + (docId % 16).toInt)
 
+  /** Format split of the MIXED lake: every fourth document renders as
+    * a REAL baseline JPEG instead of a PNG — the heterogeneous-corpus
+    * shape a curation pipeline actually sees, forcing every image
+    * kernel through format dispatch. Deterministic in the id so the
+    * oracles replay the split in closed form. */
+  private[multimodal] def isJpeg(docId: Long): Boolean = docId % 4 == 3
+
+  /** JPEG dims: multiples of 8 (16/24/32 per side) so the rendered
+    * image tiles exactly into DCT blocks. */
+  private[multimodal] def jpegDims(docId: Long, n: Int): (Int, Int) =
+    (8 * (2 + n % 3), 8 * (2 + (docId % 3).toInt))
+
+  /** JPEG pixel formula: the image is BLOCK-constant — 8×8 block `bi`
+    * (row-major over the `w/8 × h/8` block grid) holds the text byte
+    * at `(bi·n)/nb`. Constant blocks are the exact-round-trip
+    * configuration of the DCT path ([[graft.raster.Jpeg]] doc): the
+    * decoded pixels equal this formula BIT-EXACTLY even though the
+    * container is a real lossy-format stream, so the oracles can
+    * replay decoded features in closed form. */
+  private[multimodal] def jpegGray(text: Array[Byte], docId: Long): Array[Int] = {
+    val n = text.length
+    val (w, h) = jpegDims(docId, n)
+    val bw = w / 8
+    val nb = bw * (h / 8)
+    val blocks = Array.tabulate(nb)(bi => text((bi.toLong * n / nb).toInt) & 0xff)
+    Array.tabulate(w * h)(p => blocks(((p / w) / 8) * bw + ((p % w) / 8)))
+  }
+
   /** Sample formula shared by the audio renderer and the m4 oracle:
     * sample i = text byte i − 64 (the PCM stand-in m4 always used —
     * now stored inside a REAL RIFF/WAVE container). */
   private[multimodal] def pcmSamples(text: Array[Byte]): Array[Short] =
     Array.tabulate(text.length)(i => ((text(i) & 0xff) - 64).toShort)
+
+  /** The m7/m9 image-tower embedding: 8-block mean over the decoded
+    * gray stream. Lives here (beside the pixel formulas) so the
+    * sidecar build and the oracle replay share one definition. */
+  private[multimodal] def imgEmbedding(gray: Array[Int]): Array[Double] = {
+    val npx = gray.length
+    Array.tabulate(8) { j =>
+      val lo = j * npx / 8
+      val hi = (j + 1) * npx / 8
+      var s = 0L
+      var p = lo
+      while (p < hi) { s += gray(p); p += 1 }
+      s.toDouble / (hi - lo)
+    }
+  }
+
+  private val towerSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("img", ArrayType(DoubleType))))
+
+  /** Idempotent build of the image-TOWER sidecar: the m7/m9 8-block
+    * mean-pixel embedding persisted as parquet next to the lake — the
+    * e11 codes-sidecar pattern. The corpus-wide decode runs exactly
+    * once per lake version; serving queries FileScan the tower
+    * instead of re-decoding every container per query (the
+    * recompute-at-scale anti-pattern this replaces). Plan pinned in
+    * PlanInvariantsSpec: m9's executed plan reads the tower from
+    * parquet and contains NO decode kernel. */
+  def ensureTower(spark: SparkSession, sfDir: String): String = {
+    val tower = s"${sys.props("java.io.tmpdir")}/graft_img_tower_v1_${docsTag(sfDir)}"
+    if (!new java.io.File(s"$tower/_SUCCESS").exists()) {
+      val media = spark.read.parquet(ensure(spark, sfDir))
+      media.mapPartitions { it =>
+        it.map { row =>
+          val (_, _, gray) = MultimodalQueries.decodeGray(
+            row.getAs[String]("fmt"), row.getAs[Array[Byte]]("media"))
+          Row(row.getAs[Long]("doc_id"), imgEmbedding(gray))
+        }
+      }(Encoders.row(towerSchema))
+        .write.mode("overwrite").parquet(tower)
+    }
+    tower
+  }
 
   /** Idempotent build of the AUDIO lake: one 16-bit PCM mono WAV per
     * document ([[Wav.encode]]), same memoization contract as the
@@ -118,7 +189,7 @@ object MediaLake {
     * (the EXIF-shaped provenance a curation pipeline reads without
     * decoding pixels) — which m8 extracts through the chunk walk. */
   def ensure(spark: SparkSession, sfDir: String): String = {
-    val lake = s"${sys.props("java.io.tmpdir")}/graft_media_lake_v2_${docsTag(sfDir)}"
+    val lake = s"${sys.props("java.io.tmpdir")}/graft_media_lake_v3_${docsTag(sfDir)}"
     if (!new java.io.File(s"$lake/_SUCCESS").exists()) {
       val docs = Tables.load(spark, sfDir, "documents")
         .select(col("doc_id"), col("text"), col("lang"), col("source"))
@@ -127,24 +198,30 @@ object MediaLake {
         it.map { row =>
           val id = row.getLong(0)
           val bytes = row.getString(1).getBytes("UTF-8")
-          val (w, h) = dims(id, bytes.length)
-          val gray = grayPixels(bytes, w, h)
-          val rgba = new Array[Byte](w * h * 4)
-          var p = 0
-          while (p < w * h) {
-            val g = gray(p).toByte
-            rgba(p * 4) = g; rgba(p * 4 + 1) = g; rgba(p * 4 + 2) = g
-            rgba(p * 4 + 3) = -1
-            p += 1
-          }
-          // NULL provenance writes NO chunk (the m8 oracle filters
-          // the same way) — Png.encode on a null value would NPE the
-          // whole lake build for one bad row
+          // NULL provenance writes NO chunk/segment (the m8 oracle
+          // filters the same way) — encoding a null value would NPE
+          // the whole lake build for one bad row
           val meta = Seq(
             "Title" -> s"doc $id",
             "Language" -> row.getString(2),
             "Source" -> row.getString(3)).filter(_._2 != null)
-          Row(id, "png", Png.encode(w, h, rgba, meta))
+          if (isJpeg(id)) {
+            val gray = jpegGray(bytes, id)
+            val (w, h) = jpegDims(id, bytes.length)
+            Row(id, "jpg", Jpeg.encode(w, h, gray, meta))
+          } else {
+            val (w, h) = dims(id, bytes.length)
+            val gray = grayPixels(bytes, w, h)
+            val rgba = new Array[Byte](w * h * 4)
+            var p = 0
+            while (p < w * h) {
+              val g = gray(p).toByte
+              rgba(p * 4) = g; rgba(p * 4 + 1) = g; rgba(p * 4 + 2) = g
+              rgba(p * 4 + 3) = -1
+              p += 1
+            }
+            Row(id, "png", Png.encode(w, h, rgba, meta))
+          }
         }
       }(Encoders.row(lakeSchema))
         .write.mode("overwrite").parquet(lake)

@@ -40,13 +40,29 @@ object MultimodalQueries extends QueryModule {
   private[multimodal] def grayOf(img: graft.raster.Png.Image): Array[Int] =
     Array.tabulate(img.width * img.height)(p => img.rgba(p * 4) & 0xff)
 
+  /** Format dispatch for the MIXED media lake — every image kernel
+    * routes through here, decoding the real container the row's `fmt`
+    * declares ([[graft.raster.Jpeg]] / [[graft.raster.Png]]). */
+  private[multimodal] def decodeGray(fmt: String,
+                                     media: Array[Byte]): (Int, Int, Array[Int]) =
+    fmt match {
+      case "jpg" =>
+        val im = graft.raster.Jpeg.decode(media)
+        (im.width, im.height, im.gray)
+      case "png" =>
+        val im = graft.raster.Png.decode(media)
+        (im.width, im.height, grayOf(im))
+      case other => throw new IllegalArgumentException(
+        s"media lake row with unknown fmt '$other'")
+    }
+
   /** THE media perceptual hash, shared with the streaming gate
     * ([[graft.streaming.MediaDedupStream]] reuses this so stream and
     * batch verdicts agree BY CONSTRUCTION — the LshShape/UrlCanon
-    * precedent): decode the PNG, sample 32 pixels
+    * precedent): decode the container, sample 32 pixels
     * `g(i) = gray[(i·npx)/32]`, bit i set when `g(i)·32 > Σg`. */
-  private[graft] def phashOf(media: Array[Byte]): Long = {
-    val gray = grayOf(graft.raster.Png.decode(media))
+  private[graft] def phashOf(fmt: String, media: Array[Byte]): Long = {
+    val (_, _, gray) = decodeGray(fmt, media)
     val npx = gray.length
     val g = Array.tabulate(32)(i => gray(((i.toLong * npx) / 32).toInt))
     val tot = g.sum
@@ -81,8 +97,8 @@ object MultimodalQueries extends QueryModule {
       // call; Png.decode runs per element.)
       it.grouped(BatchSize).flatMap { batch =>
         batch.iterator.map { row =>
-          val img = graft.raster.Png.decode(row.getAs[Array[Byte]]("media"))
-          val gray = grayOf(img)
+          val (w, ht, gray) =
+            decodeGray(row.getString(1), row.getAs[Array[Byte]]("media"))
           var h = 0L
           var sum = 0L
           var p = 0
@@ -91,7 +107,7 @@ object MultimodalQueries extends QueryModule {
             sum += gray(p)
             p += 1
           }
-          Row(row.getLong(0), row.getString(1), img.width, img.height,
+          Row(row.getLong(0), row.getString(1), w, ht,
             gray.length.toLong, h, sum.toDouble / gray.length)
         }
       }
@@ -151,7 +167,10 @@ object MultimodalQueries extends QueryModule {
     media.mapPartitions { it =>
       it.grouped(BatchSize).flatMap { batch =>
         batch.iterator.map { row =>
-          val (w, ht) = graft.raster.Png.headerDims(row.getAs[Array[Byte]]("media"))
+          val media = row.getAs[Array[Byte]]("media")
+          val (w, ht) =
+            if (row.getString(1) == "jpg") graft.raster.Jpeg.headerDims(media)
+            else graft.raster.Png.headerDims(media)
           val long = math.max(w, ht)
           // permille scale, floor — integer-exact on both engines
           val scalePm = 224000L / long
@@ -226,7 +245,8 @@ object MultimodalQueries extends QueryModule {
     val hashed = media.mapPartitions { it =>
       it.grouped(BatchSize).flatMap { batch =>
         batch.iterator.map { row =>
-          Row(row.getLong(0), phashOf(row.getAs[Array[Byte]]("media")))
+          Row(row.getLong(0),
+            phashOf(row.getString(1), row.getAs[Array[Byte]]("media")))
         }
       }
     }(Encoders.row(phashSchema))
@@ -285,10 +305,6 @@ object MultimodalQueries extends QueryModule {
       .select(col("doc_id_a"), col("doc_id_b"),
         col("sig_phash"), col("sig_cosine"))
 
-  private val imgEmbSchema = StructType(Seq(
-    StructField("doc_id", LongType),
-    StructField("img", ArrayType(DoubleType))))
-
   /** M7: text↔image joint-embedding alignment — the CLIP-shaped
     * paired-curation step (Radford et al. 2021's data shape: row i's
     * text and row i's image are a CLAIMED pair; curation scores the
@@ -302,30 +318,15 @@ object MultimodalQueries extends QueryModule {
     * `vec_dot` codegen kernel, index-ordered so the DuckDB oracle's
     * `list_reduce` mirrors it exactly. */
   /** The image TOWER, shared by m7 (pair scoring) and m9 (retrieval):
-    * decode the real PNG, 8-block mean-pixel embedding, registered as
-    * a per-dir temp view; returns the view name. */
+    * the 8-block mean-pixel embedding read back from the PERSISTED
+    * ingest sidecar ([[MediaLake.ensureTower]] — the e11 pattern).
+    * Serving queries FileScan the tower; the corpus-wide decode ran
+    * once at ingest, not per query. Registered as a per-dir temp
+    * view; returns the view name. */
   private def imgEmbView(spark: SparkSession, sfDir: String): String = {
-    val media = spark.read.parquet(MediaLake.ensure(spark, sfDir))
-    val imgEmb = media.mapPartitions { it =>
-      it.grouped(BatchSize).flatMap { batch =>
-        batch.iterator.map { row =>
-          val img = graft.raster.Png.decode(row.getAs[Array[Byte]]("media"))
-          val gray = grayOf(img)
-          val npx = gray.length
-          val emb = Array.tabulate(8) { j =>
-            val lo = j * npx / 8
-            val hi = (j + 1) * npx / 8
-            var s = 0L
-            var p = lo
-            while (p < hi) { s += gray(p); p += 1 }
-            s.toDouble / (hi - lo)
-          }
-          Row(row.getLong(0), emb)
-        }
-      }
-    }(Encoders.row(imgEmbSchema))
+    val tower = MediaLake.ensureTower(spark, sfDir)
     val view = s"m7_img_${Integer.toHexString(sfDir.hashCode)}"
-    imgEmb.createOrReplaceTempView(view)
+    spark.read.parquet(tower).createOrReplaceTempView(view)
     view
   }
 
@@ -361,8 +362,11 @@ object MultimodalQueries extends QueryModule {
     media.mapPartitions { it =>
       it.flatMap { row =>
         val id = row.getLong(0)
-        graft.raster.Png.textChunks(row.getAs[Array[Byte]]("media"))
-          .iterator.map { case (k, v) => Row(id, k, v) }
+        val media = row.getAs[Array[Byte]]("media")
+        val kvs =
+          if (row.getString(1) == "jpg") graft.raster.Jpeg.comments(media)
+          else graft.raster.Png.textChunks(media)
+        kvs.iterator.map { case (k, v) => Row(id, k, v) }
       }
     }(Encoders.row(metaSchema))
   }
@@ -403,22 +407,45 @@ object MultimodalQueries extends QueryModule {
     "m8_media_metadata" -> ((s, d) => mediaMetadata(s, d)),
     "m9_clip_retrieve" -> ((s, d) => clipRetrieve(s, d)))
 
+  /** The full-pixel-stream oracle CTEs (m1/m7's gray stream): emits
+    * `g(doc_id, w, hh, npx, gs)` with `gs` the complete rendered
+    * pixel list, replayed from the text via [[MediaLake]]'s formulas.
+    * The format split is replayed here — PNG rows sample per pixel,
+    * JPEG rows (doc_id ≡ 3 mod 4) are 8×8-block-constant over the
+    * block grid ([[MediaLake.jpegGray]]); the JPEG container
+    * round-trips those pixels bit-exactly (constant-block DC path,
+    * [[graft.raster.Jpeg]] doc), which is what lets a closed-form SQL
+    * replay stand in for a DCT decode. */
+  private val grayOracleCtes: String =
+    """m AS (SELECT doc_id, text, len(text) AS n,
+      |  CASE WHEN doc_id % 4 = 3 THEN 8 * (2 + len(text) % 3)
+      |       ELSE 16 + len(text) % 16 END AS w,
+      |  CASE WHEN doc_id % 4 = 3 THEN 8 * (2 + doc_id % 3)
+      |       ELSE 16 + doc_id % 16 END AS hh
+      |  FROM documents WHERE len(text) > 0),
+      |g AS (SELECT doc_id, w, hh, w * hh AS npx,
+      |  CASE WHEN doc_id % 4 = 3 THEN
+      |    [ascii(text[((((p//w)//8) * (w//8) + (p%w)//8) * n) // ((w//8)*(hh//8)) + 1 :
+      |                ((((p//w)//8) * (w//8) + (p%w)//8) * n) // ((w//8)*(hh//8)) + 1])::BIGINT
+      |     for p in generate_series(0, w*hh - 1)]
+      |  ELSE
+      |    [ascii(text[(p*n)//(w*hh) + 1 : (p*n)//(w*hh) + 1])::BIGINT
+      |     for p in generate_series(0, w*hh - 1)]
+      |  END AS gs FROM m)""".stripMargin
+
   /** The aHash oracle CTEs (m5's hash definition), shared by the m5
     * and m6 oracles so the two cannot drift apart. Emits `h(doc_id,
-    * phash)`. Replays [[MediaLake]]'s pixel formula in closed form —
-    * the sampled pixel `(i·npx)/32` maps back to text byte
-    * `(((i·npx)/32)·n)/npx` (two floor divisions, matching the
-    * decode-side composition exactly). */
+    * phash)`. Built ON TOP of [[grayOracleCtes]]' full pixel replay
+    * (so the PNG/JPEG format split lives in exactly one place): the
+    * 32 sampled pixels are `gs[(i·npx)/32]`, bit i set when the
+    * sample exceeds the sample mean (`·32 >` the integer form). */
   private val phashOracleCtes: String =
-    """m AS (SELECT doc_id, text, len(text) AS n,
-      |  (16 + len(text) % 16) * (16 + doc_id % 16) AS npx
-      |  FROM documents WHERE len(text) > 0),
-      |g AS (SELECT doc_id,
-      |  [ascii(text[(((i*npx)//32)*n)//npx + 1 : (((i*npx)//32)*n)//npx + 1])::BIGINT
-      |   for i in generate_series(0, 31)] AS gs FROM m),
+    s"""$grayOracleCtes,
+      |sg AS (SELECT doc_id,
+      |  [gs[(i*npx)//32 + 1] for i in generate_series(0, 31)] AS sgl FROM g),
       |h AS (SELECT doc_id,
-      |  list_sum([CASE WHEN gs[i+1] * 32 > list_sum(gs) THEN (1::BIGINT << i) ELSE 0 END
-      |            for i in generate_series(0, 31)])::BIGINT AS phash FROM g)""".stripMargin
+      |  list_sum([CASE WHEN sgl[i+1] * 32 > list_sum(sgl) THEN (1::BIGINT << i) ELSE 0 END
+      |            for i in generate_series(0, 31)])::BIGINT AS phash FROM sg)""".stripMargin
 
   /** The image-tower oracle CTE, shared by the m7 and m9 oracles so
     * the two replays cannot drift (the Scala side already shares
@@ -431,21 +458,12 @@ object MultimodalQueries extends QueryModule {
       |     / ((j+1)*npx//8 - j*npx//8)
       |   for j in generate_series(0, 7)] AS img FROM g)""".stripMargin
 
-  /** The full-pixel-stream oracle CTEs (m1/m7's gray stream): emits
-    * `g(doc_id, npx, gs)` with `gs` the complete rendered pixel list,
-    * replayed from the text via [[MediaLake]]'s formula. */
-  private val grayOracleCtes: String =
-    """m AS (SELECT doc_id, text, len(text) AS n,
-      |  16 + len(text) % 16 AS w, 16 + doc_id % 16 AS hh
-      |  FROM documents WHERE len(text) > 0),
-      |g AS (SELECT doc_id, w, hh, w * hh AS npx,
-      |  [ascii(text[(p*n)//(w*hh) + 1 : (p*n)//(w*hh) + 1])::BIGINT
-      |   for p in generate_series(0, w*hh - 1)] AS gs FROM m)""".stripMargin
-
   override def oracles: Map[String, String] = Map(
     "m1_media_features" ->
       s"""WITH $grayOracleCtes
-         |SELECT doc_id, 'png' AS fmt, w::INT AS width, hh::INT AS height,
+         |SELECT doc_id,
+         |  CASE WHEN doc_id % 4 = 3 THEN 'jpg' ELSE 'png' END AS fmt,
+         |  w::INT AS width, hh::INT AS height,
          |  npx::BIGINT AS n_px,
          |  list_reduce(gs, (a,b) -> (a*131+b) % $P) AS checksum,
          |  list_sum(gs)::DOUBLE / npx AS mean_byte
@@ -537,8 +555,10 @@ object MultimodalQueries extends QueryModule {
          |  ON ph.doc_id_a = cos.doc_id_a AND ph.doc_id_b = cos.doc_id_b""".stripMargin,
     "m3_resize_plan" ->
       """WITH d AS (SELECT doc_id,
-        |  (16 + len(text) % 16)::INT AS src_w,
-        |  (16 + doc_id % 16)::INT AS src_h
+        |  (CASE WHEN doc_id % 4 = 3 THEN 8 * (2 + len(text) % 3)
+        |        ELSE 16 + len(text) % 16 END)::INT AS src_w,
+        |  (CASE WHEN doc_id % 4 = 3 THEN 8 * (2 + doc_id % 3)
+        |        ELSE 16 + doc_id % 16 END)::INT AS src_h
         |  FROM documents WHERE len(text) > 0),
         |s AS (SELECT doc_id, src_w, src_h,
         |  224000 // greatest(src_w, src_h) AS scale_pm FROM d)

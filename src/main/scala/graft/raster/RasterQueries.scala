@@ -596,6 +596,45 @@ object RasterQueries extends QueryModule {
          |FROM parts GROUP BY p.k""".stripMargin)
   }
 
+  /** Batch many-AOI zonal — the reference's ≤100-parallel-lambda
+    * surface (`queries.py:333-343` fans one lambda per geometry) as
+    * ONE Spark job: the AOI→tile fan-out is driver-computed (≤100
+    * AOIs × a few tiles each — the geostore listing, not data), the
+    * tiny (aoi, tile, geojson) table BROADCASTs against the pruned
+    * lake scan, and [[TileMask]]'s per-AOI LRU (the AOI arrives as a
+    * COLUMN here) rasterizes each distinct polygon once per task.
+    * Scan volume = union of the AOIs' tile sets — pruning holds per
+    * AOI, so cost scales with AOI count, not lake size (measured in
+    * ScaleProbe's 100× section). */
+  private[graft] def probeBatchZonal(spark: SparkSession, dir: String,
+                                     pg: Grid,
+                                     aois: Seq[Seq[(Double, Double)]]): DataFrame = {
+    graft.functions.GraftFunctions.install(spark)
+    val pairs = aois.zipWithIndex.flatMap { case (poly, id) =>
+      val (x0, y0, x1, y1) = bbox(poly)
+      TileLake.tileIdsForBbox(pg, x0, y0, x1, y1)
+        .map(tid => (id, tid, geoJson(poly)))
+    }
+    import spark.implicits._
+    pairs.toDF("aoi_id", "a_tile_id", "gj")
+      .createOrReplaceTempView("probe_batch_aoi")
+    TileLake.scanPruned(spark, dir, pairs.map(_._2).distinct)
+      .createOrReplaceTempView("probe_batch_scan")
+    spark.sql(
+      s"""WITH jt AS (SELECT /*+ BROADCAST(a) */ s.px_landcover, s.tx, s.ty,
+         |    a.aoi_id, a.gj
+         |  FROM probe_batch_scan s JOIN probe_batch_aoi a ON a.a_tile_id = s.tile_id),
+         |arrs AS (SELECT aoi_id, px_landcover AS keys,
+         |  grid_arr('microha', ty, ${pg.originLat}, ${pg.tileDeg}, ${pg.pxPerTile}) AS vals,
+         |  tile_mask(gj, tx, ty, ${pg.originLon}, ${pg.originLat}, ${pg.tilesX}, ${pg.tilesY}, ${pg.tileDeg}, ${pg.pxPerTile}) AS mask
+         | FROM jt),
+         |parts AS (SELECT aoi_id, explode(tile_zonal(keys, vals, mask)) AS p FROM arrs)
+         |SELECT aoi_id, p.k AS landcover,
+         |  CAST(sum(p.s) AS DOUBLE) / 1000000.0 AS area_ha,
+         |  sum(p.c) AS pixel_count
+         |FROM parts GROUP BY aoi_id, p.k""".stripMargin)
+  }
+
   // J5 on the raster path: the SAME query under a version override —
   // umd_tree_cover_loss resolves to v1 (year = 2000 + w % 25) instead
   // of the latest v2 (2001 + w % 24); the data environment re-derives
@@ -996,6 +1035,30 @@ object RasterQueries extends QueryModule {
       x0 = 0.0, yTop = 600000.0, pixelM = 10000.0,
       tilesX = 2, tilesY = 2, pxPerTile = 20)
 
+  /** r27: the SAME RD grid as r26, but with the datum shift carried IN
+    * THE FILE — a 7-value GeogTOWGS84GeoKey (2062) rides along with
+    * the CT 16 transform keys and the Bessel figure (2057/2059), so
+    * ingest exercises the reader's 2062 unpack ([[GeoTiff]] synthetic
+    * keys) and the GENERIC `towgs84Of` composition in
+    * [[Warp.projectionFor]] — NOT the 28992 registry shortcut r26
+    * takes. Reference behavior: proj honors `+towgs84=` wherever it
+    * appears in the source SRS (`unify_projection.sh:13-40`). The
+    * oracle replays [[Warp.DatumShifted.forwardSelect]]'s SQL mirror;
+    * the shift's external ground truth is pinned in WarpSpec
+    * ("helmert datum shift" — published Amersfoort datum point). */
+  private val r27Params: Map[Int, Double] = {
+    val h = Warp.Helmert7.amersfoort
+    r26Params ++ Seq(h.tx, h.ty, h.tz, h.rxSec, h.rySec, h.rzSec, h.dsPpm)
+      .zipWithIndex.map { case (v, i) => (GeoTiff.Towgs84Base + i) -> v }
+  }
+  private def r27Lattice: Warp.ProjectedLattice =
+    Warp.ProjectedLattice(
+      Warp.DatumShifted(Warp.ObliqueStereographic.fromGeoKeys(r26Params),
+        Warp.Helmert7.amersfoort,
+        Warp.ObliqueStereographic.BesselA, Warp.ObliqueStereographic.BesselE2),
+      x0 = 0.0, yTop = 600000.0, pixelM = 10000.0,
+      tilesX = 2, tilesY = 2, pxPerTile = 20)
+
   /** Shared projected-CRS ingest driver for r14/r15: write the 2×2
     * source tile lattice in the projection's meters, run the raster
     * creation DAG with unify_projection, and histogram the warped
@@ -1084,6 +1147,9 @@ object RasterQueries extends QueryModule {
 
   private def stereaIngest(spark: SparkSession, sfDir: String): DataFrame =
     projIngest(spark, sfDir, "r26", r26Lattice, 32767, r26Params)
+
+  private def towgs84Ingest(spark: SparkSession, sfDir: String): DataFrame =
+    projIngest(spark, sfDir, "r27", r27Lattice, 32767, r27Params)
 
   private def projIngestOracle(latt: Warp.ProjectedLattice): String = {
     val tm = latt.proj
@@ -1248,7 +1314,8 @@ object RasterQueries extends QueryModule {
       ("r23_equirect_ingest" -> (equirectIngest _)) +
       ("r24_laea_ingest" -> (laeaIngest _)) +
       ("r25_laea_polar_ingest" -> (laeaPolarIngest _)) +
-      ("r26_sterea_ingest" -> (stereaIngest _))
+      ("r26_sterea_ingest" -> (stereaIngest _)) +
+      ("r27_towgs84_ingest" -> (towgs84Ingest _))
 
   override def oracles: Map[String, String] =
     sqls.flatMap(q => q.oracleSql.map(q.name -> _)).toMap +
@@ -1275,5 +1342,6 @@ object RasterQueries extends QueryModule {
       ("r23_equirect_ingest" -> projIngestOracle(r23Lattice)) +
       ("r24_laea_ingest" -> projIngestOracle(r24Lattice)) +
       ("r25_laea_polar_ingest" -> projIngestOracle(r25Lattice)) +
-      ("r26_sterea_ingest" -> projIngestOracle(r26Lattice))
+      ("r26_sterea_ingest" -> projIngestOracle(r26Lattice)) +
+      ("r27_towgs84_ingest" -> projIngestOracle(r27Lattice))
 }

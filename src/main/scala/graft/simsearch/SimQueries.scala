@@ -60,6 +60,21 @@ object SimQueries extends QueryModule {
        |  AND ${dDot("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.4""".stripMargin
 
   private def e4Ctes(bandBits: Int): String =
+    // The verify join BROADCAST-hints the VECTOR side, explicitly —
+    // not via the broadcast threshold. The alternatives were measured
+    // and rejected at the 100× probe: (a) sort-merge (the default
+    // under a 10 MB threshold) drags two 512 B arrays per candidate
+    // through a ~1e8-row sort (~200 GB spill, disk death); (b)
+    // SHUFFLE_HASH co-partitioning looks bounded but its SECOND join
+    // must re-exchange the candidate stream WITH the first side's
+    // vector attached (~520 B × 1e8 ≈ 80 GB of shuffle — round-10
+    // probe re-measured the disk death). Broadcast ships n ONCE
+    // (n × ~600 B; both join sides reuse the same exchange), and the
+    // candidate stream never leaves its map task. When n itself
+    // outgrows broadcast (≫10⁸ vectors), the serving answer is the
+    // IVF family (e3/e11) — bucketed candidates with per-cell joins —
+    // not a bigger pair-verify.
+    //
     // rph_sig(v, TABLES, bits): the table (band) count scales with
     // the width as 8×bits — widening a band cuts its collision
     // probability p^bits, so growing the table count partially
@@ -70,7 +85,8 @@ object SimQueries extends QueryModule {
        |b AS (SELECT vec_id, t, bv FROM sig LATERAL VIEW posexplode(sg) x AS t, bv),
        |cand AS (SELECT DISTINCT a.vec_id AS i, b2.vec_id AS j
        |  FROM b a JOIN b b2 ON a.t = b2.t AND a.bv = b2.bv AND a.vec_id < b2.vec_id),
-       |ver AS (SELECT i, j, vec_dot(x.v, y.v) / (x.nrm * y.nrm) AS cosine
+       |ver AS (SELECT /*+ BROADCAST(x), BROADCAST(y) */
+       |    i, j, vec_dot(x.v, y.v) / (x.nrm * y.nrm) AS cosine
        |  FROM cand JOIN n x ON x.vec_id = cand.i JOIN n y ON y.vec_id = cand.j)""".stripMargin
 
   private def e4SparkSql(bandBits: Int): String =

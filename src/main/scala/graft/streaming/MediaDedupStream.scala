@@ -34,11 +34,13 @@ object MediaDedupStream {
 
   /** The corpus fingerprint: every corpus item's phash exploded into
     * its 4 pigeonhole bands `(cph, k, bv)`. Built from the media-lake
-    * frame `(doc_id, media)` in one decode pass. */
+    * frame `(doc_id, fmt, media)` in one decode pass (the `fmt`
+    * column drives the mixed-lake PNG/JPEG dispatch, same as m5). */
   def corpusBands(corpus: DataFrame): DataFrame =
     corpus.mapPartitions { it =>
       it.flatMap { row =>
-        val h = MultimodalQueries.phashOf(row.getAs[Array[Byte]]("media"))
+        val h = MultimodalQueries.phashOf(row.getAs[String]("fmt"),
+          row.getAs[Array[Byte]]("media"))
         (0 until 4).iterator.map(k => Row(h, k, (h >> (8 * k)) & 255L))
       }
     }(Encoders.row(bandSchema))
@@ -59,7 +61,8 @@ object MediaDedupStream {
       stream.mapPartitions { it =>
         it.map { row =>
           val media = row.getAs[Array[Byte]]("media")
-          Row.fromSeq(row.toSeq :+ MultimodalQueries.phashOf(media))
+          Row.fromSeq(row.toSeq :+
+            MultimodalQueries.phashOf(row.getAs[String]("fmt"), media))
         }
       }(Encoders.row(schema))
     }

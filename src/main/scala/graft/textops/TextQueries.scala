@@ -441,64 +441,6 @@ object TextQueries extends QueryModule {
         |SELECT canon, min(doc_id) AS keep_doc_id, count(*) AS n_variants
         |FROM norm GROUP BY canon""".stripMargin),
 
-    // D12: exact-substring dedup in the Lee et al. 2021 shape
-    // ("Deduplicating Training Data Makes Language Models Better",
-    // ExactSubstr): any substring duplicated ANYWHERE in the corpus
-    // (other docs or the same doc) is removed from every occurrence
-    // position — where d9 (C4) hashes disjoint 10-word blocks and
-    // keeps one global copy, this detects OVERLAPPING 10-gram matches
-    // so duplicated passages are caught at any offset. The suffix
-    // array of the paper is replaced by hashed overlapping shingles
-    // (`shingle_hashes`, collision odds ~n²/2³¹ on gram counts here);
-    // a token is removed when ANY duplicated gram covers it — a
-    // sliding-window max over the gram-start flags (ROWS 9 PRECEDING),
-    // never a range join. Scale shape: one shuffle of the overlapping
-    // gram stream on the hash, the duplicated-hash set broadcasts
-    // back, one doc-partitioned window + the d9-style rebuild.
-    SqlQ.split("d12_exact_substr",
-      """WITH toks AS (SELECT doc_id, pos, word FROM documents
-        |  LATERAL VIEW posexplode(split(text, ' ')) t AS pos, word),
-        |g AS (SELECT doc_id, s, h FROM
-        |  (SELECT doc_id, shingle_hashes(text, 10) AS hs FROM documents
-        |   WHERE size(split(text, ' ')) >= 10) x
-        |  LATERAL VIEW posexplode(hs) t AS s, h),
-        |dup AS (SELECT h FROM g GROUP BY h HAVING count(*) > 1),
-        |ds AS (SELECT g.doc_id, g.s,
-        |    CASE WHEN dup.h IS NULL THEN 0 ELSE 1 END AS isdup
-        |  FROM g LEFT JOIN dup ON dup.h = g.h),
-        |cov AS (SELECT t.doc_id, t.pos, t.word,
-        |    max(coalesce(ds.isdup, 0)) OVER (PARTITION BY t.doc_id ORDER BY t.pos
-        |      ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS covered
-        |  FROM toks t LEFT JOIN ds ON ds.doc_id = t.doc_id AND ds.s = t.pos),
-        |agg AS (SELECT doc_id,
-        |    array_join(transform(sort_array(collect_list(
-        |      CASE WHEN covered = 0 THEN struct(pos, word) END)), x -> x.word), ' ') AS kept_text,
-        |    CAST(sum(CASE WHEN covered = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-        |    CAST(sum(covered) AS BIGINT) AS n_removed
-        |  FROM cov GROUP BY doc_id)
-        |SELECT doc_id, kept_text, n_kept, n_removed FROM agg WHERE n_kept > 0""".stripMargin,
-      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-         |toks AS (SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS pos FROM w),
-         |g AS (SELECT doc_id, s, list_reduce(
-         |    [ascii(c)::BIGINT for c in string_split(${(0 until 10).map(j => if (j == 0) "w[s]" else s"w[s+$j]").mkString(" || ' ' || ")}, '')],
-         |    (h,c) -> (h*131+c) % $P) AS h
-         |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w)-9)) AS s
-         |        FROM w WHERE len(w) >= 10) x),
-         |dup AS (SELECT h FROM g GROUP BY h HAVING count(*) > 1),
-         |ds AS (SELECT g.doc_id, g.s,
-         |    CASE WHEN dup.h IS NULL THEN 0 ELSE 1 END AS isdup
-         |  FROM g LEFT JOIN dup ON dup.h = g.h),
-         |cov AS (SELECT t.doc_id, t.pos, t.word,
-         |    max(coalesce(ds.isdup, 0)) OVER (PARTITION BY t.doc_id ORDER BY t.pos
-         |      ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS covered
-         |  FROM toks t LEFT JOIN ds ON ds.doc_id = t.doc_id AND ds.s = t.pos),
-         |agg AS (SELECT doc_id,
-         |    string_agg(word, ' ' ORDER BY pos) FILTER (WHERE covered = 0) AS kept_text,
-         |    CAST(count(*) FILTER (WHERE covered = 0) AS BIGINT) AS n_kept,
-         |    CAST(sum(covered) AS BIGINT) AS n_removed
-         |  FROM cov GROUP BY doc_id)
-         |SELECT doc_id, kept_text, n_kept, n_removed FROM agg WHERE n_kept > 0""".stripMargin),
-
     // T13: language-model quality scoring, the CCNet move (Wenzek et
     // al. 2020 §3.3: rank documents by LM perplexity; low = fluent,
     // high = noise) with the LM simplified to the corpus's own
@@ -1191,6 +1133,105 @@ object TextQueries extends QueryModule {
         |WHERE greatest(CAST(pr.shared AS DOUBLE) / ca.n,
         |               CAST(pr.shared AS DOUBLE) / cb.n) >= 0.8""".stripMargin)
 
+  /** D12: exact-substring dedup in the Lee et al. 2021 shape
+    * ("Deduplicating Training Data Makes Language Models Better",
+    * ExactSubstr): any substring duplicated ANYWHERE in the corpus
+    * (other docs or the same doc) is removed from every occurrence
+    * position — where d9 (C4) hashes disjoint 10-word blocks and
+    * keeps one global copy, this detects OVERLAPPING 10-gram matches
+    * so duplicated passages are caught at any offset. The suffix
+    * array of the paper is replaced by hashed overlapping shingles
+    * (`shingle_hashes`, collision odds ~n²/2³¹ on gram counts here).
+    *
+    * Scale shape (the round-10 rework — the old formulation shuffled
+    * the full token stream twice and was the steepest text op at the
+    * 100× probe): (1) the overlapping-gram stream shuffles ONCE on
+    * the hash, pruned to the 8-byte hash column, to find duplicated
+    * hashes; (2) the duplicated-hash set — tiny when dups are sparse,
+    * the training-corpus common case — becomes a driver-built Bloom
+    * blob (the d10 pattern) that prefilters the gram stream down to
+    * candidates before the exact dup semi-join, so the singleton
+    * grams (the overwhelming majority) never re-shuffle; (3) dup
+    * START POSITIONS group per doc (rows ∝ duplicated grams, not
+    * tokens) and join the documents scan by id; (4) coverage + text
+    * rebuild run per row inside codegen (`filter`/`exists`/
+    * `transform` over the split array — a token is covered when any
+    * dup start lies in [pos−9, pos]), replacing the token explode +
+    * join + window + collect_list pipeline. The token text never
+    * shuffles at all. */
+  private def d12Query(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.register(spark, sfDir)
+    val tag = Integer.toHexString(sfDir.hashCode)
+    val gSql =
+      """SELECT doc_id, s, h FROM
+        |  (SELECT doc_id, shingle_hashes(text, 10) AS hs FROM documents
+        |   WHERE size(split(text, ' ')) >= 10) x
+        |  LATERAL VIEW posexplode(hs) t AS s, h""".stripMargin
+    // duplicated hashes, materialized once (h-only shuffle; the
+    // downstream count/bloom/semi-join reuse the checkpoint instead
+    // of re-aggregating)
+    val dupView = s"d12_dup_$tag"
+    spark.sql(s"SELECT h FROM ($gSql) g GROUP BY h HAVING count(*) > 1")
+      .localCheckpoint().createOrReplaceTempView(dupView)
+    val nDup = spark.table(dupView).count()
+    // no duplicated gram anywhere: nothing is covered — skip the
+    // bloom (bloom_agg over zero rows yields NULL)
+    val prefilter =
+      if (nDup == 0) "FALSE"
+      else {
+        val blob = spark.sql(
+          s"""SELECT bloom_agg(h, ${nDup}L, CAST(0.01 AS DOUBLE)) AS b
+             |FROM $dupView""".stripMargin).head().getAs[Array[Byte]](0)
+        val b64 = java.util.Base64.getEncoder.encodeToString(blob)
+        s"bloom_might_contain(unbase64('$b64'), h)"
+      }
+    spark.sql(
+      s"""WITH cand AS (SELECT doc_id, s, h FROM ($gSql) g WHERE $prefilter),
+         |ds AS (SELECT cand.doc_id, cand.s
+         |  FROM cand LEFT SEMI JOIN $dupView dup ON dup.h = cand.h),
+         |dp AS (SELECT doc_id, sort_array(collect_list(s)) AS dups
+         |  FROM ds GROUP BY doc_id),
+         |w AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
+         |j AS (SELECT w.doc_id, w.w, coalesce(dp.dups, array()) AS dups
+         |  FROM w LEFT JOIN dp ON dp.doc_id = w.doc_id),
+         |k AS (SELECT doc_id, w, size(w) AS n,
+         |    filter(sequence(0, size(w) - 1),
+         |      pos -> NOT exists(dups, s -> s <= pos AND s + 9 >= pos)) AS keeps
+         |  FROM j)
+         |SELECT doc_id,
+         |  array_join(transform(keeps, pos -> element_at(w, pos + 1)), ' ') AS kept_text,
+         |  CAST(size(keeps) AS BIGINT) AS n_kept,
+         |  CAST(n - size(keeps) AS BIGINT) AS n_removed
+         |FROM k WHERE size(keeps) > 0""".stripMargin)
+  }
+
+  /** d12 oracle: the straightforward replay — duplicated-hash
+    * detection over the same overlapping grams, sliding-window
+    * coverage, per-doc rebuild (bloom-independent: the blob only
+    * prefilters; every candidate passes the exact dup join). */
+  private val d12Oracle: String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |toks AS (SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS pos FROM w),
+       |g AS (SELECT doc_id, s, list_reduce(
+       |    [ascii(c)::BIGINT for c in string_split(${(0 until 10).map(j => if (j == 0) "w[s]" else s"w[s+$j]").mkString(" || ' ' || ")}, '')],
+       |    (h,c) -> (h*131+c) % $P) AS h
+       |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w)-9)) AS s
+       |        FROM w WHERE len(w) >= 10) x),
+       |dup AS (SELECT h FROM g GROUP BY h HAVING count(*) > 1),
+       |ds AS (SELECT g.doc_id, g.s,
+       |    CASE WHEN dup.h IS NULL THEN 0 ELSE 1 END AS isdup
+       |  FROM g LEFT JOIN dup ON dup.h = g.h),
+       |cov AS (SELECT t.doc_id, t.pos, t.word,
+       |    max(coalesce(ds.isdup, 0)) OVER (PARTITION BY t.doc_id ORDER BY t.pos
+       |      ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS covered
+       |  FROM toks t LEFT JOIN ds ON ds.doc_id = t.doc_id AND ds.s = t.pos),
+       |agg AS (SELECT doc_id,
+       |    string_agg(word, ' ' ORDER BY pos) FILTER (WHERE covered = 0) AS kept_text,
+       |    CAST(count(*) FILTER (WHERE covered = 0) AS BIGINT) AS n_kept,
+       |    CAST(sum(covered) AS BIGINT) AS n_removed
+       |  FROM cov GROUP BY doc_id)
+       |SELECT doc_id, kept_text, n_kept, n_removed FROM agg WHERE n_kept > 0""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     sqls.map { q =>
       q.name -> ((spark: SparkSession, sfDir: String) => {
@@ -1202,7 +1243,8 @@ object TextQueries extends QueryModule {
       ("d4_ngram_jaccard_pairs" -> (d4Query _)) +
       ("d8_containment_pairs" -> (d8Query _)) +
       ("t8_sequence_pack" -> (t8Query _)) +
-      ("d10_bloom_gate" -> (d10Query _))
+      ("d10_bloom_gate" -> (d10Query _)) +
+      ("d12_exact_substr" -> (d12Query _))
 
   override def oracles: Map[String, String] =
     sqls.flatMap(q => q.oracleSql.map(q.name -> _)).toMap +
@@ -1210,5 +1252,6 @@ object TextQueries extends QueryModule {
       ("d4_ngram_jaccard_pairs" -> d4Oracle) +
       ("d8_containment_pairs" -> d8Oracle) +
       ("t8_sequence_pack" -> t8Oracle) +
-      ("d10_bloom_gate" -> d10Oracle)
+      ("d10_bloom_gate" -> d10Oracle) +
+      ("d12_exact_substr" -> d12Oracle)
 }

@@ -172,6 +172,25 @@ class PlanInvariantsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "corpus-residual quantization ran inside the serving query")
   }
 
+  test("m9: image tower enters from the persisted sidecar; no decode in serving") {
+    // the tower is an INGEST ARTIFACT (MediaLake.ensureTower — the
+    // e11 codes pattern): the serving plan FileScans the tower
+    // parquet and must contain NO per-query decode kernel (the
+    // mapPartitions decode shows up as an object de/serialize pair)
+    val df = SparkEntry.queries("m9_clip_retrieve")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("graft_img_tower"),
+      s"tower does not enter from the persisted sidecar:\n${p.take(800)}")
+    assert(!p.contains("DeserializeToObject") && !p.contains("SerializeFromObject"),
+      s"decode kernel ran inside the serving query:\n${p.take(800)}")
+    // m7 serves from the same sidecar
+    val p7 = SparkEntry.queries("m7_clip_align")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p7.contains("graft_img_tower") && !p7.contains("SerializeFromObject"),
+      s"m7 not on the sidecar:\n${p7.take(400)}")
+  }
+
   test("d4/d8: the posting stream shuffles once, then both read the buckets") {
     // the grouped posting lists are materialized (localCheckpoint)
     // exactly once and shared: each query's own plan reads the

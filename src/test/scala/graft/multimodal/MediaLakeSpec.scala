@@ -18,29 +18,46 @@ class MediaLakeSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
-  test("every lake row is a real PNG whose decoded pixels equal the formula") {
+  test("every lake row is a real PNG/JPEG whose decoded pixels equal the formula") {
     val sfDir = "/root/testdata/sf0.001"
     val lake = MediaLake.ensure(spark, sfDir)
     val media = spark.read.parquet(lake).collect()
     assert(media.length == 500, s"lake rows=${media.length}")
+    // the mixed lake: every fourth doc is a JPEG
+    val nJpg = media.count(_.getAs[String]("fmt") == "jpg")
+    assert(nJpg > 100 && nJpg < 150, s"jpg rows=$nJpg (expect ~125 of 500)")
     val texts = graft.Tables.load(spark, sfDir, "documents")
       .select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     media.foreach { row =>
       val id = row.getAs[Long]("doc_id")
       val bytes = row.getAs[Array[Byte]]("media")
-      // a REAL container: PNG signature present, decodes cleanly
-      assert((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P', s"doc $id: not a PNG")
-      val img = graft.raster.Png.decode(bytes)
       val t = texts(id).getBytes("UTF-8")
-      val (w, h) = MediaLake.dims(id, t.length)
-      assert(img.width == w && img.height == h, s"doc $id dims")
-      val expected = MediaLake.grayPixels(t, w, h)
-      var p = 0
-      while (p < w * h) {
-        assert((img.rgba(p * 4) & 0xff) == expected(p), s"doc $id px $p")
-        assert((img.rgba(p * 4 + 3) & 0xff) == 255, s"doc $id alpha $p")
-        p += 1
+      if (MediaLake.isJpeg(id)) {
+        assert(row.getAs[String]("fmt") == "jpg", s"doc $id fmt")
+        // a REAL container: JFIF SOI marker, decodes cleanly
+        assert((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8,
+          s"doc $id: not a JPEG")
+        val img = graft.raster.Jpeg.decode(bytes)
+        val (w, h) = MediaLake.jpegDims(id, t.length)
+        assert(img.width == w && img.height == h, s"doc $id dims")
+        // the block-constant configuration round-trips the DCT path
+        // bit-exactly — the contract every image oracle relies on
+        assert(img.gray.toSeq == MediaLake.jpegGray(t, id).toSeq,
+          s"doc $id jpeg pixels")
+      } else {
+        assert(row.getAs[String]("fmt") == "png", s"doc $id fmt")
+        assert((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P', s"doc $id: not a PNG")
+        val img = graft.raster.Png.decode(bytes)
+        val (w, h) = MediaLake.dims(id, t.length)
+        assert(img.width == w && img.height == h, s"doc $id dims")
+        val expected = MediaLake.grayPixels(t, w, h)
+        var p = 0
+        while (p < w * h) {
+          assert((img.rgba(p * 4) & 0xff) == expected(p), s"doc $id px $p")
+          assert((img.rgba(p * 4 + 3) & 0xff) == 255, s"doc $id alpha $p")
+          p += 1
+        }
       }
     }
   }
@@ -84,11 +101,14 @@ class MediaLakeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("lake PNGs also decode in javax.imageio (independent reader)") {
+  test("lake PNGs and JPEGs also decode in javax.imageio (independent reader)") {
     val lake = MediaLake.ensure(spark, "/root/testdata/sf0.001")
-    val one = spark.read.parquet(lake).limit(1).collect()(0)
-    val img = javax.imageio.ImageIO.read(
-      new java.io.ByteArrayInputStream(one.getAs[Array[Byte]]("media")))
-    assert(img != null && img.getWidth >= 16 && img.getHeight >= 16)
+    val rows = spark.read.parquet(lake).collect()
+    for (fmt <- Seq("png", "jpg")) {
+      val one = rows.find(_.getAs[String]("fmt") == fmt).get
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(one.getAs[Array[Byte]]("media")))
+      assert(img != null && img.getWidth >= 16 && img.getHeight >= 16, fmt)
+    }
   }
 }

@@ -51,4 +51,29 @@ class TileLakeSpec extends AnyFunSuite with BeforeAndAfterAll {
     val scanned = TileLake.scanPruned(spark, dir, ids)
     assert(scanned.select("tile_id").distinct().count() == 4)
   }
+
+  test("batch many-AOI zonal equals the single-AOI path per AOI") {
+    val g = SyntheticEnv.grid
+    val dir = TileLake.defaultDir
+    TileLake.ensureWritten(spark, dir)
+    val aois = Seq(
+      Seq((0.35, 40.68), (1.9, 40.68), (1.9, 41.9), (0.35, 41.9)),
+      Seq((2.1, 42.1), (3.7, 42.1), (3.7, 43.4), (2.1, 43.4)),
+      Seq((0.2, 43.1), (0.9, 43.1), (0.9, 43.8), (0.2, 43.8)))
+    val batch = RasterQueries.probeBatchZonal(spark, dir, g, aois)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getLong(3))).toMap
+    aois.zipWithIndex.foreach { case (poly, id) =>
+      val single = RasterQueries.probeZonal(spark, dir, g, poly).collect()
+        .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+      assert(single.nonEmpty, s"aoi $id empty")
+      single.foreach { case (k, v) =>
+        assert(batch.get((id, k)).contains(v), s"aoi $id class $k: " +
+          s"batch=${batch.get((id, k))} single=$v")
+      }
+      // and no extra classes appear for this AOI in the batch result
+      assert(batch.keys.count(_._1 == id) == single.size, s"aoi $id cardinality")
+    }
+  }
 }

@@ -977,4 +977,115 @@ class WarpSpec extends AnyFunSuite {
       Warp.ObliqueStereographic.fromGeoKeys(Map(3075 -> 16.0)))
     assert(e4.getMessage.contains("missing"), e4.getMessage)
   }
+
+  test("helmert datum shift: Amersfoort ground truth, <1 cm round trip, fallbacks") {
+    import Warp.{DatumShifted, Helmert7}
+    val bA = Warp.ObliqueStereographic.BesselA
+    val bE2 = Warp.ObliqueStereographic.BesselE2
+    // Published ground truth: the Amersfoort datum point (Bessel
+    // 52°09′22.178″N 5°23′15.500″E) maps to WGS84 (52.155172,
+    // 5.387203) — the NSGI/RDNAPTRANS reference value, accurate to the
+    // towgs84 set's ~0.25-0.5 m class. 0.5 m ≈ 4.5e-6° lat.
+    val latB = 52.0 + 9.0 / 60 + 22.178 / 3600
+    val lonB = 5.0 + 23.0 / 60 + 15.500 / 3600
+    val (wLat, wLon) = DatumShifted.applyShift(latB, lonB, bA, bE2,
+      Helmert7.amersfoort, DatumShifted.WgsA, DatumShifted.WgsE2)
+    assert(math.abs(wLat - 52.155172) < 4.5e-6, s"datum point lat $wLat")
+    assert(math.abs(wLon - 5.387203) < 7.4e-6, s"datum point lon $wLon")
+    // …and through the full registry projection: the RD false origin
+    // (155000, 463000) IS the datum point's plane image, so the
+    // composed inverse must land on the same WGS84 coordinates.
+    val rd28992 = Warp.projectionFor(28992).get
+    val (iLat, iLon) = rd28992.inverse(155000.0, 463000.0)
+    assert(math.abs(iLat - 52.155172) < 4.5e-6, s"28992 inverse lat $iLat")
+    assert(math.abs(iLon - 5.387203) < 7.4e-6, s"28992 inverse lon $iLon")
+    // forward∘inverse < 1 cm across the RD domain — the Warp.scala
+    // doc claim, both directions: plane→geodetic→plane in meters and
+    // geodetic→plane→geodetic in degrees (1 cm ≈ 9e-8° lat).
+    for (x <- Seq(10000.0, 155000.0, 260000.0, 390000.0);
+         y <- Seq(310000.0, 463000.0, 550000.0, 610000.0)) {
+      val (la, lo) = rd28992.inverse(x, y)
+      val (x2, y2) = rd28992.forward(la, lo)
+      assert(math.hypot(x2 - x, y2 - y) < 0.01,
+        s"plane round trip ($x,$y) → ($x2,$y2)")
+    }
+    for (lat <- Seq(50.8, 51.9, 52.9, 53.4); lon <- Seq(3.4, 4.8, 6.0, 7.1)) {
+      val (x, y) = rd28992.forward(lat, lon)
+      val (la, lo) = rd28992.inverse(x, y)
+      assert(math.abs(la - lat) < 9e-8 && math.abs(lo - lon) < 1.5e-7,
+        s"geodetic round trip ($lat,$lon) → ($la,$lo)")
+    }
+    // identity shift is rejected at construction…
+    val eId = intercept[IllegalArgumentException](
+      DatumShifted(Warp.ObliqueStereographic.rdNew,
+        Helmert7(0, 0, 0, 0, 0, 0, 0), bA, bE2))
+    assert(eId.getMessage.contains("identity"))
+    // …an all-zero 2062 key set is the identity — generic resolution
+    // falls back to the BASE projection (no DatumShifted wrap)…
+    val ctKeys = Map[Int, Double](3075 -> 16.0,
+      3081 -> latB, 3080 -> lonB, 3092 -> 0.9999079,
+      3082 -> 155000.0, 3083 -> 463000.0,
+      2057 -> bA, 2059 -> Warp.ObliqueStereographic.BesselInvF)
+    val zeros = (0 until 7).map(i => (GeoTiff.Towgs84Base + i) -> 0.0).toMap
+    assert(Warp.projectionFor(32767, ctKeys ++ zeros)
+      .contains(Warp.ObliqueStereographic.rdNew), "all-zero 2062 = identity")
+    // …as does a key set with no 2062 values at all
+    assert(Warp.projectionFor(32767, ctKeys)
+      .contains(Warp.ObliqueStereographic.rdNew), "no 2062 keys = base")
+    // a full 7-value 2062 set composes DatumShifted over the geokey
+    // projection with the source figure from 2057/2059 — the GENERIC
+    // towgs84Of path must equal the 28992 registry shortcut
+    val h = Helmert7.amersfoort
+    val seven = Seq(h.tx, h.ty, h.tz, h.rxSec, h.rySec, h.rzSec, h.dsPpm)
+    val withShift = ctKeys ++ seven.zipWithIndex.map {
+      case (v, i) => (GeoTiff.Towgs84Base + i) -> v }
+    assert(Warp.projectionFor(32767, withShift).contains(
+      DatumShifted(Warp.ObliqueStereographic.rdNew, h, bA, bE2)),
+      "generic 7-value path = registry composition")
+    // a 3-value set (geocentric translation, EPSG 9603) wraps with
+    // zero rotations/scale
+    val three = ctKeys ++ Seq(h.tx, h.ty, h.tz).zipWithIndex.map {
+      case (v, i) => (GeoTiff.Towgs84Base + i) -> v }
+    assert(Warp.projectionFor(32767, three).contains(
+      DatumShifted(Warp.ObliqueStereographic.rdNew,
+        Helmert7(h.tx, h.ty, h.tz, 0, 0, 0, 0), bA, bE2)))
+  }
+
+  test("geotiff 2062 geokey: 3/7-value write→read round trip, malformed fails fast") {
+    val dir = java.nio.file.Files.createTempDirectory("towgs84")
+    val h = Warp.Helmert7.amersfoort
+    val base = Map[Int, Double](3075 -> 16.0, 3081 -> 52.15, 3080 -> 5.38,
+      3092 -> 0.9999079, 3082 -> 155000.0, 3083 -> 463000.0,
+      2057 -> Warp.ObliqueStereographic.BesselA,
+      2059 -> Warp.ObliqueStereographic.BesselInvF)
+    def raster(params: Map[Int, Double]) = GeoTiff.Raster(
+      2, 2, 0.0, 600000.0, 10000.0, 32767, GeoTiff.SampleType.Int32,
+      Seq(Array(1.0, 2.0, 3.0, 4.0)), geoParams = params)
+    for ((n, vals) <- Seq(
+        3 -> Seq(h.tx, h.ty, h.tz),
+        7 -> Seq(h.tx, h.ty, h.tz, h.rxSec, h.rySec, h.rzSec, h.dsPpm))) {
+      val params = base ++ vals.zipWithIndex.map {
+        case (v, i) => (GeoTiff.Towgs84Base + i) -> v }
+      val p = dir.resolve(s"t$n.tif")
+      GeoTiff.writeRaster(p, raster(params), "deflate")
+      val back = GeoTiff.readRaster(java.nio.file.Files.readAllBytes(p))
+      // bit-exact through the GeoDoubleParams array, and the reader's
+      // generic resolution composes the DatumShifted projection
+      assert(back.geoParams == params, s"$n-value 2062 round trip")
+      val proj = Warp.projectionFor(back.epsg, back.geoParams)
+      assert(proj.exists(_.isInstanceOf[Warp.DatumShifted]),
+        s"$n-value 2062 must compose DatumShifted")
+    }
+    // malformed: 5 values is neither 3 nor 7 — the writer fails fast
+    val bad5 = base ++ (0 until 5).map(i => (GeoTiff.Towgs84Base + i) -> 1.0)
+    val e = intercept[IllegalArgumentException](
+      GeoTiff.writeRaster(dir.resolve("bad.tif"), raster(bad5), "none"))
+    assert(e.getMessage.contains("3 or 7"), e.getMessage)
+    // malformed: non-contiguous indices fail the same guard
+    val gap = base + ((GeoTiff.Towgs84Base + 0) -> 1.0) +
+      ((GeoTiff.Towgs84Base + 2) -> 2.0) + ((GeoTiff.Towgs84Base + 4) -> 3.0)
+    val e2 = intercept[IllegalArgumentException](
+      GeoTiff.writeRaster(dir.resolve("bad2.tif"), raster(gap), "none"))
+    assert(e2.getMessage.contains("3 or 7"), e2.getMessage)
+  }
 }
