@@ -50,7 +50,12 @@ object VersionCreation {
       pixelMeaning: String = "value",
       noData: Option[String] = None,
       unifyProjection: Boolean = false,
-      resampling: String = "nearest")
+      resampling: String = "nearest",
+      // NTv2 grid-shift file (.gsb) applied over the source CRS's
+      // datum during unify_projection — the `+nadgrids=` proj
+      // behavior as an explicit option (the engine has no grid
+      // registry; grids are deployment artifacts, like the corpus)
+      gridShiftGsb: Option[String] = None)
 
   object CreationOptions {
     /** Parse the PUT body's `creation_options` object. */
@@ -102,7 +107,8 @@ object VersionCreation {
         pixelMeaning = obj.get("pixel_meaning").map(_.toString).getOrElse("value"),
         noData = obj.get("no_data").map(_.toString),
         unifyProjection = obj.get("unify_projection").contains(true),
-        resampling = obj.get("resampling").map(_.toString).getOrElse("nearest"))
+        resampling = obj.get("resampling").map(_.toString).getOrElse("nearest"),
+        gridShiftGsb = obj.get("grid_shift_gsb").map(_.toString))
     }
   }
 
@@ -266,7 +272,18 @@ object VersionCreation {
           val Array(k, v) = kv.split("=", 2)
           k.toInt -> v.toDouble
         }.toMap
+      // a grid-shift option composes an NTv2 datum correction over
+      // whatever projection the CRS resolution produced (what proj
+      // does when the source SRS carries +nadgrids=)
       val projSrc = graft.raster.Warp.projectionFor(srcEpsg, srcGeoParams)
+        .map { base =>
+          opts.gridShiftGsb match {
+            case Some(p) => graft.raster.Warp.GridShifted(base,
+              graft.raster.Ntv2.read(java.nio.file.Files.readAllBytes(
+                java.nio.file.Paths.get(p))))
+            case None => base
+          }
+        }
       require(srcEpsg == 4326 ||
         ((srcEpsg == 3857 || projSrc.isDefined) && opts.unifyProjection),
         s"source CRS EPSG:$srcEpsg not supported — " +

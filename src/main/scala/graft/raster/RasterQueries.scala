@@ -1066,7 +1066,8 @@ object RasterQueries extends QueryModule {
   private def projIngest(spark: SparkSession, sfDir: String, tag: String,
                          latt: Warp.ProjectedLattice, epsg: Int,
                          geoParams: Map[Int, Double] = Map.empty,
-                         resampling: String = "nearest"): DataFrame = {
+                         resampling: String = "nearest",
+                         gridShiftGsb: Option[String] = None): DataFrame = {
     Tables.register(spark, sfDir)
     val base = java.nio.file.Paths.get(
       s"${sys.props("java.io.tmpdir")}/graft_${tag}_${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}")
@@ -1095,7 +1096,7 @@ object RasterQueries extends QueryModule {
             yield src.resolve(s"u${stx}_$sty.tif").toString),
           sourceType = "raster", pixelMeaning = "cls",
           noData = Some("-1"), unifyProjection = true,
-          resampling = resampling),
+          resampling = resampling, gridShiftGsb = gridShiftGsb),
         lake)
       require(ok, s"EPSG:$epsg raster ingest failed: $log")
     }
@@ -1150,6 +1151,48 @@ object RasterQueries extends QueryModule {
 
   private def towgs84Ingest(spark: SparkSession, sfDir: String): DataFrame =
     projIngest(spark, sfDir, "r27", r27Lattice, 32767, r27Params)
+
+  /** r28: the RD grid again, but the datum correction is an NTv2
+    * SHIFT GRID supplied as the `grid_shift_gsb` creation option —
+    * the `+nadgrids=` accuracy class above r27's 7-parameter set
+    * (proj resolves grids implicitly during the reference's gdalwarp;
+    * the engine takes the grid as an explicit deployment artifact).
+    * The .gsb is SYNTHETIC (zero-egress build): smooth low-order
+    * polynomial shifts of ~30–60 m over the RD domain, written and
+    * read back through [[Ntv2]] so the lattice and the ingest share
+    * the format's float32-rounded values. The oracle replays
+    * [[Warp.GridShifted.forwardSelect]] — the grid embedded as list
+    * literals, the fixed two-evaluation inverse unrolled; Ntv2Spec
+    * pins the codec and the shift math independently. */
+  private def r28Grid: Ntv2.Grid = {
+    val nR = 5
+    val nC = 7
+    def node(f: (Int, Int) => Double) =
+      Array.tabulate(nR * nC)(i => f(i / nC, i % nC))
+    // lat 50..54°N (S_LAT 180000″, 1° steps), lon 2..8°E
+    // (E_LONG −28800″ positive-west, 1° steps)
+    Ntv2.Grid(180000.0, 3600.0, -28800.0, 3600.0, nR, nC,
+      node((r, c) => 1.2 + 0.05 * r + 0.03 * c + 0.008 * r * c),
+      node((r, c) => -0.9 + 0.04 * r - 0.02 * c + 0.006 * r * c))
+  }
+  private lazy val r28GsbPath: String = {
+    val p = java.nio.file.Paths.get(
+      s"${sys.props("java.io.tmpdir")}/graft_r28_shift_v1.gsb")
+    if (!java.nio.file.Files.exists(p))
+      java.nio.file.Files.write(p, Ntv2.write(r28Grid, "RDTEST", "WGS84"))
+    p.toString
+  }
+  private lazy val r28Lattice: Warp.ProjectedLattice =
+    Warp.ProjectedLattice(
+      Warp.GridShifted(Warp.ObliqueStereographic.fromGeoKeys(r26Params),
+        Ntv2.read(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(r28GsbPath)))),
+      x0 = 0.0, yTop = 600000.0, pixelM = 10000.0,
+      tilesX = 2, tilesY = 2, pxPerTile = 20)
+
+  private def ntv2Ingest(spark: SparkSession, sfDir: String): DataFrame =
+    projIngest(spark, sfDir, "r28", r28Lattice, 32767, r26Params,
+      gridShiftGsb = Some(r28GsbPath))
 
   private def projIngestOracle(latt: Warp.ProjectedLattice): String = {
     val tm = latt.proj
@@ -1315,7 +1358,8 @@ object RasterQueries extends QueryModule {
       ("r24_laea_ingest" -> (laeaIngest _)) +
       ("r25_laea_polar_ingest" -> (laeaPolarIngest _)) +
       ("r26_sterea_ingest" -> (stereaIngest _)) +
-      ("r27_towgs84_ingest" -> (towgs84Ingest _))
+      ("r27_towgs84_ingest" -> (towgs84Ingest _)) +
+      ("r28_ntv2_ingest" -> (ntv2Ingest _))
 
   override def oracles: Map[String, String] =
     sqls.flatMap(q => q.oracleSql.map(q.name -> _)).toMap +
@@ -1343,5 +1387,6 @@ object RasterQueries extends QueryModule {
       ("r24_laea_ingest" -> projIngestOracle(r24Lattice)) +
       ("r25_laea_polar_ingest" -> projIngestOracle(r25Lattice)) +
       ("r26_sterea_ingest" -> projIngestOracle(r26Lattice)) +
-      ("r27_towgs84_ingest" -> projIngestOracle(r27Lattice))
+      ("r27_towgs84_ingest" -> projIngestOracle(r27Lattice)) +
+      ("r28_ntv2_ingest" -> projIngestOracle(r28Lattice))
 }

@@ -1443,6 +1443,44 @@ object Warp {
     }
   }
 
+  /** A projection on a datum related to WGS84 by an NTv2 SHIFT GRID
+    * ([[Ntv2.Grid]]) — the accuracy class above [[DatumShifted]]'s
+    * 7-parameter Helmert: national grids (NADCON, RDNAPTRANS, OSTN)
+    * carry the residual distortion a similarity transform cannot.
+    * proj applies these via `+nadgrids=` during the reference's
+    * gdalwarp (`unify_projection.sh:13-40`); here the grid enters
+    * ingest as an explicit creation option
+    * (`grid_shift_gsb`, [[graft.etl.VersionCreation.CreationOptions]]).
+    *
+    * Contract mirrors [[DatumShifted]]: [[forward]] takes WGS84
+    * geodetic (the target lattice) so it applies the grid's INVERSE
+    * (fixed two-evaluation iteration, [[Ntv2.Grid.inverseShift]])
+    * before the base projection's forward; [[inverse]] applies the
+    * grid's native source→target direction after the base inverse.
+    * The SQL mirror replays the identical unrolled op chain, so
+    * engine/oracle parity is ulp-exact. */
+  final case class GridShifted(base: Projection, grid: Ntv2.Grid)
+      extends Projection {
+    def forward(latDeg: Double, lonDeg: Double): (Double, Double) = {
+      val (sLat, sLon) = grid.inverseShift(latDeg, lonDeg)
+      base.forward(sLat, sLon)
+    }
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val (bLat, bLon) = base.inverse(x, y)
+      grid.forwardShift(bLat, bLon)
+    }
+    /** Like [[DatumShifted]]: the base's plane singularities carry
+      * over — a sub-km datum offset cannot flip rectangle containment
+      * at warp lattice scales. */
+    override def planeSingularities: Seq[(Double, Double, Double)] =
+      base.planeSingularities
+    def forwardSelect(lat: String, lon: String): String =
+      s"""${grid.inverseSelect(lat, lon)},
+         |${base.forwardSelect("gslat_", "gslon_")}""".stripMargin
+    def xSql: String = base.xSql
+    def ySql: String = base.ySql
+  }
+
   /** Ellipsoidal Mercator (Snyder PP 1395, eqs. 7-7..7-10) — the
     * normal aspect on the WGS84 ellipsoid (EPSG:3395, "World
     * Mercator", used by hydrographic charts), built from CT 7
