@@ -123,6 +123,30 @@ object MediaLake {
     tower
   }
 
+  private val phashSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("phash", LongType)))
+
+  /** Idempotent build of the PHASH sidecar — the tower's sibling for
+    * the m5/m6 perceptual-dedup family: every lake item's aHash
+    * ([[MultimodalQueries.phashOf]]) persisted as parquet, one decode
+    * pass per lake version. Mining/serving queries FileScan the
+    * sidecar; a corpus-version streaming gate builds its band tables
+    * from the same rows. */
+  def ensurePhashes(spark: SparkSession, sfDir: String): String = {
+    val side = s"${sys.props("java.io.tmpdir")}/graft_phash_v1_${docsTag(sfDir)}"
+    if (!new java.io.File(s"$side/_SUCCESS").exists()) {
+      spark.read.parquet(ensure(spark, sfDir)).mapPartitions { it =>
+        it.map { row =>
+          Row(row.getAs[Long]("doc_id"), MultimodalQueries.phashOf(
+            row.getAs[String]("fmt"), row.getAs[Array[Byte]]("media")))
+        }
+      }(Encoders.row(phashSchema))
+        .write.mode("overwrite").parquet(side)
+    }
+    side
+  }
+
   /** Idempotent build of the AUDIO lake: one 16-bit PCM mono WAV per
     * document ([[Wav.encode]]), same memoization contract as the
     * image lake. m4 decodes these with the full RIFF chunk walk. */

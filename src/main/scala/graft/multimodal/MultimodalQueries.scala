@@ -227,10 +227,6 @@ object MultimodalQueries extends QueryModule {
     }(Encoders.row(audioSchema))
   }
 
-  private val phashSchema = StructType(Seq(
-    StructField("doc_id", LongType),
-    StructField("phash", LongType)))
-
   /** M5: perceptual-hash media dedup — the cross-modal twin of the
     * text near-dup family (d5/d6). An aHash over REAL decoded pixels:
     * sample 32 pixels `g(i) = gray[(i·npx)/32]` from the PNG's
@@ -241,24 +237,16 @@ object MultimodalQueries extends QueryModule {
     * The hash→band→pair machinery is the production shape (one
     * bounded band shuffle, never n²). */
   private def phashPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val media = spark.read.parquet(MediaLake.ensure(spark, sfDir))
-    val hashed = media.mapPartitions { it =>
-      it.grouped(BatchSize).flatMap { batch =>
-        batch.iterator.map { row =>
-          Row(row.getLong(0),
-            phashOf(row.getString(1), row.getAs[Array[Byte]]("media")))
-        }
-      }
-    }(Encoders.row(phashSchema))
-      // materialize ONCE: the band self-join references the kernel on
-      // both sides, and Catalyst would otherwise inline (and re-run)
-      // the decode per side
-      .localCheckpoint()
-    // per-DIR view name: distinct lake dirs cannot race each other,
+    // hashes come from the PERSISTED ingest sidecar
+    // ([[MediaLake.ensurePhashes]] — the tower/e11 pattern): the band
+    // self-join FileScans parquet on both sides; no decode, no
+    // checkpoint, at any corpus size one bounded band shuffle.
+    // Per-DIR view name: distinct lake dirs cannot race each other,
     // and repeat invocations replace the view instead of leaking a
-    // UUID-named catalog entry per call
+    // UUID-named catalog entry per call.
     val view = s"m5_phash_${Integer.toHexString(sfDir.hashCode)}"
-    hashed.createOrReplaceTempView(view)
+    spark.read.parquet(MediaLake.ensurePhashes(spark, sfDir))
+      .createOrReplaceTempView(view)
     spark.sql(
       s"""WITH b AS (SELECT doc_id, phash, k, (phash >> (8 * k)) & 255 AS bv
          |  FROM $view LATERAL VIEW explode(sequence(0, 3)) t AS k),

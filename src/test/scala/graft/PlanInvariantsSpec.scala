@@ -191,6 +191,16 @@ class PlanInvariantsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"m7 not on the sidecar:\n${p7.take(400)}")
   }
 
+  test("m5: phashes enter from the persisted sidecar; no decode in mining") {
+    val df = SparkEntry.queries("m5_phash_pairs")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("graft_phash"),
+      s"phashes do not enter from the persisted sidecar:\n${p.take(800)}")
+    assert(!p.contains("DeserializeToObject") && !p.contains("SerializeFromObject"),
+      s"decode kernel ran inside the mining query:\n${p.take(800)}")
+  }
+
   test("d4/d8: the posting stream shuffles once, then both read the buckets") {
     // the grouped posting lists are materialized (localCheckpoint)
     // exactly once and shared: each query's own plan reads the

@@ -82,6 +82,25 @@ class JpegSpec extends AnyFunSuite {
     assert(Jpeg.comments(Jpeg.encode(16, 16, gray)).isEmpty)
   }
 
+  test("fuzz: random block-constant images round-trip exactly (200 cases)") {
+    // the lake contract swept over parameters nobody hand-picked:
+    // random block grids, random values, raggedly-cropped dims (the
+    // 8-aligned constant tiling survives edge replication)
+    val rnd = new scala.util.Random(101)
+    for (k <- 0 until 200) {
+      val bw = 2 + rnd.nextInt(4)
+      val bh = 2 + rnd.nextInt(4)
+      val w = bw * 8 - (if (rnd.nextBoolean()) rnd.nextInt(7) else 0)
+      val h = bh * 8 - (if (rnd.nextBoolean()) rnd.nextInt(7) else 0)
+      val vals = Array.fill(bw * bh)(rnd.nextInt(256))
+      val gray = Array.tabulate(w * h)(p =>
+        vals(((p / w) / 8) * bw + ((p % w) / 8)))
+      val back = Jpeg.decode(Jpeg.encode(w, h, gray))
+      assert(back.width == w && back.height == h, s"case $k dims $w×$h")
+      assert(back.gray.toSeq == gray.toSeq, s"case $k pixels $w×$h")
+    }
+  }
+
   test("malformed streams fail fast with messages") {
     val e1 = intercept[IllegalArgumentException](Jpeg.decode(Array[Byte](1, 2, 3)))
     assert(e1.getMessage.contains("SOI"), e1.getMessage)

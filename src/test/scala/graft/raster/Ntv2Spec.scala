@@ -62,6 +62,43 @@ class Ntv2Spec extends AnyFunSuite {
     }
   }
 
+  test("fuzz: random smooth grids — codec round trip + inverse fixed point (100 cases)") {
+    val rnd = new scala.util.Random(77)
+    for (k <- 0 until 100) {
+      val nR = 3 + rnd.nextInt(6)
+      val nC = 3 + rnd.nextInt(6)
+      val sLat = (20 + rnd.nextInt(40)) * 3600.0
+      val eLonW = -(2 + rnd.nextInt(30)) * 3600.0
+      val inc = Seq(1800.0, 3600.0, 7200.0)(rnd.nextInt(3))
+      // smooth low-order fields with bounded gradients (the national-
+      // grid shape; a few arcsec of shift, well-conditioned inverse)
+      val a0 = rnd.nextDouble() * 4 - 2
+      val ar = rnd.nextDouble() * 0.2 - 0.1
+      val ac = rnd.nextDouble() * 0.2 - 0.1
+      val b0 = rnd.nextDouble() * 4 - 2
+      val br = rnd.nextDouble() * 0.2 - 0.1
+      val bc = rnd.nextDouble() * 0.2 - 0.1
+      def field(c0: Double, cr: Double, cc: Double) =
+        Array.tabulate(nR * nC)(i => c0 + cr * (i / nC) + cc * (i % nC))
+      val g = Ntv2.read(Ntv2.write(Ntv2.Grid(sLat, inc, eLonW, inc, nR, nC,
+        field(a0, ar, ac), field(b0, br, bc))))
+      assert(g.nRows == nR && g.nCols == nC, s"case $k dims")
+      // interior geographic window of the grid, east-positive degrees
+      val latLo = sLat / 3600.0
+      val latHi = (sLat + (nR - 1) * inc) / 3600.0
+      val lonLo = -(eLonW + (nC - 1) * inc) / 3600.0
+      val lonHi = -eLonW / 3600.0
+      for (_ <- 0 until 3) {
+        val lat = latLo + rnd.nextDouble() * (latHi - latLo)
+        val lon = lonLo + rnd.nextDouble() * (lonHi - lonLo)
+        val (tLat, tLon) = g.forwardShift(lat, lon)
+        val (sLat2, sLon2) = g.inverseShift(tLat, tLon)
+        assert(math.abs(sLat2 - lat) < 1e-8 && math.abs(sLon2 - lon) < 1e-8,
+          s"case $k round trip ($lat,$lon) → ($sLat2,$sLon2)")
+      }
+    }
+  }
+
   test("malformed files fail fast") {
     val good = Ntv2.write(grid)
     val e1 = intercept[IllegalArgumentException](Ntv2.read(good.take(100)))
