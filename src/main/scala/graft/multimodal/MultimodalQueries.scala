@@ -25,10 +25,12 @@ import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
   * by PngSpec (byte-exact encoder round-trip + `javax.imageio`
   * interop). The AUDIO family (m4) decodes REAL RIFF/WAVE containers
   * the same way ([[Wav.decode]], `javax.sound.sampled` interop), and
-  * the VIDEO family (m2) REAL uncompressed-DIB AVI containers
-  * ([[Avi.decode]], layout pinned byte-exactly in AviSpec) — every
-  * media query decodes an actual container format; no decode stubs
-  * remain anywhere in the family.
+  * the VIDEO family (m2 frame sampling, m11 scene-cut/keyframe
+  * selection) REAL uncompressed-DIB AVI containers ([[Avi.decode]],
+  * layout pinned byte-exactly in AviSpec); m10 mines audio near-dup
+  * pairs from a 32-bin energy-profile dHash over the WAV lake —
+  * every media query decodes an actual container format; no decode
+  * stubs remain anywhere in the family.
   */
 object MultimodalQueries extends QueryModule {
 
@@ -227,6 +229,97 @@ object MultimodalQueries extends QueryModule {
     }(Encoders.row(audioSchema))
   }
 
+  /** M10: AUDIO fingerprint near-dup pairs — the m5 move on the WAV
+    * lake (dedupe audio clips before training, the speech-corpus
+    * curation step): decode the real container, split the sample
+    * stream into 32 EQUAL segments (a 32-bin energy profile — every
+    * clip contributes 32 distinct bins regardless of duration; the
+    * m4 64-sample windowing gives short clips only a handful of
+    * windows, and both the above-mean and sampled-window variants
+    * measured DEGENERATE — 34k/41k pairs from 500 docs), bit i set
+    * when `e(i) > e((i+1) mod 32)` (the dHash adjacent-comparison
+    * form). Pairs by Hamming ≤ 3 through the m5 4-band pigeonhole
+    * join. One decode scan + one bounded band shuffle; the oracle
+    * replays the profile from the text formula
+    * ([[MediaLake.pcmSamples]]) in closed form. */
+  /** THE audio fingerprint, shared with the streaming gate
+    * ([[graft.streaming.AudioDedupStream]] — the phashOf precedent):
+    * decode the WAV, 32-bin energy profile, dHash adjacent bitmap. */
+  private[graft] def afpOf(media: Array[Byte]): Long = {
+    val smp = Wav.decode(media).samples
+    val n = smp.length
+    val se = Array.tabulate(32) { i =>
+      var p = i * n / 32
+      val hi = (i + 1) * n / 32
+      var e = 0L
+      while (p < hi) { e += smp(p).toLong * smp(p); p += 1 }
+      e
+    }
+    var h = 0L
+    var i = 0
+    while (i < 32) {
+      if (se(i) > se((i + 1) % 32)) h |= (1L << i)
+      i += 1
+    }
+    h
+  }
+
+  private def audioFingerprintPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val media = spark.read.parquet(MediaLake.ensureAudio(spark, sfDir))
+    val hashed = media.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.iterator.map { row =>
+          Row(row.getAs[Long]("doc_id"), afpOf(row.getAs[Array[Byte]]("media")))
+        }
+      }
+    }(Encoders.row(StructType(Seq(
+      StructField("doc_id", LongType), StructField("afp", LongType)))))
+    val view = s"m10_afp_${Integer.toHexString(sfDir.hashCode)}"
+    hashed.localCheckpoint().createOrReplaceTempView(view)
+    spark.sql(
+      s"""WITH b AS (SELECT doc_id, afp, k, (afp >> (8 * k)) & 255 AS bv
+         |  FROM $view LATERAL VIEW explode(sequence(0, 3)) t AS k),
+         |cand AS (SELECT DISTINCT a.doc_id AS i, a.afp AS ha,
+         |    b2.doc_id AS j, b2.afp AS hb
+         |  FROM b a JOIN b b2 ON a.k = b2.k AND a.bv = b2.bv AND a.doc_id < b2.doc_id)
+         |SELECT i AS doc_id_a, j AS doc_id_b, bit_count(ha ^ hb) AS hamming
+         |FROM cand WHERE bit_count(ha ^ hb) <= 3""".stripMargin)
+  }
+
+  private val cutSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("keyframe_idx", IntegerType),
+    StructField("frame_sum", LongType),
+    StructField("delta", LongType)))
+
+  /** M11: scene-cut detection + keyframe selection over the REAL AVI
+    * lake — the frame-sampling curation step a vision-language
+    * pipeline runs BEFORE captioning (keep one frame per scene, not
+    * one per k): frame k is a keyframe when it opens the clip or when
+    * its pixel-sum jump from frame k−1 exceeds the cut threshold (a
+    * mean jump of 8 gray levels over the 8×8 frame). A narrow map —
+    * decode, per-frame sums, adjacent deltas inside the row; fan-out
+    * ≤ frames per doc. The oracle replays the frame formula and takes
+    * the delta with a per-doc `lag` window. */
+  private def sceneCuts(spark: SparkSession, sfDir: String): DataFrame = {
+    val media = spark.read.parquet(MediaLake.ensureVideo(spark, sfDir))
+    val threshold = 512L // 8 gray levels × 64 px
+    media.flatMap { row =>
+      val v = Avi.decode(row.getAs[Array[Byte]]("media"))
+      val sums = v.frames.map { f =>
+        var s = 0L
+        var p = 0
+        while (p < f.length) { s += f(p); p += 1 }
+        s
+      }
+      sums.indices.collect {
+        case k if k == 0 || math.abs(sums(k) - sums(k - 1)) > threshold =>
+          Row(row.getAs[Long]("doc_id"), k, sums(k),
+            if (k == 0) 0L else sums(k) - sums(k - 1))
+      }
+    }(Encoders.row(cutSchema))
+  }
+
   /** M5: perceptual-hash media dedup — the cross-modal twin of the
     * text near-dup family (d5/d6). An aHash over REAL decoded pixels:
     * sample 32 pixels `g(i) = gray[(i·npx)/32]` from the PNG's
@@ -393,7 +486,9 @@ object MultimodalQueries extends QueryModule {
     "m6_multisignal_pairs" -> ((s, d) => multiSignalPairs(s, d)),
     "m7_clip_align" -> ((s, d) => clipAlign(s, d)),
     "m8_media_metadata" -> ((s, d) => mediaMetadata(s, d)),
-    "m9_clip_retrieve" -> ((s, d) => clipRetrieve(s, d)))
+    "m9_clip_retrieve" -> ((s, d) => clipRetrieve(s, d)),
+    "m10_audio_fingerprint" -> ((s, d) => audioFingerprintPairs(s, d)),
+    "m11_scene_cuts" -> ((s, d) => sceneCuts(s, d)))
 
   /** The full-pixel-stream oracle CTEs (m1/m7's gray stream): emits
     * `g(doc_id, w, hh, npx, gs)` with `gs` the complete rendered
@@ -502,6 +597,41 @@ object MultimodalQueries extends QueryModule {
         |  list_sum([ascii(text[((k*64 + p) * n) // (f*64) + 1 : ((k*64 + p) * n) // (f*64) + 1])::BIGINT
         |            for p in generate_series(0, 63)])::BIGINT AS frame_sum
         |FROM fr WHERE k % 4 = 0""".stripMargin,
+    // m10: the 32-bin energy profile re-derived from the text
+    // formula (segment i = samples [i·n/32, (i+1)·n/32)), then the
+    // dHash bitmap and the m5 pigeonhole pair scan (exact at fixture
+    // sizes). Empty segments (n < 32) sum to 0 via coalesce.
+    "m10_audio_fingerprint" ->
+      """WITH s AS (SELECT doc_id,
+        |  [ascii(ch)::BIGINT - 64 for ch in string_split(text, '')] AS smp
+        |  FROM documents WHERE len(text) > 0),
+        |en AS (SELECT doc_id,
+        |  [coalesce(list_sum([x*x for x in list_slice(smp, (i*len(smp))//32 + 1, ((i+1)*len(smp))//32)]), 0)::BIGINT
+        |   for i in generate_series(0, 31)] AS se FROM s),
+        |h AS (SELECT doc_id,
+        |  list_sum([CASE WHEN se[i+1] > se[(i+1) % 32 + 1] THEN (1::BIGINT << i) ELSE 0 END
+        |            for i in generate_series(0, 31)])::BIGINT AS afp FROM en)
+        |SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+        |  bit_count(xor(a.afp, b.afp))::INT AS hamming
+        |FROM h a, h b WHERE a.doc_id < b.doc_id
+        |  AND bit_count(xor(a.afp, b.afp)) <= 3""".stripMargin,
+    // m11: m2's frame-sum formula over EVERY frame, adjacent deltas
+    // by a per-doc lag window, keyframes = opener or |delta| > 512
+    "m11_scene_cuts" ->
+      """WITH m AS (SELECT doc_id, text, len(text) AS n, 1 + len(text) % 24 AS f
+        |  FROM documents WHERE len(text) > 0),
+        |fr AS (SELECT doc_id, text, n, f,
+        |  unnest(generate_series(0, f - 1)) AS k FROM m),
+        |s AS (SELECT doc_id, k,
+        |  list_sum([ascii(text[((k*64 + p) * n) // (f*64) + 1 : ((k*64 + p) * n) // (f*64) + 1])::BIGINT
+        |            for p in generate_series(0, 63)])::BIGINT AS fs
+        |  FROM fr),
+        |d AS (SELECT doc_id, k, fs,
+        |  coalesce(fs - lag(fs) OVER (PARTITION BY doc_id ORDER BY k), 0)::BIGINT AS delta
+        |  FROM s)
+        |SELECT doc_id, k::INT AS keyframe_idx, fs AS frame_sum,
+        |  CASE WHEN k = 0 THEN 0::BIGINT ELSE delta END AS delta
+        |FROM d WHERE k = 0 OR abs(delta) > 512""".stripMargin,
     "m4_audio_energy" ->
       """WITH s AS (SELECT doc_id,
         |  [ascii(ch)::BIGINT - 64 for ch in string_split(text, '')] AS smp
