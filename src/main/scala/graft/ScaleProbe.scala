@@ -226,6 +226,16 @@ object ScaleProbe {
       val s10 = timedDf100(RasterQueries.probeBatchZonal(spark, lake100, rg100, spread10))
       val s100 = timedDf100(RasterQueries.probeBatchZonal(spark, lake100, rg100, spread100))
       println(f"""{"query":"batch_zonal_aoi_count","sec_10aoi":$s10%.2f,"sec_100aoi":$s100%.2f,"exponent":${math.log10(s100 / s10)}%.2f,"expect":"~1 (linear in AOIs)"}""")
+
+      // ---- m9 serving on the PERSISTED image tower (round-9 verdict
+      // ask #5): the media lake + tower builds run once per corpus
+      // version (warmTime's first call pays them, untimed second is
+      // reported); the serving query reads 8 doubles/doc from the
+      // tower FileScan and never decodes, so 10× corpus ≈ 10× of a
+      // tiny scan — near-flat wall-clock
+      val m9a = warmTime("m9_clip_retrieve", sfDir)
+      val m9b = warmTime("m9_clip_retrieve", outDir)
+      println(f"""{"query":"m9_clip_retrieve_tower","sec_1x":$m9a%.2f,"sec_10x":$m9b%.2f,"exponent":${math.log10(m9b / m9a)}%.2f,"expect":"~flat (tower FileScan, no decode)"}""")
     }
     spark.stop()
   }
