@@ -65,10 +65,15 @@ def main():
         except Exception as e:
             print(f"ORAFAIL {name}: DESCRIBE: {e}"); n_fail += 1; continue
         if gtypes != etypes:
-            diffs = [(g, e) for g, e in zip(gtypes, etypes) if g != e]
+            # align by column NAME (a positional zip misreports when
+            # the column sets themselves differ)
+            gm, em = dict(gtypes), dict(etypes)
             print(f"TYPES   {name}:")
-            for g, e in diffs[:5]:
-                print(f"  spark {g[0]}: {g[1]}  vs  oracle {e[0]}: {e[1]}")
+            shown = 0
+            for cname in sorted(set(gm) | set(em)):
+                if gm.get(cname) != em.get(cname) and shown < 8:
+                    print(f"  {cname}: spark={gm.get(cname)}  oracle={em.get(cname)}")
+                    shown += 1
             n_fail += 1; continue
         gc, gr = canon(grows, gcols)
         ec, er = canon(erows, ecols)

@@ -274,16 +274,32 @@ object VersionCreation {
         }.toMap
       // a grid-shift option composes an NTv2 datum correction over
       // whatever projection the CRS resolution produced (what proj
-      // does when the source SRS carries +nadgrids=)
+      // does when the source SRS carries +nadgrids=). Precedence
+      // matches proj: a shift GRID SUPERSEDES any towgs84 Helmert
+      // set the CRS carries (+nadgrids= wins over +towgs84=) — the
+      // grid IS the datum model, never both
       val projSrc = graft.raster.Warp.projectionFor(srcEpsg, srcGeoParams)
         .map { base =>
           opts.gridShiftGsb match {
-            case Some(p) => graft.raster.Warp.GridShifted(base,
-              graft.raster.Ntv2.read(java.nio.file.Files.readAllBytes(
-                java.nio.file.Paths.get(p))))
+            case Some(p) =>
+              val datumFree = base match {
+                case ds: graft.raster.Warp.DatumShifted => ds.base
+                case other => other
+              }
+              graft.raster.Warp.GridShifted(datumFree,
+                graft.raster.Ntv2.read(java.nio.file.Files.readAllBytes(
+                  java.nio.file.Paths.get(p))))
             case None => base
           }
         }
+      // a grid shift with no resolvable projected CRS would be
+      // silently dropped by the 4326-identity and 3857 closed-form
+      // paths — fail fast instead (those sources declare WGS84-datum
+      // coordinates; a datum correction there is a modeling error)
+      require(opts.gridShiftGsb.isEmpty || projSrc.isDefined,
+        s"grid_shift_gsb requires a resolvable projected source CRS " +
+          s"(EPSG:$srcEpsg resolves none; the EPSG:4326/3857 paths " +
+          "carry no datum model to correct)")
       require(srcEpsg == 4326 ||
         ((srcEpsg == 3857 || projSrc.isDefined) && opts.unifyProjection),
         s"source CRS EPSG:$srcEpsg not supported — " +

@@ -108,9 +108,14 @@ object MediaLake {
     * PlanInvariantsSpec: m9's executed plan reads the tower from
     * parquet and contains NO decode kernel. */
   def ensureTower(spark: SparkSession, sfDir: String): String = {
-    val tower = s"${sys.props("java.io.tmpdir")}/graft_img_tower_v1_${docsTag(sfDir)}"
+    // keyed off the LAKE's own directory name (version + source tag)
+    // so a lake format bump invalidates the sidecar with it — an
+    // independent version constant here would silently serve
+    // embeddings computed from the previous lake's pixels
+    val lakePath = ensure(spark, sfDir)
+    val tower = s"${sys.props("java.io.tmpdir")}/graft_img_tower_for_${new java.io.File(lakePath).getName}"
     if (!new java.io.File(s"$tower/_SUCCESS").exists()) {
-      val media = spark.read.parquet(ensure(spark, sfDir))
+      val media = spark.read.parquet(lakePath)
       media.mapPartitions { it =>
         it.map { row =>
           val (_, _, gray) = MultimodalQueries.decodeGray(
@@ -134,9 +139,11 @@ object MediaLake {
     * sidecar; a corpus-version streaming gate builds its band tables
     * from the same rows. */
   def ensurePhashes(spark: SparkSession, sfDir: String): String = {
-    val side = s"${sys.props("java.io.tmpdir")}/graft_phash_v1_${docsTag(sfDir)}"
+    // lake-derived key — same invalidation contract as [[ensureTower]]
+    val lakePath = ensure(spark, sfDir)
+    val side = s"${sys.props("java.io.tmpdir")}/graft_phash_for_${new java.io.File(lakePath).getName}"
     if (!new java.io.File(s"$side/_SUCCESS").exists()) {
-      spark.read.parquet(ensure(spark, sfDir)).mapPartitions { it =>
+      spark.read.parquet(lakePath).mapPartitions { it =>
         it.map { row =>
           Row(row.getAs[Long]("doc_id"), MultimodalQueries.phashOf(
             row.getAs[String]("fmt"), row.getAs[Array[Byte]]("media")))

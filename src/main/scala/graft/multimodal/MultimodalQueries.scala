@@ -229,22 +229,15 @@ object MultimodalQueries extends QueryModule {
     }(Encoders.row(audioSchema))
   }
 
-  /** M10: AUDIO fingerprint near-dup pairs — the m5 move on the WAV
-    * lake (dedupe audio clips before training, the speech-corpus
-    * curation step): decode the real container, split the sample
-    * stream into 32 EQUAL segments (a 32-bin energy profile — every
-    * clip contributes 32 distinct bins regardless of duration; the
-    * m4 64-sample windowing gives short clips only a handful of
-    * windows, and both the above-mean and sampled-window variants
-    * measured DEGENERATE — 34k/41k pairs from 500 docs), bit i set
-    * when `e(i) > e((i+1) mod 32)` (the dHash adjacent-comparison
-    * form). Pairs by Hamming ≤ 3 through the m5 4-band pigeonhole
-    * join. One decode scan + one bounded band shuffle; the oracle
-    * replays the profile from the text formula
-    * ([[MediaLake.pcmSamples]]) in closed form. */
   /** THE audio fingerprint, shared with the streaming gate
     * ([[graft.streaming.AudioDedupStream]] — the phashOf precedent):
-    * decode the WAV, 32-bin energy profile, dHash adjacent bitmap. */
+    * decode the WAV, split the sample stream into 32 EQUAL segments
+    * (a 32-bin energy profile — every clip contributes 32 distinct
+    * bins regardless of duration; the m4 64-sample windowing gives
+    * short clips only a handful of windows, and both the above-mean
+    * and sampled-window variants measured DEGENERATE — 34k/41k pairs
+    * from 500 docs), bit i set when `e(i) > e((i+1) mod 32)` (the
+    * dHash adjacent-comparison form). */
   private[graft] def afpOf(media: Array[Byte]): Long = {
     val smp = Wav.decode(media).samples
     val n = smp.length
@@ -264,6 +257,12 @@ object MultimodalQueries extends QueryModule {
     h
   }
 
+  /** M10: AUDIO fingerprint near-dup pairs — the m5 move on the WAV
+    * lake (dedupe audio clips before training, the speech-corpus
+    * curation step): [[afpOf]] per clip, pairs by Hamming ≤ 3 through
+    * the m5 4-band pigeonhole join. One decode scan + one bounded
+    * band shuffle; the oracle replays the profile from the text
+    * formula ([[MediaLake.pcmSamples]]) in closed form. */
   private def audioFingerprintPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val media = spark.read.parquet(MediaLake.ensureAudio(spark, sfDir))
     val hashed = media.mapPartitions { it =>

@@ -193,6 +193,7 @@ object Ntv2 {
       s"ntv2: $nFile subgrids — only single-subgrid files supported")
     val gsType = name(3 * 16 + 8)
     require(gsType.trim == "SECONDS", s"ntv2: GS_TYPE '$gsType' unsupported")
+    require(bytes.length >= 22 * 16, "ntv2: truncated subgrid header")
     val sub = 11 * 16
     def subDbl(i: Int): Double = bb.getDouble(sub + i * 16 + 8)
     require(name(sub) == "SUB_NAME", "ntv2: subgrid header missing")

@@ -1154,11 +1154,11 @@ object TextQueries extends QueryModule {
     * grams (the overwhelming majority) never re-shuffle; (3) dup
     * START POSITIONS group per doc (rows ∝ duplicated grams, not
     * tokens) and join the documents scan by id; (4) coverage + text
-    * rebuild run per row inside codegen (`filter`/`exists`/
-    * `transform` over the split array — a token is covered when any
-    * dup start lies in [pos−9, pos]), replacing the token explode +
-    * join + window + collect_list pipeline. The token text never
-    * shuffles at all. */
+    * rebuild run per ROW in a two-pointer sweep over (sorted dup
+    * starts × token positions) — a token is covered when any dup
+    * start lies in [pos−9, pos]; O(tokens + dup starts) per doc —
+    * replacing the token explode + join + window + collect_list
+    * pipeline. The token text never shuffles at all. */
   private def d12Query(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.register(spark, sfDir)
     val tag = Integer.toHexString(sfDir.hashCode)
@@ -1185,24 +1185,57 @@ object TextQueries extends QueryModule {
         val b64 = java.util.Base64.getEncoder.encodeToString(blob)
         s"bloom_might_contain(unbase64('$b64'), h)"
       }
-    spark.sql(
+    val joined = spark.sql(
       s"""WITH cand AS (SELECT doc_id, s, h FROM ($gSql) g WHERE $prefilter),
          |ds AS (SELECT cand.doc_id, cand.s
          |  FROM cand LEFT SEMI JOIN $dupView dup ON dup.h = cand.h),
          |dp AS (SELECT doc_id, sort_array(collect_list(s)) AS dups
          |  FROM ds GROUP BY doc_id),
-         |w AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
-         |j AS (SELECT w.doc_id, w.w, coalesce(dp.dups, array()) AS dups
-         |  FROM w LEFT JOIN dp ON dp.doc_id = w.doc_id),
-         |k AS (SELECT doc_id, w, size(w) AS n,
-         |    filter(sequence(0, size(w) - 1),
-         |      pos -> NOT exists(dups, s -> s <= pos AND s + 9 >= pos)) AS keeps
-         |  FROM j)
-         |SELECT doc_id,
-         |  array_join(transform(keeps, pos -> element_at(w, pos + 1)), ' ') AS kept_text,
-         |  CAST(size(keeps) AS BIGINT) AS n_kept,
-         |  CAST(n - size(keeps) AS BIGINT) AS n_removed
-         |FROM k WHERE size(keeps) > 0""".stripMargin)
+         |w AS (SELECT doc_id, split(text, ' ') AS w FROM documents)
+         |SELECT w.doc_id, w.w, coalesce(dp.dups, array()) AS dups
+         |FROM w LEFT JOIN dp ON dp.doc_id = w.doc_id""".stripMargin)
+    // coverage + rebuild: a two-pointer sweep over (sorted dup
+    // starts, token positions) — O(tokens + dup starts) per doc. A
+    // declarative `filter(…, pos -> NOT exists(dups, …))` form is
+    // O(tokens × dup starts), quadratic exactly on the
+    // heavily-duplicated documents this op exists to trim, so the
+    // genuinely-imperative kernel is the right scale shape here.
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("kept_text",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_kept",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_removed",
+        org.apache.spark.sql.types.LongType)))
+    import org.apache.spark.sql.{Encoders, Row}
+    joined.mapPartitions { it =>
+      it.flatMap { row =>
+        if (row.isNullAt(1)) Iterator.empty // null text: no tokens
+        else {
+          val words = row.getSeq[String](1)
+          val dups = row.getSeq[Int](2)
+          val n = words.length
+          val sb = new StringBuilder
+          var kept = 0L
+          var lo = 0 // first dup start with s >= pos - 9
+          var pos = 0
+          while (pos < n) {
+            while (lo < dups.length && dups(lo) < pos - 9) lo += 1
+            val covered = lo < dups.length && dups(lo) <= pos
+            if (!covered) {
+              if (kept > 0) sb.append(' ')
+              sb.append(words(pos))
+              kept += 1
+            }
+            pos += 1
+          }
+          if (kept == 0) Iterator.empty
+          else Iterator.single(Row(row.getLong(0), sb.toString, kept, n - kept))
+        }
+      }
+    }(Encoders.row(outSchema))
   }
 
   /** d12 oracle: the straightforward replay — duplicated-hash

@@ -112,5 +112,10 @@ class JpegSpec extends AnyFunSuite {
     // encoder guards
     val e4 = intercept[IllegalArgumentException](Jpeg.encode(8, 8, Array(1)))
     assert(e4.getMessage.contains("8×8") || e4.getMessage.contains("length"))
+    // out-of-range gray would silently clamp through the DCT path —
+    // the bit-exact contract demands a fail-fast instead
+    val e5 = intercept[IllegalArgumentException](
+      Jpeg.encode(8, 8, Array.fill(64)(300)))
+    assert(e5.getMessage.contains("0..255"), e5.getMessage)
   }
 }

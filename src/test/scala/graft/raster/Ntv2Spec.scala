@@ -103,6 +103,12 @@ class Ntv2Spec extends AnyFunSuite {
     val good = Ntv2.write(grid)
     val e1 = intercept[IllegalArgumentException](Ntv2.read(good.take(100)))
     assert(e1.getMessage.contains("truncated"), e1.getMessage)
+    // truncated INSIDE the subgrid header (past the 176-byte overview)
+    val e1b = intercept[IllegalArgumentException](Ntv2.read(good.take(200)))
+    assert(e1b.getMessage.contains("truncated"), e1b.getMessage)
+    // truncated inside the grid records
+    val e1c = intercept[IllegalArgumentException](Ntv2.read(good.take(23 * 16 + 8)))
+    assert(e1c.getMessage.contains("truncated"), e1c.getMessage)
     // NUM_FILE=2: multi-subgrid unsupported
     val multi = good.clone()
     multi(2 * 16 + 8) = 2
