@@ -112,6 +112,33 @@ object VersionCreation {
     }
   }
 
+  /** Source-CRS resolution for the raster warp: the geokey/registry
+    * projection ([[graft.raster.Warp.projectionFor]]), with a
+    * `grid_shift_gsb` NTv2 datum correction composed over it when
+    * the option is set (what proj does when the source SRS carries
+    * `+nadgrids=`). Precedence matches proj: a shift GRID SUPERSEDES
+    * any towgs84 Helmert set the CRS carries (+nadgrids= wins over
+    * +towgs84=) — the grid IS the datum model, never both
+    * (GridShiftIngestSpec pins the composition directly — a warped
+    * LAKE cannot pin it, because the target grid translates with the
+    * datum model and pixel values coincide). */
+  private[graft] def resolveSourceProjection(
+      epsg: Int, geoParams: Map[Int, Double],
+      gridShiftGsb: Option[String]): Option[graft.raster.Warp.Projection] =
+    graft.raster.Warp.projectionFor(epsg, geoParams).map { base =>
+      gridShiftGsb match {
+        case Some(p) =>
+          val datumFree = base match {
+            case ds: graft.raster.Warp.DatumShifted => ds.base
+            case other => other
+          }
+          graft.raster.Warp.GridShifted(datumFree,
+            graft.raster.Ntv2.read(java.nio.file.Files.readAllBytes(
+              java.nio.file.Paths.get(p))))
+        case None => base
+      }
+    }
+
   private def sqlType(t: String): DataType = t.toLowerCase match {
     case "bigint" | "int8" => LongType
     case "integer" | "int" | "int4" => IntegerType
@@ -272,26 +299,8 @@ object VersionCreation {
           val Array(k, v) = kv.split("=", 2)
           k.toInt -> v.toDouble
         }.toMap
-      // a grid-shift option composes an NTv2 datum correction over
-      // whatever projection the CRS resolution produced (what proj
-      // does when the source SRS carries +nadgrids=). Precedence
-      // matches proj: a shift GRID SUPERSEDES any towgs84 Helmert
-      // set the CRS carries (+nadgrids= wins over +towgs84=) — the
-      // grid IS the datum model, never both
-      val projSrc = graft.raster.Warp.projectionFor(srcEpsg, srcGeoParams)
-        .map { base =>
-          opts.gridShiftGsb match {
-            case Some(p) =>
-              val datumFree = base match {
-                case ds: graft.raster.Warp.DatumShifted => ds.base
-                case other => other
-              }
-              graft.raster.Warp.GridShifted(datumFree,
-                graft.raster.Ntv2.read(java.nio.file.Files.readAllBytes(
-                  java.nio.file.Paths.get(p))))
-            case None => base
-          }
-        }
+      val projSrc = resolveSourceProjection(srcEpsg, srcGeoParams,
+        opts.gridShiftGsb)
       // a grid shift with no resolvable projected CRS would be
       // silently dropped by the 4326-identity and 3857 closed-form
       // paths — fail fast instead (those sources declare WGS84-datum
