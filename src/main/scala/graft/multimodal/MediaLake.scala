@@ -154,6 +154,31 @@ object MediaLake {
     side
   }
 
+  private val afpSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("afp", LongType)))
+
+  /** Idempotent build of the AUDIO-fingerprint sidecar — the phash
+    * sidecar's twin on the WAV lake (m10 / the audio streaming
+    * gate): every clip's 32-bin energy-profile dHash
+    * ([[MultimodalQueries.afpOf]]) persisted as parquet, one decode
+    * pass per lake version (lake-derived path, same invalidation
+    * contract as [[ensureTower]]). */
+  def ensureAfps(spark: SparkSession, sfDir: String): String = {
+    val lakePath = ensureAudio(spark, sfDir)
+    val side = s"${sys.props("java.io.tmpdir")}/graft_afp_for_${new java.io.File(lakePath).getName}"
+    if (!new java.io.File(s"$side/_SUCCESS").exists()) {
+      spark.read.parquet(lakePath).mapPartitions { it =>
+        it.map { row =>
+          Row(row.getAs[Long]("doc_id"),
+            MultimodalQueries.afpOf(row.getAs[Array[Byte]]("media")))
+        }
+      }(Encoders.row(afpSchema))
+        .write.mode("overwrite").parquet(side)
+    }
+    side
+  }
+
   /** Idempotent build of the AUDIO lake: one 16-bit PCM mono WAV per
     * document ([[Wav.encode]]), same memoization contract as the
     * image lake. m4 decodes these with the full RIFF chunk walk. */

@@ -259,22 +259,16 @@ object MultimodalQueries extends QueryModule {
 
   /** M10: AUDIO fingerprint near-dup pairs — the m5 move on the WAV
     * lake (dedupe audio clips before training, the speech-corpus
-    * curation step): [[afpOf]] per clip, pairs by Hamming ≤ 3 through
-    * the m5 4-band pigeonhole join. One decode scan + one bounded
-    * band shuffle; the oracle replays the profile from the text
-    * formula ([[MediaLake.pcmSamples]]) in closed form. */
+    * curation step): [[afpOf]] per clip from the PERSISTED sidecar
+    * ([[MediaLake.ensureAfps]] — one decode pass per lake version),
+    * pairs by Hamming ≤ 3 through the m5 4-band pigeonhole join —
+    * one bounded band shuffle over a FileScan. The oracle replays
+    * the profile from the text formula ([[MediaLake.pcmSamples]])
+    * in closed form. */
   private def audioFingerprintPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val media = spark.read.parquet(MediaLake.ensureAudio(spark, sfDir))
-    val hashed = media.mapPartitions { it =>
-      it.grouped(BatchSize).flatMap { batch =>
-        batch.iterator.map { row =>
-          Row(row.getAs[Long]("doc_id"), afpOf(row.getAs[Array[Byte]]("media")))
-        }
-      }
-    }(Encoders.row(StructType(Seq(
-      StructField("doc_id", LongType), StructField("afp", LongType)))))
     val view = s"m10_afp_${Integer.toHexString(sfDir.hashCode)}"
-    hashed.localCheckpoint().createOrReplaceTempView(view)
+    spark.read.parquet(MediaLake.ensureAfps(spark, sfDir))
+      .createOrReplaceTempView(view)
     spark.sql(
       s"""WITH b AS (SELECT doc_id, afp, k, (afp >> (8 * k)) & 255 AS bv
          |  FROM $view LATERAL VIEW explode(sequence(0, 3)) t AS k),

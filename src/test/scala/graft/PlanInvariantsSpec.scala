@@ -191,14 +191,17 @@ class PlanInvariantsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"m7 not on the sidecar:\n${p7.take(400)}")
   }
 
-  test("m5: phashes enter from the persisted sidecar; no decode in mining") {
-    val df = SparkEntry.queries("m5_phash_pairs")(spark, sf)
-    df.collect()
-    val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("graft_phash"),
-      s"phashes do not enter from the persisted sidecar:\n${p.take(800)}")
-    assert(!p.contains("DeserializeToObject") && !p.contains("SerializeFromObject"),
-      s"decode kernel ran inside the mining query:\n${p.take(800)}")
+  test("m5/m10: fingerprints enter from persisted sidecars; no decode in mining") {
+    for ((q, sidecar) <- Seq("m5_phash_pairs" -> "graft_phash",
+        "m10_audio_fingerprint" -> "graft_afp")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains(sidecar),
+        s"$q does not read the persisted sidecar:\n${p.take(800)}")
+      assert(!p.contains("DeserializeToObject") && !p.contains("SerializeFromObject"),
+        s"decode kernel ran inside $q:\n${p.take(800)}")
+    }
   }
 
   test("d4/d8: the posting stream shuffles once, then both read the buckets") {
