@@ -95,6 +95,28 @@ object MediaLake {
     }
   }
 
+  /** THE idempotent sidecar builder — one shape for the tower, phash
+    * and afp sidecars (and any future derived-artifact pass): one
+    * kernel scan over the lake, memoized under /tmp. The path carries
+    * BOTH staleness axes: the lake's own directory name (data tag +
+    * lake format version — a lake bump invalidates the sidecar with
+    * it) AND the caller's kernel version tag (a formula change to the
+    * embedding/hash kernel must bump it, or the memo serves
+    * fingerprints computed with the obsolete formula). */
+  private def ensureSidecar(spark: SparkSession, lakePath: String,
+                            prefix: String, kernelVer: Int,
+                            schema: StructType)
+                           (rowFn: Row => Row): String = {
+    val side = s"${sys.props("java.io.tmpdir")}/${prefix}$kernelVer" +
+      s"_for_${new java.io.File(lakePath).getName}"
+    if (!new java.io.File(s"$side/_SUCCESS").exists()) {
+      spark.read.parquet(lakePath)
+        .mapPartitions(it => it.map(rowFn))(Encoders.row(schema))
+        .write.mode("overwrite").parquet(side)
+    }
+    side
+  }
+
   private val towerSchema = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("img", ArrayType(DoubleType))))
@@ -107,26 +129,13 @@ object MediaLake {
     * recompute-at-scale anti-pattern this replaces). Plan pinned in
     * PlanInvariantsSpec: m9's executed plan reads the tower from
     * parquet and contains NO decode kernel. */
-  def ensureTower(spark: SparkSession, sfDir: String): String = {
-    // keyed off the LAKE's own directory name (version + source tag)
-    // so a lake format bump invalidates the sidecar with it — an
-    // independent version constant here would silently serve
-    // embeddings computed from the previous lake's pixels
-    val lakePath = ensure(spark, sfDir)
-    val tower = s"${sys.props("java.io.tmpdir")}/graft_img_tower_for_${new java.io.File(lakePath).getName}"
-    if (!new java.io.File(s"$tower/_SUCCESS").exists()) {
-      val media = spark.read.parquet(lakePath)
-      media.mapPartitions { it =>
-        it.map { row =>
-          val (_, _, gray) = MultimodalQueries.decodeGray(
-            row.getAs[String]("fmt"), row.getAs[Array[Byte]]("media"))
-          Row(row.getAs[Long]("doc_id"), imgEmbedding(gray))
-        }
-      }(Encoders.row(towerSchema))
-        .write.mode("overwrite").parquet(tower)
+  def ensureTower(spark: SparkSession, sfDir: String): String =
+    ensureSidecar(spark, ensure(spark, sfDir), "graft_img_tower",
+      kernelVer = 1, towerSchema) { row =>
+      val (_, _, gray) = MultimodalQueries.decodeGray(
+        row.getAs[String]("fmt"), row.getAs[Array[Byte]]("media"))
+      Row(row.getAs[Long]("doc_id"), imgEmbedding(gray))
     }
-    tower
-  }
 
   private val phashSchema = StructType(Seq(
     StructField("doc_id", LongType),
@@ -138,21 +147,12 @@ object MediaLake {
     * pass per lake version. Mining/serving queries FileScan the
     * sidecar; a corpus-version streaming gate builds its band tables
     * from the same rows. */
-  def ensurePhashes(spark: SparkSession, sfDir: String): String = {
-    // lake-derived key — same invalidation contract as [[ensureTower]]
-    val lakePath = ensure(spark, sfDir)
-    val side = s"${sys.props("java.io.tmpdir")}/graft_phash_for_${new java.io.File(lakePath).getName}"
-    if (!new java.io.File(s"$side/_SUCCESS").exists()) {
-      spark.read.parquet(lakePath).mapPartitions { it =>
-        it.map { row =>
-          Row(row.getAs[Long]("doc_id"), MultimodalQueries.phashOf(
-            row.getAs[String]("fmt"), row.getAs[Array[Byte]]("media")))
-        }
-      }(Encoders.row(phashSchema))
-        .write.mode("overwrite").parquet(side)
+  def ensurePhashes(spark: SparkSession, sfDir: String): String =
+    ensureSidecar(spark, ensure(spark, sfDir), "graft_phash",
+      kernelVer = 1, phashSchema) { row =>
+      Row(row.getAs[Long]("doc_id"), MultimodalQueries.phashOf(
+        row.getAs[String]("fmt"), row.getAs[Array[Byte]]("media")))
     }
-    side
-  }
 
   private val afpSchema = StructType(Seq(
     StructField("doc_id", LongType),
@@ -162,22 +162,13 @@ object MediaLake {
     * sidecar's twin on the WAV lake (m10 / the audio streaming
     * gate): every clip's 32-bin energy-profile dHash
     * ([[MultimodalQueries.afpOf]]) persisted as parquet, one decode
-    * pass per lake version (lake-derived path, same invalidation
-    * contract as [[ensureTower]]). */
-  def ensureAfps(spark: SparkSession, sfDir: String): String = {
-    val lakePath = ensureAudio(spark, sfDir)
-    val side = s"${sys.props("java.io.tmpdir")}/graft_afp_for_${new java.io.File(lakePath).getName}"
-    if (!new java.io.File(s"$side/_SUCCESS").exists()) {
-      spark.read.parquet(lakePath).mapPartitions { it =>
-        it.map { row =>
-          Row(row.getAs[Long]("doc_id"),
-            MultimodalQueries.afpOf(row.getAs[Array[Byte]]("media")))
-        }
-      }(Encoders.row(afpSchema))
-        .write.mode("overwrite").parquet(side)
+    * pass per lake version. */
+  def ensureAfps(spark: SparkSession, sfDir: String): String =
+    ensureSidecar(spark, ensureAudio(spark, sfDir), "graft_afp",
+      kernelVer = 1, afpSchema) { row =>
+      Row(row.getAs[Long]("doc_id"),
+        MultimodalQueries.afpOf(row.getAs[Array[Byte]]("media")))
     }
-    side
-  }
 
   /** Idempotent build of the AUDIO lake: one 16-bit PCM mono WAV per
     * document ([[Wav.encode]]), same memoization contract as the

@@ -47,9 +47,9 @@ class GridShiftIngestSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   /** One 10×10 50 m tile at the RD center through the raster ingest;
-    * returns (ok, log, lake pixels). */
+    * returns (ok, log, lake pixels, lake dir). */
   private def ingest(tag: String, raster: GeoTiff.Raster,
-                     gsb: Option[String]): (Boolean, String, Seq[Seq[Long]]) = {
+                     gsb: Option[String]): (Boolean, String, Seq[Seq[Long]], String) = {
     val base = java.nio.file.Files.createTempDirectory(s"gsi_$tag")
     val src = base.resolve("t.tif")
     GeoTiff.writeRaster(src, raster)
@@ -66,7 +66,7 @@ class GridShiftIngestSpec extends AnyFunSuite with BeforeAndAfterAll {
     val px = if (!ok) Nil else
       spark.read.parquet(lake).orderBy("tile_id").collect().toSeq
         .map(r => r.getSeq[Long](r.fieldIndex("px_cls")).toList)
-    (ok, log, px)
+    (ok, log, px, lake)
   }
 
   private def rdRaster(geoParams: Map[Int, Double]): GeoTiff.Raster =
@@ -89,7 +89,9 @@ class GridShiftIngestSpec extends AnyFunSuite with BeforeAndAfterAll {
     resolveSourceProjection(32767, ctKeys ++ towgs84, Some(gsbPath)).get match {
       case Warp.GridShifted(b, g) =>
         assert(b == base, s"grid must wrap the BARE projection, got $b")
-        assert(g.sLatSec == grid.sLatSec && g.nRows == grid.nRows &&
+        assert(g.sLatSec == grid.sLatSec && g.latIncSec == grid.latIncSec &&
+          g.eLonWSec == grid.eLonWSec && g.lonIncSec == grid.lonIncSec &&
+          g.nRows == grid.nRows && g.nCols == grid.nCols &&
           g.latShiftSec.toSeq == grid.latShiftSec.toSeq &&
           g.lonShiftWSec.toSeq == grid.lonShiftWSec.toSeq, "grid mismatch")
       case other => fail(s"expected GridShifted, got $other")
@@ -100,21 +102,36 @@ class GridShiftIngestSpec extends AnyFunSuite with BeforeAndAfterAll {
         Warp.ObliqueStereographic.BesselA, Warp.ObliqueStereographic.BesselE2)))
     // no datum info at all: the bare projection
     assert(resolveSourceProjection(32767, ctKeys, None).contains(base))
-    // …and end-to-end: the 2062+grid and grid-only ingests produce
-    // identical lakes (they resolve the same projection)
-    val (okA, logA, a) = ingest("a", rdRaster(ctKeys ++ towgs84), Some(gsbPath))
-    val (okB, logB, b) = ingest("b", rdRaster(ctKeys), Some(gsbPath))
+    // …and end-to-end: the 2062+grid and grid-only ingests agree on
+    // BOTH pixels and target-grid georeferencing. The georeferencing
+    // is the discriminating half: pixel VALUES survive a datum swap
+    // (the lattice translates with the model), but the persisted
+    // grid ORIGIN moves with it — a composed double shift would land
+    // A's origin off B's.
+    val (okA, logA, a, lakeA) = ingest("a", rdRaster(ctKeys ++ towgs84), Some(gsbPath))
+    val (okB, logB, b, lakeB) = ingest("b", rdRaster(ctKeys), Some(gsbPath))
     assert(okA, logA.takeRight(300))
     assert(okB, logB.takeRight(300))
     assert(a == b && a.nonEmpty,
       "2062 keys must be superseded by the grid, not composed")
+    def origin(lake: String): (Double, Double) = {
+      val o = graft.etl.VersionCreation.rasterAssetOptions(lake)
+      (o("grid_origin_lon").toDouble, o("grid_origin_lat").toDouble)
+    }
+    assert(origin(lakeA) == origin(lakeB),
+      "a composed double shift would move the target origin")
+    // teeth: the Helmert-only model puts the origin somewhere ELSE
+    val (okC, logC, _, lakeC) = ingest("c", rdRaster(ctKeys ++ towgs84), None)
+    assert(okC, logC.takeRight(300))
+    assert(origin(lakeC) != origin(lakeB),
+      "the two datum models must place the target origin differently")
   }
 
   test("grid_shift_gsb on an EPSG:4326 source fails fast") {
     val r4326 = GeoTiff.Raster(10, 10, 0.0, 44.0, 0.1, 4326,
       GeoTiff.SampleType.Int32,
       Seq(Array.tabulate(100)(i => (i % 5).toDouble)))
-    val (ok, log, _) = ingest("d", r4326, Some(gsbPath))
+    val (ok, log, _, _) = ingest("d", r4326, Some(gsbPath))
     assert(!ok, "4326 + grid_shift_gsb must not ingest")
     assert(log.contains("grid_shift_gsb"), log.takeRight(400))
   }
