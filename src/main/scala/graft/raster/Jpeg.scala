@@ -234,6 +234,16 @@ object Jpeg {
         else {
           while (run > 15) { val (cz, lz) = acCodes(0xf0); bw.put(cz, lz); run -= 16 }
           val sz = sizeCat(zz(k))
+          // The Annex K AC tables stop at size category 10. For
+          // level-shifted 0..255 input the dominant coefficient tops
+          // out at exactly 1020 (the (4,4)-aligned checkerboard —
+          // JpegSpec pins it), so this is defense-in-depth against a
+          // future level-shift/precision change, not a reachable
+          // path: a bare table-lookup NoSuchElementException would
+          // otherwise surface.
+          require(sz <= 10,
+            s"jpeg: AC coefficient ${zz(k)} exceeds Annex K size range " +
+              "(category 11); lower the quality/contrast")
           val (ca, la) = acCodes((run << 4) | sz)
           bw.put(ca, la)
           bw.put(if (zz(k) < 0) zz(k) + (1 << sz) - 1 else zz(k), sz)
@@ -332,6 +342,23 @@ object Jpeg {
   private def u16(b: Array[Byte], i: Int): Int =
     ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
 
+  /** Advance past 0xFF fill bytes (T.81 B.1.1.2 permits any number
+    * between segments) to the 0xFF that immediately precedes the
+    * marker byte. */
+  private def markerStart(bytes: Array[Byte], at: Int): Int = {
+    require(at + 2 <= bytes.length, "jpeg: truncated segment stream")
+    require((bytes(at) & 0xff) == 0xff, f"jpeg: expected marker at $at")
+    var i = at
+    while (i + 2 <= bytes.length && (bytes(i + 1) & 0xff) == 0xff) i += 1
+    require(i + 2 <= bytes.length, "jpeg: truncated segment stream")
+    i
+  }
+
+  /** TEM (0x01) and RST0–7 (0xD0–D7) are standalone markers — no
+    * length word follows them. */
+  private def standalone(marker: Int): Boolean =
+    marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)
+
   /** Walk the segment stream, returning (SOF dims, quant tables,
     * huffman tables, restart interval, SOS entropy-data offset). */
   def decode(bytes: Array[Byte]): Image = {
@@ -349,9 +376,11 @@ object Jpeg {
     var restartInterval = 0
     var sosAt = -1
     while (sosAt < 0) {
-      require(i + 4 <= bytes.length, "jpeg: truncated segment stream")
-      require((bytes(i) & 0xff) == 0xff, f"jpeg: expected marker at $i")
+      i = markerStart(bytes, i)
       val marker = bytes(i + 1) & 0xff
+      if (standalone(marker)) { i += 2 }
+      else {
+      require(i + 4 <= bytes.length, "jpeg: truncated segment stream")
       val len = u16(bytes, i + 2)
       val body = i + 4
       marker match {
@@ -402,6 +431,7 @@ object Jpeg {
         case _ => // APPn / COM / others: skip
       }
       if (sosAt < 0) i += 2 + len
+      }
     }
     require(w > 0 && h > 0, "jpeg: SOS before SOF")
     require(dcTabs(dcSel) != null && acTabs(acSel) != null, "jpeg: missing DHT")
@@ -483,12 +513,13 @@ object Jpeg {
       (bytes(1) & 0xff) == 0xd8, "not a JFIF stream (missing SOI)")
     var i = 2
     while (i + 4 <= bytes.length) {
-      require((bytes(i) & 0xff) == 0xff, f"jpeg: expected marker at $i")
+      i = markerStart(bytes, i)
       val marker = bytes(i + 1) & 0xff
       if (marker >= 0xc0 && marker <= 0xcf && marker != 0xc4 &&
         marker != 0xc8 && marker != 0xcc)
         return (u16(bytes, i + 7), u16(bytes, i + 5))
-      i += 2 + u16(bytes, i + 2)
+      if (standalone(marker)) i += 2
+      else i += 2 + u16(bytes, i + 2)
     }
     throw new IllegalArgumentException("jpeg: no SOF marker")
   }
@@ -502,7 +533,10 @@ object Jpeg {
     var i = 2
     var done = false
     while (!done && i + 4 <= bytes.length) {
+      i = markerStart(bytes, i)
       val marker = bytes(i + 1) & 0xff
+      if (standalone(marker)) { i += 2 }
+      else {
       val len = u16(bytes, i + 2)
       if (marker == 0xfe) {
         val s = new String(bytes, i + 4, len - 2, "UTF-8")
@@ -511,6 +545,7 @@ object Jpeg {
       }
       if (marker == 0xda || marker == 0xd9) done = true
       else i += 2 + len
+      }
     }
     out.result()
   }

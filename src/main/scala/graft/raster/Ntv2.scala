@@ -177,17 +177,25 @@ object Ntv2 {
     out.toByteArray
   }
 
-  /** Read the (single) subgrid of a little-endian .gsb. Values widen
-    * float32 → double, so a write→read round trip reproduces
-    * [[write]]'s stored precision exactly. */
+  /** Read the (single) subgrid of a .gsb in either byte order. The
+    * order is detected from NUM_OREC: its value 11 is unambiguous —
+    * 11 read in the wrong endianness is 184549376, never 11 — so we
+    * probe little-endian first and fall back to big-endian (most
+    * published national grids, e.g. Canada's NTV2_0.GSB, are
+    * big-endian). Values widen float32 → double, so a write→read
+    * round trip reproduces [[write]]'s stored precision exactly. */
   def read(bytes: Array[Byte]): Grid = {
     require(bytes.length >= 11 * 16, "ntv2: truncated overview header")
-    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     def name(off: Int): String =
       new String(bytes, off, 8, "US-ASCII")
     require(name(0) == "NUM_OREC", s"ntv2: bad magic '${name(0)}'")
+    val le = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val bb =
+      if (le.getInt(8) == 11) le
+      else ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
     val nOrec = bb.getInt(8)
-    require(nOrec == 11, s"ntv2: NUM_OREC $nOrec unsupported")
+    require(nOrec == 11,
+      s"ntv2: NUM_OREC $nOrec unsupported in either byte order")
     val nFile = bb.getInt(2 * 16 + 8)
     require(nFile == 1,
       s"ntv2: $nFile subgrids — only single-subgrid files supported")

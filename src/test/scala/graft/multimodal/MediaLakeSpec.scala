@@ -111,4 +111,28 @@ class MediaLakeSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(img != null && img.getWidth >= 16 && img.getHeight >= 16, fmt)
     }
   }
+
+  test("sidecar build is staged+renamed: stale partial dirs heal, no staging litter") {
+    val sfDir = "/root/testdata/sf0.001"
+    val side = new java.io.File(MediaLake.ensureTower(spark, sfDir))
+    assert(new java.io.File(side, "_SUCCESS").exists())
+    val before = spark.read.parquet(side.getPath).count()
+    // Simulate a crashed earlier build: a target dir WITHOUT _SUCCESS.
+    // The builder must clear it and land a complete sidecar via the
+    // atomic rename, never by writing into the half-built dir.
+    side.listFiles().foreach(_.delete())
+    java.nio.file.Files.write(side.toPath.resolve("part-garbage"),
+      Array[Byte](1, 2, 3))
+    assert(!new java.io.File(side, "_SUCCESS").exists())
+    val again = new java.io.File(MediaLake.ensureTower(spark, sfDir))
+    assert(again.getPath == side.getPath)
+    assert(new java.io.File(again, "_SUCCESS").exists())
+    assert(!new java.io.File(again, "part-garbage").exists(),
+      "stale partial content must be cleared, not merged")
+    assert(spark.read.parquet(again.getPath).count() == before)
+    // the staging dir must not linger beside the sidecar
+    val litter = side.getParentFile.listFiles()
+      .filter(_.getName.startsWith(side.getName + ".stage-"))
+    assert(litter.isEmpty, s"staging litter: ${litter.mkString(", ")}")
+  }
 }

@@ -101,6 +101,35 @@ class JpegSpec extends AnyFunSuite {
     }
   }
 
+  test("maximum-energy legal block (|AC| = 1020, size 10) encodes and round-trips at quant=1") {
+    // The worst legal 8-bit block is the (4,4)-basis-aligned 2×2
+    // checkerboard: its dominant AC coefficient is EXACTLY 1020 —
+    // the top of Annex K size category 10. (Category 11 is
+    // unreachable from 0..255 input; the encoder's sz<=10 require is
+    // defense-in-depth should the level-shift contract ever change.)
+    def sgn(k: Int, x: Int) = math.cos((2 * x + 1) * k * math.Pi / 16) > 0
+    val gray = Array.tabulate(16 * 16)(p =>
+      if (sgn(4, p % 16 % 8) == sgn(4, p / 16 % 8)) 255 else 0)
+    val back = Jpeg.decode(Jpeg.encode(16, 16, gray))
+    val maxErr = gray.indices.map(p => math.abs(back.gray(p) - gray(p))).max
+    assert(maxErr <= 2, s"max error $maxErr")
+  }
+
+  test("fill bytes and standalone markers between header segments are tolerated") {
+    // T.81 B.1.1.2 permits any number of 0xFF fill bytes before a
+    // marker; TEM (0xFF01) is standalone (no length word). Splice
+    // both after SOI — decode/headerDims/comments must be unaffected.
+    val gray = blockConstant(16, 16, (bx, by) => 30 * (bx + by) % 256)
+    val clean = Jpeg.encode(16, 16, gray, meta = Seq("origin" -> "specced"))
+    val splice = Array(0xff, 0x01, 0xff).map(_.toByte) // TEM + one fill byte
+    val padded = clean.take(2) ++ splice ++ clean.drop(2)
+    val back = Jpeg.decode(padded)
+    assert(back.width == 16 && back.height == 16)
+    assert(back.gray.toSeq == Jpeg.decode(clean).gray.toSeq)
+    assert(Jpeg.headerDims(padded) == ((16, 16)))
+    assert(Jpeg.comments(padded) == Seq("origin" -> "specced"))
+  }
+
   test("malformed streams fail fast with messages") {
     val e1 = intercept[IllegalArgumentException](Jpeg.decode(Array[Byte](1, 2, 3)))
     assert(e1.getMessage.contains("SOI"), e1.getMessage)

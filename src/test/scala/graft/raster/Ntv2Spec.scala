@@ -99,6 +99,41 @@ class Ntv2Spec extends AnyFunSuite {
     }
   }
 
+  test("big-endian .gsb reads identically (byte order detected from NUM_OREC)") {
+    // Published national grids (e.g. Canada's NTV2_0.GSB) are
+    // big-endian; build one by swapping every numeric field of the
+    // little-endian writer output. Record layout: 11 overview + 11
+    // subgrid 16-byte records (8-byte name + 8-byte value), then
+    // nRows*nCols*4 float32s.
+    val le = Ntv2.write(grid)
+    val be = le.clone()
+    def swap(off: Int, width: Int): Unit = {
+      var a = off; var b = off + width - 1
+      while (a < b) { val t = be(a); be(a) = be(b); be(b) = t; a += 1; b -= 1 }
+    }
+    // int32 values: NUM_OREC, NUM_SREC, NUM_FILE, GS_COUNT
+    Seq(0, 1, 2, 11 + 10).foreach(r => swap(r * 16 + 8, 4))
+    // float64 values: MAJOR/MINOR ellipsoids + subgrid boundaries
+    ((7 to 10) ++ (11 + 4 to 11 + 9)).foreach(r => swap(r * 16 + 8, 8))
+    // float32 grid records
+    val data = 22 * 16
+    (0 until grid.nRows * grid.nCols * 4).foreach(i => swap(data + i * 4, 4))
+    val gLe = Ntv2.read(le)
+    val gBe = Ntv2.read(be)
+    assert(gBe.nRows == gLe.nRows && gBe.nCols == gLe.nCols)
+    assert(gBe.sLatSec == gLe.sLatSec && gBe.latIncSec == gLe.latIncSec)
+    assert(gBe.eLonWSec == gLe.eLonWSec && gBe.lonIncSec == gLe.lonIncSec)
+    assert(gBe.latShiftSec.toSeq == gLe.latShiftSec.toSeq)
+    assert(gBe.lonShiftWSec.toSeq == gLe.lonShiftWSec.toSeq)
+  }
+
+  test("garbage NUM_OREC fails naming both byte orders") {
+    val bad = Ntv2.write(grid)
+    bad(8) = 99 // 99 little-endian, 1660944384 big-endian — neither is 11
+    val e = intercept[IllegalArgumentException](Ntv2.read(bad))
+    assert(e.getMessage.contains("either byte order"), e.getMessage)
+  }
+
   test("malformed files fail fast") {
     val good = Ntv2.write(grid)
     val e1 = intercept[IllegalArgumentException](Ntv2.read(good.take(100)))
