@@ -109,32 +109,13 @@ object MediaLake {
                            (rowFn: Row => Row): String = {
     val side = s"${sys.props("java.io.tmpdir")}/${prefix}$kernelVer" +
       s"_for_${new java.io.File(lakePath).getName}"
-    val done = new java.io.File(s"$side/_SUCCESS")
-    if (!done.exists()) {
-      // Build into a session-private staging dir, then RENAME into
-      // place: two concurrent drivers sharing java.io.tmpdir may both
-      // start a build, but rename is atomic on one filesystem, so
-      // neither can overwrite a sidecar the other is mid-scan on —
-      // exactly one rename wins and the loser discards its staging.
-      val tmp = new java.io.File(
-        s"$side.stage-${java.util.UUID.randomUUID().toString.take(8)}")
+    // staged+renamed (graft.Sidecar): concurrent drivers sharing
+    // tmpdir can't overwrite a sidecar another session is mid-scan on
+    graft.Sidecar.ensure(side) { tmp =>
       spark.read.parquet(lakePath)
         .mapPartitions(it => it.map(rowFn))(Encoders.row(schema))
-        .write.mode("overwrite").parquet(tmp.getPath)
-      val target = new java.io.File(side)
-      // A crashed earlier build can leave a _SUCCESS-less target dir;
-      // clear it so the rename can land (a COMPLETE target means a
-      // concurrent winner — keep theirs).
-      if (!done.exists() && target.exists()) deleteRecursively(target)
-      if (!tmp.renameTo(target)) deleteRecursively(tmp)
+        .write.mode("overwrite").parquet(tmp)
     }
-    side
-  }
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    val kids = f.listFiles()
-    if (kids != null) kids.foreach(deleteRecursively)
-    f.delete(): Unit
   }
 
   private val towerSchema = StructType(Seq(

@@ -59,7 +59,7 @@ object SimQueries extends QueryModule {
        |FROM n a, n b WHERE a.vec_id < b.vec_id
        |  AND ${dDot("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.4""".stripMargin
 
-  private def e4Ctes(bandBits: Int): String =
+  private def e4Ctes(bandBits: Int, sigFrom: Option[String] = None): String =
     // The verify join BROADCAST-hints the VECTOR side, explicitly —
     // not via the broadcast threshold. The alternatives were measured
     // and rejected at the 100× probe: (a) sort-merge (the default
@@ -81,7 +81,8 @@ object SimQueries extends QueryModule {
     // compensates recall = 1-(1-p^bits)^tables (measured at 10×:
     // 0.844 with 64 tables of 8 bits vs 0.756 holding 48 tables).
     // 6 bits ⇒ 48 tables, the oracle-pinned configuration exactly.
-    s"""sig AS (SELECT vec_id, rph_sig(v, ${8 * bandBits}, $bandBits) AS sg FROM n),
+    s"""sig AS (${sigFrom.map(v => s"SELECT vec_id, sg FROM $v")
+        .getOrElse(s"SELECT vec_id, rph_sig(v, ${8 * bandBits}, $bandBits) AS sg FROM n")}),
        |b AS (SELECT vec_id, t, bv FROM sig LATERAL VIEW posexplode(sg) x AS t, bv),
        |cand AS (SELECT DISTINCT a.vec_id AS i, b2.vec_id AS j
        |  FROM b a JOIN b b2 ON a.t = b2.t AND a.bv = b2.bv AND a.vec_id < b2.vec_id),
@@ -89,16 +90,46 @@ object SimQueries extends QueryModule {
        |    i, j, vec_dot(x.v, y.v) / (x.nrm * y.nrm) AS cosine
        |  FROM cand JOIN n x ON x.vec_id = cand.i JOIN n y ON y.vec_id = cand.j)""".stripMargin
 
-  private def e4SparkSql(bandBits: Int): String =
+  private def e4SparkSql(bandBits: Int, sigFrom: Option[String] = None): String =
     s"""$sparkVecs,
-       |${e4Ctes(bandBits)}
+       |${e4Ctes(bandBits, sigFrom)}
        |SELECT i AS vec_id_a, j AS vec_id_b, cosine FROM ver WHERE cosine >= 0.4""".stripMargin
 
-  /** The widened-band e4 (see [[e4SparkSql]]) for scale probing. */
+  /** The PERSISTED LSH signature table: `rph_sig` per vector at a
+    * given band width, built ONCE per (embeddings source, width) as a
+    * parquet ingest sidecar — the e11-codes pattern applied to e4.
+    * Serving queries (e4_pairs, e4_auto, m6's cosine signal)
+    * FileScan the signatures instead of re-running the n × tables ×
+    * bits hyperplane pass per query; at 100 TB that pass is the
+    * dominant map cost and belongs at ingest, not per query. The memo
+    * path carries the embeddings file's source tag (mtime+size — a
+    * regenerated corpus invalidates it), the width (each width is its
+    * own sidecar; the auto rule picks ONE per corpus size) and the
+    * kernel version of `rph_sig`. */
+  private[graft] def ensureSigs(spark: SparkSession, sfDir: String,
+                                bandBits: Int): String = {
+    Tables.register(spark, sfDir)
+    val tag = s"${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}_" +
+      Tables.sourceTag(s"$sfDir/embeddings.parquet")
+    val side = s"${sys.props("java.io.tmpdir")}/graft_e4sig1_b${bandBits}_$tag"
+    graft.Sidecar.ensure(side) { tmp =>
+      spark.sql(
+        s"""$sparkVecs
+           |SELECT vec_id, rph_sig(v, ${8 * bandBits}, $bandBits) AS sg FROM n""".stripMargin)
+        .write.mode("overwrite").parquet(tmp)
+    }
+  }
+
+  /** e4 served from the persisted signature sidecar (see
+    * [[ensureSigs]]); the verify join's vector side still comes from
+    * the live `n` CTE (vectors are not duplicated into the sidecar —
+    * the signature is the derived artifact, the corpus is the lake). */
   private[graft] def e4Banded(spark: SparkSession, sfDir: String,
                               bandBits: Int): DataFrame = {
-    Tables.register(spark, sfDir)
-    spark.sql(e4SparkSql(bandBits))
+    val side = ensureSigs(spark, sfDir, bandBits)
+    val view = s"e4_sigs_${Integer.toHexString(side.hashCode)}"
+    spark.read.parquet(side).createOrReplaceTempView(view)
+    spark.sql(e4SparkSql(bandBits, Some(view)))
   }
 
   /** Auto-sized band width: the smallest width keeping expected
@@ -145,7 +176,7 @@ object SimQueries extends QueryModule {
   def e4Auto(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.register(spark, sfDir)
     val n = spark.table("embeddings").count()
-    spark.sql(e4SparkSql(e4AutoBits(n)))
+    e4Banded(spark, sfDir, e4AutoBits(n))
   }
 
   /** Measured recall of the banded candidate generator at `bandBits`
@@ -478,13 +509,13 @@ object SimQueries extends QueryModule {
     // E2 is programmatic (near-dup pairs blocked on the COMPUTED
     // k-means cell, not a given key) — see `queries` below.
 
-    // E4: random-hyperplane LSH near-dup — bucket-join candidates from
-    // 48 tables × 6 sign bits (rph_sig), exact-cosine verification.
-    // The oracle is the global brute-force pair scan: equality holds
-    // because the table count is tuned for full recall at this τ on
-    // this dataset (verified empirically; recall is tunable, the
-    // candidate join is the scale path).
-    SqlQ.split("e4_ann_lsh_pairs", e4SparkSql(bandBits = 6), e4Oracle),
+    // E4 is programmatic since round 11 (it serves from the persisted
+    // signature sidecar — see `ensureSigs`): bucket-join candidates
+    // from 48 tables × 6 sign bits (rph_sig), exact-cosine
+    // verification. The oracle is the global brute-force pair scan:
+    // equality holds because the table count is tuned for full recall
+    // at this τ on this dataset (verified empirically; recall is
+    // tunable, the candidate join is the scale path). See `queries`.
 
     // E5 is programmatic (ONE Lloyd iteration from the seeds — the
     // pedagogical single-update demonstration; the converged build is
@@ -1206,6 +1237,7 @@ object SimQueries extends QueryModule {
       ("e2_cosine_neardup" -> ((s: SparkSession, d: String) => cellNearDup(s, d))) +
       ("e8_ivf_recall" -> ((s: SparkSession, d: String) => ivfRecall(s, d))) +
       ("e4_ann_lsh_auto" -> ((s: SparkSession, d: String) => e4Auto(s, d))) +
+      ("e4_ann_lsh_pairs" -> ((s: SparkSession, d: String) => e4Banded(s, d, bandBits = 6))) +
       ("e9_semdedup" -> ((s: SparkSession, d: String) => semDedup(s, d))) +
       ("e11_ivfpq" -> ((s: SparkSession, d: String) => ivfPqTopK(s, d))) +
       ("e12_ivfpq_recall" -> ((s: SparkSession, d: String) => ivfPqRecall(s, d))) +
@@ -1219,6 +1251,7 @@ object SimQueries extends QueryModule {
       ("e2_cosine_neardup" -> e2Oracle) +
       ("e8_ivf_recall" -> e8Oracle) +
       ("e4_ann_lsh_auto" -> e4Oracle) +
+      ("e4_ann_lsh_pairs" -> e4Oracle) +
       ("e9_semdedup" -> e9Oracle) +
       ("e11_ivfpq" -> e11Oracle) +
       ("e12_ivfpq_recall" -> e12Oracle) +

@@ -513,6 +513,111 @@ object TextQueries extends QueryModule {
          |  FROM w WHERE len(w) >= 2),
          |$t14Tail""".stripMargin),
 
+    // T15: dataset profiling — the "dataset card" pass a pipeline
+    // runs before/after every filter stage (per-shard doc counts,
+    // token totals, length quantiles; shard skew is the thing this
+    // surfaces). Quantiles are HISTOGRAM quantiles: lengths have a
+    // bounded integer domain, so group by (shard, len) — map-side
+    // combinable, the aggregate is ≤ shards × |len domain| rows — and
+    // take the smallest len whose cumulative count crosses q·n (the
+    // discrete quantile; rank-based, no interpolated doubles to
+    // diverge between engines). At 100 TB this is one combinable
+    // aggregate + a window over a tiny table — never a global sort,
+    // never per-row windows.
+    SqlQ.split("t15_profile",
+      """WITH d AS (SELECT CAST(doc_id % 10 AS INT) AS shard,
+        |    CAST(length(text) AS BIGINT) AS len,
+        |    CAST(size(filter(split(text, ' '), x -> x != '')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |n AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+        |    min(len) AS len_min, max(len) AS len_max
+        |  FROM d GROUP BY shard),
+        |hist AS (SELECT shard, len, count(*) AS c FROM d GROUP BY shard, len),
+        |cum AS (SELECT shard, len,
+        |    sum(c) OVER (PARTITION BY shard ORDER BY len) AS cm FROM hist),
+        |q AS (SELECT cum.shard,
+        |    min(CASE WHEN cm * 4 >= n.n_docs THEN len END) AS len_p25,
+        |    min(CASE WHEN cm * 2 >= n.n_docs THEN len END) AS len_p50,
+        |    min(CASE WHEN cm * 4 >= 3 * n.n_docs THEN len END) AS len_p75
+        |  FROM cum JOIN n ON n.shard = cum.shard GROUP BY cum.shard)
+        |SELECT n.shard, n.n_docs, n.total_tokens, n.len_min,
+        |  q.len_p25, q.len_p50, q.len_p75, n.len_max
+        |FROM n JOIN q ON q.shard = n.shard""".stripMargin,
+      """WITH d AS (SELECT CAST(doc_id % 10 AS INT) AS shard,
+        |    len(text)::BIGINT AS len,
+        |    len(list_filter(string_split(text, ' '), x -> x != ''))::BIGINT AS n_tok
+        |  FROM documents),
+        |n AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+        |    min(len) AS len_min, max(len) AS len_max
+        |  FROM d GROUP BY shard),
+        |hist AS (SELECT shard, len, count(*) AS c FROM d GROUP BY shard, len),
+        |cum AS (SELECT shard, len,
+        |    sum(c) OVER (PARTITION BY shard ORDER BY len) AS cm FROM hist),
+        |q AS (SELECT cum.shard,
+        |    min(CASE WHEN cm * 4 >= n.n_docs THEN len END) AS len_p25,
+        |    min(CASE WHEN cm * 2 >= n.n_docs THEN len END) AS len_p50,
+        |    min(CASE WHEN cm * 4 >= 3 * n.n_docs THEN len END) AS len_p75
+        |  FROM cum JOIN n ON n.shard = cum.shard GROUP BY cum.shard)
+        |SELECT n.shard, n.n_docs, n.total_tokens, n.len_min,
+        |  q.len_p25, q.len_p50, q.len_p75, n.len_max
+        |FROM n JOIN q ON q.shard = n.shard""".stripMargin),
+
+    // T16: quality-temperature sampling — the corpus-mixing move that
+    // keeps MORE of the high-quality tail and progressively less of
+    // the low end (the flattened-distribution recipe behind "sample
+    // high-quality sources at >1 epoch"): documents bucket into
+    // quality quartiles and each bucket keeps a different share via
+    // the t6 deterministic-coin predicate, so the same doc lands in
+    // the same split on every run at any cluster size. The quality
+    // proxy is integer per-mille uniqueness (distinct words / words —
+    // word-soup scores low); quartile thresholds come from the t15
+    // histogram-quantile pattern (bounded domain 0..1000, one
+    // combinable aggregate — never a global NTILE sort), broadcast
+    // back as a 1-row cross join.
+    SqlQ.split("t16_temperature_sample",
+      s"""WITH s AS (SELECT doc_id,
+         |    (1000 * CAST(size(array_distinct(split(text, ' '))) AS BIGINT))
+         |      div CAST(size(split(text, ' ')) AS BIGINT) AS q
+         |  FROM documents),
+         |hist AS (SELECT q, count(*) AS c FROM s GROUP BY q),
+         |cum AS (SELECT q, sum(c) OVER (ORDER BY q) AS cm,
+         |    CAST((SELECT count(*) FROM s) AS BIGINT) AS n FROM hist),
+         |thr AS (SELECT min(CASE WHEN cm * 4 >= n THEN q END) AS q1,
+         |    min(CASE WHEN cm * 2 >= n THEN q END) AS q2,
+         |    min(CASE WHEN cm * 4 >= 3 * n THEN q END) AS q3 FROM cum),
+         |b AS (SELECT doc_id, q,
+         |    CASE WHEN q <= thr.q1 THEN 1 WHEN q <= thr.q2 THEN 2
+         |      WHEN q <= thr.q3 THEN 3 ELSE 4 END AS bucket
+         |  FROM s CROSS JOIN thr),
+         |coin AS (SELECT doc_id, q, bucket,
+         |    polyhash(concat('mix:', CAST(doc_id AS STRING))) % 100 AS toss FROM b)
+         |SELECT doc_id, q AS uniq_permille, bucket, toss
+         |FROM coin WHERE toss <
+         |  CASE bucket WHEN 4 THEN 100 WHEN 3 THEN 50 WHEN 2 THEN 25 ELSE 10 END""".stripMargin,
+      s"""WITH s AS (SELECT doc_id,
+         |    (1000 * len(list_distinct(string_split(text, ' ')))::BIGINT)
+         |      // len(string_split(text, ' '))::BIGINT AS q
+         |  FROM documents),
+         |hist AS (SELECT q, count(*) AS c FROM s GROUP BY q),
+         |cum AS (SELECT q, sum(c) OVER (ORDER BY q) AS cm,
+         |    CAST((SELECT count(*) FROM s) AS BIGINT) AS n FROM hist),
+         |thr AS (SELECT min(CASE WHEN cm * 4 >= n THEN q END) AS q1,
+         |    min(CASE WHEN cm * 2 >= n THEN q END) AS q2,
+         |    min(CASE WHEN cm * 4 >= 3 * n THEN q END) AS q3 FROM cum),
+         |b AS (SELECT doc_id, q,
+         |    CASE WHEN q <= thr.q1 THEN 1 WHEN q <= thr.q2 THEN 2
+         |      WHEN q <= thr.q3 THEN 3 ELSE 4 END AS bucket
+         |  FROM s CROSS JOIN thr),
+         |coin AS (SELECT doc_id, q, bucket,
+         |    list_reduce([ascii(c)::BIGINT for c in
+         |        string_split('mix:' || CAST(doc_id AS VARCHAR), '')],
+         |      (a,h) -> (a*131+h) % $P) % 100 AS toss FROM b)
+         |SELECT doc_id, q AS uniq_permille, bucket, toss
+         |FROM coin WHERE toss <
+         |  CASE bucket WHEN 4 THEN 100 WHEN 3 THEN 50 WHEN 2 THEN 25 ELSE 10 END""".stripMargin),
+
     // T5: the end-to-end training-corpus selection this pipeline
     // exists for — keep documents that pass quality heuristics AND are
     // not the duplicate side of a near-dup pair (keep-lowest-doc_id).

@@ -57,10 +57,16 @@ class PlanInvariantsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("zonal_partial"), "fused kernel missing from the plan")
   }
 
-  test("e4: the signature computes once per side, not in scan filters") {
+  test("e4: signatures enter from the persisted sidecar; no rph_sig in serving") {
+    // the LSH signature table is an INGEST ARTIFACT since round 11
+    // (SimQueries.ensureSigs — the e11 codes pattern): serving
+    // FileScans the signature parquet; the n × tables × bits
+    // hyperplane pass must NOT run per query
     val p = plan("e4_ann_lsh_pairs")
-    val evals = "rph_sig".r.findAllIn(p).length
-    assert(evals == 2, s"rph_sig appears $evals times (expected 2 — one per join side)")
+    assert(p.contains("graft_e4sig"),
+      s"signatures do not enter from the persisted sidecar:\n${p.take(800)}")
+    assert(!p.contains("rph_sig"),
+      s"hyperplane pass ran inside the serving query:\n${p.take(800)}")
   }
 
   test("d3: signatures stay in the scan projection; verify side broadcasts") {
