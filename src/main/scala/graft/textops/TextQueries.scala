@@ -73,6 +73,25 @@ object TextQueries extends QueryModule {
         |      '/$', '')""").stripMargin.format(c)
   }
 
+  /** THE quality-temperature mixing kernel, shared with the streaming
+    * gate ([[graft.streaming.TemperatureSampleStream]] reuses these so
+    * stream and batch keep-decisions agree BY CONSTRUCTION): the
+    * integer per-mille uniqueness proxy, the deterministic coin, and
+    * the per-quartile keep rates (bucket 4 = highest quality keeps
+    * the most — the flattened-distribution recipe). */
+  object TemperatureMix {
+    /** Spark SQL: integer quality proxy over a text column/expr. */
+    def qualityExpr(text: String): String =
+      s"(1000 * CAST(size(array_distinct(split($text, ' '))) AS BIGINT))" +
+        s" div CAST(size(split($text, ' ')) AS BIGINT)"
+    /** Spark SQL: the t6-style deterministic coin in 0..99. */
+    def coinExpr(docId: String): String =
+      s"polyhash(concat('mix:', CAST($docId AS STRING))) % 100"
+    /** Spark SQL: keep-rate per quartile bucket (percent). */
+    def rateCase(bucket: String): String =
+      s"CASE $bucket WHEN 4 THEN 100 WHEN 3 THEN 50 WHEN 2 THEN 25 ELSE 10 END"
+  }
+
   /** THE dedup LSH shape, shared with every consumer (the streaming
     * gate [[graft.streaming.DedupStream]] reuses these so stream and
     * batch verdicts agree BY CONSTRUCTION): word-`shingleK` shingles,
@@ -578,8 +597,7 @@ object TextQueries extends QueryModule {
     // back as a 1-row cross join.
     SqlQ.split("t16_temperature_sample",
       s"""WITH s AS (SELECT doc_id,
-         |    (1000 * CAST(size(array_distinct(split(text, ' '))) AS BIGINT))
-         |      div CAST(size(split(text, ' ')) AS BIGINT) AS q
+         |    ${TemperatureMix.qualityExpr("text")} AS q
          |  FROM documents),
          |hist AS (SELECT q, count(*) AS c FROM s GROUP BY q),
          |cum AS (SELECT q, sum(c) OVER (ORDER BY q) AS cm,
@@ -592,10 +610,9 @@ object TextQueries extends QueryModule {
          |      WHEN q <= thr.q3 THEN 3 ELSE 4 END AS bucket
          |  FROM s CROSS JOIN thr),
          |coin AS (SELECT doc_id, q, bucket,
-         |    polyhash(concat('mix:', CAST(doc_id AS STRING))) % 100 AS toss FROM b)
+         |    ${TemperatureMix.coinExpr("doc_id")} AS toss FROM b)
          |SELECT doc_id, q AS uniq_permille, bucket, toss
-         |FROM coin WHERE toss <
-         |  CASE bucket WHEN 4 THEN 100 WHEN 3 THEN 50 WHEN 2 THEN 25 ELSE 10 END""".stripMargin,
+         |FROM coin WHERE toss < ${TemperatureMix.rateCase("bucket")}""".stripMargin,
       s"""WITH s AS (SELECT doc_id,
          |    (1000 * len(list_distinct(string_split(text, ' ')))::BIGINT)
          |      // len(string_split(text, ' '))::BIGINT AS q
@@ -617,6 +634,52 @@ object TextQueries extends QueryModule {
          |SELECT doc_id, q AS uniq_permille, bucket, toss
          |FROM coin WHERE toss <
          |  CASE bucket WHEN 4 THEN 100 WHEN 3 THEN 50 WHEN 2 THEN 25 ELSE 10 END""".stripMargin),
+
+    // T17: count-based n-gram LM build — the trigram statistics pass
+    // behind decontamination suffix checks, Kneser-Ney baselines and
+    // infini-gram-style lookups: per (bigram prefix → next word)
+    // counts, the prefix totals, the conditional probability
+    // (quantized to integer micro-units — the t13 trick, so the
+    // engines' identical exact division rounds identically) and the
+    // top-3 continuations per prefix. Scale shape: both aggregations
+    // are map-side-combinable groupBys on well-distributed keys; the
+    // per-prefix top-k is a window PARTITIONED BY prefix (per-prefix
+    // cardinality is vocabulary-bounded — never a global sort). At
+    // 100 TB the standard extra is count-1 pruning before the join;
+    // the fixture keeps every trigram so the oracle is exact.
+    SqlQ.split("t17_ngram_lm",
+      """WITH w AS (SELECT filter(split(text, ' '), x -> x != '') AS w
+        |  FROM documents),
+        |g AS (SELECT concat(w[i], ' ', w[i+1]) AS prefix, w[i+2] AS next_w
+        |  FROM w LATERAL VIEW explode(sequence(0, size(w) - 3)) t AS i
+        |  WHERE size(w) >= 3),
+        |c AS (SELECT prefix, next_w, CAST(count(*) AS BIGINT) AS c
+        |  FROM g GROUP BY prefix, next_w),
+        |p AS (SELECT prefix, CAST(sum(c) AS BIGINT) AS pt FROM c GROUP BY prefix),
+        |r AS (SELECT c.prefix, c.next_w, c.c, p.pt,
+        |    CAST(row_number() OVER (PARTITION BY c.prefix
+        |      ORDER BY c.c DESC, c.next_w) AS INT) AS rnk
+        |  FROM c JOIN p ON p.prefix = c.prefix)
+        |SELECT prefix, next_w, c, pt,
+        |  CAST(round(1000000.0 * c / pt) AS BIGINT) AS p_micro, rnk
+        |FROM r WHERE rnk <= 3""".stripMargin,
+      """WITH w AS (SELECT list_filter(string_split(text, ' '), x -> x != '') AS w
+        |  FROM documents),
+        |t0 AS (SELECT unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |    for i in generate_series(1, len(w) - 2)]) AS tri
+        |  FROM w WHERE len(w) >= 3),
+        |g AS (SELECT string_split(tri, ' ') AS p3 FROM t0),
+        |g2 AS (SELECT p3[1] || ' ' || p3[2] AS prefix, p3[3] AS next_w FROM g),
+        |c AS (SELECT prefix, next_w, CAST(count(*) AS BIGINT) AS c
+        |  FROM g2 GROUP BY prefix, next_w),
+        |p AS (SELECT prefix, CAST(sum(c) AS BIGINT) AS pt FROM c GROUP BY prefix),
+        |r AS (SELECT c.prefix, c.next_w, c.c, p.pt,
+        |    CAST(row_number() OVER (PARTITION BY c.prefix
+        |      ORDER BY c.c DESC, c.next_w) AS INT) AS rnk
+        |  FROM c JOIN p ON p.prefix = c.prefix)
+        |SELECT prefix, next_w, c, pt,
+        |  CAST(round(1000000.0 * c / pt) AS BIGINT) AS p_micro, rnk
+        |FROM r WHERE rnk <= 3""".stripMargin),
 
     // T5: the end-to-end training-corpus selection this pipeline
     // exists for — keep documents that pass quality heuristics AND are
