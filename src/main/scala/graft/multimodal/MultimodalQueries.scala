@@ -470,7 +470,67 @@ object MultimodalQueries extends QueryModule {
          |WHERE rnk <= 5""".stripMargin)
   }
 
+  /** M12: multimodal batch assembly — the VLM training-batch planning
+    * step (each paired example costs text tokens PLUS vision patch
+    * tokens ⌈w/14⌉×⌈h/14⌉ — the ViT-patch grid of the REAL container
+    * dims — and examples concat-and-chunk into fixed-budget packs in
+    * doc order). Dims come from the m3 header-only read
+    * (format-dispatched, O(header) per row — planning never inflates
+    * pixels); the packing is the t8 distributed prefix sum
+    * ([[graft.textops.TextQueries.packByPrefix]] — two passes, one
+    * long of driver state per partition, never a global sort). The
+    * oracle replays the dims from the lake formulas and the chunking
+    * with a window cumsum. */
+  private def batchPack(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.register(spark, sfDir)
+    val lake = spark.read.parquet(MediaLake.ensure(spark, sfDir))
+    val patchSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("patches", IntegerType)))
+    lake.mapPartitions { it =>
+      it.map { row =>
+        val media = row.getAs[Array[Byte]]("media")
+        val (w, h) =
+          if (row.getString(1) == "jpg") graft.raster.Jpeg.headerDims(media)
+          else graft.raster.Png.headerDims(media)
+        Row(row.getLong(0), ((w + 13) / 14) * ((h + 13) / 14))
+      }
+    }(Encoders.row(patchSchema))
+      .createOrReplaceTempView(s"m12_patch_${Integer.toHexString(sfDir.hashCode)}")
+    val budgeted = spark.sql(
+      s"""SELECT d.doc_id, CAST(size(split(d.text, ' ')) AS INT) AS n_text,
+         |  p.patches,
+         |  CAST(size(split(d.text, ' ')) + p.patches AS INT) AS n_tokens
+         |FROM documents d
+         |JOIN m12_patch_${Integer.toHexString(sfDir.hashCode)} p
+         |  ON p.doc_id = d.doc_id""".stripMargin)
+    graft.textops.TextQueries.packByPrefix(spark, budgeted, M12Budget)
+  }
+
+  private val M12Budget = 4096L
+
+  private[graft] val m12Oracle: String =
+    s"""WITH d AS (SELECT doc_id, len(string_split(text, ' '))::INT AS n_text,
+       |    CASE WHEN doc_id % 4 = 3 THEN 8 * (2 + len(text) % 3)
+       |         ELSE 16 + len(text) % 16 END AS w,
+       |    CASE WHEN doc_id % 4 = 3 THEN 8 * (2 + doc_id % 3)
+       |         ELSE 16 + doc_id % 16 END AS hh
+       |  FROM documents WHERE len(text) > 0),
+       |p AS (SELECT doc_id, n_text,
+       |    (((w + 13) // 14) * ((hh + 13) // 14))::INT AS patches FROM d),
+       |t AS (SELECT doc_id, n_text, patches,
+       |    (n_text + patches)::INT AS n_tokens FROM p),
+       |c AS (SELECT doc_id, n_text, patches, n_tokens,
+       |    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       |  FROM t)
+       |SELECT doc_id, n_text, patches, n_tokens,
+       |  CAST(cum_before // $M12Budget AS BIGINT) AS pack_id,
+       |  CAST(cum_before % $M12Budget AS BIGINT) AS pack_offset
+       |FROM c""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m12_batch_pack" -> ((s, d) => batchPack(s, d)),
     "m1_media_features" -> ((s, d) => mediaFeatures(s, d)),
     "m2_frame_sample" -> ((s, d) => frameSample(s, d)),
     "m3_resize_plan" -> ((s, d) => resizePlan(s, d)),
@@ -535,6 +595,7 @@ object MultimodalQueries extends QueryModule {
       |   for j in generate_series(0, 7)] AS img FROM g)""".stripMargin
 
   override def oracles: Map[String, String] = Map(
+    "m12_batch_pack" -> m12Oracle,
     "m1_media_features" ->
       s"""WITH $grayOracleCtes
          |SELECT doc_id,

@@ -1182,37 +1182,55 @@ object TextQueries extends QueryModule {
       .sortWithinPartitions("doc_id")
   }
 
-  private def t8Query(spark: SparkSession, sfDir: String): DataFrame = {
+  /** THE distributed concat-and-chunk packer, shared by t8 and the
+    * multimodal batch assembly (m12): range-partition by `doc_id`,
+    * then the two-pass prefix sum — pass 1 collects one partial per
+    * partition (bounded driver state: one long per partition), pass 2
+    * seeds each partition's running sum at its offset. Input must
+    * carry `doc_id BIGINT` and `n_tokens INT`; all input columns pass
+    * through, `pack_id`/`pack_offset` append. Never a SinglePartition
+    * exchange (plan-pinned via [[t8RangePartitioned]]). */
+  private[graft] def packByPrefix(spark: SparkSession, in: DataFrame,
+                                  budget: Long): DataFrame = {
     import org.apache.spark.sql.types._
-    val t = t8RangePartitioned(spark, sfDir).localCheckpoint()
+    val t = in
+      .repartitionByRange(org.apache.spark.sql.functions.col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .localCheckpoint()
+    val idx = t.schema.fieldIndex("n_tokens")
     val rows = t.rdd
     // pass 1: one partial per partition (empty partitions contribute 0)
     val totals: Array[Long] = {
       val byPid = rows.mapPartitionsWithIndex { (pid, it) =>
         var s = 0L
-        it.foreach(r => s += r.getInt(1))
+        it.foreach(r => s += r.getInt(idx))
         Iterator((pid, s))
       }.collect().toMap
       Array.tabulate(rows.getNumPartitions)(byPid.getOrElse(_, 0L))
     }
     val offsets = totals.scanLeft(0L)(_ + _) // offsets(pid) = tokens before pid
     val bc = spark.sparkContext.broadcast(offsets)
-    val budget = t8Budget
     // pass 2: per-partition running sum seeded at the partition offset
     val packed = rows.mapPartitionsWithIndex { (pid, it) =>
       var cum = bc.value(pid)
       it.map { r =>
-        val n = r.getInt(1)
+        val n = r.getInt(idx)
         val before = cum
         cum += n
-        org.apache.spark.sql.Row(r.getLong(0), n, before / budget, before % budget)
+        org.apache.spark.sql.Row.fromSeq(
+          r.toSeq :+ (before / budget) :+ (before % budget))
       }
     }
-    spark.createDataFrame(packed, StructType(Seq(
-      StructField("doc_id", LongType),
-      StructField("n_tokens", IntegerType, nullable = false),
+    spark.createDataFrame(packed, StructType(t.schema.fields ++ Seq(
       StructField("pack_id", LongType, nullable = false),
       StructField("pack_offset", LongType, nullable = false))))
+  }
+
+  private def t8Query(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.register(spark, sfDir)
+    packByPrefix(spark,
+      spark.sql("SELECT doc_id, size(split(text, ' ')) AS n_tokens FROM documents"),
+      t8Budget)
   }
 
   private val t8Oracle: String =
