@@ -182,7 +182,7 @@ object MediaLake {
 
   def ensureAudio(spark: SparkSession, sfDir: String): String = {
     val lake = s"${sys.props("java.io.tmpdir")}/graft_audio_lake_v1_${docsTag(sfDir)}"
-    if (!new java.io.File(s"$lake/_SUCCESS").exists()) {
+    graft.Sidecar.ensure(lake) { tmp =>
       val docs = Tables.load(spark, sfDir, "documents")
         .select(col("doc_id"), col("text"))
         .where(length(col("text")) > 0)
@@ -192,9 +192,8 @@ object MediaLake {
           Row(row.getLong(0), "wav", Wav.encode(8000, samples))
         }
       }(Encoders.row(lakeSchema))
-        .write.mode("overwrite").parquet(lake)
+        .write.mode("overwrite").parquet(tmp)
     }
-    lake
   }
 
   /** Frame formula shared by the video renderer and the m2 oracle:
@@ -216,7 +215,7 @@ object MediaLake {
     * image/audio lakes. m2 decodes these with the full RIFF walk. */
   def ensureVideo(spark: SparkSession, sfDir: String): String = {
     val lake = s"${sys.props("java.io.tmpdir")}/graft_video_lake_v1_${docsTag(sfDir)}"
-    if (!new java.io.File(s"$lake/_SUCCESS").exists()) {
+    graft.Sidecar.ensure(lake) { tmp =>
       val docs = Tables.load(spark, sfDir, "documents")
         .select(col("doc_id"), col("text"))
         .where(length(col("text")) > 0)
@@ -227,9 +226,8 @@ object MediaLake {
             Avi.encode(VideoW, VideoW, VideoRate, frames))
         }
       }(Encoders.row(lakeSchema))
-        .write.mode("overwrite").parquet(lake)
+        .write.mode("overwrite").parquet(tmp)
     }
-    lake
   }
 
   /** Idempotent build; returns the lake dir. The PNGs carry REAL
@@ -238,7 +236,7 @@ object MediaLake {
     * decoding pixels) — which m8 extracts through the chunk walk. */
   def ensure(spark: SparkSession, sfDir: String): String = {
     val lake = s"${sys.props("java.io.tmpdir")}/graft_media_lake_v3_${docsTag(sfDir)}"
-    if (!new java.io.File(s"$lake/_SUCCESS").exists()) {
+    graft.Sidecar.ensure(lake) { tmp =>
       val docs = Tables.load(spark, sfDir, "documents")
         .select(col("doc_id"), col("text"), col("lang"), col("source"))
         .where(length(col("text")) > 0)
@@ -272,8 +270,7 @@ object MediaLake {
           }
         }
       }(Encoders.row(lakeSchema))
-        .write.mode("overwrite").parquet(lake)
+        .write.mode("overwrite").parquet(tmp)
     }
-    lake
   }
 }

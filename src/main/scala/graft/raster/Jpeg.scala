@@ -513,13 +513,18 @@ object Jpeg {
       (bytes(1) & 0xff) == 0xd8, "not a JFIF stream (missing SOI)")
     var i = 2
     while (i + 4 <= bytes.length) {
-      i = markerStart(bytes, i)
+      i = markerStart(bytes, i) // can advance past the loop guard
       val marker = bytes(i + 1) & 0xff
-      if (marker >= 0xc0 && marker <= 0xcf && marker != 0xc4 &&
-        marker != 0xc8 && marker != 0xcc)
-        return (u16(bytes, i + 7), u16(bytes, i + 5))
       if (standalone(marker)) i += 2
-      else i += 2 + u16(bytes, i + 2)
+      else {
+        require(i + 4 <= bytes.length, "jpeg: truncated segment stream")
+        if (marker >= 0xc0 && marker <= 0xcf && marker != 0xc4 &&
+          marker != 0xc8 && marker != 0xcc) {
+          require(i + 9 <= bytes.length, "jpeg: truncated SOF")
+          return (u16(bytes, i + 7), u16(bytes, i + 5))
+        }
+        i += 2 + u16(bytes, i + 2)
+      }
     }
     throw new IllegalArgumentException("jpeg: no SOF marker")
   }
@@ -533,18 +538,19 @@ object Jpeg {
     var i = 2
     var done = false
     while (!done && i + 4 <= bytes.length) {
-      i = markerStart(bytes, i)
+      i = markerStart(bytes, i) // can advance past the loop guard
       val marker = bytes(i + 1) & 0xff
       if (standalone(marker)) { i += 2 }
+      else if (marker == 0xda || marker == 0xd9) { done = true }
       else {
+      require(i + 4 <= bytes.length, "jpeg: truncated segment stream")
       val len = u16(bytes, i + 2)
       if (marker == 0xfe) {
         val s = new String(bytes, i + 4, len - 2, "UTF-8")
         val cut = s.indexOf('\u0000')
         if (cut >= 0) out += s.substring(0, cut) -> s.substring(cut + 1)
       }
-      if (marker == 0xda || marker == 0xd9) done = true
-      else i += 2 + len
+      i += 2 + len
       }
     }
     out.result()

@@ -871,8 +871,10 @@ object SimQueries extends QueryModule {
     val base = s"${sys.props("java.io.tmpdir")}/graft_e11_v1_${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}_${Tables.sourceTag(s"$sfDir/embeddings.parquet")}"
     val codesDir = s"$base/codes"
     val bookDir = s"$base/codebook"
-    if (!(new java.io.File(s"$codesDir/_SUCCESS").exists() &&
-          new java.io.File(s"$bookDir/_SUCCESS").exists())) {
+    // atomic staged build of BOTH artifacts under one base (the
+    // graft.Sidecar contract — a root _SUCCESS marks the pair
+    // complete; concurrent drivers serialize on the base lock)
+    graft.Sidecar.ensure(base) { tmp =>
       Tables.register(spark, sfDir)
       val km = convergedKmeans(spark, sfDir)
       val resCtes =
@@ -884,7 +886,7 @@ object SimQueries extends QueryModule {
            |  FROM asg JOIN cn ON cn.c = asg.c),
            |seed AS (SELECT vec_id AS cid, rv AS cv FROM res WHERE vec_id < 8)""".stripMargin
       spark.sql(s"$resCtes SELECT cid, cv FROM seed")
-        .write.mode("overwrite").parquet(bookDir)
+        .write.mode("overwrite").parquet(s"$tmp/codebook")
       spark.sql(
         s"""$resCtes,
            |sub AS (SELECT /*+ BROADCAST(seed) */ res.vec_id, res.c, seed.cid, s,
@@ -898,7 +900,9 @@ object SimQueries extends QueryModule {
            |    max(CASE WHEN s=2 THEN cid END) AS code2,
            |    max(CASE WHEN s=3 THEN cid END) AS code3
            |FROM best WHERE r = 1 GROUP BY vec_id, c""".stripMargin)
-        .write.mode("overwrite").parquet(codesDir)
+        .write.mode("overwrite").parquet(s"$tmp/codes")
+      java.nio.file.Files.createFile(
+        java.nio.file.Paths.get(tmp, "_SUCCESS")): Unit
     }
     (codesDir, bookDir)
   }

@@ -51,15 +51,15 @@ object TemperatureSampleStream {
 
   /** The gate: incoming `(doc_id, text, ...)` rows surviving the
     * temperature coin pass through with their columns unchanged.
-    * Works on static and streaming frames. */
+    * Works on static and streaming frames. The predicate is BUILT
+    * from the shared kernel's SQL text (bucketCase/keepPredicate) —
+    * not re-typed — so a rate or bucket-rule change in
+    * [[TemperatureMix]] reaches stream and batch together. */
   def gate(stream: DataFrame, thr: (Long, Long, Long)): DataFrame = {
     val (q1, q2, q3) = thr
-    val q = expr(TemperatureMix.qualityExpr("text"))
-    val bucket = when(q <= q1, 1).when(q <= q2, 2).when(q <= q3, 3)
-      .otherwise(4)
-    val toss = expr(TemperatureMix.coinExpr("doc_id"))
-    val rate = when(bucket === 4, 100).when(bucket === 3, 50)
-      .when(bucket === 2, 25).otherwise(10)
-    stream.where(toss < rate)
+    val bucket = TemperatureMix.bucketCase(
+      s"(${TemperatureMix.qualityExpr("text")})",
+      s"${q1}L", s"${q2}L", s"${q3}L")
+    stream.where(expr(TemperatureMix.keepPredicate("doc_id", s"($bucket)")))
   }
 }

@@ -90,6 +90,16 @@ object TextQueries extends QueryModule {
     /** Spark SQL: keep-rate per quartile bucket (percent). */
     def rateCase(bucket: String): String =
       s"CASE $bucket WHEN 4 THEN 100 WHEN 3 THEN 50 WHEN 2 THEN 25 ELSE 10 END"
+    /** Spark SQL: quartile bucket of a quality value against three
+      * threshold exprs (columns in the batch CTE, literals in the
+      * streaming gate). */
+    def bucketCase(q: String, q1: String, q2: String, q3: String): String =
+      s"CASE WHEN $q <= $q1 THEN 1 WHEN $q <= $q2 THEN 2" +
+        s" WHEN $q <= $q3 THEN 3 ELSE 4 END"
+    /** Spark SQL: THE keep decision — coin under the bucket's rate.
+      * Batch t16 and the streaming gate both evaluate exactly this. */
+    def keepPredicate(docId: String, bucket: String): String =
+      s"${coinExpr(docId)} < ${rateCase(bucket)}"
   }
 
   /** THE dedup LSH shape, shared with every consumer (the streaming
@@ -606,13 +616,12 @@ object TextQueries extends QueryModule {
          |    min(CASE WHEN cm * 2 >= n THEN q END) AS q2,
          |    min(CASE WHEN cm * 4 >= 3 * n THEN q END) AS q3 FROM cum),
          |b AS (SELECT doc_id, q,
-         |    CASE WHEN q <= thr.q1 THEN 1 WHEN q <= thr.q2 THEN 2
-         |      WHEN q <= thr.q3 THEN 3 ELSE 4 END AS bucket
+         |    ${TemperatureMix.bucketCase("q", "thr.q1", "thr.q2", "thr.q3")} AS bucket
          |  FROM s CROSS JOIN thr),
          |coin AS (SELECT doc_id, q, bucket,
          |    ${TemperatureMix.coinExpr("doc_id")} AS toss FROM b)
          |SELECT doc_id, q AS uniq_permille, bucket, toss
-         |FROM coin WHERE toss < ${TemperatureMix.rateCase("bucket")}""".stripMargin,
+         |FROM coin WHERE ${TemperatureMix.keepPredicate("doc_id", "bucket")}""".stripMargin,
       s"""WITH s AS (SELECT doc_id,
          |    (1000 * len(list_distinct(string_split(text, ' ')))::BIGINT)
          |      // len(string_split(text, ' '))::BIGINT AS q
@@ -1173,13 +1182,21 @@ object TextQueries extends QueryModule {
 
   private val t8Budget = 4096L
 
-  /** Pass 0 — exposed so `PlanInvariantsSpec` can pin the plan shape:
-    * range partitioning present, no `SinglePartition` exchange. */
+  /** Pass 0 of [[packByPrefix]] — the SHARED stage (the packer calls
+    * exactly this), exposed so `PlanInvariantsSpec` can pin the plan
+    * shape the serving path executes: range partitioning present, no
+    * `SinglePartition` exchange. */
+  private[graft] def packPass0(in: DataFrame): DataFrame =
+    in.repartitionByRange(org.apache.spark.sql.functions.col("doc_id"))
+      .sortWithinPartitions("doc_id")
+
+  private val t8TokensSql =
+    "SELECT doc_id, size(split(text, ' ')) AS n_tokens FROM documents"
+
+  /** t8's pass 0 over the real input, for the plan pin. */
   private[graft] def t8RangePartitioned(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.register(spark, sfDir)
-    spark.sql("SELECT doc_id, size(split(text, ' ')) AS n_tokens FROM documents")
-      .repartitionByRange(org.apache.spark.sql.functions.col("doc_id"))
-      .sortWithinPartitions("doc_id")
+    packPass0(spark.sql(t8TokensSql))
   }
 
   /** THE distributed concat-and-chunk packer, shared by t8 and the
@@ -1189,14 +1206,12 @@ object TextQueries extends QueryModule {
     * seeds each partition's running sum at its offset. Input must
     * carry `doc_id BIGINT` and `n_tokens INT`; all input columns pass
     * through, `pack_id`/`pack_offset` append. Never a SinglePartition
-    * exchange (plan-pinned via [[t8RangePartitioned]]). */
+    * exchange — pass 0 IS [[packPass0]], the stage the plan pin
+    * exercises. */
   private[graft] def packByPrefix(spark: SparkSession, in: DataFrame,
                                   budget: Long): DataFrame = {
     import org.apache.spark.sql.types._
-    val t = in
-      .repartitionByRange(org.apache.spark.sql.functions.col("doc_id"))
-      .sortWithinPartitions("doc_id")
-      .localCheckpoint()
+    val t = packPass0(in).localCheckpoint()
     val idx = t.schema.fieldIndex("n_tokens")
     val rows = t.rdd
     // pass 1: one partial per partition (empty partitions contribute 0)
@@ -1228,9 +1243,7 @@ object TextQueries extends QueryModule {
 
   private def t8Query(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.register(spark, sfDir)
-    packByPrefix(spark,
-      spark.sql("SELECT doc_id, size(split(text, ' ')) AS n_tokens FROM documents"),
-      t8Budget)
+    packByPrefix(spark, spark.sql(t8TokensSql), t8Budget)
   }
 
   private val t8Oracle: String =
