@@ -52,6 +52,67 @@ object SimQueries extends QueryModule {
     * because the table count is tuned for full recall at this τ on
     * the fixture corpus (verified empirically; [[e4Recall]] measures
     * the recall at other widths/sizes). */
+  /** The ADC pipeline CTEs (codes + per-query distance tables +
+    * asymmetric distances), shared VERBATIM by e10 (top-5 by ADC) and
+    * e15 (ADC shortlist → exact re-rank): seed codebook, per-vector
+    * 4-subspace codes, 4×8 broadcast distance tables per query, and
+    * `adc(qid, nid, adist)`. Every d² is the same index-ordered fold
+    * as e7's, so engine/oracle parity holds to the ulp. */
+  private lazy val adcSparkCtes: String =
+    """seed AS (SELECT vec_id AS cid, v AS cv FROM n WHERE vec_id < 8),
+      |sub AS (SELECT /*+ BROADCAST(seed) */ n.vec_id, seed.cid, s,
+      |    vec_sqdist(n.v, seed.cv, s*16, 16) AS d2
+      |  FROM n CROSS JOIN seed LATERAL VIEW explode(sequence(0, 3)) t AS s),
+      |best AS (SELECT vec_id, s, cid, d2,
+      |    row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cid) AS r FROM sub),
+      |codes AS (SELECT vec_id,
+      |    max(CASE WHEN s=0 THEN cid END) AS code0,
+      |    max(CASE WHEN s=1 THEN cid END) AS code1,
+      |    max(CASE WHEN s=2 THEN cid END) AS code2,
+      |    max(CASE WHEN s=3 THEN cid END) AS code3
+      |  FROM best WHERE r = 1 GROUP BY vec_id),
+      |q AS (SELECT vec_id AS qid, v AS qv FROM n WHERE vec_id < 5),
+      |dt AS (SELECT /*+ BROADCAST(seed) */ qid, seed.cid, s,
+      |    vec_sqdist(qv, seed.cv, s*16, 16) AS d2
+      |  FROM q CROSS JOIN seed LATERAL VIEW explode(sequence(0, 3)) t AS s),
+      |adc AS (SELECT d0.qid, codes.vec_id AS nid,
+      |    d0.d2 + d1.d2 + d2t.d2 + d3.d2 AS adist
+      |  FROM codes
+      |  JOIN dt d0 ON d0.s = 0 AND d0.cid = codes.code0
+      |  JOIN dt d1 ON d1.s = 1 AND d1.cid = codes.code1 AND d1.qid = d0.qid
+      |  JOIN dt d2t ON d2t.s = 2 AND d2t.cid = codes.code2 AND d2t.qid = d0.qid
+      |  JOIN dt d3 ON d3.s = 3 AND d3.cid = codes.code3 AND d3.qid = d0.qid
+      |  WHERE codes.vec_id != d0.qid)""".stripMargin
+
+  /** DuckDB mirror of [[adcSparkCtes]] (index-ordered list folds). */
+  private lazy val adcDuckCtes: String =
+    """seed AS (SELECT vec_id AS cid, v AS cv FROM n WHERE vec_id < 8),
+      |sub AS (SELECT n.vec_id, seed.cid, s,
+      |    list_reduce([(n.v[s*16+k] - seed.cv[s*16+k]) * (n.v[s*16+k] - seed.cv[s*16+k])
+      |                 for k in generate_series(1, 16)], (acc, x) -> acc + x) AS d2
+      |  FROM n CROSS JOIN seed CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS s)),
+      |best AS (SELECT vec_id, s, cid, d2,
+      |    row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cid) AS r FROM sub),
+      |codes AS (SELECT vec_id,
+      |    max(CASE WHEN s=0 THEN cid END) AS code0,
+      |    max(CASE WHEN s=1 THEN cid END) AS code1,
+      |    max(CASE WHEN s=2 THEN cid END) AS code2,
+      |    max(CASE WHEN s=3 THEN cid END) AS code3
+      |  FROM best WHERE r = 1 GROUP BY vec_id),
+      |q AS (SELECT vec_id AS qid, v AS qv FROM n WHERE vec_id < 5),
+      |dt AS (SELECT qid, seed.cid, s,
+      |    list_reduce([(qv[s*16+k] - seed.cv[s*16+k]) * (qv[s*16+k] - seed.cv[s*16+k])
+      |                 for k in generate_series(1, 16)], (acc, x) -> acc + x) AS d2
+      |  FROM q CROSS JOIN seed CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS s)),
+      |adc AS (SELECT d0.qid, codes.vec_id AS nid,
+      |    d0.d2 + d1.d2 + d2t.d2 + d3.d2 AS adist
+      |  FROM codes
+      |  JOIN dt d0 ON d0.s = 0 AND d0.cid = codes.code0
+      |  JOIN dt d1 ON d1.s = 1 AND d1.cid = codes.code1 AND d1.qid = d0.qid
+      |  JOIN dt d2t ON d2t.s = 2 AND d2t.cid = codes.code2 AND d2t.qid = d0.qid
+      |  JOIN dt d3 ON d3.s = 3 AND d3.cid = codes.code3 AND d3.qid = d0.qid
+      |  WHERE codes.vec_id != d0.qid)""".stripMargin
+
   private lazy val e4Oracle: String =
     s"""$duckVecs
        |SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
@@ -595,6 +656,8 @@ object SimQueries extends QueryModule {
          |FROM best WHERE r = 1 GROUP BY vec_id""".stripMargin),
 
     // E10: PQ search by ASYMMETRIC distance computation (Jégou et al.
+    // — ADC CTEs shared with e15's two-stage re-rank: adcSparkCtes /
+    // adcDuckCtes below the sqls list.
     // 2011, "Product Quantization for Nearest Neighbor Search" §IV):
     // per query, a tiny distance table d²(q_sub, centroid) per
     // (subspace, centroid) — 4×8 entries here — then the corpus scan
@@ -606,64 +669,57 @@ object SimQueries extends QueryModule {
     // every d² is the same index-ordered fold as e7's.
     SqlQ.split("e10_pq_adc",
       s"""$sparkVecs,
-         |seed AS (SELECT vec_id AS cid, v AS cv FROM n WHERE vec_id < 8),
-         |sub AS (SELECT /*+ BROADCAST(seed) */ n.vec_id, seed.cid, s,
-         |    vec_sqdist(n.v, seed.cv, s*16, 16) AS d2
-         |  FROM n CROSS JOIN seed LATERAL VIEW explode(sequence(0, 3)) t AS s),
-         |best AS (SELECT vec_id, s, cid, d2,
-         |    row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cid) AS r FROM sub),
-         |codes AS (SELECT vec_id,
-         |    max(CASE WHEN s=0 THEN cid END) AS code0,
-         |    max(CASE WHEN s=1 THEN cid END) AS code1,
-         |    max(CASE WHEN s=2 THEN cid END) AS code2,
-         |    max(CASE WHEN s=3 THEN cid END) AS code3
-         |  FROM best WHERE r = 1 GROUP BY vec_id),
-         |q AS (SELECT vec_id AS qid, v AS qv FROM n WHERE vec_id < 5),
-         |dt AS (SELECT /*+ BROADCAST(seed) */ qid, seed.cid, s,
-         |    vec_sqdist(qv, seed.cv, s*16, 16) AS d2
-         |  FROM q CROSS JOIN seed LATERAL VIEW explode(sequence(0, 3)) t AS s),
-         |adc AS (SELECT d0.qid, codes.vec_id AS nid,
-         |    d0.d2 + d1.d2 + d2t.d2 + d3.d2 AS adist
-         |  FROM codes
-         |  JOIN dt d0 ON d0.s = 0 AND d0.cid = codes.code0
-         |  JOIN dt d1 ON d1.s = 1 AND d1.cid = codes.code1 AND d1.qid = d0.qid
-         |  JOIN dt d2t ON d2t.s = 2 AND d2t.cid = codes.code2 AND d2t.qid = d0.qid
-         |  JOIN dt d3 ON d3.s = 3 AND d3.cid = codes.code3 AND d3.qid = d0.qid
-         |  WHERE codes.vec_id != d0.qid)
+         |$adcSparkCtes
          |SELECT qid AS query_id, nid AS neighbor_id, adist AS adc_dist, rnk
          |FROM (SELECT qid, nid, adist,
          |        CAST(row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS INT) AS rnk FROM adc) t
          |WHERE rnk <= 5""".stripMargin,
       s"""$duckVecs,
-         |seed AS (SELECT vec_id AS cid, v AS cv FROM n WHERE vec_id < 8),
-         |sub AS (SELECT n.vec_id, seed.cid, s,
-         |    list_reduce([(n.v[s*16+k] - seed.cv[s*16+k]) * (n.v[s*16+k] - seed.cv[s*16+k])
-         |                 for k in generate_series(1, 16)], (acc, x) -> acc + x) AS d2
-         |  FROM n CROSS JOIN seed CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS s)),
-         |best AS (SELECT vec_id, s, cid, d2,
-         |    row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cid) AS r FROM sub),
-         |codes AS (SELECT vec_id,
-         |    max(CASE WHEN s=0 THEN cid END) AS code0,
-         |    max(CASE WHEN s=1 THEN cid END) AS code1,
-         |    max(CASE WHEN s=2 THEN cid END) AS code2,
-         |    max(CASE WHEN s=3 THEN cid END) AS code3
-         |  FROM best WHERE r = 1 GROUP BY vec_id),
-         |q AS (SELECT vec_id AS qid, v AS qv FROM n WHERE vec_id < 5),
-         |dt AS (SELECT qid, seed.cid, s,
-         |    list_reduce([(qv[s*16+k] - seed.cv[s*16+k]) * (qv[s*16+k] - seed.cv[s*16+k])
-         |                 for k in generate_series(1, 16)], (acc, x) -> acc + x) AS d2
-         |  FROM q CROSS JOIN seed CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS s)),
-         |adc AS (SELECT d0.qid, codes.vec_id AS nid,
-         |    d0.d2 + d1.d2 + d2t.d2 + d3.d2 AS adist
-         |  FROM codes
-         |  JOIN dt d0 ON d0.s = 0 AND d0.cid = codes.code0
-         |  JOIN dt d1 ON d1.s = 1 AND d1.cid = codes.code1 AND d1.qid = d0.qid
-         |  JOIN dt d2t ON d2t.s = 2 AND d2t.cid = codes.code2 AND d2t.qid = d0.qid
-         |  JOIN dt d3 ON d3.s = 3 AND d3.cid = codes.code3 AND d3.qid = d0.qid
-         |  WHERE codes.vec_id != d0.qid)
+         |$adcDuckCtes
          |SELECT qid AS query_id, nid AS neighbor_id, adist AS adc_dist, rnk
          |FROM (SELECT qid, nid, adist,
          |        CAST(row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS INT) AS rnk FROM adc) t
+         |WHERE rnk <= 5""".stripMargin),
+
+    // E15: TWO-STAGE retrieval — ADC shortlist, exact re-rank (Jégou
+    // et al. 2011 §IV-D; the DiskANN/FAISS serving recipe): stage 1
+    // scans only the compressed CODES and keeps a 20-deep shortlist
+    // per query by asymmetric distance; stage 2 fetches the FULL
+    // vectors for shortlist rows only and re-ranks by exact cosine,
+    // returning top-5. At 100 TB stage 2 is |queries| × 20 point
+    // lookups joined on vec_id — the full-vector table is never
+    // scanned; the compressed scan pays for everything. ADC CTEs are
+    // shared VERBATIM with e10 (one definition, two consumers).
+    SqlQ.split("e15_pq_rerank",
+      s"""$sparkVecs,
+         |$adcSparkCtes,
+         |short AS (SELECT qid, nid, adist FROM (
+         |    SELECT qid, nid, adist,
+         |      row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS rs
+         |    FROM adc) t WHERE rs <= 20),
+         |rr AS (SELECT short.qid, short.nid, short.adist,
+         |    vec_dot(qv.v, nv.v) / (qv.nrm * nv.nrm) AS cosine
+         |  FROM short JOIN n qv ON qv.vec_id = short.qid
+         |  JOIN n nv ON nv.vec_id = short.nid)
+         |SELECT qid AS query_id, nid AS neighbor_id, adist AS adc_dist,
+         |  cosine, rnk
+         |FROM (SELECT qid, nid, adist, cosine,
+         |        CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS INT) AS rnk FROM rr) t
+         |WHERE rnk <= 5""".stripMargin,
+      s"""$duckVecs,
+         |$adcDuckCtes,
+         |short AS (SELECT qid, nid, adist FROM (
+         |    SELECT qid, nid, adist,
+         |      row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS rs
+         |    FROM adc) t WHERE rs <= 20),
+         |rr AS (SELECT short.qid, short.nid, short.adist,
+         |    ${dDot("qv.v", "nv.v")} / (qv.nrm * nv.nrm) AS cosine
+         |  FROM short JOIN n qv ON qv.vec_id = short.qid
+         |  JOIN n nv ON nv.vec_id = short.nid)
+         |SELECT qid AS query_id, nid AS neighbor_id, adist AS adc_dist,
+         |  cosine, rnk
+         |FROM (SELECT qid, nid, adist, cosine,
+         |        CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS INT) AS rnk FROM rr) t
          |WHERE rnk <= 5""".stripMargin),
 
     // E13: dimension-truncation quality — the Matryoshka-style
