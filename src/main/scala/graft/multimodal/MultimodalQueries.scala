@@ -529,7 +529,62 @@ object MultimodalQueries extends QueryModule {
        |  CAST(cum_before % $M12Budget AS BIGINT) AS pack_offset
        |FROM c""".stripMargin
 
+  /** M13: paired-dataset integrity audit — the pre-training sanity
+    * pass every multimodal pipeline runs before a release (a claimed
+    * pair whose media or embedding is missing silently breaks batch
+    * assembly): per doc_id, presence across documents / embeddings /
+    * the ACTUAL media lake parquet (not the formula — the audit's job
+    * is to catch the artifact diverging from the contract), rolled up
+    * into one row per integrity class with a count and the smallest
+    * offending id (the triage pointer). Scale shape: two
+    * co-partitionable id joins + one combinable aggregate. The oracle
+    * replays lake membership from the ingest predicate (len > 0) —
+    * equality holds exactly BECAUSE the lake honors its contract. */
+  private def pairAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.register(spark, sfDir)
+    val view = s"m13_lake_${Integer.toHexString(sfDir.hashCode)}"
+    spark.read.parquet(MediaLake.ensure(spark, sfDir))
+      .select(col("doc_id")).createOrReplaceTempView(view)
+    spark.sql(
+      s"""WITH d AS (SELECT d.doc_id, m.doc_id IS NOT NULL AS has_media
+         |  FROM documents d LEFT JOIN $view m ON m.doc_id = d.doc_id),
+         |j AS (SELECT COALESCE(d.doc_id, e.vec_id) AS id,
+         |    d.doc_id IS NOT NULL AS has_doc,
+         |    COALESCE(d.has_media, false) AS has_media,
+         |    e.vec_id IS NOT NULL AS has_emb
+         |  FROM d FULL OUTER JOIN embeddings e ON e.vec_id = d.doc_id),
+         |c AS (SELECT id,
+         |    CASE WHEN has_doc AND has_emb AND has_media THEN 'complete'
+         |         WHEN has_doc AND has_media THEN 'missing_embedding'
+         |         WHEN has_doc AND has_emb THEN 'missing_media'
+         |         WHEN has_doc THEN 'text_only'
+         |         ELSE 'dangling_embedding' END AS class
+         |  FROM j)
+         |SELECT class, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(min(id) AS BIGINT) AS example_id
+         |FROM c GROUP BY class""".stripMargin)
+  }
+
+  private[graft] val m13Oracle: String =
+    """WITH d AS (SELECT doc_id, len(text) > 0 AS has_media FROM documents),
+      |j AS (SELECT COALESCE(d.doc_id, e.vec_id) AS id,
+      |    d.doc_id IS NOT NULL AS has_doc,
+      |    COALESCE(d.has_media, false) AS has_media,
+      |    e.vec_id IS NOT NULL AS has_emb
+      |  FROM d FULL OUTER JOIN embeddings e ON e.vec_id = d.doc_id),
+      |c AS (SELECT id,
+      |    CASE WHEN has_doc AND has_emb AND has_media THEN 'complete'
+      |         WHEN has_doc AND has_media THEN 'missing_embedding'
+      |         WHEN has_doc AND has_emb THEN 'missing_media'
+      |         WHEN has_doc THEN 'text_only'
+      |         ELSE 'dangling_embedding' END AS class
+      |  FROM j)
+      |SELECT class, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(min(id) AS BIGINT) AS example_id
+      |FROM c GROUP BY class""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m13_pair_audit" -> ((s, d) => pairAudit(s, d)),
     "m12_batch_pack" -> ((s, d) => batchPack(s, d)),
     "m1_media_features" -> ((s, d) => mediaFeatures(s, d)),
     "m2_frame_sample" -> ((s, d) => frameSample(s, d)),
@@ -595,6 +650,7 @@ object MultimodalQueries extends QueryModule {
       |   for j in generate_series(0, 7)] AS img FROM g)""".stripMargin
 
   override def oracles: Map[String, String] = Map(
+    "m13_pair_audit" -> m13Oracle,
     "m12_batch_pack" -> m12Oracle,
     "m1_media_features" ->
       s"""WITH $grayOracleCtes
