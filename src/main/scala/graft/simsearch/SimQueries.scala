@@ -75,7 +75,8 @@ object SimQueries extends QueryModule {
       |dt AS (SELECT /*+ BROADCAST(seed) */ qid, seed.cid, s,
       |    vec_sqdist(qv, seed.cv, s*16, 16) AS d2
       |  FROM q CROSS JOIN seed LATERAL VIEW explode(sequence(0, 3)) t AS s),
-      |adc AS (SELECT d0.qid, codes.vec_id AS nid,
+      |adc AS (SELECT /*+ BROADCAST(d0), BROADCAST(d1), BROADCAST(d2t), BROADCAST(d3) */
+      |    d0.qid, codes.vec_id AS nid,
       |    d0.d2 + d1.d2 + d2t.d2 + d3.d2 AS adist
       |  FROM codes
       |  JOIN dt d0 ON d0.s = 0 AND d0.cid = codes.code0
@@ -83,6 +84,10 @@ object SimQueries extends QueryModule {
       |  JOIN dt d2t ON d2t.s = 2 AND d2t.cid = codes.code2 AND d2t.qid = d0.qid
       |  JOIN dt d3 ON d3.s = 3 AND d3.cid = codes.code3 AND d3.qid = d0.qid
       |  WHERE codes.vec_id != d0.qid)""".stripMargin
+  // the dt sides are |queries| × 8 rows per subspace — broadcast them
+  // explicitly so the CODES stream (corpus-sized) never sorts: an SMJ
+  // here sorts all n codes 4× (the 100 TB anti-shape; observed in the
+  // unhinted plan dump)
 
   /** DuckDB mirror of [[adcSparkCtes]] (index-ordered list folds). */
   private lazy val adcDuckCtes: String =
@@ -697,7 +702,7 @@ object SimQueries extends QueryModule {
          |    SELECT qid, nid, adist,
          |      row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS rs
          |    FROM adc) t WHERE rs <= 20),
-         |rr AS (SELECT short.qid, short.nid, short.adist,
+         |rr AS (SELECT /*+ BROADCAST(short) */ short.qid, short.nid, short.adist,
          |    vec_dot(qv.v, nv.v) / (qv.nrm * nv.nrm) AS cosine
          |  FROM short JOIN n qv ON qv.vec_id = short.qid
          |  JOIN n nv ON nv.vec_id = short.nid)
