@@ -41,17 +41,6 @@ object SimQueries extends QueryModule {
   private def dDot(a: String, b: String): String =
     duckDot.replace("QA", a).replace("QB", b)
 
-  /** e4's Spark SQL with a configurable band width — `bandBits` is
-    * THE scale knob of random-hyperplane LSH: per-band bucket count
-    * is 2^bits, so occupancy (and candidate pairs, which grow with
-    * occupancy²) stays flat only if bits grows ~log₂ of the corpus.
-    * The oracle-checked e4 pins 6 bits (full recall at the fixture
-    * size, measured by e8); [[graft.ScaleProbe]] measures the widened
-    * variant at 10× to show the knob restores linear scaling. */
-  /** e4's oracle: the global brute-force pair scan. Equality holds
-    * because the table count is tuned for full recall at this τ on
-    * the fixture corpus (verified empirically; [[e4Recall]] measures
-    * the recall at other widths/sizes). */
   /** The ADC pipeline CTEs (codes + per-query distance tables +
     * asymmetric distances), shared VERBATIM by e10 (top-5 by ADC) and
     * e15 (ADC shortlist → exact re-rank): seed codebook, per-vector
@@ -118,6 +107,15 @@ object SimQueries extends QueryModule {
       |  JOIN dt d3 ON d3.s = 3 AND d3.cid = codes.code3 AND d3.qid = d0.qid
       |  WHERE codes.vec_id != d0.qid)""".stripMargin
 
+  /** e4's oracle: the global brute-force pair scan. Equality holds
+    * because the table count (a function of the band width — `bandBits`
+    * is THE scale knob of random-hyperplane LSH: per-band bucket count
+    * is 2^bits, so occupancy and candidate pairs stay flat only if
+    * bits grows ~log₂ of the corpus) is tuned for full recall at this
+    * τ on the fixture corpus; the oracle-checked e4 pins 6 bits.
+    * [[e4Recall]] measures the recall at other widths/sizes and
+    * [[graft.ScaleProbe]] shows the widened variant restores linear
+    * scaling at 10×. */
   private lazy val e4Oracle: String =
     s"""$duckVecs
        |SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
@@ -662,7 +660,7 @@ object SimQueries extends QueryModule {
 
     // E10: PQ search by ASYMMETRIC distance computation (Jégou et al.
     // — ADC CTEs shared with e15's two-stage re-rank: adcSparkCtes /
-    // adcDuckCtes below the sqls list.
+    // adcDuckCtes, defined with the module fragments ABOVE this list.
     // 2011, "Product Quantization for Nearest Neighbor Search" §IV):
     // per query, a tiny distance table d²(q_sub, centroid) per
     // (subspace, centroid) — 4×8 entries here — then the corpus scan
@@ -689,12 +687,16 @@ object SimQueries extends QueryModule {
     // E15: TWO-STAGE retrieval — ADC shortlist, exact re-rank (Jégou
     // et al. 2011 §IV-D; the DiskANN/FAISS serving recipe): stage 1
     // scans only the compressed CODES and keeps a 20-deep shortlist
-    // per query by asymmetric distance; stage 2 fetches the FULL
-    // vectors for shortlist rows only and re-ranks by exact cosine,
-    // returning top-5. At 100 TB stage 2 is |queries| × 20 point
-    // lookups joined on vec_id — the full-vector table is never
-    // scanned; the compressed scan pays for everything. ADC CTEs are
-    // shared VERBATIM with e10 (one definition, two consumers).
+    // per query by asymmetric distance; stage 2 re-ranks the
+    // shortlist by exact cosine, top-5. Stage 2 takes the e4
+    // verify-join trade (documented at e4Ctes): the vector sides hint
+    // BROADCAST — threshold-independent, so the corpus-sized vector
+    // table never enters a sort and the tiny shortlist streams
+    // without an exchange. When n outgrows broadcast the serving
+    // answer is e11's probed-cell join, not a bigger re-rank. ADC
+    // CTEs are
+    // shared VERBATIM with e10 (adcSparkCtes/adcDuckCtes, defined
+    // with the module fragments ABOVE this list).
     SqlQ.split("e15_pq_rerank",
       s"""$sparkVecs,
          |$adcSparkCtes,
@@ -702,7 +704,8 @@ object SimQueries extends QueryModule {
          |    SELECT qid, nid, adist,
          |      row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS rs
          |    FROM adc) t WHERE rs <= 20),
-         |rr AS (SELECT /*+ BROADCAST(short) */ short.qid, short.nid, short.adist,
+         |rr AS (SELECT /*+ BROADCAST(qv), BROADCAST(nv) */
+         |    short.qid, short.nid, short.adist,
          |    vec_dot(qv.v, nv.v) / (qv.nrm * nv.nrm) AS cosine
          |  FROM short JOIN n qv ON qv.vec_id = short.qid
          |  JOIN n nv ON nv.vec_id = short.nid)
