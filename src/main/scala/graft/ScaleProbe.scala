@@ -37,7 +37,13 @@ object ScaleProbe {
     // memoized before timing, like e3)
     // d12: the overlapping-gram shuffle IS the cost (suffix-array
     // replacement) — expect ~linear in corpus size
-    "d9_span_dedup", "d10_bloom_gate", "e11_ivfpq", "d12_exact_substr")
+    "d9_span_dedup", "d10_bloom_gate", "e11_ivfpq", "d12_exact_substr",
+    // round-11 additions: t15 histogram quantiles (the aggregate is
+    // bounded by shards × |len domain|, so expect ~flat window cost
+    // over a ~linear scan); t17 trigram counts (both aggregations
+    // map-side combine — expect ~linear); m12 batch packing (lake
+    // header scan + prefix sum — expect ~linear, no SinglePartition)
+    "t15_profile", "t17_ngram_lm", "m12_batch_pack")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
