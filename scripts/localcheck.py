@@ -40,6 +40,15 @@ def main():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracles = json.load(open(f"{outdir}/oracle_sql.json"))
     n_pass = n_fail = n_noora = 0
+    # A query Verify declared (it dumps oracle_sql.json from the full
+    # queries map) but did NOT dump is a FAILURE, not a silent skip —
+    # Verify swallows per-query exceptions, and without this check a
+    # query that throws vanishes from the count (round 11: 17 r-ingest
+    # queries StackOverflowed and preflight still printed '0 fail').
+    dumped = {d.rstrip("/").split("/")[-1] for d in glob.glob(f"{outdir}/*/")}
+    for name in sorted(set(oracles) - dumped):
+        print(f"MISSING {name} (declared but not dumped — query threw?)")
+        n_fail += 1
     for qdir in sorted(glob.glob(f"{outdir}/*/")):
         name = qdir.rstrip("/").split("/")[-1]
         files = glob.glob(f"{qdir}/*.parquet")

@@ -26,14 +26,21 @@ object Sidecar {
   private val lockWaitMs = 10 * 60 * 1000L // a corpus-wide build, not a row op
 
   /** Ensure `path` holds a completed artifact (marker `_SUCCESS`
-    * inside), running `build(stagingDir)` if absent. Returns `path`. */
-  def ensure(path: String)(build: String => Unit): String = {
+    * inside), running `build(stagingDir)` if absent. Returns `path`.
+    * `attempt` bounds the lost-the-lock-then-winner-vanished retry
+    * (an unbounded retry plus a lock whose CREATE always fails —
+    * e.g. an unwritable parent — was a stack overflow). */
+  @annotation.tailrec
+  def ensure(path: String, attempt: Int = 0)(build: String => Unit): String = {
     val done = new java.io.File(s"$path/_SUCCESS")
     if (done.exists()) return path
     val lock = new java.io.File(s"$path.lock")
-    val owner =
-      try lock.createNewFile()
-      catch { case _: java.io.IOException => false }
+    // the memo path's parent may not exist yet (e.g. a lake under a
+    // fresh `$base/lake`); the lock must be creatable before any
+    // build machinery runs
+    val parent = lock.getParentFile
+    if (parent != null) parent.mkdirs(): Unit
+    val owner = lock.createNewFile() // IOException here = real fault, propagate
     if (!owner) {
       // another driver is building: wait for its _SUCCESS (or for a
       // crashed builder's lock to be diagnosed) rather than racing
@@ -41,11 +48,16 @@ object Sidecar {
       while (!done.exists() && lock.exists() &&
         System.currentTimeMillis() < deadline) Thread.sleep(200)
       if (done.exists()) return path
-      if (!lock.exists()) return ensure(path)(build) // winner crashed pre-build? retry
-      throw new IllegalStateException(
-        s"sidecar build lock held past ${lockWaitMs / 1000}s: $lock — " +
-          "remove the stale lock if its builder is dead")
-    }
+      if (lock.exists())
+        throw new IllegalStateException(
+          s"sidecar build lock held past ${lockWaitMs / 1000}s: $lock — " +
+            "remove the stale lock if its builder is dead")
+      if (attempt >= 3)
+        throw new IllegalStateException(
+          s"sidecar lock vanished ${attempt + 1}× without a completed " +
+            s"build: $lock")
+      ensure(path, attempt + 1)(build) // winner crashed pre-build: retry
+    } else {
     try {
       if (done.exists()) return path // completed between check and lock
       val tmp = new java.io.File(
@@ -63,6 +75,7 @@ object Sidecar {
         s"sidecar incomplete after rename (no _SUCCESS): $path")
       path
     } finally { lock.delete(): Unit }
+    }
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {

@@ -39,7 +39,12 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Restricted to the selected queries in targeted mode: localcheck
+    // treats a declared-but-undumped query as a FAILURE (a thrown
+    // query must not vanish from the count), so the declaration set
+    // must match what this run attempted.
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

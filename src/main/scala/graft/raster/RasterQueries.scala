@@ -758,7 +758,7 @@ object RasterQueries extends QueryModule {
       s"${sys.props("java.io.tmpdir")}/graft_r12_${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}")
     val src = base.resolve("src")
     val lake = base.resolve("lake").toString
-    if (!new java.io.File(s"$lake/_SUCCESS").exists()) {
+    graft.Sidecar.ensure(lake) { tmp =>  // staged+locked build (cross-driver safe)
       java.nio.file.Files.createDirectories(src)
       val px = 20
       val deg = 0.05
@@ -778,9 +778,9 @@ object RasterQueries extends QueryModule {
           sourceUris = (for (tx <- 0 to 1; ty <- 0 to 1)
             yield src.resolve(s"t${tx}_$ty.tif").toString),
           sourceType = "raster", pixelMeaning = "class"),
-        lake)
+        tmp)
       require(ok, s"raster ingest failed: $log")
-    }
+    }: Unit
     spark.read.parquet(lake).createOrReplaceTempView("r12_lake")
     spark.sql(
       """SELECT v AS cls, count(*) AS n
@@ -817,7 +817,7 @@ object RasterQueries extends QueryModule {
     val lake = base.resolve("lake").toString
     val fg = r13Grid
     val px = fg.pxPerTile
-    if (!new java.io.File(s"$lake/_SUCCESS").exists()) {
+    graft.Sidecar.ensure(lake) { tmp =>  // staged+locked build (cross-driver safe)
       java.nio.file.Files.createDirectories(src)
       for (tx <- 0 until fg.tilesX; ty <- 0 until fg.tilesY) {
         val vals = Array.tabulate(px * px) { i =>
@@ -836,9 +836,9 @@ object RasterQueries extends QueryModule {
           sourceUris = (for (tx <- 0 until fg.tilesX; ty <- 0 until fg.tilesY)
             yield src.resolve(s"t${tx}_$ty.tif").toString),
           sourceType = "raster", pixelMeaning = "density"),
-        lake)
+        tmp)
       require(ok, s"float raster ingest failed: $log")
-    }
+    }: Unit
     lake
   }
 
@@ -1075,7 +1075,7 @@ object RasterQueries extends QueryModule {
     val lake = base.resolve("lake").toString
     val px = latt.pxPerTile
     val span = px * latt.pixelM
-    if (!new java.io.File(s"$lake/_SUCCESS").exists()) {
+    graft.Sidecar.ensure(lake) { tmp =>  // staged+locked build (cross-driver safe)
       java.nio.file.Files.createDirectories(src)
       for (stx <- 0 until latt.tilesX; sty <- 0 until latt.tilesY) {
         val vals = Array.tabulate(px * px) { i =>
@@ -1097,9 +1097,9 @@ object RasterQueries extends QueryModule {
           sourceType = "raster", pixelMeaning = "cls",
           noData = Some("-1"), unifyProjection = true,
           resampling = resampling, gridShiftGsb = gridShiftGsb),
-        lake)
+        tmp)
       require(ok, s"EPSG:$epsg raster ingest failed: $log")
-    }
+    }: Unit
     spark.read.parquet(lake).createOrReplaceTempView(s"${tag}_lake")
     spark.sql(
       s"""SELECT v, count(*) AS n

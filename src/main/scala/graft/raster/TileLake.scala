@@ -50,8 +50,11 @@ object TileLake {
     * a 10× tile count through this (same formulas, wider extent). */
   private[graft] def ensureWrittenFor(spark: SparkSession, dir: String,
                                       g: Grid): Unit = synchronized {
-    val marker = new java.io.File(s"$dir/_SUCCESS")
-    if (marker.exists()) return
+    // synchronized serializes within-JVM callers without lock-wait
+    // latency; graft.Sidecar's staged-rename + lock covers
+    // cross-driver concurrency (a second session sharing the tmpdir
+    // must never overwrite a lake this one is mid-scan on)
+    graft.Sidecar.ensure(dir) { tmp =>
     import SyntheticEnv._
     val px = g.pxPerTile * g.pxPerTile
     val sGx = s"(tx * ${g.pxPerTile} + i % ${g.pxPerTile})"
@@ -73,7 +76,8 @@ object TileLake {
           .zip(bandColumns).map { case (layer, colName) =>
             s"transform(sequence(0, ${px - 1}), i -> CAST(${layer.formula(sGx, sGy)} AS BIGINT)) AS $colName"
           }: _*)
-    tiles.write.mode("overwrite").partitionBy("tile_id").parquet(dir)
+    tiles.write.mode("overwrite").partitionBy("tile_id").parquet(tmp)
+    }: Unit
   }
 
   /** The derived (regridded) lake: S7's build-time transform path —
@@ -95,9 +99,8 @@ object TileLake {
 
   def ensureDerivedWritten(spark: SparkSession, srcDir: String,
                            dir: String): Unit = synchronized {
-    val marker = new java.io.File(s"$dir/_SUCCESS")
-    if (marker.exists()) return
     ensureWritten(spark, srcDir)
+    graft.Sidecar.ensure(dir) { tmp =>
     val fine = SyntheticEnv.grid.pxPerTile // 100
     val coarse = derivedGrid.pxPerTile     // 50
     val n = coarse * coarse
@@ -132,7 +135,8 @@ object TileLake {
         s"transform(sequence(0, ${n - 1}), i -> (${blockSum("px_biomass10")}) DIV 10) AS px_biomass_t",
         s"transform(sequence(0, ${n - 1}), i -> ${blockSum("px_landcover")}) AS px_lc_mean",
         s"transform(sequence(0, ${n - 1}), i -> ${blockMode("px_landcover")}) AS px_lc_mode")
-      .write.mode("overwrite").partitionBy("tile_id").parquet(dir)
+      .write.mode("overwrite").partitionBy("tile_id").parquet(tmp)
+    }: Unit
   }
 
   /** Tile ids whose bbox intersects the AOI bbox — the pruning set.
