@@ -690,6 +690,87 @@ object TextQueries extends QueryModule {
         |  CAST(round(1000000.0 * c / pt) AS BIGINT) AS p_micro, rnk
         |FROM r WHERE rnk <= 3""".stripMargin),
 
+    // T19: sliding-window chunking — the retrieval/embedding prep
+    // step (split every document into overlapping fixed-token windows
+    // so each chunk fits an encoder's context and boundary sentences
+    // appear in two chunks): window 32 tokens, stride 24, so chunk i
+    // covers tokens [24i, 24i+32) and the final chunk is the ragged
+    // tail. Chunk count is the closed integer form 1 + ceil((n-32)/24)
+    // (exact integer arithmetic — no float chunk math to diverge).
+    // Scale shape: a narrow generate with fan-out ∝ n_tok/stride per
+    // document and no shuffle — the chunker is embarrassingly parallel
+    // at any corpus size, and the chunk id (doc_id, chunk_idx) is the
+    // downstream embedding job's natural partition key.
+    SqlQ.split("t19_chunk",
+      """WITH w AS (SELECT doc_id, filter(split(text, ' '), x -> x != '') AS w
+        |  FROM documents),
+        |c AS (SELECT doc_id, w, size(w) AS n FROM w WHERE size(w) > 0),
+        |k AS (SELECT doc_id, w, n, i
+        |  FROM c LATERAL VIEW explode(sequence(0,
+        |    CASE WHEN n <= 32 THEN 0 ELSE (n - 32 + 23) DIV 24 END)) t AS i),
+        |s AS (SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+        |    CAST(i * 24 AS INT) AS tok_start,
+        |    CAST(least(32, n - i * 24) AS INT) AS n_tok,
+        |    array_join(slice(w, CAST(i * 24 + 1 AS INT),
+        |      CAST(least(32, n - i * 24) AS INT)), ' ') AS chunk_text
+        |  FROM k)
+        |SELECT doc_id, chunk_idx, tok_start, n_tok, chunk_text,
+        |  md5(chunk_text) AS chunk_md5
+        |FROM s""".stripMargin,
+      """WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w
+        |  FROM documents),
+        |c AS (SELECT doc_id, w, len(w) AS n FROM w WHERE len(w) > 0),
+        |k AS (SELECT doc_id, w, n, unnest(generate_series(0,
+        |    CASE WHEN n <= 32 THEN 0 ELSE (n - 32 + 23) // 24 END)) AS i
+        |  FROM c),
+        |s AS (SELECT doc_id, i::INT AS chunk_idx,
+        |    (i * 24)::INT AS tok_start,
+        |    least(32, n - i * 24)::INT AS n_tok,
+        |    array_to_string(list_slice(w, i * 24 + 1,
+        |      i * 24 + least(32, n - i * 24)), ' ') AS chunk_text
+        |  FROM k)
+        |SELECT doc_id, chunk_idx, tok_start, n_tok, chunk_text,
+        |  md5(chunk_text) AS chunk_md5
+        |FROM s""".stripMargin),
+
+    // T20: deterministic shard export — the "global shuffle" a
+    // training run wants (examples spread pseudo-randomly across
+    // output shards, each shard internally ordered, same layout on
+    // every run at any cluster size) WITHOUT a global sort: shard =
+    // polyhash % 8 spreads documents, the within-shard position is a
+    // row_number ordered by an independent hash (the shuffle key) —
+    // a per-shard sort, which is exactly the work of writing that
+    // shard's file, never a single global ordering. At 100 TB the
+    // shard count scales with the cluster (1024+) so each per-shard
+    // sort stays executor-sized; the two hashes are independent
+    // salts of the same polyhash kernel, so assignment and order
+    // don't correlate.
+    SqlQ.split("t20_shard_export",
+      """WITH h AS (SELECT doc_id,
+        |    CAST(polyhash(concat('shard:', CAST(doc_id AS STRING))) % 8 AS INT) AS shard,
+        |    polyhash(concat('order:', CAST(doc_id AS STRING))) AS ord
+        |  FROM documents),
+        |p AS (SELECT doc_id, shard, ord,
+        |    CAST(row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id) AS BIGINT) AS pos
+        |  FROM h)
+        |SELECT doc_id, shard, pos,
+        |  CAST(count(*) OVER (PARTITION BY shard) AS BIGINT) AS shard_docs
+        |FROM p""".stripMargin,
+      s"""WITH h AS (SELECT doc_id,
+         |    (list_reduce([ascii(c)::BIGINT for c in
+         |        string_split('shard:' || CAST(doc_id AS VARCHAR), '')],
+         |      (a,b) -> (a*131+b) % $P) % 8)::INT AS shard,
+         |    list_reduce([ascii(c)::BIGINT for c in
+         |        string_split('order:' || CAST(doc_id AS VARCHAR), '')],
+         |      (a,b) -> (a*131+b) % $P) AS ord
+         |  FROM documents),
+         |p AS (SELECT doc_id, shard, ord,
+         |    CAST(row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id) AS BIGINT) AS pos
+         |  FROM h)
+         |SELECT doc_id, shard, pos,
+         |  CAST(count(*) OVER (PARTITION BY shard) AS BIGINT) AS shard_docs
+         |FROM p""".stripMargin),
+
     // T5: the end-to-end training-corpus selection this pipeline
     // exists for — keep documents that pass quality heuristics AND are
     // not the duplicate side of a near-dup pair (keep-lowest-doc_id).

@@ -102,6 +102,25 @@ class PlanInvariantsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!full.contains("Window"), "t8 regressed to a window formulation")
   }
 
+  test("t19: the chunker is a narrow generate — zero exchanges") {
+    // chunking is per-document fan-out; any shuffle here would be a
+    // planner regression (at 100 TB the chunker must stay map-only so
+    // the downstream embedding job picks its own partitioning)
+    val p = plan("t19_chunk")
+    assert(!p.contains("Exchange"), p.take(600))
+    assert(p.contains("Generate"), "expected the explode fan-out")
+  }
+
+  test("t20: shard export sorts per shard, never globally") {
+    // the within-shard row_number must plan as a window over
+    // hashpartitioning(shard…) — a global sort or SinglePartition
+    // exchange is the anti-shape the operator exists to avoid
+    val p = plan("t20_shard_export")
+    assert(p.contains("hashpartitioning(shard"), p.take(600))
+    assert(!p.contains("SinglePartition"), p.take(600))
+    assert(!p.toLowerCase.contains("rangepartitioning"), "global sort planned")
+  }
+
   test("d9: span dedup is join-free — one window shuffle + one rebuild shuffle") {
     val p = plan("d9_span_dedup")
     // keep-first is a window over md5(span), NOT a groupBy+self-join:
