@@ -1545,6 +1545,131 @@ object TextQueries extends QueryModule {
        |  FROM cov GROUP BY doc_id)
        |SELECT doc_id, kept_text, n_kept, n_removed FROM agg WHERE n_kept > 0""".stripMargin
 
+  // ---- t18: distributed BPE merge training -----------------------
+
+  /** THE left-to-right BPE merge, as a SQL expression over a
+    * space-joined token string `s`: greedy fold token-by-token — if
+    * the accumulator's LAST token equals `a` and the incoming token
+    * equals `b`, replace that last token with `a||b`, else append.
+    * A greedy left fold IS the BPE merge semantics (non-overlapping,
+    * left-to-right: after [a,a] merges in a run [a,a,a], the new last
+    * token `aa` no longer equals `a`, so the third `a` appends — the
+    * same skip a scanning implementation makes). The last-token test
+    * is exact string surgery (suffix equals `a` AND the char before
+    * it is the separator), never LIKE — merge tokens may contain
+    * pattern metacharacters. The DuckDB oracle replays the identical
+    * fold via `list_reduce`; both engines seed the fold with the
+    * first token.
+    *
+    * `a`/`b` arrive as SQL literal text (see [[sqlLit]]) because the
+    * engine loop inlines each round's argmax pair. */
+  private[graft] def bpeMergeExpr(aLit: String, bLit: String): String = {
+    val la = s"length($aLit)"
+    s"""aggregate(slice(t, 2, size(t) - 1), element_at(t, 1),
+       |  (acc, x) -> CASE WHEN x = $bLit AND length(acc) >= $la
+       |      AND substr(acc, length(acc) - $la + 1) = $aLit
+       |      AND (length(acc) = $la OR substr(acc, length(acc) - $la, 1) = ' ')
+       |    THEN concat(substr(acc, 1, length(acc) - $la), $aLit, $bLit)
+       |    ELSE concat(acc, ' ', x) END)""".stripMargin
+  }
+
+  private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  private val bpeRounds = 4
+
+  /** T18: BPE vocabulary training (Sennrich et al. 2016), the
+    * tokenizer-building pass of a training-data pipeline, in the
+    * shape the real trainers (sentencepiece, HF tokenizers) use at
+    * corpus scale: the CORPUS is touched exactly once — one map-side
+    * combinable word-frequency aggregation — and every training
+    * round then runs over the VOCABULARY table (distinct words ≪
+    * corpus), which is where BPE's cost lives. Each round: (1) count
+    * adjacent token pairs weighted by word frequency (combinable
+    * groupBy over the vocab table), (2) take the argmax pair with a
+    * deterministic tie-break (count DESC, then lexicographic — a
+    * 1-row collect, the k-means-centroid pattern: driver state is
+    * one merge rule per round, never data-sized), (3) rewrite every
+    * word's token string through [[bpeMergeExpr]] with the pair
+    * inlined as literals, `localCheckpoint`ed so the iterate's
+    * lineage stays constant-size (the d7 lesson). Output: the merge
+    * table (rank, pair, weighted count, corpus tokens after the
+    * merge) — K rows, the artifact a tokenizer ships.
+    *
+    * Oracle: the same K rounds statically unrolled as one DuckDB CTE
+    * chain (pair counts → argmax → `list_reduce` fold), a different
+    * evaluation strategy arriving at the same fixed point. */
+  private def t18Query(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.register(spark, sfDir)
+    // pass 1 — the only corpus-touching stage: word frequencies,
+    // then each word as a space-joined character-token string
+    var vocab = spark.sql(
+      """SELECT CAST(count(*) AS BIGINT) AS f,
+        |  trim(regexp_replace(word, '(.)', '$1 ')) AS s
+        |FROM (SELECT explode(filter(split(text, ' '), x -> x != '')) AS word
+        |      FROM documents)
+        |GROUP BY word""".stripMargin).localCheckpoint()
+    val out = Seq.newBuilder[(Int, String, String, Long, Long)]
+    for (k <- 1 to bpeRounds) {
+      vocab.createOrReplaceTempView("bpe_vocab")
+      val top = spark.sql(
+        """SELECT element_at(t, j) AS a, element_at(t, j + 1) AS b,
+          |  CAST(sum(f) AS BIGINT) AS cnt
+          |FROM (SELECT f, split(s, ' ') AS t FROM bpe_vocab
+          |      WHERE instr(s, ' ') > 0)
+          |LATERAL VIEW explode(sequence(1, size(t) - 1)) tx AS j
+          |GROUP BY a, b
+          |ORDER BY cnt DESC, a, b LIMIT 1""".stripMargin).collect()
+      require(top.nonEmpty, s"BPE round $k: no adjacent pairs left")
+      val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+      vocab = vocab.selectExpr("f", "split(s, ' ') AS t")
+        .selectExpr("f", s"${bpeMergeExpr(sqlLit(a), sqlLit(b))} AS s")
+        .selectExpr("f", "s", "size(split(s, ' ')) AS n")
+        .localCheckpoint()
+      val tokAfter = vocab.selectExpr("CAST(sum(f * n) AS BIGINT)")
+        .collect()(0).getLong(0)
+      vocab = vocab.select("f", "s")
+      out += ((k, a, b, cnt, tokAfter))
+    }
+    import spark.implicits._
+    out.result().toDF("merge_rank", "lhs", "rhs", "pair_count", "tokens_after")
+  }
+
+  /** The statically-unrolled DuckDB replay of [[t18Query]]. */
+  private def t18Oracle: String = {
+    val sb = new StringBuilder
+    sb ++=
+      """WITH w AS (SELECT word, CAST(count(*) AS BIGINT) AS f
+        |  FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) AS word
+        |        FROM documents)
+        |  GROUP BY word),
+        |s0 AS (SELECT f, trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS s FROM w)""".stripMargin
+    for (k <- 0 until bpeRounds) {
+      val m = s"m${k + 1}"
+      def fold =
+        s"""list_reduce(t, (acc, x) -> CASE WHEN x = $m.b AND length(acc) >= length($m.a)
+           |      AND substr(acc, length(acc) - length($m.a) + 1) = $m.a
+           |      AND (length(acc) = length($m.a) OR substr(acc, length(acc) - length($m.a), 1) = ' ')
+           |    THEN substr(acc, 1, length(acc) - length($m.a)) || $m.a || $m.b
+           |    ELSE acc || ' ' || x END)""".stripMargin
+      sb ++= s""",
+        |tok$k AS (SELECT f, string_split(s, ' ') AS t FROM s$k),
+        |p$k AS (SELECT t[j] AS a, t[j + 1] AS b, CAST(sum(f) AS BIGINT) AS cnt
+        |  FROM (SELECT f, t, unnest(generate_series(1, len(t) - 1)) AS j
+        |        FROM tok$k WHERE len(t) >= 2)
+        |  GROUP BY a, b),
+        |$m AS (SELECT a, b, cnt FROM p$k ORDER BY cnt DESC, a, b LIMIT 1),
+        |s${k + 1} AS (SELECT f, $fold AS s FROM tok$k CROSS JOIN $m),
+        |n${k + 1} AS (SELECT CAST(sum(f * len(string_split(s, ' '))) AS BIGINT) AS tok_total
+        |  FROM s${k + 1})""".stripMargin
+    }
+    sb ++= "\n" + (1 to bpeRounds).map { k =>
+      s"""SELECT $k::INT AS merge_rank, m$k.a AS lhs, m$k.b AS rhs,
+         |  m$k.cnt AS pair_count, n$k.tok_total AS tokens_after
+         |FROM m$k CROSS JOIN n$k""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    sb.result()
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     sqls.map { q =>
       q.name -> ((spark: SparkSession, sfDir: String) => {
@@ -1557,7 +1682,8 @@ object TextQueries extends QueryModule {
       ("d8_containment_pairs" -> (d8Query _)) +
       ("t8_sequence_pack" -> (t8Query _)) +
       ("d10_bloom_gate" -> (d10Query _)) +
-      ("d12_exact_substr" -> (d12Query _))
+      ("d12_exact_substr" -> (d12Query _)) +
+      ("t18_bpe_train" -> (t18Query _))
 
   override def oracles: Map[String, String] =
     sqls.flatMap(q => q.oracleSql.map(q.name -> _)).toMap +
@@ -1566,5 +1692,6 @@ object TextQueries extends QueryModule {
       ("d8_containment_pairs" -> d8Oracle) +
       ("t8_sequence_pack" -> t8Oracle) +
       ("d10_bloom_gate" -> d10Oracle) +
-      ("d12_exact_substr" -> d12Oracle)
+      ("d12_exact_substr" -> d12Oracle) +
+      ("t18_bpe_train" -> t18Oracle)
 }
