@@ -191,6 +191,112 @@ object MultimodalQueries extends QueryModule {
     StructField("energy", LongType),
     StructField("peak", IntegerType)))
 
+  // ---- m14: windowed spectrogram over the WAV lake ---------------
+
+  private[multimodal] val specW = 64
+  private[multimodal] val specFreqs = Array(1, 2, 4, 8)
+
+  /** Quantized DFT correlation tables for [[spectrogram]]: C[k][n] =
+    * round(cos(2πkn/64)·2^15), same for sin. Quantizing the trig to
+    * integers makes the whole bin computation EXACT integer
+    * arithmetic — the one table is generated here once and embedded
+    * verbatim into both the engine kernel and the DuckDB oracle's
+    * literal VALUES, so no cross-engine trig (or libm rounding
+    * difference) can ever enter the compare. */
+  private[multimodal] val specCos: Array[Array[Int]] = specFreqs.map(k =>
+    Array.tabulate(specW)(n =>
+      Math.round(Math.cos(2.0 * Math.PI * k * n / specW) * 32768.0).toInt))
+  private[multimodal] val specSin: Array[Array[Int]] = specFreqs.map(k =>
+    Array.tabulate(specW)(n =>
+      Math.round(Math.sin(2.0 * Math.PI * k * n / specW) * 32768.0).toInt))
+
+  /** One window's quantized-DFT bins — the kernel [[spectrogram]]
+    * runs per 64-sample window; factored out so SpectrogramSpec can
+    * drive it on crafted waves. Returns (re, im, power) per entry of
+    * [[specFreqs]]. */
+  private[multimodal] def specBins(smp: Array[Short], from: Int, until: Int): Array[(Long, Long, Long)] =
+    specFreqs.indices.map { bi =>
+      var re = 0L
+      var im = 0L
+      var i = from
+      while (i < until) {
+        val s = smp(i).toLong
+        re += s * specCos(bi)(i - from)
+        im += s * specSin(bi)(i - from)
+        i += 1
+      }
+      (re, im, re * re + im * im)
+    }.toArray
+
+  private val spectroSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("window_idx", IntegerType),
+    StructField("bin", IntegerType),
+    StructField("re", LongType),
+    StructField("im", LongType),
+    StructField("power", LongType)))
+
+  /** M14: windowed SPECTROGRAM over the REAL WAV lake — the audio
+    * featurization a speech/music curation pipeline runs before
+    * filtering (silence/tone detection, bandwidth checks, the input
+    * to audio fingerprints richer than m10's energy profile): per
+    * 64-sample window, the correlation of the signal against four
+    * quantized sinusoids (k = 1, 2, 4, 8 cycles/window) — re/im
+    * parts and the squared magnitude, all exact BIGINT arithmetic
+    * via the shared [[specCos]]/[[specSin]] tables. Same scale shape
+    * as m4: decode + window pass is a narrow batched map with
+    * bounded fan-out (windows × 4 bins per clip), no shuffle — at
+    * 100 TB the spectrogram is embarrassingly parallel and the bin
+    * count, not the clip length, bounds each output row. */
+  private def spectrogram(spark: SparkSession, sfDir: String): DataFrame = {
+    val media = spark.read.parquet(MediaLake.ensureAudio(spark, sfDir))
+    media.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.iterator.flatMap { row =>
+          val smp = Wav.decode(row.getAs[Array[Byte]]("media")).samples
+          val n = smp.length
+          val lastWin = math.floorDiv(n - 1, specW)
+          (0 to lastWin).iterator.flatMap { w =>
+            val end = math.min(n, (w + 1) * specW)
+            val bins = specBins(smp, w * specW, end)
+            specFreqs.indices.iterator.map { bi =>
+              val (re, im, power) = bins(bi)
+              Row(row.getLong(0), w, specFreqs(bi), re, im, power)
+            }
+          }
+        }
+      }
+    }(Encoders.row(spectroSchema))
+  }
+
+  /** The m14 oracle: replays the sample formula (ascii−64, the m4
+    * contract WavSpec pins to the decoded bytes) and correlates
+    * against the SAME quantized tables, embedded as literals. Every
+    * list_sum is cast to BIGINT (DuckDB types it HUGEINT — the m2
+    * lesson). */
+  private def m14Oracle: String = {
+    def lst(a: Array[Int]) = a.mkString("[", ", ", "]")
+    val rows = specFreqs.zipWithIndex.map { case (k, i) =>
+      s"($k, ${lst(specCos(i))}, ${lst(specSin(i))})"
+    }.mkString(",\n    ")
+    s"""WITH tabs(bin, ct, st) AS (VALUES
+       |    $rows),
+       |s AS (SELECT doc_id,
+       |  [ascii(ch)::BIGINT - 64 for ch in string_split(text, '')] AS smp
+       |  FROM documents WHERE len(text) > 0),
+       |w AS (SELECT doc_id, smp,
+       |  unnest(generate_series(0, (len(smp)-1)//$specW)) AS win FROM s),
+       |sl AS (SELECT doc_id, win,
+       |  list_slice(smp, win*$specW + 1, least(len(smp), (win+1)*$specW)) AS seg FROM w),
+       |b AS (SELECT doc_id, win, tabs.bin,
+       |    CAST(list_sum([seg[i] * ct[i] for i in generate_series(1, len(seg))]) AS BIGINT) AS re,
+       |    CAST(list_sum([seg[i] * st[i] for i in generate_series(1, len(seg))]) AS BIGINT) AS im
+       |  FROM sl CROSS JOIN tabs)
+       |SELECT doc_id, win::INT AS window_idx, bin::INT AS bin, re, im,
+       |  re*re + im*im AS power
+       |FROM b""".stripMargin
+  }
+
   /** M4: windowed audio features over REAL WAV containers — the
     * audio lake stores each document as a 16-bit PCM mono RIFF/WAVE
     * file ([[MediaLake.ensureAudio]]) and this kernel runs the full
@@ -596,7 +702,8 @@ object MultimodalQueries extends QueryModule {
     "m8_media_metadata" -> ((s, d) => mediaMetadata(s, d)),
     "m9_clip_retrieve" -> ((s, d) => clipRetrieve(s, d)),
     "m10_audio_fingerprint" -> ((s, d) => audioFingerprintPairs(s, d)),
-    "m11_scene_cuts" -> ((s, d) => sceneCuts(s, d)))
+    "m11_scene_cuts" -> ((s, d) => sceneCuts(s, d)),
+    "m14_spectrogram" -> ((s, d) => spectrogram(s, d)))
 
   /** The full-pixel-stream oracle CTEs (m1/m7's gray stream): emits
     * `g(doc_id, w, hh, npx, gs)` with `gs` the complete rendered
@@ -650,6 +757,7 @@ object MultimodalQueries extends QueryModule {
       |   for j in generate_series(0, 7)] AS img FROM g)""".stripMargin
 
   override def oracles: Map[String, String] = Map(
+    "m14_spectrogram" -> m14Oracle,
     "m13_pair_audit" -> m13Oracle,
     "m12_batch_pack" -> m12Oracle,
     "m1_media_features" ->

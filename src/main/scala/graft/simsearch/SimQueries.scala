@@ -570,6 +570,75 @@ object SimQueries extends QueryModule {
          |        CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS INT) AS rnk FROM s) t
          |WHERE rnk <= 10""".stripMargin),
 
+    // E16: maximum-inner-product search (MIPS) — the retrieval
+    // scoring used by un-normalized two-tower models — via the
+    // norm-augmentation reduction to cosine (Bachrach et al. 2014 /
+    // Neyshabur & Srebro 2015): append sqrt(M² − ‖v‖²) to every
+    // corpus vector (M² = max ‖v‖², so augmented norms are all
+    // exactly M) and a literal 0 to every query; the augmented
+    // cosine is then ip/(M·‖q‖) — monotone in the inner product —
+    // so ALL of the cosine serving machinery (e3 IVF cells, e4 LSH
+    // buckets, e11 IVFADC) serves MIPS unchanged, which is the
+    // point of the operator. The engine ranks by the augmented
+    // cosine (the reduction path); the oracle ranks by the raw
+    // inner product (the definition). The two orders coincide BY
+    // CONSTRUCTION, including under FP rounding: division by the
+    // positive constant M·‖q‖ is monotone non-strict, so (cos, ip)
+    // pairs are consistently ordered and each side's secondary key
+    // is the other's primary — any rounding-induced cosine tie
+    // breaks on the exact ip in both engines. The fixture embeddings
+    // are unit-normalized (MIPS would degenerate to cosine), so the
+    // corpus side is rescaled in-query by exact dyadic factors
+    // 1 + (vec_id % 7)/4 — the d11/t11 constructed-fixture move —
+    // which makes the ip and cosine orders genuinely differ while
+    // queries keep their raw unit vectors.
+    SqlQ.split("e16_mips",
+      s"""$sparkVecs,
+         |sv AS (SELECT vec_id,
+         |        transform(v, x -> x * (CAST(1 AS DOUBLE)
+         |          + CAST(vec_id % 7 AS DOUBLE) / 4.0)) AS v
+         |      FROM n),
+         |m AS (SELECT max(vec_dot(v, v)) AS m2 FROM sv),
+         |a AS (SELECT /*+ BROADCAST(m) */ vec_id, v,
+         |        concat(v, array(sqrt(m.m2 - vec_dot(v, v)))) AS av
+         |      FROM sv CROSS JOIN m),
+         |an AS (SELECT vec_id, v, av, sqrt(vec_dot(av, av)) AS anrm FROM a),
+         |q AS (SELECT vec_id AS qid, v AS qv,
+         |        concat(v, array(CAST(0 AS DOUBLE))) AS aqv
+         |      FROM n WHERE vec_id < 5),
+         |q2 AS (SELECT qid, qv, aqv, sqrt(vec_dot(aqv, aqv)) AS aqn FROM q),
+         |s AS (SELECT /*+ BROADCAST(q2) */ qid, an.vec_id AS nid,
+         |        vec_dot(qv, an.v) AS ip,
+         |        vec_dot(aqv, an.av) / (aqn * an.anrm) AS aug_cos
+         |      FROM q2 CROSS JOIN an WHERE an.vec_id != qid)
+         |SELECT qid AS query_id, nid AS neighbor_id, ip, aug_cos, rnk
+         |FROM (SELECT qid, nid, ip, aug_cos,
+         |        CAST(row_number() OVER (PARTITION BY qid
+         |          ORDER BY aug_cos DESC, ip DESC, nid) AS INT) AS rnk FROM s) t
+         |WHERE rnk <= 10""".stripMargin,
+      s"""$duckVecs,
+         |sv AS (SELECT vec_id,
+         |        [x * (1.0::DOUBLE + (vec_id % 7)::DOUBLE / 4.0) for x in v] AS v
+         |      FROM n),
+         |m AS (SELECT max(${dDot("v", "v")}) AS m2 FROM sv),
+         |a AS (SELECT vec_id, v,
+         |        v || [sqrt(m.m2 - ${dDot("v", "v")})] AS av
+         |      FROM sv CROSS JOIN m),
+         |an AS (SELECT vec_id, v, av, sqrt(${dDot("av", "av")}) AS anrm FROM a),
+         |q AS (SELECT vec_id AS qid, v AS qv,
+         |        v || [0.0::DOUBLE] AS aqv
+         |      FROM n WHERE vec_id < 5),
+         |q2 AS (SELECT qid, qv, aqv, sqrt(${dDot("aqv", "aqv")}) AS aqn FROM q),
+         |s AS (SELECT qid, an.vec_id AS nid,
+         |        ${dDot("qv", "an.v")} AS ip,
+         |        ${dDot("aqv", "an.av")} / (aqn * an.anrm) AS aug_cos
+         |      FROM q2 CROSS JOIN an WHERE an.vec_id != qid)
+         |SELECT qid AS query_id, nid AS neighbor_id, ip, aug_cos, rnk
+         |FROM (SELECT qid, nid, ip, aug_cos,
+         |        CAST(row_number() OVER (PARTITION BY qid
+         |          ORDER BY ip DESC, aug_cos DESC, nid) AS INT) AS rnk FROM s) t
+         |WHERE rnk <= 10""".stripMargin),
+
     // E2 is programmatic (near-dup pairs blocked on the COMPUTED
     // k-means cell, not a given key) — see `queries` below.
 
