@@ -43,7 +43,16 @@ object ScaleProbe {
     // over a ~linear scan); t17 trigram counts (both aggregations
     // map-side combine — expect ~linear); m12 batch packing (lake
     // header scan + prefix sum — expect ~linear, no SinglePartition)
-    "t15_profile", "t17_ngram_lm", "m12_batch_pack")
+    "t15_profile", "t17_ngram_lm", "m12_batch_pack",
+    // round-11 (continued) additions: t18 BPE training (corpus scanned
+    // once; the rounds iterate the vocabulary table, which the
+    // word-suffixed replicas grow ~10× — expect ~linear, dominated by
+    // the word-frequency pass); t19 chunking (narrow generate, no
+    // shuffle — expect ~linear scan cost); t21 applies the trained
+    // tokenizer via a broadcast vocab join — ~linear; e16 MIPS is the
+    // e1-shaped broadcast crossJoin over the augmented vectors —
+    // ~linear in corpus size at fixed query count
+    "t18_bpe_train", "t19_chunk", "t21_bpe_tokenize", "e16_mips")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

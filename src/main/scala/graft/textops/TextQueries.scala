@@ -102,6 +102,30 @@ object TextQueries extends QueryModule {
       s"${coinExpr(docId)} < ${rateCase(bucket)}"
   }
 
+  /** THE chunking shape (window/stride constants + the chunk
+    * arithmetic as Spark SQL fragments), shared with the streaming
+    * twin ([[graft.streaming.ChunkStream]] builds its select chain
+    * from exactly these), so batch and ingestion-time chunks agree
+    * BY CONSTRUCTION: window 32 tokens, stride 24, final ragged
+    * chunk kept, closed-form integer chunk count. */
+  object ChunkShape {
+    val window = 32
+    val stride = 24
+    /** Spark SQL: non-empty token array of a text column/expr. */
+    def tokensExpr(text: String): String =
+      s"filter(split($text, ' '), x -> x != '')"
+    /** Spark SQL: highest chunk index for a token-count expr `n`. */
+    def hiExpr(n: String): String =
+      s"CASE WHEN $n <= $window THEN 0 ELSE ($n - $window + ${stride - 1}) DIV $stride END"
+    /** Spark SQL select list for one chunk row over cols (w, n, i). */
+    def chunkCols: Seq[String] = Seq(
+      "CAST(i AS INT) AS chunk_idx",
+      s"CAST(i * $stride AS INT) AS tok_start",
+      s"CAST(least($window, n - i * $stride) AS INT) AS n_tok",
+      s"array_join(slice(w, CAST(i * $stride + 1 AS INT), " +
+        s"CAST(least($window, n - i * $stride) AS INT)), ' ') AS chunk_text")
+  }
+
   /** THE dedup LSH shape, shared with every consumer (the streaming
     * gate [[graft.streaming.DedupStream]] reuses these so stream and
     * batch verdicts agree BY CONSTRUCTION): word-`shingleK` shingles,
@@ -702,36 +726,33 @@ object TextQueries extends QueryModule {
     // at any corpus size, and the chunk id (doc_id, chunk_idx) is the
     // downstream embedding job's natural partition key.
     SqlQ.split("t19_chunk",
-      """WITH w AS (SELECT doc_id, filter(split(text, ' '), x -> x != '') AS w
-        |  FROM documents),
-        |c AS (SELECT doc_id, w, size(w) AS n FROM w WHERE size(w) > 0),
-        |k AS (SELECT doc_id, w, n, i
-        |  FROM c LATERAL VIEW explode(sequence(0,
-        |    CASE WHEN n <= 32 THEN 0 ELSE (n - 32 + 23) DIV 24 END)) t AS i),
-        |s AS (SELECT doc_id, CAST(i AS INT) AS chunk_idx,
-        |    CAST(i * 24 AS INT) AS tok_start,
-        |    CAST(least(32, n - i * 24) AS INT) AS n_tok,
-        |    array_join(slice(w, CAST(i * 24 + 1 AS INT),
-        |      CAST(least(32, n - i * 24) AS INT)), ' ') AS chunk_text
-        |  FROM k)
-        |SELECT doc_id, chunk_idx, tok_start, n_tok, chunk_text,
-        |  md5(chunk_text) AS chunk_md5
-        |FROM s""".stripMargin,
-      """WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w
-        |  FROM documents),
-        |c AS (SELECT doc_id, w, len(w) AS n FROM w WHERE len(w) > 0),
-        |k AS (SELECT doc_id, w, n, unnest(generate_series(0,
-        |    CASE WHEN n <= 32 THEN 0 ELSE (n - 32 + 23) // 24 END)) AS i
-        |  FROM c),
-        |s AS (SELECT doc_id, i::INT AS chunk_idx,
-        |    (i * 24)::INT AS tok_start,
-        |    least(32, n - i * 24)::INT AS n_tok,
-        |    array_to_string(list_slice(w, i * 24 + 1,
-        |      i * 24 + least(32, n - i * 24)), ' ') AS chunk_text
-        |  FROM k)
-        |SELECT doc_id, chunk_idx, tok_start, n_tok, chunk_text,
-        |  md5(chunk_text) AS chunk_md5
-        |FROM s""".stripMargin),
+      s"""WITH w AS (SELECT doc_id, ${ChunkShape.tokensExpr("text")} AS w
+         |  FROM documents),
+         |c AS (SELECT doc_id, w, size(w) AS n FROM w WHERE size(w) > 0),
+         |k AS (SELECT doc_id, w, n, i
+         |  FROM c LATERAL VIEW explode(sequence(0, ${ChunkShape.hiExpr("n")})) t AS i),
+         |s AS (SELECT doc_id,
+         |    ${ChunkShape.chunkCols.mkString(",\n    ")}
+         |  FROM k)
+         |SELECT doc_id, chunk_idx, tok_start, n_tok, chunk_text,
+         |  md5(chunk_text) AS chunk_md5
+         |FROM s""".stripMargin,
+      s"""WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w
+         |  FROM documents),
+         |c AS (SELECT doc_id, w, len(w) AS n FROM w WHERE len(w) > 0),
+         |k AS (SELECT doc_id, w, n, unnest(generate_series(0,
+         |    CASE WHEN n <= ${ChunkShape.window} THEN 0
+         |      ELSE (n - ${ChunkShape.window} + ${ChunkShape.stride - 1}) // ${ChunkShape.stride} END)) AS i
+         |  FROM c),
+         |s AS (SELECT doc_id, i::INT AS chunk_idx,
+         |    (i * ${ChunkShape.stride})::INT AS tok_start,
+         |    least(${ChunkShape.window}, n - i * ${ChunkShape.stride})::INT AS n_tok,
+         |    array_to_string(list_slice(w, i * ${ChunkShape.stride} + 1,
+         |      i * ${ChunkShape.stride} + least(${ChunkShape.window}, n - i * ${ChunkShape.stride})), ' ') AS chunk_text
+         |  FROM k)
+         |SELECT doc_id, chunk_idx, tok_start, n_tok, chunk_text,
+         |  md5(chunk_text) AS chunk_md5
+         |FROM s""".stripMargin),
 
     // T20: deterministic shard export — the "global shuffle" a
     // training run wants (examples spread pseudo-randomly across
@@ -1598,12 +1619,19 @@ object TextQueries extends QueryModule {
     * Oracle: the same K rounds statically unrolled as one DuckDB CTE
     * chain (pair counts → argmax → `list_reduce` fold), a different
     * evaluation strategy arriving at the same fixed point. */
-  private def t18Query(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The shared training loop behind t18 (the merge table) and t21
+    * (applying it corpus-wide): returns the FINAL tokenized
+    * vocabulary `(word, f, s)` — `s` the space-joined token string
+    * after all rounds — and the per-round merge records. Training
+    * cost is vocabulary-bounded (see [[t18Query]]); callers that
+    * only need the merges ignore the vocab frame. */
+  private def bpeTrain(spark: SparkSession, sfDir: String)
+      : (DataFrame, Seq[(Int, String, String, Long, Long)]) = {
     Tables.register(spark, sfDir)
     // pass 1 — the only corpus-touching stage: word frequencies,
     // then each word as a space-joined character-token string
     var vocab = spark.sql(
-      """SELECT CAST(count(*) AS BIGINT) AS f,
+      """SELECT word, CAST(count(*) AS BIGINT) AS f,
         |  trim(regexp_replace(word, '(.)', '$1 ')) AS s
         |FROM (SELECT explode(filter(split(text, ' '), x -> x != '')) AS word
         |      FROM documents)
@@ -1621,28 +1649,65 @@ object TextQueries extends QueryModule {
           |ORDER BY cnt DESC, a, b LIMIT 1""".stripMargin).collect()
       require(top.nonEmpty, s"BPE round $k: no adjacent pairs left")
       val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-      vocab = vocab.selectExpr("f", "split(s, ' ') AS t")
-        .selectExpr("f", s"${bpeMergeExpr(sqlLit(a), sqlLit(b))} AS s")
-        .selectExpr("f", "s", "size(split(s, ' ')) AS n")
+      vocab = vocab.selectExpr("word", "f", "split(s, ' ') AS t")
+        .selectExpr("word", "f", s"${bpeMergeExpr(sqlLit(a), sqlLit(b))} AS s")
+        .selectExpr("word", "f", "s", "size(split(s, ' ')) AS n")
         .localCheckpoint()
       val tokAfter = vocab.selectExpr("CAST(sum(f * n) AS BIGINT)")
         .collect()(0).getLong(0)
-      vocab = vocab.select("f", "s")
+      vocab = vocab.select("word", "f", "s")
       out += ((k, a, b, cnt, tokAfter))
     }
-    import spark.implicits._
-    out.result().toDF("merge_rank", "lhs", "rhs", "pair_count", "tokens_after")
+    (vocab, out.result())
   }
 
-  /** The statically-unrolled DuckDB replay of [[t18Query]]. */
-  private def t18Oracle: String = {
+  private def t18Query(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, merges) = bpeTrain(spark, sfDir)
+    import spark.implicits._
+    merges.toDF("merge_rank", "lhs", "rhs", "pair_count", "tokens_after")
+  }
+
+  /** T21: BPE tokenization APPLIED corpus-wide — the token-counting
+    * pass a pipeline runs with the tokenizer t18 just trained (data
+    * budgeting, sequence packing and billing all count BPE tokens,
+    * not words). The scale-correct shape is NOT per-document merge
+    * folds: the vocabulary already carries each word's final token
+    * string, so tokenizing the corpus is one broadcast hash join of
+    * the (vocabulary-sized) token table against the exploded word
+    * stream plus a combinable per-document aggregation — the corpus
+    * is scanned once and never folds a merge itself. Output per doc:
+    * word/char/BPE-token counts (chars-per-token is the compression
+    * diagnostic tokenizer pipelines track). Oracle: the t18 chain
+    * (same CTE text, word key carried) joined back to the exploded
+    * document words. */
+  private def t21Query(spark: SparkSession, sfDir: String): DataFrame = {
+    val (vocab, _) = bpeTrain(spark, sfDir)
+    vocab.selectExpr("word", "CAST(size(split(s, ' ')) AS BIGINT) AS n_bpe")
+      .createOrReplaceTempView("bpe_tokens")
+    spark.sql(
+      """SELECT /*+ BROADCAST(tk) */ dw.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_words,
+        |  CAST(sum(length(dw.word)) AS BIGINT) AS n_chars,
+        |  CAST(sum(tk.n_bpe) AS BIGINT) AS n_bpe
+        |FROM (SELECT doc_id, explode(filter(split(text, ' '), x -> x != '')) AS word
+        |      FROM documents) dw
+        |JOIN bpe_tokens tk ON tk.word = dw.word
+        |GROUP BY dw.doc_id""".stripMargin)
+  }
+
+  /** The statically-unrolled DuckDB training chain (pair counts →
+    * argmax → `list_reduce` fold, per round), SHARED by the t18 and
+    * t21 oracles so the two replays cannot drift: emits CTEs up to
+    * `s<bpeRounds>` (the final per-word tokenization, word key
+    * carried) plus `m<k>`/`n<k>` per round. */
+  private def bpeOracleChain: String = {
     val sb = new StringBuilder
     sb ++=
       """WITH w AS (SELECT word, CAST(count(*) AS BIGINT) AS f
         |  FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) AS word
         |        FROM documents)
         |  GROUP BY word),
-        |s0 AS (SELECT f, trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS s FROM w)""".stripMargin
+        |s0 AS (SELECT word, f, trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS s FROM w)""".stripMargin
     for (k <- 0 until bpeRounds) {
       val m = s"m${k + 1}"
       def fold =
@@ -1652,23 +1717,41 @@ object TextQueries extends QueryModule {
            |    THEN substr(acc, 1, length(acc) - length($m.a)) || $m.a || $m.b
            |    ELSE acc || ' ' || x END)""".stripMargin
       sb ++= s""",
-        |tok$k AS (SELECT f, string_split(s, ' ') AS t FROM s$k),
+        |tok$k AS (SELECT word, f, string_split(s, ' ') AS t FROM s$k),
         |p$k AS (SELECT t[j] AS a, t[j + 1] AS b, CAST(sum(f) AS BIGINT) AS cnt
         |  FROM (SELECT f, t, unnest(generate_series(1, len(t) - 1)) AS j
         |        FROM tok$k WHERE len(t) >= 2)
         |  GROUP BY a, b),
         |$m AS (SELECT a, b, cnt FROM p$k ORDER BY cnt DESC, a, b LIMIT 1),
-        |s${k + 1} AS (SELECT f, $fold AS s FROM tok$k CROSS JOIN $m),
+        |s${k + 1} AS (SELECT word, f, $fold AS s FROM tok$k CROSS JOIN $m),
         |n${k + 1} AS (SELECT CAST(sum(f * len(string_split(s, ' '))) AS BIGINT) AS tok_total
         |  FROM s${k + 1})""".stripMargin
     }
-    sb ++= "\n" + (1 to bpeRounds).map { k =>
+    sb.result()
+  }
+
+  /** The statically-unrolled DuckDB replay of [[t18Query]]. */
+  private def t18Oracle: String =
+    bpeOracleChain + "\n" + (1 to bpeRounds).map { k =>
       s"""SELECT $k::INT AS merge_rank, m$k.a AS lhs, m$k.b AS rhs,
          |  m$k.cnt AS pair_count, n$k.tok_total AS tokens_after
          |FROM m$k CROSS JOIN n$k""".stripMargin
     }.mkString("\nUNION ALL\n")
-    sb.result()
-  }
+
+  /** The DuckDB replay of [[t21Query]]: the shared training chain's
+    * final per-word tokenization joined back to the exploded
+    * document words. */
+  private def t21Oracle: String =
+    s"""$bpeOracleChain,
+       |tk AS (SELECT word, CAST(len(string_split(s, ' ')) AS BIGINT) AS n_bpe
+       |  FROM s$bpeRounds),
+       |dw AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != ''))
+       |    AS word FROM documents)
+       |SELECT dw.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(length(dw.word)) AS BIGINT) AS n_chars,
+       |  CAST(sum(tk.n_bpe) AS BIGINT) AS n_bpe
+       |FROM dw JOIN tk ON tk.word = dw.word
+       |GROUP BY dw.doc_id""".stripMargin
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     sqls.map { q =>
@@ -1683,7 +1766,8 @@ object TextQueries extends QueryModule {
       ("t8_sequence_pack" -> (t8Query _)) +
       ("d10_bloom_gate" -> (d10Query _)) +
       ("d12_exact_substr" -> (d12Query _)) +
-      ("t18_bpe_train" -> (t18Query _))
+      ("t18_bpe_train" -> (t18Query _)) +
+      ("t21_bpe_tokenize" -> (t21Query _))
 
   override def oracles: Map[String, String] =
     sqls.flatMap(q => q.oracleSql.map(q.name -> _)).toMap +
@@ -1693,5 +1777,6 @@ object TextQueries extends QueryModule {
       ("t8_sequence_pack" -> t8Oracle) +
       ("d10_bloom_gate" -> d10Oracle) +
       ("d12_exact_substr" -> d12Oracle) +
-      ("t18_bpe_train" -> t18Oracle)
+      ("t18_bpe_train" -> t18Oracle) +
+      ("t21_bpe_tokenize" -> t21Oracle)
 }

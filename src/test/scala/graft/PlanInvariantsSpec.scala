@@ -121,6 +121,15 @@ class PlanInvariantsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.toLowerCase.contains("rangepartitioning"), "global sort planned")
   }
 
+  test("t21: the BPE token table broadcasts; the corpus never shuffles") {
+    // tokenizing the corpus is a broadcast join of the
+    // vocabulary-sized token table against the exploded word stream —
+    // a shuffled join here would move the whole corpus at 100 TB
+    val p = plan("t21_bpe_tokenize")
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+    assert(!p.contains("SortMergeJoin"), p.take(600))
+  }
+
   test("d9: span dedup is join-free — one window shuffle + one rebuild shuffle") {
     val p = plan("d9_span_dedup")
     // keep-first is a window over md5(span), NOT a groupBy+self-join:

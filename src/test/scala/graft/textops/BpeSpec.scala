@@ -85,5 +85,14 @@ class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(1) === ((2, "lo", "w", 3L, 5L)))  // low→[low], lower→[low,e,r]
     assert(out(2) === ((3, "e", "r", 1L, 4L)))   // tie (low,e)=(e,r)=1 → 'e' < 'low'
     assert(out(3) === ((4, "low", "er", 1L, 3L)))
+
+    // t21 (apply the tokenizer) must agree with t18's bookkeeping:
+    // the corpus-wide BPE token count IS the last round's
+    // tokens_after, and chars/words replay the raw text
+    val t21 = graft.SparkEntry.queries("t21_bpe_tokenize")(spark, dir).collect()
+    assert(t21.length === 1)
+    assert(t21(0).getLong(1) === 3L)   // n_words
+    assert(t21(0).getLong(2) === 11L)  // n_chars: low+low+lower
+    assert(t21(0).getLong(3) === 3L)   // n_bpe == tokens_after(4)
   }
 }
