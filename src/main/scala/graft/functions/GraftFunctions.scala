@@ -17,6 +17,7 @@ object GraftFunctions {
     "polyhash" -> ((es: Seq[Expression]) => PolyHash(es.head)),
     "vec_dot" -> ((es: Seq[Expression]) => VecDot(es(0), es(1))),
     "vec_sqdist" -> ((es: Seq[Expression]) => VecSqDist(es(0), es(1), es(2), es(3))),
+    "vec_signbits" -> ((es: Seq[Expression]) => VecSignBits(es(0), es(1), es(2))),
     "tile_zonal" -> ((es: Seq[Expression]) =>
       graft.raster.TileZonal(es(0), es(1), es(2))),
     "ngram_hashes" -> ((es: Seq[Expression]) => NGramHashes(es(0), es(1))),

@@ -156,3 +156,75 @@ case class VecSqDist(a: Expression, b: Expression,
       f: Expression, s: Expression, t: Expression, q: Expression): VecSqDist =
     copy(a = f, b = s, off = t, len = q)
 }
+
+/** `vec_signbits(v, off, len)` → bigint: bit k (0 ≤ k < len ≤ 64) set
+  * iff v[off+k] > 0 — the sign-bit BINARY QUANTIZATION code word (1
+  * bit per dimension; e17/e18's compression primitive). Packing 32
+  * dims per word keeps every oracle-side mirror inside non-negative
+  * BIGINT arithmetic (`1::BIGINT << k`, k < 32 — no sign-bit
+  * wraparound to reason about in either engine), so a 64-d embedding
+  * is two plain BIGINT columns: unlike an array sidecar, ordinary
+  * columnar pruning serves a code-only scan, and Hamming distance is
+  * two XOR+popcount ops (`bit_count(a ^ b)`), both codegen'd
+  * built-ins. Null elements and positions past the array read as
+  * "not set"; a negative offset clamps to 0 (the VecSqDist unsafe-
+  * read guard). */
+case class VecSignBits(v: Expression, off: Expression, len: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def first: Expression = v
+  override def second: Expression = off
+  override def third: Expression = len
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (v.dataType, off.dataType, len.dataType) match {
+      case (ArrayType(DoubleType, _),
+            org.apache.spark.sql.types.IntegerType,
+            org.apache.spark.sql.types.IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, o, n) => TypeCheckResult.TypeCheckFailure(
+        s"vec_signbits requires (array<double>, int, int), got " +
+          s"${a.catalogString}, ${o.catalogString}, ${n.catalogString}")
+    }
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "vec_signbits"
+
+  override protected def nullSafeEval(av: Any, ov: Any, nv: Any): Any = {
+    val x = av.asInstanceOf[ArrayData]
+    val o = math.max(ov.asInstanceOf[Int], 0)
+    val hi = math.min(o.toLong + math.min(nv.asInstanceOf[Int], 64),
+      x.numElements().toLong).toInt
+    var acc = 0L
+    var i = o
+    while (i < hi) {
+      if (!x.isNullAt(i) && x.getDouble(i) > 0) acc |= 1L << (i - o)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (av, ov, nv) => {
+      val lo = ctx.freshName("lo")
+      val hi = ctx.freshName("hi")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $lo = java.lang.Math.max($ov, 0);
+         |int $hi = (int) java.lang.Math.min(
+         |  (long) $lo + java.lang.Math.min($nv, 64),
+         |  (long) $av.numElements());
+         |long $acc = 0L;
+         |for (int $i = $lo; $i < $hi; $i++) {
+         |  if (!$av.isNullAt($i) && $av.getDouble($i) > 0) {
+         |    $acc |= 1L << ($i - $lo);
+         |  }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): VecSignBits =
+    copy(v = f, off = s, len = t)
+}

@@ -107,6 +107,68 @@ object SimQueries extends QueryModule {
       |  JOIN dt d3 ON d3.s = 3 AND d3.cid = codes.code3 AND d3.qid = d0.qid
       |  WHERE codes.vec_id != d0.qid)""".stripMargin
 
+  /** The binary-quantization pipeline CTEs (sign-bit code words +
+    * Hamming shortlist + exact re-rank), shared VERBATIM by e17 (the
+    * retrieval listing) and e18 (its recall audit): 64 dims → two
+    * BIGINT words of sign bits (`vec_signbits`; 8 bytes/vector, 32×
+    * under float32 at rest — and plain columns, so columnar pruning
+    * serves a code-only scan, the thing e13 notes an array cannot
+    * give), Hamming = XOR+popcount per word (both codegen'd
+    * built-ins), 20-deep shortlist per query by (hamming, id), exact
+    * cosine re-rank. The query side broadcasts; the corpus side is
+    * one scan of two integer columns. `bqtop` ends (qid, nid,
+    * hamming, cosine, rnk). */
+  private lazy val bqSparkCtes: String =
+    """bq AS (SELECT vec_id, v, nrm,
+      |    vec_signbits(v, 0, 32) AS c0, vec_signbits(v, 32, 32) AS c1 FROM n),
+      |qb AS (SELECT vec_id AS qid, c0 AS qc0, c1 AS qc1 FROM bq WHERE vec_id < 5),
+      |ham AS (SELECT /*+ BROADCAST(qb) */ qb.qid, b.vec_id AS nid,
+      |    CAST(bit_count(qb.qc0 ^ b.c0) + bit_count(qb.qc1 ^ b.c1) AS INT) AS hamming
+      |  FROM bq b CROSS JOIN qb WHERE b.vec_id != qb.qid),
+      |bshort AS (SELECT qid, nid, hamming FROM (
+      |    SELECT qid, nid, hamming,
+      |      row_number() OVER (PARTITION BY qid ORDER BY hamming, nid) AS rs
+      |    FROM ham) t WHERE rs <= 20),
+      |brr AS (SELECT /*+ BROADCAST(qv), BROADCAST(nv) */
+      |    bshort.qid, bshort.nid, bshort.hamming,
+      |    vec_dot(qv.v, nv.v) / (qv.nrm * nv.nrm) AS cosine
+      |  FROM bshort JOIN n qv ON qv.vec_id = bshort.qid
+      |  JOIN n nv ON nv.vec_id = bshort.nid),
+      |bqtop AS (SELECT qid, nid, hamming, cosine,
+      |    CAST(row_number() OVER (PARTITION BY qid
+      |      ORDER BY cosine DESC, nid) AS INT) AS rnk
+      |  FROM brr)""".stripMargin
+  // the re-rank joins take the e15 trade (documented there): the
+  // vector sides hint BROADCAST so the corpus-sized table never
+  // enters a sort under any threshold setting
+
+  /** DuckDB mirror of [[bqSparkCtes]]: codes as non-negative
+    * 32-bit-word sums (`1::BIGINT << k`, k < 32 — no sign-bit
+    * wraparound in either engine), `xor()`+`bit_count`, the same
+    * deterministic shortlist and index-ordered cosine fold. */
+  private lazy val bqDuckCtes: String =
+    s"""bq AS (SELECT vec_id, v, nrm,
+       |    list_sum([CASE WHEN v[k+1] > 0 THEN (1::BIGINT << k) ELSE 0 END
+       |              for k in generate_series(0, 31)])::BIGINT AS c0,
+       |    list_sum([CASE WHEN v[k+33] > 0 THEN (1::BIGINT << k) ELSE 0 END
+       |              for k in generate_series(0, 31)])::BIGINT AS c1 FROM n),
+       |qb AS (SELECT vec_id AS qid, c0 AS qc0, c1 AS qc1 FROM bq WHERE vec_id < 5),
+       |ham AS (SELECT qb.qid, b.vec_id AS nid,
+       |    CAST(bit_count(xor(qb.qc0, b.c0)) + bit_count(xor(qb.qc1, b.c1)) AS INT) AS hamming
+       |  FROM bq b CROSS JOIN qb WHERE b.vec_id != qb.qid),
+       |bshort AS (SELECT qid, nid, hamming FROM (
+       |    SELECT qid, nid, hamming,
+       |      row_number() OVER (PARTITION BY qid ORDER BY hamming, nid) AS rs
+       |    FROM ham) t WHERE rs <= 20),
+       |brr AS (SELECT bshort.qid, bshort.nid, bshort.hamming,
+       |    ${dDot("qv.v", "nv.v")} / (qv.nrm * nv.nrm) AS cosine
+       |  FROM bshort JOIN n qv ON qv.vec_id = bshort.qid
+       |  JOIN n nv ON nv.vec_id = bshort.nid),
+       |bqtop AS (SELECT qid, nid, hamming, cosine,
+       |    CAST(row_number() OVER (PARTITION BY qid
+       |      ORDER BY cosine DESC, nid) AS INT) AS rnk
+       |  FROM brr)""".stripMargin
+
   /** e4's oracle: the global brute-force pair scan. Equality holds
     * because the table count (a function of the band width — `bandBits`
     * is THE scale knob of random-hyperplane LSH: per-band bucket count
@@ -638,6 +700,61 @@ object SimQueries extends QueryModule {
          |        CAST(row_number() OVER (PARTITION BY qid
          |          ORDER BY ip DESC, aug_cos DESC, nid) AS INT) AS rnk FROM s) t
          |WHERE rnk <= 10""".stripMargin),
+
+    // E17: binary-quantization retrieval (sign-bit codes + Hamming
+    // shortlist + exact re-rank) — the 1-bit compression serving
+    // path modern vector stores ship alongside PQ (e10/e15's ADC is
+    // the multi-bit sibling): 64 dims → two BIGINT sign-bit words
+    // (vec_signbits), candidate generation is XOR+popcount over a
+    // scan that touches ONLY those two integer columns (8
+    // bytes/vector — and true columnar pruning applies, which e13 shows
+    // an array slice cannot get), then the 20-deep shortlist
+    // re-ranks by exact cosine. At 100 TB the codes are an ingest
+    // sidecar like e11's (same ensure pattern); in-query build here
+    // keeps the oracle one pass. CTEs shared VERBATIM with e18's
+    // recall audit (bqSparkCtes/bqDuckCtes above).
+    SqlQ.split("e17_bq_rerank",
+      s"""$sparkVecs,
+         |$bqSparkCtes
+         |SELECT qid AS query_id, nid AS neighbor_id, hamming, cosine, rnk
+         |FROM bqtop WHERE rnk <= 5""".stripMargin,
+      s"""$duckVecs,
+         |$bqDuckCtes
+         |SELECT qid AS query_id, nid AS neighbor_id, hamming, cosine, rnk
+         |FROM bqtop WHERE rnk <= 5""".stripMargin),
+
+    // E18: recall@5 of the binary-quantization path against the
+    // exact brute-force top-5 — the e8/e12/e13 accounting contract:
+    // every approximate serving path ships with its measured loss.
+    SqlQ.split("e18_bq_recall",
+      s"""$sparkVecs,
+         |$bqSparkCtes,
+         |qx AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < 5),
+         |sx AS (SELECT qid, n.vec_id AS nid, vec_dot(qv, n.v) / (qn * n.nrm) AS sim
+         |       FROM qx CROSS JOIN n WHERE n.vec_id != qid),
+         |exact AS (SELECT qid, nid FROM (
+         |    SELECT qid, nid,
+         |      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS r
+         |    FROM sx) t WHERE r <= 5)
+         |SELECT exact.qid AS query_id, count(b.nid) AS hits,
+         |  CAST(count(b.nid) AS DOUBLE) / 5 AS recall_at_5
+         |FROM exact LEFT JOIN (SELECT qid, nid FROM bqtop WHERE rnk <= 5) b
+         |  ON b.qid = exact.qid AND b.nid = exact.nid
+         |GROUP BY exact.qid""".stripMargin,
+      s"""$duckVecs,
+         |$bqDuckCtes,
+         |qx AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < 5),
+         |sx AS (SELECT qid, n.vec_id AS nid, ${dDot("qv", "n.v")} / (qn * n.nrm) AS sim
+         |       FROM qx CROSS JOIN n WHERE n.vec_id != qid),
+         |exact AS (SELECT qid, nid FROM (
+         |    SELECT qid, nid,
+         |      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS r
+         |    FROM sx) t WHERE r <= 5)
+         |SELECT exact.qid AS query_id, count(b.nid) AS hits,
+         |  CAST(count(b.nid) AS DOUBLE) / 5 AS recall_at_5
+         |FROM exact LEFT JOIN (SELECT qid, nid FROM bqtop WHERE rnk <= 5) b
+         |  ON b.qid = exact.qid AND b.nid = exact.nid
+         |GROUP BY exact.qid""".stripMargin),
 
     // E2 is programmatic (near-dup pairs blocked on the COMPUTED
     // k-means cell, not a given key) — see `queries` below.

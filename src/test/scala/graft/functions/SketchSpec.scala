@@ -126,4 +126,39 @@ class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"subspace ${r.getInt(0)}: ${r.getDouble(1)} vs ${r.getDouble(2)}")
     }
   }
+
+  test("vec_signbits == HOF word sum; clamps and edge signs hold") {
+    import spark.implicits._
+    // mixed signs incl. exact zeros (zero is NOT positive → bit
+    // unset), covering both 32-bit words of a 64-d vector
+    val v = Array.tabulate(64)(i =>
+      if (i % 5 == 0) 0.0 else math.sin(i * 1.3))
+    Seq(Tuple1(v.toSeq)).toDF("v").createOrReplaceTempView("sb")
+    val r = spark.sql(
+      """SELECT vec_signbits(v, 0, 32) AS lo, vec_signbits(v, 32, 32) AS hi,
+        |  aggregate(sequence(0, 31), CAST(0 AS BIGINT),
+        |    (acc, k) -> acc + CASE WHEN element_at(v, k + 1) > 0
+        |      THEN shiftleft(CAST(1 AS BIGINT), k) ELSE CAST(0 AS BIGINT) END) AS slow_lo,
+        |  aggregate(sequence(0, 31), CAST(0 AS BIGINT),
+        |    (acc, k) -> acc + CASE WHEN element_at(v, k + 33) > 0
+        |      THEN shiftleft(CAST(1 AS BIGINT), k) ELSE CAST(0 AS BIGINT) END) AS slow_hi,
+        |  vec_signbits(v, -3, 32) AS clamped,
+        |  vec_signbits(v, 60, 32) AS tail,
+        |  vec_signbits(v, 0, 99) AS len_cap
+        |FROM sb""".stripMargin).collect().head
+    assert(r.getLong(0) === r.getLong(2))
+    assert(r.getLong(1) === r.getLong(3))
+    // negative offset clamps to 0 → same word as off=0
+    assert(r.getLong(4) === r.getLong(0))
+    // a window past the end reads only the available elements
+    val tailExpect = (60 until 64).filter(i => v(i) > 0)
+      .map(i => 1L << (i - 60)).sum
+    assert(r.getLong(5) === tailExpect)
+    // len caps at 64 and at the array end — low word of a 64-len
+    // request equals the full-array packing's low bits
+    assert((r.getLong(6) & 0xFFFFFFFFL) === r.getLong(0))
+    // sanity: some bits set, some clear in each word
+    assert(r.getLong(0) != 0L && r.getLong(1) != 0L)
+    assert(java.lang.Long.bitCount(r.getLong(0)) < 32)
+  }
 }
