@@ -52,7 +52,17 @@ object ScaleProbe {
     // tokenizer via a broadcast vocab join — ~linear; e16 MIPS is the
     // e1-shaped broadcast crossJoin over the augmented vectors —
     // ~linear in corpus size at fixed query count
-    "t18_bpe_train", "t19_chunk", "t21_bpe_tokenize", "e16_mips")
+    "t18_bpe_train", "t19_chunk", "t21_bpe_tokenize", "e16_mips",
+    // e17 binary-quantization retrieval: the Hamming candidate pass
+    // scans two BIGINT columns per corpus row against 5 broadcast
+    // query codes — expect ~linear in corpus size at fixed query
+    // count, with the shortlist re-rank flat (20 rows/query)
+    "e17_bq_rerank",
+    // t22 fuzzy decontamination: corpus-side signature scan against
+    // a broadcast benchmark band table (the replicated benchmark
+    // grows with the corpus here, so candidates grow too — expect
+    // ~linear, verify-sliver-dominated like e4)
+    "t22_fuzzy_decontam")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

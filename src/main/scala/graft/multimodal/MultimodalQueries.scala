@@ -419,6 +419,69 @@ object MultimodalQueries extends QueryModule {
     }(Encoders.row(cutSchema))
   }
 
+  private val frameHashSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("frame_idx", IntegerType),
+    StructField("fh_lo", LongType),
+    StructField("fh_hi", LongType)))
+
+  /** M15: cross-video FRAME near-dup — reused-footage detection (the
+    * video curation twin of m5: a clip lifted into another video is
+    * caught frame-against-frame, not container-against-container).
+    * Per decoded frame, a 64-bit aHash over the 8×8 pixels — bit p
+    * set when `pixel·64 > Σframe` (the exact-integer "above the
+    * frame mean") — packed as TWO 32-bit words (`fh_lo`/`fh_hi`, the
+    * e17 convention: both dialects stay inside non-negative BIGINT
+    * shift arithmetic). CONSTANT frames hash to (0,0) — no pixel
+    * strictly above the mean — carry no perceptual signal, and every
+    * pair of them would collide into one quadratic bucket, so both
+    * engines drop them (the black-slate exclusion real pipelines
+    * apply). Cross-video pairs at Hamming ≤ 3 via the pigeonhole
+    * band join — 4 bands of 16 bits, ≥1 must match exactly — so the
+    * shuffle is per-band-bucket, never frames². Oracle replays the
+    * writer's closed-form frame formula (the m2 layout) and
+    * brute-forces the pair scan. */
+  private def frameDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val media = spark.read.parquet(MediaLake.ensureVideo(spark, sfDir))
+    val hashes = media.flatMap { row =>
+      val v = Avi.decode(row.getAs[Array[Byte]]("media"))
+      v.frames.indices.flatMap { k =>
+        val f = v.frames(k)
+        var s = 0L
+        var p = 0
+        while (p < f.length) { s += f(p); p += 1 }
+        var lo = 0L
+        var hi = 0L
+        p = 0
+        while (p < f.length && p < 64) {
+          if (f(p) * 64L > s) {
+            if (p < 32) lo |= 1L << p else hi |= 1L << (p - 32)
+          }
+          p += 1
+        }
+        if (lo == 0L && hi == 0L) None
+        else Some(Row(row.getAs[Long]("doc_id"), k, lo, hi))
+      }
+    }(Encoders.row(frameHashSchema))
+    val view = s"m15_fhash_${Integer.toHexString(sfDir.hashCode)}"
+    hashes.createOrReplaceTempView(view)
+    spark.sql(
+      s"""WITH b AS (SELECT doc_id, frame_idx, fh_lo, fh_hi, k2,
+         |    CASE WHEN k2 = 0 THEN fh_lo & 65535
+         |         WHEN k2 = 1 THEN (fh_lo >> 16) & 65535
+         |         WHEN k2 = 2 THEN fh_hi & 65535
+         |         ELSE (fh_hi >> 16) & 65535 END AS bv
+         |  FROM $view LATERAL VIEW explode(sequence(0, 3)) t AS k2),
+         |cand AS (SELECT DISTINCT a.doc_id AS da, a.frame_idx AS fa,
+         |    a.fh_lo AS la, a.fh_hi AS ha,
+         |    b2.doc_id AS db, b2.frame_idx AS fb, b2.fh_lo AS lb, b2.fh_hi AS hb
+         |  FROM b a JOIN b b2 ON a.k2 = b2.k2 AND a.bv = b2.bv
+         |    AND a.doc_id < b2.doc_id)
+         |SELECT da AS doc_id_a, fa AS frame_a, db AS doc_id_b, fb AS frame_b,
+         |  CAST(bit_count(la ^ lb) + bit_count(ha ^ hb) AS INT) AS hamming
+         |FROM cand WHERE bit_count(la ^ lb) + bit_count(ha ^ hb) <= 3""".stripMargin)
+  }
+
   /** M5: perceptual-hash media dedup — the cross-modal twin of the
     * text near-dup family (d5/d6). An aHash over REAL decoded pixels:
     * sample 32 pixels `g(i) = gray[(i·npx)/32]` from the PNG's
@@ -703,7 +766,8 @@ object MultimodalQueries extends QueryModule {
     "m9_clip_retrieve" -> ((s, d) => clipRetrieve(s, d)),
     "m10_audio_fingerprint" -> ((s, d) => audioFingerprintPairs(s, d)),
     "m11_scene_cuts" -> ((s, d) => sceneCuts(s, d)),
-    "m14_spectrogram" -> ((s, d) => spectrogram(s, d)))
+    "m14_spectrogram" -> ((s, d) => spectrogram(s, d)),
+    "m15_frame_dedup" -> ((s, d) => frameDedup(s, d)))
 
   /** The full-pixel-stream oracle CTEs (m1/m7's gray stream): emits
     * `g(doc_id, w, hh, npx, gs)` with `gs` the complete rendered
@@ -850,6 +914,31 @@ object MultimodalQueries extends QueryModule {
         |SELECT doc_id, k::INT AS keyframe_idx, fs AS frame_sum,
         |  CASE WHEN k = 0 THEN 0::BIGINT ELSE delta END AS delta
         |FROM d WHERE k = 0 OR abs(delta) > 512""".stripMargin,
+    // m15: m2's frame formula over EVERY frame → per-frame aHash
+    // (bit p set when pixel·64 > frame sum, two 32-bit words),
+    // constant frames (hash 0,0) dropped, brute-force pair scan at
+    // Hamming ≤ 3 (exact vs the engine's pigeonhole join)
+    "m15_frame_dedup" ->
+      """WITH m AS (SELECT doc_id, text, len(text) AS n, 1 + len(text) % 24 AS f
+        |  FROM documents WHERE len(text) > 0),
+        |fr AS (SELECT doc_id, text, n, f,
+        |  unnest(generate_series(0, f - 1)) AS k FROM m),
+        |px AS (SELECT doc_id, k,
+        |  [ascii(text[((k*64 + p) * n) // (f*64) + 1 : ((k*64 + p) * n) // (f*64) + 1])::BIGINT
+        |   for p in generate_series(0, 63)] AS g FROM fr),
+        |s AS (SELECT doc_id, k, g, list_sum(g)::BIGINT AS fs FROM px),
+        |h AS (SELECT doc_id, k,
+        |  list_sum([CASE WHEN g[p+1]*64 > fs THEN (1::BIGINT << p) ELSE 0 END
+        |            for p in generate_series(0, 31)])::BIGINT AS lo,
+        |  list_sum([CASE WHEN g[p+33]*64 > fs THEN (1::BIGINT << p) ELSE 0 END
+        |            for p in generate_series(0, 31)])::BIGINT AS hi
+        |  FROM s),
+        |hh AS (SELECT doc_id, k, lo, hi FROM h WHERE lo != 0 OR hi != 0)
+        |SELECT a.doc_id AS doc_id_a, a.k::INT AS frame_a,
+        |  b.doc_id AS doc_id_b, b.k::INT AS frame_b,
+        |  (bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)))::INT AS hamming
+        |FROM hh a, hh b WHERE a.doc_id < b.doc_id
+        |  AND bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3""".stripMargin,
     "m4_audio_energy" ->
       """WITH s AS (SELECT doc_id,
         |  [ascii(ch)::BIGINT - 64 for ch in string_split(text, '')] AS smp

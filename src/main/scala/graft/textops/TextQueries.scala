@@ -948,6 +948,61 @@ object TextQueries extends QueryModule {
          |FROM corpus JOIN bh ON corpus.h = bh.h
          |GROUP BY corpus.doc_id""".stripMargin),
 
+    // T22: FUZZY benchmark decontamination — the near-dup upgrade of
+    // t7: exact n-gram overlap misses eval data that was lightly
+    // edited before it leaked into the crawl (punctuation changes,
+    // re-wrapped lines, paraphrased fragments), so production
+    // decontamination ALSO runs a MinHash-LSH pass between the
+    // corpus and the benchmark (the GPT-3 appendix-C shape at
+    // document level). Reuses the d3 machinery wholesale — THE
+    // LshShape band formula, the minhash36 signature, the exact
+    // Jaccard verify at τ=0.5 — restricted to corpus × benchmark
+    // pairs. Scale shape: the benchmark side is MBs against TBs, so
+    // its band table BROADCASTS (hinted; the t7 argument) and the
+    // corpus stream never shuffles — candidates fall out of a
+    // broadcast equality join, and only the candidate sliver pays
+    // the verify (the sliver and the benchmark shingle side both
+    // hint BROADCAST there, so the corpus-sized shingle table never
+    // enters a sort — the e4 verify-join trade, documented at
+    // e4Ctes). The INGESTION-TIME twin is DedupStream.lshGate
+    // pointed at the benchmark index (corpusIndex over the benchmark
+    // split) — same LshShape kernel, so gate and batch verdicts
+    // agree by construction; DedupStreamSpec pins the parity on this
+    // fixture. Oracle = the d3 contract: brute-force exact
+    // Jaccard over corpus × benchmark (the band config is tuned for
+    // full recall at this τ — d3 proves it corpus-wide on this
+    // fixture, and these pairs are a subset).
+    SqlQ.split("t22_fuzzy_decontam",
+      s"""$sparkShingles,
+         |$sparkSigs,
+         |${LshShape.bandCteSql},
+         |bb AS (SELECT DISTINCT band, bh, doc_id AS bench_id
+         |  FROM band WHERE doc_id % 10 = 0),
+         |cand AS (SELECT /*+ BROADCAST(bb) */ DISTINCT c.doc_id, bb.bench_id
+         |  FROM band c JOIN bb ON c.band = bb.band AND c.bh = bb.bh
+         |  WHERE c.doc_id % 10 != 0),
+         |ver AS (SELECT /*+ BROADCAST(cand), BROADCAST(y) */
+         |    cand.doc_id, cand.bench_id,
+         |    size(array_intersect(x.hs, y.hs)) AS shared,
+         |    size(x.hs) AS na, size(y.hs) AS nb
+         |  FROM cand JOIN sh x ON x.doc_id = cand.doc_id
+         |  JOIN sh y ON y.doc_id = cand.bench_id)
+         |SELECT doc_id, bench_id,
+         |  CAST(shared AS DOUBLE) / (na + nb - shared) AS jaccard
+         |FROM ver WHERE CAST(shared AS DOUBLE) / (na + nb - shared) >= 0.5""".stripMargin,
+      s"""$duckShingles,
+         |e AS (SELECT doc_id, unnest(hs) AS h FROM sh),
+         |cnt AS (SELECT doc_id, len(hs) AS n FROM sh),
+         |pr AS (SELECT a.doc_id, b.doc_id AS bench_id, count(*) AS shared
+         |  FROM e a JOIN e b ON a.h = b.h
+         |  WHERE a.doc_id % 10 != 0 AND b.doc_id % 10 = 0
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT pr.doc_id, pr.bench_id,
+         |  CAST(pr.shared AS DOUBLE) / (ca.n + cb.n - pr.shared) AS jaccard
+         |FROM pr JOIN cnt ca ON ca.doc_id = pr.doc_id
+         |JOIN cnt cb ON cb.doc_id = pr.bench_id
+         |WHERE CAST(pr.shared AS DOUBLE) / (ca.n + cb.n - pr.shared) >= 0.5""".stripMargin),
+
     // T8 is programmatic (distributed two-pass prefix sum — a
     // partition-less window would plan Exchange SinglePartition and
     // route every document through ONE task) — see t8Query below.
@@ -1169,6 +1224,49 @@ object TextQueries extends QueryModule {
        |SELECT doc_id, cluster_id,
        |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
        |FROM cl""".stripMargin
+
+  /** D13: quality-aware canonical selection — WHICH copy of a
+    * duplicate cluster survives (d7 finds the clusters; this decides
+    * the keeper). Keep-first-by-id (d1/d9/d11's rule) is cheap but
+    * arbitrary; production pipelines keep the BEST member — here the
+    * published keep-longest convention (RefinedWeb §3.3 / the C4
+    * lineage: the longest member usually carries the least-truncated
+    * content), tie-broken by smaller doc_id. The ordering keys are
+    * INTEGERS (token count, id), so the argmax is exact in both
+    * engines — no FP-score comparison enters the keep decision.
+    * Scale shape: the cluster table is the dup SLIVER (docs in
+    * size-≥2 clusters only), so it broadcasts into the corpus-side
+    * length scan, and the per-cluster argmax window shuffles only
+    * the sliver. Oracle: the d7 recursive-reachability chain as a
+    * subquery, same window. */
+  private def d13Query(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val clusters = d7Query(spark, sfDir)
+    val nw = spark.sql(
+      """SELECT doc_id, size(filter(split(text, ' '), x -> x != '')) AS n_words
+        |FROM documents""".stripMargin)
+    val rk = row_number().over(
+      Window.partitionBy(col("cluster_id"))
+        .orderBy(col("n_words").desc, col("doc_id")))
+    broadcast(clusters).join(nw, "doc_id")
+      .withColumn("rk", rk).where(col("rk") === 1)
+      .select(col("cluster_id"), col("doc_id").as("kept_doc_id"),
+        col("cluster_size"), col("n_words").as("kept_n_words"))
+  }
+
+  private def d13Oracle: String =
+    s"""WITH c AS (SELECT * FROM ($d7Oracle)),
+       |nw AS (SELECT doc_id,
+       |    len(list_filter(string_split(text, ' '), x -> x != ''))::INT AS n_words
+       |  FROM documents),
+       |r AS (SELECT c.cluster_id, c.doc_id, c.cluster_size, nw.n_words,
+       |    row_number() OVER (PARTITION BY c.cluster_id
+       |      ORDER BY nw.n_words DESC, c.doc_id) AS rk
+       |  FROM c JOIN nw ON nw.doc_id = c.doc_id)
+       |SELECT cluster_id, doc_id AS kept_doc_id, cluster_size,
+       |  n_words AS kept_n_words
+       |FROM r WHERE rk = 1""".stripMargin
 
   // ---- d4/d8: one materialization of the posting buckets ----------
   //
@@ -1761,6 +1859,7 @@ object TextQueries extends QueryModule {
       })
     }.toMap +
       ("d7_dup_clusters" -> (d7Query _)) +
+      ("d13_quality_keep" -> (d13Query _)) +
       ("d4_ngram_jaccard_pairs" -> (d4Query _)) +
       ("d8_containment_pairs" -> (d8Query _)) +
       ("t8_sequence_pack" -> (t8Query _)) +
@@ -1772,6 +1871,7 @@ object TextQueries extends QueryModule {
   override def oracles: Map[String, String] =
     sqls.flatMap(q => q.oracleSql.map(q.name -> _)).toMap +
       ("d7_dup_clusters" -> d7Oracle) +
+      ("d13_quality_keep" -> d13Oracle) +
       ("d4_ngram_jaccard_pairs" -> d4Oracle) +
       ("d8_containment_pairs" -> d8Oracle) +
       ("t8_sequence_pack" -> t8Oracle) +

@@ -130,6 +130,23 @@ class PlanInvariantsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("SortMergeJoin"), p.take(600))
   }
 
+  test("e17: the BQ pipeline never sorts the corpus — all joins broadcast") {
+    // candidate generation is a broadcast nested-loop of 5 query
+    // codes against the (two-integer-column) codes scan; shortlist
+    // re-rank joins hint BROADCAST on the vector sides (the e15
+    // trade) — a SortMergeJoin anywhere here would sort corpus-sized
+    // input at 100 TB
+    val p = plan("e17_bq_rerank")
+    assert(!p.contains("SortMergeJoin"), p.take(600))
+    assert(p.contains("vec_signbits"), "code build missing from plan")
+  }
+
+  test("t22: benchmark bands and the candidate sliver broadcast; no corpus sort") {
+    val p = plan("t22_fuzzy_decontam")
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+    assert(!p.contains("SortMergeJoin"), p.take(600))
+  }
+
   test("d9: span dedup is join-free — one window shuffle + one rebuild shuffle") {
     val p = plan("d9_span_dedup")
     // keep-first is a window over md5(span), NOT a groupBy+self-join:

@@ -75,4 +75,36 @@ class DedupStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(batchPairs == Set((1L, 100L)), batchPairs)
   }
+
+  test("decontamination gate == batch t22 (benchmark index, real corpus)") {
+    // ingestion-time decontamination IS the same gate pointed at the
+    // BENCHMARK index instead of the corpus index (t22's scaladoc
+    // contract) — streaming the real sf0.001 training split against
+    // the benchmark split must flag exactly the batch t22 pairs
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables.load(spark, sf, "documents").select("doc_id", "text")
+    val bench = DedupStream.corpusIndex(docs.where("doc_id % 10 = 0"))
+    val train = docs.where("doc_id % 10 != 0").collect()
+      .map(r => (r.getLong(0), r.getString(1), ts("2024-01-01 00:00:00")))
+
+    val stream = MemoryStream[(Long, String, Timestamp)]
+    val q = DedupStream.lshGate(
+      stream.toDF().toDF("doc_id", "text", "ts"), bench)
+      .writeStream.format("memory").queryName("decontam_gate")
+      .outputMode("append").start()
+    stream.addData(train.toSeq)
+    q.processAllAvailable()
+    val got = spark.table("decontam_gate")
+      .select("doc_id", "dup_of").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    q.stop()
+
+    val expect = graft.SparkEntry.queries("t22_fuzzy_decontam")(spark, sf)
+      .select("doc_id", "bench_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expect, s"gate=${got.size} batch=${expect.size}")
+    assert(got.nonEmpty, "vacuous: no contaminated pair in the fixture")
+  }
 }
