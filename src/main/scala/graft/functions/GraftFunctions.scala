@@ -15,6 +15,7 @@ object GraftFunctions {
     * name → expression builder. */
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "polyhash" -> ((es: Seq[Expression]) => PolyHash(es.head)),
+    "nfc_normalize" -> ((es: Seq[Expression]) => NfcNormalize(es.head)),
     "vec_dot" -> ((es: Seq[Expression]) => VecDot(es(0), es(1))),
     "vec_sqdist" -> ((es: Seq[Expression]) => VecSqDist(es(0), es(1), es(2), es(3))),
     "vec_signbits" -> ((es: Seq[Expression]) => VecSignBits(es(0), es(1), es(2))),

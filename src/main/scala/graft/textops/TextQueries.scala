@@ -53,6 +53,11 @@ object TextQueries extends QueryModule {
       |  CAST(logw_u AS DOUBLE) / 1000000.0 AS log_weight
       |FROM agg ORDER BY logw_u DESC, doc_id LIMIT 100""".stripMargin
 
+  /** U+0301 COMBINING ACUTE ACCENT — kept as an escape so the source
+    * file stays ASCII; interpolated into the t24 SQL (both dialects
+    * share the literal by construction). */
+  private val CombAcute = "\u0301"
+
   /** THE URL canonicalization chain, shared with the streaming gate
     * ([[graft.streaming.UrlDedupStream]] reuses this so stream and
     * batch canonical keys agree BY CONSTRUCTION): lowercase, strip
@@ -305,6 +310,57 @@ object TextQueries extends QueryModule {
          |WHERE CAST(pr.shared AS DOUBLE) / (ca.n + cb.n - pr.shared) >= 0.5""".stripMargin),
 
 
+
+    // D14: MinHash ESTIMATOR audit — "measure the sketch" (the
+    // recall-accounting contract e8/e12/e18 apply to ANN, applied to
+    // the dedup sketch): for every verified near-dup pair, the
+    // Jaccard the 36-coordinate signature ESTIMATES (matching
+    // coordinates / 36 — the unbiased MinHash estimator) next to the
+    // exact Jaccard the verify computed anyway. The estimate is what
+    // a sketch-only pipeline (no shingle sets retained — the 100 TB
+    // storage posture) would act on; this query is the measured
+    // error of that posture. est_permille is integer (matches·1000
+    // DIV 36), so only the already-exact jaccard division is FP.
+    // Scale shape: identical to d3 (the pair sliver pays a 36-term
+    // fold). Oracle: exact pairs via the inverted index + the d2
+    // permutation replay, coordinates compared per pair.
+    SqlQ.split("d14_minhash_estimate",
+      s"""$sparkShingles,
+         |$sparkSigs,
+         |${LshShape.bandCteSql},
+         |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+         |  FROM band a JOIN band b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |pv AS (SELECT i, j, x.hs AS ha, y.hs AS hb, x.sg AS sa, y.sg AS sb
+         |  FROM cand JOIN sigs x ON x.doc_id = cand.i
+         |  JOIN sigs y ON y.doc_id = cand.j),
+         |o AS (SELECT i, j,
+         |    size(array_intersect(ha, hb)) AS shared, size(ha) AS na, size(hb) AS nb,
+         |    CAST(aggregate(sequence(0, 35), 0,
+         |      (acc, k) -> acc + IF(sa[k] = sb[k], 1, 0)) AS INT) AS sig_matches
+         |  FROM pv)
+         |SELECT i AS doc_id_a, j AS doc_id_b, sig_matches,
+         |  CAST(sig_matches * 1000 DIV 36 AS BIGINT) AS est_permille,
+         |  CAST(shared AS DOUBLE) / (na + nb - shared) AS jaccard
+         |FROM o WHERE CAST(shared AS DOUBLE) / (na + nb - shared) >= 0.5""".stripMargin,
+      s"""$duckShingles,
+         |e AS (SELECT doc_id, unnest(hs) AS h FROM sh),
+         |cnt AS (SELECT doc_id, len(hs) AS n FROM sh),
+         |p AS (SELECT CAST(unnest(generate_series(0, 35)) AS INT) AS perm),
+         |sigr AS (SELECT doc_id, perm, $minhashSig
+         |  FROM e CROSS JOIN p GROUP BY doc_id, perm),
+         |sg AS (SELECT doc_id, list(sig ORDER BY perm) AS sg FROM sigr GROUP BY doc_id),
+         |pr AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS shared
+         |  FROM e a JOIN e b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id),
+         |o AS (SELECT pr.i, pr.j, pr.shared, ca.n AS na, cb.n AS nb,
+         |    list_sum([CASE WHEN sx.sg[k] = sy.sg[k] THEN 1 ELSE 0 END
+         |              for k in generate_series(1, 36)])::INT AS sig_matches
+         |  FROM pr JOIN cnt ca ON ca.doc_id = pr.i JOIN cnt cb ON cb.doc_id = pr.j
+         |  JOIN sg sx ON sx.doc_id = pr.i JOIN sg sy ON sy.doc_id = pr.j)
+         |SELECT i AS doc_id_a, j AS doc_id_b, sig_matches,
+         |  ((sig_matches * 1000) // 36)::BIGINT AS est_permille,
+         |  CAST(shared AS DOUBLE) / (na + nb - shared) AS jaccard
+         |FROM o WHERE CAST(shared AS DOUBLE) / (na + nb - shared) >= 0.5""".stripMargin),
 
     // D5: 31-bit SimHash fingerprints over shingle hashes (one shuffle:
     // explode -> groupBy(doc_id) with 31 codegen'd conditional sums).
@@ -667,6 +723,84 @@ object TextQueries extends QueryModule {
          |SELECT doc_id, q AS uniq_permille, bucket, toss
          |FROM coin WHERE toss <
          |  CASE bucket WHEN 4 THEN 100 WHEN 3 THEN 50 WHEN 2 THEN 25 ELSE 10 END""".stripMargin),
+
+    // T23: corpus-mixture accounting — the data-mixing table every
+    // pretraining run publishes (the LLaMA/Pile "sampling prop ×
+    // epochs" bookkeeping): per language domain, its document/token
+    // counts, natural share, the target share the mixture declares
+    // (literal policy weights: en 50%, de 20%, es 20%, rest 10%),
+    // the token quota that share buys, and the implied epochs —
+    // epochs_ppm > 1e6 means the domain REPEATS (upsampled), < 1e6
+    // means it is subsampled. Everything is integer arithmetic
+    // (parts-per-million quantization, the t13/t17 trick), so the
+    // ratios are exact in both engines. Scale shape: one map-side-
+    // combinable aggregate over the corpus + a 4-row broadcast total
+    // — the accounting costs one scan no matter the corpus size.
+    SqlQ.split("t23_mixture_weights",
+      """WITH tok AS (SELECT lang, count(*) AS n_docs,
+        |    CAST(sum(size(filter(split(text, ' '), x -> x != ''))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY lang),
+        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM tok),
+        |w AS (SELECT lang, n_docs, n_tokens,
+        |    CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 20
+        |      WHEN 'es' THEN 20 ELSE 10 END AS target_pct FROM tok)
+        |SELECT w.lang, n_docs, n_tokens,
+        |  (n_tokens * 1000000) DIV tot.total AS natural_ppm,
+        |  target_pct,
+        |  (target_pct * tot.total) DIV 100 AS quota_tokens,
+        |  (((target_pct * tot.total) DIV 100) * 1000000) DIV n_tokens AS epochs_ppm
+        |FROM w CROSS JOIN tot""".stripMargin,
+      """WITH tok AS (SELECT lang, count(*) AS n_docs,
+        |    sum(len(list_filter(string_split(text, ' '), x -> x != '')))::BIGINT AS n_tokens
+        |  FROM documents GROUP BY lang),
+        |tot AS (SELECT sum(n_tokens)::BIGINT AS total FROM tok),
+        |w AS (SELECT lang, n_docs, n_tokens,
+        |    CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 20
+        |      WHEN 'es' THEN 20 ELSE 10 END AS target_pct FROM tok)
+        |SELECT w.lang, n_docs, n_tokens,
+        |  (n_tokens * 1000000) // tot.total AS natural_ppm,
+        |  target_pct,
+        |  (target_pct * tot.total) // 100 AS quota_tokens,
+        |  (((target_pct * tot.total) // 100) * 1000000) // n_tokens AS epochs_ppm
+        |FROM w CROSS JOIN tot""".stripMargin),
+
+    // T24: Unicode NFC canonicalization — the text-normalization pass
+    // every web-corpus pipeline runs before hashing/dedup (the same
+    // glyph arrives precomposed or as base + combining mark; without
+    // canonicalization the d1/d2 hashes treat them as different
+    // documents). Engine side is the native nfc_normalize Catalyst
+    // expression (graft.functions.NfcNormalize — codegen'd, with an
+    // isNormalized fast path for the overwhelmingly-ASCII common
+    // case); DuckDB mirrors with its built-in nfc_normalize — both
+    // implement published UAX #15, so outputs are byte-identical.
+    // The fixture text is pure ASCII (already NFC), so the query
+    // derives a decomposed column first — every 'e' gains a U+0301
+    // combining acute, which NFC must re-compose to the single
+    // codepoint U+00E9 — making the normalizer's work observable:
+    // n_composed counts the marks absorbed, and head carries actual
+    // normalized text into the cross-engine hash compare. Scale
+    // shape: a pure per-row codegen map, no shuffle at all.
+    SqlQ.split("t24_unicode_nfc",
+      s"""WITH c AS (SELECT doc_id,
+         |    replace(text, 'e', 'e$CombAcute') AS corrupted
+         |  FROM documents),
+         |n AS (SELECT doc_id, corrupted, nfc_normalize(corrupted) AS nfc FROM c)
+         |SELECT doc_id,
+         |  CAST(length(corrupted) AS INT) AS n_raw_cp,
+         |  CAST(length(nfc) AS INT) AS n_nfc_cp,
+         |  CAST(length(corrupted) - length(nfc) AS INT) AS n_composed,
+         |  substring(nfc, 1, 24) AS head
+         |FROM n""".stripMargin,
+      s"""WITH c AS (SELECT doc_id,
+         |    replace(text, 'e', 'e$CombAcute') AS corrupted
+         |  FROM documents),
+         |n AS (SELECT doc_id, corrupted, nfc_normalize(corrupted) AS nfc FROM c)
+         |SELECT doc_id,
+         |  length(corrupted)::INT AS n_raw_cp,
+         |  length(nfc)::INT AS n_nfc_cp,
+         |  (length(corrupted) - length(nfc))::INT AS n_composed,
+         |  substring(nfc, 1, 24) AS head
+         |FROM n""".stripMargin),
 
     // T17: count-based n-gram LM build — the trigram statistics pass
     // behind decontamination suffix checks, Kneser-Ney baselines and
