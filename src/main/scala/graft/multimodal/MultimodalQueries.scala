@@ -335,6 +335,43 @@ object MultimodalQueries extends QueryModule {
     }(Encoders.row(audioSchema))
   }
 
+  /** M16: energy-based voice-activity segmentation over the REAL WAV
+    * lake — the VAD pass a speech-training pipeline runs before ASR
+    * transcription or TTS clip extraction (silence-trim + utterance
+    * split). Built ON the m4 window table (the same decode, the same
+    * per-64-sample energy/peak features — one kernel, two operators):
+    * a window is VOICED when its energy density exceeds the clip's
+    * mean density, compared in pure integer cross-multiplication
+    * (`energy · n_tot > e_tot · n_samples` — no FP, so both engines
+    * agree exactly), and maximal runs of consecutive voiced windows
+    * become segments via the islands trick (window_idx − row_number,
+    * the w3 sessionize shape). Scale: the density baseline is one
+    * map-side-combinable aggregate per doc; the islands window
+    * partitions by doc_id with bounded groups (windows ∝ clip
+    * duration) — nothing global, shuffles only on the doc key.
+    * Oracle: the shared m4 window CTEs ([[m4WindowOracleCtes]] —
+    * feature definitions cannot drift) + the same integer VAD SQL. */
+  private def audioVad(spark: SparkSession, sfDir: String): DataFrame = {
+    val view = s"m16_win_${Integer.toHexString(sfDir.hashCode)}"
+    audioEnergy(spark, sfDir).createOrReplaceTempView(view)
+    spark.sql(
+      s"""WITH tot AS (SELECT doc_id, CAST(sum(energy) AS BIGINT) AS e_tot,
+         |    CAST(sum(n_samples) AS BIGINT) AS n_tot
+         |  FROM $view GROUP BY doc_id),
+         |v AS (SELECT w.doc_id, window_idx, energy, peak
+         |  FROM $view w JOIN tot ON tot.doc_id = w.doc_id
+         |  WHERE energy * n_tot > e_tot * n_samples),
+         |g AS (SELECT doc_id, window_idx, energy, peak,
+         |    window_idx - row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY window_idx) AS grp
+         |  FROM v)
+         |SELECT doc_id, CAST(min(window_idx) AS INT) AS seg_start,
+         |  CAST(count(*) AS INT) AS n_windows,
+         |  CAST(sum(energy) AS BIGINT) AS seg_energy,
+         |  CAST(max(peak) AS INT) AS seg_peak
+         |FROM g GROUP BY doc_id, grp""".stripMargin)
+  }
+
   /** THE audio fingerprint, shared with the streaming gate
     * ([[graft.streaming.AudioDedupStream]] — the phashOf precedent):
     * decode the WAV, split the sample stream into 32 EQUAL segments
@@ -436,11 +473,34 @@ object MultimodalQueries extends QueryModule {
     * strictly above the mean — carry no perceptual signal, and every
     * pair of them would collide into one quadratic bucket, so both
     * engines drop them (the black-slate exclusion real pipelines
-    * apply). Cross-video pairs at Hamming ≤ 3 via the pigeonhole
-    * band join — 4 bands of 16 bits, ≥1 must match exactly — so the
-    * shuffle is per-band-bucket, never frames². Oracle replays the
-    * writer's closed-form frame formula (the m2 layout) and
-    * brute-forces the pair scan. */
+    * apply).
+    *
+    * Candidate generation is the HALF-EXACT + 1-BIT-FLIP multi-index
+    * (the Manku/Jain/Sarma WWW'07 simhash-dedup table scheme, d = 3,
+    * two tables): a pair at Hamming ≤ 3 splits its errors across the
+    * two 32-bit halves, so ONE half carries ≤ 1 error — the smaller
+    * hash indexes under its exact halves (2 rows), the larger probes
+    * under each half plus all 32 single-bit flips (66 rows), and
+    * candidates join on the (side, 32-bit key) equality. Every
+    * alternative was MEASURED at sf0.1 (63 392 frames / 48 660
+    * distinct hashes) and loses to skew: the m5/d6 single-level band
+    * join Σ bucket² = 170M candidates over distinct hashes, and the
+    * band × sub-band two-level pigeonhole still 29.4M with 75% of it
+    * in 16 hot all-ones buckets (near-saturated bright frames, ~1 650
+    * members each — the symmetric twin of the excluded black slate)
+    * — 17 s in the bucket join. 32-bit keys make collisions ≈ true
+    * near-dups by construction: max half multiplicity 564,
+    * Σ multiplicity² ≈ 1.4M/side, candidate volume ~2M (15×
+    * less), no hot key — and at 100 TB the candidate mass stays
+    * proportional to the true-duplicate mass rather than to the
+    * square of the brightest-cluster size. (1) frames group to
+    * their distinct hash (63k → 49k; exact-dup frames ride the
+    * group); (2) the indexed half-join yields verified hash pairs;
+    * (3) pairs (plus each hash's self-pair, for exact-dup frames
+    * across videos) map back to frames by two equality joins on the
+    * hash — well-distributed keys, bounded group sizes. Oracle
+    * replays the writer's closed-form frame formula (the m2 layout)
+    * and brute-forces the pair scan. */
   private def frameDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val media = spark.read.parquet(MediaLake.ensureVideo(spark, sfDir))
     val hashes = media.flatMap { row =>
@@ -463,23 +523,63 @@ object MultimodalQueries extends QueryModule {
         else Some(Row(row.getAs[Long]("doc_id"), k, lo, hi))
       }
     }(Encoders.row(frameHashSchema))
-    val view = s"m15_fhash_${Integer.toHexString(sfDir.hashCode)}"
-    hashes.createOrReplaceTempView(view)
+    val tag = Integer.toHexString(sfDir.hashCode)
+    val view = s"m15_fhash_$tag"
+    // the hash table is consumed from THREE places below (dh, and
+    // both sides of the frame mapping) — materialize the decode once
+    // (the d4/d7 localCheckpoint pattern) instead of re-decoding the
+    // video lake per consumer
+    hashes.localCheckpoint().createOrReplaceTempView(view)
+    // the candidate join is the expensive stage (≈2M half-key probes
+    // at sf0.1 for a ~119k-hash-pair answer) — materialize its
+    // ORDERED output once and derive the symmetric closure from the
+    // checkpoint; a plain UNION ALL of two hp readings would REPLAY
+    // the join per branch (no subtree sharing — measured 2×), and a
+    // symmetric join condition doubles the probe expansion instead
+    val hpView = s"m15_hp_$tag"
     spark.sql(
-      s"""WITH b AS (SELECT doc_id, frame_idx, fh_lo, fh_hi, k2,
-         |    CASE WHEN k2 = 0 THEN fh_lo & 65535
-         |         WHEN k2 = 1 THEN (fh_lo >> 16) & 65535
-         |         WHEN k2 = 2 THEN fh_hi & 65535
-         |         ELSE (fh_hi >> 16) & 65535 END AS bv
-         |  FROM $view LATERAL VIEW explode(sequence(0, 3)) t AS k2),
-         |cand AS (SELECT DISTINCT a.doc_id AS da, a.frame_idx AS fa,
-         |    a.fh_lo AS la, a.fh_hi AS ha,
-         |    b2.doc_id AS db, b2.frame_idx AS fb, b2.fh_lo AS lb, b2.fh_hi AS hb
-         |  FROM b a JOIN b b2 ON a.k2 = b2.k2 AND a.bv = b2.bv
-         |    AND a.doc_id < b2.doc_id)
-         |SELECT da AS doc_id_a, fa AS frame_a, db AS doc_id_b, fb AS frame_b,
-         |  CAST(bit_count(la ^ lb) + bit_count(ha ^ hb) AS INT) AS hamming
-         |FROM cand WHERE bit_count(la ^ lb) + bit_count(ha ^ hb) <= 3""".stripMargin)
+      s"""WITH dh AS (SELECT DISTINCT fh_lo, fh_hi FROM $view),
+         |-- the REPARTITION(s, k) hints pre-partition BOTH join inputs
+         |-- on the join key at the configured shuffle parallelism: the
+         |-- distinct-hash table is tiny (49k rows ≈ 1 MB), so without
+         |-- them AQE coalesces the join's exchanges to 1-3 partitions
+         |-- and the ~5M-probe expansion runs on as many threads (the
+         |-- classic small-input-huge-fanout AQE trap — measured 7.4 s
+         |-- vs 2.5 s pinned; 12.6 s single-task on the first design)
+         |ix AS (SELECT /*+ REPARTITION(s, k) */ fh_lo, fh_hi, s,
+         |    CASE s WHEN 0 THEN fh_lo ELSE fh_hi END AS k
+         |  FROM dh LATERAL VIEW explode(sequence(0, 1)) t1 AS s),
+         |-- f = 32 is the exact-key probe; f < 32 flips bit f of the
+         |-- probing half. The smaller hash of a pair always indexes
+         |-- (ix), the larger always probes (qe), so each qualifying
+         |-- pair is found by the ordered join at least once.
+         |qe AS (SELECT /*+ REPARTITION(s, k) */ fh_lo, fh_hi, s,
+         |    CASE WHEN f = 32 THEN h
+         |         ELSE h ^ shiftleft(CAST(1 AS BIGINT), f) END AS k
+         |  FROM (SELECT fh_lo, fh_hi, s,
+         |      CASE s WHEN 0 THEN fh_lo ELSE fh_hi END AS h
+         |    FROM dh LATERAL VIEW explode(sequence(0, 1)) t1 AS s) hx
+         |  LATERAL VIEW explode(sequence(0, 32)) t2 AS f)
+         |SELECT DISTINCT a.fh_lo AS la, a.fh_hi AS ha,
+         |    b.fh_lo AS lb, b.fh_hi AS hb,
+         |    CAST(bit_count(a.fh_lo ^ b.fh_lo)
+         |      + bit_count(a.fh_hi ^ b.fh_hi) AS INT) AS hamming
+         |  FROM ix a JOIN qe b
+         |    ON a.s = b.s AND a.k = b.k
+         |    AND (a.fh_lo < b.fh_lo
+         |      OR (a.fh_lo = b.fh_lo AND a.fh_hi < b.fh_hi))
+         |  WHERE bit_count(a.fh_lo ^ b.fh_lo) + bit_count(a.fh_hi ^ b.fh_hi) <= 3""".stripMargin)
+      .localCheckpoint().createOrReplaceTempView(hpView)
+    spark.sql(
+      s"""WITH hs2 AS (SELECT la, ha, lb, hb, hamming FROM $hpView
+         |  UNION ALL SELECT lb, hb, la, ha, hamming FROM $hpView
+         |  UNION ALL SELECT fh_lo, fh_hi, fh_lo, fh_hi, 0
+         |    FROM (SELECT DISTINCT fh_lo, fh_hi FROM $view))
+         |SELECT x.doc_id AS doc_id_a, x.frame_idx AS frame_a,
+         |  y.doc_id AS doc_id_b, y.frame_idx AS frame_b, hs2.hamming
+         |FROM $view x JOIN hs2 ON x.fh_lo = hs2.la AND x.fh_hi = hs2.ha
+         |JOIN $view y ON y.fh_lo = hs2.lb AND y.fh_hi = hs2.hb
+         |WHERE x.doc_id < y.doc_id""".stripMargin)
   }
 
   /** M5: perceptual-hash media dedup — the cross-modal twin of the
@@ -759,6 +859,7 @@ object MultimodalQueries extends QueryModule {
     "m2_frame_sample" -> ((s, d) => frameSample(s, d)),
     "m3_resize_plan" -> ((s, d) => resizePlan(s, d)),
     "m4_audio_energy" -> ((s, d) => audioEnergy(s, d)),
+    "m16_audio_vad" -> ((s, d) => audioVad(s, d)),
     "m5_phash_pairs" -> ((s, d) => phashPairs(s, d)),
     "m6_multisignal_pairs" -> ((s, d) => multiSignalPairs(s, d)),
     "m7_clip_align" -> ((s, d) => clipAlign(s, d)),
@@ -819,6 +920,27 @@ object MultimodalQueries extends QueryModule {
       |  [list_sum(list_slice(gs, j*npx//8 + 1, (j+1)*npx//8))::DOUBLE
       |     / ((j+1)*npx//8 - j*npx//8)
       |   for j in generate_series(0, 7)] AS img FROM g)""".stripMargin
+
+  /** The m4 per-window oracle table — `winf(doc_id, window_idx,
+    * n_samples, energy, peak)` replayed from the text via the
+    * MediaLake closed-form sample formula (`ascii − 64`, the WAV
+    * writer's PCM source) — SHARED between the m4 and m16 oracles so
+    * the window feature definition cannot drift between them (the
+    * m5/m6 phash-CTE convention). `list_sum` is cast `::BIGINT` at
+    * the source: DuckDB types it HUGEINT, which the driver's
+    * type-sensitive hash rejects (the round-9 m2 lesson). */
+  private val m4WindowOracleCtes: String =
+    """s AS (SELECT doc_id,
+      |  [ascii(ch)::BIGINT - 64 for ch in string_split(text, '')] AS smp
+      |  FROM documents WHERE len(text) > 0),
+      |w0 AS (SELECT doc_id, smp,
+      |  unnest(generate_series(0, (len(smp)-1)//64)) AS win FROM s),
+      |sl AS (SELECT doc_id, win,
+      |  list_slice(smp, win*64 + 1, least(len(smp), (win+1)*64)) AS seg FROM w0),
+      |winf AS (SELECT doc_id, win::INT AS window_idx, len(seg)::INT AS n_samples,
+      |  list_sum(list_transform(seg, x -> x*x))::BIGINT AS energy,
+      |  list_max(list_transform(seg, x -> abs(x)))::INT AS peak
+      |FROM sl)""".stripMargin
 
   override def oracles: Map[String, String] = Map(
     "m14_spectrogram" -> m14Oracle,
@@ -940,17 +1062,29 @@ object MultimodalQueries extends QueryModule {
         |FROM hh a, hh b WHERE a.doc_id < b.doc_id
         |  AND bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3""".stripMargin,
     "m4_audio_energy" ->
-      """WITH s AS (SELECT doc_id,
-        |  [ascii(ch)::BIGINT - 64 for ch in string_split(text, '')] AS smp
-        |  FROM documents WHERE len(text) > 0),
-        |w AS (SELECT doc_id, smp,
-        |  unnest(generate_series(0, (len(smp)-1)//64)) AS win FROM s),
-        |sl AS (SELECT doc_id, win,
-        |  list_slice(smp, win*64 + 1, least(len(smp), (win+1)*64)) AS seg FROM w)
-        |SELECT doc_id, win::INT AS window_idx, len(seg)::INT AS n_samples,
-        |  list_sum(list_transform(seg, x -> x*x))::BIGINT AS energy,
-        |  list_max(list_transform(seg, x -> abs(x)))::INT AS peak
-        |FROM sl""".stripMargin,
+      s"""WITH $m4WindowOracleCtes
+         |SELECT doc_id, window_idx, n_samples, energy, peak
+         |FROM winf""".stripMargin,
+    // the VAD SQL below is the SAME text the Spark side runs (modulo
+    // cast spelling); the window features enter through the shared
+    // m4 CTEs so the two operators' feature definitions cannot drift
+    "m16_audio_vad" ->
+      s"""WITH $m4WindowOracleCtes,
+         |tot AS (SELECT doc_id, sum(energy)::BIGINT AS e_tot,
+         |    sum(n_samples)::BIGINT AS n_tot
+         |  FROM winf GROUP BY doc_id),
+         |v AS (SELECT w.doc_id, window_idx, energy, peak
+         |  FROM winf w JOIN tot ON tot.doc_id = w.doc_id
+         |  WHERE energy * n_tot > e_tot * n_samples),
+         |g AS (SELECT doc_id, window_idx, energy, peak,
+         |    window_idx - row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY window_idx) AS grp
+         |  FROM v)
+         |SELECT doc_id, min(window_idx)::INT AS seg_start,
+         |  count(*)::INT AS n_windows,
+         |  sum(energy)::BIGINT AS seg_energy,
+         |  max(peak)::INT AS seg_peak
+         |FROM g GROUP BY doc_id, grp""".stripMargin,
     "m5_phash_pairs" ->
       s"""WITH $phashOracleCtes
          |SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
