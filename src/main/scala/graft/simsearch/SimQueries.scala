@@ -582,7 +582,18 @@ object SimQueries extends QueryModule {
        |SELECT vec_id, c AS cluster_id FROM asg2""".stripMargin
 
   /** e3 Spark side: IVF probe over the converged cells. */
-  private def ivfTopK(spark: SparkSession, sfDir: String): DataFrame = {
+  /** `filter` is an optional metadata predicate over the candidate
+    * row alias `n` (e.g. `AND n.label % 3 = 0`) — empty for plain e3,
+    * non-empty for e19's filtered search. The predicate is applied
+    * INSIDE the probed-cell candidate scan (pre-filtering: every
+    * non-matching row is dropped before its distance is computed, and
+    * the top-k ranks only matching rows), which is the vector-store
+    * "filtered search" contract — post-filtering a fixed top-k would
+    * silently return < k rows and lose recall against the filtered
+    * ground truth. The index itself is the UNfiltered IVF: one
+    * structure serves every predicate. */
+  private def ivfTopK(spark: SparkSession, sfDir: String,
+                      filter: String = ""): DataFrame = {
     val km = convergedKmeans(spark, sfDir)
     spark.sql(
       s"""$sparkVecs,
@@ -597,12 +608,18 @@ object SimQueries extends QueryModule {
          |s AS (SELECT q.qid, n.vec_id AS nid, vec_dot(q.qv, n.v) / (q.qn * n.nrm) AS sim
          |      FROM q JOIN probe ON probe.qid = q.qid
          |             JOIN asg m ON m.c = probe.cell
-         |             JOIN n ON n.vec_id = m.vec_id AND n.vec_id != q.qid)
+         |             JOIN n ON n.vec_id = m.vec_id AND n.vec_id != q.qid$filter)
          |SELECT qid AS query_id, nid AS neighbor_id, sim AS cosine, rnk
          |FROM (SELECT qid, nid, sim,
          |        CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS INT) AS rnk FROM s) t
          |WHERE rnk <= 5""".stripMargin)
   }
+
+  /** The e19/e20 metadata predicate (candidate alias `n`): labels
+    * divisible by 3, ~1/3 of the corpus — selective enough that the
+    * filtered and unfiltered top-5 genuinely differ, dense enough
+    * that every probed cell still holds candidates. */
+  private val FilterPred = " AND n.label % 3 = 0"
 
   private val sqls: Seq[SqlQ] = Seq(
 
@@ -1040,7 +1057,11 @@ object SimQueries extends QueryModule {
        |${kmeansCtes(KmMaxIter + 1)}
        |SELECT vec_id, c AS cluster_id FROM asg${KmMaxIter + 1}""".stripMargin
 
-  private def e3Oracle: String =
+  private def e3Oracle: String = ivfOracle("")
+
+  /** DuckDB replay of [[ivfTopK]] (k-means CTE chain + 2-probe scan);
+    * `filter` mirrors the engine's candidate predicate verbatim. */
+  private def ivfOracle(filter: String): String =
     s"""$duckVecs,
        |${kmeansCtes(KmMaxIter + 1)},
        |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < 5),
@@ -1052,7 +1073,7 @@ object SimQueries extends QueryModule {
        |s AS (SELECT q.qid, n.vec_id AS nid, ${dDot("q.qv", "n.v")} / (q.qn * n.nrm) AS sim
        |      FROM q JOIN probe ON probe.qid = q.qid
        |             JOIN asg${KmMaxIter + 1} m ON m.c = probe.cell
-       |             JOIN n ON n.vec_id = m.vec_id AND n.vec_id != q.qid)
+       |             JOIN n ON n.vec_id = m.vec_id AND n.vec_id != q.qid$filter)
        |SELECT qid AS query_id, nid AS neighbor_id, sim AS cosine, rnk
        |FROM (SELECT qid, nid, sim,
        |        CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS INT) AS rnk FROM s) t
@@ -1064,21 +1085,22 @@ object SimQueries extends QueryModule {
     * recall one IEEE division, so the oracle hash-matches. The join
     * is 25 rows × 25 rows — the measurement costs nothing next to the
     * pipelines it audits. */
-  private def exactTop5Sql(nQ: Int = 5): String =
+  private def exactTop5Sql(nQ: Int = 5, filter: String = ""): String =
     s"""$sparkVecs,
        |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < $nQ),
        |s AS (SELECT qid, n.vec_id AS nid, vec_dot(qv, n.v) / (qn * n.nrm) AS sim
-       |      FROM q CROSS JOIN n WHERE n.vec_id != qid)
+       |      FROM q CROSS JOIN n WHERE n.vec_id != qid$filter)
        |SELECT qid AS query_id, nid AS neighbor_id
        |FROM (SELECT qid, nid, sim,
        |        CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS INT) AS rnk FROM s) t
        |WHERE rnk <= 5""".stripMargin
 
-  private def ivfRecall(spark: SparkSession, sfDir: String): DataFrame = {
+  private def ivfRecall(spark: SparkSession, sfDir: String,
+                        candFilter: String = ""): DataFrame = {
     import org.apache.spark.sql.functions._
     Tables.register(spark, sfDir)
-    val exact = spark.sql(exactTop5Sql()).as("e")
-    val ivf = ivfTopK(spark, sfDir)
+    val exact = spark.sql(exactTop5Sql(filter = candFilter)).as("e")
+    val ivf = ivfTopK(spark, sfDir, candFilter)
       .select(col("query_id"), col("neighbor_id")).as("i")
     exact.join(ivf,
         col("e.query_id") === col("i.query_id") &&
@@ -1461,17 +1483,21 @@ object SimQueries extends QueryModule {
        |  ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
        |GROUP BY e.query_id""".stripMargin
 
-  private def e8Oracle: String =
+  private def e8Oracle: String = recallOracle("")
+
+  /** DuckDB replay of [[ivfRecall]]: exact filtered top-5 vs the
+    * (same-filtered) 2-probe IVF; `filter` mirrors the engine's. */
+  private def recallOracle(filter: String): String =
     s"""WITH exact AS (SELECT query_id, neighbor_id FROM (
        |  $duckVecs,
        |  q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < 5),
        |  s AS (SELECT qid, n.vec_id AS nid, ${dDot("qv", "n.v")} / (qn * n.nrm) AS sim
-       |        FROM q CROSS JOIN n WHERE n.vec_id != qid)
+       |        FROM q CROSS JOIN n WHERE n.vec_id != qid$filter)
        |  SELECT qid AS query_id, nid AS neighbor_id
        |  FROM (SELECT qid, nid, sim,
        |          CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS INT) AS rnk FROM s) t
        |  WHERE rnk <= 5)),
-       |ivf AS (SELECT query_id, neighbor_id FROM ($e3Oracle))
+       |ivf AS (SELECT query_id, neighbor_id FROM (${ivfOracle(filter)}))
        |SELECT e.query_id, count(i.neighbor_id) AS hits,
        |  CAST(count(i.neighbor_id) AS DOUBLE) / 5 AS recall_at_5
        |FROM exact e LEFT JOIN ivf i
@@ -1488,6 +1514,17 @@ object SimQueries extends QueryModule {
       ("e5b_kmeans_converged" -> ((s: SparkSession, d: String) => kmeansAssignments(s, d))) +
       ("e5_kmeans_assign" -> ((s: SparkSession, d: String) => oneIterAssignments(s, d))) +
       ("e3_ann_ivf" -> ((s: SparkSession, d: String) => ivfTopK(s, d))) +
+      // E19: filtered vector search — the vector-store contract every
+      // retrieval stack needs (metadata predicate + ANN in one query):
+      // the UNfiltered IVF index serves the query, the predicate
+      // prunes candidates inside the probed-cell scan (pre-filter;
+      // see ivfTopK's doc for why post-filtering a fixed top-k is
+      // wrong), and the top-5 ranks only matching rows. E20 measures
+      // what the predicate costs in recall against the exact filtered
+      // scan — at this fixture the 2-probe cells keep full recall on
+      // the ~1/3-selective predicate.
+      ("e19_filtered_ann" -> ((s: SparkSession, d: String) => ivfTopK(s, d, FilterPred))) +
+      ("e20_filtered_recall" -> ((s: SparkSession, d: String) => ivfRecall(s, d, FilterPred))) +
       ("e2_cosine_neardup" -> ((s: SparkSession, d: String) => cellNearDup(s, d))) +
       ("e8_ivf_recall" -> ((s: SparkSession, d: String) => ivfRecall(s, d))) +
       ("e4_ann_lsh_auto" -> ((s: SparkSession, d: String) => e4Auto(s, d))) +
@@ -1502,6 +1539,8 @@ object SimQueries extends QueryModule {
       ("e5_kmeans_assign" -> e5Oracle) +
       ("e5b_kmeans_converged" -> e5bOracle) +
       ("e3_ann_ivf" -> e3Oracle) +
+      ("e19_filtered_ann" -> ivfOracle(FilterPred)) +
+      ("e20_filtered_recall" -> recallOracle(FilterPred)) +
       ("e2_cosine_neardup" -> e2Oracle) +
       ("e8_ivf_recall" -> e8Oracle) +
       ("e4_ann_lsh_auto" -> e4Oracle) +
