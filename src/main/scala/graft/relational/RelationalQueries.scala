@@ -183,6 +183,63 @@ object RelationalQueries extends QueryModule {
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS session_idx
         |FROM g""".stripMargin),
 
+    // §2.5+: ordered-sequence funnel over the event stream — the
+    // classic product-analytics operator (signup → view → purchase,
+    // each stage within 7 days of the previous): per user, the first
+    // signup, the first view after it, the first purchase after that,
+    // then the 3-row conversion table with exact ppm rates. All
+    // timestamps compare in microseconds (the w3 lesson: second-
+    // resolution epoch math rounds differently across engines).
+    // Scale shape: three combinable min-aggregates keyed on user_id —
+    // the stage joins co-partition on the same key, so the whole
+    // funnel is one shuffle of the event stream plus per-user-sized
+    // joins; the final counts are scalar subqueries over tiny tables.
+    SqlQ.split("w4_funnel",
+      """WITH s AS (SELECT user_id, min(unix_micros(ts)) AS t1
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |v AS (SELECT e.user_id, min(unix_micros(e.ts)) AS t2
+        |  FROM events e JOIN s ON s.user_id = e.user_id
+        |  WHERE e.event_type = 'view' AND unix_micros(e.ts) > s.t1
+        |    AND unix_micros(e.ts) <= s.t1 + 604800000000 GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(unix_micros(e.ts)) AS t3
+        |  FROM events e JOIN v ON v.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND unix_micros(e.ts) > v.t2
+        |    AND unix_micros(e.ts) <= v.t2 + 604800000000 GROUP BY e.user_id),
+        |c AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM s) AS n1,
+        |             (SELECT CAST(count(*) AS BIGINT) FROM v) AS n2,
+        |             (SELECT CAST(count(*) AS BIGINT) FROM p) AS n3)
+        |SELECT 1 AS stage_idx, 'signup' AS stage, n1 AS n_users,
+        |  CAST(1000000 AS BIGINT) AS conv_from_prev_ppm,
+        |  CAST(1000000 AS BIGINT) AS conv_from_top_ppm FROM c
+        |UNION ALL SELECT 2, 'view', n2,
+        |  CASE WHEN n1 = 0 THEN 0 ELSE (n2 * 1000000) DIV n1 END,
+        |  CASE WHEN n1 = 0 THEN 0 ELSE (n2 * 1000000) DIV n1 END FROM c
+        |UNION ALL SELECT 3, 'purchase', n3,
+        |  CASE WHEN n2 = 0 THEN 0 ELSE (n3 * 1000000) DIV n2 END,
+        |  CASE WHEN n1 = 0 THEN 0 ELSE (n3 * 1000000) DIV n1 END FROM c""".stripMargin,
+      """WITH s AS (SELECT user_id, min(epoch_us(ts)) AS t1
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |v AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+        |  FROM events e JOIN s ON s.user_id = e.user_id
+        |  WHERE e.event_type = 'view' AND epoch_us(e.ts) > s.t1
+        |    AND epoch_us(e.ts) <= s.t1 + 604800000000 GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+        |  FROM events e JOIN v ON v.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > v.t2
+        |    AND epoch_us(e.ts) <= v.t2 + 604800000000 GROUP BY e.user_id),
+        |c AS (SELECT (SELECT count(*)::BIGINT FROM s) AS n1,
+        |             (SELECT count(*)::BIGINT FROM v) AS n2,
+        |             (SELECT count(*)::BIGINT FROM p) AS n3)
+        |SELECT 1 AS stage_idx, 'signup' AS stage, n1 AS n_users,
+        |  1000000::BIGINT AS conv_from_prev_ppm,
+        |  1000000::BIGINT AS conv_from_top_ppm FROM c
+        |UNION ALL SELECT 2, 'view', n2,
+        |  (CASE WHEN n1 = 0 THEN 0 ELSE (n2 * 1000000) // n1 END)::BIGINT,
+        |  (CASE WHEN n1 = 0 THEN 0 ELSE (n2 * 1000000) // n1 END)::BIGINT FROM c
+        |UNION ALL SELECT 3, 'purchase', n3,
+        |  (CASE WHEN n2 = 0 THEN 0 ELSE (n3 * 1000000) // n2 END)::BIGINT,
+        |  (CASE WHEN n1 = 0 THEN 0 ELSE (n3 * 1000000) // n1 END)::BIGINT FROM c""".stripMargin),
+
     // OTF dialect's isoweek(date) (analysis.py:143-145) →
     // weekofyear, ISO semantics in both engines.
     SqlQ.shared("a11_isoweek",

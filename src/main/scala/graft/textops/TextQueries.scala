@@ -76,6 +76,19 @@ object TextQueries extends QueryModule {
         |      '[?&](utm_[a-z]+|ref)=[^&#]*', ''),
         |      '^([^?]*)&', '$1?'),
         |      '/$', '')""").stripMargin.format(c)
+
+    /** The DuckDB mirror of [[expr]] ('g' flag, `\1` backreference)
+      * — one definition shared by the d11 and t25 oracles so the
+      * dialect copies cannot drift. */
+    def duckExpr(c: String): String =
+      ("""regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      lower(%s),
+        |      '^https?://', '', 'g'),
+        |      '^www\.', '', 'g'),
+        |      '#.*$', '', 'g'),
+        |      '[?&](utm_[a-z]+|ref)=[^&#]*', '', 'g'),
+        |      '^([^?]*)&', '\1?', 'g'),
+        |      '/$', '', 'g')""").stripMargin.format(c)
   }
 
   /** THE quality-temperature mixing kernel, shared with the streaming
@@ -538,14 +551,7 @@ object TextQueries extends QueryModule {
         |    CASE WHEN doc_id % 11 = 0 THEN '#frag' ELSE '' END) AS url
         |  FROM documents),
         |norm AS (SELECT doc_id, url,
-        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-        |      lower(url),
-        |      '^https?://', '', 'g'),
-        |      '^www\.', '', 'g'),
-        |      '#.*$', '', 'g'),
-        |      '[?&](utm_[a-z]+|ref)=[^&#]*', '', 'g'),
-        |      '^([^?]*)&', '\1?', 'g'),
-        |      '/$', '', 'g') AS canon
+        |    """.stripMargin + UrlCanon.duckExpr("url") + """ AS canon
         |  FROM u)
         |SELECT canon, min(doc_id) AS keep_doc_id, count(*) AS n_variants
         |FROM norm GROUP BY canon""".stripMargin),
@@ -801,6 +807,72 @@ object TextQueries extends QueryModule {
          |  (length(corrupted) - length(nfc))::INT AS n_composed,
          |  substring(nfc, 1, 24) AS head
          |FROM n""".stripMargin),
+
+    // T25: domain-level corpus accounting with a per-domain cap — the
+    // C4/Dolma "domain balancing" bookkeeping: web corpora are
+    // dominated by a few mega-domains, so pipelines cap any single
+    // registered domain at a fixed share of the corpus and record
+    // what the cap discards. URLs run the SAME canonicalization
+    // chain as d11 (UrlCanon both dialects — shared by construction),
+    // hosts come off the canonical form, the registered domain is
+    // the last two labels, and the accounting is exact integer ppm
+    // (the t23 pattern). The fixture skews deliberately (50/30/20 by
+    // doc_id decile) so the 40% cap binds on exactly one domain and
+    // the kept/discarded arithmetic is exercised, not vacuous.
+    // Scale shape: per-row codegen'd regex chain, ONE combinable
+    // groupBy(domain), and a single-row total broadcast — the
+    // accounting costs one scan at any corpus size.
+    SqlQ.split("t25_domain_cap",
+      """WITH u AS (SELECT doc_id, concat(
+        |    CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END,
+        |    'site', CAST(doc_id % 7 AS STRING), '.',
+        |    CASE WHEN doc_id % 10 < 5 THEN 'example.com'
+        |         WHEN doc_id % 10 < 8 THEN 'datahub.org'
+        |         ELSE 'archive.net' END,
+        |    '/page/', CAST(doc_id % 13 AS STRING)) AS url
+        |  FROM documents),
+        |norm AS (SELECT doc_id,
+        |    """.stripMargin + UrlCanon.expr("url") + """ AS canon
+        |  FROM u),
+        |h AS (SELECT doc_id, regexp_extract(canon, '^[^/?]+', 0) AS host FROM norm),
+        |r AS (SELECT doc_id, host,
+        |    regexp_extract(host, '[^.]+\\.[^.]+$', 0) AS domain FROM h),
+        |d AS (SELECT domain, CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+        |    CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM r GROUP BY domain),
+        |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM d)
+        |SELECT domain, n_hosts, n_docs,
+        |  (n_docs * 1000000) DIV total AS natural_ppm,
+        |  (total * 40) DIV 100 AS cap_docs,
+        |  least(n_docs, (total * 40) DIV 100) AS kept_docs,
+        |  CASE WHEN n_docs > (total * 40) DIV 100 THEN 1 ELSE 0 END AS over_cap
+        |FROM d CROSS JOIN tot""".stripMargin,
+      """WITH u AS (SELECT doc_id, concat(
+        |    CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END,
+        |    'site', CAST(doc_id % 7 AS VARCHAR), '.',
+        |    CASE WHEN doc_id % 10 < 5 THEN 'example.com'
+        |         WHEN doc_id % 10 < 8 THEN 'datahub.org'
+        |         ELSE 'archive.net' END,
+        |    '/page/', CAST(doc_id % 13 AS VARCHAR)) AS url
+        |  FROM documents),
+        |norm AS (SELECT doc_id,
+        |    """.stripMargin + UrlCanon.duckExpr("url") + """ AS canon
+        |  FROM u),
+        |h AS (SELECT doc_id, regexp_extract(canon, '^[^/?]+') AS host FROM norm),
+        |r AS (SELECT doc_id, host,
+        |    regexp_extract(host, '[^.]+\.[^.]+$') AS domain FROM h),
+        |d AS (SELECT domain, count(DISTINCT host)::BIGINT AS n_hosts,
+        |    count(*)::BIGINT AS n_docs
+        |  FROM r GROUP BY domain),
+        |tot AS (SELECT sum(n_docs)::BIGINT AS total FROM d)
+        |SELECT domain, n_hosts, n_docs,
+        |  ((n_docs * 1000000) // total)::BIGINT AS natural_ppm,
+        |  ((total * 40) // 100)::BIGINT AS cap_docs,
+        |  least(n_docs, (total * 40) // 100)::BIGINT AS kept_docs,
+        |  (CASE WHEN n_docs > (total * 40) // 100 THEN 1 ELSE 0 END)::INT AS over_cap
+        |FROM d CROSS JOIN tot""".stripMargin),
 
     // T17: count-based n-gram LM build — the trigram statistics pass
     // behind decontamination suffix checks, Kneser-Ney baselines and
