@@ -335,6 +335,63 @@ object MultimodalQueries extends QueryModule {
     }(Encoders.row(audioSchema))
   }
 
+  private val resampleSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("window_idx", IntegerType),
+    StructField("n_samples", IntegerType),
+    StructField("energy_x25", LongType),
+    StructField("peak_x5", IntegerType)))
+
+  /** M18: sample-rate conversion over the REAL WAV lake — the
+    * resample every speech pipeline runs before a 16 kHz ASR model
+    * eats 44.1/8 kHz crawl audio. Rational 5/8 downsample (8 kHz →
+    * 5 kHz) by linear interpolation at exact rational positions:
+    * output i sits at source position i·8/5, and the interpolated
+    * value is computed as the INTEGER numerator scaled by the
+    * denominator — `v = s[j]·(5−k) + s[j+1]·k` with `j = (i·8) div 5,
+    * k = (i·8) mod 5` — so no engine ever rounds a fraction and the
+    * oracle replay is exact (the emitted features carry the ×5 / ×25
+    * scale in their names). Features are m4's 64-sample windowing
+    * over the RESAMPLED stream (energy/peak), so the conversion's
+    * correctness is observable through the same lens the VAD/energy
+    * ops use. Scale shape: one narrow batched decode map — no
+    * shuffle beyond the output. Oracle: the shared [[pcmOracleCte]]
+    * sample replay + the same closed-form interpolation in SQL. */
+  private def audioResample(spark: SparkSession, sfDir: String): DataFrame = {
+    val media = spark.read.parquet(MediaLake.ensureAudio(spark, sfDir))
+    val W = 64
+    media.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.iterator.flatMap { row =>
+          val smp = Wav.decode(row.getAs[Array[Byte]]("media")).samples
+          val n = smp.length // lake excludes empty docs, so n >= 1
+          val nOut = ((n - 1).toLong * 5 / 8 + 1).toInt
+          val out = Array.tabulate(nOut) { i =>
+            val p = i.toLong * 8
+            val j = (p / 5).toInt
+            val k = (p % 5).toInt
+            if (k == 0) smp(j) * 5L
+            else smp(j).toLong * (5 - k) + smp(j + 1).toLong * k
+          }
+          val lastWin = math.floorDiv(nOut - 1, W)
+          (0 to lastWin).iterator.map { w =>
+            val end = math.min(nOut, (w + 1) * W)
+            var i = w * W
+            var energy = 0L
+            var peak = 0L
+            while (i < end) {
+              val v = out(i)
+              energy += v * v
+              if (math.abs(v) > peak) peak = math.abs(v)
+              i += 1
+            }
+            Row(row.getLong(0), w, end - w * W, energy, peak.toInt)
+          }
+        }
+      }
+    }(Encoders.row(resampleSchema))
+  }
+
   /** M16: energy-based voice-activity segmentation over the REAL WAV
     * lake — the VAD pass a speech-training pipeline runs before ASR
     * transcription or TTS clip extraction (silence-trim + utterance
@@ -686,6 +743,46 @@ object MultimodalQueries extends QueryModule {
          |SELECT doc_id, cosine, CAST(cosine >= 0 AS INT) AS aligned FROM j""".stripMargin)
   }
 
+  /** m17's keep threshold — the LAION move (Schuhmann et al. 2021
+    * kept image-text pairs at CLIP cosine ≥ 0.3; the working value is
+    * corpus-dependent). 0.1 keeps ~39% of this fixture — both sides
+    * of the cut are populated, so the accounting is non-vacuous. */
+  private val ClipKeepCosine = "0.1"
+
+  /** M17: CLIP-score curation — the LAION-style filter pass on the
+    * m7 alignment scores: bucket every claimed pair by its cosine
+    * (floor(cos·20) — the 0.05-wide histogram a threshold sweep
+    * reads), apply the keep threshold, and emit the per-bucket
+    * accounting (pair count, kept count, micro-quantized score mass)
+    * that decides where the knob should sit before committing a
+    * multi-week crawl re-render. Cross-engine: both engines compute
+    * the identical IEEE cosine (index-ordered folds), so floor and
+    * the threshold compare agree exactly; the per-bucket score sum
+    * quantizes each cosine ONCE to integer micro-units (t13's trick)
+    * so the BIGINT sum is order-independent. Scale shape: rides the
+    * persisted tower sidecar + one co-partitionable id join (m7's
+    * contract), then ONE combinable groupBy over ≤ 40 buckets. */
+  private def clipFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.register(spark, sfDir)
+    val view = imgEmbView(spark, sfDir)
+    spark.sql(
+      s"""WITH t AS (SELECT vec_id,
+         |    CAST(slice(embedding, 1, 8) AS ARRAY<DOUBLE>) AS txt FROM embeddings),
+         |j AS (SELECT i.doc_id,
+         |    vec_dot(i.img, t.txt)
+         |      / (sqrt(vec_dot(i.img, i.img)) * sqrt(vec_dot(t.txt, t.txt))) AS cosine
+         |  FROM $view i JOIN t ON i.doc_id = t.vec_id),
+         |b AS (SELECT doc_id, cosine,
+         |    CAST(floor(cosine * 20.0) AS INT) AS bucket,
+         |    CASE WHEN cosine >= $ClipKeepCosine THEN 1 ELSE 0 END AS kept
+         |  FROM j)
+         |SELECT bucket, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(kept) AS BIGINT) AS n_kept,
+         |  min(doc_id) AS min_doc_id,
+         |  CAST(sum(CAST(round(cosine * 1000000.0) AS BIGINT)) AS BIGINT) AS cos_u_sum
+         |FROM b GROUP BY bucket""".stripMargin)
+  }
+
   private val metaSchema = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("meta_key", StringType),
@@ -868,7 +965,9 @@ object MultimodalQueries extends QueryModule {
     "m10_audio_fingerprint" -> ((s, d) => audioFingerprintPairs(s, d)),
     "m11_scene_cuts" -> ((s, d) => sceneCuts(s, d)),
     "m14_spectrogram" -> ((s, d) => spectrogram(s, d)),
-    "m15_frame_dedup" -> ((s, d) => frameDedup(s, d)))
+    "m15_frame_dedup" -> ((s, d) => frameDedup(s, d)),
+    "m17_clip_filter" -> ((s, d) => clipFilter(s, d)),
+    "m18_audio_resample" -> ((s, d) => audioResample(s, d)))
 
   /** The full-pixel-stream oracle CTEs (m1/m7's gray stream): emits
     * `g(doc_id, w, hh, npx, gs)` with `gs` the complete rendered
@@ -929,10 +1028,17 @@ object MultimodalQueries extends QueryModule {
     * m5/m6 phash-CTE convention). `list_sum` is cast `::BIGINT` at
     * the source: DuckDB types it HUGEINT, which the driver's
     * type-sensitive hash rejects (the round-9 m2 lesson). */
-  private val m4WindowOracleCtes: String =
+  /** The PCM sample replay — `s(doc_id, smp)` from the text via the
+    * WAV writer's formula ([[MediaLake.pcmSamples]], `ascii − 64`) —
+    * shared by the m4/m16 window CTEs and the m18 resample oracle so
+    * the sample definition cannot drift. */
+  private val pcmOracleCte: String =
     """s AS (SELECT doc_id,
       |  [ascii(ch)::BIGINT - 64 for ch in string_split(text, '')] AS smp
-      |  FROM documents WHERE len(text) > 0),
+      |  FROM documents WHERE len(text) > 0)""".stripMargin
+
+  private val m4WindowOracleCtes: String =
+    s"""$pcmOracleCte,
       |w0 AS (SELECT doc_id, smp,
       |  unnest(generate_series(0, (len(smp)-1)//64)) AS win FROM s),
       |sl AS (SELECT doc_id, win,
@@ -986,6 +1092,38 @@ object MultimodalQueries extends QueryModule {
          |         * sqrt(list_reduce([y*y for y in t.txt], (a,c) -> a+c))) AS cosine
          |  FROM b JOIN t ON b.doc_id = t.vec_id)
          |SELECT doc_id, cosine, (cosine >= 0)::INT AS aligned FROM jn""".stripMargin,
+    // the pairing/cosine CTEs are m7's verbatim (shared tower +
+    // text-slice replay); only the bucketing tail differs
+    "m17_clip_filter" ->
+      s"""WITH $grayOracleCtes,
+         |$imgTowerOracleCte,
+         |t AS (SELECT vec_id, [x::DOUBLE for x in list_slice(embedding, 1, 8)] AS txt FROM embeddings),
+         |jn AS (SELECT b.doc_id,
+         |    list_reduce([b.img[k] * t.txt[k] for k in generate_series(1, 8)], (a,c) -> a+c)
+         |      / (sqrt(list_reduce([y*y for y in b.img], (a,c) -> a+c))
+         |         * sqrt(list_reduce([y*y for y in t.txt], (a,c) -> a+c))) AS cosine
+         |  FROM b JOIN t ON b.doc_id = t.vec_id),
+         |bk AS (SELECT doc_id, cosine,
+         |    floor(cosine * 20.0)::INT AS bucket,
+         |    CASE WHEN cosine >= $ClipKeepCosine THEN 1 ELSE 0 END AS kept
+         |  FROM jn)
+         |SELECT bucket, count(*)::BIGINT AS n_pairs,
+         |  sum(kept)::BIGINT AS n_kept,
+         |  min(doc_id) AS min_doc_id,
+         |  sum(CAST(round(cosine * 1000000.0) AS BIGINT))::BIGINT AS cos_u_sum
+         |FROM bk GROUP BY bucket""".stripMargin,
+    "m18_audio_resample" ->
+      s"""WITH $pcmOracleCte,
+         |o AS (SELECT doc_id, smp,
+         |  unnest(generate_series(0, ((len(smp)-1)*5)//8)) AS i FROM s),
+         |r AS (SELECT doc_id, i,
+         |  CASE WHEN (i*8) % 5 = 0 THEN smp[(i*8)//5 + 1] * 5
+         |       ELSE smp[(i*8)//5 + 1] * (5 - (i*8) % 5)
+         |            + smp[(i*8)//5 + 2] * ((i*8) % 5) END AS v
+         |  FROM o)
+         |SELECT doc_id, (i//64)::INT AS window_idx, count(*)::INT AS n_samples,
+         |  sum(v*v)::BIGINT AS energy_x25, max(abs(v))::INT AS peak_x5
+         |FROM r GROUP BY doc_id, i//64""".stripMargin,
     // the frame_off constants replay the writer's deterministic
     // layout (pinned byte-exactly in AviSpec): RIFF hdr 12 + hdrl
     // chunk 200 + movi LIST hdr 12 + per-frame ('00db' hdr 8 +

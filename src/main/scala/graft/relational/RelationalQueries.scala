@@ -240,6 +240,46 @@ object RelationalQueries extends QueryModule {
         |  (CASE WHEN n2 = 0 THEN 0 ELSE (n3 * 1000000) // n2 END)::BIGINT,
         |  (CASE WHEN n1 = 0 THEN 0 ELSE (n3 * 1000000) // n1 END)::BIGINT FROM c""".stripMargin),
 
+    // §2.5+: cohort retention matrix — the other canonical
+    // product-analytics operator next to w4's funnel: users cohort by
+    // their FIRST event's calendar week (exact integer week index
+    // from microseconds — the w3/w4 lesson), and each later active
+    // week counts them once at that (cohort, offset) cell; rates are
+    // exact integer ppm against the cohort size. Scale shape: two
+    // combinable aggregates keyed on user_id (first-event min, then
+    // the distinct-active-week dedup rides the same shuffle key); the
+    // cohort-size side is |weeks| rows — broadcast — and the output
+    // matrix is |weeks|² cells regardless of corpus size.
+    SqlQ.split("w5_retention_cohorts",
+      """WITH f AS (SELECT user_id,
+        |    min(unix_micros(ts)) DIV 604800000000 AS cohort_w
+        |  FROM events GROUP BY user_id),
+        |a AS (SELECT DISTINCT e.user_id, f.cohort_w,
+        |    unix_micros(e.ts) DIV 604800000000 - f.cohort_w AS offset_w
+        |  FROM events e JOIN f ON f.user_id = e.user_id),
+        |cs AS (SELECT cohort_w, CAST(count(*) AS BIGINT) AS cohort_size
+        |  FROM f GROUP BY cohort_w)
+        |SELECT CAST(a.cohort_w AS INT) AS cohort_week,
+        |  CAST(a.offset_w AS INT) AS week_offset,
+        |  CAST(count(*) AS BIGINT) AS n_users, cs.cohort_size,
+        |  (count(*) * 1000000) DIV cs.cohort_size AS retention_ppm
+        |FROM a JOIN cs ON cs.cohort_w = a.cohort_w
+        |GROUP BY a.cohort_w, a.offset_w, cs.cohort_size""".stripMargin,
+      """WITH f AS (SELECT user_id,
+        |    min(epoch_us(ts)) // 604800000000 AS cohort_w
+        |  FROM events GROUP BY user_id),
+        |a AS (SELECT DISTINCT e.user_id, f.cohort_w,
+        |    epoch_us(e.ts) // 604800000000 - f.cohort_w AS offset_w
+        |  FROM events e JOIN f ON f.user_id = e.user_id),
+        |cs AS (SELECT cohort_w, count(*)::BIGINT AS cohort_size
+        |  FROM f GROUP BY cohort_w)
+        |SELECT a.cohort_w::INT AS cohort_week,
+        |  a.offset_w::INT AS week_offset,
+        |  count(*)::BIGINT AS n_users, cs.cohort_size,
+        |  ((count(*) * 1000000) // cs.cohort_size)::BIGINT AS retention_ppm
+        |FROM a JOIN cs ON cs.cohort_w = a.cohort_w
+        |GROUP BY a.cohort_w, a.offset_w, cs.cohort_size""".stripMargin),
+
     // OTF dialect's isoweek(date) (analysis.py:143-145) →
     // weekofyear, ISO semantics in both engines.
     SqlQ.shared("a11_isoweek",

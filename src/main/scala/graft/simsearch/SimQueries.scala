@@ -1057,6 +1057,122 @@ object SimQueries extends QueryModule {
        |${kmeansCtes(KmMaxIter + 1)}
        |SELECT vec_id, c AS cluster_id FROM asg${KmMaxIter + 1}""".stripMargin
 
+  /** Neighbors kept per node in the e21 kNN graph. */
+  private val KnnGraphK = 3
+
+  /** E21: mutual-kNN graph construction — the neighborhood graph
+    * behind graph-based semantic dedup, diversity analysis and label
+    * propagation (the structure NN-descent approximates at scale;
+    * here exact within IVF cells): each node's top-k cosine
+    * neighbors AMONG ITS CELL-MATES form the out-edges, and an edge
+    * is mutual when its reverse edge also survives the top-k cut —
+    * the symmetric core is the high-precision signal. Per-node
+    * output: degree, mutual count, the rank-1 neighbor, and the
+    * micro-quantized edge-weight sum (t13's integer trick — a raw
+    * double sum over k edges would be order-dependent across
+    * engines). Scale shape: the candidate join is cell-blocked
+    * (e2/e9's contract — never global n²), the top-k window
+    * partitions by source node with cell-bounded groups
+    * (WindowGroupLimit prunes below the shuffle), and mutuality is
+    * ONE count window over the unordered pair key — an edge table
+    * self-join on the reversed key would re-run the whole candidate
+    * pipeline for the probe side and shuffle it twice (the shape the
+    * first draft planned; plan-pinned against regression). */
+  private def knnGraph(spark: SparkSession, sfDir: String): DataFrame = {
+    val km = convergedKmeans(spark, sfDir)
+    spark.sql(
+      s"""$sparkVecs,
+         |asg AS (SELECT vec_id, v, nrm, ${argmaxAssign(km.centroids)} AS c FROM n),
+         |nn AS (SELECT a.vec_id AS src, a.c AS cell, b.vec_id AS dst,
+         |    vec_dot(a.v, b.v) / (a.nrm * b.nrm) AS sim
+         |  FROM asg a JOIN asg b ON b.c = a.c AND b.vec_id != a.vec_id),
+         |r AS (SELECT src, cell, dst, sim,
+         |    CAST(row_number() OVER (PARTITION BY src
+         |      ORDER BY sim DESC, dst) AS INT) AS rnk FROM nn),
+         |e AS (SELECT src, cell, dst, sim, rnk FROM r WHERE rnk <= $KnnGraphK),
+         |m AS (SELECT src, cell, dst, sim, rnk,
+         |    CASE WHEN count(*) OVER (PARTITION BY least(src, dst),
+         |      greatest(src, dst)) = 2 THEN 1 ELSE 0 END AS mutual
+         |  FROM e)
+         |SELECT src AS vec_id, cell, CAST(count(*) AS INT) AS out_degree,
+         |  CAST(sum(mutual) AS INT) AS n_mutual,
+         |  min(CASE WHEN rnk = 1 THEN dst END) AS nn_id,
+         |  CAST(sum(CAST(round(sim * 1000000.0) AS BIGINT)) AS BIGINT) AS sim_u_sum
+         |FROM m GROUP BY src, cell""".stripMargin)
+  }
+
+  private def e21Oracle: String =
+    s"""$duckVecs,
+       |${kmeansCtes(KmMaxIter + 1)},
+       |fin AS (SELECT asg.vec_id, asg.v, n.nrm, asg.c
+       |  FROM asg${KmMaxIter + 1} asg JOIN n ON n.vec_id = asg.vec_id),
+       |nn AS (SELECT a.vec_id AS src, a.c AS cell, b.vec_id AS dst,
+       |    ${dDot("a.v", "b.v")} / (a.nrm * b.nrm) AS sim
+       |  FROM fin a, fin b WHERE b.c = a.c AND b.vec_id != a.vec_id),
+       |r AS (SELECT src, cell, dst, sim,
+       |    CAST(row_number() OVER (PARTITION BY src
+       |      ORDER BY sim DESC, dst) AS INT) AS rnk FROM nn),
+       |e AS (SELECT src, cell, dst, sim, rnk FROM r WHERE rnk <= $KnnGraphK),
+       |m AS (SELECT src, cell, dst, sim, rnk,
+       |    CASE WHEN count(*) OVER (PARTITION BY least(src, dst),
+       |      greatest(src, dst)) = 2 THEN 1 ELSE 0 END AS mutual
+       |  FROM e)
+       |SELECT src AS vec_id, cell, count(*)::INT AS out_degree,
+       |  sum(mutual)::INT AS n_mutual,
+       |  min(CASE WHEN rnk = 1 THEN dst END) AS nn_id,
+       |  sum(CAST(round(sim * 1000000.0) AS BIGINT))::BIGINT AS sim_u_sum
+       |FROM m GROUP BY src, cell""".stripMargin
+
+  /** E22: prototypicality pruning (Sorscher et al. 2022, "Beyond
+    * neural scaling laws"): rank each embedding by cosine to its own
+    * cluster centroid — the self-supervised prototypicality metric —
+    * and, data being abundant, PRUNE THE EASIEST (most prototypical)
+    * 30% of every cell; the hard band carries the marginal training
+    * signal. Output is the per-vector verdict (rank, cell size, the
+    * micro-quantized score, kept flag) a selection step joins on.
+    * Scale shape: the centroid table is k rows — broadcast by
+    * construction (inlined literals here); the only shuffle is the
+    * per-cell rank window, whose partitions are corpus/k-sized —
+    * beyond memory-bounded cells the standard move is sub-clustering
+    * first (the paper's own setup: k grows with n). */
+  private def protoPrune(spark: SparkSession, sfDir: String): DataFrame = {
+    val km = convergedKmeans(spark, sfDir)
+    spark.sql(
+      s"""$sparkVecs,
+         |${centroidCte(km.centroids)},
+         |asg AS (SELECT vec_id, v, nrm, ${argmaxAssign(km.centroids)} AS c FROM n),
+         |p AS (SELECT asg.vec_id, asg.c AS cell,
+         |    vec_dot(asg.v, cn.cv) / (asg.nrm * cn.cnrm) AS proto_cos
+         |  FROM asg JOIN cn ON cn.c = asg.c),
+         |r AS (SELECT vec_id, cell, proto_cos,
+         |    CAST(row_number() OVER (PARTITION BY cell
+         |      ORDER BY proto_cos DESC, vec_id) AS INT) AS proto_rank,
+         |    CAST(count(*) OVER (PARTITION BY cell) AS INT) AS cell_n
+         |  FROM p)
+         |SELECT vec_id, cell, proto_rank, cell_n,
+         |  CAST(round(proto_cos * 1000000.0) AS BIGINT) AS proto_u,
+         |  CASE WHEN proto_rank * 10 > 3 * cell_n THEN 1 ELSE 0 END AS kept
+         |FROM r""".stripMargin)
+  }
+
+  private def e22Oracle: String =
+    s"""$duckVecs,
+       |${kmeansCtes(KmMaxIter + 1)},
+       |fin AS (SELECT asg.vec_id, asg.v, n.nrm, asg.c
+       |  FROM asg${KmMaxIter + 1} asg JOIN n ON n.vec_id = asg.vec_id),
+       |p AS (SELECT fin.vec_id, fin.c AS cell,
+       |    ${dDot("fin.v", "cn.cv")} / (fin.nrm * cn.cnrm) AS proto_cos
+       |  FROM fin JOIN cn$KmMaxIter cn ON cn.c = fin.c),
+       |r AS (SELECT vec_id, cell, proto_cos,
+       |    CAST(row_number() OVER (PARTITION BY cell
+       |      ORDER BY proto_cos DESC, vec_id) AS INT) AS proto_rank,
+       |    CAST(count(*) OVER (PARTITION BY cell) AS INT) AS cell_n
+       |  FROM p)
+       |SELECT vec_id, cell, proto_rank, cell_n,
+       |  CAST(round(proto_cos * 1000000.0) AS BIGINT) AS proto_u,
+       |  (CASE WHEN proto_rank * 10 > 3 * cell_n THEN 1 ELSE 0 END)::INT AS kept
+       |FROM r""".stripMargin
+
   private def e3Oracle: String = ivfOracle("")
 
   /** DuckDB replay of [[ivfTopK]] (k-means CTE chain + 2-probe scan);
@@ -1530,6 +1646,8 @@ object SimQueries extends QueryModule {
       ("e4_ann_lsh_auto" -> ((s: SparkSession, d: String) => e4Auto(s, d))) +
       ("e4_ann_lsh_pairs" -> ((s: SparkSession, d: String) => e4Banded(s, d, bandBits = 6))) +
       ("e9_semdedup" -> ((s: SparkSession, d: String) => semDedup(s, d))) +
+      ("e21_knn_graph" -> ((s: SparkSession, d: String) => knnGraph(s, d))) +
+      ("e22_proto_prune" -> ((s: SparkSession, d: String) => protoPrune(s, d))) +
       ("e11_ivfpq" -> ((s: SparkSession, d: String) => ivfPqTopK(s, d))) +
       ("e12_ivfpq_recall" -> ((s: SparkSession, d: String) => ivfPqRecall(s, d))) +
       ("e14_pq_trained_recall" -> ((s: SparkSession, d: String) => pqTrainedRecall(s, d)))
@@ -1546,6 +1664,8 @@ object SimQueries extends QueryModule {
       ("e4_ann_lsh_auto" -> e4Oracle) +
       ("e4_ann_lsh_pairs" -> e4Oracle) +
       ("e9_semdedup" -> e9Oracle) +
+      ("e21_knn_graph" -> e21Oracle) +
+      ("e22_proto_prune" -> e22Oracle) +
       ("e11_ivfpq" -> e11Oracle) +
       ("e12_ivfpq_recall" -> e12Oracle) +
       ("e14_pq_trained_recall" -> e14Oracle)

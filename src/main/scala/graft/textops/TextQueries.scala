@@ -1332,7 +1332,169 @@ object TextQueries extends QueryModule {
          |  len(regexp_extract_all(text, '${PiiShape.ipv4}'))::INT AS n_ips,
          |  CAST(len(text) - len(redacted) AS BIGINT) AS removed_chars,
          |  md5(redacted) AS redacted_md5
-         |FROM scrub""".stripMargin)
+         |FROM scrub""".stripMargin),
+
+    // T26: HTML main-text extraction — the boilerplate-removal pass
+    // every web-crawl pipeline runs FIRST (C4 strips markup before
+    // its filters; FineWeb/RefinedWeb run trafilatura): drop chrome
+    // regions (head/nav/footer), strip the remaining tags, collapse
+    // whitespace, and score link density (anchor-text share — the
+    // classic boilerplate signal from Kohlschütter's boilerpipe).
+    // The fixture wraps each document in a deterministic page frame
+    // (title/nav/links/footer built from its own columns) so the
+    // extractor's work is observable: chrome must vanish, anchor
+    // text inside the body must SURVIVE tag-stripping, and the
+    // accounting (n_links, anchor chars, link ppm) is exact integer.
+    // Cross-engine: Java regex and RE2 agree on these patterns ((?s)
+    // non-greedy region strip, '<[^>]*>' tag strip, ' +' collapse);
+    // DuckDB needs the explicit 'g' flag where Spark replaces
+    // globally by default. Extracted text enters the hash via an
+    // md5 + a head substring (the t24 convention). Scale shape: a
+    // pure per-row codegen'd regex chain — no shuffle at all.
+    SqlQ.split("t26_html_extract",
+      """WITH page AS (SELECT doc_id, concat(
+        |    '<html><head><title>doc ', CAST(doc_id AS STRING),
+        |    '</title><style>p{margin:0}</style></head><body>',
+        |    '<nav><a href="/">Home</a> | <a href="/about">About</a></nav>',
+        |    '<p>', text, '</p>',
+        |    '<a href="http://site', CAST(doc_id % 7 AS STRING),
+        |    '.example.com/next">read part ', CAST(doc_id % 5 AS STRING),
+        |    '</a><footer>(c) example.com crawl</footer></body></html>')
+        |    AS html FROM documents),
+        |main AS (SELECT doc_id, html,
+        |    regexp_replace(regexp_replace(regexp_replace(html,
+        |      '(?s)<head>.*?</head>', ''),
+        |      '(?s)<nav>.*?</nav>', ''),
+        |      '(?s)<footer>.*?</footer>', '') AS body_html
+        |  FROM page),
+        |ext AS (SELECT doc_id, html,
+        |    trim(regexp_replace(regexp_replace(body_html, '<[^>]*>', ' '),
+        |      '  +', ' ')) AS main_text,
+        |    CAST(size(regexp_extract_all(body_html,
+        |      '<a [^>]*>([^<]*)</a>', 1)) AS INT) AS n_links,
+        |    CAST(aggregate(regexp_extract_all(body_html,
+        |      '<a [^>]*>([^<]*)</a>', 1), 0L, (s, x) -> s + length(x))
+        |      AS BIGINT) AS anchor_chars
+        |  FROM main)
+        |SELECT doc_id, n_links, anchor_chars,
+        |  CAST(length(main_text) AS BIGINT) AS extracted_chars,
+        |  CASE WHEN length(main_text) = 0 THEN 0
+        |       ELSE (anchor_chars * 1000000) DIV length(main_text) END
+        |    AS link_ppm,
+        |  CASE WHEN length(main_text) >= 100
+        |        AND (anchor_chars * 1000000) DIV length(main_text) < 500000
+        |       THEN 1 ELSE 0 END AS kept,
+        |  substring(main_text, 1, 24) AS head,
+        |  md5(main_text) AS text_md5
+        |FROM ext""".stripMargin,
+      """WITH page AS (SELECT doc_id, concat(
+        |    '<html><head><title>doc ', CAST(doc_id AS VARCHAR),
+        |    '</title><style>p{margin:0}</style></head><body>',
+        |    '<nav><a href="/">Home</a> | <a href="/about">About</a></nav>',
+        |    '<p>', text, '</p>',
+        |    '<a href="http://site', CAST(doc_id % 7 AS VARCHAR),
+        |    '.example.com/next">read part ', CAST(doc_id % 5 AS VARCHAR),
+        |    '</a><footer>(c) example.com crawl</footer></body></html>')
+        |    AS html FROM documents),
+        |main AS (SELECT doc_id, html,
+        |    regexp_replace(regexp_replace(regexp_replace(html,
+        |      '(?s)<head>.*?</head>', '', 'g'),
+        |      '(?s)<nav>.*?</nav>', '', 'g'),
+        |      '(?s)<footer>.*?</footer>', '', 'g') AS body_html
+        |  FROM page),
+        |ext AS (SELECT doc_id, html,
+        |    trim(regexp_replace(regexp_replace(body_html, '<[^>]*>', ' ', 'g'),
+        |      '  +', ' ', 'g')) AS main_text,
+        |    len(regexp_extract_all(body_html,
+        |      '<a [^>]*>([^<]*)</a>', 1))::INT AS n_links,
+        |    list_sum([len(x) for x in regexp_extract_all(body_html,
+        |      '<a [^>]*>([^<]*)</a>', 1)])::BIGINT AS anchor_chars
+        |  FROM main)
+        |SELECT doc_id, n_links, anchor_chars,
+        |  len(main_text)::BIGINT AS extracted_chars,
+        |  (CASE WHEN len(main_text) = 0 THEN 0
+        |       ELSE (anchor_chars * 1000000) // len(main_text) END)::BIGINT
+        |    AS link_ppm,
+        |  (CASE WHEN len(main_text) >= 100
+        |        AND (anchor_chars * 1000000) // len(main_text) < 500000
+        |       THEN 1 ELSE 0 END)::INT AS kept,
+        |  substring(main_text, 1, 24) AS head,
+        |  md5(main_text) AS text_md5
+        |FROM ext""".stripMargin),
+
+    // T27: CCNet perplexity bucketing (Wenzek et al. 2020 §4.3): per
+    // LANGUAGE, rank documents by LM perplexity and cut the corpus
+    // into head/middle/tail TERCILES — the quality tiers CCNet ships
+    // as separate subsets (head trains the model, tail gets dropped
+    // or down-weighted). The LM is t13's corpus unigram simplification
+    // but trained PER LANGUAGE (CCNet's actual setup: one LM per
+    // language); each doc's mean nll in integer micro-nats (t13's
+    // quantization, floor-divided once — exact in both engines since
+    // sum_u >= 0), tercile thresholds via the t15 histogram-quantile
+    // pattern over the discrete avg_u domain (rank-based, never an
+    // interpolated double), and the output is the per-(lang, bucket)
+    // accounting a mixing step consumes. Scale shape: the LM join is
+    // t13's (broadcast under the threshold, hash-join beyond); the
+    // histogram is map-side combinable and the tercile window runs
+    // over <= |langs| x |distinct avg_u| rows; the final accounting
+    // is one combinable groupBy.
+    SqlQ.split("t27_ccnet_buckets",
+      """WITH w AS (SELECT doc_id, lang, word FROM documents
+        |  LATERAL VIEW explode(split(text, ' ')) t AS word),
+        |cnt AS (SELECT lang, word, count(*) AS c FROM w GROUP BY lang, word),
+        |tot AS (SELECT lang, CAST(count(*) AS BIGINT) AS t FROM w GROUP BY lang),
+        |per AS (SELECT w.doc_id, w.lang,
+        |    CAST(round(-ln(CAST(cnt.c AS DOUBLE) / CAST(tot.t AS DOUBLE)) * 1000000.0) AS BIGINT) AS nll_u
+        |  FROM w JOIN cnt ON cnt.lang = w.lang AND cnt.word = w.word
+        |         JOIN tot ON tot.lang = w.lang),
+        |agg AS (SELECT doc_id, lang, CAST(sum(nll_u) AS BIGINT) AS sum_u,
+        |    CAST(count(*) AS BIGINT) AS n_tokens
+        |  FROM per GROUP BY doc_id, lang),
+        |a2 AS (SELECT doc_id, lang, n_tokens, sum_u DIV n_tokens AS avg_u FROM agg),
+        |hist AS (SELECT lang, avg_u, count(*) AS c FROM a2 GROUP BY lang, avg_u),
+        |n AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_docs FROM hist GROUP BY lang),
+        |cum AS (SELECT lang, avg_u,
+        |    sum(c) OVER (PARTITION BY lang ORDER BY avg_u) AS cm FROM hist),
+        |q AS (SELECT cum.lang,
+        |    min(CASE WHEN cm * 3 >= n.n_docs THEN avg_u END) AS p33,
+        |    min(CASE WHEN cm * 3 >= 2 * n.n_docs THEN avg_u END) AS p66
+        |  FROM cum JOIN n ON n.lang = cum.lang GROUP BY cum.lang),
+        |b AS (SELECT a2.doc_id, a2.lang, a2.n_tokens, a2.avg_u,
+        |    CASE WHEN avg_u <= p33 THEN 'head'
+        |         WHEN avg_u <= p66 THEN 'middle' ELSE 'tail' END AS bucket
+        |  FROM a2 JOIN q ON q.lang = a2.lang)
+        |SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  min(avg_u) AS min_avg_u, max(avg_u) AS max_avg_u
+        |FROM b GROUP BY lang, bucket""".stripMargin,
+      """WITH w AS (SELECT doc_id, lang,
+        |    unnest(string_split(text, ' ')) AS word FROM documents),
+        |cnt AS (SELECT lang, word, count(*) AS c FROM w GROUP BY lang, word),
+        |tot AS (SELECT lang, CAST(count(*) AS BIGINT) AS t FROM w GROUP BY lang),
+        |per AS (SELECT w.doc_id, w.lang,
+        |    CAST(round(-ln(CAST(cnt.c AS DOUBLE) / CAST(tot.t AS DOUBLE)) * 1000000.0) AS BIGINT) AS nll_u
+        |  FROM w JOIN cnt ON cnt.lang = w.lang AND cnt.word = w.word
+        |         JOIN tot ON tot.lang = w.lang),
+        |agg AS (SELECT doc_id, lang, CAST(sum(nll_u) AS BIGINT) AS sum_u,
+        |    CAST(count(*) AS BIGINT) AS n_tokens
+        |  FROM per GROUP BY doc_id, lang),
+        |a2 AS (SELECT doc_id, lang, n_tokens, (sum_u // n_tokens)::BIGINT AS avg_u FROM agg),
+        |hist AS (SELECT lang, avg_u, count(*) AS c FROM a2 GROUP BY lang, avg_u),
+        |n AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_docs FROM hist GROUP BY lang),
+        |cum AS (SELECT lang, avg_u,
+        |    sum(c) OVER (PARTITION BY lang ORDER BY avg_u) AS cm FROM hist),
+        |q AS (SELECT cum.lang,
+        |    min(CASE WHEN cm * 3 >= n.n_docs THEN avg_u END) AS p33,
+        |    min(CASE WHEN cm * 3 >= 2 * n.n_docs THEN avg_u END) AS p66
+        |  FROM cum JOIN n ON n.lang = cum.lang GROUP BY cum.lang),
+        |b AS (SELECT a2.doc_id, a2.lang, a2.n_tokens, a2.avg_u,
+        |    CASE WHEN avg_u <= p33 THEN 'head'
+        |         WHEN avg_u <= p66 THEN 'middle' ELSE 'tail' END AS bucket
+        |  FROM a2 JOIN q ON q.lang = a2.lang)
+        |SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  min(avg_u) AS min_avg_u, max(avg_u) AS max_avg_u
+        |FROM b GROUP BY lang, bucket""".stripMargin)
   )
 
   /** D7: duplicate-cluster resolution — the dedup end-game: the

@@ -268,4 +268,51 @@ class PlanInvariantsSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"$q re-shuffles the posting stream $postingExchanges times")
     }
   }
+
+  test("t26/m18: per-row extraction kernels are map-only — zero exchanges") {
+    // HTML extraction and the WAV resample are pure per-row work; any
+    // shuffle is a planner regression (at 100 TB these must stay
+    // narrow so the downstream stage picks its own partitioning).
+    // m18's one narrow decode map is expected; what's pinned is the
+    // absence of any exchange.
+    for (q <- Seq("t26_html_extract", "m18_audio_resample")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q planned a shuffle:\n${p.take(600)}")
+    }
+  }
+
+  test("e21: mutuality is a window, not an edge-table self-join") {
+    // the first draft LEFT-JOINed the edge CTE against itself on the
+    // reversed key — CTE inlining re-ran the whole cell-blocked
+    // candidate pipeline for the probe side and shuffled it twice.
+    // The shipped shape counts over the unordered pair key: one
+    // window shuffle, no join after edge construction, and the top-k
+    // prunes below the shuffle via WindowGroupLimit.
+    val p = plan("e21_knn_graph")
+    assert(!p.contains("SortMergeJoin"), p.take(600))
+    assert(p.contains("WindowGroupLimit"), "top-k did not push below the shuffle")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 3,
+      s"expected <= 3 hash exchanges (top-k, pair window, final agg), got $exchanges")
+  }
+
+  test("e22: centroid table broadcasts; one per-cell window shuffle") {
+    val p = plan("e22_proto_prune")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"centroid join did not broadcast:\n${p.take(600)}")
+    assert(!p.contains("SortMergeJoin"), p.take(600))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 1, s"expected 1 hash exchange (cell window), got $exchanges")
+  }
+
+  test("m17: CLIP filter serves from the tower sidecar and aggregates map-side") {
+    val df = SparkEntry.queries("m17_clip_filter")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("graft_img_tower"),
+      s"m17 does not read the persisted tower:\n${p.take(800)}")
+    assert(!p.contains("SerializeFromObject"),
+      s"decode kernel ran inside m17:\n${p.take(800)}")
+    assert(p.contains("partial_count"), "bucket aggregate lost its partial phase")
+  }
 }

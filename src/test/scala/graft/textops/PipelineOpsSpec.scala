@@ -1,0 +1,110 @@
+package graft.textops
+
+import graft.SparkEntry
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Value-level invariants for the round-12 pipeline ops (the DuckDB
+  * oracle pins exact parity; these pin the SEMANTIC contracts a
+  * parity bug could silently preserve on both sides). */
+class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "2")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("t26: chrome is gone, body anchor text survives, cut is non-vacuous") {
+    val rows = q("t26_html_extract").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      // nav/footer/head stripped => the single BODY anchor remains
+      assert(r.getAs[Int]("n_links") == 1, r.toString)
+      assert(r.getAs[Long]("anchor_chars") == 11L, r.toString) // "read part N"
+      val head = r.getAs[String]("head")
+      assert(!head.contains("Home") && !head.contains("<"), head)
+    }
+    val kept = rows.map(_.getAs[Int]("kept")).toSet
+    assert(kept == Set(0, 1), s"length cut is vacuous: kept flags $kept")
+  }
+
+  test("m18: resampled stream has exactly (n-1)*5/8+1 samples per doc") {
+    import spark.implicits._
+    val out = q("m18_audio_resample")
+      .groupBy("doc_id").sum("n_samples")
+      .as[(Long, Long)].collect().toMap
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .selectExpr("doc_id", "length(text) AS n")
+      .where("n > 0").as[(Long, Long)].collect()
+    assert(docs.nonEmpty)
+    for ((id, n) <- docs)
+      assert(out(id) == (n - 1) * 5 / 8 + 1, s"doc $id: n=$n out=${out(id)}")
+    // scaled samples are bounded by 5*max|pcm| = 5*191
+    val peaks = q("m18_audio_resample").agg(org.apache.spark.sql.functions
+      .max("peak_x5")).head.getInt(0)
+    assert(peaks <= 5 * 191, s"peak_x5 $peaks exceeds the scaled PCM range")
+  }
+
+  test("e21: degrees bounded by k, mutual edges bounded by degree") {
+    val rows = q("e21_knn_graph").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val deg = r.getAs[Int]("out_degree")
+      assert(deg >= 1 && deg <= 3, r.toString)
+      assert(r.getAs[Int]("n_mutual") <= deg, r.toString)
+    }
+    // the graph must have SOME mutual structure or the mutuality
+    // accounting is vacuous
+    assert(rows.map(_.getAs[Int]("n_mutual")).sum > 0, "no mutual edges")
+  }
+
+  test("e22: per-cell keep counts match the 30%-prune closed form") {
+    val rows = q("e22_proto_prune").collect()
+    val byCell = rows.groupBy(_.getAs[Long]("cell"))
+    assert(byCell.nonEmpty)
+    for ((cell, rs) <- byCell) {
+      val n = rs.head.getAs[Int]("cell_n")
+      assert(rs.length == n, s"cell $cell: ${rs.length} rows, cell_n $n")
+      val kept = rs.count(_.getAs[Int]("kept") == 1)
+      // kept = ranks with rank*10 > 3n => n - floor(3n/10)
+      assert(kept == n - (3 * n) / 10, s"cell $cell: n=$n kept=$kept")
+      // ranks are a permutation of 1..n
+      assert(rs.map(_.getAs[Int]("proto_rank")).sorted.sameElements(1 to n))
+    }
+  }
+
+  test("w5: offset-0 cell retains the whole cohort; rates bounded") {
+    val rows = q("w5_retention_cohorts").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getAs[Int]("week_offset") >= 0, r.toString)
+      assert(r.getAs[Long]("retention_ppm") <= 1000000L, r.toString)
+      if (r.getAs[Int]("week_offset") == 0)
+        assert(r.getAs[Long]("n_users") == r.getAs[Long]("cohort_size"),
+          s"cohort lost users at offset 0: $r")
+    }
+  }
+
+  test("m17: bucket accounting conserves pairs and the cut is non-vacuous") {
+    val rows = q("m17_clip_filter").collect()
+    val total = rows.map(_.getAs[Long]("n_pairs")).sum
+    val kept = rows.map(_.getAs[Long]("n_kept")).sum
+    assert(total > 0 && kept > 0 && kept < total,
+      s"threshold cut vacuous: kept $kept of $total")
+    // kept pairs live exactly in buckets at/above the threshold bucket
+    for (r <- rows) {
+      val b = r.getAs[Int]("bucket")
+      val nk = r.getAs[Long]("n_kept")
+      if (b >= 2) assert(nk == r.getAs[Long]("n_pairs"), r.toString)
+      if (b < 2) assert(nk == 0L, r.toString)
+    }
+  }
+}
