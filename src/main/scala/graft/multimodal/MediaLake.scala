@@ -133,9 +133,8 @@ object MediaLake {
   def ensureTower(spark: SparkSession, sfDir: String): String =
     ensureSidecar(spark, ensure(spark, sfDir), "graft_img_tower",
       kernelVer = 1, towerSchema) { row =>
-      val (_, _, gray) = MultimodalQueries.decodeGray(
-        row.getAs[String]("fmt"), row.getAs[Array[Byte]]("media"))
-      Row(row.getAs[Long]("doc_id"), imgEmbedding(gray))
+      Row(row.getAs[Long]("doc_id"), MultimodalQueries.imgEmbeddingOf(
+        row.getAs[String]("fmt"), row.getAs[Array[Byte]]("media")))
     }
 
   private val phashSchema = StructType(Seq(

@@ -746,8 +746,23 @@ object MultimodalQueries extends QueryModule {
   /** m17's keep threshold — the LAION move (Schuhmann et al. 2021
     * kept image-text pairs at CLIP cosine ≥ 0.3; the working value is
     * corpus-dependent). 0.1 keeps ~39% of this fixture — both sides
-    * of the cut are populated, so the accounting is non-vacuous. */
-  private val ClipKeepCosine = "0.1"
+    * of the cut are populated, so the accounting is non-vacuous.
+    * Shared with the ingestion-time gate
+    * ([[graft.streaming.ClipFilterStream]]) so batch and stream
+    * verdicts cannot drift. */
+  private[graft] val ClipKeepCosineD = 0.1
+  private val ClipKeepCosine = ClipKeepCosineD.toString
+
+  /** The image-tower kernel as one callable: decode (format-
+    * dispatched) → 8-block mean embedding — THE definition, used by
+    * the sidecar build ([[MediaLake.ensureTower]]) and the streaming
+    * gate, so an incoming row is embedded exactly as the persisted
+    * corpus was. */
+  private[graft] def imgEmbeddingOf(fmt: String,
+                                    media: Array[Byte]): Array[Double] = {
+    val (_, _, gray) = decodeGray(fmt, media)
+    MediaLake.imgEmbedding(gray)
+  }
 
   /** M17: CLIP-score curation — the LAION-style filter pass on the
     * m7 alignment scores: bucket every claimed pair by its cosine

@@ -1173,6 +1173,85 @@ object SimQueries extends QueryModule {
        |  (CASE WHEN proto_rank * 10 > 3 * cell_n THEN 1 ELSE 0 END)::INT AS kept
        |FROM r""".stripMargin
 
+  /** E23: probe-budget recall sweep — the tuning measurement an IVF
+    * deployment runs before fixing nprobe (Jégou et al. 2011 §V.A's
+    * recall-vs-probe curves): recall@5 against the exact top-5 at
+    * nprobe ∈ {1, 2, 4} in ONE query, per query vector. e8 checks the
+    * shipped 2-probe point; this measures the curve around it, so the
+    * cost/recall trade is a table, not a guess. Scale shape: the
+    * probe fan-out multiplies only the CANDIDATE scan (each probe
+    * level touches ~nprobe/k of the corpus — the IVF contract); the
+    * probe table is 3 literal rows (broadcast), cells route by one
+    * equality join, and the per-(probe, query) top-k windows are
+    * candidate-bounded. */
+  private def probeSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    val km = convergedKmeans(spark, sfDir)
+    spark.sql(
+      s"""$sparkVecs,
+         |${centroidCte(km.centroids)},
+         |asg AS (SELECT vec_id, ${argmaxAssign(km.centroids)} AS c FROM n),
+         |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < 5),
+         |pc AS (SELECT qid, cn.c AS cell,
+         |        row_number() OVER (PARTITION BY qid
+         |          ORDER BY vec_dot(qv, cn.cv) / (qn * cn.cnrm) DESC, cn.c) AS cr
+         |       FROM q CROSS JOIN cn),
+         |pr AS (SELECT explode(array(1, 2, 4)) AS n_probes),
+         |probe AS (SELECT pr.n_probes, pc.qid, pc.cell
+         |  FROM pc JOIN pr ON pc.cr <= pr.n_probes),
+         |s AS (SELECT probe.n_probes, q.qid, n.vec_id AS nid,
+         |        vec_dot(q.qv, n.v) / (q.qn * n.nrm) AS sim
+         |      FROM q JOIN probe ON probe.qid = q.qid
+         |             JOIN asg m ON m.c = probe.cell
+         |             JOIN n ON n.vec_id = m.vec_id AND n.vec_id != q.qid),
+         |ivf AS (SELECT n_probes, qid, nid FROM (
+         |    SELECT n_probes, qid, nid, row_number() OVER (
+         |      PARTITION BY n_probes, qid ORDER BY sim DESC, nid) AS rnk FROM s) t
+         |  WHERE rnk <= 5),
+         |ex AS (SELECT qid, nid FROM (
+         |    SELECT q.qid, n.vec_id AS nid, row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY vec_dot(q.qv, n.v) / (q.qn * n.nrm) DESC, n.vec_id) AS rnk
+         |    FROM q CROSS JOIN n WHERE n.vec_id != q.qid) t WHERE rnk <= 5),
+         |pe AS (SELECT pr.n_probes, ex.qid, ex.nid FROM pr CROSS JOIN ex)
+         |SELECT pe.n_probes, pe.qid AS query_id,
+         |  CAST(count(ivf.nid) AS BIGINT) AS hits,
+         |  CAST(count(ivf.nid) AS DOUBLE) / 5 AS recall_at_5
+         |FROM pe LEFT JOIN ivf ON ivf.n_probes = pe.n_probes
+         |  AND ivf.qid = pe.qid AND ivf.nid = pe.nid
+         |GROUP BY pe.n_probes, pe.qid""".stripMargin)
+  }
+
+  private def e23Oracle: String =
+    s"""$duckVecs,
+       |${kmeansCtes(KmMaxIter + 1)},
+       |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < 5),
+       |pc AS (SELECT qid, cn$KmMaxIter.c AS cell,
+       |        row_number() OVER (PARTITION BY qid
+       |          ORDER BY ${dDot("qv", s"cn$KmMaxIter.cv")} / (qn * cn$KmMaxIter.cnrm) DESC, cn$KmMaxIter.c) AS cr
+       |       FROM q CROSS JOIN cn$KmMaxIter),
+       |pr AS (SELECT unnest([1, 2, 4]) AS n_probes),
+       |probe AS (SELECT pr.n_probes, pc.qid, pc.cell
+       |  FROM pc JOIN pr ON pc.cr <= pr.n_probes),
+       |s AS (SELECT probe.n_probes, q.qid, n.vec_id AS nid,
+       |        ${dDot("q.qv", "n.v")} / (q.qn * n.nrm) AS sim
+       |      FROM q JOIN probe ON probe.qid = q.qid
+       |             JOIN asg${KmMaxIter + 1} m ON m.c = probe.cell
+       |             JOIN n ON n.vec_id = m.vec_id AND n.vec_id != q.qid),
+       |ivf AS (SELECT n_probes, qid, nid FROM (
+       |    SELECT n_probes, qid, nid, row_number() OVER (
+       |      PARTITION BY n_probes, qid ORDER BY sim DESC, nid) AS rnk FROM s) t
+       |  WHERE rnk <= 5),
+       |ex AS (SELECT qid, nid FROM (
+       |    SELECT q.qid, n.vec_id AS nid, row_number() OVER (PARTITION BY q.qid
+       |      ORDER BY ${dDot("q.qv", "n.v")} / (q.qn * n.nrm) DESC, n.vec_id) AS rnk
+       |    FROM q CROSS JOIN n WHERE n.vec_id != q.qid) t WHERE rnk <= 5),
+       |pe AS (SELECT pr.n_probes, ex.qid, ex.nid FROM pr CROSS JOIN ex)
+       |SELECT pe.n_probes, pe.qid AS query_id,
+       |  count(ivf.nid)::BIGINT AS hits,
+       |  CAST(count(ivf.nid) AS DOUBLE) / 5 AS recall_at_5
+       |FROM pe LEFT JOIN ivf ON ivf.n_probes = pe.n_probes
+       |  AND ivf.qid = pe.qid AND ivf.nid = pe.nid
+       |GROUP BY pe.n_probes, pe.qid""".stripMargin
+
   private def e3Oracle: String = ivfOracle("")
 
   /** DuckDB replay of [[ivfTopK]] (k-means CTE chain + 2-probe scan);
@@ -1648,6 +1727,7 @@ object SimQueries extends QueryModule {
       ("e9_semdedup" -> ((s: SparkSession, d: String) => semDedup(s, d))) +
       ("e21_knn_graph" -> ((s: SparkSession, d: String) => knnGraph(s, d))) +
       ("e22_proto_prune" -> ((s: SparkSession, d: String) => protoPrune(s, d))) +
+      ("e23_probe_sweep" -> ((s: SparkSession, d: String) => probeSweep(s, d))) +
       ("e11_ivfpq" -> ((s: SparkSession, d: String) => ivfPqTopK(s, d))) +
       ("e12_ivfpq_recall" -> ((s: SparkSession, d: String) => ivfPqRecall(s, d))) +
       ("e14_pq_trained_recall" -> ((s: SparkSession, d: String) => pqTrainedRecall(s, d)))
@@ -1666,6 +1746,7 @@ object SimQueries extends QueryModule {
       ("e9_semdedup" -> e9Oracle) +
       ("e21_knn_graph" -> e21Oracle) +
       ("e22_proto_prune" -> e22Oracle) +
+      ("e23_probe_sweep" -> e23Oracle) +
       ("e11_ivfpq" -> e11Oracle) +
       ("e12_ivfpq_recall" -> e12Oracle) +
       ("e14_pq_trained_recall" -> e14Oracle)

@@ -93,6 +93,18 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("e23: recall is monotone in the probe budget, per query") {
+    val rows = q("e23_probe_sweep").collect()
+    val probes = rows.map(_.getAs[Int]("n_probes")).toSet
+    assert(probes == Set(1, 2, 4), s"probe levels $probes")
+    for ((qid, rs) <- rows.groupBy(_.getAs[Long]("query_id"))) {
+      val m = rs.map(r => r.getAs[Int]("n_probes") -> r.getAs[Long]("hits")).toMap
+      assert(m(1) <= m(2) && m(2) <= m(4),
+        s"query $qid: probing more cells LOST neighbors: $m")
+      assert(m(4) <= 5, s"query $qid: more hits than k: $m")
+    }
+  }
+
   test("m17: bucket accounting conserves pairs and the cut is non-vacuous") {
     val rows = q("m17_clip_filter").collect()
     val total = rows.map(_.getAs[Long]("n_pairs")).sum
