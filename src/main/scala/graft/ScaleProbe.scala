@@ -62,7 +62,19 @@ object ScaleProbe {
     // a broadcast benchmark band table (the replicated benchmark
     // grows with the corpus here, so candidates grow too — expect
     // ~linear, verify-sliver-dominated like e4)
-    "t22_fuzzy_decontam")
+    "t22_fuzzy_decontam",
+    // round-12 additions: t26 HTML extraction (map-only regex chain —
+    // expect ~linear scan cost); t27 CCNet buckets (t13's LM join
+    // plus a domain-bounded histogram window — expect ~linear,
+    // join-dominated); e21 mutual-kNN graph (cell-blocked candidate
+    // join: replicas decorrelate directions but cells stay 10, so
+    // per-cell candidate pairs grow ~quadratically in cell size —
+    // expect SUPERLINEAR here by construction; the at-scale contract
+    // is k ∝ n like e9/e22, measured not assumed); e22 prototype
+    // pruning (one broadcast centroid join + per-cell rank window —
+    // ~linear); m18 resample (narrow decode map — ~linear)
+    "t26_html_extract", "t27_ccnet_buckets", "e21_knn_graph",
+    "e22_proto_prune", "m18_audio_resample")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

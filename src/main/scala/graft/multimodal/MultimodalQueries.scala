@@ -798,6 +798,32 @@ object MultimodalQueries extends QueryModule {
          |FROM b GROUP BY bucket""".stripMargin)
   }
 
+  /** M19: training-clip assembly over the REAL video lake — the
+    * temporal-sampling step a video-model pipeline runs after frame
+    * extraction (sample frames, then group fixed-length clips; only
+    * FULL clips ship, because the training batch is fixed-shape).
+    * Built ON the m2 frame table (the m16-over-m4 pattern — one
+    * decode kernel, two operators): m2's every-4th-frame samples
+    * group into non-overlapping 4-frame clips in sample order
+    * (`frame_idx div 16` — 4 sampled frames span 16 source frames),
+    * each clip carrying its exact integer pixel-sum mass and ms time
+    * span; HAVING count(*) = 4 drops ragged tails. Scale shape: one
+    * combinable groupBy keyed on (doc, clip) over the narrow frame
+    * map — videos too short for a full clip cost nothing downstream.
+    * Oracle: the m2 frame replay as a subquery + the same grouping,
+    * so the clip definition cannot drift from the frame definition. */
+  private def clipSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val view = s"m19_fr_${Integer.toHexString(sfDir.hashCode)}"
+    frameSample(spark, sfDir).createOrReplaceTempView(view)
+    spark.sql(
+      s"""SELECT doc_id, CAST(frame_idx DIV 16 AS INT) AS clip_idx,
+         |  CAST(count(*) AS INT) AS n_frames,
+         |  CAST(sum(frame_sum) AS BIGINT) AS clip_sum,
+         |  min(ts_ms) AS ts_start, max(ts_ms) AS ts_end
+         |FROM $view GROUP BY doc_id, frame_idx DIV 16
+         |HAVING count(*) = 4""".stripMargin)
+  }
+
   private val metaSchema = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("meta_key", StringType),
@@ -982,7 +1008,8 @@ object MultimodalQueries extends QueryModule {
     "m14_spectrogram" -> ((s, d) => spectrogram(s, d)),
     "m15_frame_dedup" -> ((s, d) => frameDedup(s, d)),
     "m17_clip_filter" -> ((s, d) => clipFilter(s, d)),
-    "m18_audio_resample" -> ((s, d) => audioResample(s, d)))
+    "m18_audio_resample" -> ((s, d) => audioResample(s, d)),
+    "m19_clip_sample" -> ((s, d) => clipSample(s, d)))
 
   /** The full-pixel-stream oracle CTEs (m1/m7's gray stream): emits
     * `g(doc_id, w, hh, npx, gs)` with `gs` the complete rendered
@@ -1154,6 +1181,25 @@ object MultimodalQueries extends QueryModule {
         |  list_sum([ascii(text[((k*64 + p) * n) // (f*64) + 1 : ((k*64 + p) * n) // (f*64) + 1])::BIGINT
         |            for p in generate_series(0, 63)])::BIGINT AS frame_sum
         |FROM fr WHERE k % 4 = 0""".stripMargin,
+    // m19: the m2 frame replay as a subquery + the identical clip
+    // grouping (frame_idx div 16, full clips only)
+    "m19_clip_sample" ->
+      """WITH frames AS (
+        |  WITH m AS (SELECT doc_id, text, len(text) AS n, 1 + len(text) % 24 AS f
+        |    FROM documents WHERE len(text) > 0),
+        |  fr AS (SELECT doc_id, text, n, f,
+        |    unnest(generate_series(0, f - 1)) AS k FROM m)
+        |  SELECT doc_id, k::INT AS frame_idx,
+        |    (k * 40.0)::DOUBLE AS ts_ms,
+        |    list_sum([ascii(text[((k*64 + p) * n) // (f*64) + 1 : ((k*64 + p) * n) // (f*64) + 1])::BIGINT
+        |              for p in generate_series(0, 63)])::BIGINT AS frame_sum
+        |  FROM fr WHERE k % 4 = 0)
+        |SELECT doc_id, (frame_idx // 16)::INT AS clip_idx,
+        |  count(*)::INT AS n_frames,
+        |  sum(frame_sum)::BIGINT AS clip_sum,
+        |  min(ts_ms) AS ts_start, max(ts_ms) AS ts_end
+        |FROM frames GROUP BY doc_id, frame_idx // 16
+        |HAVING count(*) = 4""".stripMargin,
     // m10: the 32-bin energy profile re-derived from the text
     // formula (segment i = samples [i·n/32, (i+1)·n/32)), then the
     // dHash bitmap and the m5 pigeonhole pair scan (exact at fixture

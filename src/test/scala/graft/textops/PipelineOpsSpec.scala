@@ -93,6 +93,23 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("m19: only full fixed-shape clips ship, each spanning 480 ms") {
+    val rows = q("m19_clip_sample").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getAs[Int]("n_frames") == 4, r.toString)
+      // 4 sampled frames at stride-4 source frames, 40 ms apart
+      assert(r.getAs[Double]("ts_end") - r.getAs[Double]("ts_start") == 480.0,
+        r.toString)
+    }
+    // short videos (< 13 source frames) must produce NO clip — the
+    // ragged-tail drop is observable, not vacuous
+    val docsWithClips = rows.map(_.getAs[Long]("doc_id")).distinct.length
+    val allDocs = graft.Tables.load(spark, sf, "documents")
+      .where("length(text) > 0").count()
+    assert(docsWithClips < allDocs, "every video produced a clip")
+  }
+
   test("e23: recall is monotone in the probe budget, per query") {
     val rows = q("e23_probe_sweep").collect()
     val probes = rows.map(_.getAs[Int]("n_probes")).toSet
