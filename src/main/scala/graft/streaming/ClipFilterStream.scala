@@ -43,6 +43,8 @@ object ClipFilterStream {
         val img = MultimodalQueries.imgEmbeddingOf(
           row.getString(fmtIdx), row.getAs[Array[Byte]](mediaIdx))
         val emb = row.getSeq[Float](embIdx)
+        require(emb.length >= 8,
+          s"clip gate: embedding has ${emb.length} dims, text tower needs 8")
         val txt = Array.tabulate(8)(i => emb(i).toDouble)
         // index-ordered folds — the vec_dot arithmetic, so the score
         // is bit-identical to the batch SQL's

@@ -1372,9 +1372,8 @@ object TextQueries extends QueryModule {
         |      '  +', ' ')) AS main_text,
         |    CAST(size(regexp_extract_all(body_html,
         |      '<a [^>]*>([^<]*)</a>', 1)) AS INT) AS n_links,
-        |    CAST(aggregate(regexp_extract_all(body_html,
-        |      '<a [^>]*>([^<]*)</a>', 1), 0L, (s, x) -> s + length(x))
-        |      AS BIGINT) AS anchor_chars
+        |    CAST(length(concat_ws('', regexp_extract_all(body_html,
+        |      '<a [^>]*>([^<]*)</a>', 1))) AS BIGINT) AS anchor_chars
         |  FROM main)
         |SELECT doc_id, n_links, anchor_chars,
         |  CAST(length(main_text) AS BIGINT) AS extracted_chars,
@@ -1407,8 +1406,8 @@ object TextQueries extends QueryModule {
         |      '  +', ' ', 'g')) AS main_text,
         |    len(regexp_extract_all(body_html,
         |      '<a [^>]*>([^<]*)</a>', 1))::INT AS n_links,
-        |    list_sum([len(x) for x in regexp_extract_all(body_html,
-        |      '<a [^>]*>([^<]*)</a>', 1)])::BIGINT AS anchor_chars
+        |    len(array_to_string(regexp_extract_all(body_html,
+        |      '<a [^>]*>([^<]*)</a>', 1), ''))::BIGINT AS anchor_chars
         |  FROM main)
         |SELECT doc_id, n_links, anchor_chars,
         |  len(main_text)::BIGINT AS extracted_chars,
