@@ -1295,8 +1295,11 @@ object SimQueries extends QueryModule {
     import org.apache.spark.sql.functions._
     Tables.register(spark, sfDir)
     val exact = spark.sql(exactTop5Sql(filter = candFilter)).as("e")
-    val ivf = ivfTopK(spark, sfDir, candFilter)
-      .select(col("query_id"), col("neighbor_id")).as("i")
+    // both sides are |queries|·5 rows; hint the probe side so the
+    // recall join broadcasts regardless of threshold/stats (the
+    // static planner SMJ'd it — 2 sorts + an exchange for 25 rows)
+    val ivf = broadcast(ivfTopK(spark, sfDir, candFilter)
+      .select(col("query_id"), col("neighbor_id"))).as("i")
     exact.join(ivf,
         col("e.query_id") === col("i.query_id") &&
           col("e.neighbor_id") === col("i.neighbor_id"), "left")

@@ -1493,7 +1493,82 @@ object TextQueries extends QueryModule {
         |SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
         |  min(avg_u) AS min_avg_u, max(avg_u) AS max_avg_u
-        |FROM b GROUP BY lang, bucket""".stripMargin)
+        |FROM b GROUP BY lang, bucket""".stripMargin),
+
+    // T28: blocklist word filter — C4 §2.2's page-level rule: drop
+    // any page containing a word from the blocklist (the "Dirty,
+    // Naughty…" list in the paper; a benign stand-in here). Matching
+    // is TOKEN membership, not substring (C4's documented regret:
+    // substring matching removed medical pages for embedded
+    // fragments). The stand-in list exercises both rule sides on
+    // this corpus: 'dup' marks exactly 5% of documents (the
+    // generator's near-dup families), 'spill' matches nothing (pins
+    // the no-false-positive path). Scale shape: one per-row
+    // codegen'd scan — the blocklist is a literal predicate; a
+    // real-sized list broadcasts as a lookup the same way t7's
+    // benchmark shingles do. No shuffle.
+    SqlQ.split("t28_badword_filter",
+      """SELECT doc_id,
+        |  CAST(size(filter(split(text, ' '),
+        |    x -> x = 'dup' OR x = 'spill')) AS INT) AS n_hits,
+        |  CASE WHEN size(filter(split(text, ' '),
+        |    x -> x = 'dup' OR x = 'spill')) = 0 THEN 1 ELSE 0 END AS kept
+        |FROM documents""".stripMargin,
+      """SELECT doc_id,
+        |  len(list_filter(string_split(text, ' '),
+        |    x -> x = 'dup' OR x = 'spill'))::INT AS n_hits,
+        |  (CASE WHEN len(list_filter(string_split(text, ' '),
+        |    x -> x = 'dup' OR x = 'spill')) = 0 THEN 1 ELSE 0 END)::INT AS kept
+        |FROM documents""".stripMargin),
+
+    // D15: cross-source duplication matrix — the mixing diagnostic a
+    // multi-source corpus build reads before weighting sources
+    // (RefinedWeb/Dolma report exactly this between CommonCrawl
+    // snapshots: how much of source A is also in source B): d3's
+    // VERIFIED near-dup pairs, each labeled with its endpoints'
+    // source columns (canonicalized least/greatest so the matrix is
+    // upper-triangular), counted per source pair with the quantized
+    // Jaccard mass (t13's integer trick) alongside. Scale shape:
+    // rides d3's pair sliver unchanged; the source labels join on
+    // doc_id (co-partitionable with the corpus); the output is
+    // ≤ |sources|² rows at any corpus size.
+    SqlQ.split("d15_cross_source",
+      s"""$sparkShingles,
+         |$sparkSigs,
+         |${LshShape.bandCteSql},
+         |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+         |  FROM band a JOIN band b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |ver AS (SELECT i, j, size(array_intersect(x.hs, y.hs)) AS shared,
+         |               size(x.hs) AS na, size(y.hs) AS nb
+         |  FROM cand JOIN sh x ON x.doc_id = cand.i JOIN sh y ON y.doc_id = cand.j),
+         |pairs AS (SELECT i, j,
+         |    CAST(shared AS DOUBLE) / (na + nb - shared) AS jaccard
+         |  FROM ver WHERE CAST(shared AS DOUBLE) / (na + nb - shared) >= 0.5),
+         |src AS (SELECT doc_id, source FROM documents),
+         |lab AS (SELECT least(sa.source, sb.source) AS source_a,
+         |    greatest(sa.source, sb.source) AS source_b, p.jaccard
+         |  FROM pairs p JOIN src sa ON sa.doc_id = p.i
+         |               JOIN src sb ON sb.doc_id = p.j)
+         |SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(CAST(round(jaccard * 1000.0) AS BIGINT)) AS BIGINT) AS jacc_milli_sum
+         |FROM lab GROUP BY source_a, source_b""".stripMargin,
+      s"""$duckShingles,
+         |e AS (SELECT doc_id, unnest(hs) AS h FROM sh),
+         |cnt AS (SELECT doc_id, len(hs) AS n FROM sh),
+         |pr AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS shared
+         |  FROM e a JOIN e b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id),
+         |pairs AS (SELECT pr.i, pr.j,
+         |    CAST(pr.shared AS DOUBLE) / (ca.n + cb.n - pr.shared) AS jaccard
+         |  FROM pr JOIN cnt ca ON ca.doc_id = pr.i JOIN cnt cb ON cb.doc_id = pr.j
+         |  WHERE CAST(pr.shared AS DOUBLE) / (ca.n + cb.n - pr.shared) >= 0.5),
+         |src AS (SELECT doc_id, source FROM documents),
+         |lab AS (SELECT least(sa.source, sb.source) AS source_a,
+         |    greatest(sa.source, sb.source) AS source_b, p.jaccard
+         |  FROM pairs p JOIN src sa ON sa.doc_id = p.i
+         |               JOIN src sb ON sb.doc_id = p.j)
+         |SELECT source_a, source_b, count(*)::BIGINT AS n_pairs,
+         |  sum(CAST(round(jaccard * 1000.0) AS BIGINT))::BIGINT AS jacc_milli_sum
+         |FROM lab GROUP BY source_a, source_b""".stripMargin)
   )
 
   /** D7: duplicate-cluster resolution — the dedup end-game: the
