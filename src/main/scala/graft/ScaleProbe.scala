@@ -202,8 +202,15 @@ object ScaleProbe {
       }
       val out100 = s"${sys.props("java.io.tmpdir")}/graft_sf100x_v2"
       buildScaled(spark, sfDir, out100, reps = 100)
+      // round-12: t26/t27 confirm the linear-scan claim at a decade
+      // where fixed overhead is gone; e21 is the one new op whose 10×
+      // row was overhead-dominated while its candidate join grows
+      // ~quadratically per cell at FIXED k — the 100× row is where
+      // that prediction becomes measurable (the at-scale fix is
+      // k ∝ n, the e9/e22 contract)
       for (q <- Seq("d3_minhash_lsh_pairs", "d9_span_dedup",
-        "d10_bloom_gate", "d12_exact_substr")) {
+        "d10_bloom_gate", "d12_exact_substr",
+        "t26_html_extract", "t27_ccnet_buckets", "e21_knn_graph")) {
         val t10 = warmTime(q, outDir)
         val t100 = warmTime(q, out100)
         println(f"""{"query":"$q","sec_10x":$t10%.2f,"sec_100x":$t100%.2f,"exponent_10_100":${math.log10(t100 / t10)}%.2f}""")

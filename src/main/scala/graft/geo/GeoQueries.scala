@@ -332,8 +332,55 @@ object GeoQueries extends QueryModule {
         |  ) * 6371008.8 * 6371008.8 / 2.0 / 10000.0 AS area_ha,
         |  x0 AS bbox_xmin, y0 AS bbox_ymin,
         |  x0 + w AS bbox_xmax, y0 + h AS bbox_ymax
-        |FROM r""".stripMargin)
+        |FROM r""".stripMargin),
+
+    // G12: Z-order (Morton) layout key — the spatial data-layout
+    // technique behind Delta's OPTIMIZE ZORDER and BigQuery
+    // clustering, applied the at-scale way this engine would ingest
+    // a 100 TB point table: quantize lon/lat to 16-bit grid cells,
+    // interleave the bits, and SORT the table by the key at write
+    // time, so any bbox predicate's min/max row-group statistics
+    // prune (spatially-close rows land in the same row groups; a
+    // row-order layout scatters every bbox across the whole file
+    // set). This query is the key derivation — 32 inlined shift
+    // terms, pure codegen, NO shuffle (plan-pinned; the write-time
+    // sort a real ingest adds is `repartitionByRange(zkey)`, the
+    // distributed range sort — never a global-window rank, which
+    // would plan Exchange SinglePartition). The spec pins the
+    // locality claim: z-adjacent points are spatially close where
+    // key-adjacent points are not. Cross-engine: the quantize floor
+    // is IEEE-identical, the interleave is integer.
+    SqlQ.split("g12_zorder_layout",
+      s"""$sparkPts,
+         |qk AS (SELECT c_custkey,
+         |    CAST(floor((lon + 180.0) / 360.0 * 65536.0) AS BIGINT) AS zx,
+         |    CAST(floor((lat + 90.0) / 180.0 * 65536.0) AS BIGINT) AS zy
+         |  FROM pts)
+         |SELECT c_custkey, zx, zy,
+         |  CAST(${mortonSpark("zx", "zy")} AS BIGINT) AS zkey
+         |FROM qk""".stripMargin,
+      s"""$duckPts,
+         |qk AS (SELECT c_custkey,
+         |    CAST(floor((lon + 180.0) / 360.0 * 65536.0) AS BIGINT) AS zx,
+         |    CAST(floor((lat + 90.0) / 180.0 * 65536.0) AS BIGINT) AS zy
+         |  FROM pts)
+         |SELECT c_custkey, zx, zy,
+         |  CAST(${mortonDuck("zx", "zy")} AS BIGINT) AS zkey
+         |FROM qk""".stripMargin)
   )
+
+  /** The 32-term Morton interleave (16 bits per dimension), emitted
+    * as inline shift arithmetic so it stays inside whole-stage
+    * codegen — one text generator per dialect, same term order. */
+  private def mortonSpark(x: String, y: String): String =
+    (0 until 16).map(k =>
+      s"shiftleft(shiftright($x, $k) & 1, ${2 * k}) + " +
+        s"shiftleft(shiftright($y, $k) & 1, ${2 * k + 1})").mkString(" + ")
+
+  private def mortonDuck(x: String, y: String): String =
+    (0 until 16).map(k =>
+      s"((($x >> $k) & 1) << ${2 * k}) + ((($y >> $k) & 1) << ${2 * k + 1})")
+      .mkString(" + ")
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     sqls.map { q =>

@@ -281,6 +281,16 @@ class PlanInvariantsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("g12: the Morton key is one codegen'd projection — zero exchanges") {
+    // the interleave is 32 inlined shift terms, not a HOF; any
+    // shuffle or codegen fallback here would poison the write-time
+    // sort this key exists to feed
+    val p = plan("g12_zorder_layout")
+    assert(!p.contains("Exchange"), s"g12 planned a shuffle:\n${p.take(600)}")
+    // codegen spans render as `*(n)` prefixes in the plan string
+    assert(p.contains("*(1) Project"), "key derivation fell out of codegen")
+  }
+
   test("e21: mutuality is a window, not an edge-table self-join") {
     // the first draft LEFT-JOINed the edge CTE against itself on the
     // reversed key — CTE inlining re-ran the whole cell-blocked
