@@ -1568,7 +1568,54 @@ object TextQueries extends QueryModule {
          |               JOIN src sb ON sb.doc_id = p.j)
          |SELECT source_a, source_b, count(*)::BIGINT AS n_pairs,
          |  sum(CAST(round(jaccard * 1000.0) AS BIGINT))::BIGINT AS jacc_milli_sum
-         |FROM lab GROUP BY source_a, source_b""".stripMargin)
+         |FROM lab GROUP BY source_a, source_b""".stripMargin),
+
+    // T29: mixing-plan quota allocation — the table a corpus build
+    // publishes before rendering (the Pile/Dolma mixing tables):
+    // given a token BUDGET and per-source weights (natural token
+    // share here; any weight vector works), allocate integer
+    // per-source quotas that sum EXACTLY to the budget via largest-
+    // remainder apportionment (floor everyone, hand the leftovers to
+    // the largest remainders — the deterministic method that cannot
+    // over- or under-allocate, unlike independent rounding). All
+    // integer arithmetic; the remainder rank tie-breaks on source.
+    // Scale shape: the per-source aggregate map-side combines; the
+    // apportionment window runs over ≤ |sources| rows — a
+    // SinglePartition over 20 rows at ANY corpus size (the t15
+    // bounded-domain argument), never over the corpus.
+    SqlQ.split("t29_mix_quota",
+      """WITH tok AS (SELECT source,
+        |    CAST(sum(size(filter(split(text, ' '), x -> x != ''))) AS BIGINT) AS n_tok
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(sum(n_tok) AS BIGINT) AS t FROM tok),
+        |a AS (SELECT source, n_tok,
+        |    (1000000 * n_tok) DIV t AS base,
+        |    (1000000 * n_tok) % t AS rem
+        |  FROM tok CROSS JOIN tot),
+        |l AS (SELECT CAST(1000000 - sum(base) AS BIGINT) AS extra FROM a),
+        |r AS (SELECT source, n_tok, base, rem,
+        |    CAST(row_number() OVER (ORDER BY rem DESC, source) AS INT) AS rk
+        |  FROM a)
+        |SELECT source, n_tok, base, rem,
+        |  CASE WHEN rk <= extra THEN base + 1 ELSE base END AS quota_tokens,
+        |  CASE WHEN rk <= extra THEN 1 ELSE 0 END AS got_remainder
+        |FROM r CROSS JOIN l""".stripMargin,
+      """WITH tok AS (SELECT source,
+        |    CAST(sum(len(list_filter(string_split(text, ' '), x -> x != ''))) AS BIGINT) AS n_tok
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(sum(n_tok) AS BIGINT) AS t FROM tok),
+        |a AS (SELECT source, n_tok,
+        |    ((1000000 * n_tok) // t)::BIGINT AS base,
+        |    ((1000000 * n_tok) % t)::BIGINT AS rem
+        |  FROM tok CROSS JOIN tot),
+        |l AS (SELECT CAST(1000000 - sum(base) AS BIGINT) AS extra FROM a),
+        |r AS (SELECT source, n_tok, base, rem,
+        |    CAST(row_number() OVER (ORDER BY rem DESC, source) AS INT) AS rk
+        |  FROM a)
+        |SELECT source, n_tok, base, rem,
+        |  (CASE WHEN rk <= extra THEN base + 1 ELSE base END)::BIGINT AS quota_tokens,
+        |  (CASE WHEN rk <= extra THEN 1 ELSE 0 END)::INT AS got_remainder
+        |FROM r CROSS JOIN l""".stripMargin)
   )
 
   /** D7: duplicate-cluster resolution — the dedup end-game: the

@@ -81,6 +81,14 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("t29: quotas sum exactly to the budget; remainders split both ways") {
+    val rows = q("t29_mix_quota").collect()
+    assert(rows.map(_.getAs[Long]("quota_tokens")).sum == 1000000L,
+      "largest-remainder apportionment failed to conserve the budget")
+    assert(rows.map(_.getAs[Int]("got_remainder")).toSet == Set(0, 1),
+      "apportionment vacuous: every source rounded the same way")
+  }
+
   test("g12: z-order neighbors are spatially close; key order beats row order") {
     val rows = q("g12_zorder_layout")
       .select("c_custkey", "zx", "zy", "zkey").collect()
