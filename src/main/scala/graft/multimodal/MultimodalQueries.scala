@@ -184,6 +184,32 @@ object MultimodalQueries extends QueryModule {
     }(Encoders.row(resizeSchema))
   }
 
+  /** M20: image property filter — LAION's pre-CLIP hygiene pass
+    * (Schuhmann et al. 2021 dropped images below a minimum side and
+    * outside an aspect-ratio band before any model ran): per-image
+    * verdict from the m3 HEADER-ONLY dims (planning never inflates
+    * pixels), with the aspect ratio as exact integer permille so
+    * both engines compare identically. Thresholds (min side 20,
+    * aspect ≤ 1.8) split this fixture's 16–32-px lake non-vacuously
+    * on BOTH rules. Built on the m3 kernel via a temp view (the
+    * m16-over-m4 pattern — one header read, two operators). Scale
+    * shape: a narrow header-read map plus per-row integer compares,
+    * no shuffle. */
+  private def mediaFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    val view = s"m20_dims_${Integer.toHexString(sfDir.hashCode)}"
+    resizePlan(spark, sfDir).createOrReplaceTempView(view)
+    spark.sql(
+      s"""SELECT doc_id, src_w, src_h,
+         |  CAST(least(src_w, src_h) AS INT) AS min_side,
+         |  (CAST(greatest(src_w, src_h) AS BIGINT) * 1000)
+         |    DIV least(src_w, src_h) AS aspect_pm,
+         |  CASE WHEN least(src_w, src_h) >= 20
+         |        AND (CAST(greatest(src_w, src_h) AS BIGINT) * 1000)
+         |              DIV least(src_w, src_h) <= 1800
+         |       THEN 1 ELSE 0 END AS kept
+         |FROM $view""".stripMargin)
+  }
+
   private val audioSchema = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("window_idx", IntegerType),
@@ -1009,7 +1035,8 @@ object MultimodalQueries extends QueryModule {
     "m15_frame_dedup" -> ((s, d) => frameDedup(s, d)),
     "m17_clip_filter" -> ((s, d) => clipFilter(s, d)),
     "m18_audio_resample" -> ((s, d) => audioResample(s, d)),
-    "m19_clip_sample" -> ((s, d) => clipSample(s, d)))
+    "m19_clip_sample" -> ((s, d) => clipSample(s, d)),
+    "m20_media_filter" -> ((s, d) => mediaFilter(s, d)))
 
   /** The full-pixel-stream oracle CTEs (m1/m7's gray stream): emits
     * `g(doc_id, w, hh, npx, gs)` with `gs` the complete rendered
@@ -1324,5 +1351,22 @@ object MultimodalQueries extends QueryModule {
         |  (src_w * scale_pm // 1000)::INT AS dst_w,
         |  (src_h * scale_pm // 1000)::INT AS dst_h,
         |  scale_pm::BIGINT AS scale_pm
-        |FROM s""".stripMargin)
+        |FROM s""".stripMargin,
+    // m20: the m3 dim replay + the identical verdict tail
+    "m20_media_filter" ->
+      """WITH d AS (SELECT doc_id,
+        |  (CASE WHEN doc_id % 4 = 3 THEN 8 * (2 + len(text) % 3)
+        |        ELSE 16 + len(text) % 16 END)::INT AS src_w,
+        |  (CASE WHEN doc_id % 4 = 3 THEN 8 * (2 + doc_id % 3)
+        |        ELSE 16 + doc_id % 16 END)::INT AS src_h
+        |  FROM documents WHERE len(text) > 0)
+        |SELECT doc_id, src_w, src_h,
+        |  least(src_w, src_h)::INT AS min_side,
+        |  ((greatest(src_w, src_h)::BIGINT * 1000)
+        |    // least(src_w, src_h))::BIGINT AS aspect_pm,
+        |  (CASE WHEN least(src_w, src_h) >= 20
+        |        AND (greatest(src_w, src_h)::BIGINT * 1000)
+        |              // least(src_w, src_h) <= 1800
+        |       THEN 1 ELSE 0 END)::INT AS kept
+        |FROM d""".stripMargin)
 }
