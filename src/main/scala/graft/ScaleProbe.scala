@@ -65,14 +65,14 @@ object ScaleProbe {
     "t22_fuzzy_decontam",
     // round-12 additions: t26 HTML extraction (map-only regex chain —
     // expect ~linear scan cost); t27 CCNet buckets (t13's LM join
-    // plus a domain-bounded histogram window — expect ~linear,
-    // join-dominated); e21 mutual-kNN graph (cell-blocked candidate
-    // join: replicas decorrelate directions but cells stay 10, so
-    // per-cell candidate pairs grow ~quadratically in cell size —
-    // expect SUPERLINEAR here by construction; the at-scale contract
-    // is k ∝ n like e9/e22, measured not assumed); e22 prototype
-    // pruning (one broadcast centroid join + per-cell rank window —
-    // ~linear); m18 resample (narrow decode map — ~linear)
+    // plus a domain-bounded histogram window; `tot` folds from `cnt`
+    // so the word stream is scanned twice, not three times); e21
+    // mutual-kNN graph — the first 100× sweep measured the fixed-k
+    // blowup (exponent 2.67: per-cell pairs ∝ (n/k)²) and e21AutoK
+    // now scales the cell count with the corpus (re-measured 0.92,
+    // BENCH_sf1.md); e22 prototype pruning (one broadcast centroid
+    // join + per-cell rank window — ~linear); m18 resample (narrow
+    // decode map — ~linear)
     "t26_html_extract", "t27_ccnet_buckets", "e21_knn_graph",
     "e22_proto_prune", "m18_audio_resample")
 
@@ -202,19 +202,23 @@ object ScaleProbe {
       }
       val out100 = s"${sys.props("java.io.tmpdir")}/graft_sf100x_v2"
       buildScaled(spark, sfDir, out100, reps = 100)
+      // GRAFT_PROBE_100X_ONLY=q1,q2 re-measures just those rows (the
+      // remaining 100× extras are skipped) — the fix-and-re-probe loop
+      val only100 = sys.env.get("GRAFT_PROBE_100X_ONLY").map(_.split(",").toSet)
       // round-12: t26/t27 confirm the linear-scan claim at a decade
-      // where fixed overhead is gone; e21 is the one new op whose 10×
-      // row was overhead-dominated while its candidate join grows
-      // ~quadratically per cell at FIXED k — the 100× row is where
-      // that prediction becomes measurable (the at-scale fix is
-      // k ∝ n, the e9/e22 contract)
+      // where fixed overhead is gone; e21's candidate join grew
+      // ~quadratically at FIXED cell count (first 100× row: exponent
+      // 2.67, 1384 s) — e21AutoK now scales the cell count with the
+      // corpus, re-measured below
       for (q <- Seq("d3_minhash_lsh_pairs", "d9_span_dedup",
         "d10_bloom_gate", "d12_exact_substr",
-        "t26_html_extract", "t27_ccnet_buckets", "e21_knn_graph")) {
+        "t26_html_extract", "t27_ccnet_buckets", "e21_knn_graph")
+          if only100.forall(_.contains(q))) {
         val t10 = warmTime(q, outDir)
         val t100 = warmTime(q, out100)
         println(f"""{"query":"$q","sec_10x":$t10%.2f,"sec_100x":$t100%.2f,"exponent_10_100":${math.log10(t100 / t10)}%.2f}""")
       }
+      if (only100.isDefined) { spark.stop(); return }
       val n10e = spark.read.parquet(s"$outDir/embeddings.parquet").count()
       val n100 = spark.read.parquet(s"$out100/embeddings.parquet").count()
       val bits10e = SimQueries.e4AutoBits(n10e)

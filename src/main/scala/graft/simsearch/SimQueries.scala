@@ -416,20 +416,22 @@ object SimQueries extends QueryModule {
     * sf0.1): ~10 ms/iter, and nothing driver-side ever scales with the
     * table — only with k×chunks. Memoized per scale-factor dir: e2, e3
     * and e5b share one build. */
-  private[simsearch] def convergedKmeans(spark: SparkSession, sfDir: String): KmResult =
-    lloyd(spark, sfDir, KmMaxIter)
+  private[simsearch] def convergedKmeans(spark: SparkSession, sfDir: String,
+                                         k: Int = 10): KmResult =
+    lloyd(spark, sfDir, KmMaxIter, k)
 
   /** The driver-loop Lloyd body, parameterized on the iteration budget
     * so e5 (exactly ONE centroid update — the pedagogical
     * demonstration) and e2/e3/e5b (the converged build) share one
     * implementation. Memo key includes the budget: the one-iteration
     * and converged builds coexist without clobbering each other. */
-  private def lloyd(spark: SparkSession, sfDir: String, maxIter: Int): KmResult = {
+  private def lloyd(spark: SparkSession, sfDir: String, maxIter: Int,
+                    k: Int = 10): KmResult = {
     // fingerprint the source file into the memo key: a path alone
     // would serve stale centroids after the parquet under sfDir is
     // regenerated (the groupedPostings hazard), silently breaking
     // oracle parity for e2/e3/e5b
-    val key = s"$sfDir#$maxIter#${Tables.sourceTag(s"$sfDir/embeddings.parquet")}"
+    val key = s"$sfDir#$maxIter#$k#${Tables.sourceTag(s"$sfDir/embeddings.parquet")}"
     kmMemo.computeIfAbsent(key, { _ =>
       Tables.register(spark, sfDir)
       graft.functions.GraftFunctions.install(spark)
@@ -447,7 +449,7 @@ object SimQueries extends QueryModule {
         .persist()
       try {
         var cents: Seq[(Long, Array[Double])] = chunked
-          .filter(_._1 < 10).map(t => (t._1, t._2)).collect().sortBy(_._1).toSeq
+          .filter(_._1 < k).map(t => (t._1, t._2)).collect().sortBy(_._1).toSeq
         var iter = 0
         var fixed = false
         val dbg = sys.env.contains("GRAFT_KM_DEBUG")
@@ -1129,6 +1131,17 @@ object SimQueries extends QueryModule {
   /** Neighbors kept per node in the e21 kNN graph. */
   private val KnnGraphK = 3
 
+  /** e21's cell-count rule — the e4AutoBits move applied to the
+    * clustering knob: at FIXED cell count the within-cell pair join
+    * grows as n²/k (100×-measured exponent 2.67, 1384 s — the one
+    * superlinear stage the probe found in the round-12 ops), so the
+    * cell count scales with the corpus to keep per-cell membership
+    * ~50 and total candidate pairs ~50·n — linear by construction.
+    * At the oracle fixture (n = 500) the rule yields exactly the
+    * canonical 10 cells, so the DuckDB replay (which unrolls k = 10
+    * Lloyd) checks this path unchanged. */
+  private[graft] def e21AutoK(n: Long): Int = math.max(10L, n / 50L).toInt
+
   /** E21: mutual-kNN graph construction — the neighborhood graph
     * behind graph-based semantic dedup, diversity analysis and label
     * propagation (the structure NN-descent approximates at scale;
@@ -1148,7 +1161,9 @@ object SimQueries extends QueryModule {
     * pipeline for the probe side and shuffle it twice (the shape the
     * first draft planned; plan-pinned against regression). */
   private def knnGraph(spark: SparkSession, sfDir: String): DataFrame = {
-    val km = convergedKmeans(spark, sfDir)
+    Tables.register(spark, sfDir)
+    val km = convergedKmeans(spark, sfDir,
+      e21AutoK(spark.table("embeddings").count()))
     spark.sql(
       s"""$sparkVecs,
          |asg AS (SELECT vec_id, v, nrm, ${argmaxAssign(km.centroids)} AS c FROM n),

@@ -578,7 +578,7 @@ object TextQueries extends QueryModule {
       """WITH w AS (SELECT doc_id, word FROM documents
         |  LATERAL VIEW explode(split(text, ' ')) t AS word),
         |cnt AS (SELECT word, count(*) AS c FROM w GROUP BY word),
-        |tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM w),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM cnt),
         |per AS (SELECT w.doc_id,
         |    CAST(round(-ln(CAST(cnt.c AS DOUBLE) / CAST(tot.t AS DOUBLE)) * 1000000.0) AS BIGINT) AS nll_u
         |  FROM w JOIN cnt ON cnt.word = w.word CROSS JOIN tot),
@@ -590,7 +590,7 @@ object TextQueries extends QueryModule {
       """WITH w AS (SELECT doc_id,
         |    unnest(string_split(text, ' ')) AS word FROM documents),
         |cnt AS (SELECT word, count(*) AS c FROM w GROUP BY word),
-        |tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM w),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM cnt),
         |per AS (SELECT w.doc_id,
         |    CAST(round(-ln(CAST(cnt.c AS DOUBLE) / CAST(tot.t AS DOUBLE)) * 1000000.0) AS BIGINT) AS nll_u
         |  FROM w JOIN cnt ON cnt.word = w.word CROSS JOIN tot),
@@ -1441,7 +1441,7 @@ object TextQueries extends QueryModule {
       """WITH w AS (SELECT doc_id, lang, word FROM documents
         |  LATERAL VIEW explode(split(text, ' ')) t AS word),
         |cnt AS (SELECT lang, word, count(*) AS c FROM w GROUP BY lang, word),
-        |tot AS (SELECT lang, CAST(count(*) AS BIGINT) AS t FROM w GROUP BY lang),
+        |tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS t FROM cnt GROUP BY lang),
         |per AS (SELECT w.doc_id, w.lang,
         |    CAST(round(-ln(CAST(cnt.c AS DOUBLE) / CAST(tot.t AS DOUBLE)) * 1000000.0) AS BIGINT) AS nll_u
         |  FROM w JOIN cnt ON cnt.lang = w.lang AND cnt.word = w.word
@@ -1469,7 +1469,7 @@ object TextQueries extends QueryModule {
       """WITH w AS (SELECT doc_id, lang,
         |    unnest(string_split(text, ' ')) AS word FROM documents),
         |cnt AS (SELECT lang, word, count(*) AS c FROM w GROUP BY lang, word),
-        |tot AS (SELECT lang, CAST(count(*) AS BIGINT) AS t FROM w GROUP BY lang),
+        |tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS t FROM cnt GROUP BY lang),
         |per AS (SELECT w.doc_id, w.lang,
         |    CAST(round(-ln(CAST(cnt.c AS DOUBLE) / CAST(tot.t AS DOUBLE)) * 1000000.0) AS BIGINT) AS nll_u
         |  FROM w JOIN cnt ON cnt.lang = w.lang AND cnt.word = w.word
