@@ -1089,6 +1089,50 @@ object MultimodalQueries extends QueryModule {
       |     / ((j+1)*npx//8 - j*npx//8)
       |   for j in generate_series(0, 7)] AS img FROM g)""".stripMargin
 
+  /** The header-dims replay — `d(doc_id, src_w, src_h)` from the
+    * lake render formulas (PNG 16–31 px, JPEG 8·(2+…) blocks) —
+    * SHARED by the m3 and m20 oracles so the dim definition cannot
+    * drift between resize planning and the property filter. */
+  private val dimsOracleCte: String =
+    """d AS (SELECT doc_id,
+      |  (CASE WHEN doc_id % 4 = 3 THEN 8 * (2 + len(text) % 3)
+      |        ELSE 16 + len(text) % 16 END)::INT AS src_w,
+      |  (CASE WHEN doc_id % 4 = 3 THEN 8 * (2 + doc_id % 3)
+      |        ELSE 16 + doc_id % 16 END)::INT AS src_h
+      |  FROM documents WHERE len(text) > 0)""".stripMargin
+
+  /** The claimed-pair cosine chain — tower replay + text-slice +
+    * per-pair cosine `jn(doc_id, cosine)` — SHARED by the m7 and m17
+    * oracles so the score definition cannot drift between alignment
+    * scoring and threshold accounting. */
+  private lazy val clipPairOracleCtes: String =
+    s"""$grayOracleCtes,
+       |$imgTowerOracleCte,
+       |t AS (SELECT vec_id, [x::DOUBLE for x in list_slice(embedding, 1, 8)] AS txt FROM embeddings),
+       |jn AS (SELECT b.doc_id,
+       |    list_reduce([b.img[k] * t.txt[k] for k in generate_series(1, 8)], (a,c) -> a+c)
+       |      / (sqrt(list_reduce([y*y for y in b.img], (a,c) -> a+c))
+       |         * sqrt(list_reduce([y*y for y in t.txt], (a,c) -> a+c))) AS cosine
+       |  FROM b JOIN t ON b.doc_id = t.vec_id)""".stripMargin
+
+  /** The m2 frame replay — `vf(doc_id, frame_idx, frame_off, ts_ms,
+    * frame_sum)` from the video writer's deterministic layout
+    * (frame_off constants pinned byte-exactly in AviSpec: RIFF hdr
+    * 12 + hdrl 200 + movi LIST hdr 12 + per-frame 8 + 192) — SHARED
+    * by the m2 and m19 oracles so the frame definition cannot drift
+    * between the sampler and the clip assembler. */
+  private val m2FrameReplayCtes: String =
+    """m2m AS (SELECT doc_id, text, len(text) AS n, 1 + len(text) % 24 AS f
+      |  FROM documents WHERE len(text) > 0),
+      |m2fr AS (SELECT doc_id, text, n, f,
+      |  unnest(generate_series(0, f - 1)) AS k FROM m2m),
+      |vf AS (SELECT doc_id, k::INT AS frame_idx,
+      |  (232 + 200 * k)::BIGINT AS frame_off,
+      |  (k * 40.0)::DOUBLE AS ts_ms,
+      |  list_sum([ascii(text[((k*64 + p) * n) // (f*64) + 1 : ((k*64 + p) * n) // (f*64) + 1])::BIGINT
+      |            for p in generate_series(0, 63)])::BIGINT AS frame_sum
+      |FROM m2fr WHERE k % 4 = 0)""".stripMargin
+
   /** The m4 per-window oracle table — `winf(doc_id, window_idx,
     * n_samples, energy, peak)` replayed from the text via the
     * MediaLake closed-form sample formula (`ascii − 64`, the WAV
@@ -1152,26 +1196,13 @@ object MultimodalQueries extends QueryModule {
          |        CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, doc_id) AS INT) AS rnk FROM s) t
          |WHERE rnk <= 5""".stripMargin,
     "m7_clip_align" ->
-      s"""WITH $grayOracleCtes,
-         |$imgTowerOracleCte,
-         |t AS (SELECT vec_id, [x::DOUBLE for x in list_slice(embedding, 1, 8)] AS txt FROM embeddings),
-         |jn AS (SELECT b.doc_id,
-         |    list_reduce([b.img[k] * t.txt[k] for k in generate_series(1, 8)], (a,c) -> a+c)
-         |      / (sqrt(list_reduce([y*y for y in b.img], (a,c) -> a+c))
-         |         * sqrt(list_reduce([y*y for y in t.txt], (a,c) -> a+c))) AS cosine
-         |  FROM b JOIN t ON b.doc_id = t.vec_id)
+      s"""WITH $clipPairOracleCtes
          |SELECT doc_id, cosine, (cosine >= 0)::INT AS aligned FROM jn""".stripMargin,
-    // the pairing/cosine CTEs are m7's verbatim (shared tower +
-    // text-slice replay); only the bucketing tail differs
+    // the pairing/cosine CTEs are SHARED with m7 (clipPairOracleCtes
+    // — one cosine definition, two operators); only the bucketing
+    // tail differs
     "m17_clip_filter" ->
-      s"""WITH $grayOracleCtes,
-         |$imgTowerOracleCte,
-         |t AS (SELECT vec_id, [x::DOUBLE for x in list_slice(embedding, 1, 8)] AS txt FROM embeddings),
-         |jn AS (SELECT b.doc_id,
-         |    list_reduce([b.img[k] * t.txt[k] for k in generate_series(1, 8)], (a,c) -> a+c)
-         |      / (sqrt(list_reduce([y*y for y in b.img], (a,c) -> a+c))
-         |         * sqrt(list_reduce([y*y for y in t.txt], (a,c) -> a+c))) AS cosine
-         |  FROM b JOIN t ON b.doc_id = t.vec_id),
+      s"""WITH $clipPairOracleCtes,
          |bk AS (SELECT doc_id, cosine,
          |    floor(cosine * 20.0)::INT AS bucket,
          |    CASE WHEN cosine >= $ClipKeepCosine THEN 1 ELSE 0 END AS kept
@@ -1198,35 +1229,20 @@ object MultimodalQueries extends QueryModule {
     // chunk 200 + movi LIST hdr 12 + per-frame ('00db' hdr 8 +
     // 8×8×3 = 192 data) ⇒ frame k's data at 232 + 200·k
     "m2_frame_sample" ->
-      """WITH m AS (SELECT doc_id, text, len(text) AS n, 1 + len(text) % 24 AS f
-        |  FROM documents WHERE len(text) > 0),
-        |fr AS (SELECT doc_id, text, n, f,
-        |  unnest(generate_series(0, f - 1)) AS k FROM m)
-        |SELECT doc_id, k::INT AS frame_idx,
-        |  (232 + 200 * k)::BIGINT AS frame_off,
-        |  (k * 40.0)::DOUBLE AS ts_ms,
-        |  list_sum([ascii(text[((k*64 + p) * n) // (f*64) + 1 : ((k*64 + p) * n) // (f*64) + 1])::BIGINT
-        |            for p in generate_series(0, 63)])::BIGINT AS frame_sum
-        |FROM fr WHERE k % 4 = 0""".stripMargin,
-    // m19: the m2 frame replay as a subquery + the identical clip
-    // grouping (frame_idx div 16, full clips only)
+      s"""WITH $m2FrameReplayCtes
+         |SELECT doc_id, frame_idx, frame_off, ts_ms, frame_sum
+         |FROM vf""".stripMargin,
+    // m19: the SHARED m2 frame replay + the clip grouping
+    // (frame_idx div 16, full clips only) — one frame definition,
+    // two operators (the m4/m16 convention)
     "m19_clip_sample" ->
-      """WITH frames AS (
-        |  WITH m AS (SELECT doc_id, text, len(text) AS n, 1 + len(text) % 24 AS f
-        |    FROM documents WHERE len(text) > 0),
-        |  fr AS (SELECT doc_id, text, n, f,
-        |    unnest(generate_series(0, f - 1)) AS k FROM m)
-        |  SELECT doc_id, k::INT AS frame_idx,
-        |    (k * 40.0)::DOUBLE AS ts_ms,
-        |    list_sum([ascii(text[((k*64 + p) * n) // (f*64) + 1 : ((k*64 + p) * n) // (f*64) + 1])::BIGINT
-        |              for p in generate_series(0, 63)])::BIGINT AS frame_sum
-        |  FROM fr WHERE k % 4 = 0)
-        |SELECT doc_id, (frame_idx // 16)::INT AS clip_idx,
-        |  count(*)::INT AS n_frames,
-        |  sum(frame_sum)::BIGINT AS clip_sum,
-        |  min(ts_ms) AS ts_start, max(ts_ms) AS ts_end
-        |FROM frames GROUP BY doc_id, frame_idx // 16
-        |HAVING count(*) = 4""".stripMargin,
+      s"""WITH $m2FrameReplayCtes
+         |SELECT doc_id, (frame_idx // 16)::INT AS clip_idx,
+         |  count(*)::INT AS n_frames,
+         |  sum(frame_sum)::BIGINT AS clip_sum,
+         |  min(ts_ms) AS ts_start, max(ts_ms) AS ts_end
+         |FROM vf GROUP BY doc_id, frame_idx // 16
+         |HAVING count(*) = 4""".stripMargin,
     // m10: the 32-bin energy profile re-derived from the text
     // formula (segment i = samples [i·n/32, (i+1)·n/32)), then the
     // dHash bitmap and the m5 pigeonhole pair scan (exact at fixture
@@ -1339,28 +1355,18 @@ object MultimodalQueries extends QueryModule {
          |FROM ph FULL OUTER JOIN cos
          |  ON ph.doc_id_a = cos.doc_id_a AND ph.doc_id_b = cos.doc_id_b""".stripMargin,
     "m3_resize_plan" ->
-      """WITH d AS (SELECT doc_id,
-        |  (CASE WHEN doc_id % 4 = 3 THEN 8 * (2 + len(text) % 3)
-        |        ELSE 16 + len(text) % 16 END)::INT AS src_w,
-        |  (CASE WHEN doc_id % 4 = 3 THEN 8 * (2 + doc_id % 3)
-        |        ELSE 16 + doc_id % 16 END)::INT AS src_h
-        |  FROM documents WHERE len(text) > 0),
-        |s AS (SELECT doc_id, src_w, src_h,
-        |  224000 // greatest(src_w, src_h) AS scale_pm FROM d)
-        |SELECT doc_id, src_w, src_h,
-        |  (src_w * scale_pm // 1000)::INT AS dst_w,
-        |  (src_h * scale_pm // 1000)::INT AS dst_h,
-        |  scale_pm::BIGINT AS scale_pm
-        |FROM s""".stripMargin,
-    // m20: the m3 dim replay + the identical verdict tail
+      s"""WITH $dimsOracleCte,
+         |s AS (SELECT doc_id, src_w, src_h,
+         |  224000 // greatest(src_w, src_h) AS scale_pm FROM d)
+         |SELECT doc_id, src_w, src_h,
+         |  (src_w * scale_pm // 1000)::INT AS dst_w,
+         |  (src_h * scale_pm // 1000)::INT AS dst_h,
+         |  scale_pm::BIGINT AS scale_pm
+         |FROM s""".stripMargin,
+    // m20: the SHARED m3 dim replay + the verdict tail
     "m20_media_filter" ->
-      """WITH d AS (SELECT doc_id,
-        |  (CASE WHEN doc_id % 4 = 3 THEN 8 * (2 + len(text) % 3)
-        |        ELSE 16 + len(text) % 16 END)::INT AS src_w,
-        |  (CASE WHEN doc_id % 4 = 3 THEN 8 * (2 + doc_id % 3)
-        |        ELSE 16 + doc_id % 16 END)::INT AS src_h
-        |  FROM documents WHERE len(text) > 0)
-        |SELECT doc_id, src_w, src_h,
+      s"""WITH $dimsOracleCte
+         |SELECT doc_id, src_w, src_h,
         |  least(src_w, src_h)::INT AS min_side,
         |  ((greatest(src_w, src_h)::BIGINT * 1000)
         |    // least(src_w, src_h))::BIGINT AS aspect_pm,
