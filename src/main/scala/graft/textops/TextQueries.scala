@@ -1521,6 +1521,56 @@ object TextQueries extends QueryModule {
         |    x -> x = 'dup' OR x = 'spill')) = 0 THEN 1 ELSE 0 END)::INT AS kept
         |FROM documents""".stripMargin),
 
+    // T30: classifier-score curation — the FineWeb-Edu/Llama-era
+    // move: a trained quality classifier scores every page and a
+    // probability threshold decides the corpus (Penedo et al. 2024
+    // keep edu-score ≥ 3; the classifier here is a fixed-weight
+    // linear model over exact integer features, the shape such a
+    // distilled scorer has after export). Features are closed-form
+    // integers (no HOF: on the single-space corpus the word-char
+    // total is length − (n_words − 1)); the logit is an integer dot
+    // in micro-units; only the sigmoid touches FP, and the
+    // probability quantizes ONCE to ppm (round() absorbs the
+    // engines' exp() last-ulp differences — the t13 discretization
+    // argument). Scale shape: one per-row codegen'd scan, no
+    // shuffle; a real exported classifier broadcasts its weight
+    // vector the same way.
+    SqlQ.split("t30_classifier_filter",
+      """WITH f AS (SELECT doc_id,
+        |    CAST(size(split(text, ' ')) AS BIGINT) AS nw,
+        |    CAST(size(array_distinct(split(text, ' '))) AS BIGINT) AS nu,
+        |    CAST(length(text) AS BIGINT) AS nc
+        |  FROM documents),
+        |g AS (SELECT doc_id, nw,
+        |    (nu * 1000) DIV nw AS uniq_pm,
+        |    ((nc - nw + 1) * 1000) DIV nw AS awl_pm
+        |  FROM f),
+        |s AS (SELECT doc_id, nw, uniq_pm, awl_pm,
+        |    (uniq_pm - 500) * 4000 + (awl_pm - 4500) * 300
+        |      + (nw - 50) * 10000 AS logit_u
+        |  FROM g)
+        |SELECT doc_id, CAST(nw AS INT) AS n_words, uniq_pm, awl_pm, logit_u,
+        |  CAST(round(1000000.0 / (1.0 + exp(-CAST(logit_u AS DOUBLE) / 1000000.0))) AS BIGINT) AS prob_ppm,
+        |  CASE WHEN logit_u >= 0 THEN 1 ELSE 0 END AS kept
+        |FROM s""".stripMargin,
+      """WITH f AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS nu,
+        |    CAST(len(text) AS BIGINT) AS nc
+        |  FROM documents),
+        |g AS (SELECT doc_id, nw,
+        |    ((nu * 1000) // nw)::BIGINT AS uniq_pm,
+        |    (((nc - nw + 1) * 1000) // nw)::BIGINT AS awl_pm
+        |  FROM f),
+        |s AS (SELECT doc_id, nw, uniq_pm, awl_pm,
+        |    ((uniq_pm - 500) * 4000 + (awl_pm - 4500) * 300
+        |      + (nw - 50) * 10000)::BIGINT AS logit_u
+        |  FROM g)
+        |SELECT doc_id, nw::INT AS n_words, uniq_pm, awl_pm, logit_u,
+        |  CAST(round(1000000.0 / (1.0 + exp(-CAST(logit_u AS DOUBLE) / 1000000.0))) AS BIGINT) AS prob_ppm,
+        |  (CASE WHEN logit_u >= 0 THEN 1 ELSE 0 END)::INT AS kept
+        |FROM s""".stripMargin),
+
     // D15: cross-source duplication matrix — the mixing diagnostic a
     // multi-source corpus build reads before weighting sources
     // (RefinedWeb/Dolma report exactly this between CommonCrawl
