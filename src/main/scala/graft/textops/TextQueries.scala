@@ -190,6 +190,35 @@ object TextQueries extends QueryModule {
     * leftmost-greedy, no lookaround, no backreferences. `sqlLit`
     * doubles backslashes for engines that process escapes inside
     * string literals (Spark SQL); DuckDB takes the raw form. */
+  /** THE t30 classifier scorer, shared with the streaming gate
+    * ([[graft.streaming.ClassifierGateStream]]) so batch and stream
+    * verdicts agree BY CONSTRUCTION: exact integer features over a
+    * text column, fixed micro-unit weights, the logit as one
+    * dialect-generated expression (keep ⇔ logit ≥ 0 ⇔ p ≥ ½). */
+  object ClassifierShape {
+    val (wUniq, wAwl, wNw) = (4000L, 300L, 10000L)
+    val (bUniq, bAwl, bNw) = (500L, 4500L, 50L)
+    def nw(c: String, spark: Boolean): String =
+      if (spark) s"CAST(size(split($c, ' ')) AS BIGINT)"
+      else s"CAST(len(string_split($c, ' ')) AS BIGINT)"
+    def nu(c: String, spark: Boolean): String =
+      if (spark) s"CAST(size(array_distinct(split($c, ' '))) AS BIGINT)"
+      else s"CAST(len(list_distinct(string_split($c, ' '))) AS BIGINT)"
+    def nc(c: String, spark: Boolean): String =
+      if (spark) s"CAST(length($c) AS BIGINT)" else s"CAST(len($c) AS BIGINT)"
+    /** distinct-word permille of `nwE` words. */
+    def uniqPm(c: String, nwE: String, spark: Boolean): String =
+      s"(${nu(c, spark)} * 1000)${if (spark) " DIV " else " // "}$nwE"
+    /** mean-word-length permille (single-space corpus: word chars =
+      * length − (n_words − 1)). */
+    def awlPm(c: String, nwE: String, spark: Boolean): String =
+      s"((${nc(c, spark)} - $nwE + 1) * 1000)${if (spark) " DIV " else " // "}$nwE"
+    def logit(c: String, nwE: String, spark: Boolean): String =
+      s"((${uniqPm(c, nwE, spark)} - $bUniq) * $wUniq" +
+        s" + (${awlPm(c, nwE, spark)} - $bAwl) * $wAwl" +
+        s" + ($nwE - $bNw) * $wNw)"
+  }
+
   object PiiShape {
     val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
     val ipv4 = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
@@ -1536,40 +1565,30 @@ object TextQueries extends QueryModule {
     // shuffle; a real exported classifier broadcasts its weight
     // vector the same way.
     SqlQ.split("t30_classifier_filter",
-      """WITH f AS (SELECT doc_id,
-        |    CAST(size(split(text, ' ')) AS BIGINT) AS nw,
-        |    CAST(size(array_distinct(split(text, ' '))) AS BIGINT) AS nu,
-        |    CAST(length(text) AS BIGINT) AS nc
-        |  FROM documents),
-        |g AS (SELECT doc_id, nw,
-        |    (nu * 1000) DIV nw AS uniq_pm,
-        |    ((nc - nw + 1) * 1000) DIV nw AS awl_pm
-        |  FROM f),
-        |s AS (SELECT doc_id, nw, uniq_pm, awl_pm,
-        |    (uniq_pm - 500) * 4000 + (awl_pm - 4500) * 300
-        |      + (nw - 50) * 10000 AS logit_u
-        |  FROM g)
-        |SELECT doc_id, CAST(nw AS INT) AS n_words, uniq_pm, awl_pm, logit_u,
-        |  CAST(round(1000000.0 / (1.0 + exp(-CAST(logit_u AS DOUBLE) / 1000000.0))) AS BIGINT) AS prob_ppm,
-        |  CASE WHEN logit_u >= 0 THEN 1 ELSE 0 END AS kept
-        |FROM s""".stripMargin,
-      """WITH f AS (SELECT doc_id,
-        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
-        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS nu,
-        |    CAST(len(text) AS BIGINT) AS nc
-        |  FROM documents),
-        |g AS (SELECT doc_id, nw,
-        |    ((nu * 1000) // nw)::BIGINT AS uniq_pm,
-        |    (((nc - nw + 1) * 1000) // nw)::BIGINT AS awl_pm
-        |  FROM f),
-        |s AS (SELECT doc_id, nw, uniq_pm, awl_pm,
-        |    ((uniq_pm - 500) * 4000 + (awl_pm - 4500) * 300
-        |      + (nw - 50) * 10000)::BIGINT AS logit_u
-        |  FROM g)
-        |SELECT doc_id, nw::INT AS n_words, uniq_pm, awl_pm, logit_u,
-        |  CAST(round(1000000.0 / (1.0 + exp(-CAST(logit_u AS DOUBLE) / 1000000.0))) AS BIGINT) AS prob_ppm,
-        |  (CASE WHEN logit_u >= 0 THEN 1 ELSE 0 END)::INT AS kept
-        |FROM s""".stripMargin),
+      s"""WITH f AS (SELECT doc_id, text,
+         |    ${ClassifierShape.nw("text", spark = true)} AS nw FROM documents),
+         |s AS (SELECT doc_id,
+         |    CAST(nw AS INT) AS n_words,
+         |    ${ClassifierShape.uniqPm("text", "nw", spark = true)} AS uniq_pm,
+         |    ${ClassifierShape.awlPm("text", "nw", spark = true)} AS awl_pm,
+         |    ${ClassifierShape.logit("text", "nw", spark = true)} AS logit_u
+         |  FROM f)
+         |SELECT doc_id, n_words, uniq_pm, awl_pm, logit_u,
+         |  CAST(round(1000000.0 / (1.0 + exp(-CAST(logit_u AS DOUBLE) / 1000000.0))) AS BIGINT) AS prob_ppm,
+         |  CASE WHEN logit_u >= 0 THEN 1 ELSE 0 END AS kept
+         |FROM s""".stripMargin,
+      s"""WITH f AS (SELECT doc_id, text,
+         |    ${ClassifierShape.nw("text", spark = false)} AS nw FROM documents),
+         |s AS (SELECT doc_id,
+         |    nw::INT AS n_words,
+         |    (${ClassifierShape.uniqPm("text", "nw", spark = false)})::BIGINT AS uniq_pm,
+         |    (${ClassifierShape.awlPm("text", "nw", spark = false)})::BIGINT AS awl_pm,
+         |    (${ClassifierShape.logit("text", "nw", spark = false)})::BIGINT AS logit_u
+         |  FROM f)
+         |SELECT doc_id, n_words, uniq_pm, awl_pm, logit_u,
+         |  CAST(round(1000000.0 / (1.0 + exp(-CAST(logit_u AS DOUBLE) / 1000000.0))) AS BIGINT) AS prob_ppm,
+         |  (CASE WHEN logit_u >= 0 THEN 1 ELSE 0 END)::INT AS kept
+         |FROM s""".stripMargin),
 
     // D15: cross-source duplication matrix — the mixing diagnostic a
     // multi-source corpus build reads before weighting sources
