@@ -280,6 +280,45 @@ object RelationalQueries extends QueryModule {
         |FROM a JOIN cs ON cs.cohort_w = a.cohort_w
         |GROUP BY a.cohort_w, a.offset_w, cs.cohort_size""".stripMargin),
 
+    // §2.5+: rolling 7-day active users — the DAU/WAU pair every
+    // event-stream dashboard serves. A sliding DISTINCT cannot ride
+    // a plain window frame (distinct-over-range isn't incremental),
+    // so the scale shape is the bounded fan-out: each (day, user)
+    // support row replicates to the ≤7 report days it backs — a
+    // constant-factor explode, NOT a range join — and both counts
+    // are combinable aggregates on the day key. Day indices are
+    // exact integers from microseconds (the w3/w5 lesson). Report
+    // days are the days that themselves have events (an empty day
+    // inside a window is a presentation concern, not an operator
+    // one — documented choice).
+    SqlQ.split("w6_rolling_active",
+      """WITH d AS (SELECT DISTINCT
+        |    unix_micros(ts) DIV 86400000000 AS day, user_id
+        |  FROM events),
+        |f AS (SELECT day + off AS report_day, user_id
+        |  FROM d LATERAL VIEW explode(sequence(0, 6)) t AS off),
+        |wau AS (SELECT report_day,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS wau_7d
+        |  FROM f GROUP BY report_day),
+        |dau AS (SELECT day AS report_day,
+        |    CAST(count(*) AS BIGINT) AS dau FROM d GROUP BY day)
+        |SELECT CAST(dau.report_day AS INT) AS report_day,
+        |  dau.dau, wau.wau_7d
+        |FROM dau JOIN wau ON wau.report_day = dau.report_day""".stripMargin,
+      """WITH d AS (SELECT DISTINCT
+        |    epoch_us(ts) // 86400000000 AS day, user_id
+        |  FROM events),
+        |f AS (SELECT day + off AS report_day, user_id
+        |  FROM d, LATERAL unnest(generate_series(0, 6)) t(off)),
+        |wau AS (SELECT report_day,
+        |    count(DISTINCT user_id)::BIGINT AS wau_7d
+        |  FROM f GROUP BY report_day),
+        |dau AS (SELECT day AS report_day,
+        |    count(*)::BIGINT AS dau FROM d GROUP BY day)
+        |SELECT dau.report_day::INT AS report_day,
+        |  dau.dau, wau.wau_7d
+        |FROM dau JOIN wau ON wau.report_day = dau.report_day""".stripMargin),
+
     // OTF dialect's isoweek(date) (analysis.py:143-145) →
     // weekofyear, ISO semantics in both engines.
     SqlQ.shared("a11_isoweek",
