@@ -89,6 +89,39 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "apportionment vacuous: every source rounded the same way")
   }
 
+  test("w6: weekly actives dominate daily; the window visibly widens") {
+    val rows = q("w6_rolling_active").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows)
+      assert(r.getAs[Long]("wau_7d") >= r.getAs[Long]("dau"), r.toString)
+    // after the ramp-in, a 7-day union must exceed a single day
+    // somewhere or the fan-out is vacuous
+    assert(rows.exists(r => r.getAs[Long]("wau_7d") > r.getAs[Long]("dau")),
+      "WAU never exceeds DAU — the trailing window did nothing")
+  }
+
+  test("t28: blocklist verdicts are consistent and two-sided") {
+    val rows = q("t28_badword_filter").collect()
+    for (r <- rows)
+      assert((r.getAs[Int]("n_hits") == 0) == (r.getAs[Int]("kept") == 1),
+        r.toString)
+    val kept = rows.map(_.getAs[Int]("kept")).toSet
+    assert(kept == Set(0, 1), s"blocklist vacuous: kept flags $kept")
+  }
+
+  test("d15: source matrix is upper-triangular and mass-bounded") {
+    val rows = q("d15_cross_source").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getAs[String]("source_a") <= r.getAs[String]("source_b"),
+        r.toString)
+      // each pair's quantized jaccard lies in (500, 1000]
+      val n = r.getAs[Long]("n_pairs")
+      val mass = r.getAs[Long]("jacc_milli_sum")
+      assert(mass > 500 * n && mass <= 1000 * n, r.toString)
+    }
+  }
+
   test("g12: z-order neighbors are spatially close; key order beats row order") {
     val rows = q("g12_zorder_layout")
       .select("c_custkey", "zx", "zy", "zkey").collect()
