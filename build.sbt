@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes through sbt's logger with an "[info] " prefix
+// by default, which breaks line-oriented JSON parsing of Bench/Verify
+// stdout (the driver looks for a line starting with '{'). Send the
+// child's stdout straight through instead.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -36,22 +36,29 @@ object Bench {
     val results = warm.toMap
     val total = if (cold.nonEmpty) cold.map(_._2).sum else 0.0
     val warmTotal = if (warm.nonEmpty) warm.map(_._2).sum else 0.0
-    // The harness that collects this output keeps only a bounded tail
-    // of stdout, so the JSON line must stay short enough to survive it:
-    // 2-decimal seconds, slowest queries first, and the map is cut off
-    // once the line would exceed the budget ("qdropped" counts the
-    // fast queries omitted — their time is still inside "value").
+    // Round-11 verdict "Wrong #5": the old bounded-line protocol
+    // dropped the fast half of the suite (qdropped=101), making
+    // regressions there invisible to round-over-round diffing. Emit
+    // EVERY per-query warm time (slowest first, 2-decimal seconds) —
+    // the driver parses the full stdout line, not just the display
+    // tail (build.sbt routes forked stdout through unprefixed so the
+    // line starts with '{').
     def fmt(v: Double) = f"$v%.2f"
     val ordered = results.toSeq.sortBy(-_._2)
-    val budget = 1700
     val sb = new StringBuilder
-    var kept = 0
-    ordered.foreach { case (k, v) =>
-      val entry = (if (kept > 0) "," else "") + "\"" + k + "\":" + fmt(v)
-      if (sb.length + entry.length <= budget) { sb ++= entry; kept += 1 }
+    ordered.zipWithIndex.foreach { case ((k, v), i) =>
+      if (i > 0) sb += ','
+      sb ++= "\"" + k + "\":" + fmt(v)
     }
-    val dropped = results.size - kept
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","warm_total":${fmt(warmTotal)},"pass":"queries=warm","qcount":${results.size},"qdropped":$dropped,"queries":{$sb},"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","warm_total":${fmt(warmTotal)},"pass":"queries=warm","qcount":${results.size},"qdropped":0,"queries":{$sb},"sf":"$sfDir"}"""
+    println(line)
+    // Belt-and-braces: the full artifact also lands on disk so a
+    // truncated stdout capture can never lose the per-query data.
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_full.json"),
+        line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -65,8 +65,10 @@ object ScaleProbe {
     "t22_fuzzy_decontam",
     // round-12 additions: t26 HTML extraction (map-only regex chain —
     // expect ~linear scan cost); t27 CCNet buckets (t13's LM join
-    // plus a domain-bounded histogram window; `tot` folds from `cnt`
-    // so the word stream is scanned twice, not three times); e21
+    // plus a domain-bounded histogram window; round-13: the tokenize
+    // output is localCheckpoint-materialized ONCE — the corpus text
+    // is exploded exactly once and every downstream pass moves the
+    // distinct-word stream); e21
     // mutual-kNN graph — the first 100× sweep measured the fixed-k
     // blowup (exponent 2.67: per-cell pairs ∝ (n/k)²) and e21AutoK
     // now scales the cell count with the corpus (re-measured 0.92,
@@ -74,7 +76,16 @@ object ScaleProbe {
     // join + per-cell rank window — ~linear); m18 resample (narrow
     // decode map — ~linear)
     "t26_html_extract", "t27_ccnet_buckets", "e21_knn_graph",
-    "e22_proto_prune", "m18_audio_resample")
+    "e22_proto_prune", "m18_audio_resample",
+    // round-13 additions (round-11 verdict ask #3): the #1 and #3
+    // warm-bench queries had no scale rows — m15's linearity rested
+    // on "reuses the m5 pigeonhole", the exact claim class the 100×
+    // probe falsified twice. m15 frame dedup (half-exact multi-index
+    // join — candidate mass ∝ true-dup mass, expect ~linear; the
+    // video-lake sidecar build is paid by the untimed first call);
+    // d13 keep-best selection (d7's clusters + a sliver window —
+    // expect d7's shape)
+    "m15_frame_dedup", "d13_quality_keep")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
@@ -210,9 +221,14 @@ object ScaleProbe {
       // ~quadratically at FIXED cell count (first 100× row: exponent
       // 2.67, 1384 s) — e21AutoK now scales the cell count with the
       // corpus, re-measured below
+      // round-13: t27/t13 re-measured after the tokCounts
+      // materialization (the round-11 verdict's last superlinear
+      // stage — the fix is now measured, not asserted); m15/d13 get
+      // their first 100× rows (verdict ask #3)
       for (q <- Seq("d3_minhash_lsh_pairs", "d9_span_dedup",
         "d10_bloom_gate", "d12_exact_substr",
-        "t26_html_extract", "t27_ccnet_buckets", "e21_knn_graph")
+        "t26_html_extract", "t27_ccnet_buckets", "t13_lm_score",
+        "e21_knn_graph", "m15_frame_dedup", "d13_quality_keep")
           if only100.forall(_.contains(q))) {
         val t10 = warmTime(q, outDir)
         val t100 = warmTime(q, out100)

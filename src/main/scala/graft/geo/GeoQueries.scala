@@ -352,17 +352,21 @@ object GeoQueries extends QueryModule {
     // is IEEE-identical, the interleave is integer.
     SqlQ.split("g12_zorder_layout",
       s"""$sparkPts,
+         |-- least(..., 65535) clamps the domain EDGE: lon=180 / lat=90
+         |-- quantize to cell 65536, which needs bit 16 — the 16-bit
+         |-- interleave would silently drop it and map antimeridian /
+         |-- pole points to zkey 0, destroying locality exactly there
          |qk AS (SELECT c_custkey,
-         |    CAST(floor((lon + 180.0) / 360.0 * 65536.0) AS BIGINT) AS zx,
-         |    CAST(floor((lat + 90.0) / 180.0 * 65536.0) AS BIGINT) AS zy
+         |    least(CAST(floor((lon + 180.0) / 360.0 * 65536.0) AS BIGINT), 65535) AS zx,
+         |    least(CAST(floor((lat + 90.0) / 180.0 * 65536.0) AS BIGINT), 65535) AS zy
          |  FROM pts)
          |SELECT c_custkey, zx, zy,
          |  CAST(${mortonSpark("zx", "zy")} AS BIGINT) AS zkey
          |FROM qk""".stripMargin,
       s"""$duckPts,
          |qk AS (SELECT c_custkey,
-         |    CAST(floor((lon + 180.0) / 360.0 * 65536.0) AS BIGINT) AS zx,
-         |    CAST(floor((lat + 90.0) / 180.0 * 65536.0) AS BIGINT) AS zy
+         |    least(CAST(floor((lon + 180.0) / 360.0 * 65536.0) AS BIGINT), 65535) AS zx,
+         |    least(CAST(floor((lat + 90.0) / 180.0 * 65536.0) AS BIGINT), 65535) AS zy
          |  FROM pts)
          |SELECT c_custkey, zx, zy,
          |  CAST(${mortonDuck("zx", "zy")} AS BIGINT) AS zkey

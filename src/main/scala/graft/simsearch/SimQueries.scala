@@ -354,9 +354,9 @@ object SimQueries extends QueryModule {
     * referenced-once CTEs, and optimizer passes over a 40-level
     * inlined nest go exponential past ~depth 15 (measured: 22 iters =
     * 24s inlined, 41 iters = 5s materialized). */
-  private def kmeansCtes(n: Int): String = {
+  private def kmeansCtes(n: Int, seedPred: String = "vec_id < 10"): String = {
     val sb = new StringBuilder(
-      "cn0 AS (SELECT vec_id AS c, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 10)")
+      s"cn0 AS (SELECT vec_id AS c, v AS cv, nrm AS cnrm FROM n WHERE $seedPred)")
     for (i <- 1 to n) {
       val p = i - 1
       val dot = dDot("n.v", s"cn$p.cv")
@@ -1185,9 +1185,18 @@ object SimQueries extends QueryModule {
          |FROM m GROUP BY src, cell""".stripMargin)
   }
 
+  /** e21's replay derives its SEED COUNT from the fixture itself —
+    * `greatest(10, n // 50)` is [[e21AutoK]] verbatim — so the oracle
+    * tracks knnGraph's corpus-sized k at ANY scale factor instead of
+    * hardwiring the k=10 the canonical sf0.01 fixture happens to
+    * yield (a larger-sf oracle run would otherwise false-fail e21
+    * with no hint why). The unrolled Lloyd CTEs are k-agnostic
+    * beyond the seed predicate: assignment cross-joins whatever cn
+    * holds, and the chunked fold groups by c. */
   private def e21Oracle: String =
     s"""$duckVecs,
-       |${kmeansCtes(KmMaxIter + 1)},
+       |${kmeansCtes(KmMaxIter + 1,
+          "vec_id < greatest(10, (SELECT count(*) FROM n) // 50)")},
        |fin AS (SELECT asg.vec_id, asg.v, n.nrm, asg.c
        |  FROM asg${KmMaxIter + 1} asg JOIN n ON n.vec_id = asg.vec_id),
        |nn AS (SELECT a.vec_id AS src, a.c AS cell, b.vec_id AS dst,

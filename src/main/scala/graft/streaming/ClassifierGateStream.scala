@@ -23,12 +23,20 @@ object ClassifierGateStream {
 
   /** Rows of `stream` whose `textCol` scores logit ≥ 0 pass through
     * with their columns unchanged. Works on static and streaming
-    * frames. */
+    * frames. The word count is projected ONCE (batch t30's CTE move):
+    * inlining `nw` into the logit recomputes size(split(text, ' '))
+    * ~4× per row inside one predicate (uniqPm, awlPm twice, the nw
+    * term) — the helper column is dropped after the filter. */
   def gate(stream: DataFrame, textCol: String = "text"): DataFrame = {
     require(stream.columns.contains(textCol),
       s"classifier gate: input has no '$textCol' column")
-    val nwE = ClassifierShape.nw(textCol, spark = true)
-    stream.where(expr(
-      s"${ClassifierShape.logit(textCol, nwE, spark = true)} >= 0"))
+    val nwCol = "__cls_gate_nw"
+    require(!stream.columns.contains(nwCol),
+      s"classifier gate: input already has a '$nwCol' column")
+    stream
+      .withColumn(nwCol, expr(ClassifierShape.nw(textCol, spark = true)))
+      .where(expr(
+        s"${ClassifierShape.logit(textCol, nwCol, spark = true)} >= 0"))
+      .drop(nwCol)
   }
 }

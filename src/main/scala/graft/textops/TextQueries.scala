@@ -585,50 +585,6 @@ object TextQueries extends QueryModule {
         |SELECT canon, min(doc_id) AS keep_doc_id, count(*) AS n_variants
         |FROM norm GROUP BY canon""".stripMargin),
 
-    // T13: language-model quality scoring, the CCNet move (Wenzek et
-    // al. 2020 §3.3: rank documents by LM perplexity; low = fluent,
-    // high = noise) with the LM simplified to the corpus's own
-    // unigram distribution — per-doc mean negative log-probability,
-    // so rare-vocabulary word-soup scores high. Cross-engine float
-    // parity: a raw ln() sum would hang the hash compare on the last
-    // ulp of two different libm implementations (the reason t10
-    // avoids ln), so each word's −ln(c/t) is QUANTIZED once to
-    // integer micro-nats — round() half-away-from-zero agrees across
-    // engines for the non-negative nll, and a last-ulp ln difference
-    // flips the grid only within an ulp of a .5 boundary (the same
-    // absorb-in-discretization argument as the warp oracles' pixel
-    // floor) — and the per-doc sum is an order-independent BIGINT
-    // sum; avg_nll derives from the two integers by one exact
-    // division. Scale shape: the vocabulary aggregate is map-side
-    // combined and joins the token stream the same way t10's df side
-    // does (broadcast under the threshold, SMJ on word beyond); the
-    // only other shuffle is the per-doc aggregation.
-    SqlQ.split("t13_lm_score",
-      """WITH w AS (SELECT doc_id, word FROM documents
-        |  LATERAL VIEW explode(split(text, ' ')) t AS word),
-        |cnt AS (SELECT word, count(*) AS c FROM w GROUP BY word),
-        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM cnt),
-        |per AS (SELECT w.doc_id,
-        |    CAST(round(-ln(CAST(cnt.c AS DOUBLE) / CAST(tot.t AS DOUBLE)) * 1000000.0) AS BIGINT) AS nll_u
-        |  FROM w JOIN cnt ON cnt.word = w.word CROSS JOIN tot),
-        |agg AS (SELECT doc_id, CAST(sum(nll_u) AS BIGINT) AS sum_u,
-        |    count(*) AS n_tokens
-        |  FROM per GROUP BY doc_id)
-        |SELECT doc_id, n_tokens,
-        |  CAST(sum_u AS DOUBLE) / (n_tokens * 1000000.0) AS avg_nll FROM agg""".stripMargin,
-      """WITH w AS (SELECT doc_id,
-        |    unnest(string_split(text, ' ')) AS word FROM documents),
-        |cnt AS (SELECT word, count(*) AS c FROM w GROUP BY word),
-        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM cnt),
-        |per AS (SELECT w.doc_id,
-        |    CAST(round(-ln(CAST(cnt.c AS DOUBLE) / CAST(tot.t AS DOUBLE)) * 1000000.0) AS BIGINT) AS nll_u
-        |  FROM w JOIN cnt ON cnt.word = w.word CROSS JOIN tot),
-        |agg AS (SELECT doc_id, CAST(sum(nll_u) AS BIGINT) AS sum_u,
-        |    count(*) AS n_tokens
-        |  FROM per GROUP BY doc_id)
-        |SELECT doc_id, n_tokens,
-        |  CAST(sum_u AS DOUBLE) / (n_tokens * 1000000.0) AS avg_nll FROM agg""".stripMargin),
-
     // T14: DSIR — Data Selection via Importance Resampling (Xie et
     // al. 2023): pick raw-corpus documents whose hashed-n-gram
     // distribution looks like a TARGET domain sample. Per bucket
@@ -1450,80 +1406,6 @@ object TextQueries extends QueryModule {
         |  md5(main_text) AS text_md5
         |FROM ext""".stripMargin),
 
-    // T27: CCNet perplexity bucketing (Wenzek et al. 2020 §4.3): per
-    // LANGUAGE, rank documents by LM perplexity and cut the corpus
-    // into head/middle/tail TERCILES — the quality tiers CCNet ships
-    // as separate subsets (head trains the model, tail gets dropped
-    // or down-weighted). The LM is t13's corpus unigram simplification
-    // but trained PER LANGUAGE (CCNet's actual setup: one LM per
-    // language); each doc's mean nll in integer micro-nats (t13's
-    // quantization, floor-divided once — exact in both engines since
-    // sum_u >= 0), tercile thresholds via the t15 histogram-quantile
-    // pattern over the discrete avg_u domain (rank-based, never an
-    // interpolated double), and the output is the per-(lang, bucket)
-    // accounting a mixing step consumes. Scale shape: the LM join is
-    // t13's (broadcast under the threshold, hash-join beyond); the
-    // histogram is map-side combinable and the tercile window runs
-    // over <= |langs| x |distinct avg_u| rows; the final accounting
-    // is one combinable groupBy.
-    SqlQ.split("t27_ccnet_buckets",
-      """WITH w AS (SELECT doc_id, lang, word FROM documents
-        |  LATERAL VIEW explode(split(text, ' ')) t AS word),
-        |cnt AS (SELECT lang, word, count(*) AS c FROM w GROUP BY lang, word),
-        |tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS t FROM cnt GROUP BY lang),
-        |per AS (SELECT w.doc_id, w.lang,
-        |    CAST(round(-ln(CAST(cnt.c AS DOUBLE) / CAST(tot.t AS DOUBLE)) * 1000000.0) AS BIGINT) AS nll_u
-        |  FROM w JOIN cnt ON cnt.lang = w.lang AND cnt.word = w.word
-        |         JOIN tot ON tot.lang = w.lang),
-        |agg AS (SELECT doc_id, lang, CAST(sum(nll_u) AS BIGINT) AS sum_u,
-        |    CAST(count(*) AS BIGINT) AS n_tokens
-        |  FROM per GROUP BY doc_id, lang),
-        |a2 AS (SELECT doc_id, lang, n_tokens, sum_u DIV n_tokens AS avg_u FROM agg),
-        |hist AS (SELECT lang, avg_u, count(*) AS c FROM a2 GROUP BY lang, avg_u),
-        |n AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_docs FROM hist GROUP BY lang),
-        |cum AS (SELECT lang, avg_u,
-        |    sum(c) OVER (PARTITION BY lang ORDER BY avg_u) AS cm FROM hist),
-        |q AS (SELECT cum.lang,
-        |    min(CASE WHEN cm * 3 >= n.n_docs THEN avg_u END) AS p33,
-        |    min(CASE WHEN cm * 3 >= 2 * n.n_docs THEN avg_u END) AS p66
-        |  FROM cum JOIN n ON n.lang = cum.lang GROUP BY cum.lang),
-        |b AS (SELECT a2.doc_id, a2.lang, a2.n_tokens, a2.avg_u,
-        |    CASE WHEN avg_u <= p33 THEN 'head'
-        |         WHEN avg_u <= p66 THEN 'middle' ELSE 'tail' END AS bucket
-        |  FROM a2 JOIN q ON q.lang = a2.lang)
-        |SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
-        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-        |  min(avg_u) AS min_avg_u, max(avg_u) AS max_avg_u
-        |FROM b GROUP BY lang, bucket""".stripMargin,
-      """WITH w AS (SELECT doc_id, lang,
-        |    unnest(string_split(text, ' ')) AS word FROM documents),
-        |cnt AS (SELECT lang, word, count(*) AS c FROM w GROUP BY lang, word),
-        |tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS t FROM cnt GROUP BY lang),
-        |per AS (SELECT w.doc_id, w.lang,
-        |    CAST(round(-ln(CAST(cnt.c AS DOUBLE) / CAST(tot.t AS DOUBLE)) * 1000000.0) AS BIGINT) AS nll_u
-        |  FROM w JOIN cnt ON cnt.lang = w.lang AND cnt.word = w.word
-        |         JOIN tot ON tot.lang = w.lang),
-        |agg AS (SELECT doc_id, lang, CAST(sum(nll_u) AS BIGINT) AS sum_u,
-        |    CAST(count(*) AS BIGINT) AS n_tokens
-        |  FROM per GROUP BY doc_id, lang),
-        |a2 AS (SELECT doc_id, lang, n_tokens, (sum_u // n_tokens)::BIGINT AS avg_u FROM agg),
-        |hist AS (SELECT lang, avg_u, count(*) AS c FROM a2 GROUP BY lang, avg_u),
-        |n AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_docs FROM hist GROUP BY lang),
-        |cum AS (SELECT lang, avg_u,
-        |    sum(c) OVER (PARTITION BY lang ORDER BY avg_u) AS cm FROM hist),
-        |q AS (SELECT cum.lang,
-        |    min(CASE WHEN cm * 3 >= n.n_docs THEN avg_u END) AS p33,
-        |    min(CASE WHEN cm * 3 >= 2 * n.n_docs THEN avg_u END) AS p66
-        |  FROM cum JOIN n ON n.lang = cum.lang GROUP BY cum.lang),
-        |b AS (SELECT a2.doc_id, a2.lang, a2.n_tokens, a2.avg_u,
-        |    CASE WHEN avg_u <= p33 THEN 'head'
-        |         WHEN avg_u <= p66 THEN 'middle' ELSE 'tail' END AS bucket
-        |  FROM a2 JOIN q ON q.lang = a2.lang)
-        |SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
-        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-        |  min(avg_u) AS min_avg_u, max(avg_u) AS max_avg_u
-        |FROM b GROUP BY lang, bucket""".stripMargin),
-
     // T28: blocklist word filter — C4 §2.2's page-level rule: drop
     // any page containing a word from the blocklist (the "Dirty,
     // Naughty…" list in the paper; a benign stand-in here). Matching
@@ -1825,6 +1707,193 @@ object TextQueries extends QueryModule {
        |SELECT cluster_id, doc_id AS kept_doc_id, cluster_size,
        |  n_words AS kept_n_words
        |FROM r WHERE rk = 1""".stripMargin
+
+  // ---- t13/t27: one materialization of the tokenize output --------
+  //
+  // Both LM-scoring queries need the corpus token stream TWICE: once
+  // to build the unigram LM (the vocabulary counts) and once to score
+  // every document against it. As CTEs those two consumers re-ran the
+  // corpus explode per reference (the round-11 100× probe measured the
+  // residual: t27 exponent 1.30 — the fix below re-measured 1.01/0.98,
+  // BENCH_sf1.md round-12), so the tokenize output is materialized
+  // ONCE here: per-(doc, lang, word) occurrence counts — the parquet
+  // an upstream tokenize stage writes at a real cluster; eager
+  // `localCheckpoint` is the single-JVM stand-in (d7's lifetime rule:
+  // not memoized, each call re-materializes). Two wins compound:
+  // the corpus text is exploded exactly once, and everything
+  // downstream — the LM aggregation AND the scoring join — moves the
+  // per-doc DISTINCT-word stream (duplicates collapse map-side in the
+  // groupBy partial), not the raw token stream.
+
+  /** Tokenize-stage output: per-(doc, lang, word) counts, checkpointed. */
+  private def tokCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.register(spark, sfDir)
+    spark.sql(
+      """SELECT doc_id, lang, word, CAST(count(*) AS BIGINT) AS k
+        |FROM documents LATERAL VIEW explode(split(text, ' ')) t AS word
+        |GROUP BY doc_id, lang, word""".stripMargin)
+      .localCheckpoint()
+  }
+
+  /** Runs `tail` against a view over the checkpointed token counts
+    * (postingPairs' per-call-view convention), eagerly checkpoints
+    * the RESULT, and frees the token blocks — the result is doc-count
+    * sized while the token table is corpus-sized, and leaking the
+    * latter across a bench run causes eviction/writeback stalls in
+    * unrelated queries ([[graft.CkptUtil]]). */
+  private def overTokCounts(spark: SparkSession, sfDir: String)
+                           (tail: String => String): DataFrame = {
+    val view = "tok_counts_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val tok = tokCounts(spark, sfDir)
+    tok.createOrReplaceTempView(view)
+    try {
+      val res = spark.sql(tail(view)).localCheckpoint()
+      graft.CkptUtil.unpersist(tok)
+      res
+    } finally spark.catalog.dropTempView(view)
+  }
+
+  /** T13: language-model quality scoring, the CCNet move (Wenzek et
+    * al. 2020 §3.3: rank documents by LM perplexity; low = fluent,
+    * high = noise) with the LM simplified to the corpus's own
+    * unigram distribution — per-doc mean negative log-probability,
+    * so rare-vocabulary word-soup scores high. Cross-engine float
+    * parity: a raw ln() sum would hang the hash compare on the last
+    * ulp of two different libm implementations (the reason t10
+    * avoids ln), so each word's −ln(c/t) is QUANTIZED once to
+    * integer micro-nats — round() half-away-from-zero agrees across
+    * engines for the non-negative nll, and a last-ulp ln difference
+    * flips the grid only within an ulp of a .5 boundary — and the
+    * per-doc sum folds the quantized integers exactly: an occurrence
+    * sum over tokens equals `nll_u * k` summed over distinct words.
+    * Scale shape: ONE corpus explode (the [[tokCounts]]
+    * materialization); the LM aggregate and the scoring join both
+    * move the distinct-word stream (broadcast under the threshold,
+    * hash-join on word beyond); the only other shuffle is the
+    * per-doc aggregation. */
+  private def t13Query(spark: SparkSession, sfDir: String): DataFrame =
+    overTokCounts(spark, sfDir) { v =>
+      s"""WITH cnt AS (SELECT word, CAST(sum(k) AS BIGINT) AS c
+         |  FROM $v GROUP BY word),
+         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM cnt),
+         |per AS (SELECT v.doc_id, v.k,
+         |    CAST(round(-ln(CAST(cnt.c AS DOUBLE) / CAST(tot.t AS DOUBLE)) * 1000000.0) AS BIGINT) AS nll_u
+         |  FROM $v v JOIN cnt ON cnt.word = v.word CROSS JOIN tot),
+         |agg AS (SELECT doc_id, CAST(sum(nll_u * k) AS BIGINT) AS sum_u,
+         |    CAST(sum(k) AS BIGINT) AS n_tokens
+         |  FROM per GROUP BY doc_id)
+         |SELECT doc_id, n_tokens,
+         |  CAST(sum_u AS DOUBLE) / (n_tokens * 1000000.0) AS avg_nll FROM agg""".stripMargin
+    }
+
+  private val t13Oracle: String =
+    """WITH w AS (SELECT doc_id,
+      |    unnest(string_split(text, ' ')) AS word FROM documents),
+      |cnt AS (SELECT word, count(*) AS c FROM w GROUP BY word),
+      |tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM cnt),
+      |per AS (SELECT w.doc_id,
+      |    CAST(round(-ln(CAST(cnt.c AS DOUBLE) / CAST(tot.t AS DOUBLE)) * 1000000.0) AS BIGINT) AS nll_u
+      |  FROM w JOIN cnt ON cnt.word = w.word CROSS JOIN tot),
+      |agg AS (SELECT doc_id, CAST(sum(nll_u) AS BIGINT) AS sum_u,
+      |    count(*) AS n_tokens
+      |  FROM per GROUP BY doc_id)
+      |SELECT doc_id, n_tokens,
+      |  CAST(sum_u AS DOUBLE) / (n_tokens * 1000000.0) AS avg_nll FROM agg""".stripMargin
+
+  /** T27: CCNet perplexity bucketing (Wenzek et al. 2020 §4.3): per
+    * LANGUAGE, rank documents by LM perplexity and cut the corpus
+    * into head/middle/tail TERCILES — the quality tiers CCNet ships
+    * as separate subsets (head trains the model, tail gets dropped
+    * or down-weighted). The LM is t13's corpus unigram simplification
+    * but trained PER LANGUAGE (CCNet's actual setup: one LM per
+    * language); each doc's mean nll in integer micro-nats (t13's
+    * quantization, floor-divided once — exact in both engines since
+    * sum_u >= 0), tercile thresholds via the t15 histogram-quantile
+    * pattern over the discrete avg_u domain (rank-based, never an
+    * interpolated double), and the output is the per-(lang, bucket)
+    * accounting a mixing step consumes. Scale shape: t13's — ONE
+    * corpus explode via [[tokCounts]], distinct-word streams from
+    * there on — plus a second materialization: the per-doc score
+    * table feeds TWO branches (the tercile-threshold subtree and the
+    * bucket-label join), and as a CTE each reference re-ran the
+    * whole scoring pipeline (the round-11 100× residual, exponent
+    * 1.30: ~16 s of join+agg executed twice); checkpointed it is
+    * n_docs rows computed once (re-measured 0.98/1.01, BENCH_sf1.md
+    * round-12). The LM join is left to AQE (it broadcasts the vocab
+    * side when its runtime size permits); `tot` and `q` are
+    * <= |langs| rows keyed on LANG — a handful of distinct values a
+    * shuffled join would collapse to |langs| partitions — so they
+    * carry explicit BROADCAST hints; the histogram is map-side
+    * combinable and the tercile window runs over <= |langs| x
+    * |distinct avg_u| rows; the final accounting is one combinable
+    * groupBy. */
+  private def t27Query(spark: SparkSession, sfDir: String): DataFrame = {
+    val score = overTokCounts(spark, sfDir) { v =>
+      s"""WITH cnt AS (SELECT lang, word, CAST(sum(k) AS BIGINT) AS c
+         |  FROM $v GROUP BY lang, word),
+         |tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS t FROM cnt GROUP BY lang),
+         |per AS (SELECT /*+ BROADCAST(tot) */ v.doc_id, v.lang, v.k,
+         |    CAST(round(-ln(CAST(cnt.c AS DOUBLE) / CAST(tot.t AS DOUBLE)) * 1000000.0) AS BIGINT) AS nll_u
+         |  FROM $v v JOIN cnt ON cnt.lang = v.lang AND cnt.word = v.word
+         |         JOIN tot ON tot.lang = v.lang),
+         |agg AS (SELECT doc_id, lang, CAST(sum(nll_u * k) AS BIGINT) AS sum_u,
+         |    CAST(sum(k) AS BIGINT) AS n_tokens
+         |  FROM per GROUP BY doc_id, lang)
+         |SELECT doc_id, lang, n_tokens, sum_u DIV n_tokens AS avg_u FROM agg""".stripMargin
+    }
+    val sv = "t27_score_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    score.createOrReplaceTempView(sv)
+    try spark.sql(
+      s"""WITH hist AS (SELECT lang, avg_u, count(*) AS c FROM $sv GROUP BY lang, avg_u),
+         |n AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_docs FROM hist GROUP BY lang),
+         |cum AS (SELECT lang, avg_u,
+         |    sum(c) OVER (PARTITION BY lang ORDER BY avg_u) AS cm FROM hist),
+         |q AS (SELECT cum.lang,
+         |    min(CASE WHEN cm * 3 >= n.n_docs THEN avg_u END) AS p33,
+         |    min(CASE WHEN cm * 3 >= 2 * n.n_docs THEN avg_u END) AS p66
+         |  FROM cum JOIN n ON n.lang = cum.lang GROUP BY cum.lang),
+         |b AS (SELECT /*+ BROADCAST(q) */ a2.doc_id, a2.lang, a2.n_tokens, a2.avg_u,
+         |    CASE WHEN avg_u <= p33 THEN 'head'
+         |         WHEN avg_u <= p66 THEN 'middle' ELSE 'tail' END AS bucket
+         |  FROM $sv a2 JOIN q ON q.lang = a2.lang)
+         |SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |  min(avg_u) AS min_avg_u, max(avg_u) AS max_avg_u
+         |FROM b GROUP BY lang, bucket""".stripMargin)
+    finally spark.catalog.dropTempView(sv)
+  }
+
+  private val t27Oracle: String =
+    """WITH w AS (SELECT doc_id, lang,
+      |    unnest(string_split(text, ' ')) AS word FROM documents),
+      |cnt AS (SELECT lang, word, count(*) AS c FROM w GROUP BY lang, word),
+      |tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS t FROM cnt GROUP BY lang),
+      |per AS (SELECT w.doc_id, w.lang,
+      |    CAST(round(-ln(CAST(cnt.c AS DOUBLE) / CAST(tot.t AS DOUBLE)) * 1000000.0) AS BIGINT) AS nll_u
+      |  FROM w JOIN cnt ON cnt.lang = w.lang AND cnt.word = w.word
+      |         JOIN tot ON tot.lang = w.lang),
+      |agg AS (SELECT doc_id, lang, CAST(sum(nll_u) AS BIGINT) AS sum_u,
+      |    CAST(count(*) AS BIGINT) AS n_tokens
+      |  FROM per GROUP BY doc_id, lang),
+      |a2 AS (SELECT doc_id, lang, n_tokens, (sum_u // n_tokens)::BIGINT AS avg_u FROM agg),
+      |hist AS (SELECT lang, avg_u, count(*) AS c FROM a2 GROUP BY lang, avg_u),
+      |n AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_docs FROM hist GROUP BY lang),
+      |cum AS (SELECT lang, avg_u,
+      |    sum(c) OVER (PARTITION BY lang ORDER BY avg_u) AS cm FROM hist),
+      |q AS (SELECT cum.lang,
+      |    min(CASE WHEN cm * 3 >= n.n_docs THEN avg_u END) AS p33,
+      |    min(CASE WHEN cm * 3 >= 2 * n.n_docs THEN avg_u END) AS p66
+      |  FROM cum JOIN n ON n.lang = cum.lang GROUP BY cum.lang),
+      |b AS (SELECT a2.doc_id, a2.lang, a2.n_tokens, a2.avg_u,
+      |    CASE WHEN avg_u <= p33 THEN 'head'
+      |         WHEN avg_u <= p66 THEN 'middle' ELSE 'tail' END AS bucket
+      |  FROM a2 JOIN q ON q.lang = a2.lang)
+      |SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+      |  min(avg_u) AS min_avg_u, max(avg_u) AS max_avg_u
+      |FROM b GROUP BY lang, bucket""".stripMargin
 
   // ---- d4/d8: one materialization of the posting buckets ----------
   //
@@ -2424,7 +2493,9 @@ object TextQueries extends QueryModule {
       ("d10_bloom_gate" -> (d10Query _)) +
       ("d12_exact_substr" -> (d12Query _)) +
       ("t18_bpe_train" -> (t18Query _)) +
-      ("t21_bpe_tokenize" -> (t21Query _))
+      ("t21_bpe_tokenize" -> (t21Query _)) +
+      ("t13_lm_score" -> (t13Query _)) +
+      ("t27_ccnet_buckets" -> (t27Query _))
 
   override def oracles: Map[String, String] =
     sqls.flatMap(q => q.oracleSql.map(q.name -> _)).toMap +
@@ -2436,5 +2507,7 @@ object TextQueries extends QueryModule {
       ("d10_bloom_gate" -> d10Oracle) +
       ("d12_exact_substr" -> d12Oracle) +
       ("t18_bpe_train" -> t18Oracle) +
-      ("t21_bpe_tokenize" -> t21Oracle)
+      ("t21_bpe_tokenize" -> t21Oracle) +
+      ("t13_lm_score" -> t13Oracle) +
+      ("t27_ccnet_buckets" -> t27Oracle)
 }
