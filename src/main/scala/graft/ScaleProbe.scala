@@ -111,13 +111,14 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     buildScaled(spark, sfDir, outDir)
 
-    def warmTime(name: String, dir: String): Double = {
+    def warmTimed(name: String, dir: String): (Double, Long) = {
       // first run pays OS cache + any memoized builds; report the second
       SparkEntry.queries(name)(spark, dir).count()
       val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, dir).count()
-      (System.nanoTime() - t0) / 1e9
+      val rows = SparkEntry.queries(name)(spark, dir).count()
+      ((System.nanoTime() - t0) / 1e9, rows)
     }
+    def warmTime(name: String, dir: String): Double = warmTimed(name, dir)._1
     // GRAFT_PROBE_SKIP_BASE: iterate on the 100× section alone (the
     // base 10× sweep is ~5 min of timing that must not run while
     // another Spark JVM competes for the cores)
@@ -225,14 +226,25 @@ object ScaleProbe {
       // materialization (the round-11 verdict's last superlinear
       // stage — the fix is now measured, not asserted); m15/d13 get
       // their first 100× rows (verdict ask #3)
+      // Rows are reported alongside seconds: a pair-enumeration op
+      // whose TRUE answer grows superlinearly (m15: replica frames
+      // are exact dups, so frame-pair mass is quadratic in the
+      // replica count BY CORPUS CONSTRUCTION — 142.6M pairs at 10x,
+      // 13.8B at 100x) is linear in input+output, and the naive
+      // seconds-only exponent would misread the growing answer as a
+      // growing engine.
       for (q <- Seq("d3_minhash_lsh_pairs", "d9_span_dedup",
         "d10_bloom_gate", "d12_exact_substr",
         "t26_html_extract", "t27_ccnet_buckets", "t13_lm_score",
         "e21_knn_graph", "m15_frame_dedup", "d13_quality_keep")
           if only100.forall(_.contains(q))) {
-        val t10 = warmTime(q, outDir)
-        val t100 = warmTime(q, out100)
-        println(f"""{"query":"$q","sec_10x":$t10%.2f,"sec_100x":$t100%.2f,"exponent_10_100":${math.log10(t100 / t10)}%.2f}""")
+        val (t10, r10) = warmTimed(q, outDir)
+        val (t100, r100) = warmTimed(q, out100)
+        val perOut =
+          if (r10 > 0 && r100 > 0)
+            f""","sec_per_mrow_10x":${t10 * 1e6 / r10}%.3f,"sec_per_mrow_100x":${t100 * 1e6 / r100}%.3f"""
+          else ""
+        println(f"""{"query":"$q","sec_10x":$t10%.2f,"sec_100x":$t100%.2f,"exponent_10_100":${math.log10(t100 / t10)}%.2f,"rows_10x":$r10,"rows_100x":$r100$perOut}""")
       }
       if (only100.isDefined) { spark.stop(); return }
       val n10e = spark.read.parquet(s"$outDir/embeddings.parquet").count()

@@ -13,7 +13,8 @@ object SparkEntry {
     multimodal.MultimodalQueries,
     geo.GeoQueries,
     raster.RasterQueries,
-    etl.EtlQueries
+    etl.EtlQueries,
+    streaming.StreamingQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1103,9 +1103,11 @@ object MultimodalQueries extends QueryModule {
 
   /** The claimed-pair cosine chain — tower replay + text-slice +
     * per-pair cosine `jn(doc_id, cosine)` — SHARED by the m7 and m17
-    * oracles so the score definition cannot drift between alignment
-    * scoring and threshold accounting. */
-  private lazy val clipPairOracleCtes: String =
+    * oracles (and the streaming CLIP gate's oracle,
+    * [[graft.streaming.StreamingQueries]]) so the score definition
+    * cannot drift between alignment scoring and threshold
+    * accounting. */
+  private[graft] lazy val clipPairOracleCtes: String =
     s"""$grayOracleCtes,
        |$imgTowerOracleCte,
        |t AS (SELECT vec_id, [x::DOUBLE for x in list_slice(embedding, 1, 8)] AS txt FROM embeddings),
