@@ -85,7 +85,12 @@ object ScaleProbe {
     // video-lake sidecar build is paid by the untimed first call);
     // d13 keep-best selection (d7's clusters + a sliver window —
     // expect d7's shape)
-    "m15_frame_dedup", "d13_quality_keep")
+    "m15_frame_dedup", "d13_quality_keep",
+    // m21 is the OUTPUT-BOUNDED answer shape m15's 100× row motivates
+    // (cluster labels, one row per frame): expect ~linear where m15's
+    // seconds-only exponent tracks its quadratically-growing true
+    // pair answer
+    "m21_frame_clusters")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
@@ -236,7 +241,8 @@ object ScaleProbe {
       for (q <- Seq("d3_minhash_lsh_pairs", "d9_span_dedup",
         "d10_bloom_gate", "d12_exact_substr",
         "t26_html_extract", "t27_ccnet_buckets", "t13_lm_score",
-        "e21_knn_graph", "m15_frame_dedup", "d13_quality_keep")
+        "e21_knn_graph", "m15_frame_dedup", "d13_quality_keep",
+        "m21_frame_clusters")
           if only100.forall(_.contains(q))) {
         val (t10, r10) = warmTimed(q, outDir)
         val (t100, r100) = warmTimed(q, out100)

@@ -584,7 +584,13 @@ object MultimodalQueries extends QueryModule {
     * hash — well-distributed keys, bounded group sizes. Oracle
     * replays the writer's closed-form frame formula (the m2 layout)
     * and brute-forces the pair scan. */
-  private def frameDedup(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Builds the two checkpointed m15 intermediates and returns their
+    * view names: the per-frame hash table (`doc_id, frame_idx, fh_lo,
+    * fh_hi`; constant frames excluded) and the verified hash-pair
+    * table (`la, ha, lb, hb, hamming`, ordered). SHARED by m15 (pair
+    * enumeration) and m21 (cluster labeling) so the hash and
+    * candidate definitions cannot drift between the two answers. */
+  private def frameHashViews(spark: SparkSession, sfDir: String): (String, String) = {
     val media = spark.read.parquet(MediaLake.ensureVideo(spark, sfDir))
     val hashes = media.flatMap { row =>
       val v = Avi.decode(row.getAs[Array[Byte]]("media"))
@@ -653,6 +659,11 @@ object MultimodalQueries extends QueryModule {
          |      OR (a.fh_lo = b.fh_lo AND a.fh_hi < b.fh_hi))
          |  WHERE bit_count(a.fh_lo ^ b.fh_lo) + bit_count(a.fh_hi ^ b.fh_hi) <= 3""".stripMargin)
       .localCheckpoint().createOrReplaceTempView(hpView)
+    (view, hpView)
+  }
+
+  private def frameDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val (view, hpView) = frameHashViews(spark, sfDir)
     spark.sql(
       s"""WITH hs2 AS (SELECT la, ha, lb, hb, hamming FROM $hpView
          |  UNION ALL SELECT lb, hb, la, ha, hamming FROM $hpView
@@ -663,6 +674,46 @@ object MultimodalQueries extends QueryModule {
          |FROM $view x JOIN hs2 ON x.fh_lo = hs2.la AND x.fh_hi = hs2.ha
          |JOIN $view y ON y.fh_lo = hs2.lb AND y.fh_hi = hs2.hb
          |WHERE x.doc_id < y.doc_id""".stripMargin)
+  }
+
+  /** M21: frame duplicate CLUSTERS — the production answer shape to
+    * m15's pair enumeration. The 100× probe showed WHY this operator
+    * exists: with saturated duplicate groups (reused footage — here
+    * the scaled corpus's replica frames), the TRUE pair answer grows
+    * as the square of group size (142.6M pairs at 10×, 13.8B at
+    * 100×), so any pair-stream consumer is output-bound no matter
+    * how fast the engine is; a viral clip reposted a million times
+    * is 10¹² pairs. Production dedup therefore labels each frame
+    * with its duplicate-CLUSTER representative (one row per frame —
+    * LINEAR output) and keeps one exemplar per cluster downstream.
+    * Clusters are connected components of the verified hash-pair
+    * graph (Hamming ≤ 3 edges between distinct hashes; exact-dup
+    * frames share a hash node by construction), labeled by the
+    * shared min-label kernel ([[graft.GraphOps.ccMinLabel]] — d7's
+    * pointer-jumping machinery, node id = the packed 64-bit hash).
+    * Scale shape: the hash/pair machinery is m15's ([[frameHashViews]]
+    * — one shared build); CC runs over DISTINCT HASHES (≪ frames),
+    * and the frame mapping is one equality join on the hash.
+    * Oracle: the m15 hash replay + brute-force hash pairs + a
+    * recursive-CTE transitive closure — d7's different-algorithm-
+    * same-fixed-point check, applied to frames. */
+  private def frameClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val (view, hpView) = frameHashViews(spark, sfDir)
+    val edges = spark.sql(
+      s"""SELECT shiftleft(la, 32) | ha AS a, shiftleft(lb, 32) | hb AS b FROM $hpView
+         |UNION ALL
+         |SELECT shiftleft(lb, 32) | hb AS a, shiftleft(la, 32) | ha AS b FROM $hpView""".stripMargin)
+    val nodes = spark.sql(
+      s"SELECT DISTINCT shiftleft(fh_lo, 32) | fh_hi AS id FROM $view")
+    val labels = graft.GraphOps.ccMinLabel(spark, edges, nodes)
+    val lv = s"m21_lbl_${Integer.toHexString(sfDir.hashCode)}"
+    labels.createOrReplaceTempView(lv)
+    spark.sql(
+      s"""WITH f AS (SELECT v.doc_id, v.frame_idx, l.lbl AS cluster_id
+         |  FROM $view v JOIN $lv l ON l.id = shiftleft(v.fh_lo, 32) | v.fh_hi)
+         |SELECT doc_id, frame_idx, cluster_id,
+         |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+         |FROM f""".stripMargin)
   }
 
   /** M5: perceptual-hash media dedup — the cross-modal twin of the
@@ -1033,6 +1084,7 @@ object MultimodalQueries extends QueryModule {
     "m11_scene_cuts" -> ((s, d) => sceneCuts(s, d)),
     "m14_spectrogram" -> ((s, d) => spectrogram(s, d)),
     "m15_frame_dedup" -> ((s, d) => frameDedup(s, d)),
+    "m21_frame_clusters" -> ((s, d) => frameClusters(s, d)),
     "m17_clip_filter" -> ((s, d) => clipFilter(s, d)),
     "m18_audio_resample" -> ((s, d) => audioResample(s, d)),
     "m19_clip_sample" -> ((s, d) => clipSample(s, d)),
@@ -1116,6 +1168,28 @@ object MultimodalQueries extends QueryModule {
        |      / (sqrt(list_reduce([y*y for y in b.img], (a,c) -> a+c))
        |         * sqrt(list_reduce([y*y for y in t.txt], (a,c) -> a+c))) AS cosine
        |  FROM b JOIN t ON b.doc_id = t.vec_id)""".stripMargin
+
+  /** The m15/m21 frame-HASH replay — the writer's closed-form frame
+    * formula through the aHash definition, ending at `hh(doc_id, k,
+    * lo, hi)` (constant frames excluded) — SHARED by the m15 and m21
+    * oracles so the hash definition cannot drift between pair
+    * enumeration and cluster labeling. */
+  private val m15HashOracleCtes: String =
+    """m AS (SELECT doc_id, text, len(text) AS n, 1 + len(text) % 24 AS f
+      |  FROM documents WHERE len(text) > 0),
+      |fr AS (SELECT doc_id, text, n, f,
+      |  unnest(generate_series(0, f - 1)) AS k FROM m),
+      |px AS (SELECT doc_id, k,
+      |  [ascii(text[((k*64 + p) * n) // (f*64) + 1 : ((k*64 + p) * n) // (f*64) + 1])::BIGINT
+      |   for p in generate_series(0, 63)] AS g FROM fr),
+      |s AS (SELECT doc_id, k, g, list_sum(g)::BIGINT AS fs FROM px),
+      |h AS (SELECT doc_id, k,
+      |  list_sum([CASE WHEN g[p+1]*64 > fs THEN (1::BIGINT << p) ELSE 0 END
+      |            for p in generate_series(0, 31)])::BIGINT AS lo,
+      |  list_sum([CASE WHEN g[p+33]*64 > fs THEN (1::BIGINT << p) ELSE 0 END
+      |            for p in generate_series(0, 31)])::BIGINT AS hi
+      |  FROM s),
+      |hh AS (SELECT doc_id, k, lo, hi FROM h WHERE lo != 0 OR hi != 0)""".stripMargin
 
   /** The m2 frame replay — `vf(doc_id, frame_idx, frame_off, ts_ms,
     * frame_sum)` from the video writer's deterministic layout
@@ -1285,26 +1359,37 @@ object MultimodalQueries extends QueryModule {
     // constant frames (hash 0,0) dropped, brute-force pair scan at
     // Hamming ≤ 3 (exact vs the engine's pigeonhole join)
     "m15_frame_dedup" ->
-      """WITH m AS (SELECT doc_id, text, len(text) AS n, 1 + len(text) % 24 AS f
-        |  FROM documents WHERE len(text) > 0),
-        |fr AS (SELECT doc_id, text, n, f,
-        |  unnest(generate_series(0, f - 1)) AS k FROM m),
-        |px AS (SELECT doc_id, k,
-        |  [ascii(text[((k*64 + p) * n) // (f*64) + 1 : ((k*64 + p) * n) // (f*64) + 1])::BIGINT
-        |   for p in generate_series(0, 63)] AS g FROM fr),
-        |s AS (SELECT doc_id, k, g, list_sum(g)::BIGINT AS fs FROM px),
-        |h AS (SELECT doc_id, k,
-        |  list_sum([CASE WHEN g[p+1]*64 > fs THEN (1::BIGINT << p) ELSE 0 END
-        |            for p in generate_series(0, 31)])::BIGINT AS lo,
-        |  list_sum([CASE WHEN g[p+33]*64 > fs THEN (1::BIGINT << p) ELSE 0 END
-        |            for p in generate_series(0, 31)])::BIGINT AS hi
-        |  FROM s),
-        |hh AS (SELECT doc_id, k, lo, hi FROM h WHERE lo != 0 OR hi != 0)
-        |SELECT a.doc_id AS doc_id_a, a.k::INT AS frame_a,
-        |  b.doc_id AS doc_id_b, b.k::INT AS frame_b,
-        |  (bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)))::INT AS hamming
-        |FROM hh a, hh b WHERE a.doc_id < b.doc_id
-        |  AND bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3""".stripMargin,
+      s"""WITH $m15HashOracleCtes
+         |SELECT a.doc_id AS doc_id_a, a.k::INT AS frame_a,
+         |  b.doc_id AS doc_id_b, b.k::INT AS frame_b,
+         |  (bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)))::INT AS hamming
+         |FROM hh a, hh b WHERE a.doc_id < b.doc_id
+         |  AND bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3""".stripMargin,
+    // m21: the m15 hash replay + brute-force DISTINCT-hash pairs + a
+    // recursive-CTE transitive closure (d7's different-algorithm-
+    // same-fixed-point check). The node id packs (lo, hi) into one
+    // BIGINT exactly as Spark's wrapping shiftleft(lo,32)|hi does —
+    // DuckDB's << checks overflow, so the two's-complement wrap is
+    // spelled out for lo >= 2^31
+    "m21_frame_clusters" -> {
+      def pk(lo: String, hi: String) =
+        s"(CASE WHEN $lo >= 2147483648 THEN ($lo - 4294967296) * 4294967296" +
+          s" ELSE $lo * 4294967296 END + $hi)::BIGINT"
+      s"""WITH RECURSIVE $m15HashOracleCtes,
+         |nd AS (SELECT DISTINCT ${pk("lo", "hi")} AS id, lo, hi FROM hh),
+         |ed AS (SELECT a.id AS x, b.id AS y FROM nd a, nd b
+         |  WHERE a.id != b.id
+         |    AND bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3),
+         |reach(a, b) AS (SELECT x, y FROM ed
+         |  UNION SELECT r.a, e.y FROM reach r JOIN ed e ON r.b = e.x),
+         |cl AS (SELECT nd.id, least(nd.id, coalesce(min(r.b), nd.id)) AS lbl
+         |  FROM nd LEFT JOIN reach r ON r.a = nd.id GROUP BY nd.id),
+         |f AS (SELECT hh.doc_id, hh.k::INT AS frame_idx, cl.lbl AS cluster_id
+         |  FROM hh JOIN cl ON cl.id = ${pk("hh.lo", "hh.hi")})
+         |SELECT doc_id, frame_idx, cluster_id,
+         |  (count(*) OVER (PARTITION BY cluster_id))::BIGINT AS cluster_size
+         |FROM f""".stripMargin
+    },
     "m4_audio_energy" ->
       s"""WITH $m4WindowOracleCtes
          |SELECT doc_id, window_idx, n_samples, energy, peak

@@ -1600,42 +1600,14 @@ object TextQueries extends QueryModule {
          |  JOIN sh x ON x.doc_id = cand.i JOIN sh y ON y.doc_id = cand.j
          |  WHERE CAST(size(array_intersect(x.hs, y.hs)) AS DOUBLE)
          |        / (size(x.hs) + size(y.hs) - size(array_intersect(x.hs, y.hs))) >= 0.5""".stripMargin)
-    // Iterative fixed points on DataFrames need lineage TRUNCATION,
-    // not just caching: `persist` keeps the full logical plan, and a
-    // loop whose round references its own output twice doubles the
-    // plan tree per round — Catalyst analysis time explodes long
-    // before the data does. Eager `localCheckpoint` materializes to
-    // executor-local storage and cuts the plan (what GraphX does for
-    // Pregel loops); each round then analyzes a constant-size plan.
+    // CC by min-label propagation + pointer jumping — the shared
+    // kernel ([[graft.GraphOps.ccMinLabel]]; see its scaladoc for the
+    // localCheckpoint lineage-truncation and O(log diameter) story).
     val edges = pairs.selectExpr("i AS a", "j AS b")
-      .union(pairs.selectExpr("j AS a", "i AS b")).localCheckpoint()
-    var labels = edges.selectExpr("a AS doc_id").distinct()
-      .selectExpr("doc_id", "doc_id AS lbl").localCheckpoint()
-    var changed = 1L
-    var rounds = 0
-    while (changed > 0 && rounds < 50) {
-      rounds += 1
-      // neighbor-min pass: every node takes the min label on its edges
-      val prop = edges.join(labels, col("a") === col("doc_id"))
-        .groupBy(col("b")).agg(min(col("lbl")).as("nlbl"))
-      val stepped = labels.join(prop, col("doc_id") === col("b"), "left")
-        .selectExpr("doc_id", "least(lbl, coalesce(nlbl, lbl)) AS lbl")
-      // pointer-jump pass (lbl := lbl(lbl)): labels always point at a
-      // node of the same component with a ≤ id, so composing the
-      // pointer doubles the reach — chain-shaped clusters converge in
-      // O(log diameter) rounds instead of O(diameter) (each round is
-      // a fixed number of Spark jobs, so round count IS the runtime
-      // at small data, and the depth bound at 100 TB).
-      val parents = stepped.selectExpr("doc_id AS p_id", "lbl AS p_lbl")
-      val next = stepped.join(parents, col("lbl") === col("p_id"), "left")
-        .selectExpr("doc_id", "coalesce(p_lbl, lbl) AS lbl")
-        .localCheckpoint()
-      changed = next.as("n").join(labels.as("o"), "doc_id")
-        .where(col("n.lbl") =!= col("o.lbl")).count()
-      labels = next
-    }
-    require(changed == 0, s"label propagation did not converge in $rounds rounds")
-    labels.selectExpr("doc_id", "lbl AS cluster_id")
+      .union(pairs.selectExpr("j AS a", "i AS b"))
+    val nodes = edges.selectExpr("a AS id").distinct()
+    graft.GraphOps.ccMinLabel(spark, edges, nodes)
+      .selectExpr("id AS doc_id", "lbl AS cluster_id")
       .withColumn("cluster_size",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("cluster_id"))))
