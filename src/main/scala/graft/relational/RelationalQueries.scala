@@ -355,6 +355,82 @@ object RelationalQueries extends QueryModule {
         |ORDER BY w.dataset""".stripMargin)
   )
 
+  /** W7: strict as-of join — last-touch attribution over the event
+    * stream (each purchase attached to the user's latest strictly
+    * earlier view). The Spark side is [[TemporalJoins.asofStrict]]
+    * (one shuffle, union + running window — see its doc for the
+    * at-scale argument); the oracle is a DIFFERENT algorithm, a
+    * DuckDB LATERAL argmax per purchase, so a window-frame bug on
+    * either side cannot cancel out. */
+  private def asofAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("asof_key"),
+        unix_micros(col("ts")).as("asof_t"),
+        col("event_id").as("purchase_id"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("asof_key"),
+        unix_micros(col("ts")).as("asof_t"),
+        col("event_id").as("asof_tb"),
+        struct(
+          col("event_id").as("view_id"),
+          unix_micros(col("ts")).as("view_us"),
+          col("value").as("view_value")).as("asof_payload"))
+    TemporalJoins.asofStrict(purchases, views)
+      .select(col("purchase_id"),
+        col("asof_key").as("user_id"),
+        col("asof_t").as("purchase_us"),
+        col("asof_match.view_id").as("view_id"),
+        col("asof_match.view_us").as("view_us"),
+        (col("asof_t") - col("asof_match.view_us")).as("gap_us"),
+        col("asof_match.view_value").as("view_value"))
+  }
+
+  private val asofOracle: String =
+    """WITH p AS (SELECT event_id AS purchase_id, user_id,
+      |    epoch_us(ts) AS purchase_us
+      |  FROM events WHERE event_type = 'purchase'),
+      |v AS (SELECT event_id AS view_id, user_id AS v_user,
+      |    epoch_us(ts) AS view_us, value AS view_value
+      |  FROM events WHERE event_type = 'view')
+      |SELECT p.purchase_id, p.user_id, p.purchase_us, m.view_id, m.view_us,
+      |  p.purchase_us - m.view_us AS gap_us, m.view_value
+      |FROM p LEFT JOIN LATERAL (
+      |  SELECT view_id, view_us, view_value FROM v
+      |  WHERE v.v_user = p.user_id AND v.view_us < p.purchase_us
+      |  ORDER BY v.view_us DESC, v.view_id DESC LIMIT 1) m ON true""".stripMargin
+
+  /** W8: range (interval containment) join — 48-hour report windows
+    * centered on each active day, each event counted into every
+    * window containing it (overlapping windows, so this is a genuine
+    * interval join, not an equi-bucketing). The Spark side is
+    * [[TemporalJoins.bucketRangeJoin]] at day granularity (fan-out 3
+    * buckets per window); the oracle is the naive BETWEEN join. */
+  private def rangeWindows(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+    val pts = ev.select(unix_micros(col("ts")).as("rj_t"), col("value"))
+    val iv = ev.select(expr("unix_micros(ts) div 86400000000").as("day")).distinct()
+      .select(col("day"),
+        (col("day") * 86400000000L - 43200000000L).as("rj_lo"),
+        (col("day") * 86400000000L + 129600000000L).as("rj_hi"))
+    TemporalJoins.bucketRangeJoin(pts, iv, 86400000000L)
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(30,2)")).cast("double").as("total_value"))
+      .select(col("day").cast("int").as("window_day"),
+        col("n_events"), col("total_value"))
+  }
+
+  private val rangeOracle: String =
+    """WITH e AS (SELECT epoch_us(ts) AS t, value FROM events),
+      |d AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day FROM events),
+      |i AS (SELECT day, day * 86400000000 - 43200000000 AS lo,
+      |    day * 86400000000 + 129600000000 AS hi FROM d)
+      |SELECT i.day::INT AS window_day, count(*)::BIGINT AS n_events,
+      |  (sum(CAST(e.value AS DECIMAL(30,2))))::DOUBLE AS total_value
+      |FROM i JOIN e ON e.t >= i.lo AND e.t < i.hi
+      |GROUP BY i.day""".stripMargin
+
   /** S2: constraint-dedup append (`load_tabular_data.sh:59-73`
     * `INSERT … ON CONFLICT DO NOTHING` ≡ left-anti on the unique key
     * then append). Incoming batch = a slice of orders (all conflicting)
@@ -377,12 +453,17 @@ object RelationalQueries extends QueryModule {
         spark.sql(q.sparkSql)
       })
     }.toMap
-    fromSql + ("s2_dedup_append" -> ((s: SparkSession, d: String) => dedupAppend(s, d)))
+    fromSql +
+      ("s2_dedup_append" -> ((s: SparkSession, d: String) => dedupAppend(s, d))) +
+      ("w7_asof_join" -> ((s: SparkSession, d: String) => asofAttribution(s, d))) +
+      ("w8_range_join" -> ((s: SparkSession, d: String) => rangeWindows(s, d)))
   }
 
   override def oracles: Map[String, String] =
     sqls.flatMap(q => q.oracleSql.map(q.name -> _)).toMap +
       ("s2_dedup_append" ->
         """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
-          |  cast(o_orderdate as date) AS order_date FROM orders""".stripMargin)
+          |  cast(o_orderdate as date) AS order_date FROM orders""".stripMargin) +
+      ("w7_asof_join" -> asofOracle) +
+      ("w8_range_join" -> rangeOracle)
 }

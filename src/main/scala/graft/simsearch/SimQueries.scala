@@ -595,13 +595,13 @@ object SimQueries extends QueryModule {
     * ground truth. The index itself is the UNfiltered IVF: one
     * structure serves every predicate. */
   private def ivfTopK(spark: SparkSession, sfDir: String,
-                      filter: String = ""): DataFrame = {
+                      filter: String = "", qSel: String = ""): DataFrame = {
     val km = convergedKmeans(spark, sfDir)
     spark.sql(
       s"""$sparkVecs,
          |${centroidCte(km.centroids)},
          |asg AS (SELECT vec_id, ${argmaxAssign(km.centroids)} AS c FROM n),
-         |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < 5),
+         |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn$qSel FROM n WHERE vec_id < 5),
          |pc AS (SELECT qid, cn.c AS cell,
          |        row_number() OVER (PARTITION BY qid
          |          ORDER BY vec_dot(qv, cn.cv) / (qn * cn.cnrm) DESC, cn.c) AS cr
@@ -622,6 +622,15 @@ object SimQueries extends QueryModule {
     * filtered and unfiltered top-5 genuinely differ, dense enough
     * that every probed cell still holds candidates. */
   private val FilterPred = " AND n.label % 3 = 0"
+
+  /** The e25/e26 hard-negative predicate: candidates must carry a
+    * DIFFERENT label than the query — the contrastive-training miner
+    * (each anchor's most-similar wrong-class neighbors are the batch
+    * negatives that actually move the loss). Unlike e19's static
+    * predicate this one is PER-QUERY, which is why the q CTE exports
+    * the query's own label (`qSel`). */
+  private val HardNegPred = " AND n.label != q.qlabel"
+  private val QLabelSel = ", label AS qlabel"
 
   private val sqls: Seq[SqlQ] = Seq(
 
@@ -1349,10 +1358,10 @@ object SimQueries extends QueryModule {
 
   /** DuckDB replay of [[ivfTopK]] (k-means CTE chain + 2-probe scan);
     * `filter` mirrors the engine's candidate predicate verbatim. */
-  private def ivfOracle(filter: String): String =
+  private def ivfOracle(filter: String, qSel: String = ""): String =
     s"""$duckVecs,
        |${kmeansCtes(KmMaxIter + 1)},
-       |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < 5),
+       |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn$qSel FROM n WHERE vec_id < 5),
        |pc AS (SELECT qid, cn$KmMaxIter.c AS cell,
        |        row_number() OVER (PARTITION BY qid
        |          ORDER BY ${dDot("qv", s"cn$KmMaxIter.cv")} / (qn * cn$KmMaxIter.cnrm) DESC, cn$KmMaxIter.c) AS cr
@@ -1373,9 +1382,10 @@ object SimQueries extends QueryModule {
     * recall one IEEE division, so the oracle hash-matches. The join
     * is 25 rows × 25 rows — the measurement costs nothing next to the
     * pipelines it audits. */
-  private def exactTop5Sql(nQ: Int = 5, filter: String = ""): String =
+  private def exactTop5Sql(nQ: Int = 5, filter: String = "",
+                           qSel: String = ""): String =
     s"""$sparkVecs,
-       |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < $nQ),
+       |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn$qSel FROM n WHERE vec_id < $nQ),
        |s AS (SELECT qid, n.vec_id AS nid, vec_dot(qv, n.v) / (qn * n.nrm) AS sim
        |      FROM q CROSS JOIN n WHERE n.vec_id != qid$filter)
        |SELECT qid AS query_id, nid AS neighbor_id
@@ -1384,14 +1394,14 @@ object SimQueries extends QueryModule {
        |WHERE rnk <= 5""".stripMargin
 
   private def ivfRecall(spark: SparkSession, sfDir: String,
-                        candFilter: String = ""): DataFrame = {
+                        candFilter: String = "", qSel: String = ""): DataFrame = {
     import org.apache.spark.sql.functions._
     Tables.register(spark, sfDir)
-    val exact = spark.sql(exactTop5Sql(filter = candFilter)).as("e")
+    val exact = spark.sql(exactTop5Sql(filter = candFilter, qSel = qSel)).as("e")
     // both sides are |queries|·5 rows; hint the probe side so the
     // recall join broadcasts regardless of threshold/stats (the
     // static planner SMJ'd it — 2 sorts + an exchange for 25 rows)
-    val ivf = broadcast(ivfTopK(spark, sfDir, candFilter)
+    val ivf = broadcast(ivfTopK(spark, sfDir, candFilter, qSel)
       .select(col("query_id"), col("neighbor_id"))).as("i")
     exact.join(ivf,
         col("e.query_id") === col("i.query_id") &&
@@ -1778,17 +1788,17 @@ object SimQueries extends QueryModule {
 
   /** DuckDB replay of [[ivfRecall]]: exact filtered top-5 vs the
     * (same-filtered) 2-probe IVF; `filter` mirrors the engine's. */
-  private def recallOracle(filter: String): String =
+  private def recallOracle(filter: String, qSel: String = ""): String =
     s"""WITH exact AS (SELECT query_id, neighbor_id FROM (
        |  $duckVecs,
-       |  q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < 5),
+       |  q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn$qSel FROM n WHERE vec_id < 5),
        |  s AS (SELECT qid, n.vec_id AS nid, ${dDot("qv", "n.v")} / (qn * n.nrm) AS sim
        |        FROM q CROSS JOIN n WHERE n.vec_id != qid$filter)
        |  SELECT qid AS query_id, nid AS neighbor_id
        |  FROM (SELECT qid, nid, sim,
        |          CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS INT) AS rnk FROM s) t
        |  WHERE rnk <= 5)),
-       |ivf AS (SELECT query_id, neighbor_id FROM (${ivfOracle(filter)}))
+       |ivf AS (SELECT query_id, neighbor_id FROM (${ivfOracle(filter, qSel)}))
        |SELECT e.query_id, count(i.neighbor_id) AS hits,
        |  CAST(count(i.neighbor_id) AS DOUBLE) / 5 AS recall_at_5
        |FROM exact e LEFT JOIN ivf i
@@ -1816,6 +1826,12 @@ object SimQueries extends QueryModule {
       // the ~1/3-selective predicate.
       ("e19_filtered_ann" -> ((s: SparkSession, d: String) => ivfTopK(s, d, FilterPred))) +
       ("e20_filtered_recall" -> ((s: SparkSession, d: String) => ivfRecall(s, d, FilterPred))) +
+      // E25/E26: hard-negative mining for contrastive training — the
+      // same IVF serving path with the per-query wrong-label
+      // predicate, plus its measured recall against the exact
+      // wrong-label brute force (the e19/e20 pairing).
+      ("e25_hard_negatives" -> ((s: SparkSession, d: String) => ivfTopK(s, d, HardNegPred, QLabelSel))) +
+      ("e26_hardneg_recall" -> ((s: SparkSession, d: String) => ivfRecall(s, d, HardNegPred, QLabelSel))) +
       ("e2_cosine_neardup" -> ((s: SparkSession, d: String) => cellNearDup(s, d))) +
       ("e8_ivf_recall" -> ((s: SparkSession, d: String) => ivfRecall(s, d))) +
       ("e4_ann_lsh_auto" -> ((s: SparkSession, d: String) => e4Auto(s, d))) +
@@ -1835,6 +1851,8 @@ object SimQueries extends QueryModule {
       ("e3_ann_ivf" -> e3Oracle) +
       ("e19_filtered_ann" -> ivfOracle(FilterPred)) +
       ("e20_filtered_recall" -> recallOracle(FilterPred)) +
+      ("e25_hard_negatives" -> ivfOracle(HardNegPred, QLabelSel)) +
+      ("e26_hardneg_recall" -> recallOracle(HardNegPred, QLabelSel)) +
       ("e2_cosine_neardup" -> e2Oracle) +
       ("e8_ivf_recall" -> e8Oracle) +
       ("e4_ann_lsh_auto" -> e4Oracle) +

@@ -905,6 +905,54 @@ object TextQueries extends QueryModule {
         |  CAST(round(1000000.0 * c / pt) AS BIGINT) AS p_micro, rnk
         |FROM r WHERE rnk <= 3""".stripMargin),
 
+    // T31: interpolated Kneser-Ney bigram LM (Kneser & Ney 1995; the
+    // smoothing behind the KenLM 5-grams CCNet filters with) — t17
+    // gives raw conditional counts; this gives the SMOOTHED model:
+    //   p_kn(w2|w1) = max(c12 - d, 0)/c1 + d·N1+(w1,·)/c1 · N1+(·,w2)/N1+(·,·)
+    // with d = 3/4. Everything is EXACT integer arithmetic: the
+    // discount rides as quarters (4·c12 − 3), the whole probability
+    // is one BIGINT division to micro-units, so both engines round
+    // identically. Scale shape: bigram counts, left/right
+    // continuation counts and the type total are all map-side-
+    // combinable groupBys on well-distributed keys; the final join
+    // keys on w1/w2 (vocabulary-bounded sides) and the type total is
+    // a broadcast scalar. The c12 >= 5 cut bounds the output to the
+    // model head (the full table would be the vocab² tail).
+    SqlQ.split("t31_kn_bigram",
+      """WITH w AS (SELECT filter(split(text, ' '), x -> x != '') AS w
+        |  FROM documents),
+        |g AS (SELECT w[i] AS w1, w[i+1] AS w2
+        |  FROM w LATERAL VIEW explode(sequence(0, size(w) - 2)) t AS i
+        |  WHERE size(w) >= 2),
+        |c AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+        |  FROM g GROUP BY w1, w2),
+        |l AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+        |    CAST(count(*) AS BIGINT) AS n1_fwd FROM c GROUP BY w1),
+        |r AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1_back FROM c GROUP BY w2),
+        |nb AS (SELECT CAST(count(*) AS BIGINT) AS nbi FROM c)
+        |SELECT c.w1, c.w2, c.c12, l.c1, l.n1_fwd, r.n1_back,
+        |  CAST((1000000 * (greatest(4*c.c12 - 3, 0) * nb.nbi + 3 * l.n1_fwd * r.n1_back))
+        |    DIV (4 * l.c1 * nb.nbi) AS BIGINT) AS p_kn_micro
+        |FROM c JOIN l ON l.w1 = c.w1 JOIN r ON r.w2 = c.w2 CROSS JOIN nb
+        |WHERE c.c12 >= 5""".stripMargin,
+      """WITH w AS (SELECT list_filter(string_split(text, ' '), x -> x != '') AS w
+        |  FROM documents),
+        |g0 AS (SELECT unnest([w[i] || ' ' || w[i+1]
+        |    for i in generate_series(1, len(w) - 1)]) AS bg
+        |  FROM w WHERE len(w) >= 2),
+        |g AS (SELECT string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2
+        |  FROM g0),
+        |c AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM g GROUP BY w1, w2),
+        |l AS (SELECT w1, sum(c12)::BIGINT AS c1,
+        |    count(*)::BIGINT AS n1_fwd FROM c GROUP BY w1),
+        |r AS (SELECT w2, count(*)::BIGINT AS n1_back FROM c GROUP BY w2),
+        |nb AS (SELECT count(*)::BIGINT AS nbi FROM c)
+        |SELECT c.w1, c.w2, c.c12, l.c1, l.n1_fwd, r.n1_back,
+        |  ((1000000 * (greatest(4*c.c12 - 3, 0) * nb.nbi + 3 * l.n1_fwd * r.n1_back))
+        |    // (4 * l.c1 * nb.nbi))::BIGINT AS p_kn_micro
+        |FROM c JOIN l ON l.w1 = c.w1 JOIN r ON r.w2 = c.w2 CROSS JOIN nb
+        |WHERE c.c12 >= 5""".stripMargin),
+
     // T19: sliding-window chunking — the retrieval/embedding prep
     // step (split every document into overlapping fixed-token windows
     // so each chunk fits an encoder's context and boundary sentences
@@ -2115,6 +2163,104 @@ object TextQueries extends QueryModule {
       |SELECT doc_id, md5(text) AS text_md5 FROM inc
       |WHERE NOT EXISTS (SELECT 1 FROM corpus WHERE corpus.text = inc.text)""".stripMargin
 
+  /** D16: corpus-wide line-level dedup — the RefinedWeb/MassiveText
+    * boilerplate pass: segment every document into fixed 10-word
+    * "lines", drop each line whose text occurs in >= 2 DISTINCT
+    * documents (nav bars, cookie banners, licence blurbs), and
+    * rebuild the surviving document in original line order.
+    *
+    * Scale shape (the d12 lesson — token text must not ride the
+    * frequency shuffle): the counting path explodes (doc_id, lineno,
+    * xxhash64(line)) — 24 bytes a row — so both the distinct-doc
+    * count and the anti-join shuffle HASHES; line text itself only
+    * moves once, in the final doc_id-keyed rebuild join. Fan-out is
+    * 1 row per 10 words, and every aggregate is map-side combinable.
+    * The oracle groups by the line TEXT itself (hash-free), so a
+    * collision-masking bug on the engine side cannot hide.
+    */
+  private def d16Query(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, collect_list, countDistinct, expr, posexplode, sort_array}
+    val docs = Tables.load(spark, sfDir, "documents")
+    val docLines = docs
+      .selectExpr("doc_id", "filter(split(text, ' '), x -> x != '') AS w")
+      .where("size(w) > 0")
+      .selectExpr("doc_id",
+        "transform(sequence(0, (size(w)-1) div 10), i -> array_join(slice(w, i*10+1, 10), ' ')) AS lines")
+    val hashes = docLines
+      .select(col("doc_id"), posexplode(expr("transform(lines, l -> xxhash64(l))")))
+      .toDF("doc_id", "lineno", "h")
+    val boiler = hashes.groupBy("h")
+      .agg(countDistinct("doc_id").as("nd")).where("nd >= 2").select("h")
+    val kept = hashes.join(boiler, Seq("h"), "left_anti")
+      .groupBy("doc_id").agg(sort_array(collect_list(col("lineno"))).as("keep"))
+    docLines.join(kept, Seq("doc_id"), "left")
+      .selectExpr("doc_id",
+        "cast(size(lines) as int) AS n_lines",
+        "cast(coalesce(size(keep), 0) as int) AS n_kept",
+        "cast(size(lines) - coalesce(size(keep), 0) as int) AS n_dropped",
+        "coalesce(array_join(transform(keep, i -> lines[i]), ' '), '') AS clean_text")
+  }
+
+  private val d16Oracle: String =
+    """WITH w0 AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w
+      |  FROM documents),
+      |dl AS (SELECT doc_id, w, len(w) AS n FROM w0 WHERE len(w) > 0),
+      |l AS (SELECT doc_id, i AS lineno,
+      |    array_to_string(list_slice(w, i*10 + 1, i*10 + 10), ' ') AS line
+      |  FROM dl, LATERAL unnest(generate_series(0, (n-1)//10)) t(i)),
+      |b AS (SELECT line FROM l GROUP BY line HAVING count(DISTINCT doc_id) >= 2),
+      |k AS (SELECT doc_id, lineno, line FROM l ANTI JOIN b USING (line)),
+      |agg AS (SELECT doc_id, count(*) AS n_kept,
+      |    string_agg(line, ' ' ORDER BY lineno) AS clean_text
+      |  FROM k GROUP BY doc_id)
+      |SELECT dl.doc_id, ((dl.n - 1)//10 + 1)::INT AS n_lines,
+      |  coalesce(agg.n_kept, 0)::INT AS n_kept,
+      |  ((dl.n - 1)//10 + 1 - coalesce(agg.n_kept, 0))::INT AS n_dropped,
+      |  coalesce(agg.clean_text, '') AS clean_text
+      |FROM dl LEFT JOIN agg ON agg.doc_id = dl.doc_id""".stripMargin
+
+  /** T32: exact heavy hitters via a Misra–Gries candidate pass — the
+    * "novel sketch with an exact answer" shape: pass 1 builds a
+    * bounded 127-counter [[graft.functions.MisraGries]] summary PER
+    * PARTITION (plus the partition's token count) and merges the
+    * k·#partitions counters on the driver — nothing shuffles, and the
+    * merged candidate set provably contains every word with frequency
+    * > N/128; pass 2 broadcast-joins the candidates and counts them
+    * EXACTLY, keeping words at >= N/64 — safely inside the sketch's
+    * guarantee, so the output equals the oracle's full group-by even
+    * though the engine never aggregated the full vocabulary. At 100 TB
+    * the full-vocab groupBy shuffles the corpus's entire token stream;
+    * this shape shuffles only candidate matches (pass 2's combiner
+    * output is #candidates rows per partition).
+    */
+  private def t32Query(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, count, lit}
+    import spark.implicits._
+    val k = 127
+    val words = Tables.load(spark, sfDir, "documents")
+      .selectExpr("explode(filter(split(text, ' '), x -> x != '')) AS word")
+    val partials = words.as[String].mapPartitions { it =>
+      var n = 0L
+      val counted = it.map { w => n += 1; w }
+      val m = graft.functions.MisraGries.summarize(counted, k)
+      Iterator.single((m, n))
+    }.collect()
+    val total = partials.map(_._2).sum
+    val cand = graft.functions.MisraGries.merge(partials.map(_._1), k).keys.toSeq
+    words.join(broadcast(cand.toDF("word")), Seq("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .where(col("n") * 64 >= total)
+      .selectExpr("word", "n", s"CAST(n * 1000000 DIV ${total}L AS BIGINT) AS ppm")
+  }
+
+  private val t32Oracle: String =
+    """WITH w AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x != ''))
+      |    AS word FROM documents),
+      |tot AS (SELECT count(*)::BIGINT AS total FROM w),
+      |c AS (SELECT word, count(*)::BIGINT AS n FROM w GROUP BY word)
+      |SELECT c.word, c.n, ((c.n * 1000000) // tot.total)::BIGINT AS ppm
+      |FROM c CROSS JOIN tot WHERE c.n * 64 >= tot.total""".stripMargin
+
   private def d4Query(spark: SparkSession, sfDir: String): DataFrame =
     postingPairs(spark, sfDir,
       """SELECT pr.i AS doc_id_a, pr.j AS doc_id_b,
@@ -2460,6 +2606,8 @@ object TextQueries extends QueryModule {
       ("d7_dup_clusters" -> (d7Query _)) +
       ("d13_quality_keep" -> (d13Query _)) +
       ("d4_ngram_jaccard_pairs" -> (d4Query _)) +
+      ("d16_line_dedup" -> (d16Query _)) +
+      ("t32_heavy_hitters" -> (t32Query _)) +
       ("d8_containment_pairs" -> (d8Query _)) +
       ("t8_sequence_pack" -> (t8Query _)) +
       ("d10_bloom_gate" -> (d10Query _)) +
@@ -2474,6 +2622,8 @@ object TextQueries extends QueryModule {
       ("d7_dup_clusters" -> d7Oracle) +
       ("d13_quality_keep" -> d13Oracle) +
       ("d4_ngram_jaccard_pairs" -> d4Oracle) +
+      ("d16_line_dedup" -> d16Oracle) +
+      ("t32_heavy_hitters" -> t32Oracle) +
       ("d8_containment_pairs" -> d8Oracle) +
       ("t8_sequence_pack" -> t8Oracle) +
       ("d10_bloom_gate" -> d10Oracle) +

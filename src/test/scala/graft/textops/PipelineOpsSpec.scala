@@ -189,6 +189,58 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("d16: dropped lines are exactly the cross-doc repeats; order survives") {
+    import spark.implicits._
+    val rows = q("d16_line_dedup").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getAs[Int]("n_kept") + r.getAs[Int]("n_dropped") == r.getAs[Int]("n_lines"))
+      val words = r.getAs[String]("clean_text").split(" ").filter(_.nonEmpty)
+      assert(words.length >= r.getAs[Int]("n_kept"), r.toString) // >= : last line may be short
+    }
+    val dropped = rows.map(_.getAs[Int]("n_dropped").toLong).sum
+    assert(dropped > 0, "no boilerplate found — the cut is vacuous")
+    // a doc untouched by the cut round-trips its own text verbatim
+    val clean = rows.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .selectExpr("doc_id", "array_join(filter(split(text,' '), x -> x != ''), ' ') AS t")
+      .as[(Long, String)].collect()
+    val untouched = docs.filter { case (id, _) =>
+      clean.contains(id) && clean(id).getAs[Int]("n_dropped") == 0 }
+    assert(untouched.nonEmpty)
+    for ((id, t) <- untouched)
+      assert(clean(id).getAs[String]("clean_text") == t, s"doc $id reassembly drifted")
+  }
+
+  test("e25: hard negatives never share the anchor's label; the cut bites") {
+    import spark.implicits._
+    val labels = graft.Tables.load(spark, sf, "embeddings")
+      .selectExpr("vec_id", "label").as[(Long, Long)].collect().toMap
+    val rows = q("e25_hard_negatives").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows)
+      assert(labels(r.getAs[Long]("neighbor_id")) != labels(r.getAs[Long]("query_id")),
+        s"same-label pair leaked: $r")
+    // the per-query predicate must actually change the answer vs the
+    // unfiltered serving path for at least one query
+    val hard = rows.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val plain = q("e3_ann_ivf").collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(hard != plain, "hard-negative cut is vacuous at this fixture")
+  }
+
+  test("t32: sketch-gated exact counts match a full groupBy") {
+    import spark.implicits._
+    val got = q("t32_heavy_hitters")
+      .selectExpr("word", "n").as[(String, Long)].collect().toMap
+    val full = graft.Tables.load(spark, sf, "documents")
+      .selectExpr("explode(filter(split(text,' '), x -> x != '')) AS word")
+      .groupBy("word").count().as[(String, Long)].collect()
+    val total = full.map(_._2).sum
+    val expect = full.filter(_._2 * 64 >= total).toMap
+    assert(expect.nonEmpty && got == expect)
+  }
+
   test("m17: bucket accounting conserves pairs and the cut is non-vacuous") {
     val rows = q("m17_clip_filter").collect()
     val total = rows.map(_.getAs[Long]("n_pairs")).sum
