@@ -590,7 +590,11 @@ object MultimodalQueries extends QueryModule {
     * table (`la, ha, lb, hb, hamming`, ordered). SHARED by m15 (pair
     * enumeration) and m21 (cluster labeling) so the hash and
     * candidate definitions cannot drift between the two answers. */
-  private def frameHashViews(spark: SparkSession, sfDir: String): (String, String) = {
+  /** Just the per-frame hash table (decode + aHash + localCheckpoint),
+    * WITHOUT the hamming candidate join — m22's set-overlap pairing
+    * needs only exact hash equality, so it must not pay for m15's
+    * multi-index probe materialization. */
+  private def frameHashView(spark: SparkSession, sfDir: String): String = {
     val media = spark.read.parquet(MediaLake.ensureVideo(spark, sfDir))
     val hashes = media.flatMap { row =>
       val v = Avi.decode(row.getAs[Array[Byte]]("media"))
@@ -612,13 +616,18 @@ object MultimodalQueries extends QueryModule {
         else Some(Row(row.getAs[Long]("doc_id"), k, lo, hi))
       }
     }(Encoders.row(frameHashSchema))
-    val tag = Integer.toHexString(sfDir.hashCode)
-    val view = s"m15_fhash_$tag"
-    // the hash table is consumed from THREE places below (dh, and
-    // both sides of the frame mapping) — materialize the decode once
-    // (the d4/d7 localCheckpoint pattern) instead of re-decoding the
-    // video lake per consumer
+    val view = s"m15_fhash_${Integer.toHexString(sfDir.hashCode)}"
+    // the hash table is consumed from multiple places (dh, both sides
+    // of the frame mapping, m22's set pairing) — materialize the
+    // decode once (the d4/d7 localCheckpoint pattern) instead of
+    // re-decoding the video lake per consumer
     hashes.localCheckpoint().createOrReplaceTempView(view)
+    view
+  }
+
+  private def frameHashViews(spark: SparkSession, sfDir: String): (String, String) = {
+    val view = frameHashView(spark, sfDir)
+    val tag = Integer.toHexString(sfDir.hashCode)
     // the candidate join is the expensive stage (≈2M half-key probes
     // at sf0.1 for a ~119k-hash-pair answer) — materialize its
     // ORDERED output once and derive the symmetric closure from the
@@ -660,6 +669,39 @@ object MultimodalQueries extends QueryModule {
          |  WHERE bit_count(a.fh_lo ^ b.fh_lo) + bit_count(a.fh_hi ^ b.fh_hi) <= 3""".stripMargin)
       .localCheckpoint().createOrReplaceTempView(hpView)
     (view, hpView)
+  }
+
+  /** M22: VIDEO-level near-dup pairs — the container-level curation
+    * answer above m15's frame pairs (is this whole video a re-upload /
+    * re-cut of another?): each video is its set of DISTINCT frame
+    * aHashes, pair similarity is exact set Jaccard, pairs at >= 0.2
+    * ship. Candidates come from a posting-list join on the frame hash
+    * (the d4 shape: only videos sharing at least one frame ever meet
+    * — never all-pairs), with an IDF-style df cap: hashes present in
+    * > 64 videos (stock footage, test cards) are dropped from BOTH
+    * the intersection and the set sizes, which bounds every posting
+    * list — Σ per-hash pair fan-out <= 64·|frames| at any corpus
+    * size — and is the standard non-discriminative-feature cut. The
+    * oracle replays the frame formula closed-form and mirrors the df
+    * cap on the text side. */
+  private def videoDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val view = frameHashView(spark, sfDir)
+    spark.sql(
+      s"""WITH vs0 AS (SELECT DISTINCT doc_id, fh_lo, fh_hi FROM $view),
+         |df AS (SELECT fh_lo, fh_hi, count(*) AS d FROM vs0 GROUP BY fh_lo, fh_hi),
+         |vs AS (SELECT vs0.doc_id, vs0.fh_lo, vs0.fh_hi FROM vs0
+         |  JOIN df ON df.fh_lo = vs0.fh_lo AND df.fh_hi = vs0.fh_hi
+         |  WHERE df.d <= 64),
+         |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM vs GROUP BY doc_id),
+         |pr AS (SELECT a.doc_id AS i, b.doc_id AS j, CAST(count(*) AS BIGINT) AS shared
+         |  FROM vs a JOIN vs b
+         |    ON a.fh_lo = b.fh_lo AND a.fh_hi = b.fh_hi AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT pr.i AS doc_id_a, pr.j AS doc_id_b, pr.shared,
+         |  sa.n AS n_a, sb.n AS n_b,
+         |  CAST(pr.shared AS DOUBLE) / (sa.n + sb.n - pr.shared) AS jaccard
+         |FROM pr JOIN sz sa ON sa.doc_id = pr.i JOIN sz sb ON sb.doc_id = pr.j
+         |WHERE CAST(pr.shared AS DOUBLE) / (sa.n + sb.n - pr.shared) >= 0.2""".stripMargin)
   }
 
   private def frameDedup(spark: SparkSession, sfDir: String): DataFrame = {
@@ -1085,6 +1127,7 @@ object MultimodalQueries extends QueryModule {
     "m14_spectrogram" -> ((s, d) => spectrogram(s, d)),
     "m15_frame_dedup" -> ((s, d) => frameDedup(s, d)),
     "m21_frame_clusters" -> ((s, d) => frameClusters(s, d)),
+    "m22_video_dedup" -> ((s, d) => videoDedup(s, d)),
     "m17_clip_filter" -> ((s, d) => clipFilter(s, d)),
     "m18_audio_resample" -> ((s, d) => audioResample(s, d)),
     "m19_clip_sample" -> ((s, d) => clipSample(s, d)),
@@ -1390,6 +1433,25 @@ object MultimodalQueries extends QueryModule {
          |  (count(*) OVER (PARTITION BY cluster_id))::BIGINT AS cluster_size
          |FROM f""".stripMargin
     },
+    // m22: the m15 hash replay → per-video DISTINCT hash sets →
+    // df-capped exact set Jaccard (same SQL as the engine modulo the
+    // closed-form hh source and cast spelling)
+    "m22_video_dedup" ->
+      s"""WITH $m15HashOracleCtes,
+         |vs0 AS (SELECT DISTINCT doc_id, lo, hi FROM hh),
+         |df AS (SELECT lo, hi, count(*) AS d FROM vs0 GROUP BY lo, hi),
+         |vs AS (SELECT vs0.doc_id, vs0.lo, vs0.hi FROM vs0
+         |  JOIN df ON df.lo = vs0.lo AND df.hi = vs0.hi WHERE df.d <= 64),
+         |sz AS (SELECT doc_id, count(*)::BIGINT AS n FROM vs GROUP BY doc_id),
+         |pr AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*)::BIGINT AS shared
+         |  FROM vs a JOIN vs b
+         |    ON a.lo = b.lo AND a.hi = b.hi AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT pr.i AS doc_id_a, pr.j AS doc_id_b, pr.shared,
+         |  sa.n AS n_a, sb.n AS n_b,
+         |  pr.shared::DOUBLE / (sa.n + sb.n - pr.shared) AS jaccard
+         |FROM pr JOIN sz sa ON sa.doc_id = pr.i JOIN sz sb ON sb.doc_id = pr.j
+         |WHERE pr.shared::DOUBLE / (sa.n + sb.n - pr.shared) >= 0.2""".stripMargin,
     "m4_audio_energy" ->
       s"""WITH $m4WindowOracleCtes
          |SELECT doc_id, window_idx, n_samples, energy, peak
