@@ -14,8 +14,10 @@ import org.apache.spark.sql.SparkSession
   * dedup pair cardinality scales linearly instead of quadratically
   * (the workload keeps its sf0.1 character, just 10× of it) — and ten
   * replicas of `embeddings` with dimensions circularly shifted per
-  * replica (norms preserved, directions decorrelated). All other
-  * tables symlink to sf0.1.
+  * replica (norms preserved, directions decorrelated); ten replicas
+  * of `events` with per-replica user/event id offsets (per-key
+  * cardinality constant, key count 10× — the honest scaling for the
+  * keyed window/join ops). All other tables symlink to sf0.1.
   *
   * Usage: `runMain graft.ScaleProbe [sfDir] [outDir]`; prints one
   * JSON line per query: name, warm seconds at 1× and 10×, exponent.
@@ -90,12 +92,28 @@ object ScaleProbe {
     // (cluster labels, one row per frame): expect ~linear where m15's
     // seconds-only exponent tracks its quadratically-growing true
     // pair answer
-    "m21_frame_clusters")
+    "m21_frame_clusters",
+    // round-14 additions. d16 line dedup: hash-only frequency shuffle
+    // + one text shuffle in the rebuild join — expect ~linear (the
+    // word-suffixed replicas share no lines, so the boilerplate set
+    // stays fixture-sized). t31 KN bigram: two vocab-keyed combinable
+    // aggregates — t17's shape. t32 heavy hitters: per-partition MG
+    // summaries + a broadcast-gated exact pass — nothing corpus-sized
+    // shuffles, expect ~linear scan. w7/w8 ride the replicated events
+    // table (per-key size constant, key count grows — the keyed
+    // window/bucket-join shapes should be ~linear). m22 video pairs:
+    // df-capped posting join over the m15 hash kernel — candidate
+    // mass ∝ shared-frame mass. e25 is e3's serving shape (memoized
+    // k-means, 2-probe scan) with the label predicate — expect e3's
+    // ~flat row.
+    "d16_line_dedup", "t31_kn_bigram", "t32_heavy_hitters",
+    "w7_asof_join", "w8_range_join", "m22_video_dedup",
+    "e25_hard_negatives")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val outDir = if (args.length > 1) args(1)
-      else s"${sys.props("java.io.tmpdir")}/graft_sf10x_v2"
+      else s"${sys.props("java.io.tmpdir")}/graft_sf10x_v3"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // NB: driver heap cannot be set here — local-mode `runMain` runs
     // inside the already-forked JVM, so a spark.driver.memory config
@@ -217,7 +235,7 @@ object ScaleProbe {
       def timed100(f: => Long): Double = {
         f; val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
       }
-      val out100 = s"${sys.props("java.io.tmpdir")}/graft_sf100x_v2"
+      val out100 = s"${sys.props("java.io.tmpdir")}/graft_sf100x_v3"
       buildScaled(spark, sfDir, out100, reps = 100)
       // GRAFT_PROBE_100X_ONLY=q1,q2 re-measures just those rows (the
       // remaining 100× extras are skipped) — the fix-and-re-probe loop
@@ -242,7 +260,11 @@ object ScaleProbe {
         "d10_bloom_gate", "d12_exact_substr",
         "t26_html_extract", "t27_ccnet_buckets", "t13_lm_score",
         "e21_knn_graph", "m15_frame_dedup", "d13_quality_keep",
-        "m21_frame_clusters")
+        "m21_frame_clusters",
+        // round-14: the new corpus-heavy ops earn their 100× rows up
+        // front (the e21 lesson: 10× hides fixed-overhead noise)
+        "d16_line_dedup", "t31_kn_bigram", "t32_heavy_hitters",
+        "w7_asof_join", "w8_range_join", "m22_video_dedup")
           if only100.forall(_.contains(q))) {
         val (t10, r10) = warmTimed(q, outDir)
         val (t100, r100) = warmTimed(q, out100)
@@ -361,7 +383,22 @@ object ScaleProbe {
          |FROM sp_vecs LATERAL VIEW explode(sequence(0, ${reps - 1})) t AS r""".stripMargin)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
-    for (t <- Tables.all if t != "documents" && t != "embeddings") {
+    // events replicate with per-replica user/event id offsets: per-key
+    // cardinality stays constant (the workload keeps its character),
+    // key count grows `reps`× — the honest scaling for the keyed
+    // window/join ops (w7 as-of, w8 range windows). Read through
+    // Tables.load so the ts vintage normalizes to TIMESTAMP micros.
+    val ev = Tables.load(spark, sfDir, "events")
+    val nEv = ev.count()
+    val nUsers = ev.selectExpr("max(user_id)").head.getLong(0) + 1
+    ev.createOrReplaceTempView("sp_events")
+    spark.sql(
+      s"""SELECT event_id + r * $nEv AS event_id, ts,
+         |  user_id + r * $nUsers AS user_id, event_type, value, props
+         |FROM sp_events LATERAL VIEW explode(sequence(0, ${reps - 1})) t AS r""".stripMargin)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    for (t <- Tables.all if t != "documents" && t != "embeddings" && t != "events") {
       val link = Paths.get(outDir, s"$t.parquet")
       // absolute target: a relative sfDir would otherwise produce a
       // symlink resolving against OUTDIR (broken for every table)
