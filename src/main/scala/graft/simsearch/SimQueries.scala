@@ -458,28 +458,37 @@ object SimQueries extends QueryModule {
           val itT0 = if (dbg) System.nanoTime() else 0L
           val cArr = cents.toArray
           val cNrm = cArr.map { case (_, a) => math.sqrt(dotScala(a, a)) }
-          val bc = spark.sparkContext.broadcast((cArr, cNrm))
+          // corpus-sized k: per-iteration two-level routing (rebuild
+          // the coarse level from THIS iteration's centroids — driver
+          // cost k·√k·d·10, distributed saving n·(k − 2√k)·d)
+          val router = if (cArr.length > HierK) Some(buildRouter(cArr)) else None
+          val bc = spark.sparkContext.broadcast((cArr, cNrm, router))
           // (chunk, cluster, partial sum, member count) — zeros-init
           // vec_id-ordered fold inside the chunk, same per-op rounding
           // as the oracle's in-chunk reduce
           val partials: Array[(Int, Long, Array[Double], Long)] =
             chunked.mapPartitionsWithIndex { (pid, it) =>
-              val (cs, cn) = bc.value
+              val (cs, cn, rt) = bc.value
               val k = cs.length
               val sums = new Array[Array[Double]](k)
               val cnts = new Array[Long](k)
               it.foreach { case (_, v, nrm) =>
-                var bestI = 0
-                var bestS = -1.0e308
-                var ci = 0
-                while (ci < k) {
-                  val cv = cs(ci)._2
-                  var dot = 0.0
-                  var j = 0
-                  while (j < cv.length) { dot += v(j) * cv(j); j += 1 }
-                  val s = dot / (nrm * cn(ci))
-                  if (s > bestS) { bestS = s; bestI = ci }
-                  ci += 1
+                val bestI = rt match {
+                  case Some(r) => r.assign(v, nrm, cs, cn)
+                  case None =>
+                    var bI = 0
+                    var bestS = -1.0e308
+                    var ci = 0
+                    while (ci < k) {
+                      val cv = cs(ci)._2
+                      var dot = 0.0
+                      var j = 0
+                      while (j < cv.length) { dot += v(j) * cv(j); j += 1 }
+                      val s = dot / (nrm * cn(ci))
+                      if (s > bestS) { bestS = s; bI = ci }
+                      ci += 1
+                    }
+                    bI
                 }
                 if (sums(bestI) == null) sums(bestI) = new Array[Double](v.length)
                 val acc = sums(bestI)
@@ -536,6 +545,123 @@ object SimQueries extends QueryModule {
     while (i < a.length) { s += a(i) * b(i); i += 1 }
     s
   }
+
+  /** Above this centroid count, assignment routes HIERARCHICALLY
+    * (two-level: nearest of ~√k coarse centroids, then exhaustive
+    * among that branch's fine centroids) instead of exhaustively over
+    * all k. Exhaustive argmax is O(k·d) per point — with e21's
+    * corpus-sized k (cells ∝ n/50) that made assignment O(n²d/50),
+    * the quadratic stage the round-14 100× probe surfaced (measured
+    * exponent 1.46; round-13's 0.92 was a steal-skewed pair). Routing
+    * costs O((√k + branch)·d) ≈ O(2√k·d) per point — ~50× less at
+    * k = 10 000 — at the price of approximate assignment near branch
+    * boundaries (the standard IVF two-level trade; HierAssignSpec
+    * MEASURES the agreement rate against exhaustive at sf0.1). Every
+    * oracle fixture runs k ≤ 64 and keeps the exhaustive bit-exact
+    * path, so the DuckDB replays are untouched — the e4AutoBits
+    * precedent: the scale knob is inactive at oracle sizes. */
+  private val HierK = 64
+
+  /** Two-level routing structure: coarse centroids (a small k-means
+    * over the FINE centroids, seeded by the first √k in c order, 10
+    * deterministic Lloyd iterations) plus, per coarse branch, the
+    * indices of the fine centroids assigned to it. Branches that end
+    * up empty are dropped so no data row can strand. */
+  private[simsearch] final case class Router(
+      coarse: Array[Array[Double]], coarseNrm: Array[Double],
+      branches: Array[Array[Int]]) {
+    /** Route + branch argmax, self-contained (the case class ships to
+      * executors; no reference back to the enclosing module). Same
+      * dot/compare op sequence as the exhaustive kernel; ties go to
+      * the lowest-index (lowest fine c) candidate via strict `>`. */
+    def assign(v: Array[Double], nrm: Double,
+               cs: Array[(Long, Array[Double])], cn: Array[Double]): Int = {
+      var b = 0
+      var bS = -1.0e308
+      var i = 0
+      while (i < coarse.length) {
+        val cv = coarse(i)
+        var dot = 0.0
+        var j = 0
+        while (j < cv.length) { dot += v(j) * cv(j); j += 1 }
+        val s = dot / (nrm * coarseNrm(i))
+        if (s > bS) { bS = s; b = i }
+        i += 1
+      }
+      val branch = branches(b)
+      var best = branch(0)
+      var bestS = -1.0e308
+      var bi = 0
+      while (bi < branch.length) {
+        val ci = branch(bi)
+        val cv = cs(ci)._2
+        var dot = 0.0
+        var j = 0
+        while (j < cv.length) { dot += v(j) * cv(j); j += 1 }
+        val s = dot / (nrm * cn(ci))
+        if (s > bestS) { bestS = s; best = ci }
+        bi += 1
+      }
+      best
+    }
+  }
+
+  private def routeIdx(v: Array[Double], nrm: Double,
+                       coarse: Array[Array[Double]],
+                       cn: Array[Double]): Int = {
+    var best = 0
+    var bestS = -1.0e308
+    var i = 0
+    while (i < coarse.length) {
+      val s = dotScala(v, coarse(i)) / (nrm * cn(i))
+      if (s > bestS) { bestS = s; best = i }
+      i += 1
+    }
+    best
+  }
+
+  private[simsearch] def buildRouter(
+      cents: Array[(Long, Array[Double])]): Router = {
+    val k = cents.length
+    val dim = cents(0)._2.length
+    val k1 = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+    val pts = cents.map(_._2)
+    val nrm = pts.map(a => math.sqrt(dotScala(a, a)))
+    var coarse = Array.tabulate(k1)(i => pts(i).clone())
+    var iter = 0
+    while (iter < 10) {
+      val cn = coarse.map(a => math.sqrt(dotScala(a, a)))
+      val sums = Array.fill(k1)(new Array[Double](dim))
+      val cnts = new Array[Long](k1)
+      var i = 0
+      while (i < k) {
+        val b = routeIdx(pts(i), nrm(i), coarse, cn)
+        val acc = sums(b)
+        var j = 0
+        while (j < dim) { acc(j) += pts(i)(j); j += 1 }
+        cnts(b) += 1
+        i += 1
+      }
+      coarse = Array.tabulate(k1) { b =>
+        if (cnts(b) == 0) coarse(b) // empty branch keeps its centroid
+        else {
+          val a = sums(b)
+          val out = new Array[Double](dim)
+          var j = 0
+          while (j < dim) { out(j) = a(j) / cnts(b); j += 1 }
+          out
+        }
+      }
+      iter += 1
+    }
+    val cn = coarse.map(a => math.sqrt(dotScala(a, a)))
+    val assign = Array.tabulate(k)(i => routeIdx(pts(i), nrm(i), coarse, cn))
+    val keep = (0 until k1).filter(b => assign.contains(b)).toArray
+    Router(
+      keep.map(coarse(_)), keep.map(cn(_)),
+      keep.map(b => (0 until k).filter(assign(_) == b).toArray))
+  }
+
 
   /** Per-row argmax assignment over a LITERAL centroid array — no
     * cross join, no window shuffle: the 50k-row sort per Lloyd
@@ -1171,11 +1297,35 @@ object SimQueries extends QueryModule {
     * first draft planned; plan-pinned against regression). */
   private def knnGraph(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.register(spark, sfDir)
-    val km = convergedKmeans(spark, sfDir,
-      e21AutoK(spark.table("embeddings").count()))
+    val k = e21AutoK(spark.table("embeddings").count())
+    val km = convergedKmeans(spark, sfDir, k)
+    // Corpus-sized k: the per-query assignment routes hierarchically
+    // too (same Router as the build loop) through a checkpointed temp
+    // view — inlining 10k 64-dim centroid literals into the SQL text
+    // would cost MBs of parse per call on top of the O(n·k·d) argmax.
+    // At k <= HierK (every oracle fixture) the inline exhaustive
+    // argmax below keeps the DuckDB replay bit-exact.
+    val asgCte =
+      if (k <= HierK)
+        s"asg AS (SELECT vec_id, v, nrm, ${argmaxAssign(km.centroids)} AS c FROM n)"
+      else {
+        val cArr = km.centroids.toArray
+        val cNrm = cArr.map { case (_, a) => math.sqrt(dotScala(a, a)) }
+        val bc = spark.sparkContext.broadcast((cArr, cNrm, buildRouter(cArr)))
+        import spark.implicits._
+        val asg = spark.sql(s"$sparkVecs SELECT vec_id, v, nrm FROM n")
+          .as[(Long, Array[Double], Double)]
+          .mapPartitions { it =>
+            val (cs, cn, r) = bc.value
+            it.map { case (id, v, nrm) => (id, v, nrm, cs(r.assign(v, nrm, cs, cn))._1) }
+          }.toDF("vec_id", "v", "nrm", "c")
+        val view = s"e21_asg_${Integer.toHexString(sfDir.hashCode)}"
+        asg.localCheckpoint().createOrReplaceTempView(view)
+        s"asg AS (SELECT vec_id, v, nrm, c FROM $view)"
+      }
     spark.sql(
       s"""$sparkVecs,
-         |asg AS (SELECT vec_id, v, nrm, ${argmaxAssign(km.centroids)} AS c FROM n),
+         |$asgCte,
          |nn AS (SELECT a.vec_id AS src, a.c AS cell, b.vec_id AS dst,
          |    vec_dot(a.v, b.v) / (a.nrm * b.nrm) AS sim
          |  FROM asg a JOIN asg b ON b.c = a.c AND b.vec_id != a.vec_id),
