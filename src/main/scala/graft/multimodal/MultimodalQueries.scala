@@ -747,7 +747,7 @@ object MultimodalQueries extends QueryModule {
          |SELECT shiftleft(lb, 32) | hb AS a, shiftleft(la, 32) | ha AS b FROM $hpView""".stripMargin)
     val nodes = spark.sql(
       s"SELECT DISTINCT shiftleft(fh_lo, 32) | fh_hi AS id FROM $view")
-    val labels = graft.GraphOps.ccMinLabel(spark, edges, nodes)
+    val labels = graft.GraphOps.ccMinLabelAuto(spark, edges, nodes)
     val lv = s"m21_lbl_${Integer.toHexString(sfDir.hashCode)}"
     labels.createOrReplaceTempView(lv)
     spark.sql(

@@ -1654,7 +1654,7 @@ object TextQueries extends QueryModule {
     val edges = pairs.selectExpr("i AS a", "j AS b")
       .union(pairs.selectExpr("j AS a", "i AS b"))
     val nodes = edges.selectExpr("a AS id").distinct()
-    graft.GraphOps.ccMinLabel(spark, edges, nodes)
+    graft.GraphOps.ccMinLabelAuto(spark, edges, nodes)
       .selectExpr("id AS doc_id", "lbl AS cluster_id")
       .withColumn("cluster_size",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
