@@ -108,7 +108,12 @@ object ScaleProbe {
     // ~flat row.
     "d16_line_dedup", "t31_kn_bigram", "t32_heavy_hitters",
     "w7_asof_join", "w8_range_join", "m22_video_dedup",
-    "e25_hard_negatives")
+    "e25_hard_negatives",
+    // e27 PageRank: 10 fixed rounds of edge⋈rank join + dst-keyed
+    // combinable sum over the checkpointed mutual-edge table — expect
+    // ~linear in edges (the e21 graph build dominates; assignment is
+    // the hierarchical router above HierK)
+    "e27_pagerank")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
@@ -264,7 +269,8 @@ object ScaleProbe {
         // round-14: the new corpus-heavy ops earn their 100× rows up
         // front (the e21 lesson: 10× hides fixed-overhead noise)
         "d16_line_dedup", "t31_kn_bigram", "t32_heavy_hitters",
-        "w7_asof_join", "w8_range_join", "m22_video_dedup")
+        "w7_asof_join", "w8_range_join", "m22_video_dedup",
+        "e27_pagerank")
           if only100.forall(_.contains(q))) {
         val (t10, r10) = warmTimed(q, outDir)
         val (t100, r100) = warmTimed(q, out100)

@@ -1295,7 +1295,11 @@ object SimQueries extends QueryModule {
     * self-join on the reversed key would re-run the whole candidate
     * pipeline for the probe side and shuffle it twice (the shape the
     * first draft planned; plan-pinned against regression). */
-  private def knnGraph(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The shared e21 CTE chain (vectors → assignment → cell-blocked
+    * top-k edges → mutuality flag) — consumed by knnGraph's per-node
+    * aggregate tail AND e27's edge extraction so the graph definition
+    * cannot drift between them (the m15/m21 shared-kernel rule). */
+  private def e21GraphCtes(spark: SparkSession, sfDir: String): String = {
     Tables.register(spark, sfDir)
     val k = e21AutoK(spark.table("embeddings").count())
     val km = convergedKmeans(spark, sfDir, k)
@@ -1323,25 +1327,75 @@ object SimQueries extends QueryModule {
         asg.localCheckpoint().createOrReplaceTempView(view)
         s"asg AS (SELECT vec_id, v, nrm, c FROM $view)"
       }
+    s"""$sparkVecs,
+       |$asgCte,
+       |nn AS (SELECT a.vec_id AS src, a.c AS cell, b.vec_id AS dst,
+       |    vec_dot(a.v, b.v) / (a.nrm * b.nrm) AS sim
+       |  FROM asg a JOIN asg b ON b.c = a.c AND b.vec_id != a.vec_id),
+       |r AS (SELECT src, cell, dst, sim,
+       |    CAST(row_number() OVER (PARTITION BY src
+       |      ORDER BY sim DESC, dst) AS INT) AS rnk FROM nn),
+       |e AS (SELECT src, cell, dst, sim, rnk FROM r WHERE rnk <= $KnnGraphK),
+       |m AS (SELECT src, cell, dst, sim, rnk,
+       |    CASE WHEN count(*) OVER (PARTITION BY least(src, dst),
+       |      greatest(src, dst)) = 2 THEN 1 ELSE 0 END AS mutual
+       |  FROM e)""".stripMargin
+  }
+
+  private def knnGraph(spark: SparkSession, sfDir: String): DataFrame =
     spark.sql(
-      s"""$sparkVecs,
-         |$asgCte,
-         |nn AS (SELECT a.vec_id AS src, a.c AS cell, b.vec_id AS dst,
-         |    vec_dot(a.v, b.v) / (a.nrm * b.nrm) AS sim
-         |  FROM asg a JOIN asg b ON b.c = a.c AND b.vec_id != a.vec_id),
-         |r AS (SELECT src, cell, dst, sim,
-         |    CAST(row_number() OVER (PARTITION BY src
-         |      ORDER BY sim DESC, dst) AS INT) AS rnk FROM nn),
-         |e AS (SELECT src, cell, dst, sim, rnk FROM r WHERE rnk <= $KnnGraphK),
-         |m AS (SELECT src, cell, dst, sim, rnk,
-         |    CASE WHEN count(*) OVER (PARTITION BY least(src, dst),
-         |      greatest(src, dst)) = 2 THEN 1 ELSE 0 END AS mutual
-         |  FROM e)
+      s"""${e21GraphCtes(spark, sfDir)}
          |SELECT src AS vec_id, cell, CAST(count(*) AS INT) AS out_degree,
          |  CAST(sum(mutual) AS INT) AS n_mutual,
          |  min(CASE WHEN rnk = 1 THEN dst END) AS nn_id,
          |  CAST(sum(CAST(round(sim * 1000000.0) AS BIGINT)) AS BIGINT) AS sim_u_sum
          |FROM m GROUP BY src, cell""".stripMargin)
+
+  /** E27: PageRank over the mutual-kNN graph — graph-centrality data
+    * curation (a document embedded in a dense semantic neighborhood
+    * accumulates rank; isolated points keep the teleport floor):
+    * damping 0.85, 10 power iterations, EXACT integer arithmetic in
+    * micro-units — each node starts at 1 000 000, a round sends
+    * `rank div deg` along every mutual edge and settles at
+    * `150000 + (850 · Σ inbound) div 1000`. Integer sums are
+    * order-independent, so both engines agree bit-for-bit with no
+    * float accumulation anywhere (the t13 trick applied to an
+    * iterative fixpoint); dangling mass evaporates by definition
+    * (documented, matching the oracle). Scale shape: the classic
+    * Pregel workload — the edge table (with degrees attached) is
+    * checkpointed ONCE and each of the 10 fixed rounds is one
+    * edge⋈rank join + a combinable sum keyed on dst; iterates are
+    * checkpoint-rebased (the GraphOps lesson: plan + stats must not
+    * compound across rounds). At cluster scale the edge table would
+    * be bucketed by src so every round's join is shuffle-free on the
+    * edge side. */
+  private def e27Query(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val em0 = spark.sql(
+      s"""${e21GraphCtes(spark, sfDir)}
+         |SELECT src, dst FROM m WHERE mutual = 1""".stripMargin)
+    def fresh(df: DataFrame): DataFrame = {
+      val ck = df.localCheckpoint()
+      spark.createDataFrame(ck.rdd, ck.schema)
+    }
+    val em = fresh(em0)
+    val deg = em.groupBy("src").count().withColumnRenamed("count", "deg")
+    val edges = fresh(em.join(deg, "src"))
+    val nodes = fresh(spark.table("embeddings").select(col("vec_id")))
+    var ranks = nodes.withColumn("rank", lit(1000000L))
+    for (_ <- 1 to 10) {
+      val contrib = edges.join(ranks, edges("src") === ranks("vec_id"))
+        .selectExpr("dst", "rank div deg AS c")
+        .groupBy("dst").sum("c").withColumnRenamed("sum(c)", "s")
+      // `div`, not `/`: Column `/` is DOUBLE division — the whole
+      // point is exact BIGINT floor arithmetic on both engines
+      ranks = fresh(nodes.join(contrib, nodes("vec_id") === contrib("dst"), "left")
+        .selectExpr("vec_id",
+          "CAST(150000 + (850 * coalesce(s, 0)) div 1000 AS BIGINT) AS rank"))
+    }
+    ranks.join(deg, ranks("vec_id") === deg("src"), "left")
+      .selectExpr("vec_id", "CAST(coalesce(deg, 0) AS INT) AS mdeg",
+        "rank AS rank_micro")
   }
 
   /** e21's replay derives its SEED COUNT from the fixture itself —
@@ -1352,7 +1406,8 @@ object SimQueries extends QueryModule {
     * with no hint why). The unrolled Lloyd CTEs are k-agnostic
     * beyond the seed predicate: assignment cross-joins whatever cn
     * holds, and the chunked fold groups by c. */
-  private def e21Oracle: String =
+  /** The shared e21 oracle chain (DuckDB twin of [[e21GraphCtes]]). */
+  private def e21OracleCtes: String =
     s"""$duckVecs,
        |${kmeansCtes(KmMaxIter + 1,
           "vec_id < greatest(10, (SELECT count(*) FROM n) // 50)")},
@@ -1368,12 +1423,43 @@ object SimQueries extends QueryModule {
        |m AS (SELECT src, cell, dst, sim, rnk,
        |    CASE WHEN count(*) OVER (PARTITION BY least(src, dst),
        |      greatest(src, dst)) = 2 THEN 1 ELSE 0 END AS mutual
-       |  FROM e)
+       |  FROM e)""".stripMargin
+
+  private def e21Oracle: String =
+    s"""$e21OracleCtes
        |SELECT src AS vec_id, cell, count(*)::INT AS out_degree,
        |  sum(mutual)::INT AS n_mutual,
        |  min(CASE WHEN rnk = 1 THEN dst END) AS nn_id,
        |  sum(CAST(round(sim * 1000000.0) AS BIGINT))::BIGINT AS sim_u_sum
        |FROM m GROUP BY src, cell""".stripMargin
+
+  /** e27 oracle: the shared e21 graph chain → mutual edges → ten
+    * unrolled integer power-iteration CTEs (the kmeansCtes unroll
+    * pattern applied to PageRank). */
+  private def e27Oracle: String = {
+    val sb = new StringBuilder(
+      s"""$e21OracleCtes,
+         |em AS (SELECT src, dst FROM m WHERE mutual = 1),
+         |dg AS (SELECT src, count(*)::BIGINT AS deg FROM em GROUP BY src),
+         |em2 AS (SELECT em.src, em.dst, dg.deg FROM em JOIN dg ON dg.src = em.src),
+         |pr0 AS (SELECT vec_id, 1000000::BIGINT AS rank FROM n)""".stripMargin)
+    for (i <- 1 to 10) {
+      val p = i - 1
+      sb ++= s""",
+         |pr$i AS (SELECT n.vec_id,
+         |    (150000 + (850 * coalesce(s.s, 0)) // 1000)::BIGINT AS rank
+         |  FROM n LEFT JOIN (
+         |    SELECT dst, sum(pr$p.rank // em2.deg)::BIGINT AS s
+         |    FROM em2 JOIN pr$p ON pr$p.vec_id = em2.src GROUP BY dst) s
+         |  ON s.dst = n.vec_id)"""
+    }
+    sb ++= s"""
+         |SELECT n.vec_id, coalesce(dg.deg, 0)::INT AS mdeg,
+         |  pr10.rank AS rank_micro
+         |FROM n JOIN pr10 ON pr10.vec_id = n.vec_id
+         |LEFT JOIN dg ON dg.src = n.vec_id"""
+    sb.result().stripMargin
+  }
 
   /** E22: prototypicality pruning (Sorscher et al. 2022, "Beyond
     * neural scaling laws"): rank each embedding by cosine to its own
@@ -1988,6 +2074,7 @@ object SimQueries extends QueryModule {
       ("e4_ann_lsh_pairs" -> ((s: SparkSession, d: String) => e4Banded(s, d, bandBits = 6))) +
       ("e9_semdedup" -> ((s: SparkSession, d: String) => semDedup(s, d))) +
       ("e21_knn_graph" -> ((s: SparkSession, d: String) => knnGraph(s, d))) +
+      ("e27_pagerank" -> ((s: SparkSession, d: String) => e27Query(s, d))) +
       ("e22_proto_prune" -> ((s: SparkSession, d: String) => protoPrune(s, d))) +
       ("e23_probe_sweep" -> ((s: SparkSession, d: String) => probeSweep(s, d))) +
       ("e11_ivfpq" -> ((s: SparkSession, d: String) => ivfPqTopK(s, d))) +
@@ -2009,6 +2096,7 @@ object SimQueries extends QueryModule {
       ("e4_ann_lsh_pairs" -> e4Oracle) +
       ("e9_semdedup" -> e9Oracle) +
       ("e21_knn_graph" -> e21Oracle) +
+      ("e27_pagerank" -> e27Oracle) +
       ("e22_proto_prune" -> e22Oracle) +
       ("e23_probe_sweep" -> e23Oracle) +
       ("e11_ivfpq" -> e11Oracle) +

@@ -241,6 +241,29 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(expect.nonEmpty && got == expect)
   }
 
+  test("e27: teleport floor, isolated-node fixpoint, bounded mass") {
+    val rows = q("e27_pagerank").collect()
+    assert(rows.nonEmpty)
+    var isolated = 0
+    var connected = 0
+    var mass = 0L
+    for (r <- rows) {
+      val rank = r.getAs[Long]("rank_micro")
+      mass += rank
+      assert(rank >= 150000L, r.toString)
+      if (r.getAs[Int]("mdeg") == 0) {
+        // no mutual edges => no inbound mass (edges are symmetric):
+        // the node sits exactly on the teleport floor
+        assert(rank == 150000L, r.toString)
+        isolated += 1
+      } else connected += 1
+    }
+    assert(isolated > 0 && connected > 0, "fixture must exercise both paths")
+    // mass never exceeds teleport + full damping share of the start mass
+    assert(mass <= rows.length * 1000000L)
+    assert(rows.map(_.getAs[Long]("vec_id")).distinct.length == rows.length)
+  }
+
   test("m17: bucket accounting conserves pairs and the cut is non-vacuous") {
     val rows = q("m17_clip_filter").collect()
     val total = rows.map(_.getAs[Long]("n_pairs")).sum
