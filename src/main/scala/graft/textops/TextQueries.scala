@@ -174,6 +174,39 @@ object TextQueries extends QueryModule {
     * streaming gate [[graft.streaming.SpanDedupStream]] so stream and
     * batch span boundaries (and hashes) agree BY CONSTRUCTION:
     * non-overlapping `words`-word chunks, md5 of the joined chunk. */
+  /** THE d11 URL fixture (doc_id-derived crawl URLs with scheme/www/
+    * trailing-slash/tracking/fragment variants), exported so sg5's
+    * stream prep and oracle build the same rows the batch d11 text
+    * inlines. */
+  private[graft] object UrlFixture {
+    val spark: String =
+      """concat(
+        |    CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END,
+        |    'site', CAST(doc_id % 7 AS STRING), '.example.com/page/',
+        |    CAST(doc_id % 13 AS STRING),
+        |    CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END,
+        |    CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed&ref=rss'
+        |         WHEN doc_id % 5 = 1 THEN '?ref=rss' ELSE '' END,
+        |    CASE WHEN doc_id % 11 = 0 THEN '#frag' ELSE '' END)""".stripMargin
+    val duck: String = spark.replace("AS STRING", "AS VARCHAR")
+    /** The t25-style 3-domain variant — sg5 uses this one because its
+      * canonical cell depends on the d%10 bucket the corpus/stream
+      * split also uses, so the stream carries BOTH verdicts (cells the
+      * corpus owns → dropped; archive.net cells only the stream's
+      * d%10 ∈ {8,9} rows produce → passed). */
+    val sparkMulti: String =
+      """concat(
+        |    CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END,
+        |    'site', CAST(doc_id % 7 AS STRING), '.',
+        |    CASE WHEN doc_id % 10 < 5 THEN 'example.com'
+        |         WHEN doc_id % 10 < 8 THEN 'datahub.org'
+        |         ELSE 'archive.net' END,
+        |    '/page/', CAST(doc_id % 13 AS STRING))""".stripMargin
+    val duckMulti: String = sparkMulti.replace("AS STRING", "AS VARCHAR")
+  }
+
   object SpanShape {
     val words = 10
     /** Spark SQL: chunk `$i` (0-based) of word array `$w`. */
