@@ -113,7 +113,11 @@ object ScaleProbe {
     // combinable sum over the checkpointed mutual-edge table — expect
     // ~linear in edges (the e21 graph build dominates; assignment is
     // the hierarchical router above HierK)
-    "e27_pagerank")
+    "e27_pagerank",
+    // d17 incremental dedup: batch-sized band probe against the full
+    // index — expect d3's shape with a smaller constant (the probing
+    // side is 30% of the corpus; the verify sliver is the pair mass)
+    "d17_incremental_pairs")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -386,6 +386,46 @@ object TextQueries extends QueryModule {
 
 
 
+    // D17: INCREMENTAL dedup — the index-update contract a live lake
+    // runs every ingest cycle (FineWeb-style rolling dedup): a new
+    // batch (doc_id % 10 >= 7, the d10 split) joins an already-indexed
+    // corpus, and the answer is ONLY the pairs the batch introduces —
+    // batch×corpus and batch×batch, never corpus×corpus re-pairs.
+    // Scale shape — the whole point of the operator: the probing side
+    // of the band join is BATCH-sized, so per-cycle cost is
+    // batch_bands × bucket_occupancy instead of the full corpus
+    // re-pairing itself (d3 re-run from scratch); the corpus band
+    // index is the persisted structure the probe hits. Candidates
+    // canonicalize through least/greatest (a batch×batch pair is
+    // found from both endpoints) and verify exactly like d3. Oracle:
+    // the exact inverted-index pair enumeration with the
+    // both-endpoints-in-corpus pairs excluded.
+    SqlQ.split("d17_incremental_pairs",
+      s"""$sparkShingles,
+         |$sparkSigs,
+         |${LshShape.bandCteSql},
+         |inc AS (SELECT * FROM band WHERE doc_id % 10 >= 7),
+         |cand AS (SELECT DISTINCT least(a.doc_id, b.doc_id) AS i,
+         |    greatest(a.doc_id, b.doc_id) AS j
+         |  FROM inc a JOIN band b ON a.band = b.band AND a.bh = b.bh
+         |    AND a.doc_id != b.doc_id),
+         |ver AS (SELECT i, j, size(array_intersect(x.hs, y.hs)) AS shared,
+         |               size(x.hs) AS na, size(y.hs) AS nb
+         |  FROM cand JOIN sh x ON x.doc_id = cand.i JOIN sh y ON y.doc_id = cand.j)
+         |SELECT i AS doc_id_a, j AS doc_id_b,
+         |  CAST(shared AS DOUBLE) / (na + nb - shared) AS jaccard
+         |FROM ver WHERE CAST(shared AS DOUBLE) / (na + nb - shared) >= 0.5""".stripMargin,
+      s"""$duckShingles,
+         |e AS (SELECT doc_id, unnest(hs) AS h FROM sh),
+         |cnt AS (SELECT doc_id, len(hs) AS n FROM sh),
+         |pr AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS shared
+         |  FROM e a JOIN e b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id)
+         |SELECT pr.i AS doc_id_a, pr.j AS doc_id_b,
+         |  CAST(pr.shared AS DOUBLE) / (ca.n + cb.n - pr.shared) AS jaccard
+         |FROM pr JOIN cnt ca ON ca.doc_id = pr.i JOIN cnt cb ON cb.doc_id = pr.j
+         |WHERE CAST(pr.shared AS DOUBLE) / (ca.n + cb.n - pr.shared) >= 0.5
+         |  AND NOT (pr.i % 10 < 7 AND pr.j % 10 < 7)""".stripMargin),
+
     // D14: MinHash ESTIMATOR audit — "measure the sketch" (the
     // recall-accounting contract e8/e12/e18 apply to ANN, applied to
     // the dedup sketch): for every verified near-dup pair, the

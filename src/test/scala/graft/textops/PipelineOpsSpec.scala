@@ -241,6 +241,18 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(expect.nonEmpty && got == expect)
   }
 
+  test("d17: exactly d3's pairs that touch the batch — no more, no less") {
+    def pairs(name: String) = q(name).collect()
+      .map(r => (r.getAs[Long]("doc_id_a"), r.getAs[Long]("doc_id_b"))).toSet
+    val full = pairs("d3_minhash_lsh_pairs")
+    val inc = pairs("d17_incremental_pairs")
+    assert(inc.nonEmpty && inc != full, "split must be non-vacuous")
+    assert(inc.subsetOf(full))
+    val expected = full.filter { case (a, b) => a % 10 >= 7 || b % 10 >= 7 }
+    assert(inc == expected,
+      s"missing ${expected -- inc}, extra ${inc -- expected}")
+  }
+
   test("e27: teleport floor, isolated-node fixpoint, bounded mass") {
     val rows = q("e27_pagerank").collect()
     assert(rows.nonEmpty)
