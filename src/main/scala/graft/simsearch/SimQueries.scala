@@ -1379,9 +1379,36 @@ object SimQueries extends QueryModule {
       spark.createDataFrame(ck.rdd, ck.schema)
     }
     val em = fresh(em0)
+    val nodes = fresh(spark.table("embeddings").select(col("vec_id")))
+    // Size gate, the ccMinLabelAuto pattern: the fixpoint is pure
+    // integer arithmetic (sum order irrelevant), so below the edge
+    // threshold the driver loop computes the IDENTICAL result without
+    // paying ~3 Spark jobs × 10 rounds of scheduling on a one-heap
+    // graph; the distributed loop below is the >20M-edge path.
+    if (em.limit(20000001).count() <= 20000000L) {
+      import spark.implicits._
+      val es = em.as[(Long, Long)].collect()
+      val degM = new java.util.HashMap[Long, Long]()
+      es.foreach { case (s, _) => degM.merge(s, 1L, (a, b) => a + b) }
+      val ids = nodes.as[Long].collect()
+      var rank = new java.util.HashMap[Long, Long]()
+      ids.foreach(rank.put(_, 1000000L))
+      for (_ <- 1 to 10) {
+        val contrib = new java.util.HashMap[Long, Long]()
+        es.foreach { case (s, d) =>
+          contrib.merge(d, rank.get(s) / degM.get(s), (a, b) => a + b)
+        }
+        val next = new java.util.HashMap[Long, Long]()
+        ids.foreach(id =>
+          next.put(id, 150000L + 850L * contrib.getOrDefault(id, 0L) / 1000L))
+        rank = next
+      }
+      return spark.createDataset(ids.toSeq.map(id =>
+          (id, degM.getOrDefault(id, 0L).toInt, rank.get(id): Long)))
+        .toDF("vec_id", "mdeg", "rank_micro")
+    }
     val deg = em.groupBy("src").count().withColumnRenamed("count", "deg")
     val edges = fresh(em.join(deg, "src"))
-    val nodes = fresh(spark.table("embeddings").select(col("vec_id")))
     var ranks = nodes.withColumn("rank", lit(1000000L))
     for (_ <- 1 to 10) {
       val contrib = edges.join(ranks, edges("src") === ranks("vec_id"))
