@@ -10,6 +10,16 @@ import scala.jdk.CollectionConverters._
   * definition, two operators; the result is algorithm-independent:
   * each node's label is the minimum node id in its component).
   *
+  * Contract (both paths): `edges` is a symmetric edge list whose
+  * endpoints are a SUBSET of `nodes.id` — d7 derives nodes from the
+  * endpoints, m21's distinct-hash node set contains every pair
+  * endpoint by construction. An edge endpoint absent from `nodes`
+  * would silently drop in the distributed loop (its label row never
+  * exists), so the driver path deliberately mirrors that scope: it
+  * labels only ids present in `nodes`. Output is always
+  * (`id` BIGINT, `lbl` BIGINT) regardless of which side of the size
+  * gate the graph lands on — the two paths must be interchangeable.
+  *
   * Scale shape: every round is a fixed number of joins/aggregations
   * over the edge and label tables (never anything driver-side that
   * scales with the data — only the convergence counter crosses to
@@ -36,9 +46,12 @@ object GraphOps {
     * doc graphs never ran long enough to fall off the cliff).
     * Rebasing the Dataset on the checkpointed RDD resets statistics
     * to the RDD's own materialized size. The Row round-trip is
-    * label-table-sized (two integral columns), paid once per round. */
-  private def ckptFresh(spark: org.apache.spark.sql.SparkSession,
-                        df: DataFrame): DataFrame = {
+    * label-table-sized (two integral columns), paid once per round.
+    * Public: the graph callers (d7, m21, e27) reuse it to pin their
+    * own expensive upstreams (the LSH pair pipeline) before the graph
+    * kernel references them more than once. */
+  def fresh(spark: org.apache.spark.sql.SparkSession,
+            df: DataFrame): DataFrame = {
     val ck = df.localCheckpoint()
     spark.createDataFrame(ck.rdd, ck.schema)
   }
@@ -48,19 +61,29 @@ object GraphOps {
     * may pick the cheapest exact algorithm for the graph at hand.
     * Below `driverMaxEdges` the edge list collects to the driver and
     * a union-find with path compression labels it in one pass — a
-    * BOUNDED driver fold (the Lloyd-partials / t32-MG class: the
-    * threshold caps the collected mass at ~hundreds of MB), and worth
-    * it because the distributed loop pays ~5 Spark jobs PER ROUND ×
-    * O(log diameter) rounds of pure scheduling overhead on a graph
-    * that fits in one heap (m21's sf0.1 hash graph: 17.4 s looped vs
-    * <1 s collected, identical labels). Above the threshold the
-    * pointer-jumping loop below is the path — nothing driver-side
-    * then scales with the data.
+    * BOUNDED driver fold: the collected mass is the EDGE list and the
+    * endpoint-keyed union-find (≤ 2·edges entries), so the edge gate
+    * alone caps it at ~hundreds of MB NO MATTER HOW LARGE `nodes` is
+    * (the round-12 hole: m21's node set is every distinct frame hash
+    * and is unbounded by the edge count — a 100 TB lake with sparse
+    * duplicates has billions of nodes under 20M edges; nodes never
+    * collect on ANY path — isolated nodes get `lbl = id` through a
+    * distributed left join). Worth it because the distributed loop
+    * pays ~5 Spark jobs PER ROUND × O(log diameter) rounds of pure
+    * scheduling overhead on a graph that fits in one heap (m21's
+    * sf0.1 hash graph: 17.4 s looped vs <1 s collected, identical
+    * labels). Above the threshold the pointer-jumping loop below is
+    * the path — nothing driver-side then scales with the data.
     */
   def ccMinLabelAuto(spark: org.apache.spark.sql.SparkSession,
                      edges0: DataFrame, nodes: DataFrame,
                      driverMaxEdges: Long = 20000000L): DataFrame = {
-    val edges = edges0.select(col("a"), col("b"))
+    // checkpoint ONCE before the gate count: the gate, the driver
+    // iteration and the distributed loop all re-read the edge table,
+    // and the upstream is typically the expensive part (d7's LSH
+    // pair pipeline) — without this pin the gate alone recomputes it
+    val edges = fresh(spark, edges0.selectExpr(
+      "CAST(a AS BIGINT) AS a", "CAST(b AS BIGINT) AS b"))
     if (edges.limit((driverMaxEdges + 1).toInt).count() <= driverMaxEdges)
       ccDriver(spark, edges, nodes)
     else ccMinLabel(spark, edges, nodes)
@@ -79,31 +102,43 @@ object GraphOps {
       while (y != x) { val n = parent.get(y); parent.put(y, x); y = n }
       x
     }
-    val ids = nodes.selectExpr("CAST(id AS BIGINT) AS id").as[Long].collect()
-    for (r <- edges.selectExpr("CAST(a AS BIGINT)", "CAST(b AS BIGINT)")
-           .as[(Long, Long)].toLocalIterator().asScala) {
+    // ENDPOINT-ONLY driver state (≤ 2·edges ids — bounded by the edge
+    // gate, never by |nodes|); insertion-ordered so the label table is
+    // deterministic
+    val endpoints = new java.util.LinkedHashSet[Long]()
+    for (r <- edges.as[(Long, Long)].toLocalIterator().asScala) {
+      endpoints.add(r._1)
+      endpoints.add(r._2)
       val ra = find(r._1)
       val rb = find(r._2)
       if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
     }
     // roots carry the component MIN because unions always point the
     // larger root at the smaller one
-    val out = ids.map(id => (id, find(id)))
-    spark.createDataset(out.toSeq).toDF("id", "lbl")
+    val lbl = endpoints.iterator().asScala.map(id => (id, find(id))).toSeq
+    val lblDf = spark.createDataset(lbl).toDF("ep_id", "ep_lbl")
+    // isolated nodes label themselves DISTRIBUTED — the node table
+    // never crosses to the driver
+    nodes.selectExpr("CAST(id AS BIGINT) AS id")
+      .join(lblDf, col("id") === col("ep_id"), "left")
+      .selectExpr("id", "coalesce(ep_lbl, id) AS lbl")
   }
 
   /** Min-label connected components (the distributed loop).
     *
     * @param edges SYMMETRIC edge list (both directions present),
-    *              columns `a`, `b` (same integral type as `nodes.id`)
+    *              columns `a`, `b`; endpoints ⊆ `nodes.id`
     * @param nodes one column `id`; isolated nodes keep their own id
     *              as label
-    * @return columns `id`, `lbl` (min id in the component)
+    * @return columns `id` BIGINT, `lbl` BIGINT (min id in the
+    *         component) — same types as the driver path
     */
   def ccMinLabel(spark: org.apache.spark.sql.SparkSession,
                  edges0: DataFrame, nodes: DataFrame): DataFrame = {
-    val edges = ckptFresh(spark, edges0.select(col("a"), col("b")))
-    var labels = ckptFresh(spark, nodes.selectExpr("id", "id AS lbl"))
+    val edges = ckptIfNeeded(spark, edges0.selectExpr(
+      "CAST(a AS BIGINT) AS a", "CAST(b AS BIGINT) AS b"))
+    var labels = fresh(spark, nodes.selectExpr(
+      "CAST(id AS BIGINT) AS id", "CAST(id AS BIGINT) AS lbl"))
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 50) {
@@ -117,7 +152,7 @@ object GraphOps {
       // node of the same component with a <= id, so composing the
       // pointer doubles the reach
       val parents = stepped.selectExpr("id AS p_id", "lbl AS p_lbl")
-      val next = ckptFresh(spark,
+      val next = fresh(spark,
         stepped.join(parents, col("lbl") === col("p_id"), "left")
           .selectExpr("id", "coalesce(p_lbl, lbl) AS lbl"))
       changed = next.as("n").join(labels.as("o"), "id")
@@ -127,4 +162,20 @@ object GraphOps {
     require(changed == 0, s"label propagation did not converge in $rounds rounds")
     labels
   }
+
+  /** Checkpoint unless the plan is already a checkpointed scan (the
+    * ccMinLabelAuto hand-off): re-materializing a LogicalRDD buys
+    * nothing and copies the edge table once more. */
+  private def ckptIfNeeded(spark: org.apache.spark.sql.SparkSession,
+                           df: DataFrame): DataFrame =
+    df.queryExecution.analyzed match {
+      case _: org.apache.spark.sql.execution.LogicalRDD => df
+      case _: org.apache.spark.sql.catalyst.plans.logical.Project
+        if isRddScan(df) => df
+      case _ => fresh(spark, df)
+    }
+
+  private def isRddScan(df: DataFrame): Boolean =
+    df.queryExecution.analyzed.collectLeaves().forall(
+      _.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD])
 }

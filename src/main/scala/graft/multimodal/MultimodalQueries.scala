@@ -747,15 +747,27 @@ object MultimodalQueries extends QueryModule {
          |SELECT shiftleft(lb, 32) | hb AS a, shiftleft(la, 32) | ha AS b FROM $hpView""".stripMargin)
     val nodes = spark.sql(
       s"SELECT DISTINCT shiftleft(fh_lo, 32) | fh_hi AS id FROM $view")
-    val labels = graft.GraphOps.ccMinLabelAuto(spark, edges, nodes)
+    // checkpoint the labels: the cluster-size rewrite below references
+    // the frame↔label join TWICE (rows + per-cluster counts), and an
+    // unpinned label plan would re-run the whole CC build per reference
+    val labels = graft.GraphOps.fresh(spark,
+      graft.GraphOps.ccMinLabelAuto(spark, edges, nodes))
     val lv = s"m21_lbl_${Integer.toHexString(sfDir.hashCode)}"
     labels.createOrReplaceTempView(lv)
+    // cluster_size via groupBy + join, NOT `count(*) OVER (PARTITION BY
+    // cluster_id)`: a window funnels every row of a cluster into ONE
+    // task — the mega-cluster scenario is exactly the one this operator
+    // exists for (a viral clip reposted a million times), and AQE
+    // splits join skew but never window skew. The groupBy aggregates
+    // with combinable partials (map-side combine), and the join back
+    // is AQE-skew-splittable — same answer, no single-task cluster.
     spark.sql(
       s"""WITH f AS (SELECT v.doc_id, v.frame_idx, l.lbl AS cluster_id
-         |  FROM $view v JOIN $lv l ON l.id = shiftleft(v.fh_lo, 32) | v.fh_hi)
-         |SELECT doc_id, frame_idx, cluster_id,
-         |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
-         |FROM f""".stripMargin)
+         |  FROM $view v JOIN $lv l ON l.id = shiftleft(v.fh_lo, 32) | v.fh_hi),
+         |cs AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+         |  FROM f GROUP BY cluster_id)
+         |SELECT f.doc_id, f.frame_idx, f.cluster_id, cs.cluster_size
+         |FROM f JOIN cs ON cs.cluster_id = f.cluster_id""".stripMargin)
   }
 
   /** M5: perceptual-hash media dedup — the cross-modal twin of the

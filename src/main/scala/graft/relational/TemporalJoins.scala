@@ -81,9 +81,20 @@ object TemporalJoins {
     */
   def bucketRangeJoin(points: DataFrame, intervals: DataFrame,
                       bucketUs: Long): DataFrame = {
-    val bI = intervals.withColumn(
-      "rj_bkt", explode(expr(s"sequence(rj_lo div $bucketUs, (rj_hi - 1) div $bucketUs)")))
-    val bP = points.withColumn("rj_bkt", expr(s"rj_t div $bucketUs"))
+    // FLOOR division, not `div`: Spark's `div` truncates toward zero
+    // while the natural bucket function floors, so a pre-epoch
+    // (negative) timestamp would land one bucket high and miss its
+    // intervals; `(x - pmod(x, b)) div b` floors for any sign. And
+    // empty/inverted intervals (rj_hi <= rj_lo) are dropped BEFORE the
+    // explode: Spark's `sequence(lo, hi)` with lo > hi generates a
+    // DESCENDING sequence, so one bad interval row (hi ≪ lo) would
+    // fan out to an unbounded bucket range — the containment predicate
+    // filters the junk pairs but only after paying the blow-up.
+    def fdiv(x: String): String =
+      s"($x - pmod($x, $bucketUs)) div $bucketUs"
+    val bI = intervals.where(expr("rj_hi > rj_lo")).withColumn(
+      "rj_bkt", explode(expr(s"sequence(${fdiv("rj_lo")}, ${fdiv("(rj_hi - 1)")})")))
+    val bP = points.withColumn("rj_bkt", expr(fdiv("rj_t")))
     bP.join(bI, bP("rj_bkt") === bI("rj_bkt") &&
         bP("rj_t") >= bI("rj_lo") && bP("rj_t") < bI("rj_hi"))
       .drop("rj_bkt")

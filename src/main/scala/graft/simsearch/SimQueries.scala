@@ -2,6 +2,7 @@ package graft.simsearch
 
 import graft.{QueryModule, SqlQ, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.jdk.CollectionConverters._
 
 /** Similarity search over the `embeddings` table (`Array[Float]` 64-d
   * vectors): brute-force cosine top-k as the exactness baseline, a
@@ -1385,27 +1386,39 @@ object SimQueries extends QueryModule {
     // threshold the driver loop computes the IDENTICAL result without
     // paying ~3 Spark jobs × 10 rounds of scheduling on a one-heap
     // graph; the distributed loop below is the >20M-edge path.
+    // Driver state is ENDPOINT-keyed only (≤ 2·edges ids — bounded by
+    // the same gate that bounds the edge collect; the round-12 hole
+    // collected EVERY embedding id, which the edge gate does not
+    // bound). A node with no mutual edge neither sends nor receives
+    // mass, so its fixpoint is the closed form `150000` from round 1
+    // on — isolated nodes get (mdeg 0, rank 150000) through a
+    // distributed left join, never a driver collect.
     if (em.limit(20000001).count() <= 20000000L) {
       import spark.implicits._
       val es = em.as[(Long, Long)].collect()
       val degM = new java.util.HashMap[Long, Long]()
-      es.foreach { case (s, _) => degM.merge(s, 1L, (a, b) => a + b) }
-      val ids = nodes.as[Long].collect()
+      val ids = new java.util.LinkedHashSet[Long]()
+      es.foreach { case (s, d) =>
+        degM.merge(s, 1L, (a, b) => a + b); ids.add(s); ids.add(d)
+      }
       var rank = new java.util.HashMap[Long, Long]()
-      ids.foreach(rank.put(_, 1000000L))
+      ids.iterator().asScala.foreach(id => rank.put(id, 1000000L))
       for (_ <- 1 to 10) {
         val contrib = new java.util.HashMap[Long, Long]()
         es.foreach { case (s, d) =>
           contrib.merge(d, rank.get(s) / degM.get(s), (a, b) => a + b)
         }
         val next = new java.util.HashMap[Long, Long]()
-        ids.foreach(id =>
+        ids.iterator().asScala.foreach(id =>
           next.put(id, 150000L + 850L * contrib.getOrDefault(id, 0L) / 1000L))
         rank = next
       }
-      return spark.createDataset(ids.toSeq.map(id =>
-          (id, degM.getOrDefault(id, 0L).toInt, rank.get(id): Long)))
-        .toDF("vec_id", "mdeg", "rank_micro")
+      val ep = spark.createDataset(ids.iterator().asScala.map(id =>
+          (id, degM.getOrDefault(id, 0L).toInt, rank.get(id): Long)).toSeq)
+        .toDF("ep_id", "ep_deg", "ep_rank")
+      return nodes.join(ep, nodes("vec_id") === ep("ep_id"), "left")
+        .selectExpr("vec_id", "CAST(coalesce(ep_deg, 0) AS INT) AS mdeg",
+          "CAST(coalesce(ep_rank, 150000) AS BIGINT) AS rank_micro")
     }
     val deg = em.groupBy("src").count().withColumnRenamed("count", "deg")
     val edges = fresh(em.join(deg, "src"))

@@ -126,8 +126,12 @@ object StreamingQueries extends QueryModule {
     * it never appears in the output and the oracle needs no carve-out. */
   private def sentinelStage(spark: SparkSession, srcPath: String): String = {
     val f = new java.io.File(srcPath)
+    // "#v2" bumps the stage tag: the sentinel CONTENT changed (see
+    // below) and the staged dir is keyed on the SOURCE fingerprint
+    // only, so old /tmp stages would otherwise keep serving the old
+    // sentinel row forever
     val tag = Integer.toHexString(
-      (f.getAbsolutePath + "#" + f.lastModified + "#" + f.length).hashCode)
+      (f.getAbsolutePath + "#" + f.lastModified + "#" + f.length + "#v2").hashCode)
     val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft_sg4_src_$tag")
     val sent = new java.io.File(dir, "zz_sentinel.parquet")
     if (!sent.exists()) {
@@ -137,9 +141,17 @@ object StreamingQueries extends QueryModule {
         link.toPath, f.toPath.toAbsolutePath)
       catch { case _: java.nio.file.FileAlreadyExistsException => () }
       val tmp = java.nio.file.Files.createTempDirectory("graft_sent").toFile
+      // sentinel text derives from its own doc_id: the sentinel's one
+      // span must SURVIVE the corpus anti-join to reach the watermark
+      // node, and a corpus document whose trailing ragged span
+      // happened to equal a fixed literal (the old 'zz') would filter
+      // it — watermark never advances, sink drains empty, gate fails
+      // opaquely. No real document can contain this text: doc ids are
+      // dense small integers and the token embeds 9999999999.
       spark.read.parquet(srcPath).limit(1)
-        .selectExpr("9999999999L AS doc_id", "'zz' AS text", "lang",
-          "source", "CAST(2 AS BIGINT) AS n_chars")
+        .selectExpr("9999999999L AS doc_id",
+          "'sentinel_9999999999' AS text", "lang",
+          "source", "CAST(19 AS BIGINT) AS n_chars")
         .coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
       val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
       java.nio.file.Files.move(part.toPath, sent.toPath)

@@ -984,8 +984,12 @@ object TextQueries extends QueryModule {
     //   p_kn(w2|w1) = max(c12 - d, 0)/c1 + d·N1+(w1,·)/c1 · N1+(·,w2)/N1+(·,·)
     // with d = 3/4. Everything is EXACT integer arithmetic: the
     // discount rides as quarters (4·c12 − 3), the whole probability
-    // is one BIGINT division to micro-units, so both engines round
-    // identically. Scale shape: bigram counts, left/right
+    // is ONE 128-bit integer division to micro-units (DECIMAL(38,0)
+    // DIV on Spark ≡ HUGEINT // on the oracle — verified equal), so
+    // both engines round identically AND the numerator 1e6·c12·nbi
+    // cannot overflow before c12·nbi ≈ 4e31, far past any corpus (a
+    // BIGINT numerator wrapped at c12·nbi ≈ 2.3e12 — inside the
+    // web-scale range this operator targets). Scale shape: bigram counts, left/right
     // continuation counts and the type total are all map-side-
     // combinable groupBys on well-distributed keys; the final join
     // keys on w1/w2 (vocabulary-bounded sides) and the type total is
@@ -1004,8 +1008,9 @@ object TextQueries extends QueryModule {
         |r AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1_back FROM c GROUP BY w2),
         |nb AS (SELECT CAST(count(*) AS BIGINT) AS nbi FROM c)
         |SELECT c.w1, c.w2, c.c12, l.c1, l.n1_fwd, r.n1_back,
-        |  CAST((1000000 * (greatest(4*c.c12 - 3, 0) * nb.nbi + 3 * l.n1_fwd * r.n1_back))
-        |    DIV (4 * l.c1 * nb.nbi) AS BIGINT) AS p_kn_micro
+        |  CAST((CAST(1000000 AS DECIMAL(38,0)) * (CAST(greatest(4*c.c12 - 3, 0) AS DECIMAL(38,0)) * nb.nbi
+        |      + CAST(3 AS DECIMAL(38,0)) * l.n1_fwd * r.n1_back))
+        |    DIV (CAST(4 AS DECIMAL(38,0)) * l.c1 * nb.nbi) AS BIGINT) AS p_kn_micro
         |FROM c JOIN l ON l.w1 = c.w1 JOIN r ON r.w2 = c.w2 CROSS JOIN nb
         |WHERE c.c12 >= 5""".stripMargin,
       """WITH w AS (SELECT list_filter(string_split(text, ' '), x -> x != '') AS w
@@ -1021,8 +1026,9 @@ object TextQueries extends QueryModule {
         |r AS (SELECT w2, count(*)::BIGINT AS n1_back FROM c GROUP BY w2),
         |nb AS (SELECT count(*)::BIGINT AS nbi FROM c)
         |SELECT c.w1, c.w2, c.c12, l.c1, l.n1_fwd, r.n1_back,
-        |  ((1000000 * (greatest(4*c.c12 - 3, 0) * nb.nbi + 3 * l.n1_fwd * r.n1_back))
-        |    // (4 * l.c1 * nb.nbi))::BIGINT AS p_kn_micro
+        |  ((1000000::HUGEINT * (greatest(4*c.c12 - 3, 0)::HUGEINT * nb.nbi
+        |      + 3::HUGEINT * l.n1_fwd * r.n1_back))
+        |    // (4::HUGEINT * l.c1 * nb.nbi))::BIGINT AS p_kn_micro
         |FROM c JOIN l ON l.w1 = c.w1 JOIN r ON r.w2 = c.w2 CROSS JOIN nb
         |WHERE c.c12 >= 5""".stripMargin),
 
@@ -1724,14 +1730,24 @@ object TextQueries extends QueryModule {
     // CC by min-label propagation + pointer jumping — the shared
     // kernel ([[graft.GraphOps.ccMinLabel]]; see its scaladoc for the
     // localCheckpoint lineage-truncation and O(log diameter) story).
-    val edges = pairs.selectExpr("i AS a", "j AS b")
-      .union(pairs.selectExpr("j AS a", "i AS b"))
+    // The verified-pair pipeline is checkpointed ONCE up front: edges,
+    // nodes and the kernel's gate/iteration all re-read it, and the
+    // LSH → exact-Jaccard upstream is the expensive part.
+    val p = graft.GraphOps.fresh(spark, pairs)
+    val edges = p.selectExpr("i AS a", "j AS b")
+      .union(p.selectExpr("j AS a", "i AS b"))
     val nodes = edges.selectExpr("a AS id").distinct()
-    graft.GraphOps.ccMinLabelAuto(spark, edges, nodes)
-      .selectExpr("id AS doc_id", "lbl AS cluster_id")
-      .withColumn("cluster_size",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("cluster_id"))))
+    val lbl = graft.GraphOps.fresh(spark,
+      graft.GraphOps.ccMinLabelAuto(spark, edges, nodes)
+        .selectExpr("id AS doc_id", "lbl AS cluster_id"))
+    // cluster_size via groupBy + join, not a window over cluster_id: a
+    // window forces each cluster through one task (the m21 mega-cluster
+    // skew); the groupBy runs with combinable partials and the join
+    // back is AQE-skew-splittable — same answer at any cluster size.
+    val cs = lbl.groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    lbl.join(cs, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
   }
 
   private def d7Oracle: String =

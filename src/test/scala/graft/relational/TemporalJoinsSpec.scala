@@ -93,6 +93,38 @@ class TemporalJoinsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), "expected an equi-join")
   }
 
+  test("w8: inverted/empty intervals drop before the explode (no fan-out)") {
+    import spark.implicits._
+    val pts = Seq(5L, 50L).toDF("rj_t")
+    // one good interval + one INVERTED one (hi ≪ lo): sequence() on
+    // the inverted row would generate a descending bucket range —
+    // unbounded spurious fan-out on bad data; it must not explode
+    val iv = Seq((0L, 10L, "good"), (1000000L, -1000000L, "bad"))
+      .toDF("rj_lo", "rj_hi", "tag")
+    val out = TemporalJoins.bucketRangeJoin(pts, iv, 7L)
+      .select("rj_t", "tag").as[(Long, String)].collect().toSet
+    assert(out == Set((5L, "good")))
+    // and the exploded candidate count stays bounded by the good
+    // interval's span (2 buckets), not the inverted row's 285k-bucket
+    // descending range
+    val cand = iv.where(expr("rj_hi > rj_lo")).withColumn("b",
+      explode(expr("sequence((rj_lo - pmod(rj_lo, 7)) div 7, ((rj_hi - 1) - pmod((rj_hi - 1), 7)) div 7)"))).count()
+    assert(cand <= 2)
+  }
+
+  test("w8: negative (pre-epoch) timestamps bucket by floor and still match") {
+    import spark.implicits._
+    // floor(-3/7) = -1 while Spark's `div` truncates to 0: a
+    // trunc-bucketed point and floor-bucketed interval (or an oracle
+    // that floors) would disagree; both sides floor now, so the
+    // containment survives any sign
+    val pts = Seq(-3L, -10L, 3L).toDF("rj_t")
+    val iv = Seq((-12L, -1L, "neg"), (1L, 5L, "pos")).toDF("rj_lo", "rj_hi", "tag")
+    val got = TemporalJoins.bucketRangeJoin(pts, iv, 7L)
+      .select("rj_t", "tag").as[(Long, String)].collect().toSet
+    assert(got == Set((-3L, "neg"), (-10L, "neg"), (3L, "pos")))
+  }
+
   test("w7: one shuffle — the as-of stream exchanges once on the key") {
     val plan = SparkEntry.queries("w7_asof_join")(spark, sf)
       .queryExecution.executedPlan.toString
