@@ -50,7 +50,17 @@ object Bench {
       if (i > 0) sb += ','
       sb ++= "\"" + k + "\":" + fmt(v)
     }
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","warm_total":${fmt(warmTotal)},"pass":"queries=warm","qcount":${results.size},"qdropped":0,"queries":{$sb},"sf":"$sfDir"}"""
+    // Streaming gates: the wall-clock time above is dominated by a
+    // ~constant stream start/drain harness at sf0.1 — emit the
+    // operator-only cost (sum of the warm pass's addBatch durations)
+    // alongside, so a gate-operator regression is visible above the
+    // harness floor (round-12 verdict ask #6).
+    val sgOp = {
+      import scala.jdk.CollectionConverters._
+      graft.streaming.StreamingQueries.opSeconds.asScala.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString(",")
+    }
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","warm_total":${fmt(warmTotal)},"pass":"queries=warm","qcount":${results.size},"qdropped":0,"queries":{$sb},"sg_op":{$sgOp},"sf":"$sfDir"}"""
     println(line)
     // Belt-and-braces: the full artifact also lands on disk so a
     // truncated stdout capture can never lose the per-query data.
@@ -59,6 +69,15 @@ object Bench {
         java.nio.file.Paths.get("bench_full.json"),
         line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Throwable => () }
+    // Round-12 verdict "Wrong #3": the full per-query line outgrew the
+    // driver's 2000-char stdout tail, so the official BENCH json
+    // carried a TRUNCATED line (parsed: null). A compact totals-only
+    // line prints LAST — whatever window the driver keeps, the tail
+    // always ends with a complete, parseable record of the headline
+    // numbers; the full per-query map lives in the line above and in
+    // bench_full.json.
+    val worst = ordered.headOption.getOrElse(("none", 0.0))
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","warm_total":${fmt(warmTotal)},"qcount":${results.size},"qdropped":0,"worst":"${worst._1}","worst_sec":${fmt(worst._2)},"detail":"bench_full.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -55,6 +55,12 @@ object ScaleProbe {
     // e1-shaped broadcast crossJoin over the augmented vectors —
     // ~linear in corpus size at fixed query count
     "t18_bpe_train", "t19_chunk", "t21_bpe_tokenize", "e16_mips",
+    // round-13: e21b drives the REAL hierarchical router (k grows
+    // with the corpus: 800 at 1×, 8000 at 10×) — expect ~n·√k, e21's
+    // documented honest asymptote; the router build is driver-side
+    // O(k·√k·d), bounded by the same k the Lloyd build already
+    // collects
+    "e21b_hier_route",
     // e17 binary-quantization retrieval: the Hamming candidate pass
     // scans two BIGINT columns per corpus row against 5 broadcast
     // query codes — expect ~linear in corpus size at fixed query

