@@ -59,8 +59,10 @@ object ScaleProbe {
     // with the corpus: 800 at 1×, 8000 at 10×) — expect ~n·√k, e21's
     // documented honest asymptote; the router build is driver-side
     // O(k·√k·d), bounded by the same k the Lloyd build already
-    // collects
-    "e21b_hier_route",
+    // collects. e28 beam search: per-query work is O(hops·beam·k)
+    // INDEPENDENT of corpus size — the cost should track e21's graph
+    // build, with the serving hops ~flat
+    "e21b_hier_route", "e28_graph_search",
     // e17 binary-quantization retrieval: the Hamming candidate pass
     // scans two BIGINT columns per corpus row against 5 broadcast
     // query codes — expect ~linear in corpus size at fixed query

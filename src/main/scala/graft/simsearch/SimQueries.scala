@@ -1438,6 +1438,180 @@ object SimQueries extends QueryModule {
         "rank AS rank_micro")
   }
 
+  /** Beam width / hop budget for e28's graph search. Small on
+    * purpose: the point is the OPERATOR (deterministic best-first
+    * expansion over the kNN graph), and e29 MEASURES what the budget
+    * buys in recall instead of hiding it. */
+  private val BeamWidth = 8
+  private val BeamHops = 3
+
+  /** E28: graph-based ANN serving — best-first beam search over the
+    * e21 kNN graph, the serving primitive of the HNSW / DiskANN
+    * family (Malkov & Yashunin 2016; Subramanya et al. 2019) and the
+    * one ANN style the suite lacked next to IVF (e3), PQ/ADC
+    * (e10/e11), LSH (e4) and BQ (e17): seed every query's beam with
+    * ONE ENTRY PER CELL (each cell's minimum vec_id — e21's graph is
+    * the union of per-cell kNN graphs, so it is DISCONNECTED across
+    * cells and a single global entry would strand the search in the
+    * entry's own cell: measured recall 0.12 single-entry vs the
+    * multi-entry number e29 reports; the entry set is the flat,
+    * deterministic substitute for HNSW's upper layers), then for
+    * each of [[BeamHops]] rounds expand the beam's out-edges (the
+    * directed top-k edges, k = 3), score candidates by exact cosine
+    * against the query, and keep the best [[BeamWidth]] per query
+    * (ties → lowest id). The final top-5 (self excluded) is the
+    * answer.
+    *
+    * Scale shape: the graph is built ONCE (e21's machinery — cell-
+    * blocked, never n²); seeding scores one node per cell (n/50
+    * entries — the same O(n/50 · d) a query already pays for the IVF
+    * coarse scan), and every hop after is one equi-join of the beam
+    * against the edge table plus a per-query top-B window over
+    * ≤ B·(k+1) candidate rows — O(hops · beam · k · d) per query,
+    * independent of corpus size. At cluster scale the edge table is
+    * bucketed by src so every hop's probe join is shuffle-free on
+    * the graph side. Determinism: every sim is the index-ordered
+    * vec_dot / dDot fold; every cut is (sim DESC, id) — both engines
+    * replay bit-identical frontiers. Oracle: the full chain (graph
+    * build + unrolled hops) in DuckDB. */
+  /** Spark side of the beam search: the graph edges are pinned ONCE
+    * (localCheckpoint) and each hop runs as its own materialized step
+    * against per-dir temp views. The pure-CTE formulation the oracle
+    * replays would INLINE: every hop's UNION references the previous
+    * beam twice, so Catalyst copies the whole graph-build pipeline
+    * ~2^hops times into one plan (measured 4.8 s vs ~1 s pinned at
+    * sf0.1) — the e27/GraphOps iterate-materialization lesson applied
+    * to a fixed-depth loop. Returns the `fr` frontier (qid, nid, sim,
+    * rr) shared by e28's top-5 tail and e29's recall join. */
+  private def e28Frontier(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.register(spark, sfDir)
+    val tag = Integer.toHexString(sfDir.hashCode)
+    val vView = s"e28_n_$tag"
+    val qView = s"e28_q_$tag"
+    val eView = s"e28_e_$tag"
+    spark.sql(s"$sparkVecs SELECT vec_id, v, nrm FROM n")
+      .createOrReplaceTempView(vView)
+    spark.sql(
+      s"SELECT vec_id AS qid, v AS qv, nrm AS qn FROM $vView WHERE vec_id < 5")
+      .createOrReplaceTempView(qView)
+    graft.GraphOps.fresh(spark, spark.sql(
+        s"""${e21GraphCtes(spark, sfDir)}
+           |SELECT src, dst FROM e""".stripMargin))
+      .createOrReplaceTempView(eView)
+    // entry set: each cell's minimum vec_id (asg is memoized/cheap —
+    // the Lloyd build behind it is the kmMemo hit)
+    var beam = spark.sql(
+      s"""${e21GraphCtes(spark, sfDir)},
+         |ent AS (SELECT min(vec_id) AS eid FROM asg GROUP BY c)
+         |SELECT q.qid, ent.eid AS nid FROM $qView q CROSS JOIN ent""".stripMargin)
+    val bView = s"e28_beam_$tag"
+    for (_ <- 1 to BeamHops) {
+      beam.createOrReplaceTempView(bView)
+      beam = graft.GraphOps.fresh(spark, spark.sql(
+        s"""WITH x AS (SELECT qid, nid FROM $bView
+           |  UNION
+           |  SELECT c.qid, e.dst AS nid FROM $bView c JOIN $eView e ON e.src = c.nid),
+           |s AS (SELECT x.qid, x.nid,
+           |    vec_dot(q.qv, n2.v) / (q.qn * n2.nrm) AS sim
+           |  FROM x JOIN $qView q ON q.qid = x.qid
+           |    JOIN $vView n2 ON n2.vec_id = x.nid)
+           |SELECT qid, nid FROM (SELECT qid, nid,
+           |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rr
+           |  FROM s) t WHERE rr <= $BeamWidth""".stripMargin))
+    }
+    beam.createOrReplaceTempView(bView)
+    spark.sql(
+      s"""WITH fs AS (SELECT c.qid, c.nid,
+         |    vec_dot(q.qv, n2.v) / (q.qn * n2.nrm) AS sim
+         |  FROM $bView c JOIN $qView q ON q.qid = c.qid
+         |    JOIN $vView n2 ON n2.vec_id = c.nid
+         |  WHERE c.nid != c.qid)
+         |SELECT qid, nid, sim,
+         |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rr
+         |FROM fs""".stripMargin)
+  }
+
+  private def e28Query(spark: SparkSession, sfDir: String): DataFrame =
+    e28Frontier(spark, sfDir)
+      .where("rr <= 5")
+      .selectExpr("qid AS query_id", "nid AS neighbor_id", "sim",
+        "CAST(rr AS INT) AS rnk")
+
+  /** E29: e28's measured recall vs the exact top-5 (the e8/e12/e20
+    * convention: every approximate structure ships with its measured
+    * answer quality, not an asserted one). */
+  private def e29Query(spark: SparkSession, sfDir: String): DataFrame = {
+    val tag = Integer.toHexString(sfDir.hashCode)
+    val frView = s"e28_fr_$tag"
+    e28Frontier(spark, sfDir).createOrReplaceTempView(frView)
+    spark.sql(
+      s"""WITH got AS (SELECT qid, nid FROM $frView WHERE rr <= 5),
+         |ex0 AS (SELECT q.qid, n2.vec_id AS nid,
+         |    vec_dot(q.qv, n2.v) / (q.qn * n2.nrm) AS sim
+         |  FROM e28_q_$tag q CROSS JOIN e28_n_$tag n2 WHERE n2.vec_id != q.qid),
+         |ex AS (SELECT qid, nid FROM (SELECT qid, nid,
+         |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rr
+         |  FROM ex0) t WHERE rr <= 5)
+         |SELECT ex.qid AS query_id, count(got.nid) AS hits,
+         |  CAST(count(got.nid) AS DOUBLE) / 5 AS recall_at_5
+         |FROM ex LEFT JOIN got ON got.qid = ex.qid AND got.nid = ex.nid
+         |GROUP BY ex.qid""".stripMargin)
+  }
+
+  /** DuckDB replay of [[e28Ctes]] (shared by the e28/e29 oracles). */
+  private def e28OracleCtes: String = {
+    val sb = new StringBuilder(
+      s"""$e21OracleCtes,
+         |nn2 AS (SELECT n.vec_id, n.v, n.nrm FROM n),
+         |q28 AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < 5),
+         |ent AS (SELECT min(vec_id) AS eid FROM fin GROUP BY c),
+         |c0 AS (SELECT q28.qid, ent.eid AS nid FROM q28 CROSS JOIN ent)""".stripMargin)
+    for (i <- 1 to BeamHops) {
+      val p = i - 1
+      sb ++= s""",
+         |x$i AS (SELECT qid, nid FROM c$p
+         |  UNION
+         |  SELECT c.qid, e.dst AS nid FROM c$p c JOIN e ON e.src = c.nid),
+         |s$i AS (SELECT x.qid, x.nid,
+         |    ${dDot("q28.qv", "n2.v")} / (q28.qn * n2.nrm) AS sim
+         |  FROM x$i x JOIN q28 ON q28.qid = x.qid JOIN nn2 n2 ON n2.vec_id = x.nid),
+         |r$i AS (SELECT qid, nid, sim,
+         |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rr
+         |  FROM s$i),
+         |c$i AS (SELECT qid, nid FROM r$i WHERE rr <= $BeamWidth)"""
+    }
+    sb ++= s""",
+         |fs AS (SELECT c.qid, c.nid,
+         |    ${dDot("q28.qv", "n2.v")} / (q28.qn * n2.nrm) AS sim
+         |  FROM c$BeamHops c JOIN q28 ON q28.qid = c.qid
+         |    JOIN nn2 n2 ON n2.vec_id = c.nid
+         |  WHERE c.nid != c.qid),
+         |fr AS (SELECT qid, nid, sim,
+         |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rr
+         |  FROM fs)"""
+    sb.result()
+  }
+
+  private def e28Oracle: String =
+    s"""$e28OracleCtes
+       |SELECT qid AS query_id, nid AS neighbor_id, sim,
+       |  CAST(rr AS INT) AS rnk
+       |FROM fr WHERE rr <= 5""".stripMargin
+
+  private def e29Oracle: String =
+    s"""$e28OracleCtes,
+       |got AS (SELECT qid, nid FROM fr WHERE rr <= 5),
+       |ex0 AS (SELECT q28.qid, n2.vec_id AS nid,
+       |    ${dDot("q28.qv", "n2.v")} / (q28.qn * n2.nrm) AS sim
+       |  FROM q28 CROSS JOIN nn2 n2 WHERE n2.vec_id != q28.qid),
+       |ex AS (SELECT qid, nid FROM (SELECT qid, nid,
+       |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rr
+       |  FROM ex0) t WHERE rr <= 5)
+       |SELECT ex.qid AS query_id, count(got.nid) AS hits,
+       |  CAST(count(got.nid) AS DOUBLE) / 5 AS recall_at_5
+       |FROM ex LEFT JOIN got ON got.qid = ex.qid AND got.nid = ex.nid
+       |GROUP BY ex.qid""".stripMargin
+
   /** E21b: the HIERARCHICAL assignment path, oracle-grade (round-12
     * verdict ask #3) — e21's production route above [[HierK]] was
     * spec-only because every oracle fixture yields k ≤ 64 and stays
@@ -2221,6 +2395,8 @@ object SimQueries extends QueryModule {
       ("e9_semdedup" -> ((s: SparkSession, d: String) => semDedup(s, d))) +
       ("e21_knn_graph" -> ((s: SparkSession, d: String) => knnGraph(s, d))) +
       ("e21b_hier_route" -> ((s: SparkSession, d: String) => e21bQuery(s, d))) +
+      ("e28_graph_search" -> ((s: SparkSession, d: String) => e28Query(s, d))) +
+      ("e29_graph_recall" -> ((s: SparkSession, d: String) => e29Query(s, d))) +
       ("e27_pagerank" -> ((s: SparkSession, d: String) => e27Query(s, d))) +
       ("e22_proto_prune" -> ((s: SparkSession, d: String) => protoPrune(s, d))) +
       ("e23_probe_sweep" -> ((s: SparkSession, d: String) => probeSweep(s, d))) +
@@ -2244,6 +2420,8 @@ object SimQueries extends QueryModule {
       ("e9_semdedup" -> e9Oracle) +
       ("e21_knn_graph" -> e21Oracle) +
       ("e21b_hier_route" -> e21bOracle) +
+      ("e28_graph_search" -> e28Oracle) +
+      ("e29_graph_recall" -> e29Oracle) +
       ("e27_pagerank" -> e27Oracle) +
       ("e22_proto_prune" -> e22Oracle) +
       ("e23_probe_sweep" -> e23Oracle) +
