@@ -1013,6 +1013,20 @@ object RasterQueries extends QueryModule {
       x0 = -200000.0, yTop = 200000.0, pixelM = 10000.0,
       tilesX = 2, tilesY = 2, pxPerTile = 20)
 
+  /** r29: World Mollweide (ESRI:54009 — the registry-code path like
+    * r15/r19/r24/r25): the global equal-area pseudocylindrical that
+    * land-cover / ecology rasters commonly ship in. Mollweide's
+    * forward is TRANSCENDENTAL (Newton for the auxiliary θ), so this
+    * is the first oracle row through a fixed-count unrolled iterate
+    * chain inside the projection itself — the SQL mirror replays all
+    * 12 Newton steps ([[Warp.Mollweide.forwardSelect]]). The lattice
+    * covers a mid-latitude European window (no pole image inside;
+    * the pole-cap path is LAEA r25's job). */
+  private def r29Lattice: Warp.ProjectedLattice =
+    Warp.ProjectedLattice(Warp.Mollweide.world,
+      x0 = 200000.0, yTop = 6300000.0, pixelM = 10000.0,
+      tilesX = 2, tilesY = 2, pxPerTile = 20)
+
   /** r26: the Dutch RD grid — CT 16 double-stereographic geokeys with
     * the EPSG:28992 parameter set AND the Bessel 1841 figure carried
     * in GeogSemiMajorAxis/GeogInvFlattening (2057/2059): the
@@ -1145,6 +1159,9 @@ object RasterQueries extends QueryModule {
 
   private def laeaPolarIngest(spark: SparkSession, sfDir: String): DataFrame =
     projIngest(spark, sfDir, "r25", r25Lattice, 6931)
+
+  private def mollweideIngest(spark: SparkSession, sfDir: String): DataFrame =
+    projIngest(spark, sfDir, "r29", r29Lattice, 54009)
 
   private def stereaIngest(spark: SparkSession, sfDir: String): DataFrame =
     projIngest(spark, sfDir, "r26", r26Lattice, 32767, r26Params)
@@ -1359,7 +1376,8 @@ object RasterQueries extends QueryModule {
       ("r25_laea_polar_ingest" -> (laeaPolarIngest _)) +
       ("r26_sterea_ingest" -> (stereaIngest _)) +
       ("r27_towgs84_ingest" -> (towgs84Ingest _)) +
-      ("r28_ntv2_ingest" -> (ntv2Ingest _))
+      ("r28_ntv2_ingest" -> (ntv2Ingest _)) +
+      ("r29_mollweide_ingest" -> (mollweideIngest _))
 
   override def oracles: Map[String, String] =
     sqls.flatMap(q => q.oracleSql.map(q.name -> _)).toMap +
@@ -1388,5 +1406,6 @@ object RasterQueries extends QueryModule {
       ("r25_laea_polar_ingest" -> projIngestOracle(r25Lattice)) +
       ("r26_sterea_ingest" -> projIngestOracle(r26Lattice)) +
       ("r27_towgs84_ingest" -> projIngestOracle(r27Lattice)) +
-      ("r28_ntv2_ingest" -> projIngestOracle(r28Lattice))
+      ("r28_ntv2_ingest" -> projIngestOracle(r28Lattice)) +
+      ("r29_mollweide_ingest" -> projIngestOracle(r29Lattice))
 }

@@ -170,6 +170,8 @@ object Warp {
       Some(MercatorEllipsoidal(0.0, 0.0, 0.0, 0.0))
     else if (epsg == 32662 || epsg == 4087) // WGS84 / Plate Carrée
       Some(Equirectangular(0.0, 0.0, 0.0, 0.0))
+    else if (epsg == 54009) // ESRI World Mollweide (global equal-area)
+      Some(Mollweide.world)
     else if (epsg == 3035) // ETRS89-extended / LAEA Europe
       Some(LambertAzimuthalEqualArea.laeaEurope)
     else if (epsg == 6931) // WGS84 / EASE-Grid 2.0 North
@@ -1685,6 +1687,132 @@ object Warp {
         falseE = p.getOrElse(3082, p.getOrElse(3086, 0.0)),
         falseN = p.getOrElse(3083, p.getOrElse(3087, 0.0)))
     }
+  }
+
+  /** Mollweide (Snyder PP 1395, eqs. 31-1..31-8) — the standard
+    * global EQUAL-AREA pseudocylindrical (ESRI:54009
+    * "World_Mollweide"): the CRS global land-cover / ecology /
+    * species-range rasters commonly ship in, and a named gap in the
+    * arbitrary-CRS residue ("What's missing #1" — the reference warps
+    * it by shelling to proj, `unify_projection.sh:13-40`). SPHERICAL
+    * on R = a (proj's stance: `+proj=moll` has no ellipsoidal form;
+    * GDAL warps 54009 on the a-sphere).
+    *
+    * Forward: the auxiliary angle θ solves 2θ + sin 2θ = π sin φ —
+    * transcendental, so [[NewtonIters]] Newton steps from θ₀ = φ run
+    * as a FIXED unrolled sequence (no convergence test: the oracle
+    * replays the identical iterate chain, so parity is ulp-exact by
+    * construction; 12 steps reach the float64 fixed point for
+    * |φ| ≤ 85° — verified — and land within 8 mm at 89.9°, noise at
+    * the 10⁴-m lattice scale). Then x = (2√2/π)·R·Δλ·cos θ,
+    * y = √2·R·sin θ. The poles map to single plane points
+    * (0, ±√2·R) — declared as [[planeSingularities]] exactly like the
+    * azimuthal families, so a pole-containing lattice takes the
+    * covered-cap path. */
+  final case class Mollweide(lon0Deg: Double, falseE: Double, falseN: Double)
+      extends Projection {
+    import TransverseMercator.A
+    import Mollweide.NewtonIters
+    val lam0: Double = Math.toRadians(lon0Deg)
+    private val sqrt2: Double = Math.sqrt(2.0)
+    /** x scale constant 2√2·R/π — ONE precomputed double, embedded as
+      * the same literal in the SQL mirror (association parity). */
+    val cx: Double = A * 2.0 * sqrt2 / Math.PI
+    val cy: Double = A * sqrt2
+
+    private def theta(phi: Double): Double = {
+      // exact-pole guard (θ* = ±π/2 makes Newton's 0/0 there); pixel
+      // centers never sit at ±90 but the guard keeps the function
+      // total — mirrored verbatim in SQL
+      if (math.abs(phi) >= Math.PI / 2) math.signum(phi) * (Math.PI / 2)
+      else {
+        val ps = Math.PI * Math.sin(phi)
+        var th = phi
+        var i = 0
+        while (i < NewtonIters) {
+          th = th - (2.0 * th + Math.sin(2.0 * th) - ps) /
+            (2.0 + 2.0 * Math.cos(2.0 * th))
+          i += 1
+        }
+        th
+      }
+    }
+
+    def forward(latDeg: Double, lonDeg: Double): (Double, Double) = {
+      val th = theta(Math.toRadians(latDeg))
+      val dlam = Math.toRadians(lonDeg) - lam0
+      // association mirrors xSql/ySql exactly
+      (cx * dlam * Math.cos(th) + falseE, cy * Math.sin(th) + falseN)
+    }
+
+    /** Closed-form inverse (31-6..31-8). A northing beyond ±√2·R is
+      * off the map — invalid Mollweide georeferencing, failed fast
+      * like the sinusoidal's beyond-pole northing. At the pole rows
+      * cos θ = 0 collapses every longitude to the pole point; λ₀ is
+      * returned (any λ is correct there). */
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val sinTh = (y - falseN) / cy
+      require(math.abs(sinTh) <= 1.0 + 1e-12,
+        f"northing ${y - falseN}%.1f m is beyond the pole image " +
+          f"(${cy}%.1f m) — invalid Mollweide georeferencing")
+      val th = Math.asin(math.max(-1.0, math.min(1.0, sinTh)))
+      val lat = Math.asin(math.max(-1.0, math.min(1.0,
+        (2.0 * th + Math.sin(2.0 * th)) / Math.PI)))
+      val cosTh = Math.cos(th)
+      val lon =
+        if (cosTh < 1e-12) lam0
+        else lam0 + (x - falseE) / (cx * cosTh)
+      (Math.toDegrees(lat), Math.toDegrees(lon))
+    }
+
+    /** Both poles are single finite plane points on the central
+      * meridian. */
+    override def planeSingularities: Seq[(Double, Double, Double)] =
+      Seq((falseE, cy + falseN, 90.0), (falseE, -cy + falseN, -90.0))
+
+    /** DuckDB SQL mirror of [[forward]]: the identical unrolled
+      * Newton chain (same parity contract as the other projections).
+      * Each step binds the previous iterate ONCE through a
+      * single-element `list_transform` lambda — the naive
+      * `mth - f(mth)/f'(mth)` alias chain references its predecessor
+      * 4×, and DuckDB expands lateral aliases TEXTUALLY, so 12 steps
+      * blow up to 4¹² ≈ 16M expression copies (measured: the oracle
+      * stopped returning); the lambda form is linear and computes the
+      * same doubles in the same order. */
+    def forwardSelect(lat: String, lon: String): String = {
+      def d(v: Double) = s"CAST(${java.lang.Double.toString(v)} AS DOUBLE)"
+      val sb = new StringBuilder(
+        s"""radians($lat) AS mphi_,
+           |radians($lon) - ${d(lam0)} AS mdlam_,
+           |${d(Math.PI)} * sin(mphi_) AS mps_,
+           |mphi_ AS mth0_""".stripMargin)
+      for (i <- 1 to NewtonIters) {
+        val p = i - 1
+        sb ++= s""",
+           |list_transform([mth${p}_], th_ -> th_ - (2.0 * th_ + sin(2.0 * th_) - mps_) / (2.0 + 2.0 * cos(2.0 * th_)))[1] AS mth${i}_"""
+      }
+      sb ++= s""",
+           |CASE WHEN abs(mphi_) >= ${d(Math.PI / 2)}
+           |  THEN CASE WHEN mphi_ >= 0 THEN ${d(Math.PI / 2)} ELSE ${d(-Math.PI / 2)} END
+           |  ELSE mth${NewtonIters}_ END AS mth_"""
+      sb.result()
+    }
+    def xSql: String = {
+      def d(v: Double) = s"CAST(${java.lang.Double.toString(v)} AS DOUBLE)"
+      s"${d(cx)} * mdlam_ * cos(mth_) + ${d(falseE)}"
+    }
+    def ySql: String = {
+      def d(v: Double) = s"CAST(${java.lang.Double.toString(v)} AS DOUBLE)"
+      s"${d(cy)} * sin(mth_) + ${d(falseN)}"
+    }
+  }
+
+  object Mollweide {
+    /** Fixed Newton-step count (see class doc: fixed-count unrolling
+      * is what makes the SQL replay bit-exact). */
+    val NewtonIters: Int = 12
+    /** ESRI:54009 — World Mollweide (λ₀ = 0, no false offsets). */
+    val world: Mollweide = Mollweide(0.0, 0.0, 0.0)
   }
 
   /** Ellipsoidal Lambert azimuthal equal-area (Snyder PP 1395, eqs.

@@ -577,6 +577,63 @@ class WarpSpec extends AnyFunSuite {
     assert(all.distinct.length == all.length, "overlapping ownership")
   }
 
+  test("Mollweide: ground truth, equal-area signature, pole images, round-trip") {
+    val m = Warp.Mollweide.world
+    // ground truth: the converged Newton solution (60 iterations,
+    // float64, computed independently) — the 12-step unrolled chain
+    // must land on it exactly at mid latitudes
+    val truth = Seq(
+      (40.0, 10.0, 849276.5182789668, 4789399.149897034),
+      (-30.0, -75.0, -6876065.290449834, -3643853.5640796954),
+      (52.0, 5.0, 370098.89649033506, 6081278.532523252),
+      (85.0, 120.0, 2487662.513287261, 8824978.852256801),
+      (0.0, 0.0, 0.0, 0.0))
+    for ((lat, lon, ex, ey) <- truth) {
+      val (x, y) = m.forward(lat, lon)
+      assert(math.abs(x - ex) < 1e-6 && math.abs(y - ey) < 1e-6,
+        s"($lat, $lon) → ($x, $y), expected ($ex, $ey)")
+    }
+    // the map's global frame: equator width 2·(2√2·R), pole images at
+    // (0, ±√2·R) — single points, declared as plane singularities
+    val (xE, _) = m.forward(0.0, 180.0)
+    assert(math.abs(xE - m.cx * Math.PI) < 1e-6)
+    val (xp, yp) = m.forward(90.0, 77.0) // ANY longitude hits the point
+    assert(math.abs(xp) < 1e-6 && math.abs(yp - m.cy) < 1e-6)
+    assert(m.planeSingularities.map(_._3).sorted == Seq(-90.0, 90.0))
+    // equal-area signature: the area scale factor h·k of a small
+    // quad is 1 everywhere (the projection's defining property) —
+    // checked as |det J| ≈ R²·cosφ per unit (dφ, dλ) on the sphere
+    for (lat <- Seq(-70.0, -23.0, 0.0, 37.0, 66.0); lon <- Seq(-90.0, 12.0)) {
+      val d = 1e-6
+      val (x1, y1) = m.forward(lat, lon)
+      val (x2, y2) = m.forward(lat + d, lon)
+      val (x3, y3) = m.forward(lat, lon + d)
+      val dr = math.toRadians(d)
+      // |det|: the (φ, λ) → (x, y) frame is orientation-reversing
+      // (lat increases up, row order increases down)
+      val det = math.abs(
+        ((x2 - x1) * (y3 - y1) - (x3 - x1) * (y2 - y1)) / (dr * dr))
+      val r = Warp.TransverseMercator.A
+      val expect = r * r * math.cos(math.toRadians(lat))
+      assert(math.abs(det / expect - 1.0) < 1e-3,
+        s"area scale at ($lat, $lon): ${det / expect}")
+    }
+    // round-trip: the closed-form inverse undoes the converged
+    // forward to float64 noise
+    for (lat <- Seq(-80.0, -41.5, 0.0, 33.3, 75.0);
+         lon <- Seq(-150.0, -7.0, 0.0, 99.9)) {
+      val (x, y) = m.forward(lat, lon)
+      val (la, lo) = m.inverse(x, y)
+      assert(math.abs(la - lat) < 1e-9 && math.abs(lo - lon) < 1e-9,
+        s"round-trip ($lat, $lon) → ($la, $lo)")
+    }
+    // beyond-pole northing fails fast (mis-unitted georeferencing)
+    val err = intercept[IllegalArgumentException](m.inverse(0.0, m.cy * 1.01))
+    assert(err.getMessage.contains("Mollweide"))
+    // registry resolution: ESRI:54009
+    assert(Warp.projectionFor(54009).contains(m))
+  }
+
   test("ellipsoidal Mercator and equirectangular from geokeys") {
     // CT 7 — the EPSG:3395 World Mercator shape
     val m = Warp.MercatorEllipsoidal.fromGeoKeys(Map(3075 -> 7.0, 3080 -> 0.0))
