@@ -17,6 +17,17 @@ import org.apache.spark.sql.functions._
   */
 object RelationalQueries extends QueryModule {
 
+  /** w9's linear-counting table: lc(V) = m.ln(m/V) for V = 1..64 zero
+    * buckets, in milli-units, PRECOMPUTED as integer literals embedded
+    * in BOTH engine SQLs - the small-range correction needs ln, and a
+    * last-ulp libm divergence between engines could flip the milli
+    * rounding; baking the 64 possible values removes cross-engine
+    * floats entirely (V is the only input). */
+  private val hllLcCase: String =
+    (1 to 64).map(v =>
+      s"WHEN $v THEN ${Math.round(64000.0 * Math.log(64.0 / v))}")
+      .mkString(" ")
+
   /** Shared-SQL entries: same text runs on Spark and DuckDB. */
   private val sqls: Seq[SqlQ] = Seq(
     // A1: aggregate passthrough (reference routes user GROUP BY SQL whole
@@ -318,6 +329,96 @@ object RelationalQueries extends QueryModule {
         |SELECT dau.report_day::INT AS report_day,
         |  dau.dau, wau.wau_7d
         |FROM dau JOIN wau ON wau.report_day = dau.report_day""".stripMargin),
+
+    // W9: HyperLogLog approximate distinct count (Flajolet, Fusy,
+    // Gandouet & Meunier 2007) — the classic cardinality sketch
+    // (Spark's own approx_count_distinct is this algorithm, but its
+    // registers aren't replayable in the oracle, so the sketch runs
+    // from first principles on a PORTABLE hash): each row hashes
+    // through md5 of the id's decimal string — the repo's established
+    // cross-engine hash (the d9 convention); an LCG-mod-prime mix was
+    // measured UNUSABLE here (its lattice structure starves max(ρ),
+    // the one statistic HLL reads, saturating the estimate at ~4.5k)
+    // — takes 60 bits via base-16 conv (a c-ordered fold on the
+    // oracle side), splits into 64 buckets × a 25-bit tail, and each
+    // bucket keeps max(ρ) where ρ = 25 − floor(log2(tail)) (tail 0 →
+    // 26); floor(log2) over exact small integers cannot straddle an
+    // ulp (only exact powers of two hit integer log2, and those are
+    // exact doubles in both libms). The estimate stays INTEGER all
+    // the way: Σ 2^(−Mⱼ) scaled by 2²⁶ is a BIGINT register sum, and
+    // est_milli = α₆₄-scaled numerator DIV that sum (α₆₄ = 0.709 as
+    // the exact rational 709/1000) — no float crosses engines. The
+    // small-range regime (raw est <= 2.5m and empty buckets remain)
+    // switches to LINEAR COUNTING m.ln(m/V) - Flajolet et al. SS4 -
+    // via the precomputed 64-entry integer table [[hllLcCase]]. The
+    // exact distinct and the per-mille error ride along, so the
+    // sketch's accuracy is MEASURED, not asserted (the d14/t32
+    // convention). Scale shape: the ONLY state is 64 integers per
+    // group — max-mergeable registers (map-side combinable; the
+    // HllSpec pins merge = whole), so the operator's memory is
+    // independent of cardinality at any corpus size, which is the
+    // entire reason HLL exists at 100 TB.
+    SqlQ.split("w9_hll_distinct",
+      s"""WITH h1 AS (SELECT event_type,
+        |    CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT) AS h
+        |  FROM events),
+        |b AS (SELECT event_type, CAST(h % 64 AS INT) AS bkt,
+        |    CAST((h DIV 64) % 33554432 AS BIGINT) AS w FROM h1),
+        |r AS (SELECT event_type, bkt,
+        |    max(CASE WHEN w = 0 THEN 26
+        |        ELSE 25 - CAST(floor(log2(w)) AS INT) END) AS mj
+        |  FROM b GROUP BY event_type, bkt),
+        |s AS (SELECT event_type,
+        |    CAST(sum(shiftleft(CAST(1 AS BIGINT), 26 - mj)) AS BIGINT) AS sreg,
+        |    CAST(count(*) AS INT) AS nonzero
+        |  FROM r GROUP BY event_type),
+        |e AS (SELECT event_type,
+        |    sreg + shiftleft(CAST(1 AS BIGINT), 26) * (64 - nonzero) AS stot,
+        |    CAST(64 - nonzero AS INT) AS zero_buckets FROM s),
+        |er AS (SELECT event_type, zero_buckets,
+        |    CAST((CAST(709 AS BIGINT) * 4096 * 67108864) DIV stot AS BIGINT) AS est_raw
+        |  FROM e),
+        |c AS (SELECT event_type, zero_buckets,
+        |    CAST(CASE WHEN est_raw <= 160000 AND zero_buckets > 0
+        |      THEN CASE zero_buckets $hllLcCase END
+        |      ELSE est_raw END AS BIGINT) AS est_milli FROM er),
+        |x AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+        |  FROM events GROUP BY event_type)
+        |SELECT c.event_type, c.est_milli, c.zero_buckets, x.exact_distinct,
+        |  CAST(abs(c.est_milli - 1000 * x.exact_distinct)
+        |    DIV x.exact_distinct AS BIGINT) AS err_pml
+        |FROM c JOIN x ON x.event_type = c.event_type""".stripMargin,
+      s"""WITH h1 AS (SELECT event_type,
+        |    list_reduce([(strpos('0123456789abcdef', c) - 1)::BIGINT
+        |        for c in string_split(substring(md5(user_id::VARCHAR), 1, 15), '')],
+        |      (a, b) -> a * 16 + b)::BIGINT AS h
+        |  FROM events),
+        |b AS (SELECT event_type, (h % 64)::INT AS bkt,
+        |    ((h // 64) % 33554432)::BIGINT AS w FROM h1),
+        |r AS (SELECT event_type, bkt,
+        |    max(CASE WHEN w = 0 THEN 26
+        |        ELSE 25 - floor(log2(w))::INT END) AS mj
+        |  FROM b GROUP BY event_type, bkt),
+        |s AS (SELECT event_type,
+        |    sum(1::BIGINT << (26 - mj))::BIGINT AS sreg,
+        |    count(*)::INT AS nonzero
+        |  FROM r GROUP BY event_type),
+        |e AS (SELECT event_type,
+        |    sreg + (1::BIGINT << 26) * (64 - nonzero) AS stot,
+        |    (64 - nonzero)::INT AS zero_buckets FROM s),
+        |er AS (SELECT event_type, zero_buckets,
+        |    ((709::BIGINT * 4096 * 67108864) // stot)::BIGINT AS est_raw
+        |  FROM e),
+        |c AS (SELECT event_type, zero_buckets,
+        |    (CASE WHEN est_raw <= 160000 AND zero_buckets > 0
+        |      THEN CASE zero_buckets $hllLcCase END
+        |      ELSE est_raw END)::BIGINT AS est_milli FROM er),
+        |x AS (SELECT event_type, count(DISTINCT user_id)::BIGINT AS exact_distinct
+        |  FROM events GROUP BY event_type)
+        |SELECT c.event_type, c.est_milli, c.zero_buckets, x.exact_distinct,
+        |  (abs(c.est_milli - 1000 * x.exact_distinct)
+        |    // x.exact_distinct)::BIGINT AS err_pml
+        |FROM c JOIN x ON x.event_type = c.event_type""".stripMargin),
 
     // OTF dialect's isoweek(date) (analysis.py:143-145) →
     // weekofyear, ISO semantics in both engines.
