@@ -31,5 +31,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: the 200-query bench session runs two full passes in
+  // one JVM; at 8g the accumulated checkpoint/broadcast blocks pushed
+  // unified storage into LRU-eviction thrash, re-computing the
+  // d-family's corpus-sized intermediates in the warm pass (measured
+  // 10x swings on d12-d15). The box has 128 GiB; SPARK_DRIVER_MEM
+  // still overrides.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

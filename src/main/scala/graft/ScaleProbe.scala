@@ -125,7 +125,19 @@ object ScaleProbe {
     // d17 incremental dedup: batch-sized band probe against the full
     // index — expect d3's shape with a smaller constant (the probing
     // side is 30% of the corpus; the verify sliver is the pair mass)
-    "d17_incremental_pairs")
+    "d17_incremental_pairs",
+    // round-15 additions. t33 BM25: the postings stream prunes to 7
+    // broadcast query terms BEFORE any shuffle and dl/N/L are
+    // combinable aggregates — expect ~linear scan cost (the replicas'
+    // suffixed words fall out of the query-term join, so the answer
+    // stays fixture-shaped). d18 winnowing: per-doc window min over
+    // the gram stream + a df-capped fingerprint join — expect ~linear
+    // (suffixed replicas share no grams; only 8-byte hashes shuffle).
+    // w10 Count-Min: a 512-cell combinable sketch over the replicated
+    // events — ~linear scan, constant state. e30 PCA power iteration:
+    // one n×dim² Long-partial scan + a driver-side 64×64 iterate —
+    // expect ~linear with the driver cost flat.
+    "t33_bm25", "d18_winnow", "w10_count_min", "e30_pca_power")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -1496,7 +1496,6 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
       s"${sys.props("java.io.tmpdir")}/graft_versions/${dataset}_$version"
     val jobId = jobRegistry.submit { () =>
       val (log, ok) = VersionCreation.createTable(spark, dataset, version, opts, targetDir)
-      versionRecords.put((dataset, version), (if (ok) "saved" else "failed", log))
       registerDagTasks(dataset, version, log)
       if (ok) catalogLock.synchronized {
         val assetType = opts.sourceType match {
@@ -1529,6 +1528,12 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
             assetType, targetDir, isDefault = true,
             creationOptions = assetOpts) +: exports))
       }
+      // "saved" must become visible only AFTER the catalog swap above:
+      // a client that polls the version status and then immediately
+      // queries /features (the reference's documented workflow) would
+      // otherwise race the swap and 404 on a version it was just told
+      // is saved (observed under full-suite load).
+      versionRecords.put((dataset, version), (if (ok) "saved" else "failed", log))
       s"""{"dataset":"$dataset","version":"$version","status":"${if (ok) "saved" else "failed"}"}"""
     }
     respond(ex, 202, "application/json",

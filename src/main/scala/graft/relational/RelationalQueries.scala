@@ -420,6 +420,110 @@ object RelationalQueries extends QueryModule {
         |    // x.exact_distinct)::BIGINT AS err_pml
         |FROM c JOIN x ON x.event_type = c.event_type""".stripMargin),
 
+    // W10: Count-Min sketch point queries (Cormode & Muthukrishnan
+    // 2005) — the frequency companion to w9's cardinality sketch:
+    // depth 4 × width 128 counters, row j's column drawn from 7-bit
+    // slices of the same portable 60-bit md5 hash (the w9
+    // convention), estimate = min over rows — never an UNDERcount,
+    // overcount bounded by row collisions. The sketch is measured,
+    // not asserted: the output carries the exact count and the
+    // overcount per key for the top-20 true-heaviest users. Scale
+    // shape: the ONLY state is 512 integers per sketch — plain
+    // combinable count aggregates (map-side combine reduces each
+    // partition to <= 512 rows before the one tiny shuffle), so
+    // memory is independent of both stream length and key
+    // cardinality; the top-20 probe side is a broadcast-sized join
+    // against those 512 counters. Everything is BIGINT end to end.
+    SqlQ.split("w10_count_min",
+      """WITH h1 AS (SELECT user_id,
+        |    CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT) AS h
+        |  FROM events),
+        |cells AS (SELECT j,
+        |    CAST((h DIV (CASE j WHEN 0 THEN 1L WHEN 1 THEN 128L
+        |                        WHEN 2 THEN 16384L ELSE 2097152L END)) % 128 AS INT) AS col
+        |  FROM h1 LATERAL VIEW explode(sequence(0, 3)) t AS j),
+        |cms AS (SELECT j, col, CAST(count(*) AS BIGINT) AS ct
+        |  FROM cells GROUP BY j, col),
+        |tc AS (SELECT user_id, CAST(count(*) AS BIGINT) AS true_n FROM events
+        |  GROUP BY user_id),
+        |top AS (SELECT user_id, true_n FROM (SELECT user_id, true_n,
+        |    row_number() OVER (ORDER BY true_n DESC, user_id) AS rn FROM tc) r
+        |  WHERE rn <= 20),
+        |probe AS (SELECT t.user_id, t.true_n, s.j,
+        |    CAST((CAST(conv(substring(md5(CAST(t.user_id AS STRING)), 1, 15), 16, 10) AS BIGINT)
+        |      DIV (CASE s.j WHEN 0 THEN 1L WHEN 1 THEN 128L
+        |                    WHEN 2 THEN 16384L ELSE 2097152L END)) % 128 AS INT) AS col
+        |  FROM top t LATERAL VIEW explode(sequence(0, 3)) s AS j),
+        |est AS (SELECT p.user_id, p.true_n, CAST(min(c.ct) AS BIGINT) AS cms_est
+        |  FROM probe p JOIN cms c ON c.j = p.j AND c.col = p.col
+        |  GROUP BY p.user_id, p.true_n)
+        |SELECT user_id, true_n, cms_est,
+        |  CAST(cms_est - true_n AS BIGINT) AS overcount
+        |FROM est""".stripMargin,
+      """WITH h1 AS (SELECT user_id,
+        |    list_reduce([(strpos('0123456789abcdef', c) - 1)::BIGINT
+        |        for c in string_split(substring(md5(user_id::VARCHAR), 1, 15), '')],
+        |      (a, b) -> a * 16 + b)::BIGINT AS h
+        |  FROM events),
+        |cells AS (SELECT j,
+        |    ((h // (CASE j WHEN 0 THEN 1 WHEN 1 THEN 128
+        |                   WHEN 2 THEN 16384 ELSE 2097152 END)) % 128)::INT AS col
+        |  FROM h1, LATERAL unnest(generate_series(0, 3)) t(j)),
+        |cms AS (SELECT j, col, count(*)::BIGINT AS ct
+        |  FROM cells GROUP BY j, col),
+        |tc AS (SELECT user_id, count(*)::BIGINT AS true_n FROM events
+        |  GROUP BY user_id),
+        |top AS (SELECT user_id, true_n FROM (SELECT user_id, true_n,
+        |    row_number() OVER (ORDER BY true_n DESC, user_id) AS rn FROM tc) r
+        |  WHERE rn <= 20),
+        |ph AS (SELECT t.user_id, t.true_n,
+        |    list_reduce([(strpos('0123456789abcdef', c) - 1)::BIGINT
+        |        for c in string_split(substring(md5(t.user_id::VARCHAR), 1, 15), '')],
+        |      (a, b) -> a * 16 + b)::BIGINT AS h
+        |  FROM top t),
+        |probe AS (SELECT user_id, true_n, j,
+        |    ((h // (CASE j WHEN 0 THEN 1 WHEN 1 THEN 128
+        |                   WHEN 2 THEN 16384 ELSE 2097152 END)) % 128)::INT AS col
+        |  FROM ph, LATERAL unnest(generate_series(0, 3)) s(j)),
+        |est AS (SELECT p.user_id, p.true_n, min(c.ct)::BIGINT AS cms_est
+        |  FROM probe p JOIN cms c ON c.j = p.j AND c.col = p.col
+        |  GROUP BY p.user_id, p.true_n)
+        |SELECT user_id, true_n, cms_est,
+        |  (cms_est - true_n)::BIGINT AS overcount
+        |FROM est""".stripMargin),
+
+    // W11: EXACT distributed quantiles WITHOUT a global sort — the
+    // at-scale shape for percentile reporting over bounded-domain
+    // measures (scores, prices, latencies in fixed units): quantize
+    // the value to its exact cent grid, aggregate FREQUENCIES per
+    // value (combinable; the shuffle is the value DOMAIN, ~10k rows,
+    // not the row count), one cumulative window over that bounded
+    // frequency table, and the p-th quantile is the first value whose
+    // cumulative count covers index (n−1)·p/100 — the lower-quantile
+    // definition, all integer. A full-sort quantile shuffles the
+    // corpus; this shuffles the histogram. The oracle computes the
+    // SAME answer by the OTHER algorithm (row_number over the full
+    // sort), so a definition bug on either side cannot cancel out.
+    SqlQ.split("w11_exact_quantile",
+      """WITH c AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |f AS (SELECT cents, CAST(count(*) AS BIGINT) AS cnt FROM c GROUP BY cents),
+        |n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM f),
+        |cum AS (SELECT cents, sum(cnt) OVER (ORDER BY cents) AS cum FROM f),
+        |pl AS (SELECT * FROM VALUES (50),(90),(99) AS t(p))
+        |SELECT CAST(pl.p AS INT) AS p, min(cum.cents) AS q_cents,
+        |  CAST(min(cum.cents) AS DOUBLE) / 100.0 AS q_value
+        |FROM cum CROSS JOIN n CROSS JOIN pl
+        |WHERE cum.cum >= ((n.n - 1) * pl.p) DIV 100 + 1
+        |GROUP BY pl.p""".stripMargin,
+      """WITH s AS (SELECT round(value * 100)::BIGINT AS cents,
+        |    row_number() OVER (ORDER BY round(value * 100)::BIGINT) - 1 AS rn
+        |  FROM events),
+        |n AS (SELECT count(*)::BIGINT AS n FROM events),
+        |pl AS (SELECT * FROM (VALUES (50),(90),(99)) t(p))
+        |SELECT pl.p::INT AS p, s.cents AS q_cents,
+        |  s.cents::DOUBLE / 100.0 AS q_value
+        |FROM pl CROSS JOIN n JOIN s ON s.rn = ((n.n - 1) * pl.p) // 100""".stripMargin),
+
     // OTF dialect's isoweek(date) (analysis.py:143-145) →
     // weekofyear, ISO semantics in both engines.
     SqlQ.shared("a11_isoweek",

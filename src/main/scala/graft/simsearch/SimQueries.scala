@@ -2361,6 +2361,142 @@ object SimQueries extends QueryModule {
        |  ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
        |GROUP BY e.query_id""".stripMargin
 
+  /** E30: top principal component by INTEGER-EXACT power iteration —
+    * the dimensionality-reduction classic next to e27's PageRank (the
+    * same "numerical linear algebra as a deterministic integer
+    * program" shape). Embeddings quantize to 2^20 fixed point (the
+    * SQ convention, round both engines share); the centered scatter
+    * enters through the expansion n²·Σqqᵀ − n·SSᵀ so the DISTRIBUTED
+    * pass accumulates only Σ q_i·q_j — plain Long partials
+    * (|q|² ≈ 2^40, safe to ~2^23 rows per partition), one 64×64
+    * array per partition, merged on the driver in BigInt. Eight
+    * power-iteration steps run driver-side on the 64×64 matrix
+    * (trivial state, like Lloyd's centroids), each re-normalized to
+    * milli units by sign·(|u|·1000 div max|u|) — sign-split so Spark
+    * BigInt truncation and DuckDB HUGEINT floor-division agree on
+    * negatives. Orientation fixes to the largest-|component| being
+    * positive (lowest index on ties) so the eigenvector sign is
+    * deterministic. The projection pass is one distributed
+    * zip_with/aggregate fold against the broadcast integer component
+    * — nothing driver-side ever scales with the table, only with
+    * dim² × partitions. The oracle replays ALL of it — quantize,
+    * scatter, eight unrolled iterate CTEs, orientation, projection,
+    * top-20 — in HUGEINT, so the hash compare pins every integer.
+    */
+  private def e30Query(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.register(spark, sfDir)
+    val qdf = spark.sql(
+      """SELECT vec_id, transform(CAST(embedding AS ARRAY<DOUBLE>),
+        |  x -> CAST(round(x * 1048576.0) AS BIGINT)) AS q FROM embeddings""".stripMargin)
+    val dim = qdf.selectExpr("size(q) AS d").head().getInt(0)
+    // pass A: n and per-dim sums (combinable; 64 groups)
+    val sRows = qdf.selectExpr("posexplode(q) AS (i, qi)")
+      .groupBy("i").agg(org.apache.spark.sql.functions.sum("qi").as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val n = BigInt(qdf.count())
+    val s = Array.tabulate(dim)(i => BigInt(sRows(i)))
+    // pass B: raw second-moment partials, one Long[dim*dim] per partition
+    val partials = qdf.rdd.map(_.getSeq[Long](1).toArray).mapPartitions { it =>
+      val m = new Array[Long](dim * dim)
+      it.foreach { q =>
+        var i = 0
+        while (i < dim) {
+          val qi = q(i); val base = i * dim
+          var j = 0
+          while (j < dim) { m(base + j) += qi * q(j); j += 1 }
+          i += 1
+        }
+      }
+      Iterator.single(m)
+    }.collect()
+    val mSum = Array.fill(dim * dim)(BigInt(0))
+    partials.foreach { p =>
+      var k = 0
+      while (k < p.length) { mSum(k) += p(k); k += 1 }
+    }
+    // truncating (toward-zero) integer division == the oracle's
+    // sign-split floor division; BigInt / already truncates
+    def idiv(a: BigInt, b: BigInt): BigInt = a / b
+    // centered scatter scaled back by one n: c = (n·M − S·Sᵀ) div n
+    val c = Array.tabulate(dim, dim)((i, j) => idiv(n * mSum(i * dim + j) - s(i) * s(j), n))
+    var v = Array.fill(dim)(BigInt(1000))
+    for (_ <- 1 to 8) {
+      val u = Array.tabulate(dim)(i => (0 until dim).map(j => c(i)(j) * v(j)).sum)
+      val m = u.map(_.abs).max.max(BigInt(1))
+      v = u.map(ui => (if (ui.signum < 0) -BigInt(1) else BigInt(1)) * idiv(ui.abs * 1000, m))
+    }
+    val p = (0 until dim).maxBy(i => (v(i).abs, -i))
+    if (v(p).signum < 0) v = v.map(-_)
+    val dotSV = (0 until dim).map(i => s(i) * v(i)).sum
+    val vLit = v.mkString("array(", "L,", "L)")
+    qdf.createOrReplaceTempView("e30_q")
+    spark.sql(
+      s"""SELECT vec_id, CAST(rnk AS INT) AS rnk, proj_q FROM (
+         |  SELECT vec_id, proj_q,
+         |    row_number() OVER (ORDER BY abs(proj_q) DESC, vec_id) AS rnk
+         |  FROM (SELECT vec_id,
+         |      CASE WHEN pn < 0 THEN -((-pn) DIV ${n}L) ELSE pn DIV ${n}L END AS proj_q
+         |    FROM (SELECT vec_id,
+         |        ${n}L * aggregate(zip_with(q, $vLit, (a, b) -> a * b),
+         |                          0L, (acc, x) -> acc + x) - ${dotSV}L AS pn
+         |      FROM e30_q) raw) ctr) rk
+         |WHERE rnk <= 20""".stripMargin)
+  }
+
+  /** Full HUGEINT replay of e30: quantize → scatter (double lateral)
+    * → 8 unrolled iterate CTEs → orientation → projection → top-20. */
+  private def e30Oracle: String = {
+    // AS MATERIALIZED on every chain CTE: u_t is referenced twice
+    // (by m_t and v_t), so DuckDB's textual inlining would otherwise
+    // double the plan per iteration — 2^8 copies of the 2M-row
+    // scatter subtree (the Mollweide-oracle lesson, round 12)
+    val iters = (1 to 8).map { t =>
+      val prev = if (t == 1) "v0" else s"v${t - 1}"
+      s"""u$t AS MATERIALIZED (SELECT cp.i, sum(cp.c * v.val)::HUGEINT AS u
+         |  FROM cp JOIN $prev v ON v.i = cp.j GROUP BY cp.i),
+         |m$t AS MATERIALIZED (SELECT greatest(max(abs(u)), 1)::HUGEINT AS m FROM u$t),
+         |v$t AS MATERIALIZED (SELECT i, (CASE WHEN u < 0 THEN -(((-u) * 1000) // m)
+         |    ELSE (u * 1000) // m END)::HUGEINT AS val
+         |  FROM u$t CROSS JOIN m$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS MATERIALIZED (SELECT vec_id,
+       |    [round(x::DOUBLE * 1048576.0)::BIGINT for x in embedding] AS q
+       |  FROM embeddings),
+       |nn AS MATERIALIZED (SELECT count(*)::HUGEINT AS n FROM q),
+       |s AS MATERIALIZED (SELECT i, sum(q[i])::HUGEINT AS s
+       |  FROM q, LATERAL unnest(generate_series(1, len(q))) t(i) GROUP BY i),
+       |mm AS MATERIALIZED (SELECT i, j, sum(q[i] * q[j])::HUGEINT AS m
+       |  FROM q, LATERAL unnest(generate_series(1, len(q))) t(i),
+       |       LATERAL unnest(generate_series(1, len(q))) u(j)
+       |  GROUP BY i, j),
+       |cp AS MATERIALIZED (SELECT mm.i, mm.j,
+       |    (CASE WHEN nn.n * mm.m - s1.s * s2.s < 0
+       |      THEN -((-(nn.n * mm.m - s1.s * s2.s)) // nn.n)
+       |      ELSE (nn.n * mm.m - s1.s * s2.s) // nn.n END)::HUGEINT AS c
+       |  FROM mm JOIN s s1 ON s1.i = mm.i JOIN s s2 ON s2.i = mm.j CROSS JOIN nn),
+       |v0 AS (SELECT i, 1000::HUGEINT AS val FROM s),
+       |$iters,
+       |sgn AS (SELECT (CASE WHEN (SELECT val FROM v8 ORDER BY abs(val) DESC, i LIMIT 1) < 0
+       |    THEN -1 ELSE 1 END)::HUGEINT AS sg),
+       |vf AS (SELECT i, (val * sg)::HUGEINT AS val FROM v8 CROSS JOIN sgn),
+       |vl AS (SELECT list(val ORDER BY i) AS v FROM vf),
+       |dsv AS (SELECT sum(s.s * vf.val)::HUGEINT AS d
+       |  FROM s JOIN vf ON vf.i = s.i),
+       |pr AS (SELECT q.vec_id,
+       |    (nn.n * list_reduce([q.q[k] * vl.v[k]
+       |        for k in generate_series(1, len(q.q))], (a, b) -> a + b)
+       |     - dsv.d)::HUGEINT AS pn
+       |  FROM q CROSS JOIN nn CROSS JOIN vl CROSS JOIN dsv),
+       |ctr AS (SELECT vec_id,
+       |    (CASE WHEN pn < 0 THEN -((-pn) // nn.n) ELSE pn // nn.n END)::BIGINT AS proj_q
+       |  FROM pr CROSS JOIN nn)
+       |SELECT vec_id, rnk::INT AS rnk, proj_q FROM (
+       |  SELECT vec_id, proj_q,
+       |    row_number() OVER (ORDER BY abs(proj_q) DESC, vec_id) AS rnk
+       |  FROM ctr) rk
+       |WHERE rnk <= 20""".stripMargin
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     sqls.map { q =>
       q.name -> ((spark: SparkSession, sfDir: String) => {
@@ -2368,6 +2504,7 @@ object SimQueries extends QueryModule {
         spark.sql(q.sparkSql)
       })
     }.toMap +
+      ("e30_pca_power" -> ((s: SparkSession, d: String) => e30Query(s, d))) +
       ("e5b_kmeans_converged" -> ((s: SparkSession, d: String) => kmeansAssignments(s, d))) +
       ("e5_kmeans_assign" -> ((s: SparkSession, d: String) => oneIterAssignments(s, d))) +
       ("e3_ann_ivf" -> ((s: SparkSession, d: String) => ivfTopK(s, d))) +
@@ -2406,6 +2543,7 @@ object SimQueries extends QueryModule {
 
   override def oracles: Map[String, String] =
     sqls.flatMap(q => q.oracleSql.map(q.name -> _)).toMap +
+      ("e30_pca_power" -> e30Oracle) +
       ("e5_kmeans_assign" -> e5Oracle) +
       ("e5b_kmeans_converged" -> e5bOracle) +
       ("e3_ann_ivf" -> e3Oracle) +

@@ -1693,7 +1693,141 @@ object TextQueries extends QueryModule {
         |SELECT source, n_tok, base, rem,
         |  (CASE WHEN rk <= extra THEN base + 1 ELSE base END)::BIGINT AS quota_tokens,
         |  (CASE WHEN rk <= extra THEN 1 ELSE 0 END)::INT AS got_remainder
-        |FROM r CROSS JOIN l""".stripMargin)
+        |FROM r CROSS JOIN l""".stripMargin),
+
+    // T33: BM25 lexical retrieval (Robertson & Walker 1994; the
+    // Okapi BM25 the reference has no analogue for, but every
+    // retrieval-augmented training pipeline runs): rank documents
+    // for a fixed query set by sum over query terms of
+    // idf(t) * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)), k1=1.2
+    // b=0.75. INTEGER-EXACT variant: idf is the raw Robertson odds
+    // (N-df+0.5)/(df+0.5) in micro-units WITHOUT the log (monotone
+    // in the odds, so per-term ranking is preserved; the sum is our
+    // documented scoring variant), and the tf component multiplies
+    // through by 1e6*L so everything is one 128-bit DECIMAL(38,0)
+    // DIV per (query,term,doc) — the t31 convention, replayed as
+    // HUGEINT // in the oracle. Scale shape: the corpus postings
+    // stream is pruned to QUERY TERMS by a broadcast join before any
+    // shuffle (7 rows — the term dictionary of a query batch is
+    // always broadcastable); dl/N/L are map-side-combinable
+    // aggregates whose shuffle is #docs rows, not tokens; df comes
+    // off the pruned tf table; the final top-k windows over ONE
+    // query's candidate postings (bounded by the df of its terms,
+    // the textbook inverted-index bound). No document text ever
+    // shuffles.
+    SqlQ.split("t33_bm25",
+      """WITH q AS (SELECT * FROM VALUES
+        |    ('q1','spark'),('q1','hash'),('q2','table'),('q2','merge'),
+        |    ('q3','window'),('q3','sort'),('q3','batch') AS t(query_id, term)),
+        |w AS (SELECT doc_id, explode(filter(split(text, ' '), x -> x != '')) AS word
+        |  FROM documents),
+        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM w GROUP BY doc_id),
+        |nl AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS l FROM dl),
+        |tf AS (SELECT /*+ BROADCAST(q) */ q.query_id, q.term, w.doc_id,
+        |    CAST(count(*) AS BIGINT) AS tf
+        |  FROM w JOIN q ON q.term = w.word GROUP BY q.query_id, q.term, w.doc_id),
+        |df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |  FROM tf GROUP BY term),
+        |sc AS (SELECT tf.query_id, tf.doc_id,
+        |    CAST(sum(
+        |      (CAST((2*nl.n - 2*df.df + 1) * 1000000 DIV (2*df.df + 1) AS DECIMAL(38,0))
+        |         * (CAST(tf.tf AS DECIMAL(38,0)) * 2200000 * nl.l))
+        |      DIV (CAST(tf.tf AS DECIMAL(38,0)) * 1000000 * nl.l
+        |           + CAST(300000 AS DECIMAL(38,0)) * nl.l
+        |           + CAST(900000 AS DECIMAL(38,0)) * dl.dl * nl.n)
+        |    ) AS BIGINT) AS score_micro
+        |  FROM tf JOIN df ON df.term = tf.term JOIN dl ON dl.doc_id = tf.doc_id
+        |  CROSS JOIN nl
+        |  GROUP BY tf.query_id, tf.doc_id)
+        |SELECT query_id, CAST(rnk AS INT) AS rnk, doc_id, score_micro FROM (
+        |  SELECT query_id, doc_id, score_micro,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score_micro DESC, doc_id) AS rnk
+        |  FROM sc) ranked WHERE rnk <= 5""".stripMargin,
+      """WITH q AS (SELECT * FROM (VALUES
+        |    ('q1','spark'),('q1','hash'),('q2','table'),('q2','merge'),
+        |    ('q3','window'),('q3','sort'),('q3','batch')) t(query_id, term)),
+        |w AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != ''))
+        |    AS word FROM documents),
+        |dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM w GROUP BY doc_id),
+        |nl AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS l FROM dl),
+        |tf AS (SELECT q.query_id, q.term, w.doc_id, count(*)::BIGINT AS tf
+        |  FROM w JOIN q ON q.term = w.word GROUP BY q.query_id, q.term, w.doc_id),
+        |df AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+        |  FROM tf GROUP BY term),
+        |sc AS (SELECT tf.query_id, tf.doc_id,
+        |    sum(
+        |      ((((2*nl.n - 2*df.df + 1) * 1000000) // (2*df.df + 1))::HUGEINT
+        |         * (tf.tf::HUGEINT * 2200000 * nl.l))
+        |      // (tf.tf::HUGEINT * 1000000 * nl.l
+        |           + 300000::HUGEINT * nl.l
+        |           + 900000::HUGEINT * dl.dl * nl.n)
+        |    )::BIGINT AS score_micro
+        |  FROM tf JOIN df ON df.term = tf.term JOIN dl ON dl.doc_id = tf.doc_id
+        |  CROSS JOIN nl
+        |  GROUP BY tf.query_id, tf.doc_id)
+        |SELECT query_id, rnk::INT AS rnk, doc_id, score_micro FROM (
+        |  SELECT query_id, doc_id, score_micro,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score_micro DESC, doc_id) AS rnk
+        |  FROM sc) ranked WHERE rnk <= 5""".stripMargin),
+
+    // D18: robust winnowing fingerprints (Schleimer, Wilkerson &
+    // Aiken 2003, SIGMOD — the MOSS algorithm; the guarantee-backed
+    // alternative to d9's disjoint blocks: any shared run of
+    // k+w-1 = 6 words is CAUGHT by construction, because both docs
+    // select the same minimum inside the shared window). Per doc:
+    // overlapping 3-word grams hashed through md5 (the w9 portable
+    // 40-bit hash), then each 4-gram window keeps its minimum hash,
+    // ties broken RIGHTMOST (the paper's robust rule) — encoded so
+    // ONE integer min does both: min(gh * 2^20 + (2^20-1 - pos))
+    // orders by (hash asc, pos desc). The fingerprint density is
+    // 2/(w+1); the text never shuffles — only 8-byte selected
+    // hashes do. Pair detection joins fingerprint postings with a
+    // document-frequency cap (df <= 50 — boilerplate grams that
+    // appear in more docs carry no pair signal but would fan the
+    // join out quadratically; the m22 lesson), so the shuffle is
+    // bounded by true shared-fingerprint mass at any corpus size.
+    SqlQ.split("d18_winnow",
+      """WITH w0 AS (SELECT doc_id, filter(split(text, ' '), x -> x != '') AS w
+        |  FROM documents),
+        |g AS (SELECT doc_id, i AS pos,
+        |    CAST(conv(substring(md5(concat_ws(' ', slice(w, i+1, 3))), 1, 10), 16, 10) AS BIGINT) AS gh
+        |  FROM w0 LATERAL VIEW explode(sequence(0, size(w) - 3)) t AS i
+        |  WHERE size(w) >= 3),
+        |s AS (SELECT doc_id, pos,
+        |    min(gh * 1048576 + (1048575 - pos)) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS sel
+        |  FROM g),
+        |f AS (SELECT DISTINCT doc_id, CAST(sel DIV 1048576 AS BIGINT) AS fp
+        |  FROM s WHERE pos >= 3),
+        |dfc AS (SELECT fp FROM f GROUP BY fp HAVING count(*) <= 50),
+        |fk AS (SELECT f.doc_id, f.fp FROM f JOIN dfc ON dfc.fp = f.fp)
+        |SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+        |  CAST(count(*) AS BIGINT) AS shared_fp
+        |FROM fk a JOIN fk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 3""".stripMargin,
+      """WITH w0 AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w
+        |  FROM documents),
+        |g AS (SELECT doc_id, i AS pos,
+        |    list_reduce([(strpos('0123456789abcdef', c) - 1)::BIGINT
+        |        for c in string_split(substring(md5(
+        |          array_to_string(list_slice(w, i+1, i+3), ' ')), 1, 10), '')],
+        |      (a, b) -> a * 16 + b)::BIGINT AS gh
+        |  FROM w0, LATERAL unnest(generate_series(0, len(w) - 3)) t(i)
+        |  WHERE len(w) >= 3),
+        |s AS (SELECT doc_id, pos,
+        |    min(gh * 1048576 + (1048575 - pos)) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS sel
+        |  FROM g),
+        |f AS (SELECT DISTINCT doc_id, (sel // 1048576)::BIGINT AS fp
+        |  FROM s WHERE pos >= 3),
+        |dfc AS (SELECT fp FROM f GROUP BY fp HAVING count(*) <= 50),
+        |fk AS (SELECT f.doc_id, f.fp FROM f JOIN dfc ON dfc.fp = f.fp)
+        |SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+        |  count(*)::BIGINT AS shared_fp
+        |FROM fk a JOIN fk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 3""".stripMargin)
   )
 
   /** D7: duplicate-cluster resolution — the dedup end-game: the
