@@ -294,7 +294,15 @@ object ScaleProbe {
         // front (the e21 lesson: 10× hides fixed-overhead noise)
         "d16_line_dedup", "t31_kn_bigram", "t32_heavy_hitters",
         "w7_asof_join", "w8_range_join", "m22_video_dedup",
-        "e27_pagerank")
+        "e27_pagerank",
+        // round-15: the five new ops earn their 100× rows up front —
+        // t33's broadcast-term prune (suffixed replica words fall out
+        // of the query-term join), d18's hash-only fingerprint
+        // shuffle, w10's constant 512-cell sketch, e30's Long-partial
+        // scatter scan, and w11's domain-bounded frequency histogram
+        // should all hold ~linear-or-flatter
+        "t33_bm25", "d18_winnow", "w10_count_min", "e30_pca_power",
+        "w11_exact_quantile")
           if only100.forall(_.contains(q))) {
         val (t10, r10) = warmTimed(q, outDir)
         val (t100, r100) = warmTimed(q, out100)

@@ -1027,6 +1027,22 @@ object RasterQueries extends QueryModule {
       x0 = 200000.0, yTop = 6300000.0, pixelM = 10000.0,
       tilesX = 2, tilesY = 2, pxPerTile = 20)
 
+  /** r30: World Eckert IV (ESRI:54012 — the registry-code path like
+    * r29): Mollweide's pole-LINE sibling, the other global equal-area
+    * pseudocylindrical thematic world rasters ship in. Same
+    * transcendental shape as r29 (a fixed 14-step Newton chain for
+    * the auxiliary θ, unrolled identically in the SQL mirror —
+    * [[Warp.EckertIV.forwardSelect]]) but with a DIFFERENT auxiliary
+    * equation (θ + sin θ cos θ + 2 sin θ = (2+π/2) sin φ) and no
+    * plane singularities at all (poles are lines), so the two rows
+    * together pin both branches of the pseudocylindrical machinery.
+    * Same mid-latitude window as r29 (the y values differ — Eckert
+    * IV's pole line sits at π·cx·R vs Mollweide's √2-point). */
+  private def r30Lattice: Warp.ProjectedLattice =
+    Warp.ProjectedLattice(Warp.EckertIV.world,
+      x0 = 200000.0, yTop = 6300000.0, pixelM = 10000.0,
+      tilesX = 2, tilesY = 2, pxPerTile = 20)
+
   /** r26: the Dutch RD grid — CT 16 double-stereographic geokeys with
     * the EPSG:28992 parameter set AND the Bessel 1841 figure carried
     * in GeogSemiMajorAxis/GeogInvFlattening (2057/2059): the
@@ -1162,6 +1178,9 @@ object RasterQueries extends QueryModule {
 
   private def mollweideIngest(spark: SparkSession, sfDir: String): DataFrame =
     projIngest(spark, sfDir, "r29", r29Lattice, 54009)
+
+  private def eckert4Ingest(spark: SparkSession, sfDir: String): DataFrame =
+    projIngest(spark, sfDir, "r30", r30Lattice, 54012)
 
   private def stereaIngest(spark: SparkSession, sfDir: String): DataFrame =
     projIngest(spark, sfDir, "r26", r26Lattice, 32767, r26Params)
@@ -1377,7 +1396,8 @@ object RasterQueries extends QueryModule {
       ("r26_sterea_ingest" -> (stereaIngest _)) +
       ("r27_towgs84_ingest" -> (towgs84Ingest _)) +
       ("r28_ntv2_ingest" -> (ntv2Ingest _)) +
-      ("r29_mollweide_ingest" -> (mollweideIngest _))
+      ("r29_mollweide_ingest" -> (mollweideIngest _)) +
+      ("r30_eckert4_ingest" -> (eckert4Ingest _))
 
   override def oracles: Map[String, String] =
     sqls.flatMap(q => q.oracleSql.map(q.name -> _)).toMap +
@@ -1407,5 +1427,6 @@ object RasterQueries extends QueryModule {
       ("r26_sterea_ingest" -> projIngestOracle(r26Lattice)) +
       ("r27_towgs84_ingest" -> projIngestOracle(r27Lattice)) +
       ("r28_ntv2_ingest" -> projIngestOracle(r28Lattice)) +
-      ("r29_mollweide_ingest" -> projIngestOracle(r29Lattice))
+      ("r29_mollweide_ingest" -> projIngestOracle(r29Lattice)) +
+      ("r30_eckert4_ingest" -> projIngestOracle(r30Lattice))
 }

@@ -172,6 +172,8 @@ object Warp {
       Some(Equirectangular(0.0, 0.0, 0.0, 0.0))
     else if (epsg == 54009) // ESRI World Mollweide (global equal-area)
       Some(Mollweide.world)
+    else if (epsg == 54012) // ESRI World Eckert IV (global equal-area)
+      Some(EckertIV.world)
     else if (epsg == 3035) // ETRS89-extended / LAEA Europe
       Some(LambertAzimuthalEqualArea.laeaEurope)
     else if (epsg == 6931) // WGS84 / EASE-Grid 2.0 North
@@ -1813,6 +1815,122 @@ object Warp {
     val NewtonIters: Int = 12
     /** ESRI:54009 — World Mollweide (λ₀ = 0, no false offsets). */
     val world: Mollweide = Mollweide(0.0, 0.0, 0.0)
+  }
+
+  /** Eckert IV (Snyder & Voxland, An Album of Map Projections, PP
+    * 1453) — Mollweide's pole-LINE sibling (ESRI:54012
+    * "World_Eckert_IV"): the other standard global equal-area
+    * pseudocylindrical for thematic / land-cover world rasters.
+    * SPHERICAL on R = a, the same stance as [[Mollweide]].
+    *
+    * Forward: the auxiliary θ solves θ + sin θ·cos θ + 2 sin θ =
+    * (2 + π/2)·sin φ — transcendental like Mollweide's, so
+    * [[EckertIV.NewtonIters]] Newton steps from θ₀ = φ/2 run as a
+    * FIXED unrolled chain mirrored in SQL. Then
+    * x = cx·R·Δλ·(1 + cos θ), y = cy·R·sin θ with
+    * cx = 2/√(π(4+π)) and cy = 2√(π/(4+π)); cy ≡ π·cx (an exact
+    * identity — coded that way so the 2:1 world-frame ratio is
+    * structural, not a matching pair of literals). Unlike Mollweide
+    * the POLES MAP TO LINES (length half the equator: 1+cos(π/2)=1),
+    * so there are NO plane singularities and the inverse is total:
+    * 1 + cos θ ≥ 1 everywhere on the map, no division hazard.
+    *
+    * Equal-area is EXACT by construction: the Jacobian works out to
+    * cx·cy·(2+π/2)/2 · R²·cos φ = R²·cos φ (the constant product is
+    * identically 1) — WarpSpec pins the property numerically, which
+    * verifies the constants without an external worked example. */
+  final case class EckertIV(lon0Deg: Double, falseE: Double, falseN: Double)
+      extends Projection {
+    import TransverseMercator.A
+    import EckertIV.{NewtonIters, SinCoef}
+    val lam0: Double = Math.toRadians(lon0Deg)
+    /** x constant 2/√(π(4+π)) scaled by R. */
+    val cx: Double = A * 2.0 / Math.sqrt(Math.PI * (4.0 + Math.PI))
+    /** y constant — exactly π·cx (see class doc). */
+    val cy: Double = cx * Math.PI
+
+    private def theta(phi: Double): Double = {
+      // exact-pole guard: θ* = ±π/2 is a stationary point of the
+      // Newton denominator 2 cos θ (1 + cos θ); pixel centers never
+      // sit at ±90 but the guard keeps the function total — mirrored
+      // verbatim in SQL
+      if (math.abs(phi) >= Math.PI / 2) math.signum(phi) * (Math.PI / 2)
+      else {
+        val ps = SinCoef * Math.sin(phi)
+        var th = phi / 2.0
+        var i = 0
+        while (i < NewtonIters) {
+          th = th - (th + Math.sin(th) * Math.cos(th) + 2.0 * Math.sin(th) - ps) /
+            (2.0 * Math.cos(th) * (1.0 + Math.cos(th)))
+          i += 1
+        }
+        th
+      }
+    }
+
+    def forward(latDeg: Double, lonDeg: Double): (Double, Double) = {
+      val th = theta(Math.toRadians(latDeg))
+      val dlam = Math.toRadians(lonDeg) - lam0
+      (cx * dlam * (1.0 + Math.cos(th)) + falseE, cy * Math.sin(th) + falseN)
+    }
+
+    /** Closed-form inverse. A northing beyond ±cy·R is off the map —
+      * failed fast like Mollweide's. The pole rows are LINES
+      * (1 + cos θ = 1), so λ recovers everywhere. */
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val sinTh = (y - falseN) / cy
+      require(math.abs(sinTh) <= 1.0 + 1e-12,
+        f"northing ${y - falseN}%.1f m is beyond the pole line " +
+          f"(${cy}%.1f m) — invalid Eckert IV georeferencing")
+      val th = Math.asin(math.max(-1.0, math.min(1.0, sinTh)))
+      val lat = Math.asin(math.max(-1.0, math.min(1.0,
+        (th + Math.sin(th) * Math.cos(th) + 2.0 * Math.sin(th)) / SinCoef)))
+      val lon = lam0 + (x - falseE) / (cx * (1.0 + Math.cos(th)))
+      (Math.toDegrees(lat), Math.toDegrees(lon))
+    }
+
+    /** DuckDB SQL mirror of [[forward]]: the identical unrolled Newton
+      * chain, each step binding its predecessor ONCE through a
+      * single-element list_transform lambda (the Mollweide 4¹²-copies
+      * lesson — the naive alias chain inlines textually). */
+    def forwardSelect(lat: String, lon: String): String = {
+      def d(v: Double) = s"CAST(${java.lang.Double.toString(v)} AS DOUBLE)"
+      val sb = new StringBuilder(
+        s"""radians($lat) AS kphi_,
+           |radians($lon) - ${d(lam0)} AS kdlam_,
+           |${d(SinCoef)} * sin(kphi_) AS kps_,
+           |kphi_ / 2.0 AS kth0_""".stripMargin)
+      for (i <- 1 to NewtonIters) {
+        val p = i - 1
+        sb ++= s""",
+           |list_transform([kth${p}_], th_ -> th_ - (th_ + sin(th_) * cos(th_) + 2.0 * sin(th_) - kps_) / (2.0 * cos(th_) * (1.0 + cos(th_))))[1] AS kth${i}_"""
+      }
+      sb ++= s""",
+           |CASE WHEN abs(kphi_) >= ${d(Math.PI / 2)}
+           |  THEN CASE WHEN kphi_ >= 0 THEN ${d(Math.PI / 2)} ELSE ${d(-Math.PI / 2)} END
+           |  ELSE kth${NewtonIters}_ END AS kth_"""
+      sb.result()
+    }
+    def xSql: String = {
+      def d(v: Double) = s"CAST(${java.lang.Double.toString(v)} AS DOUBLE)"
+      s"${d(cx)} * kdlam_ * (1.0 + cos(kth_)) + ${d(falseE)}"
+    }
+    def ySql: String = {
+      def d(v: Double) = s"CAST(${java.lang.Double.toString(v)} AS DOUBLE)"
+      s"${d(cy)} * sin(kth_) + ${d(falseN)}"
+    }
+  }
+
+  object EckertIV {
+    /** Fixed Newton-step count: θ₀ = φ/2 reaches the float64 fixed
+      * point well inside 14 steps for |φ| ≤ 89° (the denominator
+      * only degenerates AT the pole, which the guard owns) —
+      * WarpSpec measures the residual across the latitude range. */
+    val NewtonIters: Int = 14
+    /** The RHS coefficient 2 + π/2. */
+    val SinCoef: Double = 2.0 + Math.PI / 2.0
+    /** ESRI:54012 — World Eckert IV (λ₀ = 0, no false offsets). */
+    val world: EckertIV = EckertIV(0.0, 0.0, 0.0)
   }
 
   /** Ellipsoidal Lambert azimuthal equal-area (Snyder PP 1395, eqs.

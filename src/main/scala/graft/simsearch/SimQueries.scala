@@ -2395,8 +2395,14 @@ object SimQueries extends QueryModule {
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val n = BigInt(qdf.count())
     val s = Array.tabulate(dim)(i => BigInt(sRows(i)))
-    // pass B: raw second-moment partials, one Long[dim*dim] per partition
-    val partials = qdf.rdd.map(_.getSeq[Long](1).toArray).mapPartitions { it =>
+    // pass B: raw second-moment partials, one Long[dim*dim] per
+    // partition — hot loop stays in primitive Longs (safe to ~2^23
+    // rows/partition at the 2^20 quantization) — then TREE-reduced in
+    // BigInt so (a) the driver receives ONE dim² array, never
+    // #partitions × 32 KB (at 100 TB ≈ 800k partitions that collect
+    // is a ~26 GB driver cliff), and (b) the cross-partition sums
+    // cannot overflow at any corpus size
+    val mSum = qdf.rdd.map(_.getSeq[Long](1).toArray).mapPartitions { it =>
       val m = new Array[Long](dim * dim)
       it.foreach { q =>
         var i = 0
@@ -2407,13 +2413,13 @@ object SimQueries extends QueryModule {
           i += 1
         }
       }
-      Iterator.single(m)
-    }.collect()
-    val mSum = Array.fill(dim * dim)(BigInt(0))
-    partials.foreach { p =>
+      Iterator.single(m.map(BigInt(_)))
+    }.treeReduce({ (a, b) =>
+      val out = new Array[BigInt](a.length)
       var k = 0
-      while (k < p.length) { mSum(k) += p(k); k += 1 }
-    }
+      while (k < a.length) { out(k) = a(k) + b(k); k += 1 }
+      out
+    }, depth = 2)
     // truncating (toward-zero) integer division == the oracle's
     // sign-split floor division; BigInt / already truncates
     def idiv(a: BigInt, b: BigInt): BigInt = a / b

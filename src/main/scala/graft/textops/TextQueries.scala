@@ -2462,14 +2462,21 @@ object TextQueries extends QueryModule {
     val k = 127
     val words = Tables.load(spark, sfDir, "documents")
       .selectExpr("explode(filter(split(text, ' '), x -> x != '')) AS word")
-    val partials = words.as[String].mapPartitions { it =>
+    // TREE-merged, not collected: MG summaries are mergeable (their
+    // defining guarantee — GraphOpsSpec-style adversarial merge
+    // pinned in MisraGriesSpec), so the driver receives ONE k-entry
+    // summary instead of k × #partitions entries (at 100 TB ≈ 800k
+    // partitions the collect is a multi-GB driver cliff of exactly
+    // the class the brief disqualifies)
+    val (merged, total) = words.as[String].mapPartitions { it =>
       var n = 0L
       val counted = it.map { w => n += 1; w }
       val m = graft.functions.MisraGries.summarize(counted, k)
       Iterator.single((m, n))
-    }.collect()
-    val total = partials.map(_._2).sum
-    val cand = graft.functions.MisraGries.merge(partials.map(_._1), k).keys.toSeq
+    }.rdd.treeReduce({ case ((ma, na), (mb, nb)) =>
+      (graft.functions.MisraGries.merge(Seq(ma, mb), k), na + nb)
+    }, depth = 2)
+    val cand = merged.keys.toSeq
     words.join(broadcast(cand.toDF("word")), Seq("word"))
       .groupBy("word").agg(count(lit(1)).as("n"))
       .where(col("n") * 64 >= total)

@@ -42,4 +42,22 @@ class MisraGriesSpec extends AnyFunSuite {
     assert(merged.size <= k)
     assert(merged.contains("hh"), s"lost the heavy hitter; kept ${merged.keySet}")
   }
+
+  test("PAIRWISE tree merge keeps the guarantee (the t32 treeReduce shape)") {
+    // the same adversarial corpus, merged as a binary tree instead of
+    // one flat fold — MG is fully mergeable (Agarwal et al. 2012), so
+    // any merge tree preserves the N/(k+1) survival bound
+    val k = 9
+    val parts = Seq.tabulate(10) { p =>
+      val junk = Seq.tabulate(27)(i => s"junk_${p}_$i")
+      new Random(p).shuffle(junk ++ Seq.fill(5)("hh"))
+    }
+    var layer = parts.map(p => MisraGries.summarize(p.iterator, k))
+    while (layer.size > 1)
+      layer = layer.grouped(2).map(g =>
+        if (g.size == 1) g.head else MisraGries.merge(Seq(g(0), g(1)), k)).toSeq
+    assert(layer.head.size <= k)
+    assert(layer.head.contains("hh"),
+      s"tree merge lost the heavy hitter; kept ${layer.head.keySet}")
+  }
 }

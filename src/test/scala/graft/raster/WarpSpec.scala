@@ -634,6 +634,73 @@ class WarpSpec extends AnyFunSuite {
     assert(Warp.projectionFor(54009).contains(m))
   }
 
+  test("Eckert IV: converged ground truth, exact equal-area, pole lines, round-trip") {
+    val k = Warp.EckertIV.world
+    val r = Warp.TransverseMercator.A
+    // independent ground truth: solve the auxiliary equation by
+    // BISECTION (a different algorithm than the shipped Newton chain)
+    // to float64 convergence, then apply the closed forward formulas
+    def bisectTheta(latDeg: Double): Double = {
+      val rhs = Warp.EckertIV.SinCoef * math.sin(math.toRadians(latDeg))
+      def f(th: Double) = th + math.sin(th) * math.cos(th) + 2.0 * math.sin(th) - rhs
+      var (lo, hi) = (-math.Pi / 2, math.Pi / 2)
+      for (_ <- 1 to 200) { val mid = (lo + hi) / 2; if (f(mid) <= 0) lo = mid else hi = mid }
+      (lo + hi) / 2
+    }
+    for (lat <- Seq(-80.0, -41.5, -5.0, 0.0, 33.3, 52.0, 75.0, 85.0);
+         lon <- Seq(-150.0, 0.0, 99.9)) {
+      val th = bisectTheta(lat)
+      val ex = k.cx * (math.toRadians(lon)) * (1.0 + math.cos(th))
+      val ey = k.cy * math.sin(th)
+      val (x, y) = k.forward(lat, lon)
+      assert(math.abs(x - ex) < 1e-5 && math.abs(y - ey) < 1e-5,
+        s"($lat, $lon) → ($x, $y), bisection truth ($ex, $ey)")
+    }
+    // pole LINES, not points: at ±90 the x-extent is half the
+    // equator's (1 + cos(π/2) = 1 vs 2 at the equator) and distinct
+    // longitudes stay distinct plane points — hence no declared
+    // plane singularities
+    val (xp1, yp) = k.forward(90.0, 180.0)
+    val (xp2, _) = k.forward(90.0, 90.0)
+    val (xe, _) = k.forward(0.0, 180.0)
+    assert(math.abs(yp - k.cy) < 1e-6)
+    assert(math.abs(xp1 - xe / 2.0) < 1e-6, "pole line is half the equator")
+    assert(math.abs(xp2 - xp1 / 2.0) < 1e-6)
+    assert(k.planeSingularities.isEmpty)
+    // the 2:1 world frame is STRUCTURAL: cy = π·cx exactly, so
+    // width 2·cx·2π·R... = 2 × height 2·cy·R
+    assert(k.cy == k.cx * Math.PI)
+    // exact equal-area: |det J| = R²·cosφ (the constants' defining
+    // identity cx·cy·(2+π/2)/2 = 1 — verifies both literals without
+    // an external worked example)
+    for (lat <- Seq(-70.0, -23.0, 0.0, 37.0, 66.0); lon <- Seq(-90.0, 12.0)) {
+      val d = 1e-6
+      val (x1, y1) = k.forward(lat, lon)
+      val (x2, y2) = k.forward(lat + d, lon)
+      val (x3, y3) = k.forward(lat, lon + d)
+      val dr = math.toRadians(d)
+      val det = math.abs(
+        ((x2 - x1) * (y3 - y1) - (x3 - x1) * (y2 - y1)) / (dr * dr))
+      val expect = r * r * math.cos(math.toRadians(lat))
+      assert(math.abs(det / expect - 1.0) < 1e-3,
+        s"area scale at ($lat, $lon): ${det / expect}")
+    }
+    // round-trip incl. a near-pole row (the inverse is total — no
+    // longitude collapse at the pole line)
+    for (lat <- Seq(-89.0, -41.5, 0.0, 33.3, 75.0, 89.0);
+         lon <- Seq(-150.0, -7.0, 0.0, 99.9)) {
+      val (x, y) = k.forward(lat, lon)
+      val (la, lo) = k.inverse(x, y)
+      assert(math.abs(la - lat) < 1e-7 && math.abs(lo - lon) < 1e-7,
+        s"round-trip ($lat, $lon) → ($la, $lo)")
+    }
+    // beyond-pole-line northing fails fast
+    val err4 = intercept[IllegalArgumentException](k.inverse(0.0, k.cy * 1.01))
+    assert(err4.getMessage.contains("Eckert"))
+    // registry resolution: ESRI:54012
+    assert(Warp.projectionFor(54012).contains(k))
+  }
+
   test("ellipsoidal Mercator and equirectangular from geokeys") {
     // CT 7 — the EPSG:3395 World Mercator shape
     val m = Warp.MercatorEllipsoidal.fromGeoKeys(Map(3075 -> 7.0, 3080 -> 0.0))
