@@ -1698,7 +1698,7 @@ object TextQueries extends QueryModule {
     // T33: BM25 lexical retrieval (Robertson & Walker 1994; the
     // Okapi BM25 the reference has no analogue for, but every
     // retrieval-augmented training pipeline runs): rank documents
-    // for a fixed query set by sum over query terms of
+    // for a query set by sum over query terms of
     // idf(t) * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)), k1=1.2
     // b=0.75. INTEGER-EXACT variant: idf is the raw Robertson odds
     // (N-df+0.5)/(df+0.5) in micro-units WITHOUT the log (monotone
@@ -1706,21 +1706,32 @@ object TextQueries extends QueryModule {
     // documented scoring variant), and the tf component multiplies
     // through by 1e6*L so everything is one 128-bit DECIMAL(38,0)
     // DIV per (query,term,doc) — the t31 convention, replayed as
-    // HUGEINT // in the oracle. Scale shape: the corpus postings
-    // stream is pruned to QUERY TERMS by a broadcast join before any
-    // shuffle (7 rows — the term dictionary of a query batch is
-    // always broadcastable); dl/N/L are map-side-combinable
-    // aggregates whose shuffle is #docs rows, not tokens; df comes
-    // off the pruned tf table; the final top-k windows over ONE
-    // query's candidate postings (bounded by the df of its terms,
-    // the textbook inverted-index bound). No document text ever
+    // HUGEINT // in the oracle. The query set derives from the
+    // corpus itself — the top-7 words by (frequency desc, word),
+    // split into 3 queries — a DISTRIBUTED top-k
+    // (TakeOrderedAndProject), NOT a full-vocab window, so the
+    // derivation holds at any vocabulary size; it also keeps the
+    // probe corpora meaningful (a fixed literal term list matches
+    // NOTHING on the word-suffixed scale replicas — rows_10x was 0,
+    // the vacuous-scale-row trap the probe's own no-silent-caps rule
+    // exists to catch). Scale shape: the corpus postings stream is
+    // pruned to QUERY TERMS by a broadcast join before any shuffle
+    // (7 rows — a query batch's term dictionary is always
+    // broadcastable); dl/N/L are map-side-combinable aggregates
+    // whose shuffle is #docs rows, not tokens; df comes off the
+    // pruned tf table; the final top-k windows over ONE query's
+    // candidate postings (bounded by the df of its terms, the
+    // textbook inverted-index bound). No document text ever
     // shuffles.
     SqlQ.split("t33_bm25",
-      """WITH q AS (SELECT * FROM VALUES
-        |    ('q1','spark'),('q1','hash'),('q2','table'),('q2','merge'),
-        |    ('q3','window'),('q3','sort'),('q3','batch') AS t(query_id, term)),
-        |w AS (SELECT doc_id, explode(filter(split(text, ' '), x -> x != '')) AS word
+      """WITH w AS (SELECT doc_id, explode(filter(split(text, ' '), x -> x != '')) AS word
         |  FROM documents),
+        |wf AS (SELECT word, CAST(count(*) AS BIGINT) AS f FROM w
+        |  GROUP BY word ORDER BY f DESC, word LIMIT 7),
+        |q AS (SELECT concat('q', CAST((rn + 2) DIV 3 AS STRING)) AS query_id,
+        |    word AS term
+        |  FROM (SELECT word, row_number() OVER (ORDER BY f DESC, word) AS rn
+        |        FROM wf) x),
         |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM w GROUP BY doc_id),
         |nl AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS l FROM dl),
         |tf AS (SELECT /*+ BROADCAST(q) */ q.query_id, q.term, w.doc_id,
@@ -1744,11 +1755,13 @@ object TextQueries extends QueryModule {
         |    row_number() OVER (PARTITION BY query_id
         |      ORDER BY score_micro DESC, doc_id) AS rnk
         |  FROM sc) ranked WHERE rnk <= 5""".stripMargin,
-      """WITH q AS (SELECT * FROM (VALUES
-        |    ('q1','spark'),('q1','hash'),('q2','table'),('q2','merge'),
-        |    ('q3','window'),('q3','sort'),('q3','batch')) t(query_id, term)),
-        |w AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != ''))
+      """WITH w AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != ''))
         |    AS word FROM documents),
+        |wf AS (SELECT word, count(*)::BIGINT AS f FROM w
+        |  GROUP BY word ORDER BY f DESC, word LIMIT 7),
+        |q AS (SELECT 'q' || ((rn + 2) // 3)::VARCHAR AS query_id, word AS term
+        |  FROM (SELECT word, row_number() OVER (ORDER BY f DESC, word) AS rn
+        |        FROM wf) x),
         |dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM w GROUP BY doc_id),
         |nl AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS l FROM dl),
         |tf AS (SELECT q.query_id, q.term, w.doc_id, count(*)::BIGINT AS tf
