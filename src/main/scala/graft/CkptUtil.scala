@@ -18,7 +18,14 @@ object CkptUtil {
   def unpersist(df: DataFrame): Unit =
     df.queryExecution.analyzed.foreach {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false)
+        // BLOCKING: with blocking = false a caller that immediately
+        // materializes the next corpus-sized checkpoint races the
+        // async release — the block manager holds BOTH for a window,
+        // and on repeated calls (bench warm pass, probe warmTimed)
+        // that window is where the multi-second eviction stalls
+        // live. The release is driver-side bookkeeping, milliseconds
+        // against the corpus-scan calls this guards.
+        lr.rdd.unpersist(blocking = true)
       case _ => ()
     }
 }
