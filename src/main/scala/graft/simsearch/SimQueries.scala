@@ -2436,15 +2436,25 @@ object SimQueries extends QueryModule {
     val dotSV = (0 until dim).map(i => s(i) * v(i)).sum
     val vLit = v.mkString("array(", "L,", "L)")
     qdf.createOrReplaceTempView("e30_q")
+    // n·dot − S·v in DECIMAL(38,0) (the t33 convention), matching the
+    // oracle's HUGEINT: the per-row fold itself is Long-safe
+    // (|dot| ≲ 2^36 at dim 64), but n·dot wraps Long near n ≈ 2^27
+    // rows, and dotSV ≈ n·2^36 exceeds a Long LITERAL at the same
+    // point — so both the product and the constant go through
+    // decimal, and only the n-divided projection (back ≲ 2^36)
+    // returns to BIGINT
     spark.sql(
       s"""SELECT vec_id, CAST(rnk AS INT) AS rnk, proj_q FROM (
          |  SELECT vec_id, proj_q,
          |    row_number() OVER (ORDER BY abs(proj_q) DESC, vec_id) AS rnk
          |  FROM (SELECT vec_id,
-         |      CASE WHEN pn < 0 THEN -((-pn) DIV ${n}L) ELSE pn DIV ${n}L END AS proj_q
+         |      CAST(CASE WHEN pn < 0 THEN -((-pn) DIV ${n}L)
+         |           ELSE pn DIV ${n}L END AS BIGINT) AS proj_q
          |    FROM (SELECT vec_id,
-         |        ${n}L * aggregate(zip_with(q, $vLit, (a, b) -> a * b),
-         |                          0L, (acc, x) -> acc + x) - ${dotSV}L AS pn
+         |        CAST(${n} AS DECIMAL(38,0))
+         |          * aggregate(zip_with(q, $vLit, (a, b) -> a * b),
+         |                      0L, (acc, x) -> acc + x)
+         |          - CAST('${dotSV}' AS DECIMAL(38,0)) AS pn
          |      FROM e30_q) raw) ctr) rk
          |WHERE rnk <= 20""".stripMargin)
   }

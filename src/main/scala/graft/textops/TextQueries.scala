@@ -1722,7 +1722,16 @@ object TextQueries extends QueryModule {
     // pruned tf table; the final top-k windows over ONE query's
     // candidate postings (bounded by the df of its terms, the
     // textbook inverted-index bound). No document text ever
-    // shuffles.
+    // shuffles. DECIMAL(38) headroom: the largest intermediate is
+    // the numerator idf_micro·tf·2.2e6·L ≲ 2e12·N·tf·L at fixed
+    // micro scales — under Spark's non-ANSI decimals an overflow
+    // would NULL the term out of sum() silently, so the bound
+    // matters: at N=1e6 docs, tf=1e4, L=1e9 corpus tokens it is
+    // ~2e31, seven orders inside the 38-digit limit; it would take
+    // N·tf·L ≳ 5e25 (e.g. a 1e9-doc, 1e12-token corpus with
+    // tf=1e4 repeated-term docs) to wrap — at which point split the
+    // idf factor out of the product (ranking only needs the
+    // per-term ratio).
     SqlQ.split("t33_bm25",
       """WITH w AS (SELECT doc_id, explode(filter(split(text, ' '), x -> x != '')) AS word
         |  FROM documents),
@@ -1785,22 +1794,30 @@ object TextQueries extends QueryModule {
         |      ORDER BY score_micro DESC, doc_id) AS rnk
         |  FROM sc) ranked WHERE rnk <= 5""".stripMargin),
 
-    // D18: robust winnowing fingerprints (Schleimer, Wilkerson &
-    // Aiken 2003, SIGMOD — the MOSS algorithm; the guarantee-backed
+    // D18: winnowing fingerprints (Schleimer, Wilkerson & Aiken
+    // 2003, SIGMOD — the MOSS algorithm; the guarantee-backed
     // alternative to d9's disjoint blocks: any shared run of
     // k+w-1 = 6 words is CAUGHT by construction, because both docs
     // select the same minimum inside the shared window). Per doc:
     // overlapping 3-word grams hashed through md5 (the w9 portable
-    // 40-bit hash), then each 4-gram window keeps its minimum hash,
-    // ties broken RIGHTMOST (the paper's robust rule) — encoded so
-    // ONE integer min does both: min(gh * 2^20 + (2^20-1 - pos))
-    // orders by (hash asc, pos desc). The fingerprint density is
+    // 40-bit hash), then each 4-gram window keeps its minimum hash.
+    // The paper's positional tie-break (basic winnowing: rightmost;
+    // robust winnowing: prefer the previous selection) only decides
+    // WHICH OCCURRENCE is recorded — a tie means an EQUAL hash, so
+    // the DISTINCT fingerprint set per document is the same under
+    // any tie rule. Since the operator keeps exactly that set, the
+    // window min is a plain min(gh): no packed (hash, pos) integer
+    // arithmetic, hence no document-length bound (the packed form
+    // silently corrupted past 2^20 grams). Pinned by WinnowSpec's
+    // packed-vs-plain equivalence test. The fingerprint density is
     // 2/(w+1); the text never shuffles — only 8-byte selected
     // hashes do. Pair detection joins fingerprint postings with a
     // document-frequency cap (df <= 50 — boilerplate grams that
     // appear in more docs carry no pair signal but would fan the
     // join out quadratically; the m22 lesson), so the shuffle is
     // bounded by true shared-fingerprint mass at any corpus size.
+    // The cap's discard mass is not silent: ScaleProbe logs the
+    // dropped-posting count next to the pair count.
     SqlQ.split("d18_winnow",
       """WITH w0 AS (SELECT doc_id, filter(split(text, ' '), x -> x != '') AS w
         |  FROM documents),
@@ -1809,10 +1826,10 @@ object TextQueries extends QueryModule {
         |  FROM w0 LATERAL VIEW explode(sequence(0, size(w) - 3)) t AS i
         |  WHERE size(w) >= 3),
         |s AS (SELECT doc_id, pos,
-        |    min(gh * 1048576 + (1048575 - pos)) OVER (PARTITION BY doc_id ORDER BY pos
-        |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS sel
+        |    min(gh) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
         |  FROM g),
-        |f AS (SELECT DISTINCT doc_id, CAST(sel DIV 1048576 AS BIGINT) AS fp
+        |f AS (SELECT DISTINCT doc_id, fp
         |  FROM s WHERE pos >= 3),
         |dfc AS (SELECT fp FROM f GROUP BY fp HAVING count(*) <= 50),
         |fk AS (SELECT f.doc_id, f.fp FROM f JOIN dfc ON dfc.fp = f.fp)
@@ -1830,10 +1847,10 @@ object TextQueries extends QueryModule {
         |  FROM w0, LATERAL unnest(generate_series(0, len(w) - 3)) t(i)
         |  WHERE len(w) >= 3),
         |s AS (SELECT doc_id, pos,
-        |    min(gh * 1048576 + (1048575 - pos)) OVER (PARTITION BY doc_id ORDER BY pos
-        |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS sel
+        |    min(gh) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
         |  FROM g),
-        |f AS (SELECT DISTINCT doc_id, (sel // 1048576)::BIGINT AS fp
+        |f AS (SELECT DISTINCT doc_id, fp
         |  FROM s WHERE pos >= 3),
         |dfc AS (SELECT fp FROM f GROUP BY fp HAVING count(*) <= 50),
         |fk AS (SELECT f.doc_id, f.fp FROM f JOIN dfc ON dfc.fp = f.fp)
