@@ -1177,13 +1177,30 @@ object MultimodalQueries extends QueryModule {
     * (so the PNG/JPEG format split lives in exactly one place): the
     * 32 sampled pixels are `gs[(i·npx)/32]`, bit i set when the
     * sample exceeds the sample mean (`·32 >` the integer form). */
-  private val phashOracleCtes: String =
+  private[graft] lazy val phashOracleCtes: String =
     s"""$grayOracleCtes,
       |sg AS (SELECT doc_id,
       |  [gs[(i*npx)//32 + 1] for i in generate_series(0, 31)] AS sgl FROM g),
       |h AS (SELECT doc_id,
       |  list_sum([CASE WHEN sgl[i+1] * 32 > list_sum(sgl) THEN (1::BIGINT << i) ELSE 0 END
       |            for i in generate_series(0, 31)])::BIGINT AS phash FROM sg)""".stripMargin
+
+  /** The audio-fingerprint oracle CTEs (m10's hash definition, the
+    * [[afpOf]] replay: 32-bin energy profile from the text PCM
+    * formula, then the neighbor-compare dHash bitmap), SHARED by the
+    * m10 oracle and the streaming audio-dedup gate's oracle so the
+    * two cannot drift. Emits `h(doc_id, afp)`; empty segments
+    * (n < 32) sum to 0 via coalesce. */
+  private[graft] lazy val afpOracleCtes: String =
+    """s AS (SELECT doc_id,
+      |  [ascii(ch)::BIGINT - 64 for ch in string_split(text, '')] AS smp
+      |  FROM documents WHERE len(text) > 0),
+      |en AS (SELECT doc_id,
+      |  [coalesce(list_sum([x*x for x in list_slice(smp, (i*len(smp))//32 + 1, ((i+1)*len(smp))//32)]), 0)::BIGINT
+      |   for i in generate_series(0, 31)] AS se FROM s),
+      |h AS (SELECT doc_id,
+      |  list_sum([CASE WHEN se[i+1] > se[(i+1) % 32 + 1] THEN (1::BIGINT << i) ELSE 0 END
+      |            for i in generate_series(0, 31)])::BIGINT AS afp FROM en)""".stripMargin
 
   /** The image-tower oracle CTE, shared by the m7 and m9 oracles so
     * the two replays cannot drift (the Scala side already shares
@@ -1377,17 +1394,10 @@ object MultimodalQueries extends QueryModule {
     // m10: the 32-bin energy profile re-derived from the text
     // formula (segment i = samples [i·n/32, (i+1)·n/32)), then the
     // dHash bitmap and the m5 pigeonhole pair scan (exact at fixture
-    // sizes). Empty segments (n < 32) sum to 0 via coalesce.
+    // sizes). The fingerprint CTEs are the SHARED afpOracleCtes (the
+    // streaming audio gate's oracle replays the same hash).
     "m10_audio_fingerprint" ->
-      """WITH s AS (SELECT doc_id,
-        |  [ascii(ch)::BIGINT - 64 for ch in string_split(text, '')] AS smp
-        |  FROM documents WHERE len(text) > 0),
-        |en AS (SELECT doc_id,
-        |  [coalesce(list_sum([x*x for x in list_slice(smp, (i*len(smp))//32 + 1, ((i+1)*len(smp))//32)]), 0)::BIGINT
-        |   for i in generate_series(0, 31)] AS se FROM s),
-        |h AS (SELECT doc_id,
-        |  list_sum([CASE WHEN se[i+1] > se[(i+1) % 32 + 1] THEN (1::BIGINT << i) ELSE 0 END
-        |            for i in generate_series(0, 31)])::BIGINT AS afp FROM en)
+      s"""WITH $afpOracleCtes
         |SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
         |  bit_count(xor(a.afp, b.afp))::INT AS hamming
         |FROM h a, h b WHERE a.doc_id < b.doc_id

@@ -6,16 +6,22 @@ import org.apache.spark.sql.streaming.Trigger
 
 /** Oracle-grade checks for the streaming gates (round-11 verdict ask
   * #8; widened each round since): the 13 ingestion gates were
-  * spec-only (batch-parity inside ScalaTest); SEVEN now ALSO run
-  * through the driver's DuckDB hash compare — near-dup admission
+  * spec-only (batch-parity inside ScalaTest); ALL THIRTEEN now ALSO
+  * run through the driver's DuckDB hash compare — near-dup admission
   * (DedupStream), classifier curation (ClassifierGateStream),
   * CLIP-score curation (ClipFilterStream), span-rewrite admission
   * (SpanDedupStream — stateful append-mode aggregation, finalized via
-  * the sentinel trick below), URL dedup (UrlDedupStream), and the two
-  * STATEFUL alert-analytics operators (round-12 ask #5):
-  * event-time gap sessionization (AlertStream.sessionize — the repo's
-  * one `flatMapGroupsWithState` user-state operator) and watermarked
-  * windowed counts (AlertStream.windowedCounts). Each query here
+  * the sentinel trick below), URL dedup (UrlDedupStream), the two
+  * STATEFUL alert-analytics operators (round-12 ask #5:
+  * event-time gap sessionization, AlertStream.sessionize — the repo's
+  * one `flatMapGroupsWithState` user-state operator — and watermarked
+  * windowed counts, AlertStream.windowedCounts), and — round-13 ask
+  * #3 — the remaining six twins: exact-dedup Bloom admission
+  * (BloomGateStream), the document chunker (ChunkStream), the PII
+  * scrub/quarantine gate (PiiStream), perceptual media dedup
+  * (MediaDedupStream), audio-fingerprint dedup (AudioDedupStream),
+  * and quality-temperature sampling (TemperatureSampleStream).
+  * Each query here
   * executes a REAL Structured Streaming query (file source over the
   * same parquet the batch queries read → the gate transform → memory
   * sink, drained with Trigger.AvailableNow) and returns the sink's
@@ -245,6 +251,121 @@ object StreamingQueries extends QueryModule {
     }
   }
 
+  /** sg8's staged source: the StreamPred document slice PLUS injected
+    * exact duplicates of a deterministic corpus subset (corpus rows
+    * with doc_id % 35 = 0, re-keyed +1 000 000) — the fixture corpus
+    * carries no exact text dups across the 70/30 split, so without
+    * the injection the gate's DROP path would never carry a row (the
+    * vacuous-gate trap); the oracle replays the same injection. */
+  private def bloomStage(spark: SparkSession, sfDir: String): String = {
+    val f = new java.io.File(s"$sfDir/documents.parquet")
+    val tag = Integer.toHexString(
+      (f.getAbsolutePath + "#" + f.lastModified + "#" + f.length + "#sg8_v1").hashCode)
+    val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft_sg8_src_$tag")
+    if (!new java.io.File(dir, "_SUCCESS").exists()) {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sg8").toFile
+      val docs = Tables.load(spark, sfDir, "documents")
+      docs.where(StreamPred).selectExpr("doc_id", "text")
+        .unionByName(docs.where(s"$CorpusPred AND doc_id % 35 = 0")
+          .selectExpr("doc_id + 1000000 AS doc_id", "text"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+      try java.nio.file.Files.move(tmp.toPath, dir.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException => ()
+        case _: java.nio.file.DirectoryNotEmptyException => ()
+      }
+    }
+    dir.getPath
+  }
+
+  private def bloomStream(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.register(spark, sfDir)
+    val corpus = spark.table("documents").where(CorpusPred)
+      .select("doc_id", "text")
+    val blob = BloomGateStream.corpusBloom(corpus)
+    drained(spark, bloomStage(spark, sfDir), "sg8_stream_bloom") { docs =>
+      BloomGateStream.gate(docs, corpus, blob)
+        .selectExpr("doc_id", "md5(text) AS text_md5")
+    }
+  }
+
+  private def chunkStream(spark: SparkSession, sfDir: String): DataFrame =
+    drained(spark, s"$sfDir/documents.parquet", "sg9_stream_chunk") { docs =>
+      ChunkStream.gate(docs.select("doc_id", "text"))
+    }
+
+  /** sg10's PII injection (the t11 aug convention — the fixture is
+    * PII-free word soup, so the detector's work must be planted, and
+    * the oracle replays the identical construction): doc_id % 3 = 0
+    * appends one email (1 hit → passes, redacted), % 5 = 0 appends an
+    * IP and a phone (2 hits → passes, redacted), % 15 = 0 gets all
+    * three (3 hits > maxHits 2 → quarantined, text unredacted) — so
+    * the identity, redaction, and quarantine paths ALL carry rows.
+    * One source string; the DuckDB replay differs only in the
+    * STRING→VARCHAR cast spelling (the UrlFixture trick). */
+  private val piiAugSpark: String =
+    """concat(text,
+      |  CASE WHEN doc_id % 3 = 0 THEN concat(' contact user',
+      |    CAST(doc_id % 97 AS STRING), '@example.com') ELSE '' END,
+      |  CASE WHEN doc_id % 5 = 0 THEN concat(' at 10.',
+      |    CAST(doc_id % 256 AS STRING), '.0.', CAST(doc_id % 7 AS STRING),
+      |    ' phone 555-', lpad(CAST(doc_id % 10000 AS STRING), 4, '0'))
+      |  ELSE '' END)""".stripMargin
+  private def piiAugDuck: String = piiAugSpark.replace("AS STRING", "AS VARCHAR")
+
+  private def piiStream(spark: SparkSession, sfDir: String): DataFrame =
+    drained(spark, s"$sfDir/documents.parquet", "sg10_stream_pii") { docs =>
+      PiiStream.gate(docs.selectExpr("doc_id", s"$piiAugSpark AS text"))
+        .selectExpr("doc_id", "n_emails", "n_ips", "n_phones",
+          "quarantined", "md5(text) AS text_md5")
+    }
+
+  /** sg11/sg12 band tables come from the corpus-version SIDECARS
+    * ([[graft.multimodal.MediaLake.ensurePhashes]]/`ensureAfps`) —
+    * the materialization the gates' scaladoc requires (the raw
+    * corpusBands plan would re-decode the corpus per micro-batch). */
+  private def bandsOf(spark: SparkSession, sidecar: String,
+                      hashCol: String): DataFrame =
+    spark.read.parquet(sidecar)
+      .where(CorpusPred)
+      .selectExpr(s"$hashCol AS cfp", "explode(sequence(0, 3)) AS k")
+      .selectExpr("cfp", "CAST(k AS INT) AS k",
+        "CAST(shiftright(cfp, 8 * k) & 255 AS BIGINT) AS bv")
+
+  private def mediaStream(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.register(spark, sfDir)
+    val lake = graft.multimodal.MediaLake.ensure(spark, sfDir)
+    val bands = bandsOf(spark,
+        graft.multimodal.MediaLake.ensurePhashes(spark, sfDir), "phash")
+      .withColumnRenamed("cfp", "cph")
+    drained(spark, lake, "sg11_stream_media") { media =>
+      MediaDedupStream.gate(media.where(StreamPred), bands)
+        .select("doc_id", "fmt")
+    }
+  }
+
+  private def audioStream(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.register(spark, sfDir)
+    val lake = graft.multimodal.MediaLake.ensureAudio(spark, sfDir)
+    val bands = bandsOf(spark,
+      graft.multimodal.MediaLake.ensureAfps(spark, sfDir), "afp")
+    drained(spark, lake, "sg12_stream_audio") { clips =>
+      AudioDedupStream.gate(clips.where(StreamPred), bands)
+        .select("doc_id")
+    }
+  }
+
+  private def temperatureStream(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.register(spark, sfDir)
+    val thr = TemperatureSampleStream.thresholds(
+      spark.table("documents").where(CorpusPred))
+    drained(spark, s"$sfDir/documents.parquet", "sg13_stream_temperature") { docs =>
+      TemperatureSampleStream.gate(docs.where(StreamPred), thr)
+        .select("doc_id", "lang")
+    }
+  }
+
   private def urlStream(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.register(spark, sfDir)
     val urlExpr = graft.textops.TextQueries.UrlFixture.sparkMulti
@@ -264,7 +385,13 @@ object StreamingQueries extends QueryModule {
     "sg4_stream_span" -> (spanStream _),
     "sg5_stream_url" -> (urlStream _),
     "sg6_stream_session" -> (sessionStream _),
-    "sg7_stream_window" -> (windowStream _))
+    "sg7_stream_window" -> (windowStream _),
+    "sg8_stream_bloom" -> (bloomStream _),
+    "sg9_stream_chunk" -> (chunkStream _),
+    "sg10_stream_pii" -> (piiStream _),
+    "sg11_stream_media" -> (mediaStream _),
+    "sg12_stream_audio" -> (audioStream _),
+    "sg13_stream_temperature" -> (temperatureStream _))
 
   override def oracles: Map[String, String] = {
     val cls = graft.textops.TextQueries.ClassifierShape
@@ -352,6 +479,84 @@ object StreamingQueries extends QueryModule {
       "sg7_stream_window" ->
         """SELECT date_trunc('hour', ts) AS window_start, user_id AS cell,
           |  count(*)::BIGINT AS alert_count
-          |FROM events GROUP BY 1, 2""".stripMargin)
+          |FROM events GROUP BY 1, 2""".stripMargin,
+      // sg8: the bloom-independent truth (the d10 convention) over
+      // the staged stream — StreamPred docs plus the injected corpus
+      // duplicates (re-keyed +1e6), minus exact corpus text matches;
+      // every injected row must be DROPPED, every fixture stream row
+      // passes (no cross-split dups exist)
+      "sg8_stream_bloom" ->
+        s"""WITH corp AS (SELECT text FROM documents WHERE $CorpusPred),
+           |inc AS (SELECT doc_id, text FROM documents WHERE $StreamPred
+           |  UNION ALL
+           |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+           |  WHERE $CorpusPred AND doc_id % 35 = 0)
+           |SELECT doc_id, md5(text) AS text_md5 FROM inc
+           |WHERE NOT EXISTS (SELECT 1 FROM corp WHERE corp.text = inc.text)""".stripMargin,
+      // sg9: the stream chunker must produce EXACTLY the batch t19
+      // answer — same kernel, same oracle (one chunk definition,
+      // two execution modes)
+      "sg9_stream_chunk" -> graft.textops.TextQueries.oracles("t19_chunk"),
+      // sg10: the PiiShape regex replay over the aug-injected stream
+      // (the t11 dialect-portable patterns), with the gate's
+      // quarantine rule (> 2 hits) and the kept-row text swap
+      "sg10_stream_pii" -> {
+        val shape = graft.textops.TextQueries.PiiShape
+        s"""WITH aug AS (SELECT doc_id, $piiAugDuck AS text FROM documents),
+           |sc AS (SELECT doc_id, text,
+           |  ${shape.redactSql("text", identity, ", 'g'")} AS redacted,
+           |  len(regexp_extract_all(text, '${shape.email}'))::INT AS n_emails,
+           |  len(regexp_extract_all(text, '${shape.ipv4}'))::INT AS n_ips,
+           |  len(regexp_extract_all(text, '${shape.phone}'))::INT AS n_phones
+           |  FROM aug)
+           |SELECT doc_id, n_emails, n_ips, n_phones,
+           |  (n_emails + n_ips + n_phones > 2) AS quarantined,
+           |  md5(CASE WHEN n_emails + n_ips + n_phones > 2
+           |      THEN text ELSE redacted END) AS text_md5
+           |FROM sc""".stripMargin
+      },
+      // sg11: the m5 aHash replay (shared phashOracleCtes — one hash
+      // definition with the m5/m6 oracles): stream-side lake items
+      // surviving iff NO corpus item lies within Hamming ≤ 3
+      "sg11_stream_media" ->
+        s"""WITH ${graft.multimodal.MultimodalQueries.phashOracleCtes},
+           |c AS (SELECT phash FROM h WHERE $CorpusPred),
+           |i AS (SELECT doc_id, phash FROM h WHERE $StreamPred)
+           |SELECT doc_id,
+           |  CASE WHEN doc_id % 4 = 3 THEN 'jpg' ELSE 'png' END AS fmt
+           |FROM i WHERE NOT EXISTS (SELECT 1 FROM c
+           |  WHERE bit_count(xor(c.phash, i.phash)) <= 3)""".stripMargin,
+      // sg12: the m10 energy-dHash replay (shared afpOracleCtes),
+      // same survivor predicate on the WAV lake
+      "sg12_stream_audio" ->
+        s"""WITH ${graft.multimodal.MultimodalQueries.afpOracleCtes},
+           |c AS (SELECT afp FROM h WHERE $CorpusPred),
+           |i AS (SELECT doc_id, afp FROM h WHERE $StreamPred)
+           |SELECT doc_id FROM i WHERE NOT EXISTS (SELECT 1 FROM c
+           |  WHERE bit_count(xor(c.afp, i.afp)) <= 3)""".stripMargin,
+      // sg13: the t16 replay with the gate's split — quartile
+      // thresholds from the CORPUS slice only (the snapshot-versioned
+      // statistics the stream literals carry), the coin keep-rule
+      // over the STREAM slice
+      "sg13_stream_temperature" -> {
+        val mix = graft.textops.TextQueries.TemperatureMix
+        s"""WITH s AS (SELECT doc_id, ${mix.duckQualityExpr("text")} AS q
+           |  FROM documents WHERE $CorpusPred),
+           |hist AS (SELECT q, count(*) AS c FROM s GROUP BY q),
+           |cum AS (SELECT q, sum(c) OVER (ORDER BY q) AS cm,
+           |    CAST((SELECT count(*) FROM s) AS BIGINT) AS n FROM hist),
+           |thr AS (SELECT min(CASE WHEN cm * 4 >= n THEN q END) AS q1,
+           |    min(CASE WHEN cm * 2 >= n THEN q END) AS q2,
+           |    min(CASE WHEN cm * 4 >= 3 * n THEN q END) AS q3 FROM cum),
+           |st AS (SELECT doc_id, lang, ${mix.duckQualityExpr("text")} AS q
+           |  FROM documents WHERE $StreamPred),
+           |b AS (SELECT doc_id, lang,
+           |    CASE WHEN q <= thr.q1 THEN 1 WHEN q <= thr.q2 THEN 2
+           |      WHEN q <= thr.q3 THEN 3 ELSE 4 END AS bucket
+           |  FROM st CROSS JOIN thr)
+           |SELECT doc_id, lang FROM b
+           |WHERE ${mix.duckCoinExpr("doc_id")} <
+           |  CASE bucket WHEN 4 THEN 100 WHEN 3 THEN 50 WHEN 2 THEN 25 ELSE 10 END""".stripMargin
+      })
   }
 }

@@ -118,6 +118,16 @@ object TextQueries extends QueryModule {
       * Batch t16 and the streaming gate both evaluate exactly this. */
     def keepPredicate(docId: String, bucket: String): String =
       s"${coinExpr(docId)} < ${rateCase(bucket)}"
+    /** DuckDB replay of [[qualityExpr]], shared by the t16 and
+      * streaming-gate oracles so the proxy cannot drift. */
+    def duckQualityExpr(text: String): String =
+      s"(1000 * len(list_distinct(string_split($text, ' ')))::BIGINT)" +
+        s" // len(string_split($text, ' '))::BIGINT"
+    /** DuckDB replay of [[coinExpr]] (the polyhash code-point fold). */
+    def duckCoinExpr(docId: String): String =
+      s"""list_reduce([ascii(c)::BIGINT for c in
+         |        string_split('mix:' || CAST($docId AS VARCHAR), '')],
+         |      (a,h) -> (a*131+h) % $P) % 100""".stripMargin
   }
 
   /** THE chunking shape (window/stride constants + the chunk
@@ -767,8 +777,7 @@ object TextQueries extends QueryModule {
          |SELECT doc_id, q AS uniq_permille, bucket, toss
          |FROM coin WHERE ${TemperatureMix.keepPredicate("doc_id", "bucket")}""".stripMargin,
       s"""WITH s AS (SELECT doc_id,
-         |    (1000 * len(list_distinct(string_split(text, ' ')))::BIGINT)
-         |      // len(string_split(text, ' '))::BIGINT AS q
+         |    ${TemperatureMix.duckQualityExpr("text")} AS q
          |  FROM documents),
          |hist AS (SELECT q, count(*) AS c FROM s GROUP BY q),
          |cum AS (SELECT q, sum(c) OVER (ORDER BY q) AS cm,
@@ -781,9 +790,7 @@ object TextQueries extends QueryModule {
          |      WHEN q <= thr.q3 THEN 3 ELSE 4 END AS bucket
          |  FROM s CROSS JOIN thr),
          |coin AS (SELECT doc_id, q, bucket,
-         |    list_reduce([ascii(c)::BIGINT for c in
-         |        string_split('mix:' || CAST(doc_id AS VARCHAR), '')],
-         |      (a,h) -> (a*131+h) % $P) % 100 AS toss FROM b)
+         |    ${TemperatureMix.duckCoinExpr("doc_id")} AS toss FROM b)
          |SELECT doc_id, q AS uniq_permille, bucket, toss
          |FROM coin WHERE toss <
          |  CASE bucket WHEN 4 THEN 100 WHEN 3 THEN 50 WHEN 2 THEN 25 ELSE 10 END""".stripMargin),
