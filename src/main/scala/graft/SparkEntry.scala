@@ -14,7 +14,8 @@ object SparkEntry {
     geo.GeoQueries,
     raster.RasterQueries,
     etl.EtlQueries,
-    streaming.StreamingQueries
+    streaming.StreamingQueries,
+    api.ApiParityQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

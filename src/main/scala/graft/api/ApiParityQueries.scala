@@ -1,0 +1,140 @@
+package graft.api
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** HTTP-surface hash gate (round-13 verdict ask #4): every other
+  * CORRECTNESS row enters through `SparkEntry.queries`, so a
+  * divergence introduced in the SINK/API layer — JSEND envelope
+  * bytes, CSV QUOTE_NONNUMERIC quoting, decimal scale rendering,
+  * error shapes (`queries.py:160-163`, `queries.py:528-545`,
+  * `app/routes/__init__.py`) — would not trip the oracle gate. This
+  * query boots a real [[ApiServer]] on an ephemeral port, drives a
+  * representative request set over actual HTTP (tabular aggregate,
+  * decimal-scale aggregate, OTF zonal through the geostore route,
+  * CSV, and a JSEND 400 rejection), and emits the md5 of each raw
+  * response PAYLOAD. The DuckDB oracle reconstructs the exact payload
+  * bytes — envelope, key order, quoting, CRLF line endings —
+  * independently and hashes them, so a byte-level sink change is a
+  * hash mismatch, the same bar the engines are held to.
+  *
+  * Payload cases use only strings, integers and scale-2 decimals:
+  * those render identically in Spark (`BigDecimal.toString`,
+  * `Long.toString`) and DuckDB (`::VARCHAR`); doubles would not be
+  * format-stable across engines and stay out of the byte hash.
+  *
+  * Scale shape: the harness is driver-side by construction (an HTTP
+  * round-trip); the engine work behind each request is the same
+  * scrutinizer → Catalyst / fused-zonal path the engine rows pin. */
+object ApiParityQueries extends QueryModule {
+
+  private def md5hex(b: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(b)
+      .map("%02x".format(_)).mkString
+
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+
+  private val aggSql =
+    "SELECT o_orderstatus AS st, count(*) AS cnt FROM data " +
+      "GROUP BY o_orderstatus ORDER BY st"
+  private val decSql =
+    "SELECT o_orderstatus AS st, " +
+      "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total " +
+      "FROM data GROUP BY o_orderstatus ORDER BY st"
+  private val csvSql =
+    "SELECT r_regionkey, r_name FROM data ORDER BY r_regionkey"
+  private val errSql = "SELECT pg_ls_dir('/') FROM data"
+
+  private def apiParity(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.register(spark, sfDir)
+    val server = new ApiServer(spark, sfDir)
+    val port = server.start()
+    try {
+      val client = HttpClient.newHttpClient()
+      def send(req: HttpRequest): HttpResponse[Array[Byte]] =
+        client.send(req, HttpResponse.BodyHandlers.ofByteArray())
+      def get(path: String): HttpResponse[Array[Byte]] =
+        send(HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:$port$path")).GET().build())
+      val (rds, rsql, raoi, _) = graft.raster.RasterQueries.apiOtfParity
+      // the AOI enters the way a client's does: content-addressed
+      // through POST /geostore, then by id on the query route
+      val gid = {
+        val body = new String(send(HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:$port/geostore"))
+          .POST(HttpRequest.BodyPublishers.ofString(raoi)).build()).body(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        "\"gfw_geostore_id\":\"([0-9a-f-]+)\"".r.findFirstMatchIn(body)
+          .getOrElse(sys.error(s"geostore create failed: $body")).group(1)
+      }
+      val cases: Seq[(String, String)] = Seq(
+        "json_agg" -> s"/dataset/orders/v1/query/json?sql=${enc(aggSql)}",
+        "json_decimal" -> s"/dataset/orders/v1/query/json?sql=${enc(decSql)}",
+        "json_zonal" ->
+          s"/dataset/$rds/v1/query/json?geostore_id=$gid&sql=${enc(rsql)}",
+        "csv_quote" -> s"/dataset/region/v1/query/csv?sql=${enc(csvSql)}",
+        "jsend_error" -> s"/dataset/nation/v1/query/json?sql=${enc(errSql)}")
+      val rows = cases.map { case (name, path) =>
+        val r = get(path)
+        (name, r.statusCode(),
+          r.headers().firstValue("Content-Type").orElse(""),
+          md5hex(r.body()))
+      }
+      import spark.implicits._
+      rows.toDF("case_name", "status", "content_type", "payload_md5")
+    } finally server.stop()
+  }
+
+  /** The same payload bytes rebuilt in DuckDB SQL: JSEND envelope with
+    * column-ordered keys and compact separators, CSV with
+    * QUOTE_NONNUMERIC + CRLF, the scrutinizer's 400 error envelope.
+    * Byte construction here is deliberately INDEPENDENT of
+    * [[graft.sinks.Sinks]] — that independence is the gate. */
+  private def apiParityOracle: String = {
+    val crlf = "chr(13) || chr(10)"
+    val zon = graft.raster.RasterQueries.apiOtfParity._4
+    s"""SELECT * FROM (
+       |SELECT 'json_agg' AS case_name, 200 AS status,
+       |  'application/json' AS content_type,
+       |  (SELECT md5('{"data":[' || coalesce(string_agg(
+       |      '{"st":"' || st || '","cnt":' || cnt::VARCHAR || '}',
+       |      ',' ORDER BY st), '') || '],"status":"success"}')
+       |   FROM (SELECT o_orderstatus AS st, count(*) AS cnt FROM orders
+       |         GROUP BY o_orderstatus) a) AS payload_md5
+       |UNION ALL
+       |SELECT 'json_decimal', 200, 'application/json',
+       |  (SELECT md5('{"data":[' || coalesce(string_agg(
+       |      '{"st":"' || st || '","total":' || total::VARCHAR || '}',
+       |      ',' ORDER BY st), '') || '],"status":"success"}')
+       |   FROM (SELECT o_orderstatus AS st,
+       |           sum(CAST(o_totalprice AS DECIMAL(18,2)))::DECIMAL(38,2) AS total
+       |         FROM orders GROUP BY o_orderstatus) d)
+       |UNION ALL
+       |SELECT 'json_zonal', 200, 'application/json',
+       |  (SELECT md5('{"data":[' || coalesce(string_agg(
+       |      '{"umd_tree_cover_loss__year":' || y::VARCHAR ||
+       |      ',"pixel_count":' || c::VARCHAR || '}', ',' ORDER BY y), '')
+       |      || '],"status":"success"}')
+       |   FROM ($zon) z)
+       |UNION ALL
+       |SELECT 'csv_quote', 200, 'text/csv',
+       |  (SELECT md5('"r_regionkey","r_name"' || $crlf || string_agg(
+       |      r_regionkey::VARCHAR || ',"' || r_name || '"' || $crlf,
+       |      '' ORDER BY r_regionkey))
+       |   FROM region)
+       |UNION ALL
+       |SELECT 'jsend_error', 400, 'application/json',
+       |  md5('{"status":"failed","message":"Use of admin, system or private functions is not allowed."}')
+       |) t""".stripMargin
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map("api_parity" -> (apiParity _))
+
+  override def oracles: Map[String, String] =
+    Map("api_parity" -> apiParityOracle)
+}

@@ -84,6 +84,28 @@ object RasterQueries extends QueryModule {
   private def decode(keyExpr: String): String =
     SyntheticEnv.landcoverDecodeSql(keyExpr)
 
+  /** The API-parity OTF case ([[graft.api.ApiParityQueries]] drives it
+    * over real HTTP and hashes the response BYTES): (dataset, user OTF
+    * SQL, AOI geojson, DuckDB replay yielding the same ordered
+    * `(y, c)` rows). rs1's mask with integer-only outputs — counts
+    * render identically in both engines, so the payload hash is
+    * format-stable (doubles would not be). */
+  private[graft] lazy val apiOtfParity: (String, String, String, String) = (
+    "umd_tree_cover_loss",
+    """SELECT umd_tree_cover_loss__year, COUNT(*) AS pixel_count
+      |FROM data
+      |WHERE is__umd_regional_primary_forest_2001 != 'false'
+      |  AND umd_tree_cover_density_2000__threshold >= 30
+      |  AND umd_tree_cover_loss__year >= 2010
+      |GROUP BY umd_tree_cover_loss__year
+      |ORDER BY umd_tree_cover_loss__year""".stripMargin,
+    aoiGeoJson,
+    s"""$duckPixels,
+       |f AS (SELECT $dYear AS y FROM px
+       |  WHERE ($duckAoiMask) AND ($dU) != 0 AND ($dTcd) >= 30
+       |    AND $dYear >= 2010 AND ($dW) != 0)
+       |SELECT y, count(*) AS c FROM f GROUP BY y""".stripMargin)
+
   private val sqls: Seq[SqlQ] = Seq(
 
     // A2+A3: zonal statistics over the AOI — SUM(area__ha) and
