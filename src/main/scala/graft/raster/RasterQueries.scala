@@ -1065,6 +1065,18 @@ object RasterQueries extends QueryModule {
       x0 = 200000.0, yTop = 6300000.0, pixelM = 10000.0,
       tilesX = 2, tilesY = 2, pxPerTile = 20)
 
+  /** r31: World Robinson (ESRI:54030 — the NatGeo/world-atlas
+    * compromise CRS, the most-requested arbitrary-`+proj` residue):
+    * the first TABLE-DEFINED projection through the oracle gate —
+    * the SQL mirror replays the natural-cubic-spline Horner segments
+    * as list-literal coefficient tables instead of a Newton chain
+    * ([[Warp.Robinson.forwardSelect]]). Same mid-latitude window as
+    * r29/r30 (the y span lands at ~54–60°N in Robinson meters). */
+  private def r31Lattice: Warp.ProjectedLattice =
+    Warp.ProjectedLattice(Warp.Robinson.world,
+      x0 = 200000.0, yTop = 6300000.0, pixelM = 10000.0,
+      tilesX = 2, tilesY = 2, pxPerTile = 20)
+
   /** r26: the Dutch RD grid — CT 16 double-stereographic geokeys with
     * the EPSG:28992 parameter set AND the Bessel 1841 figure carried
     * in GeogSemiMajorAxis/GeogInvFlattening (2057/2059): the
@@ -1203,6 +1215,9 @@ object RasterQueries extends QueryModule {
 
   private def eckert4Ingest(spark: SparkSession, sfDir: String): DataFrame =
     projIngest(spark, sfDir, "r30", r30Lattice, 54012)
+
+  private def robinsonIngest(spark: SparkSession, sfDir: String): DataFrame =
+    projIngest(spark, sfDir, "r31", r31Lattice, 54030)
 
   private def stereaIngest(spark: SparkSession, sfDir: String): DataFrame =
     projIngest(spark, sfDir, "r26", r26Lattice, 32767, r26Params)
@@ -1419,7 +1434,8 @@ object RasterQueries extends QueryModule {
       ("r27_towgs84_ingest" -> (towgs84Ingest _)) +
       ("r28_ntv2_ingest" -> (ntv2Ingest _)) +
       ("r29_mollweide_ingest" -> (mollweideIngest _)) +
-      ("r30_eckert4_ingest" -> (eckert4Ingest _))
+      ("r30_eckert4_ingest" -> (eckert4Ingest _)) +
+      ("r31_robinson_ingest" -> (robinsonIngest _))
 
   override def oracles: Map[String, String] =
     sqls.flatMap(q => q.oracleSql.map(q.name -> _)).toMap +
@@ -1450,5 +1466,6 @@ object RasterQueries extends QueryModule {
       ("r27_towgs84_ingest" -> projIngestOracle(r27Lattice)) +
       ("r28_ntv2_ingest" -> projIngestOracle(r28Lattice)) +
       ("r29_mollweide_ingest" -> projIngestOracle(r29Lattice)) +
-      ("r30_eckert4_ingest" -> projIngestOracle(r30Lattice))
+      ("r30_eckert4_ingest" -> projIngestOracle(r30Lattice)) +
+      ("r31_robinson_ingest" -> projIngestOracle(r31Lattice))
 }

@@ -174,6 +174,8 @@ object Warp {
       Some(Mollweide.world)
     else if (epsg == 54012) // ESRI World Eckert IV (global equal-area)
       Some(EckertIV.world)
+    else if (epsg == 54030) // ESRI World Robinson (compromise world)
+      Some(Robinson.world)
     else if (epsg == 3035) // ETRS89-extended / LAEA Europe
       Some(LambertAzimuthalEqualArea.laeaEurope)
     else if (epsg == 6931) // WGS84 / EASE-Grid 2.0 North
@@ -1931,6 +1933,177 @@ object Warp {
     val SinCoef: Double = 2.0 + Math.PI / 2.0
     /** ESRI:54012 — World Eckert IV (λ₀ = 0, no false offsets). */
     val world: EckertIV = EckertIV(0.0, 0.0, 0.0)
+  }
+
+  /** Robinson (Robinson 1974, "A New Map Projection"; Snyder &
+    * Voxland, An Album of Map Projections, PP 1453) — the NatGeo /
+    * world-atlas COMPROMISE pseudocylindrical (ESRI:54030
+    * "World_Robinson"), the most-requested residue of the
+    * arbitrary-`+proj` gap (the reference warps it by shelling to
+    * proj, `batch/scripts/unify_projection.sh:13-40`). SPHERICAL on
+    * R = a, the [[Mollweide]] stance.
+    *
+    * Robinson is TABLE-DEFINED, not formula-defined: the published
+    * 5°-interval table gives the parallel-length factor X(φ) and the
+    * pole-distance factor Y(φ); x = 0.8487·R·X·Δλ and
+    * y = ±1.3523·R·Y (the standard scale constants). Between nodes
+    * this implementation interpolates with a NATURAL CUBIC SPLINE
+    * over the uniform knot grid u = φ/5° — our documented variant of
+    * the interpolation the projection leaves open (proj ships its own
+    * precomputed cubic table; Robinson himself used Aitken central
+    * interpolation; all pass through the same published nodes, which
+    * WarpSpec pins exactly). The 18 per-segment Horner coefficient
+    * quadruples are computed ONCE (a Thomas solve at class init) and
+    * embedded as the same double literals in the SQL mirror, so the
+    * oracle replays the identical piecewise polynomial — the
+    * fixed-iterate parity contract of [[Mollweide]], with a spline
+    * table in place of a Newton chain.
+    *
+    * The poles are LINES (X(90°) = 0.5322 > 0), so like [[EckertIV]]
+    * there are no plane singularities and the inverse is total in x;
+    * a northing beyond ±1.3523·R fails fast. The inverse latitude
+    * solves the monotone Y spline by bisection (driver-side only —
+    * the warp's per-pixel hot path is the forward). */
+  final case class Robinson(lon0Deg: Double, falseE: Double, falseN: Double)
+      extends Projection {
+    import TransverseMercator.A
+    import Robinson._
+    val lam0: Double = Math.toRadians(lon0Deg)
+    /** x scale 0.8487·R and y scale 1.3523·R (the published scaling
+      * constants), embedded as the same literals in the SQL mirror. */
+    val cx: Double = A * FXC
+    val cy: Double = A * FYC
+
+    /** Horner evaluation of one spline segment — the association the
+      * SQL mirror replays verbatim. */
+    private def interp(coef: Array[Array[Double]], absLatDeg: Double): Double = {
+      val k = math.min(Segments - 1, (absLatDeg / 5.0).toInt)
+      val t = absLatDeg / 5.0 - k
+      val c = coef(k)
+      ((c(3) * t + c(2)) * t + c(1)) * t + c(0)
+    }
+
+    def forward(latDeg: Double, lonDeg: Double): (Double, Double) = {
+      val absLat = math.abs(latDeg)
+      val xf = interp(SplineX, absLat)
+      val yf = interp(SplineY, absLat)
+      val sign = if (latDeg >= 0) 1.0 else -1.0
+      // association mirrors xSql/ySql exactly
+      (cx * xf * (Math.toRadians(lonDeg) - lam0) + falseE,
+        cy * sign * yf + falseN)
+    }
+
+    /** Inverse: latitude from the monotone Y spline by bisection (64
+      * halvings reach float64 noise), longitude from the recovered
+      * parallel-length factor. Total in x (pole LINES, X ≥ 0.5322). */
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val yy = (y - falseN) / cy
+      require(math.abs(yy) <= 1.0 + 1e-12,
+        f"northing ${y - falseN}%.1f m is beyond the pole line " +
+          f"(${cy}%.1f m) — invalid Robinson georeferencing")
+      val ay = math.min(1.0, math.abs(yy))
+      var lo = 0.0
+      var hi = 90.0
+      var i = 0
+      while (i < 64) {
+        val mid = 0.5 * (lo + hi)
+        if (interp(SplineY, mid) < ay) lo = mid else hi = mid
+        i += 1
+      }
+      val absLat = 0.5 * (lo + hi)
+      val lat = (if (yy >= 0) 1.0 else -1.0) * absLat
+      val lon = lam0 + (x - falseE) / (cx * interp(SplineX, absLat))
+      (lat, Math.toDegrees(lon))
+    }
+
+    /** DuckDB SQL mirror of [[forward]]: segment lookup through list
+      * literals of the SAME spline coefficients, the same Horner
+      * association, the same sign fold. */
+    def forwardSelect(lat: String, lon: String): String = {
+      def d(v: Double) = s"CAST(${java.lang.Double.toString(v)} AS DOUBLE)"
+      def lst(cs: Array[Array[Double]], j: Int): String =
+        cs.map(c => d(c(j))).mkString("[", ", ", "]")
+      def horner(p: String): String =
+        s"((${p}3_[rk_ + 1] * rt_ + ${p}2_[rk_ + 1]) * rt_ + " +
+          s"${p}1_[rk_ + 1]) * rt_ + ${p}0_[rk_ + 1]"
+      s"""abs($lat) AS rlat_,
+         |CAST(least(floor(abs($lat) / 5.0), ${Segments - 1}.0) AS INT) AS rk_,
+         |abs($lat) / 5.0 - rk_ AS rt_,
+         |${lst(SplineX, 0)} AS rx0_, ${lst(SplineX, 1)} AS rx1_,
+         |${lst(SplineX, 2)} AS rx2_, ${lst(SplineX, 3)} AS rx3_,
+         |${lst(SplineY, 0)} AS ry0_, ${lst(SplineY, 1)} AS ry1_,
+         |${lst(SplineY, 2)} AS ry2_, ${lst(SplineY, 3)} AS ry3_,
+         |${horner("rx")} AS rX_,
+         |${horner("ry")} AS rY_,
+         |CASE WHEN $lat >= 0 THEN CAST(1.0 AS DOUBLE)
+         |  ELSE CAST(-1.0 AS DOUBLE) END AS rsign_,
+         |radians($lon) - ${d(lam0)} AS rdlam_""".stripMargin
+    }
+    def xSql: String = {
+      def d(v: Double) = s"CAST(${java.lang.Double.toString(v)} AS DOUBLE)"
+      s"${d(cx)} * rX_ * rdlam_ + ${d(falseE)}"
+    }
+    def ySql: String = {
+      def d(v: Double) = s"CAST(${java.lang.Double.toString(v)} AS DOUBLE)"
+      s"${d(cy)} * rsign_ * rY_ + ${d(falseN)}"
+    }
+  }
+
+  object Robinson {
+    /** The published scale constants: x = 0.8487·R·X·Δλ,
+      * y = 1.3523·R·Y. */
+    val FXC: Double = 0.8487
+    val FYC: Double = 1.3523
+    /** Robinson's published 5°-interval table: parallel-length factor
+      * X and pole-distance factor Y at φ = 0, 5, …, 90. */
+    val TableX: Array[Double] = Array(
+      1.0000, 0.9986, 0.9954, 0.9900, 0.9822, 0.9730, 0.9600, 0.9427,
+      0.9216, 0.8962, 0.8679, 0.8350, 0.7986, 0.7597, 0.7186, 0.6732,
+      0.6213, 0.5722, 0.5322)
+    val TableY: Array[Double] = Array(
+      0.0000, 0.0620, 0.1240, 0.1860, 0.2480, 0.3100, 0.3720, 0.4340,
+      0.4958, 0.5571, 0.6176, 0.6769, 0.7346, 0.7903, 0.8435, 0.8936,
+      0.9394, 0.9761, 1.0000)
+    val Segments: Int = TableX.length - 1
+
+    /** Natural-cubic-spline segment coefficients over the uniform
+      * knot grid (knot spacing 1 in u = φ/5°): a Thomas solve for the
+      * second derivatives (M₀ = M_n = 0), then the standard
+      * per-segment quadruple (a, b, c, d) with
+      * S_k(t) = a + b·t + c·t² + d·t³, t ∈ [0, 1]. Computed once in
+      * plain doubles; the SQL mirror embeds the identical values. */
+    private def spline(ys: Array[Double]): Array[Array[Double]] = {
+      val n = ys.length - 1
+      // tridiagonal (1, 4, 1)·M = 6·Δ²y, natural ends
+      val m = new Array[Double](n + 1)
+      val cp = new Array[Double](n + 1)
+      val dp = new Array[Double](n + 1)
+      var i = 1
+      while (i < n) {
+        val rhs = 6.0 * (ys(i + 1) - 2.0 * ys(i) + ys(i - 1))
+        val denom = 4.0 - (if (i == 1) 0.0 else cp(i - 1))
+        cp(i) = 1.0 / denom
+        dp(i) = (rhs - (if (i == 1) 0.0 else dp(i - 1))) / denom
+        i += 1
+      }
+      i = n - 1
+      while (i >= 1) {
+        m(i) = dp(i) - cp(i) * m(i + 1)
+        i -= 1
+      }
+      Array.tabulate(n) { k =>
+        Array(
+          ys(k),
+          ys(k + 1) - ys(k) - m(k) / 3.0 - m(k + 1) / 6.0,
+          m(k) / 2.0,
+          (m(k + 1) - m(k)) / 6.0)
+      }
+    }
+    val SplineX: Array[Array[Double]] = spline(TableX)
+    val SplineY: Array[Array[Double]] = spline(TableY)
+
+    /** ESRI:54030 — World Robinson (λ₀ = 0, no false offsets). */
+    val world: Robinson = Robinson(0.0, 0.0, 0.0)
   }
 
   /** Ellipsoidal Lambert azimuthal equal-area (Snyder PP 1395, eqs.

@@ -701,6 +701,60 @@ class WarpSpec extends AnyFunSuite {
     assert(Warp.projectionFor(54012).contains(k))
   }
 
+  test("Robinson: published table nodes, spline properties, pole lines, round-trip") {
+    val p = Warp.Robinson.world
+    val r = Warp.TransverseMercator.A
+    // ground truth = the PUBLISHED Robinson table itself: the spline
+    // interpolates, so at every 5° node the forward must reproduce
+    // x = 0.8487·R·X·λ and y = 1.3523·R·Y with the table's X/Y
+    // exactly (the projection is table-defined — the nodes ARE the
+    // authoritative worked examples)
+    for (k <- 0 to 18; lon <- Seq(-120.0, 30.0)) {
+      val lat = 5.0 * k
+      val (x, y) = p.forward(lat, lon)
+      val ex = 0.8487 * r * Warp.Robinson.TableX(k) * math.toRadians(lon)
+      val ey = 1.3523 * r * Warp.Robinson.TableY(k)
+      assert(math.abs(x - ex) < 1e-4 && math.abs(y - ey) < 1e-4,
+        s"node $lat° ($lon) → ($x, $y), table ($ex, $ey)")
+      // odd/even symmetry in latitude
+      val (xs, ys) = p.forward(-lat, lon)
+      assert(math.abs(xs - x) < 1e-9 && math.abs(ys + y) < 1e-9)
+    }
+    // between nodes the spline must stay inside the bracketing node
+    // values (X decreasing, Y increasing — monotone table)
+    for (k <- 0 until 18; f <- Seq(0.25, 0.5, 0.75)) {
+      val lat = 5.0 * (k + f)
+      val (x, y) = p.forward(lat, 60.0)
+      val (xLo, yLo) = p.forward(5.0 * k, 60.0)
+      val (xHi, yHi) = p.forward(5.0 * (k + 1), 60.0)
+      assert(x <= xLo + 1e-9 && x >= xHi - 1e-9,
+        s"X not bracketed at $lat: $xHi <= $x <= $xLo")
+      assert(y >= yLo - 1e-9 && y <= yHi + 1e-9,
+        s"Y not bracketed at $lat")
+    }
+    // pole LINES (X(90°) = 0.5322 > 0): distinct longitudes stay
+    // distinct, no plane singularities, inverse total in x
+    val (xp1, yp) = p.forward(90.0, 180.0)
+    val (xp2, _) = p.forward(90.0, 90.0)
+    assert(math.abs(yp - 1.3523 * r) < 1e-6)
+    assert(math.abs(xp1 - 2.0 * xp2) < 1e-6)
+    assert(p.planeSingularities.isEmpty)
+    // round-trip through the bisection inverse
+    for (lat <- Seq(-89.0, -62.5, -13.0, 0.0, 33.3, 47.0, 75.0, 89.0);
+         lon <- Seq(-150.0, -7.0, 0.0, 99.9)) {
+      val (x, y) = p.forward(lat, lon)
+      val (la, lo) = p.inverse(x, y)
+      assert(math.abs(la - lat) < 1e-7 && math.abs(lo - lon) < 1e-7,
+        s"round-trip ($lat, $lon) → ($la, $lo)")
+    }
+    // beyond-pole-line northing fails fast
+    val errR = intercept[IllegalArgumentException](
+      p.inverse(0.0, 1.3523 * r * 1.01))
+    assert(errR.getMessage.contains("Robinson"))
+    // registry resolution: ESRI:54030
+    assert(Warp.projectionFor(54030).contains(p))
+  }
+
   test("ellipsoidal Mercator and equirectangular from geokeys") {
     // CT 7 — the EPSG:3395 World Mercator shape
     val m = Warp.MercatorEllipsoidal.fromGeoKeys(Map(3075 -> 7.0, 3080 -> 0.0))
