@@ -186,6 +186,63 @@ object ScaleProbe {
     }
     val worst = rows.maxBy(_._4)
     println(f"""{"summary":"worst","query":"${worst._1}","exponent":${worst._4}%.2f}""")
+
+    // ---- d18 df-cap discard mass (round-13 verdict ask #7 — the
+    // no-silent-caps rule): the winnow pair join drops fingerprint
+    // classes past df 50; the dropped-posting count is REPORTED so
+    // the cap's cost is visible next to the pair rows (oracle
+    // unchanged — the cap is part of the operator definition).
+    val (capDrop1, capKeep1) =
+      graft.textops.TextQueries.winnowCapAudit(spark, sfDir)
+    val (capDrop10, capKeep10) =
+      graft.textops.TextQueries.winnowCapAudit(spark, outDir)
+    println(s"""{"probe":"d18_dfcap_audit","dropped_postings_1x":$capDrop1,"kept_postings_1x":$capKeep1,"dropped_postings_10x":$capDrop10,"kept_postings_10x":$capKeep10}""")
+
+    // ---- sparse-duplicate gate shape (round-13 verdict ask #6): the
+    // round-12 gate-hole class was nodes ≫ edges (a 100 TB lake with
+    // sparse duplicates: billions of frame hashes, few edges) — the
+    // scaled corpora grow nodes and edges TOGETHER, so this replica
+    // drives 20M nodes / 1k edges through the m21 CC tail
+    // (ccMinLabelAuto under the driver gate + the cluster_size
+    // groupBy+join) and the e27 pagerank kernel. Driver state must
+    // stay endpoint-keyed (≤ 2·edges ids): the used-heap deltas are
+    // reported — the kernels collect only the 2k endpoints, so a
+    // node-collect regression (20M boxed ids in a HashMap, >1.5 GB)
+    // is an order of magnitude above the expected noise.
+    def usedHeap(): Long = {
+      System.gc(); Thread.sleep(100); System.gc()
+      val rt = Runtime.getRuntime
+      rt.totalMemory() - rt.freeMemory()
+    }
+    val sparseNodes = spark.range(20000000L).toDF("id")
+    val sparsePairs = spark.range(500L)
+      .selectExpr("id * 40000 AS a", "id * 40000 + 1 AS b")
+    val sparseSym = sparsePairs.unionByName(
+      sparsePairs.selectExpr("b AS a", "a AS b"))
+    val heap0 = usedHeap()
+    val ccSec = {
+      val t0 = System.nanoTime()
+      val labels = GraphOps.fresh(spark,
+        GraphOps.ccMinLabelAuto(spark, sparseSym, sparseNodes))
+      val lv = labels.selectExpr("id", "lbl AS cluster_id")
+      val cs = lv.groupBy("cluster_id").count()
+      val n = lv.join(cs, "cluster_id").count()
+      require(n == 20000000L, s"sparse CC labeled $n of 20M nodes")
+      (System.nanoTime() - t0) / 1e9
+    }
+    val heapCc = usedHeap()
+    val prSec = {
+      val t0 = System.nanoTime()
+      val em = GraphOps.fresh(spark, sparsePairs
+        .selectExpr("a AS src", "b AS dst")
+        .unionByName(sparsePairs.selectExpr("b AS src", "a AS dst")))
+      val n = graft.simsearch.SimQueries.pagerankKernel(spark, em,
+        sparseNodes.selectExpr("id AS vec_id")).count()
+      require(n == 20000000L, s"sparse pagerank ranked $n of 20M nodes")
+      (System.nanoTime() - t0) / 1e9
+    }
+    val heapPr = usedHeap()
+    println(f"""{"probe":"sparse_graph_gate","nodes":20000000,"edges":1000,"cc_sec":$ccSec%.2f,"pagerank_sec":$prSec%.2f,"heap_mb_before":${heap0 / 1048576},"heap_mb_after_cc":${heapCc / 1048576},"heap_mb_after_pr":${heapPr / 1048576},"expect":"deltas << 1.5 GB (a node-collect regression); label checkpoint blocks only"}""")
     // e4's scale knob, now WIRED (e4Auto / e4_ann_lsh_auto): band
     // width derives from corpus size (occupancy ≤ ~100 per bucket, so
     // candidate pairs ∝ occupancy² stay flat). Probe the auto-chosen
@@ -311,6 +368,14 @@ object ScaleProbe {
             f""","sec_per_mrow_10x":${t10 * 1e6 / r10}%.3f,"sec_per_mrow_100x":${t100 * 1e6 / r100}%.3f"""
           else ""
         println(f"""{"query":"$q","sec_10x":$t10%.2f,"sec_100x":$t100%.2f,"exponent_10_100":${math.log10(t100 / t10)}%.2f,"rows_10x":$r10,"rows_100x":$r100$perOut}""")
+        if (q == "d18_winnow") {
+          // the df-cap discard mass at scale (ask #7): suffixed
+          // replica grams are distinct, so per-class df — and hence
+          // the dropped share — should stay fixture-shaped
+          val (da, ka) = graft.textops.TextQueries.winnowCapAudit(spark, outDir)
+          val (db, kb) = graft.textops.TextQueries.winnowCapAudit(spark, out100)
+          println(s"""{"probe":"d18_dfcap_audit_scale","dropped_postings_10x":$da,"kept_postings_10x":$ka,"dropped_postings_100x":$db,"kept_postings_100x":$kb}""")
+        }
       }
       if (only100.isDefined) { spark.stop(); return }
       val n10e = spark.read.parquet(s"$outDir/embeddings.parquet").count()

@@ -1371,7 +1371,7 @@ object SimQueries extends QueryModule {
     * be bucketed by src so every round's join is shuffle-free on the
     * edge side. */
   private def e27Query(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    import org.apache.spark.sql.functions.col
     val em0 = spark.sql(
       s"""${e21GraphCtes(spark, sfDir)}
          |SELECT src, dst FROM m WHERE mutual = 1""".stripMargin)
@@ -1379,8 +1379,25 @@ object SimQueries extends QueryModule {
       val ck = df.localCheckpoint()
       spark.createDataFrame(ck.rdd, ck.schema)
     }
-    val em = fresh(em0)
-    val nodes = fresh(spark.table("embeddings").select(col("vec_id")))
+    pagerankKernel(spark, fresh(em0),
+      fresh(spark.table("embeddings").select(col("vec_id"))))
+  }
+
+  /** e27's PageRank kernel over an arbitrary directed edge table
+    * `em(src, dst)` and node table `nodes(vec_id)` — factored out so
+    * the ScaleProbe can drive the SAME gate + driver-fold + isolated-
+    * node join with a synthetic nodes ≫ edges graph (the round-12
+    * gate-hole shape: driver state must stay ≤ 2·edges no matter how
+    * large `nodes` is). Inputs should be checkpointed by the caller
+    * (both paths re-read them). */
+  private[graft] def pagerankKernel(spark: SparkSession,
+                                    em: DataFrame,
+                                    nodes: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    def fresh(df: DataFrame): DataFrame = {
+      val ck = df.localCheckpoint()
+      spark.createDataFrame(ck.rdd, ck.schema)
+    }
     // Size gate, the ccMinLabelAuto pattern: the fixpoint is pure
     // integer arithmetic (sum order irrelevant), so below the edge
     // threshold the driver loop computes the IDENTICAL result without

@@ -309,6 +309,41 @@ object TextQueries extends QueryModule {
   private val sparkSigs =
     "sigs AS (SELECT doc_id, hs, minhash36(hs) AS sg FROM sh)"
 
+  /** d18's fingerprint pipeline (Spark dialect) up to `f(doc_id,
+    * fp)` — shared by the d18 query and [[winnowCapAudit]] so the
+    * audit counts postings of exactly the operator's fingerprints. */
+  private val winnowFpCtes: String =
+    """WITH w0 AS (SELECT doc_id, filter(split(text, ' '), x -> x != '') AS w
+      |  FROM documents),
+      |g AS (SELECT doc_id, i AS pos,
+      |    CAST(conv(substring(md5(concat_ws(' ', slice(w, i+1, 3))), 1, 10), 16, 10) AS BIGINT) AS gh
+      |  FROM w0 LATERAL VIEW explode(sequence(0, size(w) - 3)) t AS i
+      |  WHERE size(w) >= 3),
+      |s AS (SELECT doc_id, pos,
+      |    min(gh) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+      |  FROM g),
+      |f AS (SELECT DISTINCT doc_id, fp
+      |  FROM s WHERE pos >= 3)""".stripMargin
+
+  /** d18's df-cap accounting (round-13 verdict ask #7 — the
+    * no-silent-caps rule): the pair join discards every fingerprint
+    * class past df 50 (boilerplate grams carry no pair signal but
+    * would fan out quadratically), and this makes the discarded mass
+    * VISIBLE — ScaleProbe logs it next to the pair count. Returns
+    * (droppedPostings, keptPostings). */
+  private[graft] def winnowCapAudit(spark: SparkSession,
+                                    sfDir: String): (Long, Long) = {
+    Tables.register(spark, sfDir)
+    val r = spark.sql(
+      s"""$winnowFpCtes,
+         |dfc AS (SELECT fp, count(*) AS df FROM f GROUP BY fp)
+         |SELECT CAST(coalesce(sum(CASE WHEN df > 50 THEN df END), 0) AS BIGINT),
+         |       CAST(coalesce(sum(CASE WHEN df <= 50 THEN df END), 0) AS BIGINT)
+         |FROM dfc""".stripMargin).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
   /** SimHash bit sums s0..s30 + fingerprint assembly, identical text in
     * both dialects (built by one loop so the formulas cannot diverge). */
   private val simhashBitSums: String = (0 to 30)
@@ -1826,18 +1861,7 @@ object TextQueries extends QueryModule {
     // The cap's discard mass is not silent: ScaleProbe logs the
     // dropped-posting count next to the pair count.
     SqlQ.split("d18_winnow",
-      """WITH w0 AS (SELECT doc_id, filter(split(text, ' '), x -> x != '') AS w
-        |  FROM documents),
-        |g AS (SELECT doc_id, i AS pos,
-        |    CAST(conv(substring(md5(concat_ws(' ', slice(w, i+1, 3))), 1, 10), 16, 10) AS BIGINT) AS gh
-        |  FROM w0 LATERAL VIEW explode(sequence(0, size(w) - 3)) t AS i
-        |  WHERE size(w) >= 3),
-        |s AS (SELECT doc_id, pos,
-        |    min(gh) OVER (PARTITION BY doc_id ORDER BY pos
-        |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
-        |  FROM g),
-        |f AS (SELECT DISTINCT doc_id, fp
-        |  FROM s WHERE pos >= 3),
+      s"""$winnowFpCtes,
         |dfc AS (SELECT fp FROM f GROUP BY fp HAVING count(*) <= 50),
         |fk AS (SELECT f.doc_id, f.fp FROM f JOIN dfc ON dfc.fp = f.fp)
         |SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
