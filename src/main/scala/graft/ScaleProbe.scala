@@ -198,51 +198,6 @@ object ScaleProbe {
       graft.textops.TextQueries.winnowCapAudit(spark, outDir)
     println(s"""{"probe":"d18_dfcap_audit","dropped_postings_1x":$capDrop1,"kept_postings_1x":$capKeep1,"dropped_postings_10x":$capDrop10,"kept_postings_10x":$capKeep10}""")
 
-    // ---- sparse-duplicate gate shape (round-13 verdict ask #6): the
-    // round-12 gate-hole class was nodes ≫ edges (a 100 TB lake with
-    // sparse duplicates: billions of frame hashes, few edges) — the
-    // scaled corpora grow nodes and edges TOGETHER, so this replica
-    // drives 20M nodes / 1k edges through the m21 CC tail
-    // (ccMinLabelAuto under the driver gate + the cluster_size
-    // groupBy+join) and the e27 pagerank kernel. Driver state must
-    // stay endpoint-keyed (≤ 2·edges ids): the used-heap deltas are
-    // reported — the kernels collect only the 2k endpoints, so a
-    // node-collect regression (20M boxed ids in a HashMap, >1.5 GB)
-    // is an order of magnitude above the expected noise.
-    def usedHeap(): Long = {
-      System.gc(); Thread.sleep(100); System.gc()
-      val rt = Runtime.getRuntime
-      rt.totalMemory() - rt.freeMemory()
-    }
-    val sparseNodes = spark.range(20000000L).toDF("id")
-    val sparsePairs = spark.range(500L)
-      .selectExpr("id * 40000 AS a", "id * 40000 + 1 AS b")
-    val sparseSym = sparsePairs.unionByName(
-      sparsePairs.selectExpr("b AS a", "a AS b"))
-    val heap0 = usedHeap()
-    val ccSec = {
-      val t0 = System.nanoTime()
-      val labels = GraphOps.fresh(spark,
-        GraphOps.ccMinLabelAuto(spark, sparseSym, sparseNodes))
-      val lv = labels.selectExpr("id", "lbl AS cluster_id")
-      val cs = lv.groupBy("cluster_id").count()
-      val n = lv.join(cs, "cluster_id").count()
-      require(n == 20000000L, s"sparse CC labeled $n of 20M nodes")
-      (System.nanoTime() - t0) / 1e9
-    }
-    val heapCc = usedHeap()
-    val prSec = {
-      val t0 = System.nanoTime()
-      val em = GraphOps.fresh(spark, sparsePairs
-        .selectExpr("a AS src", "b AS dst")
-        .unionByName(sparsePairs.selectExpr("b AS src", "a AS dst")))
-      val n = graft.simsearch.SimQueries.pagerankKernel(spark, em,
-        sparseNodes.selectExpr("id AS vec_id")).count()
-      require(n == 20000000L, s"sparse pagerank ranked $n of 20M nodes")
-      (System.nanoTime() - t0) / 1e9
-    }
-    val heapPr = usedHeap()
-    println(f"""{"probe":"sparse_graph_gate","nodes":20000000,"edges":1000,"cc_sec":$ccSec%.2f,"pagerank_sec":$prSec%.2f,"heap_mb_before":${heap0 / 1048576},"heap_mb_after_cc":${heapCc / 1048576},"heap_mb_after_pr":${heapPr / 1048576},"expect":"deltas << 1.5 GB (a node-collect regression); label checkpoint blocks only"}""")
     // e4's scale knob, now WIRED (e4Auto / e4_ann_lsh_auto): band
     // width derives from corpus size (occupancy ≤ ~100 per bucket, so
     // candidate pairs ∝ occupancy² stay flat). Probe the auto-chosen
@@ -311,6 +266,57 @@ object ScaleProbe {
     val rTrained = meanRecall(SimQueries.pqTrainedRecall(spark, sfDir, nQ = 50))
     println(f"""{"probe":"pq_codebook_recall","queries":50,"seed_mean_recall_at_5":$rSeed%.3f,"trained_mean_recall_at_5":$rTrained%.3f}""")
     }
+
+    // ---- sparse-duplicate gate shape (round-13 verdict ask #6 — runs
+    // even under GRAFT_PROBE_SKIP_BASE so it can be re-measured alone): the
+    // round-12 gate-hole class was nodes ≫ edges (a 100 TB lake with
+    // sparse duplicates: billions of frame hashes, few edges) — the
+    // scaled corpora grow nodes and edges TOGETHER, so this replica
+    // drives 20M nodes / 1k edges through the m21 CC tail
+    // (ccMinLabelAuto under the driver gate + the cluster_size
+    // groupBy+join) and the e27 pagerank kernel. Driver state must
+    // stay endpoint-keyed (≤ 2·edges ids): the used-heap deltas are
+    // reported — the kernels collect only the 2k endpoints, so a
+    // node-collect regression (20M boxed ids in a HashMap, >1.5 GB)
+    // is an order of magnitude above the expected noise.
+    def usedHeap(): Long = {
+      System.gc(); Thread.sleep(100); System.gc()
+      val rt = Runtime.getRuntime
+      rt.totalMemory() - rt.freeMemory()
+    }
+    val sparseNodes = spark.range(20000000L).toDF("id")
+    val sparsePairs = spark.range(500L)
+      .selectExpr("id * 40000 AS a", "id * 40000 + 1 AS b")
+    val sparseSym = sparsePairs.unionByName(
+      sparsePairs.selectExpr("b AS a", "a AS b"))
+    val heap0 = usedHeap()
+    val ccSec = {
+      val t0 = System.nanoTime()
+      // NO outer localCheckpoint here (m21's fresh(labels) would park
+      // the 20M-row label table in on-heap block storage — ~1.6 GB of
+      // CACHE that the heap delta below would misread as driver
+      // state); the tail recomputes CC once more through the join,
+      // which is fine for a probe whose question is the DRIVER fold
+      val labels = GraphOps.ccMinLabelAuto(spark, sparseSym, sparseNodes)
+      val lv = labels.selectExpr("id", "lbl AS cluster_id")
+      val cs = lv.groupBy("cluster_id").count()
+      val n = lv.join(cs, "cluster_id").count()
+      require(n == 20000000L, s"sparse CC labeled $n of 20M nodes")
+      (System.nanoTime() - t0) / 1e9
+    }
+    val heapCc = usedHeap()
+    val prSec = {
+      val t0 = System.nanoTime()
+      val em = GraphOps.fresh(spark, sparsePairs
+        .selectExpr("a AS src", "b AS dst")
+        .unionByName(sparsePairs.selectExpr("b AS src", "a AS dst")))
+      val n = graft.simsearch.SimQueries.pagerankKernel(spark, em,
+        sparseNodes.selectExpr("id AS vec_id")).count()
+      require(n == 20000000L, s"sparse pagerank ranked $n of 20M nodes")
+      (System.nanoTime() - t0) / 1e9
+    }
+    val heapPr = usedHeap()
+    println(f"""{"probe":"sparse_graph_gate","nodes":20000000,"edges":1000,"cc_sec":$ccSec%.2f,"pagerank_sec":$prSec%.2f,"heap_mb_before":${heap0 / 1048576},"heap_mb_after_cc":${heapCc / 1048576},"heap_mb_after_pr":${heapPr / 1048576},"expect":"deltas ~0 (driver folds collect 2k endpoints); a node-collect regression is >1.5 GB"}""")
 
     // ---- 100× (round-8 verdict ask #8): the 10× exponents on
     // sub-second queries are noise-dominated; push the two cheapest

@@ -1077,6 +1077,18 @@ object RasterQueries extends QueryModule {
       x0 = 200000.0, yTop = 6300000.0, pixelM = 10000.0,
       tilesX = 2, tilesY = 2, pxPerTile = 20)
 
+  /** r32: World Winkel Tripel (ESRI:54042 — the NatGeo world-map CRS,
+    * the LAST named projection in the arbitrary-`+proj` residue): the
+    * modified-azimuthal compromise whose forward is pure closed form
+    * (equirectangular/Aitoff mean with one sinc guard —
+    * [[Warp.WinkelTripel.forwardSelect]] is a straight-line
+    * expression), while the inverse runs a driver-side 2-D Newton
+    * (boundary work only). Same mid-latitude window as r29–r31. */
+  private def r32Lattice: Warp.ProjectedLattice =
+    Warp.ProjectedLattice(Warp.WinkelTripel.world,
+      x0 = 200000.0, yTop = 6300000.0, pixelM = 10000.0,
+      tilesX = 2, tilesY = 2, pxPerTile = 20)
+
   /** r26: the Dutch RD grid — CT 16 double-stereographic geokeys with
     * the EPSG:28992 parameter set AND the Bessel 1841 figure carried
     * in GeogSemiMajorAxis/GeogInvFlattening (2057/2059): the
@@ -1218,6 +1230,9 @@ object RasterQueries extends QueryModule {
 
   private def robinsonIngest(spark: SparkSession, sfDir: String): DataFrame =
     projIngest(spark, sfDir, "r31", r31Lattice, 54030)
+
+  private def winkelIngest(spark: SparkSession, sfDir: String): DataFrame =
+    projIngest(spark, sfDir, "r32", r32Lattice, 54042)
 
   private def stereaIngest(spark: SparkSession, sfDir: String): DataFrame =
     projIngest(spark, sfDir, "r26", r26Lattice, 32767, r26Params)
@@ -1435,7 +1450,8 @@ object RasterQueries extends QueryModule {
       ("r28_ntv2_ingest" -> (ntv2Ingest _)) +
       ("r29_mollweide_ingest" -> (mollweideIngest _)) +
       ("r30_eckert4_ingest" -> (eckert4Ingest _)) +
-      ("r31_robinson_ingest" -> (robinsonIngest _))
+      ("r31_robinson_ingest" -> (robinsonIngest _)) +
+      ("r32_winkel_ingest" -> (winkelIngest _))
 
   override def oracles: Map[String, String] =
     sqls.flatMap(q => q.oracleSql.map(q.name -> _)).toMap +
@@ -1467,5 +1483,6 @@ object RasterQueries extends QueryModule {
       ("r28_ntv2_ingest" -> projIngestOracle(r28Lattice)) +
       ("r29_mollweide_ingest" -> projIngestOracle(r29Lattice)) +
       ("r30_eckert4_ingest" -> projIngestOracle(r30Lattice)) +
-      ("r31_robinson_ingest" -> projIngestOracle(r31Lattice))
+      ("r31_robinson_ingest" -> projIngestOracle(r31Lattice)) +
+      ("r32_winkel_ingest" -> projIngestOracle(r32Lattice))
 }

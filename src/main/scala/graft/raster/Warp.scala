@@ -176,6 +176,8 @@ object Warp {
       Some(EckertIV.world)
     else if (epsg == 54030) // ESRI World Robinson (compromise world)
       Some(Robinson.world)
+    else if (epsg == 54042) // ESRI World Winkel Tripel (NatGeo world)
+      Some(WinkelTripel.world)
     else if (epsg == 3035) // ETRS89-extended / LAEA Europe
       Some(LambertAzimuthalEqualArea.laeaEurope)
     else if (epsg == 6931) // WGS84 / EASE-Grid 2.0 North
@@ -2104,6 +2106,131 @@ object Warp {
 
     /** ESRI:54030 — World Robinson (λ₀ = 0, no false offsets). */
     val world: Robinson = Robinson(0.0, 0.0, 0.0)
+  }
+
+  /** Winkel Tripel (Winkel 1921; Snyder, Flattening the Earth — the
+    * modified-azimuthal compromise world map; ESRI:54042
+    * "World_Winkel_Tripel", the National Geographic world-map CRS
+    * since 1998) — with [[Robinson]] this closes the NAMED residue of
+    * the arbitrary-`+proj` gap. SPHERICAL on R = a, the Mollweide
+    * stance.
+    *
+    * Forward is CLOSED FORM: the arithmetic mean of the
+    * equirectangular projection at standard parallel φ₁ and the
+    * Aitoff projection —
+    *   α = acos(cos φ · cos(Δλ/2)),  sinc α = sin α / α (→ 1 at 0)
+    *   x = (R/2)·(Δλ·cos φ₁ + 2·cos φ·sin(Δλ/2) / sinc α)
+    *   y = (R/2)·(φ + sin φ / sinc α)
+    * with φ₁ = acos(2/π) (the ESRI:54042 parameter). The only
+    * branch is the α → 0 sinc guard (the map center), mirrored
+    * verbatim in SQL — no iteration anywhere in the forward, so the
+    * oracle replay is a straight-line expression.
+    *
+    * The INVERSE has no closed form (the defining trait of the
+    * modified-azimuthal family): a damped 2-D Newton on the forward
+    * with a central-difference Jacobian runs driver-side only
+    * (lattice boundary/bbox work — the per-pixel warp hot path is
+    * the forward), seeded from the equirectangular mean. Poles map
+    * to LINES (x = (R/2)·Δλ·cos φ₁ at |φ| = 90), so there are no
+    * plane singularities. */
+  final case class WinkelTripel(lon0Deg: Double, falseE: Double, falseN: Double)
+      extends Projection {
+    import TransverseMercator.A
+    val lam0: Double = Math.toRadians(lon0Deg)
+    /** Standard parallel cos φ₁ = 2/π — the defining ESRI:54042
+      * parameter, embedded as the same literal in the SQL mirror. */
+    val cosPhi1: Double = 2.0 / Math.PI
+    val half: Double = A / 2.0
+
+    def forward(latDeg: Double, lonDeg: Double): (Double, Double) = {
+      val phi = Math.toRadians(latDeg)
+      val dlam = Math.toRadians(lonDeg) - lam0
+      val cosPhi = Math.cos(phi)
+      val alpha = Math.acos(math.max(-1.0, math.min(1.0,
+        cosPhi * Math.cos(dlam / 2.0))))
+      val sinc = if (alpha < 1e-12) 1.0 else Math.sin(alpha) / alpha
+      // association mirrors xSql/ySql exactly
+      (half * (dlam * cosPhi1 + 2.0 * cosPhi * Math.sin(dlam / 2.0) / sinc)
+        + falseE,
+        half * (phi + Math.sin(phi) / sinc) + falseN)
+    }
+
+    /** Damped 2-D Newton with a central-difference Jacobian —
+      * driver-side only (boundary sampling); 40 steps from the
+      * equirectangular seed reach float64 noise over the whole map
+      * (WarpSpec round-trips incl. ±89°). */
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val tx = x - falseE
+      val ty = y - falseN
+      require(math.abs(ty) <= half * Math.PI * 1.0001,
+        f"northing $ty%.1f m is beyond the pole line " +
+          f"(${half * Math.PI}%.1f m) — invalid Winkel Tripel georeferencing")
+      def fwd(phi: Double, lam: Double): (Double, Double) = {
+        val cosPhi = Math.cos(phi)
+        val alpha = Math.acos(math.max(-1.0, math.min(1.0,
+          cosPhi * Math.cos(lam / 2.0))))
+        val sinc = if (alpha < 1e-12) 1.0 else Math.sin(alpha) / alpha
+        (half * (lam * cosPhi1 + 2.0 * cosPhi * Math.sin(lam / 2.0) / sinc),
+          half * (phi + Math.sin(phi) / sinc))
+      }
+      // seed: the equirectangular mean alone (φ from y/R, λ from x)
+      var phi = math.max(-Math.PI / 2, math.min(Math.PI / 2, ty / A))
+      var lam = math.max(-Math.PI, math.min(Math.PI,
+        tx / (half * (cosPhi1 + math.max(0.05, Math.cos(phi))))))
+      val h = 1e-7
+      var i = 0
+      while (i < 40) {
+        val (fx, fy) = fwd(phi, lam)
+        val ex = fx - tx
+        val ey = fy - ty
+        val (fxp, fyp) = fwd(phi + h, lam)
+        val (fxm, fym) = fwd(phi - h, lam)
+        val (gxp, gyp) = fwd(phi, lam + h)
+        val (gxm, gym) = fwd(phi, lam - h)
+        val j11 = (fxp - fxm) / (2 * h); val j12 = (gxp - gxm) / (2 * h)
+        val j21 = (fyp - fym) / (2 * h); val j22 = (gyp - gym) / (2 * h)
+        val det = j11 * j22 - j12 * j21
+        if (math.abs(det) < 1e-30) i = 40
+        else {
+          val dPhi = (ex * j22 - ey * j12) / det
+          val dLam = (ey * j11 - ex * j21) / det
+          // damped + clamped: the Jacobian degenerates toward the
+          // pole line, and an overshoot past |φ| = π/2 would leave
+          // the map
+          phi = math.max(-Math.PI / 2, math.min(Math.PI / 2, phi - 0.9 * dPhi))
+          lam = math.max(-Math.PI, math.min(Math.PI, lam - 0.9 * dLam))
+          i += 1
+        }
+      }
+      (Math.toDegrees(phi), Math.toDegrees(lam + lam0))
+    }
+
+    /** DuckDB SQL mirror of [[forward]]: straight-line closed form
+      * with the identical sinc guard. */
+    def forwardSelect(lat: String, lon: String): String = {
+      def d(v: Double) = s"CAST(${java.lang.Double.toString(v)} AS DOUBLE)"
+      s"""radians($lat) AS wphi_,
+         |radians($lon) - ${d(lam0)} AS wdlam_,
+         |cos(wphi_) AS wcphi_,
+         |acos(greatest(${d(-1.0)}, least(${d(1.0)},
+         |  wcphi_ * cos(wdlam_ / 2.0)))) AS walpha_,
+         |CASE WHEN walpha_ < ${d(1e-12)} THEN ${d(1.0)}
+         |  ELSE sin(walpha_) / walpha_ END AS wsinc_""".stripMargin
+    }
+    def xSql: String = {
+      def d(v: Double) = s"CAST(${java.lang.Double.toString(v)} AS DOUBLE)"
+      s"${d(half)} * (wdlam_ * ${d(cosPhi1)} + " +
+        s"2.0 * wcphi_ * sin(wdlam_ / 2.0) / wsinc_) + ${d(falseE)}"
+    }
+    def ySql: String = {
+      def d(v: Double) = s"CAST(${java.lang.Double.toString(v)} AS DOUBLE)"
+      s"${d(half)} * (wphi_ + sin(wphi_) / wsinc_) + ${d(falseN)}"
+    }
+  }
+
+  object WinkelTripel {
+    /** ESRI:54042 — World Winkel Tripel (λ₀ = 0, φ₁ = acos(2/π)). */
+    val world: WinkelTripel = WinkelTripel(0.0, 0.0, 0.0)
   }
 
   /** Ellipsoidal Lambert azimuthal equal-area (Snyder PP 1395, eqs.

@@ -755,6 +755,60 @@ class WarpSpec extends AnyFunSuite {
     assert(Warp.projectionFor(54030).contains(p))
   }
 
+  test("Winkel Tripel: Aitoff/equirectangular mean, pole lines, Newton round-trip") {
+    val w = Warp.WinkelTripel.world
+    val r = Warp.TransverseMercator.A
+    // ground truth from the DEFINITION: the arithmetic mean of the
+    // independently-computed equirectangular (at φ₁ = acos(2/π)) and
+    // Aitoff projections
+    def aitoff(lat: Double, lon: Double): (Double, Double) = {
+      val phi = math.toRadians(lat); val lam = math.toRadians(lon)
+      val alpha = math.acos(math.cos(phi) * math.cos(lam / 2))
+      val sinc = if (alpha < 1e-12) 1.0 else math.sin(alpha) / alpha
+      (2 * r * math.cos(phi) * math.sin(lam / 2) / sinc,
+        r * math.sin(phi) / sinc)
+    }
+    for (lat <- Seq(-75.0, -30.0, 0.0, 18.0, 52.0, 85.0);
+         lon <- Seq(-160.0, -45.0, 0.0, 10.0, 120.0)) {
+      val (ax, ay) = aitoff(lat, lon)
+      val ex = (r * math.toRadians(lon) * (2.0 / Math.PI) + ax) / 2
+      val ey = (r * math.toRadians(lat) + ay) / 2
+      val (x, y) = w.forward(lat, lon)
+      assert(math.abs(x - ex) < 1e-5 && math.abs(y - ey) < 1e-5,
+        s"($lat, $lon) → ($x, $y), definitional mean ($ex, $ey)")
+    }
+    // analytic identities: the equator maps linearly with slope
+    // R·(1 + cos φ₁)/2, and the poles are LINES y = ±R·π/2 with
+    // x = (R/2)·λ·cos φ₁
+    val (xe, ye) = w.forward(0.0, 60.0)
+    assert(math.abs(ye) < 1e-9)
+    assert(math.abs(xe - r * math.toRadians(60.0) * (1 + 2.0 / Math.PI) / 2) < 1e-5)
+    val (xp, yp) = w.forward(90.0, 100.0)
+    assert(math.abs(yp - r * Math.PI / 2) < 1e-5, s"pole northing $yp")
+    assert(math.abs(xp - w.half * math.toRadians(100.0) * w.cosPhi1) < 1e-5)
+    assert(w.planeSingularities.isEmpty)
+    // symmetry: x odd in λ and even in φ; y odd in φ
+    val (x1, y1) = w.forward(33.0, 70.0)
+    val (x2, y2) = w.forward(-33.0, 70.0)
+    val (x3, y3) = w.forward(33.0, -70.0)
+    assert(math.abs(x1 - x2) < 1e-9 && math.abs(y1 + y2) < 1e-9)
+    assert(math.abs(x1 + x3) < 1e-9 && math.abs(y1 - y3) < 1e-9)
+    // Newton round-trip across the map incl. near-pole rows
+    for (lat <- Seq(-89.0, -62.5, -13.0, 0.0, 33.3, 47.0, 75.0, 89.0);
+         lon <- Seq(-170.0, -99.9, -7.0, 0.0, 45.0, 170.0)) {
+      val (x, y) = w.forward(lat, lon)
+      val (la, lo) = w.inverse(x, y)
+      assert(math.abs(la - lat) < 1e-6 && math.abs(lo - lon) < 1e-6,
+        s"round-trip ($lat, $lon) → ($la, $lo)")
+    }
+    // beyond-pole-line northing fails fast
+    val errW = intercept[IllegalArgumentException](
+      w.inverse(0.0, r * Math.PI / 2 * 1.01))
+    assert(errW.getMessage.contains("Winkel"))
+    // registry resolution: ESRI:54042
+    assert(Warp.projectionFor(54042).contains(w))
+  }
+
   test("ellipsoidal Mercator and equirectangular from geokeys") {
     // CT 7 — the EPSG:3395 World Mercator shape
     val m = Warp.MercatorEllipsoidal.fromGeoKeys(Map(3075 -> 7.0, 3080 -> 0.0))
