@@ -1,7 +1,56 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Host-contention sampler (the scripts/stealmon.py summary, built
+    * in so the DRIVER-run bench line carries its own context): a
+    * daemon thread reads `/proc/stat` at 1 Hz; [[summary]] reports
+    * the steal share over the whole run and the worst 10-sample
+    * steal window. Round-13 verdict ask #1: wall-clock on this box
+    * tracks hypervisor steal (measured: 145 s warm at 0.1% steal vs
+    * 255 s at 3.2%/22%-burst, same binary), so a bench number
+    * WITHOUT a steal context is not interpretable evidence. Fails
+    * soft (all-zero) on hosts without /proc/stat. */
+  private final class StealSampler {
+    private val fields = 10
+    private val samples = new java.util.concurrent.ConcurrentLinkedQueue[Array[Long]]()
+    private def read(): Option[Array[Long]] =
+      try {
+        val src = scala.io.Source.fromFile("/proc/stat")
+        try src.getLines().find(_.startsWith("cpu ")).map { l =>
+          val v = l.split("\\s+").drop(1).map(_.toLong)
+          java.util.Arrays.copyOf(v, fields)
+        } finally src.close()
+      } catch { case _: Throwable => None }
+    read().foreach(samples.add)
+    private val t = new Thread(() => {
+      while (true) { Thread.sleep(1000); read().foreach(samples.add) }
+    })
+    t.setDaemon(true)
+    t.start()
+    /** (steal_share, worst_10s_steal_share) over the sampled run. */
+    def summary(): (Double, Double) = {
+      read().foreach(samples.add)
+      val s = samples.toArray(Array.empty[Array[Long]])
+      if (s.length < 2) return (0.0, 0.0)
+      def tot(a: Array[Long]) = a.sum
+      val dTot = tot(s.last) - tot(s.head)
+      val share =
+        if (dTot <= 0) 0.0 else (s.last(7) - s.head(7)).toDouble / dTot
+      var worst = 0.0
+      var i = 0
+      while (i + 10 < s.length) {
+        val wt = tot(s(i + 10)) - tot(s(i))
+        if (wt > 0)
+          worst = math.max(worst, (s(i + 10)(7) - s(i)(7)).toDouble / wt)
+        i += 1
+      }
+      (share, worst)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
+    val steal = new StealSampler
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -60,7 +109,9 @@ object Bench {
       graft.streaming.StreamingQueries.opSeconds.asScala.toSeq.sortBy(_._1)
         .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString(",")
     }
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","warm_total":${fmt(warmTotal)},"pass":"queries=warm","qcount":${results.size},"qdropped":0,"queries":{$sb},"sg_op":{$sgOp},"sf":"$sfDir"}"""
+    val (stealShare, stealWorst) = steal.summary()
+    def fm5(v: Double) = f"$v%.5f"
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","warm_total":${fmt(warmTotal)},"pass":"queries=warm","qcount":${results.size},"qdropped":0,"steal_share":${fm5(stealShare)},"worst_10s_steal":${fm5(stealWorst)},"queries":{$sb},"sg_op":{$sgOp},"sf":"$sfDir"}"""
     println(line)
     // Belt-and-braces: the full artifact also lands on disk so a
     // truncated stdout capture can never lose the per-query data.
@@ -77,7 +128,7 @@ object Bench {
     // numbers; the full per-query map lives in the line above and in
     // bench_full.json.
     val worst = ordered.headOption.getOrElse(("none", 0.0))
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","warm_total":${fmt(warmTotal)},"qcount":${results.size},"qdropped":0,"worst":"${worst._1}","worst_sec":${fmt(worst._2)},"detail":"bench_full.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","warm_total":${fmt(warmTotal)},"qcount":${results.size},"qdropped":0,"worst":"${worst._1}","worst_sec":${fmt(worst._2)},"steal_share":${fm5(stealShare)},"worst_10s_steal":${fm5(stealWorst)},"detail":"bench_full.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }
