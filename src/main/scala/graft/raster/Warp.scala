@@ -202,6 +202,7 @@ object Warp {
           Some(ObliqueStereographic.fromGeoKeys(geoParams))
         case Some(15) => Some(PolarStereographic.fromGeoKeys(geoParams))
         case Some(17) => Some(Equirectangular.fromGeoKeys(geoParams))
+        case Some(23) => Some(Robinson.fromGeoKeys(geoParams))
         case Some(24) => Some(Sinusoidal.fromGeoKeys(geoParams))
         case Some(28) => Some(CylindricalEqualArea.fromGeoKeys(geoParams))
         case _ => None
@@ -2106,6 +2107,23 @@ object Warp {
 
     /** ESRI:54030 — World Robinson (λ₀ = 0, no false offsets). */
     val world: Robinson = Robinson(0.0, 0.0, 0.0)
+
+    /** Build from GeoTIFF projection geokeys (CT 23 — how a Robinson
+      * raster in the wild actually declares itself: ProjectedCSType
+      * 32767 + CoordTrans 23, not the ESRI registry code): central
+      * meridian from ProjCenterLong (3088; fallbacks 3080/3084 — the
+      * Sinusoidal convention), false offsets from 3082/3083 (or the
+      * false-origin pair). */
+    def fromGeoKeys(p: Map[Int, Double]): Robinson = {
+      val lon0 = Seq(3088, 3080, 3084)
+        .collectFirst { case id if p.contains(id) => p(id) }
+        .getOrElse(throw new IllegalArgumentException(
+          "Robinson GeoKeyDirectory missing ProjCenterLong " +
+            "(keys 3088/3080/3084)"))
+      Robinson(lon0Deg = lon0,
+        falseE = p.getOrElse(3082, p.getOrElse(3086, 0.0)),
+        falseN = p.getOrElse(3083, p.getOrElse(3087, 0.0)))
+    }
   }
 
   /** Winkel Tripel (Winkel 1921; Snyder, Flattening the Earth — the

@@ -753,6 +753,21 @@ class WarpSpec extends AnyFunSuite {
     assert(errR.getMessage.contains("Robinson"))
     // registry resolution: ESRI:54030
     assert(Warp.projectionFor(54030).contains(p))
+    // CT 23 geokey resolution (how a wild Robinson raster declares
+    // itself: ProjectedCSType 32767 + CoordTrans 23): central
+    // meridian + false offsets flow through
+    val fromKeys = Warp.projectionFor(32767,
+      Map(3075 -> 23.0, 3088 -> 10.0, 3082 -> 1000.0, 3083 -> 2000.0))
+    assert(fromKeys.contains(Warp.Robinson(10.0, 1000.0, 2000.0)))
+    val (xk, yk) = fromKeys.get.forward(30.0, 10.0)
+    val (x0b, y0b) = p.forward(30.0, 0.0)
+    assert(math.abs(xk - (x0b + 1000.0)) < 1e-6 &&
+      math.abs(yk - (y0b + 2000.0)) < 1e-6,
+      "lon0/false offsets must shift the world forward")
+    // a CT 23 directory without a central meridian fails fast
+    val errK = intercept[IllegalArgumentException](
+      Warp.projectionFor(32767, Map(3075 -> 23.0)))
+    assert(errK.getMessage.contains("Robinson"))
   }
 
   test("Winkel Tripel: Aitoff/equirectangular mean, pole lines, Newton round-trip") {
