@@ -1234,6 +1234,34 @@ object RasterQueries extends QueryModule {
   private def winkelIngest(spark: SparkSession, sfDir: String): DataFrame =
     projIngest(spark, sfDir, "r32", r32Lattice, 54042)
 
+  /** r33–r35: the remaining CLOSED-FORM world-CRS residue, swept in
+    * one round — Miller cylindrical (ESRI:54003 / CT 20: log-tangent
+    * cylinder, closed both ways), azimuthal equidistant (ESRI:54032 /
+    * CT 12: the true-distance map, sinc-guarded forward like Winkel's
+    * Aitoff half), and Van der Grinten I (ESRI:54029 / CT 25: the
+    * pre-1988 National Geographic world circle, Snyder's A/G/P/Q
+    * algebra with its equator/meridian branches mirrored as SQL
+    * CASEs). Same mid-latitude window as r29–r32. */
+  private def r33Lattice: Warp.ProjectedLattice =
+    Warp.ProjectedLattice(Warp.MillerCylindrical.world,
+      x0 = 200000.0, yTop = 6300000.0, pixelM = 10000.0,
+      tilesX = 2, tilesY = 2, pxPerTile = 20)
+  private def r34Lattice: Warp.ProjectedLattice =
+    Warp.ProjectedLattice(Warp.AzimuthalEquidistant.world,
+      x0 = 200000.0, yTop = 6300000.0, pixelM = 10000.0,
+      tilesX = 2, tilesY = 2, pxPerTile = 20)
+  private def r35Lattice: Warp.ProjectedLattice =
+    Warp.ProjectedLattice(Warp.VanDerGrinten.world,
+      x0 = 200000.0, yTop = 6300000.0, pixelM = 10000.0,
+      tilesX = 2, tilesY = 2, pxPerTile = 20)
+
+  private def millerIngest(spark: SparkSession, sfDir: String): DataFrame =
+    projIngest(spark, sfDir, "r33", r33Lattice, 54003)
+  private def azeqIngest(spark: SparkSession, sfDir: String): DataFrame =
+    projIngest(spark, sfDir, "r34", r34Lattice, 54032)
+  private def vdgIngest(spark: SparkSession, sfDir: String): DataFrame =
+    projIngest(spark, sfDir, "r35", r35Lattice, 54029)
+
   private def stereaIngest(spark: SparkSession, sfDir: String): DataFrame =
     projIngest(spark, sfDir, "r26", r26Lattice, 32767, r26Params)
 
@@ -1451,7 +1479,10 @@ object RasterQueries extends QueryModule {
       ("r29_mollweide_ingest" -> (mollweideIngest _)) +
       ("r30_eckert4_ingest" -> (eckert4Ingest _)) +
       ("r31_robinson_ingest" -> (robinsonIngest _)) +
-      ("r32_winkel_ingest" -> (winkelIngest _))
+      ("r32_winkel_ingest" -> (winkelIngest _)) +
+      ("r33_miller_ingest" -> (millerIngest _)) +
+      ("r34_azeq_ingest" -> (azeqIngest _)) +
+      ("r35_vdg_ingest" -> (vdgIngest _))
 
   override def oracles: Map[String, String] =
     sqls.flatMap(q => q.oracleSql.map(q.name -> _)).toMap +
@@ -1484,5 +1515,8 @@ object RasterQueries extends QueryModule {
       ("r29_mollweide_ingest" -> projIngestOracle(r29Lattice)) +
       ("r30_eckert4_ingest" -> projIngestOracle(r30Lattice)) +
       ("r31_robinson_ingest" -> projIngestOracle(r31Lattice)) +
-      ("r32_winkel_ingest" -> projIngestOracle(r32Lattice))
+      ("r32_winkel_ingest" -> projIngestOracle(r32Lattice)) +
+      ("r33_miller_ingest" -> projIngestOracle(r33Lattice)) +
+      ("r34_azeq_ingest" -> projIngestOracle(r34Lattice)) +
+      ("r35_vdg_ingest" -> projIngestOracle(r35Lattice))
 }

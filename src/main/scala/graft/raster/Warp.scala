@@ -178,6 +178,12 @@ object Warp {
       Some(Robinson.world)
     else if (epsg == 54042) // ESRI World Winkel Tripel (NatGeo world)
       Some(WinkelTripel.world)
+    else if (epsg == 54003) // ESRI World Miller Cylindrical
+      Some(MillerCylindrical.world)
+    else if (epsg == 54032) // ESRI World Azimuthal Equidistant
+      Some(AzimuthalEquidistant.world)
+    else if (epsg == 54029) // ESRI World Van der Grinten I
+      Some(VanDerGrinten.world)
     else if (epsg == 3035) // ETRS89-extended / LAEA Europe
       Some(LambertAzimuthalEqualArea.laeaEurope)
     else if (epsg == 6931) // WGS84 / EASE-Grid 2.0 North
@@ -202,8 +208,11 @@ object Warp {
           Some(ObliqueStereographic.fromGeoKeys(geoParams))
         case Some(15) => Some(PolarStereographic.fromGeoKeys(geoParams))
         case Some(17) => Some(Equirectangular.fromGeoKeys(geoParams))
+        case Some(12) => Some(AzimuthalEquidistant.fromGeoKeys(geoParams))
+        case Some(20) => Some(MillerCylindrical.fromGeoKeys(geoParams))
         case Some(23) => Some(Robinson.fromGeoKeys(geoParams))
         case Some(24) => Some(Sinusoidal.fromGeoKeys(geoParams))
+        case Some(25) => Some(VanDerGrinten.fromGeoKeys(geoParams))
         case Some(28) => Some(CylindricalEqualArea.fromGeoKeys(geoParams))
         case _ => None
       }
@@ -2123,6 +2132,321 @@ object Warp {
       Robinson(lon0Deg = lon0,
         falseE = p.getOrElse(3082, p.getOrElse(3086, 0.0)),
         falseN = p.getOrElse(3083, p.getOrElse(3087, 0.0)))
+    }
+  }
+
+  /** Miller cylindrical (Miller 1942; Snyder PP 1395, eqs.
+    * 18-1..18-4) — the compromise world cylinder (ESRI:54003
+    * "World_Miller_Cylindrical", GeoTIFF CT 20): Mercator's y
+    * compressed by 0.8 so the poles land at finite lines. SPHERICAL
+    * on R = a. Closed form BOTH ways:
+    *   x = R·Δλ,   y = (R/0.8)·ln tan(π/4 + 0.4·φ)
+    *   φ = 2.5·atan(exp(0.8·y/R)) − 0.625·π,  λ = λ₀ + x/R
+    * Pole lines at y = ±(R/0.8)·ln tan(0.45π); no singularities. */
+  final case class MillerCylindrical(lon0Deg: Double, falseE: Double,
+                                     falseN: Double) extends Projection {
+    import TransverseMercator.A
+    val lam0: Double = Math.toRadians(lon0Deg)
+    /** Pole-line |y| (the map frame bound, used for the fail-fast). */
+    val yPole: Double = A / 0.8 * Math.log(Math.tan(Math.PI / 4.0 + 0.4 * (Math.PI / 2.0)))
+
+    def forward(latDeg: Double, lonDeg: Double): (Double, Double) = {
+      val phi = Math.toRadians(latDeg)
+      // association mirrors xSql/ySql exactly
+      (A * (Math.toRadians(lonDeg) - lam0) + falseE,
+        A / 0.8 * Math.log(Math.tan(Math.PI / 4.0 + 0.4 * phi)) + falseN)
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val ty = y - falseN
+      require(math.abs(ty) <= yPole * (1.0 + 1e-12),
+        f"northing $ty%.1f m is beyond the pole line ($yPole%.1f m) " +
+          "— invalid Miller georeferencing")
+      val phi = 2.5 * Math.atan(Math.exp(0.8 * ty / A)) - 0.625 * Math.PI
+      (Math.toDegrees(phi), Math.toDegrees(lam0 + (x - falseE) / A))
+    }
+
+    def forwardSelect(lat: String, lon: String): String = {
+      def d(v: Double) = s"CAST(${java.lang.Double.toString(v)} AS DOUBLE)"
+      s"""radians($lat) AS lphi_,
+         |radians($lon) - ${d(lam0)} AS ldlam_""".stripMargin
+    }
+    def xSql: String = {
+      def d(v: Double) = s"CAST(${java.lang.Double.toString(v)} AS DOUBLE)"
+      s"${d(TransverseMercator.A)} * ldlam_ + ${d(falseE)}"
+    }
+    def ySql: String = {
+      def d(v: Double) = s"CAST(${java.lang.Double.toString(v)} AS DOUBLE)"
+      s"${d(TransverseMercator.A / 0.8)} * ln(tan(${d(Math.PI / 4.0)} + " +
+        s"0.4 * lphi_)) + ${d(falseN)}"
+    }
+  }
+
+  object MillerCylindrical {
+    /** ESRI:54003 — World Miller Cylindrical. */
+    val world: MillerCylindrical = MillerCylindrical(0.0, 0.0, 0.0)
+    /** Build from CT 20 geokeys (the Sinusoidal key convention). */
+    def fromGeoKeys(p: Map[Int, Double]): MillerCylindrical = {
+      val lon0 = Seq(3088, 3080, 3084)
+        .collectFirst { case id if p.contains(id) => p(id) }
+        .getOrElse(throw new IllegalArgumentException(
+          "Miller GeoKeyDirectory missing ProjCenterLong (keys 3088/3080/3084)"))
+      MillerCylindrical(lon0, p.getOrElse(3082, p.getOrElse(3086, 0.0)),
+        p.getOrElse(3083, p.getOrElse(3087, 0.0)))
+    }
+  }
+
+  /** Azimuthal equidistant, spherical (Snyder PP 1395, eqs.
+    * 25-1..25-4 / 20-14..20-18) — distances from the center are TRUE
+    * (the UN-emblem projection; ESRI:54032
+    * "World_Azimuthal_Equidistant", GeoTIFF CT 12; polar aspects
+    * serve ground stations and ice datasets). SPHERICAL on R = a.
+    *
+    * Forward: c = acos(sin φ₁ sin φ + cos φ₁ cos φ cos Δλ) is the
+    * angular distance; k = c / sin c (→ 1 at the center, guarded);
+    * x = R·k·cos φ·sin Δλ, y = R·k·(cos φ₁ sin φ − sin φ₁ cos φ cos Δλ).
+    * The ANTIPODE (c = π) is the one singular plane image — the whole
+    * outer circle |r| = πR maps there; pixel centers never sit on it
+    * and the inverse fails fast past the rim. Closed-form inverse
+    * (20-14..20-17): c = r/R, φ = asin(cos c sin φ₁ + y sin c cos φ₁ / r),
+    * λ by the polar-safe atan2 forms. */
+  final case class AzimuthalEquidistant(lat0Deg: Double, lon0Deg: Double,
+                                        falseE: Double, falseN: Double)
+      extends Projection {
+    import TransverseMercator.A
+    val lam0: Double = Math.toRadians(lon0Deg)
+    private val phi1 = Math.toRadians(lat0Deg)
+    private val sinP1 = Math.sin(phi1)
+    private val cosP1 = Math.cos(phi1)
+
+    def forward(latDeg: Double, lonDeg: Double): (Double, Double) = {
+      val phi = Math.toRadians(latDeg)
+      val dlam = Math.toRadians(lonDeg) - lam0
+      val cosC = math.max(-1.0, math.min(1.0,
+        sinP1 * Math.sin(phi) + cosP1 * Math.cos(phi) * Math.cos(dlam)))
+      val c = Math.acos(cosC)
+      val k = if (c < 1e-12) 1.0 else c / Math.sin(c)
+      // association mirrors xSql/ySql exactly
+      (A * k * Math.cos(phi) * Math.sin(dlam) + falseE,
+        A * k * (cosP1 * Math.sin(phi) - sinP1 * Math.cos(phi) * Math.cos(dlam))
+          + falseN)
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val tx = x - falseE
+      val ty = y - falseN
+      val r = Math.sqrt(tx * tx + ty * ty)
+      require(r <= A * Math.PI * (1.0 + 1e-12),
+        f"radius $r%.1f m is beyond the antipodal rim (${A * Math.PI}%.1f m)" +
+          " — invalid azimuthal-equidistant georeferencing")
+      if (r < 1e-9) return (lat0Deg, lon0Deg)
+      val c = r / A
+      val sinC = Math.sin(c)
+      val cosC = Math.cos(c)
+      val phi = Math.asin(math.max(-1.0, math.min(1.0,
+        cosC * sinP1 + ty * sinC * cosP1 / r)))
+      val lam =
+        if (math.abs(cosP1) < 1e-12) {
+          // polar aspects: the atan2 form degenerates cleanly
+          if (sinP1 > 0) lam0 + Math.atan2(tx, -ty)
+          else lam0 + Math.atan2(tx, ty)
+        } else lam0 + Math.atan2(tx * sinC,
+          r * cosP1 * cosC - ty * sinP1 * sinC)
+      (Math.toDegrees(phi), Math.toDegrees(lam))
+    }
+
+    /** Both poles are single finite plane points on the central
+      * meridian, at true distance R·(π/2 ∓ φ₁) from the center —
+      * declared so a pole-containing lattice takes the covered-cap
+      * path (the Mollweide/LAEA convention). */
+    override def planeSingularities: Seq[(Double, Double, Double)] =
+      Seq((falseE, A * (Math.PI / 2.0 - phi1) + falseN, 90.0),
+        (falseE, -(A * (Math.PI / 2.0 + phi1)) + falseN, -90.0))
+
+    def forwardSelect(lat: String, lon: String): String = {
+      def d(v: Double) = s"CAST(${java.lang.Double.toString(v)} AS DOUBLE)"
+      s"""radians($lat) AS aphi_,
+         |radians($lon) - ${d(lam0)} AS adlam_,
+         |acos(greatest(${d(-1.0)}, least(${d(1.0)},
+         |  ${d(sinP1)} * sin(aphi_) + ${d(cosP1)} * cos(aphi_) * cos(adlam_)))) AS ac_,
+         |CASE WHEN ac_ < ${d(1e-12)} THEN ${d(1.0)}
+         |  ELSE ac_ / sin(ac_) END AS ak_""".stripMargin
+    }
+    def xSql: String = {
+      def d(v: Double) = s"CAST(${java.lang.Double.toString(v)} AS DOUBLE)"
+      s"${d(TransverseMercator.A)} * ak_ * cos(aphi_) * sin(adlam_) + ${d(falseE)}"
+    }
+    def ySql: String = {
+      def d(v: Double) = s"CAST(${java.lang.Double.toString(v)} AS DOUBLE)"
+      s"${d(TransverseMercator.A)} * ak_ * (${d(cosP1)} * sin(aphi_) - " +
+        s"${d(sinP1)} * cos(aphi_) * cos(adlam_)) + ${d(falseN)}"
+    }
+  }
+
+  object AzimuthalEquidistant {
+    /** ESRI:54032 — World Azimuthal Equidistant (center 0°N 0°E). */
+    val world: AzimuthalEquidistant = AzimuthalEquidistant(0.0, 0.0, 0.0, 0.0)
+    /** Build from CT 12 geokeys: center from ProjCenterLat/Long
+      * (3089/3088; NatOrigin 3081/3080 fallbacks), false offsets
+      * 3082/3083. */
+    def fromGeoKeys(p: Map[Int, Double]): AzimuthalEquidistant = {
+      val lat0 = Seq(3089, 3081, 3085)
+        .collectFirst { case id if p.contains(id) => p(id) }
+        .getOrElse(throw new IllegalArgumentException(
+          "Azimuthal-equidistant GeoKeyDirectory missing ProjCenterLat " +
+            "(keys 3089/3081/3085)"))
+      val lon0 = Seq(3088, 3080, 3084)
+        .collectFirst { case id if p.contains(id) => p(id) }
+        .getOrElse(throw new IllegalArgumentException(
+          "Azimuthal-equidistant GeoKeyDirectory missing ProjCenterLong " +
+            "(keys 3088/3080/3084)"))
+      AzimuthalEquidistant(lat0, lon0,
+        p.getOrElse(3082, p.getOrElse(3086, 0.0)),
+        p.getOrElse(3083, p.getOrElse(3087, 0.0)))
+    }
+  }
+
+  /** Van der Grinten (1904; Snyder PP 1395, eqs. 33-1..33-23) — the
+    * circle-bounded compromise world map (National Geographic's world
+    * CRS 1922–1988; ESRI:54029 "World_Van_der_Grinten_I", GeoTIFF
+    * CT 25). SPHERICAL on R = a. Closed form BOTH ways: the forward
+    * is Snyder's A/G/P/Q algebra with the equator and central
+    * meridian as explicit branches (mirrored verbatim as SQL CASEs);
+    * the inverse solves the latitude cubic by the trigonometric
+    * method (33-14..33-23), driver-side. The whole world fits the
+    * radius-πR circle; beyond it fails fast. The poles are single
+    * plane points (0, ±πR·tan(asin(1)/2)) = (0, ±πR) — declared like
+    * Mollweide's. */
+  final case class VanDerGrinten(lon0Deg: Double, falseE: Double,
+                                 falseN: Double) extends Projection {
+    import TransverseMercator.A
+    val lam0: Double = Math.toRadians(lon0Deg)
+    private val piR: Double = Math.PI * A
+
+    def forward(latDeg: Double, lonDeg: Double): (Double, Double) = {
+      val phi = Math.toRadians(latDeg)
+      val dlam = Math.toRadians(lonDeg) - lam0
+      val th = Math.asin(math.min(1.0, math.abs(2.0 * phi / Math.PI)))
+      if (math.abs(phi) < 1e-12)
+        (A * dlam + falseE, falseN)
+      else if (math.abs(dlam) < 1e-12 || math.abs(phi) >= Math.PI / 2 - 1e-12)
+        (falseE,
+          math.signum(phi) * piR * Math.tan(th / 2.0) + falseN)
+      else {
+        val aa = 0.5 * math.abs(Math.PI / dlam - dlam / Math.PI)
+        val g = Math.cos(th) / (Math.sin(th) + Math.cos(th) - 1.0)
+        val p = g * (2.0 / Math.sin(th) - 1.0)
+        val q = aa * aa + g
+        val p2 = p * p
+        val a2 = aa * aa
+        val x = math.signum(dlam) * piR *
+          (aa * (g - p2) + Math.sqrt(math.max(0.0,
+            a2 * (g - p2) * (g - p2) - (p2 + a2) * (g * g - p2)))) / (p2 + a2)
+        val y = math.signum(phi) * piR *
+          (p * q - aa * Math.sqrt(math.max(0.0,
+            (a2 + 1.0) * (p2 + a2) - q * q))) / (p2 + a2)
+        (x + falseE, y + falseN)
+      }
+    }
+
+    /** Closed-form inverse (Snyder 33-14..33-23): latitude from the
+      * real root of the cubic via the trig method, longitude from the
+      * circle identity. */
+    def inverse(x0: Double, y0: Double): (Double, Double) = {
+      val tx = x0 - falseE
+      val ty = y0 - falseN
+      val r2 = tx * tx + ty * ty
+      require(r2 <= piR * piR * (1.0 + 1e-9),
+        f"point ${Math.sqrt(r2)}%.1f m is outside the world circle " +
+          f"($piR%.1f m) — invalid Van der Grinten georeferencing")
+      if (r2 < 1e-18) return (0.0, Math.toDegrees(lam0))
+      val xn = tx / piR
+      val yn = ty / piR
+      val x2 = xn * xn
+      val y2 = yn * yn
+      val phi =
+        if (math.abs(yn) < 1e-15) 0.0
+        else {
+          val c1 = -math.abs(yn) * (1.0 + x2 + y2)
+          val c2 = c1 - 2.0 * y2 + x2
+          val c3 = -2.0 * c1 + 1.0 + 2.0 * y2 + (x2 + y2) * (x2 + y2)
+          val d = y2 / c3 +
+            (2.0 * c2 * c2 * c2 / (c3 * c3 * c3) -
+              9.0 * c1 * c2 / (c3 * c3)) / 27.0
+          val a1 = (c1 - c2 * c2 / (3.0 * c3)) / c3
+          val m1 = 2.0 * Math.sqrt(-a1 / 3.0)
+          val th1 = Math.acos(math.max(-1.0, math.min(1.0,
+            3.0 * d / (a1 * m1)))) / 3.0
+          math.signum(yn) * Math.PI *
+            (-m1 * Math.cos(th1 + Math.PI / 3.0) - c2 / (3.0 * c3))
+        }
+      val lam =
+        if (math.abs(xn) < 1e-15) lam0
+        else lam0 + Math.PI * (x2 + y2 - 1.0 +
+          Math.sqrt(1.0 + 2.0 * (x2 - y2) + (x2 + y2) * (x2 + y2))) /
+          (2.0 * xn)
+      (Math.toDegrees(phi), Math.toDegrees(lam))
+    }
+
+    /** The poles are single plane points (0, ±πR). */
+    override def planeSingularities: Seq[(Double, Double, Double)] =
+      Seq((falseE, piR + falseN, 90.0), (falseE, -piR + falseN, -90.0))
+
+    /** DuckDB SQL mirror of [[forward]]: the identical branch CASEs
+      * over the same intermediates. */
+    def forwardSelect(lat: String, lon: String): String = {
+      def d(v: Double) = s"CAST(${java.lang.Double.toString(v)} AS DOUBLE)"
+      s"""radians($lat) AS vphi_,
+         |radians($lon) - ${d(lam0)} AS vdlam_,
+         |asin(least(${d(1.0)}, abs(2.0 * vphi_ / ${d(Math.PI)}))) AS vth_,
+         |CASE WHEN abs(vphi_) < ${d(1e-12)} OR abs(vdlam_) < ${d(1e-12)}
+         |     OR abs(vphi_) >= ${d(Math.PI / 2 - 1e-12)} THEN ${d(0.0)}
+         |  ELSE 0.5 * abs(${d(Math.PI)} / vdlam_ - vdlam_ / ${d(Math.PI)}) END AS va_,
+         |CASE WHEN abs(vphi_) < ${d(1e-12)} OR abs(vdlam_) < ${d(1e-12)}
+         |     OR abs(vphi_) >= ${d(Math.PI / 2 - 1e-12)} THEN ${d(0.0)}
+         |  ELSE cos(vth_) / (sin(vth_) + cos(vth_) - 1.0) END AS vg_,
+         |CASE WHEN abs(vphi_) < ${d(1e-12)} OR abs(vdlam_) < ${d(1e-12)}
+         |     OR abs(vphi_) >= ${d(Math.PI / 2 - 1e-12)} THEN ${d(0.0)}
+         |  ELSE vg_ * (2.0 / sin(vth_) - 1.0) END AS vp_,
+         |va_ * va_ + vg_ AS vq_,
+         |vp_ * vp_ AS vp2_,
+         |va_ * va_ AS va2_""".stripMargin
+    }
+    def xSql: String = {
+      def d(v: Double) = s"CAST(${java.lang.Double.toString(v)} AS DOUBLE)"
+      s"""CASE WHEN abs(vphi_) < ${d(1e-12)} THEN ${d(A)} * vdlam_ + ${d(falseE)}
+         |WHEN abs(vdlam_) < ${d(1e-12)} OR abs(vphi_) >= ${d(Math.PI / 2 - 1e-12)}
+         |  THEN ${d(falseE)}
+         |ELSE (CASE WHEN vdlam_ >= 0 THEN 1.0 ELSE -1.0 END) * ${d(piR)} *
+         |  (va_ * (vg_ - vp2_) + sqrt(greatest(${d(0.0)},
+         |    va2_ * (vg_ - vp2_) * (vg_ - vp2_) - (vp2_ + va2_) * (vg_ * vg_ - vp2_))))
+         |  / (vp2_ + va2_) + ${d(falseE)} END""".stripMargin
+    }
+    def ySql: String = {
+      def d(v: Double) = s"CAST(${java.lang.Double.toString(v)} AS DOUBLE)"
+      s"""CASE WHEN abs(vphi_) < ${d(1e-12)} THEN ${d(falseN)}
+         |WHEN abs(vdlam_) < ${d(1e-12)} OR abs(vphi_) >= ${d(Math.PI / 2 - 1e-12)}
+         |  THEN (CASE WHEN vphi_ >= 0 THEN 1.0 ELSE -1.0 END) * ${d(piR)}
+         |    * tan(vth_ / 2.0) + ${d(falseN)}
+         |ELSE (CASE WHEN vphi_ >= 0 THEN 1.0 ELSE -1.0 END) * ${d(piR)} *
+         |  (vp_ * vq_ - va_ * sqrt(greatest(${d(0.0)},
+         |    (va2_ + 1.0) * (vp2_ + va2_) - vq_ * vq_)))
+         |  / (vp2_ + va2_) + ${d(falseN)} END""".stripMargin
+    }
+  }
+
+  object VanDerGrinten {
+    /** ESRI:54029 — World Van der Grinten I. */
+    val world: VanDerGrinten = VanDerGrinten(0.0, 0.0, 0.0)
+    /** Build from CT 25 geokeys (the Sinusoidal key convention). */
+    def fromGeoKeys(p: Map[Int, Double]): VanDerGrinten = {
+      val lon0 = Seq(3088, 3080, 3084)
+        .collectFirst { case id if p.contains(id) => p(id) }
+        .getOrElse(throw new IllegalArgumentException(
+          "Van der Grinten GeoKeyDirectory missing ProjCenterLong " +
+            "(keys 3088/3080/3084)"))
+      VanDerGrinten(lon0, p.getOrElse(3082, p.getOrElse(3086, 0.0)),
+        p.getOrElse(3083, p.getOrElse(3087, 0.0)))
     }
   }
 

@@ -824,6 +824,119 @@ class WarpSpec extends AnyFunSuite {
     assert(Warp.projectionFor(54042).contains(w))
   }
 
+  test("Miller cylindrical: log-tangent identity, pole lines, round-trip") {
+    val m = Warp.MillerCylindrical.world
+    val r = Warp.TransverseMercator.A
+    // the defining identity: y(φ) = (R/0.8)·ln tan(π/4 + 0.4φ) — and
+    // Miller's alternative form y = (R/0.8)·asinh(tan(0.8φ))
+    for (lat <- Seq(-85.0, -45.0, -10.0, 0.0, 30.0, 60.0, 89.0)) {
+      val (x, y) = m.forward(lat, 25.0)
+      val phi = math.toRadians(lat)
+      assert(math.abs(y - r / 0.8 * math.log(math.tan(math.Pi / 4 + 0.4 * phi))) < 1e-6)
+      assert(math.abs(y - r / 0.8 *
+        math.log(math.tan(0.8 * phi) + math.sqrt(1 + math.pow(math.tan(0.8 * phi), 2)))) < 1e-5,
+        s"asinh form differs at $lat")
+      assert(math.abs(x - r * math.toRadians(25.0)) < 1e-9)
+    }
+    // pole LINES at finite y (the whole point vs Mercator)
+    val (_, yp) = m.forward(90.0, 0.0)
+    assert(math.abs(yp - m.yPole) < 1e-9 && yp.isFinite)
+    assert(m.planeSingularities.isEmpty)
+    for (lat <- Seq(-89.0, -33.0, 0.0, 47.5, 89.0); lon <- Seq(-170.0, 0.0, 60.1)) {
+      val (x, y) = m.forward(lat, lon)
+      val (la, lo) = m.inverse(x, y)
+      assert(math.abs(la - lat) < 1e-9 && math.abs(lo - lon) < 1e-9)
+    }
+    val errM = intercept[IllegalArgumentException](m.inverse(0.0, m.yPole * 1.01))
+    assert(errM.getMessage.contains("Miller"))
+    assert(Warp.projectionFor(54003).contains(m))
+    assert(Warp.projectionFor(32767, Map(3075 -> 20.0, 3088 -> 5.0))
+      .contains(Warp.MillerCylindrical(5.0, 0.0, 0.0)))
+  }
+
+  test("azimuthal equidistant: true center distances, pole points, round-trip") {
+    val a = Warp.AzimuthalEquidistant.world
+    val r = Warp.TransverseMercator.A
+    // the DEFINING property: plane distance from the center equals
+    // R × the great-circle angular distance, for any direction
+    for (lat <- Seq(-60.0, -15.0, 0.0, 40.0, 75.0); lon <- Seq(-120.0, -30.0, 20.0, 90.0)) {
+      val (x, y) = a.forward(lat, lon)
+      val phi = math.toRadians(lat); val lam = math.toRadians(lon)
+      val c = math.acos(math.cos(phi) * math.cos(lam))
+      assert(math.abs(math.sqrt(x * x + y * y) - r * c) < 1e-5,
+        s"distance not true at ($lat, $lon)")
+    }
+    // meridian through the center is linear: y = R·φ
+    val (x0b, y0b) = a.forward(37.0, 0.0)
+    assert(math.abs(x0b) < 1e-9 && math.abs(y0b - r * math.toRadians(37.0)) < 1e-6)
+    // poles are single plane points at (0, ±R·π/2), declared
+    val (xp, yp) = a.forward(90.0, 123.0)
+    assert(math.abs(xp) < 1e-5 && math.abs(yp - r * math.Pi / 2) < 1e-5)
+    assert(a.planeSingularities.map(_._3).sorted == Seq(-90.0, 90.0))
+    // polar aspect (φ₁ = 90): c = π/2 − φ, due-south central meridian
+    val np = Warp.AzimuthalEquidistant(90.0, 0.0, 0.0, 0.0)
+    val (xn, yn) = np.forward(80.0, 0.0)
+    assert(math.abs(yn + r * math.toRadians(10.0)) < 1e-5 && math.abs(xn) < 1e-9)
+    for (lat <- Seq(-75.0, -20.0, 0.1, 33.3, 88.0); lon <- Seq(-150.0, -7.0, 0.0, 99.9)) {
+      val (x, y) = a.forward(lat, lon)
+      val (la, lo) = a.inverse(x, y)
+      assert(math.abs(la - lat) < 1e-7 && math.abs(lo - lon) < 1e-7,
+        s"round-trip ($lat, $lon) → ($la, $lo)")
+      val (xq, yq) = np.forward(lat, lon)
+      val (laq, loq) = np.inverse(xq, yq)
+      assert(math.abs(laq - lat) < 1e-7 && math.abs(loq - lon) < 1e-7,
+        s"polar round-trip ($lat, $lon) → ($laq, $loq)")
+    }
+    val errA = intercept[IllegalArgumentException](a.inverse(r * math.Pi * 1.01, 0.0))
+    assert(errA.getMessage.contains("azimuthal"))
+    assert(Warp.projectionFor(54032).contains(a))
+    assert(Warp.projectionFor(32767, Map(3075 -> 12.0, 3089 -> 52.0, 3088 -> 10.0))
+      .contains(Warp.AzimuthalEquidistant(52.0, 10.0, 0.0, 0.0)))
+  }
+
+  test("Van der Grinten: circle frame, branch identities, cubic-inverse round-trip") {
+    val v = Warp.VanDerGrinten.world
+    val r = Warp.TransverseMercator.A
+    val piR = math.Pi * r
+    // equator is linear (x = R·Δλ); central meridian is the
+    // tangent-of-half-theta curve; poles are the circle's top/bottom
+    val (xe, ye) = v.forward(0.0, 45.0)
+    assert(math.abs(ye) < 1e-9 && math.abs(xe - r * math.toRadians(45.0)) < 1e-9)
+    val (xm, ym) = v.forward(50.0, 0.0)
+    val th50 = math.asin(2.0 * math.toRadians(50.0) / math.Pi)
+    assert(math.abs(xm) < 1e-9 && math.abs(ym - piR * math.tan(th50 / 2)) < 1e-6)
+    val (xp, yp) = v.forward(90.0, 77.0)
+    assert(math.abs(xp) < 1e-9 && math.abs(yp - piR) < 1e-6)
+    assert(v.planeSingularities.map(_._3).sorted == Seq(-90.0, 90.0))
+    // the whole world stays inside the radius-πR circle, and the
+    // antimeridian at the equator sits exactly ON it
+    for (lat <- Seq(-80.0, -30.0, 15.0, 60.0); lon <- Seq(-179.0, -90.0, 45.0, 179.0)) {
+      val (x, y) = v.forward(lat, lon)
+      assert(x * x + y * y <= piR * piR * (1 + 1e-9), s"($lat,$lon) left the circle")
+    }
+    val (xa, ya) = v.forward(0.0, 180.0)
+    assert(math.abs(math.sqrt(xa * xa + ya * ya) - piR) < 1e-6)
+    // symmetry: x odd in λ, y odd in φ, each even in the other
+    val (x1, y1) = v.forward(33.0, 70.0)
+    val (x2, y2) = v.forward(-33.0, 70.0)
+    val (x3, y3) = v.forward(33.0, -70.0)
+    assert(math.abs(x1 - x2) < 1e-9 && math.abs(y1 + y2) < 1e-9)
+    assert(math.abs(x1 + x3) < 1e-9 && math.abs(y1 - y3) < 1e-9)
+    // closed-form cubic inverse round-trips the general branch AND
+    // the equator/meridian/pole-adjacent branches
+    for (lat <- Seq(-85.0, -47.3, -0.0, 12.5, 33.3, 66.6, 89.0);
+         lon <- Seq(-175.0, -99.9, -7.0, 0.0, 45.0, 175.0)) {
+      val (x, y) = v.forward(lat, lon)
+      val (la, lo) = v.inverse(x, y)
+      assert(math.abs(la - lat) < 1e-6 && math.abs(lo - lon) < 1e-6,
+        s"round-trip ($lat, $lon) → ($la, $lo)")
+    }
+    val errV = intercept[IllegalArgumentException](v.inverse(piR * 1.01, 0.0))
+    assert(errV.getMessage.contains("Grinten"))
+    assert(Warp.projectionFor(54029).contains(v))
+    assert(Warp.projectionFor(32767, Map(3075 -> 25.0, 3088 -> 0.0)).contains(v))
+  }
+
   test("ellipsoidal Mercator and equirectangular from geokeys") {
     // CT 7 — the EPSG:3395 World Mercator shape
     val m = Warp.MercatorEllipsoidal.fromGeoKeys(Map(3075 -> 7.0, 3080 -> 0.0))
