@@ -51,7 +51,17 @@ def main():
     signal.signal(signal.SIGINT, handler)
 
     proc = subprocess.Popen(cmd) if cmd else None
-    while not stop["flag"]:
+    # In wrap mode the summary must cover the WHOLE wrapped run — a
+    # signal forwards a terminate to the child and sampling continues
+    # until it actually exits (a summary covering only a prefix of the
+    # bench it claims to contextualize is the exact gap this tool
+    # exists to close). Without a child, a signal ends sampling.
+    while True:
+        if stop["flag"]:
+            if proc is None:
+                break
+            if proc.poll() is None:
+                proc.terminate()
         time.sleep(1.0)
         samples.append((time.time(), read_cpu()))
         if proc is not None and proc.poll() is not None:

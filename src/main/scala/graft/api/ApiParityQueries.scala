@@ -28,7 +28,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Scale shape: the harness is driver-side by construction (an HTTP
   * round-trip); the engine work behind each request is the same
-  * scrutinizer → Catalyst / fused-zonal path the engine rows pin. */
+  * scrutinizer → Catalyst / fused-zonal path the engine rows pin.
+  *
+  * EAGER contract: invoking the query function performs the full
+  * server boot + HTTP sweep immediately and returns a 5-row local
+  * frame — so Bench charges the sink/API cost into its totals
+  * (deliberately: the sink IS the operator here), and a plan dump of
+  * this query would show only a LocalRelation (it is therefore not in
+  * PLANS.md's list). */
 object ApiParityQueries extends QueryModule {
 
   private def md5hex(b: Array[Byte]): String =

@@ -1496,11 +1496,28 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
       s"${sys.props("java.io.tmpdir")}/graft_versions/${dataset}_$version"
     val jobId = jobRegistry.submit { () =>
       val (log, ok) = VersionCreation.createTable(spark, dataset, version, opts, targetDir)
+      // Terminal status writer: under catalogLock, never downgrading —
+      // a concurrent PATCH /task that already marked a default-asset
+      // task failed (taskPatch, same lock) must not be overwritten by
+      // 'saved'. "saved" becomes visible only AFTER the catalog swap
+      // below: a client that polls the status and immediately queries
+      // /features (the reference's documented workflow) would
+      // otherwise race the swap and 404 on a version it was just told
+      // is saved (observed under full-suite load).
+      def writeTerminal(finalOk: Boolean): String = catalogLock.synchronized {
+        val cur = versionRecords.get((dataset, version))
+        val s = if (!finalOk || cur.exists(_._1 == "failed")) "failed" else "saved"
+        versionRecords.put((dataset, version),
+          (s, log ++ cur.map(_._2).getOrElse(Nil)))
+        s
+      }
       // Task registration and the catalog swap run guarded: an
       // exception here must still record a terminal 'failed' status —
       // otherwise the version is stuck at 'pending' forever and the
-      // reference's poll-until-terminal workflow never finishes.
-      val swapOk = try {
+      // reference's poll-until-terminal workflow never finishes. The
+      // exception then PROPAGATES so the job registry records it as
+      // the job failure (GET /job/{id} keeps its cause, as before).
+      try {
       registerDagTasks(dataset, version, log)
       if (ok) catalogLock.synchronized {
         val assetType = opts.sourceType match {
@@ -1533,24 +1550,11 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
             assetType, targetDir, isDefault = true,
             creationOptions = assetOpts) +: exports))
       }
-      ok
-      } catch { case scala.util.control.NonFatal(_) => false }
-      // "saved" must become visible only AFTER the catalog swap above:
-      // a client that polls the version status and then immediately
-      // queries /features (the reference's documented workflow) would
-      // otherwise race the swap and 404 on a version it was just told
-      // is saved (observed under full-suite load). The terminal write
-      // happens under catalogLock and never downgrades: a concurrent
-      // PATCH /task that already marked a default-asset task failed
-      // (taskPatch, same lock) must not be overwritten by 'saved'.
-      val status = catalogLock.synchronized {
-        val cur = versionRecords.get((dataset, version))
-        val s =
-          if (!swapOk || cur.exists(_._1 == "failed")) "failed" else "saved"
-        versionRecords.put((dataset, version),
-          (s, log ++ cur.map(_._2).getOrElse(Nil)))
-        s
+      } catch { case scala.util.control.NonFatal(e) =>
+        writeTerminal(false)
+        throw e
       }
+      val status = writeTerminal(ok)
       s"""{"dataset":"$dataset","version":"$version","status":"$status"}"""
     }
     respond(ex, 202, "application/json",

@@ -1375,12 +1375,9 @@ object SimQueries extends QueryModule {
     val em0 = spark.sql(
       s"""${e21GraphCtes(spark, sfDir)}
          |SELECT src, dst FROM m WHERE mutual = 1""".stripMargin)
-    def fresh(df: DataFrame): DataFrame = {
-      val ck = df.localCheckpoint()
-      spark.createDataFrame(ck.rdd, ck.schema)
-    }
-    pagerankKernel(spark, fresh(em0),
-      fresh(spark.table("embeddings").select(col("vec_id"))))
+    pagerankKernel(spark, graft.GraphOps.fresh(spark, em0),
+      graft.GraphOps.fresh(spark,
+        spark.table("embeddings").select(col("vec_id"))))
   }
 
   /** e27's PageRank kernel over an arbitrary directed edge table
@@ -1393,11 +1390,8 @@ object SimQueries extends QueryModule {
   private[graft] def pagerankKernel(spark: SparkSession,
                                     em: DataFrame,
                                     nodes: DataFrame): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit}
-    def fresh(df: DataFrame): DataFrame = {
-      val ck = df.localCheckpoint()
-      spark.createDataFrame(ck.rdd, ck.schema)
-    }
+    import org.apache.spark.sql.functions.lit
+    def fresh(df: DataFrame): DataFrame = graft.GraphOps.fresh(spark, df)
     // Size gate, the ccMinLabelAuto pattern: the fixpoint is pure
     // integer arithmetic (sum order irrelevant), so below the edge
     // threshold the driver loop computes the IDENTICAL result without

@@ -32,6 +32,18 @@ object MediaDedupStream {
     StructField("k", IntegerType),
     StructField("bv", LongType)))
 
+  /** Pigeonhole band table from a MATERIALIZED hash frame (e.g. the
+    * phash/afp ingest sidecar): 4 bands of 8 bits — THE split
+    * [[gate]] joins on, defined once so a producer cannot drift from
+    * the join keys ([[AudioDedupStream]] and the streaming oracle
+    * harness build their band tables through this). `outCol` names
+    * the full-hash column the gate's residual Hamming test reads
+    * (`cph` here, `cfp` for audio). */
+  def bandsOf(hashes: DataFrame, hashCol: String, outCol: String): DataFrame =
+    hashes.selectExpr(s"$hashCol AS $outCol", "explode(sequence(0, 3)) AS k")
+      .selectExpr(outCol, "CAST(k AS INT) AS k",
+        s"CAST(shiftright($outCol, 8 * k) & 255 AS BIGINT) AS bv")
+
   /** The corpus fingerprint: every corpus item's phash exploded into
     * its 4 pigeonhole bands `(cph, k, bv)`. Built from the media-lake
     * frame `(doc_id, fmt, media)` in one decode pass (the `fmt`

@@ -229,8 +229,8 @@ object StreamingQueries extends QueryModule {
       try java.nio.file.Files.move(tmp.toPath, dir.toPath,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       catch {
-        case _: java.nio.file.FileAlreadyExistsException => ()
-        case _: java.nio.file.DirectoryNotEmptyException => ()
+        case _: java.nio.file.FileAlreadyExistsException => deleteStaging(tmp)
+        case _: java.nio.file.DirectoryNotEmptyException => deleteStaging(tmp)
       }
     }
     dir.getPath
@@ -257,6 +257,13 @@ object StreamingQueries extends QueryModule {
     * carries no exact text dups across the 70/30 split, so without
     * the injection the gate's DROP path would never carry a row (the
     * vacuous-gate trap); the oracle replays the same injection. */
+  /** Recursive delete of a lost-race staging dir (move losers below
+    * would otherwise leak a full parquet copy per losing driver). */
+  private def deleteStaging(dir: java.io.File): Unit = {
+    Option(dir.listFiles()).foreach(_.foreach(deleteStaging))
+    dir.delete(): Unit
+  }
+
   private def bloomStage(spark: SparkSession, sfDir: String): String = {
     val f = new java.io.File(s"$sfDir/documents.parquet")
     val tag = Integer.toHexString(
@@ -272,8 +279,8 @@ object StreamingQueries extends QueryModule {
       try java.nio.file.Files.move(tmp.toPath, dir.toPath,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       catch {
-        case _: java.nio.file.FileAlreadyExistsException => ()
-        case _: java.nio.file.DirectoryNotEmptyException => ()
+        case _: java.nio.file.FileAlreadyExistsException => deleteStaging(tmp)
+        case _: java.nio.file.DirectoryNotEmptyException => deleteStaging(tmp)
       }
     }
     dir.getPath
@@ -324,21 +331,19 @@ object StreamingQueries extends QueryModule {
   /** sg11/sg12 band tables come from the corpus-version SIDECARS
     * ([[graft.multimodal.MediaLake.ensurePhashes]]/`ensureAfps`) —
     * the materialization the gates' scaladoc requires (the raw
-    * corpusBands plan would re-decode the corpus per micro-batch). */
-  private def bandsOf(spark: SparkSession, sidecar: String,
-                      hashCol: String): DataFrame =
-    spark.read.parquet(sidecar)
-      .where(CorpusPred)
-      .selectExpr(s"$hashCol AS cfp", "explode(sequence(0, 3)) AS k")
-      .selectExpr("cfp", "CAST(k AS INT) AS k",
-        "CAST(shiftright(cfp, 8 * k) & 255 AS BIGINT) AS bv")
+    * corpusBands plan would re-decode the corpus per micro-batch) —
+    * split through THE gate-owned [[MediaDedupStream.bandsOf]] so the
+    * band scheme cannot drift from the join keys. */
+  private def sidecarBands(spark: SparkSession, sidecar: String,
+                           hashCol: String, outCol: String): DataFrame =
+    MediaDedupStream.bandsOf(
+      spark.read.parquet(sidecar).where(CorpusPred), hashCol, outCol)
 
   private def mediaStream(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.register(spark, sfDir)
     val lake = graft.multimodal.MediaLake.ensure(spark, sfDir)
-    val bands = bandsOf(spark,
-        graft.multimodal.MediaLake.ensurePhashes(spark, sfDir), "phash")
-      .withColumnRenamed("cfp", "cph")
+    val bands = sidecarBands(spark,
+      graft.multimodal.MediaLake.ensurePhashes(spark, sfDir), "phash", "cph")
     drained(spark, lake, "sg11_stream_media") { media =>
       MediaDedupStream.gate(media.where(StreamPred), bands)
         .select("doc_id", "fmt")
@@ -348,8 +353,8 @@ object StreamingQueries extends QueryModule {
   private def audioStream(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.register(spark, sfDir)
     val lake = graft.multimodal.MediaLake.ensureAudio(spark, sfDir)
-    val bands = bandsOf(spark,
-      graft.multimodal.MediaLake.ensureAfps(spark, sfDir), "afp")
+    val bands = sidecarBands(spark,
+      graft.multimodal.MediaLake.ensureAfps(spark, sfDir), "afp", "cfp")
     drained(spark, lake, "sg12_stream_audio") { clips =>
       AudioDedupStream.gate(clips.where(StreamPred), bands)
         .select("doc_id")

@@ -62,12 +62,20 @@ class StreamingGatesOracleSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("sg11/sg12: perceptual gates drop near-dups and pass the rest") {
+    // bound against the LAKE's stream-item count, not the documents
+    // count: the lakes hold only length(text) > 0 docs, so a fixture
+    // with empty-text stream docs would otherwise let a zero-drop
+    // gate pass the "< streamDocs" check
+    graft.Tables.register(spark, sfDir)
+    val lakeStream = spark.sql(
+      "SELECT count(*) FROM documents WHERE doc_id % 10 >= 7 AND length(text) > 0")
+      .head().getLong(0)
     val media = rows("sg11_stream_media").length
     val audio = rows("sg12_stream_audio").length
-    assert(media > 0 && media < streamDocs,
-      s"media gate must drop some of $streamDocs stream items, kept $media")
-    assert(audio > 0 && audio < streamDocs,
-      s"audio gate must drop some of $streamDocs stream items, kept $audio")
+    assert(media > 0 && media < lakeStream,
+      s"media gate must drop some of $lakeStream stream items, kept $media")
+    assert(audio > 0 && audio < lakeStream,
+      s"audio gate must drop some of $lakeStream stream items, kept $audio")
   }
 
   test("sg13: temperature sampling keeps a strict, non-empty subset") {
