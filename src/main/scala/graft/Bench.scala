@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
 
   /** Host-contention sampler (the scripts/stealmon.py summary, built
@@ -10,10 +11,18 @@ object Bench {
     * tracks hypervisor steal (measured: 145 s warm at 0.1% steal vs
     * 255 s at 3.2%/22%-burst, same binary), so a bench number
     * WITHOUT a steal context is not interpretable evidence. Fails
-    * soft (all-zero) on hosts without /proc/stat. */
+    * soft (all-zero) on hosts without /proc/stat.
+    *
+    * Round-14 verdict ask #1 extends the sampler from run-level
+    * context to QUERY-level gating: samples carry wall-clock stamps,
+    * [[bursts]] lists the >threshold 10 s windows, and the bench
+    * re-runs any query whose measurement window overlapped one —
+    * publication is gated on the measured fields, not annotated
+    * after the fact. */
   private final class StealSampler {
     private val fields = 10
-    private val samples = new java.util.concurrent.ConcurrentLinkedQueue[Array[Long]]()
+    private val samples =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, Array[Long])]()
     private def read(): Option[Array[Long]] =
       try {
         val src = scala.io.Source.fromFile("/proc/stat")
@@ -22,32 +31,77 @@ object Bench {
           java.util.Arrays.copyOf(v, fields)
         } finally src.close()
       } catch { case _: Throwable => None }
-    read().foreach(samples.add)
+    private def sample(): Unit =
+      read().foreach(v => samples.add((System.currentTimeMillis(), v)))
+    sample()
     private val t = new Thread(() => {
-      while (true) { Thread.sleep(1000); read().foreach(samples.add) }
+      while (true) { Thread.sleep(1000); sample() }
     })
     t.setDaemon(true)
     t.start()
+    private def snap(): Array[(Long, Array[Long])] = {
+      sample()
+      samples.toArray(Array.empty[(Long, Array[Long])])
+    }
+    private def tot(a: Array[Long]) = a.sum
     /** (steal_share, worst_10s_steal_share) over the sampled run. */
     def summary(): (Double, Double) = {
-      read().foreach(samples.add)
-      val s = samples.toArray(Array.empty[Array[Long]])
+      val s = snap()
       if (s.length < 2) return (0.0, 0.0)
-      def tot(a: Array[Long]) = a.sum
-      val dTot = tot(s.last) - tot(s.head)
+      val dTot = tot(s.last._2) - tot(s.head._2)
       val share =
-        if (dTot <= 0) 0.0 else (s.last(7) - s.head(7)).toDouble / dTot
+        if (dTot <= 0) 0.0 else (s.last._2(7) - s.head._2(7)).toDouble / dTot
       var worst = 0.0
       var i = 0
       while (i + 10 < s.length) {
-        val wt = tot(s(i + 10)) - tot(s(i))
+        val wt = tot(s(i + 10)._2) - tot(s(i)._2)
         if (wt > 0)
-          worst = math.max(worst, (s(i + 10)(7) - s(i)(7)).toDouble / wt)
+          worst = math.max(worst, (s(i + 10)._2(7) - s(i)._2(7)).toDouble / wt)
         i += 1
       }
       (share, worst)
     }
+    /** Wall-clock spans `[startMs, endMs]` of every 10-sample window
+      * whose steal share exceeds `threshold`. A query whose
+      * measurement window overlaps one of these ran against a
+      * contended host and its time is not evidence about the code. */
+    def bursts(threshold: Double): Seq[(Long, Long)] = {
+      val s = snap()
+      val out = Seq.newBuilder[(Long, Long)]
+      var i = 0
+      while (i + 10 < s.length) {
+        val wt = tot(s(i + 10)._2) - tot(s(i)._2)
+        if (wt > 0 &&
+            (s(i + 10)._2(7) - s(i)._2(7)).toDouble / wt > threshold)
+          out += ((s(i)._1, s(i + 10)._1))
+        i += 1
+      }
+      out.result()
+    }
+    /** Steal share over the smallest sampled span covering
+      * `[t0Ms, t1Ms]` (1 Hz sampling, so resolution is ~1 s — a
+      * sub-second query reads the share of its enclosing second). */
+    def shareIn(t0Ms: Long, t1Ms: Long): Double = {
+      val s = snap()
+      if (s.length < 2) return 0.0
+      // last sample at-or-before t0, first sample at-or-after t1
+      var lo = 0
+      while (lo + 1 < s.length && s(lo + 1)._1 <= t0Ms) lo += 1
+      var hi = s.length - 1
+      while (hi - 1 > lo && s(hi - 1)._1 >= t1Ms) hi -= 1
+      val dTot = tot(s(hi)._2) - tot(s(lo)._2)
+      if (dTot <= 0) 0.0
+      else (s(hi)._2(7) - s(lo)._2(7)).toDouble / dTot
+    }
   }
+
+  /** Steal share above which a 10 s window counts as a burst (the
+    * round-14 measured amplification class: a 7%-burst run read
+    * stateful stream gates at 2–2.5× their quiet cost). */
+  private val BurstThreshold = 0.05
+  /** Re-run attempts per burst-overlapped query before publishing the
+    * minimum observed time with a `contended_queries` marker. */
+  private val MaxReruns = 2
 
   def main(args: Array[String]): Unit = {
     val steal = new StealSampler
@@ -75,16 +129,53 @@ object Bench {
     // `queries` map reports — those reproduce within noise because
     // codegen/JIT/memoized-model costs have been paid.
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
-    def pass(): Seq[(String, Double)] = sorted.map { case (name, fn) =>
+    // each timing carries its wall-clock window so it can be checked
+    // against the sampler's burst list afterwards
+    def timeOne(name: String,
+                fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Long, Long) = {
+      val w0 = System.currentTimeMillis()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      ((System.nanoTime() - t0) / 1e9, w0, System.currentTimeMillis())
     }
+    def pass(): Seq[(String, (Double, Long, Long))] =
+      sorted.map { case (name, fn) => name -> timeOne(name, fn) }
     val cold = pass()
     val warm = pass()
-    val results = warm.toMap
-    val total = if (cold.nonEmpty) cold.map(_._2).sum else 0.0
-    val warmTotal = if (warm.nonEmpty) warm.map(_._2).sum else 0.0
+    // ---- steal gate (round-14 verdict ask #1): any warm time whose
+    // window overlapped a >5% 10 s steal burst is re-measured (up to
+    // MaxReruns); the accepted time is the first burst-free attempt,
+    // else the minimum observed (min because contention only ever
+    // ADDS wall-clock — the smallest sample is the closest to truth).
+    // Queries that never produced a burst-free window are listed in
+    // `contended_queries` so a reader knows exactly which numbers
+    // still carry environment, instead of inferring it from totals.
+    def overlapsBurst(w: (Long, Long), bs: Seq[(Long, Long)]): Boolean =
+      bs.exists { case (b0, b1) => w._1 < b1 && w._2 > b0 }
+    var reruns = 0
+    val contended = Seq.newBuilder[String]
+    val gated: Seq[(String, Double)] = warm.map { case (name, first) =>
+      var best = first
+      var attempts = 0
+      while (overlapsBurst((best._2, best._3), steal.bursts(BurstThreshold))
+             && attempts < MaxReruns) {
+        attempts += 1
+        reruns += 1
+        val again = timeOne(name, SparkEntry.queries(name))
+        if (!overlapsBurst((again._2, again._3), steal.bursts(BurstThreshold)))
+          best = again
+        else if (again._1 < best._1) best = again
+      }
+      if (overlapsBurst((best._2, best._3), steal.bursts(BurstThreshold)))
+        contended += name
+      name -> best._1
+    }
+    val results = gated.toMap
+    val qSteal = warm.map { case (name, (_, w0, w1)) =>
+      name -> steal.shareIn(w0, w1) }.toMap
+    val total = if (cold.nonEmpty) cold.map(_._2._1).sum else 0.0
+    val warmTotal = if (gated.nonEmpty) gated.map(_._2).sum else 0.0
     // Round-11 verdict "Wrong #5": the old bounded-line protocol
     // dropped the fast half of the suite (qdropped=101), making
     // regressions there invisible to round-over-round diffing. Emit
@@ -93,11 +184,19 @@ object Bench {
     // tail (build.sbt routes forked stdout through unprefixed so the
     // line starts with '{').
     def fmt(v: Double) = f"$v%.2f"
+    def fm5(v: Double) = f"$v%.5f"
     val ordered = results.toSeq.sortBy(-_._2)
     val sb = new StringBuilder
     ordered.zipWithIndex.foreach { case ((k, v), i) =>
       if (i > 0) sb += ','
       sb ++= "\"" + k + "\":" + fmt(v)
+    }
+    // per-query steal shares of the FIRST warm attempt (1 s
+    // resolution) — the evidence the gate acted on
+    val sbSteal = new StringBuilder
+    ordered.zipWithIndex.foreach { case ((k, _), i) =>
+      if (i > 0) sbSteal += ','
+      sbSteal ++= "\"" + k + "\":" + fm5(qSteal.getOrElse(k, 0.0))
     }
     // Streaming gates: the wall-clock time above is dominated by a
     // ~constant stream start/drain harness at sf0.1 — emit the
@@ -110,15 +209,25 @@ object Bench {
         .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString(",")
     }
     val (stealShare, stealWorst) = steal.summary()
-    def fm5(v: Double) = f"$v%.5f"
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","warm_total":${fmt(warmTotal)},"pass":"queries=warm","qcount":${results.size},"qdropped":0,"steal_share":${fm5(stealShare)},"worst_10s_steal":${fm5(stealWorst)},"queries":{$sb},"sg_op":{$sgOp},"sf":"$sfDir"}"""
+    val quiet = stealShare <= 0.01 && stealWorst <= BurstThreshold
+    val contendedList =
+      contended.result().map("\"" + _ + "\"").mkString(",")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","warm_total":${fmt(warmTotal)},"pass":"queries=warm","qcount":${results.size},"qdropped":0,"steal_share":${fm5(stealShare)},"worst_10s_steal":${fm5(stealWorst)},"quiet":$quiet,"reruns":$reruns,"contended_queries":[$contendedList],"queries":{$sb},"q_steal":{$sbSteal},"sg_op":{$sgOp},"sf":"$sfDir"}"""
     println(line)
     // Belt-and-braces: the full artifact also lands on disk so a
-    // truncated stdout capture can never lose the per-query data.
+    // truncated stdout capture can never lose the per-query data —
+    // and EVERY stamped run appends to bench_runs.jsonl (round-14
+    // verdict ask #1: the quiet pair's per-query maps must be
+    // publishable artifacts, not a single overwritten file).
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_full.json"),
         line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_runs.jsonl"),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
     } catch { case _: Throwable => () }
     // Round-12 verdict "Wrong #3": the full per-query line outgrew the
     // driver's 2000-char stdout tail, so the official BENCH json
@@ -126,9 +235,9 @@ object Bench {
     // line prints LAST — whatever window the driver keeps, the tail
     // always ends with a complete, parseable record of the headline
     // numbers; the full per-query map lives in the line above and in
-    // bench_full.json.
+    // bench_full.json / bench_runs.jsonl.
     val worst = ordered.headOption.getOrElse(("none", 0.0))
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","warm_total":${fmt(warmTotal)},"qcount":${results.size},"qdropped":0,"worst":"${worst._1}","worst_sec":${fmt(worst._2)},"steal_share":${fm5(stealShare)},"worst_10s_steal":${fm5(stealWorst)},"detail":"bench_full.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","warm_total":${fmt(warmTotal)},"qcount":${results.size},"qdropped":0,"worst":"${worst._1}","worst_sec":${fmt(worst._2)},"steal_share":${fm5(stealShare)},"worst_10s_steal":${fm5(stealWorst)},"quiet":$quiet,"reruns":$reruns,"detail":"bench_full.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

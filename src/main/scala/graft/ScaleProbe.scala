@@ -25,7 +25,13 @@ import org.apache.spark.sql.SparkSession
 object ScaleProbe {
 
   private val Headline = Seq("d3_minhash_lsh_pairs", "d4_ngram_jaccard_pairs",
-    "t10_keywords", "e4_ann_lsh_pairs", "e3_ann_ivf",
+    // e4's HEADLINE row is the auto-width operator (e4AutoBits — the
+    // band width the engine actually picks at each corpus size); the
+    // declared-oracle pinned-6-bit row still prints, under a
+    // `sensitivity` tag, because its exponent 1.00 is the price of a
+    // FIXED band width, not the operator's scale behavior (round-14
+    // verdict ask #4)
+    "t10_keywords", "e3_ann_ivf",
     // round-5 additions: the distributed two-pass prefix sum (was the
     // SinglePartition scale-killer) and the pointer-jumping CC loop
     "t8_sequence_pack", "d7_dup_clusters",
@@ -177,13 +183,35 @@ object ScaleProbe {
     val skipBase = sys.env.contains("GRAFT_PROBE_SKIP_BASE")
     if (!skipBase) runBase()
     def runBase(): Unit = {
-    val rows = Headline.map { q =>
+    val rows0 = Headline.map { q =>
       val t1 = warmTime(q, sfDir)
       val t10 = warmTime(q, outDir)
       val exp = math.log10(t10 / t1)
       println(f"""{"query":"$q","sec_1x":$t1%.2f,"sec_10x":$t10%.2f,"exponent":$exp%.2f}""")
       (q, t1, t10, exp)
     }
+    // e4 HEADLINE = the auto-width operator (what the engine runs at
+    // each corpus size); it joins the worst-exponent summary. The
+    // pinned-6-bit declared-oracle row prints under a `sensitivity`
+    // tag and is EXCLUDED from the summary — a deliberately fixed
+    // band width probing 1.00 is a sensitivity study, not the
+    // operator's scale behavior (round-14 verdict ask #4).
+    import graft.simsearch.SimQueries
+    val e4n1 = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    val e4n10 = spark.read.parquet(s"$outDir/embeddings.parquet").count()
+    val e4b1 = SimQueries.e4AutoBits(e4n1)
+    val e4b10 = SimQueries.e4AutoBits(e4n10)
+    def warm2(f: => Long): Double = {
+      f; val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val e4a1 = warm2(SimQueries.e4Banded(spark, sfDir, e4b1).count())
+    val e4a10 = warm2(SimQueries.e4Banded(spark, outDir, e4b10).count())
+    val e4aExp = math.log10(e4a10 / e4a1)
+    println(f"""{"query":"e4_ann_lsh_auto","bits_1x":$e4b1,"bits_10x":$e4b10,"sec_1x":$e4a1%.2f,"sec_10x":$e4a10%.2f,"exponent":$e4aExp%.2f}""")
+    val e4p1 = warmTime("e4_ann_lsh_pairs", sfDir)
+    val e4p10 = warmTime("e4_ann_lsh_pairs", outDir)
+    println(f"""{"query":"e4_ann_lsh_pairs","sensitivity":"pinned_6bit_bands — fixed width by construction; candidate mass ∝ occupancy², expected superlinear; the operator's scale row is e4_ann_lsh_auto","sec_1x":$e4p1%.2f,"sec_10x":$e4p10%.2f,"exponent":${math.log10(e4p10 / e4p1)}%.2f}""")
+    val rows = rows0 :+ ("e4_ann_lsh_auto", e4a1, e4a10, e4aExp)
     val worst = rows.maxBy(_._4)
     println(f"""{"summary":"worst","query":"${worst._1}","exponent":${worst._4}%.2f}""")
 
@@ -198,26 +226,37 @@ object ScaleProbe {
       graft.textops.TextQueries.winnowCapAudit(spark, outDir)
     println(s"""{"probe":"d18_dfcap_audit","dropped_postings_1x":$capDrop1,"kept_postings_1x":$capKeep1,"dropped_postings_10x":$capDrop10,"kept_postings_10x":$capKeep10}""")
 
-    // e4's scale knob, now WIRED (e4Auto / e4_ann_lsh_auto): band
-    // width derives from corpus size (occupancy ≤ ~100 per bucket, so
-    // candidate pairs ∝ occupancy² stay flat). Probe the auto-chosen
-    // width at 10×: its exponent vs the 1× auto run should be ~1.0
-    // where the pinned 6-bit row above is superlinear — and record
-    // the recall the width costs, e8-style.
-    def timed(f: => Long): Double = {
-      f; val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-    }
-    import graft.simsearch.SimQueries
-    val n1 = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
-    val n10 = spark.read.parquet(s"$outDir/embeddings.parquet").count()
-    val bits1 = SimQueries.e4AutoBits(n1)
-    val bits10 = SimQueries.e4AutoBits(n10)
-    val auto1 = timed(SimQueries.e4Banded(spark, sfDir, bits1).count())
-    val auto10 = timed(SimQueries.e4Banded(spark, outDir, bits10).count())
-    val autoExp = math.log10(auto10 / auto1)
-    val (found, total) = SimQueries.e4Recall(spark, outDir, bits10, sampleMod = 40)
+    // ---- d18 discard path UNDER FIRE (round-14 verdict ask #2): the
+    // fixture corpus has no fingerprint class past df 50, so the
+    // production discard branch had only ever fired in WinnowSpec's
+    // 60-identical-docs case. The boilerplate replica prepends ONE
+    // shared header sentence to EVERY document — its winnow
+    // fingerprints land at df = |docs| ≫ 50 at both scales, so the
+    // audit must report NONZERO dropped mass, and the pair join runs
+    // against a corpus where the cap is actually doing its job: the
+    // pair answer must stay ≈ the plain corpus's (shared boilerplate
+    // carries no pair signal — without the cap it would fan the join
+    // out to |docs|² candidate rows).
+    val bp1 = s"$outDir-bp1x"
+    val bp10 = s"$outDir-bp10x"
+    buildBoilerplate(spark, sfDir, bp1)
+    buildBoilerplate(spark, outDir, bp10)
+    val (bpDrop1, bpKeep1) =
+      graft.textops.TextQueries.winnowCapAudit(spark, bp1)
+    val (bpDrop10, bpKeep10) =
+      graft.textops.TextQueries.winnowCapAudit(spark, bp10)
+    require(bpDrop1 > 0 && bpDrop10 > 0,
+      s"boilerplate replica failed to trip the df cap ($bpDrop1/$bpDrop10)")
+    val (bpSec1, bpPairs1) = warmTimed("d18_winnow", bp1)
+    val (bpSec10, bpPairs10) = warmTimed("d18_winnow", bp10)
+    val (plainSec10, plainPairs10) = warmTimed("d18_winnow", outDir)
+    println(s"""{"probe":"d18_discard_fired","dropped_postings_bp1x":$bpDrop1,"kept_postings_bp1x":$bpKeep1,"dropped_postings_bp10x":$bpDrop10,"kept_postings_bp10x":$bpKeep10,"pairs_bp1x":$bpPairs1,"pairs_bp10x":$bpPairs10,"pairs_plain10x":$plainPairs10,"sec_bp1x":${f"$bpSec1%.2f"},"sec_bp10x":${f"$bpSec10%.2f"},"sec_plain10x":${f"$plainSec10%.2f"},"expect":"dropped > 0 at both scales; pairs_bp ≈ pairs_plain; sec_bp ≈ sec_plain (the cap bounds the join)"}""")
+
+    // the recall the auto-chosen width costs at 10×, e8-style (the
+    // auto row's TIMING is the e4_ann_lsh_auto headline row above)
+    val (found, total) = SimQueries.e4Recall(spark, outDir, e4b10, sampleMod = 40)
     val recall = if (total == 0) 1.0 else found.toDouble / total
-    println(f"""{"query":"e4_auto_bands","bits_1x":$bits1,"bits_10x":$bits10,"sec_1x":$auto1%.2f,"sec_10x":$auto10%.2f,"exponent":$autoExp%.2f,"recall_10x":$recall%.3f,"recall_pairs":"$found/$total"}""")
+    println(f"""{"query":"e4_auto_recall_10x","bits_10x":$e4b10,"recall_10x":$recall%.3f,"recall_pairs":"$found/$total"}""")
 
     // ---- raster zonal at 10× (the plan-pinned 100× story, measured):
     // a lake with 10× the tiles; (a) the FIXED r9 AOI must stay flat
@@ -451,6 +490,38 @@ object ScaleProbe {
       println(f"""{"query":"m9_clip_retrieve_tower","sec_1x":$m9a%.2f,"sec_10x":$m9b%.2f,"exponent":${math.log10(m9b / m9a)}%.2f,"expect":"~flat (tower FileScan, no decode)"}""")
     }
     spark.stop()
+  }
+
+  /** Idempotent build of a boilerplate-heavy replica of `srcDir`: the
+    * SAME header sentence prepended to EVERY document (everything
+    * else symlinked). The header's winnow fingerprints land at
+    * df = |docs| ≫ 50, so d18's df-cap discard path — which the
+    * fixture corpora never exercise (their word-suffixed replicas
+    * share no grams) — fires on real probe data (round-14 verdict
+    * ask #2). 12 header words ≈ 10 shared 3-grams per document. */
+  def buildBoilerplate(spark: SparkSession, srcDir: String,
+                       outDir: String): Unit = {
+    val marker = new java.io.File(s"$outDir/_SCALED")
+    if (marker.exists()) return
+    import java.nio.file.{Files, Paths}
+    Files.createDirectories(Paths.get(outDir))
+    val header = "this document is provided under the standard terms " +
+      "and conditions of use"
+    val docs = spark.read.parquet(s"$srcDir/documents.parquet")
+    docs.createOrReplaceTempView("bp_docs")
+    spark.sql(
+      s"""SELECT doc_id, concat('$header', ' ', text) AS text, lang, source,
+         |  CAST(length(concat('$header', ' ', text)) AS BIGINT) AS n_chars
+         |FROM bp_docs""".stripMargin)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    for (t <- Tables.all if t != "documents") {
+      val link = Paths.get(outDir, s"$t.parquet")
+      if (!Files.exists(link))
+        Files.createSymbolicLink(link,
+          Paths.get(srcDir, s"$t.parquet").toAbsolutePath)
+    }
+    Files.writeString(marker.toPath, "ok")
   }
 
   /** Idempotent build of an N× dir (documents + embeddings scaled,

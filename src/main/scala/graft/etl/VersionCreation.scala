@@ -139,6 +139,36 @@ object VersionCreation {
       }
     }
 
+  /** The rejection message a raster-ingest user sees for a source CRS
+    * the engine cannot resolve: when the file's registry code or CT
+    * geokey names a RECOGNIZED-but-documented-out family (Cassini,
+    * Polyconic, NZMG, oblique Mercator — the series/complex-poly
+    * residue the reference covers by shelling to GDAL/proj), the
+    * message says which family and why, so the user knows the file
+    * is understood, not garbled; otherwise it lists what
+    * unify_projection DOES handle. Factored out of [[createTable]]'s
+    * require so RejectedCrsSpec pins the exact per-family text. */
+  private[graft] def unsupportedCrsMessage(
+      epsg: Int, geoParams: Map[Int, Double]): String =
+    s"source CRS EPSG:$epsg not supported — " +
+      (graft.raster.Warp.unsupportedFamily(epsg, geoParams) match {
+        case Some(family) =>
+          s"the file's projection is $family; this family has no " +
+            "closed-form resolution in the engine — reproject to " +
+            "EPSG:4326 with GDAL/proj first (the reference pipeline " +
+            "shells to gdalwarp for exactly this case)"
+        case None =>
+          "reproject to EPSG:4326 first (unify_projection handles " +
+            "EPSG:3857/3395, UTM zones 326xx/327xx, EASE-Grid 2.0 " +
+            "6933/6931/6932, LAEA Europe 3035, polar stereographic " +
+            "3413/3976/3031, plate carrée 32662/4087, world " +
+            "Mollweide/Eckert IV/Robinson/Winkel Tripel/Miller/Van " +
+            "der Grinten/azimuthal equidistant, and parameter-defined " +
+            "Albers/Lambert conics (2SP and Helmert 1SP), azimuthal " +
+            "and cylindrical equal-area, polar stereographic, " +
+            "Mercator, equirectangular, and sinusoidal via geokeys)"
+      })
+
   private def sqlType(t: String): DataType = t.toLowerCase match {
     case "bigint" | "int8" => LongType
     case "integer" | "int" | "int4" => IntegerType
@@ -311,17 +341,10 @@ object VersionCreation {
           "carry no datum model to correct)")
       require(srcEpsg == 4326 ||
         ((srcEpsg == 3857 || projSrc.isDefined) && opts.unifyProjection),
-        s"source CRS EPSG:$srcEpsg not supported — " +
-          (if (srcEpsg == 3857 || projSrc.isDefined)
+        if (srcEpsg == 3857 || projSrc.isDefined)
+          s"source CRS EPSG:$srcEpsg not supported — " +
             "set unify_projection to warp projected sources to EPSG:4326"
-          else "reproject to EPSG:4326 first (unify_projection handles " +
-            "EPSG:3857/3395, UTM zones 326xx/327xx, EASE-Grid 2.0 " +
-            "6933/6931/6932, LAEA Europe 3035, polar stereographic " +
-            "3413/3976/3031, plate carrée 32662/4087, and " +
-            "parameter-defined Albers/Lambert conics (2SP and " +
-            "Helmert 1SP), azimuthal and cylindrical equal-area, " +
-            "polar stereographic, Mercator, equirectangular, and " +
-            "sinusoidal via geokeys)"))
+        else unsupportedCrsMessage(srcEpsg, srcGeoParams))
 
       // a non-default resampling method only has meaning where an
       // actual resample happens — the general projected-CRS warp; the

@@ -139,6 +139,30 @@ object Warp {
   def projectionFor(epsg: Int): Option[Projection] =
     projectionFor(epsg, Map.empty)
 
+  /** Names a RECOGNIZED-but-unsupported projection family, so the
+    * rejection a user sees states WHICH family their file is in and
+    * WHY it is out of scope — instead of the generic reproject-first
+    * hint. These are the documented-out residue of the projection
+    * program (the reference warps them by shelling to GDAL/proj,
+    * `batch/scripts/unify_projection.sh:13-40`): series-expansion /
+    * complex-polynomial families with no closed form at oracle
+    * precision. Everything with a published closed or tabular form
+    * resolves through [[projectionFor]]. */
+  def unsupportedFamily(epsg: Int, geoParams: Map[Int, Double]): Option[String] =
+    if (epsg == 27200)
+      Some("EPSG:27200 New Zealand Map Grid: a fixed complex-polynomial " +
+        "projection (no closed inverse at oracle precision)")
+    else geoParams.get(3075).map(_.toInt) match {
+      case Some(3) =>
+        Some("CT 3 Oblique Mercator: rectified-skew series family")
+      case Some(18) =>
+        Some("CT 18 Cassini-Soldner: meridian-arc series-expansion family")
+      case Some(22) =>
+        Some("CT 22 Polyconic: per-parallel series family with an " +
+          "iterative two-variable inverse")
+      case _ => None
+    }
+
   /** CRS resolution the way `unify_projection.sh` resolves one with
     * GDAL/proj: by EPSG code when the code is known, otherwise from
     * the file's own projection PARAMETERS. A user-defined

@@ -1798,6 +1798,93 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       .statusCode() == 422)
   }
 
+  test("version terminal-status race: concurrent PATCH-failed is never " +
+       "downgraded and never stuck pending (100+ iterations)") {
+    // Stress pin for the c28b4b4 fix (ApiServer.writeTerminal under
+    // catalogLock, never-downgrade): a client PATCHes a DAG task
+    // `failed` while the creation job races toward its terminal
+    // write. In EVERY interleaving the failed mark must win — if the
+    // PATCH lands before the terminal write, never-downgrade keeps
+    // it; if after, taskPatch re-marks the version — and the version
+    // must always reach a terminal status (the pre-fix exception
+    // path left it 'pending' forever). Iterations run in pairs to
+    // match the job registry's 2-thread pool.
+    def req(method: String, path: String, body: String,
+            hdrs: (String, String)*): HttpResponse[String] = {
+      val rb = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+        .method(method, HttpRequest.BodyPublishers.ofString(body))
+      hdrs.foreach { case (k, v) => rb.header(k, v) }
+      client.send(rb.build(), HttpResponse.BodyHandlers.ofString())
+    }
+    val admin = "Authorization" -> "Bearer test-admin"
+    val src = java.nio.file.Files.createTempDirectory("racesrc")
+    java.nio.file.Files.writeString(src.resolve("t.csv"), "id,name\n1,a\n2,b\n")
+    val putBody =
+      s"""{"creation_options": {"source_uri": ["file://${src.resolve("t.csv")}"]}}"""
+    def statusOf(ds: String): String =
+      "\"status\":\"(\\w+)\"".r.findFirstMatchIn(get(s"/dataset/$ds/v1").body())
+        .map(_.group(1)).getOrElse("")
+    val iters = 110
+    var patched = 0
+    for (batch <- 0 until (iters + 1) / 2) {
+      val pair = Seq(batch * 2, batch * 2 + 1).filter(_ < iters).map { i =>
+        val ds = s"raceds$i"
+        assert(req("PUT", s"/dataset/$ds/v1", putBody, admin).statusCode() == 202)
+        // racer: grab the first DAG task id the moment
+        // registerDagTasks publishes it and PATCH it failed — aimed
+        // at the window between task registration and writeTerminal
+        val patchCode = new java.util.concurrent.atomic.AtomicInteger(-1)
+        val racer = new Thread(() => {
+          var tid: String = null
+          var spins = 0
+          while (tid == null && spins < 8000) {
+            val b = get(s"/asset/$ds-v1-default/tasks").body()
+            "\"task_id\":\"([0-9a-f-]+)\"".r.findFirstMatchIn(b) match {
+              case Some(m) => tid = m.group(1)
+              case None => spins += 1; Thread.sleep(1)
+            }
+          }
+          if (tid != null)
+            patchCode.set(req("PATCH", s"/task/$tid",
+              """{"change_log": [{"task": "racer", "status": "failed", "detail": "race"}]}""",
+              admin).statusCode())
+        })
+        racer.start()
+        (ds, racer, patchCode)
+      }
+      pair.foreach { case (ds, racer, patchCode) =>
+        racer.join(30000)
+        // never stuck: the version must reach a terminal status
+        var status = statusOf(ds)
+        var tries = 0
+        while (tries < 400 && (status == "pending" || status.isEmpty)) {
+          Thread.sleep(25); status = statusOf(ds); tries += 1
+        }
+        assert(status == "saved" || status == "failed",
+          s"$ds stuck at '$status' after creation")
+        if (patchCode.get() == 200) {
+          // never downgraded: once the failed PATCH is acknowledged,
+          // the version converges to failed and STAYS there
+          var s2 = statusOf(ds)
+          var t2 = 0
+          while (t2 < 400 && s2 != "failed") {
+            Thread.sleep(25); s2 = statusOf(ds); t2 += 1
+          }
+          assert(s2 == "failed",
+            s"$ds: PATCH-failed acknowledged but status is '$s2'")
+          assert(statusOf(ds) == "failed", s"$ds downgraded after failed")
+          patched += 1
+        }
+        req("DELETE", s"/dataset/$ds/v1", "", admin)
+        req("DELETE", s"/dataset/$ds", "", admin)
+      }
+    }
+    // the racer must actually land its PATCH in (nearly) every
+    // iteration — a vacuous race proves nothing
+    assert(patched >= iters * 9 / 10,
+      s"racer landed only $patched/$iters failed PATCHes")
+  }
+
   test("geostore create + fetch round-trip with content-addressed id") {
     val gj = """{"type":"Polygon","coordinates":[[[0,0],[10,0],[10,10],[0,10],[0,0]]]}"""
     val created = post("/geostore", gj)
