@@ -36,7 +36,12 @@ def main():
     for t in ["region","nation","customer","supplier","part","orders",
               "lineitem","events","documents","embeddings"]:
         p = f"{sfdir}/{t}.parquet"
-        if os.path.exists(p):
+        if os.path.isdir(p):
+            # Spark-written table (a directory of part files) — the
+            # BuildScaled sf1-gate dirs have this shape; driver
+            # testdata tables are single files
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
+        elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracles = json.load(open(f"{outdir}/oracle_sql.json"))
     n_pass = n_fail = n_noora = 0

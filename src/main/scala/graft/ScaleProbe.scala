@@ -532,7 +532,7 @@ object ScaleProbe {
     * the vector — a shift collision with r−64 then lands at cosine
     * −1, below any positive threshold, instead of duplicating. */
   def buildScaled(spark: SparkSession, sfDir: String, outDir: String,
-                  reps: Int = 10): Unit = {
+                  reps: Int = 10, relational: Boolean = false): Unit = {
     val marker = new java.io.File(s"$outDir/_SCALED")
     if (marker.exists()) return
     import java.nio.file.{Files, Paths}
@@ -578,7 +578,51 @@ object ScaleProbe {
          |FROM sp_events LATERAL VIEW explode(sequence(0, ${reps - 1})) t AS r""".stripMargin)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/events.parquet")
-    for (t <- Tables.all if t != "documents" && t != "embeddings" && t != "events") {
+    // relational replication (the sf1 GATE shape — round-14 verdict
+    // ask #6): lineitem/orders/customer/supplier/part replicate with
+    // CONSISTENT per-replica key offsets (offset = replica ×
+    // (max key + 1), applied to the key on BOTH sides of every FK),
+    // so joins stay replica-local and every answer scales linearly.
+    // nation/region stay symlinked — they are fixed-size dimension
+    // tables at every TPC-H scale factor. Keys widen to BIGINT
+    // uniformly; both engines read the same scaled parquet, so the
+    // widening cannot skew the oracle compare.
+    val relTables: Set[String] =
+      if (relational) Set("lineitem", "orders", "customer", "supplier", "part")
+      else Set.empty
+    if (relational) {
+      def bound(t: String, c: String): Long =
+        spark.read.parquet(s"$sfDir/$t.parquet")
+          .selectExpr(s"CAST(max($c) AS BIGINT)").head.getLong(0) + 1
+      val mO = bound("orders", "o_orderkey")
+      val mC = bound("customer", "c_custkey")
+      val mS = bound("supplier", "s_suppkey")
+      val mP = bound("part", "p_partkey")
+      def rep(t: String, sel: String): Unit = {
+        spark.read.parquet(s"$sfDir/$t.parquet")
+          .createOrReplaceTempView(s"sp_$t")
+        spark.sql(s"""SELECT $sel FROM sp_$t
+          |LATERAL VIEW explode(sequence(0, ${reps - 1})) t AS r""".stripMargin)
+          .repartition(32)
+          .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+      }
+      rep("customer", s"CAST(c_custkey + r * $mC AS BIGINT) AS c_custkey, " +
+        "c_name, c_nationkey, c_acctbal, c_mktsegment")
+      rep("supplier", s"CAST(s_suppkey + r * $mS AS BIGINT) AS s_suppkey, " +
+        "s_name, s_nationkey, s_acctbal")
+      rep("part", s"CAST(p_partkey + r * $mP AS BIGINT) AS p_partkey, " +
+        "p_name, p_brand, p_type, p_size, p_retailprice")
+      rep("orders", s"CAST(o_orderkey + r * $mO AS BIGINT) AS o_orderkey, " +
+        s"CAST(o_custkey + r * $mC AS BIGINT) AS o_custkey, " +
+        "o_orderstatus, o_totalprice, o_orderdate, o_orderpriority")
+      rep("lineitem", s"CAST(l_orderkey + r * $mO AS BIGINT) AS l_orderkey, " +
+        s"CAST(l_partkey + r * $mP AS BIGINT) AS l_partkey, " +
+        s"CAST(l_suppkey + r * $mS AS BIGINT) AS l_suppkey, " +
+        "l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax, " +
+        "l_returnflag, l_linestatus, l_shipdate")
+    }
+    for (t <- Tables.all if t != "documents" && t != "embeddings" &&
+         t != "events" && !relTables(t)) {
       val link = Paths.get(outDir, s"$t.parquet")
       // absolute target: a relative sfDir would otherwise produce a
       // symlink resolving against OUTDIR (broken for every table)

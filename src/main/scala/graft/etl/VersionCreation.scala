@@ -142,8 +142,8 @@ object VersionCreation {
   /** The rejection message a raster-ingest user sees for a source CRS
     * the engine cannot resolve: when the file's registry code or CT
     * geokey names a RECOGNIZED-but-documented-out family (Cassini,
-    * Polyconic, NZMG, oblique Mercator — the series/complex-poly
-    * residue the reference covers by shelling to GDAL/proj), the
+    * NZMG, oblique Mercator — the series/complex-poly residue the
+    * reference covers by shelling to GDAL/proj), the
     * message says which family and why, so the user knows the file
     * is understood, not garbled; otherwise it lists what
     * unify_projection DOES handle. Factored out of [[createTable]]'s
@@ -163,10 +163,11 @@ object VersionCreation {
             "6933/6931/6932, LAEA Europe 3035, polar stereographic " +
             "3413/3976/3031, plate carrée 32662/4087, world " +
             "Mollweide/Eckert IV/Robinson/Winkel Tripel/Miller/Van " +
-            "der Grinten/azimuthal equidistant, and parameter-defined " +
-            "Albers/Lambert conics (2SP and Helmert 1SP), azimuthal " +
-            "and cylindrical equal-area, polar stereographic, " +
-            "Mercator, equirectangular, and sinusoidal via geokeys)"
+            "der Grinten/azimuthal equidistant/polyconic, and " +
+            "parameter-defined Albers/Lambert conics (2SP and " +
+            "Helmert 1SP), azimuthal and cylindrical equal-area, " +
+            "polar stereographic, Mercator, equirectangular, " +
+            "sinusoidal, and polyconic via geokeys)"
       })
 
   private def sqlType(t: String): DataType = t.toLowerCase match {

@@ -1255,12 +1255,27 @@ object RasterQueries extends QueryModule {
       x0 = 200000.0, yTop = 6300000.0, pixelM = 10000.0,
       tilesX = 2, tilesY = 2, pxPerTile = 20)
 
+  /** r36: polyconic (EPSG:5880 SIRGAS 2000 / Brazil Polyconic — the
+    * live national system the family still serves), resolved from
+    * the REGISTRY code like r29–r35's ESRI codes; geokey resolution
+    * (CT 22) is pinned in WarpSpec. The window sits over central
+    * Brazil (x ≈ FE ± 10⁶ m, y below FN — southern hemisphere), so
+    * the equator-branch CASE and the negative-cotangent arcs are
+    * both in play. */
+  private def r36Lattice: Warp.ProjectedLattice =
+    Warp.ProjectedLattice(Warp.Polyconic.brazil,
+      x0 = 4800000.0, yTop = 9600000.0, pixelM = 10000.0,
+      tilesX = 2, tilesY = 2, pxPerTile = 20)
+
   private def millerIngest(spark: SparkSession, sfDir: String): DataFrame =
     projIngest(spark, sfDir, "r33", r33Lattice, 54003)
   private def azeqIngest(spark: SparkSession, sfDir: String): DataFrame =
     projIngest(spark, sfDir, "r34", r34Lattice, 54032)
   private def vdgIngest(spark: SparkSession, sfDir: String): DataFrame =
     projIngest(spark, sfDir, "r35", r35Lattice, 54029)
+
+  private def polyconicIngest(spark: SparkSession, sfDir: String): DataFrame =
+    projIngest(spark, sfDir, "r36", r36Lattice, 5880)
 
   private def stereaIngest(spark: SparkSession, sfDir: String): DataFrame =
     projIngest(spark, sfDir, "r26", r26Lattice, 32767, r26Params)
@@ -1482,7 +1497,8 @@ object RasterQueries extends QueryModule {
       ("r32_winkel_ingest" -> (winkelIngest _)) +
       ("r33_miller_ingest" -> (millerIngest _)) +
       ("r34_azeq_ingest" -> (azeqIngest _)) +
-      ("r35_vdg_ingest" -> (vdgIngest _))
+      ("r35_vdg_ingest" -> (vdgIngest _)) +
+      ("r36_polyconic_ingest" -> (polyconicIngest _))
 
   override def oracles: Map[String, String] =
     sqls.flatMap(q => q.oracleSql.map(q.name -> _)).toMap +
@@ -1518,5 +1534,6 @@ object RasterQueries extends QueryModule {
       ("r32_winkel_ingest" -> projIngestOracle(r32Lattice)) +
       ("r33_miller_ingest" -> projIngestOracle(r33Lattice)) +
       ("r34_azeq_ingest" -> projIngestOracle(r34Lattice)) +
-      ("r35_vdg_ingest" -> projIngestOracle(r35Lattice))
+      ("r35_vdg_ingest" -> projIngestOracle(r35Lattice)) +
+      ("r36_polyconic_ingest" -> projIngestOracle(r36Lattice))
 }

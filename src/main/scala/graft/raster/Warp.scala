@@ -157,9 +157,6 @@ object Warp {
         Some("CT 3 Oblique Mercator: rectified-skew series family")
       case Some(18) =>
         Some("CT 18 Cassini-Soldner: meridian-arc series-expansion family")
-      case Some(22) =>
-        Some("CT 22 Polyconic: per-parallel series family with an " +
-          "iterative two-variable inverse")
       case _ => None
     }
 
@@ -208,6 +205,10 @@ object Warp {
       Some(AzimuthalEquidistant.world)
     else if (epsg == 54029) // ESRI World Van der Grinten I
       Some(VanDerGrinten.world)
+    else if (epsg == 54021) // ESRI World Polyconic
+      Some(Polyconic.world)
+    else if (epsg == 5880) // SIRGAS 2000 / Brazil Polyconic
+      Some(Polyconic.brazil)
     else if (epsg == 3035) // ETRS89-extended / LAEA Europe
       Some(LambertAzimuthalEqualArea.laeaEurope)
     else if (epsg == 6931) // WGS84 / EASE-Grid 2.0 North
@@ -237,6 +238,7 @@ object Warp {
         case Some(23) => Some(Robinson.fromGeoKeys(geoParams))
         case Some(24) => Some(Sinusoidal.fromGeoKeys(geoParams))
         case Some(25) => Some(VanDerGrinten.fromGeoKeys(geoParams))
+        case Some(22) => Some(Polyconic.fromGeoKeys(geoParams))
         case Some(28) => Some(CylindricalEqualArea.fromGeoKeys(geoParams))
         case _ => None
       }
@@ -1724,6 +1726,151 @@ object Warp {
           "Sinusoidal GeoKeyDirectory missing ProjCenterLong " +
             "(keys 3088/3080/3084)"))
       Sinusoidal(lon0Deg = lon0,
+        falseE = p.getOrElse(3082, p.getOrElse(3086, 0.0)),
+        falseN = p.getOrElse(3083, p.getOrElse(3087, 0.0)))
+    }
+  }
+
+  /** American polyconic (Snyder PP 1395, eqs. 18-12..18-15 forward,
+    * 18-16..18-21 inverse) — the classic USGS/IBGE topographic
+    * projection, ellipsoidal: each parallel is an arc of its own
+    * tangent cone (radius N·cotφ, centered on the central meridian),
+    * true to scale along every parallel AND the central meridian.
+    * Still the official projection of Brazilian systematic mapping
+    * (EPSG:5880 SIRGAS 2000 / Brazil Polyconic); ESRI:54021
+    * "World_Polyconic"; GeoTIFF CT 22. Closes a named entry of the
+    * arbitrary-CRS residue ("What's missing #1" — the reference warps
+    * it by shelling to proj, `unify_projection.sh:13-40`).
+    *
+    * Forward (closed form — the meridian arc M is the same Snyder
+    * 3-21 series the transverse-mercator family uses):
+    * E = Δλ·sinφ; x = N·cotφ·sinE; y = M − M₀ + N·cotφ·(1 − cosE);
+    * the equator row is the cone-radius limit x = a·Δλ, y = −M₀.
+    * Inverse: Snyder's Newton iteration (18-21) on φ, driver-side
+    * with a convergence test (the inverse has no SQL mirror — only
+    * the forward replays in the oracle). */
+  final case class Polyconic(lat0Deg: Double, lon0Deg: Double,
+                             falseE: Double, falseN: Double)
+      extends Projection {
+    import TransverseMercator.{A, E2, M1, M2, M3, M4}
+    val lam0: Double = Math.toRadians(lon0Deg)
+    /** Meridian arc from the equator, meters (Snyder 3-21). */
+    private def arcM(phi: Double): Double =
+      A * (M1 * phi - M2 * Math.sin(2 * phi) +
+        M3 * Math.sin(4 * phi) - M4 * Math.sin(6 * phi))
+    private val m0 = arcM(Math.toRadians(lat0Deg))
+    /** The pole's meridian arc (sin terms vanish at φ = π/2). */
+    private val mPole = A * M1 * Math.PI / 2.0
+
+    def forward(latDeg: Double, lonDeg: Double): (Double, Double) = {
+      val phi = Math.toRadians(latDeg)
+      val dlam = Math.toRadians(lonDeg) - lam0
+      val sinP = Math.sin(phi)
+      // association mirrors xSql/ySql exactly (incl. the equator CASE)
+      if (math.abs(sinP) < 1e-12)
+        (A * dlam + falseE, arcM(phi) - m0 + falseN)
+      else {
+        // cotφ/√(1−e²sin²φ): N·cotφ = A × this
+        val cot = (Math.cos(phi) / sinP) / Math.sqrt(1.0 - E2 * sinP * sinP)
+        val e = dlam * sinP
+        (A * cot * Math.sin(e) + falseE,
+          arcM(phi) - m0 + A * cot * (1.0 - Math.cos(e)) + falseN)
+      }
+    }
+
+    /** Newton iteration on φ (Snyder 18-21); a northing past the
+      * pole's meridian arc has no latitude — fail fast like the
+      * sinusoidal inverse. */
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val tx = x - falseE
+      val ty = y - falseN
+      val aA = (m0 + ty) / A
+      require(math.abs(aA) <= mPole / A * (1.0 + 1e-12),
+        f"northing $ty%.1f m is beyond the pole's meridian arc " +
+          f"(${mPole - m0}%.1f m) — invalid polyconic georeferencing")
+      if (math.abs(aA) < 1e-12)
+        return (0.0, Math.toDegrees(lam0 + tx / A))
+      val bB = tx * tx / (A * A) + aA * aA
+      var phi = aA
+      var converged = false
+      var iter = 0
+      while (!converged && iter < 60) {
+        val sp = Math.sin(phi)
+        val cp = Math.cos(phi)
+        val s2 = Math.sin(2 * phi)
+        val c = Math.sqrt(1.0 - E2 * sp * sp) * sp / cp
+        val ma = M1 * phi - M2 * Math.sin(2 * phi) +
+          M3 * Math.sin(4 * phi) - M4 * Math.sin(6 * phi)
+        val mp = M1 - 2 * M2 * Math.cos(2 * phi) +
+          4 * M3 * Math.cos(4 * phi) - 6 * M4 * Math.cos(6 * phi)
+        val num = aA * (c * ma + 1.0) - ma - 0.5 * (ma * ma + bB) * c
+        val den = E2 * s2 * (ma * ma + bB - 2.0 * aA * ma) / (4.0 * c) +
+          (aA - ma) * (c * mp - 2.0 / s2) - mp
+        val next = phi - num / den
+        if (math.abs(next - phi) < 1e-14) converged = true
+        phi = next
+        iter += 1
+      }
+      require(converged, f"polyconic inverse did not converge at " +
+        f"($tx%.1f, $ty%.1f) m")
+      val sp = Math.sin(phi)
+      val c = Math.sqrt(1.0 - E2 * sp * sp) * sp / Math.cos(phi)
+      val lam = lam0 + Math.asin(
+        math.max(-1.0, math.min(1.0, tx * c / A))) / sp
+      (Math.toDegrees(phi), Math.toDegrees(lam))
+    }
+
+    /** Both poles are single finite plane points on the central
+      * meridian (cotφ → 0 kills x for every longitude) — declared so
+      * a pole-containing lattice takes the covered-cap path. */
+    override def planeSingularities: Seq[(Double, Double, Double)] =
+      Seq((falseE, mPole - m0 + falseN, 90.0),
+        (falseE, -mPole - m0 + falseN, -90.0))
+
+    def forwardSelect(lat: String, lon: String): String = {
+      def d(v: Double) = s"CAST(${java.lang.Double.toString(v)} AS DOUBLE)"
+      s"""radians($lat) AS pcphi_,
+         |radians($lon) - ${d(lam0)} AS pcdlam_,
+         |sin(radians($lat)) AS pcsin_,
+         |CASE WHEN abs(pcsin_) < ${d(1e-12)} THEN ${d(0.0)}
+         |  ELSE (cos(pcphi_) / pcsin_) /
+         |    sqrt(1.0 - ${d(E2)} * pcsin_ * pcsin_) END AS pccot_,
+         |pcdlam_ * pcsin_ AS pce_""".stripMargin
+    }
+    def xSql: String = {
+      def d(v: Double) = s"CAST(${java.lang.Double.toString(v)} AS DOUBLE)"
+      s"CASE WHEN abs(pcsin_) < ${d(1e-12)} THEN ${d(A)} * pcdlam_ + ${d(falseE)} " +
+        s"ELSE ${d(A)} * pccot_ * sin(pce_) + ${d(falseE)} END"
+    }
+    def ySql: String = {
+      def d(v: Double) = s"CAST(${java.lang.Double.toString(v)} AS DOUBLE)"
+      s"${d(A)} * (${d(M1)} * pcphi_ - ${d(M2)} * sin(2 * pcphi_) + " +
+        s"${d(M3)} * sin(4 * pcphi_) - ${d(M4)} * sin(6 * pcphi_)) - ${d(m0)} + " +
+        s"(CASE WHEN abs(pcsin_) < ${d(1e-12)} THEN ${d(0.0)} " +
+        s"ELSE ${d(A)} * pccot_ * (1.0 - cos(pce_)) END) + ${d(falseN)}"
+    }
+  }
+
+  object Polyconic {
+    /** ESRI:54021 — World Polyconic. */
+    val world: Polyconic = Polyconic(0.0, 0.0, 0.0, 0.0)
+    /** EPSG:5880 — SIRGAS 2000 / Brazil Polyconic (GRS80 figure; the
+      * usual below-mm GIS-practice equivalence with WGS84). */
+    val brazil: Polyconic = Polyconic(0.0, -54.0, 5000000.0, 10000000.0)
+    /** Build from GeoTIFF projection geokeys (CT 22): natural-origin
+      * latitude 3081 (falling back to the false-origin key 3085;
+      * 0 when absent — both ESRI 54021 and EPSG 5880 sit on the
+      * equator), central meridian from 3080/3084/3088 (required even
+      * when 0, the load-bearing-georeferencing stance), false offsets
+      * 3082/3083 (or the false-origin pair). */
+    def fromGeoKeys(p: Map[Int, Double]): Polyconic = {
+      val lon0 = Seq(3080, 3084, 3088)
+        .collectFirst { case id if p.contains(id) => p(id) }
+        .getOrElse(throw new IllegalArgumentException(
+          "Polyconic GeoKeyDirectory missing ProjNatOriginLong " +
+            "(keys 3080/3084/3088)"))
+      Polyconic(lat0Deg = p.getOrElse(3081, p.getOrElse(3085, 0.0)),
+        lon0Deg = lon0,
         falseE = p.getOrElse(3082, p.getOrElse(3086, 0.0)),
         falseN = p.getOrElse(3083, p.getOrElse(3087, 0.0)))
     }

@@ -6,14 +6,17 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** The projection program's REJECTION boundary, per family (round-14
   * verdict ask #3): the documented-out series/complex-polynomial
-  * families — Cassini-Soldner (CT 18), Polyconic (CT 22), New Zealand
-  * Map Grid (EPSG:27200), oblique Mercator (CT 3) — must be refused
-  * with a message that NAMES the family and points at the reference's
-  * own escape hatch (reproject with GDAL/proj,
+  * families — Cassini-Soldner (CT 18), New Zealand Map Grid
+  * (EPSG:27200), oblique Mercator (CT 3) — must be refused with a
+  * message that NAMES the family and points at the reference's own
+  * escape hatch (reproject with GDAL/proj,
   * `batch/scripts/unify_projection.sh:13-40`), not the generic
   * supported-list hint. Each case drives the real raster ingest
   * (VersionCreation.createTable) end-to-end so the asserted text is
-  * the text a user actually sees in the change log. */
+  * the text a user actually sees in the change log. Polyconic
+  * (CT 22) left this list when it gained a closed-form resolution
+  * (r36) — its case asserts the RESOLUTION instead, so the boundary
+  * test can never silently disagree with the registry. */
 class RejectedCrsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private lazy val spark = SparkSession.builder()
@@ -58,13 +61,13 @@ class RejectedCrsSpec extends AnyFunSuite with BeforeAndAfterAll {
       log.takeRight(500))
   }
 
-  test("Polyconic (CT 22) is refused BY NAME") {
-    assert(Warp.projectionFor(32767, ctParams(22.0)).isEmpty)
-    val (ok, log) = ingest("polyconic", 32767, ctParams(22.0))
-    assert(!ok, "a CT 22 source must not ingest")
-    assert(log.contains("CT 22 Polyconic"), log.takeRight(500))
-    assert(log.contains("reproject to EPSG:4326 with GDAL/proj"),
-      log.takeRight(500))
+  test("Polyconic (CT 22) RESOLVES — it is no longer in the rejected set") {
+    val p = Warp.projectionFor(32767, ctParams(22.0))
+    assert(p.exists(_.isInstanceOf[Warp.Polyconic]), s"CT 22 resolved to $p")
+    assert(Warp.projectionFor(54021)
+      .exists(_.isInstanceOf[Warp.Polyconic]), "ESRI:54021")
+    assert(Warp.projectionFor(5880)
+      .exists(_.isInstanceOf[Warp.Polyconic]), "EPSG:5880")
   }
 
   test("New Zealand Map Grid (EPSG:27200) is refused BY NAME") {

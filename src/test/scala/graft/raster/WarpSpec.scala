@@ -937,6 +937,87 @@ class WarpSpec extends AnyFunSuite {
     assert(Warp.projectionFor(32767, Map(3075 -> 25.0, 3088 -> 0.0)).contains(v))
   }
 
+  test("polyconic: arc-per-parallel geometry, true scales, Newton inverse") {
+    val p = Warp.Polyconic.world
+    val a = Warp.TransverseMercator.A
+    val e2 = Warp.TransverseMercator.E2
+    // EXTERNAL meridian-arc ground truth: Simpson integration of the
+    // ellipsoidal arc integrand M(φ) = ∫ a(1−e²)/(1−e²sin²t)^{3/2} dt
+    // — independent of the Snyder 3-21 series the engine evaluates
+    def arcNum(latDeg: Double): Double = {
+      val phi = math.toRadians(latDeg)
+      val n = 20000
+      val h = phi / n
+      def f(t: Double) = {
+        val s = math.sin(t)
+        a * (1 - e2) / math.pow(1 - e2 * s * s, 1.5)
+      }
+      (0 until n).map { i =>
+        (f(i * h) + 4 * f((i + 0.5) * h) + f((i + 1) * h)) * h / 6
+      }.sum
+    }
+    // central meridian carries the TRUE meridian arc (scale 1)
+    for (lat <- Seq(-60.0, -23.5, 15.0, 45.0, 80.0)) {
+      val (x, y) = p.forward(lat, 0.0)
+      assert(math.abs(x) < 1e-9, s"x on the central meridian at $lat")
+      assert(math.abs(y - arcNum(lat)) < 0.02,
+        s"meridian arc at $lat: $y vs ${arcNum(lat)}")
+    }
+    // the equator row is the true-scale line x = a·Δλ
+    val (xe, ye) = p.forward(0.0, 30.0)
+    assert(math.abs(xe - a * math.toRadians(30.0)) < 1e-6 && math.abs(ye) < 1e-6)
+    // DEFINING property: each parallel is a circular arc of radius
+    // N·cotφ centered on the central meridian at (0, M + N·cotφ)
+    for (lat <- Seq(-45.0, 20.0, 55.0); lon <- Seq(-40.0, -5.0, 12.0, 60.0)) {
+      val phi = math.toRadians(lat)
+      val sinP = math.sin(phi)
+      val nCot = a / math.sqrt(1 - e2 * sinP * sinP) * math.cos(phi) / sinP
+      val (cx, cy) = (0.0, arcNum(lat) + nCot)
+      val (x, y) = p.forward(lat, lon)
+      assert(math.abs(math.hypot(x - cx, y - cy) - math.abs(nCot)) < 0.02,
+        s"parallel $lat not on its arc at lon $lon")
+      // …and the parallel is TRUE TO SCALE: the arc angle from the
+      // central meridian is E = Δλ·sinφ, so arc length = N·cosφ·Δλ
+      val ang = math.atan2(x - cx, (cy - y) * math.signum(sinP))
+      assert(math.abs(math.abs(ang) -
+        math.abs(math.toRadians(lon) * sinP)) < 1e-9,
+        s"arc angle at ($lat, $lon)")
+    }
+    // poles are single plane points on x = 0, declared as covered caps
+    val (xp, yp) = p.forward(90.0, 135.0)
+    assert(math.abs(xp) < 1e-6 && math.abs(yp - arcNum(90.0)) < 0.05)
+    assert(p.planeSingularities.map(_._3).sorted == Seq(-90.0, 90.0))
+    // Newton-inverse round-trip: world instance over a wide window,
+    // Brazil instance (EPSG:5880 parameters) over its own territory
+    val br = Warp.Polyconic.brazil
+    for (lat <- Seq(-75.0, -33.75, -0.0, 0.004, 28.0, 71.5);
+         lon <- Seq(-55.0, -9.0, 0.0, 24.0, 48.0)) {
+      val (x, y) = p.forward(lat, lon)
+      val (la, lo) = p.inverse(x, y)
+      assert(math.abs(la - lat) < 5e-8 && math.abs(lo - lon) < 5e-8,
+        s"round-trip ($lat, $lon) → ($la, $lo)")
+    }
+    for (lat <- Seq(-33.0, -15.2, -2.3, 4.4); lon <- Seq(-73.9, -54.0, -34.8)) {
+      val (x, y) = br.forward(lat, lon)
+      val (la, lo) = br.inverse(x, y)
+      assert(math.abs(la - lat) < 5e-8 && math.abs(lo - lon) < 5e-8,
+        s"Brazil round-trip ($lat, $lon) → ($la, $lo)")
+    }
+    // a northing past the pole's arc fails fast, naming the family
+    val errP = intercept[IllegalArgumentException](
+      p.inverse(0.0, arcNum(90.0) * 1.01))
+    assert(errP.getMessage.contains("polyconic"))
+    // registry + geokey resolution, with the key fallback order
+    assert(Warp.projectionFor(54021).contains(p))
+    assert(Warp.projectionFor(5880).contains(br))
+    assert(Warp.projectionFor(32767,
+      Map(3075 -> 22.0, 3081 -> 0.0, 3080 -> -54.0,
+        3082 -> 5000000.0, 3083 -> 10000000.0)).contains(br))
+    val eLon = intercept[IllegalArgumentException](
+      Warp.Polyconic.fromGeoKeys(Map(3081 -> 0.0)))
+    assert(eLon.getMessage.contains("3080"))
+  }
+
   test("ellipsoidal Mercator and equirectangular from geokeys") {
     // CT 7 — the EPSG:3395 World Mercator shape
     val m = Warp.MercatorEllipsoidal.fromGeoKeys(Map(3075 -> 7.0, 3080 -> 0.0))
