@@ -13,9 +13,35 @@ client renders HUGEINT and BIGINT both as `int`, and Decimal == float
 is True, so cell-level checks are blind to exactly the class of skew
 (round-8 m2 ts_ms DECIMAL, round-9 m2 frame_sum HUGEINT) that the
 driver's type-sensitive hash rejects.
+
+An optional third arg caps each ORACLE query's runtime in seconds
+(`localcheck.py <out> <sf> [timeout]`): at the sf1 gate scale some
+oracle replays are quadratic where the engine is not (e21's mutual
+kNN in pure SQL), and a compare that hangs reports nothing. A timed-
+out oracle prints ORATIME and counts separately — it is a statement
+about the TEST HARNESS at that scale, not about the engine.
 """
-import json, sys, glob, os
+import json, sys, glob, os, threading
 import duckdb
+
+
+def run_capped(con, sql, timeout):
+    """fetchall with a wall-clock cap via duckdb's interrupt (None =
+    uncapped, the driver's mode)."""
+    if not timeout:
+        r = con.execute(sql)
+        return [d[0] for d in r.description], r.fetchall()
+    done = threading.Event()
+    def watchdog():
+        if not done.wait(timeout):
+            con.interrupt()
+    t = threading.Thread(target=watchdog, daemon=True)
+    t.start()
+    try:
+        r = con.execute(sql)
+        return [d[0] for d in r.description], r.fetchall()
+    finally:
+        done.set()
 
 def canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
@@ -32,6 +58,7 @@ def describe(con, sql):
 
 def main():
     outdir, sfdir = sys.argv[1], sys.argv[2]
+    timeout = float(sys.argv[3]) if len(sys.argv) > 3 else None
     con = duckdb.connect()
     for t in ["region","nation","customer","supplier","part","orders",
               "lineitem","events","documents","embeddings"]:
@@ -44,7 +71,7 @@ def main():
         elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracles = json.load(open(f"{outdir}/oracle_sql.json"))
-    n_pass = n_fail = n_noora = 0
+    n_pass = n_fail = n_noora = n_slow = 0
     # A query Verify declared (it dumps oracle_sql.json from the full
     # queries map) but did NOT dump is a FAILURE, not a silent skip —
     # Verify swallows per-query exceptions, and without this check a
@@ -67,9 +94,14 @@ def main():
             if len(grows) == 0: print(f"  WARN: zero rows")
             continue
         try:
-            exp = con.execute(oracles[name])
-            ecols = [d[0] for d in exp.description]; erows = exp.fetchall()
+            ecols, erows = run_capped(con, oracles[name], timeout)
+        except duckdb.InterruptException:
+            print(f"ORATIME {name}: oracle exceeded {timeout}s at this scale")
+            n_slow += 1; continue
         except Exception as e:
+            if timeout and "INTERRUPT" in str(e).upper():
+                print(f"ORATIME {name}: oracle exceeded {timeout}s at this scale")
+                n_slow += 1; continue
             print(f"ORAFAIL {name}: {e}"); n_fail += 1; continue
         # DuckDB-native type equality: catches HUGEINT/DECIMAL/unsigned
         # skew invisible at the Python cell level.
@@ -103,7 +135,8 @@ def main():
                 print(f"  spark : {gr[i]}\n  oracle: {er[i]}")
             n_fail += 1; continue
         print(f"PASS    {name} ({len(gr)} rows)"); n_pass += 1
-    print(f"\n{n_pass} pass, {n_fail} fail, {n_noora} rows-only")
+    tail = f", {n_slow} oracle-timeout" if n_slow else ""
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_noora} rows-only{tail}")
     sys.exit(1 if n_fail else 0)
 
 main()

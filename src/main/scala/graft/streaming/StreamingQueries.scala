@@ -78,20 +78,48 @@ object StreamingQueries extends QueryModule {
     * the harness floor. */
   val opSeconds = new java.util.concurrent.ConcurrentHashMap[String, Double]()
 
+  /** Schema of a staged source dir, resolved once per path — the
+    * per-drain batch read existed only to hand `readStream` a schema
+    * and was a measurable slice of the ~0.7 s/gate harness floor
+    * (round-14 verdict ask #7). */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  /** State/shuffle partition count for the drain harness. Stateful
+    * gates initialize + commit one state store per shuffle partition
+    * per micro-batch; at the session default (32) that machinery —
+    * not the operator — dominated the gate wall-clock (round-14
+    * verdict ask #7: harness ≈ 9 s of the 13 gates' 25 s). 8 keeps
+    * the drain parallel while quartering store overhead; the
+    * PRODUCTION sizing guidance is unchanged (this is the CHECK
+    * harness — S11's streaming sinks are the at-scale path), and
+    * oracle hashes are partitioning-independent by construction. */
+  private val DrainPartitions = "8"
+
   private def drained(spark: SparkSession, srcPath0: String,
                       label: String)
                      (gate: DataFrame => DataFrame): DataFrame = {
     val srcPath = asDir(srcPath0)
-    val schema = spark.read.parquet(srcPath).schema
+    val schema = schemaCache.computeIfAbsent(srcPath,
+      p => spark.read.parquet(p).schema)
     val stream = spark.readStream.schema(schema).parquet(srcPath)
     val sink = "sg_sink_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = gate(stream).writeStream
-      .format("memory").queryName(sink)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // the partition override must cover q.start() (the checkpoint
+    // pins shuffle partitions at first batch); restored after the
+    // drain so batch queries keep the session sizing
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", DrainPartitions)
+    val q =
+      try {
+        val started = gate(stream).writeStream
+          .format("memory").queryName(sink)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        started.awaitTermination()
+        started
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     val addMs = q.recentProgress.iterator.map { p =>
       Option(p.durationMs.get("addBatch")).map(_.longValue).getOrElse(0L)
     }.sum
@@ -152,20 +180,33 @@ object StreamingQueries extends QueryModule {
     * it never appears in the output and the oracle needs no carve-out. */
   private def sentinelStage(spark: SparkSession, srcPath: String): String = {
     val f = new java.io.File(srcPath)
-    // "#v2" bumps the stage tag: the sentinel CONTENT changed (see
-    // below) and the staged dir is keyed on the SOURCE fingerprint
-    // only, so old /tmp stages would otherwise keep serving the old
-    // sentinel row forever
+    // The version suffix bumps the stage tag when the STAGE LAYOUT
+    // changes (v2: sentinel content; v3: per-part-file links for
+    // directory sources) — the staged dir is keyed on the SOURCE
+    // fingerprint only, so old /tmp stages would otherwise keep
+    // serving the old layout forever
     val tag = Integer.toHexString(
-      (f.getAbsolutePath + "#" + f.lastModified + "#" + f.length + "#v2").hashCode)
+      (f.getAbsolutePath + "#" + f.lastModified + "#" + f.length + "#v3").hashCode)
     val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft_sg4_src_$tag")
     val sent = new java.io.File(dir, "zz_sentinel.parquet")
     if (!sent.exists()) {
       dir.mkdirs()
-      val link = new java.io.File(dir, "a_documents.parquet")
-      try java.nio.file.Files.createSymbolicLink(
-        link.toPath, f.toPath.toAbsolutePath)
-      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      // A Spark-written table is a DIRECTORY of part files (the sf1
+      // gate corpora have this shape), and the streaming file source
+      // does not recurse into a symlinked subdirectory — a dir-shaped
+      // source staged as one link would silently stream ONLY the
+      // sentinel, draining the gate empty (caught by the round-15
+      // sf1 gate: sg4 0 rows vs oracle 14740). Link each part file.
+      val parts: Seq[java.io.File] =
+        if (f.isDirectory)
+          f.listFiles().filter(_.getName.endsWith(".parquet")).toSeq
+        else Seq(f)
+      parts.zipWithIndex.foreach { case (pf, i) =>
+        val link = new java.io.File(dir, f"a_documents_$i%05d.parquet")
+        try java.nio.file.Files.createSymbolicLink(
+          link.toPath, pf.toPath.toAbsolutePath)
+        catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      }
       val tmp = java.nio.file.Files.createTempDirectory("graft_sent").toFile
       // sentinel text derives from its own doc_id: the sentinel's one
       // span must SURVIVE the corpus anti-join to reach the watermark
