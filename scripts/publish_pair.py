@@ -38,9 +38,11 @@ def main():
     a, b = runs[-2], runs[-1]
     problems = []
     for tag, r in (("A", a), ("B", b)):
-        if not r.get("quiet"):
+        # warm_quiet certifies the published (accepted warm) windows;
+        # older stamps lack it — fall back to the run-level field
+        if not r.get("warm_quiet", r.get("quiet")):
             problems.append(
-                f"run {tag} not quiet: steal_share={r['steal_share']}, "
+                f"run {tag} not warm-quiet: steal_share={r['steal_share']}, "
                 f"worst_10s_steal={r['worst_10s_steal']}")
         if r.get("contended_queries"):
             problems.append(f"run {tag} contended_queries="
