@@ -86,13 +86,21 @@ object FeatureLookup {
   def bufferMeters(zoom: Int): Option[Double] = precision.get(zoom).map(_ * 50)
 }
 
+/** Interactive query exceeded `sqlRequestTimeoutSec`; its Spark job
+  * group has been cancelled. `raster` selects which of the reference's
+  * two timeout envelopes applies (see `withDeadline`). */
+private[api] final class QueryTimeoutException(val raster: Boolean)
+  extends RuntimeException("query deadline exceeded")
+
 final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
                       nonDownloadable: Set[String] = Set.empty,
                       apiKeys: Option[ApiKeys] = None,
                       protectedDatasets: Set[String] = Set.empty,
                       adminTokens: Set[String] = Set.empty,
                       rwGeostore: Option[String => Option[String]] = None,
-                      allowedSourceRoots: Seq[String] = Nil) {
+                      allowedSourceRoots: Seq[String] = Nil,
+                      sqlRequestTimeoutSec: Int =
+                        sys.env.getOrElse("GRAFT_SQL_REQUEST_TIMEOUT_SEC", "58").toInt) {
 
   Tables.register(spark, sfDir)
 
@@ -186,6 +194,67 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
   def start(): Int = { server.start(); server.getAddress.getPort }
   def stop(): Unit = {
     jobRegistry.shutdown(); server.stop(0); requestPool.shutdown()
+    queryExec.shutdownNow()
+  }
+
+  // -------------------------------------------- interactive-query deadline
+
+  /** The reference bounds every interactive query at
+    * `SQL_REQUEST_TIMEOUT = 58` s: the asyncpg pool's
+    * `command_timeout` (`app/application.py:105`,
+    * `app/settings/globals.py:143`) cancels the server-side query and
+    * surfaces as a 524 "A timeout occurred while processing the
+    * request. Request canceled." (`app/main.py:53-64`); the raster
+    * path's lambda client timeout maps to 500 "Query took too long to
+    * process." (`app/routes/datasets/queries.py:596-599`). On Spark
+    * the equivalent needs an explicit job group: without one, a
+    * pathological-but-valid query (a continent-wide zonal, a
+    * selective-looking filter that isn't) holds a request-pool thread
+    * AND keeps its cluster job burning executors forever — 8 of those
+    * and the API is dead. So each interactive query runs on a
+    * dedicated thread under `setJobGroup(interruptOnCancel = true)`;
+    * on deadline expiry the group is cancelled (killing all its
+    * running stages cluster-side) and the handler answers with the
+    * reference's envelope. Downloads stream incrementally and async
+    * batch jobs poll (202) — neither is deadline-bound, matching the
+    * reference's split. */
+  private val queryExec = {
+    val fac = new java.util.concurrent.ThreadFactory {
+      private val n = new java.util.concurrent.atomic.AtomicInteger
+      def newThread(r: Runnable): Thread = {
+        val t = new Thread(r, s"graft-query-exec-${n.getAndIncrement()}")
+        t.setDaemon(true); t
+      }
+    }
+    java.util.concurrent.Executors.newCachedThreadPool(fac)
+  }
+
+  /** Last cancelled job group, observable by specs so they can assert
+    * the Spark job actually died (`statusTracker.getJobIdsForGroup`). */
+  @volatile private[api] var lastCancelledGroup: Option[String] = None
+
+  private def withDeadline[T](tag: String, raster: Boolean)(body: => T): T = {
+    val sc = spark.sparkContext
+    val groupId = s"graft-api-$tag-${java.util.UUID.randomUUID()}"
+    val fut = queryExec.submit(new java.util.concurrent.Callable[T] {
+      def call(): T = {
+        // job groups are thread-local: set on the thread that runs the
+        // Spark actions, cleared so pool reuse can't leak the group
+        sc.setJobGroup(groupId, s"graft interactive $tag",
+          interruptOnCancel = true)
+        try body finally sc.clearJobGroup()
+      }
+    })
+    try fut.get(sqlRequestTimeoutSec.toLong, java.util.concurrent.TimeUnit.SECONDS)
+    catch {
+      case _: java.util.concurrent.TimeoutException =>
+        sc.cancelJobGroup(groupId)
+        fut.cancel(true)
+        lastCancelledGroup = Some(groupId)
+        throw new QueryTimeoutException(raster)
+      case e: java.util.concurrent.ExecutionException =>
+        throw e.getCause
+    }
   }
 
   // ------------------------------------------------------------- routing
@@ -411,6 +480,17 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
           respond(ex, 404, "application/json", Sinks.jsendError("Not found"))
       }
     } catch {
+      case e: QueryTimeoutException =>
+        // raster analysis timeout → 500 (`queries.py:596-599`); tabular
+        // command timeout → the global 524 handler (`main.py:53-64`);
+        // both are ≥500 so status "error" (`errors.py:43-46`)
+        if (e.raster)
+          respond(ex, 500, "application/json",
+            Sinks.jsendError("Query took too long to process.", "error"))
+        else
+          respond(ex, 524, "application/json", Sinks.jsendError(
+            "A timeout occurred while processing the request. Request canceled.",
+            "error"))
       case e: SqlGateException =>
         respond(ex, e.statusCode, "application/json", Sinks.jsendError(e.detail))
       case e: graft.raster.ZonalEngine.ZonalException =>
@@ -428,8 +508,11 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
         respond(ex, 400, "application/json",
           Sinks.jsendError("Bad request. " + e.getSimpleMessage))
       case e: Throwable =>
+        // ≥500 carries status "error" in the reference's JSEND mapping
+        // (`errors.py:43-46`)
         respond(ex, 500, "application/json",
-          Sinks.jsendError(Option(e.getMessage).getOrElse("Internal server error")))
+          Sinks.jsendError(
+            Option(e.getMessage).getOrElse("Internal server error"), "error"))
     } finally ex.close()
 
   // ------------------------------------------------------------ handlers
@@ -470,11 +553,13 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
           case None => respond(ex, 422, "application/json",
             Sinks.jsendError("Raster tile set queries require a geostore"))
           case Some(gj) =>
-            val df = graft.raster.ZonalEngine.runSql(
-              spark, catalog, dataset, sql, gj).limit(MaxInteractiveRows)
+            val payload = withDeadline("query", raster = true) {
+              val df = graft.raster.ZonalEngine.runSql(
+                spark, catalog, dataset, sql, gj).limit(MaxInteractiveRows)
+              if (json) Sinks.toJsend(df) else Sinks.toCsv(df)
+            }
             ex.getResponseHeaders.add("Cache-Control", cacheControl(dataset))
-            if (json) respond(ex, 200, "application/json", Sinks.toJsend(df))
-            else respond(ex, 200, "text/csv", Sinks.toCsv(df))
+            respond(ex, 200, if (json) "application/json" else "text/csv", payload)
         }
       case Right(_) =>
         val gidOpt = params.get("geostore_id")
@@ -489,10 +574,12 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
         // lake table view name == dataset name (single-version lake)
         val rewritten = Scrutinizer.scrutinizeTo(tableFor(dataset, version), geom, sql)
         graft.sqlgate.TabularEngine.checkFunctionsExist(spark, rewritten)
-        val df = spark.sql(rewritten).limit(MaxInteractiveRows)
+        val payload = withDeadline("query", raster = false) {
+          val df = spark.sql(rewritten).limit(MaxInteractiveRows)
+          if (json) Sinks.toJsend(df) else Sinks.toCsv(df)
+        }
         ex.getResponseHeaders.add("Cache-Control", cacheControl(dataset))
-        if (json) respond(ex, 200, "application/json", Sinks.toJsend(df))
-        else respond(ex, 200, "text/csv", Sinks.toCsv(df))
+        respond(ex, 200, if (json) "application/json" else "text/csv", payload)
     }
   }
 
@@ -534,10 +621,13 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
         Sinks.jsendError("Missing sql in request body"))
     }
     val geom = obj.get("geometry").map(graft.geo.Json.write)
-    def send(df: org.apache.spark.sql.DataFrame): Unit =
-      if (json) respond(ex, 200, "application/json",
-        Sinks.toJsend(df.limit(MaxInteractiveRows)))
-      else respond(ex, 200, "text/csv", Sinks.toCsv(df.limit(MaxInteractiveRows)))
+    def send(raster: Boolean)(df: => org.apache.spark.sql.DataFrame): Unit = {
+      val payload = withDeadline("query", raster) {
+        val limited = df.limit(MaxInteractiveRows)
+        if (json) Sinks.toJsend(limited) else Sinks.toCsv(limited)
+      }
+      respond(ex, 200, if (json) "application/json" else "text/csv", payload)
+    }
     catalog.queryEngine(dataset, version) match {
       case Left(msg) if msg.contains("not found") =>
         respond(ex, 404, "application/json", Sinks.jsendError(msg))
@@ -548,13 +638,13 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
           case None => respond(ex, 422, "application/json",
             Sinks.jsendError("Raster tile set queries require a geometry"))
           case Some(gj) =>
-            send(graft.raster.ZonalEngine.runSql(spark, catalog, dataset, sql, gj,
-              versionOverrides(obj)))
+            send(raster = true)(graft.raster.ZonalEngine.runSql(
+              spark, catalog, dataset, sql, gj, versionOverrides(obj)))
         }
       case Right(_) =>
         val rewritten = Scrutinizer.scrutinizeTo(tableFor(dataset, version), geom, sql)
         graft.sqlgate.TabularEngine.checkFunctionsExist(spark, rewritten)
-        send(spark.sql(rewritten))
+        send(raster = false)(spark.sql(rewritten))
     }
   }
 
@@ -2393,9 +2483,11 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
             .getOrElse(Seq("landcover")),
           tcdThreshold = num422(ex, "tcd_threshold",
             params.get("tcd_threshold").map(_.toInt)).getOrElse(return))
-        val df = graft.raster.ZonalEngine.run(spark, req)
+        val payload = withDeadline("zonal", raster = true) {
+          Sinks.toJsend(graft.raster.ZonalEngine.run(spark, req))
+        }
         ex.getResponseHeaders.add("Cache-Control", "max-age=7200")
-        respond(ex, 200, "application/json", Sinks.toJsend(df))
+        respond(ex, 200, "application/json", payload)
     }
   }
 

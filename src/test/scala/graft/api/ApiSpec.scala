@@ -1885,6 +1885,79 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"racer landed only $patched/$iters failed PATCHes")
   }
 
+  test("58s-class query deadline: slow query → 524 envelope AND the Spark job dies " +
+    "(globals.py:143 SQL_REQUEST_TIMEOUT, main.py:53-64 timeout handler)") {
+    // a genuinely slow distributed job: an interruptible per-row sleep
+    // over lineitem (~6k rows × 5ms on 2 threads ≈ 15 s of task time)
+    spark.udf.register("graft_spec_slow",
+      (x: Long) => { Thread.sleep(5L); x })
+    val slow = new ApiServer(spark, "/root/testdata/sf0.001",
+      sqlRequestTimeoutSec = 2)
+    val p = slow.start()
+    try {
+      val t0 = System.nanoTime()
+      val r = client.send(HttpRequest.newBuilder(URI.create(
+        s"http://127.0.0.1:$p/dataset/lineitem/v1/query/json?sql=" +
+          java.net.URLEncoder.encode(
+            "SELECT sum(graft_spec_slow(l_orderkey)) AS s FROM data", "UTF-8")))
+        .GET().build(), HttpResponse.BodyHandlers.ofString())
+      val elapsedSec = (System.nanoTime() - t0) / 1e9
+      // the DB command timeout surfaces through the reference's global
+      // AsyncTimeoutError handler: 524, status "error", fixed message
+      assert(r.statusCode() == 524, s"${r.statusCode()} ${r.body().take(200)}")
+      assert(r.body() == """{"status":"error","message":"A timeout occurred while processing the request. Request canceled."}""")
+      assert(elapsedSec < 15.0, s"deadline did not bound the request: $elapsedSec s")
+      // the Spark job must actually be cancelled, not orphaned: every
+      // job in the request's group leaves the RUNNING state
+      val group = slow.lastCancelledGroup.getOrElse(
+        fail("no cancelled job group recorded"))
+      val tracker = spark.sparkContext.statusTracker
+      val deadline = System.currentTimeMillis() + 10000
+      def liveJobs() = tracker.getJobIdsForGroup(group).filter { id =>
+        tracker.getJobInfo(id).exists(
+          _.status == org.apache.spark.JobExecutionStatus.RUNNING)
+      }
+      while (liveJobs().nonEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(liveJobs().isEmpty, "cancelled group still has RUNNING jobs")
+      // the pool thread is released: a fast query on the same server
+      // answers promptly after the timeout
+      val ok = client.send(HttpRequest.newBuilder(URI.create(
+        s"http://127.0.0.1:$p/dataset/nation/v1/query/json?sql=" +
+          java.net.URLEncoder.encode("SELECT count(*) AS cnt FROM data", "UTF-8")))
+        .GET().build(), HttpResponse.BodyHandlers.ofString())
+      assert(ok.statusCode() == 200 && ok.body().contains("\"cnt\":25"))
+    } finally slow.stop()
+  }
+
+  test("raster-path timeout maps to 500 'Query took too long to process.' (queries.py:596-599)") {
+    // timeout 0 expires every deadline immediately — pins the raster
+    // envelope without needing a genuinely slow zonal
+    val instant = new ApiServer(spark, "/root/testdata/sf0.001",
+      sqlRequestTimeoutSec = 0)
+    val p = instant.start()
+    try {
+      val gj = """{"type":"Polygon","coordinates":[[[0.3513,40.6821],[3.1242,40.9753],[3.7081,43.2517],[0.8472,42.8391],[0.3513,40.6821]]]}"""
+      val created = client.send(HttpRequest.newBuilder(URI.create(
+        s"http://127.0.0.1:$p/geostore"))
+        .POST(HttpRequest.BodyPublishers.ofString(gj)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      val gid = "\"gfw_geostore_id\":\"([0-9a-f-]+)\"".r
+        .findFirstMatchIn(created.body()).get.group(1)
+      val r = client.send(HttpRequest.newBuilder(URI.create(
+        s"http://127.0.0.1:$p/analysis/zonal?geostore_id=$gid&group_by=landcover&tcd_threshold=30"))
+        .GET().build(), HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() == 500, s"${r.statusCode()} ${r.body().take(200)}")
+      assert(r.body() == """{"status":"error","message":"Query took too long to process."}""")
+      // and the tabular path under the same zero deadline reads 524
+      val t = client.send(HttpRequest.newBuilder(URI.create(
+        s"http://127.0.0.1:$p/dataset/nation/v1/query/json?sql=" +
+          java.net.URLEncoder.encode("SELECT count(*) AS cnt FROM data", "UTF-8")))
+        .GET().build(), HttpResponse.BodyHandlers.ofString())
+      assert(t.statusCode() == 524)
+    } finally instant.stop()
+  }
+
   test("geostore create + fetch round-trip with content-addressed id") {
     val gj = """{"type":"Polygon","coordinates":[[[0,0],[10,0],[10,10],[0,10],[0,0]]]}"""
     val created = post("/geostore", gj)
