@@ -47,10 +47,16 @@ def main():
         if r.get("contended_queries"):
             problems.append(f"run {tag} contended_queries="
                             f"{r['contended_queries']}")
-    if set(a["queries"]) != set(b["queries"]):
-        problems.append("query sets differ between the runs")
+    # differing query sets can reach the per-query loop under
+    # --annotate (the exact case --annotate exists to publish) —
+    # compare over the intersection and record the difference
+    only_a = sorted(set(a["queries"]) - set(b["queries"]))
+    only_b = sorted(set(b["queries"]) - set(a["queries"]))
+    if only_a or only_b:
+        problems.append(f"query sets differ between the runs "
+                        f"(only_a={only_a}, only_b={only_b})")
     ta, tb = a["warm_total"], b["warm_total"]
-    spread = abs(ta - tb) / min(ta, tb)
+    spread = abs(ta - tb) / max(min(ta, tb), 1e-9)
     if spread >= 0.10:
         problems.append(f"warm-total spread {spread:.1%} >= 10%")
     if problems and not annotate:
@@ -60,14 +66,14 @@ def main():
         sys.exit(1)
     per = {}
     wide = []
-    for q in a["queries"]:
+    for q in sorted(set(a["queries"]) & set(b["queries"])):
         x, y = a["queries"][q], b["queries"][q]
         d = abs(x - y) / max(min(x, y), 0.01)
         per[q] = d
         if d > 0.15 and max(x, y) > 0.2:
             wide.append({"query": q, "run_a_sec": x, "run_b_sec": y,
                          "spread": round(d, 3)})
-    ds = sorted(per.values())
+    ds = sorted(per.values()) or [0.0]
     wide.sort(key=lambda w: -w["spread"])
     artifact = {
         "protocol": "two consecutive Bench runs, idle box, steal-gated "
@@ -81,6 +87,8 @@ def main():
         "steal_a": {"share": a["steal_share"], "worst_10s": a["worst_10s_steal"]},
         "steal_b": {"share": b["steal_share"], "worst_10s": b["worst_10s_steal"]},
         "reruns_a": a.get("reruns", 0), "reruns_b": b.get("reruns", 0),
+        "queries_only_in_a": only_a,
+        "queries_only_in_b": only_b,
         "per_query_spread": {
             "max": round(ds[-1], 3),
             "p99": round(ds[int(len(ds) * 0.99)], 3),

@@ -534,7 +534,18 @@ object ScaleProbe {
   def buildScaled(spark: SparkSession, sfDir: String, outDir: String,
                   reps: Int = 10, relational: Boolean = false): Unit = {
     val marker = new java.io.File(s"$outDir/_SCALED")
-    if (marker.exists()) return
+    // the marker records the BUILD PARAMETERS (round-15 advice): a
+    // dir built at other parameters must not silently serve this
+    // request (e.g. relational=false leaves lineitem a 1× symlink —
+    // under an 'sf1' label that silently un-scales the gate)
+    val want = s"reps=$reps relational=$relational"
+    if (marker.exists()) {
+      val got = try scala.io.Source.fromFile(marker).mkString.trim
+                catch { case _: Throwable => "" }
+      if (got == want) return
+      sys.error(s"$outDir was built with '$got' but this run needs " +
+        s"'$want' — delete the dir to rebuild")
+    }
     import java.nio.file.{Files, Paths}
     require(reps <= 128, s"decorrelation transform covers ≤128 replicas, got $reps")
     Files.createDirectories(Paths.get(outDir))
@@ -630,6 +641,6 @@ object ScaleProbe {
         Files.createSymbolicLink(link,
           Paths.get(sfDir, s"$t.parquet").toAbsolutePath)
     }
-    Files.writeString(marker.toPath, "ok")
+    Files.writeString(marker.toPath, want)
   }
 }

@@ -30,4 +30,13 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     modules.flatMap(_.oracles).toMap
+
+  /** Sidecar dumps consumed by the scale contracts (see
+    * [[QueryModule.auxDumps]]); Verify writes them under `_aux/`. */
+  def auxDumps: Map[String, (SparkSession, String) => DataFrame] =
+    modules.flatMap(_.auxDumps).toMap
+
+  /** sf1-gate scale contracts (see [[QueryModule.scaleContracts]]). */
+  def scaleContracts(spark: SparkSession, sfDir: String): Map[String, Seq[ScaleCheck]] =
+    modules.flatMap(_.scaleContracts(spark, sfDir)).toMap
 }

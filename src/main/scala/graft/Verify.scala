@@ -47,6 +47,35 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Scale contracts + their aux sidecars (sf1 gate: localcheck
+    // --scale-contracts). Contracts are generated against THIS sfDir
+    // (the right check is scale-dependent); aux dumps land under
+    // _aux/ which the per-query compare skips by prefix.
+    val contracts =
+      try SparkEntry.scaleContracts(spark, sfDir)
+        .filter { case (k, _) => only.forall(_.contains(k)) }
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] scale contracts failed: ${e.getMessage}")
+        Map.empty[String, Seq[ScaleCheck]]
+      }
+    if (contracts.nonEmpty) {
+      val cjson = contracts.map { case (k, checks) =>
+        val arr = checks.map { c =>
+          s"""{${q("name")}: ${q(c.name)}, ${q("kind")}: ${q(c.kind)}, """ +
+            s"""${q("spark")}: ${q(c.spark)}, ${q("oracle")}: ${q(c.oracle)}, """ +
+            s"""${q("bound")}: ${c.bound}}"""
+        }.mkString("[", ",", "]")
+        s"${q(k)}: $arr"
+      }.mkString("{", ",", "}")
+      Files.writeString(Paths.get(s"$outDir/scale_contracts.json"), cjson)
+      SparkEntry.auxDumps.foreach { case (name, fn) =>
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/_aux/$name")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] aux $name failed: ${e.getMessage}")
+        }
+      }
+    }
     spark.stop()
   }
 }

@@ -1546,4 +1546,199 @@ object MultimodalQueries extends QueryModule {
         |              // least(src_w, src_h) <= 1800
         |       THEN 1 ELSE 0 END)::INT AS kept
         |FROM d""".stripMargin)
+
+  // ------------------------------------------------------ scale contracts
+  //
+  // m15/m21's full oracles brute-force all frame-hash pairs (~600k
+  // frames at sf1 → 10¹¹+ comparisons: ORATIME), and m6's equality
+  // oracle FAILs forever at scale by the documented LSH recall trade
+  // (round-15 verdict asks #2/#3). The per-frame HASH replay stays
+  // linear (m15HashOracleCtes is closed-form per document), so the
+  // contracts verify: every emitted pair/label against recomputed
+  // hashes (full, linear), the exact pair set around a 1-in-PinDocMod
+  // document pin (sampled completeness), and for m6 the documented
+  // recall floors — the phash side anchored on m5's dump (whose own
+  // full oracle stays green at sf1), the cosine side on the e4_auto
+  // floor it shares machinery with. Residual not covered at sf1:
+  // an m21 over-merge that still satisfies the min-label property
+  // (clusters joined across a non-edge); the sf0.01 full transitive-
+  // closure replay keeps covering that class.
+
+  /** 1-in-PinDocMod deterministic document pin (~100 docs at sf1). */
+  private val PinDocMod = 499
+
+  /** Packed 64-bit hash node id — Spark's wrapping
+    * `shiftleft(lo,32)|hi` spelled out for DuckDB's checked `<<`. */
+  private def pkSql(lo: String, hi: String): String =
+    s"(CASE WHEN $lo >= 2147483648 THEN ($lo - 4294967296) * 4294967296" +
+      s" ELSE $lo * 4294967296 END + $hi)::BIGINT"
+
+  override def scaleContracts(spark: SparkSession,
+                              sfDir: String): Map[String, Seq[graft.ScaleCheck]] = Map(
+    "m15_frame_dedup" -> Seq(
+      // every dumped pair recomputes: joins to real frames, canonical
+      // orientation, hamming ≤ 3 and equal to the recomputed value,
+      // no duplicate rows
+      graft.ScaleCheck("pairs-verified", "exact",
+        spark = s"""WITH $m15HashOracleCtes,
+          |dump AS (SELECT doc_id_a, frame_a, doc_id_b, frame_b, hamming
+          |  FROM '{q}/*.parquet'),
+          |chk AS (SELECT d.doc_id_a,
+          |    CASE WHEN a.lo IS NULL OR b.lo IS NULL THEN 1
+          |         WHEN d.doc_id_a >= d.doc_id_b THEN 1
+          |         WHEN d.hamming > 3 THEN 1
+          |         WHEN d.hamming != bit_count(xor(a.lo, b.lo))
+          |           + bit_count(xor(a.hi, b.hi)) THEN 1
+          |         ELSE 0 END AS bad
+          |  FROM dump d
+          |  LEFT JOIN hh a ON a.doc_id = d.doc_id_a AND a.k = d.frame_a
+          |  LEFT JOIN hh b ON b.doc_id = d.doc_id_b AND b.k = d.frame_b),
+          |dups AS (SELECT count(*) - count(DISTINCT (doc_id_a, frame_a,
+          |    doc_id_b, frame_b)) AS nd FROM dump)
+          |SELECT CAST(coalesce(sum(bad), 0)
+          |  + (SELECT nd FROM dups) AS BIGINT) AS n_bad FROM chk""".stripMargin,
+        oracle = "SELECT CAST(0 AS BIGINT) AS n_bad"),
+      // the exact pair set around the pinned documents
+      graft.ScaleCheck("pinned-pairs-complete", "exact",
+        spark = s"""SELECT doc_id_a, frame_a, doc_id_b, frame_b, hamming
+          |FROM '{q}/*.parquet'
+          |WHERE doc_id_a % $PinDocMod = 0 OR doc_id_b % $PinDocMod = 0""".stripMargin,
+        oracle = s"""WITH $m15HashOracleCtes,
+          |pinned AS (SELECT * FROM hh WHERE doc_id % $PinDocMod = 0),
+          |cand AS (SELECT p.doc_id AS da, p.k AS fa, o.doc_id AS db, o.k AS fb,
+          |    bit_count(xor(p.lo, o.lo)) + bit_count(xor(p.hi, o.hi)) AS hm
+          |  FROM pinned p, hh o
+          |  WHERE p.doc_id != o.doc_id
+          |    AND bit_count(xor(p.lo, o.lo)) + bit_count(xor(p.hi, o.hi)) <= 3)
+          |SELECT DISTINCT
+          |  CASE WHEN da < db THEN da ELSE db END AS doc_id_a,
+          |  (CASE WHEN da < db THEN fa ELSE fb END)::INT AS frame_a,
+          |  CASE WHEN da < db THEN db ELSE da END AS doc_id_b,
+          |  (CASE WHEN da < db THEN fb ELSE fa END)::INT AS frame_b,
+          |  hm::INT AS hamming
+          |FROM cand""".stripMargin)),
+    "m21_frame_clusters" -> Seq(
+      // one output row per real frame (multiset compare: catches
+      // both dropped frames and duplicated rows)
+      graft.ScaleCheck("frame-coverage", "exact",
+        spark = "SELECT doc_id, frame_idx FROM '{q}/*.parquet'",
+        oracle = s"""WITH $m15HashOracleCtes
+          |SELECT doc_id, k::INT AS frame_idx FROM hh""".stripMargin),
+      // equal-hash frames co-clustered; label = min member hash id;
+      // cluster_size consistent
+      graft.ScaleCheck("cluster-wellformed", "exact",
+        spark = s"""WITH $m15HashOracleCtes,
+          |d AS (SELECT q.doc_id, q.frame_idx, q.cluster_id, q.cluster_size,
+          |    ${pkSql("hh.lo", "hh.hi")} AS hid
+          |  FROM '{q}/*.parquet' q
+          |  JOIN hh ON hh.doc_id = q.doc_id AND hh.k = q.frame_idx),
+          |byhash AS (SELECT hid, count(DISTINCT cluster_id) AS nc
+          |  FROM d GROUP BY hid),
+          |bycl AS (SELECT cluster_id, min(hid) AS mn, count(*) AS n
+          |  FROM d GROUP BY cluster_id)
+          |SELECT CAST(
+          |  (SELECT coalesce(sum(CASE WHEN nc != 1 THEN 1 ELSE 0 END), 0)
+          |     FROM byhash)
+          |  + (SELECT coalesce(sum(CASE WHEN mn != cluster_id THEN 1 ELSE 0 END), 0)
+          |     FROM bycl)
+          |  + (SELECT coalesce(sum(CASE WHEN d.cluster_size != b.n THEN 1 ELSE 0 END), 0)
+          |     FROM d JOIN bycl b ON b.cluster_id = d.cluster_id)
+          |  AS BIGINT) AS n_bad""".stripMargin,
+        oracle = "SELECT CAST(0 AS BIGINT) AS n_bad"),
+      // every hash neighbor (hamming ≤ 3) of a pinned document's
+      // frames lies in the same cluster — sampled no-under-merge
+      graft.ScaleCheck("pinned-neighbors-cocluster", "exact",
+        spark = s"""WITH $m15HashOracleCtes,
+          |hmap AS (SELECT DISTINCT ${pkSql("lo", "hi")} AS hid, lo, hi FROM hh),
+          |cl AS (SELECT DISTINCT ${pkSql("hh.lo", "hh.hi")} AS hid, q.cluster_id
+          |  FROM '{q}/*.parquet' q
+          |  JOIN hh ON hh.doc_id = q.doc_id AND hh.k = q.frame_idx),
+          |pinhash AS (SELECT DISTINCT ${pkSql("lo", "hi")} AS hid, lo, hi
+          |  FROM hh WHERE doc_id % $PinDocMod = 0),
+          |edges AS (SELECT p.hid AS x, o.hid AS y FROM pinhash p, hmap o
+          |  WHERE p.hid != o.hid
+          |    AND bit_count(xor(p.lo, o.lo)) + bit_count(xor(p.hi, o.hi)) <= 3)
+          |SELECT CAST(coalesce(sum(
+          |    CASE WHEN ca.cluster_id IS NULL OR cb.cluster_id IS NULL
+          |      OR ca.cluster_id != cb.cluster_id THEN 1 ELSE 0 END), 0)
+          |  AS BIGINT) AS n_bad
+          |FROM edges e
+          |LEFT JOIN cl ca ON ca.hid = e.x
+          |LEFT JOIN cl cb ON cb.hid = e.y""".stripMargin,
+        oracle = "SELECT CAST(0 AS BIGINT) AS n_bad")),
+    "m6_multisignal_pairs" -> Seq(
+      // the phash signal is exact at every scale — anchor it on m5's
+      // dump, whose own full oracle stays green at sf1
+      graft.ScaleCheck("phash-side-vs-m5", "exact",
+        spark = "SELECT doc_id_a, doc_id_b FROM '{q}/*.parquet' WHERE sig_phash = 1",
+        oracle = "SELECT doc_id_a, doc_id_b FROM '{qof:m5_phash_pairs}/*.parquet'"),
+      // the cosine signal shares e4_auto's machinery and floor: every
+      // emitted cosine pair is TRUE, and the verified count clears the
+      // auto-width recall floor of the exact pair set
+      graft.ScaleCheck("cosine-side-recall", "recall",
+        spark = s"""WITH v AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v
+          |    FROM embeddings),
+          |n AS (SELECT vec_id, v,
+          |    sqrt(list_reduce([y*y for y in v], (a,b) -> a+b)) AS nrm FROM v),
+          |got AS (SELECT doc_id_a, doc_id_b FROM '{q}/*.parquet'
+          |  WHERE sig_cosine = 1),
+          |ok AS (SELECT DISTINCT g.doc_id_a, g.doc_id_b
+          |  FROM got g JOIN n x ON x.vec_id = g.doc_id_a
+          |    JOIN n y ON y.vec_id = g.doc_id_b
+          |  WHERE g.doc_id_a < g.doc_id_b
+          |    AND list_reduce([x.v[k] * y.v[k]
+          |        for k in generate_series(1, len(x.v))], (a,b) -> a+b)
+          |      / (x.nrm * y.nrm) >= 0.4)
+          |SELECT (SELECT CAST(count(*) AS BIGINT) FROM got) AS n_got,
+          |  CAST(count(*) AS BIGINT) AS n_matched FROM ok""".stripMargin,
+        oracle = s"""WITH v AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v
+          |    FROM embeddings),
+          |n AS (SELECT vec_id, v,
+          |    sqrt(list_reduce([y*y for y in v], (a,b) -> a+b)) AS nrm FROM v)
+          |SELECT CAST(count(*) AS BIGINT) AS n_exact FROM n a, n b
+          |WHERE a.vec_id < b.vec_id
+          |  AND list_reduce([a.v[k] * b.v[k]
+          |      for k in generate_series(1, len(a.v))], (x,y) -> x+y)
+          |    / (a.nrm * b.nrm) >= 0.4""".stripMargin,
+        bound = 0.55),
+      // the verdict's row-level contract: ≥ 98% of the TRUE pair-row
+      // set (m5's dumped phash pairs ∪ the exact cosine pairs) is
+      // emitted, and everything emitted is a true pair
+      graft.ScaleCheck("pair-rows-floor", "recall",
+        spark = s"""WITH $phashOracleCtes,
+          |v AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings),
+          |n AS (SELECT vec_id, v,
+          |    sqrt(list_reduce([y*y for y in v], (a,b) -> a+b)) AS nrm FROM v),
+          |got AS (SELECT doc_id_a, doc_id_b, sig_phash, sig_cosine
+          |  FROM '{q}/*.parquet'),
+          |ok AS (SELECT DISTINCT g.doc_id_a, g.doc_id_b
+          |  FROM got g
+          |  LEFT JOIN h ha ON ha.doc_id = g.doc_id_a
+          |  LEFT JOIN h hb ON hb.doc_id = g.doc_id_b
+          |  LEFT JOIN n x ON x.vec_id = g.doc_id_a
+          |  LEFT JOIN n y ON y.vec_id = g.doc_id_b
+          |  WHERE g.doc_id_a < g.doc_id_b
+          |    AND (g.sig_phash = 1 OR g.sig_cosine = 1)
+          |    AND (g.sig_phash = 0 OR (ha.phash IS NOT NULL AND hb.phash IS NOT NULL
+          |      AND bit_count(xor(ha.phash, hb.phash)) <= 3))
+          |    AND (g.sig_cosine = 0 OR (x.vec_id IS NOT NULL AND y.vec_id IS NOT NULL
+          |      AND list_reduce([x.v[k] * y.v[k]
+          |          for k in generate_series(1, len(x.v))], (a,b) -> a+b)
+          |        / (x.nrm * y.nrm) >= 0.4)))
+          |SELECT (SELECT CAST(count(*) AS BIGINT) FROM got) AS n_got,
+          |  CAST(count(*) AS BIGINT) AS n_matched FROM ok""".stripMargin,
+        oracle = s"""WITH v AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v
+          |    FROM embeddings),
+          |n AS (SELECT vec_id, v,
+          |    sqrt(list_reduce([y*y for y in v], (a,b) -> a+b)) AS nrm FROM v),
+          |cosp AS (SELECT a.vec_id AS doc_id_a, b.vec_id AS doc_id_b
+          |  FROM n a, n b WHERE a.vec_id < b.vec_id
+          |    AND list_reduce([a.v[k] * b.v[k]
+          |        for k in generate_series(1, len(a.v))], (x,y) -> x+y)
+          |      / (a.nrm * b.nrm) >= 0.4),
+          |allp AS (SELECT doc_id_a, doc_id_b
+          |    FROM '{qof:m5_phash_pairs}/*.parquet'
+          |  UNION SELECT doc_id_a, doc_id_b FROM cosp)
+          |SELECT CAST(count(*) AS BIGINT) AS n_exact FROM allp""".stripMargin,
+        bound = 0.98)))
 }

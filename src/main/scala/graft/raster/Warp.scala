@@ -1778,46 +1778,137 @@ object Warp {
       }
     }
 
-    /** Newton iteration on φ (Snyder 18-21); a northing past the
-      * pole's meridian arc has no latitude — fail fast like the
-      * sinusoidal inverse. */
+    /** Inverse, robust over the full plane (round-15 advice): Snyder's
+      * Newton iteration (18-21) first — clamped to (−π/2, π/2), it
+      * covers the regional windows — with a bracketed bisection
+      * fallback for the wide-Δλ / high-latitude region where Newton
+      * diverges. The bisection solves the x-residual
+      * `sin(E)/C − |X| = 0` with E recovered from the NORTHING via
+      * `E = acos(1 − C·(Y − M/A))` — full-range in [0, π], so points
+      * whose parallel arcs ABOVE the pole point (y > mPole, perfectly
+      * valid off the central meridian for |E| > π/2) invert too; the
+      * residual runs from +∞ (φ→0⁺) to −|X| (φ→pole), so a sign
+      * change always brackets the root. λ uses the same full-range E
+      * (the naive asin recovery is wrong past |E| = π/2). The
+      * beyond-the-pole northing check only applies ON the central
+      * meridian (x = 0), the one place it is valid. Every result is
+      * verified by the forward map to < 1 mm — a non-invertible
+      * coordinate fails fast like the sinusoidal inverse. */
     def inverse(x: Double, y: Double): (Double, Double) = {
       val tx = x - falseE
       val ty = y - falseN
-      val aA = (m0 + ty) / A
-      require(math.abs(aA) <= mPole / A * (1.0 + 1e-12),
-        f"northing $ty%.1f m is beyond the pole's meridian arc " +
-          f"(${mPole - m0}%.1f m) — invalid polyconic georeferencing")
-      if (math.abs(aA) < 1e-12)
-        return (0.0, Math.toDegrees(lam0 + tx / A))
-      val bB = tx * tx / (A * A) + aA * aA
-      var phi = aA
+      val yN = (m0 + ty) / A // Snyder's A (normalized northing)
+      val xN = tx / A
+      if (math.abs(yN) < 1e-12)
+        return (0.0, Math.toDegrees(lam0 + xN))
+      /** C and M/A at φ (Snyder 18-20 / 3-21). */
+      def cOf(phi: Double): Double = {
+        val sp = Math.sin(phi)
+        Math.sqrt(1.0 - E2 * sp * sp) * sp / Math.cos(phi)
+      }
+      def maOf(phi: Double): Double =
+        M1 * phi - M2 * Math.sin(2 * phi) +
+          M3 * Math.sin(4 * phi) - M4 * Math.sin(6 * phi)
+      val sgnY = math.signum(yN)
+      val sgnX = math.signum(xN)
+      val xa = math.abs(xN)
+      /** Bracketing E ∈ [0, π] from the northing equation alone —
+        * well-conditioned exactly where the bisection runs (wide E);
+        * NOT used for the final λ (acos(1−ε) loses √ε precision for
+        * small E — metre-scale λ error at world x). */
+      def eOf(phi: Double): Double = {
+        val arg = 1.0 - cOf(phi) * (math.abs(yN) - maOf(phi))
+        Math.acos(math.max(-1.0, math.min(1.0, arg)))
+      }
+      /** Final E ∈ [0, π] via atan2 over BOTH equations — the sine
+        * component (x·C, exact to the ulp) carries the precision for
+        * small E, the cosine component for E near π. */
+      def eFinal(phiAbs: Double): Double = {
+        val c = cOf(phiAbs)
+        Math.atan2(xa * c, 1.0 - c * (math.abs(yN) - maOf(phiAbs)))
+      }
+      val lim = Math.PI / 2 - 1e-9
+      def finish(phiAbs: Double): (Double, Double) = {
+        val phi = sgnY * phiAbs
+        val dlam =
+          if (xa == 0.0) 0.0
+          else sgnX * eFinal(phiAbs) / Math.sin(phiAbs)
+        val (fx, fy) = forward(Math.toDegrees(phi), Math.toDegrees(lam0 + dlam))
+        require(math.abs(fx - x) <= 1e-3 && math.abs(fy - y) <= 1e-3,
+          f"polyconic inverse failed to verify at ($tx%.1f, $ty%.1f) m")
+        (Math.toDegrees(phi), Math.toDegrees(lam0 + dlam))
+      }
+      // -------- Newton (Snyder 18-21), clamped; fast path
+      val bB = xN * xN + yN * yN
+      var phi = math.max(-lim, math.min(lim, yN))
       var converged = false
       var iter = 0
       while (!converged && iter < 60) {
         val sp = Math.sin(phi)
-        val cp = Math.cos(phi)
         val s2 = Math.sin(2 * phi)
-        val c = Math.sqrt(1.0 - E2 * sp * sp) * sp / cp
-        val ma = M1 * phi - M2 * Math.sin(2 * phi) +
-          M3 * Math.sin(4 * phi) - M4 * Math.sin(6 * phi)
+        val c = cOf(phi)
+        val ma = maOf(phi)
         val mp = M1 - 2 * M2 * Math.cos(2 * phi) +
           4 * M3 * Math.cos(4 * phi) - 6 * M4 * Math.cos(6 * phi)
-        val num = aA * (c * ma + 1.0) - ma - 0.5 * (ma * ma + bB) * c
-        val den = E2 * s2 * (ma * ma + bB - 2.0 * aA * ma) / (4.0 * c) +
-          (aA - ma) * (c * mp - 2.0 / s2) - mp
+        val num = yN * (c * ma + 1.0) - ma - 0.5 * (ma * ma + bB) * c
+        val den = E2 * s2 * (ma * ma + bB - 2.0 * yN * ma) / (4.0 * c) +
+          (yN - ma) * (c * mp - 2.0 / s2) - mp
         val next = phi - num / den
-        if (math.abs(next - phi) < 1e-14) converged = true
-        phi = next
-        iter += 1
+        if (next.isNaN) { iter = 60 }
+        else {
+          val clamped = math.max(-lim, math.min(lim, next))
+          if (math.abs(clamped - phi) < 1e-14) converged = true
+          phi = clamped
+          iter += 1
+        }
       }
-      require(converged, f"polyconic inverse did not converge at " +
-        f"($tx%.1f, $ty%.1f) m")
-      val sp = Math.sin(phi)
-      val c = Math.sqrt(1.0 - E2 * sp * sp) * sp / Math.cos(phi)
-      val lam = lam0 + Math.asin(
-        math.max(-1.0, math.min(1.0, tx * c / A))) / sp
-      (Math.toDegrees(phi), Math.toDegrees(lam))
+      if (converged && math.signum(phi) == sgnY) {
+        try return finish(math.abs(phi))
+        catch { case _: IllegalArgumentException => () } // fall through
+      }
+      // -------- bracketed bisection on the x-residual (full plane)
+      if (xa == 0.0) {
+        // on the central meridian E = 0 and y = M − M₀: the northing
+        // really is bounded by the pole's arc, and M is monotone
+        require(math.abs(yN) <= mPole / A * (1.0 + 1e-12),
+          f"northing $ty%.1f m on the central meridian is beyond the " +
+            f"pole's meridian arc (${mPole - m0}%.1f m) — invalid " +
+            "polyconic georeferencing")
+        var loP = 0.0
+        var hiP = Math.PI / 2
+        var i = 0
+        while (i < 100) { // M/A is increasing in φ
+          val mid = 0.5 * (loP + hiP)
+          if (maOf(mid) < math.abs(yN)) loP = mid else hiP = mid
+          i += 1
+        }
+        return finish(0.5 * (loP + hiP))
+      }
+      def resid(phiAbs: Double): Double = {
+        val e = eOf(phiAbs)
+        Math.sin(e) / cOf(phiAbs) - xa
+      }
+      // r(0⁺) → +∞, r(pole⁻) → −|X|: walk inward from the pole to
+      // find the sign flip, then bisect
+      var hiP = lim
+      var loP = hiP
+      var step = Math.PI / 512
+      var found = false
+      while (!found && loP > 1e-12) {
+        loP = math.max(1e-12, loP - step)
+        if (resid(loP) > 0.0) found = true
+        else { hiP = loP; step *= 1.5 }
+      }
+      require(found && resid(hiP) <= 0.0,
+        f"polyconic inverse found no latitude bracket at " +
+          f"($tx%.1f, $ty%.1f) m — invalid polyconic georeferencing")
+      var i = 0
+      while (i < 100) {
+        val mid = 0.5 * (loP + hiP)
+        if (resid(mid) > 0.0) loP = mid else hiP = mid
+        i += 1
+      }
+      finish(0.5 * (loP + hiP))
     }
 
     /** Both poles are single finite plane points on the central

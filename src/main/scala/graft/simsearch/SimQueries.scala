@@ -1,6 +1,6 @@
 package graft.simsearch
 
-import graft.{QueryModule, SqlQ, Tables}
+import graft.{QueryModule, ScaleCheck, SqlQ, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import scala.jdk.CollectionConverters._
 
@@ -1300,7 +1300,19 @@ object SimQueries extends QueryModule {
     * top-k edges → mutuality flag) — consumed by knnGraph's per-node
     * aggregate tail AND e27's edge extraction so the graph definition
     * cannot drift between them (the m15/m21 shared-kernel rule). */
-  private def e21GraphCtes(spark: SparkSession, sfDir: String): String = {
+  /** The e21 chain's converged clustering — exposed so the scale-
+    * contract sidecars ([[auxDumps]]) dump exactly the state the
+    * chain serves from. */
+  private def e21Kmeans(spark: SparkSession, sfDir: String): KmResult = {
+    Tables.register(spark, sfDir)
+    val k = e21AutoK(spark.table("embeddings").count())
+    convergedKmeans(spark, sfDir, k)
+  }
+
+  /** `$sparkVecs, asg(vec_id, v, nrm, c)` — the e21 chain's assignment
+    * prefix, shared by [[e21GraphCtes]] and the `e21_cells` sidecar
+    * dump so the contract anchors to the exact served assignment. */
+  private def e21AsgPrefix(spark: SparkSession, sfDir: String): String = {
     Tables.register(spark, sfDir)
     val k = e21AutoK(spark.table("embeddings").count())
     val km = convergedKmeans(spark, sfDir, k)
@@ -1328,8 +1340,11 @@ object SimQueries extends QueryModule {
         asg.localCheckpoint().createOrReplaceTempView(view)
         s"asg AS (SELECT vec_id, v, nrm, c FROM $view)"
       }
-    s"""$sparkVecs,
-       |$asgCte,
+    s"$sparkVecs,\n$asgCte"
+  }
+
+  private def e21GraphCtes(spark: SparkSession, sfDir: String): String =
+    s"""${e21AsgPrefix(spark, sfDir)},
        |nn AS (SELECT a.vec_id AS src, a.c AS cell, b.vec_id AS dst,
        |    vec_dot(a.v, b.v) / (a.nrm * b.nrm) AS sim
        |  FROM asg a JOIN asg b ON b.c = a.c AND b.vec_id != a.vec_id),
@@ -1341,7 +1356,6 @@ object SimQueries extends QueryModule {
        |    CASE WHEN count(*) OVER (PARTITION BY least(src, dst),
        |      greatest(src, dst)) = 2 THEN 1 ELSE 0 END AS mutual
        |  FROM e)""".stripMargin
-  }
 
   private def knnGraph(spark: SparkSession, sfDir: String): DataFrame =
     spark.sql(
@@ -1569,10 +1583,13 @@ object SimQueries extends QueryModule {
          |GROUP BY ex.qid""".stripMargin)
   }
 
-  /** DuckDB replay of [[e28Ctes]] (shared by the e28/e29 oracles). */
-  private def e28OracleCtes: String = {
+  /** DuckDB replay of [[e28Ctes]] (shared by the e28/e29 oracles and,
+    * with the sidecar base, by their scale contracts). `base` must
+    * provide `n(vec_id, v, nrm)`, `fin(vec_id, v, nrm, c)` and
+    * `e(src, dst, …)`. */
+  private def e28OracleCtes(base: String): String = {
     val sb = new StringBuilder(
-      s"""$e21OracleCtes,
+      s"""$base,
          |nn2 AS (SELECT n.vec_id, n.v, n.nrm FROM n),
          |q28 AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < 5),
          |ent AS (SELECT min(vec_id) AS eid FROM fin GROUP BY c),
@@ -1600,18 +1617,19 @@ object SimQueries extends QueryModule {
          |fr AS (SELECT qid, nid, sim,
          |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rr
          |  FROM fs)"""
-    sb.result()
+    sb.result().stripMargin
   }
 
-  private def e28Oracle: String =
-    s"""$e28OracleCtes
-       |SELECT qid AS query_id, nid AS neighbor_id, sim,
-       |  CAST(rr AS INT) AS rnk
-       |FROM fr WHERE rr <= 5""".stripMargin
+  private val e28OracleTail: String =
+    """SELECT qid AS query_id, nid AS neighbor_id, sim,
+      |  CAST(rr AS INT) AS rnk
+      |FROM fr WHERE rr <= 5""".stripMargin
 
-  private def e29Oracle: String =
-    s"""$e28OracleCtes,
-       |got AS (SELECT qid, nid FROM fr WHERE rr <= 5),
+  private def e28Oracle: String =
+    s"${e28OracleCtes(e21OracleCtes)}\n$e28OracleTail"
+
+  private val e29OracleTail: String =
+    s"""got AS (SELECT qid, nid FROM fr WHERE rr <= 5),
        |ex0 AS (SELECT q28.qid, n2.vec_id AS nid,
        |    ${dDot("q28.qv", "n2.v")} / (q28.qn * n2.nrm) AS sim
        |  FROM q28 CROSS JOIN nn2 n2 WHERE n2.vec_id != q28.qid),
@@ -1622,6 +1640,9 @@ object SimQueries extends QueryModule {
        |  CAST(count(got.nid) AS DOUBLE) / 5 AS recall_at_5
        |FROM ex LEFT JOIN got ON got.qid = ex.qid AND got.nid = ex.nid
        |GROUP BY ex.qid""".stripMargin
+
+  private def e29Oracle: String =
+    s"${e28OracleCtes(e21OracleCtes)},\n$e29OracleTail"
 
   /** E21b: the HIERARCHICAL assignment path, oracle-grade (round-12
     * verdict ask #3) — e21's production route above [[HierK]] was
@@ -1756,20 +1777,24 @@ object SimQueries extends QueryModule {
        |      greatest(src, dst)) = 2 THEN 1 ELSE 0 END AS mutual
        |  FROM e)""".stripMargin
 
+  private val e21OracleTail: String =
+    """SELECT src AS vec_id, cell, count(*)::INT AS out_degree,
+      |  sum(mutual)::INT AS n_mutual,
+      |  min(CASE WHEN rnk = 1 THEN dst END) AS nn_id,
+      |  sum(CAST(round(sim * 1000000.0) AS BIGINT))::BIGINT AS sim_u_sum
+      |FROM m GROUP BY src, cell""".stripMargin
+
   private def e21Oracle: String =
-    s"""$e21OracleCtes
-       |SELECT src AS vec_id, cell, count(*)::INT AS out_degree,
-       |  sum(mutual)::INT AS n_mutual,
-       |  min(CASE WHEN rnk = 1 THEN dst END) AS nn_id,
-       |  sum(CAST(round(sim * 1000000.0) AS BIGINT))::BIGINT AS sim_u_sum
-       |FROM m GROUP BY src, cell""".stripMargin
+    s"$e21OracleCtes\n$e21OracleTail"
 
   /** e27 oracle: the shared e21 graph chain → mutual edges → ten
     * unrolled integer power-iteration CTEs (the kmeansCtes unroll
     * pattern applied to PageRank). */
-  private def e27Oracle: String = {
+  private def e27Oracle: String = e27OracleFrom(e21OracleCtes)
+
+  private def e27OracleFrom(base: String): String = {
     val sb = new StringBuilder(
-      s"""$e21OracleCtes,
+      s"""$base,
          |em AS (SELECT src, dst FROM m WHERE mutual = 1),
          |dg AS (SELECT src, count(*)::BIGINT AS deg FROM em GROUP BY src),
          |em2 AS (SELECT em.src, em.dst, dg.deg FROM em JOIN dg ON dg.src = em.src),
@@ -2567,6 +2592,200 @@ object SimQueries extends QueryModule {
       ("e11_ivfpq" -> ((s: SparkSession, d: String) => ivfPqTopK(s, d))) +
       ("e12_ivfpq_recall" -> ((s: SparkSession, d: String) => ivfPqRecall(s, d))) +
       ("e14_pq_trained_recall" -> ((s: SparkSession, d: String) => pqTrainedRecall(s, d)))
+
+  // ------------------------------------------------------ scale contracts
+  //
+  // The e21/e27/e28/e29 full oracles replay the UNROLLED Lloyd build —
+  // n·k·(41 iters) list-lambda dot products, k ∝ n/50, so the replay is
+  // quadratic in the corpus and ORATIMEs at the sf1 gate while the
+  // engine side is linear (round-15 verdict ask #2). The contracts
+  // below keep sf1 verification EXACT at linear oracle cost by
+  // anchoring on two engine sidecars (`_aux/e21_cells`,
+  // `_aux/e21_centroids` — the served converged state) that are
+  // themselves verified in place:
+  //  - centroid-fixedpoint (full, linear): Lloyd stops at the BITWISE
+  //    centroid fixed point, where each centroid equals the
+  //    chunk-ordered mean of its assigned members — recomputable from
+  //    the cells sidecar with the exact kmeansCtes fold;
+  //  - assignment-sampled (exact on a 1-in-PinMod pin): each pinned
+  //    vector's dumped cell equals the replayed assignment — the
+  //    exhaustive argmax at k ≤ HierK, the full Router replay (the
+  //    validated e21b oracle machinery) above it;
+  //  - output-from-cells (full, exact, linear): the entire downstream
+  //    chain — per-cell kNN (cells are ~50-sized by e21AutoK), mutual
+  //    marks, PageRank / beam search — replayed from the sidecar and
+  //    hash-compared against the complete dumped result.
+  // What stays sampled is ONLY the Lloyd provenance of the sidecar;
+  // the sf0.01 gate keeps replaying that in full.
+
+  /** [[e21OracleCtes]]' downstream twin anchored on the cells sidecar
+    * (same CTE names, so the e21/e27/e28/e29 tails compose onto it). */
+  private def sidecarGraphCtes: String =
+    s"""$duckVecs,
+       |cel AS (SELECT vec_id, cell FROM '{aux}/e21_cells/*.parquet'),
+       |fin AS (SELECT n.vec_id, n.v, n.nrm, cel.cell AS c
+       |  FROM n JOIN cel ON cel.vec_id = n.vec_id),
+       |nn AS (SELECT a.vec_id AS src, a.c AS cell, b.vec_id AS dst,
+       |    ${dDot("a.v", "b.v")} / (a.nrm * b.nrm) AS sim
+       |  FROM fin a, fin b WHERE b.c = a.c AND b.vec_id != a.vec_id),
+       |r AS (SELECT src, cell, dst, sim,
+       |    CAST(row_number() OVER (PARTITION BY src
+       |      ORDER BY sim DESC, dst) AS INT) AS rnk FROM nn),
+       |e AS (SELECT src, cell, dst, sim, rnk FROM r WHERE rnk <= $KnnGraphK),
+       |m AS (SELECT src, cell, dst, sim, rnk,
+       |    CASE WHEN count(*) OVER (PARTITION BY least(src, dst),
+       |      greatest(src, dst)) = 2 THEN 1 ELSE 0 END AS mutual
+       |  FROM e)""".stripMargin
+
+  private def e21CentroidCheck: ScaleCheck = ScaleCheck(
+    name = "centroid-fixedpoint", kind = "exact",
+    spark = "SELECT c, cv FROM '{aux}/e21_centroids/*.parquet'",
+    oracle =
+      s"""$duckVecs,
+         |cel AS (SELECT vec_id, cell FROM '{aux}/e21_cells/*.parquet'),
+         |mem AS (SELECT cel.cell AS c, n.vec_id, n.v
+         |  FROM n JOIN cel ON cel.vec_id = n.vec_id),
+         |g AS (SELECT c, vec_id // $KmChunk AS ch,
+         |    list_reduce(list(v ORDER BY vec_id), $duckElemAdd) AS pv, count(*) AS cnt
+         |  FROM mem GROUP BY c, vec_id // $KmChunk),
+         |t AS (SELECT c, list_reduce(list(pv ORDER BY ch), $duckElemAdd) AS sv,
+         |    CAST(sum(cnt) AS BIGINT) AS cnt FROM g GROUP BY c)
+         |SELECT c, [x / cnt for x in sv] AS cv FROM t""".stripMargin)
+
+  /** 1-in-PinMod deterministic pin for the sampled checks (~1% of
+    * vec_ids at any scale; ~200 vectors at the sf1 corpus). */
+  private val PinMod = 97
+
+  private def e21AssignCheck(k: Int): ScaleCheck = ScaleCheck(
+    name = "assignment-sampled", kind = "exact",
+    spark = s"SELECT vec_id, cell FROM '{aux}/e21_cells/*.parquet' " +
+      s"WHERE vec_id % $PinMod = 0",
+    oracle =
+      if (k <= HierK)
+        s"""$duckVecs,
+           |cn AS (SELECT c, cv,
+           |    sqrt(list_reduce([y*y for y in cv], (a,b) -> a+b)) AS cnrm
+           |  FROM '{aux}/e21_centroids/*.parquet'),
+           |p AS (SELECT n.vec_id, cn.c,
+           |    row_number() OVER (PARTITION BY n.vec_id
+           |      ORDER BY ${dDot("n.v", "cn.cv")} / (n.nrm * cn.cnrm) DESC, cn.c) AS rr
+           |  FROM n CROSS JOIN cn WHERE n.vec_id % $PinMod = 0)
+           |SELECT vec_id, c AS cell FROM p WHERE rr = 1""".stripMargin
+      else routerAssignReplay(PinMod))
+
+  /** DuckDB replay of [[Router.assign]] over the DUMPED centroids for
+    * the pinned sample — the validated e21b-oracle router machinery
+    * with `f` anchored on the sidecar: coarse seeds = the first √k
+    * centroids in c order, 10 coarse Lloyd iterations (empty branches
+    * keep their centroid), kept-branch filter, coarse-then-fine argmax
+    * with the `DESC, id` tie-breaks. */
+  private def routerAssignReplay(pinMod: Int): String = {
+    val elemAdd = duckElemAdd
+    val sb = new StringBuilder(
+      s"""$duckVecs,
+         |f AS MATERIALIZED (SELECT c, cv AS v,
+         |    sqrt(list_reduce([y*y for y in cv], (a,b) -> a+b)) AS nrm
+         |  FROM '{aux}/e21_centroids/*.parquet'),
+         |ks AS (SELECT greatest(1, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS k1 FROM f),
+         |co0 AS (SELECT CAST(row_number() OVER (ORDER BY c) - 1 AS BIGINT) AS b, v AS cv,
+         |    nrm AS cnrm
+         |  FROM f QUALIFY row_number() OVER (ORDER BY c) <= (SELECT k1 FROM ks))""".stripMargin)
+    for (i <- 1 to 10) {
+      val p = i - 1
+      sb ++= s""",
+         |aR$i AS MATERIALIZED (SELECT f.c, f.v, cb.b,
+         |    row_number() OVER (PARTITION BY f.c
+         |      ORDER BY ${dDot("f.v", "cb.cv")} / (f.nrm * cb.cnrm) DESC, cb.b) AS rr
+         |  FROM f CROSS JOIN co$p cb),
+         |su$i AS MATERIALIZED (SELECT b, list_reduce(list(v ORDER BY c), $elemAdd) AS sv,
+         |    count(*) AS cnt
+         |  FROM aR$i WHERE rr = 1 GROUP BY b),
+         |ce$i AS MATERIALIZED (SELECT cb.b,
+         |    CASE WHEN su.cnt IS NULL THEN cb.cv ELSE [e / su.cnt for e in su.sv] END AS cv
+         |  FROM co$p cb LEFT JOIN su$i su ON su.b = cb.b),
+         |co$i AS MATERIALIZED (SELECT b, cv,
+         |    sqrt(list_reduce([y*y for y in cv], (a,b) -> a+b)) AS cnrm FROM ce$i)"""
+    }
+    sb ++= s""",
+         |brR AS (SELECT f.c, cb.b,
+         |    row_number() OVER (PARTITION BY f.c
+         |      ORDER BY ${dDot("f.v", "cb.cv")} / (f.nrm * cb.cnrm) DESC, cb.b) AS rr
+         |  FROM f CROSS JOIN co10 cb),
+         |br AS MATERIALIZED (SELECT c, b FROM brR WHERE rr = 1),
+         |keptc AS MATERIALIZED (SELECT co10.b, co10.cv, co10.cnrm
+         |  FROM co10 JOIN (SELECT DISTINCT b FROM br) kb ON kb.b = co10.b),
+         |pin AS (SELECT vec_id, v, nrm FROM n WHERE vec_id % $pinMod = 0),
+         |rt AS (SELECT pin.vec_id, cb.b,
+         |    row_number() OVER (PARTITION BY pin.vec_id
+         |      ORDER BY ${dDot("pin.v", "cb.cv")} / (pin.nrm * cb.cnrm) DESC, cb.b) AS rr
+         |  FROM pin CROSS JOIN keptc cb),
+         |r1 AS MATERIALIZED (SELECT vec_id, b FROM rt WHERE rr = 1),
+         |rf AS (SELECT r1.vec_id, f2.c,
+         |    row_number() OVER (PARTITION BY r1.vec_id
+         |      ORDER BY ${dDot("pin.v", "f2.v")} / (pin.nrm * f2.nrm) DESC, f2.c) AS rr
+         |  FROM r1 JOIN br ON br.b = r1.b JOIN f f2 ON f2.c = br.c
+         |    JOIN pin ON pin.vec_id = r1.vec_id)
+         |SELECT vec_id, c AS cell FROM rf WHERE rr = 1"""
+    sb.result().stripMargin
+  }
+
+  /** e4's recall-aware scale contract (round-15 verdict ask #3): the
+    * fixture-scale equality oracle reads FAIL forever at sf1 by
+    * construction (the documented LSH candidate-recall trade), so at
+    * scale the gate asserts (a) everything emitted is TRUE — each
+    * dumped pair recomputes to cosine ≥ τ with the identical stored
+    * value (subset, linear in |banded|) — and (b) the verified count
+    * clears the documented recall floor of the exact pair set. */
+  private def e4RecallCheck(bound: Double): ScaleCheck = ScaleCheck(
+    name = "lsh-recall-floor", kind = "recall",
+    spark =
+      s"""$duckVecs,
+         |got AS (SELECT vec_id_a, vec_id_b, cosine FROM '{q}/*.parquet'),
+         |ok AS (SELECT DISTINCT g.vec_id_a, g.vec_id_b
+         |  FROM got g JOIN n x ON x.vec_id = g.vec_id_a
+         |    JOIN n y ON y.vec_id = g.vec_id_b
+         |  WHERE g.vec_id_a < g.vec_id_b
+         |    AND ${dDot("x.v", "y.v")} / (x.nrm * y.nrm) >= 0.4
+         |    AND ${dDot("x.v", "y.v")} / (x.nrm * y.nrm) = g.cosine)
+         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM got) AS n_got,
+         |  CAST(count(*) AS BIGINT) AS n_matched FROM ok""".stripMargin,
+    oracle =
+      s"""$duckVecs
+         |SELECT CAST(count(*) AS BIGINT) AS n_exact FROM n a, n b
+         |WHERE a.vec_id < b.vec_id
+         |  AND ${dDot("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.4""".stripMargin,
+    bound = bound)
+
+  override def auxDumps: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e21_cells" -> ((s: SparkSession, d: String) =>
+      s.sql(s"${e21AsgPrefix(s, d)} SELECT vec_id, c AS cell FROM asg")),
+    "e21_centroids" -> ((s: SparkSession, d: String) => {
+      val km = e21Kmeans(s, d)
+      import s.implicits._
+      km.centroids.map { case (c, a) => (c, a.toSeq) }.toDF("c", "cv")
+    })
+  )
+
+  override def scaleContracts(spark: SparkSession,
+                              sfDir: String): Map[String, Seq[ScaleCheck]] = {
+    Tables.register(spark, sfDir)
+    val k = e21AutoK(spark.table("embeddings").count())
+    val anchor = Seq(e21CentroidCheck, e21AssignCheck(k))
+    Map(
+      "e21_knn_graph" -> (anchor :+ ScaleCheck("output-from-cells", "exact",
+        "SELECT * FROM '{q}/*.parquet'", s"$sidecarGraphCtes\n$e21OracleTail")),
+      "e27_pagerank" -> (anchor :+ ScaleCheck("output-from-cells", "exact",
+        "SELECT * FROM '{q}/*.parquet'", e27OracleFrom(sidecarGraphCtes))),
+      "e28_graph_search" -> (anchor :+ ScaleCheck("output-from-cells", "exact",
+        "SELECT * FROM '{q}/*.parquet'",
+        s"${e28OracleCtes(sidecarGraphCtes)}\n$e28OracleTail")),
+      "e29_graph_recall" -> (anchor :+ ScaleCheck("output-from-cells", "exact",
+        "SELECT * FROM '{q}/*.parquet'",
+        s"${e28OracleCtes(sidecarGraphCtes)},\n$e29OracleTail")),
+      "e4_ann_lsh_auto" -> Seq(e4RecallCheck(0.55)),
+      "e4_ann_lsh_pairs" -> Seq(e4RecallCheck(0.95))
+    )
+  }
 
   override def oracles: Map[String, String] =
     sqls.flatMap(q => q.oracleSql.map(q.name -> _)).toMap +

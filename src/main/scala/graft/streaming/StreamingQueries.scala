@@ -96,6 +96,14 @@ object StreamingQueries extends QueryModule {
     * oracle hashes are partitioning-independent by construction. */
   private val DrainPartitions = "8"
 
+  /** Serializes the drain's session-global shuffle-partition override
+    * (round-15 advice): the save/restore in [[drained]] is not
+    * re-entrant — two interleaved drains (or a concurrent batch query
+    * on the shared session) could capture prev=8 and leak the drain
+    * sizing into batch plans. One drain at a time costs nothing here:
+    * the bench and Verify run gates sequentially by construction. */
+  private val drainLock = new Object
+
   private def drained(spark: SparkSession, srcPath0: String,
                       label: String)
                      (gate: DataFrame => DataFrame): DataFrame = {
@@ -108,9 +116,9 @@ object StreamingQueries extends QueryModule {
     // the partition override must cover q.start() (the checkpoint
     // pins shuffle partitions at first batch); restored after the
     // drain so batch queries keep the session sizing
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", DrainPartitions)
-    val q =
+    val q = drainLock.synchronized {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", DrainPartitions)
       try {
         val started = gate(stream).writeStream
           .format("memory").queryName(sink)
@@ -120,6 +128,7 @@ object StreamingQueries extends QueryModule {
         started.awaitTermination()
         started
       } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
     val addMs = q.recentProgress.iterator.map { p =>
       Option(p.durationMs.get("addBatch")).map(_.longValue).getOrElse(0L)
     }.sum

@@ -82,6 +82,20 @@ class PlanInvariantsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"hyperplane pass ran inside the serving query:\n${p.take(800)}")
   }
 
+  test("r36: polyconic serving scans the persisted warped lake, pruned") {
+    // the warp is an INGEST step: the serving query must FileScan the
+    // lake sidecar (never re-warp per query), read only the referenced
+    // band, and aggregate partial→final
+    val p = plan("r36_polyconic_ingest")
+    assert(p.contains("FileScan parquet") && p.contains("graft_r36"),
+      s"serving does not scan the persisted lake:\n${p.take(600)}")
+    val readSchema = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(p).get.group(1)
+    assert(!readSchema.contains("tile_id"),
+      s"scan reads more than the referenced band: $readSchema")
+    assert(p.contains("partial_count"), "no map-side partial aggregation")
+  }
+
   test("d3: signatures stay in the scan projection; verify side broadcasts") {
     val p = plan("d3_minhash_lsh_pairs")
     assert(p.contains("minhash36"), p.take(300))

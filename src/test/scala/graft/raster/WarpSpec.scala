@@ -1003,7 +1003,27 @@ class WarpSpec extends AnyFunSuite {
       assert(math.abs(la - lat) < 5e-8 && math.abs(lo - lon) < 5e-8,
         s"Brazil round-trip ($lat, $lon) → ($la, $lo)")
     }
-    // a northing past the pole's arc fails fast, naming the family
+    // round-15 advice: the inverse must cover the FULL plane, not just
+    // |Δλ| ≤ 90° — wide-Δλ points where Newton diverges (lat 20,
+    // Δλ 150°) and high-latitude points whose parallel arcs ABOVE the
+    // pole's y (lat 80, Δλ 120° has y > mPole — valid off the central
+    // meridian) must both invert; ESRI:54021 is registered as
+    // World_Polyconic so a world-extent lattice hits these
+    for (lat <- Seq(-84.0, -60.0, -20.0, 20.0, 60.0, 80.0, 88.0);
+         lon <- Seq(-179.0, -150.0, -120.0, 95.0, 120.0, 150.0, 179.0)) {
+      val (x, y) = p.forward(lat, lon)
+      val (la, lo) = p.inverse(x, y)
+      assert(math.abs(la - lat) < 5e-8 && math.abs(lo - lon) < 5e-7,
+        s"wide round-trip ($lat, $lon) → ($la, $lo)")
+    }
+    // the specific advice reproducer: y beyond the pole's meridian arc
+    // off the central meridian is VALID and must invert
+    val (xw, yw) = p.forward(80.0, 120.0)
+    assert(yw > arcNum(90.0), "lat 80 / Δλ 120 should arc above the pole")
+    val (law, low) = p.inverse(xw, yw)
+    assert(math.abs(law - 80.0) < 5e-8 && math.abs(low - 120.0) < 5e-7)
+    // a northing past the pole's arc ON the central meridian is the
+    // one truly-invalid case — fails fast, naming the family
     val errP = intercept[IllegalArgumentException](
       p.inverse(0.0, arcNum(90.0) * 1.01))
     assert(errP.getMessage.contains("polyconic"))
