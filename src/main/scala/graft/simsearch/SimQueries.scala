@@ -388,6 +388,21 @@ object SimQueries extends QueryModule {
     * holds). */
   private val KmMaxIter = 40
 
+  /** e21's own budget. Its k grows with the corpus (`e21AutoK` =
+    * n/50), so the fixture-tuned 40 is NOT a convergence bound at
+    * scale: the round-16 sf1 gate caught the build stopping at the
+    * cap a few membership flips short of the fixed point, which made
+    * the served state violate the centroid-fixedpoint contract
+    * (centroid == chunk-ordered mean of its cells — true only at the
+    * bitwise fixed point). Extra budget is free at fixture scale
+    * (the loop still stops at the same fixed point, bitwise-identical
+    * to the 41-update unrolled oracle by idempotence) and costs
+    * ~50 ms/iter at the sf1 corpus (router assignment is
+    * n·(√k+branch)·d; the build converged at iter 167 there). A
+    * build that exhausts even this budget logs loudly and the
+    * contract fails rather than silently certifying. */
+  private val E21MaxIter = 1000
+
   final case class KmResult(centroids: Seq[(Long, Array[Double])],
                             iters: Int, fixedPoint: Boolean)
 
@@ -1303,10 +1318,16 @@ object SimQueries extends QueryModule {
   /** The e21 chain's converged clustering — exposed so the scale-
     * contract sidecars ([[auxDumps]]) dump exactly the state the
     * chain serves from. */
-  private def e21Kmeans(spark: SparkSession, sfDir: String): KmResult = {
+  private[simsearch] def e21Kmeans(spark: SparkSession, sfDir: String): KmResult = {
     Tables.register(spark, sfDir)
     val k = e21AutoK(spark.table("embeddings").count())
-    convergedKmeans(spark, sfDir, k)
+    val km = lloyd(spark, sfDir, E21MaxIter, k)
+    if (!km.fixedPoint)
+      System.err.println(s"[e21] WARNING: Lloyd exhausted $E21MaxIter " +
+        s"iterations without reaching the bitwise fixed point (k=$k) — " +
+        "the served clustering is NOT converged and the " +
+        "centroid-fixedpoint scale contract will fail")
+    km
   }
 
   /** `$sparkVecs, asg(vec_id, v, nrm, c)` — the e21 chain's assignment
@@ -1315,7 +1336,7 @@ object SimQueries extends QueryModule {
   private def e21AsgPrefix(spark: SparkSession, sfDir: String): String = {
     Tables.register(spark, sfDir)
     val k = e21AutoK(spark.table("embeddings").count())
-    val km = convergedKmeans(spark, sfDir, k)
+    val km = e21Kmeans(spark, sfDir)
     // Corpus-sized k: the per-query assignment routes hierarchically
     // too (same Router as the build loop) through a checkpointed temp
     // view — inlining 10k 64-dim centroid literals into the SQL text

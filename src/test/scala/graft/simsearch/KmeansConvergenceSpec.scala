@@ -25,4 +25,17 @@ class KmeansConvergenceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(km.centroids.length > 1) // non-degenerate clustering
     km.centroids.foreach { case (_, arr) => assert(arr.length == 64) }
   }
+
+  test("e21's corpus-sized-k build reaches its fixed point (own budget)") {
+    // e21's k grows with the corpus (n/50), so its convergence is NOT
+    // bounded by the fixture-tuned shared budget — the round-16 sf1
+    // gate caught the build stopping at the 40-iteration cap a few
+    // membership flips short of the fixed point, violating the
+    // centroid-fixedpoint contract (centroid == mean of its cells
+    // holds only at the bitwise fixed point). The e21 build now runs
+    // on its own budget until bitwise-fixed; the served state must
+    // report convergence.
+    val km = SimQueries.e21Kmeans(spark, "/root/testdata/sf0.001")
+    assert(km.fixedPoint, s"e21 build not converged after ${km.iters} updates")
+  }
 }
