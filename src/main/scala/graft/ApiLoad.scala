@@ -29,6 +29,11 @@ object ApiLoad {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // FAIR across the server's per-slot scheduler pools: concurrent
+      // requests share the cluster instead of queueing whole-job FIFO
+      // (ApiServer sets spark.scheduler.pool = graft-api-slot-N per
+      // in-flight query; inert under the default FIFO mode)
+      .config("spark.scheduler.mode", "FAIR")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val server = new api.ApiServer(spark, sfDir)

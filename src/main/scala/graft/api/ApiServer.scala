@@ -187,9 +187,50 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
   server.createContext("/", (ex: HttpExchange) => handle(ex))
   // without an executor the JDK HttpServer handles every exchange on
   // the single dispatcher thread — one long streaming download would
-  // block /ping and every /job poll of the 202-then-poll workflow
-  private val requestPool = java.util.concurrent.Executors.newFixedThreadPool(8)
+  // block /ping and every /job poll of the 202-then-poll workflow.
+  // The exchange pool is CACHED (exchange threads route, serve small
+  // payloads, or park on a query future — all cheap); the expensive
+  // resource, concurrent Spark work, is bounded by `querySlots` /
+  // `downloadGate` below. A FIXED exchange pool conflates the two:
+  // measured under ApiLoad at 16–32 concurrent mixed requests, a
+  // fixed-8 pool put /ping's p99 at 2.3–4.9 s (queued behind
+  // Spark-bound queries) where the reference's async event loop +
+  // bounded asyncpg pool keeps health checks instant under the same
+  // load (`gunicorn_conf.py:5-30`, `globals.py:59-60`).
+  private val requestPool = java.util.concurrent.Executors.newCachedThreadPool(
+    new java.util.concurrent.ThreadFactory {
+      private val n = new java.util.concurrent.atomic.AtomicInteger
+      def newThread(r: Runnable): Thread = {
+        val t = new Thread(r, s"graft-http-${n.getAndIncrement()}")
+        t.setDaemon(true); t
+      }
+    })
   server.setExecutor(requestPool)
+
+  /** Bounded interactive-query concurrency — the analog of the
+    * reference's per-worker asyncpg pool (5–10 connections,
+    * `globals.py:59-60`): at most [[QuerySlots]] Spark-bound
+    * interactive queries run at once; excess requests wait for a slot
+    * up to the same 58 s-class deadline and then answer the timeout
+    * envelope (a stuck pool surfaces as the command timeout in the
+    * reference too). The slot id doubles as the request's FAIR
+    * scheduler pool name (`spark.scheduler.pool = graft-api-slot-N`):
+    * under `spark.scheduler.mode=FAIR` each in-flight query gets an
+    * equal cluster share, so one continent-sized zonal cannot starve
+    * seven cheap counts; under the default FIFO mode the property is
+    * inert. Slots (not per-request pool names) keep the scheduler's
+    * pool set BOUNDED — Spark never garbage-collects pools, so
+    * per-request names would leak one pool per request forever. */
+  private val QuerySlots = 8
+  private val querySlots = new java.util.concurrent.LinkedBlockingQueue[Integer]
+  (0 until QuerySlots).foreach(i => querySlots.put(i))
+
+  /** Streaming downloads hold a separate bounded gate for the life of
+    * the stream (the reference holds a pool connection for the whole
+    * server-side cursor the same way, `downloads.py:35-231`) so a
+    * burst of downloads can neither oversubscribe Spark nor starve
+    * the interactive slots. */
+  private val downloadGate = new java.util.concurrent.Semaphore(8, true)
 
   def start(): Int = { server.start(); server.getAddress.getPort }
   def stop(): Unit = {
@@ -236,20 +277,46 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
   private def withDeadline[T](tag: String, raster: Boolean)(body: => T): T = {
     val sc = spark.sparkContext
     val groupId = s"graft-api-$tag-${java.util.UUID.randomUUID()}"
+    // slot acquisition is the pool-connection wait: bounded by the
+    // same deadline class, surfacing the same timeout envelope when
+    // the pool is saturated (the reference's exhausted asyncpg pool
+    // reads identically to a slow query from the client's side)
+    val slot: Integer =
+      querySlots.poll(sqlRequestTimeoutSec.toLong,
+        java.util.concurrent.TimeUnit.SECONDS)
+    if (slot == null) throw new QueryTimeoutException(raster)
+    // release-once ownership: normally the query task's finally frees
+    // the slot when the Spark work actually ENDS (a cancelled query
+    // still holds its slot until its stages die — a zombie must count
+    // against the pool, not beside it). If cancel lands before the
+    // task ever ran, the timeout path claims the release instead; the
+    // CAS makes the two paths mutually exclusive under FutureTask's
+    // cancel/run race (cancel(true) can return true while call() is
+    // concurrently entering).
+    val released = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val taskEntered = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def releaseOnce(): Unit =
+      if (released.compareAndSet(false, true)) querySlots.put(slot)
     val fut = queryExec.submit(new java.util.concurrent.Callable[T] {
       def call(): T = {
+        taskEntered.set(true)
         // job groups are thread-local: set on the thread that runs the
         // Spark actions, cleared so pool reuse can't leak the group
         sc.setJobGroup(groupId, s"graft interactive $tag",
           interruptOnCancel = true)
-        try body finally sc.clearJobGroup()
+        sc.setLocalProperty("spark.scheduler.pool", s"graft-api-slot-$slot")
+        try body finally {
+          sc.setLocalProperty("spark.scheduler.pool", null)
+          sc.clearJobGroup()
+          releaseOnce()
+        }
       }
     })
     try fut.get(sqlRequestTimeoutSec.toLong, java.util.concurrent.TimeUnit.SECONDS)
     catch {
       case _: java.util.concurrent.TimeoutException =>
         sc.cancelJobGroup(groupId)
-        fut.cancel(true)
+        if (fut.cancel(true) && !taskEntered.get()) releaseOnce()
         lastCancelledGroup = Some(groupId)
         throw new QueryTimeoutException(raster)
       case e: java.util.concurrent.ExecutionException =>
@@ -679,16 +746,27 @@ final class ApiServer(spark: SparkSession, sfDir: String, port: Int = 0,
             val rewritten = Scrutinizer.scrutinizeTo(tableFor(dataset, version), geom, sql)
             graft.sqlgate.TabularEngine.checkFunctionsExist(spark, rewritten)
             val df = spark.sql(rewritten)
-            ex.getResponseHeaders.add("Content-Disposition",
-              s"""attachment; filename="$dataset.$fmt"""")
-            val ct = if (fmt == "json") "application/json" else "text/csv"
-            ex.getResponseHeaders.add("Content-Type", ct)
-            ex.sendResponseHeaders(200, 0) // chunked
-            val out = ex.getResponseBody
+            // bounded stream concurrency: wait for the download gate
+            // up to the deadline class, then answer the timeout
+            // envelope (the reference holds a pool connection for the
+            // whole cursor; an exhausted pool surfaces the same way)
+            if (!downloadGate.tryAcquire(sqlRequestTimeoutSec.toLong,
+                java.util.concurrent.TimeUnit.SECONDS))
+              return respond(ex, 524, "application/json", Sinks.jsendError(
+                "A timeout occurred while processing the request. Request canceled.",
+                "error"))
             try {
-              if (fmt == "json") Sinks.streamJsend(df, out)
-              else Sinks.streamCsv(df, out)
-            } finally out.close()
+              ex.getResponseHeaders.add("Content-Disposition",
+                s"""attachment; filename="$dataset.$fmt"""")
+              val ct = if (fmt == "json") "application/json" else "text/csv"
+              ex.getResponseHeaders.add("Content-Type", ct)
+              ex.sendResponseHeaders(200, 0) // chunked
+              val out = ex.getResponseBody
+              try {
+                if (fmt == "json") Sinks.streamJsend(df, out)
+                else Sinks.streamCsv(df, out)
+              } finally out.close()
+            } finally downloadGate.release()
           case _ =>
             // raster downloads redirect to asset files in the
             // reference; out of scope for the synthetic lake

@@ -1958,6 +1958,80 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally instant.stop()
   }
 
+  test("fairness under saturation: /ping stays fast while every query slot " +
+    "is occupied by slow queries (gunicorn_conf.py:5-30 async-loop parity)") {
+    // ApiLoad measured the old fixed-8 exchange pool putting /ping's
+    // p99 at 2.3-4.9 s under 16-32 concurrent queries (cheap routes
+    // queued behind Spark-bound ones). Exchanges are now unbounded
+    // (cheap) and only Spark work takes a bounded slot, so a fully
+    // saturated query pool must leave /ping instant.
+    spark.udf.register("graft_spec_slow2",
+      (x: Long) => { Thread.sleep(10L); x })
+    val slow = new ApiServer(spark, "/root/testdata/sf0.001",
+      sqlRequestTimeoutSec = 6)
+    val p = slow.start()
+    try {
+      val slowPath = s"/dataset/lineitem/v1/query/json?sql=" +
+        java.net.URLEncoder.encode(
+          "SELECT sum(graft_spec_slow2(l_orderkey)) AS s FROM data", "UTF-8")
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(10)
+      val futs = (0 until 10).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Int] {
+          def call(): Int = client.send(HttpRequest.newBuilder(URI.create(
+            s"http://127.0.0.1:$p$slowPath")).GET().build(),
+            HttpResponse.BodyHandlers.ofString()).statusCode()
+        })
+      }
+      Thread.sleep(1500) // let all 8 slots fill (2 more queue on the slot take)
+      val t0 = System.nanoTime()
+      val ping = client.send(HttpRequest.newBuilder(URI.create(
+        s"http://127.0.0.1:$p/ping")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      val pingSec = (System.nanoTime() - t0) / 1e9
+      assert(ping.statusCode() == 200)
+      assert(pingSec < 3.0,
+        s"/ping took $pingSec s while query slots were saturated")
+      // every slow query times out with the tabular envelope (the two
+      // beyond the 8 slots exercise the slot-wait path) and the slots
+      // come back: a fast query answers 200 afterwards
+      val codes = futs.map(_.get(60, java.util.concurrent.TimeUnit.SECONDS))
+      pool.shutdown()
+      assert(codes.forall(_ == 524), s"expected all 524, got $codes")
+      val ok = client.send(HttpRequest.newBuilder(URI.create(
+        s"http://127.0.0.1:$p/dataset/nation/v1/query/json?sql=" +
+          java.net.URLEncoder.encode("SELECT count(*) AS cnt FROM data", "UTF-8")))
+        .GET().build(), HttpResponse.BodyHandlers.ofString())
+      assert(ok.statusCode() == 200 && ok.body().contains("\"cnt\":25"),
+        s"slots not released: ${ok.statusCode()} ${ok.body().take(120)}")
+    } finally slow.stop()
+  }
+
+  test("interactive queries run in a bounded FAIR scheduler pool " +
+    "(spark.scheduler.pool = graft-api-slot-N on every job)") {
+    val pools = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val p = js.properties.getProperty("spark.scheduler.pool")
+        val g = js.properties.getProperty("spark.jobGroup.id")
+        if (g != null && g.startsWith("graft-api-")) pools.add(String.valueOf(p))
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val r = get("/dataset/nation/v1/query/json?sql=" +
+        java.net.URLEncoder.encode("SELECT count(*) AS cnt FROM data", "UTF-8"))
+      assert(r.statusCode() == 200)
+      val deadline = System.currentTimeMillis() + 10000
+      while (pools.isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(50) // listener bus is async
+      import scala.jdk.CollectionConverters._
+      assert(pools.asScala.nonEmpty, "no graft-api job observed")
+      assert(pools.asScala.forall(_.matches("graft-api-slot-\\d+")),
+        s"interactive jobs not pool-tagged: ${pools.asScala}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("geostore create + fetch round-trip with content-addressed id") {
     val gj = """{"type":"Polygon","coordinates":[[[0,0],[10,0],[10,10],[0,10],[0,0]]]}"""
     val created = post("/geostore", gj)
