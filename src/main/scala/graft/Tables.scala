@@ -76,12 +76,38 @@ object Tables {
     * schema drift the loader can't bridge) must not poison the other
     * nine views — its error is recorded in [[loadErrors]] and surfaces
     * only when a query actually references the broken table. */
+  /** Tables whose consumers do heavy PER-ROW compute before the first
+    * exchange (shingling/minhash over `documents`, vector casts + dot
+    * products over `embeddings`). The driver testdata ships them as
+    * single-row-group parquet, which parquet cannot split — so every
+    * pre-shuffle stage of every consumer ran as ONE task at any core
+    * count (optimization guide §2.5, "input skew: one huge
+    * unsplittable file … repartition immediately after the read"). */
+  private val spreadTables = Set("documents", "embeddings")
+
+  /** Spread a view across the session's cores IFF the scan is
+    * narrower than the session's parallelism. Scale-guarded: at real
+    * corpus sizes the scan already has ≥ cores partitions and the
+    * view stays the bare scan — no per-query shuffle is ever added at
+    * 100 TB; locally it costs one sub-MB exchange and parallelizes
+    * all downstream row work. Explicit count, because a count-less
+    * round-robin is re-coalesced to one task by AQE's 1 MB
+    * min-partition floor on these sub-MB tables. */
+  private def spreadIfNarrow(spark: SparkSession, name: String,
+                             df: DataFrame): DataFrame = {
+    val par = spark.sparkContext.defaultParallelism
+    if (spreadTables.contains(name) &&
+        df.rdd.getNumPartitions < par) df.repartition(par)
+    else df
+  }
+
   def register(spark: SparkSession, sfDir: String): Unit = synchronized {
     if (!registeredFor.contains((spark, sfDir))) {
       graft.functions.GraftFunctions.install(spark)
       var failures = Map.empty[String, Throwable]
       all.foreach { n =>
-        try load(spark, sfDir, n).createOrReplaceTempView(n)
+        try spreadIfNarrow(spark, n, load(spark, sfDir, n))
+          .createOrReplaceTempView(n)
         catch {
           case scala.util.control.NonFatal(e) =>
             spark.catalog.dropTempView(n)

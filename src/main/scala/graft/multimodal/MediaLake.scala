@@ -118,6 +118,19 @@ object MediaLake {
     }
   }
 
+  /** Spread a lake/sidecar build across the session's cores before
+    * the encode pass + write (optimization guide §2.5: the testdata
+    * tables are single-row-group parquet, so without this every
+    * encode pass AND every downstream consumer's scan — the m15
+    * frame decode, the tower/phash kernels — runs as ONE task at any
+    * core count). Partition count = the session's default
+    * parallelism, not a local constant: at cluster scale the input
+    * is already many-partitioned and this becomes a no-op-sized
+    * rebalance; output files stay ≥ the consumer's natural scan
+    * parallelism either way. */
+  private def spread(spark: SparkSession, df: DataFrame): DataFrame =
+    df.repartition(spark.sparkContext.defaultParallelism)
+
   private val towerSchema = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("img", ArrayType(DoubleType))))
@@ -180,12 +193,12 @@ object MediaLake {
     s"${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}_${Tables.sourceTag(s"$sfDir/documents.parquet")}"
 
   def ensureAudio(spark: SparkSession, sfDir: String): String = {
-    val lake = s"${sys.props("java.io.tmpdir")}/graft_audio_lake_v1_${docsTag(sfDir)}"
+    val lake = s"${sys.props("java.io.tmpdir")}/graft_audio_lake_v2_${docsTag(sfDir)}"
     graft.Sidecar.ensure(lake) { tmp =>
       val docs = Tables.load(spark, sfDir, "documents")
         .select(col("doc_id"), col("text"))
         .where(length(col("text")) > 0)
-      docs.mapPartitions { it =>
+      spread(spark, docs).mapPartitions { it =>
         it.map { row =>
           val samples = pcmSamples(row.getString(1).getBytes("UTF-8"))
           Row(row.getLong(0), "wav", Wav.encode(8000, samples))
@@ -213,12 +226,12 @@ object MediaLake {
     * document ([[Avi.encode]]), same memoization contract as the
     * image/audio lakes. m2 decodes these with the full RIFF walk. */
   def ensureVideo(spark: SparkSession, sfDir: String): String = {
-    val lake = s"${sys.props("java.io.tmpdir")}/graft_video_lake_v1_${docsTag(sfDir)}"
+    val lake = s"${sys.props("java.io.tmpdir")}/graft_video_lake_v2_${docsTag(sfDir)}"
     graft.Sidecar.ensure(lake) { tmp =>
       val docs = Tables.load(spark, sfDir, "documents")
         .select(col("doc_id"), col("text"))
         .where(length(col("text")) > 0)
-      docs.mapPartitions { it =>
+      spread(spark, docs).mapPartitions { it =>
         it.map { row =>
           val frames = videoFrames(row.getString(1).getBytes("UTF-8"))
           Row(row.getLong(0), "avi",
@@ -234,12 +247,12 @@ object MediaLake {
     * (the EXIF-shaped provenance a curation pipeline reads without
     * decoding pixels) — which m8 extracts through the chunk walk. */
   def ensure(spark: SparkSession, sfDir: String): String = {
-    val lake = s"${sys.props("java.io.tmpdir")}/graft_media_lake_v3_${docsTag(sfDir)}"
+    val lake = s"${sys.props("java.io.tmpdir")}/graft_media_lake_v4_${docsTag(sfDir)}"
     graft.Sidecar.ensure(lake) { tmp =>
       val docs = Tables.load(spark, sfDir, "documents")
         .select(col("doc_id"), col("text"), col("lang"), col("source"))
         .where(length(col("text")) > 0)
-      docs.mapPartitions { it =>
+      spread(spark, docs).mapPartitions { it =>
         it.map { row =>
           val id = row.getLong(0)
           val bytes = row.getString(1).getBytes("UTF-8")

@@ -636,14 +636,21 @@ object MultimodalQueries extends QueryModule {
     // symmetric join condition doubles the probe expansion instead
     val hpView = s"m15_hp_$tag"
     spark.sql(
-      s"""WITH dh AS (SELECT DISTINCT fh_lo, fh_hi FROM $view),
+      s"""WITH dh AS (SELECT /*+ REPARTITION(${spark.sparkContext.defaultParallelism}) */ DISTINCT fh_lo, fh_hi FROM $view),
          |-- the REPARTITION(s, k) hints pre-partition BOTH join inputs
          |-- on the join key at the configured shuffle parallelism: the
          |-- distinct-hash table is tiny (49k rows ≈ 1 MB), so without
          |-- them AQE coalesces the join's exchanges to 1-3 partitions
          |-- and the ~5M-probe expansion runs on as many threads (the
          |-- classic small-input-huge-fanout AQE trap — measured 7.4 s
-         |-- vs 2.5 s pinned; 12.6 s single-task on the first design)
+         |-- vs 2.5 s pinned; 12.6 s single-task on the first design).
+         |-- dh itself carries an EXPLICIT-count ROUND-ROBIN repartition
+         |-- (r16): the 33-variant probe expansion runs in the map stage
+         |-- ABOVE dh, and without it that stage reads the distinct's
+         |-- AQE-coalesced output (~0.8 MB < the 1 MB min-partition
+         |-- floor) as ONE task (measured 1.7 s single-task expansion).
+         |-- Round-robin, because a same-key hash repartition is elided
+         |-- as redundant over the distinct's own partitioning
          |ix AS (SELECT /*+ REPARTITION(s, k) */ fh_lo, fh_hi, s,
          |    CASE s WHEN 0 THEN fh_lo ELSE fh_hi END AS k
          |  FROM dh LATERAL VIEW explode(sequence(0, 1)) t1 AS s),

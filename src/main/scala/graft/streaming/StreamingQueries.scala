@@ -136,6 +136,28 @@ object StreamingQueries extends QueryModule {
     spark.table(sink)
   }
 
+  /** Pin a gate's STATIC side once per drain (r16): Structured
+    * Streaming re-executes the static side of a stream-static join on
+    * EVERY micro-batch — including the no-data batches AvailableNow
+    * runs to finalize watermarks — so an expensive static plan (the
+    * sg3 corpus minhash index, the sg4 span index) was computed 2-3×
+    * per gate. localCheckpoint materializes it once; the per-batch
+    * plan then scans the pinned blocks. (Production twin: the gates'
+    * scaladoc already prescribes a PERSISTED, pre-partitioned index.) */
+  private def pinned(spark: SparkSession, df: DataFrame): DataFrame =
+    graft.GraphOps.fresh(spark, df)
+
+  /** Spread a micro-batch across the session's cores before a gate's
+    * heavy stateless work (r16, guide §2.5): the staged stream
+    * sources are single/few parquet files, so the per-batch map work
+    * (shingle+minhash signatures, span md5s, the PII regex chain, URL
+    * canonicalization) otherwise runs as ONE task regardless of core
+    * count — the drain's 8-partition sizing only governs the STATEFUL
+    * exchanges downstream. One sub-MB round-robin exchange per batch;
+    * results are row-wise and key-grouped, so partitioning-neutral. */
+  private def spreadStream(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   private def classifierStream(spark: SparkSession, sfDir: String): DataFrame =
     drained(spark, s"$sfDir/documents.parquet", "sg1_stream_classifier") { docs =>
       ClassifierGateStream.gate(docs).selectExpr("doc_id", "lang")
@@ -157,13 +179,13 @@ object StreamingQueries extends QueryModule {
 
   private def dedupStream(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.register(spark, sfDir)
-    val index = DedupStream.corpusIndex(
-      spark.table("documents").select("doc_id", "text"))
+    val index = pinned(spark, DedupStream.corpusIndex(
+      spark.table("documents").select("doc_id", "text")))
     drained(spark, s"$sfDir/documents.parquet", "sg3_stream_dedup") { docs =>
       // deterministic event time from the id — the fixture parquet
       // carries no timestamp; the gate's watermark state is exercised,
       // the output drops the synthetic column
-      val stream = docs.selectExpr(
+      val stream = spreadStream(docs).selectExpr(
         "doc_id", "text",
         "timestamp_seconds(1700000000 + doc_id) AS ts")
       DedupStream.lshGate(stream, index)
@@ -237,13 +259,13 @@ object StreamingQueries extends QueryModule {
 
   private def spanStream(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.register(spark, sfDir)
-    val index = SpanDedupStream.spanIndex(
-      spark.table("documents").where(CorpusPred).select("doc_id", "text"))
+    val index = pinned(spark, SpanDedupStream.spanIndex(
+      spark.table("documents").where(CorpusPred).select("doc_id", "text")))
     drained(spark, sentinelStage(spark, s"$sfDir/documents.parquet"),
         "sg4_stream_span") { docs =>
       // sentinel doc_id % 10 = 9 passes StreamPred by design — it must
       // flow through the gate to advance the watermark
-      val stream = docs.where(StreamPred).selectExpr(
+      val stream = spreadStream(docs.where(StreamPred)).selectExpr(
         "doc_id", "text",
         "timestamp_seconds(1700000000 + doc_id) AS ts")
       SpanDedupStream.spanGate(stream, index)
@@ -338,8 +360,8 @@ object StreamingQueries extends QueryModule {
 
   private def bloomStream(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.register(spark, sfDir)
-    val corpus = spark.table("documents").where(CorpusPred)
-      .select("doc_id", "text")
+    val corpus = pinned(spark, spark.table("documents").where(CorpusPred)
+      .select("doc_id", "text"))
     val blob = BloomGateStream.corpusBloom(corpus)
     drained(spark, bloomStage(spark, sfDir), "sg8_stream_bloom") { docs =>
       BloomGateStream.gate(docs, corpus, blob)
@@ -373,7 +395,7 @@ object StreamingQueries extends QueryModule {
 
   private def piiStream(spark: SparkSession, sfDir: String): DataFrame =
     drained(spark, s"$sfDir/documents.parquet", "sg10_stream_pii") { docs =>
-      PiiStream.gate(docs.selectExpr("doc_id", s"$piiAugSpark AS text"))
+      PiiStream.gate(spreadStream(docs).selectExpr("doc_id", s"$piiAugSpark AS text"))
         .selectExpr("doc_id", "n_emails", "n_ips", "n_phones",
           "quarantined", "md5(text) AS text_md5")
     }
@@ -424,11 +446,12 @@ object StreamingQueries extends QueryModule {
   private def urlStream(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.register(spark, sfDir)
     val urlExpr = graft.textops.TextQueries.UrlFixture.sparkMulti
-    val corpus = spark.table("documents").where(CorpusPred)
-      .selectExpr("doc_id", s"$urlExpr AS url")
+    val corpus = pinned(spark, spark.table("documents").where(CorpusPred)
+      .selectExpr("doc_id", s"$urlExpr AS url"))
     val blob = UrlDedupStream.corpusBloom(corpus)
     drained(spark, s"$sfDir/documents.parquet", "sg5_stream_url") { docs =>
-      val stream = docs.where(StreamPred).selectExpr("doc_id", s"$urlExpr AS url")
+      val stream = spreadStream(docs.where(StreamPred))
+        .selectExpr("doc_id", s"$urlExpr AS url")
       UrlDedupStream.gate(stream, corpus, blob).select("doc_id", "url")
     }
   }

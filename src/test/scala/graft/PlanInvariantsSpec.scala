@@ -129,12 +129,23 @@ class PlanInvariantsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!full.contains("Window"), "t8 regressed to a window formulation")
   }
 
+  /** Exchanges other than the narrow-input spread: Tables.register
+    * round-robins a single-row-group testdata scan across the
+    * session's cores (r16; scale-guarded — absent once the scan has
+    * ≥ cores partitions, so the 100 TB plan stays truly map-only).
+    * The pinned property is the absence of any OTHER shuffle. */
+  private def nonSpreadExchanges(p: String): Int =
+    "Exchange ".r.findAllIn(p).length -
+      "Exchange RoundRobinPartitioning\\(\\d+\\), REPARTITION_BY_NUM".r
+        .findAllIn(p).length
+
   test("t19: the chunker is a narrow generate — zero exchanges") {
-    // chunking is per-document fan-out; any shuffle here would be a
-    // planner regression (at 100 TB the chunker must stay map-only so
-    // the downstream embedding job picks its own partitioning)
+    // chunking is per-document fan-out; any shuffle here (beyond the
+    // narrow-input spread, see nonSpreadExchanges) would be a planner
+    // regression (at 100 TB the chunker must stay map-only so the
+    // downstream embedding job picks its own partitioning)
     val p = plan("t19_chunk")
-    assert(!p.contains("Exchange"), p.take(600))
+    assert(nonSpreadExchanges(p) == 0, p.take(600))
     assert(p.contains("Generate"), "expected the explode fan-out")
   }
 
@@ -304,7 +315,7 @@ class PlanInvariantsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // absence of any exchange.
     for (q <- Seq("t26_html_extract", "m18_audio_resample")) {
       val p = plan(q)
-      assert(!p.contains("Exchange"), s"$q planned a shuffle:\n${p.take(600)}")
+      assert(nonSpreadExchanges(p) == 0, s"$q planned a shuffle:\n${p.take(600)}")
     }
   }
 
@@ -325,12 +336,18 @@ class PlanInvariantsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // The shipped shape counts over the unordered pair key: one
     // window shuffle, no join after edge construction, and the top-k
     // prunes below the shuffle via WindowGroupLimit.
+    // r16: the assignment is a checkpointed view (the inline plan
+    // re-evaluated the centroid argmax per reference AND broadcast
+    // the whole corpus side — fixture-only); the per-cell self-join
+    // is now an explicit ShuffledHashJoin on the cell key, the
+    // corpus-scale shape, adding its two hash exchanges to the pin
     val p = plan("e21_knn_graph")
     assert(!p.contains("SortMergeJoin"), p.take(600))
+    assert(p.contains("ShuffledHashJoin"), "per-cell join lost the hash-join shape")
     assert(p.contains("WindowGroupLimit"), "top-k did not push below the shuffle")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
-    assert(exchanges <= 3,
-      s"expected <= 3 hash exchanges (top-k, pair window, final agg), got $exchanges")
+    assert(exchanges <= 5,
+      s"expected <= 5 hash exchanges (cell join x2, top-k, pair window, final agg), got $exchanges")
   }
 
   test("e22: centroid table broadcasts; one per-cell window shuffle") {
