@@ -6,7 +6,7 @@ object DebugScale {
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/tmp/graft_sf100x_v3"
     val which = if (args.length > 1) args(1) else "both"
-    val spark = org.apache.spark.sql.SparkSession.builder()
+    val spark = LocalTuning(org.apache.spark.sql.SparkSession.builder())
       .master("local[32]").config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()

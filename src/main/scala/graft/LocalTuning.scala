@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session defaults shared by every driver-contract main (Bench,
+  * Verify, Smoke, the dev tools) — the r16 optimization round's
+  * host-level shuffle fixes, found via executor thread dumps
+  * (optimization guide §7.3) on the bench box:
+  *
+  *  - `spark.shuffle.sort.bypassMergeThreshold = 1`: with ≤ 200
+  *    reduce partitions Spark picks BypassMergeSortShuffleWriter,
+  *    which writes ONE FILE PER REDUCE PARTITION per map task and
+  *    concatenates them through `FileChannel.transferTo` → mmap.
+  *    At local[32] × 32 shuffle partitions that is ~1 024 file
+  *    creates + mmaps + unmaps PER EXCHANGE; the munmap TLB
+  *    shootdowns across 32 vCPUs serialize in the kernel (thread
+  *    dumps: every task runnable inside `FileChannelImpl.map0 /
+  *    unmap0`), and a sub-second aggregation read 28 s of task time
+  *    (measured on t31_kn_bigram; 8 s with the threshold dropped).
+  *    Disabling the bypass selects the serialized
+  *    (UnsafeShuffleWriter) path — one spill file per map task, no
+  *    per-reducer files, no mmap concat. Scale note: this is not a
+  *    local-only trick — the serialized writer is the modern default
+  *    path whenever the serializer supports relocation; the bypass
+  *    writer's per-reducer file fan-out is precisely what hurts as
+  *    cores-per-box grow. Overridable via SPARK_GRAFT_BYPASS_MERGE.
+  *
+  *  - `spark.local.dir` on tmpfs when available (`/dev/shm`): the
+  *    sandbox's `/` is a slow virtual disk (a cold 584 KB read
+  *    measured 0.9 s), so KB-sized shuffle blocks paid disk-class
+  *    latency per exchange. Shuffle scratch belongs on the fastest
+  *    local medium — on a real cluster that is the provisioned
+  *    local SSDs (this default only fires when /dev/shm exists and
+  *    is writable; production deployments set spark.local.dir
+  *    explicitly anyway). Overridable via SPARK_GRAFT_LOCAL_DIR
+  *    (set it to the old java.io.tmpdir behavior to disable).
+  *
+  * Measured together on t31_kn_bigram (quiet host, warm):
+  * 1.33 s → 0.91 s wall, stage task-time 28.3 s → 2.6 s.
+  */
+object LocalTuning {
+  def sessionDefaults: Seq[(String, String)] = {
+    val localDir = sys.env.get("SPARK_GRAFT_LOCAL_DIR").orElse {
+      val shm = new java.io.File("/dev/shm")
+      if (shm.isDirectory && shm.canWrite) Some("/dev/shm/graft_spark_local")
+      else None
+    }
+    Seq("spark.shuffle.sort.bypassMergeThreshold" ->
+      sys.env.getOrElse("SPARK_GRAFT_BYPASS_MERGE", "1")) ++
+      localDir.map("spark.local.dir" -> _)
+  }
+
+  /** Fold the defaults into a session builder (explicit `.config`
+    * calls made before this still win — Spark keeps the last value
+    * set, and these are applied first by the callers). */
+  def apply(b: SparkSession.Builder): SparkSession.Builder =
+    sessionDefaults.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
+}

@@ -4,7 +4,7 @@ package graft
   * `runMain graft.PlanDumpDir q1,q2,… <sfDir> <outDir> <suffix>`. */
 object PlanDumpDir {
   def main(args: Array[String]): Unit = {
-    val spark = org.apache.spark.sql.SparkSession.builder()
+    val spark = LocalTuning(org.apache.spark.sql.SparkSession.builder())
       .master("local[4]").config("spark.sql.shuffle.partitions", 4)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()

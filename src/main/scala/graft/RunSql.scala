@@ -4,7 +4,7 @@ package graft
   * engine functions (`runMain graft.RunSql <sfDir> "<sql>"`). */
 object RunSql {
   def main(args: Array[String]): Unit = {
-    val spark = org.apache.spark.sql.SparkSession.builder()
+    val spark = LocalTuning(org.apache.spark.sql.SparkSession.builder())
       .master("local[32]").config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()

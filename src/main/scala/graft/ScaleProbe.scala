@@ -153,7 +153,7 @@ object ScaleProbe {
     // NB: driver heap cannot be set here — local-mode `runMain` runs
     // inside the already-forked JVM, so a spark.driver.memory config
     // would silently no-op; build.sbt's fork options size the heap
-    val spark = SparkSession.builder()
+    val spark = LocalTuning(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

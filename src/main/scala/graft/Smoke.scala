@@ -1,7 +1,7 @@
 package graft
 object Smoke {
   def main(args: Array[String]): Unit = {
-    val spark = org.apache.spark.sql.SparkSession.builder()
+    val spark = LocalTuning(org.apache.spark.sql.SparkSession.builder())
       .master("local[4]").config("spark.sql.shuffle.partitions","4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled","false").getOrCreate()

@@ -9,7 +9,7 @@ object TimeQuery {
   def main(args: Array[String]): Unit = {
     val (name, sfDir) = (args(0), args(1))
     val reps = if (args.length > 2) args(2).toInt else 2
-    val spark = org.apache.spark.sql.SparkSession.builder()
+    val spark = LocalTuning(org.apache.spark.sql.SparkSession.builder())
       .master("local[32]").config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
