@@ -55,14 +55,19 @@ object DedupStream {
       // a re-ingested document carrying an existing corpus id must not
       // flag itself (the batch pipeline's a.doc_id < b.doc_id analog)
       .where(col("doc_id") =!= col("dup_of"))
+      // dedup the CANDIDATE pair BEFORE the exact verify (r16): a pair
+      // colliding in several bands otherwise pays the array_intersect
+      // verify once per band, while the verify is deterministic per
+      // pair — dedup-then-verify emits exactly the rows
+      // verify-then-dedup did (the batch pipeline's
+      // DISTINCT-candidates shape). The one stateful dedup just moves
+      // earlier; the watermark bounds it as before.
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("doc_id", "dup_of")
       .withColumn("shared", expr("size(array_intersect(hs, corpus_hs))"))
       .withColumn("jaccard", expr(
         "CAST(shared AS DOUBLE) / (size(hs) + size(corpus_hs) - shared)"))
       .where(col("jaccard") >= tau)
       .select(col("doc_id"), col("dup_of"), col("jaccard"), col("ts"))
-      // a pair matched in several bands emits once; watermark bounds
-      // the dedup state
-      .withWatermark("ts", watermarkDelay)
-      .dropDuplicatesWithinWatermark("doc_id", "dup_of")
   }
 }

@@ -311,7 +311,8 @@ object StreamingQueries extends QueryModule {
   private def sessionStream(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.register(spark, sfDir)
     drained(spark, alertStage(spark, sfDir), "sg6_stream_session") { alerts =>
-      AlertStream.sessionize(spark, alerts.select("cell", "ts")).toDF()
+      AlertStream.sessionize(spark,
+          spreadStream(alerts).select("cell", "ts")).toDF()
         .selectExpr("cell", "startTs AS start_ts", "endTs AS end_ts", "alerts")
     }
   }
@@ -319,7 +320,7 @@ object StreamingQueries extends QueryModule {
   private def windowStream(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.register(spark, sfDir)
     drained(spark, alertStage(spark, sfDir), "sg7_stream_window") { alerts =>
-      AlertStream.windowedCounts(alerts.select("cell", "ts"))
+      AlertStream.windowedCounts(spreadStream(alerts).select("cell", "ts"))
     }
   }
 

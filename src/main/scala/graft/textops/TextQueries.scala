@@ -1421,7 +1421,11 @@ object TextQueries extends QueryModule {
     SqlQ.split("t10_keywords",
       """WITH w AS (SELECT doc_id, explode(split(text, ' ')) AS word FROM documents),
         |tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY doc_id, word),
-        |df AS (SELECT word, count(DISTINCT doc_id) AS df FROM w GROUP BY word),
+        |-- df from tf, not from w (r16): tf already holds one row per
+        |-- (doc, word), so count(*) equals count(DISTINCT doc_id) over
+        |-- w — and the tf exchange is REUSED where the w formulation
+        |-- re-ran the corpus explode for the df branch
+        |df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
         |n AS (SELECT count(*) AS n FROM documents),
         |s AS (SELECT tf.doc_id, tf.word, tf.tf, df.df,
         |        CAST(tf.tf * n.n AS DOUBLE) / df.df AS score
@@ -1890,6 +1894,57 @@ object TextQueries extends QueryModule {
         |FROM fk a JOIN fk b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 3""".stripMargin)
   )
+
+  /** t33's tokenize-stage materialization: per-(doc, word) counts of
+    * the NON-EMPTY tokens (t33 filters empty strings, unlike the
+    * shared [[tokCounts]] — one definition per tokenizer), eagerly
+    * checkpointed so the BM25 chain's three consumers (vocabulary
+    * top-k, doc lengths, query-term postings) read one corpus pass. */
+  private def t33Query(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.register(spark, sfDir)
+    val view = "t33_tok_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val tok = spark.sql(
+      """SELECT doc_id, word, CAST(count(*) AS BIGINT) AS k
+        |FROM documents
+        |LATERAL VIEW explode(filter(split(text, ' '), x -> x != '')) t AS word
+        |GROUP BY doc_id, word""".stripMargin).localCheckpoint()
+    tok.createOrReplaceTempView(view)
+    try {
+      val res = spark.sql(
+        s"""WITH wf AS (SELECT word, CAST(sum(k) AS BIGINT) AS f FROM $view
+           |  GROUP BY word ORDER BY f DESC, word LIMIT 7),
+           |q AS (SELECT concat('q', CAST((rn + 2) DIV 3 AS STRING)) AS query_id,
+           |    word AS term
+           |  FROM (SELECT word, row_number() OVER (ORDER BY f DESC, word) AS rn
+           |        FROM wf) x),
+           |dl AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS dl FROM $view GROUP BY doc_id),
+           |nl AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS l FROM dl),
+           |tf AS (SELECT /*+ BROADCAST(q) */ q.query_id, q.term, v.doc_id,
+           |    CAST(sum(v.k) AS BIGINT) AS tf
+           |  FROM $view v JOIN q ON q.term = v.word GROUP BY q.query_id, q.term, v.doc_id),
+           |df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+           |  FROM tf GROUP BY term),
+           |sc AS (SELECT tf.query_id, tf.doc_id,
+           |    CAST(sum(
+           |      (CAST((2*nl.n - 2*df.df + 1) * 1000000 DIV (2*df.df + 1) AS DECIMAL(38,0))
+           |         * (CAST(tf.tf AS DECIMAL(38,0)) * 2200000 * nl.l))
+           |      DIV (CAST(tf.tf AS DECIMAL(38,0)) * 1000000 * nl.l
+           |           + CAST(300000 AS DECIMAL(38,0)) * nl.l
+           |           + CAST(900000 AS DECIMAL(38,0)) * dl.dl * nl.n)
+           |    ) AS BIGINT) AS score_micro
+           |  FROM tf JOIN df ON df.term = tf.term JOIN dl ON dl.doc_id = tf.doc_id
+           |  CROSS JOIN nl
+           |  GROUP BY tf.query_id, tf.doc_id)
+           |SELECT query_id, CAST(rnk AS INT) AS rnk, doc_id, score_micro FROM (
+           |  SELECT query_id, doc_id, score_micro,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY score_micro DESC, doc_id) AS rnk
+           |  FROM sc) ranked WHERE rnk <= 5""".stripMargin).localCheckpoint()
+      graft.CkptUtil.unpersist(tok)
+      res
+    } finally spark.catalog.dropTempView(view)
+  }
 
   /** D7: duplicate-cluster resolution — the dedup end-game: the
     * verified near-dup PAIRS (d3's LSH → exact-Jaccard pipeline) form
@@ -2906,7 +2961,14 @@ object TextQueries extends QueryModule {
       ("t18_bpe_train" -> (t18Query _)) +
       ("t21_bpe_tokenize" -> (t21Query _)) +
       ("t13_lm_score" -> (t13Query _)) +
-      ("t27_ccnet_buckets" -> (t27Query _))
+      ("t27_ccnet_buckets" -> (t27Query _)) +
+      // t33 overrides its SqlQ text (r16): the single-statement form
+      // read the corpus token explode THREE times (wf, dl, tf); the
+      // function form materializes per-(doc, word) counts once (the
+      // t13/t27 tokCounts move, with t33's own empty-token-filtering
+      // tokenizer) — every downstream count is an integer sum(k),
+      // value-identical. Oracle unchanged.
+      ("t33_bm25" -> (t33Query _))
 
   override def oracles: Map[String, String] =
     sqls.flatMap(q => q.oracleSql.map(q.name -> _)).toMap +
