@@ -234,8 +234,34 @@ object Bench {
           contended += name
         name -> best
       }
+    // ---- warm-vs-cold ratio gate (r16): this host's contention can
+    // cut effective throughput 10-30× while /proc/stat steal reads
+    // 1-4% (measured: run 10 in bench_runs.jsonl — contiguous windows
+    // of queries at 4-30× their quiet cost, per-query steal ≤ 4%, so
+    // the burst gate above never fired). A warm timing materially
+    // SLOWER than the same query's cold timing is physically
+    // backwards (cold carries JIT + sidecar builds; warm state only
+    // ever helps), so it is re-measured like a burst overlap — the
+    // accepted time stays a complete end-to-end run, the min of the
+    // attempts (contention only ever adds wall-clock).
+    val coldOf = cold.map { case (n, (t, _, _)) => n -> t }.toMap
+    var slowReruns = 0
+    val ratioGated: Seq[(String, (Double, Long, Long))] =
+      gatedFull.map { case (name, first) =>
+        var best = first
+        var attempts = 0
+        def suspicious(t: Double): Boolean =
+          t > 0.3 && t > 1.5 * coldOf.getOrElse(name, Double.MaxValue)
+        while (suspicious(best._1) && attempts < MaxReruns) {
+          attempts += 1
+          slowReruns += 1
+          val again = timeOne(name, SparkEntry.queries(name))
+          if (again._1 < best._1) best = again
+        }
+        name -> best
+      }
     val gated: Seq[(String, Double)] =
-      gatedFull.map { case (n, b) => n -> b._1 }
+      ratioGated.map { case (n, b) => n -> b._1 }
     val results = gated.toMap
     val qSteal = warm.map { case (name, (_, w0, w1)) =>
       name -> steal.shareIn(w0, w1) }.toMap
@@ -285,14 +311,14 @@ object Bench {
     // rightly fails `quiet` but not `warm_quiet`.
     val contendedSeq = contended.result()
     val warmQuiet = contendedSeq.isEmpty && {
-      val w0 = gatedFull.map(_._2._2).min
-      val w1 = gatedFull.map(_._2._3).max
+      val w0 = ratioGated.map(_._2._2).min
+      val w1 = ratioGated.map(_._2._3).max
       steal.shareIn(w0, w1) <= 0.01 &&
         steal.foreignIn(w0, w1) <= ForeignQuiet
     }
     val contendedList =
       contendedSeq.map("\"" + _ + "\"").mkString(",")
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","warm_total":${fmt(warmTotal)},"pass":"queries=warm","qcount":${results.size},"qdropped":0,"steal_share":${fm5(stealShare)},"worst_10s_steal":${fm5(stealWorst)},"foreign_share":${fm5(foreignShare)},"worst_10s_foreign":${fm5(foreignWorst)},"psi_some_avg10_max":${fm5(steal.psiSomeAvg10Max)},"quiet":$quiet,"warm_quiet":$warmQuiet,"reruns":$reruns,"contended_queries":[$contendedList],"queries":{$sb},"q_steal":{$sbSteal},"sg_op":{$sgOp},"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","warm_total":${fmt(warmTotal)},"pass":"queries=warm","qcount":${results.size},"qdropped":0,"steal_share":${fm5(stealShare)},"worst_10s_steal":${fm5(stealWorst)},"foreign_share":${fm5(foreignShare)},"worst_10s_foreign":${fm5(foreignWorst)},"psi_some_avg10_max":${fm5(steal.psiSomeAvg10Max)},"quiet":$quiet,"warm_quiet":$warmQuiet,"reruns":$reruns,"slow_reruns":$slowReruns,"contended_queries":[$contendedList],"queries":{$sb},"q_steal":{$sbSteal},"sg_op":{$sgOp},"sf":"$sfDir"}"""
     println(line)
     // Belt-and-braces: the full artifact also lands on disk so a
     // truncated stdout capture can never lose the per-query data —
