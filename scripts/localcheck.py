@@ -94,7 +94,14 @@ def describe(con, sql):
 def subst(sql, outdir, name):
     """Expand {q}/{aux}/{qof:NAME} path placeholders."""
     sql = sql.replace("{q}", f"{outdir}/{name}")
-    sql = sql.replace("{aux}", f"{outdir}/_aux")
+    # aux sidecars live in a SIBLING dir since r17 (they used to live
+    # under outdir/_aux, which the driver's correctness enumeration
+    # picked up as a phantom query); fall back to the old location so
+    # pre-r17 dumps stay checkable
+    auxdir = f"{outdir.rstrip('/')}_aux"
+    if not os.path.isdir(auxdir) and os.path.isdir(f"{outdir}/_aux"):
+        auxdir = f"{outdir}/_aux"
+    sql = sql.replace("{aux}", auxdir)
     return re.sub(r"\{qof:([A-Za-z0-9_]+)\}",
                   lambda m: f"{outdir}/{m.group(1)}", sql)
 

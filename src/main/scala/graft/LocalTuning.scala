@@ -39,11 +39,42 @@ import org.apache.spark.sql.SparkSession
   * 1.33 s → 0.91 s wall, stage task-time 28.3 s → 2.6 s.
   */
 object LocalTuning {
+
+  /** tmpfs headroom below which the /dev/shm default does NOT fire
+    * (r16 advice: shuffle scratch on tmpfs competes with the JVM heap
+    * for physical RAM — a large spill on a nearly-full tmpfs would
+    * ENOSPC or push the box into memory pressure; 16 GiB covers the
+    * suite's worst measured scratch by >100× while refusing hosts
+    * where tmpfs is already contended). */
+  private val ShmMinFreeBytes = 16L << 30
+  /** Scratch dirs from a crashed run older than this are reclaimed on
+    * startup (tmpfs scratch is RAM until someone deletes it); live
+    * concurrent sessions are far younger, so they are never touched. */
+  private val StaleScratchMs = 12L * 3600 * 1000
+
+  private def sweepStale(root: java.io.File): Unit =
+    try {
+      val cutoff = System.currentTimeMillis() - StaleScratchMs
+      Option(root.listFiles()).getOrElse(Array.empty).foreach { d =>
+        if (d.lastModified() < cutoff) {
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory)
+              Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+            f.delete(): Unit
+          }
+          rm(d)
+        }
+      }
+    } catch { case _: Throwable => () }
+
   def sessionDefaults: Seq[(String, String)] = {
     val localDir = sys.env.get("SPARK_GRAFT_LOCAL_DIR").orElse {
       val shm = new java.io.File("/dev/shm")
-      if (shm.isDirectory && shm.canWrite) Some("/dev/shm/graft_spark_local")
-      else None
+      if (shm.isDirectory && shm.canWrite &&
+          shm.getUsableSpace >= ShmMinFreeBytes) {
+        sweepStale(new java.io.File(shm, "graft_spark_local"))
+        Some("/dev/shm/graft_spark_local")
+      } else None
     }
     Seq("spark.shuffle.sort.bypassMergeThreshold" ->
       sys.env.getOrElse("SPARK_GRAFT_BYPASS_MERGE", "1")) ++

@@ -49,8 +49,11 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // Scale contracts + their aux sidecars (sf1 gate: localcheck
     // --scale-contracts). Contracts are generated against THIS sfDir
-    // (the right check is scale-dependent); aux dumps land under
-    // _aux/ which the per-query compare skips by prefix.
+    // (the right check is scale-dependent); aux dumps land in a
+    // SIBLING dir (`<outDir>_aux/`) since r17 — they used to live
+    // under `outDir/_aux/`, which our compare skipped by prefix but
+    // the driver's correctness enumeration picked up as a 217th
+    // `no_oracle` query row (r16 verdict ask #8).
     val contracts =
       try SparkEntry.scaleContracts(spark, sfDir)
         .filter { case (k, _) => only.forall(_.contains(k)) }
@@ -70,7 +73,7 @@ object Verify {
       Files.writeString(Paths.get(s"$outDir/scale_contracts.json"), cjson)
       SparkEntry.auxDumps.foreach { case (name, fn) =>
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/_aux/$name")
+          .parquet(s"${outDir.stripSuffix("/")}_aux/$name")
         catch { case e: Throwable =>
           System.err.println(s"[verify] aux $name failed: ${e.getMessage}")
         }

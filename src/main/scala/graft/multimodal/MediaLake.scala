@@ -124,12 +124,15 @@ object MediaLake {
     * encode pass AND every downstream consumer's scan — the m15
     * frame decode, the tower/phash kernels — runs as ONE task at any
     * core count). Partition count = the session's default
-    * parallelism, not a local constant: at cluster scale the input
-    * is already many-partitioned and this becomes a no-op-sized
-    * rebalance; output files stay ≥ the consumer's natural scan
-    * parallelism either way. */
-  private def spread(spark: SparkSession, df: DataFrame): DataFrame =
-    df.repartition(spark.sparkContext.defaultParallelism)
+    * parallelism, not a local constant, and GUARDED the same way as
+    * Tables.spreadIfNarrow (r16 advice): an input that already has
+    * ≥ cores partitions passes through untouched — at cluster scale
+    * no shuffle of the corpus payload is ever added, locally the
+    * single-row-group fixtures pay one sub-MB exchange. */
+  private def spread(spark: SparkSession, df: DataFrame): DataFrame = {
+    val par = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+  }
 
   private val towerSchema = StructType(Seq(
     StructField("doc_id", LongType),

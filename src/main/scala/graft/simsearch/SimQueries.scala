@@ -1415,9 +1415,13 @@ object SimQueries extends QueryModule {
     * it; values are bitwise the inline CTE's. */
   private def e21AsgView(spark: SparkSession, sfDir: String): String = {
     val view = s"e21_asgv_${Integer.toHexString(sfDir.hashCode)}"
-    graft.GraphOps.fresh(spark, spark.sql(
-        s"${e21AsgPrefix(spark, sfDir)} SELECT vec_id, v, nrm, c FROM asg"))
-      .createOrReplaceTempView(view)
+    // freshView (r17): each invocation re-materializes (never cached
+    // across invocations — that would be result re-use the bench
+    // forbids) and RELEASES the previous invocation's blocks, which
+    // otherwise leak once per consuming query (e21/e27/e28/e29 ×
+    // cold/warm/rerun passes)
+    graft.CkptUtil.freshView(spark, view, spark.sql(
+      s"${e21AsgPrefix(spark, sfDir)} SELECT vec_id, v, nrm, c FROM asg"))
     view
   }
 
@@ -1597,11 +1601,10 @@ object SimQueries extends QueryModule {
     spark.sql(
       s"SELECT vec_id AS qid, v AS qv, nrm AS qn FROM $vView WHERE vec_id < 5")
       .createOrReplaceTempView(qView)
-    graft.GraphOps.fresh(spark, spark.sql(
-        s"""WITH asg AS (SELECT vec_id, v, nrm, c FROM $aView),
-           |$e21GraphTail
-           |SELECT src, dst FROM e""".stripMargin))
-      .createOrReplaceTempView(eView)
+    graft.CkptUtil.freshView(spark, eView, spark.sql(
+      s"""WITH asg AS (SELECT vec_id, v, nrm, c FROM $aView),
+         |$e21GraphTail
+         |SELECT src, dst FROM e""".stripMargin))
     // Hops UNROLLED into one statement over the checkpointed leaves
     // (r16): the per-hop localCheckpoint loop paid ~2 driver jobs +
     // a full plan/analyze cycle PER HOP to materialize ≤ 40-row
@@ -2439,7 +2442,7 @@ object SimQueries extends QueryModule {
     Tables.register(spark, sfDir)
     val km = convergedKmeans(spark, sfDir)
     val s0View = s"e14_sub0_${Integer.toHexString(sfDir.hashCode)}"
-    graft.GraphOps.fresh(spark, spark.sql(
+    graft.CkptUtil.freshView(spark, s0View, spark.sql(
       s"""$sparkVecs,
          |${centroidCte(km.centroids)},
          |asg AS (SELECT vec_id, v, ${argmaxAssign(km.centroids)} AS c FROM n),
@@ -2449,7 +2452,6 @@ object SimQueries extends QueryModule {
          |rq AS (SELECT vec_id, c, transform(rv, x -> round(x * 1048576.0)) AS rvq FROM res)
          |SELECT vec_id, c, s, slice(rvq, s*16+1, 16) AS x
          |FROM rq LATERAL VIEW explode(sequence(0, 3)) t AS s""".stripMargin))
-      .createOrReplaceTempView(s0View)
     val adcSql =
       s"""$sparkVecs,
          |${centroidCte(km.centroids)},

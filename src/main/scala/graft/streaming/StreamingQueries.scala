@@ -181,7 +181,11 @@ object StreamingQueries extends QueryModule {
     Tables.register(spark, sfDir)
     val index = pinned(spark, DedupStream.corpusIndex(
       spark.table("documents").select("doc_id", "text")))
-    drained(spark, s"$sfDir/documents.parquet", "sg3_stream_dedup") { docs =>
+    // the pinned blocks are released once the drain has materialized
+    // into the memory sink (r16 advice: orphaned static-side
+    // checkpoints otherwise accumulate across the bench's repeated
+    // drains)
+    try drained(spark, s"$sfDir/documents.parquet", "sg3_stream_dedup") { docs =>
       // deterministic event time from the id — the fixture parquet
       // carries no timestamp; the gate's watermark state is exercised,
       // the output drops the synthetic column
@@ -190,7 +194,7 @@ object StreamingQueries extends QueryModule {
         "timestamp_seconds(1700000000 + doc_id) AS ts")
       DedupStream.lshGate(stream, index)
         .selectExpr("doc_id", "dup_of", "jaccard")
-    }
+    } finally graft.CkptUtil.unpersist(index)
   }
 
   /** sg4/sg5 split the fixture the d10 way: doc_id % 10 < 7 is the
@@ -261,7 +265,7 @@ object StreamingQueries extends QueryModule {
     Tables.register(spark, sfDir)
     val index = pinned(spark, SpanDedupStream.spanIndex(
       spark.table("documents").where(CorpusPred).select("doc_id", "text")))
-    drained(spark, sentinelStage(spark, s"$sfDir/documents.parquet"),
+    try drained(spark, sentinelStage(spark, s"$sfDir/documents.parquet"),
         "sg4_stream_span") { docs =>
       // sentinel doc_id % 10 = 9 passes StreamPred by design — it must
       // flow through the gate to advance the watermark
@@ -270,7 +274,7 @@ object StreamingQueries extends QueryModule {
         "timestamp_seconds(1700000000 + doc_id) AS ts")
       SpanDedupStream.spanGate(stream, index)
         .selectExpr("doc_id", "n_kept", "md5(kept_text) AS kept_md5")
-    }
+    } finally graft.CkptUtil.unpersist(index)
   }
 
   /** sg6/sg7's staged stream source: the events table as (cell, ts)
@@ -364,10 +368,10 @@ object StreamingQueries extends QueryModule {
     val corpus = pinned(spark, spark.table("documents").where(CorpusPred)
       .select("doc_id", "text"))
     val blob = BloomGateStream.corpusBloom(corpus)
-    drained(spark, bloomStage(spark, sfDir), "sg8_stream_bloom") { docs =>
+    try drained(spark, bloomStage(spark, sfDir), "sg8_stream_bloom") { docs =>
       BloomGateStream.gate(docs, corpus, blob)
         .selectExpr("doc_id", "md5(text) AS text_md5")
-    }
+    } finally graft.CkptUtil.unpersist(corpus)
   }
 
   private def chunkStream(spark: SparkSession, sfDir: String): DataFrame =
@@ -450,11 +454,11 @@ object StreamingQueries extends QueryModule {
     val corpus = pinned(spark, spark.table("documents").where(CorpusPred)
       .selectExpr("doc_id", s"$urlExpr AS url"))
     val blob = UrlDedupStream.corpusBloom(corpus)
-    drained(spark, s"$sfDir/documents.parquet", "sg5_stream_url") { docs =>
+    try drained(spark, s"$sfDir/documents.parquet", "sg5_stream_url") { docs =>
       val stream = spreadStream(docs.where(StreamPred))
         .selectExpr("doc_id", s"$urlExpr AS url")
       UrlDedupStream.gate(stream, corpus, blob).select("doc_id", "url")
-    }
+    } finally graft.CkptUtil.unpersist(corpus)
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -133,11 +133,23 @@ class PlanInvariantsSpec extends AnyFunSuite with BeforeAndAfterAll {
     * round-robins a single-row-group testdata scan across the
     * session's cores (r16; scale-guarded — absent once the scan has
     * ≥ cores partitions, so the 100 TB plan stays truly map-only).
-    * The pinned property is the absence of any OTHER shuffle. */
-  private def nonSpreadExchanges(p: String): Int =
-    "Exchange ".r.findAllIn(p).length -
-      "Exchange RoundRobinPartitioning\\(\\d+\\), REPARTITION_BY_NUM".r
+    * The pinned property is the absence of any OTHER shuffle. Only a
+    * round-robin exchange whose CHILD is a parquet scan (possibly
+    * behind a filter/project) counts as the spread (r16 advice: an
+    * unbounded subtraction would let a future query-side round-robin
+    * repartition pass the map-only invariant unnoticed). */
+  private def nonSpreadExchanges(p: String): Int = {
+    val all = "Exchange ".r.findAllIn(p).length
+    // formatted plans are indented trees; a spread exchange's subtree
+    // contains no other operator class than filter/project/scan
+    val spread =
+      ("(?s)Exchange RoundRobinPartitioning\\(\\d+\\), REPARTITION_BY_NUM" +
+        "[^\\n]*\\n(?:[^\\n]*(?:Filter|Project|ColumnarToRow|InputAdapter|" +
+        "WholeStageCodegen|FileScan|Scan parquet)[^\\n]*\\n?)*?" +
+        "[^\\n]*(?:FileScan|Scan parquet)").r
         .findAllIn(p).length
+    all - spread
+  }
 
   test("t19: the chunker is a narrow generate — zero exchanges") {
     // chunking is per-document fan-out; any shuffle here (beyond the
