@@ -76,8 +76,19 @@ object LocalTuning {
         Some("/dev/shm/graft_spark_local")
       } else None
     }
-    Seq("spark.shuffle.sort.bypassMergeThreshold" ->
-      sys.env.getOrElse("SPARK_GRAFT_BYPASS_MERGE", "1")) ++
+    Seq(
+      "spark.shuffle.sort.bypassMergeThreshold" ->
+        sys.env.getOrElse("SPARK_GRAFT_BYPASS_MERGE", "1"),
+      // The generated-class cache holds 100 entries by default — a
+      // 216-query surface evicts the whole cold pass before the warm
+      // pass re-runs it, so every query pays Janino compilation twice
+      // (r17, guide §1.2 "per-task work"/driver overhead: measured
+      // ~0.1 s/query of CodeGenerator.compile in the warm pass).
+      // 4096 entries ≈ tens of MB of class metadata — cheap on any
+      // driver; a production service with a repeating query mix wants
+      // the same.
+      "spark.sql.codegen.cache.maxEntries" ->
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096")) ++
       localDir.map("spark.local.dir" -> _)
   }
 

@@ -96,7 +96,10 @@ object Tables {
   private def spreadIfNarrow(spark: SparkSession, name: String,
                              df: DataFrame): DataFrame = {
     val par = spark.sparkContext.defaultParallelism
-    if (spreadTables.contains(name) &&
+    // SPARK_GRAFT_SPREAD=off disables the spread (A/B measurement
+    // hook; default auto = the scale-guarded behavior)
+    if (sys.env.getOrElse("SPARK_GRAFT_SPREAD", "auto") != "off" &&
+        spreadTables.contains(name) &&
         df.rdd.getNumPartitions < par) df.repartition(par)
     else df
   }
