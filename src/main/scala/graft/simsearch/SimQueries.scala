@@ -1605,25 +1605,32 @@ object SimQueries extends QueryModule {
       s"""WITH asg AS (SELECT vec_id, v, nrm, c FROM $aView),
          |$e21GraphTail
          |SELECT src, dst FROM e""".stripMargin))
-    // Hops UNROLLED into one statement over the checkpointed leaves
-    // (r16): the per-hop localCheckpoint loop paid ~2 driver jobs +
-    // a full plan/analyze cycle PER HOP to materialize ≤ 40-row
-    // beams. With the expensive upstreams pinned behind aView/eView,
-    // the duplicated references (each hop reads its predecessor
-    // twice) duplicate only tiny view scans, and the per-hop window
-    // exchanges dedupe via ReusedExchange — the e27/GraphOps
-    // materialization lesson applies to unbounded loops, not a
-    // fixed 3-hop chain over checkpointed leaves. Same CTE chain as
-    // the DuckDB oracle's unroll, hop for hop.
+    // Hops UNROLLED into one statement with LINEAR plan growth (r17,
+    // verdict ask #3): the r16 unroll referenced each hop's
+    // predecessor TWICE (UNION branch + edge-expansion branch), so
+    // Catalyst copied the beam subtree 2^hops times — 2 027 formatted
+    // plan lines / 136 Exchanges, and parse/analyze/codegen of that
+    // text was over half the query's warm time (build 1.0 s vs 0.6 s
+    // stage wall). A per-hop localCheckpoint was measured FIRST and
+    // rejected: the 4 extra materialization jobs cost more than the
+    // duplicated analysis they removed (warm 1.85 → 2.08 s). Instead
+    // each hop now reads its predecessor ONCE — keep-or-expand as a
+    // LEFT JOIN to the edge table, explode(array(beam node, dst)),
+    // DISTINCT — which is set-identical to `c_p UNION expand(c_p)`
+    // (explode emits the beam node even when no edge matches; the
+    // NULL dst of unmatched rows is filtered; DISTINCT is the UNION
+    // dedup). Plan: 2 027 → 304 lines, 136 → 26 Exchanges; same
+    // recurrence the DuckDB oracle unrolls, hop for hop.
     val sb = new StringBuilder(
       s"""WITH ent AS (SELECT min(vec_id) AS eid FROM $aView GROUP BY c),
          |c0 AS (SELECT q.qid, ent.eid AS nid FROM $qView q CROSS JOIN ent)""".stripMargin)
     for (i <- 1 to BeamHops) {
       val p = i - 1
       sb ++= s""",
-         |x$i AS (SELECT qid, nid FROM c$p
-         |  UNION
-         |  SELECT c.qid, e.dst AS nid FROM c$p c JOIN $eView e ON e.src = c.nid),
+         |x$i AS (SELECT DISTINCT qid, n AS nid FROM (
+         |  SELECT c.qid, explode(array(c.nid, e.dst)) AS n
+         |  FROM c$p c LEFT JOIN $eView e ON e.src = c.nid) u
+         |  WHERE n IS NOT NULL),
          |s$i AS (SELECT x.qid, x.nid,
          |    vec_dot(q.qv, n2.v) / (q.qn * n2.nrm) AS sim
          |  FROM x$i x JOIN $qView q ON q.qid = x.qid
@@ -1655,7 +1662,7 @@ object SimQueries extends QueryModule {
   private def e29Query(spark: SparkSession, sfDir: String): DataFrame = {
     val tag = Integer.toHexString(sfDir.hashCode)
     val frView = s"e28_fr_$tag"
-    e28Frontier(spark, sfDir).createOrReplaceTempView(frView)
+    graft.CkptUtil.freshView(spark, frView, e28Frontier(spark, sfDir))
     spark.sql(
       s"""WITH got AS (SELECT qid, nid FROM $frView WHERE rr <= 5),
          |-- BROADCAST(q): both sides are checkpointed RDD scans whose
@@ -2332,8 +2339,23 @@ object SimQueries extends QueryModule {
     * assemble in the fixed d0+d1+d2+d3 association like e11. */
   private val TrainIter = 3
 
+  /** @param sub0From Spark side: read the quantized subspace slices
+    *                  from a checkpointed view instead of inlining the
+    *                  vecs→argmax→residual pipeline (r16).
+    * @param cbFrom    Spark side: read the TRAINED codebook from a
+    *                  checkpointed view instead of inlining the
+    *                  training chain (r17, verdict ask #3): the ADC
+    *                  tail joins `dtT` four times (one per subspace
+    *                  code), and each copy re-analyzed the full
+    *                  TrainIter chain — 2 928 formatted plan lines for
+    *                  a 32-row codebook. Values are bitwise the same.
+    * @param trainOnly emit just sub0→cb$TrainIter and select the
+    *                  trained codebook (the statement [[pqTrainedRecall]]
+    *                  checkpoints; Spark side only). */
   private def e14Body(sparkD: Boolean, cnName: String, nQ: Int = 5,
-                      sub0From: Option[String] = None): String = {
+                      sub0From: Option[String] = None,
+                      cbFrom: Option[String] = None,
+                      trainOnly: Boolean = false): String = {
     def slice(arr: String, s: String): String =
       if (sparkD) s"slice($arr, $s*16+1, 16)"
       else s"list_slice($arr, $s*16+1, $s*16+16)"
@@ -2366,22 +2388,33 @@ object SimQueries extends QueryModule {
     // under it) once per training iteration + the final assignment —
     // the driver spent ~4× the query's execution time in Catalyst on
     // the duplicated subtrees. Values are bitwise the same rows.
-    sb ++= sub0From.map(v => s"""sub0 AS (SELECT vec_id, c, s, x FROM $v),
-       |cb0 AS (SELECT s, vec_id AS cid, x AS cv FROM sub0 WHERE vec_id < 8)""".stripMargin)
+    val sub0Cte = sub0From.map(v =>
+        s"sub0 AS (SELECT vec_id, c, s, x FROM $v)")
       .getOrElse(s"""rq AS (SELECT vec_id, c, ${quant("rv")} AS rvq FROM res),
-       |sub0 AS (SELECT vec_id, c, s, ${slice("rvq", "s")} AS x FROM rq $explodeS),
-       |cb0 AS (SELECT s, vec_id AS cid, x AS cv FROM sub0 WHERE vec_id < 8)""".stripMargin)
-    for (i <- 1 to TrainIter) {
-      val p = i - 1
-      sb ++= s""",
-         |a_$i AS (SELECT sub0.vec_id, sub0.s, sub0.x, cb$p.cid,
-         |    row_number() OVER (PARTITION BY sub0.vec_id, sub0.s
-         |      ORDER BY ${sq("sub0.x", s"cb$p.cv")}, cb$p.cid) AS r
-         |  FROM sub0 JOIN cb$p ON cb$p.s = sub0.s),
-         |asg_$i AS (SELECT vec_id, s, x, cid FROM a_$i WHERE r = 1),
-         |g_$i AS (SELECT s, cid, k, SUM(${if (sparkD) "element_at(x, k + 1)" else "x[k + 1]"}) AS sx, COUNT(*) AS cnt
-         |  FROM asg_$i $explodeK GROUP BY s, cid, k),
-         |cb$i AS (SELECT s, cid, $assemble AS cv FROM g_$i GROUP BY s, cid)""".stripMargin
+       |sub0 AS (SELECT vec_id, c, s, ${slice("rvq", "s")} AS x FROM rq $explodeS)""".stripMargin)
+    cbFrom match {
+      case Some(v) =>
+        sb ++= s"""$sub0Cte,
+           |cb$TrainIter AS (SELECT s, cid, cv FROM $v)""".stripMargin
+      case None =>
+        sb ++= s"""$sub0Cte,
+           |cb0 AS (SELECT s, vec_id AS cid, x AS cv FROM sub0 WHERE vec_id < 8)""".stripMargin
+        for (i <- 1 to TrainIter) {
+          val p = i - 1
+          sb ++= s""",
+             |a_$i AS (SELECT sub0.vec_id, sub0.s, sub0.x, cb$p.cid,
+             |    row_number() OVER (PARTITION BY sub0.vec_id, sub0.s
+             |      ORDER BY ${sq("sub0.x", s"cb$p.cv")}, cb$p.cid) AS r
+             |  FROM sub0 JOIN cb$p ON cb$p.s = sub0.s),
+             |asg_$i AS (SELECT vec_id, s, x, cid FROM a_$i WHERE r = 1),
+             |g_$i AS (SELECT s, cid, k, SUM(${if (sparkD) "element_at(x, k + 1)" else "x[k + 1]"}) AS sx, COUNT(*) AS cnt
+             |  FROM asg_$i $explodeK GROUP BY s, cid, k),
+             |cb$i AS (SELECT s, cid, $assemble AS cv FROM g_$i GROUP BY s, cid)""".stripMargin
+        }
+    }
+    if (trainOnly) {
+      sb ++= s"\nSELECT s, cid, cv FROM cb$TrainIter"
+      return sb.result()
     }
     sb ++= s""",
        |aF AS (SELECT sub0.vec_id, sub0.c, sub0.s, cb$TrainIter.cid,
@@ -2452,10 +2485,18 @@ object SimQueries extends QueryModule {
          |rq AS (SELECT vec_id, c, transform(rv, x -> round(x * 1048576.0)) AS rvq FROM res)
          |SELECT vec_id, c, s, slice(rvq, s*16+1, 16) AS x
          |FROM rq LATERAL VIEW explode(sequence(0, 3)) t AS s""".stripMargin))
+    // the trained codebook is checkpointed once (32 rows) so the ADC
+    // tail's four dtT joins reference a tiny scan instead of four
+    // copies of the TrainIter chain (r17 — see e14Body.cbFrom)
+    val cbView = s"e14_cb_${Integer.toHexString(sfDir.hashCode)}"
+    graft.CkptUtil.freshView(spark, cbView, spark.sql(
+      s"""WITH ${e14Body(sparkD = true, cnName = "cn", nQ = nQ,
+             sub0From = Some(s0View), trainOnly = true)}""".stripMargin))
     val adcSql =
       s"""$sparkVecs,
          |${centroidCte(km.centroids)},
-         |${e14Body(sparkD = true, cnName = "cn", nQ = nQ, sub0From = Some(s0View))}""".stripMargin
+         |${e14Body(sparkD = true, cnName = "cn", nQ = nQ,
+             sub0From = Some(s0View), cbFrom = Some(cbView))}""".stripMargin
     val exact = spark.sql(exactTop5Sql(nQ)).as("e")
     val adc = spark.sql(adcSql).as("i")
     exact.join(adc,
